@@ -1,0 +1,327 @@
+package graft.tableone
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** Configuration for [[TableOne.summarize]].
+  *
+  * @param stratify optional categorical column whose values become output
+  *                 column pairs (`<value>`, `<value>_%`)
+  * @param cols     columns to analyze: StringType -> categorical counts,
+  *                 NumericType -> 8 summary stats; others warn & skip
+  * @param beautify presentation mode: drop bookkeeping columns, blank
+  *                 repeated variable labels, underscores -> spaces
+  * @param pValues  attach t-test / ANOVA / chi-square results (stratified
+  *                 runs only; forced off otherwise)
+  * @param percentileAccuracyCap upper bound on the percentile_approx
+  *                 accuracy knob. The reference uses rowcount+1 (exact,
+  *                 /root/reference/tableone_pyspark.py:384-388) which is
+  *                 unbounded sketch memory; we keep exactness up to the cap
+  *                 and degrade to a fixed-memory Greenwald-Khanna sketch
+  *                 beyond it — the 100 TB-safe default.
+  * @param cacheInput persist the input before the (up to 3) aggregation
+  *                 passes — worth it when `df` is an expensive upstream
+  *                 computation rather than a bare scan
+  */
+final case class TableOneConfig(
+    stratify: Option[String] = None,
+    cols: Seq[String] = Nil,
+    beautify: Boolean = false,
+    pValues: Boolean = false,
+    percentileAccuracyCap: Int = 10000000,
+    cacheInput: Boolean = false)
+
+/** "Table 1" descriptive-statistics engine — a from-scratch Scala Spark
+  * re-expression of the reference's capabilities
+  * (/root/reference/tableone_pyspark.py:20-261).
+  *
+  * Output contract (long layout, one row per statistic or category):
+  * `Pivoted_column, Index, Characteristics, Variable_type, Values,
+  * All_Patients, All_Patients_%` then per-stratum `<v>, <v>_%` pairs, then
+  * (pValues) `p_value, test_value, test_name`. `Index` is the double sort
+  * key: integer part = variable position (0 = Totals), fraction = statistic
+  * slot (continuous .1-.8) or category rank * 0.01.
+  *
+  * Execution design (vs the reference's >=10 jobs per continuous column,
+  * SURVEY.md §3.5): a fixed number of distributed passes regardless of
+  * column count —
+  *   1. `count()` (parquet metadata-only for bare scans),
+  *   2. ONE global `agg` computing every continuous column's 8 stats
+  *      (quartiles via a single `percentile_approx(col, array(...))`
+  *      sketch per column),
+  *   3. ONE `groupBy(strat).agg` for all per-stratum stats + the
+  *      (n, mean, var_samp) moments that feed the t-test/ANOVA,
+  *   4. ONE melt + `groupBy(variable, value)` aggregation for ALL
+  *      categorical columns (explicit per-stratum conditional counts — no
+  *      pivot distinct-value job),
+  * and the inferential statistics are computed on the driver from those
+  * collected aggregates (StatTests) — raw rows are never collected,
+  * unlike the reference's per-column `toPandas()`
+  * (/root/reference/tableone_pyspark.py:453, :500).
+  */
+object TableOne {
+  import Sanitize.Missing
+
+  private val StratCol = "__graft_strat"
+
+  /** Continuous statistic slots: (Values label, Index fraction), in output
+    * order (/root/reference/tableone_pyspark.py:325-434). */
+  private val ContSlots = Seq(
+    "n" -> 0.1, "min" -> 0.2, "max" -> 0.3, "mean" -> 0.4, "stddev" -> 0.5,
+    "25th percentile" -> 0.6, "50th percentile" -> 0.7, "75th percentile" -> 0.8)
+
+  def summarize(df: DataFrame, cfg: TableOneConfig): DataFrame = {
+    val spark = df.sparkSession
+    val pValues = cfg.pValues && cfg.stratify.isDefined
+    if (cfg.pValues && cfg.stratify.isEmpty)
+      Console.err.println("[tableone] p_values forced off: no stratification column")
+
+    // --- dispatch analyzed columns by Spark type ----------------------
+    val schema = df.schema
+    cfg.cols.foreach { c =>
+      require(schema.fieldNames.contains(c), s"column to analyze not in schema: $c")
+    }
+    cfg.stratify.foreach { s =>
+      require(schema.fieldNames.contains(s), s"stratification column not in schema: $s")
+    }
+    sealed trait Kind
+    case object Cat extends Kind
+    case object Cont extends Kind
+    val analyzed: Seq[(String, Kind)] = cfg.cols.flatMap { c =>
+      schema(c).dataType match {
+        case StringType     => Some(c -> (Cat: Kind))
+        case _: NumericType => Some(c -> (Cont: Kind))
+        case other =>
+          Console.err.println(s"[tableone] unsupported column type $c:$other — skipped")
+          None
+      }
+    }
+    val catCols = analyzed.collect { case (c, Cat) => c }
+    val contCols = analyzed.collect { case (c, Cont) => c }
+    // Variable position in the output (1-based; 0 is the Totals row).
+    val varIdx: Map[String, Int] = analyzed.map(_._1).zipWithIndex.map { case (c, i) => c -> (i + 1) }.toMap
+
+    val working = if (cfg.cacheInput) df.persist() else df
+
+    // --- pass 1: total row count (drives percentile exactness) --------
+    val total: Long = working.count()
+    // accuracy = 4n makes the Greenwald-Khanna bound eps*N = 0.25 ranks
+    // (and the merge threshold 2*eps*N = 0.5 < 1 disables compression), so
+    // the sketch is TRULY exact: element at rank ceil(q*n), = DuckDB
+    // quantile_disc. The reference's n+1 (tableone_pyspark.py:384-388)
+    // leaves eps*N ~= 1 and can return the neighboring element (verified
+    // empirically at n=60000). Capped for 100 TB sanity — beyond the cap
+    // the quantiles degrade gracefully to approximate.
+    val accuracy: Long = math.min(math.max(4 * total, 10000L), cfg.percentileAccuracyCap.toLong)
+
+    // --- strata discovery + per-stratum aggregates (pass 2) -----------
+    // One job yields: the distinct sanitized strata, each stratum's row
+    // count (Totals row), and every continuous column's per-stratum
+    // stats + test moments.
+    def statExprs(withMoments: Boolean): Seq[Column] = contCols.flatMap { c =>
+      val base = Seq(
+        count(col(c)).as(s"$c#n"),
+        min(col(c)).cast(DoubleType).as(s"$c#min"),
+        max(col(c)).cast(DoubleType).as(s"$c#max"),
+        avg(col(c)).as(s"$c#mean"),
+        stddev(col(c)).as(s"$c#stddev"),
+        percentile_approx(col(c), array(lit(0.25), lit(0.5), lit(0.75)), lit(accuracy))
+          .cast(ArrayType(DoubleType)).as(s"$c#q"))
+      if (withMoments) base :+ var_samp(col(c)).as(s"$c#var") else base
+    }
+
+    case class Stratum(name: String, rows: Long, stats: Row)
+    val strata: Seq[Stratum] = cfg.stratify match {
+      case None => Nil
+      case Some(s) =>
+        val rows = working
+          .groupBy(Sanitize.stratColumn(col(s)).as(StratCol))
+          .agg(count(lit(1)).as("#rows"), statExprs(withMoments = true): _*)
+          .collect()
+        val byName = rows.map(r => r.getAs[String](StratCol) -> r).toMap
+        Sanitize.orderStrata(byName.keys.toSeq).map { name =>
+          val r = byName(name)
+          Stratum(name, r.getAs[Long]("#rows"), r)
+        }
+    }
+    val stratNames = strata.map(_.name)
+
+    // --- pass 3: one global aggregate for all continuous columns ------
+    val globalStats: Option[Row] =
+      if (contCols.isEmpty) None
+      else {
+        val es = statExprs(withMoments = false)
+        Some(working.agg(es.head, es.tail: _*).head())
+      }
+
+    // --- output schema -------------------------------------------------
+    val countColNames = "All_Patients" +: stratNames
+    val pairCols = countColNames.flatMap(c => Seq(c, c + "_%"))
+    val fixedHead = Seq("Pivoted_column", "Index", "Characteristics", "Variable_type", "Values")
+    val pTail = if (pValues) Seq("p_value", "test_value", "test_name") else Nil
+    val outCols = fixedHead ++ pairCols ++ pTail
+    val outSchema = StructType(outCols.map {
+      case n @ ("Pivoted_column" | "Characteristics" | "Variable_type" | "Values" | "test_name") =>
+        StructField(n, StringType, nullable = true)
+      case n => StructField(n, DoubleType, nullable = true)
+    })
+    val pivotedLabel = cfg.stratify.getOrElse("")
+
+    def mkRow(index: Double, characteristics: String, varType: String, values: String,
+              counts: Map[String, Option[Double]], percents: Map[String, Option[Double]],
+              test: Option[TestResult]): Row = {
+      val cells: Seq[Any] = outCols.map {
+        case "Pivoted_column"  => pivotedLabel
+        case "Index"           => index
+        case "Characteristics" => characteristics
+        case "Variable_type"   => varType
+        case "Values"          => values
+        case "p_value"         => test.map(t => Double.box(t.pValue)).orNull
+        case "test_value"      => test.map(t => Double.box(t.testValue)).orNull
+        case "test_name"       => test.map(_.testName).orNull
+        case n if n.endsWith("_%") => percents.getOrElse(n.dropRight(2), None).map(Double.box).orNull
+        case n                 => counts.getOrElse(n, None).map(Double.box).orNull
+      }
+      Row.fromSeq(cells)
+    }
+
+    // --- Totals row ----------------------------------------------------
+    val totalsByCol: Map[String, Option[Double]] =
+      (("All_Patients" -> Some(total.toDouble)) +: strata.map(s => s.name -> Some(s.rows.toDouble))).toMap
+    val totalsRow = mkRow(0.0, "Total", null, "ALL",
+      totalsByCol, countColNames.map(_ -> Some(1.0)).toMap, None)
+
+    // --- continuous rows (driver-assembled from collected aggregates) -
+    def numOpt(r: Row, field: String): Option[Double] = r.getAs[Any](field) match {
+      case null      => None
+      case n: Number => Some(n.doubleValue())
+      case other     => Some(other.toString.toDouble)
+    }
+    def statOf(r: Row, c: String, slot: String): Option[Double] = slot match {
+      case "n"   => numOpt(r, s"$c#n")
+      case "min" => numOpt(r, s"$c#min")
+      case "max" => numOpt(r, s"$c#max")
+      case "mean" => numOpt(r, s"$c#mean")
+      case "stddev" => numOpt(r, s"$c#stddev")
+      case q =>
+        val i = q.charAt(0) match { case '2' => 0; case '5' => 1; case '7' => 2 }
+        Option(r.getAs[scala.collection.Seq[Any]](s"$c#q"))
+          .flatMap(a => Option(a(i))).map(_.asInstanceOf[Number].doubleValue())
+    }
+
+    val contRows: Seq[Row] = contCols.flatMap { c =>
+      val idx = varIdx(c)
+      val test: Option[TestResult] =
+        if (!pValues) None
+        else Some {
+          val groups = strata.map(s => GroupMoments(
+            s.stats.getAs[Long](s"$c#n"),
+            numOpt(s.stats, s"$c#mean").getOrElse(Double.NaN),
+            numOpt(s.stats, s"$c#var").getOrElse(Double.NaN)))
+          strata.size match {
+            case 2          => StatTests.pooledTTest(groups(0), groups(1))
+            case n if n > 2 => StatTests.oneWayAnova(groups)
+            case _          => StatTests.NotDone
+          }
+        }
+      ContSlots.map { case (slot, frac) =>
+        val counts: Map[String, Option[Double]] =
+          (("All_Patients" -> globalStats.flatMap(statOf(_, c, slot))) +:
+            strata.map(s => s.name -> statOf(s.stats, c, slot))).toMap
+        // p-value attaches to the variable's first row only (slot "n").
+        mkRow(idx + frac, c, "continuous", slot, counts, Map.empty,
+          if (slot == "n") test else None)
+      }
+    }
+
+    val driverBlock = spark.createDataFrame(
+      (totalsRow +: contRows).asJava, outSchema)
+
+    // --- categorical block (stays distributed; one melt + agg job) ----
+    val catBlock: Option[DataFrame] = if (catCols.isEmpty) None else Some {
+      val kvs = array(catCols.map(c =>
+        struct(lit(c).as("variable"), coalesce(col(c), lit(Missing)).as("Values"))): _*)
+      val melted = cfg.stratify match {
+        case Some(s) => working.select(Sanitize.stratColumn(col(s)).as(StratCol), explode(kvs).as("kv"))
+        case None    => working.select(lit("").as(StratCol), explode(kvs).as("kv"))
+      }
+      val counts = melted
+        .select(col(StratCol), col("kv.variable").as("variable"), col("kv.Values").as("Values"))
+        .groupBy("variable", "Values")
+        .agg(count(lit(1)).as("All_Patients"),
+          stratNames.map(sv => count(when(col(StratCol) === sv, 1)).as(sv)): _*)
+
+      val cached = if (pValues) counts.persist() else counts
+
+      // chi-square per categorical variable, from the aggregated counts
+      // (the contingency table IS the pivoted counts — SURVEY.md §2.9 D7).
+      val catTests: Map[String, TestResult] =
+        if (!pValues) Map.empty
+        else {
+          val nonMissing = cached.filter(col("Values") =!= Missing).collect()
+          catCols.map { c =>
+            val rows = nonMissing.filter(_.getAs[String]("variable") == c)
+            val nonMissingTotal = rows.map(_.getAs[Long]("All_Patients")).sum
+            // gate: >=5 non-missing rows (a row count — tableone_pyspark.py:503)
+            val t =
+              if (nonMissingTotal < 5) StatTests.NotDone
+              else StatTests.chiSquare(rows.map(r => stratNames.map(s => r.getAs[Long](s)).toArray))
+            c -> t
+          }.toMap
+        }
+
+      val win = Window.partitionBy("variable").orderBy("order", "Values")
+      val varIdxExpr = catCols.tail.foldLeft(when(col("variable") === catCols.head, varIdx(catCols.head))) {
+        (acc, c) => acc.when(col("variable") === c, varIdx(c))
+      }
+      var block = cached
+        .withColumn("order", Sanitize.categoryOrderKey(col("Values")))
+        .withColumn("__rn", row_number().over(win))
+        .withColumn("Index", varIdxExpr.cast(DoubleType) + col("__rn") * 0.01)
+        .withColumn("Pivoted_column", lit(pivotedLabel))
+        .withColumn("Characteristics", col("variable"))
+        .withColumn("Variable_type", lit("category"))
+        .withColumn("All_Patients_%", col("All_Patients") / lit(total.toDouble))
+      strata.foreach { s =>
+        block = block.withColumn(s.name + "_%", col(s.name) / lit(s.rows.toDouble))
+      }
+      if (pValues) {
+        def attach(colName: String, f: TestResult => Any, dt: DataType): Unit = {
+          val e = catCols.foldLeft(lit(null).cast(dt)) { (acc, c) =>
+            when(col("variable") === c && col("__rn") === 1, lit(f(catTests(c)))).otherwise(acc)
+          }
+          block = block.withColumn(colName, e)
+        }
+        attach("p_value", _.pValue, DoubleType)
+        attach("test_value", _.testValue, DoubleType)
+        attach("test_name", _.testName, StringType)
+      }
+      block.select(outCols.map {
+        case n if outSchema(n).dataType == DoubleType => col(n).cast(DoubleType).as(n)
+        case n => col(n)
+      }: _*)
+    }
+
+    val unordered = catBlock.fold(driverBlock)(driverBlock.unionByName(_))
+    val ordered = unordered.orderBy(col("Index"), col("Values"))
+
+    val finalDf =
+      if (!cfg.beautify) ordered
+      else {
+        val win = Window.partitionBy("Characteristics").orderBy("Index", "Values")
+        ordered
+          .drop("Pivoted_column", "Variable_type")
+          .withColumn("__rank", row_number().over(win))
+          .withColumn("Characteristics",
+            when(col("__rank") === 1, regexp_replace(col("Characteristics"), "_", " "))
+              .otherwise(lit(null)))
+          .drop("__rank")
+          .orderBy(col("Index"), col("Values"))
+      }
+    finalDf.coalesce(1)
+  }
+}
