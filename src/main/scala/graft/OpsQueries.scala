@@ -1,0 +1,200 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.EventPipeline
+import graft.Util.table
+
+/** Driver-contract registration for the training-data-pipeline operators
+  * (dedup, similarity search, multimodal plumbing, text analysis,
+  * event-stream transforms) over the driver's `documents` / `embeddings` /
+  * `events` tables.
+  *
+  * Queries with a matching `oracleSql` entry are hash-compared against
+  * DuckDB; hash-based operators (xxhash64 signatures, LSH) are not
+  * SQL-expressible and get the driver's rows-only check — their exact
+  * semantics are asserted in the ScalaTest specs instead.
+  */
+object OpsQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").select(col("doc_id"), col("text"))
+
+  /** Adjacent-id document pairs (doc i vs doc i+1) — a deterministic,
+    * oracle-friendly pair generator for the pairwise similarity ops. */
+  private def adjacentPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val a = d.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+    val b = d.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+    a.join(b, col("id_b") === col("id_a") + 1)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- deduplication -------------------------------------------------
+    "d1_exact_dedup" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id")).orderBy("doc_id")),
+    "d2_jaccard_pairs" -> ((s, dir) =>
+      adjacentPairs(s, dir).select(col("id_a"), col("id_b"),
+          round(Dedup.ngramJaccard(col("text_a"), col("text_b"), 1), 6).as("jaccard1"),
+          round(Dedup.ngramJaccard(col("text_a"), col("text_b"), 2), 6).as("jaccard2"),
+          round(Dedup.ngramJaccard(col("text_a"), col("text_b"), 3), 6).as("jaccard3"))
+        .orderBy("id_a")),
+    // MinHash/SimHash signatures are xxhash64-based -> rows-only checks.
+    "d3_minhash_dedup" -> ((s, dir) =>
+      Dedup.minHashDedup(docs(s, dir), "doc_id", "text", threshold = 0.5)
+        .select(col("doc_id")).orderBy("doc_id")),
+    "d4_fingerprints" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          Dedup.simHash(col("text")).as("simhash"),
+          TextAnalysis.contentHash(col("text")).as("content_hash"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")),
+
+    // ---- similarity search over embeddings -----------------------------
+    "s1_cosine_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.topKForQueries(emb, "vec_id", "embedding", q, "qid", "qv", k = 10)
+        .select(col("query_id"), col("id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("cosine").desc, col("id"))
+    }),
+    "s2_ann_lsh" -> ((s, dir) => { // LSH planes not SQL-expressible -> rows-only
+      val emb = table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.topKLsh(emb, "vec_id", "embedding", q, "qid", "qv", k = 10, numPlanes = 8)
+        .select(col("query_id"), col("id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("cosine").desc, col("id"))
+    }),
+
+    // ---- multimodal plumbing (decode step is a documented stub) --------
+    "m1_media_meta" -> ((s, dir) =>
+      Multimodal.withMediaMeta(
+          Multimodal.asBinaryPayload(docs(s, dir), "text"), "payload")
+        .select(col("doc_id"), col("media_meta.format").as("format"),
+          col("media_meta.width").as("width"), col("media_meta.height").as("height"),
+          col("media_meta.n_bytes").as("n_bytes"))
+        .orderBy("doc_id")),
+    "m2_media_features" -> ((s, dir) =>
+      Multimodal.withFeatures(
+          Multimodal.asBinaryPayload(docs(s, dir), "text"), "payload")
+        .select(col("doc_id"), col("features")).orderBy("doc_id")),
+    "m3_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+          Multimodal.asBinaryPayload(docs(s, dir), "text"), "payload", stride = 64)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+        .orderBy("doc_id")),
+
+    // ---- text analysis -------------------------------------------------
+    "x1_text_stats" -> ((s, dir) => {
+      val t = col("text")
+      docs(s, dir).select(col("doc_id"),
+          length(t).cast("long").as("n_chars_computed"),
+          TextAnalysis.tokenCount(t).cast("long").as("n_tokens"),
+          round(TextAnalysis.meanTokenLength(t), 6).as("mean_token_len"),
+          round(TextAnalysis.punctRatio(t), 6).as("punct_ratio"),
+          round(TextAnalysis.digitRatio(t), 6).as("digit_ratio"),
+          round(TextAnalysis.upperRatio(t), 6).as("upper_ratio"),
+          round(TextAnalysis.stopwordRatio(t), 6).as("stopword_ratio"))
+        .orderBy("doc_id")
+    }),
+    "x2_text_enrich" -> ((s, dir) => { // regex lookarounds + argmax: rows-only
+      val t = col("text")
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.bpeishTokenCount(t).cast("long").as("n_tokens_bpeish"),
+          round(TextAnalysis.qualityScore(t), 6).as("quality_score"),
+          TextAnalysis.languageId(t).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+    "x3_token_topk" -> ((s, dir) =>
+      docs(s, dir).select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(20)),
+
+    // ---- event-stream transforms (batch = streaming code path) ---------
+    "e1_windowed_counts" -> ((s, dir) =>
+      EventPipeline.windowedCounts(Util.events(s, dir))
+        .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("event_type"), col("n"), round(col("sum_value"), 6).as("sum_value"))
+        .orderBy("w_start", "event_type")),
+    "e2_sessionize" -> ((s, dir) =>
+      EventPipeline.sessionizeBatch(Util.events(s, dir))
+        .select(col("user_id"),
+          date_format(col("s_start"), "yyyy-MM-dd HH:mm:ss").as("s_start"),
+          date_format(col("s_end"), "yyyy-MM-dd HH:mm:ss").as("s_end"),
+          col("n_events"), round(col("sum_value"), 6).as("sum_value"))
+        .orderBy("user_id", "s_start")),
+  )
+
+  // DuckDB-side token array matching TextAnalysis.tokens.
+  private val Toks = raw"list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0)"
+  private def toksOf(c: String) =
+    raw"list_filter(string_split_regex(lower($c), '\s+'), t -> length(t) > 0)"
+  /** DuckDB n-gram shingle list matching Dedup.shingles (lowercased). */
+  private def shingleSql(n: Int, tk: String): String =
+    if (n == 1) s"list_distinct($tk)"
+    else {
+      val cat = (0 until n).map(i => s"$tk[i+$i]").mkString("concat_ws(' ', ", ", ", ")")
+      s"list_distinct(CASE WHEN len($tk) < $n THEN [array_to_string($tk, ' ')] " +
+        s"ELSE list_transform(range(1, len($tk) - ${n - 2}), i -> $cat) END)"
+    }
+  private def jaccardSql(n: Int): String = {
+    val (sa, sb) = (shingleSql(n, "ta"), shingleSql(n, "tb"))
+    s"ROUND(len(list_intersect($sa, $sb))::DOUBLE / " +
+      s"greatest(len(list_distinct(list_concat($sa, $sb))), 1), 6) AS jaccard$n"
+  }
+  private val StopwordList =
+    TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  def oracleSql: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      ("SELECT doc_id FROM (SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn " +
+        "FROM documents) WHERE rn = 1 ORDER BY doc_id"),
+    "d2_jaccard_pairs" ->
+      (s"WITH toks AS (SELECT doc_id, ${toksOf("text")} AS tk FROM documents) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        Seq(1, 2, 3).map(n => jaccardSql(n)).mkString(", ") +
+        " FROM (SELECT doc_id, tk AS ta FROM toks) a " +
+        "JOIN (SELECT doc_id, tk AS tb FROM toks) b ON b.doc_id = a.doc_id + 1 " +
+        "ORDER BY id_a"),
+    "s1_cosine_topk" ->
+      ("WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3) " +
+        "SELECT query_id, id, cosine FROM (" +
+        "SELECT q.qid AS query_id, e.vec_id AS id, " +
+        "ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cosine, " +
+        "row_number() OVER (PARTITION BY q.qid " +
+        "ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id) AS rn " +
+        "FROM embeddings e CROSS JOIN q) WHERE rn <= 10 " +
+        "ORDER BY query_id, cosine DESC, id"),
+    "x1_text_stats" ->
+      (s"SELECT doc_id, length(text) AS n_chars_computed, len($Toks) AS n_tokens, " +
+        raw"ROUND(length(regexp_replace(text, '\s', '', 'g'))::DOUBLE / greatest(len($Toks), 1), 6) AS mean_token_len, " +
+        "ROUND(length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / greatest(length(text), 1), 6) AS punct_ratio, " +
+        "ROUND(length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / greatest(length(text), 1), 6) AS digit_ratio, " +
+        "ROUND(length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE / greatest(length(text), 1), 6) AS upper_ratio, " +
+        s"ROUND(len(list_filter(${toksOf("text")}, t -> list_contains($StopwordList, t)))::DOUBLE / " +
+        s"greatest(len(${toksOf("text")}), 1), 6) AS stopword_ratio " +
+        "FROM documents ORDER BY doc_id"),
+    "x3_token_topk" ->
+      (s"SELECT t AS token, count(*) AS cnt FROM (SELECT unnest($Toks) AS t FROM documents) " +
+        "GROUP BY t ORDER BY cnt DESC, token LIMIT 20"),
+    "e1_windowed_counts" ->
+      ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start, event_type, " +
+        "count(*) AS n, ROUND(sum(value), 6) AS sum_value " +
+        "FROM events GROUP BY 1, 2 ORDER BY w_start, event_type"),
+    "e2_sessionize" ->
+      ("WITH marked AS (SELECT user_id, ts, event_id, value, " +
+        "CASE WHEN lag(ts) OVER w IS NULL " +
+        "OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1 ELSE 0 END AS new_s " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "sess AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM marked) " +
+        "SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start, " +
+        "strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS s_end, " +
+        "count(*) AS n_events, ROUND(sum(value), 6) AS sum_value " +
+        "FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start"),
+  )
+}

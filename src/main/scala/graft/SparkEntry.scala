@@ -28,7 +28,9 @@ object SparkEntry {
   // (name, isContinuous) in analysis order, per flagship target
   private val lineitemCols = Seq("l_linestatus" -> false, "l_quantity" -> true, "l_extendedprice" -> true)
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = base ++ OpsQueries.queries
+
+  private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- TableOne end-to-end (SURVEY.md §3) ----
     "t1_tableone_lineitem" -> ((s, dir) => roundDoubles(TableOne.summarize(
       table(s, dir, "lineitem"),
@@ -110,5 +112,5 @@ object SparkEntry {
       ("SELECT l_returnflag, count(l_extendedprice) AS n, ROUND(avg(l_extendedprice), 6) AS mean, " +
         "ROUND(stddev_samp(l_extendedprice), 6) AS sd, ROUND(min(l_extendedprice), 6) AS mn, " +
         "ROUND(max(l_extendedprice), 6) AS mx FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
-  )
+  ) ++ OpsQueries.oracleSql
 }

@@ -15,4 +15,14 @@ object Util {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The driver's `events` parquet carries TIMESTAMP(NANOS), which Spark 4
+    * rejects by default (PARQUET_TYPE_ILLEGAL). Read nanos as long and
+    * convert to a microsecond TimestampType — integer `div` (not `/`,
+    * which goes through double and loses precision above 2^53 ns). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 }

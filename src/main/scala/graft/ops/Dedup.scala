@@ -1,0 +1,173 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Scale design notes (100 TB posture):
+  *   - Exact dedup shuffles an 8-byte xxhash64 key, never the full text.
+  *   - MinHash-LSH finds near-dup CANDIDATES with a band-bucket
+  *     shuffle-join (O(n) with small constants), then verifies exact
+  *     Jaccard only within buckets — no O(n^2) pair enumeration.
+  *   - SimHash packs a document into one 64-bit long; near-dup test is a
+  *     cheap `bit_count(a XOR b) <= t` inside bucket joins.
+  *   - All signatures are computed as pure codegen'd column expressions
+  *     (HOFs over token arrays); no UDFs, no driver collects.
+  */
+object Dedup {
+
+  /** Word n-gram shingles of a text column (the near-dup unit). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(lower(text))
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions,
+    * the minimum hash over the shingle set. */
+  def minHashSignature(text: Column, numHashes: Int = 64, shingleN: Int = 3): Column = {
+    val sh = array_distinct(shingles(text, shingleN))
+    val sig = transform(sequence(lit(0), lit(numHashes - 1)),
+      seed => array_min(transform(sh, s => xxhash64(s, seed))))
+    sig
+  }
+
+  /** Estimated Jaccard similarity from two MinHash signatures. */
+  def minHashJaccard(sigA: Column, sigB: Column): Column =
+    size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x)).cast("double") /
+      size(sigA).cast("double")
+
+  /** Exact n-gram Jaccard similarity of two texts. */
+  def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
+    val sa = array_distinct(shingles(a, n))
+    val sb = array_distinct(shingles(b, n))
+    size(array_intersect(sa, sb)).cast("double") /
+      greatest(size(array_union(sa, sb)), lit(1)).cast("double")
+  }
+
+  /** Exact deduplication: keep one deterministic representative (minimum
+    * `idCol`) per distinct value of `text`. The shuffle key is the 64-bit
+    * content hash, not the text; hash collisions are disambiguated by
+    * grouping on (hash, text) — the text bytes only travel for rows that
+    * share a hash partition, which is the same cost as any exact dedup. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(TextAnalysis.contentHash(col(textCol)), col(textCol))
+      .orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Near-duplicate candidate pairs via MinHash-LSH banding.
+    *
+    * Signature is split into `bands` bands of `numHashes/bands` rows; two
+    * documents land in the same bucket iff one band matches exactly.
+    * Returns (id_a, id_b, est_jaccard, exact_jaccard) for candidate pairs
+    * with exact Jaccard >= `threshold`, id_a < id_b, deduplicated across
+    * bands. The join is an equi-join on (band_index, band_hash) — a plain
+    * shuffle join that AQE can handle skew for; no cartesian product.
+    */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 64, bands: Int = 16,
+                      threshold: Double = 0.7, shingleN: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"),
+      minHashSignature(col(textCol), numHashes, shingleN).as("sig"))
+
+    val banded = withSig.select(col("id"), col("text"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + lit(1), lit(rows)))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+
+    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"),
+      col("text").as("text_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"),
+      col("text").as("text_b"), col("sig").as("sig_b"))
+
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        minHashJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"),
+        ngramJaccard(col("text_a"), col("text_b"), shingleN).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Near-dedup: drop all but the minimum-id member of each near-dup
+    * candidate pair set (greedy transitive-lite pass: a doc survives iff
+    * it is not the larger id of any qualifying pair). */
+  def minHashDedup(df: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 64, bands: Int = 16,
+                   threshold: Double = 0.7): DataFrame = {
+    val losers = minHashLshPairs(df, idCol, textCol, numHashes, bands, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  // --- SimHash ---------------------------------------------------------
+
+  /** 64-bit SimHash of the token multiset: bit j of the result is 1 iff
+    * sum over tokens of (+1 if bit j of xxhash64(token) else -1) > 0.
+    * Computed as a pure aggregate HOF over a 64-wide counter array. */
+  def simHash(text: Column): Column = {
+    val toks = TextAnalysis.tokens(lower(text))
+    val counters = aggregate(toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(acc,
+        array((0 until 64).map(b =>
+          when(shiftright(xxhash64(t), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)): _*),
+        (a, x) => a + x))
+    // pack sign bits; zip_with against the bit-position array keeps
+    // `counters` a single evaluated subexpression
+    aggregate(
+      zip_with(counters, array((0 until 64).map(b => lit(1L << b)): _*),
+        (c, bit) => when(c > 0, bit).otherwise(0L)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two SimHashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: documents whose 64-bit SimHashes differ in
+    * <= maxHamming bits. Buckets by the 4 16-bit quarters of the hash
+    * (pigeonhole: any pair within Hamming distance 3 shares at least one
+    * exact quarter), so the join is an equi-join, not a cross join. */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "quarter-banding is sound only for maxHamming <= 3")
+    val withSig = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sim"))
+    val banded = withSig.select(col("id"), col("sim"),
+      posexplode(array((0 until 4).map(q =>
+        shiftright(col("sim"), q * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "quarter").withColumnRenamed("col", "qhash")
+    val a = banded.select(col("quarter"), col("qhash"), col("id").as("id_a"), col("sim").as("sim_a"))
+    val b = banded.select(col("quarter"), col("qhash"), col("id").as("id_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("quarter", "qhash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming(col("sim_a"), col("sim_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  // --- embedding near-dup ----------------------------------------------
+
+  /** Embedding-cosine near-duplicate pairs: pairs with cosine >=
+    * `threshold`. Buckets via random-hyperplane LSH sign bits
+    * (Similarity.lshBucket) to avoid the cartesian join; a pair is a
+    * candidate when all `planes.size` sign bits agree. */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, planes: Seq[Seq[Double]]): DataFrame = {
+    val withB = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.lshBucket(col(vecCol), planes).as("bucket"))
+    val a = withB.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = withB.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`/`array<double>`).
+  *
+  * Baseline: brute-force cosine top-k — one codegen'd projection + a
+  * TakeOrderedAndProject (no full sort, no shuffle of the corpus).
+  * Scale path: random-hyperplane LSH bucketing so candidate generation is
+  * an equi-join on bucket signature instead of a cartesian product; at
+  * 1000 executors the corpus stays partitioned, only the (tiny) query set
+  * is broadcast.
+  */
+object Similarity {
+
+  /** Dot product of two numeric arrays (HOF — codegen'd, no UDF). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0.0, 0.0).otherwise(dot(a, b) / d)
+  }
+
+  private def litVec(q: Seq[Double]): Column = array(q.map(lit): _*)
+
+  /** Brute-force cosine top-k of `corpus` against one literal query
+    * vector. The plan is scan -> project(cosine) -> TakeOrderedAndProject:
+    * each partition keeps its local top-k, the driver merges k*partitions
+    * rows — no global sort, no shuffle. */
+  def topKBrute(corpus: DataFrame, idCol: String, vecCol: String,
+                query: Seq[Double], k: Int): DataFrame = {
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    val qCol = litVec(query.map(_ / qn))
+    corpus
+      .select(col(idCol),
+        cosine(col(vecCol).cast("array<double>"), qCol).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Top-k for a whole (small) query table: broadcast the queries, score
+    * every (corpus row, query) pair in one pass over the corpus, keep
+    * top-k per query with a window. Corpus is never shuffled — only the
+    * k-per-query survivors move. */
+  def topKForQueries(corpus: DataFrame, corpusId: String, corpusVec: String,
+                     queries: DataFrame, queryId: String, queryVec: String,
+                     k: Int): DataFrame = {
+    val scored = corpus.crossJoin(
+        broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))))
+      .select(col("query_id"), col(corpusId).as("id"),
+        cosine(col(corpusVec).cast("array<double>"), col("__qv").cast("array<double>")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k).drop("__rank")
+  }
+
+  /** Deterministic random hyperplanes (xorshift-free simple LCG seeded by
+    * `seed`) for sign-bit LSH. Public-knowledge construction: cosine-LSH
+    * via random projections (Charikar 2002). */
+  def randomPlanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** LSH bucket id: one sign bit per hyperplane, packed into a long. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vec.cast("array<double>"), litVec(p)) >= 0.0, shiftleft(lit(1L), i))
+        .otherwise(lit(0L))
+    }.reduce[Column]((a, b) => a.bitwiseOR(b))
+
+  /** ANN top-k: LSH-bucketed variant of [[topKForQueries]]. Candidates are
+    * corpus rows sharing the query's bucket (equi-join on the packed sign
+    * bits); rerank by exact cosine within the bucket. Recall < 1 by
+    * construction — `numPlanes` trades recall for bucket size. */
+  def topKLsh(corpus: DataFrame, corpusId: String, corpusVec: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              k: Int, numPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+    val dim = 64 // embeddings table dimension; callers with other dims pass planes via lshBucket directly
+    val planes = randomPlanes(numPlanes, dim, seed)
+    val c = corpus.select(col(corpusId).as("id"), col(corpusVec).as("__cv"),
+      lshBucket(col(corpusVec), planes).as("__bucket"))
+    val q = broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"),
+      lshBucket(col(queryVec), planes).as("__bucket")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id"))
+    c.join(q, Seq("__bucket"))
+      .select(col("query_id"), col("id"),
+        cosine(col("__cv").cast("array<double>"), col("__qv").cast("array<double>")).as("cosine"))
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k).drop("__rank")
+  }
+}

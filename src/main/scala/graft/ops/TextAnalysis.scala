@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language identification, and document
+  * fingerprinting.
+  *
+  * Everything is built from codegen'd built-in functions and higher-order
+  * functions (`transform`/`filter`/`aggregate`) — no UDFs — so the whole
+  * pipeline stays inside WholeStageCodegen and scales linearly with no
+  * shuffle: each operator is a pure per-row projection.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization; empty strings removed (split of "" yields
+    * [""], and leading separators yield empty head tokens). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish subword proxy: counts runs of letters, digits, or single
+    * punctuation marks — approximates tokenizer token counts without a
+    * vocabulary. */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(split(text, "(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])"),
+      t => length(trim(t)) > 0))
+
+  // --- quality signals ------------------------------------------------
+
+  /** Public so the DuckDB oracle SQL can embed the identical list. */
+  val EnglishStopwords = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "were", "it", "that", "this", "for", "on", "with", "as", "at", "by",
+    "be", "he", "she", "they", "you", "we", "not", "but", "from")
+
+  def punctRatio(text: Column): Column = {
+    val punct = length(regexp_replace(text, "[^\\p{Punct}]", ""))
+    punct.cast("double") / greatest(length(text), lit(1)).cast("double")
+  }
+
+  def digitRatio(text: Column): Column =
+    length(regexp_replace(text, "[^0-9]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  def upperRatio(text: Column): Column =
+    length(regexp_replace(text, "[^A-Z]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    val toks = tokens(lower(text))
+    size(filter(toks, t => array_contains(sw, t))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  def meanTokenLength(text: Column): Column = {
+    val toks = tokens(text)
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Composite document-quality score in [0,1] — heuristics in the spirit
+    * of C4/Gopher filtering rules: enough tokens, sane word lengths, some
+    * stopwords, not dominated by punctuation/digits/caps. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val mtl = meanTokenLength(text)
+    val checks = Seq(
+      (nTok >= 5) && (nTok <= 100000),
+      (mtl >= 2.0) && (mtl <= 12.0),
+      stopwordRatio(text) >= 0.05,
+      punctRatio(text) <= 0.3,
+      digitRatio(text) <= 0.3,
+      upperRatio(text) <= 0.3)
+    checks.map(c => when(c, 1.0).otherwise(0.0)).reduce(_ + _) / lit(checks.size.toDouble)
+  }
+
+  /** Adds the standard quality columns to a document DataFrame. */
+  def withQuality(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_chars_computed", length(t).cast("long"))
+      .withColumn("n_tokens", tokenCount(t).cast("long"))
+      .withColumn("n_tokens_bpeish", bpeishTokenCount(t).cast("long"))
+      .withColumn("mean_token_len", meanTokenLength(t))
+      .withColumn("punct_ratio", punctRatio(t))
+      .withColumn("digit_ratio", digitRatio(t))
+      .withColumn("upper_ratio", upperRatio(t))
+      .withColumn("stopword_ratio", stopwordRatio(t))
+      .withColumn("quality_score", qualityScore(t))
+  }
+
+  // --- language identification ---------------------------------------
+
+  /** Per-language discriminative function-word sets (public linguistic
+    * knowledge). CJK languages are detected by script instead. */
+  private val LangStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was",
+      "for", "are", "with", "you", "this", "not", "have", "from"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+      "zu", "den", "mit", "auf", "für", "sich", "des", "im", "ich"),
+    "es" -> Seq("el", "la", "los", "las", "que", "y", "en", "un", "una",
+      "es", "por", "con", "para", "del", "se", "su", "al", "lo"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "pour",
+      "que", "dans", "qui", "pas", "au", "ce", "il", "je", "vous"),
+    "it" -> Seq("il", "la", "di", "che", "e", "un", "una", "per", "non",
+      "sono", "con", "del", "gli", "si", "nel", "alla"))
+
+  /** N-gram/function-word language-ID heuristic, pure column expressions:
+    * score(lang) = fraction of tokens that are that language's function
+    * words; CJK script ratio scores "zh". Returns the argmax language code
+    * or "und" when no signal. Ties break deterministically (higher score,
+    * then language code). */
+  def languageId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val nTok = greatest(size(toks), lit(1)).cast("double")
+    val scored: Seq[Column] = LangStopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val sw = array(words.map(lit): _*)
+      struct(
+        (size(filter(toks, t => array_contains(sw, t))).cast("double") / nTok).as("score"),
+        lit(lang).as("lang"))
+    }
+    val zh = struct(
+      (length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")).cast("double") /
+        greatest(length(text), lit(1)).cast("double")).as("score"),
+      lit("zh").as("lang"))
+    val best = array_max(array(scored :+ zh: _*))
+    when(best.getField("score") > 0.05, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  // --- fingerprinting -------------------------------------------------
+
+  /** Character k-gram rolling-hash fingerprint (winnowing-style): hash
+    * every k-char window, keep the minimum `keep` hashes as the document
+    * fingerprint. Near-identical documents share most of the sketch.
+    * Pure HOF expression: O(len) windows per row, no shuffle. */
+  def fingerprint(text: Column, k: Int = 8, keep: Int = 16): Column = {
+    val n = greatest(length(text) - lit(k - 1), lit(1))
+    val hashes = transform(sequence(lit(1), n), i => xxhash64(text.substr(i, lit(k))))
+    slice(array_sort(array_distinct(hashes)), 1, keep)
+  }
+
+  /** Single 64-bit content fingerprint (exact-dup detection at scale:
+    * 8-byte shuffle key instead of the full text). */
+  def contentHash(text: Column): Column = xxhash64(text)
+}

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming ingest for the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The transforms are written against plain DataFrames so the SAME code
+  * path serves batch (driver correctness gate) and streaming
+  * (readStream -> transform -> writeStream): Structured Streaming's core
+  * contract. Watermarking/stateful pieces only attach in streaming mode.
+  */
+object EventPipeline {
+
+  /** Tumbling-window counts + value stats per event type. Works on batch
+    * and streaming frames alike. */
+  def windowedCounts(events: DataFrame, windowLength: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Streaming variant with a watermark for state cleanup: late events
+    * beyond `lateness` are dropped, window state is purged once the
+    * watermark passes — bounded state at any scale. */
+  def streamingWindowedCounts(events: DataFrame, windowLength: String = "1 hour",
+                              lateness: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** File-source streaming read of an events parquet directory. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream.schema(schema).parquet(dir)
+  }
+
+  /** Batch sessionization (gaps-and-islands): same session semantics as
+    * [[sessionize]] but expressed with window functions so it runs on any
+    * static DataFrame and is oracle-verifiable in plain SQL. A session
+    * closes after `gapMs` of inactivity. Shuffles once on `user_id`; both
+    * windows and the final groupBy reuse that partitioning. */
+  def sessionizeBatch(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("__prev_ms", lag(unix_millis(col("ts")), 1).over(byUser))
+      .withColumn("__new", when(col("__prev_ms").isNull ||
+        unix_millis(col("ts")) - col("__prev_ms") > gapMs, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(cum))
+      .groupBy(col("user_id"), col("__sid"))
+      .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"),
+        count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("s_start"), col("s_end"), col("n_events"), col("sum_value"))
+  }
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, sumValue: Double)
+  final case class Session(user_id: Long, start: Timestamp, end: Timestamp,
+                           n_events: Long, sum_value: Double)
+
+  /** Session windows per user via flatMapGroupsWithState: a session closes
+    * after `gapMs` of inactivity (event-time timeout). Custom stateful
+    * processing the built-in operators can't express — the one place
+    * the engine needs KeyValueGroupedDataset state. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sumValue))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1, sumValue = s.sumValue + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sumValue)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

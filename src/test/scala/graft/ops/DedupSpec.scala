@@ -1,0 +1,96 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class DedupSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog while the " +
+    "cat sleeps on the warm mat near the old wooden door of the barn"
+
+  test("exact dedup keeps the minimum id per distinct text") {
+    val df = Seq(1L -> "aaa", 2L -> "bbb", 3L -> "aaa", 4L -> "aaa", 5L -> "ccc")
+      .toDF("id", "text")
+    Dedup.exact(df, "id", "text").select("id").as[Long].collect().sorted shouldBe
+      Array(1L, 2L, 5L)
+  }
+
+  test("shingles builds word n-grams; short texts collapse to one shingle") {
+    val r = Seq("a b c d").toDF("t")
+      .select(Dedup.shingles(col("t"), 3).as("s")).head().getAs[scala.collection.Seq[String]]("s")
+    r shouldBe Seq("a b c", "b c d")
+    val short = Seq("a b").toDF("t")
+      .select(Dedup.shingles(col("t"), 3).as("s")).head().getAs[scala.collection.Seq[String]]("s")
+    short shouldBe Seq("a b")
+  }
+
+  test("ngram jaccard: identical 1.0, disjoint 0.0, case-insensitive") {
+    val df = Seq((base, base.toUpperCase, "completely different words entirely here now"))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      Dedup.ngramJaccard(col("a"), col("b")).as("same"),
+      Dedup.ngramJaccard(col("a"), col("c")).as("diff")).head()
+    r.getAs[Double]("same") shouldBe 1.0
+    r.getAs[Double]("diff") shouldBe 0.0
+  }
+
+  test("minhash estimates jaccard within tolerance for near-dup texts") {
+    val near = base.replace("lazy", "sleepy")
+    val df = Seq((base, near)).toDF("a", "b")
+    val r = df.select(
+      Dedup.minHashJaccard(
+        Dedup.minHashSignature(col("a"), 128), Dedup.minHashSignature(col("b"), 128)).as("est"),
+      Dedup.ngramJaccard(col("a"), col("b")).as("exact")).head()
+    r.getAs[Double]("est") shouldBe r.getAs[Double]("exact") +- 0.15
+    r.getAs[Double]("exact") should be > 0.5
+  }
+
+  test("minhash LSH finds planted near-duplicates and dedups them") {
+    val docs = (0L until 20L).map(i => i -> s"unique document number $i with filler words ${i * 7} and ${i * 13} making it long enough")
+    val planted = Seq(100L -> base, 101L -> base.replace("lazy", "sleepy"), 102L -> base)
+    val df = (docs ++ planted).toDF("id", "text")
+    val pairs = Dedup.minHashLshPairs(df, "id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    pairs should contain (100L -> 101L)
+    pairs should contain (100L -> 102L)
+    val survivors = Dedup.minHashDedup(df, "id", "text", threshold = 0.5)
+      .select("id").as[Long].collect().toSet
+    survivors should contain (100L)
+    survivors should contain noneOf (101L, 102L)
+    survivors.intersect(docs.map(_._1).toSet) shouldBe docs.map(_._1).toSet
+  }
+
+  test("simhash: identical texts identical hash; near-dups within hamming 3") {
+    val near = base.replace("dog", "dig")
+    val df = Seq((base, base, near)).toDF("a", "b", "c")
+    val r = df.select(
+      Dedup.hamming(Dedup.simHash(col("a")), Dedup.simHash(col("b"))).as("same"),
+      Dedup.hamming(Dedup.simHash(col("a")), Dedup.simHash(col("c"))).as("near")).head()
+    r.getAs[Int]("same") shouldBe 0
+    r.getAs[Int]("near") should be <= 10
+  }
+
+  test("simhash pairs finds exact and near duplicates via quarter banding") {
+    val distinct = (0L until 10L).map(i =>
+      i -> s"totally distinct text ${i} about topic ${i * 31} with words ${i * 17} ${i * 23} ${i * 29} ${i * 41}")
+    val df = (distinct ++ Seq(50L -> base, 51L -> base)).toDF("id", "text")
+    val pairs = Dedup.simHashPairs(df, "id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    pairs should contain (50L -> 51L)
+  }
+
+  test("embedding near-dup pairs via hyperplane LSH") {
+    val v = Seq(1.0, 0.5, -0.3, 0.8)
+    val nearV = v.map(_ * 1.01)
+    val farV = Seq(-1.0, 0.4, 0.9, -0.2)
+    val df = Seq((1L, v), (2L, nearV), (3L, farV)).toDF("id", "vec")
+    val planes = Similarity.randomPlanes(4, 4)
+    val pairs = Dedup.embeddingNearDupPairs(df, "id", "vec", 0.99, planes)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    pairs shouldBe Set(1L -> 2L)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class SimilaritySpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("dot / norm / cosine on known vectors") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, -5.0, 6.0))).toDF("a", "b")
+    val r = df.select(
+      Similarity.dot(col("a"), col("b")).as("dot"),
+      Similarity.norm(col("a")).as("na"),
+      Similarity.cosine(col("a"), col("b")).as("cos"),
+      Similarity.cosine(col("a"), col("a")).as("self")).head()
+    r.getAs[Double]("dot") shouldBe 12.0 +- 1e-12
+    r.getAs[Double]("na") shouldBe math.sqrt(14.0) +- 1e-12
+    r.getAs[Double]("cos") shouldBe (12.0 / (math.sqrt(14) * math.sqrt(77))) +- 1e-12
+    r.getAs[Double]("self") shouldBe 1.0 +- 1e-12
+  }
+
+  test("cosine of a zero vector is 0, not NaN") {
+    val df = Seq((Seq(0.0, 0.0), Seq(1.0, 2.0))).toDF("a", "b")
+    df.select(Similarity.cosine(col("a"), col("b")).as("c"))
+      .head().getAs[Double]("c") shouldBe 0.0
+  }
+
+  private def corpus = Seq(
+    (1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)), (3L, Seq(0.0, 1.0)),
+    (4L, Seq(-1.0, 0.0)), (5L, Seq(0.7, 0.7))).toDF("id", "vec")
+
+  test("brute-force top-k ranks by cosine") {
+    val top = Similarity.topKBrute(corpus, "id", "vec", Seq(1.0, 0.0), 3)
+      .select("id").as[Long].collect()
+    top shouldBe Array(1L, 2L, 5L)
+  }
+
+  test("topKForQueries matches brute force per query") {
+    val queries = Seq((10L, Seq(1.0, 0.0)), (20L, Seq(0.0, 1.0))).toDF("qid", "qv")
+    val r = Similarity.topKForQueries(corpus, "id", "vec", queries, "qid", "qv", 2)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    r shouldBe Set((10L, 1L), (10L, 2L), (20L, 3L), (20L, 5L))
+  }
+
+  test("LSH top-k always recalls an identical vector (same bucket by construction)") {
+    val queries = Seq((10L, Seq(1.0, 0.0))).toDF("qid", "qv")
+    val planes = Similarity.randomPlanes(6, 2)
+    val c = corpus.select(col("id"), col("vec"), Similarity.lshBucket(col("vec"), planes).as("b"))
+    val q = queries.select(col("qid"), Similarity.lshBucket(col("qv"), planes).as("b"))
+    // the query vector equals corpus id=1 -> identical bucket
+    val qb = q.head().getAs[Long]("b")
+    c.filter(col("id") === 1L).head().getAs[Long]("b") shouldBe qb
+  }
+
+  test("lshBucket packs one sign bit per plane") {
+    val planes = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, 0.0))
+    val df = Seq(Tuple1(Seq(2.0, -3.0))).toDF("v")
+    // signs: +,-,- -> bits 1,0,0 -> 1
+    df.select(Similarity.lshBucket(col("v"), planes).as("b"))
+      .head().getAs[Long]("b") shouldBe 1L
+  }
+}

@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class TextAnalysisSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("t").select(c.as("r")).head().getAs[T]("r")
+
+  test("tokens drops empty strings from leading/trailing/multiple whitespace") {
+    one[Seq[String]](TextAnalysis.tokens(col("t")), "  a  b\tc \n") shouldBe Seq("a", "b", "c")
+    one[Int](TextAnalysis.tokenCount(col("t")), "one two  three") shouldBe 3
+  }
+
+  test("bpeish token count splits words, digits, and punctuation runs") {
+    // "don't stop, 42!" -> don ' t stop , 42 !
+    one[Int](TextAnalysis.bpeishTokenCount(col("t")), "don't stop, 42!") shouldBe 7
+  }
+
+  test("ratios on a crafted string") {
+    val t = "AB c, 12!" // len 9: 2 upper, 2 digits, 2 punct
+    one[Double](TextAnalysis.punctRatio(col("t")), t) shouldBe (2.0 / 9) +- 1e-12
+    one[Double](TextAnalysis.digitRatio(col("t")), t) shouldBe (2.0 / 9) +- 1e-12
+    one[Double](TextAnalysis.upperRatio(col("t")), t) shouldBe (2.0 / 9) +- 1e-12
+  }
+
+  test("stopword ratio and mean token length") {
+    val t = "the cat sat on the mat" // stopwords: the, on, the = 3/6
+    one[Double](TextAnalysis.stopwordRatio(col("t")), t) shouldBe 0.5 +- 1e-12
+    one[Double](TextAnalysis.meanTokenLength(col("t")), t) shouldBe (17.0 / 6) +- 1e-12
+  }
+
+  test("quality score: clean English prose scores high, garbage scores low") {
+    val good = "the quick brown fox jumps over the lazy dog and runs to the old barn"
+    val bad = "!!! ??? ### 111 222 333 !!!"
+    val g = one[Double](TextAnalysis.qualityScore(col("t")), good)
+    val b = one[Double](TextAnalysis.qualityScore(col("t")), bad)
+    g should be >= 5.0 / 6
+    b should be <= 0.5
+  }
+
+  test("language id picks the dominant function-word language") {
+    one[String](TextAnalysis.languageId(col("t")),
+      "the cat is on the mat and it is not from here") shouldBe "en"
+    one[String](TextAnalysis.languageId(col("t")),
+      "der Hund ist nicht in der Stadt und das ist gut") shouldBe "de"
+    one[String](TextAnalysis.languageId(col("t")),
+      "el perro es grande y la casa es blanca en la calle") shouldBe "es"
+    one[String](TextAnalysis.languageId(col("t")), "你好世界") shouldBe "zh"
+    one[String](TextAnalysis.languageId(col("t")), "zzz qqq xxx www") shouldBe "und"
+  }
+
+  test("fingerprint: identical texts share the sketch; edits shift few hashes") {
+    val a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val df = Seq((a, a, a + " extra")).toDF("x", "y", "z")
+    val r = df.select(
+      TextAnalysis.fingerprint(col("x")).as("fx"),
+      TextAnalysis.fingerprint(col("y")).as("fy"),
+      TextAnalysis.fingerprint(col("z")).as("fz")).head()
+    val fx = r.getAs[scala.collection.Seq[Long]]("fx"); val fy = r.getAs[scala.collection.Seq[Long]]("fy")
+    val fz = r.getAs[scala.collection.Seq[Long]]("fz")
+    fx shouldBe fy
+    fx.toSet.intersect(fz.toSet).size should be >= (fx.size * 3 / 4)
+  }
+
+  test("withQuality adds all columns and keeps row count") {
+    val df = Seq((1L, "the cat sat"), (2L, "xyz")).toDF("doc_id", "text")
+    val out = TextAnalysis.withQuality(df, "text")
+    out.count() shouldBe 2
+    out.columns should contain allOf ("n_tokens", "quality_score", "stopword_ratio")
+  }
+}

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.TestSpark
+import graft.streaming.EventPipeline.{Event, Session}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class EventPipelineSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(hhmm: String): Timestamp =
+    Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+  private def batchEvents = Seq(
+    Event(1L, ts("10:05"), 1L, "click", 1.0),
+    Event(2L, ts("10:50"), 1L, "click", 2.0),
+    Event(3L, ts("10:20"), 2L, "view", 5.0),
+    Event(4L, ts("11:10"), 1L, "click", 3.0),
+    Event(5L, ts("13:00"), 1L, "view", 4.0)).toDF()
+
+  test("windowedCounts buckets into epoch-aligned tumbling windows") {
+    val r = EventPipeline.windowedCounts(batchEvents)
+      .orderBy("w_start", "event_type")
+      .collect()
+      .map(x => (x.getAs[Timestamp]("w_start").toString, x.getAs[String]("event_type"),
+        x.getAs[Long]("n"), x.getAs[Double]("sum_value")))
+    r shouldBe Array(
+      ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
+      ("2024-01-01 10:00:00.0", "view", 1L, 5.0),
+      ("2024-01-01 11:00:00.0", "click", 1L, 3.0),
+      ("2024-01-01 13:00:00.0", "view", 1L, 4.0))
+  }
+
+  test("sessionizeBatch closes sessions after the inactivity gap") {
+    val r = EventPipeline.sessionizeBatch(batchEvents) // 30-min gap
+      .orderBy("user_id", "s_start")
+      .collect()
+      .map(x => (x.getAs[Long]("user_id"), x.getAs[Timestamp]("s_start").toString,
+        x.getAs[Timestamp]("s_end").toString, x.getAs[Long]("n_events"),
+        x.getAs[Double]("sum_value")))
+    // user 1: 10:05 | gap 45m | 10:50,11:10 | gap 110m | 13:00 -> 3 sessions
+    r shouldBe Array(
+      (1L, "2024-01-01 10:05:00.0", "2024-01-01 10:05:00.0", 1L, 1.0),
+      (1L, "2024-01-01 10:50:00.0", "2024-01-01 11:10:00.0", 2L, 5.0),
+      (1L, "2024-01-01 13:00:00.0", "2024-01-01 13:00:00.0", 1L, 4.0),
+      (2L, "2024-01-01 10:20:00.0", "2024-01-01 10:20:00.0", 1L, 5.0))
+  }
+
+  test("streamingWindowedCounts emits finalized windows under a watermark") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventPipeline.streamingWindowedCounts(input.toDF(), "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("swc").outputMode("append").start()
+    try {
+      input.addData(Event(1L, ts("10:05"), 1L, "click", 1.0),
+        Event(2L, ts("10:40"), 1L, "click", 2.0))
+      q.processAllAvailable()
+      // watermark still 10:10 -> nothing final yet
+      input.addData(Event(3L, ts("12:00"), 1L, "view", 9.0))
+      q.processAllAvailable() // watermark -> 11:30 after this batch
+      input.addData(Event(4L, ts("12:01"), 1L, "view", 1.0))
+      q.processAllAvailable() // 10:00 window (end 11:00) < 11:30 -> emitted
+      val rows = spark.table("swc").collect()
+        .map(x => (x.getAs[Timestamp]("w_start").toString, x.getAs[String]("event_type"),
+          x.getAs[Long]("n"), x.getAs[Double]("sum_value")))
+      rows should contain ("2024-01-01 10:00:00.0", "click", 2L, 3.0)
+    } finally q.stop()
+  }
+
+  test("streaming sessionize closes a session via event-time timeout") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventPipeline.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      input.addData(Event(1L, ts("10:00"), 1L, "click", 1.0),
+        Event(2L, ts("10:10"), 1L, "click", 2.0))
+      q.processAllAvailable()
+      // push the watermark far past 10:40 (last + gap) to fire the timeout
+      input.addData(Event(3L, ts("14:00"), 2L, "view", 7.0))
+      q.processAllAvailable()
+      input.addData(Event(4L, ts("14:01"), 2L, "view", 1.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess").as[Session].collect()
+      val s1 = sessions.filter(_.user_id == 1L)
+      s1.length shouldBe 1
+      s1.head.n_events shouldBe 2L
+      s1.head.sum_value shouldBe 3.0
+      s1.head.start shouldBe ts("10:00")
+      s1.head.end shouldBe ts("10:10")
+    } finally q.stop()
+  }
+}
