@@ -35,12 +35,22 @@ object OpsQueries {
     "d1_exact_dedup" -> ((s, dir) =>
       Dedup.exact(docs(s, dir), "doc_id", "text")
         .select(col("doc_id")).orderBy("doc_id")),
-    "d2_jaccard_pairs" -> ((s, dir) =>
-      adjacentPairs(s, dir).select(col("id_a"), col("id_b"),
-          round(Dedup.ngramJaccard(col("text_a"), col("text_b"), 1), 6).as("jaccard1"),
-          round(Dedup.ngramJaccard(col("text_a"), col("text_b"), 2), 6).as("jaccard2"),
-          round(Dedup.ngramJaccard(col("text_a"), col("text_b"), 3), 6).as("jaccard3"))
-        .orderBy("id_a")),
+    "d2_jaccard_pairs" -> ((s, dir) => {
+      // Shingle sets are computed ONCE per doc before the pair join —
+      // computing them per pair would evaluate each shingle tree 2x
+      // (intersect + union) x 2 sides x 3 n-gram sizes.
+      val withSh = docs(s, dir).select(col("doc_id") +:
+        Seq(1, 2, 3).map(n => array_distinct(Dedup.shingles(col("text"), n)).as(s"s$n")): _*)
+      def jac(n: Int) = round(
+        size(array_intersect(col(s"a$n"), col(s"b$n"))).cast("double") /
+          greatest(size(array_union(col(s"a$n"), col(s"b$n"))), lit(1)).cast("double"),
+        6).as(s"jaccard$n")
+      val a = withSh.select(col("doc_id").as("id_a") +: Seq(1, 2, 3).map(n => col(s"s$n").as(s"a$n")): _*)
+      val b = withSh.select(col("doc_id").as("id_b") +: Seq(1, 2, 3).map(n => col(s"s$n").as(s"b$n")): _*)
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a") +: col("id_b") +: Seq(1, 2, 3).map(jac): _*)
+        .orderBy("id_a")
+    }),
     // MinHash/SimHash signatures are xxhash64-based -> rows-only checks.
     "d3_minhash_dedup" -> ((s, dir) =>
       Dedup.minHashDedup(docs(s, dir), "doc_id", "text", threshold = 0.5)

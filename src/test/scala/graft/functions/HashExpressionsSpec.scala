@@ -1,0 +1,80 @@
+package graft.functions
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class HashExpressionsSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def toks(c: org.apache.spark.sql.Column) =
+    filter(split(c, "\\s+"), t => F.length(t) > 0)
+
+  test("shingleHash: deterministic, distinct, correct count") {
+    val df = Seq("a b c d e", "a b c d e", "x y").toDF("t")
+      .select(HashFunctions.shingleHash(toks(col("t")), 3).as("sh"))
+    val rows = df.collect().map(_.getAs[scala.collection.Seq[Long]]("sh"))
+    rows(0) shouldBe rows(1) // deterministic
+    rows(0).length shouldBe 3 // 5 tokens -> 3 trigrams
+    rows(0).distinct.length shouldBe 3
+    rows(2).length shouldBe 1 // short text -> single fallback shingle
+  }
+
+  test("shingleHash: repeated shingles dedup; different texts differ") {
+    val df = Seq(("a b a b a b", "c d c d c d")).toDF("x", "y")
+    val r = df.select(
+      HashFunctions.shingleHash(toks(col("x")), 2).as("sx"),
+      HashFunctions.shingleHash(toks(col("y")), 2).as("sy")).head()
+    val sx = r.getAs[scala.collection.Seq[Long]]("sx")
+    val sy = r.getAs[scala.collection.Seq[Long]]("sy")
+    sx.length shouldBe 2 // "a b" and "b a" only
+    sx.toSet.intersect(sy.toSet) shouldBe Set.empty
+  }
+
+  test("minHashSignature: identical sets -> identical sigs; sig length = numHashes") {
+    val df = Seq(("a b c d e f g h", "a b c d e f g h", "p q r s t u v w")).toDF("x", "y", "z")
+    def sig(c: String) = HashFunctions.minHashSignature(
+      HashFunctions.shingleHash(toks(col(c)), 3), 32).as(s"s$c")
+    val r = df.select(sig("x"), sig("y"), sig("z")).head()
+    val sx = r.getAs[scala.collection.Seq[Long]]("sx")
+    sx.length shouldBe 32
+    sx shouldBe r.getAs[scala.collection.Seq[Long]]("sy")
+    sx should not be r.getAs[scala.collection.Seq[Long]]("sz")
+  }
+
+  test("minHash estimate converges to exact jaccard (hash-set ground truth)") {
+    // two 200-token docs overlapping in half their trigrams
+    val common = (0 until 100).map(i => s"w$i").mkString(" ")
+    val a = common + " " + (0 until 100).map(i => s"a$i").mkString(" ")
+    val b = common + " " + (0 until 100).map(i => s"b$i").mkString(" ")
+    val df = Seq((a, b)).toDF("a", "b")
+    def sh(c: String) = HashFunctions.shingleHash(toks(col(c)), 3)
+    val r = df.select(
+      (F.size(array_intersect(sh("a"), sh("b"))).cast("double") /
+        F.size(array_union(sh("a"), sh("b"))).cast("double")).as("exact"),
+      graft.ops.Dedup.minHashJaccard(
+        HashFunctions.minHashSignature(sh("a"), 256),
+        HashFunctions.minHashSignature(sh("b"), 256)).as("est")).head()
+    r.getAs[Double]("est") shouldBe r.getAs[Double]("exact") +- 0.08
+  }
+
+  test("simHash64: equal token multisets equal; null text -> null") {
+    val df = Seq(Some("a b c"), Some("a b c"), Some("q r s"), None).toDF("t")
+      .select(HashFunctions.simHash64(toks(col("t"))).as("h"))
+    val rows = df.collect()
+    rows(0).getAs[Long]("h") shouldBe rows(1).getAs[Long]("h")
+    rows(0).getAs[Long]("h") should not be rows(2).getAs[Long]("h")
+    rows(3).isNullAt(0) shouldBe true
+  }
+
+  test("expressions survive serialization (executor round-trip via repartition)") {
+    val df = (0 until 100).map(i => s"doc $i has words $i ${i * 2} ${i * 3}").toDF("t")
+      .repartition(4)
+      .select(HashFunctions.minHashSignature(
+        HashFunctions.shingleHash(toks(col("t")), 3), 16).as("sig"))
+    df.collect().length shouldBe 100
+  }
+}
