@@ -80,6 +80,22 @@ object OpsQueries {
         .orderBy(col("query_id"), col("cosine").desc, col("id"))
     }),
 
+    "s3_ann_ivf" -> ((s, dir) => { // centroid codebook not SQL-expressible -> rows-only
+      val emb = table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.topKIvf(emb, "vec_id", "embedding", q, "qid", "qv", k = 10)
+        .select(col("query_id"), col("id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("cosine").desc, col("id"))
+    }),
+    "d5_embedding_neardup" -> ((s, dir) => { // LSH planes -> rows-only
+      val emb = table(s, dir, "embeddings")
+      val planes = Similarity.randomPlanes(4, 64)
+      Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.2, planes)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- multimodal plumbing (decode step is a documented stub) --------
     "m1_media_meta" -> ((s, dir) =>
       Multimodal.withMediaMeta(

@@ -75,6 +75,48 @@ object Similarity {
         .otherwise(lit(0L))
     }.reduce[Column]((a, b) => a.bitwiseOR(b))
 
+  /** Index of the highest-cosine centroid (ties -> lowest index). */
+  private[ops] def assignCentroid(vec: Column, cents: Seq[Seq[Double]]): Column =
+    array_max(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(cosine(vec.cast("array<double>"), litVec(c)).as("score"),
+        lit(-i).as("negidx"))
+    }: _*)).getField("negidx") * -1
+
+  /** Indices of the `nprobe` highest-cosine centroids. */
+  private[ops] def probeCentroids(vec: Column, cents: Seq[Seq[Double]], nprobe: Int): Column =
+    transform(
+      slice(reverse(array_sort(array(cents.zipWithIndex.map { case (c, i) =>
+        struct(cosine(vec.cast("array<double>"), litVec(c)).as("score"),
+          lit(-i).as("negidx"))
+      }: _*))), 1, nprobe),
+      s => s.getField("negidx") * -1)
+
+  /** ANN top-k via an IVF (inverted-file) index: corpus vectors are
+    * partitioned into `nlist` lists by nearest coarse centroid; each
+    * query probes its `nprobe` nearest lists and reranks by exact cosine.
+    * Coarse centroids are the first `nlist` corpus vectors by id — a
+    * deterministic stand-in for a k-means codebook (swap in trained
+    * centroids for better recall; the index/probe plumbing is identical).
+    * The probe join is an equi-join on the list id, so the corpus stays
+    * partitioned and only (nprobe/nlist) of it is scored per query. */
+  def topKIvf(corpus: DataFrame, corpusId: String, corpusVec: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents: Seq[Seq[Double]] = corpus.orderBy(corpusId).limit(nlist)
+      .select(corpusVec).collect()
+      .map(_.getAs[scala.collection.Seq[Number]](0).map(_.doubleValue()).toSeq).toSeq
+    val c = corpus.select(col(corpusId).as("id"), col(corpusVec).as("__cv"),
+      assignCentroid(col(corpusVec), cents).as("__list"))
+    val q = broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"),
+      explode(probeCentroids(col(queryVec), cents, nprobe)).as("__list")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id"))
+    c.join(q, Seq("__list"))
+      .select(col("query_id"), col("id"),
+        cosine(col("__cv").cast("array<double>"), col("__qv").cast("array<double>")).as("cosine"))
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k).drop("__rank")
+  }
+
   /** ANN top-k: LSH-bucketed variant of [[topKForQueries]]. Candidates are
     * corpus rows sharing the query's bucket (equi-join on the packed sign
     * bits); rerank by exact cosine within the bucket. Recall < 1 by

@@ -35,10 +35,19 @@ object EventPipeline {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
 
-  /** File-source streaming read of an events parquet directory. */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(dir).schema
-    spark.readStream.schema(schema).parquet(dir)
+  /** File-source streaming read of a testdata scale-factor directory's
+    * events table (streaming sources read directories, so the single
+    * events.parquet file is selected with a glob filter). Handles the
+    * driver testdata's TIMESTAMP(NANOS) the same way Util.events does:
+    * nanos read as long, converted to microsecond timestamps. */
+  def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
   }
 
   /** Batch sessionization (gaps-and-islands): same session semantics as

@@ -55,6 +55,24 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
     c.filter(col("id") === 1L).head().getAs[Long]("b") shouldBe qb
   }
 
+  test("IVF top-k always recalls an identical vector and ranks it first") {
+    val queries = Seq((10L, Seq(0.9, 0.1))).toDF("qid", "qv") // = corpus id 2
+    val r = Similarity.topKIvf(corpus, "id", "vec", queries, "qid", "qv",
+      k = 2, nlist = 3, nprobe = 2)
+      .orderBy(col("cosine").desc).select("id").as[Long].collect()
+    r.head shouldBe 2L
+  }
+
+  test("IVF with nprobe = nlist matches brute force") {
+    val queries = Seq((10L, Seq(1.0, 0.0)), (20L, Seq(0.0, 1.0))).toDF("qid", "qv")
+    val ivf = Similarity.topKIvf(corpus, "id", "vec", queries, "qid", "qv",
+      k = 2, nlist = 3, nprobe = 3)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val brute = Similarity.topKForQueries(corpus, "id", "vec", queries, "qid", "qv", 2)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    ivf shouldBe brute
+  }
+
   test("lshBucket packs one sign bit per plane") {
     val planes = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, 0.0))
     val df = Seq(Tuple1(Seq(2.0, -3.0))).toDF("v")

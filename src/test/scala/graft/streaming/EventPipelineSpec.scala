@@ -71,6 +71,22 @@ class EventPipelineSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("file-source stream of the events table matches the batch result") {
+    val stream = EventPipeline.readEventStream(spark, "/root/testdata/sf0.001")
+    val q = EventPipeline.windowedCounts(stream)
+      .writeStream.format("memory").queryName("filewc").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("filewc")
+        .select("w_start", "event_type", "n", "sum_value").collect()
+        .map(_.toSeq).toSet
+      val batch = EventPipeline.windowedCounts(graft.Util.events(spark, "/root/testdata/sf0.001"))
+        .collect().map(_.toSeq).toSet
+      streamed shouldBe batch
+      streamed.size should be > 10
+    } finally q.stop()
+  }
+
   test("streaming sessionize closes a session via event-time timeout") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Event]
