@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Physical-plan audit: prints `explain("formatted")` for representative
+  * queries so scan pruning (ReadSchema/PushedFilters), join strategies
+  * (broadcast vs shuffle), and exchange counts can be reviewed. Usage:
+  * `sbt "runMain graft.Explain [sfDir] [query...]"` (defaults: sf0.001,
+  * a curated set). */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names =
+      if (args.length > 1) args.tail.toSeq
+      else Seq("t1_tableone_lineitem", "d3_minhash_dedup", "s1_cosine_topk",
+        "s3_ann_ivf", "e2_sessionize", "x1_text_stats", "a2_pivot_counts")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { name =>
+      println(s"\n========== $name ==========")
+      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

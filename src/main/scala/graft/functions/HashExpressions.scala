@@ -145,6 +145,66 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Base for the vector-math expressions: both children must evaluate to
+  * array<double> (callers cast float embeddings up front). */
+abstract class BinaryVectorExpression extends Expression with CodegenFallback {
+  def left: Expression
+  def right: Expression
+  override def children: Seq[Expression] = Seq(left, right)
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def dataType: DataType = DoubleType
+
+  protected def compute(a: ArrayData, b: ArrayData): Double
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  }
+}
+
+/** Dot product of two double arrays (length = min of the two). */
+case class DotProduct(left: Expression, right: Expression) extends BinaryVectorExpression {
+  override def prettyName: String = "dot_product"
+  override protected def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
+    dot
+  }
+  override protected def withNewChildrenInternal(l: IndexedSeq[Expression]): DotProduct =
+    copy(left = l(0), right = l(1))
+}
+
+/** Cosine similarity of two double arrays; 0.0 when either norm is 0.
+  * One pass accumulating dot and both norms — the HOF formulation
+  * (`aggregate(zip_with(...))` x5, interpreted, no common-subexpression
+  * elimination under CodegenFallback) costs ~15 array traversals. Same
+  * sequential IEEE accumulation order, so results are bit-identical. */
+case class CosineSim(left: Expression, right: Expression) extends BinaryVectorExpression {
+  override def prettyName: String = "cosine_sim"
+  override protected def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0.0) 0.0 else dot / d
+  }
+  override protected def withNewChildrenInternal(l: IndexedSeq[Expression]): CosineSim =
+    copy(left = l(0), right = l(1))
+}
+
 object HashFunctions {
   private def expr(c: Column): Expression = ColumnBridge.expression(c)
 
@@ -160,4 +220,16 @@ object HashFunctions {
   /** 64-bit SimHash of a token-array column. */
   def simHash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(expr(tokens)))
+
+  // The defensive cast is a no-op for already-double arrays but protects
+  // against reading a float-backed ArrayData as doubles (garbage bytes).
+  /** Dot product of two numeric-array columns. */
+  def dotProduct(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(
+      expr(a.cast("array<double>")), expr(b.cast("array<double>"))))
+
+  /** Cosine similarity of two numeric-array columns (0.0 on zero norm). */
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSim(
+      expr(a.cast("array<double>")), expr(b.cast("array<double>"))))
 }

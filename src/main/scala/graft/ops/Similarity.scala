@@ -15,17 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two numeric arrays (HOF — codegen'd, no UDF). */
+  /** Dot product of two numeric arrays — custom one-pass expression
+    * (the HOF `aggregate(zip_with(...))` form is interpreted per element
+    * with boxing and gets no common-subexpression elimination). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.HashFunctions.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity; 0 when either vector has zero norm. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm(a) * norm(b)
-    when(d === 0.0, 0.0).otherwise(dot(a, b) / d)
-  }
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.HashFunctions.cosineSim(a, b)
 
   private def litVec(q: Seq[Double]): Column = array(q.map(lit): _*)
 
