@@ -26,6 +26,12 @@ import scala.jdk.CollectionConverters._
   * @param cacheInput persist the input before the (up to 3) aggregation
   *                 passes — worth it when `df` is an expensive upstream
   *                 computation rather than a bare scan
+  * @param maxStrata hard cap on distinct stratification values. Each
+  *                 stratum becomes TWO output columns and one collected
+  *                 driver row, so an unbounded high-cardinality stratify
+  *                 column would blow up the output schema and driver
+  *                 memory long before executors struggle — fail fast
+  *                 with a clear message instead.
   */
 final case class TableOneConfig(
     stratify: Option[String] = None,
@@ -33,7 +39,8 @@ final case class TableOneConfig(
     beautify: Boolean = false,
     pValues: Boolean = false,
     percentileAccuracyCap: Int = 10000000,
-    cacheInput: Boolean = false)
+    cacheInput: Boolean = false,
+    maxStrata: Int = 1000)
 
 /** "Table 1" descriptive-statistics engine — a from-scratch Scala Spark
   * re-expression of the reference's capabilities
@@ -141,7 +148,11 @@ object TableOne {
         val rows = working
           .groupBy(Sanitize.stratColumn(col(s)).as(StratCol))
           .agg(count(lit(1)).as("#rows"), statExprs(withMoments = true): _*)
+          .limit(cfg.maxStrata + 1)
           .collect()
+        require(rows.length <= cfg.maxStrata,
+          s"stratification column '$s' has more than ${cfg.maxStrata} distinct values; " +
+            "each stratum becomes two output columns — raise maxStrata only if that is intended")
         val byName = rows.map(r => r.getAs[String](StratCol) -> r).toMap
         Sanitize.orderStrata(byName.keys.toSeq).map { name =>
           val r = byName(name)

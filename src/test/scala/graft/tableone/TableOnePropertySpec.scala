@@ -1,0 +1,122 @@
+package graft.tableone
+
+import graft.TestSpark
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+case class Rec(strat: Option[String], cat: Option[String], cont: Option[Double])
+
+/** Property tests: generated small tables -> TableOne output vs a naive
+  * in-memory Scala computation of the same statistics, plus structural
+  * invariants (SURVEY.md §5.2.4). Deterministic: ScalaCheck generators
+  * driven from a fixed seed. */
+class TableOnePropertySpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val recGen: Gen[Rec] = for {
+    s <- Gen.option(Gen.oneOf("A", "B", "C"))
+    c <- Gen.option(Gen.oneOf("Yes", "No", "x y", "other"))
+    v <- Gen.option(Gen.chooseNum(-100.0, 100.0).map(d => math.rint(d * 100) / 100))
+  } yield Rec(s, c, v)
+
+  private val tableGen: Gen[List[Rec]] = for {
+    n <- Gen.chooseNum(1, 60)
+    rows <- Gen.listOfN(n, recGen)
+  } yield rows
+
+  private def cases(n: Int): Seq[List[Rec]] =
+    (0 until n).flatMap(i => tableGen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("stratified summary matches a naive in-memory computation") {
+    cases(8).foreach { rows =>
+      val df = rows.toDF("strat", "cat", "cont")
+      val out = TableOne.summarize(df,
+        TableOneConfig(Some("strat"), Seq("cat", "cont"))).collect()
+      val byKey = out.map(r => (r.getAs[Double]("Index"), r.getAs[String]("Values")) -> r).toMap
+
+      // Totals row
+      val totals = byKey((0.0, "ALL"))
+      totals.getAs[Double]("All_Patients") shouldBe rows.size.toDouble
+      val strata = rows.groupBy(_.strat.map(_.replace(" ", "_")).getOrElse("MISSING"))
+      strata.foreach { case (sv, srows) =>
+        totals.getAs[Double](sv) shouldBe srows.size.toDouble
+      }
+
+      // categorical counts + percents
+      val catRows = out.filter(_.getAs[String]("Variable_type") == "category")
+      val naiveCat = rows.groupBy(_.cat.getOrElse("MISSING")).map { case (k, v) => k -> v.size }
+      catRows.foreach { r =>
+        val v = r.getAs[String]("Values")
+        r.getAs[Double]("All_Patients") shouldBe naiveCat(v).toDouble
+        r.getAs[Double]("All_Patients_%") shouldBe naiveCat(v).toDouble / rows.size +- 1e-9
+        strata.foreach { case (sv, srows) =>
+          val cnt = srows.count(_.cat.getOrElse("MISSING") == v)
+          Option(r.getAs[java.lang.Double](sv)).map(_.doubleValue).getOrElse(0.0) shouldBe cnt.toDouble
+        }
+      }
+      // percents sum to ~1 per stratum across the categorical variable
+      if (catRows.nonEmpty) {
+        val pctSum = catRows.flatMap(r => Option(r.getAs[java.lang.Double]("All_Patients_%"))).map(_.doubleValue).sum
+        pctSum shouldBe 1.0 +- 1e-9
+      }
+
+      // continuous stats vs naive
+      val cont = rows.flatMap(_.cont)
+      def contStat(slot: String): Option[Double] = {
+        val idx = out.find(r => r.getAs[String]("Values") == slot &&
+          r.getAs[String]("Characteristics") == "cont")
+        idx.flatMap(r => Option(r.getAs[java.lang.Double]("All_Patients")).map(_.doubleValue))
+      }
+      contStat("n") shouldBe Some(cont.size.toDouble)
+      if (cont.nonEmpty) {
+        contStat("min").get shouldBe cont.min +- 1e-9
+        contStat("max").get shouldBe cont.max +- 1e-9
+        contStat("mean").get shouldBe (cont.sum / cont.size) +- 1e-9
+        // exact lower-nearest-rank quantiles (disc semantics)
+        val sorted = cont.sorted
+        def disc(q: Double) = sorted(math.ceil(q * cont.size).toInt.max(1) - 1)
+        contStat("25th percentile").get shouldBe disc(0.25) +- 1e-9
+        contStat("50th percentile").get shouldBe disc(0.5) +- 1e-9
+        contStat("75th percentile").get shouldBe disc(0.75) +- 1e-9
+        val Seq(q25, q50, q75) =
+          Seq("25th percentile", "50th percentile", "75th percentile").map(contStat(_).get)
+        q25 should be <= q50
+        q50 should be <= q75
+      }
+
+      // Index strictly increasing in output order
+      val indices = out.map(_.getAs[Double]("Index")).toSeq
+      indices shouldBe indices.sorted
+      indices.distinct.size shouldBe indices.size
+    }
+  }
+
+  test("maxStrata guard fails fast on high-cardinality stratification") {
+    val df = (1 to 50).map(i => (s"s$i", i.toDouble)).toDF("strat", "cont")
+    val e = intercept[IllegalArgumentException] {
+      TableOne.summarize(df, TableOneConfig(Some("strat"), Seq("cont"), maxStrata = 10))
+    }
+    e.getMessage should include ("distinct values")
+    // at or under the cap it works
+    TableOne.summarize(df, TableOneConfig(Some("strat"), Seq("cont"), maxStrata = 50))
+      .collect().length should be > 0
+  }
+
+  test("unstratified summary: schema is fixed and rows/percent invariants hold") {
+    cases(4).foreach { rows =>
+      val df = rows.toDF("strat", "cat", "cont")
+      val out = TableOne.summarize(df, TableOneConfig(None, Seq("cat", "cont")))
+      out.columns.toSeq shouldBe Seq("Pivoted_column", "Index", "Characteristics",
+        "Variable_type", "Values", "All_Patients", "All_Patients_%")
+      val rowsOut = out.collect()
+      rowsOut.head.getAs[String]("Values") shouldBe "ALL"
+      // n <= rowcount for every statistic row
+      rowsOut.filter(_.getAs[String]("Values") == "n").foreach { r =>
+        r.getAs[Double]("All_Patients") should be <= rows.size.toDouble
+      }
+    }
+  }
+}
