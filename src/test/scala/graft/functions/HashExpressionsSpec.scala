@@ -70,6 +70,29 @@ class HashExpressionsSpec extends AnyFunSuite with Matchers {
     rows(3).isNullAt(0) shouldBe true
   }
 
+  test("SQL registration: functions callable from spark.sql") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  simhash64(split('a b c', ' ')) AS sh,
+        |  cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cs,
+        |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
+        |  size(minhash_signature(shingle_hash(split('a b c d e', ' '), 3), 16)) AS k
+        |""".stripMargin).head()
+    r.getAs[Double]("cs") shouldBe 1.0
+    r.getAs[Double]("dp") shouldBe 11.0
+    r.getAs[Int]("k") shouldBe 16
+    // matches the Column-API path
+    val viaCol = Seq("a b c").toDF("t")
+      .select(HashFunctions.simHash64(split(col("t"), " ")).as("sh")).head().getAs[Long]("sh")
+    r.getAs[Long]("sh") shouldBe viaCol
+  }
+
+  test("extension class injects the same functions at session-bootstrap time") {
+    GraftExtensions.functions.map(_._1.funcName).toSet shouldBe
+      Set("shingle_hash", "minhash_signature", "simhash64", "dot_product", "cosine_sim")
+  }
+
   test("expressions survive serialization (executor round-trip via repartition)") {
     val df = (0 until 100).map(i => s"doc $i has words $i ${i * 2} ${i * 3}").toDF("t")
       .repartition(4)
