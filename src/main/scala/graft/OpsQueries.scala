@@ -55,6 +55,9 @@ object OpsQueries {
     "d3_minhash_dedup" -> ((s, dir) =>
       Dedup.minHashDedup(docs(s, dir), "doc_id", "text", threshold = 0.5)
         .select(col("doc_id")).orderBy("doc_id")),
+    "d6_minhash_dedup_cc" -> ((s, dir) =>
+      Dedup.minHashDedupClustered(docs(s, dir), "doc_id", "text", threshold = 0.5)
+        .select(col("doc_id")).orderBy("doc_id")),
     "d4_fingerprints" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
           Dedup.simHash(col("text")).as("simhash"),

@@ -119,6 +119,52 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over an undirected edge list `(id_a, id_b)`
+    * by iterative min-label propagation: every node takes the minimum
+    * label in its neighborhood until fixpoint (or `maxIter`). Each
+    * iteration is one shuffle join + aggregation — the standard
+    * DataFrame-native CC shape; converges in O(diameter) iterations,
+    * and near-dup clusters have tiny diameters in practice.
+    * Returns `(id, component)` with component = min id in the cluster. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 10): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().persist()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).persist()
+    var converged = false
+    var i = 0
+    while (i < maxIter && !converged) {
+      val neighborMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy("src").agg(min("component").as("nmin"))
+      val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(labels("id"),
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+        .persist()
+      val changed = updated.as("u").join(labels.as("l"), "id")
+        .filter(col("u.component") =!= col("l.component")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Near-dedup keeping one representative (minimum id) per CONNECTED
+    * near-dup cluster: A~B and B~C collapse to {A} even when A!~C.
+    * The transitively-correct variant of [[minHashDedup]]. */
+  def minHashDedupClustered(df: DataFrame, idCol: String, textCol: String,
+                            numHashes: Int = 64, bands: Int = 16,
+                            threshold: Double = 0.7): DataFrame = {
+    val pairs = minHashLshPairs(df, idCol, textCol, numHashes, bands, threshold)
+    val losers = connectedComponents(pairs.select("id_a", "id_b"))
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Near-dedup: drop all but the minimum-id member of each near-dup
     * candidate pair set (greedy transitive-lite pass: a doc survives iff
     * it is not the larger id of any qualifying pair). */

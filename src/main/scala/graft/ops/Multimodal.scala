@@ -30,24 +30,46 @@ object Multimodal {
   def asBinaryPayload(df: DataFrame, srcCol: String, out: String = "payload"): DataFrame =
     df.withColumn(out, col(srcCol).cast(BinaryType))
 
-  /** STUB decoder: deterministic pseudo-decode of a media payload.
-    * Real implementation would parse the container header (JPEG/PNG/WAV).
-    * Here: format from magic-byte heuristic, dimensions derived from
-    * content hash — stable across runs for testing. */
+  /** Header-level media decode: REAL container parsing for PNG (IHDR),
+    * JPEG (SOF frame segments), and WAV (fmt chunk: sample-rate/channels
+    * mapped onto width/height) — pure byte reading, no codec library.
+    * Unknown payloads fall back to a deterministic pseudo-decode
+    * (content-hash-derived dimensions, stable for testing). Pixel-level
+    * decoding stays stubbed: swap [[withFeatures]]' extractor for a real
+    * model without touching the plumbing. */
   private[ops] def decodeStub(bytes: Array[Byte]): (String, Int, Int) = {
+    def u8(i: Int): Int = bytes(i) & 0xFF
+    def be32(i: Int): Int = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+
     if (bytes == null || bytes.isEmpty) ("empty", 0, 0)
-    else {
-      val fmt = bytes(0) match {
-        case b if (b & 0xFF) == 0xFF => "jpeg-ish"
-        case b if (b & 0xFF) == 0x89 => "png-ish"
-        case _                       => "raw"
+    // PNG: 8-byte signature, then IHDR chunk: width/height big-endian at 16/20
+    else if (bytes.length >= 24 && u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G')
+      ("png", be32(16), be32(20))
+    // JPEG: walk marker segments to the first SOFn (C0-CF except C4/C8/CC)
+    else if (bytes.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
+      var i = 2
+      var res: Option[(Int, Int)] = None
+      while (res.isEmpty && i + 9 < bytes.length && u8(i) == 0xFF) {
+        val marker = u8(i + 1)
+        if (marker >= 0xC0 && marker <= 0xCF && marker != 0xC4 && marker != 0xC8 && marker != 0xCC)
+          res = Some((be16(i + 7), be16(i + 5))) // (width, height)
+        else if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD9)) i += 2 // bare markers
+        else i += 2 + be16(i + 2) // skip segment by length
       }
+      res.map(wh => ("jpeg", wh._1, wh._2)).getOrElse(("jpeg", 0, 0))
+    }
+    // WAV: RIFF....WAVE, fmt chunk at 12: channels @22 (LE16), rate @24 (LE32)
+    else if (bytes.length >= 28 && u8(0) == 'R' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == 'F'
+      && u8(8) == 'W' && u8(9) == 'A' && u8(10) == 'V' && u8(11) == 'E')
+      ("wav", le32(24), le16(22)) // width = sample rate, height = channels
+    else {
       var h = 1125899906842597L
       var i = 0
       while (i < math.min(bytes.length, 64)) { h = 31 * h + bytes(i); i += 1 }
-      val w = 64 + math.floorMod(h, 1024).toInt
-      val ht = 64 + math.floorMod(h >> 10, 1024).toInt
-      (fmt, w, ht)
+      ("raw", 64 + math.floorMod(h, 1024).toInt, 64 + math.floorMod(h >> 10, 1024).toInt)
     }
   }
 

@@ -64,6 +64,33 @@ class DedupSpec extends AnyFunSuite with Matchers {
     survivors.intersect(docs.map(_._1).toSet) shouldBe docs.map(_._1).toSet
   }
 
+  test("connected components merges chains across edges") {
+    // components: {1,2,3,4} via chain, {10,11}, isolated nodes never appear
+    val edges = Seq((2L, 3L), (1L, 2L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(edges)
+      .select("id", "component").as[(Long, Long)].collect().toMap
+    cc(1L) shouldBe 1L
+    cc(2L) shouldBe 1L
+    cc(3L) shouldBe 1L
+    cc(4L) shouldBe 1L
+    cc(10L) shouldBe 10L
+    cc(11L) shouldBe 10L
+  }
+
+  test("clustered dedup keeps one representative per transitive near-dup chain") {
+    val distinct = (0L until 10L).map(i =>
+      i -> s"standalone text ${i} covering subject ${i * 31} terms ${i * 17} ${i * 23} ${i * 29}")
+    // chain: 100 ~ 101 ~ 102 (100 and 102 are both edits of 101)
+    val planted = Seq(100L -> base,
+      101L -> base.replace("lazy", "sleepy"),
+      102L -> base.replace("lazy", "sleepy").replace("cat", "kitten"))
+    val df = (distinct ++ planted).toDF("id", "text")
+    val survivors = Dedup.minHashDedupClustered(df, "id", "text", threshold = 0.5)
+      .select("id").as[Long].collect().toSet
+    survivors.intersect(Set(100L, 101L, 102L)) shouldBe Set(100L)
+    survivors.intersect(distinct.map(_._1).toSet) shouldBe distinct.map(_._1).toSet
+  }
+
   test("simhash: identical texts identical hash; near-dups within hamming 3") {
     val near = base.replace("dog", "dig")
     val df = Seq((base, base, near)).toDF("a", "b", "c")

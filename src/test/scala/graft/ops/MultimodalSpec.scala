@@ -32,10 +32,37 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     again.map(_.toSeq) shouldBe rows.map(_.toSeq)
   }
 
-  test("decodeStub recognizes jpeg/png magic bytes") {
-    Multimodal.decodeStub(Array(0xFF.toByte, 1, 2))._1 shouldBe "jpeg-ish"
-    Multimodal.decodeStub(Array(0x89.toByte, 1, 2))._1 shouldBe "png-ish"
+  test("decode parses real PNG IHDR dimensions") {
+    // PNG signature + IHDR chunk header + width=640, height=480
+    val png = Array[Int](0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0x02, 0x80, /* 640 */ 0, 0, 0x01, 0xE0 /* 480 */).map(_.toByte)
+    Multimodal.decodeStub(png) shouldBe ("png", 640, 480)
+  }
+
+  test("decode parses real JPEG SOF0 dimensions, skipping prior segments") {
+    // SOI + APP0 (length 4, empty) + SOF0: len 11, precision 8, h=480, w=640
+    val jpg = Array[Int](0xFF, 0xD8,
+      0xFF, 0xE0, 0x00, 0x04, 0x00, 0x00, // APP0 segment, 2-byte payload
+      0xFF, 0xC0, 0x00, 0x0B, 0x08, 0x01, 0xE0, 0x02, 0x80, 0x01, 0x00, 0x00, 0x00).map(_.toByte)
+    Multimodal.decodeStub(jpg) shouldBe ("jpeg", 640, 480)
+  }
+
+  test("decode parses real WAV fmt header (rate/channels)") {
+    val wav = new Array[Byte](28)
+    "RIFF".getBytes.copyToArray(wav, 0)
+    "WAVE".getBytes.copyToArray(wav, 8)
+    "fmt ".getBytes.copyToArray(wav, 12)
+    wav(22) = 2 // channels LE16
+    wav(24) = 0x44.toByte; wav(25) = 0xAC.toByte // 44100 LE32
+    Multimodal.decodeStub(wav) shouldBe ("wav", 44100, 2)
+  }
+
+  test("decode falls back to deterministic pseudo-decode for unknown bytes") {
     Multimodal.decodeStub(Array[Byte]())._1 shouldBe "empty"
+    val a = Multimodal.decodeStub("hello world".getBytes)
+    a._1 shouldBe "raw"
+    a shouldBe Multimodal.decodeStub("hello world".getBytes) // stable
   }
 
   test("withFeatures emits an L2-normalized fixed-width float vector") {
