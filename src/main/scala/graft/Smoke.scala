@@ -31,6 +31,13 @@ object Smoke {
       TableOneConfig(stratify = Some("l_linenumber"), cols = Seq("l_quantity")))
     println("PROBE numeric strat cols=" + n.columns.mkString(","))
 
+    // catalog introspection (SURVEY.md §2.1 S4) + temp-view SQL access
+    li.createOrReplaceTempView("lineitem")
+    println("PROBE catalog tables=" +
+      spark.catalog.listTables().collect().map(_.name).mkString(","))
+    println("PROBE sql view rows=" +
+      spark.sql("SELECT count(*) AS c FROM lineitem").head().getAs[Long]("c"))
+
     spark.stop()
   }
 }

@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation helpers for heavy-hitter keys.
+  *
+  * Spark's AQE rebalances skewed JOINS automatically, but a skewed
+  * `groupBy` whose aggregation buffer explodes on one key still bottoms
+  * out on a single task. Two-stage salted aggregation splits each key
+  * into `saltFactor` subkeys, partially aggregates, then merges — the
+  * classic pattern, expressed so the partial stays map-side combinable.
+  */
+object Skew {
+
+  /** Decomposable aggregate spec: the partial runs per (key, salt), the
+    * merge recombines partials per key. */
+  final case class SaltedAgg(partial: Seq[Column], merge: Seq[Column])
+
+  /** count + sum + min + max (the common decomposable set) over `value`. */
+  def countSumMinMax(value: String): SaltedAgg = SaltedAgg(
+    partial = Seq(
+      count(col(value)).as(s"__${value}_n"),
+      sum(col(value)).as(s"__${value}_s"),
+      min(col(value)).as(s"__${value}_mn"),
+      max(col(value)).as(s"__${value}_mx")),
+    merge = Seq(
+      sum(col(s"__${value}_n")).as(s"${value}_n"),
+      sum(col(s"__${value}_s")).as(s"${value}_sum"),
+      min(col(s"__${value}_mn")).as(s"${value}_min"),
+      max(col(s"__${value}_mx")).as(s"${value}_max")))
+
+  /** Two-stage aggregation over possibly-skewed `keys`: stage 1 groups
+    * by (keys, random salt in [0, saltFactor)) so a heavy hitter spreads
+    * over `saltFactor` tasks; stage 2 merges the partials per key. For
+    * uniformly distributed keys this adds one cheap extra shuffle of
+    * pre-aggregated rows; for skewed keys it removes the straggler. */
+  def saltedAggregate(df: DataFrame, keys: Seq[String], agg: SaltedAgg,
+                      saltFactor: Int = 32): DataFrame = {
+    require(saltFactor >= 1, "saltFactor must be >= 1")
+    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltFactor)))
+    val partial = salted.groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(agg.partial.head, agg.partial.tail: _*)
+    partial.groupBy(keys.map(col): _*)
+      .agg(agg.merge.head, agg.merge.tail: _*)
+  }
+}

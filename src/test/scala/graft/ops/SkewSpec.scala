@@ -1,0 +1,38 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class SkewSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("salted aggregate equals direct groupBy on a skewed distribution") {
+    // one heavy hitter (90% of rows) + a uniform tail
+    val rows = (1 to 2000).map { i =>
+      val k = if (i % 10 != 0) "heavy" else s"k${i % 7}"
+      (k, i.toDouble)
+    }
+    val df = rows.toDF("key", "value").repartition(8)
+    val salted = Skew.saltedAggregate(df, Seq("key"), Skew.countSumMinMax("value"))
+      .orderBy("key").collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("value_n"),
+        r.getAs[Double]("value_sum"), r.getAs[Double]("value_min"), r.getAs[Double]("value_max")))
+    val direct = df.groupBy("key")
+      .agg(count(col("value")).as("n"), sum(col("value")).as("s"),
+        min(col("value")).as("mn"), max(col("value")).as("mx"))
+      .orderBy("key").collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("n"),
+        r.getAs[Double]("s"), r.getAs[Double]("mn"), r.getAs[Double]("mx")))
+    salted shouldBe direct
+  }
+
+  test("partial stage actually spreads a heavy key over multiple salts") {
+    val df = (1 to 1000).map(i => ("heavy", i.toDouble)).toDF("key", "value").repartition(8)
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(16)))
+    salted.select("__salt").distinct().count() should be > 4L
+  }
+}
