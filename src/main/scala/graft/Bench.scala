@@ -23,6 +23,9 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-22s $sec%8.2f s")
+      // Library-internal persists (e.g. LSH signatures) otherwise
+      // accumulate across queries and GC-pressure later measurements.
+      spark.catalog.clearCache()
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

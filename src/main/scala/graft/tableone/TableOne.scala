@@ -54,15 +54,14 @@ final case class TableOneConfig(
   * slot (continuous .1-.8) or category rank * 0.01.
   *
   * Execution design (vs the reference's >=10 jobs per continuous column,
-  * SURVEY.md §3.5): a fixed number of distributed passes regardless of
-  * column count —
-  *   1. `count()` (parquet metadata-only for bare scans),
-  *   2. ONE global `agg` computing every continuous column's 8 stats
-  *      (quartiles via a single `percentile_approx(col, array(...))`
-  *      sketch per column),
-  *   3. ONE `groupBy(strat).agg` for all per-stratum stats + the
-  *      (n, mean, var_samp) moments that feed the t-test/ANOVA,
-  *   4. ONE melt + `groupBy(variable, value)` aggregation for ALL
+  * SURVEY.md §3.5): exactly TWO distributed passes regardless of column
+  * count or stratification —
+  *   1. ONE `rollup(strat).agg` whose grand-total row carries the total
+  *      count + every continuous column's 8 overall stats (quartiles via
+  *      a single `percentile_approx(col, array(...))` sketch per column)
+  *      and whose per-stratum rows carry the stratum counts, stats, and
+  *      the (n, mean, var_samp) moments that feed the t-test/ANOVA,
+  *   2. ONE melt + `groupBy(variable, value)` aggregation for ALL
   *      categorical columns (explicit per-stratum conditional counts — no
   *      pivot distinct-value job),
   * and the inferential statistics are computed on the driver from those
@@ -114,21 +113,22 @@ object TableOne {
 
     val working = if (cfg.cacheInput) df.persist() else df
 
-    // --- pass 1: total row count (drives percentile exactness) --------
-    val total: Long = working.count()
-    // accuracy = 4n makes the Greenwald-Khanna bound eps*N = 0.25 ranks
-    // (and the merge threshold 2*eps*N = 0.5 < 1 disables compression), so
-    // the sketch is TRULY exact: element at rank ceil(q*n), = DuckDB
-    // quantile_disc. The reference's n+1 (tableone_pyspark.py:384-388)
-    // leaves eps*N ~= 1 and can return the neighboring element (verified
-    // empirically at n=60000). Capped for 100 TB sanity — beyond the cap
-    // the quantiles degrade gracefully to approximate.
-    val accuracy: Long = math.min(math.max(4 * total, 10000L), cfg.percentileAccuracyCap.toLong)
+    // percentile_approx accuracy: eps = 1/accuracy, and the sketch is
+    // TRULY exact (element at rank ceil(q*n), = DuckDB quantile_disc)
+    // while eps*N <= 0.25, i.e. n <= accuracy/4. The reference's n+1
+    // (tableone_pyspark.py:384-388) leaves eps*N ~= 1 and can return the
+    // neighboring element (verified empirically at n=60000). A fixed
+    // accuracy (no pre-count) keeps the whole summary at ONE aggregation
+    // job; beyond cap/4 rows the quantiles degrade gracefully to
+    // approximate — the 100 TB-safe behavior, since sketch memory is
+    // what the cap actually bounds.
+    val accuracy: Long = math.max(cfg.percentileAccuracyCap.toLong, 10000L)
 
-    // --- strata discovery + per-stratum aggregates (pass 2) -----------
-    // One job yields: the distinct sanitized strata, each stratum's row
-    // count (Totals row), and every continuous column's per-stratum
-    // stats + test moments.
+    // --- pass 1: ONE rollup aggregation job yields the global row
+    // (rollup grand total: total count + every continuous column's
+    // overall stats) AND, when stratified, each stratum's row count +
+    // stats + the (n, mean, var) test moments. The sanitized strat value
+    // is never null, so grouping() unambiguously marks the total row.
     def statExprs(withMoments: Boolean): Seq[Column] = contCols.flatMap { c =>
       val base = Seq(
         count(col(c)).as(s"$c#n"),
@@ -142,32 +142,33 @@ object TableOne {
     }
 
     case class Stratum(name: String, rows: Long, stats: Row)
-    val strata: Seq[Stratum] = cfg.stratify match {
-      case None => Nil
+    val (globalRow: Row, strata: Seq[Stratum]) = cfg.stratify match {
+      case None =>
+        val g = working.agg(count(lit(1)).as("#rows"), statExprs(withMoments = false): _*).head()
+        (g, Nil)
       case Some(s) =>
+        // grouping() must reference the rollup column itself, not an
+        // alias, so sanitize in a projection first.
         val rows = working
-          .groupBy(Sanitize.stratColumn(col(s)).as(StratCol))
-          .agg(count(lit(1)).as("#rows"), statExprs(withMoments = true): _*)
-          .limit(cfg.maxStrata + 1)
+          .withColumn(StratCol, Sanitize.stratColumn(col(s)))
+          .rollup(col(StratCol))
+          .agg(count(lit(1)).as("#rows"), statExprs(withMoments = true) :+
+            grouping(col(StratCol)).cast("int").as("#isTotal"): _*)
+          .limit(cfg.maxStrata + 2)
           .collect()
-        require(rows.length <= cfg.maxStrata,
+        require(rows.length <= cfg.maxStrata + 1,
           s"stratification column '$s' has more than ${cfg.maxStrata} distinct values; " +
             "each stratum becomes two output columns — raise maxStrata only if that is intended")
-        val byName = rows.map(r => r.getAs[String](StratCol) -> r).toMap
-        Sanitize.orderStrata(byName.keys.toSeq).map { name =>
+        val (totalRows, stratRows) = rows.partition(_.getAs[Int]("#isTotal") == 1)
+        val byName = stratRows.map(r => r.getAs[String](StratCol) -> r).toMap
+        (totalRows.head, Sanitize.orderStrata(byName.keys.toSeq).map { name =>
           val r = byName(name)
           Stratum(name, r.getAs[Long]("#rows"), r)
-        }
+        })
     }
+    val total: Long = globalRow.getAs[Long]("#rows")
     val stratNames = strata.map(_.name)
-
-    // --- pass 3: one global aggregate for all continuous columns ------
-    val globalStats: Option[Row] =
-      if (contCols.isEmpty) None
-      else {
-        val es = statExprs(withMoments = false)
-        Some(working.agg(es.head, es.tail: _*).head())
-      }
+    val globalStats: Option[Row] = if (contCols.isEmpty) None else Some(globalRow)
 
     // --- output schema -------------------------------------------------
     val countColNames = "All_Patients" +: stratNames
