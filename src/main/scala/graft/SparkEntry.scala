@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tableone.{TableOne, TableOneConfig}
 import graft.oracle.TableOneSql
@@ -81,6 +82,45 @@ object SparkEntry {
         min(col("l_extendedprice")).as("mn"),
         max(col("l_extendedprice")).as("mx"))
         .orderBy("l_returnflag"))),
+    "a5_count_distinct" -> ((s, dir) =>
+      table(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(count_distinct(col("l_partkey")).as("parts"),
+          count_distinct(col("l_suppkey")).as("supps"))
+        .orderBy("l_returnflag")),
+
+    // ---- joins / windows / set ops (SURVEY.md §2.5-2.7) ----
+    "j1_outer_join" -> ((s, dir) => roundDoubles(
+      table(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+        .join(table(s, dir, "orders").select(col("o_custkey"), col("o_totalprice")),
+          col("o_custkey") === col("c_custkey"), "full_outer")
+        .groupBy("c_mktsegment")
+        .agg(count(col("o_custkey")).as("n_orders"),
+          count(lit(1)).as("n_rows"),
+          // decimal accumulation: a double sum at ~1e10 magnitude carries
+          // partition-order-dependent error above the 6-decimal rounding
+          // the oracle compare absorbs
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy("c_mktsegment"))),
+    "w1_window_funcs" -> ((s, dir) => roundDoubles(
+      table(s, dir, "orders")
+        .withColumn("rk", rank().over(
+          Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(
+          Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+        .withColumn("cume", sum(col("o_totalprice")).over(
+          Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rk"), col("prev_price"), col("cume"))
+        .orderBy("o_custkey", "rk", "o_orderkey"))),
+    "u1_set_ops" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val hi = o.filter(col("o_totalprice") > 100000).select(col("o_custkey"))
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      hi.intersect(urgent).withColumn("tag", lit("both"))
+        .unionByName(hi.except(urgent).withColumn("tag", lit("hi_only")))
+        .orderBy("tag", "o_custkey")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -112,5 +152,27 @@ object SparkEntry {
       ("SELECT l_returnflag, count(l_extendedprice) AS n, ROUND(avg(l_extendedprice), 6) AS mean, " +
         "ROUND(stddev_samp(l_extendedprice), 6) AS sd, ROUND(min(l_extendedprice), 6) AS mn, " +
         "ROUND(max(l_extendedprice), 6) AS mx FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "a5_count_distinct" ->
+      ("SELECT l_returnflag, count(DISTINCT l_partkey) AS parts, count(DISTINCT l_suppkey) AS supps " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "j1_outer_join" ->
+      ("SELECT c.c_mktsegment, count(o.o_custkey) AS n_orders, count(*) AS n_rows, " +
+        "ROUND(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS revenue " +
+        "FROM customer c FULL OUTER JOIN orders o ON o.o_custkey = c.c_custkey " +
+        "GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"),
+    "w1_window_funcs" ->
+      ("SELECT o_custkey, o_orderkey, rk, ROUND(prev_price, 6) AS prev_price, ROUND(cume, 6) AS cume FROM (" +
+        "SELECT o_custkey, o_orderkey, " +
+        "rank() OVER w AS rk, lag(o_totalprice, 1) OVER w AS prev_price, " +
+        "sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey " +
+        "ROWS UNBOUNDED PRECEDING) AS cume " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)) " +
+        "WHERE rk <= 3 ORDER BY o_custkey, rk, o_orderkey"),
+    "u1_set_ops" ->
+      ("WITH hi AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 100000), " +
+        "urgent AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') " +
+        "SELECT o_custkey, 'both' AS tag FROM (SELECT * FROM hi INTERSECT SELECT * FROM urgent) " +
+        "UNION ALL SELECT o_custkey, 'hi_only' AS tag FROM (SELECT * FROM hi EXCEPT SELECT * FROM urgent) " +
+        "ORDER BY tag, o_custkey"),
   ) ++ OpsQueries.oracleSql
 }
