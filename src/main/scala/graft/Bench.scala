@@ -10,15 +10,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen/shuffle warmup + parquet footer prefetch — one-time
-    // session setup cost, kept out of the per-query measurements.
-    try {
-      spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .groupBy("l_returnflag").count().count()
-      spark.read.parquet(s"$sfDir/documents.parquet").count()
-      spark.read.parquet(s"$sfDir/embeddings.parquet").count()
-    } catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Steady-state measurement: one untimed pass first (JIT compilation,
+    // codegen cache, parquet footers), then the timed pass. Both passes
+    // execute every query fully.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    ordered.foreach { case (_, fn) =>
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+      spark.catalog.clearCache()
+    }
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9

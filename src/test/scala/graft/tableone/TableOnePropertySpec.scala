@@ -94,6 +94,23 @@ class TableOnePropertySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("decimal and byte columns are analyzed as continuous (beyond reference parity)") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  ('A', CAST(1.50 AS DECIMAL(10,2)), CAST(1 AS TINYINT)),
+        |  ('A', CAST(2.50 AS DECIMAL(10,2)), CAST(3 AS TINYINT)),
+        |  ('B', CAST(4.00 AS DECIMAL(10,2)), CAST(5 AS TINYINT))
+        |AS t(g, d, b)""".stripMargin)
+    val out = TableOne.summarize(df, TableOneConfig(Some("g"), Seq("d", "b"))).collect()
+    val mean = out.find(r => r.getAs[String]("Characteristics") == "d" &&
+      r.getAs[String]("Values") == "mean").get
+    // decimal avg keeps decimal semantics (scale+4) before the double cast
+    mean.getAs[Double]("All_Patients") shouldBe (8.0 / 3) +- 1e-5
+    val bMax = out.find(r => r.getAs[String]("Characteristics") == "b" &&
+      r.getAs[String]("Values") == "max").get
+    bMax.getAs[Double]("All_Patients") shouldBe 5.0
+  }
+
   test("maxStrata guard fails fast on high-cardinality stratification") {
     val df = (1 to 50).map(i => (s"s$i", i.toDouble)).toDF("strat", "cont")
     val e = intercept[IllegalArgumentException] {
