@@ -13,7 +13,9 @@ object Bench {
     // Steady-state measurement: one untimed pass first (JIT compilation,
     // codegen cache, parquet footers), then the timed pass. Both passes
     // execute every query fully.
+    // optional args: restrict to the named queries (debugging aid)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => args.isEmpty || args.contains(n) }
     ordered.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
       spark.catalog.clearCache()

@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Source/sink format breadth: the engine reads the driver's parquet, and
+  * round-trips through CSV and JSON with schema preservation — the
+  * formats a real deployment ingests beside parquet. */
+class SourcesSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+
+  private def sample = Util.table(spark, "/root/testdata/sf0.001", "customer")
+    .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal").orderBy("c_custkey").limit(100)
+
+  test("CSV round-trip preserves data under an explicit schema") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    sample.write.mode("overwrite").option("header", "true").csv(dir)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType),
+      StructField("c_mktsegment", StringType), StructField("c_acctbal", DoubleType)))
+    val back = spark.read.option("header", "true").schema(schema).csv(dir)
+      .orderBy("c_custkey")
+    back.collect().map(_.toSeq) shouldBe sample.collect().map(_.toSeq)
+  }
+
+  test("JSON round-trip preserves data with schema inference") {
+    val dir = Files.createTempDirectory("graft_json").toString
+    sample.write.mode("overwrite").json(dir)
+    val back = spark.read.json(dir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+      .orderBy("c_custkey")
+    back.collect().map(_.toSeq) shouldBe sample.collect().map(_.toSeq)
+  }
+
+  test("parquet write preserves nested/array columns (fingerprint arrays)") {
+    val dir = Files.createTempDirectory("graft_pq").toString
+    val docs = Util.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id").limit(50)
+    docs.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir).orderBy("doc_id")
+    // parquet restores list elements as nullable — the values round-trip
+    back.schema("fp").dataType shouldBe ArrayType(LongType, containsNull = true)
+    back.collect().map(_.toSeq) shouldBe docs.collect().map(_.toSeq)
+  }
+}
