@@ -66,8 +66,14 @@ object Dedup {
     * content hash, not the text; hash collisions are disambiguated by
     * grouping on (hash, text) — the text bytes only travel for rows that
     * share a hash partition, which is the same cost as any exact dedup. */
-  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(TextAnalysis.contentHash(col(textCol)), col(textCol))
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    exactOn(df, idCol, Seq(textCol))
+
+  /** Exact dedup over a composite key (e.g. (url, text) or every column). */
+  def exactOn(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val keyHash = xxhash64(keyCols.map(col): _*)
+    val w = Window.partitionBy(keyHash +: keyCols.map(col): _*)
       .orderBy(col(idCol))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")

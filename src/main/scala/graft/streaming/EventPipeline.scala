@@ -69,6 +69,20 @@ object EventPipeline {
       .select(col("user_id"), col("s_start"), col("s_end"), col("n_events"), col("sum_value"))
   }
 
+  /** Streaming ingest feeding the core summarize API (SURVEY.md §7.5):
+    * every micro-batch is summarized as a full Table 1 and handed to
+    * `sink` with its batch id. foreachBatch is the idiomatic bridge for
+    * batch-only logic (summarize collects aggregates eagerly, which a
+    * continuous query cannot) — each batch runs the same two-pass plan. */
+  def summarizePerBatch(events: DataFrame, cfg: graft.tableone.TableOneConfig)
+                       (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) sink(graft.tableone.TableOne.summarize(batch, cfg), batchId)
+      }
+      .outputMode(OutputMode.Append())
+      .start()
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sumValue: Double)

@@ -19,6 +19,13 @@ class DedupSpec extends AnyFunSuite with Matchers {
       Array(1L, 2L, 5L)
   }
 
+  test("exactOn dedups on a composite key") {
+    val df = Seq((1L, "u1", "a"), (2L, "u1", "a"), (3L, "u1", "b"), (4L, "u2", "a"))
+      .toDF("id", "url", "text")
+    Dedup.exactOn(df, "id", Seq("url", "text")).select("id").as[Long]
+      .collect().sorted shouldBe Array(1L, 3L, 4L)
+  }
+
   test("shingles builds word n-grams; short texts collapse to one shingle") {
     val r = Seq("a b c d").toDF("t")
       .select(Dedup.shingles(col("t"), 3).as("s")).head().getAs[scala.collection.Seq[String]]("s")

@@ -87,6 +87,29 @@ class EventPipelineSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("streaming ingest feeds the summarize API per micro-batch") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Event]
+    val results = scala.collection.mutable.Map[Long, Array[org.apache.spark.sql.Row]]()
+    val q = EventPipeline.summarizePerBatch(input.toDF(),
+      graft.tableone.TableOneConfig(Some("event_type"), Seq("value"))) { (t1, id) =>
+      results.synchronized { results(id) = t1.collect() }
+    }
+    try {
+      input.addData(Event(1L, ts("10:00"), 1L, "click", 2.0),
+        Event(2L, ts("10:01"), 1L, "click", 4.0),
+        Event(3L, ts("10:02"), 2L, "view", 9.0))
+      q.processAllAvailable()
+      val rows = results.synchronized(results.values.head)
+      val totals = rows.find(_.getAs[String]("Values") == "ALL").get
+      totals.getAs[Double]("All_Patients") shouldBe 3.0
+      totals.getAs[Double]("click") shouldBe 2.0
+      val mean = rows.find(r => r.getAs[String]("Values") == "mean").get
+      mean.getAs[Double]("click") shouldBe 3.0
+      mean.getAs[Double]("view") shouldBe 9.0
+    } finally q.stop()
+  }
+
   test("streaming sessionize closes a session via event-time timeout") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Event]
