@@ -145,6 +145,39 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Stratum-value sanitization (null handled by the caller's coalesce):
+  * spaces -> '_', runs of non-ASCII -> single '?'. One pass over the
+  * string — replaces two java.util.regex passes per row, which dominated
+  * the per-row cost of the summary's aggregation input. */
+case class SanitizeStrat(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "sanitize_strat"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    var inNonAscii = false
+    while (i < n) {
+      val ch = s.charAt(i)
+      if (ch > 0x7F) {
+        if (!inNonAscii) { sb.append('?'); inNonAscii = true }
+      } else {
+        inNonAscii = false
+        sb.append(if (ch == ' ') '_' else ch)
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SanitizeStrat =
+    copy(child = newChild)
+}
+
 /** Base for the vector-math expressions: both children must evaluate to
   * array<double> (callers cast float embeddings up front). */
 abstract class BinaryVectorExpression extends Expression with CodegenFallback {
@@ -220,6 +253,10 @@ object HashFunctions {
   /** 64-bit SimHash of a token-array column. */
   def simHash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(expr(tokens)))
+
+  /** One-pass strat-value sanitization (space -> '_', non-ASCII run -> '?'). */
+  def sanitizeStrat(c: Column): Column =
+    ColumnBridge.column(SanitizeStrat(expr(c)))
 
   // The defensive cast is a no-op for already-double arrays but protects
   // against reading a float-backed ArrayData as doubles (garbage bytes).

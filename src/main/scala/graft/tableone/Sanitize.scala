@@ -17,11 +17,12 @@ object Sanitize {
 
   val Missing = "MISSING"
 
-  /** Sanitized version of a (possibly non-string) stratification column. */
+  /** Sanitized version of a (possibly non-string) stratification column.
+    * Single-pass custom expression; the two-regex formulation cost ~2x
+    * the whole aggregation underneath it at 600k rows. */
   def stratColumn(c: Column): Column =
-    regexp_replace(
-      regexp_replace(coalesce(c.cast("string"), lit(Missing)), " ", "_"),
-      "[^\\x00-\\x7F]+", "?")
+    graft.functions.HashFunctions.sanitizeStrat(
+      coalesce(c.cast("string"), lit(Missing)))
 
   /** Driver-side equivalent for already-collected raw values. */
   def stratValue(v: Any): String =

@@ -61,6 +61,18 @@ class HashExpressionsSpec extends AnyFunSuite with Matchers {
     r.getAs[Double]("est") shouldBe r.getAs[Double]("exact") +- 0.08
   }
 
+  test("sanitizeStrat: spaces to underscores, non-ASCII runs collapse to one '?'") {
+    val df = Seq("a b  c", "héllo wörld", "日本語テスト x", "plain", "", "naïve café")
+      .toDF("t").select(HashFunctions.sanitizeStrat(col("t")).as("s"))
+    df.as[String].collect() shouldBe Array(
+      "a_b__c", "h?llo_w?rld", "?_x", "plain", "", "na?ve_caf?")
+    // parity with the two-regex reference formulation
+    val viaRegex = Seq("a b  c", "héllo wörld", "日本語テスト x", "plain", "", "naïve café")
+      .toDF("t").select(regexp_replace(regexp_replace(col("t"), " ", "_"),
+        "[^\\x00-\\x7F]+", "?").as("s")).as[String].collect()
+    df.as[String].collect() shouldBe viaRegex
+  }
+
   test("simHash64: equal token multisets equal; null text -> null") {
     val df = Seq(Some("a b c"), Some("a b c"), Some("q r s"), None).toDF("t")
       .select(HashFunctions.simHash64(toks(col("t"))).as("h"))
