@@ -65,6 +65,22 @@ object OpsQueries {
           TextAnalysis.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")),
 
+    "d7_corpus_similarity" -> ((s, dir) => { // minhash-based -> rows-only
+      // corpus-level MinHash union per source, then pairwise corpus
+      // Jaccard estimates — no document is re-read for the comparison
+      val mh = udaf(new graft.functions.MinHashUnion(64),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+      val sigs = table(s, dir, "documents")
+        .select(col("source"), Dedup.minHashSignature(col("text")).as("sig"))
+        .groupBy("source").agg(mh(col("sig")).as("corpus_sig"))
+      val a = sigs.select(col("source").as("src_a"), col("corpus_sig").as("sig_a"))
+      val b = sigs.select(col("source").as("src_b"), col("corpus_sig").as("sig_b"))
+      a.join(b, col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"),
+          round(Dedup.minHashJaccard(col("sig_a"), col("sig_b")), 6).as("est_jaccard"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // ---- similarity search over embeddings -----------------------------
     "s1_cosine_topk" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")

@@ -105,6 +105,31 @@ class HashExpressionsSpec extends AnyFunSuite with Matchers {
       Set("shingle_hash", "minhash_signature", "simhash64", "dot_product", "cosine_sim")
   }
 
+  test("MinHashUnion aggregator: corpus signature = element-wise min of doc signatures") {
+    val mh = udaf(new MinHashUnion(16), implicitly[org.apache.spark.sql.Encoder[Seq[Long]]])
+    val df = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog"),
+      ("a", "a completely different second document here"),
+      ("b", "the quick brown fox jumps over the lazy dog"))
+      .toDF("grp", "text")
+      .select(col("grp"), HashFunctions.minHashSignature(
+        HashFunctions.shingleHash(toks(col("text")), 3), 16).as("sig"))
+    val merged = df.groupBy("grp").agg(mh(col("sig")).as("corpus_sig"))
+      .orderBy("grp").collect()
+      .map(_.getAs[scala.collection.Seq[Long]]("corpus_sig"))
+    val docSigs = df.collect().map(r =>
+      (r.getAs[String]("grp"), r.getAs[scala.collection.Seq[Long]]("sig")))
+    // group b has one doc: corpus sig == doc sig
+    merged(1) shouldBe docSigs.find(_._1 == "b").get._2
+    // group a: element-wise min of its two doc sigs
+    val aSigs = docSigs.filter(_._1 == "a").map(_._2)
+    merged(0) shouldBe aSigs(0).zip(aSigs(1)).map { case (x, y) => math.min(x, y) }
+    // partial-aggregation path: same result under repartition
+    val repart = df.repartition(5).groupBy("grp").agg(mh(col("sig")).as("cs"))
+      .orderBy("grp").collect().map(_.getAs[scala.collection.Seq[Long]]("cs"))
+    repart.toSeq shouldBe merged.toSeq
+  }
+
   test("expressions survive serialization (executor round-trip via repartition)") {
     val df = (0 until 100).map(i => s"doc $i has words $i ${i * 2} ${i * 3}").toDF("t")
       .repartition(4)
