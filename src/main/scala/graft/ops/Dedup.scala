@@ -143,14 +143,16 @@ object Dedup {
     while (i < maxIter && !converged) {
       val neighborMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy("src").agg(min("component").as("nmin"))
+      // change detection rides inside the update projection: one job per
+      // iteration materializes the new labels AND counts the changes.
       val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
         .select(labels("id"),
-          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"),
+          (col("nmin").isNotNull && col("nmin") < col("component")).as("__changed"))
         .persist()
-      val changed = updated.as("u").join(labels.as("l"), "id")
-        .filter(col("u.component") =!= col("l.component")).count()
+      val changed = updated.filter(col("__changed")).count()
       labels.unpersist()
-      labels = updated
+      labels = updated.drop("__changed")
       converged = changed == 0
       i += 1
     }
