@@ -172,6 +172,22 @@ object OpsQueries {
           date_format(col("s_end"), "yyyy-MM-dd HH:mm:ss").as("s_end"),
           col("n_events"), round(col("sum_value"), 6).as("sum_value"))
         .orderBy("user_id", "s_start")),
+    "e3_asof_join" -> ((s, dir) => {
+      // for every error event, the latest click by the same user at or
+      // before it (clicks deduped per (user, ts) for a well-defined match)
+      val ev = Util.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(min(col("event_id")).as("click_id"))
+        .withColumn("click_ts", col("ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      graft.ops.AsOf.joinAsOf(errors, clicks, "user_id", "ts", Seq("click_id", "click_ts"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("click_id"),
+          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"))
+        .orderBy("event_id")
+    }),
   )
 
   // DuckDB-side token array matching TextAnalysis.tokens.
@@ -241,5 +257,13 @@ object OpsQueries {
         "strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS s_end, " +
         "count(*) AS n_events, ROUND(sum(value), 6) AS sum_value " +
         "FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start"),
+    "e3_asof_join" ->
+      ("WITH clicks AS (SELECT user_id, ts, min(event_id) AS click_id " +
+        "FROM events WHERE event_type = 'click' GROUP BY user_id, ts), " +
+        "errors AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') " +
+        "SELECT e.event_id, e.user_id, strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts, " +
+        "c.click_id, strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts " +
+        "FROM errors e ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND c.ts <= e.ts " +
+        "ORDER BY e.event_id"),
   )
 }
