@@ -188,6 +188,15 @@ object OpsQueries {
           date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"))
         .orderBy("event_id")
     }),
+    "e4_range_join" -> ((s, dir) => {
+      // pairs of error events within 60s of each other (banded range
+      // join: equi-join on tolerance-width time bands, no cross join)
+      val errors = Util.events(s, dir).filter(col("event_type") === "error")
+        .select("event_id", "ts")
+      graft.ops.RangeJoin.selfPairsWithin(errors, "event_id", "ts", toleranceSec = 60)
+        .select(col("id_a"), col("id_b"), col("t_a"), col("t_b"))
+        .orderBy("id_a", "id_b")
+    }),
   )
 
   // DuckDB-side token array matching TextAnalysis.tokens.
@@ -265,5 +274,11 @@ object OpsQueries {
         "c.click_id, strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts " +
         "FROM errors e ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND c.ts <= e.ts " +
         "ORDER BY e.event_id"),
+    "e4_range_join" ->
+      ("WITH errors AS (SELECT event_id, ts FROM events WHERE event_type = 'error') " +
+        "SELECT a.event_id AS id_a, b.event_id AS id_b, epoch_ms(a.ts) AS t_a, epoch_ms(b.ts) AS t_b " +
+        "FROM errors a JOIN errors b ON a.event_id < b.event_id " +
+        "AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 60000 " +
+        "ORDER BY id_a, id_b"),
   )
 }
