@@ -87,6 +87,13 @@ object SparkEntry {
         .agg(count_distinct(col("l_partkey")).as("parts"),
           count_distinct(col("l_suppkey")).as("supps"))
         .orderBy("l_returnflag")),
+    // HLL++ sketch differs from DuckDB's algorithm -> rows-only check;
+    // the spec asserts the estimate lands within the documented rsd.
+    "a6_approx_distinct" -> ((s, dir) =>
+      table(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("parts_approx"),
+          count_distinct(col("l_partkey")).as("parts_exact"))
+        .orderBy("l_returnflag")),
 
     // ---- joins / windows / set ops (SURVEY.md §2.5-2.7) ----
     "j1_outer_join" -> ((s, dir) => roundDoubles(

@@ -69,6 +69,15 @@ object EventPipeline {
       .select(col("user_id"), col("s_start"), col("s_end"), col("n_events"), col("sum_value"))
   }
 
+  /** Exactly-once-style ingest dedup for a stream: drops events whose
+    * `idCols` were already seen, with state bounded by the watermark —
+    * an id can only recur within `lateness` of the max event time, so
+    * older dedup state is purged instead of growing forever. */
+  def streamingDedup(events: DataFrame, idCols: Seq[String],
+                     lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Streaming ingest feeding the core summarize API (SURVEY.md §7.5):
     * every micro-batch is summarized as a full Table 1 and handed to
     * `sink` with its batch id. foreachBatch is the idiomatic bridge for

@@ -29,6 +29,16 @@ class SkewSpec extends AnyFunSuite with Matchers {
     salted shouldBe direct
   }
 
+  test("approx_count_distinct estimate lands within the configured rsd") {
+    val df = (1 to 20000).map(i => i % 5000).toDF("v")
+    val r = df.agg(
+      approx_count_distinct(col("v"), 0.01).as("approx"),
+      count_distinct(col("v")).as("exact")).head()
+    val (approx, exact) = (r.getAs[Long]("approx"), r.getAs[Long]("exact"))
+    exact shouldBe 5000L
+    math.abs(approx - exact).toDouble / exact should be < 0.05
+  }
+
   test("partial stage actually spreads a heavy key over multiple salts") {
     val df = (1 to 1000).map(i => ("heavy", i.toDouble)).toDF("key", "value").repartition(8)
     val salted = df.withColumn("__salt",

@@ -87,6 +87,24 @@ class EventPipelineSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("streaming dedup drops replayed event ids within the watermark") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventPipeline.streamingDedup(input.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("sdedup").outputMode("append").start()
+    try {
+      input.addData(Event(1L, ts("10:00"), 1L, "click", 1.0),
+        Event(2L, ts("10:01"), 1L, "click", 2.0))
+      q.processAllAvailable()
+      // replay event 1 (at-least-once delivery) + one new event
+      input.addData(Event(1L, ts("10:00"), 1L, "click", 1.0),
+        Event(3L, ts("10:02"), 2L, "view", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("sdedup").select("event_id").as[Long].collect().sorted
+      ids shouldBe Array(1L, 2L, 3L)
+    } finally q.stop()
+  }
+
   test("streaming ingest feeds the summarize API per micro-batch") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Event]
