@@ -125,14 +125,51 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Connected components over an undirected edge list `(id_a, id_b)`
-    * by iterative min-label propagation: every node takes the minimum
-    * label in its neighborhood until fixpoint (or `maxIter`). Each
-    * iteration is one shuffle join + aggregation — the standard
-    * DataFrame-native CC shape; converges in O(diameter) iterations,
-    * and near-dup clusters have tiny diameters in practice.
-    * Returns `(id, component)` with component = min id in the cluster. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 10): DataFrame = {
+  /** Connected components over an undirected edge list `(id_a, id_b)`.
+    * Returns `(id, component)` with component = min id in the cluster.
+    *
+    * Near-dup edge lists are tiny relative to the corpus, so up to
+    * `localThreshold` edges the components are solved with driver-side
+    * union-find (O(E alpha(E)), zero Spark jobs beyond one collect) —
+    * the iterative distributed loop pays several scheduling round-trips
+    * per iteration, which dominates at small sizes. Larger edge lists
+    * fall back to min-label propagation (one shuffle join + aggregation
+    * per iteration, converging in O(cluster diameter)). */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 10,
+                          localThreshold: Long = 2000000L): DataFrame = {
+    val e = edges.select(col("id_a").cast("long").as("id_a"),
+      col("id_b").cast("long").as("id_b"))
+    val sample = e.limit((localThreshold + 1).toInt).collect()
+    if (sample.length <= localThreshold) {
+      // driver union-find with path halving; label = min id per set
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElse(x, x) != x) {
+          val p = parent(x)
+          parent(x) = parent.getOrElse(p, p)
+          x = parent(x)
+        }
+        x
+      }
+      sample.foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val rows = parent.keys.toSeq.map(id => org.apache.spark.sql.Row(id, find(id)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("component", org.apache.spark.sql.types.LongType, nullable = false)))
+      import scala.jdk.CollectionConverters._
+      edges.sparkSession.createDataFrame(rows.asJava, schema)
+    } else distributedComponents(e, maxIter)
+  }
+
+  /** The at-scale path: iterative min-label propagation. */
+  private[ops] def distributedComponents(edges: DataFrame, maxIter: Int): DataFrame = {
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().persist()

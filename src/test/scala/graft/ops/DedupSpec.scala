@@ -71,17 +71,16 @@ class DedupSpec extends AnyFunSuite with Matchers {
     survivors.intersect(docs.map(_._1).toSet) shouldBe docs.map(_._1).toSet
   }
 
-  test("connected components merges chains across edges") {
+  test("connected components merges chains across edges (both paths)") {
     // components: {1,2,3,4} via chain, {10,11}, isolated nodes never appear
     val edges = Seq((2L, 3L), (1L, 2L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(edges)
-      .select("id", "component").as[(Long, Long)].collect().toMap
-    cc(1L) shouldBe 1L
-    cc(2L) shouldBe 1L
-    cc(3L) shouldBe 1L
-    cc(4L) shouldBe 1L
-    cc(10L) shouldBe 10L
-    cc(11L) shouldBe 10L
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L)
+    // driver union-find path
+    Dedup.connectedComponents(edges)
+      .select("id", "component").as[(Long, Long)].collect().toMap shouldBe expected
+    // distributed label-propagation path (forced)
+    Dedup.connectedComponents(edges, localThreshold = 0L)
+      .select("id", "component").as[(Long, Long)].collect().toMap shouldBe expected
   }
 
   test("clustered dedup keeps one representative per transitive near-dup chain") {
