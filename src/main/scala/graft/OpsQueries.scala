@@ -154,6 +154,12 @@ object OpsQueries {
           TextAnalysis.languageId(t).as("lang_pred"))
         .orderBy("doc_id")
     }),
+    "x4_tfidf" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.tfidfTopTerms(d, "doc_id", "text", n = d.count(), k = 3)
+        .select(col("doc_id"), col("term"), round(col("score"), 6).as("score"))
+        .orderBy(col("doc_id"), col("score").desc, col("term"))
+    }),
     "x3_token_topk" -> ((s, dir) =>
       docs(s, dir).select(explode(TextAnalysis.tokens(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("cnt"))
@@ -251,6 +257,17 @@ object OpsQueries {
     "x3_token_topk" ->
       (s"SELECT t AS token, count(*) AS cnt FROM (SELECT unnest($Toks) AS t FROM documents) " +
         "GROUP BY t ORDER BY cnt DESC, token LIMIT 20"),
+    "x4_tfidf" ->
+      (s"WITH tk AS (SELECT doc_id, unnest(${toksOf("text")}) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term), " +
+        "dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+        "n AS (SELECT count(*)::DOUBLE AS n FROM documents), " +
+        "scored AS (SELECT tf.doc_id, tf.term, tf.tf * ln(n.n / dfreq.df) AS score " +
+        "FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n), " +
+        "ranked AS (SELECT doc_id, term, score, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM scored) " +
+        "SELECT doc_id, term, ROUND(score, 6) AS score FROM ranked WHERE rk <= 3 " +
+        "ORDER BY doc_id, score DESC, term"),
     "e1_windowed_counts" ->
       ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start, event_type, " +
         "count(*) AS n, ROUND(sum(value), 6) AS sum_value " +

@@ -130,6 +130,28 @@ object TextAnalysis {
     when(best.getField("score") > 0.05, best.getField("lang")).otherwise(lit("und"))
   }
 
+  // --- tf-idf ---------------------------------------------------------
+
+  /** Top-`k` TF-IDF terms per document: tf = term count in the doc,
+    * idf = ln(N / df). Three stages — explode+count (tf), term-level
+    * count (df, vocabulary-sized so its join back is broadcastable),
+    * per-doc top-k via WindowGroupLimit — each a plain shuffle on its
+    * natural key. `n` is the corpus size (pass `df.count()` or a cached
+    * value; kept explicit so callers can amortize it). */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    n: Long, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), Seq("term"))
+      .withColumn("score", col("tf") * log(lit(n.toDouble) / col("df")))
+    val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("term"))
+    scored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col(idCol), col("term"), col("score"))
+  }
+
   // --- fingerprinting -------------------------------------------------
 
   /** Character k-gram rolling-hash fingerprint (winnowing-style): hash

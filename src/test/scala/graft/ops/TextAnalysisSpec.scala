@@ -68,6 +68,17 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     fx.toSet.intersect(fz.toSet).size should be >= (fx.size * 3 / 4)
   }
 
+  test("tfidf: corpus-wide terms score zero, rare terms rank first") {
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", n = 2, k = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term"),
+        r.getAs[Double]("score"))).toSet
+    // df(a)=2 -> idf ln(1)=0; df(b)=df(c)=1 -> idf ln(2)
+    out shouldBe Set(
+      (1L, "b", math.log(2.0)), (1L, "a", 0.0),
+      (2L, "c", math.log(2.0)), (2L, "a", 0.0))
+  }
+
   test("withQuality adds all columns and keeps row count") {
     val df = Seq((1L, "the cat sat"), (2L, "xyz")).toDF("doc_id", "text")
     val out = TextAnalysis.withQuality(df, "text")
