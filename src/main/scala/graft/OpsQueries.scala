@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.streaming.EventPipeline
 import graft.Util.table
 
@@ -164,6 +164,17 @@ object OpsQueries {
       docs(s, dir).select(explode(TextAnalysis.tokens(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token")).limit(20)),
+
+    // ---- deterministic sampling (xxhash-keyed -> rows-only) ------------
+    "p1_hash_split" -> ((s, dir) => {
+      val (_, holdout) = Sampling.hashSplit(
+        table(s, dir, "documents").select("doc_id", "lang"), "doc_id", 0.2)
+      holdout.orderBy("doc_id")
+    }),
+    "p2_stratified_take" -> ((s, dir) =>
+      Sampling.stratifiedTake(
+          table(s, dir, "documents").select("doc_id", "lang"), "lang", "doc_id", n = 5)
+        .orderBy("lang", "doc_id")),
 
     // ---- event-stream transforms (batch = streaming code path) ---------
     "e1_windowed_counts" -> ((s, dir) =>

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting for training-data pipelines.
+  *
+  * Everything keys off a content hash, never `rand()`: the same row
+  * lands in the same split on every run, on any cluster, regardless of
+  * partitioning — the property that keeps train/test membership stable
+  * as a corpus is re-processed. All operators are narrow (no shuffle)
+  * except the exact per-stratum variant, which shuffles once on the
+  * stratum key.
+  */
+object Sampling {
+
+  /** Uniform hash bucket in [0, buckets) from the id column. */
+  def hashBucket(id: Column, buckets: Int = 10000, seed: Long = 42L): Column =
+    pmod(xxhash64(id, lit(seed)), lit(buckets))
+
+  /** Deterministic fractional split: returns (train, holdout) where the
+    * holdout receives ~`holdoutFraction` of rows, selected by id hash.
+    * A row's membership never changes as other rows come and go. */
+  def hashSplit(df: DataFrame, idCol: String,
+                holdoutFraction: Double, seed: Long = 42L): (DataFrame, DataFrame) = {
+    require(holdoutFraction > 0 && holdoutFraction < 1, "fraction in (0,1)")
+    val buckets = 1000000
+    val cut = (holdoutFraction * buckets).toLong
+    val b = hashBucket(col(idCol), buckets, seed)
+    (df.filter(b >= cut), df.filter(b < cut))
+  }
+
+  /** Deterministic per-stratum sample: exactly min(n, |stratum|) rows per
+    * stratum, chosen by id-hash order (stable under reprocessing). One
+    * shuffle on the stratum key; WindowGroupLimit keeps per-partition
+    * work at top-n. */
+  def stratifiedTake(df: DataFrame, strataCol: String, idCol: String,
+                     n: Int, seed: Long = 42L): DataFrame = {
+    val w = Window.partitionBy(strataCol)
+      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n).drop("__rk")
+  }
+
+  /** Deterministic approximate per-stratum fractions (keys: stratum ->
+    * keep fraction): narrow filter, no shuffle — each row's fate is a
+    * pure function of (stratum, id hash). */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       fractions: Map[String, Double], seed: Long = 42L): DataFrame = {
+    val buckets = 1000000
+    val b = hashBucket(col(idCol), buckets, seed)
+    val keep = fractions.foldLeft(lit(false)) { case (acc, (stratum, f)) =>
+      acc || (col(strataCol) === stratum && b < (f * buckets).toLong)
+    }
+    df.filter(keep)
+  }
+}

@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class SamplingSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ids = (1L to 10000L).toDF("id")
+
+  test("hashSplit: disjoint, exhaustive, near the requested fraction, deterministic") {
+    val (train, holdout) = Sampling.hashSplit(ids, "id", 0.2)
+    val t = train.as[Long].collect().toSet
+    val h = holdout.as[Long].collect().toSet
+    t.intersect(h) shouldBe Set.empty
+    t.size + h.size shouldBe 10000
+    h.size.toDouble / 10000 shouldBe 0.2 +- 0.02
+    // determinism + stability: membership unchanged on a subset
+    val (_, h2) = Sampling.hashSplit(ids.filter($"id" <= 5000), "id", 0.2)
+    h2.as[Long].collect().toSet shouldBe h.filter(_ <= 5000L)
+  }
+
+  test("stratifiedTake returns exactly n per stratum, deterministically") {
+    val df = (1L to 300L).map(i => (i, s"s${i % 3}")).toDF("id", "g")
+    val s1 = Sampling.stratifiedTake(df, "g", "id", 10)
+    s1.groupBy("g").count().as[(String, Long)].collect().toMap shouldBe
+      Map("s0" -> 10L, "s1" -> 10L, "s2" -> 10L)
+    val s2 = Sampling.stratifiedTake(df, "g", "id", 10)
+    s2.select("id").as[Long].collect().sorted shouldBe
+      s1.select("id").as[Long].collect().sorted
+    // a stratum smaller than n is returned whole
+    val small = Sampling.stratifiedTake(df.filter($"id" <= 5), "g", "id", 10)
+    small.count() shouldBe 5
+  }
+
+  test("stratifiedSample keeps ~fraction per stratum and drops unlisted strata") {
+    val df = (1L to 9000L).map(i => (i, s"s${i % 3}")).toDF("id", "g")
+    val out = Sampling.stratifiedSample(df, "g", "id",
+      Map("s0" -> 0.5, "s1" -> 0.1))
+    val counts = out.groupBy("g").count().as[(String, Long)].collect().toMap
+    counts.keySet shouldBe Set("s0", "s1")
+    counts("s0").toDouble / 3000 shouldBe 0.5 +- 0.05
+    counts("s1").toDouble / 3000 shouldBe 0.1 +- 0.04
+  }
+}
