@@ -120,6 +120,23 @@ object SparkEntry {
         .filter(col("rk") <= 3)
         .select(col("o_custkey"), col("o_orderkey"), col("rk"), col("prev_price"), col("cume"))
         .orderBy("o_custkey", "rk", "o_orderkey"))),
+    "w2_rolling_frame" -> ((s, dir) => roundDoubles(
+      // bounded sliding frame (rowsBetween) — complements w1's ranking
+      // and running-total frames
+      table(s, dir, "orders")
+        .withColumn("roll_avg", avg(col("o_totalprice")).over(
+          Window.partitionBy("o_custkey").orderBy("o_orderkey")
+            .rowsBetween(-2, Window.currentRow)))
+        .filter(col("o_custkey") < 200)
+        .select(col("o_custkey"), col("o_orderkey"), col("roll_avg"))
+        .orderBy("o_custkey", "o_orderkey"))),
+    "a7_cube" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"))
+        .orderBy("g_rf", "g_ls", "l_returnflag", "l_linestatus")),
     "u1_set_ops" -> ((s, dir) => {
       val o = table(s, dir, "orders")
       val hi = o.filter(col("o_totalprice") > 100000).select(col("o_custkey"))
@@ -175,6 +192,15 @@ object SparkEntry {
         "ROWS UNBOUNDED PRECEDING) AS cume " +
         "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)) " +
         "WHERE rk <= 3 ORDER BY o_custkey, rk, o_orderkey"),
+    "w2_rolling_frame" ->
+      ("SELECT o_custkey, o_orderkey, ROUND(avg(o_totalprice) OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS roll_avg " +
+        "FROM orders QUALIFY o_custkey < 200 ORDER BY o_custkey, o_orderkey"),
+    "a7_cube" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+        "CAST(grouping(l_returnflag) AS INT) AS g_rf, CAST(grouping(l_linestatus) AS INT) AS g_ls " +
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) " +
+        "ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
     "u1_set_ops" ->
       ("WITH hi AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 100000), " +
         "urgent AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') " +
