@@ -59,10 +59,12 @@ object OpsQueries {
       Dedup.minHashDedupClustered(docs(s, dir), "doc_id", "text", threshold = 0.5)
         .select(col("doc_id")).orderBy("doc_id")),
     "d4_fingerprints" -> ((s, dir) =>
+      // fingerprint is array<long>; joined to a string so the driver's
+      // pandas-side rows-only canonicalization can sort/hash the column
       docs(s, dir).select(col("doc_id"),
           Dedup.simHash(col("text")).as("simhash"),
           TextAnalysis.contentHash(col("text")).as("content_hash"),
-          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+          concat_ws(",", TextAnalysis.fingerprint(col("text"))).as("fingerprint"))
         .orderBy("doc_id")),
 
     "d7_corpus_similarity" -> ((s, dir) => { // minhash-based -> rows-only
@@ -124,9 +126,18 @@ object OpsQueries {
           col("media_meta.n_bytes").as("n_bytes"))
         .orderBy("doc_id")),
     "m2_media_features" -> ((s, dir) =>
+      // features is array<float>; projected to scalar summaries (dim, L2
+      // norm, first component, content hash) — arrays are unhashable for
+      // the driver's pandas-side rows-only canonicalization
       Multimodal.withFeatures(
           Multimodal.asBinaryPayload(docs(s, dir), "text"), "payload")
-        .select(col("doc_id"), col("features")).orderBy("doc_id")),
+        .select(col("doc_id"),
+          size(col("features")).as("dim"),
+          round(sqrt(Similarity.dot(col("features").cast("array<double>"),
+            col("features").cast("array<double>"))), 4).as("norm"),
+          round(element_at(col("features"), 1).cast("double"), 4).as("f1"),
+          xxhash64(to_json(col("features"))).as("features_hash"))
+        .orderBy("doc_id")),
     "m3_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(
           Multimodal.asBinaryPayload(docs(s, dir), "text"), "payload", stride = 64)

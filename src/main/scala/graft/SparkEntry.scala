@@ -45,14 +45,25 @@ object SparkEntry {
     "t4_tableone_sanitize" -> ((s, dir) => roundDoubles(TableOne.summarize(
       table(s, dir, "orders"),
       TableOneConfig(Some("o_orderpriority"), Seq("o_orderstatus", "o_totalprice"))))),
-    // p-values + beautify: not DuckDB-expressible -> rows-only check;
-    // exact statistics are covered by the ScalaTest golden suite.
+    // p-values: not DuckDB-expressible (t/F/chi-square CDFs) -> rows-only
+    // check; exact statistics are covered by the ScalaTest golden suite.
     "t5_tableone_pvalues" -> ((s, dir) => TableOne.summarize(
       table(s, dir, "lineitem"),
       TableOneConfig(Some("l_linestatus"), Seq("l_returnflag", "l_quantity"), pValues = true))),
-    "t6_tableone_beautify" -> ((s, dir) => TableOne.summarize(
+    "t6_tableone_beautify" -> ((s, dir) => roundDoubles(TableOne.summarize(
       table(s, dir, "customer"),
-      TableOneConfig(Some("c_mktsegment"), Seq("c_acctbal"), beautify = true))),
+      TableOneConfig(Some("c_mktsegment"), Seq("c_acctbal"), beautify = true)))),
+    // null semantics (tableone_pyspark.py:177-204): null strat values ->
+    // MISSING stratum, null categorical values -> MISSING category, null
+    // continuous values excluded from every statistic. TPC-H parquet is
+    // null-free, so nulls are injected here to put the MISSING-fill and
+    // null-exclusion paths under the DuckDB hash check.
+    "t7_tableone_nulls" -> ((s, dir) => roundDoubles(TableOne.summarize(
+      table(s, dir, "lineitem")
+        .withColumn("l_returnflag", expr("nullif(l_returnflag, 'N')"))
+        .withColumn("l_linestatus", expr("nullif(l_linestatus, 'F')"))
+        .withColumn("l_quantity", expr("CASE WHEN l_quantity < 10 THEN NULL ELSE l_quantity END")),
+      TableOneConfig(Some("l_returnflag"), Seq("l_linestatus", "l_quantity"))))),
 
     // ---- core aggregation operators (SURVEY.md §2.4) ----
     "a1_group_count" -> ((s, dir) =>
@@ -137,6 +148,12 @@ object SparkEntry {
           grouping(col("l_returnflag")).cast("int").as("g_rf"),
           grouping(col("l_linestatus")).cast("int").as("g_ls"))
         .orderBy("g_rf", "g_ls", "l_returnflag", "l_linestatus")),
+    // two-stage salted aggregation must equal the plain GROUP BY
+    "k1_salted_agg" -> ((s, dir) => roundDoubles(
+      graft.ops.Skew.saltedAggregate(
+          table(s, dir, "lineitem").select("l_returnflag", "l_quantity"),
+          Seq("l_returnflag"), graft.ops.Skew.countSumMinMax("l_quantity"))
+        .orderBy("l_returnflag"))),
     "u1_set_ops" -> ((s, dir) => {
       val o = table(s, dir, "orders")
       val hi = o.filter(col("o_totalprice") > 100000).select(col("o_custkey"))
@@ -160,6 +177,17 @@ object SparkEntry {
       "orders", Some("o_orderpriority"),
       Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT_SPECIFIED", "5-LOW"),
       Seq("o_orderstatus" -> false, "o_totalprice" -> true)),
+    "t6_tableone_beautify" -> TableOneSql.oracle(
+      "customer", Some("c_mktsegment"),
+      Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"),
+      Seq("c_acctbal" -> true), beautify = true),
+    "t7_tableone_nulls" -> TableOneSql.oracle(
+      "(SELECT nullif(l_returnflag, 'N') AS l_returnflag, " +
+        "nullif(l_linestatus, 'F') AS l_linestatus, " +
+        "CASE WHEN l_quantity < 10 THEN NULL ELSE l_quantity END AS l_quantity " +
+        "FROM lineitem) AS src",
+      Some("l_returnflag"), Seq("A", "R", "MISSING"),
+      Seq("l_linestatus" -> false, "l_quantity" -> true)),
     "a1_group_count" ->
       "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "a2_pivot_counts" ->
@@ -201,6 +229,11 @@ object SparkEntry {
         "CAST(grouping(l_returnflag) AS INT) AS g_rf, CAST(grouping(l_linestatus) AS INT) AS g_ls " +
         "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) " +
         "ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+    "k1_salted_agg" ->
+      ("SELECT l_returnflag, count(l_quantity) AS l_quantity_n, " +
+        "ROUND(sum(l_quantity), 6) AS l_quantity_sum, ROUND(min(l_quantity), 6) AS l_quantity_min, " +
+        "ROUND(max(l_quantity), 6) AS l_quantity_max " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "u1_set_ops" ->
       ("WITH hi AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 100000), " +
         "urgent AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') " +

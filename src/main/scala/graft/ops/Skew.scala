@@ -36,9 +36,18 @@ object Skew {
     * uniformly distributed keys this adds one cheap extra shuffle of
     * pre-aggregated rows; for skewed keys it removes the straggler. */
   def saltedAggregate(df: DataFrame, keys: Seq[String], agg: SaltedAgg,
-                      saltFactor: Int = 32): DataFrame = {
+                      saltFactor: Int = 32, seed: Long = 42L): DataFrame = {
     require(saltFactor >= 1, "saltFactor must be >= 1")
-    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltFactor)))
+    // The salt must be DETERMINISTIC per row: with a nondeterministic salt
+    // (partition id, monotonically_increasing_id, rand), a fetch-failure-
+    // triggered map-task recomputation re-salts rows into different reduce
+    // partitions and partial aggregates duplicate or vanish (the
+    // SPARK-23207 hazard class). Hashing the full row content + seed keeps
+    // recomputed map output identical while still spreading a heavy key
+    // over saltFactor subkeys (identical duplicate rows share a salt, which
+    // only narrows spread if a single key is dominated by one exact row).
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(df.columns.map(col) :+ lit(seed): _*), lit(saltFactor)))
     val partial = salted.groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(agg.partial.head, agg.partial.tail: _*)
     partial.groupBy(keys.map(col): _*)

@@ -20,9 +20,16 @@ object TableOneSql {
   private def sanitize(col: String): String =
     s"COALESCE(REPLACE(CAST($col AS VARCHAR), ' ', '_'), 'MISSING')"
 
-  /** @param cols (name, isContinuous) in analysis order */
+  /** @param cols (name, isContinuous) in analysis order
+    * @param table table name OR a parenthesized derived-table expression
+    *              (e.g. `(SELECT nullif(c,'x') AS c FROM t) AS src`) —
+    *              interpolated verbatim into every `FROM`
+    * @param beautify wrap the long layout in the presentation transform:
+    *              drop Pivoted_column/Variable_type, keep the variable
+    *              label (underscores -> spaces) only on each variable's
+    *              first row (TableOne.summarize beautify branch) */
   def oracle(table: String, strat: Option[String], strata: Seq[String],
-             cols: Seq[(String, Boolean)]): String = {
+             cols: Seq[(String, Boolean)], beautify: Boolean = false): String = {
     val s = strat.map(sanitize)
     val stratFilter: Seq[String] = strata.map(v => s" FILTER (WHERE ${s.get} = '$v')")
     val allSlots: Seq[String] = "" +: stratFilter // global + per-stratum
@@ -101,6 +108,13 @@ object TableOneSql {
 
     val ctes = (Seq(totCte) ++ catCtes ++ contCtes).mkString("WITH ", ", ", " ")
     val body = (Seq(totalsSelect) ++ catSelects ++ contSelects).mkString(" UNION ALL ")
-    s"""$ctes$body ORDER BY "Index", "Values""""
+    if (!beautify) s"""$ctes$body ORDER BY "Index", "Values""""
+    else {
+      val pairColumns = countNames.flatMap(n => Seq(q(n), q(n + "_%")))
+      s"""$ctes, base AS ($body) SELECT ${q("Index")}, """ +
+        s"""CASE WHEN row_number() OVER (PARTITION BY ${q("Characteristics")} ORDER BY ${q("Index")}, ${q("Values")}) = 1 """ +
+        s"""THEN replace(${q("Characteristics")}, '_', ' ') ELSE NULL END AS ${q("Characteristics")}, """ +
+        s"""${q("Values")}, ${pairColumns.mkString(", ")} FROM base ORDER BY ${q("Index")}, ${q("Values")}"""
+    }
   }
 }
