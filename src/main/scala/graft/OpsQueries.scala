@@ -92,7 +92,7 @@ object OpsQueries {
         .select(col("query_id"), col("id"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("query_id"), col("cosine").desc, col("id"))
     }),
-    "s2_ann_lsh" -> ((s, dir) => { // LSH planes not SQL-expressible -> rows-only
+    "s2_ann_lsh" -> ((s, dir) => { // oracle embeds the deterministic plane literals
       val emb = table(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -109,7 +109,7 @@ object OpsQueries {
         .select(col("query_id"), col("id"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("query_id"), col("cosine").desc, col("id"))
     }),
-    "d5_embedding_neardup" -> ((s, dir) => { // LSH planes -> rows-only
+    "d5_embedding_neardup" -> ((s, dir) => { // oracle embeds the deterministic plane literals
       val emb = table(s, dir, "embeddings")
       val planes = Similarity.randomPlanes(4, 64)
       Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.2, planes)
@@ -119,10 +119,12 @@ object OpsQueries {
 
     // ---- multimodal plumbing (decode step is a documented stub) --------
     "m1_media_meta" -> ((s, dir) =>
+      // width/height for fake text payloads are hash-derived pseudo-decode
+      // noise (real PNG/JPEG/WAV header parsing is spec-verified on
+      // hand-built bytes); format + byte count are the oracle surface
       Multimodal.withMediaMeta(
           Multimodal.asBinaryPayload(docs(s, dir), "text"), "payload")
         .select(col("doc_id"), col("media_meta.format").as("format"),
-          col("media_meta.width").as("width"), col("media_meta.height").as("height"),
           col("media_meta.n_bytes").as("n_bytes"))
         .orderBy("doc_id")),
     "m2_media_features" -> ((s, dir) =>
@@ -157,7 +159,7 @@ object OpsQueries {
           round(TextAnalysis.stopwordRatio(t), 6).as("stopword_ratio"))
         .orderBy("doc_id")
     }),
-    "x2_text_enrich" -> ((s, dir) => { // regex lookarounds + argmax: rows-only
+    "x2_text_enrich" -> ((s, dir) => {
       val t = col("text")
       docs(s, dir).select(col("doc_id"),
           TextAnalysis.bpeishTokenCount(t).cast("long").as("n_tokens_bpeish"),
@@ -247,6 +249,23 @@ object OpsQueries {
   private val StopwordList =
     TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** Sign-bit LSH bucket as DuckDB SQL: the hyperplanes are deterministic
+    * (seeded LCG), so their exact values are embedded as list literals.
+    * Double.toString round-trips, and both engines accumulate the dot
+    * product sequentially in doubles over the float-cast embedding, so
+    * the sign (hence the bucket) matches bit-for-bit. */
+  private def bucketSql(vecExpr: String, planes: Seq[Seq[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      val plane = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_inner_product($vecExpr, $plane) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Per-language score expression over a lowercased token list `tk`. */
+  private def langScoreSql(words: Seq[String]): String = {
+    val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(tk, t -> list_contains($list, t)))::DOUBLE / greatest(len(tk), 1)"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "d1_exact_dedup" ->
       ("SELECT doc_id FROM (SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn " +
@@ -258,6 +277,31 @@ object OpsQueries {
         " FROM (SELECT doc_id, tk AS ta FROM toks) a " +
         "JOIN (SELECT doc_id, tk AS tb FROM toks) b ON b.doc_id = a.doc_id + 1 " +
         "ORDER BY id_a"),
+    "m1_media_meta" ->
+      ("SELECT doc_id, CASE WHEN octet_length(encode(text)) = 0 THEN 'empty' ELSE 'raw' END AS format, " +
+        "octet_length(encode(text))::BIGINT AS n_bytes FROM documents ORDER BY doc_id"),
+    "m3_frame_sample" ->
+      ("SELECT doc_id, ((greatest(octet_length(encode(text)) - 1, 0) // 64) + 1)::BIGINT AS n_frames " +
+        "FROM documents ORDER BY doc_id"),
+    "d5_embedding_neardup" -> {
+      val bucket = bucketSql("embedding::DOUBLE[]", graft.ops.Similarity.randomPlanes(4, 64))
+      ("WITH b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, " + bucket + " AS bucket FROM embeddings) " +
+        "SELECT a.id AS id_a, c.id AS id_b, ROUND(list_cosine_similarity(a.v, c.v), 6) AS cosine " +
+        "FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id " +
+        "WHERE list_cosine_similarity(a.v, c.v) >= 0.2 ORDER BY id_a, id_b")
+    },
+    "s2_ann_lsh" -> {
+      val bucket = bucketSql("embedding::DOUBLE[]", graft.ops.Similarity.randomPlanes(8, 64))
+      ("WITH cb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, " + bucket + " AS bucket FROM embeddings), " +
+        "qb AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, " + bucket + " AS bucket " +
+        "FROM embeddings WHERE vec_id < 3) " +
+        "SELECT query_id, id, cosine FROM (" +
+        "SELECT qb.qid AS query_id, cb.id AS id, ROUND(list_cosine_similarity(cb.v, qb.qv), 6) AS cosine, " +
+        "row_number() OVER (PARTITION BY qb.qid " +
+        "ORDER BY list_cosine_similarity(cb.v, qb.qv) DESC, cb.id) AS rn " +
+        "FROM cb JOIN qb USING (bucket)) WHERE rn <= 10 " +
+        "ORDER BY query_id, cosine DESC, id")
+    },
     "s1_cosine_topk" ->
       ("WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3) " +
         "SELECT query_id, id, cosine FROM (" +
@@ -279,6 +323,35 @@ object OpsQueries {
     "x3_token_topk" ->
       (s"SELECT t AS token, count(*) AS cnt FROM (SELECT unnest($Toks) AS t FROM documents) " +
         "GROUP BY t ORDER BY cnt DESC, token LIMIT 20"),
+    "x2_text_enrich" -> {
+      val langs = TextAnalysis.LangStopwords.toSeq.sortBy(_._1) // de en es fr it
+      val scoreCols = langs.map { case (l, ws) => s"${langScoreSql(ws)} AS s_$l" }
+      // tie-break mirrors array_max over (score, lang) structs: highest
+      // score, then lexicographically LARGEST language code
+      val pick = ("zh" +: langs.map(_._1).reverse)
+        .map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+      (s"WITH t AS (SELECT doc_id, text, ${toksOf("text")} AS tk FROM documents), " +
+        "s AS (SELECT doc_id, text, tk, " + scoreCols.mkString(", ") + ", " +
+        raw"length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g'))::DOUBLE / greatest(length(text), 1) AS s_zh, " +
+        "len(tk) AS n_tok, " +
+        raw"length(regexp_replace(text, '\s', '', 'g'))::DOUBLE / greatest(len(tk), 1) AS mtl, " +
+        s"len(list_filter(tk, t -> list_contains($StopwordList, t)))::DOUBLE / greatest(len(tk), 1) AS stop_r, " +
+        "length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / greatest(length(text), 1) AS punct_r, " +
+        "length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / greatest(length(text), 1) AS digit_r, " +
+        "length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE / greatest(length(text), 1) AS upper_r " +
+        "FROM t), " +
+        "f AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_it, s_zh) AS m FROM s) " +
+        "SELECT doc_id, " +
+        raw"len(regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]'))::BIGINT AS n_tokens_bpeish, " +
+        "ROUND(((CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END) + " +
+        "(CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.0 END) + " +
+        "(CASE WHEN stop_r >= 0.05 THEN 1.0 ELSE 0.0 END) + " +
+        "(CASE WHEN punct_r <= 0.3 THEN 1.0 ELSE 0.0 END) + " +
+        "(CASE WHEN digit_r <= 0.3 THEN 1.0 ELSE 0.0 END) + " +
+        "(CASE WHEN upper_r <= 0.3 THEN 1.0 ELSE 0.0 END)) / 6.0, 6) AS quality_score, " +
+        s"CASE WHEN m > 0.05 THEN (CASE $pick END) ELSE 'und' END AS lang_pred " +
+        "FROM f ORDER BY doc_id")
+    },
     "x4_tfidf" ->
       (s"WITH tk AS (SELECT doc_id, unnest(${toksOf("text")}) AS term FROM documents), " +
         "tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term), " +

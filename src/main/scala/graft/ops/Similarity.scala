@@ -75,6 +75,66 @@ object Similarity {
         .otherwise(lit(0L))
     }.reduce[Column]((a, b) => a.bitwiseOR(b))
 
+  /** Vector width of `vecCol`, read from the first row (one tiny job —
+    * a LocalLimit(1) scan, not a full pass). */
+  private[ops] def inferDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
+
+  /** Spherical k-means codebook trained on a bounded, deterministic
+    * sample: the `sampleSize` corpus rows with the smallest
+    * `xxhash64(id)` (a TakeOrdered — per-partition top-k then driver
+    * merge, no shuffle of the corpus, and stable under reprocessing),
+    * then Lloyd iterations on the driver (sampleSize x nlist x dim
+    * flops per iteration — microseconds at the default sizes). Sample
+    * size is fixed no matter the corpus size, so the collect stays
+    * bounded at 100 TB. Vectors are L2-normalized and means
+    * renormalized each round (cosine geometry); an emptied cluster
+    * keeps its previous centroid. */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                     nlist: Int, sampleSize: Int = 4096,
+                     iters: Int = 8): Seq[Seq[Double]] = {
+    val sample: Array[Array[Double]] = corpus
+      .select(col(vecCol).cast("array<double>").as("__v"))
+      .orderBy(xxhash64(col(idCol)))
+      .limit(sampleSize)
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Double]](0).toArray)
+    require(sample.nonEmpty, "cannot train centroids on an empty corpus")
+    val dim = sample.head.length
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val pts = sample.map(normalize)
+    val k = math.min(nlist, pts.length)
+    // init from the hash-ordered sample head: effectively random draws,
+    // deterministic given the data
+    var cents = pts.take(k).map(_.clone)
+    var iter = 0
+    while (iter < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      pts.foreach { p =>
+        var best = 0
+        var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          var d = 0.0
+          var i = 0
+          while (i < dim) { d += p(i) * cents(c)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(k)(c => if (counts(c) == 0) cents(c) else normalize(sums(c)))
+      iter += 1
+    }
+    cents.map(_.toSeq).toSeq
+  }
+
   /** Index of the highest-cosine centroid (ties -> lowest index). */
   private[ops] def assignCentroid(vec: Column, cents: Seq[Seq[Double]]): Column =
     array_max(array(cents.zipWithIndex.map { case (c, i) =>
@@ -94,17 +154,17 @@ object Similarity {
   /** ANN top-k via an IVF (inverted-file) index: corpus vectors are
     * partitioned into `nlist` lists by nearest coarse centroid; each
     * query probes its `nprobe` nearest lists and reranks by exact cosine.
-    * Coarse centroids are the first `nlist` corpus vectors by id — a
-    * deterministic stand-in for a k-means codebook (swap in trained
-    * centroids for better recall; the index/probe plumbing is identical).
+    * Coarse centroids default to a [[trainCentroids]] spherical-k-means
+    * codebook fitted on a bounded hash-deterministic sample (pass
+    * `centroids` to reuse a codebook across calls or supply your own).
     * The probe join is an equi-join on the list id, so the corpus stays
-    * partitioned and only (nprobe/nlist) of it is scored per query. */
+    * partitioned and only ~(nprobe/nlist) of it is scored per query. */
   def topKIvf(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
-              k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cents: Seq[Seq[Double]] = corpus.orderBy(corpusId).limit(nlist)
-      .select(corpusVec).collect()
-      .map(_.getAs[scala.collection.Seq[Number]](0).map(_.doubleValue()).toSeq).toSeq
+              k: Int, nlist: Int = 16, nprobe: Int = 4,
+              centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    val cents: Seq[Seq[Double]] =
+      centroids.getOrElse(trainCentroids(corpus, corpusId, corpusVec, nlist))
     val c = corpus.select(col(corpusId).as("id"), col(corpusVec).as("__cv"),
       assignCentroid(col(corpusVec), cents).as("__list"))
     val q = broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"),
@@ -123,9 +183,13 @@ object Similarity {
     * construction — `numPlanes` trades recall for bucket size. */
   def topKLsh(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
-              k: Int, numPlanes: Int = 8, seed: Long = 42L): DataFrame = {
-    val dim = 64 // embeddings table dimension; callers with other dims pass planes via lshBucket directly
-    val planes = randomPlanes(numPlanes, dim, seed)
+              k: Int, numPlanes: Int = 8, seed: Long = 42L,
+              dim: Int = -1): DataFrame = {
+    // Hyperplanes must span the full embedding width: a wrong dim would
+    // silently bucket on a prefix (DotProduct stops at the shorter
+    // array). Infer from the data unless the caller pins it.
+    val d = if (dim > 0) dim else inferDim(corpus, corpusVec)
+    val planes = randomPlanes(numPlanes, d, seed)
     val c = corpus.select(col(corpusId).as("id"), col(corpusVec).as("__cv"),
       lshBucket(col(corpusVec), planes).as("__bucket"))
     val q = broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"),

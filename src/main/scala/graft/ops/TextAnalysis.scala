@@ -21,12 +21,13 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** A BPE-ish subword proxy: counts runs of letters, digits, or single
-    * punctuation marks — approximates tokenizer token counts without a
-    * vocabulary. */
+  /** A BPE-ish subword proxy: counts runs of letters/digits plus each
+    * individual non-whitespace symbol — approximates tokenizer token
+    * counts without a vocabulary. One alternation regex (the two classes
+    * are disjoint, so leftmost-longest and leftmost-greedy semantics
+    * agree — the same pattern is valid RE2 for the DuckDB oracle). */
   def bpeishTokenCount(text: Column): Column =
-    size(filter(split(text, "(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])"),
-      t => length(trim(t)) > 0))
+    regexp_count(text, lit("[\\p{L}\\p{N}]+|[^\\p{L}\\p{N}\\s]"))
 
   // --- quality signals ------------------------------------------------
 
@@ -95,8 +96,9 @@ object TextAnalysis {
   // --- language identification ---------------------------------------
 
   /** Per-language discriminative function-word sets (public linguistic
-    * knowledge). CJK languages are detected by script instead. */
-  private val LangStopwords: Map[String, Seq[String]] = Map(
+    * knowledge). CJK languages are detected by script instead. Public so
+    * the DuckDB oracle SQL can embed the identical lists. */
+  val LangStopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was",
       "for", "are", "with", "you", "this", "not", "have", "from"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine",

@@ -20,6 +20,8 @@ def load_views(con, sf_dir):
 
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
+    if len(df) == 0:
+        return df.reset_index(drop=True)
     # stable sort over stringified rows for order-insensitive compare
     key = df.astype(str).agg("|".join, axis=1)
     return df.iloc[key.argsort(kind="stable")].reset_index(drop=True)
