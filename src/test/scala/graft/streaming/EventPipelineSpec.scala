@@ -128,6 +128,37 @@ class EventPipelineSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("sessionize keeps exact bounds for in-watermark late events across batches") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventPipeline.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("latesess").outputMode("append").start()
+    try {
+      // batch 1: in-order events; state = [10:00, 10:10], watermark -> 09:10
+      input.addData(Event(1L, ts("10:00"), 1L, "click", 1.0),
+        Event(2L, ts("10:10"), 1L, "click", 2.0))
+      q.processAllAvailable()
+      // batch 2: two in-watermark OUT-OF-ORDER events — one inside the
+      // session span (10:05) and one before its start (09:55). Neither may
+      // move the end backwards; the early one extends the start downward.
+      input.addData(Event(3L, ts("10:05"), 1L, "click", 0.5),
+        Event(4L, ts("09:55"), 1L, "click", 0.25))
+      q.processAllAvailable()
+      // batches 3-4: push the watermark past 10:40 (= max event + gap) so
+      // the event-time timeout fires and the session is emitted.
+      input.addData(Event(5L, ts("14:00"), 2L, "view", 7.0))
+      q.processAllAvailable()
+      input.addData(Event(6L, ts("14:01"), 2L, "view", 1.0))
+      q.processAllAvailable()
+      val s1 = spark.table("latesess").as[Session].collect().filter(_.user_id == 1L)
+      s1.length shouldBe 1
+      s1.head.start shouldBe ts("09:55") // extended DOWN by the early late event
+      s1.head.end shouldBe ts("10:10")   // NOT moved back by the 10:05 event
+      s1.head.n_events shouldBe 4L
+      s1.head.sum_value shouldBe 3.75
+    } finally q.stop()
+  }
+
   test("streaming sessionize closes a session via event-time timeout") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Event]
