@@ -167,12 +167,11 @@ object OpsQueries {
           TextAnalysis.languageId(t).as("lang_pred"))
         .orderBy("doc_id")
     }),
-    "x4_tfidf" -> ((s, dir) => {
-      val d = docs(s, dir)
-      TextAnalysis.tfidfTopTerms(d, "doc_id", "text", n = d.count(), k = 3)
+    "x4_tfidf" -> ((s, dir) =>
+      // corpus size N is an in-plan count subquery — no driver-side count
+      TextAnalysis.tfidfTopTerms(docs(s, dir), "doc_id", "text", k = 3)
         .select(col("doc_id"), col("term"), round(col("score"), 6).as("score"))
-        .orderBy(col("doc_id"), col("score").desc, col("term"))
-    }),
+        .orderBy(col("doc_id"), col("score").desc, col("term"))),
     "x3_token_topk" -> ((s, dir) =>
       docs(s, dir).select(explode(TextAnalysis.tokens(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("cnt"))
@@ -292,9 +291,14 @@ object OpsQueries {
     },
     "s2_ann_lsh" -> {
       val bucket = bucketSql("embedding::DOUBLE[]", graft.ops.Similarity.randomPlanes(8, 64))
+      // multi-probe: the query probes its own bucket plus every 1-bit-flip
+      // neighbor — the same probe set topKLsh builds
+      val probeList = ("bucket" +: (0 until 8).map(i => s"xor(bucket, ${1L << i})"))
+        .mkString("[", ", ", "]")
       ("WITH cb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, " + bucket + " AS bucket FROM embeddings), " +
-        "qb AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, " + bucket + " AS bucket " +
-        "FROM embeddings WHERE vec_id < 3) " +
+        "q0 AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, " + bucket + " AS bucket " +
+        "FROM embeddings WHERE vec_id < 3), " +
+        s"qb AS (SELECT qid, qv, unnest($probeList) AS bucket FROM q0) " +
         "SELECT query_id, id, cosine FROM (" +
         "SELECT qb.qid AS query_id, cb.id AS id, ROUND(list_cosine_similarity(cb.v, qb.qv), 6) AS cosine, " +
         "row_number() OVER (PARTITION BY qb.qid " +

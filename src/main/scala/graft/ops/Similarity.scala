@@ -75,10 +75,18 @@ object Similarity {
         .otherwise(lit(0L))
     }.reduce[Column]((a, b) => a.bitwiseOR(b))
 
-  /** Vector width of `vecCol`, read from the first row (one tiny job —
-    * a LocalLimit(1) scan, not a full pass). */
-  private[ops] def inferDim(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol))).head().getInt(0)
+  /** Vector width of `vecCol`, read from the first row with a usable
+    * vector (one tiny job — a LocalLimit(1) scan, not a full pass).
+    * Null/empty vectors are skipped; an empty corpus fails with a clear
+    * message instead of a bare NoSuchElementException. */
+  private[ops] def inferDim(df: DataFrame, vecCol: String): Int = {
+    val d = df.select(size(col(vecCol)).as("__d"))
+      .filter(col("__d").isNotNull && col("__d") > 0)
+      .head(1)
+    require(d.nonEmpty,
+      s"cannot infer vector dim: column '$vecCol' has no non-null, non-empty vectors")
+    d.head.getInt(0)
+  }
 
   /** Spherical k-means codebook trained on a bounded, deterministic
     * sample: the `sampleSize` corpus rows with the smallest
@@ -178,13 +186,21 @@ object Similarity {
   }
 
   /** ANN top-k: LSH-bucketed variant of [[topKForQueries]]. Candidates are
-    * corpus rows sharing the query's bucket (equi-join on the packed sign
-    * bits); rerank by exact cosine within the bucket. Recall < 1 by
-    * construction — `numPlanes` trades recall for bucket size. */
+    * corpus rows sharing one of the query's PROBED buckets (equi-join on
+    * the packed sign bits); rerank by exact cosine within the bucket.
+    * Recall < 1 by construction — `numPlanes` trades recall for bucket
+    * size, and `multiProbe` (standard multi-probe LSH: also probe every
+    * 1-bit-flip neighbor bucket, the most likely homes of a near
+    * neighbor whose one borderline hyperplane sign flipped) buys back
+    * recall at the same plane count for numPlanes+1 probe joins per
+    * query. Probed buckets are distinct values of the corpus row's single
+    * bucket key, so a (corpus, query) pair still joins at most once — no
+    * dedup step. The corpus side is untouched: still one scan, one
+    * bucket per row, only the tiny broadcast query side fans out. */
   def topKLsh(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
               k: Int, numPlanes: Int = 8, seed: Long = 42L,
-              dim: Int = -1): DataFrame = {
+              dim: Int = -1, multiProbe: Boolean = true): DataFrame = {
     // Hyperplanes must span the full embedding width: a wrong dim would
     // silently bucket on a prefix (DotProduct stops at the shorter
     // array). Infer from the data unless the caller pins it.
@@ -192,8 +208,12 @@ object Similarity {
     val planes = randomPlanes(numPlanes, d, seed)
     val c = corpus.select(col(corpusId).as("id"), col(corpusVec).as("__cv"),
       lshBucket(col(corpusVec), planes).as("__bucket"))
+    val qb = lshBucket(col(queryVec), planes)
+    val probes =
+      if (multiProbe) array(qb +: (0 until numPlanes).map(i => qb.bitwiseXOR(lit(1L << i))): _*)
+      else array(qb)
     val q = broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"),
-      lshBucket(col(queryVec), planes).as("__bucket")))
+      explode(probes).as("__bucket")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id"))
     c.join(q, Seq("__bucket"))
       .select(col("query_id"), col("id"),

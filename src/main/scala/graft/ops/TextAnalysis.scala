@@ -138,16 +138,29 @@ object TextAnalysis {
     * idf = ln(N / df). Three stages — explode+count (tf), term-level
     * count (df, vocabulary-sized so its join back is broadcastable),
     * per-doc top-k via WindowGroupLimit — each a plain shuffle on its
-    * natural key. `n` is the corpus size (pass `df.count()` or a cached
-    * value; kept explicit so callers can amortize it). */
+    * natural key. The corpus size N rides INSIDE the plan as a broadcast
+    * 1-row count subquery (a column-pruned scan), so the whole operator
+    * is one lazy job — no separate driver-side `count()` action. */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
-                    n: Long, k: Int = 3): DataFrame = {
+                    k: Int = 3): DataFrame =
+    tfidfTopTermsImpl(docs, idCol, textCol,
+      broadcast(docs.agg(count(lit(1)).cast("double").as("__n"))), k)
+
+  /** Variant with a caller-supplied corpus size (amortize a known N
+    * across repeated calls instead of re-counting per invocation). */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    n: Long, k: Int): DataFrame =
+    tfidfTopTermsImpl(docs, idCol, textCol,
+      docs.sparkSession.range(1).select(lit(n.toDouble).as("__n")), k)
+
+  private def tfidfTopTermsImpl(docs: DataFrame, idCol: String, textCol: String,
+                                nDf: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = docs.select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
       .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(dfreq), Seq("term"))
-      .withColumn("score", col("tf") * log(lit(n.toDouble) / col("df")))
+    val scored = tf.join(broadcast(dfreq), Seq("term")).crossJoin(broadcast(nDf))
+      .withColumn("score", col("tf") * log(col("__n") / col("df")))
     val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("term"))
     scored.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)

@@ -104,19 +104,39 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
     val truth = asMap(Similarity.topKForQueries(corpusDf, "id", "vec", queries, "qid", "qv", 10))
     // dim inferred from the data (16 here) — the old hardcoded 64 is gone
     val lsh = asMap(Similarity.topKLsh(corpusDf, "id", "vec", queries, "qid", "qv", 10, numPlanes = 6))
+    val lshSingle = asMap(Similarity.topKLsh(corpusDf, "id", "vec", queries, "qid", "qv", 10,
+      numPlanes = 6, multiProbe = false))
     val trained = asMap(Similarity.topKIvf(corpusDf, "id", "vec", queries, "qid", "qv", 10,
       nlist = 8, nprobe = 2))
     val untrained = asMap(Similarity.topKIvf(corpusDf, "id", "vec", queries, "qid", "qv", 10,
       nlist = 8, nprobe = 2, centroids = Some(pts.take(8).map(_._2))))
-    val (rL, rT, rU) = (recallAt(truth, lsh), recallAt(truth, trained), recallAt(truth, untrained))
-    withClue(s"recall lsh=$rL trainedIvf=$rT untrainedIvf=$rU: ") {
+    val (rL, rS, rT, rU) = (recallAt(truth, lsh), recallAt(truth, lshSingle),
+      recallAt(truth, trained), recallAt(truth, untrained))
+    withClue(s"recall lshMulti=$rL lshSingle=$rS trainedIvf=$rT untrainedIvf=$rU: ") {
       rT should be >= 0.95 // trained codebook covers every planted cluster
       rT should be > rU // and beats first-N-by-id centroids on id-clustered data
-      // single-table sign-bit LSH trades recall for bucket size: with 6
-      // planes and ~36deg intra-cluster angles the per-pair bucket-match
-      // probability is (1 - theta/pi)^6 ~ 0.26; 0.4 pins the observed 0.52
-      // with slack against noise-seed drift
-      rL should be >= 0.4
+      // sign-bit LSH trades recall for bucket size: with 6 planes and
+      // ~36deg intra-cluster angles the per-pair single-bucket match
+      // probability is p^6 ~ 0.26 (p = 1 - theta/pi); 1-bit-flip
+      // multi-probe lifts it to p^6 + 6 p^5 (1-p) ~ 0.65. The floors pin
+      // the observed 0.52 (single) / >=0.8 (multi) with slack against
+      // noise-seed drift.
+      rS should be >= 0.4
+      rL should be >= 0.7
+      rL should be >= rS // multi-probe can only add candidates
+    }
+  }
+
+  test("topKLsh on an empty or all-null corpus fails with a clear message") {
+    val queries = Seq((10L, Seq(1.0, 0.0))).toDF("qid", "qv")
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("id", "vec")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.topKLsh(empty, "id", "vec", queries, "qid", "qv", 5)
+    }
+    ex.getMessage should include ("cannot infer vector dim")
+    val allNull = Seq((1L, null.asInstanceOf[Seq[Double]])).toDF("id", "vec")
+    intercept[IllegalArgumentException] {
+      Similarity.topKLsh(allNull, "id", "vec", queries, "qid", "qv", 5)
     }
   }
 

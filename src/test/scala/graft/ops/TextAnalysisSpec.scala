@@ -77,6 +77,11 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     out shouldBe Set(
       (1L, "b", math.log(2.0)), (1L, "a", 0.0),
       (2L, "c", math.log(2.0)), (2L, "a", 0.0))
+    // the in-plan-N overload (count subquery, no driver action) agrees
+    val inPlan = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term"),
+        r.getAs[Double]("score"))).toSet
+    inPlan shouldBe out
   }
 
   test("withQuality adds all columns and keeps row count") {
