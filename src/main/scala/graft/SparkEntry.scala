@@ -64,6 +64,17 @@ object SparkEntry {
         .withColumn("l_linestatus", expr("nullif(l_linestatus, 'F')"))
         .withColumn("l_quantity", expr("CASE WHEN l_quantity < 10 THEN NULL ELSE l_quantity END")),
       TableOneConfig(Some("l_returnflag"), Seq("l_linestatus", "l_quantity"))))),
+    // type dispatch beyond the reference's string/numeric warn-skip
+    // (tableone_pyspark.py:215-217): boolean -> two-category variable,
+    // decimal -> continuous, timestamp -> skipped with a warning (the
+    // o_orderdate entry produces no output rows — the oracle omits it).
+    // floor() before the decimal cast keeps the value set integral, so
+    // decimal rounding modes cannot differ between engines.
+    "t8_tableone_types" -> ((s, dir) => roundDoubles(TableOne.summarize(
+      table(s, dir, "orders")
+        .withColumn("o_is_urgent", col("o_orderpriority") === "1-URGENT")
+        .withColumn("o_price_dec", floor(col("o_totalprice")).cast("decimal(18,2)")),
+      TableOneConfig(Some("o_orderstatus"), Seq("o_is_urgent", "o_price_dec", "o_orderdate"))))),
 
     // ---- core aggregation operators (SURVEY.md §2.4) ----
     "a1_group_count" -> ((s, dir) =>
@@ -188,6 +199,15 @@ object SparkEntry {
         "FROM lineitem) AS src",
       Some("l_returnflag"), Seq("A", "R", "MISSING"),
       Seq("l_linestatus" -> false, "l_quantity" -> true)),
+    "t8_tableone_types" -> TableOneSql.oracle(
+      "(SELECT o_orderstatus, " +
+        "CASE WHEN o_orderpriority = '1-URGENT' THEN 'true' ELSE 'false' END AS o_is_urgent, " +
+        "CAST(floor(o_totalprice) AS DECIMAL(18,2)) AS o_price_dec " +
+        "FROM orders) AS src",
+      Some("o_orderstatus"), Seq("F", "O", "P"),
+      // o_orderdate is skipped by the engine (timestamp), so it does not
+      // appear here — positions must match the ANALYZED column order
+      Seq("o_is_urgent" -> false, "o_price_dec" -> true)),
     "a1_group_count" ->
       "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "a2_pivot_counts" ->

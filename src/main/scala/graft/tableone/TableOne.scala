@@ -97,10 +97,16 @@ object TableOne {
     sealed trait Kind
     case object Cat extends Kind
     case object Cont extends Kind
+    // Type dispatch (beyond the reference's string/numeric-only handling,
+    // tableone_pyspark.py:215-217): booleans are a natural two-category
+    // variable (cast to "true"/"false" in the melt); DecimalType is a
+    // NumericType, so decimal measures get the full continuous treatment
+    // (stats are cast to double on the way out); date/timestamp and any
+    // other type warn and skip — there is no defensible default summary.
     val analyzed: Seq[(String, Kind)] = cfg.cols.flatMap { c =>
       schema(c).dataType match {
-        case StringType     => Some(c -> (Cat: Kind))
-        case _: NumericType => Some(c -> (Cont: Kind))
+        case StringType | BooleanType => Some(c -> (Cat: Kind))
+        case _: NumericType           => Some(c -> (Cont: Kind))
         case other =>
           Console.err.println(s"[tableone] unsupported column type $c:$other — skipped")
           None
@@ -255,8 +261,9 @@ object TableOne {
 
     // --- categorical block (stays distributed; one melt + agg job) ----
     val catBlock: Option[DataFrame] = if (catCols.isEmpty) None else Some {
+      // cast covers BooleanType categoricals ("true"/"false"); no-op for strings
       val kvs = array(catCols.map(c =>
-        struct(lit(c).as("variable"), coalesce(col(c), lit(Missing)).as("Values"))): _*)
+        struct(lit(c).as("variable"), coalesce(col(c).cast(StringType), lit(Missing)).as("Values"))): _*)
       val melted = cfg.stratify match {
         case Some(s) => working.select(Sanitize.stratColumn(col(s)).as(StratCol), explode(kvs).as("kv"))
         case None    => working.select(lit("").as(StratCol), explode(kvs).as("kv"))

@@ -126,17 +126,24 @@ class TableOneGoldenSpec extends AnyFunSuite {
     assert(mean.getAs[Double]("All_Patients") == 42.0)
   }
 
-  test("two strata selects the t-test; unsupported types are skipped") {
+  test("two strata selects the t-test; booleans summarize as categories") {
     import spark.implicits._
-    // strat East/West only; analyze age (t-test) and a boolean (skipped)
+    // strat East/West only; analyze a boolean (two-category variable) and
+    // age (t-test); a timestamp column is the one that gets skipped
     val df = fixture.filter($"region".isin("East", "West"))
       .withColumn("flag", $"age" > org.apache.spark.sql.functions.lit(30))
+      .withColumn("ts", org.apache.spark.sql.functions.current_timestamp())
     val out = TableOne.summarize(df,
-      TableOneConfig(stratify = Some("region"), cols = Seq("flag", "age"), pValues = true))
+      TableOneConfig(stratify = Some("region"), cols = Seq("flag", "age", "ts"), pValues = true))
     val rows = out.collect()
-    // flag skipped -> age is variable 1; its n row carries the t-test
+    // flag is variable 1 with categories false/true; ts produced no rows
+    val flagVals = rows.filter(_.getAs[String]("Characteristics") == "flag")
+      .map(_.getAs[String]("Values")).toSet
+    assert(flagVals == Set("true", "false"))
+    assert(!rows.exists(_.getAs[String]("Characteristics") == "ts"))
+    // age is variable 2; its n row carries the t-test
     val nRow = rows.find(r => r.getAs[String]("Values") == "n").get
-    assert(math.abs(nRow.getAs[Double]("Index") - 1.1) < eps)
+    assert(math.abs(nRow.getAs[Double]("Index") - 2.1) < eps)
     assert(nRow.getAs[String]("test_name") == "t-test")
     // East ages: 18,25,21; West: 55,65,70 -> pooled t
     val east = GroupMoments(3, 64.0 / 3, Seq(18.0, 25, 21).map(x => math.pow(x - 64.0 / 3, 2)).sum / 2)

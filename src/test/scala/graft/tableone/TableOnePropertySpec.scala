@@ -111,6 +111,22 @@ class TableOnePropertySpec extends AnyFunSuite with Matchers {
     bMax.getAs[Double]("All_Patients") shouldBe 5.0
   }
 
+  test("boolean columns summarize as two-category variables; timestamps skip") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  ('A', true,  TIMESTAMP '2024-01-01 00:00:00'),
+        |  ('A', false, TIMESTAMP '2024-01-02 00:00:00'),
+        |  ('B', true,  TIMESTAMP '2024-01-03 00:00:00')
+        |AS t(g, flag, ts)""".stripMargin)
+    val out = TableOne.summarize(df, TableOneConfig(Some("g"), Seq("flag", "ts"))).collect()
+    val flagRows = out.filter(_.getAs[String]("Characteristics") == "flag")
+    flagRows.map(_.getAs[String]("Values")).toSet shouldBe Set("true", "false")
+    flagRows.find(_.getAs[String]("Values") == "true").get
+      .getAs[Double]("All_Patients") shouldBe 2.0
+    // timestamp column is skipped entirely — no output rows
+    out.filter(_.getAs[String]("Characteristics") == "ts") shouldBe empty
+  }
+
   test("maxStrata guard fails fast on high-cardinality stratification") {
     val df = (1 to 50).map(i => (s"s$i", i.toDouble)).toDF("strat", "cont")
     val e = intercept[IllegalArgumentException] {
