@@ -1,0 +1,40 @@
+package graft
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class CliSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+
+  test("parse handles all flags and flag order") {
+    val a = Cli.parse(Seq("--cols", "a,b", "--input", "/x.parquet",
+      "--stratify", "s", "--p-values", "--beautify", "--output", "/o.csv"))
+    a shouldBe Right(Cli.CliArgs("/x.parquet", Some("s"), Seq("a", "b"),
+      pValues = true, beautify = true, output = Some("/o.csv")))
+  }
+
+  test("parse rejects missing required args and unknown flags") {
+    Cli.parse(Seq("--cols", "a")).left.toOption.get should include ("--input is required")
+    Cli.parse(Seq("--input", "/x")).left.toOption.get should include ("--cols is required")
+    Cli.parse(Seq("--input", "/x", "--cols", "a", "--bogus"))
+      .left.toOption.get should include ("unknown")
+  }
+
+  test("end-to-end: summarizes a parquet input and writes parquet output") {
+    val a = Cli.parse(Seq(
+      "--input", "/root/testdata/sf0.001/lineitem.parquet",
+      "--stratify", "l_returnflag",
+      "--cols", "l_linestatus,l_quantity",
+      "--p-values")).toOption.get
+    val out = Cli.run(spark, a)
+    val rows = out.collect()
+    rows.length should be > 5
+    out.columns should contain allOf ("Index", "Characteristics", "Values",
+      "All_Patients", "p_value")
+    // write path round-trips
+    val dir = java.nio.file.Files.createTempDirectory("cli_out").toString + "/t1"
+    out.write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).count() shouldBe rows.length
+  }
+}
