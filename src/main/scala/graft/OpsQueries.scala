@@ -228,10 +228,12 @@ object OpsQueries {
     }),
   )
 
-  // DuckDB-side token array matching TextAnalysis.tokens.
-  private val Toks = raw"list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0)"
+  // DuckDB-side token array matching TextAnalysis.tokens. The whitespace
+  // class is the shared explicit one (Java \s and RE2 \s disagree on \x0B).
+  private val Ws = s"[${TextAnalysis.WhitespaceClass}]"
+  private val Toks = raw"list_filter(string_split_regex(text, '$Ws+'), t -> length(t) > 0)"
   private def toksOf(c: String) =
-    raw"list_filter(string_split_regex(lower($c), '\s+'), t -> length(t) > 0)"
+    raw"list_filter(string_split_regex(lower($c), '$Ws+'), t -> length(t) > 0)"
   /** DuckDB n-gram shingle list matching Dedup.shingles (lowercased). */
   private def shingleSql(n: Int, tk: String): String =
     if (n == 1) s"list_distinct($tk)"
@@ -252,7 +254,13 @@ object OpsQueries {
     * (seeded LCG), so their exact values are embedded as list literals.
     * Double.toString round-trips, and both engines accumulate the dot
     * product sequentially in doubles over the float-cast embedding, so
-    * the sign (hence the bucket) matches bit-for-bit. */
+    * the sign (hence the bucket) matches bit-for-bit. KNOWN FRAGILITY:
+    * if DuckDB ever switches list_inner_product to pairwise/FMA
+    * summation, a |dot| within ~1e-13 of zero could flip its bucket bit
+    * and fail this gate spuriously. SimilaritySpec's "oracle sign margin"
+    * test pins that the actual gated embeddings stay orders of magnitude
+    * above that margin on every plane, so a future failure here means the
+    * data moved onto a knife edge, not that the engine broke. */
   private def bucketSql(vecExpr: String, planes: Seq[Seq[Double]]): String =
     planes.zipWithIndex.map { case (p, i) =>
       val plane = p.mkString("[", ", ", "]")
@@ -277,7 +285,17 @@ object OpsQueries {
         "JOIN (SELECT doc_id, tk AS tb FROM toks) b ON b.doc_id = a.doc_id + 1 " +
         "ORDER BY id_a"),
     "m1_media_meta" ->
-      ("SELECT doc_id, CASE WHEN octet_length(encode(text)) = 0 THEN 'empty' ELSE 'raw' END AS format, " +
+      // Mirrors decodeStub's reachable branches for UTF-8 text payloads:
+      // a text CAN spell 'RIFF....WAVE' in printable ASCII (-> 'wav'),
+      // while the PNG/JPEG magic bytes (0x89 / 0xFF) cannot begin valid
+      // UTF-8, so those branches are unreachable here. Byte positions are
+      // checked on hex(blob) (2 hex chars/byte) since DuckDB substring is
+      // VARCHAR-only: bytes 1-4 = hex 1-8 'RIFF', bytes 9-12 = hex 17-24
+      // 'WAVE'.
+      ("SELECT doc_id, CASE WHEN octet_length(encode(text)) = 0 THEN 'empty' " +
+        "WHEN octet_length(encode(text)) >= 28 AND substring(hex(encode(text)), 1, 8) = '52494646' " +
+        "AND substring(hex(encode(text)), 17, 8) = '57415645' THEN 'wav' " +
+        "ELSE 'raw' END AS format, " +
         "octet_length(encode(text))::BIGINT AS n_bytes FROM documents ORDER BY doc_id"),
     "m3_frame_sample" ->
       ("SELECT doc_id, ((greatest(octet_length(encode(text)) - 1, 0) // 64) + 1)::BIGINT AS n_frames " +
@@ -317,7 +335,7 @@ object OpsQueries {
         "ORDER BY query_id, cosine DESC, id"),
     "x1_text_stats" ->
       (s"SELECT doc_id, length(text) AS n_chars_computed, len($Toks) AS n_tokens, " +
-        raw"ROUND(length(regexp_replace(text, '\s', '', 'g'))::DOUBLE / greatest(len($Toks), 1), 6) AS mean_token_len, " +
+        raw"ROUND(length(regexp_replace(text, '$Ws', '', 'g'))::DOUBLE / greatest(len($Toks), 1), 6) AS mean_token_len, " +
         "ROUND(length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / greatest(length(text), 1), 6) AS punct_ratio, " +
         "ROUND(length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / greatest(length(text), 1), 6) AS digit_ratio, " +
         "ROUND(length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE / greatest(length(text), 1), 6) AS upper_ratio, " +
@@ -338,7 +356,7 @@ object OpsQueries {
         "s AS (SELECT doc_id, text, tk, " + scoreCols.mkString(", ") + ", " +
         raw"length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g'))::DOUBLE / greatest(length(text), 1) AS s_zh, " +
         "len(tk) AS n_tok, " +
-        raw"length(regexp_replace(text, '\s', '', 'g'))::DOUBLE / greatest(len(tk), 1) AS mtl, " +
+        raw"length(regexp_replace(text, '$Ws', '', 'g'))::DOUBLE / greatest(len(tk), 1) AS mtl, " +
         s"len(list_filter(tk, t -> list_contains($StopwordList, t)))::DOUBLE / greatest(len(tk), 1) AS stop_r, " +
         "length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / greatest(length(text), 1) AS punct_r, " +
         "length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / greatest(length(text), 1) AS digit_r, " +
@@ -346,7 +364,7 @@ object OpsQueries {
         "FROM t), " +
         "f AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_it, s_zh) AS m FROM s) " +
         "SELECT doc_id, " +
-        raw"len(regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]'))::BIGINT AS n_tokens_bpeish, " +
+        raw"len(regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N}${TextAnalysis.WhitespaceClass}]'))::BIGINT AS n_tokens_bpeish, " +
         "ROUND(((CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END) + " +
         "(CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.0 END) + " +
         "(CASE WHEN stop_r >= 0.05 THEN 1.0 ELSE 0.0 END) + " +

@@ -238,6 +238,65 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryVectorEx
     copy(left = l(0), right = l(1))
 }
 
+/** Indices of the `nprobe` highest-cosine centroids for a vector, against
+  * a codebook carried INSIDE the expression as plain data. The
+  * alternative — one cosine sub-expression per centroid assembled into an
+  * `array(struct(...))` and sorted — grows the PLAN (and its codegen)
+  * linearly with the codebook, which stops being free around a few
+  * hundred centroids; here the plan cost is one node no matter the nlist.
+  * Ordering matches the struct formulation bit-for-bit: cosine uses the
+  * same one-pass min-length accumulation as [[CosineSim]], ranking is
+  * (score desc, index asc). */
+case class NearestCentroids(child: Expression, cents: Seq[Seq[Double]], nprobe: Int)
+  extends UnaryExpression with CodegenFallback {
+  require(cents.nonEmpty, "codebook must not be empty")
+  require(nprobe >= 1, "nprobe must be >= 1")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  @transient private lazy val cArr: Array[Array[Double]] = cents.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val k = math.min(nprobe, cArr.length)
+    val topScore = new Array[Double](k)
+    val topIdx = new Array[Int](k)
+    var filled = 0
+    var c = 0
+    while (c < cArr.length) {
+      val cent = cArr(c)
+      val n = math.min(v.numElements(), cent.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = v.getDouble(i); val y = cent(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      val s = if (d == 0.0) 0.0 else dot / d
+      // insertion into the running top-k: better = higher score, or equal
+      // score with lower index (matches struct(score, -i) max semantics)
+      var pos = filled
+      while (pos > 0 && (s > topScore(pos - 1) ||
+          (s == topScore(pos - 1) && c < topIdx(pos - 1)))) pos -= 1
+      if (pos < k) {
+        val last = math.min(filled, k - 1)
+        var j = last
+        while (j > pos) { topScore(j) = topScore(j - 1); topIdx(j) = topIdx(j - 1); j -= 1 }
+        topScore(pos) = s; topIdx(pos) = c
+        if (filled < k) filled += 1
+      }
+      c += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(topIdx, filled))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
+
 object HashFunctions {
   private def expr(c: Column): Expression = ColumnBridge.expression(c)
 
@@ -269,4 +328,8 @@ object HashFunctions {
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(
       expr(a.cast("array<double>")), expr(b.cast("array<double>"))))
+
+  /** Indices of the `nprobe` nearest (highest-cosine) codebook centroids. */
+  def nearestCentroids(vec: Column, cents: Seq[Seq[Double]], nprobe: Int): Column =
+    ColumnBridge.column(NearestCentroids(expr(vec.cast("array<double>")), cents, nprobe))
 }

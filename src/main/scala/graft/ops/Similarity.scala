@@ -143,21 +143,18 @@ object Similarity {
     cents.map(_.toSeq).toSeq
   }
 
-  /** Index of the highest-cosine centroid (ties -> lowest index). */
+  /** Index of the highest-cosine centroid (ties -> lowest index).
+    * The codebook rides inside ONE [[graft.functions.NearestCentroids]]
+    * expression node — the per-centroid `array(struct(cosine, -i))`
+    * formulation grew the plan (and codegen) linearly with nlist, which
+    * stops being free around a few hundred centroids. */
   private[ops] def assignCentroid(vec: Column, cents: Seq[Seq[Double]]): Column =
-    array_max(array(cents.zipWithIndex.map { case (c, i) =>
-      struct(cosine(vec.cast("array<double>"), litVec(c)).as("score"),
-        lit(-i).as("negidx"))
-    }: _*)).getField("negidx") * -1
+    element_at(graft.functions.HashFunctions.nearestCentroids(vec, cents, 1), 1)
 
-  /** Indices of the `nprobe` highest-cosine centroids. */
+  /** Indices of the `nprobe` highest-cosine centroids (score desc, index
+    * asc) — same single-node plan shape as [[assignCentroid]]. */
   private[ops] def probeCentroids(vec: Column, cents: Seq[Seq[Double]], nprobe: Int): Column =
-    transform(
-      slice(reverse(array_sort(array(cents.zipWithIndex.map { case (c, i) =>
-        struct(cosine(vec.cast("array<double>"), litVec(c)).as("score"),
-          lit(-i).as("negidx"))
-      }: _*))), 1, nprobe),
-      s => s.getField("negidx") * -1)
+    graft.functions.HashFunctions.nearestCentroids(vec, cents, nprobe)
 
   /** ANN top-k via an IVF (inverted-file) index: corpus vectors are
     * partitioned into `nlist` lists by nearest coarse centroid; each

@@ -34,20 +34,42 @@ object Skew {
     * by (keys, random salt in [0, saltFactor)) so a heavy hitter spreads
     * over `saltFactor` tasks; stage 2 merges the partials per key. For
     * uniformly distributed keys this adds one cheap extra shuffle of
-    * pre-aggregated rows; for skewed keys it removes the straggler. */
+    * pre-aggregated rows; for skewed keys it removes the straggler.
+    *
+    * @param saltCol optional unique/stable column to derive the salt from
+    *                instead of the full row content. Use it when (a) a
+    *                heavy key is dominated by IDENTICAL duplicate rows —
+    *                content hashing gives those one salt and the
+    *                mitigation silently degrades back to a single-task
+    *                straggler — or (b) the frame has MapType columns,
+    *                which xxhash64 cannot hash. */
   def saltedAggregate(df: DataFrame, keys: Seq[String], agg: SaltedAgg,
-                      saltFactor: Int = 32, seed: Long = 42L): DataFrame = {
+                      saltFactor: Int = 32, seed: Long = 42L,
+                      saltCol: Option[String] = None): DataFrame = {
     require(saltFactor >= 1, "saltFactor must be >= 1")
     // The salt must be DETERMINISTIC per row: with a nondeterministic salt
     // (partition id, monotonically_increasing_id, rand), a fetch-failure-
     // triggered map-task recomputation re-salts rows into different reduce
     // partitions and partial aggregates duplicate or vanish (the
-    // SPARK-23207 hazard class). Hashing the full row content + seed keeps
-    // recomputed map output identical while still spreading a heavy key
-    // over saltFactor subkeys (identical duplicate rows share a salt, which
-    // only narrows spread if a single key is dominated by one exact row).
+    // SPARK-23207 hazard class). Hashing content (or the caller's stable
+    // id) + seed keeps recomputed map output identical while still
+    // spreading a heavy key over saltFactor subkeys.
+    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType => s.exists(f => hasMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    val saltBasis: Seq[Column] = saltCol match {
+      case Some(c) => Seq(col(c))
+      case None =>
+        require(!df.schema.exists(f => hasMap(f.dataType)),
+          "saltedAggregate: row-content salting cannot hash MapType columns — " +
+            "pass saltCol = Some(<unique/stable id column>)")
+        df.columns.map(col).toSeq
+    }
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(df.columns.map(col) :+ lit(seed): _*), lit(saltFactor)))
+      pmod(xxhash64(saltBasis :+ lit(seed): _*), lit(saltFactor)))
     val partial = salted.groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(agg.partial.head, agg.partial.tail: _*)
     partial.groupBy(keys.map(col): _*)

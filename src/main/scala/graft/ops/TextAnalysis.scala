@@ -14,10 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** ASCII whitespace class, spelled out because Java regex `\s` includes
+    * vertical tab while RE2's (the DuckDB oracle engine) does not — the
+    * explicit class is identical in both. Public so the oracle SQL builder
+    * embeds the same characters. */
+  val WhitespaceClass = " \\t\\n\\x0B\\f\\r"
+
   /** Whitespace tokenization; empty strings removed (split of "" yields
     * [""], and leading separators yield empty head tokens). */
   def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => length(t) > 0)
+    filter(split(text, s"[$WhitespaceClass]+"), t => length(t) > 0)
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -27,7 +33,7 @@ object TextAnalysis {
     * are disjoint, so leftmost-longest and leftmost-greedy semantics
     * agree — the same pattern is valid RE2 for the DuckDB oracle). */
   def bpeishTokenCount(text: Column): Column =
-    regexp_count(text, lit("[\\p{L}\\p{N}]+|[^\\p{L}\\p{N}\\s]"))
+    regexp_count(text, lit(s"[\\p{L}\\p{N}]+|[^\\p{L}\\p{N}$WhitespaceClass]"))
 
   // --- quality signals ------------------------------------------------
 

@@ -23,9 +23,12 @@ import scala.jdk.CollectionConverters._
   *                 unbounded sketch memory; we keep exactness up to the cap
   *                 and degrade to a fixed-memory Greenwald-Khanna sketch
   *                 beyond it — the 100 TB-safe default.
-  * @param cacheInput persist the input before the (up to 3) aggregation
-  *                 passes — worth it when `df` is an expensive upstream
-  *                 computation rather than a bare scan
+  * @param cacheInput persist the input for the duration of the (up to 3)
+  *                 in-call aggregation passes — worth it when `df` is an
+  *                 expensive upstream computation rather than a bare
+  *                 scan. Released before summarize returns (no residual
+  *                 executor storage); the returned plan re-scans the
+  *                 input once when consumed.
   * @param maxStrata hard cap on distinct stratification values. Each
   *                 stratum becomes TWO output columns and one collected
   *                 driver row, so an unbounded high-cardinality stratify
@@ -274,14 +277,16 @@ object TableOne {
         .agg(count(lit(1)).as("All_Patients"),
           stratNames.map(sv => count(when(col(StratCol) === sv, 1)).as(sv)): _*)
 
-      val cached = if (pValues) counts.persist() else counts
-
       // chi-square per categorical variable, from the aggregated counts
       // (the contingency table IS the pivoted counts — SURVEY.md §2.9 D7).
+      // No persist on `counts`: its only in-call use is the one collect
+      // below, and a persist would outlive summarize with no sound place
+      // to unpersist (the returned plan is lazy) — the caller's consume
+      // re-runs the melt+agg once instead of leaking executor storage.
       val catTests: Map[String, TestResult] =
         if (!pValues) Map.empty
         else {
-          val nonMissing = cached.filter(col("Values") =!= Missing).collect()
+          val nonMissing = counts.filter(col("Values") =!= Missing).collect()
           catCols.map { c =>
             val rows = nonMissing.filter(_.getAs[String]("variable") == c)
             val nonMissingTotal = rows.map(_.getAs[Long]("All_Patients")).sum
@@ -297,7 +302,7 @@ object TableOne {
       val varIdxExpr = catCols.tail.foldLeft(when(col("variable") === catCols.head, varIdx(catCols.head))) {
         (acc, c) => acc.when(col("variable") === c, varIdx(c))
       }
-      var block = cached
+      var block = counts
         .withColumn("order", Sanitize.categoryOrderKey(col("Values")))
         .withColumn("__rn", row_number().over(win))
         .withColumn("Index", varIdxExpr.cast(DoubleType) + col("__rn") * 0.01)
@@ -327,6 +332,12 @@ object TableOne {
 
     val unordered = catBlock.fold(driverBlock)(driverBlock.unionByName(_))
     val ordered = unordered.orderBy(col("Index"), col("Values"))
+
+    // cacheInput served the in-call aggregation passes (rollup, melt,
+    // p-value collects); release it before returning so no executor
+    // storage outlives the call — the returned plan's one consume
+    // re-scans the input instead.
+    if (cfg.cacheInput) working.unpersist()
 
     val finalDf =
       if (!cfg.beautify) ordered

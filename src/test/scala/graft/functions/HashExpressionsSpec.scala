@@ -130,6 +130,23 @@ class HashExpressionsSpec extends AnyFunSuite with Matchers {
     repart.toSeq shouldBe merged.toSeq
   }
 
+  test("nearestCentroids ranks by cosine with index tie-break, any nlist") {
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(1.0, 0.0), Seq(-1.0, 0.0))
+    val df = Seq(Tuple1(Seq(2.0, 0.1))).toDF("v")
+    // cosines: c0=c2 (tie -> 0 before 2) > c1 > c3
+    df.select(HashFunctions.nearestCentroids(col("v"), cents, 3).as("p"))
+      .head().getAs[scala.collection.Seq[Int]]("p") shouldBe Seq(0, 2, 1)
+    // nprobe beyond the codebook returns all, ranked
+    df.select(HashFunctions.nearestCentroids(col("v"), cents, 10).as("p"))
+      .head().getAs[scala.collection.Seq[Int]]("p") shouldBe Seq(0, 2, 1, 3)
+    // a 256-entry codebook stays a single plan node (the old per-centroid
+    // struct-array formulation would be ~256 cosine sub-expressions)
+    val big = (0 until 256).map(i => Seq(math.cos(i * 0.1), math.sin(i * 0.1)))
+    val one = df.select(HashFunctions.nearestCentroids(col("v"), big, 1).as("p"))
+    one.head().getAs[scala.collection.Seq[Int]]("p").length shouldBe 1
+    one.queryExecution.analyzed.toString should include ("nearest_centroids")
+  }
+
   test("expressions survive serialization (executor round-trip via repartition)") {
     val df = (0 until 100).map(i => s"doc $i has words $i ${i * 2} ${i * 3}").toDF("t")
       .repartition(4)

@@ -140,6 +140,23 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("oracle sign margin: gated embeddings are far from every hyperplane") {
+    // The d5/s2 DuckDB gates assume Spark and DuckDB agree on the SIGN of
+    // every (embedding, plane) dot product. Sequential double summation is
+    // bit-identical today; this pins that the data is not on a knife edge
+    // (|dot| >> any plausible cross-engine summation difference ~1e-13),
+    // so a summation-order change cannot flip a bucket bit spuriously.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val margins = (Similarity.randomPlanes(4, 64) ++ Similarity.randomPlanes(8, 64)).map { p =>
+      emb.select(abs(Similarity.dot(col("embedding").cast("array<double>"),
+          array(p.map(lit): _*))).as("d"))
+        .agg(min("d")).head().getDouble(0)
+    }
+    withClue(s"min |dot| per plane: ${margins.map(m => f"$m%.2e").mkString(", ")}: ") {
+      margins.min should be > 1e-9
+    }
+  }
+
   test("lshBucket packs one sign bit per plane") {
     val planes = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, 0.0))
     val df = Seq(Tuple1(Seq(2.0, -3.0))).toDF("v")

@@ -45,4 +45,34 @@ class SkewSpec extends AnyFunSuite with Matchers {
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(16)))
     salted.select("__salt").distinct().count() should be > 4L
   }
+
+  test("saltCol spreads a heavy key of IDENTICAL duplicate rows") {
+    // the content-hash fallback gives all duplicates ONE salt (a silent
+    // single-task straggler); an id-based salt actually spreads them
+    val dup = (1L to 1000L).map(id => (id, "heavy", 1.0)).toDF("id", "key", "value")
+    val contentSalts = dup.select(
+      pmod(xxhash64(col("key"), col("value"), lit(42L)), lit(32)).as("s"))
+      .distinct().count()
+    contentSalts shouldBe 1L
+    val idSalts = dup.select(
+      pmod(xxhash64(col("id"), lit(42L)), lit(32)).as("s")).distinct().count()
+    idSalts should be > 16L
+    // and the aggregate stays correct with saltCol
+    val out = Skew.saltedAggregate(dup, Seq("key"), Skew.countSumMinMax("value"),
+      saltCol = Some("id")).collect()
+    out.length shouldBe 1
+    out.head.getAs[Long]("value_n") shouldBe 1000L
+    out.head.getAs[Double]("value_sum") shouldBe 1000.0
+  }
+
+  test("MapType columns need an explicit saltCol (xxhash64 cannot hash maps)") {
+    val df = Seq((1L, "k", 2.0, Map("a" -> 1))).toDF("id", "key", "value", "props")
+    val e = intercept[IllegalArgumentException] {
+      Skew.saltedAggregate(df, Seq("key"), Skew.countSumMinMax("value"))
+    }
+    e.getMessage should include ("saltCol")
+    // with saltCol the map column is never hashed
+    Skew.saltedAggregate(df, Seq("key"), Skew.countSumMinMax("value"),
+      saltCol = Some("id")).collect().head.getAs[Long]("value_n") shouldBe 1L
+  }
 }

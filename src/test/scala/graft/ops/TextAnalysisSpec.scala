@@ -84,6 +84,15 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     inPlan shouldBe out
   }
 
+  test("vertical tab counts as whitespace (explicit class, Java/RE2 parity)") {
+    val df = Seq(Tuple1("a\u000Bb c")).toDF("t")
+    val r = df.select(
+      TextAnalysis.tokenCount(col("t")).as("n"),
+      TextAnalysis.bpeishTokenCount(col("t")).as("b")).head()
+    r.getAs[Int]("n") shouldBe 3   // VT splits tokens
+    r.getAs[Int]("b") shouldBe 3   // and is not a countable symbol
+  }
+
   test("withQuality adds all columns and keeps row count") {
     val df = Seq((1L, "the cat sat"), (2L, "xyz")).toDF("doc_id", "text")
     val out = TextAnalysis.withQuality(df, "text")
