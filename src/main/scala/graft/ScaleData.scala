@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Builds a larger benchmark dataset by replicating a testdata scale
+  * factor with shifted keys: each replica adds `rep * 1e9` to every
+  * primary/foreign key column, so join fan-outs and group cardinalities
+  * scale with the factor while non-key value distributions are preserved
+  * exactly. Dimension tables (region/nation) are copied unreplicated,
+  * mirroring how TPC-H dims grow sub-linearly.
+  *
+  * Usage: runMain graft.ScaleData [srcDir] [dstDir] [factor]
+  * Default: /root/testdata/sf0.1 -> benchdata/sf1 x10.
+  */
+object ScaleData {
+  private val KeyOffset = 1000000000L
+
+  private val keyCols: Seq[(String, Seq[String])] = Seq(
+    "region"     -> Nil,
+    "nation"     -> Nil,
+    "customer"   -> Seq("c_custkey"),
+    "supplier"   -> Seq("s_suppkey"),
+    "part"       -> Seq("p_partkey"),
+    "orders"     -> Seq("o_orderkey", "o_custkey"),
+    "lineitem"   -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events"     -> Seq("event_id", "user_id"),
+    "documents"  -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = if (args.length > 1) args(1) else "benchdata/sf1"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // events ships TIMESTAMP(NANOS); read as long, write as long —
+    // Util.events converts on read either way
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    keyCols.foreach { case (t, keys) =>
+      val df = spark.read.parquet(s"$src/$t.parquet")
+      val out =
+        if (keys.isEmpty) df
+        else df.crossJoin(spark.range(factor).select(col("id").as("__rep")))
+          .select(df.columns.map { c =>
+            if (keys.contains(c)) (col(c) + col("__rep") * KeyOffset).as(c) else col(c)
+          }.toSeq: _*)
+      out.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      System.err.println(s"[scale] $t x${if (keys.isEmpty) 1 else factor} -> $dst/$t.parquet")
+    }
+    spark.stop()
+  }
+}
