@@ -17,13 +17,19 @@ import scala.jdk.CollectionConverters._
   *                 repeated variable labels, underscores -> spaces
   * @param pValues  attach t-test / ANOVA / chi-square results (stratified
   *                 runs only; forced off otherwise)
-  * @param percentileAccuracyCap upper bound on the percentile_approx
-  *                 accuracy knob. The reference uses rowcount+1 (exact,
-  *                 /root/reference/tableone_pyspark.py:384-388) which is
-  *                 unbounded sketch memory; we keep exactness up to the cap
-  *                 and degrade to a fixed-memory Greenwald-Khanna sketch
-  *                 beyond it — the 100 TB-safe default.
-  * @param cacheInput persist the input for the duration of the (up to 3)
+  * @param approxQuantileAccuracy None (default): quartiles are EXACT at
+  *                 any scale, via a distributed value-histogram + ordered
+  *                 window (one extra fully-parallel job; see
+  *                 [[TableOne.exactQuartiles]]). Some(a): skip that job
+  *                 and compute quartiles inside the rollup with a
+  *                 `percentile_approx(a)` Greenwald-Khanna sketch —
+  *                 bounded memory independent of value cardinality, exact
+  *                 only while rows <= a/4. The reference uses rowcount+1
+  *                 accuracy (/root/reference/tableone_pyspark.py:384-388):
+  *                 unbounded sketch memory AND a single-threaded
+  *                 final-stage merge that dominated our sf1 bench — the
+  *                 sketch is the escape hatch here, not the default.
+  * @param cacheInput persist the input for the duration of the (up to 4)
   *                 in-call aggregation passes — worth it when `df` is an
   *                 expensive upstream computation rather than a bare
   *                 scan. Released before summarize returns (no residual
@@ -36,12 +42,20 @@ import scala.jdk.CollectionConverters._
   *                 memory long before executors struggle — fail fast
   *                 with a clear message instead.
   */
+/** One histogram row in [[TableOne.exactQuartiles]]'s range-partitioned
+  * pass: (col position, stratum, value, count, range-partition id). */
+private[tableone] case class HistRow(c: Int, s: String, v: Double, cnt: Long, pid: Int)
+
+/** One emitted quartile pick from [[TableOne.exactQuartiles]]: `k` =
+  * 1/2/3 (25/50/75th percentile), `tot` marks the grand-total group. */
+private[tableone] case class Pick(c: Int, s: String, tot: Boolean, k: Int, v: Double)
+
 final case class TableOneConfig(
     stratify: Option[String] = None,
     cols: Seq[String] = Nil,
     beautify: Boolean = false,
     pValues: Boolean = false,
-    percentileAccuracyCap: Int = 10000000,
+    approxQuantileAccuracy: Option[Int] = None,
     cacheInput: Boolean = false,
     maxStrata: Int = 1000)
 
@@ -57,14 +71,18 @@ final case class TableOneConfig(
   * slot (continuous .1-.8) or category rank * 0.01.
   *
   * Execution design (vs the reference's >=10 jobs per continuous column,
-  * SURVEY.md §3.5): exactly TWO distributed passes regardless of column
+  * SURVEY.md §3.5): at most THREE distributed passes regardless of column
   * count or stratification —
   *   1. ONE `rollup(strat).agg` whose grand-total row carries the total
-  *      count + every continuous column's 8 overall stats (quartiles via
-  *      a single `percentile_approx(col, array(...))` sketch per column)
-  *      and whose per-stratum rows carry the stratum counts, stats, and
-  *      the (n, mean, var_samp) moments that feed the t-test/ANOVA,
-  *   2. ONE melt + `groupBy(variable, value)` aggregation for ALL
+  *      count + every continuous column's non-quantile stats and whose
+  *      per-stratum rows carry the stratum counts, stats, and the
+  *      (n, mean, var_samp) moments that feed the t-test/ANOVA,
+  *   2. ONE exact-quartile job for ALL continuous columns at once
+  *      (value-histogram + ordered window — fully parallel, no sketch,
+  *      no single-reducer merge; skipped when there are no continuous
+  *      columns or when `approxQuantileAccuracy` opts into the in-rollup
+  *      sketch),
+  *   3. ONE melt + `groupBy(variable, value)` aggregation for ALL
   *      categorical columns (explicit per-stratum conditional counts — no
   *      pivot distinct-value job),
   * and the inferential statistics are computed on the driver from those
@@ -82,6 +100,144 @@ object TableOne {
   private val ContSlots = Seq(
     "n" -> 0.1, "min" -> 0.2, "max" -> 0.3, "mean" -> 0.4, "stddev" -> 0.5,
     "25th percentile" -> 0.6, "50th percentile" -> 0.7, "75th percentile" -> 0.8)
+
+  /** EXACT discrete quartiles (the element at 1-based rank `ceil(k*n/4)`
+    * — the same pick as DuckDB's `quantile_disc` and as an exact-mode
+    * percentile_approx) for every continuous column, every stratum, AND
+    * the grand total, via distributed order statistics:
+    *
+    *   1. melt -> groupBy (col, stratum, value).count — ONE shuffle with
+    *      map-side combine; the histogram is the data's distinct-value
+    *      footprint, never bigger than the input.
+    *   2. `repartitionByRange(col, value)` + in-partition sort. Partition
+    *      assignment is a pure function of the key, so all strata rows of
+    *      one (col, value) — and all its duplicates — land in ONE
+    *      partition, in global (col, value) order across partitions.
+    *   3. Per-partition subtotals per (col, stratum) — a tiny aggregate
+    *      (partitions x cols x strata rows) collected to the driver,
+    *      prefix-summed into per-partition starting offsets, and the
+    *      grand totals n(col, stratum) / n(col) that fix the target
+    *      ranks. A few KB regardless of data size.
+    *   4. ONE sorted `mapPartitions` pass: running cumulative counts
+    *      seeded from the offsets; a row (or value-group, for the
+    *      cross-strata total) whose cumulative count CROSSES a target
+    *      rank emits that pick. Output: at most 3 rows per group.
+    *
+    * Scale posture: no quantile sketch (the reference's rowcount-accuracy
+    * sketch serializes a near-copy of the column into a single-threaded
+    * final-stage merge — 30 s/group at sf1's 6M rows), and no
+    * per-column ordered window (a `partitionBy(col)` running sum is one
+    * task per column no matter the cluster). Every stage here is
+    * parallel in the number of range partitions; the driver only ever
+    * sees subtotals and picks. `mapPartitions` is warranted (SURVEY §7.3
+    * last-resort rule) because a cross-partition running count seeded at
+    * partition boundaries is genuinely per-partition-imperative — no
+    * Catalyst operator expresses it without collapsing parallelism.
+    *
+    * Rank arithmetic is integer-exact: rank_k = ceil(k*n/4) in Long math,
+    * so there is no float-epsilon tie-break risk against the oracle. */
+  private[tableone] def exactQuartiles(
+      working: DataFrame,
+      stratify: Option[String],
+      contCols: Seq[String]): Map[(String, Option[String]), Array[Double]] = {
+    val spark = working.sparkSession
+    import spark.implicits._
+    // posexplode of a bare double array: the column is identified by its
+    // POSITION (a 4-byte int), not its name — strings in the melt key
+    // made the generate + hash-aggregate pass several times slower at
+    // sf1. Names are restored from contCols(idx) after the collect.
+    val kvs = array(contCols.map(c => col(c).cast(DoubleType)): _*)
+    val melted = (stratify match {
+      case Some(s) => working.select(Sanitize.stratColumn(col(s)).as(StratCol),
+        posexplode(kvs).as(Seq("c", "v")))
+      case None => working.select(lit("").as(StratCol), posexplode(kvs).as(Seq("c", "v")))
+    }).select(col(StratCol).as("s"), col("c"), col("v"))
+      .filter(col("v").isNotNull)
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    // Both persists last for the duration of this call only (released in
+    // `finally` — no residual storage). `histPre` is cached because
+    // `repartitionByRange` runs a boundary-SAMPLING job over its child
+    // before the real shuffle: uncached, the whole melt+combine would
+    // execute twice. `hist` is cached because the subtotal pass and the
+    // pick pass are two separate jobs over the range-shuffled result, and
+    // AQE replans each action — the cache, not exchange reuse, is what
+    // guarantees the range shuffle happens once.
+    val histPre = melted.groupBy("c", "s", "v").agg(count(lit(1)).as("cnt")).persist()
+    val hist = histPre
+      .repartitionByRange(nParts, col("c"), col("v"))
+      .sortWithinPartitions("c", "v")
+      .withColumn("pid", spark_partition_id())
+      .as[HistRow]
+      .persist()
+    try {
+      val subtotals: Array[((Int, Int, String), Long)] = hist
+        .groupBy("pid", "c", "s").agg(sum("cnt").as("t"))
+        .collect()
+        .map(r => (r.getAs[Int]("pid"), r.getAs[Int]("c"), r.getAs[String]("s")) -> r.getAs[Long]("t"))
+      // Driver-side prefix sums over pid order: starting offsets for every
+      // (pid, col, stratum) and (pid, col), plus the grand totals that fix
+      // the six target ranks per group. All tiny.
+      val byStrat = subtotals.groupBy { case ((_, c, s), _) => (c, s) }
+      val byCol = subtotals.groupBy { case ((_, c, _), _) => c }
+      def offsets[K](m: Map[K, Array[((Int, Int, String), Long)]]): (Map[(Int, K), Long], Map[K, Long]) = {
+        val off = Map.newBuilder[(Int, K), Long]
+        val tot = Map.newBuilder[K, Long]
+        m.foreach { case (k, rows) =>
+          var acc = 0L
+          rows.groupBy(_._1._1).toSeq.sortBy(_._1).foreach { case (pid, prs) =>
+            off += ((pid, k) -> acc); acc += prs.map(_._2).sum
+          }
+          tot += (k -> acc)
+        }
+        (off.result(), tot.result())
+      }
+      val (stratOff, stratN) = offsets(byStrat)
+      val (colOff, colN) = offsets(byCol)
+      def ranks(n: Long): Array[Long] = Array(1L, 2L, 3L).map(k => (k * n + 3) / 4)
+      val stratRanks = stratN.map { case (k, n) => k -> ranks(n) }
+      val colRanks = colN.map { case (c, n) => c -> ranks(n) }
+      val picks = hist.mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[Pick]
+        val cumS = scala.collection.mutable.Map.empty[(Int, String), Long]
+        val cumC = scala.collection.mutable.Map.empty[Int, Long]
+        // value-group state for the cross-strata total (rows sorted by
+        // (c, v); all strata rows of one (c, v) are adjacent)
+        var gc = -1; var gv = 0.0; var gBefore = 0L; var gAfter = 0L
+        def flushGroup(): Unit = if (gc >= 0) {
+          colRanks(gc).zipWithIndex.foreach { case (r, i) =>
+            if (gBefore < r && r <= gAfter) out += Pick(gc, "", tot = true, i + 1, gv)
+          }
+        }
+        it.foreach { h =>
+          // per-stratum crossing (hist rows are unique per (c, s, v))
+          val sk = (h.c, h.s)
+          val before = cumS.getOrElse(sk, stratOff.getOrElse((h.pid, sk), 0L))
+          val after = before + h.cnt
+          cumS(sk) = after
+          stratRanks(sk).zipWithIndex.foreach { case (r, i) =>
+            if (before < r && r <= after) out += Pick(h.c, h.s, tot = false, i + 1, h.v)
+          }
+          // cross-strata total: accumulate the (c, v) peer group
+          if (h.c != gc || h.v != gv) {
+            flushGroup()
+            gc = h.c; gv = h.v
+            gBefore = cumC.getOrElse(h.c, colOff.getOrElse((h.pid, h.c), 0L))
+            gAfter = gBefore
+          }
+          gAfter += h.cnt
+          cumC(h.c) = gAfter
+        }
+        flushGroup()
+        out.iterator
+      }.collect()
+      val m = scala.collection.mutable.Map.empty[(String, Option[String]), Array[Double]]
+      picks.foreach { p =>
+        val key = (contCols(p.c), if (p.tot) None else Some(p.s))
+        m.getOrElseUpdate(key, Array.fill(3)(Double.NaN))(p.k - 1) = p.v
+      }
+      m.toMap
+    } finally { hist.unpersist(); histPre.unpersist() }
+  }
 
   def summarize(df: DataFrame, cfg: TableOneConfig): DataFrame = {
     val spark = df.sparkSession
@@ -122,31 +278,26 @@ object TableOne {
 
     val working = if (cfg.cacheInput) df.persist() else df
 
-    // percentile_approx accuracy: eps = 1/accuracy, and the sketch is
-    // TRULY exact (element at rank ceil(q*n), = DuckDB quantile_disc)
-    // while eps*N <= 0.25, i.e. n <= accuracy/4. The reference's n+1
-    // (tableone_pyspark.py:384-388) leaves eps*N ~= 1 and can return the
-    // neighboring element (verified empirically at n=60000). A fixed
-    // accuracy (no pre-count) keeps the whole summary at ONE aggregation
-    // job; beyond cap/4 rows the quantiles degrade gracefully to
-    // approximate — the 100 TB-safe behavior, since sketch memory is
-    // what the cap actually bounds.
-    val accuracy: Long = math.max(cfg.percentileAccuracyCap.toLong, 10000L)
-
     // --- pass 1: ONE rollup aggregation job yields the global row
     // (rollup grand total: total count + every continuous column's
     // overall stats) AND, when stratified, each stratum's row count +
     // stats + the (n, mean, var) test moments. The sanitized strat value
     // is never null, so grouping() unambiguously marks the total row.
+    // Quartiles ride in this job ONLY in the opt-in sketch mode; the
+    // default exact path computes them in their own fully-parallel job
+    // (see exactQuartiles below) because a high-accuracy sketch's
+    // final-stage merge is single-threaded per group and dominated the
+    // whole summary at sf1 (6M rows: 99 s of a 3 s query's work).
     def statExprs(withMoments: Boolean): Seq[Column] = contCols.flatMap { c =>
       val base = Seq(
         count(col(c)).as(s"$c#n"),
         min(col(c)).cast(DoubleType).as(s"$c#min"),
         max(col(c)).cast(DoubleType).as(s"$c#max"),
         avg(col(c)).as(s"$c#mean"),
-        stddev(col(c)).as(s"$c#stddev"),
-        percentile_approx(col(c), array(lit(0.25), lit(0.5), lit(0.75)), lit(accuracy))
-          .cast(ArrayType(DoubleType)).as(s"$c#q"))
+        stddev(col(c)).as(s"$c#stddev")) ++
+        cfg.approxQuantileAccuracy.map(a =>
+          percentile_approx(col(c), array(lit(0.25), lit(0.5), lit(0.75)), lit(a.toLong))
+            .cast(ArrayType(DoubleType)).as(s"$c#q"))
       if (withMoments) base :+ var_samp(col(c)).as(s"$c#var") else base
     }
 
@@ -178,6 +329,13 @@ object TableOne {
     val total: Long = globalRow.getAs[Long]("#rows")
     val stratNames = strata.map(_.name)
     val globalStats: Option[Row] = if (contCols.isEmpty) None else Some(globalRow)
+
+    // --- pass 2 (default path): EXACT quartiles for every continuous
+    // column and every stratum + the total, in ONE fully-parallel job.
+    // Key: None = the grand total, Some(stratum) = that stratum.
+    val quartMap: Map[(String, Option[String]), Array[Double]] =
+      if (contCols.isEmpty || cfg.approxQuantileAccuracy.isDefined) Map.empty
+      else exactQuartiles(working, cfg.stratify, contCols)
 
     // --- output schema -------------------------------------------------
     val countColNames = "All_Patients" +: stratNames
@@ -222,7 +380,9 @@ object TableOne {
       case n: Number => Some(n.doubleValue())
       case other     => Some(other.toString.toDouble)
     }
-    def statOf(r: Row, c: String, slot: String): Option[Double] = slot match {
+    // `key` identifies the group for quantile lookup on the exact path:
+    // None = grand total, Some(stratum name) = that stratum.
+    def statOf(r: Row, key: Option[String], c: String, slot: String): Option[Double] = slot match {
       case "n"   => numOpt(r, s"$c#n")
       case "min" => numOpt(r, s"$c#min")
       case "max" => numOpt(r, s"$c#max")
@@ -230,8 +390,10 @@ object TableOne {
       case "stddev" => numOpt(r, s"$c#stddev")
       case q =>
         val i = q.charAt(0) match { case '2' => 0; case '5' => 1; case '7' => 2 }
-        Option(r.getAs[scala.collection.Seq[Any]](s"$c#q"))
-          .flatMap(a => Option(a(i))).map(_.asInstanceOf[Number].doubleValue())
+        if (cfg.approxQuantileAccuracy.isDefined)
+          Option(r.getAs[scala.collection.Seq[Any]](s"$c#q"))
+            .flatMap(a => Option(a(i))).map(_.asInstanceOf[Number].doubleValue())
+        else quartMap.get((c, key)).map(_(i))
     }
 
     val contRows: Seq[Row] = contCols.flatMap { c =>
@@ -251,8 +413,8 @@ object TableOne {
         }
       ContSlots.map { case (slot, frac) =>
         val counts: Map[String, Option[Double]] =
-          (("All_Patients" -> globalStats.flatMap(statOf(_, c, slot))) +:
-            strata.map(s => s.name -> statOf(s.stats, c, slot))).toMap
+          (("All_Patients" -> globalStats.flatMap(statOf(_, None, c, slot))) +:
+            strata.map(s => s.name -> statOf(s.stats, Some(s.name), c, slot))).toMap
         // p-value attaches to the variable's first row only (slot "n").
         mkRow(idx + frac, c, "continuous", slot, counts, Map.empty,
           if (slot == "n") test else None)
@@ -279,15 +441,19 @@ object TableOne {
 
       // chi-square per categorical variable, from the aggregated counts
       // (the contingency table IS the pivoted counts — SURVEY.md §2.9 D7).
-      // No persist on `counts`: its only in-call use is the one collect
-      // below, and a persist would outlive summarize with no sound place
-      // to unpersist (the returned plan is lazy) — the caller's consume
-      // re-runs the melt+agg once instead of leaking executor storage.
-      val catTests: Map[String, TestResult] =
-        if (!pValues) Map.empty
+      // No persist on `counts`: a persist would outlive summarize with no
+      // sound place to unpersist (the returned plan is lazy). Instead,
+      // when p-values force an eager collect for the contingency tables,
+      // those SAME driver rows become the block source (a LocalRelation)
+      // — the melt+aggregate never runs twice. Cardinality = variables x
+      // values x strata, the same bound the chi-square collect already
+      // accepts; without p-values the block stays fully distributed.
+      val (catTests: Map[String, TestResult], blockSrc: DataFrame) =
+        if (!pValues) (Map.empty[String, TestResult], counts)
         else {
-          val nonMissing = counts.filter(col("Values") =!= Missing).collect()
-          catCols.map { c =>
+          val collected = counts.collect()
+          val nonMissing = collected.filter(_.getAs[String]("Values") != Missing)
+          val tests = catCols.map { c =>
             val rows = nonMissing.filter(_.getAs[String]("variable") == c)
             val nonMissingTotal = rows.map(_.getAs[Long]("All_Patients")).sum
             // gate: >=5 non-missing rows (a row count — tableone_pyspark.py:503)
@@ -296,13 +462,14 @@ object TableOne {
               else StatTests.chiSquare(rows.map(r => stratNames.map(s => r.getAs[Long](s)).toArray))
             c -> t
           }.toMap
+          (tests, spark.createDataFrame(collected.toSeq.asJava, counts.schema))
         }
 
       val win = Window.partitionBy("variable").orderBy("order", "Values")
       val varIdxExpr = catCols.tail.foldLeft(when(col("variable") === catCols.head, varIdx(catCols.head))) {
         (acc, c) => acc.when(col("variable") === c, varIdx(c))
       }
-      var block = counts
+      var block = blockSrc
         .withColumn("order", Sanitize.categoryOrderKey(col("Values")))
         .withColumn("__rn", row_number().over(win))
         .withColumn("Index", varIdxExpr.cast(DoubleType) + col("__rn") * 0.01)

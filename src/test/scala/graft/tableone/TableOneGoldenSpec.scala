@@ -167,4 +167,15 @@ class TableOneGoldenSpec extends AnyFunSuite {
     val totals = out.collect().find(_.getAs[String]("Values") == "ALL").get
     assert(totals.getAs[Double]("a_b") == 2.0)
   }
+
+  test("summarize leaves zero residual cached RDDs (exact-quartile persists released)") {
+    import spark.implicits._
+    val df = Seq(("A", 1.0, "x"), ("B", 2.0, "y"), ("A", 3.0, "x"), ("B", 4.0, "z"))
+      .toDF("s", "num", "cat")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    TableOne.summarize(df,
+      TableOneConfig(stratify = Some("s"), cols = Seq("num", "cat"), pValues = true)).collect()
+    val residual = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(residual.isEmpty, s"summarize leaked cached RDDs: $residual")
+  }
 }
