@@ -111,8 +111,10 @@ object OpsQueries {
     }),
     "d5_embedding_neardup" -> ((s, dir) => { // oracle embeds the deterministic plane literals
       val emb = table(s, dir, "embeddings")
-      val planes = Similarity.randomPlanes(4, 64)
-      Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.2, planes)
+      // adaptive plane count (clamp(ceil(log2(n/64)), 4, 16), folded into
+      // the plan) keeps bucket population ~constant as the corpus grows;
+      // the oracle mirrors the same formula in a count(*) CTE
+      Dedup.embeddingNearDupPairsAdaptive(emb, "vec_id", "embedding", 0.2)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")
     }),
@@ -267,6 +269,15 @@ object OpsQueries {
       s"(CASE WHEN list_inner_product($vecExpr, $plane) >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** [[bucketSql]] gated on a runtime plane count `pExpr` (SQL scalar):
+    * bit i contributes only when i < p — mirrors Similarity.lshBucketGated
+    * so the oracle tracks the adaptive plane formula exactly. */
+  private def bucketSqlGated(vecExpr: String, planes: Seq[Seq[Double]], pExpr: String): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      val plane = p.mkString("[", ", ", "]")
+      s"(CASE WHEN $i < $pExpr AND list_inner_product($vecExpr, $plane) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   /** Per-language score expression over a lowercased token list `tk`. */
   private def langScoreSql(words: Seq[String]): String = {
     val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -301,8 +312,10 @@ object OpsQueries {
       ("SELECT doc_id, ((greatest(octet_length(encode(text)) - 1, 0) // 64) + 1)::BIGINT AS n_frames " +
         "FROM documents ORDER BY doc_id"),
     "d5_embedding_neardup" -> {
-      val bucket = bucketSql("embedding::DOUBLE[]", graft.ops.Similarity.randomPlanes(4, 64))
-      ("WITH b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, " + bucket + " AS bucket FROM embeddings) " +
+      val bucket = bucketSqlGated("embedding::DOUBLE[]",
+        graft.ops.Similarity.randomPlanes(16, 64), "(SELECT p FROM np)")
+      ("WITH np AS (SELECT greatest(4, least(16, CAST(ceil(log2(count(*) / 64.0)) AS INT))) AS p FROM embeddings), " +
+        "b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, " + bucket + " AS bucket FROM embeddings) " +
         "SELECT a.id AS id_a, c.id AS id_b, ROUND(list_cosine_similarity(a.v, c.v), 6) AS cosine " +
         "FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id " +
         "WHERE list_cosine_similarity(a.v, c.v) >= 0.2 ORDER BY id_a, id_b")

@@ -75,6 +75,17 @@ object Similarity {
         .otherwise(lit(0L))
     }.reduce[Column]((a, b) => a.bitwiseOR(b))
 
+  /** LSH bucket id using only the first `pCol` of `planes` — the plane
+    * count can then be a runtime value (e.g. derived from a corpus count
+    * folded into the plan) while the plane literals stay static. With the
+    * same seed, `randomPlanes(k)` is a prefix of `randomPlanes(max)`, so
+    * `pCol = k` reproduces the fixed-k bucket bit-for-bit. */
+  def lshBucketGated(vec: Column, planes: Seq[Seq[Double]], pCol: Column): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(lit(i) < pCol && dot(vec.cast("array<double>"), litVec(p)) >= 0.0,
+        shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce[Column]((a, b) => a.bitwiseOR(b))
+
   /** Vector width of `vecCol`, read from the first row with a usable
     * vector (one tiny job — a LocalLimit(1) scan, not a full pass).
     * Null/empty vectors are skipped; an empty corpus fails with a clear

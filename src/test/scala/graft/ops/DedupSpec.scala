@@ -134,4 +134,29 @@ class DedupSpec extends AnyFunSuite with Matchers {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     pairs shouldBe Set(1L -> 2L)
   }
+
+  test("adaptive embedding near-dup: small corpus == fixed minPlanes; big corpus prunes candidates") {
+    // small corpus (n << targetBucket): P clamps to minPlanes=4, and since
+    // randomPlanes(4) is a prefix of randomPlanes(16) under the same seed,
+    // the result must equal the fixed-4-plane call exactly
+    val rnd = new scala.util.Random(7)
+    def vec(): Seq[Double] = Seq.fill(8)(rnd.nextGaussian())
+    val small = Seq.tabulate(40)(i => (i.toLong, vec())).toDF("id", "vec")
+    val fixed = Dedup.embeddingNearDupPairs(small, "id", "vec", 0.5,
+      Similarity.randomPlanes(4, 8)).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val adaptive = Dedup.embeddingNearDupPairsAdaptive(small, "id", "vec", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    adaptive shouldBe fixed
+
+    // big corpus (n = 2048, targetBucket 64): P = 5 -> 32 buckets, so the
+    // adaptive candidate set must SHRINK vs fixed 4 planes (16 buckets),
+    // and every surviving pair must still clear the cosine threshold
+    val big = Seq.tabulate(2048)(i => (i.toLong, vec())).toDF("id", "vec").repartition(8)
+    def candidates(pairs: org.apache.spark.sql.DataFrame): Long = pairs.count()
+    val fixedBig = Dedup.embeddingNearDupPairs(big, "id", "vec", -1.0,
+      Similarity.randomPlanes(4, 8))
+    val adaptiveBig = Dedup.embeddingNearDupPairsAdaptive(big, "id", "vec", -1.0)
+    val (nf, na) = (candidates(fixedBig), candidates(adaptiveBig))
+    assert(na < nf, s"adaptive planes should prune candidates: adaptive=$na fixed=$nf")
+  }
 }
