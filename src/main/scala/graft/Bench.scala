@@ -32,7 +32,25 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // 10x scale check: if the replicated sf1 dataset exists (built by
+    // graft.ScaleData from sf0.1), run ONE timed pass over it too — the
+    // JVM/codegen are already warm from the sf0.1 passes. Catches
+    // constant-factor and superlinear-scaling regressions that the sf0.1
+    // numbers alone cannot see (e.g. the quartile-sketch merge: 3.4 s at
+    // sf0.1 but 99 s at sf1 before it was replaced).
+    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "benchdata/sf1")
+    val sf1 = if (!new java.io.File(sf1Dir).isDirectory) "" else {
+      val r1 = ordered.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sf1Dir).count() } catch { case _: Throwable => -1L }
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench-sf1] $name%-22s $sec%8.2f s")
+        name -> sec
+      }
+      val q1 = r1.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      s""","sf1_total":${r1.map(_._2).sum},"sf1_queries":$q1,"sf1_dir":"$sf1Dir""""
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$sf1}""")
     spark.stop()
   }
 }
