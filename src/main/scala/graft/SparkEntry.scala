@@ -75,6 +75,14 @@ object SparkEntry {
         .withColumn("o_is_urgent", col("o_orderpriority") === "1-URGENT")
         .withColumn("o_price_dec", floor(col("o_totalprice")).cast("decimal(18,2)")),
       TableOneConfig(Some("o_orderstatus"), Seq("o_is_urgent", "o_price_dec", "o_orderdate"))))),
+    // quartileSketchMaxRows = 0 forces the distributed order-statistics
+    // quartile path regardless of input size, so BOTH exact-quartile
+    // paths stay under the DuckDB hash gate at every scale (the default
+    // gate would route sf0.01's 60k rows to the sketch rider).
+    "t9_tableone_orderstat" -> ((s, dir) => roundDoubles(TableOne.summarize(
+      table(s, dir, "lineitem"),
+      TableOneConfig(Some("l_linestatus"), Seq("l_quantity", "l_discount"),
+        quartileSketchMaxRows = 0L)))),
 
     // ---- core aggregation operators (SURVEY.md §2.4) ----
     "a1_group_count" -> ((s, dir) =>
@@ -208,6 +216,9 @@ object SparkEntry {
       // o_orderdate is skipped by the engine (timestamp), so it does not
       // appear here — positions must match the ANALYZED column order
       Seq("o_is_urgent" -> false, "o_price_dec" -> true)),
+    "t9_tableone_orderstat" -> TableOneSql.oracle(
+      "lineitem", Some("l_linestatus"), Seq("F", "O"),
+      Seq("l_quantity" -> true, "l_discount" -> true)),
     "a1_group_count" ->
       "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "a2_pivot_counts" ->

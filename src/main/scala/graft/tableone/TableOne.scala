@@ -18,17 +18,38 @@ import scala.jdk.CollectionConverters._
   * @param pValues  attach t-test / ANOVA / chi-square results (stratified
   *                 runs only; forced off otherwise)
   * @param approxQuantileAccuracy None (default): quartiles are EXACT at
-  *                 any scale, via a distributed value-histogram + ordered
-  *                 window (one extra fully-parallel job; see
-  *                 [[TableOne.exactQuartiles]]). Some(a): skip that job
-  *                 and compute quartiles inside the rollup with a
-  *                 `percentile_approx(a)` Greenwald-Khanna sketch —
-  *                 bounded memory independent of value cardinality, exact
-  *                 only while rows <= a/4. The reference uses rowcount+1
-  *                 accuracy (/root/reference/tableone_pyspark.py:384-388):
+  *                 any scale — small columns (see quartileSketchMaxRows)
+  *                 via one `percentile_approx(4n)` job (exact while
+  *                 accuracy >= 4n), large ones via the distributed
+  *                 order-statistics pass ([[TableOne.exactQuartiles]]).
+  *                 Some(a): force a fixed-accuracy sketch inside the
+  *                 rollup — bounded memory independent of value
+  *                 cardinality, exact only while rows <= a/4. The
+  *                 reference uses rowcount+1 accuracy
+  *                 (/root/reference/tableone_pyspark.py:384-388):
   *                 unbounded sketch memory AND a single-threaded
   *                 final-stage merge that dominated our sf1 bench — the
-  *                 sketch is the escape hatch here, not the default.
+  *                 fixed sketch is the escape hatch here, not the default.
+  * @param quartileSketchMaxRows exact-quartile path selector: when every
+  *                 analyzed continuous column has at most this many
+  *                 non-null rows (known free from the pass-1 rollup —
+  *                 choosing costs zero extra jobs), quartiles come from a
+  *                 single `percentile_approx` rollup with accuracy = 4n,
+  *                 which retains all n samples and is therefore exact;
+  *                 per-group sketch state is n doubles, bounded by this
+  *                 threshold (~3 MB at the 400k default). Columns above
+  *                 it take [[TableOne.exactQuartiles]] — fully parallel,
+  *                 memory bounded by partition size, but ~4 scheduling
+  *                 round-trips of fixed overhead that dominate small
+  *                 inputs (measured: a 15k-row summary pays ~0.5 s for a
+  *                 job that the sketch does in ~0.1). The default sits at
+  *                 the measured crossover: the sketch's single-threaded
+  *                 per-group final merge loses to the parallel pass
+  *                 somewhere between 150k rows (sketch 2x faster) and
+  *                 600k (order statistics up to 40% faster, more for
+  *                 low-cardinality columns whose histogram collapses).
+  *                 Both paths pick the identical rank-ceil(q*n) element.
+  *                 0 forces the order-statistics path (tests do this).
   * @param cacheInput persist the input for the duration of the (up to 4)
   *                 in-call aggregation passes — worth it when `df` is an
   *                 expensive upstream computation rather than a bare
@@ -56,6 +77,7 @@ final case class TableOneConfig(
     beautify: Boolean = false,
     pValues: Boolean = false,
     approxQuantileAccuracy: Option[Int] = None,
+    quartileSketchMaxRows: Long = 400000L,
     cacheInput: Boolean = false,
     maxStrata: Int = 1000)
 
@@ -239,6 +261,45 @@ object TableOne {
     } finally { hist.unpersist(); histPre.unpersist() }
   }
 
+  /** Small-column quartiles: one `percentile_approx` rollup job with
+    * accuracy >= 4n, at which the Greenwald-Khanna sketch retains every
+    * sample and returns the exact rank-ceil(q*n) element — the same pick
+    * as [[exactQuartiles]] and DuckDB's `quantile_disc`. Only called when
+    * the gate in [[summarize]] has proven every column's n is at most
+    * `quartileSketchMaxRows`, which bounds per-group sketch state (n
+    * doubles) and the single-threaded final merge that makes this shape
+    * unusable at large n. */
+  private def sketchQuartiles(
+      working: DataFrame,
+      stratify: Option[String],
+      contCols: Seq[String],
+      accuracy: Long): Map[(String, Option[String]), Array[Double]] = {
+    val qExprs = contCols.map(c =>
+      percentile_approx(col(c), array(lit(0.25), lit(0.5), lit(0.75)), lit(accuracy))
+        .cast(ArrayType(DoubleType)).as(s"$c#q"))
+    def entries(r: Row, key: Option[String]) = contCols.flatMap { c =>
+      Option(r.getAs[scala.collection.Seq[Any]](s"$c#q")).map { a =>
+        (c, key) -> Array(0, 1, 2).map(i =>
+          Option(a(i)).map(_.asInstanceOf[Number].doubleValue()).getOrElse(Double.NaN))
+      }
+    }
+    stratify match {
+      case None =>
+        entries(working.agg(qExprs.head, qExprs.tail: _*).head(), None).toMap
+      case Some(s) =>
+        working.withColumn(StratCol, Sanitize.stratColumn(col(s)))
+          .rollup(col(StratCol))
+          .agg(qExprs.head,
+            qExprs.tail :+ grouping(col(StratCol)).cast("int").as("#isTotal"): _*)
+          .collect()
+          .iterator.flatMap { r =>
+            val key = if (r.getAs[Int]("#isTotal") == 1) None
+                      else Some(r.getAs[String](StratCol))
+            entries(r, key)
+          }.toMap
+    }
+  }
+
   def summarize(df: DataFrame, cfg: TableOneConfig): DataFrame = {
     val spark = df.sparkSession
     val pValues = cfg.pValues && cfg.stratify.isDefined
@@ -331,11 +392,19 @@ object TableOne {
     val globalStats: Option[Row] = if (contCols.isEmpty) None else Some(globalRow)
 
     // --- pass 2 (default path): EXACT quartiles for every continuous
-    // column and every stratum + the total, in ONE fully-parallel job.
-    // Key: None = the grand total, Some(stratum) = that stratum.
+    // column and every stratum + the total. Pass 1 already fixed every
+    // column's non-null count, so the path choice is free: small columns
+    // ride one percentile_approx rollup at accuracy 4n (exact, state
+    // bounded by the threshold); anything larger takes the fully-parallel
+    // order-statistics job. Key: None = grand total, Some(s) = stratum.
     val quartMap: Map[(String, Option[String]), Array[Double]] =
       if (contCols.isEmpty || cfg.approxQuantileAccuracy.isDefined) Map.empty
-      else exactQuartiles(working, cfg.stratify, contCols)
+      else {
+        val maxN = contCols.map(c => globalRow.getAs[Long](s"$c#n")).max
+        if (maxN <= cfg.quartileSketchMaxRows)
+          sketchQuartiles(working, cfg.stratify, contCols, math.max(4L * maxN, 1L))
+        else exactQuartiles(working, cfg.stratify, contCols)
+      }
 
     // --- output schema -------------------------------------------------
     val countColNames = "All_Patients" +: stratNames

@@ -173,9 +173,28 @@ class TableOneGoldenSpec extends AnyFunSuite {
     val df = Seq(("A", 1.0, "x"), ("B", 2.0, "y"), ("A", 3.0, "x"), ("B", 4.0, "z"))
       .toDF("s", "num", "cat")
     val before = spark.sparkContext.getPersistentRDDs.keySet
+    // quartileSketchMaxRows = 0 forces the order-statistics path, whose
+    // in-call persists are the thing this test pins down
     TableOne.summarize(df,
-      TableOneConfig(stratify = Some("s"), cols = Seq("num", "cat"), pValues = true)).collect()
+      TableOneConfig(stratify = Some("s"), cols = Seq("num", "cat"), pValues = true,
+        quartileSketchMaxRows = 0L)).collect()
     val residual = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(residual.isEmpty, s"summarize leaked cached RDDs: $residual")
+  }
+
+  test("sketch and order-statistics quartile paths agree cell-for-cell") {
+    import spark.implicits._
+    // ties, skew, a null stratum, and a null measure — the cases where a
+    // rank-pick disagreement would show up
+    val df = (1 to 400).map { i =>
+      val s = if (i % 7 == 0) null else s"g${i % 3}"
+      val v: java.lang.Double = if (i % 11 == 0) null else (i % 17).toDouble
+      (s, v, i.toDouble)
+    }.toDF("s", "a", "b")
+    def run(threshold: Long) = TableOne.summarize(df,
+      TableOneConfig(stratify = Some("s"), cols = Seq("a", "b"),
+        quartileSketchMaxRows = threshold))
+      .collect().sortBy(_.getAs[Double]("Index")).map(_.toSeq)
+    assert(run(Long.MaxValue) sameElements run(0L))
   }
 }
