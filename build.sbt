@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs driver+executor in one JVM: 32 concurrent tasks'
+  // shuffle/aggregation state plus in-call caches need real headroom, or
+  // long benches degrade into GC thrash (t1 drifted 3.6 -> 5.1 s across
+  // consecutive full runs at 8g; stable at 24g on the 128 GiB box).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
