@@ -228,6 +228,21 @@ object OpsQueries {
         .select(col("id_a"), col("id_b"), col("t_a"), col("t_b"))
         .orderBy("id_a", "id_b")
     }),
+    "e5_interval_join" -> ((s, dir) => {
+      // clicks within 30 min AFTER a view by the same user — the
+      // impression-attribution interval join (batch path of the
+      // watermark-evicted stream-stream join)
+      val ev = Util.events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      EventPipeline.intervalJoin(views, clicks, "user_id", "view_ts", "click_ts")
+        .select(col("user_id"), col("view_id"), col("click_id"),
+          date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"))
+        .orderBy("view_id", "click_id")
+    }),
   )
 
   // DuckDB-side token array matching TextAnalysis.tokens. The whitespace
@@ -427,5 +442,16 @@ object OpsQueries {
         "FROM errors a JOIN errors b ON a.event_id < b.event_id " +
         "AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 60000 " +
         "ORDER BY id_a, id_b"),
+    "e5_interval_join" ->
+      ("WITH views AS (SELECT user_id, event_id AS view_id, ts AS view_ts " +
+        "FROM events WHERE event_type = 'view'), " +
+        "clicks AS (SELECT user_id, event_id AS click_id, ts AS click_ts " +
+        "FROM events WHERE event_type = 'click') " +
+        "SELECT v.user_id, v.view_id, c.click_id, " +
+        "strftime(v.view_ts, '%Y-%m-%d %H:%M:%S') AS view_ts, " +
+        "strftime(c.click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts " +
+        "FROM views v JOIN clicks c ON v.user_id = c.user_id " +
+        "AND c.click_ts >= v.view_ts AND c.click_ts <= v.view_ts + INTERVAL 30 MINUTE " +
+        "ORDER BY view_id, click_id"),
   )
 }

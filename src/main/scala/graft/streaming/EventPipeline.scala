@@ -78,6 +78,37 @@ object EventPipeline {
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Event-time interval join: every (l, r) pair sharing `key` where
+    * `r[rightTs]` lands in `[l[leftTs] + lowerMs, l[leftTs] + upperMs]`
+    * — the impressions-to-attributed-clicks shape. One definition serves
+    * both engines:
+    *
+    *   - Batch: an equi-join on `key` (single hash shuffle per side;
+    *     AQE-skew-splittable) with the interval as a join-time filter —
+    *     never a cross join.
+    *   - Streaming: with BOTH inputs watermarked, the interval bounds
+    *     are exactly the event-time range condition Spark's
+    *     stream-stream join requires to evict state — a left row is
+    *     droppable once the right watermark passes `leftTs + upperMs`,
+    *     so state stays bounded by (watermark delay + upperMs), not by
+    *     stream length.
+    *
+    * The bounds are applied as `timestamp + INTERVAL` comparisons, NOT
+    * via `unix_micros` arithmetic: the streaming state-cleanup analyzer
+    * only recognizes range predicates expressed directly on the
+    * watermarked event-time columns. `key` is taken from the left side
+    * in the output; all other columns pass through, so the two inputs
+    * must not share non-key column names (alias before joining). */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   lowerMs: Long = 0L, upperMs: Long = 30 * 60 * 1000L): DataFrame = {
+    require(lowerMs <= upperMs, s"empty interval: [$lowerMs, $upperMs]")
+    val cond = left(key) === right(key) &&
+      right(rightTs) >= left(leftTs) + expr(s"INTERVAL $lowerMs MILLISECOND") &&
+      right(rightTs) <= left(leftTs) + expr(s"INTERVAL $upperMs MILLISECOND")
+    left.join(right, cond).drop(right(key))
+  }
+
   /** Streaming ingest feeding the core summarize API (SURVEY.md §7.5):
     * every micro-batch is summarized as a full Table 1 and handed to
     * `sink` with its batch id. foreachBatch is the idiomatic bridge for

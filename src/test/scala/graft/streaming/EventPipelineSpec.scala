@@ -71,6 +71,52 @@ class EventPipelineSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("intervalJoin: inclusive bounds, per-key scoping, batch/stream parity") {
+    implicit val sql = spark.sqlContext
+    def views(df: org.apache.spark.sql.DataFrame) = df
+      .filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("view_ts"))
+    def clicks(df: org.apache.spark.sql.DataFrame) = df
+      .filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
+    val data = Seq(
+      Event(1L, ts("10:00"), 1L, "view", 0.0),
+      Event(2L, ts("10:00"), 1L, "click", 0.0), // at lower bound (0) -> in
+      Event(3L, ts("10:30"), 1L, "click", 0.0), // at upper bound -> in
+      Event(4L, ts("10:31"), 1L, "click", 0.0), // past upper -> out
+      Event(5L, ts("10:10"), 2L, "click", 0.0), // other user -> out
+      Event(6L, ts("12:00"), 2L, "view", 0.0),  // no matching click
+      Event(7L, ts("14:00"), 9L, "view", 0.0))  // watermark pusher
+    val expect = Set((1L, 1L, 2L), (1L, 1L, 3L))
+
+    val batch = EventPipeline.intervalJoin(
+      views(data.toDF()), clicks(data.toDF()), "user_id", "view_ts", "click_ts")
+      .select("user_id", "view_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    batch shouldBe expect
+
+    // same definition as a watermarked stream-stream join: results match
+    // and the planner accepts the interval as the state-eviction range
+    val lIn = MemoryStream[Event]; val rIn = MemoryStream[Event]
+    val q = EventPipeline.intervalJoin(
+      views(lIn.toDF()).withWatermark("view_ts", "10 minutes"),
+      clicks(rIn.toDF()).withWatermark("click_ts", "10 minutes"),
+      "user_id", "view_ts", "click_ts")
+      .writeStream.format("memory").queryName("ivj").outputMode("append").start()
+    try {
+      // two batches with the matching click arriving after its view
+      lIn.addData(data.filter(_.event_type == "view").take(1): _*)
+      rIn.addData(data.filter(_.event_type == "click"): _*)
+      q.processAllAvailable()
+      lIn.addData(data.filter(_.event_type == "view").drop(1): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ivj").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("view_id"),
+          r.getAs[Long]("click_id"))).toSet
+      streamed shouldBe expect
+    } finally q.stop()
+  }
+
   test("file-source stream of the events table matches the batch result") {
     val stream = EventPipeline.readEventStream(spark, "/root/testdata/sf0.001")
     val q = EventPipeline.windowedCounts(stream)
