@@ -78,10 +78,12 @@ object SparkEntry {
     // quartileSketchMaxRows = 0 forces the distributed order-statistics
     // quartile path regardless of input size, so BOTH exact-quartile
     // paths stay under the DuckDB hash gate at every scale (the default
-    // gate would route sf0.01's 60k rows to the sketch rider).
+    // gate would route sf0.01's 60k rows to the sketch rider). The
+    // categorical column puts the counts-ride-the-melt path (one scan
+    // for quartiles + categories) under the same hash check.
     "t9_tableone_orderstat" -> ((s, dir) => roundDoubles(TableOne.summarize(
       table(s, dir, "lineitem"),
-      TableOneConfig(Some("l_linestatus"), Seq("l_quantity", "l_discount"),
+      TableOneConfig(Some("l_linestatus"), Seq("l_returnflag", "l_quantity", "l_discount"),
         quartileSketchMaxRows = 0L)))),
 
     // ---- core aggregation operators (SURVEY.md §2.4) ----
@@ -218,7 +220,7 @@ object SparkEntry {
       Seq("o_is_urgent" -> false, "o_price_dec" -> true)),
     "t9_tableone_orderstat" -> TableOneSql.oracle(
       "lineitem", Some("l_linestatus"), Seq("F", "O"),
-      Seq("l_quantity" -> true, "l_discount" -> true)),
+      Seq("l_returnflag" -> false, "l_quantity" -> true, "l_discount" -> true)),
     "a1_group_count" ->
       "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "a2_pivot_counts" ->

@@ -523,7 +523,11 @@ object TableOne {
           val collected = counts.collect()
           val nonMissing = collected.filter(_.getAs[String]("Values") != Missing)
           val tests = catCols.map { c =>
+            // sorted so the chi-square sums its contingency rows in a
+            // deterministic order — FP addition is order-sensitive at
+            // 1 ULP and the aggregate's collect order is not stable
             val rows = nonMissing.filter(_.getAs[String]("variable") == c)
+              .sortBy(_.getAs[String]("Values"))
             val nonMissingTotal = rows.map(_.getAs[Long]("All_Patients")).sum
             // gate: >=5 non-missing rows (a row count — tableone_pyspark.py:503)
             val t =

@@ -184,17 +184,24 @@ class TableOneGoldenSpec extends AnyFunSuite {
 
   test("sketch and order-statistics quartile paths agree cell-for-cell") {
     import spark.implicits._
-    // ties, skew, a null stratum, and a null measure — the cases where a
-    // rank-pick disagreement would show up
+    // ties, skew, a null stratum, null measures, and a categorical with
+    // nulls — the order-statistics path also carries the categorical
+    // counts in its melt (and the chi-square built from them), so every
+    // cell including p-values must match the sketch+distributed path
     val df = (1 to 400).map { i =>
       val s = if (i % 7 == 0) null else s"g${i % 3}"
       val v: java.lang.Double = if (i % 11 == 0) null else (i % 17).toDouble
-      (s, v, i.toDouble)
-    }.toDF("s", "a", "b")
+      val c = if (i % 13 == 0) null else s"cat${i % 4}"
+      (s, v, i.toDouble, c)
+    }.toDF("s", "a", "b", "c")
     def run(threshold: Long) = TableOne.summarize(df,
-      TableOneConfig(stratify = Some("s"), cols = Seq("a", "b"),
-        quartileSketchMaxRows = threshold))
+      TableOneConfig(stratify = Some("s"), cols = Seq("a", "b", "c"),
+        pValues = true, quartileSketchMaxRows = threshold))
       .collect().sortBy(_.getAs[Double]("Index")).map(_.toSeq)
-    assert(run(Long.MaxValue) sameElements run(0L))
+    val (sketch, orderStat) = (run(Long.MaxValue), run(0L))
+    assert(sketch.length == orderStat.length)
+    sketch.zip(orderStat).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a == b, s"row $i diverges:\n  sketch:    $a\n  orderstat: $b")
+    }
   }
 }
