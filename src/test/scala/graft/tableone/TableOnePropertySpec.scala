@@ -31,10 +31,14 @@ class TableOnePropertySpec extends AnyFunSuite with Matchers {
     (0 until n).flatMap(i => tableGen.apply(Gen.Parameters.default, Seed(42L + i)))
 
   test("stratified summary matches a naive in-memory computation") {
-    cases(8).foreach { rows =>
+    // both exact-quartile paths: the default threshold routes these tiny
+    // tables to the percentile_approx(4n) sketch; 0 forces the
+    // distributed order-statistics pass over the same generated cases
+    for (sketchMax <- Seq(Long.MaxValue, 0L); rows <- cases(8)) {
       val df = rows.toDF("strat", "cat", "cont")
       val out = TableOne.summarize(df,
-        TableOneConfig(Some("strat"), Seq("cat", "cont"))).collect()
+        TableOneConfig(Some("strat"), Seq("cat", "cont"),
+          quartileSketchMaxRows = sketchMax)).collect()
       val byKey = out.map(r => (r.getAs[Double]("Index"), r.getAs[String]("Values")) -> r).toMap
 
       // Totals row
@@ -85,6 +89,21 @@ class TableOnePropertySpec extends AnyFunSuite with Matchers {
           Seq("25th percentile", "50th percentile", "75th percentile").map(contStat(_).get)
         q25 should be <= q50
         q50 should be <= q75
+      }
+      // per-stratum quartiles vs the naive rank pick — the case where the
+      // order-statistics pass must seed running counts across range
+      // partitions correctly for every (column, stratum) group
+      val slotQ = Seq("25th percentile" -> 0.25, "50th percentile" -> 0.5,
+        "75th percentile" -> 0.75)
+      strata.foreach { case (sv, srows) =>
+        val sc = srows.flatMap(_.cont).sorted
+        slotQ.foreach { case (slot, q) =>
+          val cell = out.find(r => r.getAs[String]("Values") == slot &&
+              r.getAs[String]("Characteristics") == "cont")
+            .flatMap(r => Option(r.getAs[java.lang.Double](sv)).map(_.doubleValue))
+          if (sc.isEmpty) cell shouldBe None
+          else cell.get shouldBe sc(math.ceil(q * sc.size).toInt.max(1) - 1) +- 1e-9
+        }
       }
 
       // Index strictly increasing in output order
