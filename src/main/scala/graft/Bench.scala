@@ -22,15 +22,26 @@ object Bench {
     ordered.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
     }
-    val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-22s $sec%8.2f s")
-      name -> sec
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // One timed pass over `dir`. A query that THROWS records -1 (an
+    // impossible duration — the failure marker in the JSON) rather than
+    // its milliseconds-to-crash masquerading as a fast success: at 10x
+    // scale an OOM is exactly the regression class this run exists to
+    // catch, so it must not read as a speedup.
+    def timedPass(dir: String, tag: String): Seq[(String, Double)] =
+      ordered.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, dir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[$tag] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            false
+        }
+        val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        System.err.println(f"[$tag] $name%-22s $sec%8.2f s")
+        name -> sec
+      }
+    def toJson(r: Seq[(String, Double)]): String =
+      r.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val results = timedPass(sfDir, "bench")
     val total = results.map(_._2).sum
     // 10x scale check: if the replicated sf1 dataset exists (built by
     // graft.ScaleData from sf0.1), run ONE timed pass over it too — the
@@ -40,17 +51,10 @@ object Bench {
     // sf0.1 but 99 s at sf1 before it was replaced).
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "benchdata/sf1")
     val sf1 = if (!new java.io.File(sf1Dir).isDirectory) "" else {
-      val r1 = ordered.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sf1Dir).count() } catch { case _: Throwable => -1L }
-        val sec = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench-sf1] $name%-22s $sec%8.2f s")
-        name -> sec
-      }
-      val q1 = r1.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-      s""","sf1_total":${r1.map(_._2).sum},"sf1_queries":$q1,"sf1_dir":"$sf1Dir""""
+      val r1 = timedPass(sf1Dir, "bench-sf1")
+      s""","sf1_total":${r1.map(_._2).sum},"sf1_queries":${toJson(r1)},"sf1_dir":"$sf1Dir""""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$sf1}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"sf":"$sfDir"$sf1}""")
     spark.stop()
   }
 }

@@ -50,6 +50,10 @@ import scala.jdk.CollectionConverters._
   *                 low-cardinality columns whose histogram collapses).
   *                 Both paths pick the identical rank-ceil(q*n) element.
   *                 0 forces the order-statistics path (tests do this).
+  *                 Sketch eligibility is additionally capped at
+  *                 Int.MaxValue/4 (percentile_approx's accuracy limit),
+  *                 and when every continuous value is null neither job
+  *                 runs — there is nothing to rank.
   * @param cacheInput persist the input for the duration of the (up to 4)
   *                 in-call aggregation passes — worth it when `df` is an
   *                 expensive upstream computation rather than a bare
@@ -401,8 +405,13 @@ object TableOne {
       if (contCols.isEmpty || cfg.approxQuantileAccuracy.isDefined) Map.empty
       else {
         val maxN = contCols.map(c => globalRow.getAs[Long](s"$c#n")).max
-        if (maxN <= cfg.quartileSketchMaxRows)
-          sketchQuartiles(working, cfg.stratify, contCols, math.max(4L * maxN, 1L))
+        // sketch eligibility is additionally capped at Int.MaxValue/4:
+        // percentile_approx rejects accuracy beyond Int.MaxValue, so a
+        // caller-raised threshold must still route huge columns to the
+        // order-statistics path instead of failing analysis
+        if (maxN == 0L) Map.empty // every continuous value is null
+        else if (maxN <= math.min(cfg.quartileSketchMaxRows, Int.MaxValue / 4L))
+          sketchQuartiles(working, cfg.stratify, contCols, 4L * maxN)
         else exactQuartiles(working, cfg.stratify, contCols)
       }
 

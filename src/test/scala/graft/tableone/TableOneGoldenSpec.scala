@@ -182,6 +182,22 @@ class TableOneGoldenSpec extends AnyFunSuite {
     assert(residual.isEmpty, s"summarize leaked cached RDDs: $residual")
   }
 
+  test("all-null continuous columns yield null quartile cells without a quartile job") {
+    import spark.implicits._
+    val df = Seq(("A", Option.empty[Double]), ("B", Option.empty[Double]))
+      .toDF("s", "x")
+    val out = TableOne.summarize(df,
+      TableOneConfig(stratify = Some("s"), cols = Seq("x"))).collect()
+    val q = out.filter(_.getAs[String]("Values").endsWith("percentile"))
+    assert(q.length == 3)
+    q.foreach { r =>
+      assert(r.getAs[Any]("All_Patients") == null)
+      assert(r.getAs[Any]("A") == null && r.getAs[Any]("B") == null)
+    }
+    val n = out.find(_.getAs[String]("Values") == "n").get
+    assert(n.getAs[Double]("All_Patients") == 0.0)
+  }
+
   test("sketch and order-statistics quartile paths agree cell-for-cell") {
     import spark.implicits._
     // ties, skew, a null stratum, null measures, and a categorical with
