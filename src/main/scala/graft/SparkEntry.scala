@@ -229,24 +229,24 @@ object SparkEntry {
         "count(*) FILTER (WHERE l_returnflag = 'R') AS \"R\" " +
         "FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"),
     "a3_onepass_stats" ->
-      ("SELECT count(l_quantity) AS n, ROUND(avg(l_quantity), 6) AS mean, " +
-        "ROUND(stddev_samp(l_quantity), 6) AS sd, min(l_quantity) AS mn, max(l_quantity) AS mx, " +
+      ("SELECT count(l_quantity) AS n, ROUND(avg(l_quantity) + 5e-10, 6) AS mean, " +
+        "ROUND(stddev_samp(l_quantity) + 5e-10, 6) AS sd, min(l_quantity) AS mn, max(l_quantity) AS mx, " +
         "quantile_disc(l_quantity, 0.25) AS q25, quantile_disc(l_quantity, 0.50) AS q50, " +
         "quantile_disc(l_quantity, 0.75) AS q75 FROM lineitem"),
     "a4_stats_by_group" ->
-      ("SELECT l_returnflag, count(l_extendedprice) AS n, ROUND(avg(l_extendedprice), 6) AS mean, " +
-        "ROUND(stddev_samp(l_extendedprice), 6) AS sd, ROUND(min(l_extendedprice), 6) AS mn, " +
-        "ROUND(max(l_extendedprice), 6) AS mx FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+      ("SELECT l_returnflag, count(l_extendedprice) AS n, ROUND(avg(l_extendedprice) + 5e-10, 6) AS mean, " +
+        "ROUND(stddev_samp(l_extendedprice) + 5e-10, 6) AS sd, ROUND(min(l_extendedprice) + 5e-10, 6) AS mn, " +
+        "ROUND(max(l_extendedprice) + 5e-10, 6) AS mx FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "a5_count_distinct" ->
       ("SELECT l_returnflag, count(DISTINCT l_partkey) AS parts, count(DISTINCT l_suppkey) AS supps " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "j1_outer_join" ->
       ("SELECT c.c_mktsegment, count(o.o_custkey) AS n_orders, count(*) AS n_rows, " +
-        "ROUND(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS revenue " +
+        "ROUND(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) + 5e-10, 6) AS revenue " +
         "FROM customer c FULL OUTER JOIN orders o ON o.o_custkey = c.c_custkey " +
         "GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"),
     "w1_window_funcs" ->
-      ("SELECT o_custkey, o_orderkey, rk, ROUND(prev_price, 6) AS prev_price, ROUND(cume, 6) AS cume FROM (" +
+      ("SELECT o_custkey, o_orderkey, rk, ROUND(prev_price + 5e-10, 6) AS prev_price, ROUND(cume + 5e-10, 6) AS cume FROM (" +
         "SELECT o_custkey, o_orderkey, " +
         "rank() OVER w AS rk, lag(o_totalprice, 1) OVER w AS prev_price, " +
         "sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey " +
@@ -255,7 +255,7 @@ object SparkEntry {
         "WHERE rk <= 3 ORDER BY o_custkey, rk, o_orderkey"),
     "w2_rolling_frame" ->
       ("SELECT o_custkey, o_orderkey, ROUND(avg(o_totalprice) OVER (PARTITION BY o_custkey " +
-        "ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS roll_avg " +
+        "ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) + 5e-10, 6) AS roll_avg " +
         "FROM orders QUALIFY o_custkey < 200 ORDER BY o_custkey, o_orderkey"),
     "a7_cube" ->
       ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
@@ -264,8 +264,8 @@ object SparkEntry {
         "ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
     "k1_salted_agg" ->
       ("SELECT l_returnflag, count(l_quantity) AS l_quantity_n, " +
-        "ROUND(sum(l_quantity), 6) AS l_quantity_sum, ROUND(min(l_quantity), 6) AS l_quantity_min, " +
-        "ROUND(max(l_quantity), 6) AS l_quantity_max " +
+        "ROUND(sum(l_quantity) + 5e-10, 6) AS l_quantity_sum, ROUND(min(l_quantity) + 5e-10, 6) AS l_quantity_min, " +
+        "ROUND(max(l_quantity) + 5e-10, 6) AS l_quantity_max " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "u1_set_ops" ->
       ("WITH hi AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 100000), " +

@@ -20,6 +20,11 @@ object TableOneSql {
   private def sanitize(col: String): String =
     s"COALESCE(REPLACE(CAST($col AS VARCHAR), ' ', '_'), 'MISSING')"
 
+  /** 6dp gate rounding with the same +5e-10 half-point nudge as
+    * [[graft.Util.roundDoubles]] — see the rationale there. Both sides of
+    * the compare MUST nudge identically. */
+  private def rnd(e: String): String = s"ROUND($e + 5e-10, 6)"
+
   /** @param cols (name, isContinuous) in analysis order
     * @param table table name OR a parenthesized derived-table expression
     *              (e.g. `(SELECT nullif(c,'x') AS c FROM t) AS src`) —
@@ -67,7 +72,7 @@ object TableOneSql {
     // ---- Totals row ----
     val totalsSelect = {
       val cells = countNames.zipWithIndex.flatMap { case (n, i) =>
-        Seq(s"ROUND(CAST(c$i AS DOUBLE), 6) AS ${q(n)}", s"CAST(1.0 AS DOUBLE) AS ${q(n + "_%")}")
+        Seq(s"${rnd(s"CAST(c$i AS DOUBLE)")} AS ${q(n)}", s"CAST(1.0 AS DOUBLE) AS ${q(n + "_%")}")
       }
       (fixed("CAST(0.0 AS DOUBLE)", "'Total'", "CAST(NULL AS VARCHAR)", "'ALL'") ++ cells)
         .mkString("SELECT ", ", ", " FROM tot")
@@ -79,10 +84,10 @@ object TableOneSql {
         "WHEN regexp_matches(lower(v), 'missing|unknown|other') THEN 5 ELSE 3 END)"
     val catSelects = cols.zipWithIndex.collect { case ((c, false), pos) =>
       val idx = pos + 1
-      val indexExpr = s"ROUND(CAST($idx AS DOUBLE) + CAST(row_number() OVER (ORDER BY $orderKey, v) AS DOUBLE) * CAST(0.01 AS DOUBLE), 6)"
+      val indexExpr = rnd(s"CAST($idx AS DOUBLE) + CAST(row_number() OVER (ORDER BY $orderKey, v) AS DOUBLE) * CAST(0.01 AS DOUBLE)")
       val cells = countNames.zipWithIndex.flatMap { case (n, i) =>
-        Seq(s"ROUND(CAST(cat_$c.c$i AS DOUBLE), 6) AS ${q(n)}",
-          s"ROUND(CAST(cat_$c.c$i AS DOUBLE) / CAST(tot.c$i AS DOUBLE), 6) AS ${q(n + "_%")}")
+        Seq(s"${rnd(s"CAST(cat_$c.c$i AS DOUBLE)")} AS ${q(n)}",
+          s"${rnd(s"CAST(cat_$c.c$i AS DOUBLE) / CAST(tot.c$i AS DOUBLE)")} AS ${q(n + "_%")}")
       }
       (fixed(indexExpr, s"'$c'", "'category'", "v") ++ cells)
         .mkString("SELECT ", ", ", s" FROM cat_$c CROSS JOIN tot")
@@ -98,10 +103,10 @@ object TableOneSql {
       val idx = pos + 1
       slots.map { case (label, frac, pre) =>
         val cells = countNames.indices.flatMap { i =>
-          Seq(s"ROUND(CAST($pre$i AS DOUBLE), 6) AS ${q(countNames(i))}",
+          Seq(s"${rnd(s"CAST($pre$i AS DOUBLE)")} AS ${q(countNames(i))}",
             s"CAST(NULL AS DOUBLE) AS ${q(countNames(i) + "_%")}")
         }
-        (fixed(s"ROUND(CAST($idx AS DOUBLE) + CAST($frac AS DOUBLE), 6)", s"'$c'", "'continuous'", s"'$label'") ++ cells)
+        (fixed(rnd(s"CAST($idx AS DOUBLE) + CAST($frac AS DOUBLE)"), s"'$c'", "'continuous'", s"'$label'") ++ cells)
           .mkString("SELECT ", ", ", s" FROM s_$c")
       }
     }.flatten
