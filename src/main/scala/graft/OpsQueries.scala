@@ -178,6 +178,23 @@ object OpsQueries {
       docs(s, dir).select(explode(TextAnalysis.tokens(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token")).limit(20)),
+    "c1_curation" -> ((s, dir) => {
+      // End-to-end corpus curation composite: exact dedup -> quality gate
+      // (>= 0.5, an exact double in both engines: 3 passed checks / 6) ->
+      // per-language corpus report. One narrow scoring projection and one
+      // small shuffle on lang_pred; dedup dominates, and every stage is
+      // the already-verified operator (d1 + x2 semantics).
+      val scored = Dedup.exact(docs(s, dir), "doc_id", "text")
+        .select(TextAnalysis.languageId(col("text")).as("lang_pred"),
+          TextAnalysis.qualityScore(col("text")).as("q"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+        .filter(col("q") >= 0.5)
+      scored.groupBy("lang_pred").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tok").as("n_tokens"),
+          round(avg("q") + lit(5e-10), 6).as("mean_quality"))
+        .orderBy("lang_pred")
+    }),
 
     // ---- deterministic sampling (xxhash-keyed -> rows-only) ------------
     "p1_hash_split" -> ((s, dir) => {
@@ -299,6 +316,44 @@ object OpsQueries {
     s"len(list_filter(tk, t -> list_contains($list, t)))::DOUBLE / greatest(len(tk), 1)"
   }
 
+  /** Text-enrichment CTE chain shared by x2 and c1: tokenizes `src` (a
+    * table name or parenthesized derived table with doc_id, text) and
+    * exposes per-doc language scores (s_de..s_zh, max m), n_tok, and the
+    * quality-heuristic inputs in CTE `f`. Mirrors TextAnalysis exactly —
+    * both queries' parity rides on this one definition. */
+  private def enrichSql(src: String): String = {
+    val langs = TextAnalysis.LangStopwords.toSeq.sortBy(_._1) // de en es fr it
+    val scoreCols = langs.map { case (l, ws) => s"${langScoreSql(ws)} AS s_$l" }
+    s"WITH t AS (SELECT doc_id, text, ${toksOf("text")} AS tk FROM $src), " +
+      "s AS (SELECT doc_id, text, tk, " + scoreCols.mkString(", ") + ", " +
+      raw"length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g'))::DOUBLE / greatest(length(text), 1) AS s_zh, " +
+      "len(tk) AS n_tok, " +
+      raw"length(regexp_replace(text, '$Ws', '', 'g'))::DOUBLE / greatest(len(tk), 1) AS mtl, " +
+      s"len(list_filter(tk, t -> list_contains($StopwordList, t)))::DOUBLE / greatest(len(tk), 1) AS stop_r, " +
+      "length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / greatest(length(text), 1) AS punct_r, " +
+      "length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / greatest(length(text), 1) AS digit_r, " +
+      "length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE / greatest(length(text), 1) AS upper_r " +
+      "FROM t), " +
+      "f AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_it, s_zh) AS m FROM s) "
+  }
+
+  /** Quality heuristic over CTE `f`'s columns — TextAnalysis.qualityScore. */
+  private val QualityScoreSql: String =
+    "(((CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END) + " +
+      "(CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.0 END) + " +
+      "(CASE WHEN stop_r >= 0.05 THEN 1.0 ELSE 0.0 END) + " +
+      "(CASE WHEN punct_r <= 0.3 THEN 1.0 ELSE 0.0 END) + " +
+      "(CASE WHEN digit_r <= 0.3 THEN 1.0 ELSE 0.0 END) + " +
+      "(CASE WHEN upper_r <= 0.3 THEN 1.0 ELSE 0.0 END)) / 6.0)"
+
+  /** Language pick over CTE `f` — TextAnalysis.languageId's array_max
+    * tie-break: highest score, then lexicographically LARGEST language. */
+  private val LangPickSql: String = {
+    val pick = ("zh" +: TextAnalysis.LangStopwords.toSeq.sortBy(_._1).map(_._1).reverse)
+      .map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+    s"(CASE WHEN m > 0.05 THEN (CASE $pick END) ELSE 'und' END)"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "d1_exact_dedup" ->
       ("SELECT doc_id FROM (SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn " +
@@ -373,35 +428,25 @@ object OpsQueries {
     "x3_token_topk" ->
       (s"SELECT t AS token, count(*) AS cnt FROM (SELECT unnest($Toks) AS t FROM documents) " +
         "GROUP BY t ORDER BY cnt DESC, token LIMIT 20"),
-    "x2_text_enrich" -> {
-      val langs = TextAnalysis.LangStopwords.toSeq.sortBy(_._1) // de en es fr it
-      val scoreCols = langs.map { case (l, ws) => s"${langScoreSql(ws)} AS s_$l" }
-      // tie-break mirrors array_max over (score, lang) structs: highest
-      // score, then lexicographically LARGEST language code
-      val pick = ("zh" +: langs.map(_._1).reverse)
-        .map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
-      (s"WITH t AS (SELECT doc_id, text, ${toksOf("text")} AS tk FROM documents), " +
-        "s AS (SELECT doc_id, text, tk, " + scoreCols.mkString(", ") + ", " +
-        raw"length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g'))::DOUBLE / greatest(length(text), 1) AS s_zh, " +
-        "len(tk) AS n_tok, " +
-        raw"length(regexp_replace(text, '$Ws', '', 'g'))::DOUBLE / greatest(len(tk), 1) AS mtl, " +
-        s"len(list_filter(tk, t -> list_contains($StopwordList, t)))::DOUBLE / greatest(len(tk), 1) AS stop_r, " +
-        "length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / greatest(length(text), 1) AS punct_r, " +
-        "length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / greatest(length(text), 1) AS digit_r, " +
-        "length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE / greatest(length(text), 1) AS upper_r " +
-        "FROM t), " +
-        "f AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_it, s_zh) AS m FROM s) " +
-        "SELECT doc_id, " +
+    "x2_text_enrich" -> (enrichSql("documents") +
+      "SELECT doc_id, " +
         raw"len(regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N}${TextAnalysis.WhitespaceClass}]'))::BIGINT AS n_tokens_bpeish, " +
-        "ROUND(((CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END) + " +
-        "(CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.0 END) + " +
-        "(CASE WHEN stop_r >= 0.05 THEN 1.0 ELSE 0.0 END) + " +
-        "(CASE WHEN punct_r <= 0.3 THEN 1.0 ELSE 0.0 END) + " +
-        "(CASE WHEN digit_r <= 0.3 THEN 1.0 ELSE 0.0 END) + " +
-        "(CASE WHEN upper_r <= 0.3 THEN 1.0 ELSE 0.0 END)) / 6.0, 6) AS quality_score, " +
-        s"CASE WHEN m > 0.05 THEN (CASE $pick END) ELSE 'und' END AS lang_pred " +
-        "FROM f ORDER BY doc_id")
-    },
+        s"ROUND($QualityScoreSql, 6) AS quality_score, " +
+        s"$LangPickSql AS lang_pred " +
+        "FROM f ORDER BY doc_id"),
+    "c1_curation" ->
+      // end-to-end curation: exact-dedup the corpus, score each survivor,
+      // keep quality >= 0.5 (an exact double in both engines: 3/6), report
+      // per predicted language. Reuses the x2 enrichment CTE over the
+      // deduped source so the composite inherits the same verified
+      // semantics.
+      (enrichSql("(SELECT doc_id, text FROM (SELECT doc_id, text, " +
+        "row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1) dd") +
+        s"SELECT $LangPickSql AS lang_pred, count(*) AS n_docs, " +
+        "sum(n_tok)::BIGINT AS n_tokens, " +
+        s"ROUND(avg($QualityScoreSql) + 5e-10, 6) AS mean_quality " +
+        s"FROM f WHERE $QualityScoreSql >= 0.5 " +
+        "GROUP BY lang_pred ORDER BY lang_pred"),
     "x4_tfidf" ->
       (s"WITH tk AS (SELECT doc_id, unnest(${toksOf("text")}) AS term FROM documents), " +
         "tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term), " +
