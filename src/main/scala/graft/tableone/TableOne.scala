@@ -68,12 +68,16 @@ import scala.jdk.CollectionConverters._
   *                 with a clear message instead.
   */
 /** One histogram row in [[TableOne.exactQuartiles]]'s range-partitioned
-  * pass: (col position, stratum, value, count, range-partition id). */
-private[tableone] case class HistRow(c: Int, s: String, v: Double, cnt: Long, pid: Int)
+  * pass: (col position, stratum position, value, count, range-partition
+  * id). Both group identifiers are SMALL INTS, not names — a string in
+  * the melt's hash-aggregate grouping key knocks the aggregation off its
+  * vectorized fast path (measured ~5x slower at sf1); names are restored
+  * on the driver from the positions. */
+private[tableone] case class HistRow(c: Int, si: Int, v: Double, cnt: Long, pid: Int)
 
 /** One emitted quartile pick from [[TableOne.exactQuartiles]]: `k` =
   * 1/2/3 (25/50/75th percentile), `tot` marks the grand-total group. */
-private[tableone] case class Pick(c: Int, s: String, tot: Boolean, k: Int, v: Double)
+private[tableone] case class Pick(c: Int, si: Int, tot: Boolean, k: Int, v: Double)
 
 final case class TableOneConfig(
     stratify: Option[String] = None,
@@ -165,19 +169,27 @@ object TableOne {
   private[tableone] def exactQuartiles(
       working: DataFrame,
       stratify: Option[String],
+      strataNames: Seq[String],
       contCols: Seq[String]): Map[(String, Option[String]), Array[Double]] = {
     val spark = working.sparkSession
     import spark.implicits._
     // posexplode of a bare double array: the column is identified by its
     // POSITION (a 4-byte int), not its name — strings in the melt key
     // made the generate + hash-aggregate pass several times slower at
-    // sf1. Names are restored from contCols(idx) after the collect.
+    // sf1. Names are restored from contCols(idx) after the collect. The
+    // stratum is likewise an int: pass 1 already enumerated every
+    // sanitized stratum name, so a map-literal lookup replaces the string
+    // key (a value that races in between the two passes maps to -1 and
+    // still counts toward the grand total; it has no output column).
     val kvs = array(contCols.map(c => col(c).cast(DoubleType)): _*)
     val melted = (stratify match {
-      case Some(s) => working.select(Sanitize.stratColumn(col(s)).as(StratCol),
-        posexplode(kvs).as(Seq("c", "v")))
-      case None => working.select(lit("").as(StratCol), posexplode(kvs).as(Seq("c", "v")))
-    }).select(col(StratCol).as("s"), col("c"), col("v"))
+      case Some(s) =>
+        val pos = typedLit(strataNames.zipWithIndex.toMap)
+        working.select(
+          coalesce(element_at(pos, Sanitize.stratColumn(col(s))), lit(-1)).as("si"),
+          posexplode(kvs).as(Seq("c", "v")))
+      case None => working.select(lit(0).as("si"), posexplode(kvs).as(Seq("c", "v")))
+    }).select(col("si"), col("c"), col("v"))
       .filter(col("v").isNotNull)
     val nParts = spark.sessionState.conf.numShufflePartitions
     // Both persists last for the duration of this call only (released in
@@ -188,7 +200,7 @@ object TableOne {
     // pick pass are two separate jobs over the range-shuffled result, and
     // AQE replans each action — the cache, not exchange reuse, is what
     // guarantees the range shuffle happens once.
-    val histPre = melted.groupBy("c", "s", "v").agg(count(lit(1)).as("cnt")).persist()
+    val histPre = melted.groupBy("c", "si", "v").agg(count(lit(1)).as("cnt")).persist()
     val hist = histPre
       .repartitionByRange(nParts, col("c"), col("v"))
       .sortWithinPartitions("c", "v")
@@ -196,16 +208,19 @@ object TableOne {
       .as[HistRow]
       .persist()
     try {
-      val subtotals: Array[((Int, Int, String), Long)] = hist
-        .groupBy("pid", "c", "s").agg(sum("cnt").as("t"))
+      // Per-stratum bookkeeping is pure overhead when there are no strata
+      // (every row would re-derive the grand-total picks a second time).
+      val withStrata = stratify.isDefined
+      val subtotals: Array[((Int, Int, Int), Long)] = hist
+        .groupBy("pid", "c", "si").agg(sum("cnt").as("t"))
         .collect()
-        .map(r => (r.getAs[Int]("pid"), r.getAs[Int]("c"), r.getAs[String]("s")) -> r.getAs[Long]("t"))
+        .map(r => (r.getAs[Int]("pid"), r.getAs[Int]("c"), r.getAs[Int]("si")) -> r.getAs[Long]("t"))
       // Driver-side prefix sums over pid order: starting offsets for every
       // (pid, col, stratum) and (pid, col), plus the grand totals that fix
       // the six target ranks per group. All tiny.
-      val byStrat = subtotals.groupBy { case ((_, c, s), _) => (c, s) }
+      val byStrat = subtotals.groupBy { case ((_, c, si), _) => (c, si) }
       val byCol = subtotals.groupBy { case ((_, c, _), _) => c }
-      def offsets[K](m: Map[K, Array[((Int, Int, String), Long)]]): (Map[(Int, K), Long], Map[K, Long]) = {
+      def offsets[K](m: Map[K, Array[((Int, Int, Int), Long)]]): (Map[(Int, K), Long], Map[K, Long]) = {
         val off = Map.newBuilder[(Int, K), Long]
         val tot = Map.newBuilder[K, Long]
         m.foreach { case (k, rows) =>
@@ -224,24 +239,26 @@ object TableOne {
       val colRanks = colN.map { case (c, n) => c -> ranks(n) }
       val picks = hist.mapPartitions { it =>
         val out = scala.collection.mutable.ArrayBuffer.empty[Pick]
-        val cumS = scala.collection.mutable.Map.empty[(Int, String), Long]
+        val cumS = scala.collection.mutable.Map.empty[(Int, Int), Long]
         val cumC = scala.collection.mutable.Map.empty[Int, Long]
         // value-group state for the cross-strata total (rows sorted by
         // (c, v); all strata rows of one (c, v) are adjacent)
         var gc = -1; var gv = 0.0; var gBefore = 0L; var gAfter = 0L
         def flushGroup(): Unit = if (gc >= 0) {
           colRanks(gc).zipWithIndex.foreach { case (r, i) =>
-            if (gBefore < r && r <= gAfter) out += Pick(gc, "", tot = true, i + 1, gv)
+            if (gBefore < r && r <= gAfter) out += Pick(gc, -1, tot = true, i + 1, gv)
           }
         }
         it.foreach { h =>
-          // per-stratum crossing (hist rows are unique per (c, s, v))
-          val sk = (h.c, h.s)
-          val before = cumS.getOrElse(sk, stratOff.getOrElse((h.pid, sk), 0L))
-          val after = before + h.cnt
-          cumS(sk) = after
-          stratRanks(sk).zipWithIndex.foreach { case (r, i) =>
-            if (before < r && r <= after) out += Pick(h.c, h.s, tot = false, i + 1, h.v)
+          // per-stratum crossing (hist rows are unique per (c, si, v))
+          if (withStrata) {
+            val sk = (h.c, h.si)
+            val before = cumS.getOrElse(sk, stratOff.getOrElse((h.pid, sk), 0L))
+            val after = before + h.cnt
+            cumS(sk) = after
+            stratRanks(sk).zipWithIndex.foreach { case (r, i) =>
+              if (before < r && r <= after) out += Pick(h.c, h.si, tot = false, i + 1, h.v)
+            }
           }
           // cross-strata total: accumulate the (c, v) peer group
           if (h.c != gc || h.v != gv) {
@@ -258,8 +275,11 @@ object TableOne {
       }.collect()
       val m = scala.collection.mutable.Map.empty[(String, Option[String]), Array[Double]]
       picks.foreach { p =>
-        val key = (contCols(p.c), if (p.tot) None else Some(p.s))
-        m.getOrElseUpdate(key, Array.fill(3)(Double.NaN))(p.k - 1) = p.v
+        // a raced-in stratum (si = -1, no output column) emits no pick
+        val key: Option[(String, Option[String])] =
+          if (p.tot) Some((contCols(p.c), None))
+          else strataNames.lift(p.si).map(n => (contCols(p.c), Some(n)))
+        key.foreach(k => m.getOrElseUpdate(k, Array.fill(3)(Double.NaN))(p.k - 1) = p.v)
       }
       m.toMap
     } finally { hist.unpersist(); histPre.unpersist() }
@@ -502,7 +522,7 @@ object TableOne {
         if (maxN == 0L) Map.empty // every continuous value is null
         else if (maxN <= math.min(cfg.quartileSketchMaxRows, Int.MaxValue / 4L))
           sketchQuartiles(working, cfg.stratify, contCols, 4L * maxN)
-        else exactQuartiles(working, cfg.stratify, contCols)
+        else exactQuartiles(working, cfg.stratify, stratNames, contCols)
       }
 
     // --- output schema -------------------------------------------------
