@@ -178,6 +178,26 @@ object OpsQueries {
       docs(s, dir).select(explode(TextAnalysis.tokens(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token")).limit(20)),
+    "x5_repetition" -> ((s, dir) => {
+      val t = col("text")
+      docs(s, dir).select(col("doc_id"),
+          round(TextAnalysis.duplicateLineRatio(t), 6).as("dup_line_ratio"),
+          round(TextAnalysis.duplicateLineCharRatio(t), 6).as("dup_line_char_ratio"),
+          round(TextAnalysis.topNgramRatio(t, 2), 6).as("top_bigram_ratio"),
+          round(TextAnalysis.bulletLineRatio(t), 6).as("bullet_line_ratio"),
+          round(TextAnalysis.ellipsisLineRatio(t), 6).as("ellipsis_line_ratio"))
+        .orderBy("doc_id")
+    }),
+    "x6_pii" -> ((s, dir) => {
+      val t = col("text")
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.emailCount(t).cast("long").as("n_emails"),
+          TextAnalysis.urlCount(t).cast("long").as("n_urls"),
+          TextAnalysis.ipv4Count(t).cast("long").as("n_ipv4"),
+          TextAnalysis.phoneCount(t).cast("long").as("n_phones"),
+          length(TextAnalysis.redactPii(t)).cast("long").as("redacted_len"))
+        .orderBy("doc_id")
+    }),
     "c1_curation" -> ((s, dir) => {
       // End-to-end corpus curation composite: exact dedup -> quality gate
       // (>= 0.5, an exact double in both engines: 3 passed checks / 6) ->
@@ -434,6 +454,40 @@ object OpsQueries {
         s"ROUND($QualityScoreSql, 6) AS quality_score, " +
         s"$LangPickSql AS lang_pred " +
         "FROM f ORDER BY doc_id"),
+    "x5_repetition" -> {
+      // non-empty lines; word bigrams WITHOUT the d2 helper's list_distinct
+      // (frequency counting needs every occurrence)
+      val ls = "list_filter(string_split(text, chr(10)), l -> length(l) > 0)"
+      val gs = "CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')] " +
+        "ELSE list_transform(range(1, len(tk)), i -> concat_ws(' ', tk[i], tk[i+1])) END"
+      (s"WITH src AS (SELECT doc_id, $ls AS ls, ${toksOf("text")} AS tk FROM documents), " +
+        s"g AS (SELECT doc_id, ls, $gs AS gs FROM src) " +
+        "SELECT doc_id, " +
+        "ROUND((len(ls) - len(list_distinct(ls)))::DOUBLE / greatest(len(ls), 1), 6) AS dup_line_ratio, " +
+        "ROUND(coalesce(list_sum(list_transform(list_distinct(ls), " +
+        "l -> (len(list_filter(ls, x -> x = l)) - 1) * length(l))), 0)::DOUBLE / " +
+        "greatest(coalesce(list_sum(list_transform(ls, l -> length(l))), 0), 1), 6) AS dup_line_char_ratio, " +
+        "ROUND(coalesce(list_max(list_transform(list_distinct(gs), " +
+        "gr -> len(list_filter(gs, x -> x = gr)))), 0)::DOUBLE / greatest(len(gs), 1), 6) AS top_bigram_ratio, " +
+        raw"ROUND(len(list_filter(ls, l -> regexp_matches(l, '^[ \t]*[-*•]')))::DOUBLE / " +
+        "greatest(len(ls), 1), 6) AS bullet_line_ratio, " +
+        raw"ROUND(len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)$$')))::DOUBLE / " +
+        "greatest(len(ls), 1), 6) AS ellipsis_line_ratio " +
+        "FROM g ORDER BY doc_id")
+    },
+    "x6_pii" -> {
+      import graft.ops.TextAnalysis.{EmailPattern, UrlPattern, Ipv4Pattern, PhonePattern}
+      val redacted = Seq(EmailPattern -> "<EMAIL>", UrlPattern -> "<URL>",
+        Ipv4Pattern -> "<IP>", PhonePattern -> "<PHONE>")
+        .foldLeft("text") { case (t, (p, tag)) => s"regexp_replace($t, '$p', '$tag', 'g')" }
+      ("SELECT doc_id, " +
+        s"len(regexp_extract_all(text, '$EmailPattern'))::BIGINT AS n_emails, " +
+        s"len(regexp_extract_all(text, '$UrlPattern'))::BIGINT AS n_urls, " +
+        s"len(regexp_extract_all(text, '$Ipv4Pattern'))::BIGINT AS n_ipv4, " +
+        s"len(regexp_extract_all(text, '$PhonePattern'))::BIGINT AS n_phones, " +
+        s"length($redacted)::BIGINT AS redacted_len " +
+        "FROM documents ORDER BY doc_id")
+    },
     "c1_curation" ->
       // end-to-end curation: exact-dedup the corpus, score each survivor,
       // keep quality >= 0.5 (an exact double in both engines: 3/6), report

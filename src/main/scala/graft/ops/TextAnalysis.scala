@@ -99,6 +99,85 @@ object TextAnalysis {
       .withColumn("quality_score", qualityScore(t))
   }
 
+  // --- repetition / boilerplate signals (Gopher/C4-style) -------------
+
+  /** Non-empty lines of the document. */
+  def docLines(text: Column): Column =
+    filter(split(text, "\n"), l => length(l) > 0)
+
+  /** Fraction of non-empty lines that repeat an earlier line — the
+    * classic boilerplate signal (nav bars, footers, chat logs). */
+  def duplicateLineRatio(text: Column): Column = {
+    val ls = docLines(text)
+    (size(ls) - size(array_distinct(ls))).cast("double") /
+      greatest(size(ls), lit(1)).cast("double")
+  }
+
+  /** Fraction of line characters sitting in repeat occurrences of a line
+    * (the characters a line-level dedup would remove). Quadratic in the
+    * LINE count of one document — a per-row cost independent of corpus
+    * size, so it stays a pure projection at any scale. */
+  def duplicateLineCharRatio(text: Column): Column = {
+    val ls = docLines(text)
+    val totalChars = aggregate(ls, lit(0L), (a, l) => a + length(l))
+    val dupChars = aggregate(array_distinct(ls), lit(0L),
+      (a, l) => a + (size(filter(ls, x => x === l)) - 1).cast("long") * length(l))
+    dupChars.cast("double") / greatest(totalChars, lit(1)).cast("double")
+  }
+
+  /** Highest frequency share of any word `n`-gram (lowercased): 1.0 means
+    * the document is one phrase repeated. Gopher gates on this for
+    * n = 2..4. */
+  def topNgramRatio(text: Column, n: Int = 2): Column = {
+    val gs = Dedup.shingles(text, n)
+    val top = aggregate(array_distinct(gs), lit(0),
+      (a, g) => greatest(a, size(filter(gs, x => x === g))))
+    top.cast("double") / greatest(size(gs), lit(1)).cast("double")
+  }
+
+  /** Fraction of lines that start like a bullet/list item. */
+  def bulletLineRatio(text: Column): Column = {
+    val ls = docLines(text)
+    size(filter(ls, l => l.rlike("^[ \\t]*[-*•]"))).cast("double") /
+      greatest(size(ls), lit(1)).cast("double")
+  }
+
+  /** Fraction of lines ending in an ellipsis (truncated snippets). */
+  def ellipsisLineRatio(text: Column): Column = {
+    val ls = docLines(text)
+    size(filter(ls, l => l.rlike("(\\.\\.\\.|…)$"))).cast("double") /
+      greatest(size(ls), lit(1)).cast("double")
+  }
+
+  // --- PII patterns ----------------------------------------------------
+
+  /** Conservative PII regexes, spelled identically for Java regex and
+    * RE2 (no backreferences, no lookaround, explicit whitespace class) so
+    * the DuckDB oracle runs the same patterns verbatim. Counts are
+    * computed on the raw text independently per pattern (a URL containing
+    * an IP counts for both). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = s"https?://[^$WhitespaceClass]+"
+  val Ipv4Pattern = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  // separators deliberately exclude '.' so an IPv4 address (8 digits,
+  // dotted) never doubles as a phone number
+  val PhonePattern = "\\+?[0-9][0-9() -]{6,}[0-9]"
+
+  def emailCount(text: Column): Column = regexp_count(text, lit(EmailPattern))
+  def urlCount(text: Column): Column = regexp_count(text, lit(UrlPattern))
+  def ipv4Count(text: Column): Column = regexp_count(text, lit(Ipv4Pattern))
+  def phoneCount(text: Column): Column = regexp_count(text, lit(PhonePattern))
+
+  /** Replace PII spans with typed tags. Order matters and is fixed:
+    * emails first (their local parts contain digits a phone pattern could
+    * claim), then URLs (which may embed IPs), then bare IPs, then
+    * phone-like digit runs. */
+  def redactPii(text: Column): Column = {
+    val steps = Seq(EmailPattern -> "<EMAIL>", UrlPattern -> "<URL>",
+      Ipv4Pattern -> "<IP>", PhonePattern -> "<PHONE>")
+    steps.foldLeft(text) { case (t, (p, tag)) => regexp_replace(t, p, tag) }
+  }
+
   // --- language identification ---------------------------------------
 
   /** Per-language discriminative function-word sets (public linguistic

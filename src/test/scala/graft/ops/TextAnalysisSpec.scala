@@ -35,6 +35,53 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     one[Double](TextAnalysis.meanTokenLength(col("t")), t) shouldBe (17.0 / 6) +- 1e-12
   }
 
+  test("duplicate-line signals on a crafted boilerplate document") {
+    // 5 non-empty lines: "nav" x3 (3 chars each), "body text" (9), "x" (1)
+    val t = "nav\nbody text\nnav\n\nx\nnav"
+    one[Double](TextAnalysis.duplicateLineRatio(col("t")), t) shouldBe (2.0 / 5) +- 1e-12
+    // dup chars = (3-1)*3 = 6 of total 3+9+3+1+3 = 19 line chars
+    one[Double](TextAnalysis.duplicateLineCharRatio(col("t")), t) shouldBe (6.0 / 19) +- 1e-12
+    // no lines / single lines degrade to 0
+    one[Double](TextAnalysis.duplicateLineRatio(col("t")), "") shouldBe 0.0
+    one[Double](TextAnalysis.duplicateLineCharRatio(col("t")), "only line") shouldBe 0.0
+  }
+
+  test("top n-gram ratio flags a repeated phrase") {
+    // bigrams of "buy now buy now buy now": [buy now, now buy, buy now,
+    // now buy, buy now] -> top = 3/5
+    val t = "buy now buy now buy now"
+    one[Double](TextAnalysis.topNgramRatio(col("t"), 2), t) shouldBe (3.0 / 5) +- 1e-12
+    // all-distinct bigrams -> 1/n
+    one[Double](TextAnalysis.topNgramRatio(col("t"), 2), "a b c d") shouldBe (1.0 / 3) +- 1e-12
+    // fewer tokens than n: the whole doc is one shingle -> ratio 1
+    one[Double](TextAnalysis.topNgramRatio(col("t"), 2), "single") shouldBe 1.0
+  }
+
+  test("bullet and ellipsis line ratios") {
+    val t = "- first item\n  * second\nplain line\nto be continued...\nx"
+    one[Double](TextAnalysis.bulletLineRatio(col("t")), t) shouldBe (2.0 / 5) +- 1e-12
+    one[Double](TextAnalysis.ellipsisLineRatio(col("t")), t) shouldBe (1.0 / 5) +- 1e-12
+  }
+
+  test("PII counts and redaction on a crafted document") {
+    val t = "mail a.b+c@example.org or visit https://ex.com/a?q=1 " +
+      "from 10.0.0.1 and call +1 (555) 123-4567 now"
+    one[Int](TextAnalysis.emailCount(col("t")), t) shouldBe 1
+    one[Int](TextAnalysis.urlCount(col("t")), t) shouldBe 1
+    one[Int](TextAnalysis.ipv4Count(col("t")), t) shouldBe 1
+    one[Int](TextAnalysis.phoneCount(col("t")), t) shouldBe 1
+    val red = one[String](TextAnalysis.redactPii(col("t")), t)
+    red should include("<EMAIL>")
+    red should include("<URL>")
+    red should include("<IP>")
+    red should include("<PHONE>")
+    red should not include "example.org"
+    red should not include "10.0.0.1"
+    red should not include "555"
+    // clean text untouched
+    one[String](TextAnalysis.redactPii(col("t")), "no pii here") shouldBe "no pii here"
+  }
+
   test("quality score: clean English prose scores high, garbage scores low") {
     val good = "the quick brown fox jumps over the lazy dog and runs to the old barn"
     val bad = "!!! ??? ### 111 222 333 !!!"
