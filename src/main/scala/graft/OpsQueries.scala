@@ -67,6 +67,16 @@ object OpsQueries {
           concat_ws(",", TextAnalysis.fingerprint(col("text"))).as("fingerprint"))
         .orderBy("doc_id")),
 
+    "d8_decontamination" -> ((s, dir) => {
+      // benchmark set = doc_id < 10, training corpus = the rest; flag
+      // training docs sharing any word trigram with the benchmark
+      val d = docs(s, dir)
+      Dedup.ngramOverlap(d.filter(col("doc_id") >= 10),
+          d.filter(col("doc_id") < 10), "doc_id", "text", "text", n = 3)
+        .select(col("doc_id"), col("n_overlap"),
+          round(col("overlap_ratio"), 6).as("overlap_ratio"))
+        .orderBy("doc_id")
+    }),
     "d7_corpus_similarity" -> ((s, dir) => { // minhash-based -> rows-only
       // corpus-level MinHash union per source, then pairwise corpus
       // Jaccard estimates — no document is re-read for the comparison
@@ -454,6 +464,17 @@ object OpsQueries {
         s"ROUND($QualityScoreSql, 6) AS quality_score, " +
         s"$LangPickSql AS lang_pred " +
         "FROM f ORDER BY doc_id"),
+    "d8_decontamination" -> {
+      val tri = "list_transform(range(1, len(tk) - 1), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"
+      val gs = s"list_filter(list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')] ELSE $tri END), x -> length(x) > 0)"
+      (s"WITH t AS (SELECT doc_id, ${toksOf("text")} AS tk FROM documents), " +
+        s"g AS (SELECT doc_id, $gs AS gs FROM t), " +
+        "bench AS (SELECT DISTINCT unnest(gs) AS gr FROM g WHERE doc_id < 10), " +
+        "corpus AS (SELECT doc_id, len(gs) AS ng, unnest(gs) AS gr FROM g WHERE doc_id >= 10) " +
+        "SELECT doc_id, count(*) AS n_overlap, " +
+        "ROUND(count(*)::DOUBLE / any_value(ng), 6) AS overlap_ratio " +
+        "FROM corpus JOIN bench USING (gr) GROUP BY doc_id ORDER BY doc_id")
+    },
     "x5_repetition" -> {
       // non-empty lines; word bigrams WITHOUT the d2 helper's list_distinct
       // (frequency counting needs every occurrence)

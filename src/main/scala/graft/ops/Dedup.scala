@@ -61,6 +61,32 @@ object Dedup {
       greatest(size(array_union(sa, sb)), lit(1)).cast("double")
   }
 
+  /** Benchmark decontamination: for every corpus document, the number and
+    * fraction of its distinct word `n`-grams that appear anywhere in the
+    * benchmark set — the standard test-set-overlap check run before
+    * training. Only contaminated documents (>= 1 shared gram) return.
+    *
+    * Scale shape: the benchmark inventory (distinct grams of a benchmark
+    * suite — thousands of rows, not corpus-sized) is broadcast, so the
+    * corpus-side explode joins with NO shuffle of corpus data; the
+    * follow-up per-doc count shuffles only the matched grams. Corpus size
+    * never touches the build side. */
+  def ngramOverlap(corpus: DataFrame, bench: DataFrame, idCol: String,
+                   textCol: String, benchTextCol: String, n: Int = 3): DataFrame = {
+    val gramsOf = (t: Column) =>
+      filter(array_distinct(shingles(t, n)), g => length(g) > 0)
+    val benchGrams = bench
+      .select(explode(gramsOf(col(benchTextCol))).as("__g")).distinct()
+    corpus
+      .select(col(idCol), gramsOf(col(textCol)).as("__gs"))
+      .select(col(idCol), size(col("__gs")).as("__ng"), explode(col("__gs")).as("__g"))
+      .join(broadcast(benchGrams), Seq("__g"))
+      .groupBy(col(idCol), col("__ng"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(col(idCol), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("__ng").cast("double")).as("overlap_ratio"))
+  }
+
   /** Exact deduplication: keep one deterministic representative (minimum
     * `idCol`) per distinct value of `text`. The shuffle key is the 64-bit
     * content hash, not the text; hash collisions are disambiguated by

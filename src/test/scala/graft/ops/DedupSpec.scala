@@ -159,4 +159,24 @@ class DedupSpec extends AnyFunSuite with Matchers {
     val (nf, na) = (candidates(fixedBig), candidates(adaptiveBig))
     assert(na < nf, s"adaptive planes should prune candidates: adaptive=$na fixed=$nf")
   }
+
+  test("ngramOverlap flags planted contamination with exact counts") {
+    val bench = Seq((1L, "the secret benchmark answer is forty two"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "nothing in common here at all"),
+      // shares "the secret benchmark" and "secret benchmark answer"
+      // out of its 5 trigrams
+      (11L, "he knew the secret benchmark answer already"),
+      (12L, "the secret benchmark answer is forty two"), // verbatim copy
+      (13L, "")).toDF("doc_id", "text")
+    val out = Dedup.ngramOverlap(corpus, bench, "doc_id", "text", "text", n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_overlap"), r.getAs[Double]("overlap_ratio"))).toMap
+    out.keySet shouldBe Set(11L, 12L)
+    out(11L)._1 shouldBe 2L
+    out(11L)._2 shouldBe (2.0 / 5) +- 1e-12
+    out(12L)._1 shouldBe 5L
+    out(12L)._2 shouldBe 1.0 +- 1e-12
+  }
 }
