@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.streaming.EventPipeline
 import graft.Util.table
 
@@ -67,6 +67,18 @@ object OpsQueries {
           concat_ws(",", TextAnalysis.fingerprint(col("text"))).as("fingerprint"))
         .orderBy("doc_id")),
 
+    "d9_line_dedup" -> ((s, dir) => {
+      // the synthetic corpus is single-line, so wrap each doc in shared
+      // boilerplate (one global nav line + a per-language footer) — the
+      // C4-style global line dedup then has real cross-document work:
+      // the nav survives once, each footer once per language
+      val d = table(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n", lit("== SITE NAV =="), col("text"),
+          concat(lit("contact us: "), col("lang"))).as("text"))
+      Dedup.globalLineDedup(d, "doc_id", "text")
+        .select(col("doc_id"), col("text").as("text_dedup"))
+        .orderBy("doc_id")
+    }),
     "d8_decontamination" -> ((s, dir) => {
       // benchmark set = doc_id < 10, training corpus = the rest; flag
       // training docs sharing any word trigram with the benchmark
@@ -236,6 +248,14 @@ object OpsQueries {
       Sampling.stratifiedTake(
           table(s, dir, "documents").select("doc_id", "lang"), "lang", "doc_id", n = 5)
         .orderBy("lang", "doc_id")),
+    "p3_sequence_pack" -> ((s, dir) => { // hash-spread greedy -> rows-only
+      // fixed partitions: pack assignment must not depend on the
+      // session's shuffle-partition setting
+      val d = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+      Packing.packByTokenBudget(d, "doc_id", "n_tok", budget = 512, partitions = 8)
+        .orderBy("doc_id")
+    }),
 
     // ---- event-stream transforms (batch = streaming code path) ---------
     "e1_windowed_counts" -> ((s, dir) =>
@@ -464,6 +484,15 @@ object OpsQueries {
         s"ROUND($QualityScoreSql, 6) AS quality_score, " +
         s"$LangPickSql AS lang_pred " +
         "FROM f ORDER BY doc_id"),
+    "d9_line_dedup" ->
+      ("WITH src AS (SELECT doc_id, concat_ws(chr(10), '== SITE NAV ==', text, 'contact us: ' || lang) AS text FROM documents), " +
+        "t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM src), " +
+        "l AS (SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1), i -> {'idx': i, 'ln': ls[i]})) AS e FROM t), " +
+        "x AS (SELECT doc_id, e.idx AS idx, e.ln AS ln FROM l), " +
+        "k AS (SELECT doc_id, idx, ln, (length(ln) = 0 OR " +
+        "row_number() OVER (PARTITION BY ln ORDER BY doc_id, idx) = 1) AS keep FROM x) " +
+        "SELECT doc_id, string_agg(ln, chr(10) ORDER BY idx) AS text_dedup " +
+        "FROM k WHERE keep GROUP BY doc_id ORDER BY doc_id"),
     "d8_decontamination" -> {
       val tri = "list_transform(range(1, len(tk) - 1), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"
       val gs = s"list_filter(list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')] ELSE $tri END), x -> length(x) > 0)"

@@ -87,6 +87,30 @@ object Dedup {
         (col("n_overlap").cast("double") / col("__ng").cast("double")).as("overlap_ratio"))
   }
 
+  /** Corpus-global line-level dedup (C4-style boilerplate removal): every
+    * non-empty line survives only at its FIRST occurrence across the whole
+    * corpus (ordered by (id, line position)); empty lines always survive
+    * as document structure. Documents are reassembled in original line
+    * order; a document whose every line was a repeat disappears.
+    *
+    * Scale shape: two shuffles, both inherent — lines hash-partition on
+    * (xxhash64(line), line) for the global first-occurrence window (text
+    * bytes only co-travel within a hash partition, same as [[exact]]),
+    * and kept lines shuffle back on id for reassembly. No driver
+    * collection, no per-document state larger than its own line list. */
+  def globalLineDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df.select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("__idx", "__ln")))
+    val w = Window.partitionBy(xxhash64(col("__ln")), col("__ln"))
+      .orderBy(col(idCol), col("__idx"))
+    lines
+      .withColumn("__keep", length(col("__ln")) === 0 || row_number().over(w) === 1)
+      .filter(col("__keep"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__idx"), col("__ln")))).as("__parts"))
+      .select(col(idCol),
+        array_join(transform(col("__parts"), p => p.getField("__ln")), "\n").as(textCol))
+  }
+
   /** Exact deduplication: keep one deterministic representative (minimum
     * `idCol`) per distinct value of `text`. The shuffle key is the 64-bit
     * content hash, not the text; hash collisions are disambiguated by

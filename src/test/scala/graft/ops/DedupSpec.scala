@@ -160,6 +160,23 @@ class DedupSpec extends AnyFunSuite with Matchers {
     assert(na < nf, s"adaptive planes should prune candidates: adaptive=$na fixed=$nf")
   }
 
+  test("globalLineDedup keeps first occurrences, empty lines, and drops emptied docs") {
+    val docs = Seq(
+      (1L, "header\nalpha\nfooter"),
+      (2L, "header\nbeta\nfooter"), // header/footer already seen in doc 1
+      (3L, "gamma"),
+      (4L, "header\nfooter"), // every line a repeat -> doc disappears
+      (5L, "x\n\ny") // the empty middle line is structure, always kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.globalLineDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    out shouldBe Map(
+      1L -> "header\nalpha\nfooter",
+      2L -> "beta",
+      3L -> "gamma",
+      5L -> "x\n\ny")
+  }
+
   test("ngramOverlap flags planted contamination with exact counts") {
     val bench = Seq((1L, "the secret benchmark answer is forty two"))
       .toDF("doc_id", "text")
