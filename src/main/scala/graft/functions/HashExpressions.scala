@@ -79,6 +79,50 @@ case class ShingleHash(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Word n-gram shingle STRINGS of a token array, space-joined — the
+  * exact strings `transform(sequence(...), i -> concat_ws(' ',
+  * slice(toks, i, n)))` produces (fewer than `n` tokens collapse to one
+  * whole-text shingle), so DuckDB-oracle string parity is preserved,
+  * but built in one compiled loop instead of an interpreted lambda tree
+  * allocating a slice array per gram — the HOF formulation dominated
+  * decontamination at sf1 (measured ~20x slower end-to-end). */
+case class StringShingles(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "string_shingles"
+
+  private final val Space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val numToks = toks.numElements()
+    val ts = new Array[UTF8String](numToks)
+    var i = 0
+    while (i < numToks) { ts(i) = toks.getUTF8String(i); i += 1 }
+    val out =
+      if (numToks < n) Array[Any](UTF8String.concatWs(Space, ts: _*))
+      else {
+        val numShingles = numToks - n + 1
+        val gs = new Array[Any](numShingles)
+        val window = new Array[UTF8String](n)
+        var s = 0
+        while (s < numShingles) {
+          var j = 0
+          while (j < n) { window(j) = ts(s + j); j += 1 }
+          gs(s) = UTF8String.concatWs(Space, window: _*)
+          s += 1
+        }
+        gs
+      }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StringShingles =
+    copy(child = newChild)
+}
+
 /** MinHash signature over a (distinct) shingle-hash array: element k of
   * the result is `min over shingles s of xxhash64(s, seed = k)`. */
 case class MinHashSignature(child: Expression, numHashes: Int)
@@ -303,6 +347,11 @@ object HashFunctions {
   /** Distinct word-n-gram shingle hashes of a token-array column. */
   def shingleHash(tokens: Column, n: Int): Column =
     ColumnBridge.column(ShingleHash(expr(tokens), n))
+
+  /** Word-n-gram shingle strings of a token-array column (space-joined,
+    * whole-text fallback below `n` tokens — HOF-parity semantics). */
+  def stringShingles(tokens: Column, n: Int): Column =
+    ColumnBridge.column(StringShingles(expr(tokens), n))
 
   /** MinHash signature (array<long> of length `numHashes`) of a
     * shingle-hash array column. */

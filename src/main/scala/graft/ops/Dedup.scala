@@ -19,12 +19,8 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Word n-gram shingles of a text column (the near-dup unit). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(lower(text))
-    when(size(toks) < n, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-  }
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.HashFunctions.stringShingles(TextAnalysis.tokens(lower(text)), n)
 
   /** Distinct numeric shingle hashes of a text column: each token is
     * hashed once, n-gram hashes chain the token hashes. Runs as the

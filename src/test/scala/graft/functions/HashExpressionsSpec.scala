@@ -154,4 +154,33 @@ class HashExpressionsSpec extends AnyFunSuite with Matchers {
         HashFunctions.shingleHash(toks(col("t")), 3), 16).as("sig"))
     df.collect().length shouldBe 100
   }
+
+  test("stringShingles matches the HOF formulation string-for-string") {
+    // the HOF reference implementation StringShingles replaced — any
+    // divergence here breaks DuckDB-oracle parity for d2/d8/x5
+    def hofShingles(text: org.apache.spark.sql.Column, n: Int) = {
+      import org.apache.spark.sql.{functions => F}
+      val t = graft.ops.TextAnalysis.tokens(lower(text))
+      when(F.size(t) < n, array(concat_ws(" ", t)))
+        .otherwise(transform(sequence(lit(1), F.size(t) - (n - 1)),
+          i => concat_ws(" ", slice(t, i, lit(n)))))
+    }
+    val texts = Seq("", "one", "one two", "a b c d e", "  padded   text here ",
+      "ünïcode tökens splitting fine", "x\ty\nz", "repeat repeat repeat repeat")
+    val df = texts.toDF("t")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val got = df.select(
+          graft.functions.HashFunctions.stringShingles(
+            graft.ops.TextAnalysis.tokens(lower(col("t"))), n).as("g"),
+          hofShingles(col("t"), n).as("h"))
+        .collect()
+      got.foreach { r =>
+        r.getAs[Seq[String]]("g") shouldBe r.getAs[Seq[String]]("h")
+      }
+    }
+    // null text -> null shingles, matching the HOF's null propagation
+    Seq[Option[String]](None).toDF("t")
+      .select(graft.ops.Dedup.shingles(col("t"), 3).as("g"))
+      .head().isNullAt(0) shouldBe true
+  }
 }
