@@ -170,25 +170,27 @@ object OpsQueries {
         .groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
         .orderBy("doc_id")),
 
-    // ---- text analysis -------------------------------------------------
+    // ---- text analysis (one shared profile pass per query) -------------
     "x1_text_stats" -> ((s, dir) => {
-      val t = col("text")
-      docs(s, dir).select(col("doc_id"),
-          length(t).cast("long").as("n_chars_computed"),
-          TextAnalysis.tokenCount(t).cast("long").as("n_tokens"),
-          round(TextAnalysis.meanTokenLength(t), 6).as("mean_token_len"),
-          round(TextAnalysis.punctRatio(t), 6).as("punct_ratio"),
-          round(TextAnalysis.digitRatio(t), 6).as("digit_ratio"),
-          round(TextAnalysis.upperRatio(t), 6).as("upper_ratio"),
-          round(TextAnalysis.stopwordRatio(t), 6).as("stopword_ratio"))
+      val p = col("__p")
+      docs(s, dir).withColumn("__p", TextAnalysis.profile(col("text")))
+        .select(col("doc_id"),
+          p.getField("n_chars").cast("long").as("n_chars_computed"),
+          TextAnalysis.tokenCountP(p).cast("long").as("n_tokens"),
+          round(TextAnalysis.meanTokenLengthP(p), 6).as("mean_token_len"),
+          round(TextAnalysis.punctRatioP(p), 6).as("punct_ratio"),
+          round(TextAnalysis.digitRatioP(p), 6).as("digit_ratio"),
+          round(TextAnalysis.upperRatioP(p), 6).as("upper_ratio"),
+          round(TextAnalysis.stopwordRatioP(p), 6).as("stopword_ratio"))
         .orderBy("doc_id")
     }),
     "x2_text_enrich" -> ((s, dir) => {
-      val t = col("text")
-      docs(s, dir).select(col("doc_id"),
-          TextAnalysis.bpeishTokenCount(t).cast("long").as("n_tokens_bpeish"),
-          round(TextAnalysis.qualityScore(t), 6).as("quality_score"),
-          TextAnalysis.languageId(t).as("lang_pred"))
+      val p = col("__p")
+      docs(s, dir).withColumn("__p", TextAnalysis.profile(col("text")))
+        .select(col("doc_id"),
+          TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("n_tokens_bpeish"),
+          round(TextAnalysis.qualityScoreP(p), 6).as("quality_score"),
+          TextAnalysis.languageIdP(p).as("lang_pred"))
         .orderBy("doc_id")
     }),
     "x4_tfidf" -> ((s, dir) =>
@@ -226,10 +228,12 @@ object OpsQueries {
       // per-language corpus report. One narrow scoring projection and one
       // small shuffle on lang_pred; dedup dominates, and every stage is
       // the already-verified operator (d1 + x2 semantics).
+      val p = col("__p")
       val scored = Dedup.exact(docs(s, dir), "doc_id", "text")
-        .select(TextAnalysis.languageId(col("text")).as("lang_pred"),
-          TextAnalysis.qualityScore(col("text")).as("q"),
-          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+        .withColumn("__p", TextAnalysis.profile(col("text")))
+        .select(TextAnalysis.languageIdP(p).as("lang_pred"),
+          TextAnalysis.qualityScoreP(p).as("q"),
+          TextAnalysis.tokenCountP(p).cast("long").as("n_tok"))
         .filter(col("q") >= 0.5)
       scored.groupBy("lang_pred").agg(
           count(lit(1)).as("n_docs"),

@@ -189,6 +189,112 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** One-pass text profile: every counting signal the quality / language-ID
+  * heuristics need, from a single traversal of the string — token count,
+  * token characters, per-set stopword hits, ASCII punct/digit/upper
+  * counts, CJK character count. The HOF formulation re-tokenizes the text
+  * once per signal (HOFs are interpreted `CodegenFallback`s, so no
+  * common-subexpression elimination rescues it) — language-ID alone cost
+  * ~9 s over the 50k-doc sf1 corpus; this expression profiles it in one
+  * compiled pass. The derived ratios/scores stay OUTSIDE as plain column
+  * arithmetic, so policy remains declarative and oracle-parity rides on
+  * integer counts.
+  *
+  * Parity notes vs the HOF/oracle formulation: tokens split on the shared
+  * explicit whitespace class; token lengths count code points (= Spark
+  * `length`); stopword membership lowercases per token (equivalent to
+  * tokenizing `lower(text)` — lowercasing never creates whitespace);
+  * punct is Java `\p{Punct}` = the 32 ASCII punctuation chars, matching
+  * RE2 `[[:punct:]]`; upper/digit are ASCII; CJK is the 一-鿿
+  * block (BMP, so UTF-16 iteration counts code points exactly). */
+case class TextProfile(child: Expression, stop: Seq[String],
+                       langs: Seq[(String, Seq[String])])
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(
+    Seq("n_chars", "n_tok", "n_stop", "n_punct", "n_digit", "n_upper", "n_cjk")
+      .map(StructField(_, IntegerType, nullable = false)) ++
+      Seq(StructField("sum_tok_len", LongType, nullable = false)) ++
+      langs.map { case (l, _) => StructField(s"n_$l", IntegerType, nullable = false) })
+  override def prettyName: String = "text_profile"
+
+  @transient private lazy val stopSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](stop.size * 2)
+    stop.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+  @transient private lazy val langSets: Array[java.util.HashSet[UTF8String]] =
+    langs.map { case (_, ws) =>
+      val s = new java.util.HashSet[UTF8String](ws.size * 2)
+      ws.foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    }.toArray
+
+  private def isPunct(c: Char): Boolean =
+    (c >= '!' && c <= '/') || (c >= ':' && c <= '@') ||
+      (c >= '[' && c <= '`') || (c >= '{' && c <= '~')
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
+
+  override def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    val s = u.toString
+    val nUtf16 = s.length
+    var nTok = 0
+    var sumTokLen = 0L
+    var nStop = 0
+    var nPunct = 0
+    var nDigit = 0
+    var nUpper = 0
+    var nCjk = 0
+    var surrogates = 0
+    val langHits = new Array[Int](langSets.length)
+    var i = 0
+    while (i < nUtf16) {
+      // char-class counts (ASCII + BMP classes: never surrogates)
+      val c = s.charAt(i)
+      if (java.lang.Character.isHighSurrogate(c)) surrogates += 1
+      if (isPunct(c)) nPunct += 1
+      else if (c >= '0' && c <= '9') nDigit += 1
+      else if (c >= 'A' && c <= 'Z') nUpper += 1
+      else if (c >= 0x4e00 && c <= 0x9fff) nCjk += 1
+      // token scan: c starts a token iff non-ws preceded by start/ws
+      if (!isWs(c) && (i == 0 || isWs(s.charAt(i - 1)))) {
+        var j = i + 1
+        while (j < nUtf16 && !isWs(s.charAt(j))) j += 1
+        nTok += 1
+        var tokSurr = 0
+        var k = i
+        while (k < j) { if (java.lang.Character.isHighSurrogate(s.charAt(k))) tokSurr += 1; k += 1 }
+        sumTokLen += (j - i) - tokSurr // code points, not UTF-16 units
+        val tok = UTF8String.fromString(s.substring(i, j).toLowerCase)
+        if (stopSet.contains(tok)) nStop += 1
+        var li = 0
+        while (li < langHits.length) {
+          if (langSets(li).contains(tok)) langHits(li) += 1
+          li += 1
+        }
+      }
+      i += 1
+    }
+    val cells = new Array[Any](8 + langHits.length)
+    cells(0) = nUtf16 - surrogates // code-point length = Spark length()
+    cells(1) = nTok
+    cells(2) = nStop
+    cells(3) = nPunct
+    cells(4) = nDigit
+    cells(5) = nUpper
+    cells(6) = nCjk
+    cells(7) = sumTokLen
+    var li = 0
+    while (li < langHits.length) { cells(8 + li) = langHits(li); li += 1 }
+    org.apache.spark.sql.catalyst.InternalRow.fromSeq(cells.toIndexedSeq)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TextProfile =
+    copy(child = newChild)
+}
+
 /** Stratum-value sanitization (null handled by the caller's coalesce):
   * spaces -> '_', runs of non-ASCII -> single '?'. One pass over the
   * string — replaces two java.util.regex passes per row, which dominated
@@ -365,6 +471,11 @@ object HashFunctions {
   /** One-pass strat-value sanitization (space -> '_', non-ASCII run -> '?'). */
   def sanitizeStrat(c: Column): Column =
     ColumnBridge.column(SanitizeStrat(expr(c)))
+
+  /** One-pass text profile struct (token/stopword/char-class/CJK counts). */
+  def textProfile(text: Column, stop: Seq[String],
+                  langs: Seq[(String, Seq[String])]): Column =
+    ColumnBridge.column(TextProfile(expr(text), stop, langs))
 
   // The defensive cast is a no-op for already-double arrays but protects
   // against reading a float-backed ArrayData as doubles (garbage bytes).

@@ -27,6 +27,55 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** One compiled pass over the text producing every counting signal the
+    * quality/language heuristics consume (see
+    * [[graft.functions.TextProfile]]). Queries that need several signals
+    * should materialize this ONCE (`.withColumn("__p", profile(t))`) and
+    * derive with the `*P` accessors — each plain-text signal function
+    * below is a profile call of its own, fine standalone, wasteful x10
+    * in a wide projection. */
+  def profile(text: Column): Column =
+    graft.functions.HashFunctions.textProfile(
+      text, EnglishStopwords, LangStopwords.toSeq.sortBy(_._1))
+
+  private def ratio(num: Column, den: Column): Column =
+    num.cast("double") / greatest(den, lit(1)).cast("double")
+
+  def tokenCountP(p: Column): Column = p.getField("n_tok")
+  def meanTokenLengthP(p: Column): Column =
+    ratio(p.getField("sum_tok_len"), p.getField("n_tok"))
+  def punctRatioP(p: Column): Column = ratio(p.getField("n_punct"), p.getField("n_chars"))
+  def digitRatioP(p: Column): Column = ratio(p.getField("n_digit"), p.getField("n_chars"))
+  def upperRatioP(p: Column): Column = ratio(p.getField("n_upper"), p.getField("n_chars"))
+  def stopwordRatioP(p: Column): Column = ratio(p.getField("n_stop"), p.getField("n_tok"))
+
+  /** [[qualityScore]] over a materialized profile. */
+  def qualityScoreP(p: Column): Column = {
+    val nTok = tokenCountP(p)
+    val mtl = meanTokenLengthP(p)
+    val checks = Seq(
+      (nTok >= 5) && (nTok <= 100000),
+      (mtl >= 2.0) && (mtl <= 12.0),
+      stopwordRatioP(p) >= 0.05,
+      punctRatioP(p) <= 0.3,
+      digitRatioP(p) <= 0.3,
+      upperRatioP(p) <= 0.3)
+    checks.map(c => when(c, 1.0).otherwise(0.0)).reduce(_ + _) / lit(checks.size.toDouble)
+  }
+
+  /** [[languageId]] over a materialized profile — same argmax/tie-break
+    * structure, scores now plain arithmetic on the profiled counts. */
+  def languageIdP(p: Column): Column = {
+    val scored: Seq[Column] = LangStopwords.keys.toSeq.sorted.map { lang =>
+      struct(ratio(p.getField(s"n_$lang"), p.getField("n_tok")).as("score"),
+        lit(lang).as("lang"))
+    }
+    val zh = struct(ratio(p.getField("n_cjk"), p.getField("n_chars")).as("score"),
+      lit("zh").as("lang"))
+    val best = array_max(array(scored :+ zh: _*))
+    when(best.getField("score") > 0.05, best.getField("lang")).otherwise(lit("und"))
+  }
+
   /** A BPE-ish subword proxy: counts runs of letters/digits plus each
     * individual non-whitespace symbol — approximates tokenizer token
     * counts without a vocabulary. One alternation regex (the two classes
@@ -43,60 +92,39 @@ object TextAnalysis {
     "were", "it", "that", "this", "for", "on", "with", "as", "at", "by",
     "be", "he", "she", "they", "you", "we", "not", "but", "from")
 
-  def punctRatio(text: Column): Column = {
-    val punct = length(regexp_replace(text, "[^\\p{Punct}]", ""))
-    punct.cast("double") / greatest(length(text), lit(1)).cast("double")
-  }
+  def punctRatio(text: Column): Column = punctRatioP(profile(text))
 
-  def digitRatio(text: Column): Column =
-    length(regexp_replace(text, "[^0-9]", "")).cast("double") /
-      greatest(length(text), lit(1)).cast("double")
+  def digitRatio(text: Column): Column = digitRatioP(profile(text))
 
-  def upperRatio(text: Column): Column =
-    length(regexp_replace(text, "[^A-Z]", "")).cast("double") /
-      greatest(length(text), lit(1)).cast("double")
+  def upperRatio(text: Column): Column = upperRatioP(profile(text))
 
-  def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
-    val sw = array(stopwords.map(lit): _*)
-    val toks = tokens(lower(text))
-    size(filter(toks, t => array_contains(sw, t))).cast("double") /
-      greatest(size(toks), lit(1)).cast("double")
-  }
+  def stopwordRatio(text: Column): Column = stopwordRatioP(profile(text))
 
-  def meanTokenLength(text: Column): Column = {
-    val toks = tokens(text)
-    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
-      greatest(size(toks), lit(1)).cast("double")
-  }
+  def meanTokenLength(text: Column): Column = meanTokenLengthP(profile(text))
 
   /** Composite document-quality score in [0,1] — heuristics in the spirit
     * of C4/Gopher filtering rules: enough tokens, sane word lengths, some
     * stopwords, not dominated by punctuation/digits/caps. */
-  def qualityScore(text: Column): Column = {
-    val nTok = tokenCount(text)
-    val mtl = meanTokenLength(text)
-    val checks = Seq(
-      (nTok >= 5) && (nTok <= 100000),
-      (mtl >= 2.0) && (mtl <= 12.0),
-      stopwordRatio(text) >= 0.05,
-      punctRatio(text) <= 0.3,
-      digitRatio(text) <= 0.3,
-      upperRatio(text) <= 0.3)
-    checks.map(c => when(c, 1.0).otherwise(0.0)).reduce(_ + _) / lit(checks.size.toDouble)
-  }
+  def qualityScore(text: Column): Column = qualityScoreP(profile(text))
 
-  /** Adds the standard quality columns to a document DataFrame. */
+  /** Adds the standard quality columns to a document DataFrame — ONE
+    * profile pass shared by all of them (CollapseProject keeps a
+    * multiply-referenced non-trivial alias materialized, so `__p` is
+    * evaluated once per row). */
   def withQuality(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    df.withColumn("n_chars_computed", length(t).cast("long"))
-      .withColumn("n_tokens", tokenCount(t).cast("long"))
+    val p = col("__p")
+    df.withColumn("__p", profile(t))
+      .withColumn("n_chars_computed", p.getField("n_chars").cast("long"))
+      .withColumn("n_tokens", tokenCountP(p).cast("long"))
       .withColumn("n_tokens_bpeish", bpeishTokenCount(t).cast("long"))
-      .withColumn("mean_token_len", meanTokenLength(t))
-      .withColumn("punct_ratio", punctRatio(t))
-      .withColumn("digit_ratio", digitRatio(t))
-      .withColumn("upper_ratio", upperRatio(t))
-      .withColumn("stopword_ratio", stopwordRatio(t))
-      .withColumn("quality_score", qualityScore(t))
+      .withColumn("mean_token_len", meanTokenLengthP(p))
+      .withColumn("punct_ratio", punctRatioP(p))
+      .withColumn("digit_ratio", digitRatioP(p))
+      .withColumn("upper_ratio", upperRatioP(p))
+      .withColumn("stopword_ratio", stopwordRatioP(p))
+      .withColumn("quality_score", qualityScoreP(p))
+      .drop("__p")
   }
 
   // --- repetition / boilerplate signals (Gopher/C4-style) -------------
@@ -195,27 +223,13 @@ object TextAnalysis {
     "it" -> Seq("il", "la", "di", "che", "e", "un", "una", "per", "non",
       "sono", "con", "del", "gli", "si", "nel", "alla"))
 
-  /** N-gram/function-word language-ID heuristic, pure column expressions:
-    * score(lang) = fraction of tokens that are that language's function
-    * words; CJK script ratio scores "zh". Returns the argmax language code
-    * or "und" when no signal. Ties break deterministically (higher score,
-    * then language code). */
-  def languageId(text: Column): Column = {
-    val toks = tokens(lower(text))
-    val nTok = greatest(size(toks), lit(1)).cast("double")
-    val scored: Seq[Column] = LangStopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      val sw = array(words.map(lit): _*)
-      struct(
-        (size(filter(toks, t => array_contains(sw, t))).cast("double") / nTok).as("score"),
-        lit(lang).as("lang"))
-    }
-    val zh = struct(
-      (length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")).cast("double") /
-        greatest(length(text), lit(1)).cast("double")).as("score"),
-      lit("zh").as("lang"))
-    val best = array_max(array(scored :+ zh: _*))
-    when(best.getField("score") > 0.05, best.getField("lang")).otherwise(lit("und"))
-  }
+  /** N-gram/function-word language-ID heuristic: score(lang) = fraction
+    * of tokens that are that language's function words; CJK script ratio
+    * scores "zh". Returns the argmax language code or "und" when no
+    * signal. Ties break deterministically (higher score, then language
+    * code). Counting happens in the one-pass [[profile]]; the argmax is
+    * plain column arithmetic. */
+  def languageId(text: Column): Column = languageIdP(profile(text))
 
   // --- tf-idf ---------------------------------------------------------
 
