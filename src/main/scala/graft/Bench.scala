@@ -16,11 +16,22 @@ object Bench {
     // optional args: restrict to the named queries (debugging aid)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => args.isEmpty || args.contains(n) }
+    // Force EVERY output column to evaluate: a bare .count() lets Catalyst
+    // prune the projections, so a pure-projection query (x1, x5, m1, ...)
+    // would "benchmark" as an empty scan. Hashing the full row into one
+    // aggregated sum defeats pruning at ~a hash per row of overhead.
+    def consume(df: org.apache.spark.sql.DataFrame): Unit = {
+      import org.apache.spark.sql.functions._
+      // bit_xor, not sum: full-range hash longs overflow an ANSI sum
+      df.select(xxhash64(struct(df.columns.map(col): _*)).as("__h"))
+        .agg(expr("bit_xor(__h)")).collect()
+      ()
+    }
     // No clearCache between queries: library operators are contractually
     // leak-free (DedupSpec asserts zero residual persisted RDDs), so a
     // shared session accumulates no storage across calls.
     ordered.foreach { case (_, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+      try { consume(fn(spark, sfDir)) } catch { case _: Throwable => }
     }
     // One timed pass over `dir`. A query that THROWS records -1 (an
     // impossible duration — the failure marker in the JSON) rather than
@@ -30,7 +41,7 @@ object Bench {
     def timedPass(dir: String, tag: String): Seq[(String, Double)] =
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, dir).count(); true } catch {
+        val ok = try { consume(fn(spark, dir)); true } catch {
           case e: Throwable =>
             System.err.println(s"[$tag] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
             false

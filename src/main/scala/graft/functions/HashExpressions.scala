@@ -189,6 +189,106 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** One-pass frequency statistics over a string array: element count,
+  * distinct count, the highest single-element frequency, total characters
+  * (code points), and the characters sitting in repeat occurrences (every
+  * occurrence after an element's first). One hash-map traversal — the HOF
+  * formulation (a nested `filter` per distinct element) is interpreted
+  * AND quadratic: the top-n-gram share alone cost 55 s over the 50k-doc
+  * sf1 corpus. Serves the repetition/boilerplate signals: duplicate-line
+  * ratio = (n - n_distinct)/n, duplicate-char ratio = dup_chars /
+  * total_chars, top-n-gram share = max_count/n. */
+case class ArrayFreqStats(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("max_count", IntegerType, nullable = false),
+    StructField("total_chars", LongType, nullable = false),
+    StructField("dup_chars", LongType, nullable = false)))
+  override def prettyName: String = "array_freq_stats"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new java.util.HashMap[UTF8String, Int](n * 2)
+    var maxCount = 0
+    var totalChars = 0L
+    var dupChars = 0L
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val len = s.numChars()
+      totalChars += len
+      val c = counts.merge(s, 1, (a, b) => a + b)
+      if (c > 1) dupChars += len
+      if (c > maxCount) maxCount = c
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+      Seq(n, counts.size(), maxCount, totalChars, dupChars))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ArrayFreqStats =
+    copy(child = newChild)
+}
+
+/** Winnowing-style character k-gram fingerprint: xxhash64 (seed 42, the
+  * `xxhash64()` function's seed) of every k-char window of the text, then
+  * the `keep` smallest DISTINCT hashes, ascending — bit-identical to
+  * `slice(array_sort(array_distinct(transform(sequence(...), i ->
+  * xxhash64(substr(text, i, k))))), 1, keep)`, which evaluated an
+  * interpreted lambda + substring allocation per window (~21 s over the
+  * sf1 corpus; this is one compiled scan over the UTF-8 bytes). Texts
+  * shorter than `k` hash their single whole-text window. */
+case class CharShingleFingerprint(child: Expression, k: Int, keep: Int)
+  extends UnaryExpression with CodegenFallback {
+  require(k >= 1 && keep >= 1, "k and keep must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_shingle_fingerprint"
+
+  private final val Seed = 42L
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val numChars = s.numChars()
+    val numWin = math.max(numChars - k + 1, 1)
+    // code point -> byte offset table (one pass; ASCII fast path implicit)
+    val bytes = s.getBytes
+    val offs = new Array[Int](numChars + 1)
+    var b = 0
+    var cp = 0
+    while (cp < numChars) {
+      offs(cp) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      cp += 1
+    }
+    offs(numChars) = bytes.length
+    val hs = new Array[Long](numWin)
+    var i = 0
+    while (i < numWin) {
+      val from = offs(i)
+      val until = offs(math.min(i + k, numChars))
+      hs(i) = XXH64.hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from, until - from, Seed)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var w = 0
+    var r = 0
+    while (r < hs.length && w < keep) {
+      if (r == 0 || hs(r) != hs(r - 1)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, w))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharShingleFingerprint =
+    copy(child = newChild)
+}
+
 /** One-pass text profile: every counting signal the quality / language-ID
   * heuristics need, from a single traversal of the string — token count,
   * token characters, per-set stopword hits, ASCII punct/digit/upper
