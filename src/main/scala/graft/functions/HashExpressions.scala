@@ -568,6 +568,16 @@ object HashFunctions {
   def simHash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(expr(tokens)))
 
+  /** One-pass frequency stats struct (n, n_distinct, max_count,
+    * total_chars, dup_chars) of a string-array column. */
+  def arrayFreqStats(arr: Column): Column =
+    ColumnBridge.column(ArrayFreqStats(expr(arr)))
+
+  /** Winnowing-style fingerprint: the `keep` smallest distinct xxhash64
+    * values over the k-char windows of a text column, ascending. */
+  def charShingleFingerprint(text: Column, k: Int, keep: Int): Column =
+    ColumnBridge.column(CharShingleFingerprint(expr(text), k, keep))
+
   /** One-pass strat-value sanitization (space -> '_', non-ASCII run -> '?'). */
   def sanitizeStrat(c: Column): Column =
     ColumnBridge.column(SanitizeStrat(expr(c)))
