@@ -204,9 +204,13 @@ object OpsQueries {
         .orderBy(col("cnt").desc, col("token")).limit(20)),
     "x5_repetition" -> ((s, dir) => {
       val t = col("text")
-      docs(s, dir).select(col("doc_id"),
-          round(TextAnalysis.duplicateLineRatio(t), 6).as("dup_line_ratio"),
-          round(TextAnalysis.duplicateLineCharRatio(t), 6).as("dup_line_char_ratio"),
+      // one compiled ArrayFreqStats pass shared by both line signals
+      // (same __p sharing pattern as x1/x2)
+      val lf = col("__lf")
+      docs(s, dir).withColumn("__lf", TextAnalysis.lineFreqStats(t))
+        .select(col("doc_id"),
+          round(TextAnalysis.duplicateLineRatioS(lf), 6).as("dup_line_ratio"),
+          round(TextAnalysis.duplicateLineCharRatioS(lf), 6).as("dup_line_char_ratio"),
           round(TextAnalysis.topNgramRatio(t, 2), 6).as("top_bigram_ratio"),
           round(TextAnalysis.bulletLineRatio(t), 6).as("bullet_line_ratio"),
           round(TextAnalysis.ellipsisLineRatio(t), 6).as("ellipsis_line_ratio"))

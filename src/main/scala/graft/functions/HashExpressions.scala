@@ -226,8 +226,16 @@ case class ArrayFreqStats(child: Expression)
       if (c > maxCount) maxCount = c
       i += 1
     }
-    org.apache.spark.sql.catalyst.InternalRow.fromSeq(
-      Seq(n, counts.size(), maxCount, totalChars, dupChars))
+    // Array[Any] cells: a Seq literal of mixed Int/Long fields would
+    // numerically WIDEN the Ints to Long (Scala weak conformance),
+    // breaking the declared Int schema at eval time.
+    val cells = new Array[Any](5)
+    cells(0) = n
+    cells(1) = counts.size()
+    cells(2) = maxCount
+    cells(3) = totalChars
+    cells(4) = dupChars
+    org.apache.spark.sql.catalyst.InternalRow.fromSeq(cells.toIndexedSeq)
   }
 
   override protected def withNewChildInternal(newChild: Expression): ArrayFreqStats =

@@ -133,34 +133,44 @@ object TextAnalysis {
   def docLines(text: Column): Column =
     filter(split(text, "\n"), l => length(l) > 0)
 
+  /** One-pass line-frequency stats struct (n, n_distinct, max_count,
+    * total_chars, dup_chars) over the non-empty lines — the compiled
+    * [[graft.functions.ArrayFreqStats]] hash-map traversal. Queries that
+    * need several line signals should materialize this ONCE
+    * (`.withColumn("__lf", lineFreqStats(t))`) and derive with the `*S`
+    * accessors, the same sharing pattern as [[profile]]. */
+  def lineFreqStats(text: Column): Column =
+    graft.functions.HashFunctions.arrayFreqStats(docLines(text))
+
+  /** [[duplicateLineRatio]] over a materialized line-stats struct. */
+  def duplicateLineRatioS(stats: Column): Column =
+    ratio(stats.getField("n") - stats.getField("n_distinct"), stats.getField("n"))
+
+  /** [[duplicateLineCharRatio]] over a materialized line-stats struct. */
+  def duplicateLineCharRatioS(stats: Column): Column =
+    ratio(stats.getField("dup_chars"), stats.getField("total_chars"))
+
   /** Fraction of non-empty lines that repeat an earlier line — the
     * classic boilerplate signal (nav bars, footers, chat logs). */
-  def duplicateLineRatio(text: Column): Column = {
-    val ls = docLines(text)
-    (size(ls) - size(array_distinct(ls))).cast("double") /
-      greatest(size(ls), lit(1)).cast("double")
-  }
+  def duplicateLineRatio(text: Column): Column =
+    duplicateLineRatioS(lineFreqStats(text))
 
   /** Fraction of line characters sitting in repeat occurrences of a line
-    * (the characters a line-level dedup would remove). Quadratic in the
-    * LINE count of one document — a per-row cost independent of corpus
-    * size, so it stays a pure projection at any scale. */
-  def duplicateLineCharRatio(text: Column): Column = {
-    val ls = docLines(text)
-    val totalChars = aggregate(ls, lit(0L), (a, l) => a + length(l))
-    val dupChars = aggregate(array_distinct(ls), lit(0L),
-      (a, l) => a + (size(filter(ls, x => x === l)) - 1).cast("long") * length(l))
-    dupChars.cast("double") / greatest(totalChars, lit(1)).cast("double")
-  }
+    * (the characters a line-level dedup would remove). One compiled
+    * hash-map pass per row ([[graft.functions.ArrayFreqStats]]) — the
+    * interpreted HOF formulation (a nested `filter` per distinct line)
+    * was quadratic in the line count and dominated x5 at sf1. Semantics
+    * pinned HOF-for-HOF by the parity spec in HashExpressionsSpec. */
+  def duplicateLineCharRatio(text: Column): Column =
+    duplicateLineCharRatioS(lineFreqStats(text))
 
   /** Highest frequency share of any word `n`-gram (lowercased): 1.0 means
     * the document is one phrase repeated. Gopher gates on this for
-    * n = 2..4. */
+    * n = 2..4. Frequency counting runs in the same compiled one-pass
+    * [[graft.functions.ArrayFreqStats]] traversal (max_count / n). */
   def topNgramRatio(text: Column, n: Int = 2): Column = {
-    val gs = Dedup.shingles(text, n)
-    val top = aggregate(array_distinct(gs), lit(0),
-      (a, g) => greatest(a, size(filter(gs, x => x === g))))
-    top.cast("double") / greatest(size(gs), lit(1)).cast("double")
+    val s = graft.functions.HashFunctions.arrayFreqStats(Dedup.shingles(text, n))
+    ratio(s.getField("max_count"), s.getField("n"))
   }
 
   /** Fraction of lines that start like a bullet/list item. */
@@ -269,14 +279,16 @@ object TextAnalysis {
   // --- fingerprinting -------------------------------------------------
 
   /** Character k-gram rolling-hash fingerprint (winnowing-style): hash
-    * every k-char window, keep the minimum `keep` hashes as the document
-    * fingerprint. Near-identical documents share most of the sketch.
-    * Pure HOF expression: O(len) windows per row, no shuffle. */
-  def fingerprint(text: Column, k: Int = 8, keep: Int = 16): Column = {
-    val n = greatest(length(text) - lit(k - 1), lit(1))
-    val hashes = transform(sequence(lit(1), n), i => xxhash64(text.substr(i, lit(k))))
-    slice(array_sort(array_distinct(hashes)), 1, keep)
-  }
+    * every k-char window, keep the minimum `keep` distinct hashes as the
+    * document fingerprint. Near-identical documents share most of the
+    * sketch. Runs as the compiled [[graft.functions.CharShingleFingerprint]]
+    * scan over the UTF-8 bytes — bit-identical to the HOF formulation
+    * `slice(array_sort(array_distinct(transform(sequence(...), i ->
+    * xxhash64(substr(text, i, k))))), 1, keep)` (pinned by the parity
+    * spec), which allocated an interpreted lambda + substring per window
+    * and dominated d4 at sf1. O(len) per row, no shuffle. */
+  def fingerprint(text: Column, k: Int = 8, keep: Int = 16): Column =
+    graft.functions.HashFunctions.charShingleFingerprint(text, k, keep)
 
   /** Single 64-bit content fingerprint (exact-dup detection at scale:
     * 8-byte shuffle key instead of the full text). */

@@ -155,6 +155,86 @@ class HashExpressionsSpec extends AnyFunSuite with Matchers {
     df.collect().length shouldBe 100
   }
 
+  test("arrayFreqStats-backed repetition signals match the HOF formulations") {
+    // The interpreted HOF reference implementations x5 originally shipped
+    // with — any divergence breaks DuckDB-oracle parity for x5_repetition.
+    import graft.ops.{Dedup, TextAnalysis}
+    def hofDupLineRatio(t: org.apache.spark.sql.Column) = {
+      val ls = TextAnalysis.docLines(t)
+      (F.size(ls) - F.size(array_distinct(ls))).cast("double") /
+        greatest(F.size(ls), lit(1)).cast("double")
+    }
+    def hofDupLineCharRatio(t: org.apache.spark.sql.Column) = {
+      val ls = TextAnalysis.docLines(t)
+      val totalChars = F.aggregate(ls, lit(0L), (a, l) => a + F.length(l))
+      val dupChars = F.aggregate(array_distinct(ls), lit(0L),
+        (a, l) => a + (F.size(filter(ls, x => x === l)) - 1).cast("long") * F.length(l))
+      dupChars.cast("double") / greatest(totalChars, lit(1)).cast("double")
+    }
+    def hofTopNgramRatio(t: org.apache.spark.sql.Column, n: Int) = {
+      val gs = Dedup.shingles(t, n)
+      val top = F.aggregate(array_distinct(gs), lit(0),
+        (a, g) => greatest(a, F.size(filter(gs, x => x === g))))
+      top.cast("double") / greatest(F.size(gs), lit(1)).cast("double")
+    }
+    val texts = Seq(
+      "", "one line", "single",
+      "nav\nnav\nnav", "nav\nbody text\nnav\n\nx\nnav",
+      "a\n\n\na\nb", "\n\n\n",
+      "日本語のテスト\n日本語のテスト\nascii line",
+      "héllo wörld\nhéllo wörld",
+      "buy now buy now buy now",
+      "the quick brown fox\nthe quick brown fox\njumped over")
+    val df = texts.toDF("t")
+    for (n <- Seq(1, 2, 3)) {
+      df.select(
+          TextAnalysis.duplicateLineRatio(col("t")).as("g1"), hofDupLineRatio(col("t")).as("h1"),
+          TextAnalysis.duplicateLineCharRatio(col("t")).as("g2"), hofDupLineCharRatio(col("t")).as("h2"),
+          TextAnalysis.topNgramRatio(col("t"), n).as("g3"), hofTopNgramRatio(col("t"), n).as("h3"))
+        .collect().foreach { r =>
+          r.getAs[Double]("g1") shouldBe r.getAs[Double]("h1") +- 1e-12
+          r.getAs[Double]("g2") shouldBe r.getAs[Double]("h2") +- 1e-12
+          r.getAs[Double]("g3") shouldBe r.getAs[Double]("h3") +- 1e-12
+        }
+    }
+    // null text -> null signals, matching HOF null propagation
+    val nr = Seq[Option[String]](None).toDF("t").select(
+      TextAnalysis.duplicateLineRatio(col("t")).as("a"),
+      TextAnalysis.duplicateLineCharRatio(col("t")).as("b"),
+      TextAnalysis.topNgramRatio(col("t"), 2).as("c")).head()
+    (0 until 3).foreach(nr.isNullAt(_) shouldBe true)
+  }
+
+  test("charShingleFingerprint matches the HOF winnowing formulation bit-for-bit") {
+    // The interpreted formulation d4's fingerprint originally shipped with.
+    def hofFingerprint(t: org.apache.spark.sql.Column, k: Int, keep: Int) = {
+      val n = greatest(F.length(t) - lit(k - 1), lit(1))
+      val hashes = transform(sequence(lit(1), n), i => xxhash64(t.substr(i, lit(k))))
+      slice(array_sort(array_distinct(hashes)), 1, keep)
+    }
+    val texts = Seq(
+      "", "x", "short", "exactly8", // below / at the window size
+      "the quick brown fox jumps over the lazy dog near the river bank",
+      "aaaaaaaaaaaaaaaaaaaa", // every window identical -> 1 distinct hash
+      "héllo wörld with ünïcode çhars",
+      "日本語のテストです、もう少し長くします",
+      "emoji 😀😀 pairs 🎉 inside text", // astral code points (4-byte UTF-8)
+      "line one\nline two\ttabbed")
+    val df = texts.toDF("t")
+    for ((k, keep) <- Seq((8, 16), (4, 4), (3, 100))) {
+      df.select(
+          graft.ops.TextAnalysis.fingerprint(col("t"), k, keep).as("g"),
+          hofFingerprint(col("t"), k, keep).as("h"))
+        .collect().foreach { r =>
+          r.getAs[Seq[Long]]("g") shouldBe r.getAs[Seq[Long]]("h")
+        }
+    }
+    // null text -> null fingerprint
+    Seq[Option[String]](None).toDF("t")
+      .select(graft.ops.TextAnalysis.fingerprint(col("t")).as("f"))
+      .head().isNullAt(0) shouldBe true
+  }
+
   test("stringShingles matches the HOF formulation string-for-string") {
     // the HOF reference implementation StringShingles replaced — any
     // divergence here breaks DuckDB-oracle parity for d2/d8/x5
