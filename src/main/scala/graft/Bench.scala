@@ -30,24 +30,38 @@ object Bench {
     // No clearCache between queries: library operators are contractually
     // leak-free (DedupSpec asserts zero residual persisted RDDs), so a
     // shared session accumulates no storage across calls.
-    ordered.foreach { case (_, fn) =>
-      try { consume(fn(spark, sfDir)) } catch { case _: Throwable => }
+    // A query that fails COLD must be visible here, not silently deferred
+    // to the timed pass — print the exception before swallowing it.
+    ordered.foreach { case (name, fn) =>
+      try { consume(fn(spark, sfDir)) } catch {
+        case e: Throwable =>
+          System.err.println(s"[warmup] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
     }
-    // One timed pass over `dir`. A query that THROWS records -1 (an
-    // impossible duration — the failure marker in the JSON) rather than
-    // its milliseconds-to-crash masquerading as a fast success: at 10x
-    // scale an OOM is exactly the regression class this run exists to
-    // catch, so it must not read as a speedup.
+    // Per-query repeat-and-median (k from SPARK_GRAFT_BENCH_REPEATS,
+    // default 3): a single timing in a long-lived shared JVM rides GC /
+    // recompilation spikes — recorded totals once swung 710 -> 1097 s
+    // round-over-round with ZERO code change. The median of 3 is immune
+    // to any single spike, making the JSON comparable across rounds.
+    // A query that THROWS records -1 (an impossible duration — the
+    // failure marker in the JSON) rather than its milliseconds-to-crash
+    // masquerading as a fast success: at 10x scale an OOM is exactly the
+    // regression class this run exists to catch, so it must not read as
+    // a speedup.
+    val repeats = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt)
     def timedPass(dir: String, tag: String): Seq[(String, Double)] =
       ordered.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok = try { consume(fn(spark, dir)); true } catch {
-          case e: Throwable =>
-            System.err.println(s"[$tag] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-            false
+        val times = (1 to repeats).map { i =>
+          val t0 = System.nanoTime()
+          val ok = try { consume(fn(spark, dir)); true } catch {
+            case e: Throwable =>
+              System.err.println(s"[$tag] $name rep $i FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+              false
+          }
+          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         }
-        val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-        System.err.println(f"[$tag] $name%-22s $sec%8.2f s")
+        val sec = if (times.contains(-1.0)) -1.0 else times.sorted.apply(times.size / 2)
+        System.err.println(f"[$tag] $name%-22s $sec%8.2f s  (reps ${times.map(t => f"$t%.2f").mkString("/")})")
         name -> sec
       }
     def toJson(r: Seq[(String, Double)]): String =

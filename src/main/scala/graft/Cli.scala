@@ -30,10 +30,15 @@ object Cli {
       cols: Seq[String] = Nil,
       pValues: Boolean = false,
       beautify: Boolean = false,
-      output: Option[String] = None)
+      output: Option[String] = None,
+      format: String = "parquet")
+
+  val formats: Set[String] = Set("parquet", "csv", "json")
 
   val usage: String =
-    """usage: graft.Cli --input <parquet path or dir> --cols c1,c2,...
+    """usage: graft.Cli --input <path or dir> --cols c1,c2,...
+      |               [--format parquet|csv|json]  (default parquet;
+      |                csv reads header + inferred schema)
       |               [--stratify col] [--p-values] [--beautify]
       |               [--output path(.csv for CSV, else parquet)]""".stripMargin
 
@@ -43,6 +48,7 @@ object Cli {
     def loop(rest: List[String], acc: CliArgs): Either[String, CliArgs] = rest match {
       case Nil                          => Right(acc)
       case "--input" :: v :: t          => loop(t, acc.copy(input = v))
+      case "--format" :: v :: t         => loop(t, acc.copy(format = v.toLowerCase))
       case "--stratify" :: v :: t       => loop(t, acc.copy(stratify = Some(v)))
       case "--cols" :: v :: t           => loop(t, acc.copy(cols = v.split(',').map(_.trim).filter(_.nonEmpty).toSeq))
       case "--p-values" :: t            => loop(t, acc.copy(pValues = true))
@@ -53,15 +59,26 @@ object Cli {
     loop(args.toList, CliArgs()).flatMap { a =>
       if (a.input.isEmpty) Left(s"--input is required\n$usage")
       else if (a.cols.isEmpty) Left(s"--cols is required\n$usage")
+      else if (!formats(a.format)) Left(s"unsupported --format '${a.format}'\n$usage")
       else Right(a)
     }
+  }
+
+  /** Reader dispatch: the library API takes any DataFrame; the CLI covers
+    * the common file formats so a CSV/JSON user is not stuck behind the
+    * parquet-only default. CSV infers the schema (one extra pass over the
+    * input — a CLI convenience; programmatic users pass a typed frame). */
+  private def read(spark: SparkSession, a: CliArgs): DataFrame = a.format match {
+    case "csv"  => spark.read.option("header", "true").option("inferSchema", "true").csv(a.input)
+    case "json" => spark.read.json(a.input)
+    case _      => spark.read.parquet(a.input)
   }
 
   /** Run the summary for parsed args on an existing session (testable
     * seam; `main` only adds session bootstrap and output handling). */
   def run(spark: SparkSession, a: CliArgs): DataFrame =
     TableOne.summarize(
-      spark.read.parquet(a.input),
+      read(spark, a),
       TableOneConfig(stratify = a.stratify, cols = a.cols,
         beautify = a.beautify, pValues = a.pValues))
 

@@ -94,17 +94,33 @@ object SparkEntry {
       table(s, dir, "lineitem").groupBy("l_linestatus")
         .pivot("l_returnflag", Seq("A", "N", "R")).count()
         .na.fill(0L).orderBy("l_linestatus")),
+    // Moments in ONE agg pass; exact quartiles from a distinct-VALUE
+    // histogram (map-side-combinable groupBy, then a cumulative pick over
+    // the distinct values — 50 rows for l_quantity, so the unpartitioned
+    // window is trivially small). The previous registration forced
+    // percentile_approx(accuracy=2e6), whose single-threaded giant-sketch
+    // merge cost ~54 s at sf1; the histogram path is exact at ANY scale
+    // for bounded-cardinality columns, and the engine's distributed
+    // order-stat path (t9) covers unbounded ones.
     "a3_onepass_stats" -> ((s, dir) => roundDoubles {
       val t = table(s, dir, "lineitem")
-      t.agg(
+      val stats = t.agg(
         count(col("l_quantity")).as("n"),
         round(avg(col("l_quantity")), 6).as("mean"),
         round(stddev(col("l_quantity")), 6).as("sd"),
         min(col("l_quantity")).as("mn"),
-        max(col("l_quantity")).as("mx"),
-        percentile_approx(col("l_quantity"), lit(0.25), lit(2000000)).as("q25"),
-        percentile_approx(col("l_quantity"), lit(0.5), lit(2000000)).as("q50"),
-        percentile_approx(col("l_quantity"), lit(0.75), lit(2000000)).as("q75"))
+        max(col("l_quantity")).as("mx"))
+      val w = Window.orderBy("v")
+      val cum = t.filter(col("l_quantity").isNotNull)
+        .groupBy(col("l_quantity").as("v")).agg(count(lit(1)).as("cnt"))
+        .select(col("v"),
+          sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
+          sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("nn"))
+      // rank-ceil(k*n/4) pick in integer math = DuckDB quantile_disc /
+      // the engine's exactQuartiles (TableOne.scala) semantics
+      def q(k: Int, name: String) =
+        min(when(col("cum") >= expr(s"(nn * $k + 3) div 4"), col("v"))).as(name)
+      stats.crossJoin(broadcast(cum.agg(q(1, "q25"), q(2, "q50"), q(3, "q75"))))
     }),
     "a4_stats_by_group" -> ((s, dir) => roundDoubles(
       table(s, dir, "lineitem").groupBy("l_returnflag").agg(
@@ -121,9 +137,13 @@ object SparkEntry {
         .orderBy("l_returnflag")),
     // HLL++ sketch differs from DuckDB's algorithm -> rows-only check;
     // the spec asserts the estimate lands within the documented rsd.
+    // rsd stays at Spark's 0.05 default: 0.01 would cost 16x the sketch
+    // bytes per group in every partial aggregate (~51 s at sf1 for a
+    // query whose point is the CHEAP estimate; the exact column rides
+    // alongside for comparison).
     "a6_approx_distinct" -> ((s, dir) =>
       table(s, dir, "lineitem").groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("parts_approx"),
+        .agg(approx_count_distinct(col("l_partkey"), 0.05).as("parts_approx"),
           count_distinct(col("l_partkey")).as("parts_exact"))
         .orderBy("l_returnflag")),
 

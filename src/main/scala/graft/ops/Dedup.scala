@@ -63,20 +63,33 @@ object Dedup {
     * training. Only contaminated documents (>= 1 shared gram) return.
     *
     * Scale shape: the benchmark inventory (distinct grams of a benchmark
-    * suite — thousands of rows, not corpus-sized) is broadcast, so the
-    * corpus-side explode joins with NO shuffle of corpus data; the
+    * suite — usually thousands of rows, not corpus-sized) is broadcast,
+    * so the corpus-side explode joins with NO shuffle of corpus data; the
     * follow-up per-doc count shuffles only the matched grams. Corpus size
-    * never touches the build side. */
+    * never touches the build side.
+    *
+    * Broadcast guard: a large benchmark suite can yield tens of millions
+    * of distinct grams — enough to blow the broadcast/driver memory
+    * limit. The gram inventory is counted up front (one eager job over
+    * the BENCHMARK set only — benchmark-suite-sized, never corpus-sized;
+    * the join recomputes the inventory rather than persisting it, since a
+    * library-internal persist would outlive the returned lazy plan);
+    * above `maxBroadcastGrams` the join falls back to a plain shuffle
+    * join, which AQE may still convert back to broadcast if the runtime
+    * size allows. */
   def ngramOverlap(corpus: DataFrame, bench: DataFrame, idCol: String,
-                   textCol: String, benchTextCol: String, n: Int = 3): DataFrame = {
+                   textCol: String, benchTextCol: String, n: Int = 3,
+                   maxBroadcastGrams: Long = 2000000L): DataFrame = {
     val gramsOf = (t: Column) =>
       filter(array_distinct(shingles(t, n)), g => length(g) > 0)
     val benchGrams = bench
       .select(explode(gramsOf(col(benchTextCol))).as("__g")).distinct()
+    val buildSide =
+      if (benchGrams.count() <= maxBroadcastGrams) broadcast(benchGrams) else benchGrams
     corpus
       .select(col(idCol), gramsOf(col(textCol)).as("__gs"))
       .select(col(idCol), size(col("__gs")).as("__ng"), explode(col("__gs")).as("__g"))
-      .join(broadcast(benchGrams), Seq("__g"))
+      .join(buildSide, Seq("__g"))
       .groupBy(col(idCol), col("__ng"))
       .agg(count(lit(1)).as("n_overlap"))
       .select(col(idCol), col("n_overlap"),
@@ -89,18 +102,32 @@ object Dedup {
     * as document structure. Documents are reassembled in original line
     * order; a document whose every line was a repeat disappears.
     *
-    * Scale shape: two shuffles, both inherent — lines hash-partition on
-    * (xxhash64(line), line) for the global first-occurrence window (text
-    * bytes only co-travel within a hash partition, same as [[exact]]),
-    * and kept lines shuffle back on id for reassembly. No driver
-    * collection, no per-document state larger than its own line list. */
+    * Scale shape: two shuffles, both inherent — a per-line
+    * `groupBy(line).agg(min(struct(id, idx)))` picks each line's first
+    * occurrence (the survivors ARE that aggregate's output, no join
+    * back), and kept lines shuffle on id for reassembly. The aggregate is
+    * map-side combinable, so a boilerplate line occurring 10^9 times
+    * reduces to one row per input partition before the shuffle — the
+    * previous formulation (row_number over a Window partitioned by the
+    * line value) serialized every occurrence of a hot line into a single
+    * task, a guaranteed straggler on the boilerplate-heavy corpora this
+    * operator targets. Empty lines (kept unconditionally as document
+    * structure) bypass the aggregate entirely. No driver collection, no
+    * per-document state larger than its own line list. */
   def globalLineDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val lines = df.select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("__idx", "__ln")))
-    val w = Window.partitionBy(xxhash64(col("__ln")), col("__ln"))
-      .orderBy(col(idCol), col("__idx"))
-    lines
-      .withColumn("__keep", length(col("__ln")) === 0 || row_number().over(w) === 1)
-      .filter(col("__keep"))
+    // min(struct(id, idx)) = the (id, idx) ordering the window used;
+    // text bytes co-travel once per (partition, line) thanks to the
+    // map-side partial aggregate, same worst-case bytes as [[exact]].
+    val firstOcc = lines.filter(length(col("__ln")) > 0)
+      .groupBy(col("__ln"))
+      .agg(min(struct(col(idCol).as("__id"), col("__idx").as("__i"))).as("__f"))
+      .select(col("__f").getField("__id").as(idCol),
+        col("__f").getField("__i").as("__idx"), col("__ln"))
+    val kept = firstOcc.unionByName(
+      lines.filter(length(col("__ln")) === 0)
+        .select(col(idCol), col("__idx"), col("__ln")))
+    kept
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(col("__idx"), col("__ln")))).as("__parts"))
       .select(col(idCol),

@@ -10,11 +10,14 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *
   * Optimal bin packing is NP-hard and inherently sequential; the
   * distributed shape here is the standard approximation: spread documents
-  * deterministically across partitions (range-partition on xxhash64(id)),
-  * then run greedy next-fit packing independently inside each partition.
-  * Packing quality matches greedy-on-a-random-permutation (hash order IS
-  * a fixed random permutation), no stage is sequential in corpus size,
-  * and the assignment is reproducible for a fixed partition count —
+  * deterministically across partitions (HASH-partition on xxhash64(id) —
+  * range partitioning would sample boundaries, so two runs over a corpus
+  * large enough that the sample is a subset could shift pack ids), then
+  * sort each partition by (hash, id) and run greedy next-fit packing
+  * independently inside it. Packing quality matches
+  * greedy-on-a-random-permutation (hash order IS a fixed random
+  * permutation), no stage is sequential in corpus size, and the
+  * assignment is reproducible for a fixed partition count at ANY scale —
   * reruns and downstream joins see identical pack ids. `mapPartitions`
   * is warranted (SURVEY §7.3 last-resort rule): a running
   * budget-remaining accumulator across rows of a partition is genuinely
@@ -37,7 +40,7 @@ object Packing {
     val keyed = df
       .select(col(idCol), col(tokenCol).cast(LongType).as("__tok"))
       .withColumn("__k", xxhash64(col(idCol)))
-      .repartitionByRange(nParts, col("__k"))
+      .repartition(nParts, col("__k"))
       .sortWithinPartitions(col("__k"), col(idCol))
       .withColumn("__pid", spark_partition_id().cast(LongType))
     val outSchema = StructType(Seq(

@@ -19,6 +19,27 @@ class CliSpec extends AnyFunSuite with Matchers {
     Cli.parse(Seq("--input", "/x")).left.toOption.get should include ("--cols is required")
     Cli.parse(Seq("--input", "/x", "--cols", "a", "--bogus"))
       .left.toOption.get should include ("unknown")
+    Cli.parse(Seq("--input", "/x", "--cols", "a", "--format", "avro"))
+      .left.toOption.get should include ("unsupported --format")
+  }
+
+  test("end-to-end: CSV input produces the same summary as parquet input") {
+    // write the parquet table out as CSV, run the CLI reader over it
+    val src = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_returnflag", "l_linestatus", "l_quantity")
+    val dir = java.nio.file.Files.createTempDirectory("cli_csv").toString + "/lineitem_csv"
+    src.coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
+    val viaCsv = Cli.run(spark, Cli.parse(Seq(
+      "--input", dir, "--format", "csv",
+      "--stratify", "l_returnflag",
+      "--cols", "l_linestatus,l_quantity")).toOption.get)
+    val viaParquet = Cli.run(spark, Cli.parse(Seq(
+      "--input", "/root/testdata/sf0.001/lineitem.parquet",
+      "--stratify", "l_returnflag",
+      "--cols", "l_linestatus,l_quantity")).toOption.get)
+    // same rows up to float formatting: compare the full rendered table
+    viaCsv.collect().map(_.toString).sorted shouldBe
+      viaParquet.collect().map(_.toString).sorted
   }
 
   test("end-to-end: summarizes a parquet input and writes parquet output") {

@@ -177,6 +177,25 @@ class DedupSpec extends AnyFunSuite with Matchers {
       5L -> "x\n\ny")
   }
 
+  test("globalLineDedup: hot-line corpus dedups without a per-line window") {
+    // a boilerplate line shared by EVERY doc (the skew case: all its
+    // occurrences must map-side combine, not serialize into one task)
+    val docs = (1L to 200L).map(i => (i, s"== NAV ==\nbody $i\n\n== NAV =="))
+      .toDF("doc_id", "text")
+    val dd = Dedup.globalLineDedup(docs, "doc_id", "text")
+    // the nav line survives only in doc 1 (both its occurrences there:
+    // first at idx 0; the idx-3 repeat dies like any other), every body
+    // line is unique, empty lines always survive
+    val out = dd.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    out(1L) shouldBe "== NAV ==\nbody 1\n"
+    (2L to 200L).foreach { i => out(i) shouldBe s"body $i\n" }
+    // skew posture: first-occurrence selection is a partial-aggregable
+    // groupBy, not a Window partitioned by the line value
+    val plan = dd.queryExecution.executedPlan.toString
+    plan should not include "Window"
+    plan.toLowerCase should include ("partial")
+  }
+
   test("ngramOverlap flags planted contamination with exact counts") {
     val bench = Seq((1L, "the secret benchmark answer is forty two"))
       .toDF("doc_id", "text")
@@ -195,5 +214,13 @@ class DedupSpec extends AnyFunSuite with Matchers {
     out(11L)._2 shouldBe (2.0 / 5) +- 1e-12
     out(12L)._1 shouldBe 5L
     out(12L)._2 shouldBe 1.0 +- 1e-12
+    // broadcast guard: over the gram cap the join falls back to a plain
+    // shuffle join (no broadcast hint in the plan) with identical results
+    val guarded = Dedup.ngramOverlap(corpus, bench, "doc_id", "text", "text",
+      n = 3, maxBroadcastGrams = 1L)
+    guarded.queryExecution.logical.toString should not include "broadcast"
+    val gOut = guarded.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_overlap"), r.getAs[Double]("overlap_ratio"))).toMap
+    gOut shouldBe out
   }
 }

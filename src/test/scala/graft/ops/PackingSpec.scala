@@ -33,6 +33,14 @@ class PackingSpec extends AnyFunSuite with Matchers {
     def run() = Packing.packByTokenBudget(docs(300), "doc_id", "n_tok", 256, partitions = 4)
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pack_id"))).sorted.toSeq
     run() shouldBe run()
+    // determinism must hold AT SCALE, not just when the corpus is small
+    // enough to be fully sampled: the spread must be hash partitioning
+    // (value-deterministic), never range partitioning (whose sampled
+    // boundaries can shift between runs once the sample is a subset)
+    val plan = Packing.packByTokenBudget(docs(300), "doc_id", "n_tok", 256, partitions = 4)
+      .queryExecution.executedPlan.toString
+    plan should include ("hashpartitioning")
+    plan should not include "rangepartitioning"
   }
 
   test("an oversized document gets a pack of its own") {

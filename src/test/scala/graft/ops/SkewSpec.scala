@@ -30,13 +30,15 @@ class SkewSpec extends AnyFunSuite with Matchers {
   }
 
   test("approx_count_distinct estimate lands within the configured rsd") {
+    // rsd 0.05 (Spark's default, what a6 registers): the 3-sigma bound
+    // is deterministic for a fixed input — HLL++ has no run-time seed
     val df = (1 to 20000).map(i => i % 5000).toDF("v")
     val r = df.agg(
-      approx_count_distinct(col("v"), 0.01).as("approx"),
+      approx_count_distinct(col("v"), 0.05).as("approx"),
       count_distinct(col("v")).as("exact")).head()
     val (approx, exact) = (r.getAs[Long]("approx"), r.getAs[Long]("exact"))
     exact shouldBe 5000L
-    math.abs(approx - exact).toDouble / exact should be < 0.05
+    math.abs(approx - exact).toDouble / exact should be < 0.15
   }
 
   test("partial stage actually spreads a heavy key over multiple salts") {
