@@ -167,6 +167,25 @@ object Similarity {
   private[ops] def probeCentroids(vec: Column, cents: Seq[Seq[Double]], nprobe: Int): Column =
     graft.functions.HashFunctions.nearestCentroids(vec, cents, nprobe)
 
+  /** The documented IVF sizing rule (the `nlist = 0` adaptive default):
+    * nlist = clamp(ceil(sqrt(n)), 16, 4096) — the standard IVF-flat
+    * heuristic balancing list length (n/nlist) against coarse-assignment
+    * cost (nlist dot products per row). The fraction of the corpus scored
+    * per query is nprobe/nlist ~ nprobe/sqrt(n), FALLING as the corpus
+    * grows — a fixed nlist is quadratic in disguise (16 lists meant a
+    * quarter of the corpus scored per query at any scale). The 4096 cap
+    * bounds the per-row assignment cost (and the driver-side k-means);
+    * beyond ~16M vectors a hierarchical coarse quantizer is the right
+    * tool, which is outside this operator's scope. */
+  def ivfNlist(n: Long): Int =
+    math.max(16, math.min(4096, math.ceil(math.sqrt(math.max(n, 0L).toDouble)).toInt))
+
+  /** Adaptive probe count (the `nprobe = 0` default): ceil(sqrt(nlist))
+    * clamped to >= 4 — recall stays roughly flat as nlist grows while the
+    * scored fraction sqrt(nlist)/nlist still shrinks with scale. */
+  def ivfNprobe(nlist: Int): Int =
+    math.max(4, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+
   /** ANN top-k via an IVF (inverted-file) index: corpus vectors are
     * partitioned into `nlist` lists by nearest coarse centroid; each
     * query probes its `nprobe` nearest lists and reranks by exact cosine.
@@ -174,17 +193,26 @@ object Similarity {
     * codebook fitted on a bounded hash-deterministic sample (pass
     * `centroids` to reuse a codebook across calls or supply your own).
     * The probe join is an equi-join on the list id, so the corpus stays
-    * partitioned and only ~(nprobe/nlist) of it is scored per query. */
+    * partitioned and only ~(nprobe/nlist) of it is scored per query.
+    *
+    * `nlist = 0` (default) sizes the index by [[ivfNlist]] from a corpus
+    * count (metadata-cheap on a parquet-backed frame; pass an explicit
+    * nlist to skip the count job), and `nprobe = 0` by [[ivfNprobe]].
+    * The training sample scales at 32 points per centroid (bounded), so
+    * large codebooks are not starved. */
   def topKIvf(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
-              k: Int, nlist: Int = 16, nprobe: Int = 4,
+              k: Int, nlist: Int = 0, nprobe: Int = 0,
               centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    val nl = if (nlist > 0) nlist else ivfNlist(corpus.count())
+    val np = if (nprobe > 0) nprobe else ivfNprobe(nl)
     val cents: Seq[Seq[Double]] =
-      centroids.getOrElse(trainCentroids(corpus, corpusId, corpusVec, nlist))
+      centroids.getOrElse(trainCentroids(corpus, corpusId, corpusVec, nl,
+        sampleSize = math.min(math.max(4096, 32 * nl), 131072)))
     val c = corpus.select(col(corpusId).as("id"), col(corpusVec).as("__cv"),
       assignCentroid(col(corpusVec), cents).as("__list"))
     val q = broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"),
-      explode(probeCentroids(col(queryVec), cents, nprobe)).as("__list")))
+      explode(probeCentroids(col(queryVec), cents, np)).as("__list")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id"))
     c.join(q, Seq("__list"))
       .select(col("query_id"), col("id"),

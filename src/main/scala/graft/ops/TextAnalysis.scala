@@ -256,9 +256,14 @@ object TextAnalysis {
       broadcast(docs.agg(count(lit(1)).cast("double").as("__n"))), k)
 
   /** Variant with a caller-supplied corpus size (amortize a known N
-    * across repeated calls instead of re-counting per invocation). */
-  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
-                    n: Long, k: Int): DataFrame =
+    * across repeated calls instead of re-counting per invocation).
+    * Distinctly named, not an overload: an overloaded
+    * `tfidfTopTerms(..., n, k)` would let an Int-literal corpus size
+    * silently bind to the base signature's `k` (Int beats Int-to-Long
+    * widening in overload resolution) — a corpus size becoming a top-k
+    * cutoff with no compile error. */
+  def tfidfTopTermsWithCount(docs: DataFrame, idCol: String, textCol: String,
+                             n: Long, k: Int): DataFrame =
     tfidfTopTermsImpl(docs, idCol, textCol,
       docs.sparkSession.range(1).select(lit(n.toDouble).as("__n")), k)
 

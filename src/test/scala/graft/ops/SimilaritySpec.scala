@@ -127,6 +127,34 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("IVF sizing rule: nlist ~ sqrt(n) with clamps, nprobe ~ sqrt(nlist)") {
+    // the documented adaptive rule — the scored fraction nprobe/nlist
+    // must FALL with corpus growth (a fixed nlist is quadratic in
+    // disguise: 10x the vectors in the same lists = 10x the candidates)
+    Similarity.ivfNlist(0L) shouldBe 16
+    Similarity.ivfNlist(500L) shouldBe 23 // ceil(sqrt(500))
+    Similarity.ivfNlist(1000000L) shouldBe 1000
+    Similarity.ivfNlist(100000000000L) shouldBe 4096 // capped
+    Similarity.ivfNprobe(16) shouldBe 4
+    Similarity.ivfNprobe(1000) shouldBe 32
+    def frac(n: Long) = {
+      val nl = Similarity.ivfNlist(n)
+      Similarity.ivfNprobe(nl).toDouble / nl
+    }
+    frac(1000000L) should be < frac(10000L)
+    frac(100000000L) should be < frac(1000000L)
+  }
+
+  test("adaptive-default IVF returns full top-k per query") {
+    val pts = plantedClusters(8, 25, 16)
+    val corpusDf = pts.toDF("id", "vec")
+    val queries = pts.take(2).map { case (id, v) => (id + 1000L, v) }.toDF("qid", "qv")
+    // defaults: nlist = ivfNlist(200) = 15 -> clamped 16, nprobe = 4
+    val out = Similarity.topKIvf(corpusDf, "id", "vec", queries, "qid", "qv", k = 5)
+      .select("query_id", "id").as[(Long, Long)].collect()
+    out.groupBy(_._1).view.mapValues(_.length).toMap.values.toSet shouldBe Set(5)
+  }
+
   test("topKLsh on an empty or all-null corpus fails with a clear message") {
     val queries = Seq((10L, Seq(1.0, 0.0))).toDF("qid", "qv")
     val empty = Seq.empty[(Long, Seq[Double])].toDF("id", "vec")

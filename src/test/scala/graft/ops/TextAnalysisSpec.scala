@@ -117,7 +117,7 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
 
   test("tfidf: corpus-wide terms score zero, rare terms rank first") {
     val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
-    val out = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", n = 2, k = 2)
+    val out = TextAnalysis.tfidfTopTermsWithCount(docs, "doc_id", "text", n = 2, k = 2)
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term"),
         r.getAs[Double]("score"))).toSet
     // df(a)=2 -> idf ln(1)=0; df(b)=df(c)=1 -> idf ln(2)
