@@ -256,6 +256,12 @@ object OpsQueries {
       Sampling.stratifiedTake(
           table(s, dir, "documents").select("doc_id", "lang"), "lang", "doc_id", n = 5)
         .orderBy("lang", "doc_id")),
+    "p4_chunk_tokens" -> ((s, dir) =>
+      // context-window chunking: 64-token chunks, 8 tokens of carried
+      // context — pure projection, DuckDB-expressible (list slicing)
+      Packing.chunkByTokens(docs(s, dir), "doc_id", "text",
+          chunkTokens = 64, overlap = 8)
+        .orderBy("doc_id", "chunk_id")),
     "p3_sequence_pack" -> ((s, dir) => { // hash-spread greedy -> rows-only
       // fixed partitions: pack assignment must not depend on the
       // session's shuffle-partition setting
@@ -413,6 +419,18 @@ object OpsQueries {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // chunk=64, overlap=8 -> stride 56; chunk i = tokens
+    // [i*56+1, i*56+64] (1-based inclusive, DuckDB list_slice semantics
+    // = Spark slice(start, length)); chunk count ceil(max(n-8,1)/56)
+    "p4_chunk_tokens" ->
+      (s"WITH t AS (SELECT doc_id, $Toks AS tk FROM documents), " +
+        "n AS (SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) > 0), " +
+        "c AS (SELECT doc_id, tk, " +
+        "unnest(range(0, CAST(ceil(greatest(n - 8, 1) / 56.0) AS BIGINT))) AS chunk_id FROM n) " +
+        "SELECT doc_id, chunk_id, " +
+        "len(list_slice(tk, chunk_id*56+1, chunk_id*56+64))::BIGINT AS n_tokens, " +
+        "array_to_string(list_slice(tk, chunk_id*56+1, chunk_id*56+64), ' ') AS chunk_text " +
+        "FROM c ORDER BY doc_id, chunk_id"),
     "d1_exact_dedup" ->
       ("SELECT doc_id FROM (SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn " +
         "FROM documents) WHERE rn = 1 ORDER BY doc_id"),

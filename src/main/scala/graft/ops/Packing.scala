@@ -63,4 +63,41 @@ object Packing {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** Context-window chunking — the read-side complement of
+    * [[packByTokenBudget]]: split each document into chunks of at most
+    * `chunkTokens` whitespace tokens, consecutive chunks sharing
+    * `overlap` tokens of context (the standard pretraining/RAG windowing
+    * scheme). Chunk `i` covers token positions `[i*stride, i*stride +
+    * chunkTokens)` with `stride = chunkTokens - overlap`; the chunk count
+    * is `ceil(max(n - overlap, 1) / stride)`, so every token appears in
+    * at least one chunk and no chunk is pure overlap. Documents with zero
+    * tokens produce zero chunks. Chunk text is the tokens re-joined with
+    * single spaces (token-normalized, matching [[TextAnalysis.tokens]]).
+    *
+    * Scale shape: a pure per-row projection (tokenize, explode the chunk
+    * index range, slice) — no shuffle, no state; output rows ~ corpus
+    * token count / stride regardless of document skew.
+    *
+    * Output: (idCol, chunk_id, n_tokens, chunk_text). */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+                    chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlap")
+    val stride = chunkTokens - overlap
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      // integer ceil via truncating cast: operands are positive and far
+      // below 2^53, so the double division is exact enough to truncate
+      .withColumn("__nc",
+        ((greatest(col("__n") - overlap, lit(1)) + lit(stride - 1)) / lit(stride)).cast("int"))
+      .select(col(idCol), explode(sequence(lit(0), col("__nc") - 1)).as("chunk_id"), col("__toks"))
+      .select(col(idCol), col("chunk_id"),
+        slice(col("__toks"), col("chunk_id") * stride + 1, lit(chunkTokens)).as("__ck"))
+      .select(col(idCol), col("chunk_id").cast(LongType).as("chunk_id"),
+        size(col("__ck")).cast(LongType).as("n_tokens"),
+        concat_ws(" ", col("__ck")).as("chunk_text"))
+  }
 }

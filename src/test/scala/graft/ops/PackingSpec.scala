@@ -57,4 +57,49 @@ class PackingSpec extends AnyFunSuite with Matchers {
     val out = Packing.packByTokenBudget(d, "doc_id", "n_tok", 10, partitions = 1).collect()
     out.length shouldBe 3
   }
+
+  test("chunkByTokens: exact boundaries, overlap carry, full coverage") {
+    val text = (0 until 10).map(i => s"t$i").mkString(" ")
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val out = Packing.chunkByTokens(d, "doc_id", "text", chunkTokens = 4, overlap = 1)
+      .orderBy("chunk_id")
+      .collect().map(r => (r.getAs[Long]("chunk_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[String]("chunk_text")))
+    // stride 3, ceil((10-1)/3) = 3 chunks; consecutive chunks share 1 token
+    out shouldBe Array(
+      (0L, 4L, "t0 t1 t2 t3"),
+      (1L, 4L, "t3 t4 t5 t6"),
+      (2L, 4L, "t6 t7 t8 t9"))
+  }
+
+  test("chunkByTokens: short docs collapse to one chunk, empty docs vanish") {
+    val d = Seq((1L, "a b c"), (2L, ""), (3L, "   \n\t "), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val out = Packing.chunkByTokens(d, "doc_id", "text", chunkTokens = 8, overlap = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[String]("chunk_text"))).toSet
+    out shouldBe Set((1L, 0L, "a b c"), (4L, 0L, "solo"))
+  }
+
+  test("chunkByTokens with zero overlap partitions the tokens exactly") {
+    val text = (0 until 11).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val out = Packing.chunkByTokens(d, "doc_id", "text", chunkTokens = 4)
+      .orderBy("chunk_id").collect()
+    out.map(_.getAs[String]("chunk_text")).mkString(" ") shouldBe text
+    out.map(_.getAs[Long]("n_tokens")).toSeq shouldBe Seq(4L, 4L, 3L)
+    // no chunk is pure overlap: a doc of exactly chunkTokens+overlap-1
+    // tokens must NOT spill a final all-overlap chunk
+    val edge = Seq((1L, (0 until 5).map("e" + _).mkString(" "))).toDF("doc_id", "text")
+    Packing.chunkByTokens(edge, "doc_id", "text", chunkTokens = 4, overlap = 2)
+      .count() shouldBe 2 // ceil((5-2)/2) = 2, covering e0..e3 and e2..e4
+  }
+
+  test("chunkByTokens plan is a pure projection: no shuffle, no window") {
+    val d = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val plan = Packing.chunkByTokens(d, "doc_id", "text", 4, 1)
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    plan should not include "Window"
+  }
 }
