@@ -19,8 +19,10 @@ import graft.tableone.{TableOne, TableOneConfig}
   *
   * Without `--output` the table prints to stdout. `--output` writes
   * parquet, or CSV (one file with header) when the path ends in `.csv`.
-  * Under spark-submit the provided session/master is used; standalone
-  * runs fall back to `local[*]`.
+  * `--format parquet|csv|json` selects the input reader (default
+  * parquet; CSV reads a header row and infers the schema). Under
+  * spark-submit the provided session/master is used; standalone runs
+  * fall back to `local[*]`.
   */
 object Cli {
 

@@ -45,6 +45,23 @@ object GraftExtensions {
     (FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two double arrays"),
       (args: Seq[Expression]) => CosineSim(args(0), args(1))),
+    (FunctionIdentifier("string_shingles"),
+      info("string_shingles", "string_shingles(tokens, n) - word n-gram shingle strings"),
+      (args: Seq[Expression]) => StringShingles(args(0), intLit(args(1), "string_shingles n"))),
+    (FunctionIdentifier("array_freq_stats"),
+      info("array_freq_stats",
+        "array_freq_stats(arr) - struct(n, n_distinct, max_count, total_chars, dup_chars)"),
+      (args: Seq[Expression]) => ArrayFreqStats(args(0))),
+    (FunctionIdentifier("char_shingle_fingerprint"),
+      info("char_shingle_fingerprint",
+        "char_shingle_fingerprint(text, k, keep) - keep smallest distinct k-char window hashes"),
+      (args: Seq[Expression]) => CharShingleFingerprint(args(0),
+        intLit(args(1), "char_shingle_fingerprint k"),
+        intLit(args(2), "char_shingle_fingerprint keep"))),
+    (FunctionIdentifier("sanitize_strat"),
+      info("sanitize_strat",
+        "sanitize_strat(s) - stratum sanitization: space -> '_', non-ASCII run -> '?'"),
+      (args: Seq[Expression]) => SanitizeStrat(args(0))),
   )
 
   /** Registers the functions into an already-running session. */

@@ -89,11 +89,19 @@ class HashExpressionsSpec extends AnyFunSuite with Matchers {
         |  simhash64(split('a b c', ' ')) AS sh,
         |  cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cs,
         |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
-        |  size(minhash_signature(shingle_hash(split('a b c d e', ' '), 3), 16)) AS k
+        |  size(minhash_signature(shingle_hash(split('a b c d e', ' '), 3), 16)) AS k,
+        |  string_shingles(split('a b c', ' '), 2) AS ss,
+        |  array_freq_stats(array('x', 'y', 'x')).max_count AS mc,
+        |  size(char_shingle_fingerprint('the quick brown fox', 4, 8)) AS fp,
+        |  sanitize_strat('a b é') AS st
         |""".stripMargin).head()
     r.getAs[Double]("cs") shouldBe 1.0
     r.getAs[Double]("dp") shouldBe 11.0
     r.getAs[Int]("k") shouldBe 16
+    r.getAs[Seq[String]]("ss") shouldBe Seq("a b", "b c")
+    r.getAs[Int]("mc") shouldBe 2
+    r.getAs[Int]("fp") shouldBe 8
+    r.getAs[String]("st") shouldBe "a_b_?"
     // matches the Column-API path
     val viaCol = Seq("a b c").toDF("t")
       .select(HashFunctions.simHash64(split(col("t"), " ")).as("sh")).head().getAs[Long]("sh")
@@ -102,7 +110,8 @@ class HashExpressionsSpec extends AnyFunSuite with Matchers {
 
   test("extension class injects the same functions at session-bootstrap time") {
     GraftExtensions.functions.map(_._1.funcName).toSet shouldBe
-      Set("shingle_hash", "minhash_signature", "simhash64", "dot_product", "cosine_sim")
+      Set("shingle_hash", "minhash_signature", "simhash64", "dot_product", "cosine_sim",
+        "string_shingles", "array_freq_stats", "char_shingle_fingerprint", "sanitize_strat")
   }
 
   test("MinHashUnion aggregator: corpus signature = element-wise min of doc signatures") {
