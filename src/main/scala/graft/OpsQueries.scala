@@ -36,11 +36,18 @@ object OpsQueries {
       Dedup.exact(docs(s, dir), "doc_id", "text")
         .select(col("doc_id")).orderBy("doc_id")),
     "d2_jaccard_pairs" -> ((s, dir) => {
-      // Shingle sets are computed ONCE per doc before the pair join —
-      // computing them per pair would evaluate each shingle tree 2x
-      // (intersect + union) x 2 sides x 3 n-gram sizes.
+      // Shingle-hash sets are computed ONCE per doc before the pair join
+      // (computing them per pair would evaluate each shingle tree 2x
+      // (intersect + union) x 2 sides x 3 n-gram sizes). Distinct 8-byte
+      // hashes, not shingle STRINGS, travel through the shuffle and feed
+      // the set ops — set sizes (and so Jaccard) equal the string-set
+      // version up to 2^-64 hash collisions, at a fraction of the shuffle
+      // bytes and compare cost; the DuckDB oracle computes the
+      // string-shingle Jaccard and the 6-decimal hash compare agrees.
+      def hashSh(n: Int) = graft.functions.HashFunctions.shingleHash(
+        TextAnalysis.tokens(lower(col("text"))), n)
       val withSh = docs(s, dir).select(col("doc_id") +:
-        Seq(1, 2, 3).map(n => array_distinct(Dedup.shingles(col("text"), n)).as(s"s$n")): _*)
+        Seq(1, 2, 3).map(n => hashSh(n).as(s"s$n")): _*)
       def jac(n: Int) = round(
         size(array_intersect(col(s"a$n"), col(s"b$n"))).cast("double") /
           greatest(size(array_union(col(s"a$n"), col(s"b$n"))), lit(1)).cast("double"),
