@@ -95,6 +95,39 @@ class PackingSpec extends AnyFunSuite with Matchers {
       .count() shouldBe 2 // ceil((5-2)/2) = 2, covering e0..e3 and e2..e4
   }
 
+  test("chunkByTokens invariants hold over random docs and window shapes") {
+    val rnd = new scala.util.Random(42)
+    val docs = (1L to 40L).map(i => (i, Seq.fill(rnd.nextInt(30))("w" + rnd.nextInt(50)).mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    for ((chunk, overlap) <- Seq((4, 0), (4, 1), (7, 3), (10, 9), (64, 8))) {
+      val stride = chunk - overlap
+      val out = Packing.chunkByTokens(df, "doc_id", "text", chunk, overlap)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"), r.getAs[String]("chunk_text")))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+      docs.foreach { case (id, text) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+        val chunks = out.getOrElse(id, Array.empty[String]).toSeq
+        withClue(s"doc $id chunk=$chunk overlap=$overlap: ") {
+          if (toks.isEmpty) chunks shouldBe empty
+          else {
+            // stitching chunks (dropping the carried overlap after the
+            // first) reconstructs the token stream exactly
+            val stitched = chunks.head.split(" ").toSeq ++
+              chunks.tail.flatMap(_.split(" ").toSeq.drop(overlap))
+            stitched shouldBe toks
+            // every chunk fits the budget; all but the last are full
+            chunks.foreach(_.split(" ").length should be <= chunk)
+            chunks.dropRight(1).foreach(_.split(" ").length shouldBe chunk)
+            // no chunk is pure overlap (each adds >= 1 new token)
+            chunks.size shouldBe math.max(1,
+              math.ceil(math.max(toks.size - overlap, 1).toDouble / stride).toInt)
+          }
+        }
+      }
+    }
+  }
+
   test("chunkByTokens plan is a pure projection: no shuffle, no window") {
     val d = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
     val plan = Packing.chunkByTokens(d, "doc_id", "text", 4, 1)
