@@ -36,26 +36,27 @@ object OpsQueries {
       Dedup.exact(docs(s, dir), "doc_id", "text")
         .select(col("doc_id")).orderBy("doc_id")),
     "d2_jaccard_pairs" -> ((s, dir) => {
-      // Shingle-hash sets are computed ONCE per doc before the pair join
-      // (computing them per pair would evaluate each shingle tree 2x
-      // (intersect + union) x 2 sides x 3 n-gram sizes). Distinct 8-byte
-      // hashes, not shingle STRINGS, travel through the shuffle and feed
-      // the set ops — set sizes (and so Jaccard) equal the string-set
-      // version up to 2^-64 hash collisions, at a fraction of the shuffle
-      // bytes and compare cost; the DuckDB oracle computes the
-      // string-shingle Jaccard and the 6-decimal hash compare agrees.
-      def hashSh(n: Int) = graft.functions.HashFunctions.shingleHash(
-        TextAnalysis.tokens(lower(col("text"))), n)
-      val withSh = docs(s, dir).select(col("doc_id") +:
-        Seq(1, 2, 3).map(n => hashSh(n).as(s"s$n")): _*)
+      // Shingle-hash sets for all three n-gram sizes are computed in ONE
+      // token-hash pass per doc (multiShingleHash; three stacked
+      // shingleHash calls re-tokenized and re-hashed identically 3x),
+      // and consecutive-id pairing runs through the blocked-window
+      // adjacentPairs operator — one payload shuffle instead of the
+      // self-join's two. Distinct 8-byte hashes, not shingle STRINGS,
+      // travel through the shuffle and feed the set ops — set sizes (and
+      // so Jaccard) equal the string-set version up to 2^-64 hash
+      // collisions; the DuckDB oracle computes the string-shingle
+      // Jaccard and the 6-decimal hash compare agrees.
+      val ms = graft.functions.HashFunctions.multiShingleHash(
+        TextAnalysis.tokens(lower(col("text"))), Seq(1, 2, 3))
+      val withSh = docs(s, dir).select(col("doc_id"), ms.as("__ms"))
+        .select(col("doc_id") +: Seq(1, 2, 3).map(n => col(s"__ms.n$n").as(s"s$n")): _*)
       def jac(n: Int) = round(
-        size(array_intersect(col(s"a$n"), col(s"b$n"))).cast("double") /
-          greatest(size(array_union(col(s"a$n"), col(s"b$n"))), lit(1)).cast("double"),
+        size(array_intersect(col(s"s${n}_a"), col(s"s${n}_b"))).cast("double") /
+          greatest(size(array_union(col(s"s${n}_a"), col(s"s${n}_b"))), lit(1)).cast("double"),
         6).as(s"jaccard$n")
-      val a = withSh.select(col("doc_id").as("id_a") +: Seq(1, 2, 3).map(n => col(s"s$n").as(s"a$n")): _*)
-      val b = withSh.select(col("doc_id").as("id_b") +: Seq(1, 2, 3).map(n => col(s"s$n").as(s"b$n")): _*)
-      a.join(b, col("id_b") === col("id_a") + 1)
-        .select(col("id_a") +: col("id_b") +: Seq(1, 2, 3).map(jac): _*)
+      Dedup.adjacentPairs(withSh, "doc_id")
+        .select(col("doc_id_a").as("id_a") +: col("doc_id_b").as("id_b") +:
+          Seq(1, 2, 3).map(jac): _*)
         .orderBy("id_a")
     }),
     // MinHash/SimHash signatures are xxhash64-based -> rows-only checks.

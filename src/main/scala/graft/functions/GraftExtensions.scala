@@ -33,6 +33,11 @@ object GraftExtensions {
     (FunctionIdentifier("shingle_hash"),
       info("shingle_hash", "shingle_hash(tokens, n) - distinct word n-gram shingle hashes"),
       (args: Seq[Expression]) => ShingleHash(args(0), intLit(args(1), "shingle_hash n"))),
+    (FunctionIdentifier("multi_shingle_hash"),
+      info("multi_shingle_hash",
+        "multi_shingle_hash(tokens, n1, n2, ...) - struct of distinct shingle-hash sets, one token-hash pass"),
+      (args: Seq[Expression]) => MultiShingleHash(args.head,
+        args.tail.map(intLit(_, "multi_shingle_hash n")))),
     (FunctionIdentifier("minhash_signature"),
       info("minhash_signature", "minhash_signature(shingle_hashes, k) - k-element MinHash signature"),
       (args: Seq[Expression]) => MinHashSignature(args(0), intLit(args(1), "minhash_signature k"))),

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
@@ -22,22 +22,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * loop, not the dispatch, is the cost.
   */
 
-/** Hashes a token array into distinct word n-gram shingle hashes:
-  * each token is xxhash64'd once, each n-gram hash chains the token
-  * hashes. If the document has fewer than `n` tokens the whole token
-  * array collapses to one shingle (mirrors [[graft.ops.Dedup.shingles]]).
+/** Shared token-hash / shingle-roll kernels for [[ShingleHash]] and
+  * [[MultiShingleHash]] — one definition so single- and multi-n callers
+  * cannot drift apart.
   */
-case class ShingleHash(child: Expression, n: Int)
-  extends UnaryExpression with CodegenFallback {
-  require(n >= 1, "shingle size must be >= 1")
+private[functions] object ShingleOps {
+  final val Seed = 42L
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "shingle_hash"
-
-  private final val Seed = 42L
-
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  /** xxhash64 of every token, one pass. */
+  def tokenHashes(toks: ArrayData): Array[Long] = {
     val numToks = toks.numElements()
     val th = new Array[Long](numToks)
     var i = 0
@@ -45,6 +38,13 @@ case class ShingleHash(child: Expression, n: Int)
       th(i) = XXH64.hashUTF8String(toks.getUTF8String(i), Seed)
       i += 1
     }
+    th
+  }
+
+  /** Distinct sorted n-gram shingle hashes rolled over pre-hashed tokens;
+    * fewer than `n` tokens collapse to one whole-text shingle. */
+  def roll(th: Array[Long], n: Int): GenericArrayData = {
+    val numToks = th.length
     val out =
       if (numToks < n) { // whole-text fallback shingle
         var h = Seed
@@ -74,8 +74,58 @@ case class ShingleHash(child: Expression, n: Int)
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, w))
   }
+}
+
+/** Hashes a token array into distinct word n-gram shingle hashes:
+  * each token is xxhash64'd once, each n-gram hash chains the token
+  * hashes. If the document has fewer than `n` tokens the whole token
+  * array collapses to one shingle (mirrors [[graft.ops.Dedup.shingles]]).
+  */
+case class ShingleHash(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    ShingleOps.roll(ShingleOps.tokenHashes(toks), n)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHash =
+    copy(child = newChild)
+}
+
+/** Distinct shingle-hash sets for SEVERAL n-gram sizes in one pass:
+  * tokens are xxhash64'd once and each size rolls over the shared token
+  * hashes, vs one full re-tokenize + re-hash per size when stacking
+  * [[ShingleHash]] calls (the three-size Jaccard query spent ~35% of its
+  * compute re-deriving identical token hashes). Field `n<k>` of the
+  * result struct is bit-identical to `ShingleHash(child, k)`.
+  */
+case class MultiShingleHash(child: Expression, ns: Seq[Int])
+  extends UnaryExpression with CodegenFallback {
+  require(ns.nonEmpty, "at least one shingle size required")
+  require(ns.forall(_ >= 1), "shingle sizes must be >= 1")
+  require(ns.distinct == ns, "shingle sizes must be distinct")
+
+  override def dataType: DataType = StructType(ns.map(n =>
+    StructField(s"n$n", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def prettyName: String = "multi_shingle_hash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val th = ShingleOps.tokenHashes(input.asInstanceOf[ArrayData])
+    val fields = new Array[Any](ns.length)
+    var i = 0
+    while (i < ns.length) {
+      fields(i) = ShingleOps.roll(th, ns(i))
+      i += 1
+    }
+    new GenericInternalRow(fields)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MultiShingleHash =
     copy(child = newChild)
 }
 
@@ -561,6 +611,11 @@ object HashFunctions {
   /** Distinct word-n-gram shingle hashes of a token-array column. */
   def shingleHash(tokens: Column, n: Int): Column =
     ColumnBridge.column(ShingleHash(expr(tokens), n))
+
+  /** Struct of distinct shingle-hash sets for several n-gram sizes
+    * (field `n<k>` = `shingleHash(tokens, k)`), token-hashing once. */
+  def multiShingleHash(tokens: Column, ns: Seq[Int]): Column =
+    ColumnBridge.column(MultiShingleHash(expr(tokens), ns))
 
   /** Word-n-gram shingle strings of a token-array column (space-joined,
     * whole-text fallback below `n` tokens — HOF-parity semantics). */

@@ -34,6 +34,27 @@ class HashExpressionsSpec extends AnyFunSuite with Matchers {
     sx.toSet.intersect(sy.toSet) shouldBe Set.empty
   }
 
+  test("multiShingleHash: each field bit-identical to the matching shingleHash") {
+    val texts = Seq("", "one", "one two", "a b c d e", "  padded   text here ",
+      "ünïcode tökens splitting fine", "x\ty\nz", "repeat repeat repeat repeat")
+    val ns = Seq(1, 2, 3, 5)
+    val rows = texts.toDF("t").select(
+        HashFunctions.multiShingleHash(toks(col("t")), ns).as("ms") +:
+        ns.map(n => HashFunctions.shingleHash(toks(col("t")), n).as(s"sh$n")): _*)
+      .collect()
+    rows.foreach { r =>
+      val ms = r.getStruct(r.fieldIndex("ms"))
+      ns.zipWithIndex.foreach { case (n, i) =>
+        ms.getAs[scala.collection.Seq[Long]](i) shouldBe
+          r.getAs[scala.collection.Seq[Long]](s"sh$n")
+      }
+    }
+    // null tokens -> null struct, matching shingleHash null propagation
+    Seq[Option[String]](None).toDF("t")
+      .select(HashFunctions.multiShingleHash(toks(col("t")), Seq(2)).as("ms"))
+      .head().isNullAt(0) shouldBe true
+  }
+
   test("minHashSignature: identical sets -> identical sigs; sig length = numHashes") {
     val df = Seq(("a b c d e f g h", "a b c d e f g h", "p q r s t u v w")).toDF("x", "y", "z")
     def sig(c: String) = HashFunctions.minHashSignature(
@@ -110,8 +131,9 @@ class HashExpressionsSpec extends AnyFunSuite with Matchers {
 
   test("extension class injects the same functions at session-bootstrap time") {
     GraftExtensions.functions.map(_._1.funcName).toSet shouldBe
-      Set("shingle_hash", "minhash_signature", "simhash64", "dot_product", "cosine_sim",
-        "string_shingles", "array_freq_stats", "char_shingle_fingerprint", "sanitize_strat")
+      Set("shingle_hash", "multi_shingle_hash", "minhash_signature", "simhash64",
+        "dot_product", "cosine_sim", "string_shingles", "array_freq_stats",
+        "char_shingle_fingerprint", "sanitize_strat")
   }
 
   test("MinHashUnion aggregator: corpus signature = element-wise min of doc signatures") {

@@ -31,6 +31,31 @@ class DedupSpec extends AnyFunSuite with Matchers {
       .collect().sorted shouldBe Array(1L, 3L, 4L)
   }
 
+  test("adjacentPairs equals the naive id+1 self-join, including across block edges") {
+    // sparse non-consecutive ids, with runs crossing blockSize=4 edges:
+    // pairs exist only where id+1 is present (2,3) (3,4) (7,8) (8,9)
+    // (11,12) — (4,5) and (9,10)... 5 and 10 absent; (15,16) absent too
+    val rows = Seq(2L, 3L, 4L, 7L, 8L, 9L, 11L, 12L, 15L, 20L)
+      .map(i => (i, s"payload$i", i * 10))
+    val df = rows.toDF("id", "txt", "v")
+    val got = Dedup.adjacentPairs(df, "id", blockSize = 4L)
+      .select("id_a", "id_b", "txt_a", "txt_b", "v_a", "v_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getLong(5))).sortBy(_._1)
+    val naive = {
+      val a = df.select(col("id").as("id_a"), col("txt").as("txt_a"), col("v").as("v_a"))
+      val b = df.select(col("id").as("id_b"), col("txt").as("txt_b"), col("v").as("v_b"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select("id_a", "id_b", "txt_a", "txt_b", "v_a", "v_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getString(3), r.getLong(4), r.getLong(5))).sortBy(_._1)
+    }
+    got shouldBe naive
+    // (3,4) and (7,8) and (11,12) cross block edges at blockSize=4
+    got.map(p => (p._1, p._2)) shouldBe
+      Array((2L, 3L), (3L, 4L), (7L, 8L), (8L, 9L), (11L, 12L))
+  }
+
   test("shingles builds word n-grams; short texts collapse to one shingle") {
     val r = Seq("a b c d").toDF("t")
       .select(Dedup.shingles(col("t"), 3).as("s")).head().getAs[scala.collection.Seq[String]]("s")
