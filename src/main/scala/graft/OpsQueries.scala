@@ -332,6 +332,25 @@ object OpsQueries {
           date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"))
         .orderBy("view_id", "click_id")
     }),
+    "e6_json_extract" -> ((s, dir) => {
+      // semi-structured metadata: typed parse (from_json against a
+      // schema, codegen'd Jackson scan) and path extraction
+      // (get_json_object) over the JSON props column. Both derivations
+      // ride the same projection; n_path_agree = n under the oracle hash
+      // proves they agree row-for-row. Scale posture: pure per-row
+      // projection before a tiny groupBy — no shuffle of the JSON text.
+      val parsed = Util.events(s, dir).select(col("event_type"),
+        from_json(col("props"), "k INT", Map.empty[String, String])
+          .getField("k").as("k"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_path"))
+      parsed.groupBy("event_type").agg(
+          count(col("k")).as("n"),
+          sum(col("k")).as("k_sum"),
+          min(col("k")).as("k_min"),
+          max(col("k")).as("k_max"),
+          count(when(col("k") === col("k_path"), 1)).as("n_path_agree"))
+        .orderBy("event_type")
+    }),
   )
 
   // DuckDB-side token array matching TextAnalysis.tokens. The whitespace
@@ -636,5 +655,10 @@ object OpsQueries {
         "FROM views v JOIN clicks c ON v.user_id = c.user_id " +
         "AND c.click_ts >= v.view_ts AND c.click_ts <= v.view_ts + INTERVAL 30 MINUTE " +
         "ORDER BY view_id, click_id"),
+    "e6_json_extract" ->
+      ("SELECT event_type, count(k) AS n, sum(k) AS k_sum, min(k) AS k_min, max(k) AS k_max, " +
+        "count(k) AS n_path_agree " + // typed and path extraction agree wherever k parses
+        "FROM (SELECT event_type, CAST(props->>'$.k' AS INT) AS k FROM events) " +
+        "GROUP BY event_type ORDER BY event_type"),
   )
 }

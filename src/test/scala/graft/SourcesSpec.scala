@@ -36,6 +36,29 @@ class SourcesSpec extends AnyFunSuite with Matchers {
     back.collect().map(_.toSeq) shouldBe sample.collect().map(_.toSeq)
   }
 
+  test("JSON column extraction: typed parse strict, path+cast lenient, malformed -> null") {
+    import spark.implicits._
+    val df = Seq(
+      """{"k": 7}""",          // well-formed: both paths agree
+      """{"k": "12"}""",       // string number: from_json("k INT") REJECTS
+                               // (type-strict -> null); path extract + cast
+                               // coerces — the documented divergence
+      """{"other": 1}""",      // key absent
+      """not json at all""",   // malformed
+      null                     // null input
+    ).toDF("props")
+    val got = df.select(
+        from_json(col("props"), "k INT", Map.empty[String, String]).getField("k").as("k"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_path"))
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1))))
+    got shouldBe Array(
+      (Some(7), Some(7)),
+      (None, Some(12)),
+      (None, None),
+      (None, None),
+      (None, None))
+  }
+
   test("parquet write preserves nested/array columns (fingerprint arrays)") {
     val dir = Files.createTempDirectory("graft_pq").toString
     val docs = Util.table(spark, "/root/testdata/sf0.001", "documents")
