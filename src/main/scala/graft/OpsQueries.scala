@@ -201,6 +201,15 @@ object OpsQueries {
           TextAnalysis.languageIdP(p).as("lang_pred"))
         .orderBy("doc_id")
     }),
+    "x7_normalize" -> ((s, dir) =>
+      // canonicalization before dedup: the normalized text itself rides
+      // under the oracle hash, so every regex/lowercase/trim rule is
+      // pinned character-for-character against DuckDB
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.normalizeText(col("text")).as("text_norm"),
+          length(col("text")).as("n_chars_raw"))
+        .withColumn("n_chars_norm", length(col("text_norm")))
+        .orderBy("doc_id")),
     "x4_tfidf" -> ((s, dir) =>
       // corpus size N is an in-plan count subquery — no driver-side count
       TextAnalysis.tfidfTopTerms(docs(s, dir), "doc_id", "text", k = 3)
@@ -604,6 +613,15 @@ object OpsQueries {
         s"ROUND(avg($QualityScoreSql) + 5e-10, 6) AS mean_quality " +
         s"FROM f WHERE $QualityScoreSql >= 0.5 " +
         "GROUP BY lang_pred ORDER BY lang_pred"),
+    "x7_normalize" ->
+      (s"SELECT doc_id, trim(regexp_replace(lower(regexp_replace(text, " +
+        s"'[${TextAnalysis.ControlClass}]', ' ', 'g')), " +
+        s"'[${TextAnalysis.WhitespaceClass}]+', ' ', 'g')) AS text_norm, " +
+        "length(text) AS n_chars_raw, " +
+        s"length(trim(regexp_replace(lower(regexp_replace(text, " +
+        s"'[${TextAnalysis.ControlClass}]', ' ', 'g')), " +
+        s"'[${TextAnalysis.WhitespaceClass}]+', ' ', 'g'))) AS n_chars_norm " +
+        "FROM documents ORDER BY doc_id"),
     "x4_tfidf" ->
       (s"WITH tk AS (SELECT doc_id, unnest(${toksOf("text")}) AS term FROM documents), " +
         "tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term), " +

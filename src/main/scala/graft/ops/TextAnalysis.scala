@@ -27,6 +27,23 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** ASCII control characters (C0 + DEL), spelled as an explicit range
+    * because Java's `\p{Cntrl}` and RE2's `\p{Cc}` disagree on the C1
+    * block (U+0080-U+009F) — the explicit class is identical in both
+    * engines, keeping DuckDB-oracle parity. Public so the oracle SQL
+    * builder embeds the same characters. */
+  val ControlClass = "\\x00-\\x1F\\x7F"
+
+  /** Canonical text normalization — the standard preprocessing step
+    * before exact/near dedup (C4 and friends): control characters
+    * become spaces, text is lowercased, whitespace runs collapse to a
+    * single space, and the result is trimmed. Pure per-row projection:
+    * no shuffle, codegen'd regex, safe at any scale. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      lower(regexp_replace(text, s"[$ControlClass]", " ")),
+      s"[$WhitespaceClass]+", " "))
+
   /** One compiled pass over the text producing every counting signal the
     * quality/language heuristics consume (see
     * [[graft.functions.TextProfile]]). Queries that need several signals

@@ -140,6 +140,26 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     r.getAs[Int]("b") shouldBe 3   // and is not a countable symbol
   }
 
+  test("normalizeText: control chars, case, whitespace runs, trim, null") {
+    val cases = Seq(
+      "  Hello\t\tWORLD  "          -> "hello world",
+      "a\u0000b\u0007c"             -> "a b c",   // control chars -> spaces
+      "Mixed\r\nLine\nBreaks"       -> "mixed line breaks",
+      "\u000Bleading VT"            -> "leading vt",
+      "ÜNÏCODE Stays"               -> "ünïcode stays", // lowercased, not stripped
+      ""                            -> "",
+      "   "                         -> "",
+      "\u007F"                      -> "")        // DEL alone -> empty
+    val got = cases.map(_._1).toDF("t")
+      .select(TextAnalysis.normalizeText(col("t")).as("n"))
+      .collect().map(_.getString(0))
+    got shouldBe cases.map(_._2).toArray
+    // null propagates
+    Seq[Option[String]](None).toDF("t")
+      .select(TextAnalysis.normalizeText(col("t")).as("n"))
+      .head().isNullAt(0) shouldBe true
+  }
+
   test("withQuality adds all columns and keeps row count") {
     val df = Seq((1L, "the cat sat"), (2L, "xyz")).toDF("doc_id", "text")
     val out = TextAnalysis.withQuality(df, "text")
