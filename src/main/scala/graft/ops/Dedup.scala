@@ -108,7 +108,13 @@ object Dedup {
     * suite — usually thousands of rows, not corpus-sized) is broadcast,
     * so the corpus-side explode joins with NO shuffle of corpus data; the
     * follow-up per-doc count shuffles only the matched grams. Corpus size
-    * never touches the build side.
+    * never touches the build side. Grams travel as 8-byte xxhash64
+    * shingle hashes, not strings — overlap counts equal the string-gram
+    * version up to 2^-64 collisions (the d2 argument), at a fraction of
+    * the broadcast bytes and join compare cost. An empty document
+    * contributes no grams (the hash kernel's whole-text fallback would
+    * otherwise give empty docs a shared sentinel shingle, like the
+    * empty-string gram the string version filtered).
     *
     * Broadcast guard: a large benchmark suite can yield tens of millions
     * of distinct grams — enough to blow the broadcast/driver memory
@@ -122,8 +128,11 @@ object Dedup {
   def ngramOverlap(corpus: DataFrame, bench: DataFrame, idCol: String,
                    textCol: String, benchTextCol: String, n: Int = 3,
                    maxBroadcastGrams: Long = 2000000L): DataFrame = {
-    val gramsOf = (t: Column) =>
-      filter(array_distinct(shingles(t, n)), g => length(g) > 0)
+    val gramsOf = (t: Column) => {
+      val tk = TextAnalysis.tokens(lower(t))
+      when(size(tk) === 0, array().cast("array<bigint>"))
+        .otherwise(graft.functions.HashFunctions.shingleHash(tk, n))
+    }
     val benchGrams = bench
       .select(explode(gramsOf(col(benchTextCol))).as("__g")).distinct()
     val buildSide =
