@@ -279,6 +279,16 @@ object OpsQueries {
       Packing.chunkByTokens(docs(s, dir), "doc_id", "text",
           chunkTokens = 64, overlap = 8)
         .orderBy("doc_id", "chunk_id")),
+    "p5_weighted_mixture" -> ((s, dir) => { // hash Bernoulli -> rows-only
+      // training-mix downsampling to 50/30/20 target proportions; the
+      // bottleneck source (largest weight, equal sizes) is kept whole.
+      // Per-source kept counts are the query output; the proportion and
+      // determinism CONTRACTS are pinned by SamplingSpec.
+      val mix = Sampling.weightedMixture(
+        table(s, dir, "documents").select("doc_id", "source"), "source", "doc_id",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+      mix.groupBy("source").agg(count(lit(1)).as("n_kept")).orderBy("source")
+    }),
     "p3_sequence_pack" -> ((s, dir) => { // hash-spread greedy -> rows-only
       // fixed partitions: pack assignment must not depend on the
       // session's shuffle-partition setting

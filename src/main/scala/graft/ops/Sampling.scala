@@ -55,4 +55,38 @@ object Sampling {
     }
     df.filter(keep)
   }
+
+  /** Training-data mixing: downsample sources so the output matches the
+    * target proportions `weights` (source -> fraction of the mix, must
+    * sum to ~1) while keeping as much data as possible — the bottleneck
+    * source (largest target share relative to its size) is kept whole
+    * and every other source is sampled down to match. Sources absent
+    * from `weights` are dropped.
+    *
+    * Scale shape: one aggregate-sized `groupBy(source).count()` to find
+    * the bottleneck (tiny collect, never row data), then a narrow
+    * deterministic hash filter — no shuffle of the corpus itself.
+    * Expected output size per source s: `weights(s) * T` where
+    * `T = min_s(count_s / weights(s))`; sampling is per-row hash
+    * Bernoulli, so realized counts concentrate around that expectation
+    * (exactness would need a per-source top-n shuffle — see
+    * [[stratifiedTake]] when exact counts matter more than scan cost). */
+  def weightedMixture(df: DataFrame, sourceCol: String, idCol: String,
+                      weights: Map[String, Double], seed: Long = 42L): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.values.forall(_ > 0), "weights must be positive")
+    val wSum = weights.values.sum
+    require(math.abs(wSum - 1.0) < 1e-6, s"weights must sum to 1, got $wSum")
+    val counts = df.filter(col(sourceCol).isin(weights.keys.toSeq: _*))
+      .groupBy(sourceCol).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // largest achievable mix size honoring every proportion
+    val total = weights.collect {
+      case (s, w) if counts.getOrElse(s, 0L) > 0 => counts(s) / w
+    }.minOption.getOrElse(0.0)
+    val rates = weights.map { case (s, w) =>
+      s -> math.min(1.0, if (counts.getOrElse(s, 0L) == 0) 0.0 else w * total / counts(s))
+    }
+    stratifiedSample(df, sourceCol, idCol, rates, seed)
+  }
 }

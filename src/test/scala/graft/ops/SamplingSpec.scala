@@ -44,4 +44,35 @@ class SamplingSpec extends AnyFunSuite with Matchers {
     counts("s0").toDouble / 3000 shouldBe 0.5 +- 0.05
     counts("s1").toDouble / 3000 shouldBe 0.1 +- 0.04
   }
+
+  test("weightedMixture hits target proportions, keeps the bottleneck whole") {
+    import spark.implicits._
+    // sizes 4000/2000/6000; targets 50/30/20. total = min(4000/.5,
+    // 2000/.3, 6000/.2) = 6667 (s1 is the bottleneck): rates s0 ~0.83,
+    // s1 = 1.0 (kept whole), s2 ~0.22
+    val df = (Seq.fill(4000)("s0") ++ Seq.fill(2000)("s1") ++ Seq.fill(6000)("s2"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "source")
+    val mix = Sampling.weightedMixture(df, "source", "id",
+      Map("s0" -> 0.5, "s1" -> 0.3, "s2" -> 0.2))
+    val counts = mix.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts("s1") shouldBe 2000L // bottleneck source: every row survives
+    val total = counts.values.sum.toDouble
+    counts("s0") / total shouldBe 0.5 +- 0.03
+    counts("s1") / total shouldBe 0.3 +- 0.03
+    counts("s2") / total shouldBe 0.2 +- 0.03
+    // deterministic: a second invocation selects the identical rows
+    val again = Sampling.weightedMixture(df, "source", "id",
+      Map("s0" -> 0.5, "s1" -> 0.3, "s2" -> 0.2))
+    again.select("id").as[Long].collect().sorted shouldBe
+      mix.select("id").as[Long].collect().sorted
+    // sources missing from the weights are dropped entirely
+    val withExtra = df.union(Seq((99999L, "junk")).toDF("id", "source"))
+    Sampling.weightedMixture(withExtra, "source", "id",
+        Map("s0" -> 0.5, "s1" -> 0.3, "s2" -> 0.2))
+      .filter($"source" === "junk").count() shouldBe 0L
+    // malformed weights rejected
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.weightedMixture(df, "source", "id", Map("s0" -> 0.5))
+  }
 }
