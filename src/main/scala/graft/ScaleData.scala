@@ -50,7 +50,16 @@ object ScaleData {
           .select(df.columns.map { c =>
             if (keys.contains(c)) (col(c) + col("__rep") * KeyOffset).as(c) else col(c)
           }.toSeq: _*)
-      out.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      // Spread replicated tables across one file per core: the source
+      // scale factors ship single-file tables, and a crossJoin of a
+      // single-file scan coalesces back to one output file — which then
+      // caps every SCAN-stage computation of the benchmark at one task
+      // (one 33 MB parquet of 10M rows = one partition under the 128 MB
+      // split size; per-row projections like JSON parsing ran 1-core on
+      // a 32-core session and benchmarked ~12x slower than their real
+      // cost). A cluster reads thousands of files; the bench should too.
+      val spread = if (keys.isEmpty) out else out.repartition(cpus.toInt)
+      spread.write.mode("overwrite").parquet(s"$dst/$t.parquet")
       System.err.println(s"[scale] $t x${if (keys.isEmpty) 1 else factor} -> $dst/$t.parquet")
     }
     spark.stop()
