@@ -75,6 +75,18 @@ object OpsQueries {
           concat_ws(",", TextAnalysis.fingerprint(col("text"))).as("fingerprint"))
         .orderBy("doc_id")),
 
+    "d10_doc_line_dedup" -> ((s, dir) => {
+      // intra-document line dedup: repeat the doc body and a disclaimer
+      // line inside each document (the corpus is single-line), keep an
+      // empty separator — the zero-shuffle projection must drop the
+      // repeats, keep the empty line, and leave order intact
+      val d = table(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n", col("text"), lit("DISCLAIMER"), col("text"), lit(""),
+          lit("DISCLAIMER"), concat(lit("footer: "), col("lang"))).as("text"))
+      d.select(col("doc_id"), Dedup.dedupLinesWithinDoc(col("text")).as("text_dedup"))
+        .withColumn("n_lines_kept", size(split(col("text_dedup"), "\n", -1)))
+        .orderBy("doc_id")
+    }),
     "d9_line_dedup" -> ((s, dir) => {
       // the synthetic corpus is single-line, so wrap each doc in shared
       // boilerplate (one global nav line + a per-language footer) — the
@@ -556,6 +568,15 @@ object OpsQueries {
         s"ROUND($QualityScoreSql, 6) AS quality_score, " +
         s"$LangPickSql AS lang_pred " +
         "FROM f ORDER BY doc_id"),
+    "d10_doc_line_dedup" ->
+      ("WITH src AS (SELECT doc_id, concat_ws(chr(10), text, 'DISCLAIMER', text, '', " +
+        "'DISCLAIMER', 'footer: ' || lang) AS text FROM documents), " +
+        "l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS ln, " +
+        "generate_subscripts(string_split(text, chr(10)), 1) AS idx FROM src), " +
+        "k AS (SELECT doc_id, idx, ln FROM l QUALIFY ln = '' OR " +
+        "idx = min(idx) OVER (PARTITION BY doc_id, ln)) " +
+        "SELECT doc_id, string_agg(ln, chr(10) ORDER BY idx) AS text_dedup, " +
+        "count(*) AS n_lines_kept FROM k GROUP BY doc_id ORDER BY doc_id"),
     "d9_line_dedup" ->
       ("WITH src AS (SELECT doc_id, concat_ws(chr(10), '== SITE NAV ==', text, 'contact us: ' || lang) AS text FROM documents), " +
         "t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM src), " +

@@ -63,6 +63,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => CharShingleFingerprint(args(0),
         intLit(args(1), "char_shingle_fingerprint k"),
         intLit(args(2), "char_shingle_fingerprint keep"))),
+    (FunctionIdentifier("dedup_lines"),
+      info("dedup_lines",
+        "dedup_lines(text) - drop repeated non-empty lines, keep first occurrences and empties"),
+      (args: Seq[Expression]) => DedupLines(args(0))),
     (FunctionIdentifier("sanitize_strat"),
       info("sanitize_strat",
         "sanitize_strat(s) - stratum sanitization: space -> '_', non-ASCII run -> '?'"),

@@ -457,6 +457,40 @@ case class TextProfile(child: Expression, stop: Seq[String],
   * spaces -> '_', runs of non-ASCII -> single '?'. One pass over the
   * string — replaces two java.util.regex passes per row, which dominated
   * the per-row cost of the summary's aggregation input. */
+/** Removes repeated non-empty lines WITHIN a document, keeping each
+  * line's first occurrence and every empty line (document structure) —
+  * the intra-document granularity of C4-style boilerplate removal
+  * ([[graft.ops.Dedup.globalLineDedup]] is the corpus-global one).
+  * One hash-set pass per row; as a pure projection the operator needs
+  * no shuffle at any scale. */
+case class DedupLines(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "dedup_lines"
+
+  override def nullSafeEval(input: Any): Any = {
+    val lines = input.asInstanceOf[UTF8String].toString.split("\n", -1)
+    val seen = new java.util.HashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    var first = true
+    var i = 0
+    while (i < lines.length) {
+      val ln = lines(i)
+      if (ln.isEmpty || seen.add(ln)) {
+        if (!first) sb.append('\n')
+        sb.append(ln)
+        first = false
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DedupLines =
+    copy(child = newChild)
+}
+
 case class SanitizeStrat(child: Expression)
   extends UnaryExpression with CodegenFallback {
 
@@ -644,6 +678,11 @@ object HashFunctions {
   /** One-pass strat-value sanitization (space -> '_', non-ASCII run -> '?'). */
   def sanitizeStrat(c: Column): Column =
     ColumnBridge.column(SanitizeStrat(expr(c)))
+
+  /** First-occurrence dedup of non-empty lines within a text column
+    * (empty lines always kept). */
+  def dedupLines(text: Column): Column =
+    ColumnBridge.column(DedupLines(expr(text)))
 
   /** One-pass text profile struct (token/stopword/char-class/CJK counts). */
   def textProfile(text: Column, stop: Seq[String],

@@ -165,6 +165,15 @@ object Dedup {
     * operator targets. Empty lines (kept unconditionally as document
     * structure) bypass the aggregate entirely. No driver collection, no
     * per-document state larger than its own line list. */
+  /** Intra-document line dedup: repeated non-empty lines within ONE
+    * document keep only their first occurrence (empty lines always kept
+    * as structure) — the within-page granularity of C4-style boilerplate
+    * removal; [[globalLineDedup]] is the corpus-global one. Runs as a
+    * single compiled hash-set pass per row ([[graft.functions.DedupLines]])
+    * — a pure projection, so the operator shuffles nothing at any scale. */
+  def dedupLinesWithinDoc(text: Column): Column =
+    graft.functions.HashFunctions.dedupLines(text)
+
   def globalLineDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val lines = df.select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("__idx", "__ln")))
     // min(struct(id, idx)) = the (id, idx) ordering the window used;

@@ -133,7 +133,7 @@ class HashExpressionsSpec extends AnyFunSuite with Matchers {
     GraftExtensions.functions.map(_._1.funcName).toSet shouldBe
       Set("shingle_hash", "multi_shingle_hash", "minhash_signature", "simhash64",
         "dot_product", "cosine_sim", "string_shingles", "array_freq_stats",
-        "char_shingle_fingerprint", "sanitize_strat")
+        "char_shingle_fingerprint", "sanitize_strat", "dedup_lines")
   }
 
   test("MinHashUnion aggregator: corpus signature = element-wise min of doc signatures") {

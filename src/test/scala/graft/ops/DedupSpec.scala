@@ -185,6 +185,26 @@ class DedupSpec extends AnyFunSuite with Matchers {
     assert(na < nf, s"adaptive planes should prune candidates: adaptive=$na fixed=$nf")
   }
 
+  test("dedupLinesWithinDoc: first occurrences kept, empties preserved, order stable") {
+    val cases = Seq(
+      "a\nb\na\n\nb\nc" -> "a\nb\n\nc",   // repeats dropped, empty kept
+      "x"                -> "x",          // single line untouched
+      ""                 -> "",           // empty doc untouched
+      "\n\n"             -> "\n\n",       // only empties: all kept
+      "dup\ndup\ndup"    -> "dup",
+      "a\na \n a"        -> "a\na \n a")  // whitespace variants are distinct lines
+    val got = cases.map(_._1).toDF("t")
+      .select(Dedup.dedupLinesWithinDoc(col("t")).as("d"))
+      .collect().map(_.getString(0))
+    got shouldBe cases.map(_._2).toArray
+    // null propagates; SQL registration works
+    Seq[Option[String]](None).toDF("t")
+      .select(Dedup.dedupLinesWithinDoc(col("t")).as("d"))
+      .head().isNullAt(0) shouldBe true
+    graft.functions.GraftExtensions.register(spark)
+    spark.sql("SELECT dedup_lines('a\nb\na') AS d").head().getString(0) shouldBe "a\nb"
+  }
+
   test("globalLineDedup keeps first occurrences, empty lines, and drops emptied docs") {
     val docs = Seq(
       (1L, "header\nalpha\nfooter"),
