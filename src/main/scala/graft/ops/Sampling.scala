@@ -80,12 +80,13 @@ object Sampling {
     val counts = df.filter(col(sourceCol).isin(weights.keys.toSeq: _*))
       .groupBy(sourceCol).agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = weights.keySet.diff(counts.keySet)
+    require(missing.isEmpty,
+      s"weighted sources absent from the data (proportions unachievable): ${missing.mkString(", ")}")
     // largest achievable mix size honoring every proportion
-    val total = weights.collect {
-      case (s, w) if counts.getOrElse(s, 0L) > 0 => counts(s) / w
-    }.minOption.getOrElse(0.0)
+    val total = weights.map { case (s, w) => counts(s) / w }.min
     val rates = weights.map { case (s, w) =>
-      s -> math.min(1.0, if (counts.getOrElse(s, 0L) == 0) 0.0 else w * total / counts(s))
+      s -> math.min(1.0, w * total / counts(s))
     }
     stratifiedSample(df, sourceCol, idCol, rates, seed)
   }

@@ -74,5 +74,9 @@ class SamplingSpec extends AnyFunSuite with Matchers {
     // malformed weights rejected
     an[IllegalArgumentException] should be thrownBy
       Sampling.weightedMixture(df, "source", "id", Map("s0" -> 0.5))
+    // a weighted source with no data makes the proportions unachievable
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.weightedMixture(df, "source", "id",
+        Map("s0" -> 0.5, "nope" -> 0.5))
   }
 }
