@@ -56,6 +56,29 @@ class DedupSpec extends AnyFunSuite with Matchers {
       Array((2L, 3L), (3L, 4L), (7L, 8L), (8L, 9L), (11L, 12L))
   }
 
+  test("adjacentPairs property: equals the naive self-join on random sparse id sets") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // random id sets spanning several blockSize=8 blocks, with dense runs
+    // and gaps, plus a payload column to carry
+    val idsGen = for {
+      n <- Gen.chooseNum(0, 60)
+      ids <- Gen.listOfN(n, Gen.chooseNum(0L, 120L))
+    } yield ids.distinct
+    val cases = (0 until 12).flatMap(i =>
+      idsGen.apply(Gen.Parameters.default, Seed(7L + i)))
+    for (ids <- cases) {
+      val df = ids.map(i => (i, s"p$i")).toDF("id", "p")
+      val got = Dedup.adjacentPairs(df, "id", blockSize = 8L)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[String]("p_a"), r.getAs[String]("p_b"))).sorted.toSeq
+      val expect = ids.sorted.sliding(2).collect {
+        case Seq(a, b) if b == a + 1 => (a, b, s"p$a", s"p$b")
+      }.toSeq.sorted
+      got shouldBe expect
+    }
+  }
+
   test("shingles builds word n-grams; short texts collapse to one shingle") {
     val r = Seq("a b c d").toDF("t")
       .select(Dedup.shingles(col("t"), 3).as("s")).head().getAs[scala.collection.Seq[String]]("s")
