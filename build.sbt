@@ -31,4 +31,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // long benches degrade into GC thrash (t1 drifted 3.6 -> 5.1 s across
   // consecutive full runs at 8g; stable at 24g on the 128 GiB box).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Pin the heap: Bench drains the JVM (explicit GC) between queries so
+  // ContextCleaner actually releases shuffle/broadcast state, and an
+  // unpinned heap then uncommits pages on every full GC — the next
+  // query's scan re-faults gigabytes and measures the page faults, not
+  // the query (a2 at 100x scale: 4.5 s unpinned vs 0.9 s pinned).
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:+AlwaysPreTouch",
 )

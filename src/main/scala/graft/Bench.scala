@@ -49,8 +49,19 @@ object Bench {
     // regression class this run exists to catch, so it must not read as
     // a speedup.
     val repeats = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt)
+    // Drain accumulated session state between queries: Spark's
+    // ContextCleaner frees shuffle files / broadcasts only when a GC
+    // processes their weak references, and with a large heap a GC may
+    // simply never happen — after the 55-query warmup pass the timed
+    // pass then runs against tens of GB of undead shuffle state (d1
+    // measured 13 s in the full suite vs 0.5 s isolated; d2 26 s vs
+    // 2.1 s — pure pollution, not query cost). An explicit GC after
+    // every query keeps each measurement starting from a drained JVM,
+    // the same state an isolated run sees.
+    def drain(): Unit = { System.gc(); Thread.sleep(50); System.gc() }
     def timedPass(dir: String, tag: String): Seq[(String, Double)] =
       ordered.map { case (name, fn) =>
+        drain()
         val times = (1 to repeats).map { i =>
           val t0 = System.nanoTime()
           val ok = try { consume(fn(spark, dir)); true } catch {
