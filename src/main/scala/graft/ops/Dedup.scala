@@ -222,10 +222,20 @@ object Dedup {
     * with exact Jaccard >= `threshold`, id_a < id_b, deduplicated across
     * bands. The join is an equi-join on (band_index, band_hash) — a plain
     * shuffle join that AQE can handle skew for; no cartesian product.
+    *
+    * `maxBucketSize` (0 = unlimited, the default) skips buckets holding
+    * more than that many documents before the pair join. A bucket of n
+    * docs emits n(n-1)/2 candidates, so ONE boilerplate cluster of 10^5
+    * near-identical pages yields 5*10^9 pairs — the standard production
+    * mitigation is to cap the bucket and let exact dedup (run first, as
+    * [[graft.OpsQueries]]'s c1 composite does) absorb mass-duplicate
+    * clusters. With a cap, pairs whose every shared band is oversized
+    * are NOT emitted — a recall trade documented here, not a silent one.
     */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 64, bands: Int = 16,
-                      threshold: Double = 0.7, shingleN: Int = 3): DataFrame = {
+                      threshold: Double = 0.7, shingleN: Int = 3,
+                      maxBucketSize: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     // The signature relation is read 3x (band explode + both rejoin
@@ -245,10 +255,20 @@ object Dedup {
     val withSig = withSh.select(col("id"), col("sh"),
       graft.functions.HashFunctions.minHashSignature(col("sh"), numHashes).as("sig"))
 
-    val banded = withSig.select(col("id"),
+    val bandedAll = withSig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + lit(1), lit(rows)))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+
+    // bucket-size gate: one map-side-combinable count per (band, hash),
+    // then drop rows of oversized buckets before any pair is formed
+    val banded =
+      if (maxBucketSize <= 0) bandedAll
+      else bandedAll.join(
+        bandedAll.groupBy("band", "band_hash").agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") <= maxBucketSize)
+          .select("band", "band_hash"),
+        Seq("band", "band_hash"))
 
     val candidates = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("band_hash"), col("id").as("id_b")),

@@ -125,6 +125,23 @@ class DedupSpec extends AnyFunSuite with Matchers {
     assertNoResidualCache()
   }
 
+  test("minHashLshPairs bucket cap skips a planted mega-cluster, keeps small pairs") {
+    // 40 identical boilerplate docs (every band bucket size 40) + one
+    // near-dup pair of distinct docs (bucket size 2)
+    val boiler = (0L until 40L).map(i => (i, base))
+    val other = "completely different subject matter about spark catalyst " +
+      "optimizer rules and tungsten memory management internals at scale"
+    val pairDocs = Seq(100L -> other, 101L -> (other + " today"))
+    val df = (boiler ++ pairDocs).toDF("id", "text")
+    val uncapped = Dedup.minHashLshPairs(df, "id", "text")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    uncapped.size shouldBe (40 * 39 / 2 + 1) // full clique + the small pair
+    val capped = Dedup.minHashLshPairs(df, "id", "text", maxBucketSize = 10)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    capped shouldBe Set((100L, 101L)) // clique buckets skipped, small bucket kept
+    assertNoResidualCache()
+  }
+
   test("connected components merges chains across edges (both paths)") {
     // components: {1,2,3,4} via chain, {10,11}, isolated nodes never appear
     val edges = Seq((2L, 3L), (1L, 2L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
