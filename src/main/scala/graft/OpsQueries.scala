@@ -64,7 +64,15 @@ object OpsQueries {
       Dedup.minHashDedup(docs(s, dir), "doc_id", "text", threshold = 0.5)
         .select(col("doc_id")).orderBy("doc_id")),
     "d6_minhash_dedup_cc" -> ((s, dir) =>
-      Dedup.minHashDedupClustered(docs(s, dir), "doc_id", "text", threshold = 0.5)
+      // production pipeline order: EXACT dedup absorbs mass-duplicate
+      // clusters before LSH ever buckets them (a cluster of n identical
+      // docs would otherwise emit n(n-1)/2 candidate pairs — the 100-twin
+      // replicated bench corpus quadratically exploded the verify join).
+      // On a twin-free corpus (sf0.01 oracle scale) the composition is a
+      // no-op prefix and the output is unchanged.
+      Dedup.minHashDedupClustered(
+          Dedup.exact(docs(s, dir), "doc_id", "text"),
+          "doc_id", "text", threshold = 0.5)
         .select(col("doc_id")).orderBy("doc_id")),
     "d4_fingerprints" -> ((s, dir) =>
       // fingerprint is array<long>; joined to a string so the driver's
