@@ -38,4 +38,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the query (a2 at 100x scale: 4.5 s unpinned vs 0.9 s pinned).
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   "-XX:+AlwaysPreTouch",
+  // The 240 MB default JIT code cache thrashes after ~50 queries of
+  // whole-stage codegen: compiled query code is evicted and
+  // late-alphabet queries run deoptimized (full-suite sf0.1: t1 9.2 s /
+  // t9 11.9 s under the default vs 2.9 s / 1.9 s at 1g — and the total
+  // dropped 52 s -> 34.5 s). Explains prior rounds' full-run-only
+  // inflation (e.g. x3 at 102 s full vs 1.25 s isolated in round 3).
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -58,11 +58,19 @@ object Bench {
     // 2.1 s — pure pollution, not query cost). An explicit GC after
     // every query keeps each measurement starting from a drained JVM,
     // the same state an isolated run sees.
-    def drain(): Unit = { System.gc(); Thread.sleep(50); System.gc() }
+    // SPARK_GRAFT_BENCH_DRAIN=0 disables the inter-rep GC (A/B-ing the
+    // drain's own cost); default on — honest numbers beat fast ones.
+    val drainOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_DRAIN", "1") != "0"
+    def drain(): Unit =
+      if (drainOn) { System.gc(); Thread.sleep(50); System.gc() }
     def timedPass(dir: String, tag: String): Seq[(String, Double)] =
       ordered.map { case (name, fn) =>
-        drain()
+        // drain before EVERY rep, not just per query: a shuffle-heavy
+        // query's reps otherwise stack tens of GB of not-yet-collected
+        // shuffle files inside one median block (d3's median read 86 s
+        // in a full run vs 11-13 s isolated; disk pressure, not compute)
         val times = (1 to repeats).map { i =>
+          drain()
           val t0 = System.nanoTime()
           val ok = try { consume(fn(spark, dir)); true } catch {
             case e: Throwable =>
