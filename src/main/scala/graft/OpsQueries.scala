@@ -371,6 +371,25 @@ object OpsQueries {
           date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"))
         .orderBy("view_id", "click_id")
     }),
+    "e7_variant_extract" -> ((s, dir) => {
+      // Spark 4 VARIANT path: parse the JSON ONCE into a variant column,
+      // then extract typed fields from the binary-encoded value —
+      // the parse-amortized shape for documents with MANY extracted
+      // fields (e6 re-parses per extraction API). try_variant_get on a
+      // missing path yields null, counted to pin that semantic.
+      val v = Util.events(s, dir)
+        .select(col("event_type"), parse_json(col("props")).as("v"))
+        .select(col("event_type"),
+          try_variant_get(col("v"), "$.k", "int").as("k"),
+          try_variant_get(col("v"), "$.absent", "int").as("missing"))
+      v.groupBy("event_type").agg(
+          count(col("k")).as("n"),
+          sum(col("k")).as("k_sum"),
+          min(col("k")).as("k_min"),
+          max(col("k")).as("k_max"),
+          count(col("missing")).as("n_missing"))
+        .orderBy("event_type")
+    }),
     "e6_json_extract" -> ((s, dir) => {
       // semi-structured metadata: typed parse (from_json against a
       // schema, codegen'd Jackson scan) and path extraction
@@ -712,6 +731,11 @@ object OpsQueries {
         "FROM views v JOIN clicks c ON v.user_id = c.user_id " +
         "AND c.click_ts >= v.view_ts AND c.click_ts <= v.view_ts + INTERVAL 30 MINUTE " +
         "ORDER BY view_id, click_id"),
+    "e7_variant_extract" ->
+      ("SELECT event_type, count(k) AS n, sum(k) AS k_sum, min(k) AS k_min, max(k) AS k_max, " +
+        "0 AS n_missing " + // $.absent never parses -> all null -> count 0
+        "FROM (SELECT event_type, CAST(props->>'$.k' AS INT) AS k FROM events) " +
+        "GROUP BY event_type ORDER BY event_type"),
     "e6_json_extract" ->
       ("SELECT event_type, count(k) AS n, sum(k) AS k_sum, min(k) AS k_min, max(k) AS k_max, " +
         "count(k) AS n_path_agree " + // typed and path extraction agree wherever k parses
