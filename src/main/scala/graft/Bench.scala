@@ -98,7 +98,19 @@ object Bench {
       val r1 = timedPass(sf1Dir, "bench-sf1")
       s""","sf1_total":${r1.map(_._2).sum},"sf1_queries":${toJson(r1)},"sf1_dir":"$sf1Dir""""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"sf":"$sfDir"$sf1}""")
+    // 100x scale check, same per-rep drain + median discipline as every
+    // other pass (round 5 ran sf10 as a manual single timed pass, which
+    // is exactly the measurement shape the median work exists to kill —
+    // its 105-140 s cross-run band was dominated by single-sample GC /
+    // page-cache luck on the largest inputs). Opt-in by the directory
+    // existing; SPARK_GRAFT_SF10=0 skips it for quick iterations.
+    val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "benchdata/sf10")
+    val sf10 = if (sys.env.getOrElse("SPARK_GRAFT_SF10", "1") == "0"
+        || !new java.io.File(sf10Dir).isDirectory) "" else {
+      val r10 = timedPass(sf10Dir, "bench-sf10")
+      s""","sf10_total":${r10.map(_._2).sum},"sf10_queries":${toJson(r10)},"sf10_dir":"$sf10Dir""""
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"sf":"$sfDir"$sf1$sf10}""")
     spark.stop()
   }
 }

@@ -63,17 +63,35 @@ object OpsQueries {
     "d3_minhash_dedup" -> ((s, dir) =>
       Dedup.minHashDedup(docs(s, dir), "doc_id", "text", threshold = 0.5)
         .select(col("doc_id")).orderBy("doc_id")),
-    "d6_minhash_dedup_cc" -> ((s, dir) =>
-      // production pipeline order: EXACT dedup absorbs mass-duplicate
-      // clusters before LSH ever buckets them (a cluster of n identical
-      // docs would otherwise emit n(n-1)/2 candidate pairs — the 100-twin
-      // replicated bench corpus quadratically exploded the verify join).
-      // On a twin-free corpus (sf0.01 oracle scale) the composition is a
-      // no-op prefix and the output is unchanged.
+    "d6_minhash_dedup_cc" -> ((s, dir) => {
+      // Planted fixture putting the FULL pipeline (exact-dedup prefix ->
+      // MinHash-LSH pairs -> connected components) under the DuckDB hash
+      // gate (the d8/d9 pattern): doc_id % 5 == 3 becomes a double-space
+      // copy of doc_id - 1, doc_id % 5 == 4 a triple-space copy of
+      // doc_id - 2 — same TOKEN stream (so identical shingle sets) but
+      // different raw text (so the exact prefix does NOT absorb them);
+      // each % 5 == 2 donor thus anchors a 3-clique the components must
+      // merge. At threshold 1.0 a pair qualifies iff the distinct
+      // shingle-hash sets are EQUAL, and equal sets mean identical
+      // MinHash signatures — every band collides, recall is exactly 1 —
+      // so the surviving id set is SQL-derivable: min doc_id per
+      // distinct shingle set. The exact prefix stays the production
+      // order (absorbs mass-duplicate clusters before LSH buckets them).
+      val d = docs(s, dir)
+      val c1 = d.select((col("doc_id") + 1).as("doc_id"),
+        expr("replace(text, ' ', '  ')").as("__c1"))
+      val c2 = d.select((col("doc_id") + 2).as("doc_id"),
+        expr("replace(text, ' ', '   ')").as("__c2"))
+      val corpus = d.join(c1, Seq("doc_id"), "left").join(c2, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 3 && col("__c1").isNotNull, col("__c1"))
+            .when(col("doc_id") % 5 === 4 && col("__c2").isNotNull, col("__c2"))
+            .otherwise(col("text")).as("text"))
       Dedup.minHashDedupClustered(
-          Dedup.exact(docs(s, dir), "doc_id", "text"),
-          "doc_id", "text", threshold = 0.5)
-        .select(col("doc_id")).orderBy("doc_id")),
+          Dedup.exact(corpus, "doc_id", "text"),
+          "doc_id", "text", threshold = 1.0)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
     "d4_fingerprints" -> ((s, dir) =>
       // fingerprint is array<long>; joined to a string so the driver's
       // pandas-side rows-only canonicalization can sort/hash the column
@@ -179,19 +197,34 @@ object OpsQueries {
         .select(col("doc_id"), col("media_meta.format").as("format"),
           col("media_meta.n_bytes").as("n_bytes"))
         .orderBy("doc_id")),
-    "m2_media_features" -> ((s, dir) =>
+    "m2_media_features" -> ((s, dir) => {
       // features is array<float>; projected to scalar summaries (dim, L2
       // norm, first component, content hash) — arrays are unhashable for
-      // the driver's pandas-side rows-only canonicalization
-      Multimodal.withFeatures(
-          Multimodal.asBinaryPayload(docs(s, dir), "text"), "payload")
+      // the driver's pandas-side rows-only canonicalization.
+      // Every 10th doc is wrapped in-plan into a REAL PCM-16 WAV (44-byte
+      // canonical header + the first 64 text bytes as sample data), so
+      // the real RIFF chunk-walk + sample decode runs against testdata —
+      // audio_stats is the decoded (n/mean/rms/peak) for those, null for
+      // raw payloads (whose pixel decode remains the documented stub).
+      val hdr = lit(Multimodal.wavPcm16Header(dataBytes = 64))
+      val wrapped = Multimodal.asBinaryPayload(docs(s, dir), "text")
+        .withColumn("payload",
+          when(col("doc_id") % 10 === 0,
+            concat(hdr, substring(rpad(col("text"), 64, "x").cast("binary"), 1, 64)))
+            .otherwise(col("payload")))
+      Multimodal.withAudioStats(
+          Multimodal.withFeatures(wrapped, "payload"), "payload")
         .select(col("doc_id"),
           size(col("features")).as("dim"),
           round(sqrt(Similarity.dot(col("features").cast("array<double>"),
             col("features").cast("array<double>"))), 4).as("norm"),
           round(element_at(col("features"), 1).cast("double"), 4).as("f1"),
-          xxhash64(to_json(col("features"))).as("features_hash"))
-        .orderBy("doc_id")),
+          xxhash64(to_json(col("features"))).as("features_hash"),
+          col("audio_stats.n_samples").as("audio_n_samples"),
+          round(col("audio_stats.rms"), 6).as("audio_rms"),
+          round(col("audio_stats.peak"), 6).as("audio_peak"))
+        .orderBy("doc_id")
+    }),
     "m3_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(
           Multimodal.asBinaryPayload(docs(s, dir), "text"), "payload", stride = 64)
@@ -375,10 +408,12 @@ object OpsQueries {
       // Spark 4 VARIANT path: parse the JSON ONCE into a variant column,
       // then extract typed fields from the binary-encoded value —
       // the parse-amortized shape for documents with MANY extracted
-      // fields (e6 re-parses per extraction API). try_variant_get on a
+      // fields (e6 re-parses per extraction API). try_parse_json keeps
+      // parity with e6's lenient nulls: a malformed props row becomes a
+      // null variant instead of failing the query. try_variant_get on a
       // missing path yields null, counted to pin that semantic.
       val v = Util.events(s, dir)
-        .select(col("event_type"), parse_json(col("props")).as("v"))
+        .select(col("event_type"), try_parse_json(col("props")).as("v"))
         .select(col("event_type"),
           try_variant_get(col("v"), "$.k", "int").as("k"),
           try_variant_get(col("v"), "$.absent", "int").as("missing"))
@@ -519,6 +554,22 @@ object OpsQueries {
     "d1_exact_dedup" ->
       ("SELECT doc_id FROM (SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn " +
         "FROM documents) WHERE rn = 1 ORDER BY doc_id"),
+    // Survivors of the threshold-1.0 clustered near-dedup over the planted
+    // corpus = min doc_id per distinct (lowercased, whitespace-split)
+    // trigram-shingle SET: equal sets <=> jaccard 1.0 <=> identical
+    // MinHash signatures (every band collides, recall exactly 1), up to
+    // the same 2^-64 hash-collision bound the d2 oracle rides on.
+    "d6_minhash_dedup_cc" ->
+      ("WITH corpus AS (SELECT d.doc_id, " +
+        "CASE WHEN d.doc_id % 5 = 3 AND c1.text IS NOT NULL THEN replace(c1.text, ' ', '  ') " +
+        "WHEN d.doc_id % 5 = 4 AND c2.text IS NOT NULL THEN replace(c2.text, ' ', '   ') " +
+        "ELSE d.text END AS text FROM documents d " +
+        "LEFT JOIN documents c1 ON c1.doc_id = d.doc_id - 1 " +
+        "LEFT JOIN documents c2 ON c2.doc_id = d.doc_id - 2), " +
+        s"t AS (SELECT doc_id, ${toksOf("text")} AS tk FROM corpus), " +
+        s"keyed AS (SELECT doc_id, list_sort(${shingleSql(3, "tk")}) AS sk FROM t) " +
+        "SELECT doc_id FROM keyed QUALIFY doc_id = min(doc_id) OVER (PARTITION BY sk) " +
+        "ORDER BY doc_id"),
     "d2_jaccard_pairs" ->
       (s"WITH toks AS (SELECT doc_id, ${toksOf("text")} AS tk FROM documents) " +
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
@@ -731,13 +782,17 @@ object OpsQueries {
         "FROM views v JOIN clicks c ON v.user_id = c.user_id " +
         "AND c.click_ts >= v.view_ts AND c.click_ts <= v.view_ts + INTERVAL 30 MINUTE " +
         "ORDER BY view_id, click_id"),
+    // sum() over INT is HUGEINT in DuckDB -> float64 in pandas -> the
+    // driver's strict cell hash diverges from Spark's long even when the
+    // values are numerically identical; ::BIGINT restores the match (same
+    // cast discipline as c1's sum(n_tok)::BIGINT).
     "e7_variant_extract" ->
-      ("SELECT event_type, count(k) AS n, sum(k) AS k_sum, min(k) AS k_min, max(k) AS k_max, " +
-        "0 AS n_missing " + // $.absent never parses -> all null -> count 0
+      ("SELECT event_type, count(k) AS n, sum(k)::BIGINT AS k_sum, min(k) AS k_min, max(k) AS k_max, " +
+        "0::BIGINT AS n_missing " + // $.absent never parses -> all null -> count 0
         "FROM (SELECT event_type, CAST(props->>'$.k' AS INT) AS k FROM events) " +
         "GROUP BY event_type ORDER BY event_type"),
     "e6_json_extract" ->
-      ("SELECT event_type, count(k) AS n, sum(k) AS k_sum, min(k) AS k_min, max(k) AS k_max, " +
+      ("SELECT event_type, count(k) AS n, sum(k)::BIGINT AS k_sum, min(k) AS k_min, max(k) AS k_max, " +
         "count(k) AS n_path_agree " + // typed and path extraction agree wherever k parses
         "FROM (SELECT event_type, CAST(props->>'$.k' AS INT) AS k FROM events) " +
         "GROUP BY event_type ORDER BY event_type"),

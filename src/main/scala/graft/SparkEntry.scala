@@ -94,14 +94,15 @@ object SparkEntry {
       table(s, dir, "lineitem").groupBy("l_linestatus")
         .pivot("l_returnflag", Seq("A", "N", "R")).count()
         .na.fill(0L).orderBy("l_linestatus")),
-    // Moments in ONE agg pass; exact quartiles from a distinct-VALUE
-    // histogram (map-side-combinable groupBy, then a cumulative pick over
-    // the distinct values — 50 rows for l_quantity, so the unpartitioned
-    // window is trivially small). The previous registration forced
-    // percentile_approx(accuracy=2e6), whose single-threaded giant-sketch
-    // merge cost ~54 s at sf1; the histogram path is exact at ANY scale
-    // for bounded-cardinality columns, and the engine's distributed
-    // order-stat path (t9) covers unbounded ones.
+    // Moments in ONE agg pass; exact quartiles from the CARDINALITY-GATED
+    // distinct-value histogram (TableOne.quartilesFrame): at l_quantity's
+    // 50 distinct values the cumulative pick runs a window over the tiny
+    // histogram; a high-cardinality column would route to the distributed
+    // order-statistics path instead of silently serializing an
+    // unpartitioned orderBy(v) window into one task. The previous
+    // registration forced percentile_approx(accuracy=2e6), whose
+    // single-threaded giant-sketch merge cost ~54 s at sf1; both gated
+    // paths are exact rank-ceil(k*n/4) = quantile_disc at ANY scale.
     "a3_onepass_stats" -> ((s, dir) => roundDoubles {
       val t = table(s, dir, "lineitem")
       val stats = t.agg(
@@ -110,17 +111,7 @@ object SparkEntry {
         round(stddev(col("l_quantity")), 6).as("sd"),
         min(col("l_quantity")).as("mn"),
         max(col("l_quantity")).as("mx"))
-      val w = Window.orderBy("v")
-      val cum = t.filter(col("l_quantity").isNotNull)
-        .groupBy(col("l_quantity").as("v")).agg(count(lit(1)).as("cnt"))
-        .select(col("v"),
-          sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
-          sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("nn"))
-      // rank-ceil(k*n/4) pick in integer math = DuckDB quantile_disc /
-      // the engine's exactQuartiles (TableOne.scala) semantics
-      def q(k: Int, name: String) =
-        min(when(col("cum") >= expr(s"(nn * $k + 3) div 4"), col("v"))).as(name)
-      stats.crossJoin(broadcast(cum.agg(q(1, "q25"), q(2, "q50"), q(3, "q75"))))
+      stats.crossJoin(broadcast(TableOne.quartilesFrame(t, "l_quantity")))
     }),
     "a4_stats_by_group" -> ((s, dir) => roundDoubles(
       table(s, dir, "lineitem").groupBy("l_returnflag").agg(

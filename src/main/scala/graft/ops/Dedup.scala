@@ -32,8 +32,14 @@ object Dedup {
     * path to stitch cross-block pairs. Ids may be sparse: only pairs
     * whose successor id actually exists are emitted, exactly like the
     * equi-join. Ids must be UNIQUE (a duplicated id would pair once
-    * here but fan out in an equi-join) and non-negative (`div`/`pmod`
-    * block math).
+    * here but fan out in an equi-join) and non-negative (`div` truncates
+    * toward zero while `pmod` wraps, so a negative id lands in block 0
+    * AND matches the edge filter — double emission). Both contract
+    * halves are ENFORCED in-plan: every row passes the in-block window,
+    * where a duplicated id surfaces as `lead(id) = id` (equal ids are
+    * sort-adjacent within their block) and a negative id is checked
+    * directly; either raises an error instead of silently emitting wrong
+    * pairs. Cost: one codegen'd predicate per row.
     * Measured at 10x bench scale: 5.3 s -> 3.0 s on the three-size
     * Jaccard query vs the self-join formulation.
     */
@@ -48,6 +54,12 @@ object Dedup {
     val inBlock = df.withColumn("__blk", expr(s"`$idCol` div ${blockSize}L"))
       .select(id.as(idA) +: lead(id, 1).over(w).as(idB) +:
         (aCols ++ payload.map(c => lead(col(c), 1).over(w).as(s"${c}_b"))): _*)
+      // id-contract guard (assert_true is null on success, throws on
+      // violation); evaluated before the pair filter can discard the
+      // offending row — CombineFilters keeps this predicate first.
+      .filter(assert_true(
+        col(idA) >= 0 && (col(idB).isNull || col(idB) =!= col(idA)),
+        lit(s"adjacentPairs: `$idCol` must be unique and non-negative")).isNull)
       .filter(col(idB) === col(idA) + 1)
     // block-edge rows: last id of a block pairs with first id of the next.
     // The pmod filters reference only the id column, so Catalyst pushes
@@ -204,14 +216,28 @@ object Dedup {
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
     exactOn(df, idCol, Seq(textCol))
 
-  /** Exact dedup over a composite key (e.g. (url, text) or every column). */
+  /** Exact dedup over a composite key (e.g. (url, text) or every column).
+    *
+    * Scale shape: one map-side-combinable aggregate —
+    * `groupBy(keyHash, key…).agg(min(struct(id, carried…)))` — so a key
+    * duplicated 10^9 times (crawl error pages, empty documents: the very
+    * corpora exact dedup exists to clean) reduces to one row per input
+    * partition before the shuffle. The previous formulation (`row_number`
+    * over a Window partitioned by the key) serialized ALL occurrences of
+    * a mass-duplicated key into ONE task — the same straggler class
+    * [[globalLineDedup]] eliminated. The representative is the
+    * minimum-`idCol` row (ties broken deterministically by the carried
+    * columns' struct order). Carried non-key columns ride inside the
+    * `min(struct)` and must therefore be orderable (no MapType). */
   def exactOn(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
     val keyHash = xxhash64(keyCols.map(col): _*)
-    val w = Window.partitionBy(keyHash +: keyCols.map(col): _*)
-      .orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val carried = df.columns.toSeq.filterNot(c => c == idCol || keyCols.contains(c))
+    df.groupBy(keyHash.as("__kh") +: keyCols.map(col): _*)
+      .agg(min(struct((idCol +: carried).map(col): _*)).as("__rep"))
+      .select(df.columns.toSeq.map { c =>
+        if (keyCols.contains(c)) col(c) else col("__rep").getField(c).as(c)
+      }: _*)
   }
 
   /** Near-duplicate candidate pairs via MinHash-LSH banding.
@@ -223,19 +249,22 @@ object Dedup {
     * bands. The join is an equi-join on (band_index, band_hash) — a plain
     * shuffle join that AQE can handle skew for; no cartesian product.
     *
-    * `maxBucketSize` (0 = unlimited, the default) skips buckets holding
+    * `maxBucketSize` (default 1000; <= 0 disables) skips buckets holding
     * more than that many documents before the pair join. A bucket of n
     * docs emits n(n-1)/2 candidates, so ONE boilerplate cluster of 10^5
     * near-identical pages yields 5*10^9 pairs — the standard production
     * mitigation is to cap the bucket and let exact dedup (run first, as
     * [[graft.OpsQueries]]'s c1 composite does) absorb mass-duplicate
-    * clusters. With a cap, pairs whose every shared band is oversized
-    * are NOT emitted — a recall trade documented here, not a silent one.
+    * clusters. The quadratic path is therefore OPT-IN (pass <= 0), not
+    * the default. With the cap, pairs whose every shared band is
+    * oversized are NOT emitted — a recall trade documented here, not a
+    * silent one; on a corpus without mass-duplicate clusters the cap is
+    * never hit and recall is unchanged.
     */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 64, bands: Int = 16,
                       threshold: Double = 0.7, shingleN: Int = 3,
-                      maxBucketSize: Int = 0): DataFrame = {
+                      maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     // The signature relation is read 3x (band explode + both rejoin
@@ -260,15 +289,18 @@ object Dedup {
         b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + lit(1), lit(rows)))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
 
-    // bucket-size gate: one map-side-combinable count per (band, hash),
-    // then drop rows of oversized buckets before any pair is formed
+    // bucket-size gate: a count window over the ALREADY-banded relation,
+    // so the band explode is derived once (the earlier groupBy+join
+    // formulation re-derived the explode — and re-read the signature
+    // relation — a second time). The window shuffles on the same
+    // (band, band_hash) key the pair join needs, and its per-bucket work
+    // is linear in the bucket — the quadratic blowup the cap prevents is
+    // in the join, not here.
     val banded =
       if (maxBucketSize <= 0) bandedAll
-      else bandedAll.join(
-        bandedAll.groupBy("band", "band_hash").agg(count(lit(1)).as("__bn"))
-          .filter(col("__bn") <= maxBucketSize)
-          .select("band", "band_hash"),
-        Seq("band", "band_hash"))
+      else bandedAll
+        .withColumn("__bn", count(lit(1)).over(Window.partitionBy("band", "band_hash")))
+        .filter(col("__bn") <= maxBucketSize).drop("__bn")
 
     val candidates = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("band_hash"), col("id").as("id_b")),

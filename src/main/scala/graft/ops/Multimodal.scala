@@ -94,6 +94,95 @@ object Multimodal {
     }(enc)
   }
 
+  val audioStatsType: StructType = StructType(Seq(
+    StructField("n_samples", LongType),
+    StructField("mean", DoubleType),
+    StructField("rms", DoubleType),
+    StructField("peak", DoubleType)))
+
+  /** REAL 16-bit PCM WAV decode — no codec library, just the RIFF spec:
+    * walk the chunk list to `fmt ` (require audio format 1 = PCM, 16 bits
+    * per sample) and `data`, then decode the little-endian signed
+    * samples normalized to [-1, 1) and fold sample statistics
+    * (n, mean, RMS, |peak|). Chunk sizes are word-aligned per RIFF; a
+    * truncated `data` chunk decodes the bytes actually present (crawl
+    * payloads are routinely cut off — better real stats over the prefix
+    * than a null). Returns None for anything that is not a PCM-16 WAV —
+    * those formats (compressed audio, images) remain the documented
+    * stub. */
+  private[ops] def decodeWavPcm16(bytes: Array[Byte]): Option[(Long, Double, Double, Double)] = {
+    if (bytes == null || bytes.length < 44) return None
+    def u8(i: Int): Int = bytes(i) & 0xFF
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int): String = new String(bytes, i, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var i = 12
+    var fmtOk = false
+    var dataOff = -1
+    var dataLen = 0L
+    var walking = true
+    while (walking && i + 8 <= bytes.length && (!fmtOk || dataOff < 0)) {
+      val id = tag(i)
+      val sz = le32(i + 4) // unsigned 32-bit, as Long
+      if (id == "fmt " && i + 8 + 16 <= bytes.length)
+        fmtOk = le16(i + 8) == 1 && le16(i + 8 + 14) == 16
+      else if (id == "data" && dataOff < 0) { dataOff = i + 8; dataLen = sz }
+      // advance in Long math: a corrupt size must end the walk, not wrap
+      val next = i.toLong + 8L + sz + (sz & 1L)
+      if (next <= i || next > Int.MaxValue) walking = false else i = next.toInt
+    }
+    if (!fmtOk || dataOff < 0) None
+    else {
+      val n = (math.min(dataLen, (bytes.length - dataOff).toLong) / 2).toInt
+      var sum = 0.0; var sq = 0.0; var peak = 0.0
+      var j = 0
+      while (j < n) {
+        val s = le16(dataOff + 2 * j).toShort.toDouble / 32768.0
+        sum += s; sq += s * s
+        val a = math.abs(s); if (a > peak) peak = a
+        j += 1
+      }
+      if (n == 0) Some((0L, 0.0, 0.0, 0.0))
+      else Some((n.toLong, sum / n, math.sqrt(sq / n), peak))
+    }
+  }
+
+  /** Canonical 44-byte PCM-16 WAV header for `dataBytes` of sample data —
+    * fixture/builder helper (specs hand-build payloads with it; m2 wraps
+    * testdata bytes into REAL decodable WAVs in-plan). */
+  def wavPcm16Header(dataBytes: Int, sampleRate: Int = 8000, channels: Int = 1): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val blockAlign = channels * 2
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign).putShort(blockAlign.toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    bb.array()
+  }
+
+  /** Partition-wise REAL audio decode over a binary column: adds an
+    * `audio_stats` struct (n_samples, mean, rms, peak) for PCM-16 WAV
+    * payloads, null for every other format (whose pixel/sample decode
+    * remains the documented stub). Same `mapPartitions` batch shape as
+    * [[withMediaMeta]]. */
+  def withAudioStats(df: DataFrame, payloadCol: String): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add(StructField("audio_stats", audioStatsType))
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val stats = decodeWavPcm16(r.getAs[Array[Byte]](payloadIdx))
+          .map { case (n, mean, rms, peak) => Row(n, mean, rms, peak) }.orNull
+        Row.fromSeq(r.toSeq :+ stats)
+      }
+    }(enc)
+  }
+
   /** STUB feature extractor: fixed-width float feature vector per payload
     * (deterministic from bytes; a real impl would run an encoder model).
     * Emitted as `array<float>` so downstream Similarity ops apply as-is. */

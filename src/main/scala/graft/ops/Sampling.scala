@@ -83,10 +83,16 @@ object Sampling {
     val missing = weights.keySet.diff(counts.keySet)
     require(missing.isEmpty,
       s"weighted sources absent from the data (proportions unachievable): ${missing.mkString(", ")}")
-    // largest achievable mix size honoring every proportion
-    val total = weights.map { case (s, w) => counts(s) / w }.min
+    // largest achievable mix size honoring every proportion; the
+    // bottleneck source defines it and is kept WHOLE — its rate is
+    // pinned to exactly 1.0 rather than recomputed as w*total/count,
+    // where float rounding can land at 0.999... and the downstream
+    // (rate*buckets).toLong truncation would shave rows off the one
+    // source the contract promises to keep intact.
+    val bottleneck = weights.minBy { case (s, w) => counts(s) / w }._1
+    val total = counts(bottleneck) / weights(bottleneck)
     val rates = weights.map { case (s, w) =>
-      s -> math.min(1.0, w * total / counts(s))
+      s -> (if (s == bottleneck) 1.0 else math.min(1.0, w * total / counts(s)))
     }
     stratifiedSample(df, sourceCol, idCol, rates, seed)
   }

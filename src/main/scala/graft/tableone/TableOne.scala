@@ -324,6 +324,47 @@ object TableOne {
     }
   }
 
+  /** One-row `(q25, q50, q75)` frame for a single numeric column, exact
+    * at any scale — the cardinality-GATED form of the distinct-value
+    * histogram quartile pick. The histogram (`groupBy(value).count`, a
+    * map-side-combinable shuffle) doubles as the gate: its row count IS
+    * the column's distinct-value cardinality. At or below `maxDistinct`
+    * the cumulative pick runs a window over the distinct VALUES — sound
+    * precisely because the windowed relation is histogram-sized, not
+    * row-sized. Above the gate that unpartitioned `orderBy(v)` window
+    * would serialize into one task, so the column routes to the
+    * fully-parallel distributed order-statistics pass
+    * ([[exactQuartiles]]) instead and the three picks return as typed
+    * literals (the high-cardinality path pays the extra gate scan; the
+    * gate exists exactly so that cost is a second scan, not a one-task
+    * window). Both paths pick the identical rank-ceil(k*n/4) element =
+    * DuckDB `quantile_disc` semantics. The histogram persist is released
+    * before returning (the 1-row pick is materialized eagerly). */
+  def quartilesFrame(df: DataFrame, c: String, maxDistinct: Long = 65536L): DataFrame = {
+    val spark = df.sparkSession
+    val hist = df.filter(col(c).isNotNull)
+      .groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt")).persist()
+    try {
+      if (hist.count() <= maxDistinct) {
+        val w = Window.orderBy("v")
+        val cum = hist.select(col("v"),
+          sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
+          sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("nn"))
+        def q(k: Int, name: String) =
+          min(when(col("cum") >= expr(s"(nn * $k + 3) div 4"), col("v"))).as(name)
+        val agg = cum.agg(q(1, "q25"), q(2, "q50"), q(3, "q75"))
+        spark.createDataFrame(java.util.Collections.singletonList(agg.head()), agg.schema)
+      } else {
+        val dt = df.schema(c).dataType
+        val qs = exactQuartiles(df.select(col(c)), None, Nil, Seq(c))
+          .getOrElse((c, None), Array.fill(3)(Double.NaN))
+        spark.range(1).select(
+          lit(qs(0)).cast(dt).as("q25"), lit(qs(1)).cast(dt).as("q50"),
+          lit(qs(2)).cast(dt).as("q75"))
+      }
+    } finally hist.unpersist()
+  }
+
   /** Grand-total statistics row combined on the driver from per-stratum
     * aggregate rows (pass 1's groupBy output, in display order so FP
     * accumulation is deterministic): counts and sums add, extrema reduce

@@ -31,6 +31,48 @@ class DedupSpec extends AnyFunSuite with Matchers {
       .collect().sorted shouldBe Array(1L, 3L, 4L)
   }
 
+  test("exactOn carries non-key columns from the representative row") {
+    val df = Seq((3L, "a", "meta3"), (1L, "a", "meta1"), (2L, "b", "meta2"))
+      .toDF("id", "text", "meta")
+    val out = Dedup.exactOn(df, "id", Seq("text"))
+    out.columns.toSeq shouldBe Seq("id", "text", "meta") // schema preserved
+    out.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1) shouldBe Array((1L, "a", "meta1"), (2L, "b", "meta2"))
+  }
+
+  test("exact dedup: a mass-duplicated key map-side combines (no Window straggler)") {
+    // 100k copies of ONE text — crawl-error boilerplate, the exact corpus
+    // shape exact dedup exists to clean. The old row_number-over-Window
+    // formulation serialized all 100k occurrences into one window task;
+    // the groupBy(min(struct)) shape partial-aggregates per input
+    // partition before the shuffle.
+    val df = spark.range(100000).toDF("id").select(col("id"),
+      when(col("id") === 42L, lit("unique doc forty two"))
+        .when(col("id") === 77L, lit("unique doc seventy seven"))
+        .otherwise(lit(base)).as("text"))
+    val dd = Dedup.exact(df, "id", "text")
+    val plan = dd.queryExecution.executedPlan.toString
+    plan should not include "Window"
+    plan.toLowerCase should include ("partial")
+    dd.select("id").as[Long].collect().sorted shouldBe Array(0L, 42L, 77L)
+  }
+
+  test("adjacentPairs rejects duplicate and negative ids loudly") {
+    def allMessages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    // a duplicated id silently emitted different pairs than the naive
+    // equi-join before the in-plan guard; now it must fail the action
+    val dup = Seq((1L, "a"), (2L, "b"), (2L, "b2"), (3L, "c")).toDF("id", "p")
+    val eDup = intercept[Throwable] { Dedup.adjacentPairs(dup, "id").collect() }
+    allMessages(eDup) should include ("unique")
+    // a negative id lands in block 0 via truncating div AND matches the
+    // pmod edge filter -> double emission; must fail instead
+    val neg = Seq((-1L, "a"), (0L, "b")).toDF("id", "p")
+    val eNeg = intercept[Throwable] { Dedup.adjacentPairs(neg, "id").collect() }
+    allMessages(eNeg) should include ("non-negative")
+  }
+
   test("adjacentPairs equals the naive id+1 self-join, including across block edges") {
     // sparse non-consecutive ids, with runs crossing blockSize=4 edges:
     // pairs exist only where id+1 is present (2,3) (3,4) (7,8) (8,9)
@@ -126,19 +168,39 @@ class DedupSpec extends AnyFunSuite with Matchers {
   }
 
   test("minHashLshPairs bucket cap skips a planted mega-cluster, keeps small pairs") {
-    // 40 identical boilerplate docs (every band bucket size 40) + one
-    // near-dup pair of distinct docs (bucket size 2)
+    // 40 identical boilerplate docs (every band bucket size 40 — under
+    // the 1000 default, so the DEFAULT call still emits the full clique)
+    // + one near-dup pair of distinct docs (bucket size 2)
     val boiler = (0L until 40L).map(i => (i, base))
     val other = "completely different subject matter about spark catalyst " +
       "optimizer rules and tungsten memory management internals at scale"
     val pairDocs = Seq(100L -> other, 101L -> (other + " today"))
     val df = (boiler ++ pairDocs).toDF("id", "text")
-    val uncapped = Dedup.minHashLshPairs(df, "id", "text")
+    val defaulted = Dedup.minHashLshPairs(df, "id", "text")
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    uncapped.size shouldBe (40 * 39 / 2 + 1) // full clique + the small pair
+    defaulted.size shouldBe (40 * 39 / 2 + 1) // full clique + the small pair
+    // explicit opt-out (<= 0) must agree where no bucket exceeds any cap
+    val optOut = Dedup.minHashLshPairs(df, "id", "text", maxBucketSize = 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    optOut shouldBe defaulted
     val capped = Dedup.minHashLshPairs(df, "id", "text", maxBucketSize = 10)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     capped shouldBe Set((100L, 101L)) // clique buckets skipped, small bucket kept
+    assertNoResidualCache()
+  }
+
+  test("minHashLshPairs DEFAULT cap skips an over-1000 mass-duplicate bucket") {
+    // 1050 verbatim copies put every band bucket at 1050 > the 1000
+    // default: the n(n-1)/2 clique (550k pairs) is skipped without being
+    // asked — the quadratic path is opt-in (maxBucketSize <= 0), no
+    // longer the silent default. The unrelated small pair still pairs.
+    val boiler = (0L until 1050L).map(i => (i, base))
+    val other = "completely different subject matter about spark catalyst " +
+      "optimizer rules and tungsten memory management internals at scale"
+    val df = (boiler ++ Seq(5000L -> other, 5001L -> (other + " today"))).toDF("id", "text")
+    val got = Dedup.minHashLshPairs(df, "id", "text")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe Set((5000L, 5001L))
     assertNoResidualCache()
   }
 

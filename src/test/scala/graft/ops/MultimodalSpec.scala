@@ -83,6 +83,70 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     all(self.map(_.getAs[Double]("c"))) shouldBe 1.0 +- 1e-6
   }
 
+  // --- real PCM-16 WAV decode -----------------------------------------
+
+  /** Known samples as a complete WAV payload via the canonical header. */
+  private def wavOf(samples: Seq[Short], extraChunkBeforeData: Boolean = false): Array[Byte] = {
+    val data = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(data.putShort)
+    val hdr = Multimodal.wavPcm16Header(samples.length * 2)
+    if (!extraChunkBeforeData) hdr ++ data.array()
+    else {
+      // splice a LIST junk chunk between fmt and data: the decoder must
+      // WALK chunks, not assume data at offset 36
+      val junk = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+      hdr.take(36) ++ junk ++ hdr.drop(36) ++ data.array()
+    }
+  }
+
+  test("decodeWavPcm16 computes exact sample statistics from hand-built bytes") {
+    // samples 0, +0.5, -0.5, 32767/32768, -1.0 (exact in binary64)
+    val samples = Seq[Short](0, 16384, -16384, 32767, -32768)
+    val (n, mean, rms, peak) = Multimodal.decodeWavPcm16(wavOf(samples)).get
+    n shouldBe 5L
+    val xs = samples.map(_.toDouble / 32768.0)
+    mean shouldBe (xs.sum / 5) +- 1e-15
+    rms shouldBe math.sqrt(xs.map(x => x * x).sum / 5) +- 1e-15
+    peak shouldBe 1.0
+  }
+
+  test("decodeWavPcm16 walks chunks (junk chunk before data) and clamps truncated data") {
+    val samples = Seq[Short](1000, -1000, 2000, -2000)
+    Multimodal.decodeWavPcm16(wavOf(samples, extraChunkBeforeData = true))
+      .map(_._1) shouldBe Some(4L)
+    // truncate the payload mid-data: stats over the bytes actually present
+    val cut = wavOf(samples).dropRight(4)
+    Multimodal.decodeWavPcm16(cut).map(_._1) shouldBe Some(2L)
+  }
+
+  test("decodeWavPcm16 rejects non-WAV, non-PCM, and malformed payloads") {
+    Multimodal.decodeWavPcm16(null) shouldBe None
+    Multimodal.decodeWavPcm16("plain text payload far too short".getBytes) shouldBe None
+    // valid RIFF/WAVE but float format (audioFormat=3) -> documented stub
+    val floatWav = Multimodal.wavPcm16Header(8)
+    floatWav(20) = 3
+    Multimodal.decodeWavPcm16(floatWav ++ new Array[Byte](8)) shouldBe None
+    // corrupt chunk size must terminate the walk, not loop or throw
+    val corrupt = Multimodal.wavPcm16Header(8)
+    corrupt(16) = 0xFF.toByte; corrupt(17) = 0xFF.toByte
+    corrupt(18) = 0xFF.toByte; corrupt(19) = 0xFF.toByte
+    noException should be thrownBy Multimodal.decodeWavPcm16(corrupt ++ new Array[Byte](8))
+  }
+
+  test("withAudioStats decodes WAV payloads in-plan, nulls the rest") {
+    val wav = wavOf(Seq[Short](16384, -16384))
+    val df = Seq((1L, wav), (2L, "not audio at all, just text bytes".getBytes))
+      .toDF("id", "payload")
+    val out = Multimodal.withAudioStats(df, "payload")
+      .select("id", "audio_stats").orderBy("id").collect()
+    val s1 = out(0).getAs[Row]("audio_stats")
+    s1.getAs[Long]("n_samples") shouldBe 2L
+    s1.getAs[Double]("rms") shouldBe 0.5 +- 1e-15
+    s1.getAs[Double]("peak") shouldBe 0.5 +- 1e-15
+    out(1).isNullAt(1) shouldBe true
+  }
+
   test("sampleFrames explodes byte-range frames at the stride") {
     val out = Multimodal.sampleFrames(payloads.filter(col("id") === 3L), "payload", stride = 8)
     val frames = out.select("frame_offset", "frame_bytes").orderBy("frame_offset").collect()
