@@ -32,6 +32,18 @@ def compare(name, spark_df, duck_df):
         return f"FAIL {name}: columns differ\n  spark={list(a.columns)}\n  duck ={list(b.columns)}"
     if len(a) != len(b):
         return f"FAIL {name}: row counts differ spark={len(a)} duck={len(b)}"
+    # The driver's hash gate stringifies typed cells, so an int64 column on
+    # one side vs float64 on the other (DuckDB HUGEINT sums land as float64)
+    # hash-mismatches even when values agree — flag dtype family drift.
+    def fam(dt):
+        if pd.api.types.is_integer_dtype(dt): return "int"
+        if pd.api.types.is_float_dtype(dt): return "float"
+        if pd.api.types.is_bool_dtype(dt): return "bool"
+        return "other"
+    dtbad = [f"  {c}: spark={a[c].dtype} duck={b[c].dtype}"
+             for c in a.columns if fam(a[c].dtype) != fam(b[c].dtype)]
+    if dtbad:
+        return f"FAIL {name}: dtype family mismatch (driver hash would differ)\n" + "\n".join(dtbad)
     exact = 0; close = 0; bad = []
     for c in a.columns:
         av, bv = a[c], b[c]
