@@ -444,6 +444,79 @@ object OpsQueries {
           count(when(col("k") === col("k_path"), 1)).as("n_path_agree"))
         .orderBy("event_type")
     }),
+    "e8_funnel" -> ((s, dir) => {
+      // strict first-occurrence conversion funnel view -> click ->
+      // purchase: ONE map-side-combinable aggregation per user
+      // (conditional mins over the millisecond epoch), then a single-row
+      // rollup — no self-join, no window, nothing keyed wider than
+      // user_id, so the shape survives any user cardinality. The mean
+      // latency is derived from the EXACT integer (sum_ms, n) pair both
+      // engines agree on, so the double division is bit-identical.
+      val ev = Util.events(s, dir)
+      def firstMs(t: String) =
+        min(when(col("event_type") === t, unix_millis(col("ts"))))
+      val perUser = ev.groupBy("user_id").agg(
+        firstMs("view").as("v_ms"),
+        firstMs("click").as("c_ms"),
+        firstMs("purchase").as("p_ms"))
+      val conv = col("c_ms") > col("v_ms")
+      perUser.agg(
+          count(lit(1)).as("n_users"),
+          count(col("v_ms")).as("n_view"),
+          count(when(conv, 1)).as("n_view_click"),
+          count(when(conv && col("p_ms") > col("c_ms"), 1)).as("n_full_funnel"),
+          sum(when(conv, col("c_ms") - col("v_ms"))).as("sum_view_click_ms"),
+          round(sum(when(conv, col("c_ms") - col("v_ms"))).cast("double") /
+            count(when(conv, 1)).cast("double") / 1000.0, 6)
+            .as("mean_view_to_click_sec"))
+    }),
+    "x8_vocab" -> ((s, dir) => {
+      // corpus vocabulary head: exact top-100 tokens by frequency with
+      // each token's corpus share and the ranked prefix's cumulative
+      // coverage. explode -> map-side-combinable count; the top-100 rides
+      // TakeOrderedAndProject (per-partition heaps, no global sort) and
+      // the grand total aggregates the SAME token-count exchange
+      // (ReuseExchange dedupes the scan+shuffle); the rank/cumsum window
+      // is unpartitioned BUT runs over the 100 surviving rows only.
+      import org.apache.spark.sql.expressions.Window
+      val tk = docs(s, dir)
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+      val counts = tk.groupBy("token").agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum(col("n")).as("total"))
+      val top = counts.orderBy(col("n").desc, col("token")).limit(100)
+      val w = Window.orderBy(col("n").desc, col("token"))
+      val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      top.crossJoin(broadcast(total))
+        .select(
+          row_number().over(w).cast("long").as("rank"),
+          col("token"), col("n"),
+          round(col("n").cast("double") / col("total").cast("double"), 6).as("share"),
+          round(sum(col("n")).over(wc).cast("double") / col("total").cast("double"), 6)
+            .as("cum_share"))
+        .orderBy("rank")
+    }),
+    "j2_bucketed_join" -> ((s, dir) => {
+      // bucketed co-located join: both sides materialized bucketed (and
+      // per-bucket sorted) by the join key into the session warehouse,
+      // then joined — with matching bucket counts SortMergeJoin reads
+      // co-located buckets with NO shuffle on either side
+      // (BucketedJoinSpec pins the exchange-free plan). The write is part
+      // of the query on purpose: at 100 TB the bucketed materialization
+      // is the amortized one-time cost that removes the join shuffle
+      // from every downstream run against the fact table.
+      val o = table(s, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+      val c = table(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      o.write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("graft_bkt_orders")
+      c.write.mode("overwrite").format("parquet")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("graft_bkt_customer")
+      s.table("graft_bkt_orders")
+        .join(s.table("graft_bkt_customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
   )
 
   // DuckDB-side token array matching TextAnalysis.tokens. The whitespace
@@ -796,5 +869,38 @@ object OpsQueries {
         "count(k) AS n_path_agree " + // typed and path extraction agree wherever k parses
         "FROM (SELECT event_type, CAST(props->>'$.k' AS INT) AS k FROM events) " +
         "GROUP BY event_type ORDER BY event_type"),
+    // epoch_ms = Spark's unix_millis (both floor microseconds to ms);
+    // the mean divides the same exact (sum_ms, n) integers in both
+    // engines, so the rounded double matches bit-for-bit.
+    "e8_funnel" ->
+      ("WITH pu AS (SELECT user_id, " +
+        "min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) AS v_ms, " +
+        "min(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END) AS c_ms, " +
+        "min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS p_ms " +
+        "FROM events GROUP BY user_id) " +
+        "SELECT count(*)::BIGINT AS n_users, count(v_ms)::BIGINT AS n_view, " +
+        "count(CASE WHEN c_ms > v_ms THEN 1 END)::BIGINT AS n_view_click, " +
+        "count(CASE WHEN c_ms > v_ms AND p_ms > c_ms THEN 1 END)::BIGINT AS n_full_funnel, " +
+        "sum(CASE WHEN c_ms > v_ms THEN c_ms - v_ms END)::BIGINT AS sum_view_click_ms, " +
+        "ROUND(sum(CASE WHEN c_ms > v_ms THEN c_ms - v_ms END)::DOUBLE " +
+        "/ count(CASE WHEN c_ms > v_ms THEN 1 END)::DOUBLE / 1000.0, 6) AS mean_view_to_click_sec " +
+        "FROM pu"),
+    "x8_vocab" ->
+      (s"WITH tk AS (SELECT unnest(${toksOf("text")}) AS token FROM documents), " +
+        "c AS (SELECT token, count(*)::BIGINT AS n FROM tk GROUP BY token), " +
+        "tot AS (SELECT sum(n)::BIGINT AS total FROM c), " +
+        "top AS (SELECT token, n FROM c ORDER BY n DESC, token LIMIT 100), " +
+        "r AS (SELECT token, n, " +
+        "row_number() OVER (ORDER BY n DESC, token) AS rank, " +
+        "sum(n) OVER (ORDER BY n DESC, token ROWS UNBOUNDED PRECEDING) AS cum FROM top) " +
+        "SELECT rank::BIGINT AS rank, token, n, " +
+        "ROUND(n::DOUBLE / total::DOUBLE, 6) AS share, " +
+        "ROUND(cum::DOUBLE / total::DOUBLE, 6) AS cum_share " +
+        "FROM r CROSS JOIN tot ORDER BY rank"),
+    "j2_bucketed_join" ->
+      ("SELECT c_mktsegment, count(*)::BIGINT AS n_orders, " +
+        "ROUND(sum(o_totalprice), 2) AS revenue " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
   )
 }
