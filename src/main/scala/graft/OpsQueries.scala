@@ -206,14 +206,22 @@ object OpsQueries {
       // the real RIFF chunk-walk + sample decode runs against testdata —
       // audio_stats is the decoded (n/mean/rms/peak) for those, null for
       // raw payloads (whose pixel decode remains the documented stub).
+      // ... and every 10th+5 doc into a REAL 4x4 24-bpp BMP (54-byte DIB
+      // header + 48 text bytes as BGR pixel rows; stride 12 needs no
+      // padding), so the real pixel decode runs against testdata too —
+      // image_stats carries the decoded per-channel means for those.
       val hdr = lit(Multimodal.wavPcm16Header(dataBytes = 64))
+      val bmpHdr = lit(Multimodal.bmp24Header(4, 4))
       val wrapped = Multimodal.asBinaryPayload(docs(s, dir), "text")
         .withColumn("payload",
           when(col("doc_id") % 10 === 0,
             concat(hdr, substring(rpad(col("text"), 64, "x").cast("binary"), 1, 64)))
+          .when(col("doc_id") % 10 === 5,
+            concat(bmpHdr, substring(rpad(col("text"), 48, "x").cast("binary"), 1, 48)))
             .otherwise(col("payload")))
-      Multimodal.withAudioStats(
-          Multimodal.withFeatures(wrapped, "payload"), "payload")
+      Multimodal.withImageStats(
+          Multimodal.withAudioStats(
+            Multimodal.withFeatures(wrapped, "payload"), "payload"), "payload")
         .select(col("doc_id"),
           size(col("features")).as("dim"),
           round(sqrt(Similarity.dot(col("features").cast("array<double>"),
@@ -222,7 +230,11 @@ object OpsQueries {
           xxhash64(to_json(col("features"))).as("features_hash"),
           col("audio_stats.n_samples").as("audio_n_samples"),
           round(col("audio_stats.rms"), 6).as("audio_rms"),
-          round(col("audio_stats.peak"), 6).as("audio_peak"))
+          round(col("audio_stats.peak"), 6).as("audio_peak"),
+          col("image_stats.n_pixels").as("img_n_pixels"),
+          round(col("image_stats.mean_r"), 6).as("img_mean_r"),
+          round(col("image_stats.mean_g"), 6).as("img_mean_g"),
+          round(col("image_stats.mean_b"), 6).as("img_mean_b"))
         .orderBy("doc_id")
     }),
     "m3_frame_sample" -> ((s, dir) =>
@@ -504,12 +516,23 @@ object OpsQueries {
       // of the query on purpose: at 100 TB the bucketed materialization
       // is the amortized one-time cost that removes the join shuffle
       // from every downstream run against the fact table.
+      // a FRESH session's in-memory catalog does not own a leftover
+      // warehouse directory from a previous run, and saveAsTable then
+      // refuses the location — drop the table AND clear the location so
+      // the query is self-healing across driver sessions
+      def freshTable(name: String)(write: String => Unit): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), name)
+        loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+        write(name)
+      }
       val o = table(s, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
       val c = table(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
-      o.write.mode("overwrite").format("parquet")
-        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("graft_bkt_orders")
-      c.write.mode("overwrite").format("parquet")
-        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("graft_bkt_customer")
+      freshTable("graft_bkt_orders")(o.write.format("parquet")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(_))
+      freshTable("graft_bkt_customer")(c.write.format("parquet")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(_))
       s.table("graft_bkt_orders")
         .join(s.table("graft_bkt_customer"), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")

@@ -65,6 +65,11 @@ object Multimodal {
     else if (bytes.length >= 28 && u8(0) == 'R' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == 'F'
       && u8(8) == 'W' && u8(9) == 'A' && u8(10) == 'V' && u8(11) == 'E')
       ("wav", le32(24), le16(22)) // width = sample rate, height = channels
+    // BMP: 'BM' + BITMAPINFOHEADER (DIB size 40 LE32 @14 — the NUL bytes
+    // that encoding requires cannot occur in UTF-8 text payloads, so a
+    // document spelling "BM..." can never misfire this branch)
+    else if (bytes.length >= 54 && u8(0) == 'B' && u8(1) == 'M' && le32(14) == 40)
+      ("bmp", le32(18), math.abs(le32(22)))
     else {
       var h = 1125899906842597L
       var i = 0
@@ -162,6 +167,86 @@ object Multimodal {
       .putInt(sampleRate * blockAlign).putShort(blockAlign.toShort).putShort(16)
       .put("data".getBytes("US-ASCII")).putInt(dataBytes)
     bb.array()
+  }
+
+  val imageStatsType: StructType = StructType(Seq(
+    StructField("n_pixels", LongType),
+    StructField("mean_r", DoubleType),
+    StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType)))
+
+  /** REAL 24-bit uncompressed BMP pixel decode — no codec library, just
+    * the DIB spec: require BITMAPINFOHEADER (size 40), BI_RGB (no
+    * compression), 24 bpp, then walk the 4-byte-aligned pixel rows and
+    * fold per-channel means over the BGR triples. Row order (bottom-up vs
+    * top-down, the sign of the height field) does not affect the stats. A
+    * truncated pixel array decodes the pixels actually present — same
+    * prefix policy as [[decodeWavPcm16]]. Returns None for anything that
+    * is not a 24-bpp uncompressed BMP — those formats (PNG, JPEG, ...)
+    * remain the documented stub. */
+  private[ops] def decodeBmp24(bytes: Array[Byte]): Option[(Long, Double, Double, Double)] = {
+    if (bytes == null || bytes.length < 54) return None
+    def u8(i: Int): Int = bytes(i) & 0xFF
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    if (u8(0) != 'B' || u8(1) != 'M' || le32(14) != 40) return None
+    if (le16(28) != 24 || le32(30) != 0) return None
+    val w = le32(18)
+    val h = math.abs(le32(22))
+    val dataOff = le32(10)
+    if (w <= 0 || h == 0 || dataOff < 54) return None
+    val stride = (3 * w + 3) & ~3
+    var n = 0L; var sr = 0.0; var sg = 0.0; var sb = 0.0
+    var y = 0
+    while (y < h) {
+      val row = dataOff.toLong + y.toLong * stride
+      var x = 0
+      while (x < w && row + 3 * x + 2 < bytes.length) {
+        val base = (row + 3 * x).toInt
+        sb += u8(base); sg += u8(base + 1); sr += u8(base + 2)
+        n += 1; x += 1
+      }
+      y += 1
+    }
+    if (n == 0) Some((0L, 0.0, 0.0, 0.0))
+    else Some((n, sr / n, sg / n, sb / n))
+  }
+
+  /** Canonical 54-byte 24-bpp BMP header for a `w` x `h` image —
+    * fixture/builder helper (specs hand-build payloads with it; m2 wraps
+    * testdata bytes into REAL decodable BMPs in-plan). Callers supply
+    * `h * ((3*w + 3) & ~3)` bytes of BGR pixel data after it. */
+  def bmp24Header(w: Int, h: Int): Array[Byte] = {
+    val stride = (3 * w + 3) & ~3
+    val dataBytes = stride * h
+    val bb = java.nio.ByteBuffer.allocate(54).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataBytes)
+      .putInt(0).putInt(54)          // reserved, pixel-data offset
+      .putInt(40).putInt(w).putInt(h) // BITMAPINFOHEADER, width, height
+      .putShort(1).putShort(24)       // planes, bpp
+      .putInt(0).putInt(dataBytes)    // BI_RGB, image size
+      .putInt(2835).putInt(2835)      // 72 dpi
+      .putInt(0).putInt(0)            // palette
+    bb.array()
+  }
+
+  /** Partition-wise REAL image decode over a binary column: adds an
+    * `image_stats` struct (n_pixels, per-channel means) for 24-bpp
+    * uncompressed BMP payloads, null for every other format (whose pixel
+    * decode remains the documented stub). Same `mapPartitions` batch
+    * shape as [[withMediaMeta]]. */
+  def withImageStats(df: DataFrame, payloadCol: String): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add(StructField("image_stats", imageStatsType))
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val stats = decodeBmp24(r.getAs[Array[Byte]](payloadIdx))
+          .map { case (n, mr, mg, mb) => Row(n, mr, mg, mb) }.orNull
+        Row.fromSeq(r.toSeq :+ stats)
+      }
+    }(enc)
   }
 
   /** Partition-wise REAL audio decode over a binary column: adds an

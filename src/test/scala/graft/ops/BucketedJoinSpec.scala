@@ -26,11 +26,22 @@ class BucketedJoinSpec extends AnyFunSuite with Matchers {
   private val facts = (0L until 1000L).map(i => (i % 97, i.toDouble)).toDF("k", "v")
   private val dims = (0L until 97L).map(i => (i, s"dim_$i")).toDF("k", "name")
 
+  /** Drop + clear the location first: a leftover warehouse directory from
+    * a previous test JVM is unknown to this session's in-memory catalog
+    * and would fail saveAsTable with LOCATION_ALREADY_EXISTS. */
+  private def freshTable(name: String)(write: String => Unit): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), name)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    write(name)
+  }
+
   test("bucketed co-located join plans no exchange on either side") {
-    facts.write.mode("overwrite").format("parquet")
-      .bucketBy(4, "k").sortBy("k").saveAsTable("graft_test_bkt_facts")
-    dims.write.mode("overwrite").format("parquet")
-      .bucketBy(4, "k").sortBy("k").saveAsTable("graft_test_bkt_dims")
+    freshTable("graft_test_bkt_facts")(facts.write.format("parquet")
+      .bucketBy(4, "k").sortBy("k").saveAsTable(_))
+    freshTable("graft_test_bkt_dims")(dims.write.format("parquet")
+      .bucketBy(4, "k").sortBy("k").saveAsTable(_))
     withNoBroadcast {
       val j = spark.table("graft_test_bkt_facts")
         .join(spark.table("graft_test_bkt_dims"), "k")

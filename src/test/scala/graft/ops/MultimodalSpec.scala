@@ -147,6 +147,60 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     out(1).isNullAt(1) shouldBe true
   }
 
+  /** 2x2 24-bpp BMP: stride = (3*2+3)&~3 = 8, so each 6-byte BGR row
+    * carries 2 padding bytes. Pixels chosen so the channel means are
+    * exact in binary: B mean 20, G mean 40, R mean 80. */
+  private def bmp2x2: Array[Byte] = {
+    val px = Array[Int](
+      10, 30, 70,   30, 50, 90,  0, 0, // row 0: (B,G,R) x2 + pad
+      20, 40, 80,   20, 40, 80,  0, 0) // row 1
+    Multimodal.bmp24Header(2, 2) ++ px.map(_.toByte)
+  }
+
+  test("decodeBmp24 computes exact per-channel means from hand-built bytes") {
+    val (n, mr, mg, mb) = Multimodal.decodeBmp24(bmp2x2).get
+    n shouldBe 4L
+    mr shouldBe 80.0
+    mg shouldBe 40.0
+    mb shouldBe 20.0
+    // header recognition in media_meta: same bytes decode as 2x2 bmp
+    Multimodal.decodeStub(bmp2x2) shouldBe ("bmp", 2, 2)
+    // top-down row order (negative height) yields the same stats
+    val td = bmp2x2
+    val bb = java.nio.ByteBuffer.wrap(td).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(22, -2)
+    Multimodal.decodeBmp24(td).get shouldBe ((4L, 80.0, 40.0, 20.0))
+  }
+
+  test("decodeBmp24 clamps truncated pixel data and rejects non-BMP payloads") {
+    // cut after the first row: only 2 pixels decode (prefix policy)
+    val cut = bmp2x2.take(54 + 8)
+    Multimodal.decodeBmp24(cut).map(_._1) shouldBe Some(2L)
+    Multimodal.decodeBmp24(null) shouldBe None
+    Multimodal.decodeBmp24("plain text payload long enough to clear the length gate ok".getBytes) shouldBe None
+    // 8-bpp BMP -> documented stub
+    val bpp8 = bmp2x2
+    bpp8(28) = 8
+    Multimodal.decodeBmp24(bpp8) shouldBe None
+    // RLE-compressed -> documented stub
+    val rle = bmp2x2
+    rle(30) = 1
+    Multimodal.decodeBmp24(rle) shouldBe None
+  }
+
+  test("withImageStats decodes BMP payloads in-plan, nulls the rest") {
+    val df = Seq((1L, bmp2x2), (2L, "not an image at all, just text bytes padded".getBytes))
+      .toDF("id", "payload")
+    val out = Multimodal.withImageStats(df, "payload")
+      .select("id", "image_stats").orderBy("id").collect()
+    val s1 = out(0).getAs[Row]("image_stats")
+    s1.getAs[Long]("n_pixels") shouldBe 4L
+    s1.getAs[Double]("mean_r") shouldBe 80.0
+    s1.getAs[Double]("mean_g") shouldBe 40.0
+    s1.getAs[Double]("mean_b") shouldBe 20.0
+    out(1).isNullAt(1) shouldBe true
+  }
+
   test("sampleFrames explodes byte-range frames at the stride") {
     val out = Multimodal.sampleFrames(payloads.filter(col("id") === 3L), "payload", stride = 8)
     val frames = out.select("frame_offset", "frame_bytes").orderBy("frame_offset").collect()
