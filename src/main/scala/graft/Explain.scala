@@ -21,9 +21,19 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // EXPLAIN_RUN=1: additionally EXECUTE each query and print the final
+    // adaptive plan — AQE decisions (stage reuse, skew splits, join
+    // demotions) are invisible in the static formatted plan.
+    val alsoRun = sys.env.getOrElse("EXPLAIN_RUN", "0") == "1"
     names.foreach { name =>
       println(s"\n========== $name ==========")
-      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.explain("formatted")
+      if (alsoRun) {
+        df.collect()
+        println(s"---------- $name: final adaptive plan ----------")
+        println(df.queryExecution.executedPlan.toString)
+      }
     }
     spark.stop()
   }
