@@ -507,6 +507,44 @@ object OpsQueries {
             .as("cum_share"))
         .orderBy("rank")
     }),
+    "x9_heavy_hitters" -> ((s, dir) => {
+      // sketch-path frequent tokens: a Misra-Gries summary finds the
+      // candidate set WITHOUT shuffling the vocabulary (the shuffle
+      // carries one 50-entry map per partition), then one broadcast-
+      // filtered re-count pass makes the survivors exact. The MG
+      // guarantee (every token with freq > N/(k+1) is in the sketch)
+      // makes the final set "exact counts of all tokens above the
+      // N/(k+1) frequency floor" — DETERMINISTIC and SQL-derivable even
+      // though the sketch's own content is partitioning-dependent.
+      val k = 50
+      val mg = udaf(new graft.functions.MisraGries(k),
+        org.apache.spark.sql.Encoders.STRING)
+      val tk = docs(s, dir)
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+      val sk = tk.agg(mg(col("token")).as("sketch"), count(lit(1)).as("total"))
+      val cand = sk.select(explode(map_keys(col("sketch"))).as("token"), col("total"))
+      tk.join(broadcast(cand), Seq("token"))
+        .groupBy("token", "total").agg(count(lit(1)).as("n"))
+        .filter(col("n") * (k + 1) > col("total"))
+        .select(col("token"), col("n"),
+          round(col("n").cast("double") / col("total").cast("double"), 6).as("share"))
+        .orderBy(col("n").desc, col("token"))
+    }),
+    "k2_salted_join" -> ((s, dir) => {
+      // plan-level skew-resistant fact-dim join: lineitem salted x8,
+      // part replicated x8, joined on (key, salt) — a heavy part key
+      // spreads over 8 tasks by construction (not by AQE runtime
+      // rescue). Result equals the plain join; SkewSpec pins the
+      // equivalence and the salt spread on a planted heavy key.
+      val li = table(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"))
+      val p = table(s, dir, "part").select(col("p_partkey"), col("p_type"))
+      graft.ops.Skew.saltedJoin(li, p, "l_partkey", "p_partkey", saltFactor = 8)
+        .groupBy("p_type")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy("p_type")
+    }),
     "j2_bucketed_join" -> ((s, dir) => {
       // bucketed co-located join: both sides materialized bucketed (and
       // per-bucket sorted) by the join key into the session warehouse,
@@ -925,5 +963,21 @@ object OpsQueries {
         "ROUND(sum(o_totalprice), 2) AS revenue " +
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    // the Misra-Gries candidate set + exact re-count composes to exactly
+    // "all tokens above the N/(k+1) frequency floor, with exact counts"
+    // — sketch-independent, so the oracle derives the set directly
+    "x9_heavy_hitters" ->
+      (s"WITH tk AS (SELECT unnest(${toksOf("text")}) AS token FROM documents), " +
+        "tot AS (SELECT count(*)::BIGINT AS total FROM tk), " +
+        "c AS (SELECT token, count(*)::BIGINT AS n FROM tk GROUP BY token) " +
+        "SELECT token, n, ROUND(n::DOUBLE / total::DOUBLE, 6) AS share " +
+        "FROM c CROSS JOIN tot WHERE n * 51 > total ORDER BY n DESC, token"),
+    // l_quantity is integer-valued, so the double sum is exact in any
+    // accumulation order
+    "k2_salted_join" ->
+      ("SELECT p_type, count(*)::BIGINT AS n_items, " +
+        "ROUND(sum(l_quantity), 2) AS sum_qty " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "GROUP BY p_type ORDER BY p_type"),
   )
 }

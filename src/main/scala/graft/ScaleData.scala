@@ -4,17 +4,22 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Builds a larger benchmark dataset by replicating a testdata scale
-  * factor with shifted keys: each replica adds `rep * 1e9` to every
-  * primary/foreign key column, so join fan-outs and group cardinalities
+  * factor with shifted keys: every primary/foreign key column maps
+  * `key -> key * factor + rep`, so join fan-outs and group cardinalities
   * scale with the factor while non-key value distributions are preserved
-  * exactly. Dimension tables (region/nation) are copied unreplicated,
-  * mirroring how TPC-H dims grow sub-linearly.
+  * exactly. The multiplicative shift is INJECTIVE across (key, rep) and
+  * stays injective under composition (building sf10 by replicating sf1
+  * again), unlike the previous additive `key + rep * 1e9` scheme, whose
+  * two-step composition collided (sf10 documents: 500k rows but only
+  * 95k distinct doc_ids = 5000 x 19 reachable offset sums) — silently
+  * benchmarking duplicate-id corpora until the adjacentPairs id-contract
+  * guard failed d2 loudly at sf10. Dimension tables (region/nation) are
+  * copied unreplicated, mirroring how TPC-H dims grow sub-linearly.
   *
   * Usage: runMain graft.ScaleData [srcDir] [dstDir] [factor]
   * Default: /root/testdata/sf0.1 -> benchdata/sf1 x10.
   */
 object ScaleData {
-  private val KeyOffset = 1000000000L
 
   private val keyCols: Seq[(String, Seq[String])] = Seq(
     "region"     -> Nil,
@@ -48,7 +53,7 @@ object ScaleData {
         if (keys.isEmpty) df
         else df.crossJoin(spark.range(factor).select(col("id").as("__rep")))
           .select(df.columns.map { c =>
-            if (keys.contains(c)) (col(c) + col("__rep") * KeyOffset).as(c) else col(c)
+            if (keys.contains(c)) (col(c) * factor + col("__rep")).as(c) else col(c)
           }.toSeq: _*)
       // Spread replicated tables across one file per core: the source
       // scale factors ship single-file tables, and a crossJoin of a

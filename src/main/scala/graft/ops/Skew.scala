@@ -75,4 +75,41 @@ object Skew {
     partial.groupBy(keys.map(col): _*)
       .agg(agg.merge.head, agg.merge.tail: _*)
   }
+
+  /** Skew-resistant equi-join of a big (possibly key-skewed) fact side
+    * against a dimension side that is too large to broadcast: the fact
+    * side gets a deterministic row-content salt in [0, saltFactor), the
+    * dimension side is replicated once per salt value, and the join runs
+    * on (key, salt) — a heavy fact key spreads over `saltFactor` tasks
+    * instead of serializing into one.
+    *
+    * AQE's skew-join split already handles most sort-merge skew at
+    * runtime; use this when the skew mitigation must be IN THE PLAN —
+    * e.g. the output feeds a co-partitioned consumer AQE would re-plan
+    * around, or the join runs inside a cached/streaming subtree where
+    * AQE does not apply. Cost: `saltFactor * |dim|` shuffle rows on the
+    * replicated side — the standard trade.
+    *
+    * Same determinism rule as [[saltedAggregate]] (recomputed map tasks
+    * must re-derive identical salts), and the same identical-duplicate
+    * caveat: fact rows that are bit-for-bit equal hash to one salt; pass
+    * `saltCol` pointing at a unique/stable column when heavy keys are
+    * dominated by full-row duplicates. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
+                 saltFactor: Int = 32, seed: Long = 42L,
+                 saltCol: Option[String] = None): DataFrame = {
+    require(saltFactor >= 1, "saltFactor must be >= 1")
+    val saltBasis: Seq[Column] = saltCol match {
+      case Some(c) => Seq(col(c))
+      case None => fact.columns.map(col).toSeq
+    }
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(saltBasis :+ lit(seed): _*), lit(saltFactor)))
+    val replicatedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(saltFactor - 1L))))
+    saltedFact.join(replicatedDim,
+        saltedFact(factKey) === replicatedDim(dimKey) &&
+          saltedFact("__salt") === replicatedDim("__salt"))
+      .drop("__salt")
+  }
 }

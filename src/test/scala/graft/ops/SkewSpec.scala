@@ -67,6 +67,37 @@ class SkewSpec extends AnyFunSuite with Matchers {
     out.head.getAs[Double]("value_sum") shouldBe 1000.0
   }
 
+  test("salted join equals the plain join on a skewed fact side") {
+    // one part key carries 80% of the fact rows + a uniform tail
+    val fact = (1 to 5000).map { i =>
+      val k = if (i % 5 != 0) 7L else (i % 23).toLong
+      (k, i.toDouble)
+    }.toDF("fk", "v").repartition(8)
+    val dim = (0L to 23L).map(k => (k, s"name_$k")).toDF("dk", "name")
+    val salted = Skew.saltedJoin(fact, dim, "fk", "dk", saltFactor = 8)
+      .groupBy("name").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .orderBy("name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val plain = fact.join(dim, col("fk") === col("dk"))
+      .groupBy("name").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .orderBy("name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    salted shouldBe plain
+    // the heavy key's rows really spread: same salt formula as saltedJoin
+    val spread = fact.filter(col("fk") === 7L)
+      .select(pmod(xxhash64(col("fk"), col("v"), lit(42L)), lit(8)).as("s"))
+      .distinct().count()
+    spread shouldBe 8L
+  }
+
+  test("salted join output carries no salt column and respects saltCol") {
+    val fact = (1L to 100L).map(i => (i, i % 3, "payload")).toDF("id", "fk", "p")
+    val dim = (0L to 2L).map(k => (k, s"d$k")).toDF("dk", "name")
+    val out = Skew.saltedJoin(fact, dim, "fk", "dk", saltFactor = 4, saltCol = Some("id"))
+    out.columns should not contain "__salt"
+    out.count() shouldBe 100L
+  }
+
   test("MapType columns need an explicit saltCol (xxhash64 cannot hash maps)") {
     val df = Seq((1L, "k", 2.0, Map("a" -> 1))).toDF("id", "key", "value", "props")
     val e = intercept[IllegalArgumentException] {
