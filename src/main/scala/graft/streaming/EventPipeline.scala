@@ -125,6 +125,48 @@ object EventPipeline {
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
+  final case class FunnelState(vMs: Long, cMs: Long, pMs: Long)
+  final case class FunnelRow(user_id: Long, v_ms: Option[Long], c_ms: Option[Long],
+                             p_ms: Option[Long], stage: Int)
+
+  /** Streaming strict first-occurrence funnel (the e8 batch query's
+    * streaming path): per-user state folds the FIRST view/click/purchase
+    * epoch-ms. Each fold is a per-type min — commutative and idempotent —
+    * so arrival order cannot change the converged result: an out-of-order
+    * or cross-batch late event updates the min exactly as an in-order one
+    * would, and the LAST update-mode row per user equals the batch
+    * per-user aggregation. stage: 0 = no view, 1 = view, 2 = view->click
+    * (first click strictly after first view), 3 = full funnel.
+    *
+    * State is one 24-byte triple per user (NoTimeout — bounded by user
+    * cardinality, the same bound the batch groupBy carries); a deployment
+    * with unbounded churning users would attach an inactivity timeout
+    * and accept funnels re-opening from zero after eviction. */
+  def funnelStates(events: Dataset[Event]): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelRow](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(
+            FunnelState(Long.MaxValue, Long.MaxValue, Long.MaxValue))
+          rows.foreach { e =>
+            val t = e.ts.getTime
+            e.event_type match {
+              case "view"     => if (t < s.vMs) s = s.copy(vMs = t)
+              case "click"    => if (t < s.cMs) s = s.copy(cMs = t)
+              case "purchase" => if (t < s.pMs) s = s.copy(pMs = t)
+              case _          => ()
+            }
+          }
+          state.update(s)
+          def opt(v: Long): Option[Long] = if (v == Long.MaxValue) None else Some(v)
+          val converted = s.vMs != Long.MaxValue && s.cMs != Long.MaxValue && s.cMs > s.vMs
+          val full = converted && s.pMs != Long.MaxValue && s.pMs > s.cMs
+          val stage = if (s.vMs == Long.MaxValue) 0 else if (full) 3 else if (converted) 2 else 1
+          FunnelRow(uid, opt(s.vMs), opt(s.cMs), opt(s.pMs), stage)
+      }
+  }
   final case class SessionState(start: Long, last: Long, n: Long, sumValue: Double)
   final case class Session(user_id: Long, start: Timestamp, end: Timestamp,
                            n_events: Long, sum_value: Double)

@@ -228,4 +228,51 @@ class EventPipelineSpec extends AnyFunSuite with Matchers {
       s1.head.end shouldBe ts("10:10")
     } finally q.stop()
   }
+
+  test("streaming funnel converges to the batch per-user firsts, out of order") {
+    implicit val sql = spark.sqlContext
+    import EventPipeline.FunnelRow
+    val input = MemoryStream[Event]
+    val q = EventPipeline.funnelStates(input.toDS())
+      .writeStream.format("memory").queryName("funnel").outputMode("update").start()
+    try {
+      // batch 1: user 1 clicks then purchases; user 2 views only
+      input.addData(Event(1L, ts("10:30"), 1L, "click", 1.0),
+        Event(2L, ts("10:45"), 1L, "purchase", 9.0),
+        Event(3L, ts("10:00"), 2L, "view", 1.0))
+      q.processAllAvailable()
+      // batch 2: user 1's VIEW arrives LATE with the earliest ts -> the
+      // first-occurrence mins must absorb it and re-derive stage 3
+      input.addData(Event(4L, ts("10:10"), 1L, "view", 1.0))
+      q.processAllAvailable()
+      // batch 3: an EARLIER click for user 1 (still after the view);
+      // user 2 clicks BEFORE their first view -> stays stage 1
+      input.addData(Event(5L, ts("10:20"), 1L, "click", 1.0),
+        Event(6L, ts("09:50"), 2L, "click", 1.0))
+      q.processAllAvailable()
+      val last = spark.table("funnel").as[FunnelRow].collect()
+        .zipWithIndex.groupBy(_._1.user_id)
+        .map { case (u, rows) => u -> rows.maxBy(_._2)._1 }
+      last(1L) shouldBe FunnelRow(1L, Some(ts("10:10").getTime),
+        Some(ts("10:20").getTime), Some(ts("10:45").getTime), 3)
+      // click (9:50) precedes first view (10:00): viewed but not converted
+      last(2L) shouldBe FunnelRow(2L, Some(ts("10:00").getTime),
+        Some(ts("09:50").getTime), None, 1)
+      // parity with the batch derivation e8 uses (conditional min per type)
+      val all = Seq(
+        Event(1L, ts("10:30"), 1L, "click", 1.0), Event(2L, ts("10:45"), 1L, "purchase", 9.0),
+        Event(3L, ts("10:00"), 2L, "view", 1.0), Event(4L, ts("10:10"), 1L, "view", 1.0),
+        Event(5L, ts("10:20"), 1L, "click", 1.0), Event(6L, ts("09:50"), 2L, "click", 1.0)).toDF()
+      import org.apache.spark.sql.functions._
+      val batch = all.groupBy("user_id").agg(
+          min(when(col("event_type") === "view", unix_millis(col("ts")))).as("v"),
+          min(when(col("event_type") === "click", unix_millis(col("ts")))).as("c"),
+          min(when(col("event_type") === "purchase", unix_millis(col("ts")))).as("p"))
+        .collect().map(r => r.getLong(0) ->
+          (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+      last.foreach { case (u, fr) =>
+        (fr.v_ms, fr.c_ms, fr.p_ms) shouldBe batch(u)
+      }
+    } finally q.stop()
+  }
 }
