@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Merge, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.streaming.EventPipeline
 import graft.Util.table
 
@@ -578,6 +578,43 @@ object OpsQueries {
           round(sum(col("o_totalprice")), 2).as("revenue"))
         .orderBy("c_mktsegment")
     }),
+
+    // ---- lakehouse mutation: CDC upsert + SCD2 history -----------------
+    "u2_upsert" -> ((s, dir) => {
+      // MERGE INTO shape: orders replayed as a change stream against the
+      // customer snapshot — every ~10th change is a delete, every ~97th
+      // targets a brand-new key (exercising the insert branch), latest
+      // change per key wins by (o_orderdate, o_orderkey). Latest-per-key
+      // is one map-side-combinable max_by; one key-hash join applies it.
+      val snap = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      val ch = table(s, dir, "orders").select(
+        when(col("o_orderkey") % 97 === 0, col("o_custkey") + lit(1000000L))
+          .otherwise(col("o_custkey")).as("c_custkey"),
+        when(col("o_orderkey") % 10 === 0, lit("delete"))
+          .otherwise(lit("upsert")).as("op"),
+        col("o_orderdate"), col("o_orderkey"),
+        col("o_totalprice").as("c_acctbal"))
+      graft.Util.roundDoubles(
+          Merge.applyChangelog(snap, ch, "c_custkey", "op",
+            Seq("o_orderdate", "o_orderkey"), Seq("c_acctbal"), tagCol = Some("src")))
+        .orderBy("c_custkey")
+    }),
+    "u3_scd2" -> ((s, dir) => {
+      // SCD type-2 dimension build from the same change stream: 1-based
+      // version per key plus a [valid_from, valid_to) interval, open on
+      // the current version. One window = one key-hash exchange.
+      val ch = table(s, dir, "orders").select(
+        col("o_custkey").as("c_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_totalprice").as("bal"))
+      graft.Util.roundDoubles(
+          Merge.scd2(ch, "c_custkey", "o_orderdate",
+            Seq("o_orderdate", "o_orderkey"), Seq("bal")))
+        .select(col("c_custkey"), col("version"), col("bal"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"))
+        .orderBy("c_custkey", "version")
+    }),
   )
 
   // DuckDB-side token array matching TextAnalysis.tokens. The whitespace
@@ -979,5 +1016,31 @@ object OpsQueries {
         "ROUND(sum(l_quantity), 2) AS sum_qty " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey " +
         "GROUP BY p_type ORDER BY p_type"),
+    // MERGE semantics spelled out relationally: latest change per key
+    // (row_number desc = Spark's max_by over the same (ts, seq) order),
+    // full join against the snapshot, deletes filtered, CASE picks the
+    // surviving value. + 5e-10 is the shared roundDoubles nudge.
+    "u2_upsert" ->
+      ("WITH ch AS (SELECT CASE WHEN o_orderkey % 97 = 0 THEN o_custkey + 1000000 " +
+        "ELSE o_custkey END AS k, " +
+        "CASE WHEN o_orderkey % 10 = 0 THEN 'delete' ELSE 'upsert' END AS op, " +
+        "o_orderdate, o_orderkey, o_totalprice FROM orders), " +
+        "latest AS (SELECT k, op, o_totalprice FROM " +
+        "(SELECT k, op, o_totalprice, row_number() OVER " +
+        "(PARTITION BY k ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM ch) WHERE rn = 1) " +
+        "SELECT COALESCE(s.c_custkey, l.k) AS c_custkey, " +
+        "ROUND((CASE WHEN l.k IS NOT NULL THEN l.o_totalprice ELSE s.c_acctbal END) + 5e-10, 6) AS c_acctbal, " +
+        "s.c_mktsegment AS c_mktsegment, " +
+        "CASE WHEN l.k IS NULL THEN 'kept' WHEN s.c_custkey IS NULL THEN 'inserted' " +
+        "ELSE 'updated' END AS src " +
+        "FROM customer s FULL JOIN latest l ON s.c_custkey = l.k " +
+        "WHERE l.op IS NULL OR l.op <> 'delete' ORDER BY c_custkey"),
+    "u3_scd2" ->
+      ("SELECT o_custkey AS c_custkey, row_number() OVER w AS version, " +
+        "ROUND(o_totalprice + 5e-10, 6) AS bal, " +
+        "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS valid_from, " +
+        "strftime(lead(o_orderdate) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) " +
+        "ORDER BY c_custkey, version"),
   )
 }

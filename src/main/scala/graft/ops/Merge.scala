@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Lakehouse-style mutation operators: CDC changelog application (the
+  * `MERGE INTO` / upsert shape) and SCD type-2 history construction —
+  * the ingestion step that turns an append-only change stream into the
+  * keyed snapshot every other operator in the library consumes.
+  *
+  * Beyond the reference surface (the reference is read-only analytics:
+  * `tableone_pyspark.py:27` takes one immutable DataFrame); these are the
+  * table-maintenance primitives a training-data pipeline needs upstream
+  * of it.
+  */
+object Merge {
+
+  /** Op-column value treated as a deletion (case-insensitive); everything
+    * else is an upsert. */
+  private def isDelete(op: Column): Column = lower(op).isin("d", "delete")
+
+  /** Apply a changelog to a keyed snapshot (SCD type 1 / `MERGE INTO`):
+    * the LATEST change per key wins — an upsert overrides (or inserts)
+    * the `valueCols`, a delete removes the key, untouched snapshot rows
+    * pass through. Snapshot columns outside `valueCols` are carried
+    * unchanged (null on inserted keys).
+    *
+    * "Latest" is the lexicographic max of `orderCols` (e.g. a change
+    * timestamp with a unique sequence number as tiebreak — make the
+    * combination unique per key or the winner among ties is undefined).
+    *
+    * Scale shape: latest-per-key is ONE map-side-combinable
+    * `max_by(struct(payload), struct(orderCols))` aggregation — no window,
+    * no sort of the change stream — followed by a single equi-join with
+    * the snapshot on the key. Both exchanges hash on the key, and a
+    * changelog whose distinct-key reduction fits the broadcast threshold
+    * broadcasts into the snapshot scan. Nothing in the plan is keyed
+    * wider than `keyCol`, so the shape survives any snapshot size.
+    *
+    * `tagCol`: optional name of an output column tagging each row
+    * `kept` / `updated` / `inserted` (deletes produce no row).
+    */
+  def applyChangelog(snapshot: DataFrame, changes: DataFrame, keyCol: String,
+                     opCol: String, orderCols: Seq[String], valueCols: Seq[String],
+                     tagCol: Option[String] = None): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    require(valueCols.nonEmpty, "valueCols must be non-empty")
+    val latest = changes.groupBy(col(keyCol)).agg(
+      max_by(struct((opCol +: valueCols).map(col): _*),
+        struct(orderCols.map(col): _*)).as("__c"))
+    // __s marks snapshot membership: value columns can legitimately be
+    // null on existing rows, so row existence needs its own witness
+    val joined = snapshot.withColumn("__s", lit(true))
+      .join(latest, Seq(keyCol), "full_outer")
+      .filter(col("__c").isNull || !isDelete(col("__c").getField(opCol)))
+    val changed = col("__c").isNotNull
+    val out = snapshot.columns.map { c =>
+      if (c == keyCol) col(keyCol)
+      else if (valueCols.contains(c)) when(changed, col("__c").getField(c)).otherwise(col(c)).as(c)
+      else col(c)
+    } ++ tagCol.map { t =>
+      when(!changed, "kept")
+        .when(col("__s").isNotNull, "updated")
+        .otherwise("inserted").as(t)
+    }
+    joined.select(out.toSeq: _*)
+  }
+
+  /** Build an SCD type-2 version history from a change stream: one output
+    * row per change carrying `versionCol` (1-based per key, in `orderCols`
+    * order), the change's `valueCols`, and a `[fromCol, toCol)` validity
+    * interval — `toCol` is the next version's `fromCol`, null on the
+    * current version. `tsCol` (one of `orderCols`) supplies the interval
+    * endpoints.
+    *
+    * Scale shape: one window over (`keyCol` × `orderCols`) — a single hash
+    * exchange on the key and a per-key sort; per-key history is the only
+    * thing that must be co-resident, the same bound any per-key state
+    * carries. */
+  def scd2(changes: DataFrame, keyCol: String, tsCol: String,
+           orderCols: Seq[String], valueCols: Seq[String],
+           versionCol: String = "version", fromCol: String = "valid_from",
+           toCol: String = "valid_to"): DataFrame = {
+    require(orderCols.contains(tsCol), s"tsCol `$tsCol` must be one of orderCols")
+    val w = Window.partitionBy(keyCol).orderBy(orderCols.map(col): _*)
+    changes.select(
+      col(keyCol) +:
+        row_number().over(w).cast("long").as(versionCol) +:
+        valueCols.map(col) :+
+        col(tsCol).as(fromCol) :+
+        lead(col(tsCol), 1).over(w).as(toCol): _*)
+  }
+}
