@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Merge, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.ops.{BloomJoin, Dedup, Merge, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.streaming.EventPipeline
 import graft.Util.table
 
@@ -545,6 +545,22 @@ object OpsQueries {
           round(sum(col("l_quantity")), 2).as("sum_qty"))
         .orderBy("p_type")
     }),
+    "k3_bloom_join" -> ((s, dir) => {
+      // bloom-prefiltered semi join: lineitems of the ~2% of parts with
+      // p_size = 1. The distributed bloom build ships only a bitmap to
+      // the driver; the codegen'd probe drops ~98% of the fact rows
+      // BEFORE the join exchange — the explicit form of AQE's runtime
+      // filter, exact because the semi join clears false positives.
+      val li = table(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_returnflag"), col("l_quantity"))
+      val dim = table(s, dir, "part").filter(col("p_size") === 1).select("p_partkey")
+      BloomJoin.bloomSemiJoin(li, dim, "l_partkey", "p_partkey",
+          expectedDimKeys = 1000000L)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
     "j2_bucketed_join" -> ((s, dir) => {
       // bucketed co-located join: both sides materialized bucketed (and
       // per-bucket sorted) by the join key into the session warehouse,
@@ -577,6 +593,26 @@ object OpsQueries {
         .agg(count(lit(1)).as("n_orders"),
           round(sum(col("o_totalprice")), 2).as("revenue"))
         .orderBy("c_mktsegment")
+    }),
+
+    "o1_partition_prune" -> ((s, dir) => {
+      // Hive-layout partitioned sink + directory-pruned scan: events
+      // land partitioned by event_type (pre-shuffled -> one file per
+      // value, no small-files fanout), and the read-back filters on the
+      // partition column, so the scan's PartitionFilters drop every
+      // non-error directory before opening a single row group — the
+      // layout that turns a 100 TB full scan into a one-partition read.
+      val path = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "graft_part_events").toString
+      graft.sources.Sinks.writePartitioned(
+        Util.events(s, dir).select(col("event_id"), col("ts"),
+          col("value"), col("event_type")),
+        path, Seq("event_type"))
+      s.read.parquet(path).filter(col("event_type") === "error")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")) + lit(5e-10), 6).as("sum_value"))
+        .orderBy("day")
     }),
 
     // ---- lakehouse mutation: CDC upsert + SCD2 history -----------------
@@ -1016,6 +1052,11 @@ object OpsQueries {
         "ROUND(sum(l_quantity), 2) AS sum_qty " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey " +
         "GROUP BY p_type ORDER BY p_type"),
+    "k3_bloom_join" ->
+      ("SELECT l_returnflag, count(*)::BIGINT AS n_items, " +
+        "ROUND(sum(l_quantity), 2) AS sum_qty " +
+        "FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 1) " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
     // MERGE semantics spelled out relationally: latest change per key
     // (row_number desc = Spark's max_by over the same (ts, seq) order),
     // full join against the snapshot, deletes filtered, CASE picks the
@@ -1035,6 +1076,10 @@ object OpsQueries {
         "ELSE 'updated' END AS src " +
         "FROM customer s FULL JOIN latest l ON s.c_custkey = l.k " +
         "WHERE l.op IS NULL OR l.op <> 'delete' ORDER BY c_custkey"),
+    "o1_partition_prune" ->
+      ("SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n, " +
+        "ROUND(sum(value) + 5e-10, 6) AS sum_value " +
+        "FROM events WHERE event_type = 'error' GROUP BY day ORDER BY day"),
     "u3_scd2" ->
       ("SELECT o_custkey AS c_custkey, row_number() OVER w AS version, " +
         "ROUND(o_totalprice + 5e-10, 6) AS bal, " +

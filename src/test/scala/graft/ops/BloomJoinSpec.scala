@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class BloomJoinSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fact = (1L to 20000L).map(i => (i, i % 1000)).toDF("fk", "payload")
+  // 50 selective keys spread through the fact key range
+  private def dim = (1L to 50L).map(i => i * 100L).toDF("dk")
+
+  test("bloomSemiJoin equals the plain semi join") {
+    val got = BloomJoin.bloomSemiJoin(fact, dim, "fk", "dk", expectedDimKeys = 50L)
+      .as[(Long, Long)].collect().toSet
+    val want = fact.join(dim, $"fk" === $"dk", "left_semi")
+      .as[(Long, Long)].collect().toSet
+    want should have size 50
+    got shouldBe want
+  }
+
+  test("bloomAntiJoin equals the plain anti join, null fact keys kept") {
+    val factN = fact.unionByName(Seq((Option.empty[Long], 7L))
+      .toDF("fk", "payload"))
+    val got = BloomJoin.bloomAntiJoin(factN, dim, "fk", "dk", expectedDimKeys = 50L)
+      .as[(Option[Long], Long)].collect().toSet
+    val want = factN.join(dim, $"fk" === $"dk", "left_anti")
+      .as[(Option[Long], Long)].collect().toSet
+    want should have size (20000 - 50 + 1)
+    got shouldBe want
+  }
+
+  test("bloom probe prunes most non-matching rows before the join") {
+    val bloom = BloomJoin.buildBloom(dim, "dk", expectedKeys = 50L, fpp = 0.01)
+    val pass = fact.filter(BloomJoin.mightContain(bloom, $"fk")).count()
+    // 50 true positives + ~1% fp of 19950; generous bound proves pruning
+    pass.toDouble should be < 20000 * 0.05
+    pass should be >= 50L
+  }
+
+  test("empty dim: semi join empty, anti join identity") {
+    val empty = dim.filter($"dk" < 0)
+    BloomJoin.bloomSemiJoin(fact, empty, "fk", "dk", 10L).count() shouldBe 0L
+    BloomJoin.bloomAntiJoin(fact, empty, "fk", "dk", 10L).count() shouldBe 20000L
+  }
+
+  test("string keys work (xxhash64 probe is type-agnostic)") {
+    val f = (1 to 1000).map(i => s"doc$i").toDF("fk")
+    val d = Seq("doc7", "doc77", "doc777", "nope").toDF("dk")
+    BloomJoin.bloomSemiJoin(f, d, "fk", "dk", 10L)
+      .as[String].collect().toSet shouldBe Set("doc7", "doc77", "doc777")
+  }
+}
