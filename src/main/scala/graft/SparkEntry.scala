@@ -132,11 +132,21 @@ object SparkEntry {
     // bytes per group in every partial aggregate (~51 s at sf1 for a
     // query whose point is the CHEAP estimate; the exact column rides
     // alongside for comparison).
-    "a6_approx_distinct" -> ((s, dir) =>
-      table(s, dir, "lineitem").groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey"), 0.05).as("parts_approx"),
-          count_distinct(col("l_partkey")).as("parts_exact"))
-        .orderBy("l_returnflag")),
+    // approx and exact deliberately run as SEPARATE aggregations joined
+    // on the tiny result: mixing a distinct agg with a non-distinct one
+    // in a single agg() makes Spark's one-distinct rewrite key the
+    // partial phase on (group, value) — every (returnflag, partkey) pair
+    // then carries its own HLL buffer (measured 16.7 s vs 5.5 s for the
+    // EXACT a5 at 100x bench scale). Split, the sketch aggregates
+    // map-side into 5 groups and the join is 5 rows x 5 rows.
+    "a6_approx_distinct" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem").select("l_returnflag", "l_partkey")
+      li.groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.05).as("parts_approx"))
+        .join(li.groupBy("l_returnflag")
+          .agg(count_distinct(col("l_partkey")).as("parts_exact")), Seq("l_returnflag"))
+        .orderBy("l_returnflag")
+    }),
 
     // ---- joins / windows / set ops (SURVEY.md §2.5-2.7) ----
     "j1_outer_join" -> ((s, dir) => roundDoubles(
@@ -180,6 +190,21 @@ object SparkEntry {
           grouping(col("l_returnflag")).cast("int").as("g_rf"),
           grouping(col("l_linestatus")).cast("int").as("g_ls"))
         .orderBy("g_rf", "g_ls", "l_returnflag", "l_linestatus")),
+    "a8_histogram" -> ((s, dir) => {
+      // equi-width histogram (data profiling): pass 1 is a one-row
+      // min/max agg broadcast into pass 2's bucket projection; the
+      // bucket math is the same double expression in both engines, so
+      // boundary values land in the same bucket. Two narrow scans, a
+      // 20-row hash agg, no wide shuffle at any data size.
+      val li = table(s, dir, "lineitem").select(col("l_extendedprice").as("x"))
+      val mm = li.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      val nb = 20
+      li.crossJoin(broadcast(mm))
+        .select(least(floor((col("x") - col("lo")) * nb / (col("hi") - col("lo"))),
+          lit(nb - 1L)).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
     // two-stage salted aggregation must equal the plain GROUP BY
     "k1_salted_agg" -> ((s, dir) => roundDoubles(
       graft.ops.Skew.saltedAggregate(
@@ -273,6 +298,10 @@ object SparkEntry {
         "CAST(grouping(l_returnflag) AS INT) AS g_rf, CAST(grouping(l_linestatus) AS INT) AS g_ls " +
         "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) " +
         "ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+    "a8_histogram" ->
+      ("WITH mm AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem) " +
+        "SELECT CAST(least(floor((l_extendedprice - lo) * 20 / (hi - lo)), 19) AS BIGINT) AS bucket, " +
+        "count(*)::BIGINT AS n FROM lineitem, mm GROUP BY bucket ORDER BY bucket"),
     "k1_salted_agg" ->
       ("SELECT l_returnflag, count(l_quantity) AS l_quantity_n, " +
         "ROUND(sum(l_quantity) + 5e-10, 6) AS l_quantity_sum, ROUND(min(l_quantity) + 5e-10, 6) AS l_quantity_min, " +

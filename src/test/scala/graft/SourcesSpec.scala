@@ -70,4 +70,24 @@ class SourcesSpec extends AnyFunSuite with Matchers {
     back.schema("fp").dataType shouldBe ArrayType(LongType, containsNull = true)
     back.collect().map(_.toSeq) shouldBe docs.collect().map(_.toSeq)
   }
+
+  test("schema evolution: mergeSchema unions v1/v2 files, old rows null-fill") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_evo").toString
+    // v1 writer has no `score`; v2 adds it — the additive-column upgrade
+    // every long-lived ingest directory goes through
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.parquet(s"$dir/v=1")
+    Seq((3L, "c", 0.5), (4L, "d", 0.9)).toDF("id", "name", "score")
+      .write.parquet(s"$dir/v=2")
+    val back = spark.read.option("mergeSchema", "true").parquet(dir)
+    back.columns.toSet shouldBe Set("id", "name", "score", "v")
+    back.orderBy("id").as[(Long, String, Option[Double], Int)].collect() shouldBe
+      Seq((1L, "a", None, 1), (2L, "b", None, 1),
+        (3L, "c", Some(0.5), 2), (4L, "d", Some(0.9), 2))
+    // without mergeSchema a single footer wins — the score column may
+    // vanish; pinning the contrast documents why the option matters
+    val naive = spark.read.parquet(dir)
+    naive.count() shouldBe 4
+  }
 }
