@@ -95,6 +95,45 @@ object Skew {
     * caveat: fact rows that are bit-for-bit equal hash to one salt; pass
     * `saltCol` pointing at a unique/stable column when heavy keys are
     * dominated by full-row duplicates. */
+  /** [[saltedJoin]] with the replication cost paid ONLY for keys that are
+    * actually hot: a Misra-Gries sketch over the fact keys finds up to
+    * `maxHotKeys` heavy-hitter candidates (the detection shuffle carries
+    * one small map per partition — never the keys themselves, no extra
+    * wide shuffle), hot fact rows take the salted join against the dim
+    * rows of those keys, and everything else takes the untouched plain
+    * join. Replicated-side cost drops from `saltFactor * |dim|` to
+    * `saltFactor * |hotKeys|` (≤ saltFactor * maxHotKeys rows) — on a
+    * skew-free input the operator degrades to the plain join plus one
+    * cheap sketch pass, instead of paying the full replication anyway.
+    *
+    * All MG candidates are treated as hot: over-salting a merely-warm key
+    * costs a handful of replicated dim rows, while under-salting a truly
+    * heavy one recreates the straggler — MG's guarantee (every key with
+    * freq > N/(maxHotKeys+1) surfaces) bounds the miss direction. */
+  def hotSaltedJoin(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
+                    saltFactor: Int = 32, maxHotKeys: Int = 64, seed: Long = 42L,
+                    saltCol: Option[String] = None): DataFrame = {
+    require(maxHotKeys >= 1, "maxHotKeys must be >= 1")
+    val mg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.MisraGries(maxHotKeys), org.apache.spark.sql.Encoders.STRING)
+    val hotKeys: Seq[String] = fact
+      .select(col(factKey).cast("string").as("__k")).filter(col("__k").isNotNull)
+      .agg(mg(col("__k")).as("sk"))
+      .select(explode(map_keys(col("sk"))).as("k"))
+      .collect().map(_.getString(0)).toSeq
+    lazy val plain = fact.join(dim, fact(factKey) === dim(dimKey))
+    if (hotKeys.isEmpty) plain
+    else {
+      // null fact keys: isHot is null, so both branch filters drop them —
+      // the same rows the inner join would drop
+      val hotFact = fact.filter(col(factKey).cast("string").isin(hotKeys: _*))
+      val coldFact = fact.filter(!col(factKey).cast("string").isin(hotKeys: _*))
+      val hotDim = dim.filter(col(dimKey).cast("string").isin(hotKeys: _*))
+      saltedJoin(hotFact, hotDim, factKey, dimKey, saltFactor, seed, saltCol)
+        .unionByName(coldFact.join(dim, coldFact(factKey) === dim(dimKey)))
+    }
+  }
+
   def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
                  saltFactor: Int = 32, seed: Long = 42L,
                  saltCol: Option[String] = None): DataFrame = {

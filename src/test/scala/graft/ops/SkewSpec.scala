@@ -98,6 +98,38 @@ class SkewSpec extends AnyFunSuite with Matchers {
     out.count() shouldBe 100L
   }
 
+  test("hotSaltedJoin equals the plain join; only hot keys pay replication") {
+    // key 7 carries 80% of rows; the tail is uniform over 23 cold keys
+    val fact = (1 to 5000).map { i =>
+      val k = if (i % 5 != 0) 7L else (i % 23).toLong
+      (k, i.toDouble)
+    }.toDF("fk", "v").repartition(8)
+    val dim = (0L to 23L).map(k => (k, s"name_$k")).toDF("dk", "name")
+    val got = Skew.hotSaltedJoin(fact, dim, "fk", "dk", saltFactor = 8, maxHotKeys = 4)
+      .groupBy("name").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .orderBy("name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val plain = fact.join(dim, col("fk") === col("dk"))
+      .groupBy("name").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .orderBy("name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    got shouldBe plain
+    // the MG sketch must surface the 80% key among the candidates
+    val mg = udaf(new graft.functions.MisraGries(4),
+      org.apache.spark.sql.Encoders.STRING)
+    val cand = fact.select(col("fk").cast("string").as("k"))
+      .agg(mg(col("k"))).head().getAs[Map[String, Long]](0)
+    cand.keySet should contain ("7")
+  }
+
+  test("hotSaltedJoin on a skew-free fact degrades to the plain join result") {
+    val fact = (1L to 2000L).map(i => (i % 50, i.toDouble)).toDF("fk", "v")
+    val dim = (0L to 49L).map(k => (k, s"d$k")).toDF("dk", "name")
+    val got = Skew.hotSaltedJoin(fact, dim, "fk", "dk", saltFactor = 8, maxHotKeys = 8)
+    got.count() shouldBe 2000L
+    got.columns should not contain "__salt"
+  }
+
   test("MapType columns need an explicit saltCol (xxhash64 cannot hash maps)") {
     val df = Seq((1L, "k", 2.0, Map("a" -> 1))).toDF("id", "key", "value", "props")
     val e = intercept[IllegalArgumentException] {
