@@ -600,6 +600,25 @@ object OpsQueries {
         .orderBy("c_mktsegment")
     }),
 
+    "w3_topk_per_group" -> ((s, dir) => {
+      // top-5 orders by price per priority via the bounded-heap TopK
+      // Aggregator: the partial aggregate carries AT MOST 5 rows per
+      // (task, group) through the shuffle — the window formulation the
+      // oracle uses must shuffle and per-group-sort EVERY row. O(n log k)
+      // and memory-bounded vs the window's O(n log n); at 100 TB that is
+      // a top-5 query vs a global sort. TopKSpec pins window equality
+      // and partition-shape independence.
+      val tk = udaf(new graft.functions.TopK(5),
+        org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+      table(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(tk(col("o_totalprice"), col("o_orderkey")).as("top"))
+        .select(col("o_orderpriority"), posexplode(col("top")))
+        .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.id").as("o_orderkey"),
+          round(col("col.score") + lit(5e-10), 6).as("price"))
+        .orderBy("o_orderpriority", "rank")
+    }),
     "o1_partition_prune" -> ((s, dir) => {
       // Hive-layout partitioned sink + directory-pruned scan: events
       // land partitioned by event_type (pre-shuffled -> one file per
@@ -1081,6 +1100,12 @@ object OpsQueries {
         "ELSE 'updated' END AS src " +
         "FROM customer s FULL JOIN latest l ON s.c_custkey = l.k " +
         "WHERE l.op IS NULL OR l.op <> 'delete' ORDER BY c_custkey"),
+    "w3_topk_per_group" ->
+      ("SELECT o_orderpriority, rank, o_orderkey, ROUND(o_totalprice + 5e-10, 6) AS price " +
+        "FROM (SELECT o_orderpriority, o_orderkey, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_orderpriority " +
+        "ORDER BY o_totalprice DESC, o_orderkey) AS rank FROM orders) " +
+        "WHERE rank <= 5 ORDER BY o_orderpriority, rank"),
     "o1_partition_prune" ->
       ("SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n, " +
         "ROUND(sum(value) + 5e-10, 6) AS sum_value " +
