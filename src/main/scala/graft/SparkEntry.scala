@@ -205,6 +205,17 @@ object SparkEntry {
         .groupBy("bucket").agg(count(lit(1)).as("n"))
         .orderBy("bucket")
     }),
+    "a9_corr" -> ((s, dir) =>
+      // bivariate profiling: Pearson correlation + sample covariance +
+      // the regression slope/intercept aggregates, one hash agg per
+      // group (all are single-pass decomposable moments)
+      table(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")) + lit(5e-10), 6).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")) + lit(5e-10), 6).as("covar_qp"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")) + lit(5e-10), 6).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")) + lit(5e-10), 6).as("intercept"))
+        .orderBy("l_returnflag")),
     // two-stage salted aggregation must equal the plain GROUP BY
     "k1_salted_agg" -> ((s, dir) => roundDoubles(
       graft.ops.Skew.saltedAggregate(
@@ -298,6 +309,13 @@ object SparkEntry {
         "CAST(grouping(l_returnflag) AS INT) AS g_rf, CAST(grouping(l_linestatus) AS INT) AS g_ls " +
         "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) " +
         "ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+    "a9_corr" ->
+      ("SELECT l_returnflag, " +
+        "ROUND(corr(l_quantity, l_extendedprice) + 5e-10, 6) AS corr_qp, " +
+        "ROUND(covar_samp(l_quantity, l_extendedprice) + 5e-10, 6) AS covar_qp, " +
+        "ROUND(regr_slope(l_extendedprice, l_quantity) + 5e-10, 6) AS slope, " +
+        "ROUND(regr_intercept(l_extendedprice, l_quantity) + 5e-10, 6) AS intercept " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "a8_histogram" ->
       ("WITH mm AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem) " +
         "SELECT CAST(least(floor((l_extendedprice - lo) * 20 / (hi - lo)), 19) AS BIGINT) AS bucket, " +
