@@ -46,6 +46,32 @@ class BloomJoinSpec extends AnyFunSuite with Matchers {
     BloomJoin.bloomAntiJoin(fact, empty, "fk", "dk", 10L).count() shouldBe 20000L
   }
 
+  test("property: semi/anti equal the plain joins on random key sets") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val caseGen = for {
+      nf <- Gen.chooseNum(0, 300)
+      fk <- Gen.listOfN(nf, Gen.chooseNum(0L, 99L))
+      nd <- Gen.chooseNum(0, 30)
+      dk <- Gen.listOfN(nd, Gen.chooseNum(0L, 120L)).map(_.distinct)
+    } yield (fk, dk)
+    val cases = (0 until 6).flatMap(i =>
+      caseGen.apply(Gen.Parameters.default, Seed(23L + i)))
+    for ((fk, dk) <- cases) {
+      val f = fk.zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("fk", "row")
+      val d = dk.toDF("dk")
+      val dset = dk.toSet
+      val semi = BloomJoin.bloomSemiJoin(f, d, "fk", "dk", expectedDimKeys = 200L)
+        .as[(Long, Long)].collect().toSet
+      semi shouldBe fk.zipWithIndex.collect {
+        case (k, i) if dset(k) => (k, i.toLong) }.toSet
+      val anti = BloomJoin.bloomAntiJoin(f, d, "fk", "dk", expectedDimKeys = 200L)
+        .as[(Long, Long)].collect().toSet
+      anti shouldBe fk.zipWithIndex.collect {
+        case (k, i) if !dset(k) => (k, i.toLong) }.toSet
+    }
+  }
+
   test("string keys work (xxhash64 probe is type-agnostic)") {
     val f = (1 to 1000).map(i => s"doc$i").toDF("fk")
     val d = Seq("doc7", "doc77", "doc777", "nope").toDF("dk")

@@ -71,6 +71,49 @@ class MergeSpec extends AnyFunSuite with Matchers {
     got shouldBe expect
   }
 
+  test("applyChangelog property: equals a driver-side reference model on random changelogs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // snapshot keys 0..19; changelog hits keys 0..29 (10..29 exercise the
+    // insert branch), ts collides on purpose so the seq tiebreak decides
+    val caseGen = for {
+      nSnap <- Gen.chooseNum(0, 20)
+      snapKeys <- Gen.listOfN(nSnap, Gen.chooseNum(0L, 19L)).map(_.distinct)
+      snapVals <- Gen.listOfN(snapKeys.size, Gen.option(Gen.chooseNum(0.0, 9.0)))
+      nCh <- Gen.chooseNum(0, 40)
+      chKeys <- Gen.listOfN(nCh, Gen.chooseNum(0L, 29L))
+      chOps <- Gen.listOfN(nCh, Gen.oneOf("upsert", "delete"))
+      chTs <- Gen.listOfN(nCh, Gen.chooseNum(0L, 5L))
+      chVals <- Gen.listOfN(nCh, Gen.chooseNum(10.0, 99.0))
+    } yield (snapKeys.zip(snapVals),
+      chKeys.lazyZip(chOps).lazyZip(chTs).lazyZip(chVals).toList.zipWithIndex
+        .map { case ((k, op, ts, v), seq) => (k, op, ts, seq.toLong, Option(v)) })
+    val cases = (0 until 10).flatMap(i =>
+      caseGen.apply(Gen.Parameters.default, Seed(11L + i)))
+    for ((snap, ch) <- cases) {
+      val snapDf = snap.map { case (k, v) => (k, v, s"t$k") }.toDF("k", "v", "tag0")
+      val chDf = ch.toDF("k", "op", "ts", "seq", "v")
+      val got = Merge.applyChangelog(snapDf, chDf, "k", "op", Seq("ts", "seq"), Seq("v"))
+        .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getString(2)))
+        .sortBy(_._1).toSeq
+      // reference model: latest change per key by (ts, seq), applied
+      val latest = ch.groupBy(_._1).view.mapValues(_.maxBy(c => (c._3, c._4))).toMap
+      val snapMap = snap.toMap
+      val keys = (snapMap.keySet ++ latest.keySet).toSeq.sorted
+      val expect = keys.flatMap { k =>
+        latest.get(k) match {
+          case Some((_, "delete", _, _, _)) => None
+          case Some((_, _, _, _, v)) =>
+            Some((k, v.map(_.asInstanceOf[Any]),
+              snapMap.get(k).map(_ => s"t$k").orNull))
+          case None => snapMap.get(k).map(v =>
+            (k, v.map(_.asInstanceOf[Any]), s"t$k"))
+        }
+      }
+      got shouldBe expect
+    }
+  }
+
   test("scd2: versions ordered per key, half-open intervals chain, current is open") {
     val ch = Seq((1L, 100L, 1L, "v1"), (1L, 200L, 2L, "v2"), (1L, 200L, 3L, "v2b"),
                  (2L, 150L, 4L, "w1"))
