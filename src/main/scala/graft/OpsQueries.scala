@@ -152,6 +152,20 @@ object OpsQueries {
     }),
 
     // ---- similarity search over embeddings -----------------------------
+    "s4_vector_norms" -> ((s, dir) => {
+      // elementwise vector math via codegen'd higher-order functions
+      // (transform/aggregate/array_max) — zero shuffle, pure projection;
+      // the float->double cast happens BEFORE any arithmetic so both
+      // engines square/sum identical doubles in identical list order.
+      val v = transform(col("embedding"), x => x.cast("double"))
+      val sq = aggregate(transform(v, x => x * x), lit(0.0d), (acc, x) => acc + x)
+      table(s, dir, "embeddings")
+        .select(col("vec_id"), size(col("embedding")).cast("long").as("dim"),
+          round(sqrt(sq) + lit(5e-10), 6).as("l2"),
+          round(array_max(transform(v, x => abs(x))) + lit(5e-10), 6).as("max_abs"),
+          round(element_at(v, 1) / sqrt(sq) + lit(5e-10), 6).as("unit_first"))
+        .orderBy("vec_id")
+    }),
     "s1_cosine_topk" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 3)
@@ -850,6 +864,16 @@ object OpsQueries {
         "FROM cb JOIN qb USING (bucket)) WHERE rn <= 10 " +
         "ORDER BY query_id, cosine DESC, id")
     },
+    // list_aggregate('sum') folds in list order, same as Spark's
+    // aggregate() — identical doubles, identical order, identical sum
+    "s4_vector_norms" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "s AS (SELECT vec_id, v, list_aggregate(list_transform(v, x -> x * x), 'sum') AS sq FROM e) " +
+        "SELECT vec_id, len(v)::BIGINT AS dim, " +
+        "ROUND(sqrt(sq) + 5e-10, 6) AS l2, " +
+        "ROUND(list_max(list_transform(v, x -> abs(x))) + 5e-10, 6) AS max_abs, " +
+        "ROUND(v[1] / sqrt(sq) + 5e-10, 6) AS unit_first " +
+        "FROM s ORDER BY vec_id"),
     "s1_cosine_topk" ->
       ("WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3) " +
         "SELECT query_id, id, cosine FROM (" +
