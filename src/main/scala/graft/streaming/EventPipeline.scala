@@ -35,6 +35,25 @@ object EventPipeline {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-static dimension enrichment: join the event stream against a
+    * small static dim table on `event_type` and aggregate the dim's
+    * weight per watermarked tumbling window. The static side is
+    * broadcast-hinted — in a stream-static join the dim is re-resolved
+    * per micro-batch with NO stream-side state, so this is the bounded
+    * way to attach reference data at any stream rate (a stream-stream
+    * join here would hold needless state for a table that never moves).
+    * Works identically on a batch frame (same code path, no watermark
+    * semantics engaged). */
+  def enrichedWindowedWeight(events: DataFrame, dim: DataFrame,
+                             windowLength: String = "1 hour",
+                             lateness: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .join(broadcast(dim), Seq("event_type"))
+      .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("weight")).as("sum_weight"))
+      .select(col("w.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_weight"))
+
   /** File-source streaming read of a testdata scale-factor directory's
     * events table (streaming sources read directories, so the single
     * events.parquet file is selected with a glob filter). Handles the

@@ -71,6 +71,37 @@ class EventPipelineSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("stream-static dim join: enriched windowed weights match the batch run") {
+    implicit val sql = spark.sqlContext
+    val dim = Seq(("click", 2.0), ("view", 10.0)).toDF("event_type", "weight")
+    val input = MemoryStream[Event]
+    val q = EventPipeline.enrichedWindowedWeight(input.toDF(), dim, "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("enr").outputMode("append").start()
+    try {
+      input.addData(Event(1L, ts("10:05"), 1L, "click", 1.0),
+        Event(2L, ts("10:40"), 1L, "click", 2.0),
+        Event(3L, ts("10:20"), 2L, "view", 5.0))
+      q.processAllAvailable()
+      input.addData(Event(4L, ts("12:01"), 1L, "view", 1.0))
+      q.processAllAvailable() // watermark 11:31 -> the 10:00 window finalizes
+      val got = spark.table("enr").collect()
+        .map(x => (x.getAs[Timestamp]("w_start").toString, x.getAs[String]("event_type"),
+          x.getAs[Long]("n"), x.getAs[Double]("sum_weight"))).toSet
+      got should contain ("2024-01-01 10:00:00.0", "click", 2L, 4.0)
+      got should contain ("2024-01-01 10:00:00.0", "view", 1L, 10.0)
+      // batch parity: the same code path over a batch frame, no watermark
+      val batch = EventPipeline.enrichedWindowedWeight(
+          Seq(Event(1L, ts("10:05"), 1L, "click", 1.0),
+            Event(2L, ts("10:40"), 1L, "click", 2.0),
+            Event(3L, ts("10:20"), 2L, "view", 5.0),
+            Event(4L, ts("12:01"), 1L, "view", 1.0)).toDF(), dim)
+        .collect()
+        .map(x => (x.getAs[Timestamp]("w_start").toString, x.getAs[String]("event_type"),
+          x.getAs[Long]("n"), x.getAs[Double]("sum_weight"))).toSet
+      got.subsetOf(batch) shouldBe true
+    } finally q.stop()
+  }
+
   test("intervalJoin: inclusive bounds, per-key scoping, batch/stream parity") {
     implicit val sql = spark.sqlContext
     def views(df: org.apache.spark.sql.DataFrame) = df
