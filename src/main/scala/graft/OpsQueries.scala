@@ -152,6 +152,20 @@ object OpsQueries {
     }),
 
     // ---- similarity search over embeddings -----------------------------
+    "s5_embedding_by_lang" -> ((s, dir) => {
+      // cross-modal profiling join: the narrow text-metadata projection
+      // (doc_id, lang) broadcasts into the embedding scan — the vector
+      // payload never shuffles; per-vector math happens before the
+      // 12-row group agg.
+      val d = table(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val v = transform(col("embedding"), x => x.cast("double"))
+      val e = table(s, dir, "embeddings").select(col("vec_id"), col("label"),
+        sqrt(aggregate(transform(v, x => x * x), lit(0.0d), (acc, x) => acc + x)).as("l2"))
+      e.join(broadcast(d), e("vec_id") === d("doc_id"))
+        .groupBy("lang", "label")
+        .agg(count(lit(1)).as("n"), round(avg(col("l2")) + lit(5e-10), 6).as("mean_l2"))
+        .orderBy("lang", "label")
+    }),
     "s4_vector_norms" -> ((s, dir) => {
       // elementwise vector math via codegen'd higher-order functions
       // (transform/aggregate/array_max) — zero shuffle, pure projection;
@@ -864,6 +878,13 @@ object OpsQueries {
         "FROM cb JOIN qb USING (bucket)) WHERE rn <= 10 " +
         "ORDER BY query_id, cosine DESC, id")
     },
+    "s5_embedding_by_lang" ->
+      ("WITH e AS (SELECT vec_id, label, " +
+        "sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x), 'sum')) AS l2 " +
+        "FROM embeddings) " +
+        "SELECT d.lang, e.label, count(*)::BIGINT AS n, ROUND(avg(e.l2) + 5e-10, 6) AS mean_l2 " +
+        "FROM e JOIN documents d ON e.vec_id = d.doc_id " +
+        "GROUP BY d.lang, e.label ORDER BY d.lang, e.label"),
     // list_aggregate('sum') folds in list order, same as Spark's
     // aggregate() — identical doubles, identical order, identical sum
     "s4_vector_norms" ->
