@@ -382,6 +382,16 @@ object OpsQueries {
         Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
       mix.groupBy("source").agg(count(lit(1)).as("n_kept")).orderBy("source")
     }),
+    "p6_epoch_shuffle" -> ((s, dir) => { // seeded-hash order -> rows-only
+      // deterministic epoch reshuffle: reproducible global permutation
+      // via ONE range sort on xxhash64(id, seed) — balanced boundaries
+      // by hash uniformity even on skewed ids. The query emits epoch 1's
+      // first 100 docs (smallest hash keys -> TakeOrderedAndProject, no
+      // full sort for the probe); SamplingSpec pins determinism,
+      // permutation equality, and cross-seed independence.
+      Sampling.epochShuffle(docs(s, dir).select(col("doc_id")), "doc_id", seed = 1L)
+        .limit(100)
+    }),
     "p3_sequence_pack" -> ((s, dir) => { // hash-spread greedy -> rows-only
       // fixed partitions: pack assignment must not depend on the
       // session's shuffle-partition setting

@@ -96,4 +96,19 @@ object Sampling {
     }
     stratifiedSample(df, sourceCol, idCol, rates, seed)
   }
+
+  /** Deterministic epoch shuffle: a seeded pseudo-random but REPRODUCIBLE
+    * global reordering — `orderBy(xxhash64(id, seed))`, i.e. one
+    * range-partitioned sort on an 8-byte key. Changing `seed` gives an
+    * independent permutation (a new epoch); re-running the same seed
+    * gives byte-identical order, which is what makes training runs
+    * resumable and data-order bugs reproducible. `rand()`-based
+    * shuffles lose exactly that under task retry.
+    *
+    * Scale shape: the sort key is a hash — uniformly distributed by
+    * construction — so the range exchange's sampled boundaries are
+    * balanced regardless of how skewed `idCol` itself is. Downstream
+    * writers inherit the permutation partition-by-partition. */
+  def epochShuffle(df: DataFrame, idCol: String, seed: Long = 42L): DataFrame =
+    df.orderBy(xxhash64(col(idCol), lit(seed)))
 }

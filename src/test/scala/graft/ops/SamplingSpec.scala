@@ -79,4 +79,17 @@ class SamplingSpec extends AnyFunSuite with Matchers {
       Sampling.weightedMixture(df, "source", "id",
         Map("s0" -> 0.5, "nope" -> 0.5))
   }
+
+  test("epochShuffle: reproducible permutation, seed-independent epochs") {
+    val df = (1L to 5000L).toDF("id")
+    val e1 = Sampling.epochShuffle(df, "id", seed = 1L).as[Long].collect()
+    val e1b = Sampling.epochShuffle(df, "id", seed = 1L).as[Long].collect()
+    val e2 = Sampling.epochShuffle(df, "id", seed = 2L).as[Long].collect()
+    e1 shouldBe e1b // same seed -> byte-identical order
+    e1.sorted shouldBe (1L to 5000L).toArray // a true permutation
+    e2.sorted shouldBe (1L to 5000L).toArray
+    e1 should not be e2 // a new seed is a new epoch
+    // not accidentally the identity order
+    e1 should not be (1L to 5000L).toArray
+  }
 }
