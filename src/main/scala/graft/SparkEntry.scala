@@ -222,12 +222,40 @@ object SparkEntry {
           table(s, dir, "lineitem").select("l_returnflag", "l_quantity"),
           Seq("l_returnflag"), graft.ops.Skew.countSumMinMax("l_quantity"))
         .orderBy("l_returnflag"))),
+    "w4_rank_family" -> ((s, dir) => {
+      // the full SQL-standard rank family over one per-key window:
+      // rank/dense_rank carry ties, percent_rank/cume_dist the relative
+      // positions, ntile(4) the quartile bucket — all share ONE sort
+      // within the single key exchange
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      table(s, dir, "orders").filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          round(percent_rank().over(w) + lit(5e-10), 6).as("prnk"),
+          round(cume_dist().over(w) + lit(5e-10), 6).as("cdist"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
     "u1_set_ops" -> ((s, dir) => {
       val o = table(s, dir, "orders")
       val hi = o.filter(col("o_totalprice") > 100000).select(col("o_custkey"))
       val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
       hi.intersect(urgent).withColumn("tag", lit("both"))
         .unionByName(hi.except(urgent).withColumn("tag", lit("hi_only")))
+        .orderBy("tag", "o_custkey")
+    }),
+    "u4_bag_set_ops" -> ((s, dir) => {
+      // BAG semantics (intersectAll/exceptAll keep multiplicities —
+      // min(l,r) and l-r copies respectively, vs u1's set semantics);
+      // the counted rollup makes the multiset deterministic output
+      val o = table(s, dir, "orders")
+      val hi = o.filter(col("o_totalprice") > 100000).select(col("o_custkey"))
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      hi.intersectAll(urgent).withColumn("tag", lit("both_all"))
+        .unionByName(hi.exceptAll(urgent).withColumn("tag", lit("hi_only_all")))
+        .groupBy("o_custkey", "tag").agg(count(lit(1)).as("n"))
         .orderBy("tag", "o_custkey")
     }),
   )
@@ -331,5 +359,22 @@ object SparkEntry {
         "SELECT o_custkey, 'both' AS tag FROM (SELECT * FROM hi INTERSECT SELECT * FROM urgent) " +
         "UNION ALL SELECT o_custkey, 'hi_only' AS tag FROM (SELECT * FROM hi EXCEPT SELECT * FROM urgent) " +
         "ORDER BY tag, o_custkey"),
+    "w4_rank_family" ->
+      ("SELECT o_custkey, o_orderkey, " +
+        "rank() OVER w AS rnk, dense_rank() OVER w AS drnk, " +
+        "ROUND(percent_rank() OVER w + 5e-10, 6) AS prnk, " +
+        "ROUND(cume_dist() OVER w + 5e-10, 6) AS cdist, " +
+        "ntile(4) OVER w AS quartile " +
+        "FROM orders WHERE o_custkey < 100 " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) " +
+        "ORDER BY o_custkey, o_orderkey"),
+    "u4_bag_set_ops" ->
+      ("WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 100000), " +
+        "urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') " +
+        "SELECT o_custkey, tag, count(*)::BIGINT AS n FROM (" +
+        "SELECT o_custkey, 'both_all' AS tag FROM (SELECT * FROM hi INTERSECT ALL SELECT * FROM urgent) " +
+        "UNION ALL " +
+        "SELECT o_custkey, 'hi_only_all' AS tag FROM (SELECT * FROM hi EXCEPT ALL SELECT * FROM urgent)) " +
+        "GROUP BY o_custkey, tag ORDER BY tag, o_custkey"),
   ) ++ OpsQueries.oracleSql
 }
