@@ -1,11 +1,16 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import scala.reflect.ClassTag
+import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** One (score, id) candidate for [[TopK]]; ordered by score DESC then id
   * ASC, so ties are deterministic. */
 final case class Scored(score: Double, id: Long)
+
+/** One (score, term) candidate for [[TopKTerms]]; ordered by score DESC
+  * then term ASC. */
+final case class ScoredTerm(score: Double, term: String)
 
 /** Bounded top-k per group as a typed `Aggregator` — the map-side-
   * combinable alternative to `row_number().over(partitionBy(key).orderBy
@@ -21,22 +26,23 @@ final case class Scored(score: Double, id: Long)
   * merge, associative and commutative, so any partial-aggregation shape
   * gives the same result.
   */
-class TopK(k: Int) extends Aggregator[Scored, Array[Scored], Array[Scored]] {
+abstract class BoundedTopK[T: ClassTag](k: Int) extends Aggregator[T, Array[T], Array[T]] {
   require(k >= 1, s"k must be >= 1, got $k")
 
-  private def lt(a: Scored, b: Scored): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  /** Strict "ranks ahead of": total order, ties impossible for distinct
+    * inputs (implementations tiebreak on the payload). */
+  protected def lt(a: T, b: T): Boolean
 
-  override def zero: Array[Scored] = Array.empty
+  override def zero: Array[T] = Array.empty
 
-  override def reduce(buf: Array[Scored], x: Scored): Array[Scored] = {
+  override def reduce(buf: Array[T], x: T): Array[T] = {
     if (buf.length == k && !lt(x, buf(k - 1))) buf
     else {
       // insertion position in the (already sorted) buffer
       var i = 0
       while (i < buf.length && lt(buf(i), x)) i += 1
       val n = math.min(buf.length + 1, k)
-      val out = new Array[Scored](n)
+      val out = new Array[T](n)
       System.arraycopy(buf, 0, out, 0, i)
       out(i) = x
       System.arraycopy(buf, i, out, i + 1, n - i - 1)
@@ -44,12 +50,12 @@ class TopK(k: Int) extends Aggregator[Scored, Array[Scored], Array[Scored]] {
     }
   }
 
-  override def merge(a: Array[Scored], b: Array[Scored]): Array[Scored] = {
+  override def merge(a: Array[T], b: Array[T]): Array[T] = {
     if (a.isEmpty) b
     else if (b.isEmpty) a
     else {
       val n = math.min(a.length + b.length, k)
-      val out = new Array[Scored](n)
+      val out = new Array[T](n)
       var (i, j, o) = (0, 0, 0)
       while (o < n) {
         out(o) =
@@ -61,10 +67,23 @@ class TopK(k: Int) extends Aggregator[Scored, Array[Scored], Array[Scored]] {
     }
   }
 
-  override def finish(r: Array[Scored]): Array[Scored] = r
+  override def finish(r: Array[T]): Array[T] = r
+}
 
+class TopK(k: Int) extends BoundedTopK[Scored](k) {
+  override protected def lt(a: Scored, b: Scored): Boolean =
+    a.score > b.score || (a.score == b.score && a.id < b.id)
   override def bufferEncoder: Encoder[Array[Scored]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Scored]]()
   override def outputEncoder: Encoder[Array[Scored]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Scored]]()
+}
+
+class TopKTerms(k: Int) extends BoundedTopK[ScoredTerm](k) {
+  override protected def lt(a: ScoredTerm, b: ScoredTerm): Boolean =
+    a.score > b.score || (a.score == b.score && a.term < b.term)
+  override def bufferEncoder: Encoder[Array[ScoredTerm]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[ScoredTerm]]()
+  override def outputEncoder: Encoder[Array[ScoredTerm]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[ScoredTerm]]()
 }

@@ -286,16 +286,20 @@ object TextAnalysis {
 
   private def tfidfTopTermsImpl(docs: DataFrame, idCol: String, textCol: String,
                                 nDf: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tf = docs.select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
       .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(dfreq), Seq("term")).crossJoin(broadcast(nDf))
       .withColumn("score", col("tf") * log(col("__n") / col("df")))
-    val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("term"))
-    scored.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= k)
-      .select(col(idCol), col("term"), col("score"))
+    // per-doc top-k via the bounded-buffer aggregator (score desc, term
+    // asc — the same order the row_number window formulation used): the
+    // shuffle carries <= k terms per (task, doc) instead of every scored
+    // term, and no per-doc sort ever runs
+    val tk = udaf(new graft.functions.TopKTerms(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.ScoredTerm])
+    scored.groupBy(idCol).agg(tk(col("score"), col("term")).as("__top"))
+      .select(col(idCol), explode(col("__top")).as("__t"))
+      .select(col(idCol), col("__t.term").as("term"), col("__t.score").as("score"))
   }
 
   // --- fingerprinting -------------------------------------------------
