@@ -392,6 +392,17 @@ object OpsQueries {
       Sampling.epochShuffle(docs(s, dir).select(col("doc_id")), "doc_id", seed = 1L)
         .limit(100)
     }),
+    "p7_mixture_upsample" -> ((s, dir) => { // hash Bernoulli -> rows-only
+      // upsampling mix: build a 2x-corpus training mix at 60/30/10 by
+      // REPEATING under-represented sources (full epochs + one
+      // deterministic partial epoch); per-(source, epoch) kept counts
+      // are the output, proportion/determinism contracts in SamplingSpec
+      val d = table(s, dir, "documents").select("doc_id", "source")
+      val mix = Sampling.weightedMixtureRepeat(d, "source", "doc_id",
+        Map("src0" -> 0.6, "src1" -> 0.3, "src2" -> 0.1), totalOut = 2L * d.count())
+      mix.groupBy("source", "epoch").agg(count(lit(1)).as("n_kept"))
+        .orderBy("source", "epoch")
+    }),
     "p3_sequence_pack" -> ((s, dir) => { // hash-spread greedy -> rows-only
       // fixed partitions: pack assignment must not depend on the
       // session's shuffle-partition setting

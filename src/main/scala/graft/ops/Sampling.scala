@@ -97,6 +97,45 @@ object Sampling {
     stratifiedSample(df, sourceCol, idCol, rates, seed)
   }
 
+  /** Training-mix construction that may UPSAMPLE: meet target proportions
+    * `weights` at a requested output size `totalOut` by REPEATING
+    * under-represented sources. Source s with rate
+    * `r = weights(s) * totalOut / count_s` contributes `floor(r)` full
+    * copies of every row (`epoch` 0..floor(r)-1) plus a deterministic
+    * hash-Bernoulli `frac(r)` slice as the final partial epoch — the
+    * standard "repeat small high-quality sources for N epochs" mix
+    * (complement of [[weightedMixture]], which only downsamples).
+    *
+    * Scale shape: one aggregate-sized count per source (tiny collect),
+    * then a compiled `explode(sequence(0, floor(r)))` + hash filter —
+    * rows fan out at most ceil(max rate) times and never shuffle.
+    * Deterministic in (idCol, seed): re-runs give identical mixes, and
+    * every partial-epoch row is a row the previous full epochs also
+    * emitted. Output carries an `epoch` column (0-based copy index). */
+  def weightedMixtureRepeat(df: DataFrame, sourceCol: String, idCol: String,
+                            weights: Map[String, Double], totalOut: Long,
+                            seed: Long = 42L): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.values.forall(_ > 0), "weights must be positive")
+    require(totalOut > 0, s"totalOut must be positive, got $totalOut")
+    val wSum = weights.values.sum
+    require(math.abs(wSum - 1.0) < 1e-6, s"weights must sum to 1, got $wSum")
+    val counts = df.filter(col(sourceCol).isin(weights.keys.toSeq: _*))
+      .groupBy(sourceCol).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = weights.keySet.diff(counts.keySet)
+    require(missing.isEmpty,
+      s"weighted sources absent from the data: ${missing.mkString(", ")}")
+    val rates = weights.map { case (s, w) => s -> w * totalOut / counts(s) }
+    val rate = coalesce(typedLit(rates).apply(col(sourceCol)), lit(0.0))
+    val fullEpochs = floor(rate)
+    // uniform-in-[0,1) hash of (id, seed): the SAME slice every run
+    val u = pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L)).cast("double") / 1e6
+    df.withColumn("epoch", explode(sequence(lit(0L), fullEpochs.cast("long"))))
+      .filter(col("epoch") < fullEpochs ||
+        (col("epoch") === fullEpochs && u < rate - fullEpochs))
+  }
+
   /** Deterministic epoch shuffle: a seeded pseudo-random but REPRODUCIBLE
     * global reordering — `orderBy(xxhash64(id, seed))`, i.e. one
     * range-partitioned sort on an 8-byte key. Changing `seed` gives an

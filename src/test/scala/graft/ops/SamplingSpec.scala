@@ -92,4 +92,33 @@ class SamplingSpec extends AnyFunSuite with Matchers {
     // not accidentally the identity order
     e1 should not be (1L to 5000L).toArray
   }
+
+  test("weightedMixtureRepeat: full epochs exact, proportions met, deterministic") {
+    // src a: 100 rows, b: 300, c: 100; weights 0.6/0.3/0.1, totalOut 1000
+    // -> rates a=6.0, b=1.0, c=1.0: a repeats 6 full epochs, b/c pass whole
+    val df = ((1L to 100L).map(i => (i, "a")) ++ (101L to 400L).map(i => (i, "b")) ++
+      (401L to 500L).map(i => (i, "c"))).toDF("id", "src")
+    val m = Sampling.weightedMixtureRepeat(df, "src", "id",
+      Map("a" -> 0.6, "b" -> 0.3, "c" -> 0.1), totalOut = 1000L)
+    val bySrc = m.groupBy("src").count().as[(String, Long)].collect().toMap
+    bySrc("a") shouldBe 600L // exact: integer rate -> 6 full epochs
+    bySrc("b") shouldBe 300L
+    bySrc("c") shouldBe 100L
+    // fractional rate: a=3.5 -> every id 3 times + ~50% a 4th time
+    val m2 = Sampling.weightedMixtureRepeat(df, "src", "id",
+      Map("a" -> 0.35, "b" -> 0.55, "c" -> 0.1), totalOut = 1000L)
+    val aCounts = m2.filter($"src" === "a").groupBy("id").count()
+      .as[(Long, Long)].collect().toMap
+    all(aCounts.values) should (be >= 3L and be <= 4L)
+    aCounts.values.sum.toDouble shouldBe 350.0 +- 40.0
+    // determinism: same seed -> identical multiset
+    val m2b = Sampling.weightedMixtureRepeat(df, "src", "id",
+      Map("a" -> 0.35, "b" -> 0.55, "c" -> 0.1), totalOut = 1000L)
+    m2b.groupBy("id").count().as[(Long, Long)].collect().toMap shouldBe
+      m2.groupBy("id").count().as[(Long, Long)].collect().toMap
+    // sources outside the weight map are dropped
+    val m3 = Sampling.weightedMixtureRepeat(df, "src", "id",
+      Map("a" -> 1.0), totalOut = 100L)
+    m3.select("src").distinct().as[String].collect() shouldBe Array("a")
+  }
 }
