@@ -27,13 +27,25 @@ object BloomJoin {
 
   /** Distributed bloom build over `dim(keyCol)`: returns the serialized
     * bitmap (null when `dim` has no non-null keys). Bits sized from the
-    * standard `m = -n ln(fpp) / ln(2)^2` bound. */
+    * standard `m = -n ln(fpp) / ln(2)^2` bound.
+    *
+    * `BloomFilterAggregate` silently clamps its sizing to the session confs
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (default 4M) and
+    * `.maxNumBits` (default 64M bits = 8 MB) — above ~7M keys at fpp=0.01
+    * the requested false-positive rate would quietly degrade. This builder
+    * raises both confs to at least the requested sizing first, so the fpp
+    * the caller asked for is the fpp the bitmap delivers. */
   def buildBloom(dim: DataFrame, keyCol: String,
                  expectedKeys: Long, fpp: Double = 0.01): Array[Byte] = {
     require(expectedKeys > 0, "expectedKeys must be positive")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
     val numBits = math.max(64L,
       (-expectedKeys * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val conf = dim.sparkSession.conf
+    def raiseTo(key: String, needed: Long): Unit =
+      if (conf.get(key).toLong < needed) conf.set(key, needed)
+    raiseTo("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", expectedKeys)
+    raiseTo("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits)
     val agg = new BloomFilterAggregate(
       ColumnBridge.expression(xxhash64(col(keyCol))),
       Literal(expectedKeys), Literal(numBits))

@@ -51,9 +51,13 @@ object Merge {
         struct(orderCols.map(col): _*)).as("__c"))
     // __s marks snapshot membership: value columns can legitimately be
     // null on existing rows, so row existence needs its own witness
+    // coalesce(…, true): a null op is an upsert ("everything else is an
+    // upsert" includes null) — without it `!isDelete(null)` is NULL and the
+    // filter would silently DELETE any key whose winning change has no op
     val joined = snapshot.withColumn("__s", lit(true))
       .join(latest, Seq(keyCol), "full_outer")
-      .filter(col("__c").isNull || !isDelete(col("__c").getField(opCol)))
+      .filter(col("__c").isNull ||
+        coalesce(!isDelete(col("__c").getField(opCol)), lit(true)))
     val changed = col("__c").isNotNull
     val out = snapshot.columns.map { c =>
       if (c == keyCol) col(keyCol)

@@ -114,21 +114,45 @@ object Skew {
                     saltFactor: Int = 32, maxHotKeys: Int = 64, seed: Long = 42L,
                     saltCol: Option[String] = None): DataFrame = {
     require(maxHotKeys >= 1, "maxHotKeys must be >= 1")
+    // The hot path unions the salted and cold join branches by name; with
+    // identical key names that union fails while the skew-free path would
+    // succeed — reject the shape up front so behavior never depends on
+    // data-dependent skew detection.
+    require(factKey != dimKey,
+      s"hotSaltedJoin: fact and dim key columns must have distinct names (both are '$factKey') — alias one side first")
+    // Detection pass: Misra-Gries over a canonical string form of the key
+    // (the sketch needs one hashable representation; this cast exists only
+    // here, in one narrow pre-aggregated scan — NOT in the branch filters).
     val mg = org.apache.spark.sql.functions.udaf(
       new graft.functions.MisraGries(maxHotKeys), org.apache.spark.sql.Encoders.STRING)
-    val hotKeys: Seq[String] = fact
+    val hotKeyStrs: Seq[String] = fact
       .select(col(factKey).cast("string").as("__k")).filter(col("__k").isNotNull)
       .agg(mg(col("__k")).as("sk"))
       .select(explode(map_keys(col("sk"))).as("k"))
       .collect().map(_.getString(0)).toSeq
     lazy val plain = fact.join(dim, fact(factKey) === dim(dimKey))
-    if (hotKeys.isEmpty) plain
+    if (hotKeyStrs.isEmpty) plain
     else {
-      // null fact keys: isHot is null, so both branch filters drop them —
-      // the same rows the inner join would drop
-      val hotFact = fact.filter(col(factKey).cast("string").isin(hotKeys: _*))
-      val coldFact = fact.filter(!col(factKey).cast("string").isin(hotKeys: _*))
-      val hotDim = dim.filter(col(dimKey).cast("string").isin(hotKeys: _*))
+      // Branch predicates compare in the fact key's NATIVE type: each hot
+      // key string becomes a `lit(s).cast(factType)` literal that Catalyst
+      // constant-folds, so the per-row work is native equality against
+      // <= maxHotKeys constants — no per-row cast. Correctness does not
+      // depend on the string round-trip: hotFact and coldFact partition the
+      // fact by the SAME predicate, and hotDim keeps every dim row equal to
+      // a hot literal under the join's own binary-comparison coercion (the
+      // r6 string-vs-string compare missed hot dim rows when the two sides
+      // had different numeric types, e.g. long "7" vs decimal "7.00").
+      val factType = fact.schema(factKey).dataType
+      val typedHotKeys: Seq[Column] = hotKeyStrs.map(s => lit(s).cast(factType))
+      // coalesce(…, false) makes each predicate total: a null fact key (or a
+      // hot literal that failed the cast) evaluates false everywhere, so the
+      // row goes to the cold branch where the inner join drops/keeps it
+      // exactly as the plain join would — hot + cold is always a partition.
+      def isHot(key: Column): Column =
+        typedHotKeys.map(k => coalesce(key === k, lit(false))).reduce(_ || _)
+      val hotFact = fact.filter(isHot(col(factKey)))
+      val coldFact = fact.filter(!isHot(col(factKey)))
+      val hotDim = dim.filter(isHot(col(dimKey)))
       saltedJoin(hotFact, hotDim, factKey, dimKey, saltFactor, seed, saltCol)
         .unionByName(coldFact.join(dim, coldFact(factKey) === dim(dimKey)))
     }

@@ -72,6 +72,15 @@ class BloomJoinSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("buildBloom lifts the session bloom caps so large expectedKeys keeps its fpp") {
+    // 10M keys at fpp=0.01 needs ~95.8M bits ≈ 12 MB — above the default
+    // maxNumBits cap (64M bits = 8 MB) that BloomFilterAggregate silently
+    // clamps to; the serialized size proves the cap was actually lifted
+    val bloom = BloomJoin.buildBloom(dim, "dk", expectedKeys = 10_000_000L, fpp = 0.01)
+    bloom.length.toLong should be > (67108864L / 8) // bigger than the default cap allows
+    spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong should be >= 10_000_000L
+  }
+
   test("string keys work (xxhash64 probe is type-agnostic)") {
     val f = (1 to 1000).map(i => s"doc$i").toDF("fk")
     val d = Seq("doc7", "doc77", "doc777", "nope").toDF("dk")

@@ -44,6 +44,24 @@ class MergeSpec extends AnyFunSuite with Matchers {
     out shouldBe Array((4L, Some(44.0), "d", "updated"))
   }
 
+  test("applyChangelog treats a null op as an upsert, never a silent delete") {
+    // r6 bug: !isDelete(null) is NULL, so the filter dropped the row and a
+    // null-op change silently deleted its key
+    val ch = Seq((2L, Option.empty[String], 5L, 1L, Option(22.0)),
+                 (7L, Option.empty[String], 5L, 2L, Option(70.0)))
+      .toDF("k", "op", "ts", "seq", "v")
+    val out = Merge.applyChangelog(snapshot, ch, "k", "op", Seq("ts", "seq"), Seq("v"),
+        tagCol = Some("src"))
+      .orderBy("k")
+      .as[(Long, Option[Double], String, String)].collect()
+    out shouldBe Array(
+      (1L, Some(10.0), "a", "kept"),
+      (2L, Some(22.0), "b", "updated"),  // null op upserts the existing key
+      (3L, Some(30.0), "c", "kept"),
+      (4L, None, "d", "kept"),
+      (7L, Some(70.0), null, "inserted")) // null op inserts the absent key
+  }
+
   test("applyChangelog without tagCol keeps the snapshot schema exactly") {
     val out = Merge.applyChangelog(snapshot, changes, "k", "op", Seq("ts", "seq"), Seq("v"))
     out.columns.toSeq shouldBe snapshot.columns.toSeq

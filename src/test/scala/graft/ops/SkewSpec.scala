@@ -130,6 +130,49 @@ class SkewSpec extends AnyFunSuite with Matchers {
     got.columns should not contain "__salt"
   }
 
+  test("hotSaltedJoin matches the plain join when key types differ (long fact vs decimal dim)") {
+    // r6 bug: hot-key matching compared cast("string") of both sides, so a
+    // long fact key "7" never matched a decimal(10,2) dim key "7.00" and
+    // every hot fact row silently lost its matches. Typed literals follow
+    // the join's own coercion, so the branches now agree with the plain join.
+    val fact = (1 to 4000).map { i =>
+      val k = if (i % 5 != 0) 7L else (i % 23).toLong
+      (k, i.toDouble)
+    }.toDF("fk", "v").repartition(8)
+    val dim = (0L to 23L).map(k => (k, s"name_$k")).toDF("dk", "name")
+      .withColumn("dk", col("dk").cast("decimal(10,2)"))
+    dim.select(col("dk").cast("string")).head().getString(0) should include (".")
+    val got = Skew.hotSaltedJoin(fact, dim, "fk", "dk", saltFactor = 8, maxHotKeys = 4)
+      .groupBy("name").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .orderBy("name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val plain = fact.join(dim, col("fk") === col("dk"))
+      .groupBy("name").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .orderBy("name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    got should not be empty
+    got shouldBe plain
+  }
+
+  test("hotSaltedJoin rejects identical key column names regardless of skew") {
+    // with equal names the hot path's unionByName would fail only when skew
+    // is detected — the operator now rejects the shape up front instead
+    val fact = (1L to 100L).map(i => (i % 3, i.toDouble)).toDF("k", "v")
+    val dim = (0L to 2L).map(k => (k, s"d$k")).toDF("k", "name")
+    val e = intercept[IllegalArgumentException] {
+      Skew.hotSaltedJoin(fact, dim, "k", "k")
+    }
+    e.getMessage should include ("distinct names")
+  }
+
+  test("hotSaltedJoin null fact keys are dropped exactly like the inner join") {
+    val fact = Seq[(java.lang.Long, Double)]((7L, 1.0), (7L, 2.0), (7L, 3.0),
+      (1L, 4.0), (null, 5.0), (null, 6.0)).toDF("fk", "v")
+    val dim = (0L to 9L).map(k => (k, s"d$k")).toDF("dk", "name")
+    val got = Skew.hotSaltedJoin(fact, dim, "fk", "dk", saltFactor = 4, maxHotKeys = 2)
+    got.count() shouldBe 4L // the two null-key rows are gone, as in a plain inner join
+  }
+
   test("MapType columns need an explicit saltCol (xxhash64 cannot hash maps)") {
     val df = Seq((1L, "k", 2.0, Map("a" -> 1))).toDF("id", "key", "value", "props")
     val e = intercept[IllegalArgumentException] {
