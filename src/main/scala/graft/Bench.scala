@@ -110,7 +110,17 @@ object Bench {
       val r10 = timedPass(sf10Dir, "bench-sf10")
       s""","sf10_total":${r10.map(_._2).sum},"sf10_queries":${toJson(r10)},"sf10_dir":"$sf10Dir""""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"sf":"$sfDir"$sf1$sf10}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"sf":"$sfDir"$sf1$sf10}"""
+    println(json)
+    // The driver archives only the tail of stdout (BENCH_r5/r6 both ended
+    // up with "parsed": null and the per-query maps truncated away), so
+    // also persist the full JSON to a file — the durable record for
+    // round-over-round per-query comparison.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     spark.stop()
   }
 }

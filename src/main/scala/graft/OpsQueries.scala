@@ -396,10 +396,12 @@ object OpsQueries {
       // upsampling mix: build a 2x-corpus training mix at 60/30/10 by
       // REPEATING under-represented sources (full epochs + one
       // deterministic partial epoch); per-(source, epoch) kept counts
-      // are the output, proportion/determinism contracts in SamplingSpec
+      // are the output, proportion/determinism contracts in SamplingSpec.
+      // totalOut derives from the multiplier inside the operator — no
+      // extra full-scan d.count() action during query construction
       val d = table(s, dir, "documents").select("doc_id", "source")
-      val mix = Sampling.weightedMixtureRepeat(d, "source", "doc_id",
-        Map("src0" -> 0.6, "src1" -> 0.3, "src2" -> 0.1), totalOut = 2L * d.count())
+      val mix = Sampling.weightedMixtureUpsample(d, "source", "doc_id",
+        Map("src0" -> 0.6, "src1" -> 0.3, "src2" -> 0.1), totalOutMultiplier = 2.0)
       mix.groupBy("source", "epoch").agg(count(lit(1)).as("n_kept"))
         .orderBy("source", "epoch")
     }),

@@ -115,9 +115,32 @@ object Sampling {
   def weightedMixtureRepeat(df: DataFrame, sourceCol: String, idCol: String,
                             weights: Map[String, Double], totalOut: Long,
                             seed: Long = 42L): DataFrame = {
+    require(totalOut > 0, s"totalOut must be positive, got $totalOut")
+    mixtureRepeatImpl(df, sourceCol, idCol, weights, _ => totalOut, seed)
+  }
+
+  /** [[weightedMixtureRepeat]] with the output size derived INSIDE the
+    * operator: `totalOut = totalOutMultiplier * (rows of the weighted
+    * sources)`, read off the same per-source count aggregate the rates
+    * need anyway. Use this instead of `totalOut = k * df.count()` at the
+    * call site — that spends an extra full-scan driver action during
+    * query construction; this variant's only action is the one
+    * aggregate-sized counts collect every mixture derivation requires. */
+  def weightedMixtureUpsample(df: DataFrame, sourceCol: String, idCol: String,
+                              weights: Map[String, Double], totalOutMultiplier: Double,
+                              seed: Long = 42L): DataFrame = {
+    require(totalOutMultiplier > 0,
+      s"totalOutMultiplier must be positive, got $totalOutMultiplier")
+    mixtureRepeatImpl(df, sourceCol, idCol, weights,
+      counts => math.max(1L, math.round(totalOutMultiplier * counts.values.sum)), seed)
+  }
+
+  private def mixtureRepeatImpl(df: DataFrame, sourceCol: String, idCol: String,
+                                weights: Map[String, Double],
+                                deriveTotal: Map[String, Long] => Long,
+                                seed: Long): DataFrame = {
     require(weights.nonEmpty, "weights must be non-empty")
     require(weights.values.forall(_ > 0), "weights must be positive")
-    require(totalOut > 0, s"totalOut must be positive, got $totalOut")
     val wSum = weights.values.sum
     require(math.abs(wSum - 1.0) < 1e-6, s"weights must sum to 1, got $wSum")
     val counts = df.filter(col(sourceCol).isin(weights.keys.toSeq: _*))
@@ -126,6 +149,7 @@ object Sampling {
     val missing = weights.keySet.diff(counts.keySet)
     require(missing.isEmpty,
       s"weighted sources absent from the data: ${missing.mkString(", ")}")
+    val totalOut = deriveTotal(counts)
     val rates = weights.map { case (s, w) => s -> w * totalOut / counts(s) }
     val rate = coalesce(typedLit(rates).apply(col(sourceCol)), lit(0.0))
     val fullEpochs = floor(rate)

@@ -121,4 +121,18 @@ class SamplingSpec extends AnyFunSuite with Matchers {
       Map("a" -> 1.0), totalOut = 100L)
     m3.select("src").distinct().as[String].collect() shouldBe Array("a")
   }
+
+  test("weightedMixtureUpsample(k) equals weightedMixtureRepeat(k * weighted rows)") {
+    // 500 weighted rows, multiplier 2.0 -> totalOut 1000: identical mix to
+    // the explicit-totalOut call, without the call-site driver count
+    val df = ((1L to 100L).map(i => (i, "a")) ++ (101L to 400L).map(i => (i, "b")) ++
+      (401L to 500L).map(i => (i, "c")) ++ (501L to 600L).map(i => (i, "zz_unweighted")))
+      .toDF("id", "src")
+    val w = Map("a" -> 0.6, "b" -> 0.3, "c" -> 0.1)
+    val viaMultiplier = Sampling.weightedMixtureUpsample(df, "src", "id", w, 2.0)
+      .groupBy("id", "epoch").count().as[(Long, Long, Long)].collect().toSet
+    val viaTotal = Sampling.weightedMixtureRepeat(df, "src", "id", w, totalOut = 1000L)
+      .groupBy("id", "epoch").count().as[(Long, Long, Long)].collect().toSet
+    viaMultiplier shouldBe viaTotal
+  }
 }
