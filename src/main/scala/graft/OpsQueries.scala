@@ -238,6 +238,9 @@ object OpsQueries {
       // header + 48 text bytes as BGR pixel rows; stride 12 needs no
       // padding), so the real pixel decode runs against testdata too —
       // image_stats carries the decoded per-channel means for those.
+      // Every 10th+7 doc becomes a REAL 4x4 8-bit RGB PNG of the same 48
+      // text bytes (deflate + CRC in-plan), driving the inflate+unfilter
+      // decode path against testdata as well.
       val hdr = lit(Multimodal.wavPcm16Header(dataBytes = 64))
       val bmpHdr = lit(Multimodal.bmp24Header(4, 4))
       val wrapped = Multimodal.asBinaryPayload(docs(s, dir), "text")
@@ -246,6 +249,8 @@ object OpsQueries {
             concat(hdr, substring(rpad(col("text"), 64, "x").cast("binary"), 1, 64)))
           .when(col("doc_id") % 10 === 5,
             concat(bmpHdr, substring(rpad(col("text"), 48, "x").cast("binary"), 1, 48)))
+          .when(col("doc_id") % 10 === 7,
+            Multimodal.pngRgb8Payload(col("payload"), 4, 4))
             .otherwise(col("payload")))
       Multimodal.withImageStats(
           Multimodal.withAudioStats(
@@ -257,6 +262,37 @@ object OpsQueries {
           round(element_at(col("features"), 1).cast("double"), 4).as("f1"),
           xxhash64(to_json(col("features"))).as("features_hash"),
           col("audio_stats.n_samples").as("audio_n_samples"),
+          round(col("audio_stats.rms"), 6).as("audio_rms"),
+          round(col("audio_stats.peak"), 6).as("audio_peak"),
+          col("image_stats.n_pixels").as("img_n_pixels"),
+          round(col("image_stats.mean_r"), 6).as("img_mean_r"),
+          round(col("image_stats.mean_g"), 6).as("img_mean_g"),
+          round(col("image_stats.mean_b"), 6).as("img_mean_b"))
+        .orderBy("doc_id")
+    }),
+    "m2b_decode_stats" -> ((s, dir) => {
+      // Hash-green slice of the real decoders: every planted payload's
+      // sample/pixel bytes are a KNOWN byte transform of the document text
+      // (WAV: 64 bytes as LE16 pairs; BMP: 48 bytes as BGR triples; PNG:
+      // 48 bytes as RGB triples through a real deflate round-trip), so the
+      // decoded statistics are SQL-derivable from the text and DuckDB can
+      // oracle them byte-for-byte — the decoders run for real, the oracle
+      // recomputes their math from the raw bytes.
+      val hdr = lit(Multimodal.wavPcm16Header(dataBytes = 64))
+      val bmpHdr = lit(Multimodal.bmp24Header(4, 4))
+      val wrapped = Multimodal.asBinaryPayload(docs(s, dir), "text")
+        .filter(col("doc_id") % 10 === 0 || col("doc_id") % 10 === 5 || col("doc_id") % 10 === 7)
+        .withColumn("payload",
+          when(col("doc_id") % 10 === 0,
+            concat(hdr, substring(rpad(col("text"), 64, "x").cast("binary"), 1, 64)))
+          .when(col("doc_id") % 10 === 5,
+            concat(bmpHdr, substring(rpad(col("text"), 48, "x").cast("binary"), 1, 48)))
+          .otherwise(Multimodal.pngRgb8Payload(col("payload"), 4, 4)))
+      Multimodal.withImageStats(
+          Multimodal.withAudioStats(wrapped, "payload"), "payload")
+        .select(col("doc_id"),
+          col("audio_stats.n_samples").as("audio_n_samples"),
+          round(col("audio_stats.mean"), 6).as("audio_mean"),
           round(col("audio_stats.rms"), 6).as("audio_rms"),
           round(col("audio_stats.peak"), 6).as("audio_peak"),
           col("image_stats.n_pixels").as("img_n_pixels"),
@@ -872,6 +908,35 @@ object OpsQueries {
         "AND substring(hex(encode(text)), 17, 8) = '57415645' THEN 'wav' " +
         "ELSE 'raw' END AS format, " +
         "octet_length(encode(text))::BIGINT AS n_bytes FROM documents ORDER BY doc_id"),
+    "m2b_decode_stats" ->
+      // Recomputes the planted-payload decode math from the raw text bytes:
+      // WAV samples are LE16 pairs of rpad(text,64) normalized to [-1,1);
+      // BMP pixels are BGR triples of rpad(text,48); PNG pixels are RGB
+      // triples of the same 48 bytes (the deflate round-trip is exact, so
+      // the byte stream the Spark decoder reconstructs IS this slice).
+      // Text is pure ASCII in the corpus, so unicode(char) == byte value.
+      ("WITH base AS (SELECT doc_id, rpad(text, 64, 'x') AS t64, rpad(text, 48, 'x') AS t48 " +
+        "FROM documents WHERE doc_id % 10 IN (0, 5, 7)), " +
+        "audio AS (SELECT doc_id, count(*)::BIGINT AS n, avg(s) AS mean, " +
+        "sqrt(avg(s*s)) AS rms, max(abs(s)) AS peak FROM (" +
+        "SELECT q.doc_id, (CASE WHEN v >= 32768 THEN v - 65536 ELSE v END) / 32768.0 AS s FROM (" +
+        "SELECT b.doc_id, unicode(substring(b.t64, (2*t.i+1)::INT, 1)) " +
+        "+ 256*unicode(substring(b.t64, (2*t.i+2)::INT, 1)) AS v " +
+        "FROM base b, range(32) t(i) WHERE b.doc_id % 10 = 0) q) GROUP BY doc_id), " +
+        "img AS (SELECT doc_id, count(*)::BIGINT AS n, avg(r) AS mr, avg(g) AS mg, avg(bl) AS mb FROM (" +
+        "SELECT b.doc_id, " +
+        "CASE WHEN b.doc_id % 10 = 5 THEN unicode(substring(b.t48, (3*t.i+3)::INT, 1)) " +
+        "ELSE unicode(substring(b.t48, (3*t.i+1)::INT, 1)) END AS r, " +
+        "unicode(substring(b.t48, (3*t.i+2)::INT, 1)) AS g, " +
+        "CASE WHEN b.doc_id % 10 = 5 THEN unicode(substring(b.t48, (3*t.i+1)::INT, 1)) " +
+        "ELSE unicode(substring(b.t48, (3*t.i+3)::INT, 1)) END AS bl " +
+        "FROM base b, range(16) t(i) WHERE b.doc_id % 10 IN (5, 7)) GROUP BY doc_id) " +
+        "SELECT b.doc_id, a.n AS audio_n_samples, round(a.mean, 6) AS audio_mean, " +
+        "round(a.rms, 6) AS audio_rms, round(a.peak, 6) AS audio_peak, " +
+        "i.n AS img_n_pixels, round(i.mr, 6) AS img_mean_r, " +
+        "round(i.mg, 6) AS img_mean_g, round(i.mb, 6) AS img_mean_b " +
+        "FROM base b LEFT JOIN audio a USING (doc_id) LEFT JOIN img i USING (doc_id) " +
+        "ORDER BY b.doc_id"),
     "m3_frame_sample" ->
       ("SELECT doc_id, ((greatest(octet_length(encode(text)) - 1, 0) // 64) + 1)::BIGINT AS n_frames " +
         "FROM documents ORDER BY doc_id"),

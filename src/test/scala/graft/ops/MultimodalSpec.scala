@@ -201,6 +201,71 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     out(1).isNullAt(1) shouldBe true
   }
 
+  test("decodePng8 round-trips known pixels through every scanline filter (0-4)") {
+    // 3x3 RGB with full-range values so Sub/Up/Average/Paeth deltas wrap
+    // through byte arithmetic; the decoder must reconstruct identical
+    // channel means for every filter choice
+    val pix = Array.tabulate(3 * 3 * 3)(i => ((i * 41 + 7) % 256).toByte)
+    val expR = (0 until 9).map(p => pix(p * 3) & 0xFF).sum / 9.0
+    val expG = (0 until 9).map(p => pix(p * 3 + 1) & 0xFF).sum / 9.0
+    val expB = (0 until 9).map(p => pix(p * 3 + 2) & 0xFF).sum / 9.0
+    for (ft <- 0 to 4) {
+      val png = Multimodal.encodePng8(3, 3, pix, channels = 3, filterType = ft)
+      withClue(s"filter $ft: ") {
+        Multimodal.decodePng8(png) shouldBe Some((9L, expR, expG, expB))
+      }
+    }
+  }
+
+  test("decodePng8 handles RGBA (alpha excluded from means)") {
+    val pix = Array.tabulate(2 * 2 * 4)(i => ((i * 37 + 3) % 256).toByte)
+    val expR = Seq(0, 4, 8, 12).map(p => pix(p) & 0xFF).sum / 4.0
+    val expG = Seq(1, 5, 9, 13).map(p => pix(p) & 0xFF).sum / 4.0
+    val expB = Seq(2, 6, 10, 14).map(p => pix(p) & 0xFF).sum / 4.0
+    for (ft <- 0 to 4) {
+      val png = Multimodal.encodePng8(2, 2, pix, channels = 4, filterType = ft)
+      Multimodal.decodePng8(png) shouldBe Some((4L, expR, expG, expB))
+    }
+  }
+
+  test("decodePng8 decodes complete rows of a truncated stream, rejects other flavors") {
+    // pseudo-random pixels resist deflate, so a mid-file cut really lands
+    // inside the compressed stream
+    val rnd = new scala.util.Random(7)
+    val pix = Array.fill(16 * 16 * 3)(rnd.nextInt(256).toByte)
+    val png = Multimodal.encodePng8(16, 16, pix)
+    // cut inside IDAT: prefix policy — whatever complete rows inflate
+    val cut = png.take(png.length / 2)
+    val partial = Multimodal.decodePng8(cut)
+    partial should not be None
+    partial.get._1 should be < 256L
+    partial.get._1 % 16 shouldBe 0L // whole scanlines only
+    Multimodal.decodePng8(null) shouldBe None
+    Multimodal.decodePng8("not a png, merely some text of sufficient length....".getBytes) shouldBe None
+    // grayscale (color type 0) -> documented stub
+    val gray = png.clone(); gray(25) = 0
+    Multimodal.decodePng8(gray) shouldBe None
+    // interlaced -> documented stub
+    val adam7 = png.clone(); adam7(28) = 1
+    Multimodal.decodePng8(adam7) shouldBe None
+    // 16-bit depth -> documented stub
+    val deep = png.clone(); deep(24) = 16
+    Multimodal.decodePng8(deep) shouldBe None
+  }
+
+  test("withImageStats decodes PNG payloads in-plan alongside BMP") {
+    val pix = Array.tabulate(2 * 2 * 3)(i => (10 * (i + 1)).toByte)
+    val df = Seq((1L, Multimodal.encodePng8(2, 2, pix)), (2L, bmp2x2))
+      .toDF("id", "payload")
+    val out = Multimodal.withImageStats(df, "payload")
+      .select("id", "image_stats").orderBy("id").collect()
+    val s1 = out(0).getAs[Row]("image_stats")
+    s1.getAs[Long]("n_pixels") shouldBe 4L
+    s1.getAs[Double]("mean_r") shouldBe Seq(10, 40, 70, 100).sum / 4.0
+    s1.getAs[Double]("mean_g") shouldBe Seq(20, 50, 80, 110).sum / 4.0
+    out(1).getAs[Row]("image_stats").getAs[Long]("n_pixels") shouldBe 4L
+  }
+
   test("sampleFrames explodes byte-range frames at the stride") {
     val out = Multimodal.sampleFrames(payloads.filter(col("id") === 3L), "payload", stride = 8)
     val frames = out.select("frame_offset", "frame_bytes").orderBy("frame_offset").collect()
