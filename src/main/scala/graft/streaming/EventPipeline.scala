@@ -144,7 +144,7 @@ object EventPipeline {
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
-  final case class FunnelState(vMs: Long, cMs: Long, pMs: Long)
+  final case class FunnelState(vMs: Long, cMs: Long, pMs: Long, lastMs: Long = 0L)
   final case class FunnelRow(user_id: Long, v_ms: Option[Long], c_ms: Option[Long],
                              p_ms: Option[Long], stage: Int)
 
@@ -157,33 +157,66 @@ object EventPipeline {
     * per-user aggregation. stage: 0 = no view, 1 = view, 2 = view->click
     * (first click strictly after first view), 3 = full funnel.
     *
-    * State is one 24-byte triple per user (NoTimeout — bounded by user
-    * cardinality, the same bound the batch groupBy carries); a deployment
-    * with unbounded churning users would attach an inactivity timeout
-    * and accept funnels re-opening from zero after eviction. */
-  def funnelStates(events: Dataset[Event]): Dataset[FunnelRow] = {
+    * State is one 32-byte quad per user. Default (`inactivityTtlMs` =
+    * None): NoTimeout — bounded by user cardinality, the same bound the
+    * batch groupBy carries. With `inactivityTtlMs = Some(ttl)` the
+    * operator becomes deployable on unbounded-churn streams: a watermark
+    * (`watermarkDelay` lateness) attaches to `ts`, and a user whose last
+    * activity is `ttl` behind the watermark is EVICTED — the timeout
+    * invocation emits the user's converged row one final time, drops the
+    * state, and a later event re-opens the funnel from zero (firsts
+    * re-derive from post-eviction events only — the documented trade).
+    * Event-time TTL, not processing-time, so replays of the same stream
+    * evict deterministically at the same points. */
+  def funnelStates(events: Dataset[Event],
+                   inactivityTtlMs: Option[Long] = None,
+                   watermarkDelay: String = "10 minutes"): Dataset[FunnelRow] = {
     import events.sparkSession.implicits._
-    events
+    val src = inactivityTtlMs.fold(events)(_ => events.withWatermark("ts", watermarkDelay))
+    val timeoutConf =
+      if (inactivityTtlMs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    def row(uid: Long, s: FunnelState): FunnelRow = {
+      def opt(v: Long): Option[Long] = if (v == Long.MaxValue) None else Some(v)
+      val converted = s.vMs != Long.MaxValue && s.cMs != Long.MaxValue && s.cMs > s.vMs
+      val full = converted && s.pMs != Long.MaxValue && s.pMs > s.cMs
+      val stage = if (s.vMs == Long.MaxValue) 0 else if (full) 3 else if (converted) 2 else 1
+      FunnelRow(uid, opt(s.vMs), opt(s.cMs), opt(s.pMs), stage)
+    }
+    src
       .groupByKey(_.user_id)
-      .mapGroupsWithState[FunnelState, FunnelRow](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[FunnelState, FunnelRow](timeoutConf) {
         (uid: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
-          var s = state.getOption.getOrElse(
-            FunnelState(Long.MaxValue, Long.MaxValue, Long.MaxValue))
-          rows.foreach { e =>
-            val t = e.ts.getTime
-            e.event_type match {
-              case "view"     => if (t < s.vMs) s = s.copy(vMs = t)
-              case "click"    => if (t < s.cMs) s = s.copy(cMs = t)
-              case "purchase" => if (t < s.pMs) s = s.copy(pMs = t)
-              case _          => ()
+          if (state.hasTimedOut) {
+            // eviction: the user's final word, then the state is gone; a
+            // later event re-opens this funnel from zero
+            val s = state.get
+            state.remove()
+            row(uid, s)
+          } else {
+            var s = state.getOption.getOrElse(
+              FunnelState(Long.MaxValue, Long.MaxValue, Long.MaxValue))
+            rows.foreach { e =>
+              val t = e.ts.getTime
+              e.event_type match {
+                case "view"     => if (t < s.vMs) s = s.copy(vMs = t)
+                case "click"    => if (t < s.cMs) s = s.copy(cMs = t)
+                case "purchase" => if (t < s.pMs) s = s.copy(pMs = t)
+                case _          => ()
+              }
+              if (t > s.lastMs) s = s.copy(lastMs = t)
             }
+            state.update(s)
+            inactivityTtlMs.foreach { ttl =>
+              // evict when the watermark passes last-activity + ttl; the
+              // timestamp must stay ahead of the current watermark (Spark
+              // rejects a timeout already in the past), which only matters
+              // when every event in the batch was extremely late
+              state.setTimeoutTimestamp(
+                math.max(s.lastMs + ttl, state.getCurrentWatermarkMs() + 1))
+            }
+            row(uid, s)
           }
-          state.update(s)
-          def opt(v: Long): Option[Long] = if (v == Long.MaxValue) None else Some(v)
-          val converted = s.vMs != Long.MaxValue && s.cMs != Long.MaxValue && s.cMs > s.vMs
-          val full = converted && s.pMs != Long.MaxValue && s.pMs > s.cMs
-          val stage = if (s.vMs == Long.MaxValue) 0 else if (full) 3 else if (converted) 2 else 1
-          FunnelRow(uid, opt(s.vMs), opt(s.cMs), opt(s.pMs), stage)
       }
   }
   final case class SessionState(start: Long, last: Long, n: Long, sumValue: Double)

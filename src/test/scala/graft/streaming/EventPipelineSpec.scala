@@ -306,4 +306,40 @@ class EventPipelineSpec extends AnyFunSuite with Matchers {
       }
     } finally q.stop()
   }
+
+  test("funnel inactivity TTL evicts idle users and re-opens their funnel from zero") {
+    implicit val sql = spark.sqlContext
+    import EventPipeline.FunnelRow
+    val input = MemoryStream[Event]
+    // ttl 30 min, watermark lateness 0 -> watermark = max event time seen;
+    // user 1 is evicted once the watermark passes their last activity + 30 min
+    val q = EventPipeline.funnelStates(input.toDS(),
+        inactivityTtlMs = Some(30 * 60 * 1000L), watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("funnel_ttl").outputMode("update").start()
+    try {
+      // batch 1: user 1 completes view -> click
+      input.addData(Event(1L, ts("10:00"), 1L, "view", 1.0),
+        Event(2L, ts("10:05"), 1L, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: unrelated user far ahead pushes the watermark past
+      // 10:05 + 30 min; the NEXT batch's timeout pass evicts user 1
+      input.addData(Event(3L, ts("11:00"), 2L, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(4L, ts("11:05"), 2L, "click", 1.0))
+      q.processAllAvailable()
+      // batch 3: user 1 returns with a purchase — if state survived, this
+      // would complete stage 3 (view 10:00 < click 10:05 < purchase 11:10);
+      // after eviction the funnel re-opens from zero instead: purchase
+      // only, no view -> stage 0
+      input.addData(Event(5L, ts("11:10"), 1L, "purchase", 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_ttl").as[FunnelRow].collect().zipWithIndex
+      val u1 = rows.filter(_._1.user_id == 1L).map(_._1)
+      // eviction emitted the converged stage-2 row one final time
+      u1.count(r => r.stage == 2 && r.c_ms.contains(ts("10:05").getTime)) should be >= 2
+      // the post-eviction row knows nothing of the pre-eviction events
+      val last = rows.filter(_._1.user_id == 1L).maxBy(_._2)._1
+      last shouldBe FunnelRow(1L, None, None, Some(ts("11:10").getTime), 0)
+    } finally q.stop()
+  }
 }
