@@ -21,6 +21,36 @@ import org.apache.spark.sql.functions._
   */
 object ScaleData {
 
+  /** Near-dup realism for replicated document text: replicas on the
+    * exact-twin stratum (`rep % 5 == 0` — rep 0 is the original, so a
+    * factor-10 build keeps one exact twin per doc) pass through
+    * unchanged; every other replica gets seeded token mutations — one
+    * forced position plus a hash-Bernoulli sprinkle at a per-replica
+    * rate drawn from 2-6% — appending `~rep` to the chosen tokens.
+    * Token replacement at rate r moves the 3-token-shingle Jaccard to
+    * roughly (1-3r)/(1+3r), so the planted (original, replica) pairs
+    * land in the ~0.7-0.94 band production near-dups occupy instead of
+    * the all-1.0 exact twins that made the LSH bench measure a
+    * quadratic twin artifact (r6 verdict: d3 was 23% of the sf10 suite
+    * on degenerate data). Deterministic in (docId, rep): rebuilds are
+    * byte-identical, and composing builds (sf1 -> sf10) just mutates
+    * mutated text again, still deterministically. */
+  private[graft] def mutatedText(text: org.apache.spark.sql.Column,
+                                 docId: org.apache.spark.sql.Column,
+                                 rep: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val toks = split(text, " ")
+    val n = size(toks)
+    // per-replica mutation rate: bucket 0-4 -> 0.02 .. 0.06
+    val rate = (pmod(xxhash64(docId, rep, lit(11L)), lit(5)) + 1).cast("double") / 100.0 + 0.01
+    // forced mutation position: a mutated replica NEVER equals its original
+    val forced = pmod(xxhash64(docId, rep, lit(23L)), greatest(n.cast("long"), lit(1L)))
+    val mut = transform(toks, (tok, i) =>
+      when(i.cast("long") === forced ||
+           pmod(xxhash64(docId, rep, i, lit(37L)), lit(1000)).cast("double") < rate * 1000,
+        concat(tok, lit("~"), rep.cast("string"))).otherwise(tok))
+    when(rep % 5 === 0 || n === 0, text).otherwise(concat_ws(" ", mut))
+  }
+
   private val keyCols: Seq[(String, Seq[String])] = Seq(
     "region"     -> Nil,
     "nation"     -> Nil,
@@ -53,7 +83,13 @@ object ScaleData {
         if (keys.isEmpty) df
         else df.crossJoin(spark.range(factor).select(col("id").as("__rep")))
           .select(df.columns.map { c =>
-            if (keys.contains(c)) (col(c) * factor + col("__rep")).as(c) else col(c)
+            if (keys.contains(c)) (col(c) * factor + col("__rep")).as(c)
+            // documents.text: mutate non-twin replicas into 0.7-0.9-Jaccard
+            // near-dups (seeded by the ORIGINAL doc_id + rep, so the
+            // mutation set is independent of the key shift)
+            else if (t == "documents" && c == "text")
+              mutatedText(col(c), col("doc_id"), col("__rep")).as(c)
+            else col(c)
           }.toSeq: _*)
       // Spread replicated tables across one file per core: the source
       // scale factors ship single-file tables, and a crossJoin of a
