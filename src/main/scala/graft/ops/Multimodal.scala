@@ -273,6 +273,10 @@ object Multimodal {
     if (idat.size == 0) return None
     val rowLen = 1L + w.toLong * bpp // filter byte + samples
     val cap = 64L << 20
+    // A forged IHDR width can make a single row exceed the cap (and the
+    // rowLen * wantRows Int math below overflow) — no real decode is
+    // possible inside the budget, so reject rather than allocate.
+    if (rowLen > cap) return None
     val wantRows = math.min(h.toLong, math.max(1L, cap / rowLen)).toInt
     val raw = new Array[Byte]((rowLen * wantRows).toInt)
     val inf = new java.util.zip.Inflater()
@@ -283,7 +287,11 @@ object Multimodal {
       while (got < raw.length && !inf.finished() && !stalled) {
         val n = inf.inflate(raw, got, raw.length - got)
         got += n
-        if (n == 0 && inf.needsInput()) stalled = true // truncated stream
+        // Any zero-progress call is a stall, not just input exhaustion: a
+        // forged zlib header with FDICT set reports needsDictionary() with
+        // needsInput() false, which would otherwise loop forever. Stop and
+        // keep whatever complete scanlines were recovered (prefix policy).
+        if (n == 0) stalled = true
       }
     } catch { case _: java.util.zip.DataFormatException => () } // prefix policy
     finally inf.end()
@@ -410,21 +418,110 @@ object Multimodal {
     enc(payload)
   }
 
+  /** REAL baseline-JPEG pixel decode via the JDK's stdlib codec
+    * (`javax.imageio` — public API, no added dependency): require the
+    * SOI magic, bound the decode by the SOF frame header (the same
+    * 64 MiB budget as [[decodePng8]], as 4 bytes/pixel of ARGB), then
+    * let ImageIO reconstruct the pixels and fold per-channel means.
+    * JPEG is lossy, so unlike WAV/BMP/PNG these stats are pinned by
+    * tolerance specs, not a byte-exact oracle. ImageIO has no partial
+    * output, so truncated or corrupt streams return None (no prefix
+    * policy possible). Returns None for anything ImageIO cannot decode
+    * (progressive arithmetic-coded JPEGs, CMYK flavors, non-JPEG
+    * bytes); MP3/video remain the documented stub. */
+  private[ops] def decodeJpeg(bytes: Array[Byte]): Option[(Long, Double, Double, Double)] = {
+    if (bytes == null || bytes.length < 4) return None
+    if ((bytes(0) & 0xFF) != 0xFF || (bytes(1) & 0xFF) != 0xD8) return None
+    // Header-level bomb gate BEFORE handing bytes to ImageIO: a forged
+    // SOF dimension pair would otherwise make ImageIO allocate the full
+    // raster. decodeStub's marker walk reads the frame header only.
+    val (fmt, w, h) = decodeStub(bytes)
+    if (fmt != "jpeg" || w <= 0 || h <= 0 || w.toLong * h > (64L << 20) / 4) return None
+    try {
+      val in = new java.io.ByteArrayInputStream(bytes)
+      val img = javax.imageio.ImageIO.read(in)
+      if (img == null) return None
+      val iw = img.getWidth; val ih = img.getHeight
+      if (iw <= 0 || ih <= 0) return None
+      var n = 0L; var sr = 0.0; var sg = 0.0; var sb = 0.0
+      val rowBuf = new Array[Int](iw)
+      var y = 0
+      while (y < ih) {
+        img.getRGB(0, y, iw, 1, rowBuf, 0, iw)
+        var x = 0
+        while (x < iw) {
+          val argb = rowBuf(x)
+          sr += (argb >> 16) & 0xFF; sg += (argb >> 8) & 0xFF; sb += argb & 0xFF
+          n += 1; x += 1
+        }
+        y += 1
+      }
+      if (n == 0) None else Some((n, sr / n, sg / n, sb / n))
+    } catch { case _: Exception => None } // corrupt/truncated stream: no stats
+  }
+
+  /** Encode raw RGB pixels as a baseline JPEG via `javax.imageio` —
+    * fixture/builder helper (specs pin [[decodeJpeg]]'s stats against the
+    * known input within a lossy-codec tolerance; in-plan planting uses it
+    * the way [[pngRgb8Payload]] uses [[encodePng8]]). `quality` in (0,1]. */
+  def encodeJpeg(w: Int, h: Int, rgb: Array[Byte], quality: Float = 0.92f): Array[Byte] = {
+    require(rgb.length == w * h * 3,
+      s"pixel buffer must be w*h*3 = ${w * h * 3} bytes, got ${rgb.length}")
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = (y * w + x) * 3
+        img.setRGB(x, y, ((rgb(base) & 0xFF) << 16) | ((rgb(base + 1) & 0xFF) << 8) | (rgb(base + 2) & 0xFF))
+        x += 1
+      }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally { ios.close(); writer.dispose() }
+    out.toByteArray
+  }
+
+  /** In-plan JPEG wrap: a Column encoding the first `w*h*3` bytes of a
+    * binary column (right-padded with 'x') as a REAL baseline JPEG via
+    * [[encodeJpeg]] — planting helper so the real ImageIO decode path
+    * runs against testdata payloads. Scalar UDF justified as in
+    * [[pngRgb8Payload]]: per-row codec byte work with no built-in
+    * equivalent. */
+  def jpegRgbPayload(payload: org.apache.spark.sql.Column, w: Int, h: Int): org.apache.spark.sql.Column = {
+    val n = w * h * 3
+    val enc = udf((b: Array[Byte]) => encodeJpeg(w, h,
+      (if (b == null) Array.emptyByteArray else b).take(n).padTo(n, 'x'.toByte)))
+    enc(payload)
+  }
+
   /** Partition-wise REAL image decode over a binary column: adds an
     * `image_stats` struct (n_pixels, per-channel means) for 24-bpp
-    * uncompressed BMP and non-interlaced 8-bit RGB/RGBA PNG payloads,
-    * null for every other format (whose pixel decode remains the
-    * documented stub). Same `mapPartitions` batch shape as
-    * [[withMediaMeta]]. */
+    * uncompressed BMP, non-interlaced 8-bit RGB/RGBA PNG, and baseline
+    * JPEG payloads, null for every other format (whose pixel decode
+    * remains the documented stub). Same `mapPartitions` batch shape as
+    * [[withMediaMeta]] — and the right shape for the ImageIO leg, whose
+    * codec lookup amortizes across a partition's rows. */
   def withImageStats(df: DataFrame, payloadCol: String): DataFrame = {
     val inSchema = df.schema
     val outSchema = inSchema.add(StructField("image_stats", imageStatsType))
     val payloadIdx = inSchema.fieldIndex(payloadCol)
     val enc = RowEncoder.encoderFor(outSchema)
     df.mapPartitions { rows =>
+      // Executor-local: never spill ImageIO scratch to disk-cache temp files
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](payloadIdx)
-        val stats = decodeBmp24(bytes).orElse(decodePng8(bytes))
+        val stats = decodeBmp24(bytes).orElse(decodePng8(bytes)).orElse(decodeJpeg(bytes))
           .map { case (n, mr, mg, mb) => Row(n, mr, mg, mb) }.orNull
         Row.fromSeq(r.toSeq :+ stats)
       }
