@@ -8,6 +8,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Steady-state measurement: one untimed pass first (JIT compilation,
@@ -85,8 +86,15 @@ object Bench {
       }
     def toJson(r: Seq[(String, Double)]): String =
       r.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // A total must sum only queries that RAN: -1.0 failure sentinels would
+    // otherwise silently subtract from it (round 8's recorded 37.1 s was
+    // really 46.1 s over the live queries — nine -1.0s hid 9 s). The
+    // failure count is emitted alongside so a "fast" total with failures
+    // can never read as a clean win.
+    def liveTotal(r: Seq[(String, Double)]): Double = r.map(_._2).filter(_ >= 0).sum
+    def nFailed(r: Seq[(String, Double)]): Int = r.count(_._2 < 0)
     val results = timedPass(sfDir, "bench")
-    val total = results.map(_._2).sum
+    val total = liveTotal(results)
     // 10x scale check: if the replicated sf1 dataset exists (built by
     // graft.ScaleData from sf0.1), run ONE timed pass over it too — the
     // JVM/codegen are already warm from the sf0.1 passes. Catches
@@ -96,7 +104,7 @@ object Bench {
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "benchdata/sf1")
     val sf1 = if (!new java.io.File(sf1Dir).isDirectory) "" else {
       val r1 = timedPass(sf1Dir, "bench-sf1")
-      s""","sf1_total":${r1.map(_._2).sum},"sf1_queries":${toJson(r1)},"sf1_dir":"$sf1Dir""""
+      s""","sf1_total":${liveTotal(r1)},"sf1_failed":${nFailed(r1)},"sf1_queries":${toJson(r1)},"sf1_dir":"$sf1Dir""""
     }
     // 100x scale check, same per-rep drain + median discipline as every
     // other pass (round 5 ran sf10 as a manual single timed pass, which
@@ -108,19 +116,20 @@ object Bench {
     val sf10 = if (sys.env.getOrElse("SPARK_GRAFT_SF10", "1") == "0"
         || !new java.io.File(sf10Dir).isDirectory) "" else {
       val r10 = timedPass(sf10Dir, "bench-sf10")
-      s""","sf10_total":${r10.map(_._2).sum},"sf10_queries":${toJson(r10)},"sf10_dir":"$sf10Dir""""
+      s""","sf10_total":${liveTotal(r10)},"sf10_failed":${nFailed(r10)},"sf10_queries":${toJson(r10)},"sf10_dir":"$sf10Dir""""
     }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"sf":"$sfDir"$sf1$sf10}"""
-    println(json)
-    // The driver archives only the tail of stdout (BENCH_r5/r6 both ended
-    // up with "parsed": null and the per-query maps truncated away), so
-    // also persist the full JSON to a file — the durable record for
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","failed":${nFailed(results)},"queries":${toJson(results)},"sf":"$sfDir"$sf1$sf10}"""
+    // Persist the full JSON to a file — the durable record for
     // round-over-round per-query comparison.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    // stop() BEFORE the JSON println: the driver machine-parses the LAST
+    // stdout line (BENCH_r07/r08 recorded "parsed": null), and Spark's
+    // shutdown can emit stray stdout after our print if it runs last.
     spark.stop()
+    println(json)
   }
 }

@@ -93,6 +93,7 @@ object Cli {
         .appName("graft-tableone")
         // spark-submit sets the master; standalone runs get local[*]
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
         .master(sys.props.getOrElse("spark.master", "local[*]"))
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")

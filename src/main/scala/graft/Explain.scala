@@ -19,6 +19,7 @@ object Explain {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // EXPLAIN_RUN=1: additionally EXECUTE each query and print the final

@@ -72,6 +72,7 @@ object ScaleData {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // events ships TIMESTAMP(NANOS); read as long, write as long —

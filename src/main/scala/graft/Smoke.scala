@@ -11,6 +11,7 @@ object Smoke {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType, TimestampNTZType, TimestampType}
 
 object Util {
   /** Round every DoubleType column to `scale` decimals. Applied to both
@@ -24,13 +24,27 @@ object Util {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The driver's `events` parquet carries TIMESTAMP(NANOS), which Spark 4
-    * rejects by default (PARQUET_TYPE_ILLEGAL). Read nanos as long and
-    * convert to a microsecond TimestampType — integer `div` (not `/`,
-    * which goes through double and loses precision above 2^53 ns). */
+  /** The `events` parquet's `ts` physical type has DRIFTED across testdata
+    * generations — TIMESTAMP(NANOS) first (Spark 4 rejects it by default,
+    * PARQUET_TYPE_ILLEGAL, so it surfaces as int64 nanos under
+    * `nanosAsLong`), then timestamp[us] (surfaces as TIMESTAMP_NTZ).
+    * Branch on the RESOLVED read schema so both generations — and a plain
+    * TimestampType, should the generator drift again — produce the same
+    * session-zone TimestampType column:
+    *   - LongType (nanos-as-long): integer `div` to micros (not `/`,
+    *     which goes through double and loses precision above 2^53 ns).
+    *   - TIMESTAMP_NTZ: cast to TimestampType. The wall-clock is
+    *     interpreted in the session zone; every session builder in this
+    *     repo pins UTC, and the DuckDB oracle reads the same naive
+    *     micros directly, so epoch values agree.
+    *   - TimestampType: already what downstream wants. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType           => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                  => raw
+    }
   }
 }

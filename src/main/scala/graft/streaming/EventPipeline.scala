@@ -56,17 +56,22 @@ object EventPipeline {
 
   /** File-source streaming read of a testdata scale-factor directory's
     * events table (streaming sources read directories, so the single
-    * events.parquet file is selected with a glob filter). Handles the
-    * driver testdata's TIMESTAMP(NANOS) the same way Util.events does:
-    * nanos read as long, converted to microsecond timestamps. */
+    * events.parquet file is selected with a glob filter). The read schema
+    * is resolved from the file — not hardcoded — and `ts` is normalized
+    * to session-zone TimestampType with the SAME drift-tolerant branch as
+    * Util.events: the testdata generator has shipped both TIMESTAMP(NANOS)
+    * (int64 under `nanosAsLong`) and timestamp[us] (TIMESTAMP_NTZ). */
   def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    schema("ts").dataType match {
+      case LongType           => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _                  => raw
+    }
   }
 
   /** Batch sessionization (gaps-and-islands): same session semantics as

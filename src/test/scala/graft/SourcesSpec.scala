@@ -71,6 +71,39 @@ class SourcesSpec extends AnyFunSuite with Matchers {
     back.collect().map(_.toSeq) shouldBe docs.collect().map(_.toSeq)
   }
 
+  // Testdata-drift guard: the driver regenerates /root/testdata between
+  // rounds and has ALREADY changed a physical type once (events.ts went
+  // TIMESTAMP(NANOS) -> timestamp[us], which silently killed 9 queries for
+  // a round — every reader resolved lazily, so nothing failed until each
+  // query ran). This opens EVERY table through the repo's own readers and
+  // forces both schema resolution and one row of real IO, so the next
+  // drift fails HERE, loudly, with the table's name.
+  test("testdata drift guard: every table opens, resolves, and reads through the repo readers") {
+    val dir = "/root/testdata/sf0.001"
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "documents", "embeddings")
+    tables.foreach { t =>
+      withClue(s"table $t: ") {
+        val df = Util.table(spark, dir, t)
+        df.schema.fields.length should be > 0
+        df.limit(1).count() shouldBe 1L
+      }
+    }
+    withClue("table events (via Util.events): ") {
+      val ev = Util.events(spark, dir)
+      // whatever the parquet's physical type, the reader must normalize
+      // ts to session-zone TimestampType — the contract every downstream
+      // window/watermark/interval-join operator assumes
+      ev.schema("ts").dataType shouldBe TimestampType
+      ev.limit(1).count() shouldBe 1L
+    }
+    withClue("events stream schema (via EventPipeline.readEventStream): ") {
+      val st = graft.streaming.EventPipeline.readEventStream(spark, dir)
+      st.isStreaming shouldBe true
+      st.schema("ts").dataType shouldBe TimestampType
+    }
+  }
+
   test("schema evolution: mergeSchema unions v1/v2 files, old rows null-fill") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_evo").toString
