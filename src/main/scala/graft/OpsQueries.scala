@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{BloomJoin, Dedup, Merge, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.ops.{BloomJoin, Clustering, Dedup, Merge, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.streaming.EventPipeline
 import graft.Util.table
 
@@ -392,6 +392,44 @@ object OpsQueries {
         .orderBy("lang_pred")
     }),
 
+    "c2_vector_quantize" -> ((s, dir) => {
+      // vector quantization against a FIXED deterministic codebook (the
+      // embeddings with vec_id < 8, in id order) — the k-means E-step /
+      // IVF coarse-assignment kernel, oracle-checked: DuckDB recomputes
+      // every assignment with list_cosine_similarity over the same
+      // double-cast vectors (both engines accumulate the dot/norms in
+      // index order, so the cosines — and therefore the argmax — agree
+      // bit-for-bit). The codebook collect is 8 rows; the corpus never
+      // shuffles (codebook rides inside one NearestCentroids expression,
+      // the 8-row centroid frame joins broadcast).
+      val e = table(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 8).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toSeq).toSeq
+      Clustering.quantize(e, "vec_id", "embedding", cents)
+        .groupBy(col("centroid_id").cast("long").as("centroid_id"))
+        .agg(count(lit(1)).as("n"), round(avg("cosine"), 6).as("mean_cos"))
+        .orderBy("centroid_id")
+    }),
+    "c3_kmeans_profile" -> ((s, dir) => {
+      // full-corpus distributed k-means (k=10 to match the ground-truth
+      // label count, 5 Lloyd rounds, hash-deterministic init) profiled
+      // against the labels: per-cluster size, cohesion, majority label
+      // and purity. Iterative + fp-order-sensitive at the last bit ->
+      // rows-only (cardinality is pinned at exactly k by clusterProfile's
+      // empty-cluster rows); the semantics are spec-pinned on separated
+      // fixtures in ClusteringSpec.
+      val e = table(s, dir, "embeddings")
+      val cents = Clustering.fit(e, "vec_id", "embedding", k = 10, iters = 5)
+      Clustering.clusterProfile(e, "vec_id", "embedding", cents,
+          labelCol = Some("label"))
+        .select(col("centroid_id"), col("n"),
+          round(col("mean_cosine"), 4).as("mean_cosine"),
+          col("top_label").cast("long").as("top_label"),
+          round(col("purity"), 4).as("purity"))
+        .orderBy("centroid_id")
+    }),
+
     // ---- deterministic sampling (xxhash-keyed -> rows-only) ------------
     "p1_hash_split" -> ((s, dir) => {
       val (_, holdout) = Sampling.hashSplit(
@@ -569,6 +607,15 @@ object OpsQueries {
             count(when(conv, 1)).cast("double") / 1000.0, 6)
             .as("mean_view_to_click_sec"))
     }),
+    "e9_funnel_ttl" -> ((s, dir) =>
+      // TTL-funnel batch parity: the converged per-user funnel after
+      // inactivity gaps > 1h evict and re-open state (= funnel over each
+      // user's LAST activity episode), collapsed to per-stage counts.
+      // The streaming-side semantics live in funnelStates(inactivityTtlMs);
+      // this is the oracle-checkable definition of what they converge to.
+      EventPipeline.funnelLastEpisode(Util.events(s, dir), ttlMs = 3600000L)
+        .select(col("stage"), col("n_users"), col("sum_view_click_ms"))
+        .orderBy("stage")),
     "x8_vocab" -> ((s, dir) => {
       // corpus vocabulary head: exact top-100 tokens by frequency with
       // each token's corpus share and the ranked prefix's cumulative
@@ -1176,6 +1223,35 @@ object OpsQueries {
         "ROUND(sum(CASE WHEN c_ms > v_ms THEN c_ms - v_ms END)::DOUBLE " +
         "/ count(CASE WHEN c_ms > v_ms THEN 1 END)::DOUBLE / 1000.0, 6) AS mean_view_to_click_sec " +
         "FROM pu"),
+    "c2_vector_quantize" ->
+      ("WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv " +
+        "FROM embeddings WHERE vec_id < 8), " +
+        "p AS (SELECT e.vec_id, c.cid, " +
+        "list_cosine_similarity(e.embedding::DOUBLE[], c.cv) AS cos " +
+        "FROM embeddings e CROSS JOIN c), " +
+        "r AS (SELECT vec_id, cid, cos, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk FROM p) " +
+        "SELECT cid::BIGINT AS centroid_id, count(*)::BIGINT AS n, " +
+        "ROUND(avg(cos), 6) AS mean_cos " +
+        "FROM r WHERE rk = 1 GROUP BY cid ORDER BY centroid_id"),
+    "e9_funnel_ttl" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events), " +
+        "l AS (SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev FROM e), " +
+        "ep AS (SELECT *, sum(CASE WHEN prev IS NULL OR ms - prev > 3600000 THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY user_id ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) AS eid FROM l), " +
+        "last AS (SELECT *, max(eid) OVER (PARTITION BY user_id) AS maxeid FROM ep), " +
+        "pu AS (SELECT user_id, " +
+        "min(CASE WHEN event_type = 'view' THEN ms END) AS v_ms, " +
+        "min(CASE WHEN event_type = 'click' THEN ms END) AS c_ms, " +
+        "min(CASE WHEN event_type = 'purchase' THEN ms END) AS p_ms " +
+        "FROM last WHERE eid = maxeid GROUP BY user_id), " +
+        "st AS (SELECT user_id, v_ms, c_ms, p_ms, " +
+        "CASE WHEN v_ms IS NULL THEN 0 " +
+        "WHEN c_ms > v_ms AND p_ms > c_ms THEN 3 " +
+        "WHEN c_ms > v_ms THEN 2 ELSE 1 END AS stage FROM pu) " +
+        "SELECT stage::BIGINT AS stage, count(*)::BIGINT AS n_users, " +
+        "sum(CASE WHEN c_ms > v_ms THEN c_ms - v_ms END)::BIGINT AS sum_view_click_ms " +
+        "FROM st GROUP BY stage ORDER BY stage"),
     "x8_vocab" ->
       (s"WITH tk AS (SELECT unnest(${toksOf("text")}) AS token FROM documents), " +
         "c AS (SELECT token, count(*)::BIGINT AS n FROM tk GROUP BY token), " +

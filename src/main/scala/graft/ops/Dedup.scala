@@ -132,13 +132,15 @@ object Dedup {
     *
     * Broadcast guard: a large benchmark suite can yield tens of millions
     * of distinct grams — enough to blow the broadcast/driver memory
-    * limit. The gram inventory is counted up front (one eager job over
-    * the BENCHMARK set only — benchmark-suite-sized, never corpus-sized;
-    * the join recomputes the inventory rather than persisting it, since a
-    * library-internal persist would outlive the returned lazy plan);
-    * above `maxBroadcastGrams` the join falls back to a plain shuffle
-    * join, which AQE may still convert back to broadcast if the runtime
-    * size allows. */
+    * limit. The gate is a cheap UPPER BOUND — the benchmark set's TOTAL
+    * gram count, `sum(tokens - n + 1)`, one aggregate over the BENCHMARK
+    * set with no explode/distinct/shuffle — rather than an exact distinct
+    * count, which would run the full shingle plan twice (once eagerly for
+    * the gate, again inside the returned join). Total ≥ distinct, so the
+    * bound only ever errs toward NOT broadcasting; above
+    * `maxBroadcastGrams` the join falls back to a plain shuffle join,
+    * which AQE converts back to broadcast at runtime if the actual
+    * distinct inventory turns out small. */
   def ngramOverlap(corpus: DataFrame, bench: DataFrame, idCol: String,
                    textCol: String, benchTextCol: String, n: Int = 3,
                    maxBroadcastGrams: Long = 2000000L): DataFrame = {
@@ -147,10 +149,14 @@ object Dedup {
       when(size(tk) === 0, array().cast("array<bigint>"))
         .otherwise(graft.functions.HashFunctions.shingleHash(tk, n))
     }
+    val gramUpperBound = bench
+      .select(greatest(size(TextAnalysis.tokens(lower(col(benchTextCol)))) - (n - 1), lit(0)).as("__n"))
+      .agg(coalesce(sum(col("__n")), lit(0L)).as("__t"))
+      .head().getLong(0)
     val benchGrams = bench
       .select(explode(gramsOf(col(benchTextCol))).as("__g")).distinct()
     val buildSide =
-      if (benchGrams.count() <= maxBroadcastGrams) broadcast(benchGrams) else benchGrams
+      if (gramUpperBound <= maxBroadcastGrams) broadcast(benchGrams) else benchGrams
     corpus
       .select(col(idCol), gramsOf(col(textCol)).as("__gs"))
       .select(col(idCol), size(col("__gs")).as("__ng"), explode(col("__gs")).as("__g"))

@@ -224,6 +224,52 @@ object EventPipeline {
           }
       }
   }
+  /** Batch analogue of [[funnelStates]] with an inactivity TTL: the funnel
+    * a user converges to once every idle gap longer than `ttlMs` has
+    * evicted and re-opened their state — i.e. the strict first-occurrence
+    * funnel computed over each user's LAST activity episode only
+    * (gaps-and-islands: episodes split where the gap from the previous
+    * event exceeds the TTL). ALL event types count as activity — matching
+    * the streaming operator, whose `lastMs` advances on any event — while
+    * the funnel mins only consider view/click/purchase. Oracle-expressible
+    * in plain SQL, unlike the streaming operator's update stream.
+    *
+    * Scale shape: one shuffle on `user_id`; the lag/cumsum/max windows and
+    * the final groupBy all reuse that single hash partitioning (no
+    * re-exchange — the sessionizeBatch argument), and nothing is keyed
+    * wider than user_id. Output is per (user) pre-aggregation collapsed to
+    * per (stage), so result size is O(4) regardless of user cardinality. */
+  def funnelLastEpisode(events: DataFrame, ttlMs: Long = 60 * 60 * 1000L): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("__ms", "event_id")
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perUser = events
+      .withColumn("__ms", unix_millis(col("ts")))
+      .withColumn("__prev", lag(col("__ms"), 1).over(byUser))
+      .withColumn("__new", when(col("__prev").isNull ||
+        col("__ms") - col("__prev") > ttlMs, 1L).otherwise(0L))
+      .withColumn("__eid", sum(col("__new")).over(cum))
+      .withColumn("__last", max(col("__eid")).over(Window.partitionBy("user_id")))
+      .filter(col("__eid") === col("__last"))
+      .groupBy("user_id").agg(
+        min(when(col("event_type") === "view", col("__ms"))).as("v_ms"),
+        min(when(col("event_type") === "click", col("__ms"))).as("c_ms"),
+        min(when(col("event_type") === "purchase", col("__ms"))).as("p_ms"))
+    // stage semantics identical to funnelStates.row: 3 needs the strict
+    // view < click < purchase chain, 2 the view < click prefix; a NULL
+    // min propagates to a null comparison and falls through, exactly the
+    // Long.MaxValue-sentinel behavior of the streaming fold
+    val conv = col("c_ms") > col("v_ms")
+    perUser
+      .withColumn("stage",
+        when(col("v_ms").isNull, 0L)
+          .when(conv && col("p_ms") > col("c_ms"), 3L)
+          .when(conv, 2L)
+          .otherwise(1L))
+      .groupBy("stage").agg(
+        count(lit(1)).as("n_users"),
+        sum(when(conv, col("c_ms") - col("v_ms"))).as("sum_view_click_ms"))
+  }
+
   final case class SessionState(start: Long, last: Long, n: Long, sumValue: Double)
   final case class Session(user_id: Long, start: Timestamp, end: Timestamp,
                            n_events: Long, sum_value: Double)

@@ -307,6 +307,32 @@ class EventPipelineSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("funnelLastEpisode: funnel over each user's last activity episode only") {
+    // user 1: episode A (10:00 view -> 10:10 click -> 10:20 purchase, full
+    // funnel) then a >1h gap, episode B (12:00 view -> 12:05 click, no
+    // purchase) — TTL semantics must FORGET episode A: stage 2, not 3.
+    // user 2: one episode, click before view -> stage 1.
+    // user 3: purchases only -> stage 0 (no view).
+    // "other" event types count as activity: user 4's 11:00 'other' event
+    // bridges what would otherwise be a >1h gap between 10:30 and 11:55,
+    // so the view at 10:30 and click at 11:55 are ONE episode -> stage 2.
+    val events = Seq(
+      Event(1L, ts("10:00"), 1L, "view", 1.0), Event(2L, ts("10:10"), 1L, "click", 1.0),
+      Event(3L, ts("10:20"), 1L, "purchase", 1.0),
+      Event(4L, ts("12:00"), 1L, "view", 1.0), Event(5L, ts("12:05"), 1L, "click", 1.0),
+      Event(6L, ts("09:50"), 2L, "click", 1.0), Event(7L, ts("10:00"), 2L, "view", 1.0),
+      Event(8L, ts("10:00"), 3L, "purchase", 1.0),
+      Event(9L, ts("10:30"), 4L, "view", 1.0), Event(10L, ts("11:00"), 4L, "other", 1.0),
+      Event(11L, ts("11:55"), 4L, "click", 1.0)).toDF()
+    val got = EventPipeline.funnelLastEpisode(events, ttlMs = 3600000L)
+      .orderBy("stage").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSeq
+    got shouldBe Seq(
+      (0L, 1L, None),                                    // user 3
+      (1L, 1L, None),                                    // user 2
+      (2L, 2L, Some(5 * 60 * 1000L + 85 * 60 * 1000L))) // users 1 (5 min) + 4 (85 min)
+  }
+
   test("funnel inactivity TTL evicts idle users and re-opens their funnel from zero") {
     implicit val sql = spark.sqlContext
     import EventPipeline.FunnelRow
