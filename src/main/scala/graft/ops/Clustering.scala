@@ -85,40 +85,55 @@ object Clustering {
     * exceed that (any real embedding corpus). */
   def fit(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
           iters: Int = 8, init: Option[Seq[Seq[Double]]] = None,
-          sampleSize: Int = 4096): Seq[Seq[Double]] = {
+          sampleSize: Int = 4096, cache: Boolean = true): Seq[Seq[Double]] = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val pts = corpus.select(
       normalized(col(vecCol).cast("array<double>")).as("__v"), col(idCol).as("__id"))
-    var cents: Seq[Seq[Double]] = init.getOrElse {
-      val sample = pts.orderBy(xxhash64(col("__id")), col("__id"))
-        .limit(math.max(sampleSize, k))
-        .select(col("__v")).collect().map(_.getSeq[Double](0).toArray)
-      require(sample.nonEmpty, "cannot fit on an empty corpus")
-      farthestPointInit(sample, k).map(_.toSeq).toSeq
-    }
-    require(cents.nonEmpty, "cannot fit on an empty corpus")
-    val dim = cents.head.length
-    val vsum = udaf(new VectorSum(dim), VectorSumEncoders.seqDouble)
-    var iter = 0
-    while (iter < iters) {
-      val agg = pts
-        .withColumn("__c", element_at(HashFunctions.nearestCentroids(col("__v"), cents, 1), 1))
-        .groupBy(col("__c")).agg(vsum(col("__v")).as("__s"))
-        .collect()
-      val next = cents.toArray
-      agg.foreach { r =>
-        val c = r.getInt(0)
-        val s = r.getSeq[Double](1)
-        val norm = math.sqrt(s.map(x => x * x).sum)
-        // normalized sum of unit vectors IS the spherical mean direction;
-        // a zero-sum (vectors cancel exactly) keeps the old centroid
-        if (norm > 0) next(c) = s.map(_ / norm)
+    // fit is EAGER (returns a codebook, not a lazy plan), so a persist
+    // scoped to this call cannot leak — the connectedComponents pattern.
+    // Every Lloyd round (and the init sample) re-reads and re-normalizes
+    // the corpus otherwise: iters+1 source scans vs one scan + iters
+    // cache reads (sf10 measured 18.5 s -> see SURVEY §6.3).
+    // MEMORY_AND_DISK: a corpus too big for executor memory spills
+    // instead of failing; pass cache = false to keep the pure re-scan
+    // plan (e.g. when the source scan is cheaper than materializing).
+    val cached =
+      if (cache) pts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else pts
+    try {
+      var cents: Seq[Seq[Double]] = init.getOrElse {
+        val sample = cached.orderBy(xxhash64(col("__id")), col("__id"))
+          .limit(math.max(sampleSize, k))
+          .select(col("__v")).collect().map(_.getSeq[Double](0).toArray)
+        require(sample.nonEmpty, "cannot fit on an empty corpus")
+        farthestPointInit(sample, k).map(_.toSeq).toSeq
       }
-      cents = next.toSeq
-      iter += 1
+      require(cents.nonEmpty, "cannot fit on an empty corpus")
+      val dim = cents.head.length
+      val vsum = udaf(new VectorSum(dim), VectorSumEncoders.seqDouble)
+      var iter = 0
+      while (iter < iters) {
+        val agg = cached
+          .withColumn("__c", element_at(HashFunctions.nearestCentroids(col("__v"), cents, 1), 1))
+          .groupBy(col("__c")).agg(vsum(col("__v")).as("__s"))
+          .collect()
+        val next = cents.toArray
+        agg.foreach { r =>
+          val c = r.getInt(0)
+          val s = r.getSeq[Double](1)
+          val norm = math.sqrt(s.map(x => x * x).sum)
+          // normalized sum of unit vectors IS the spherical mean direction;
+          // a zero-sum (vectors cancel exactly) keeps the old centroid
+          if (norm > 0) next(c) = s.map(_ / norm)
+        }
+        cents = next.toSeq
+        iter += 1
+      }
+      cents
+    } finally {
+      if (cache) { cached.unpersist(blocking = false); () }
     }
-    cents
   }
 
   /** Vector quantization: every corpus row keyed by its highest-cosine
