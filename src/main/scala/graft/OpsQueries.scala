@@ -392,6 +392,20 @@ object OpsQueries {
         .orderBy("lang_pred")
     }),
 
+    "d11_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup against the same FIXED deterministic codebook as c2
+      // (embeddings vec_id < 8): min-id dominance at cosine >= 0.2
+      // inside each cluster. DuckDB replays assignment + pair rule with
+      // list_cosine_similarity over identical double-cast vectors, so
+      // the surviving id set hash-matches exactly.
+      val e = table(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 8).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toSeq).toSeq
+      Clustering.semanticDedup(e, "vec_id", "embedding", cents, tau = 0.2)
+        .select(col("vec_id"), col("centroid_id").cast("long").as("centroid_id"))
+        .orderBy("vec_id")
+    }),
     "c2_vector_quantize" -> ((s, dir) => {
       // vector quantization against a FIXED deterministic codebook (the
       // embeddings with vec_id < 8, in id order) — the k-means E-step /
@@ -1223,6 +1237,18 @@ object OpsQueries {
         "ROUND(sum(CASE WHEN c_ms > v_ms THEN c_ms - v_ms END)::DOUBLE " +
         "/ count(CASE WHEN c_ms > v_ms THEN 1 END)::DOUBLE / 1000.0, 6) AS mean_view_to_click_sec " +
         "FROM pu"),
+    "d11_semantic_dedup" ->
+      ("WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv " +
+        "FROM embeddings WHERE vec_id < 8), " +
+        "p AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cid, " +
+        "list_cosine_similarity(e.embedding::DOUBLE[], c.cv) AS cos " +
+        "FROM embeddings e CROSS JOIN c), " +
+        "asg AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk FROM p) WHERE rk = 1), " +
+        "rem AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b ON a.cid = b.cid " +
+        "AND a.vec_id < b.vec_id AND list_cosine_similarity(a.v, b.v) >= 0.2) " +
+        "SELECT vec_id, cid::BIGINT AS centroid_id FROM asg " +
+        "WHERE vec_id NOT IN (SELECT vec_id FROM rem) ORDER BY vec_id"),
     "c2_vector_quantize" ->
       ("WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv " +
         "FROM embeddings WHERE vec_id < 8), " +

@@ -156,6 +156,47 @@ object Clustering {
         HashFunctions.cosineSim(col("__v"), col("__cv")).as("cosine"))
   }
 
+  /** SemDeDup-style semantic deduplication: quantize the corpus against a
+    * codebook, then inside each cluster drop every row DOMINATED by a
+    * lower-id row at cosine >= `tau` (the min-id dominance rule — one
+    * deterministic definition both engines can evaluate, vs the paper's
+    * unspecified iteration order). Pairs are only compared WITHIN a
+    * cluster: that is the method's entire scale story — candidate pairs
+    * fall from n² to Σ cluster_size², at the documented recall trade that
+    * a near-dup pair straddling a cluster boundary survives (use
+    * [[Dedup.embeddingNearDupPairs]] when cross-cluster recall matters
+    * more than cost). Returns the surviving (id, centroid_id) rows.
+    *
+    * Scale shape: one corpus scan for assignment, then a self equi-join
+    * on `centroid_id` — both sides the SAME plan, so the exchange is
+    * planned once and reused — and an id anti-join back (NOT broadcast-
+    * hinted: the removed set scales with the corpus; AQE promotes it to
+    * broadcast at runtime whenever it is actually small).
+    * `maxClusterSize` caps the quadratic term: clusters above the cap are
+    * EXEMPT from dedup (all their rows survive) rather than silently
+    * exploding the pair count; at real codebook sizes (k ≈ √n and up)
+    * the cap only trips on pathological codebooks. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    cents: Seq[Seq[Double]], tau: Double,
+                    maxClusterSize: Int = 100000): DataFrame = {
+    require(cents.nonEmpty, "codebook must not be empty")
+    val assigned = corpus.select(
+      col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"),
+      element_at(HashFunctions.nearestCentroids(col(vecCol).cast("array<double>"), cents, 1), 1)
+        .as("centroid_id"))
+    val sizes = assigned.groupBy(col("centroid_id")).agg(count(lit(1)).as("__n"))
+    val inScope = assigned.join(sizes, Seq("centroid_id"))
+      .filter(col("__n") <= maxClusterSize).drop("__n")
+    val a = inScope.select(col("centroid_id"), col("__id").as("__id_a"), col("__v").as("__v_a"))
+    val b = inScope.select(col("centroid_id"), col("__id").as("__id_b"), col("__v").as("__v_b"))
+    val removed = a.join(b, Seq("centroid_id"))
+      .filter(col("__id_a") < col("__id_b") &&
+        HashFunctions.cosineSim(col("__v_a"), col("__v_b")) >= tau)
+      .select(col("__id_b").as("__removed")).distinct()
+    assigned.join(removed, col("__id") === col("__removed"), "left_anti")
+      .select(col("__id").as(idCol), col("centroid_id"))
+  }
+
   /** Per-cluster profile of a fitted codebook over a corpus: size, mean
     * cosine to the assigned centroid (cohesion), and the majority value
     * of `labelCol` with its share (purity) when a ground-truth label is

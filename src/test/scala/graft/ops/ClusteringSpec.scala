@@ -82,6 +82,53 @@ class ClusteringSpec extends AnyFunSuite with Matchers {
     got(1).isNullAt(3) shouldBe true
   }
 
+  test("semanticDedup: min-id dominance within clusters, boundary pairs survive, cap exempts") {
+    // codebook: +x and +y cells
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val df = Seq(
+      (1L, Seq(1.0, 0.00)),   // cluster 0, the dominating representative
+      (2L, Seq(1.0, 0.01)),   // cluster 0, ~cos 1 vs id 1 -> removed
+      (3L, Seq(1.0, 0.02)),   // cluster 0, removed (dominated by 1 AND 2)
+      (4L, Seq(0.0, 1.0)),    // cluster 1, survives alone
+      (5L, Seq(0.8, 0.75))    // cluster 0 but near the boundary; cos vs
+                              // (1,0)-ish rows ~0.73 < tau -> survives
+    ).toDF("id", "vec")
+    val kept = Clustering.semanticDedup(df, "id", "vec", cents, tau = 0.99)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getInt(1)))
+    kept shouldBe Array((1L, 0), (4L, 1), (5L, 0))
+
+    // a near-identical pair SPLIT across clusters is the documented miss:
+    // (6 -> +x cell, 7 -> +y cell) at 45 degrees +- epsilon — cosine
+    // ~1.0 but never compared, both survive
+    val boundary = Seq(
+      (6L, Seq(1.0, 0.999)), (7L, Seq(0.999, 1.0))).toDF("id", "vec")
+    val keptB = Clustering.semanticDedup(boundary, "id", "vec", cents, tau = 0.9)
+      .collect().map(_.getLong(0)).sorted
+    keptB shouldBe Array(6L, 7L)
+
+    // cap: the 4-row +x cluster is above maxClusterSize = 3 -> exempt
+    // from dedup entirely, every row survives
+    val keptCap = Clustering.semanticDedup(df, "id", "vec", cents,
+      tau = 0.99, maxClusterSize = 3).collect().map(_.getLong(0)).sorted
+    keptCap shouldBe Array(1L, 2L, 3L, 4L, 5L)
+  }
+
+  test("semanticDedup pair self-join reuses one exchange under shuffle joins") {
+    // with broadcast off, the a/b sides of the within-cluster pair join
+    // are the same canonical plan — the exchange must be planned once and
+    // reused, not scanned+shuffled twice
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+      val df = (1L to 100L).map(i => (i, Seq(1.0, 0.001 * i))).toDF("id", "vec")
+      val out = Clustering.semanticDedup(df, "id", "vec", cents, tau = 0.999999)
+      out.collect()
+      val finalPlan = out.queryExecution.executedPlan.toString
+      finalPlan should include("ReusedExchange")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("fit on testdata embeddings: full profile structure and cohesion") {
     // the synthetic embeddings are near-uniform unit vectors (measured:
     // same-label mean cosine 0.005 vs cross-label 0.0006), so labels are
