@@ -560,6 +560,29 @@ object OpsQueries {
           date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"))
         .orderBy("view_id", "click_id")
     }),
+    "e10_outer_interval_join" -> ((s, dir) => {
+      // LEFT-OUTER attribution: every view keeps a row; views with no
+      // click in their 30-min window surface null-padded (streaming path
+      // emits those exactly when the click watermark passes the window
+      // end). Aggregated per user: views, attributed views, attribution
+      // rate — the conversion-coverage report.
+      val ev = Util.events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      EventPipeline.intervalJoin(views, clicks, "user_id", "view_ts", "click_ts",
+          joinType = "left_outer")
+        .groupBy(col("user_id"), col("view_id"))
+        .agg(max(col("click_id").isNotNull.cast("int")).as("__hit"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_views"),
+          sum(col("__hit")).cast("long").as("n_attributed"))
+        .withColumn("attribution_rate",
+          round(col("n_attributed").cast("double") / col("n_views").cast("double"), 6))
+        .filter(col("n_views") >= 3)
+        .orderBy("user_id")
+    }),
     "e7_variant_extract" -> ((s, dir) => {
       // Spark 4 VARIANT path: parse the JSON ONCE into a variant column,
       // then extract typed fields from the binary-encoded value —
@@ -1212,6 +1235,19 @@ object OpsQueries {
         "FROM views v JOIN clicks c ON v.user_id = c.user_id " +
         "AND c.click_ts >= v.view_ts AND c.click_ts <= v.view_ts + INTERVAL 30 MINUTE " +
         "ORDER BY view_id, click_id"),
+    "e10_outer_interval_join" ->
+      ("WITH views AS (SELECT user_id, event_id AS view_id, ts AS view_ts " +
+        "FROM events WHERE event_type = 'view'), " +
+        "clicks AS (SELECT user_id, event_id AS click_id, ts AS click_ts " +
+        "FROM events WHERE event_type = 'click'), " +
+        "j AS (SELECT v.user_id, v.view_id, " +
+        "max(CASE WHEN c.click_id IS NOT NULL THEN 1 ELSE 0 END) AS hit " +
+        "FROM views v LEFT JOIN clicks c ON v.user_id = c.user_id " +
+        "AND c.click_ts >= v.view_ts AND c.click_ts <= v.view_ts + INTERVAL 30 MINUTE " +
+        "GROUP BY v.user_id, v.view_id) " +
+        "SELECT user_id, count(*)::BIGINT AS n_views, sum(hit)::BIGINT AS n_attributed, " +
+        "ROUND(sum(hit)::DOUBLE / count(*)::DOUBLE, 6) AS attribution_rate " +
+        "FROM j GROUP BY user_id HAVING count(*) >= 3 ORDER BY user_id"),
     // sum() over INT is HUGEINT in DuckDB -> float64 in pandas -> the
     // driver's strict cell hash diverges from Spark's long even when the
     // values are numerically identical; ::BIGINT restores the match (same

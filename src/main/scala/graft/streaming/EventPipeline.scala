@@ -122,15 +122,39 @@ object EventPipeline {
     * only recognizes range predicates expressed directly on the
     * watermarked event-time columns. `key` is taken from the left side
     * in the output; all other columns pass through, so the two inputs
-    * must not share non-key column names (alias before joining). */
+    * must not share non-key column names (alias before joining).
+    *
+    * `joinType` extends the shape to `left_outer` — the attribution
+    * report that KEEPS unmatched left rows (an impression with no click
+    * in its window) null-padded. In streaming, Spark emits the
+    * null-padded row exactly once the right watermark passes
+    * `leftTs + upperMs` (only then is "no match" final), so outer
+    * results trail the watermark rather than appearing immediately —
+    * same state bound as the inner join. Batch evaluates the same plan
+    * eagerly. `right_outer`/`full_outer` follow the same rules; the
+    * output `key` coalesces both sides so it survives either direction.
+    *
+    * Both key columns are re-aliased (fresh expression ids) BEFORE the
+    * join: when the two inputs are filters of the SAME source frame —
+    * the views-vs-clicks self-join shape — dataframe-qualified
+    * resolution (`left(key) === right(key)` + `drop(right(key))`) is
+    * ambiguous, and under an outer join Spark resolved it into a
+    * never-matching condition that kept the wrong key copy (every row
+    * null-padded). The rename makes the plan self-join-proof instead of
+    * leaning on the caller to alias. */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    leftTs: String, rightTs: String,
-                   lowerMs: Long = 0L, upperMs: Long = 30 * 60 * 1000L): DataFrame = {
+                   lowerMs: Long = 0L, upperMs: Long = 30 * 60 * 1000L,
+                   joinType: String = "inner"): DataFrame = {
     require(lowerMs <= upperMs, s"empty interval: [$lowerMs, $upperMs]")
-    val cond = left(key) === right(key) &&
-      right(rightTs) >= left(leftTs) + expr(s"INTERVAL $lowerMs MILLISECOND") &&
-      right(rightTs) <= left(leftTs) + expr(s"INTERVAL $upperMs MILLISECOND")
-    left.join(right, cond).drop(right(key))
+    val l = left.withColumnRenamed(key, "__ij_lkey")
+    val r = right.withColumnRenamed(key, "__ij_rkey")
+    val cond = col("__ij_lkey") === col("__ij_rkey") &&
+      col(rightTs) >= col(leftTs) + expr(s"INTERVAL $lowerMs MILLISECOND") &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $upperMs MILLISECOND")
+    l.join(r, cond, joinType)
+      .withColumn(key, coalesce(col("__ij_lkey"), col("__ij_rkey")))
+      .drop("__ij_lkey", "__ij_rkey")
   }
 
   /** Streaming ingest feeding the core summarize API (SURVEY.md §7.5):

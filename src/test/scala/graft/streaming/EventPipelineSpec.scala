@@ -148,6 +148,57 @@ class EventPipelineSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("left-outer intervalJoin: unmatched views surface null-padded after the watermark") {
+    implicit val sql = spark.sqlContext
+    def views(df: org.apache.spark.sql.DataFrame) = df
+      .filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("view_ts"))
+    def clicks(df: org.apache.spark.sql.DataFrame) = df
+      .filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
+    val data = Seq(
+      Event(1L, ts("10:00"), 1L, "view", 0.0),   // matched by event 2
+      Event(2L, ts("10:10"), 1L, "click", 0.0),
+      Event(3L, ts("10:00"), 2L, "view", 0.0))   // never matched
+    // batch: both views kept, the unmatched one null-padded
+    val batch = EventPipeline.intervalJoin(
+      views(data.toDF()), clicks(data.toDF()), "user_id", "view_ts", "click_ts",
+      joinType = "left_outer")
+      .select($"user_id", $"view_id", $"click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet
+    batch shouldBe Set((1L, 1L, Some(2L)), (2L, 3L, None))
+
+    // streaming: the null-padded row for view 3 may only be emitted once
+    // the click watermark passes view_ts + upper (10:30) — no earlier
+    // batch can rule a future match out
+    val lIn = MemoryStream[Event]; val rIn = MemoryStream[Event]
+    val q = EventPipeline.intervalJoin(
+      views(lIn.toDF()).withWatermark("view_ts", "10 minutes"),
+      clicks(rIn.toDF()).withWatermark("click_ts", "10 minutes"),
+      "user_id", "view_ts", "click_ts", joinType = "left_outer")
+      .writeStream.format("memory").queryName("ivjlo").outputMode("append").start()
+    try {
+      lIn.addData(data.filter(_.event_type == "view"): _*)
+      rIn.addData(data.filter(_.event_type == "click"): _*)
+      q.processAllAvailable()
+      def rows() = spark.table("ivjlo").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("view_id"),
+          Option(r.get(r.fieldIndex("click_id"))))).toSet
+      // watermark still at 10:10 - 10 min: the unmatched view is NOT final
+      rows() should not contain ((2L, 3L, None))
+      // push both watermarks far past 10:30 + lateness -> null row emits
+      lIn.addData(Event(8L, ts("12:00"), 9L, "view", 0.0))
+      rIn.addData(Event(9L, ts("12:00"), 9L, "click", 0.0))
+      q.processAllAvailable()
+      // one more cycle so the new watermark is applied to stored state
+      lIn.addData(Event(10L, ts("12:30"), 9L, "view", 0.0))
+      rIn.addData(Event(11L, ts("12:30"), 9L, "click", 0.0))
+      q.processAllAvailable()
+      rows() should contain ((1L, 1L, Some(2L)))
+      rows() should contain ((2L, 3L, None))
+    } finally q.stop()
+  }
+
   test("file-source stream of the events table matches the batch result") {
     val stream = EventPipeline.readEventStream(spark, "/root/testdata/sf0.001")
     val q = EventPipeline.windowedCounts(stream)
