@@ -301,6 +301,29 @@ object OpsQueries {
           round(col("image_stats.mean_b"), 6).as("img_mean_b"))
         .orderBy("doc_id")
     }),
+    "m4_resize" -> ((s, dir) => {
+      // REAL resize pipeline, oracle-checked end to end: plant 4x4 BMPs
+      // from the doc text (as m2b), box-resample to 2x2 through
+      // decode -> area-average -> re-encode, then decode the RESIZED
+      // payload again for its stats. 4x4 -> 2x2 has exact quarter
+      // weights, so each output byte is round(sum/4.0) — byte math
+      // DuckDB replays from the raw text (both engines round half-up on
+      // the exact .25-grid doubles).
+      val bmpHdr = lit(Multimodal.bmp24Header(4, 4))
+      val planted = Multimodal.asBinaryPayload(docs(s, dir), "text")
+        .filter(col("doc_id") % 10 === 5)
+        .withColumn("payload",
+          concat(bmpHdr, substring(rpad(col("text"), 48, "x").cast("binary"), 1, 48)))
+      Multimodal.withImageStats(
+          Multimodal.resizeBmp(planted, "payload", 2, 2).drop("payload")
+            .withColumnRenamed("resized", "payload"), "payload")
+        .select(col("doc_id"),
+          col("image_stats.n_pixels").as("n_pixels"),
+          round(col("image_stats.mean_r"), 6).as("mean_r"),
+          round(col("image_stats.mean_g"), 6).as("mean_g"),
+          round(col("image_stats.mean_b"), 6).as("mean_b"))
+        .orderBy("doc_id")
+    }),
     "m3_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(
           Multimodal.asBinaryPayload(docs(s, dir), "text"), "payload", stride = 64)
@@ -1026,6 +1049,28 @@ object OpsQueries {
         "round(i.mg, 6) AS img_mean_g, round(i.mb, 6) AS img_mean_b " +
         "FROM base b LEFT JOIN audio a USING (doc_id) LEFT JOIN img i USING (doc_id) " +
         "ORDER BY b.doc_id"),
+    "m4_resize" -> {
+      // replay the 4x4 -> 2x2 box resample from the raw text bytes: the
+      // planted BMP is t48 as BGR triples at stride 12, output pixel
+      // (i%2, i//2) averages its 2x2 source block per channel with exact
+      // quarter weights, rounded half-up exactly like the Scala decoder
+      def byt(x: String, y: String, c: Int) =
+        s"unicode(substring(b.t, (($y)*12 + 3*($x) + $c)::INT, 1))"
+      def outPx(c: Int) = {
+        val p1 = byt("2*(o.i%2)", "2*(o.i//2)", c)
+        val p2 = byt("2*(o.i%2)+1", "2*(o.i//2)", c)
+        val p3 = byt("2*(o.i%2)", "2*(o.i//2)+1", c)
+        val p4 = byt("2*(o.i%2)+1", "2*(o.i//2)+1", c)
+        s"round(($p1 + $p2 + $p3 + $p4)/4.0)"
+      }
+      "WITH base AS (SELECT doc_id, rpad(text, 48, 'x') AS t " +
+        "FROM documents WHERE doc_id % 10 = 5), " +
+        "px AS (SELECT b.doc_id, " + outPx(3) + " AS r, " + outPx(2) + " AS g, " +
+        outPx(1) + " AS bl FROM base b, range(4) o(i)) " +
+        "SELECT doc_id, count(*)::BIGINT AS n_pixels, round(avg(r), 6) AS mean_r, " +
+        "round(avg(g), 6) AS mean_g, round(avg(bl), 6) AS mean_b " +
+        "FROM px GROUP BY doc_id ORDER BY doc_id"
+    },
     "m3_frame_sample" ->
       ("SELECT doc_id, ((greatest(octet_length(encode(text)) - 1, 0) // 64) + 1)::BIGINT AS n_frames " +
         "FROM documents ORDER BY doc_id"),

@@ -212,6 +212,137 @@ object Multimodal {
     else Some((n, sr / n, sg / n, sb / n))
   }
 
+  /** REAL 24-bpp BMP pixel decode returning the raw RGB plane (row-major
+    * in STORED row order — BMPs store bottom-up, and every consumer here
+    * (resize, re-encode, stats) works in stored order, so orientation
+    * round-trips). Truncated payloads keep the complete scanlines
+    * actually present — the same prefix policy as [[decodeWavPcm16]].
+    * Returns (width, height, rgb) with `rgb.length == 3*w*h`. */
+  private[ops] def decodeBmp24Pixels(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (bytes == null || bytes.length < 54) return None
+    def u8(i: Int): Int = bytes(i) & 0xFF
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    if (u8(0) != 'B' || u8(1) != 'M' || le32(14) != 40) return None
+    if (le16(28) != 24 || le32(30) != 0) return None
+    val w = le32(18)
+    val h = math.abs(le32(22))
+    val dataOff = le32(10)
+    if (w <= 0 || h == 0 || dataOff < 54) return None
+    val stride = (3 * w + 3) & ~3
+    // decode-bomb gate: same 64 MiB budget as the PNG reconstruction cap
+    if (3L * w * h > 64L * 1024 * 1024) return None
+    val fullRows = math.min(h.toLong,
+      math.max(0L, (bytes.length.toLong - dataOff) / stride)).toInt
+    if (fullRows == 0) return None
+    val rgb = new Array[Byte](3 * w * fullRows)
+    var y = 0
+    while (y < fullRows) {
+      val row = dataOff + y * stride
+      var x = 0
+      while (x < w) {
+        val src = row + 3 * x
+        val dst = 3 * (y * w + x)
+        rgb(dst) = bytes(src + 2)     // R (stored BGR)
+        rgb(dst + 1) = bytes(src + 1) // G
+        rgb(dst + 2) = bytes(src)     // B
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, fullRows, rgb))
+  }
+
+  /** Area-weighted box resample of an RGB plane (the INTER_AREA
+    * algorithm): every output pixel averages the source pixels its
+    * back-projected box overlaps, weighted by exact overlap area, then
+    * rounds half-up to a byte. Downscale is the training-data use;
+    * upscale falls out of the same weights (boxes smaller than a source
+    * pixel). For integer scale factors the weights are exact reciprocals
+    * (e.g. 4x4 -> 2x2 is round(sum/4.0)), which is what makes the m4
+    * oracle's SQL replay byte-exact. */
+  private[ops] def boxResize(srcW: Int, srcH: Int, rgb: Array[Byte],
+                             outW: Int, outH: Int): Array[Byte] = {
+    require(srcW > 0 && srcH > 0 && outW > 0 && outH > 0, "dims must be positive")
+    require(rgb.length >= 3 * srcW * srcH, "rgb plane shorter than dims")
+    val sx = srcW.toDouble / outW
+    val sy = srcH.toDouble / outH
+    val out = new Array[Byte](3 * outW * outH)
+    var oy = 0
+    while (oy < outH) {
+      val y0 = oy * sy; val y1 = (oy + 1) * sy
+      var ox = 0
+      while (ox < outW) {
+        val x0 = ox * sx; val x1 = (ox + 1) * sx
+        var sr = 0.0; var sg = 0.0; var sb = 0.0; var area = 0.0
+        var iy = math.floor(y0).toInt
+        while (iy < y1 && iy < srcH) {
+          val wy = math.min(iy + 1.0, y1) - math.max(iy.toDouble, y0)
+          var ix = math.floor(x0).toInt
+          while (ix < x1 && ix < srcW) {
+            val wx = math.min(ix + 1.0, x1) - math.max(ix.toDouble, x0)
+            val wgt = wx * wy
+            val base = 3 * (iy * srcW + ix)
+            sr += (rgb(base) & 0xFF) * wgt
+            sg += (rgb(base + 1) & 0xFF) * wgt
+            sb += (rgb(base + 2) & 0xFF) * wgt
+            area += wgt
+            ix += 1
+          }
+          iy += 1
+        }
+        val dst = 3 * (oy * outW + ox)
+        out(dst) = math.round(sr / area).toByte
+        out(dst + 1) = math.round(sg / area).toByte
+        out(dst + 2) = math.round(sb / area).toByte
+        ox += 1
+      }
+      oy += 1
+    }
+    out
+  }
+
+  /** Partition-wise REAL image resize over a binary column: decodable
+    * 24-bpp BMP payloads are box-resampled ([[boxResize]]) to
+    * `outW` x `outH` and re-encoded as a valid BMP in `outCol`; every
+    * other payload maps to null (compressed-format resize follows the
+    * same decode stubs as [[withImageStats]]). The output is a REAL
+    * payload — feed it back through [[withImageStats]] / [[withMediaMeta]]
+    * or write it out; same `mapPartitions` batch shape as the decoders. */
+  def resizeBmp(df: DataFrame, payloadCol: String, outW: Int, outH: Int,
+                outCol: String = "resized"): DataFrame = {
+    require(outW > 0 && outH > 0, "output dims must be positive")
+    val inSchema = df.schema
+    val outSchema = inSchema.add(StructField(outCol, BinaryType))
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val resized = decodeBmp24Pixels(r.getAs[Array[Byte]](payloadIdx)).map {
+          case (w, h, rgb) =>
+            val small = boxResize(w, h, rgb, outW, outH)
+            val stride = (3 * outW + 3) & ~3
+            val body = new Array[Byte](stride * outH)
+            var y = 0
+            while (y < outH) {
+              var x = 0
+              while (x < outW) {
+                val src = 3 * (y * outW + x)
+                val dst = y * stride + 3 * x
+                body(dst) = small(src + 2)     // store BGR
+                body(dst + 1) = small(src + 1)
+                body(dst + 2) = small(src)
+                x += 1
+              }
+              y += 1
+            }
+            bmp24Header(outW, outH) ++ body
+        }.orNull
+        Row.fromSeq(r.toSeq :+ resized)
+      }
+    }(enc)
+  }
+
   /** Canonical 54-byte 24-bpp BMP header for a `w` x `h` image —
     * fixture/builder helper (specs hand-build payloads with it; m2 wraps
     * testdata bytes into REAL decodable BMPs in-plan). Callers supply

@@ -266,6 +266,45 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     out(1).getAs[Row]("image_stats").getAs[Long]("n_pixels") shouldBe 4L
   }
 
+  test("resizeBmp box-resamples 4x4 -> 2x2 to exact bytes through a real BMP round-trip") {
+    // stored pixel (x, y): B = 4y+x, G = 40+4y+x, R = 80+4y+x; each 2x2
+    // block averages to ?.5 exactly, pinning the half-up rounding
+    val body = Array.tabulate(4 * 12) { i =>
+      val y = i / 12; val x = (i % 12) / 3
+      val c = i % 3 // 0=B, 1=G, 2=R as stored
+      (c * 40 + 4 * y + x).toByte
+    }
+    val df = Seq((1L, Multimodal.bmp24Header(4, 4) ++ body)).toDF("id", "payload")
+    val resized = Multimodal.resizeBmp(df, "payload", 2, 2)
+      .select("resized").head().getAs[Array[Byte]](0)
+    val expect = Multimodal.bmp24Header(2, 2) ++ Array[Int](
+      3, 43, 83, 5, 45, 85, 0, 0,    // row 0: (B,G,R) x2 + stride pad
+      11, 51, 91, 13, 53, 93, 0, 0   // row 1
+    ).map(_.toByte)
+    resized shouldBe expect
+    // and the resized payload is itself a decodable BMP with the means
+    // of the rounded output pixels
+    val (n, mr, mg, mb) = Multimodal.decodeBmp24(resized).get
+    n shouldBe 4L
+    mr shouldBe (83 + 85 + 91 + 93) / 4.0
+    mg shouldBe (43 + 45 + 51 + 53) / 4.0
+    mb shouldBe (3 + 5 + 11 + 13) / 4.0
+  }
+
+  test("boxResize: fractional boxes preserve constant images; non-BMP payloads null") {
+    // 5x3 constant color -> 2x2: every fractional-area box averages the
+    // same value, so the output must be exactly constant
+    val const = Array.fill(5 * 3 * 3)(77.toByte)
+    Multimodal.boxResize(5, 3, const, 2, 2).toSeq shouldBe Array.fill(2 * 2 * 3)(77.toByte).toSeq
+    // upscale through the same weights: 1x1 -> 3x2 replicates the pixel
+    val one = Array[Byte](10, 20, 30)
+    Multimodal.boxResize(1, 1, one, 3, 2).toSeq shouldBe
+      Array.tabulate(3 * 2 * 3)(i => one(i % 3)).toSeq
+    // non-BMP payloads resize to null
+    val df = Seq((1L, "not an image".getBytes)).toDF("id", "payload")
+    Multimodal.resizeBmp(df, "payload", 2, 2).select("resized").head().isNullAt(0) shouldBe true
+  }
+
   test("sampleFrames explodes byte-range frames at the stride") {
     val out = Multimodal.sampleFrames(payloads.filter(col("id") === 3L), "payload", stride = 8)
     val frames = out.select("frame_offset", "frame_bytes").orderBy("frame_offset").collect()
