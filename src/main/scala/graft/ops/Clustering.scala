@@ -68,8 +68,10 @@ object Clustering {
     chosen
   }
 
-  /** Spherical k-means fitted on the WHOLE corpus with `iters` Lloyd
-    * rounds. Initial centroids default to [[farthestPointInit]] over a
+  /** Spherical k-means fitted on the WHOLE corpus with at most `iters`
+    * Lloyd rounds (the budget; the loop exits early once the max centroid
+    * displacement drops to `tol`, since a round is a full corpus scan).
+    * Initial centroids default to [[farthestPointInit]] over a
     * bounded hash-deterministic sample (the `sampleSize` rows with the
     * smallest `(xxhash64(id), id)` — effectively random draws,
     * deterministic given the data; the [[Similarity.trainCentroids]]
@@ -85,7 +87,8 @@ object Clustering {
     * exceed that (any real embedding corpus). */
   def fit(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
           iters: Int = 8, init: Option[Seq[Seq[Double]]] = None,
-          sampleSize: Int = 4096, cache: Boolean = true): Seq[Seq[Double]] = {
+          sampleSize: Int = 4096, cache: Boolean = true,
+          tol: Double = 1e-9): Seq[Seq[Double]] = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val pts = corpus.select(
@@ -113,7 +116,12 @@ object Clustering {
       val dim = cents.head.length
       val vsum = udaf(new VectorSum(dim), VectorSumEncoders.seqDouble)
       var iter = 0
-      while (iter < iters) {
+      var moved = Double.MaxValue
+      // early stop: each Lloyd round is a FULL corpus scan, so once the
+      // codebook stops moving (max centroid displacement <= tol, a
+      // k x dim driver-side check) further rounds are pure waste —
+      // `iters` is the budget, convergence the usual exit
+      while (iter < iters && moved > tol) {
         val agg = cached
           .withColumn("__c", element_at(HashFunctions.nearestCentroids(col("__v"), cents, 1), 1))
           .groupBy(col("__c")).agg(vsum(col("__v")).as("__s"))
@@ -127,6 +135,9 @@ object Clustering {
           // a zero-sum (vectors cancel exactly) keeps the old centroid
           if (norm > 0) next(c) = s.map(_ / norm)
         }
+        moved = cents.zip(next).map { case (a, b) =>
+          math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+        }.max
         cents = next.toSeq
         iter += 1
       }

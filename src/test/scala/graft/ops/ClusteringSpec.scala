@@ -51,6 +51,16 @@ class ClusteringSpec extends AnyFunSuite with Matchers {
     a shouldBe b
   }
 
+  test("fit stops early at convergence: a 50-round budget equals a 5-round fit") {
+    // the separated fixture converges in a handful of rounds; with the
+    // movement-based exit, the extra 45 budgeted rounds never run (and
+    // cannot change the answer)
+    val df = separated
+    val short = Clustering.fit(df, "id", "vec", k = 3, iters = 5)
+    val long = Clustering.fit(df, "id", "vec", k = 3, iters = 50)
+    long shouldBe short
+  }
+
   test("quantize: assignment, tie-break to lowest index, exact cosine") {
     val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(1.0, 0.0))
     val df = Seq(
