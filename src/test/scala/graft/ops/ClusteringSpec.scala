@@ -158,6 +158,22 @@ class ClusteringSpec extends AnyFunSuite with Matchers {
     weightedCos should be >= 0.05
   }
 
+  test("VectorSum is partition-shape independent (exact on integer-valued doubles)") {
+    // integer-valued doubles sum exactly in ANY order, so 1 partition and
+    // 7 partitions must agree bit-for-bit — pinning that the aggregator's
+    // reduce/merge are a true commutative monoid (null rows contribute 0)
+    import org.apache.spark.sql.functions.udaf
+    val vsum = udaf(new graft.functions.VectorSum(3), VectorSumEncoders.seqDouble)
+    val rows = (1 to 97).map(i => Tuple1(Seq(i.toDouble, (i * 2).toDouble, (i % 7).toDouble))) :+
+      Tuple1(null.asInstanceOf[Seq[Double]])
+    def total(parts: Int) = rows.toDF("v").repartition(parts)
+      .agg(vsum(col("v"))).head().getSeq[Double](0)
+    val expect = Seq((1 to 97).map(_.toDouble).sum,
+      (1 to 97).map(_ * 2.0).sum, (1 to 97).map(i => (i % 7).toDouble).sum)
+    total(1) shouldBe expect
+    total(7) shouldBe expect
+  }
+
   test("Lloyd rounds refine an explicit init to the spherical cluster means") {
     // init slightly off the true axes; after refinement each centroid must
     // land on the normalized mean of its blob (computable by hand from the

@@ -291,6 +291,14 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     mb shouldBe (3 + 5 + 11 + 13) / 4.0
   }
 
+  test("boxResize: same-size resample is the exact identity") {
+    // sx = sy = 1 -> every output box covers exactly one source pixel
+    // with weight 1, so round(v/1) must return every byte unchanged,
+    // including values above 127 (signed-byte round-trip)
+    val rgb = Array.tabulate(7 * 5 * 3)(i => ((i * 37 + 200) % 256).toByte)
+    Multimodal.boxResize(7, 5, rgb, 7, 5).toSeq shouldBe rgb.toSeq
+  }
+
   test("boxResize: fractional boxes preserve constant images; non-BMP payloads null") {
     // 5x3 constant color -> 2x2: every fractional-area box averages the
     // same value, so the output must be exactly constant
