@@ -473,6 +473,18 @@ object OpsQueries {
     }),
 
     // ---- deterministic sampling (xxhash-keyed -> rows-only) ------------
+    "p8_token_budget" -> ((s, dir) => {
+      // "take ~5000 tokens per source" in seeded-hash order — the
+      // token-budget mixture primitive; bucketed weight-cumsum keeps the
+      // window sort to ~1/1024 of each source (spec-pinned equal to the
+      // naive whole-group window). xxhash order -> rows-only like the
+      // rest of the sampling family.
+      val d = table(s, dir, "documents")
+        .withColumn("n_tok", size(TextAnalysis.tokens(col("text"))).cast("long"))
+      Sampling.tokenBudgetSample(d, "source", "doc_id", "n_tok", budgetTokens = 5000L)
+        .groupBy("source").agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .orderBy("source")
+    }),
     "p1_hash_split" -> ((s, dir) => {
       val (_, holdout) = Sampling.hashSplit(
         table(s, dir, "documents").select("doc_id", "lang"), "doc_id", 0.2)

@@ -174,4 +174,77 @@ object Sampling {
     * writers inherit the permutation partition-by-partition. */
   def epochShuffle(df: DataFrame, idCol: String, seed: Long = 42L): DataFrame =
     df.orderBy(xxhash64(col(idCol), lit(seed)))
+
+  /** Token-budget sampling: per `groupCol` value, keep rows in seeded-hash
+    * order until the running `tokensCol` total reaches `budgetTokens` —
+    * "take ~B tokens per source", the mixture-building primitive when the
+    * budget is counted in TOKENS rather than documents. The selection
+    * rule is "keep while the total BEFORE this row is < budget", so the
+    * budget-crossing row is included (a nonzero budget always yields at
+    * least one row per group) and the kept set is a deterministic prefix
+    * of the group's hash permutation: membership is stable under
+    * reprocessing and under other groups' changes.
+    *
+    * Scale shape — the naive formulation (a running-sum window over each
+    * whole group) sorts every group in ONE task, a straggler for any
+    * large source. Instead the weight-quantile pattern from the exact-
+    * quartiles engine: the hash's TOP bits form `buckets` order-aligned
+    * prefix buckets (bucket order == hash order), a map-side-combinable
+    * aggregate collects per-(group, bucket) token sums (≤ groups×buckets
+    * rows — aggregate-sized), the driver cumsums each group's buckets to
+    * find its crossing bucket and the budget remaining at its start, and
+    * only THAT bucket's rows (~1/buckets of the group) pay a window sort;
+    * buckets before it are kept outright with a broadcast filter. The
+    * result is row-for-row identical to the naive window (spec-pinned) at
+    * a fraction of its sort cost. */
+  def tokenBudgetSample(df: DataFrame, groupCol: String, idCol: String,
+                        tokensCol: String, budgetTokens: Long,
+                        seed: Long = 42L, buckets: Int = 1024): DataFrame = {
+    require(budgetTokens >= 0, s"budget must be >= 0, got $budgetTokens")
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two >= 2, got $buckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val shift = 64 - java.lang.Long.numberOfTrailingZeros(buckets.toLong)
+    // order-aligned bucket: top log2(buckets) bits of the hash flipped to
+    // unsigned order, so bucket ranks exactly like the signed hash value
+    val h = xxhash64(col(idCol), lit(seed))
+    val bkt = shiftrightunsigned(h.bitwiseXOR(lit(Long.MinValue)), shift)
+    val keyed = df.withColumn("__h", h).withColumn("__b", bkt)
+    val perBucket = keyed.groupBy(col(groupCol).as("__g"), col("__b"))
+      .agg(sum(col(tokensCol)).cast("long").as("__t"))
+      .collect()
+    // driver: cumsum each group's buckets in bucket order -> first bucket
+    // whose prefix crosses the budget, and the budget left at its start
+    val byGroup = perBucket.groupBy(_.get(0))
+    val cuts = byGroup.toSeq.flatMap { case (g, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      var prefix = 0L
+      var cut: Option[(Any, Long, Long)] = None
+      sorted.foreach { r =>
+        if (cut.isEmpty) {
+          if (prefix + r.getLong(2) >= budgetTokens)
+            cut = Some((g, r.getLong(1), budgetTokens - prefix))
+          prefix += r.getLong(2)
+        }
+      }
+      // no crossing: whole group fits the budget -> sentinel above all
+      // buckets keeps everything
+      cut.orElse(Some((g, buckets.toLong, 0L)))
+    }
+    val cutDf = broadcast(cuts.map { case (g, b, r) => (Option(g).map(_.toString), b, r) }
+      .toDF("__cg", "__cutb", "__rem"))
+    // null-safe equality so a NULL group budgets like any other value
+    val joined = keyed.join(cutDf, col(groupCol).cast("string") <=> col("__cg"))
+    val before = joined.filter(col("__b") < col("__cutb"))
+      .drop("__h", "__b", "__cg", "__cutb", "__rem")
+    // only the crossing bucket pays a window sort (~1/buckets of a group)
+    val wBucket = Window.partitionBy(col(groupCol)).orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val crossing = joined.filter(col("__b") === col("__cutb"))
+      .withColumn("__prev", coalesce(sum(col(tokensCol)).over(wBucket), lit(0L)))
+      .filter(col("__prev") < col("__rem"))
+      .drop("__h", "__b", "__cg", "__cutb", "__rem", "__prev")
+    before.unionByName(crossing)
+  }
 }

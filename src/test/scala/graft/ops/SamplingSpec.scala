@@ -135,4 +135,41 @@ class SamplingSpec extends AnyFunSuite with Matchers {
       .groupBy("id", "epoch").count().as[(Long, Long, Long)].collect().toSet
     viaMultiplier shouldBe viaTotal
   }
+
+  test("tokenBudgetSample equals the naive whole-group window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // skewed groups + varied token counts, several partitions
+    val df = (1L to 400L).map { i =>
+      (i, if (i % 5 == 0) "big" else s"s${i % 3}", 1L + (i * 7) % 40)
+    }.toDF("id", "src", "n_tok").repartition(7)
+    for (budget <- Seq(0L, 1L, 100L, 700L, 100000L)) {
+      val fast = Sampling.tokenBudgetSample(df, "src", "id", "n_tok", budget)
+        .select("id").as[Long].collect().toSet
+      val w = Window.partitionBy(col("src"))
+        .orderBy(xxhash64(col("id"), lit(42L)), col("id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val naive = df
+        .withColumn("__prev", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .filter(col("__prev") < budget)
+        .select("id").as[Long].collect().toSet
+      withClue(s"budget $budget: ") { fast shouldBe naive }
+    }
+  }
+
+  test("tokenBudgetSample: prefix stability and per-group budget accounting") {
+    import org.apache.spark.sql.functions._
+    val df = (1L to 300L).map(i => (i, s"g${i % 4}", 10L)).toDF("id", "src", "n_tok")
+    val kept = Sampling.tokenBudgetSample(df, "src", "id", "n_tok", 200L)
+    // exactly ceil(200/10) = 20 docs per group (budget-crossing row kept)
+    kept.groupBy("src").count().collect().map(_.getLong(1)).toSeq shouldBe Seq.fill(4)(20L)
+    // determinism + prefix property: a smaller budget's kept set is a
+    // subset of a larger budget's
+    val small = Sampling.tokenBudgetSample(df, "src", "id", "n_tok", 100L)
+      .select("id").as[Long].collect().toSet
+    val large = Sampling.tokenBudgetSample(df, "src", "id", "n_tok", 200L)
+      .select("id").as[Long].collect().toSet
+    small.subsetOf(large) shouldBe true
+    small should have size 40
+  }
 }
