@@ -301,6 +301,25 @@ object OpsQueries {
           round(col("image_stats.mean_b"), 6).as("img_mean_b"))
         .orderBy("doc_id")
     }),
+    "m5_audio_frames" -> ((s, dir) => {
+      // frame-level features over the REAL PCM decode: the planted WAVs
+      // carry 32 samples whose bytes are a known transform of the doc
+      // text, so every frame's RMS and zero-crossing count is
+      // SQL-derivable. All the math is exact dyadic rationals (v^2/2^30
+      // sums < 2^53) — both engines round the identical double, no
+      // nudge needed.
+      val hdr = lit(Multimodal.wavPcm16Header(dataBytes = 64))
+      val planted = Multimodal.asBinaryPayload(docs(s, dir), "text")
+        .filter(col("doc_id") % 10 === 0)
+        .withColumn("payload",
+          concat(hdr, substring(rpad(col("text"), 64, "x").cast("binary"), 1, 64)))
+      Multimodal.audioFrames(planted.select(col("doc_id"), col("payload")), "payload",
+          frameSize = 8)
+        .select(col("doc_id"), col("frame_id").cast("long").as("frame_id"),
+          col("n_samples").cast("long").as("n_samples"),
+          round(col("rms"), 6).as("rms"), col("zcr").cast("long").as("zcr"))
+        .orderBy("doc_id", "frame_id")
+    }),
     "m4_resize" -> ((s, dir) => {
       // REAL resize pipeline, oracle-checked end to end: plant 4x4 BMPs
       // from the doc text (as m2b), box-resample to 2x2 through
@@ -395,6 +414,28 @@ object OpsQueries {
           length(TextAnalysis.redactPii(t)).cast("long").as("redacted_len"))
         .orderBy("doc_id")
     }),
+    "x10_lm_score" -> ((s, dir) =>
+      // CCNet-style bigram-LM scoring, self-trained on the corpus: model
+      // counts and vocabulary ride in-plan (two map-side-combinable aggs
+      // + a broadcast 1-row vocab), scoring is one join on the bigram
+      // key. avg(ln(..)) is a float sum whose partition order differs
+      // from DuckDB's sequential sum — the shared +5e-10 nudge (the c1
+      // pattern) keeps the 6-decimal rounding off knife edges.
+      TextAnalysis.lmScore(docs(s, dir), "doc_id", "text", alpha = 0.1)
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("avg_logp") + lit(5e-10), 6).as("avg_logp"),
+          round(col("ppl") + lit(5e-10), 4).as("ppl"))
+        .orderBy("doc_id")),
+    "d12_dup_span_fraction" -> ((s, dir) =>
+      // Lee-et-al duplicated-span fraction at 5-gram granularity: the
+      // marked fraction is a ratio of exact longs, so the oracle compare
+      // needs no nudge; gram identity is the 8-byte positional hash on
+      // the Spark side vs the gram string in DuckDB (the d2 precedent —
+      // equal up to 2^-64 collisions).
+      Dedup.dupNgramFraction(docs(s, dir), "doc_id", "text", n = 5)
+        .select(col("doc_id"), col("n_grams"), col("n_dup"),
+          round(col("dup_fraction"), 6).as("dup_fraction"))
+        .orderBy("doc_id")),
     "c1_curation" -> ((s, dir) => {
       // End-to-end corpus curation composite: exact dedup -> quality gate
       // (>= 0.5, an exact double in both engines: 3 passed checks / 6) ->
@@ -830,6 +871,26 @@ object OpsQueries {
           round(col("col.score") + lit(5e-10), 6).as("price"))
         .orderBy("o_orderpriority", "rank")
     }),
+    "o2_zorder_cells" -> ((s, dir) => {
+      // Z-order layout audit: bucket orders into a 256x256 (custkey,
+      // orderkey) grid, compute the Morton key, and report each
+      // 16x16-tile z-cell's row count and PER-DIMENSION min/max. The
+      // tight two-dimensional bounds per cell ARE the data-skipping
+      // property a z-ordered file layout delivers (writeZOrdered's
+      // file-level parquet stats; SinksSpec pins the file-stats side) —
+      // and the key is exact integer bit math DuckDB replays verbatim.
+      val orders = table(s, dir, "orders")
+        .select(pmod(col("o_custkey"), lit(256L)).as("x"),
+          pmod(col("o_orderkey"), lit(256L)).as("y"))
+      orders
+        .select(graft.sources.Sinks.zorderKey(Seq(col("x"), col("y")), 8).as("zkey"),
+          col("x"), col("y"))
+        .groupBy(shiftright(col("zkey"), 8).as("zcell"))
+        .agg(count(lit(1)).as("n"),
+          min("x").as("min_x"), max("x").as("max_x"),
+          min("y").as("min_y"), max("y").as("max_y"))
+        .orderBy("zcell")
+    }),
     "o1_partition_prune" -> ((s, dir) => {
       // Hive-layout partitioned sink + directory-pruned scan: events
       // land partitioned by event_type (pre-shuffled -> one file per
@@ -1061,6 +1122,22 @@ object OpsQueries {
         "round(i.mg, 6) AS img_mean_g, round(i.mb, 6) AS img_mean_b " +
         "FROM base b LEFT JOIN audio a USING (doc_id) LEFT JOIN img i USING (doc_id) " +
         "ORDER BY b.doc_id"),
+    "m5_audio_frames" ->
+      // replay the frame fold from the raw text bytes: LE16 pairs,
+      // sign-extended, frame = i // 8; ZCR counts strict sign flips of
+      // adjacent RAW samples within the frame (i % 8 <> 0 skips each
+      // frame's first sample, whose predecessor is the previous frame)
+      ("WITH base AS (SELECT doc_id, rpad(text, 64, 'x') AS t64 " +
+        "FROM documents WHERE doc_id % 10 = 0), " +
+        "raw AS (SELECT doc_id, t.i, unicode(substring(t64, (2*t.i+1)::INT, 1)) " +
+        "+ 256*unicode(substring(t64, (2*t.i+2)::INT, 1)) AS vu FROM base, range(32) t(i)), " +
+        "s AS (SELECT doc_id, i, CASE WHEN vu >= 32768 THEN vu - 65536 ELSE vu END AS v FROM raw), " +
+        "w AS (SELECT doc_id, i, v, i // 8 AS f, " +
+        "lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM s) " +
+        "SELECT doc_id, f::BIGINT AS frame_id, count(*)::BIGINT AS n_samples, " +
+        "round(sqrt(avg((v/32768.0)*(v/32768.0))), 6) AS rms, " +
+        "sum(CASE WHEN i % 8 <> 0 AND pv * v < 0 THEN 1 ELSE 0 END)::BIGINT AS zcr " +
+        "FROM w GROUP BY doc_id, f ORDER BY doc_id, frame_id"),
     "m4_resize" -> {
       // replay the 4x4 -> 2x2 box resample from the raw text bytes: the
       // planted BMP is t48 as BGR triples at stride 12, output pixel
@@ -1232,6 +1309,37 @@ object OpsQueries {
         s"ROUND(avg($QualityScoreSql) + 5e-10, 6) AS mean_quality " +
         s"FROM f WHERE $QualityScoreSql >= 0.5 " +
         "GROUP BY lang_pred ORDER BY lang_pred"),
+    "x10_lm_score" ->
+      // replay the add-0.1 bigram LM: same lowercased tokens, positional
+      // bigrams via unnest(range), context counts as the sum of bigram
+      // counts, vocabulary = distinct successor words; the same +5e-10
+      // rounding nudge as the Spark side
+      (s"WITH t AS (SELECT doc_id, ${toksOf("text")} AS tk FROM documents), " +
+        "p AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM t WHERE len(tk) >= 2), " +
+        "bg AS (SELECT doc_id, tk[(i)::INT] AS w1, tk[(i+1)::INT] AS w2 FROM p), " +
+        "c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2), " +
+        "c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1), " +
+        "v AS (SELECT count(DISTINCT w2)::DOUBLE AS v FROM bg), " +
+        "sc AS (SELECT bg.doc_id, ln((c2.c2 + 0.1) / (c1.c1 + 0.1 * v.v)) AS lp " +
+        "FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v) " +
+        "SELECT doc_id, count(*)::BIGINT AS n_bigrams, " +
+        "round(avg(lp) + 5e-10, 6) AS avg_logp, " +
+        "round(exp(-avg(lp)) + 5e-10, 4) AS ppl " +
+        "FROM sc GROUP BY doc_id ORDER BY doc_id"),
+    "d12_dup_span_fraction" -> {
+      // positional 5-grams as strings (multiplicity preserved), corpus
+      // occurrence counts, per-doc fraction of positions whose gram
+      // repeats — exact integer ratio, single double division
+      val gram = (1 to 5).map(o => s"tk[(i+${o - 1})::INT]").mkString("concat_ws(' ', ", ", ", ")")
+      s"WITH t AS (SELECT doc_id, ${toksOf("text")} AS tk FROM documents), " +
+        "p AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i FROM t WHERE len(tk) >= 5), " +
+        s"g AS (SELECT doc_id, $gram AS gram FROM p), " +
+        "f AS (SELECT gram, count(*) AS c FROM g GROUP BY gram) " +
+        "SELECT doc_id, count(*)::BIGINT AS n_grams, " +
+        "sum(CASE WHEN f.c >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup, " +
+        "round(sum(CASE WHEN f.c >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS dup_fraction " +
+        "FROM g JOIN f USING (gram) GROUP BY doc_id ORDER BY doc_id"
+    },
     "x7_normalize" ->
       (s"SELECT doc_id, trim(regexp_replace(lower(regexp_replace(text, " +
         s"'[${TextAnalysis.ControlClass}]', ' ', 'g')), " +
@@ -1441,6 +1549,18 @@ object OpsQueries {
         "row_number() OVER (PARTITION BY o_orderpriority " +
         "ORDER BY o_totalprice DESC, o_orderkey) AS rank FROM orders) " +
         "WHERE rank <= 5 ORDER BY o_orderpriority, rank"),
+    "o2_zorder_cells" -> {
+      // Morton key replay: bit b of x lands at position 2b, of y at
+      // 2b+1; the terms touch disjoint bits so + substitutes for | in
+      // any engine
+      val terms = (0 until 8).flatMap(b => Seq(
+        s"(((x >> $b) & 1) << ${2 * b})", s"(((y >> $b) & 1) << ${2 * b + 1})"))
+      "WITH g AS (SELECT o_custkey % 256 AS x, o_orderkey % 256 AS y FROM orders), " +
+        s"z AS (SELECT x, y, ${terms.mkString(" + ")} AS zkey FROM g) " +
+        "SELECT zkey >> 8 AS zcell, count(*)::BIGINT AS n, " +
+        "min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y " +
+        "FROM z GROUP BY zcell ORDER BY zcell"
+    },
     "o1_partition_prune" ->
       ("SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n, " +
         "ROUND(sum(value) + 5e-10, 6) AS sum_value " +

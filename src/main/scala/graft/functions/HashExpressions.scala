@@ -97,6 +97,50 @@ case class ShingleHash(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Positional word n-gram shingle hashes — [[ShingleHash]] WITHOUT the
+  * distinct step: element i is the hash of the n-gram starting at token
+  * i, so multiplicity and order are preserved (one element per n-gram
+  * OCCURRENCE). The duplicated-span metric needs occurrence counts — a
+  * phrase repeated 50 times inside one document must weigh 50 positions,
+  * which set-semantics [[ShingleHash]] collapses to one. Fewer than `n`
+  * tokens collapse to the same whole-text fallback shingle.
+  */
+case class PositionalShingleHash(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "positional_shingle_hash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val th = ShingleOps.tokenHashes(input.asInstanceOf[ArrayData])
+    val numToks = th.length
+    val out =
+      if (numToks < n) { // whole-text fallback shingle (mirrors roll)
+        var h = ShingleOps.Seed
+        var j = 0
+        while (j < numToks) { h = XXH64.hashLong(th(j), h); j += 1 }
+        Array(h)
+      } else {
+        val numShingles = numToks - n + 1
+        val hs = new Array[Long](numShingles)
+        var s = 0
+        while (s < numShingles) {
+          var h = ShingleOps.Seed
+          var j = 0
+          while (j < n) { h = XXH64.hashLong(th(s + j), h); j += 1 }
+          hs(s) = h
+          s += 1
+        }
+        hs
+      }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PositionalShingleHash =
+    copy(child = newChild)
+}
+
 /** Distinct shingle-hash sets for SEVERAL n-gram sizes in one pass:
   * tokens are xxhash64'd once and each size rolls over the shared token
   * hashes, vs one full re-tokenize + re-hash per size when stacking
@@ -645,6 +689,11 @@ object HashFunctions {
   /** Distinct word-n-gram shingle hashes of a token-array column. */
   def shingleHash(tokens: Column, n: Int): Column =
     ColumnBridge.column(ShingleHash(expr(tokens), n))
+
+  /** Positional (multiplicity-preserving) word-n-gram shingle hashes of
+    * a token-array column — element i = hash of the gram at position i. */
+  def positionalShingleHash(tokens: Column, n: Int): Column =
+    ColumnBridge.column(PositionalShingleHash(expr(tokens), n))
 
   /** Struct of distinct shingle-hash sets for several n-gram sizes
     * (field `n<k>` = `shingleHash(tokens, k)`), token-hashing once. */

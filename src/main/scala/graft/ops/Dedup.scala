@@ -167,6 +167,39 @@ object Dedup {
         (col("n_overlap").cast("double") / col("__ng").cast("double")).as("overlap_ratio"))
   }
 
+  /** Duplicated-span fraction (the Lee et al. 2022 "Deduplicating
+    * Training Data" repeated-substring signal, at word-n-gram
+    * granularity): for each document, the fraction of its n-gram
+    * OCCURRENCES that appear at least `minCount` times across the whole
+    * corpus (within-document repeats count — a page that repeats its own
+    * boilerplate 50 times is exactly what the signal exists to flag).
+    * Returns (id, n_grams, n_dup, dup_fraction). Documents with fewer
+    * than `n` tokens have no real n-gram and are excluded.
+    *
+    * Scale shape: positional gram hashes ride one compiled
+    * [[graft.functions.PositionalShingleHash]] pass per doc; the corpus
+    * frequency table is one map-side-combinable count over 8-byte keys
+    * (a gram occurring 10^9 times pre-aggregates to one row per input
+    * partition); marking is one shuffle join on the 8-byte hash; the
+    * per-doc ratio is a second map-side-combinable count. The fraction
+    * is a ratio of exact longs — one double division, bit-identical in
+    * any engine, no float-sum ordering exposure. */
+  def dupNgramFraction(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 5, minCount: Long = 2L): DataFrame = {
+    val tk = TextAnalysis.tokens(lower(col(textCol)))
+    val occ = df.select(col(idCol), tk.as("__tk"))
+      .filter(size(col("__tk")) >= n)
+      .select(col(idCol),
+        explode(graft.functions.HashFunctions.positionalShingleHash(col("__tk"), n)).as("__g"))
+    val freq = occ.groupBy("__g").agg(count(lit(1)).as("__c"))
+    occ.join(freq, Seq("__g"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__c") >= minCount, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_fraction",
+        col("n_dup").cast("double") / col("n_grams").cast("double"))
+  }
+
   /** Corpus-global line-level dedup (C4-style boilerplate removal): every
     * non-empty line survives only at its FIRST occurrence across the whole
     * corpus (ordered by (id, line position)); empty lines always survive
@@ -348,13 +381,22 @@ object Dedup {
       if (e.count() <= localThreshold) {
         // Edges travel to the driver straight into primitive long arrays
         // (16 B/edge, packed per partition) — never an Array[GenericRow].
-        val chunks: Array[(Array[Long], Array[Long])] =
-          e.rdd.mapPartitions { it =>
-            val a = new scala.collection.mutable.ArrayBuilder.ofLong
-            val b = new scala.collection.mutable.ArrayBuilder.ofLong
-            it.foreach { r => a += r.getLong(0); b += r.getLong(1) }
-            Iterator((a.result(), b.result()))
-          }.collect()
+        // Dataset.mapPartitions, NOT .rdd.mapPartitions: the RDD API runs
+        // every closure through ClosureCleaner, which re-reads the
+        // CAPTURING class's bytecode from the classloader — under sbt's
+        // layered test classloader that read intermittently fails with an
+        // NPE when this is called from a spec (observed full-suite-only;
+        // the Dataset API never invokes the cleaner).
+        val chunks: Array[(Array[Long], Array[Long])] = {
+          import e.sparkSession.implicits._
+          e.select(col("id_a").as("_1"), col("id_b").as("_2")).as[(Long, Long)]
+            .mapPartitions { it =>
+              val a = new scala.collection.mutable.ArrayBuilder.ofLong
+              val b = new scala.collection.mutable.ArrayBuilder.ofLong
+              it.foreach { p => a += p._1; b += p._2 }
+              Iterator((a.result(), b.result()))
+            }.collect()
+        }
         // driver union-find with path halving; label = min id per set
         val parent = new scala.collection.mutable.LongMap[Long]()
         def find(x0: Long): Long = {

@@ -115,7 +115,11 @@ object Multimodal {
     * than a null). Returns None for anything that is not a PCM-16 WAV —
     * those formats (compressed audio, images) remain the documented
     * stub. */
-  private[ops] def decodeWavPcm16(bytes: Array[Byte]): Option[(Long, Double, Double, Double)] = {
+  /** Shared RIFF chunk walk: locate the PCM-16 sample range. Returns
+    * (dataOffset, nSamples) — the single definition both the whole-file
+    * stats fold and the frame-level fold build on, so the two decode
+    * paths cannot drift on header semantics. */
+  private[ops] def wavPcm16DataRange(bytes: Array[Byte]): Option[(Int, Int)] = {
     if (bytes == null || bytes.length < 44) return None
     def u8(i: Int): Int = bytes(i) & 0xFF
     def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
@@ -139,8 +143,14 @@ object Multimodal {
       if (next <= i || next > Int.MaxValue) walking = false else i = next.toInt
     }
     if (!fmtOk || dataOff < 0) None
-    else {
-      val n = (math.min(dataLen, (bytes.length - dataOff).toLong) / 2).toInt
+    else Some((dataOff,
+      (math.min(dataLen, (bytes.length - dataOff).toLong) / 2).toInt))
+  }
+
+  private[ops] def decodeWavPcm16(bytes: Array[Byte]): Option[(Long, Double, Double, Double)] =
+    wavPcm16DataRange(bytes).map { case (dataOff, n) =>
+      def u8(i: Int): Int = bytes(i) & 0xFF
+      def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
       var sum = 0.0; var sq = 0.0; var peak = 0.0
       var j = 0
       while (j < n) {
@@ -149,10 +159,47 @@ object Multimodal {
         val a = math.abs(s); if (a > peak) peak = a
         j += 1
       }
-      if (n == 0) Some((0L, 0.0, 0.0, 0.0))
-      else Some((n.toLong, sum / n, math.sqrt(sq / n), peak))
+      if (n == 0) (0L, 0.0, 0.0, 0.0)
+      else (n.toLong, sum / n, math.sqrt(sq / n), peak)
     }
-  }
+
+  /** Frame-level PCM-16 decode: per `frameSize`-sample frame, the RMS
+    * energy (over [-1,1)-normalized samples) and the zero-crossing count
+    * (adjacent RAW int16 pairs with strictly opposite signs — exact
+    * integer math, no float-compare knife edge — counted within the
+    * frame only, never across a frame boundary). The last frame may be
+    * partial. These are the two classic cheap audio features (silence /
+    * speech-music discrimination) a training-data audio pipeline gates
+    * on before any model runs. */
+  private[ops] def decodeWavPcm16Frames(bytes: Array[Byte], frameSize: Int)
+      : Option[Array[(Int, Int, Double, Int)]] =
+    wavPcm16DataRange(bytes).map { case (dataOff, n) =>
+      def u8(i: Int): Int = bytes(i) & 0xFF
+      def sample(j: Int): Int = (u8(dataOff + 2 * j) | (u8(dataOff + 2 * j + 1) << 8)).toShort.toInt
+      val numFrames = (n + frameSize - 1) / frameSize
+      val out = new Array[(Int, Int, Double, Int)](numFrames)
+      var f = 0
+      while (f < numFrames) {
+        val start = f * frameSize
+        val end = math.min(start + frameSize, n)
+        var sq = 0.0; var zc = 0
+        var j = start
+        while (j < end) {
+          val v = sample(j)
+          val s = v / 32768.0
+          sq += s * s
+          // strict sign flip: product of raw int16 values < 0 (max
+          // magnitude 2^30, no overflow) — the formulation the SQL
+          // oracle replays verbatim
+          if (j > start && sample(j - 1) * v < 0) zc += 1
+          j += 1
+        }
+        val fn = end - start
+        out(f) = (f, fn, if (fn == 0) 0.0 else math.sqrt(sq / fn), zc)
+        f += 1
+      }
+      out
+    }
 
   /** Canonical 44-byte PCM-16 WAV header for `dataBytes` of sample data —
     * fixture/builder helper (specs hand-build payloads with it; m2 wraps
@@ -674,6 +721,41 @@ object Multimodal {
         val stats = decodeWavPcm16(r.getAs[Array[Byte]](payloadIdx))
           .map { case (n, mean, rms, peak) => Row(n, mean, rms, peak) }.orNull
         Row.fromSeq(r.toSeq :+ stats)
+      }
+    }(enc)
+  }
+
+  val audioFrameType: StructType = StructType(Seq(
+    StructField("frame_id", IntegerType, nullable = false),
+    StructField("n_samples", IntegerType, nullable = false),
+    StructField("rms", DoubleType, nullable = false),
+    StructField("zcr", IntegerType, nullable = false)))
+
+  /** Frame-level audio feature extraction over a binary column: one
+    * output row per `frameSize`-sample frame of each PCM-16 WAV payload
+    * (rows of other formats are dropped — frame features of an undecoded
+    * payload are meaningless), carrying (frame_id, n_samples, rms, zcr).
+    * Same `mapPartitions` batch shape as [[withAudioStats]]; the explode
+    * happens inside the iterator, so a payload never materializes its
+    * whole frame list as a Spark array value. Pure projection + local
+    * fan-out: no shuffle at any scale, output size = ceil(samples /
+    * frameSize) rows per payload. */
+  def audioFrames(df: DataFrame, payloadCol: String, frameSize: Int = 512): DataFrame = {
+    require(frameSize >= 2, s"frameSize must be >= 2, got $frameSize")
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields.toSeq ++ audioFrameType.fields)
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeWavPcm16Frames(r.getAs[Array[Byte]](payloadIdx), frameSize)
+          .toSeq.flatMap { frames =>
+            frames.iterator.map { case (fid, n, rms, zcr) =>
+              // Seq[Any], not Seq(...): weak conformance would widen the
+              // Int fields to Double next to `rms` and break the encoder
+              Row.fromSeq(r.toSeq ++ Seq[Any](fid, n, rms, zcr))
+            }
+          }
       }
     }(enc)
   }

@@ -302,6 +302,57 @@ object TextAnalysis {
       .select(col(idCol), col("__t.term").as("term"), col("__t.score").as("score"))
   }
 
+  // --- n-gram language-model scoring (CCNet-style quality filter) -----
+
+  /** Bigram language-model document scoring — the CCNet/KenLM-style
+    * quality signal: train an add-α-smoothed bigram LM on the corpus and
+    * score every document by its mean log-probability under that model
+    * (and the equivalent pseudo-perplexity `exp(-avg_logp)`). Documents
+    * full of common word transitions score high; boilerplate soup and
+    * lorem-garbage score low. Training on the corpus being scored is the
+    * deterministic, dependency-free choice (a production pipeline may
+    * swap in counts trained on a held-out reference corpus via the same
+    * two count relations).
+    *
+    * Scale shape: positional bigrams ride ONE `zip_with` projection per
+    * doc (no per-position substring, with multiplicity — `shingles` is
+    * distinct-set semantics and would undercount repeats); the model is
+    * two map-side-combinable aggregations (bigram counts, then context
+    * counts derived as a window-sum OVER the vocabulary-sized count
+    * table — never a second corpus pass); the vocabulary size rides
+    * in-plan as a broadcast 1-row aggregate (the x4 corpus-count
+    * pattern, no driver action); scoring is one shuffle join on the
+    * bigram key. Every occurrence joins to an observed bigram by
+    * construction (self-trained), so no missing-key branch exists.
+    */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String,
+              alpha: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withTk = docs.select(col(idCol), tokens(lower(col(textCol))).as("__tk"))
+      .filter(size(col("__tk")) >= 2)
+    val pairs = withTk.select(col(idCol),
+        explode(zip_with(
+          slice(col("__tk"), lit(1), size(col("__tk")) - 1),
+          slice(col("__tk"), lit(2), size(col("__tk")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
+      .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    val bigramCounts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("__c2"))
+    // context count c(w1) = occurrences of w1 in non-final position =
+    // sum of its bigram counts; the window runs over vocabulary-sized
+    // count rows (bounded per context word by the successor-type count),
+    // not corpus rows
+    val model = bigramCounts.withColumn("__c1",
+      sum("__c2").over(Window.partitionBy("w1")))
+    val vocab = broadcast(bigramCounts.agg(
+      count_distinct(col("w2")).cast("double").as("__v")))
+    pairs.join(model, Seq("w1", "w2")).crossJoin(vocab)
+      .withColumn("__lp",
+        log((col("__c2") + lit(alpha)) / (col("__c1") + lit(alpha) * col("__v"))))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), avg("__lp").as("avg_logp"))
+      .withColumn("ppl", exp(-col("avg_logp")))
+  }
+
   // --- fingerprinting -------------------------------------------------
 
   /** Character k-gram rolling-hash fingerprint (winnowing-style): hash

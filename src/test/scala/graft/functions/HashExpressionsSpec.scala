@@ -294,4 +294,30 @@ class HashExpressionsSpec extends AnyFunSuite with Matchers {
       .select(graft.ops.Dedup.shingles(col("t"), 3).as("g"))
       .head().isNullAt(0) shouldBe true
   }
+
+  test("positional shingle hash preserves order/multiplicity; distinct-set equals ShingleHash") {
+    import graft.functions.HashFunctions.{positionalShingleHash, shingleHash}
+    val toks = graft.ops.TextAnalysis.tokens(lower(col("t")))
+    val df = Seq(
+      "a b c a b c a b",    // repeated trigrams -> multiplicity matters
+      "x y",                // fewer than n -> whole-text fallback
+      "one two three four").toDF("t")
+    val got = df.select(
+        positionalShingleHash(toks, 3).as("p"),
+        shingleHash(toks, 3).as("s"),
+        org.apache.spark.sql.functions.size(toks).as("n")).collect()
+    got.foreach { r =>
+      val p = r.getSeq[Long](0)
+      val s = r.getSeq[Long](1)
+      val n = r.getAs[Int]("n")
+      // one element per POSITION (or the single fallback below n tokens)
+      p.size shouldBe (if (n < 3) 1 else n - 2)
+      // the distinct sorted positional hashes ARE the ShingleHash set
+      p.distinct.sorted shouldBe s
+    }
+    // repeated gram hashes are equal at equal positions-mod-pattern
+    val p0 = got(0).getSeq[Long](0)
+    p0(0) shouldBe p0(3) // (a b c) at positions 1 and 4
+    p0(1) shouldBe p0(4) // (b c a)
+  }
 }

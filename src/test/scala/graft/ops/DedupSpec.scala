@@ -370,4 +370,34 @@ class DedupSpec extends AnyFunSuite with Matchers {
       (r.getAs[Long]("n_overlap"), r.getAs[Double]("overlap_ratio"))).toMap
     gOut shouldBe out
   }
+
+  test("dup-ngram fraction counts positional occurrences against corpus frequency") {
+    // n=3 grams. doc 1: "a b c d" -> grams (a b c), (b c d).
+    // doc 2: "a b c x" -> (a b c), (b c x).
+    // doc 3: "p q r p q r p q" -> 6 grams: (p q r) x2, (q r p) x2,
+    //        (r p q) x2 — every position duplicated WITHIN the doc.
+    // doc 4: "u v" -> fewer than 3 tokens, excluded.
+    // corpus frequencies: (a b c)=2 dup; others in docs 1-2 unique.
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "A B C x"), // lowercased by the operator -> shares (a b c)
+      (3L, "p q r p q r p q"),
+      (4L, "u v")).toDF("doc_id", "text")
+    val out = Dedup.dupNgramFraction(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_dup"), r.getAs[Double]("dup_fraction")))).toMap
+    out.keySet shouldBe Set(1L, 2L, 3L)
+    out(1L) shouldBe ((2L, 1L, 0.5))
+    out(2L) shouldBe ((2L, 1L, 0.5))
+    out(3L) shouldBe ((6L, 6L, 1.0))
+  }
+
+  test("dup-ngram fraction is partition-count independent") {
+    val docs = (1L to 30L).map(i => (i, s"t${i % 4} t${i % 4} t${i % 4} u$i v w"))
+    val a = Dedup.dupNgramFraction(docs.toDF("doc_id", "text").repartition(1), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val b = Dedup.dupNgramFraction(docs.toDF("doc_id", "text").repartition(5), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    a shouldBe b
+  }
 }

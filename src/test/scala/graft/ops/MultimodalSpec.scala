@@ -313,6 +313,42 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     Multimodal.resizeBmp(df, "payload", 2, 2).select("resized").head().isNullAt(0) shouldBe true
   }
 
+  test("audio frames: per-frame RMS/ZCR from hand-built bytes, partial tail, non-WAV dropped") {
+    // 10 samples, frameSize 4 -> frames of 4, 4, 2 (partial tail).
+    // frame 0: 1000, -1000, 1000, -1000  -> 3 sign flips
+    // frame 1: 0, 0, 500, 500            -> 0 flips (zeros never flip)
+    // frame 2: -2000, 2000               -> 1 flip
+    // frame boundaries (s4 vs s5, s8 vs s9... wait s7=500, s8=-2000)
+    // never counted: frame 2's flip is within-frame (s8 -> s9).
+    val samples = Seq[Short](1000, -1000, 1000, -1000, 0, 0, 500, 500, -2000, 2000)
+    val frames = Multimodal.decodeWavPcm16Frames(wavOf(samples), 4).get
+    frames.map(f => (f._1, f._2, f._4)).toSeq shouldBe Seq((0, 4, 3), (1, 4, 0), (2, 2, 1))
+    def rmsOf(xs: Seq[Short]) =
+      math.sqrt(xs.map(s => { val x = s / 32768.0; x * x }).sum / xs.size)
+    frames(0)._3 shouldBe rmsOf(samples.slice(0, 4)) +- 1e-15
+    frames(2)._3 shouldBe rmsOf(samples.slice(8, 10)) +- 1e-15
+
+    // DataFrame operator: WAV rows explode to frames, non-WAV rows drop
+    val df = Seq(
+      (1L, wavOf(samples)),
+      (2L, "not a wav at all".getBytes("US-ASCII"))).toDF("id", "payload")
+    val out = Multimodal.audioFrames(df, "payload", frameSize = 4)
+    out.columns.toSeq shouldBe Seq("id", "payload", "frame_id", "n_samples", "rms", "zcr")
+    val rows = out.orderBy("id", "frame_id").collect()
+    rows.map(_.getAs[Long]("id")).toSeq shouldBe Seq(1L, 1L, 1L)
+    rows.map(_.getAs[Int]("zcr")).toSeq shouldBe Seq(3, 0, 1)
+  }
+
+  test("audio frames: boundary sign flip is NOT counted across frames") {
+    // s3 = 100, s4 = -100: a flip at the 4-sample frame boundary
+    val samples = Seq[Short](100, 100, 100, 100, -100, -100, -100, -100)
+    val frames = Multimodal.decodeWavPcm16Frames(wavOf(samples), 4).get
+    frames.map(_._4).toSeq shouldBe Seq(0, 0)
+    // the same pair inside ONE frame does count
+    val one = Multimodal.decodeWavPcm16Frames(wavOf(samples), 8).get
+    one.map(_._4).toSeq shouldBe Seq(1)
+  }
+
   test("sampleFrames explodes byte-range frames at the stride") {
     val out = Multimodal.sampleFrames(payloads.filter(col("id") === 3L), "payload", stride = 8)
     val frames = out.select("frame_offset", "frame_bytes").orderBy("frame_offset").collect()

@@ -166,4 +166,50 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     out.count() shouldBe 2
     out.columns should contain allOf ("n_tokens", "quality_score", "stopword_ratio")
   }
+
+  test("bigram LM scoring matches a hand-rolled reference model") {
+    // corpus: bigrams with repeats, mixed case (the operator lowercases),
+    // and a 1-token doc (excluded: no bigram exists)
+    val corpus = Seq(
+      (1L, "The cat sat on the mat"),
+      (2L, "the cat ran"),
+      (3L, "a dog sat"),
+      (4L, "cat"))
+    val alpha = 0.5
+    // reference model in plain Scala maps
+    val toks = corpus.map { case (id, t) => id -> t.toLowerCase.split("\\s+").toSeq }
+    val allBigrams = toks.flatMap { case (id, tk) => tk.sliding(2).filter(_.size == 2).map(p => (id, (p(0), p(1)))) }
+    val c2 = allBigrams.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val c1 = allBigrams.groupBy(_._2._1).view.mapValues(_.size.toLong).toMap
+    val v = allBigrams.map(_._2._2).distinct.size.toDouble
+    val expected = allBigrams.groupBy(_._1).view.mapValues { bgs =>
+      val lps = bgs.map { case (_, bg) => math.log((c2(bg) + alpha) / (c1(bg._1) + alpha * v)) }
+      (bgs.size.toLong, lps.sum / lps.size)
+    }.toMap
+
+    val out = TextAnalysis.lmScore(corpus.toDF("doc_id", "text"), "doc_id", "text", alpha)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_logp"), r.getAs[Double]("ppl")))).toMap
+    out.keySet shouldBe Set(1L, 2L, 3L) // doc 4 has no bigram
+    expected.foreach { case (id, (n, avgLp)) =>
+      val (gotN, gotLp, gotPpl) = out(id)
+      gotN shouldBe n
+      gotLp shouldBe avgLp +- 1e-12
+      gotPpl shouldBe math.exp(-avgLp) +- 1e-9
+    }
+    // every doc's score is negative (log-probabilities), ppl > 1
+    out.values.foreach { case (_, lp, ppl) => lp should be < 0.0; ppl should be > 1.0 }
+  }
+
+  test("bigram LM scoring is partition-count independent") {
+    val docs = (1L to 40L).map(i => (i, s"w${i % 5} w${i % 3} w${i % 7} w${i % 5} w${i % 3}"))
+    val df1 = docs.toDF("doc_id", "text").repartition(1)
+    val df7 = docs.toDF("doc_id", "text").repartition(7)
+    val a = TextAnalysis.lmScore(df1, "doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val b = TextAnalysis.lmScore(df7, "doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    a.map(t => (t._1, t._2)) shouldBe b.map(t => (t._1, t._2))
+    a.zip(b).foreach { case (x, y) => x._3 shouldBe y._3 +- 1e-12 }
+  }
 }
