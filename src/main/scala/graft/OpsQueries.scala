@@ -414,6 +414,34 @@ object OpsQueries {
           length(TextAnalysis.redactPii(t)).cast("long").as("redacted_len"))
         .orderBy("doc_id")
     }),
+    "x11_char_entropy" -> ((s, dir) =>
+      // statistical garbage detector: codepoint-entropy in bits via the
+      // one-pass compiled histogram expression; n_cp pins the
+      // codepoint-vs-UTF-16 unit choice against the oracle's character
+      // counting
+      docs(s, dir).filter(length(col("text")) > 0)
+        .withColumn("__e", graft.functions.HashFunctions.charEntropy(col("text")))
+        .select(col("doc_id"), col("__e.n_cp").cast("long").as("n_cp"),
+          round(col("__e.entropy") + lit(5e-10), 6).as("char_entropy"))
+        .orderBy("doc_id")),
+    "x12_url_domains" -> ((s, dir) =>
+      // domain histogram for mixture weighting / domain filtering: URL
+      // hosts with multiplicity, exact top-20 with deterministic
+      // tiebreak (the x3 shape — map-side-combinable count, tiny
+      // result). The corpus contains no URLs, so they are PLANTED
+      // in-plan from doc_id (the m-family payload precedent — the
+      // oracle replays the planting): mixed-case hosts exercise the
+      // lowercasing, the :8080 variant the port boundary.
+      docs(s, dir)
+        .withColumn("text",
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" https://site-"), col("doc_id") % 7, lit(".example.org/a"))).otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" https://CDN-"), col("doc_id") % 4, lit(".Example.net:8080/b"))).otherwise(lit(""))))
+        .select(explode(TextAnalysis.urlHosts(col("text"))).as("host"))
+        .groupBy("host").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("host")).limit(20)),
     "x10_lm_score" -> ((s, dir) =>
       // CCNet-style bigram-LM scoring, self-trained on the corpus: model
       // counts and vocabulary ride in-plan (two map-side-combinable aggs
@@ -947,6 +975,56 @@ object OpsQueries {
           date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"))
         .orderBy("c_custkey", "version")
     }),
+    "u5_snapshot_diff" -> ((s, dir) => {
+      // migration-validation diff: two synthetic snapshots of orders
+      // (key-filtered, every 3rd price bumped x1.1) through the one-join
+      // full-outer classifier. Every arithmetic input is the identical
+      // double in both engines, so added/removed/changed/unchanged
+      // assignment is exact.
+      val src = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val before = src.filter(col("o_orderkey") % 7 =!= 0)
+      val after = src.filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") * 1.1)
+            .otherwise(col("o_totalprice")))
+      Merge.snapshotDiff(before, after, "o_orderkey",
+          Seq("o_totalprice", "o_orderstatus"))
+        .select(col("o_orderkey"), col("diff_class"),
+          round(col("before_o_totalprice") + lit(5e-10), 6).as("before_price"),
+          round(col("after_o_totalprice") + lit(5e-10), 6).as("after_price"),
+          col("before_o_orderstatus").as("before_status"),
+          col("after_o_orderstatus").as("after_status"))
+        .orderBy("o_orderkey")
+    }),
+    "a10_anomaly" -> ((s, dir) => {
+      // rolling z-score outlier detection over hourly event counts: the
+      // trailing-24h mean/var derive from window sums of exact longs
+      // (count, sum, sum-of-squares), so z is the identical double in
+      // both engines — the frame excludes the current row (self-exclusion
+      // keeps a spike from masking itself), and short history (< 12
+      // prior hours) is skipped rather than scored against noise.
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Util.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-24, -1)
+      hourly
+        .withColumn("cnt", count(lit(1)).over(w))
+        .withColumn("s", sum("n").over(w))
+        .withColumn("ssq", sum(col("n") * col("n")).over(w))
+        .filter(col("cnt") >= 12)
+        .withColumn("vr",
+          (col("ssq").cast("double") - col("s").cast("double") * col("s") / col("cnt")) / col("cnt"))
+        .filter(col("vr") > 0)
+        .withColumn("z",
+          (col("n").cast("double") - col("s").cast("double") / col("cnt")) / sqrt(col("vr")))
+        .filter(abs(col("z")) >= 2.0)
+        .select(col("event_type"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("h"),
+          col("n"), round(col("z") + lit(5e-10), 6).as("z"))
+        .orderBy("event_type", "h")
+    }),
   )
 
   // DuckDB-side token array matching TextAnalysis.tokens. The whitespace
@@ -1309,6 +1387,59 @@ object OpsQueries {
         s"ROUND(avg($QualityScoreSql) + 5e-10, 6) AS mean_quality " +
         s"FROM f WHERE $QualityScoreSql >= 0.5 " +
         "GROUP BY lang_pred ORDER BY lang_pred"),
+    "x11_char_entropy" ->
+      // character frequencies via substring over a position range
+      // (DuckDB substring/length are character-unit, matching the Spark
+      // expression's codepoint loop); entropy from exact integer counts
+      ("WITH cpos AS (SELECT doc_id, text, unnest(range(1, length(text)+1)) AS i " +
+        "FROM documents WHERE length(text) > 0), " +
+        "chars AS (SELECT doc_id, substring(text, (i)::INT, 1) AS ch FROM cpos), " +
+        "f AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch), " +
+        "n AS (SELECT doc_id, sum(c)::BIGINT AS n FROM f GROUP BY doc_id) " +
+        "SELECT n.doc_id, n.n AS n_cp, " +
+        "round(log2(n.n) - sum(f.c * log2(f.c)) / n.n + 5e-10, 6) AS char_entropy " +
+        "FROM f JOIN n USING (doc_id) GROUP BY n.doc_id, n.n ORDER BY n.doc_id"),
+    "x12_url_domains" ->
+      ("WITH planted AS (SELECT doc_id, text || " +
+        "(CASE WHEN doc_id % 3 = 0 THEN ' https://site-' || (doc_id % 7)::VARCHAR || '.example.org/a' ELSE '' END) || " +
+        "(CASE WHEN doc_id % 5 = 0 THEN ' https://CDN-' || (doc_id % 4)::VARCHAR || '.Example.net:8080/b' ELSE '' END) AS text " +
+        "FROM documents), " +
+        s"h AS (SELECT unnest(regexp_extract_all(text, '${TextAnalysis.UrlHostPattern}', 1)) AS host " +
+        "FROM planted), " +
+        "g AS (SELECT lower(host) AS host, count(*) AS cnt FROM h GROUP BY 1) " +
+        "SELECT host, cnt FROM g ORDER BY cnt DESC, host LIMIT 20"),
+    "u5_snapshot_diff" ->
+      ("WITH src AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders), " +
+        "bf AS (SELECT * FROM src WHERE o_orderkey % 7 <> 0), " +
+        "af AS (SELECT o_orderkey, CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1 " +
+        "ELSE o_totalprice END AS o_totalprice, o_orderstatus FROM src WHERE o_orderkey % 5 <> 0) " +
+        "SELECT coalesce(b.o_orderkey, a.o_orderkey) AS o_orderkey, " +
+        "CASE WHEN b.o_orderkey IS NULL THEN 'added' " +
+        "WHEN a.o_orderkey IS NULL THEN 'removed' " +
+        "WHEN (b.o_totalprice IS DISTINCT FROM a.o_totalprice) " +
+        "OR (b.o_orderstatus IS DISTINCT FROM a.o_orderstatus) THEN 'changed' " +
+        "ELSE 'unchanged' END AS diff_class, " +
+        "round(b.o_totalprice + 5e-10, 6) AS before_price, " +
+        "round(a.o_totalprice + 5e-10, 6) AS after_price, " +
+        "b.o_orderstatus AS before_status, a.o_orderstatus AS after_status " +
+        "FROM bf b FULL OUTER JOIN af a ON b.o_orderkey = a.o_orderkey " +
+        "ORDER BY o_orderkey"),
+    "a10_anomaly" ->
+      // every statistic the z-score consumes is a window sum of exact
+      // integers; the double arithmetic is written in the identical
+      // operation order as the Spark expression
+      ("WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n " +
+        "FROM events GROUP BY 1, 2), " +
+        "w AS (SELECT event_type, h, n, count(*) OVER win AS cnt, " +
+        "sum(n) OVER win AS s, sum(n*n) OVER win AS ssq FROM hourly " +
+        "WINDOW win AS (PARTITION BY event_type ORDER BY h " +
+        "ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)), " +
+        "v AS (SELECT event_type, h, n, cnt, s, " +
+        "(ssq::DOUBLE - s::DOUBLE * s / cnt) / cnt AS vr FROM w WHERE cnt >= 12) " +
+        "SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS h, n::BIGINT AS n, " +
+        "round((n::DOUBLE - s::DOUBLE / cnt) / sqrt(vr) + 5e-10, 6) AS z " +
+        "FROM v WHERE vr > 0 AND abs((n::DOUBLE - s::DOUBLE / cnt) / sqrt(vr)) >= 2.0 " +
+        "ORDER BY event_type, h"),
     "x10_lm_score" ->
       // replay the add-0.1 bigram LM: same lowercased tokens, positional
       // bigrams via unnest(range), context counts as the sum of bigram

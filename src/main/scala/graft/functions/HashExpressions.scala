@@ -336,6 +336,54 @@ case class ArrayFreqStats(child: Expression)
     copy(child = newChild)
 }
 
+/** Shannon entropy of a text column's CODEPOINT distribution, in bits
+  * per character, plus the codepoint count — the cheap statistical
+  * garbage detector (binary-soup/random-key text scores near log2 of
+  * its alphabet; natural language sits around 4-4.5 bits; single-char
+  * spam near 0). One hash-map pass per row, no shuffle. Codepoints, not
+  * UTF-16 chars: the oracle engine counts characters, so surrogate
+  * pairs must weigh 1 on both sides. Entropy is computed as
+  * `log2(n) - sum(c*log2(c))/n` from exact integer counts — the only
+  * float exposure is per-term log rounding, absorbed by the shared
+  * oracle nudge. */
+case class CharEntropy(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_cp", IntegerType, nullable = false),
+    StructField("entropy", DoubleType, nullable = false)))
+  override def prettyName: String = "char_entropy"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val counts = new java.util.HashMap[Integer, Int](64)
+    var n = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      counts.merge(cp, 1, (a, b) => a + b)
+      n += 1
+      i += Character.charCount(cp)
+    }
+    val ent =
+      if (n == 0) 0.0
+      else {
+        val ln2 = math.log(2.0)
+        var acc = 0.0
+        val it = counts.values().iterator()
+        while (it.hasNext) { val c = it.next().toDouble; acc += c * (math.log(c) / ln2) }
+        math.log(n.toDouble) / ln2 - acc / n
+      }
+    val cells = new Array[Any](2)
+    cells(0) = n
+    cells(1) = ent
+    org.apache.spark.sql.catalyst.InternalRow.fromSeq(cells.toIndexedSeq)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}
+
 /** Winnowing-style character k-gram fingerprint: xxhash64 (seed 42, the
   * `xxhash64()` function's seed) of every k-char window of the text, then
   * the `keep` smallest DISTINCT hashes, ascending — bit-identical to
@@ -718,6 +766,11 @@ object HashFunctions {
     * total_chars, dup_chars) of a string-array column. */
   def arrayFreqStats(arr: Column): Column =
     ColumnBridge.column(ArrayFreqStats(expr(arr)))
+
+  /** One-pass codepoint-entropy struct (n_cp, entropy-in-bits) of a
+    * text column. */
+  def charEntropy(text: Column): Column =
+    ColumnBridge.column(CharEntropy(expr(text)))
 
   /** Winnowing-style fingerprint: the `keep` smallest distinct xxhash64
     * values over the k-char windows of a text column, ascending. */

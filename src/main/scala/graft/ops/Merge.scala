@@ -95,4 +95,37 @@ object Merge {
         col(tsCol).as(fromCol) :+
         lead(col(tsCol), 1).over(w).as(toCol): _*)
   }
+
+  /** Row-level diff of two keyed snapshots — the validation step after
+    * any migration/backfill/CDC replay: classify every key as `added`
+    * (only in `after`), `removed` (only in `before`), `changed` (present
+    * in both, any `compareCols` value differs — null-safe, so
+    * null -> value and value -> null both count), or `unchanged`.
+    * Returns one row per key with the class and both sides' compare
+    * values (before_/after_-prefixed).
+    *
+    * Scale shape: ONE full-outer equi-join on the key, hash-partitioned
+    * both sides; the classification is a pure projection on the joined
+    * row. Nothing is keyed wider than `keyCol`, no window, no collect —
+    * diffing two 100 TB snapshots is exactly one co-partitioned join. */
+  def snapshotDiff(before: DataFrame, after: DataFrame, keyCol: String,
+                   compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "compareCols must be non-empty")
+    // explicit presence markers: compare-column nullness cannot signal
+    // presence (a present row may carry legitimate nulls)
+    val b = before.select(col(keyCol) +: lit(true).as("__in_before") +:
+      compareCols.map(c => col(c).as(s"before_$c")): _*)
+    val a = after.select(col(keyCol) +: lit(true).as("__in_after") +:
+      compareCols.map(c => col(c).as(s"after_$c")): _*)
+    val changed = compareCols
+      .map(c => not(col(s"before_$c") <=> col(s"after_$c")))
+      .reduce(_ || _)
+    b.join(a, Seq(keyCol), "full_outer")
+      .withColumn("diff_class",
+        when(col("__in_before").isNull, lit("added"))
+          .when(col("__in_after").isNull, lit("removed"))
+          .when(changed, lit("changed"))
+          .otherwise(lit("unchanged")))
+      .drop("__in_before", "__in_after")
+  }
 }

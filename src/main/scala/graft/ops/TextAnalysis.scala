@@ -218,6 +218,18 @@ object TextAnalysis {
   // dotted) never doubles as a phone number
   val PhonePattern = "\\+?[0-9][0-9() -]{6,}[0-9]"
 
+  /** URL host capture — group 1 of every URL match. The class excludes
+    * '/', ':' (path/port boundary) and the shared explicit whitespace
+    * class; valid as both Java regex and RE2 so the oracle runs it
+    * verbatim. */
+  val UrlHostPattern = s"https?://([^/:$WhitespaceClass]+)"
+
+  /** Lowercased hosts of every URL occurrence in the text (with
+    * multiplicity — domain mixing weights want occurrence counts). Pure
+    * projection, no shuffle. */
+  def urlHosts(text: Column): Column =
+    transform(regexp_extract_all(text, lit(UrlHostPattern), lit(1)), h => lower(h))
+
   def emailCount(text: Column): Column = regexp_count(text, lit(EmailPattern))
   def urlCount(text: Column): Column = regexp_count(text, lit(UrlPattern))
   def ipv4Count(text: Column): Column = regexp_count(text, lit(Ipv4Pattern))

@@ -295,6 +295,27 @@ class HashExpressionsSpec extends AnyFunSuite with Matchers {
       .head().isNullAt(0) shouldBe true
   }
 
+  test("charEntropy: known distributions, codepoint units, empty and null") {
+    def ent(t: String): (Int, Double) = {
+      val r = Seq(t).toDF("t")
+        .select(HashFunctions.charEntropy(col("t")).as("e")).head().getStruct(0)
+      (r.getInt(0), r.getDouble(1))
+    }
+    ent("aaaa") shouldBe ((4, 0.0))
+    ent("aabb")._2 shouldBe 1.0 +- 1e-12           // two equiprobable symbols
+    ent("abcd")._2 shouldBe 2.0 +- 1e-12           // four equiprobable symbols
+    val (n3, e3) = ent("aab")                       // 2/3,1/3 distribution
+    n3 shouldBe 3
+    e3 shouldBe -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3)) / math.log(2) +- 1e-12
+    // an astral-plane codepoint (surrogate pair in UTF-16) counts ONCE —
+    // the unit the character-based oracle counts
+    ent("a😀")._1 shouldBe 2
+    ent("") shouldBe ((0, 0.0))
+    Seq[Option[String]](None).toDF("t")
+      .select(HashFunctions.charEntropy(col("t")).as("e"))
+      .head().isNullAt(0) shouldBe true
+  }
+
   test("positional shingle hash preserves order/multiplicity; distinct-set equals ShingleHash") {
     import graft.functions.HashFunctions.{positionalShingleHash, shingleHash}
     val toks = graft.ops.TextAnalysis.tokens(lower(col("t")))

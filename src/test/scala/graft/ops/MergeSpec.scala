@@ -145,4 +145,30 @@ class MergeSpec extends AnyFunSuite with Matchers {
       (1L, 3L, "v2b", 200L, None),
       (2L, 1L, "w1", 150L, None))
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged, null-safe") {
+    val before = Seq(
+      (1L, Some("a"), Some(1.0)),  // unchanged
+      (2L, Some("b"), Some(2.0)),  // changed (value)
+      (3L, None, Some(3.0)),       // changed (null -> value)
+      (4L, Some("d"), None),       // unchanged (null == null is not a change)
+      (5L, Some("e"), Some(5.0))   // removed
+    ).toDF("k", "s", "v")
+    val after = Seq(
+      (1L, Some("a"), Some(1.0)),
+      (2L, Some("B"), Some(2.0)),
+      (3L, Some("c"), Some(3.0)),
+      (4L, Some("d"), None),
+      (6L, Some("f"), Some(6.0))   // added
+    ).toDF("k", "s", "v")
+    val out = Merge.snapshotDiff(before, after, "k", Seq("s", "v"))
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("diff_class")).toMap
+    out shouldBe Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed",
+      4L -> "unchanged", 5L -> "removed", 6L -> "added")
+    // both sides' values ride along, null where absent
+    val row6 = Merge.snapshotDiff(before, after, "k", Seq("s", "v"))
+      .filter($"k" === 6L).head()
+    row6.isNullAt(row6.fieldIndex("before_s")) shouldBe true
+    row6.getAs[String]("after_s") shouldBe "f"
+  }
 }

@@ -167,6 +167,13 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     out.columns should contain allOf ("n_tokens", "quality_score", "stopword_ratio")
   }
 
+  test("urlHosts extracts lowercased hosts, stopping at port/path boundaries") {
+    val t = "see https://Example.COM/path and http://cdn-1.site.net:8080/x plus " +
+      "https://a.b.c no-scheme.example.org ftp://skipped.example"
+    one[Seq[String]](TextAnalysis.urlHosts(col("t")), t) shouldBe
+      Seq("example.com", "cdn-1.site.net", "a.b.c")
+  }
+
   test("bigram LM scoring matches a hand-rolled reference model") {
     // corpus: bigrams with repeats, mixed case (the operator lowercases),
     // and a 1-token doc (excluded: no bigram exists)
