@@ -166,6 +166,16 @@ object OpsQueries {
         .agg(count(lit(1)).as("n"), round(avg(col("l2")) + lit(5e-10), 6).as("mean_l2"))
         .orderBy("lang", "label")
     }),
+    "s6_random_projection" -> ((s, dir) =>
+      // JL dimensionality reduction 64 -> 8 over the seeded plane set
+      // LSH shares; the projection array is materialized ONCE (the __p
+      // CollapseProject sharing pattern) and unpacked into one column
+      // per component for the hash compare
+      table(s, dir, "embeddings")
+        .withColumn("__pr", Similarity.randomProjection(col("embedding"), 8, 64))
+        .select(col("vec_id") +: (0 until 8).map(i =>
+          round(element_at(col("__pr"), i + 1) + lit(5e-10), 6).as(s"p$i")): _*)
+        .orderBy("vec_id")),
     "s4_vector_norms" -> ((s, dir) => {
       // elementwise vector math via codegen'd higher-order functions
       // (transform/aggregate/array_max) — zero shuffle, pure projection;
@@ -1276,6 +1286,17 @@ object OpsQueries {
         "GROUP BY d.lang, e.label ORDER BY d.lang, e.label"),
     // list_aggregate('sum') folds in list order, same as Spark's
     // aggregate() — identical doubles, identical order, identical sum
+    "s6_random_projection" -> {
+      // plane literals + 1/sqrt(8) as round-tripped double strings; both
+      // engines run the same sequential double inner product (the d5
+      // precedent), so each component is the identical double
+      val planes = graft.ops.Similarity.randomPlanes(8, 64)
+      val scale = 1.0 / math.sqrt(8.0)
+      val cols = planes.zipWithIndex.map { case (p, i) =>
+        s"round(list_inner_product(embedding::DOUBLE[], ${p.mkString("[", ", ", "]")}) " +
+          s"* $scale + 5e-10, 6) AS p$i" }
+      s"SELECT vec_id, ${cols.mkString(", ")} FROM embeddings ORDER BY vec_id"
+    },
     "s4_vector_norms" ->
       ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
         "s AS (SELECT vec_id, v, list_aggregate(list_transform(v, x -> x * x), 'sum') AS sq FROM e) " +

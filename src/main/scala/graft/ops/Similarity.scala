@@ -68,6 +68,24 @@ object Similarity {
     Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Johnson-Lindenstrauss random projection: `outDim` seeded Gaussian
+    * planes (the [[randomPlanes]] generator LSH already uses — same
+    * seed, same planes), each output component `dot(v, plane_j) /
+    * sqrt(outDim)` so expected squared distances are preserved. The
+    * standard dimensionality-reduction step before ANN indexing /
+    * clustering at scale: a 100 TB embedding column shrinks by
+    * `inDim/outDim` with JL-bounded distance distortion, and every
+    * downstream operator (LSH, IVF, k-means) runs on the short vectors.
+    * Pure projection — `outDim` compiled dot products per row, no
+    * shuffle; both the planes and the scale are plan literals an
+    * external engine replays bit-for-bit (sequential double dot, the d5
+    * oracle precedent). */
+  def randomProjection(vec: Column, outDim: Int, inDim: Int, seed: Long = 42L): Column = {
+    val planes = randomPlanes(outDim, inDim, seed)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    array(planes.map(p => dot(vec.cast("array<double>"), litVec(p)) * scale): _*)
+  }
+
   /** LSH bucket id: one sign bit per hyperplane, packed into a long. */
   def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>

@@ -192,4 +192,37 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
     df.select(Similarity.lshBucket(col("v"), planes).as("b"))
       .head().getAs[Long]("b") shouldBe 1L
   }
+
+  test("random projection: deterministic, correct formula, JL distance preservation") {
+    // formula pin: projection component j = dot(v, plane_j)/sqrt(k)
+    val planes = Similarity.randomPlanes(4, 3)
+    val v = Seq(0.5, -1.0, 2.0)
+    val expected = planes.map(p =>
+      p.zip(v).map { case (a, b) => a * b }.sum / math.sqrt(4.0))
+    val got = Seq(Tuple1(v)).toDF("emb")
+      .select(Similarity.randomProjection(col("emb"), 4, 3).as("p"))
+      .head().getSeq[Double](0)
+    got.zip(expected).foreach { case (g, e) => g shouldBe e +- 1e-12 }
+
+    // JL property on a deterministic point set: k=16 projections of
+    // 40-dim vectors keep pairwise squared distances within a modest
+    // distortion band (seed fixed -> this is a deterministic assertion,
+    // not a statistical one)
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(12)(Seq.fill(40)(rnd.nextGaussian()))
+    val proj = pts.toDF("emb")
+      .select(Similarity.randomProjection(col("emb"), 16, 40).as("p"))
+      .collect().map(_.getSeq[Double](0))
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for {
+      i <- pts.indices; j <- pts.indices if i < j
+    } yield d2(proj(i), proj(j)) / d2(pts(i), pts(j))
+    // all pairwise ratios within the (loose) k=16 JL band — the worst
+    // pair under this fixed seed sits at 2.56, so the band is 0.25-3.0;
+    // tightening it means raising k, not wishing the variance away
+    ratios.foreach(r => r should (be > 0.25 and be < 3.0))
+    // and centered on 1 on average
+    (ratios.sum / ratios.size) shouldBe 1.0 +- 0.35
+  }
 }
