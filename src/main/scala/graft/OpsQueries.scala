@@ -494,6 +494,41 @@ object OpsQueries {
         .orderBy("lang_pred")
     }),
 
+    "c4_curation_v2" -> ((s, dir) => {
+      // End-to-end curation composing the round-9 signals: exact dedup
+      // -> quality + duplicated-span GATES (both exact arithmetic:
+      // quality is n/6, dup_fraction a long ratio — a float gate here
+      // could flake the oracle on a knife-edge doc) -> per-language
+      // report carrying the float signals (entropy, LM perplexity) only
+      // inside nudged-rounded aggregates. Empty docs are garbage by
+      // definition and leave at the dedup step.
+      val dd = Dedup.exact(docs(s, dir), "doc_id", "text")
+        .filter(length(col("text")) > 0)
+      val p = col("__p")
+      val scored = dd
+        .withColumn("__p", TextAnalysis.profile(col("text")))
+        .withColumn("__e", graft.functions.HashFunctions.charEntropy(col("text")))
+        .select(col("doc_id"),
+          TextAnalysis.languageIdP(p).as("lang_pred"),
+          TextAnalysis.qualityScoreP(p).as("q"),
+          TextAnalysis.tokenCountP(p).cast("long").as("n_tok"),
+          col("__e.entropy").as("entropy"))
+      val dup = Dedup.dupNgramFraction(dd, "doc_id", "text", n = 5)
+        .select(col("doc_id"), col("dup_fraction"))
+      val lm = TextAnalysis.lmScore(dd, "doc_id", "text", alpha = 0.1)
+        .select(col("doc_id"), col("ppl"))
+      scored
+        .join(dup, Seq("doc_id"), "left")
+        .join(lm, Seq("doc_id"), "left")
+        .filter(col("q") >= 0.5 &&
+          (col("dup_fraction").isNull || col("dup_fraction") <= 0.5))
+        .groupBy("lang_pred")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("n_tokens"),
+          round(avg("entropy") + lit(5e-10), 6).as("mean_entropy"),
+          round(avg("ppl") + lit(5e-10), 4).as("mean_ppl"))
+        .orderBy("lang_pred")
+    }),
     "d11_semantic_dedup" -> ((s, dir) => {
       // SemDeDup against the same FIXED deterministic codebook as c2
       // (embeddings vec_id < 8): min-id dominance at cosine >= 0.2
@@ -1408,6 +1443,44 @@ object OpsQueries {
         s"ROUND(avg($QualityScoreSql) + 5e-10, 6) AS mean_quality " +
         s"FROM f WHERE $QualityScoreSql >= 0.5 " +
         "GROUP BY lang_pred ORDER BY lang_pred"),
+    "c4_curation_v2" -> {
+      // composed from the verified x11/d12/x10 CTE shapes over the
+      // deduped, non-empty corpus; the shared `t` CTE (doc_id, text, tk)
+      // from enrichSql feeds every signal so tokenization cannot drift
+      val dd = "(SELECT doc_id, text FROM (SELECT doc_id, text, " +
+        "row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM documents) " +
+        "WHERE rn = 1 AND length(text) > 0) dd"
+      val gram = (1 to 5).map(o => s"tk[(i+${o - 1})::INT]").mkString("concat_ws(' ', ", ", ", ")")
+      enrichSql(dd) +
+        ", chpos AS (SELECT doc_id, text, unnest(range(1, length(text)+1)) AS i FROM t), " +
+        "chars AS (SELECT doc_id, substring(text, (i)::INT, 1) AS ch FROM chpos), " +
+        "cf AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch), " +
+        "cn AS (SELECT doc_id, sum(c)::BIGINT AS n FROM cf GROUP BY doc_id), " +
+        "ent AS (SELECT cn.doc_id, log2(cn.n) - sum(cf.c * log2(cf.c)) / cn.n AS entropy " +
+        "FROM cf JOIN cn USING (doc_id) GROUP BY cn.doc_id, cn.n), " +
+        "dp AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i FROM t WHERE len(tk) >= 5), " +
+        s"dg AS (SELECT doc_id, $gram AS gram FROM dp), " +
+        "dfr AS (SELECT gram, count(*) AS c FROM dg GROUP BY gram), " +
+        "dupf AS (SELECT doc_id, sum(CASE WHEN dfr.c >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*) AS dup_fraction " +
+        "FROM dg JOIN dfr USING (gram) GROUP BY doc_id), " +
+        "lpos AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM t WHERE len(tk) >= 2), " +
+        "bg AS (SELECT doc_id, tk[(i)::INT] AS w1, tk[(i+1)::INT] AS w2 FROM lpos), " +
+        "bc2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2), " +
+        "bc1 AS (SELECT w1, sum(c2) AS c1 FROM bc2 GROUP BY w1), " +
+        "vv AS (SELECT count(DISTINCT w2)::DOUBLE AS v FROM bg), " +
+        "lmsc AS (SELECT bg.doc_id, ln((bc2.c2 + 0.1) / (bc1.c1 + 0.1 * vv.v)) AS lp " +
+        "FROM bg JOIN bc2 USING (w1, w2) JOIN bc1 USING (w1) CROSS JOIN vv), " +
+        "lmq AS (SELECT doc_id, exp(-avg(lp)) AS ppl FROM lmsc GROUP BY doc_id) " +
+        s"SELECT $LangPickSql AS lang_pred, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens, " +
+        "round(avg(ent.entropy) + 5e-10, 6) AS mean_entropy, " +
+        "round(avg(lmq.ppl) + 5e-10, 4) AS mean_ppl " +
+        "FROM f JOIN ent ON f.doc_id = ent.doc_id " +
+        "LEFT JOIN dupf ON f.doc_id = dupf.doc_id " +
+        "LEFT JOIN lmq ON f.doc_id = lmq.doc_id " +
+        s"WHERE $QualityScoreSql >= 0.5 " +
+        "AND (dupf.dup_fraction IS NULL OR dupf.dup_fraction <= 0.5) " +
+        "GROUP BY lang_pred ORDER BY lang_pred"
+    },
     "x11_char_entropy" ->
       // character frequencies via substring over a position range
       // (DuckDB substring/length are character-unit, matching the Spark
