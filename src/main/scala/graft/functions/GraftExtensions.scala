@@ -71,6 +71,15 @@ object GraftExtensions {
       info("sanitize_strat",
         "sanitize_strat(s) - stratum sanitization: space -> '_', non-ASCII run -> '?'"),
       (args: Seq[Expression]) => SanitizeStrat(args(0))),
+    (FunctionIdentifier("positional_shingle_hash"),
+      info("positional_shingle_hash",
+        "positional_shingle_hash(tokens, n) - word n-gram hashes per POSITION (multiplicity kept)"),
+      (args: Seq[Expression]) => PositionalShingleHash(args(0),
+        intLit(args(1), "positional_shingle_hash n"))),
+    (FunctionIdentifier("char_entropy"),
+      info("char_entropy",
+        "char_entropy(text) - struct(n_cp, entropy): codepoint-distribution Shannon entropy in bits"),
+      (args: Seq[Expression]) => CharEntropy(args(0))),
   )
 
   /** Registers the functions into an already-running session. */

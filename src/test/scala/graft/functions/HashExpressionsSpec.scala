@@ -114,7 +114,9 @@ class HashExpressionsSpec extends AnyFunSuite with Matchers {
         |  string_shingles(split('a b c', ' '), 2) AS ss,
         |  array_freq_stats(array('x', 'y', 'x')).max_count AS mc,
         |  size(char_shingle_fingerprint('the quick brown fox', 4, 8)) AS fp,
-        |  sanitize_strat('a b é') AS st
+        |  sanitize_strat('a b é') AS st,
+        |  size(positional_shingle_hash(split('a b a b', ' '), 2)) AS ps,
+        |  char_entropy('aabb').entropy AS ce
         |""".stripMargin).head()
     r.getAs[Double]("cs") shouldBe 1.0
     r.getAs[Double]("dp") shouldBe 11.0
@@ -123,6 +125,8 @@ class HashExpressionsSpec extends AnyFunSuite with Matchers {
     r.getAs[Int]("mc") shouldBe 2
     r.getAs[Int]("fp") shouldBe 8
     r.getAs[String]("st") shouldBe "a_b_?"
+    r.getAs[Int]("ps") shouldBe 3 // 4 tokens -> 3 positional bigrams
+    r.getAs[Double]("ce") shouldBe 1.0 +- 1e-12
     // matches the Column-API path
     val viaCol = Seq("a b c").toDF("t")
       .select(HashFunctions.simHash64(split(col("t"), " ")).as("sh")).head().getAs[Long]("sh")
@@ -133,7 +137,8 @@ class HashExpressionsSpec extends AnyFunSuite with Matchers {
     GraftExtensions.functions.map(_._1.funcName).toSet shouldBe
       Set("shingle_hash", "multi_shingle_hash", "minhash_signature", "simhash64",
         "dot_product", "cosine_sim", "string_shingles", "array_freq_stats",
-        "char_shingle_fingerprint", "sanitize_strat", "dedup_lines")
+        "char_shingle_fingerprint", "sanitize_strat", "dedup_lines",
+        "positional_shingle_hash", "char_entropy")
   }
 
   test("MinHashUnion aggregator: corpus signature = element-wise min of doc signatures") {
