@@ -424,6 +424,21 @@ object OpsQueries {
           length(TextAnalysis.redactPii(t)).cast("long").as("redacted_len"))
         .orderBy("doc_id")
     }),
+    "x13_lexical_diversity" -> ((s, dir) =>
+      // Gopher-style unique-words signals: type-token ratio and hapax
+      // fraction from ONE compiled frequency pass; both ratios are
+      // exact-integer divisions, so the hash compare needs no nudge
+      docs(s, dir)
+        .withColumn("__f", graft.functions.HashFunctions.arrayFreqStats(
+          TextAnalysis.tokens(lower(col("text")))))
+        .filter(col("__f.n") > 0)
+        .select(col("doc_id"),
+          col("__f.n").cast("long").as("n_tok"),
+          col("__f.n_distinct").cast("long").as("n_types"),
+          col("__f.n_once").cast("long").as("n_hapax"),
+          round(col("__f.n_distinct").cast("double") / col("__f.n"), 6).as("ttr"),
+          round(col("__f.n_once").cast("double") / col("__f.n"), 6).as("hapax_fraction"))
+        .orderBy("doc_id")),
     "x11_char_entropy" -> ((s, dir) =>
       // statistical garbage detector: codepoint-entropy in bits via the
       // one-pass compiled histogram expression; n_cp pins the
@@ -1481,6 +1496,15 @@ object OpsQueries {
         "AND (dupf.dup_fraction IS NULL OR dupf.dup_fraction <= 0.5) " +
         "GROUP BY lang_pred ORDER BY lang_pred"
     },
+    "x13_lexical_diversity" ->
+      (s"WITH t AS (SELECT doc_id, ${toksOf("text")} AS tk FROM documents), " +
+        "tok AS (SELECT doc_id, unnest(tk) AS w FROM t WHERE len(tk) > 0), " +
+        "f AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w) " +
+        "SELECT doc_id, sum(c)::BIGINT AS n_tok, count(*)::BIGINT AS n_types, " +
+        "sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax, " +
+        "round(count(*)::DOUBLE / sum(c), 6) AS ttr, " +
+        "round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE / sum(c), 6) AS hapax_fraction " +
+        "FROM f GROUP BY doc_id ORDER BY doc_id"),
     "x11_char_entropy" ->
       // character frequencies via substring over a position range
       // (DuckDB substring/length are character-unit, matching the Spark

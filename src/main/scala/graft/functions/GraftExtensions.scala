@@ -55,7 +55,7 @@ object GraftExtensions {
       (args: Seq[Expression]) => StringShingles(args(0), intLit(args(1), "string_shingles n"))),
     (FunctionIdentifier("array_freq_stats"),
       info("array_freq_stats",
-        "array_freq_stats(arr) - struct(n, n_distinct, max_count, total_chars, dup_chars)"),
+        "array_freq_stats(arr) - struct(n, n_distinct, max_count, total_chars, dup_chars, n_once)"),
       (args: Seq[Expression]) => ArrayFreqStats(args(0))),
     (FunctionIdentifier("char_shingle_fingerprint"),
       info("char_shingle_fingerprint",

@@ -300,7 +300,8 @@ case class ArrayFreqStats(child: Expression)
     StructField("n_distinct", IntegerType, nullable = false),
     StructField("max_count", IntegerType, nullable = false),
     StructField("total_chars", LongType, nullable = false),
-    StructField("dup_chars", LongType, nullable = false)))
+    StructField("dup_chars", LongType, nullable = false),
+    StructField("n_once", IntegerType, nullable = false)))
   override def prettyName: String = "array_freq_stats"
 
   override def nullSafeEval(input: Any): Any = {
@@ -320,15 +321,22 @@ case class ArrayFreqStats(child: Expression)
       if (c > maxCount) maxCount = c
       i += 1
     }
+    // hapax count (values occurring exactly once) — one O(distinct)
+    // pass over the already-built map, the lexical-diversity signal's
+    // only extra cost
+    var nOnce = 0
+    val vit = counts.values().iterator()
+    while (vit.hasNext) if (vit.next() == 1) nOnce += 1
     // Array[Any] cells: a Seq literal of mixed Int/Long fields would
     // numerically WIDEN the Ints to Long (Scala weak conformance),
     // breaking the declared Int schema at eval time.
-    val cells = new Array[Any](5)
+    val cells = new Array[Any](6)
     cells(0) = n
     cells(1) = counts.size()
     cells(2) = maxCount
     cells(3) = totalChars
     cells(4) = dupChars
+    cells(5) = nOnce
     org.apache.spark.sql.catalyst.InternalRow.fromSeq(cells.toIndexedSeq)
   }
 

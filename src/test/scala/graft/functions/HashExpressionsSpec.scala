@@ -113,6 +113,7 @@ class HashExpressionsSpec extends AnyFunSuite with Matchers {
         |  size(minhash_signature(shingle_hash(split('a b c d e', ' '), 3), 16)) AS k,
         |  string_shingles(split('a b c', ' '), 2) AS ss,
         |  array_freq_stats(array('x', 'y', 'x')).max_count AS mc,
+        |  array_freq_stats(array('x', 'y', 'x')).n_once AS hapax,
         |  size(char_shingle_fingerprint('the quick brown fox', 4, 8)) AS fp,
         |  sanitize_strat('a b é') AS st,
         |  size(positional_shingle_hash(split('a b a b', ' '), 2)) AS ps,
@@ -123,6 +124,7 @@ class HashExpressionsSpec extends AnyFunSuite with Matchers {
     r.getAs[Int]("k") shouldBe 16
     r.getAs[Seq[String]]("ss") shouldBe Seq("a b", "b c")
     r.getAs[Int]("mc") shouldBe 2
+    r.getAs[Int]("hapax") shouldBe 1 // 'y' occurs once
     r.getAs[Int]("fp") shouldBe 8
     r.getAs[String]("st") shouldBe "a_b_?"
     r.getAs[Int]("ps") shouldBe 3 // 4 tokens -> 3 positional bigrams
