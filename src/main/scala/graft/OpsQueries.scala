@@ -979,6 +979,37 @@ object OpsQueries {
           min("y").as("min_y"), max("y").as("max_y"))
         .orderBy("zcell")
     }),
+    "o3_text_formats" -> ((s, dir) => {
+      // JSON-lines + CSV sink/source round-trip — the ingest/egress
+      // text formats: the click events land as both, read back under
+      // EXPLICIT schemas (no inference scan — at 100 TB schema
+      // inference is a full extra pass), and the same daily aggregate
+      // runs on each. Doubles survive the text round-trip exactly
+      // (Spark writes shortest-round-trip representations), timestamps
+      // travel as preformatted strings so no parser/timezone semantics
+      // enter the comparison. The oracle computes the aggregate straight
+      // from the parquet — a mismatch on either format row means that
+      // format's writer or reader changed a value.
+      val base = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "graft_text_events").toString
+      val src = Util.events(s, dir).filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("value"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+        .repartition(4)
+      src.write.mode("overwrite").json(s"$base/json")
+      src.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+      val schema = "event_id LONG, user_id LONG, value DOUBLE, ts_s STRING"
+      def daily(df: DataFrame, fmt: String): DataFrame =
+        df.groupBy(substring(col("ts_s"), 1, 10).as("day"))
+          .agg(count(lit(1)).as("n"),
+            round(sum("value") + lit(5e-10), 6).as("sum_value"))
+          .withColumn("fmt", lit(fmt))
+      daily(s.read.schema(schema).json(s"$base/json"), "json")
+        .unionByName(daily(
+          s.read.option("header", "true").schema(schema).csv(s"$base/csv"), "csv"))
+        .select(col("fmt"), col("day"), col("n"), col("sum_value"))
+        .orderBy("fmt", "day")
+    }),
     "o1_partition_prune" -> ((s, dir) => {
       // Hive-layout partitioned sink + directory-pruned scan: events
       // land partitioned by event_type (pre-shuffled -> one file per
@@ -1798,6 +1829,15 @@ object OpsQueries {
         "row_number() OVER (PARTITION BY o_orderpriority " +
         "ORDER BY o_totalprice DESC, o_orderkey) AS rank FROM orders) " +
         "WHERE rank <= 5 ORDER BY o_orderpriority, rank"),
+    "o3_text_formats" ->
+      // same daily aggregate straight from the parquet, emitted once per
+      // text format — identical rows pin both writers AND readers
+      ("WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n, " +
+        "round(sum(value) + 5e-10, 6) AS sum_value " +
+        "FROM events WHERE event_type = 'click' GROUP BY day) " +
+        "SELECT 'csv' AS fmt, day, n, sum_value FROM d " +
+        "UNION ALL SELECT 'json' AS fmt, day, n, sum_value FROM d " +
+        "ORDER BY fmt, day"),
     "o2_zorder_cells" -> {
       // Morton key replay: bit b of x lands at position 2b, of y at
       // 2b+1; the terms touch disjoint bits so + substitutes for | in
