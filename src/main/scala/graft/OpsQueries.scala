@@ -672,6 +672,19 @@ object OpsQueries {
     }),
 
     // ---- event-stream transforms (batch = streaming code path) ---------
+    "e11_stream_anomaly" -> ((s, dir) => {
+      // online anomaly scoring (batch twin): hourly counts scored
+      // against the hour-of-day baseline profile — on a stream the
+      // identical plan runs watermarked with the profile broadcast per
+      // micro-batch (EventPipelineSpec pins stream/batch parity); every
+      // statistic is exact-integer moments so the |z| cut cannot flake
+      val ev = Util.events(s, dir)
+      EventPipeline.anomalyAgainstBaseline(ev, EventPipeline.hourOfDayBaseline(ev))
+        .select(col("event_type"),
+          date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("n"), round(col("z") + lit(5e-10), 6).as("z"))
+        .orderBy("event_type", "w_start")
+    }),
     "e1_windowed_counts" -> ((s, dir) =>
       EventPipeline.windowedCounts(Util.events(s, dir))
         .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
@@ -1640,6 +1653,22 @@ object OpsQueries {
         "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM scored) " +
         "SELECT doc_id, term, ROUND(score, 6) AS score FROM ranked WHERE rk <= 3 " +
         "ORDER BY doc_id, score DESC, term"),
+    "e11_stream_anomaly" ->
+      // hourly counts -> hour-of-day baseline moments -> z, in the
+      // identical double operation order as the Spark expression
+      ("WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n " +
+        "FROM events GROUP BY 1, 2), " +
+        "bl AS (SELECT event_type, extract(hour FROM h) AS hod, count(*) AS n_obs, " +
+        "sum(n) AS s, sum(n*n) AS ssq FROM hc GROUP BY 1, 2), " +
+        "sc AS (SELECT hc.event_type, hc.h, hc.n, bl.n_obs, bl.s, " +
+        "(bl.ssq::DOUBLE - bl.s::DOUBLE * bl.s / bl.n_obs) / bl.n_obs AS vr " +
+        "FROM hc JOIN bl ON hc.event_type = bl.event_type AND extract(hour FROM hc.h) = bl.hod " +
+        "WHERE bl.n_obs >= 10), " +
+        "z AS (SELECT event_type, h, n, (n::DOUBLE - s::DOUBLE / n_obs) / sqrt(vr) AS z " +
+        "FROM sc WHERE vr > 0) " +
+        "SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS w_start, n::BIGINT AS n, " +
+        "round(z + 5e-10, 6) AS z FROM z WHERE abs(z) >= 2.0 " +
+        "ORDER BY event_type, w_start"),
     "e1_windowed_counts" ->
       ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start, event_type, " +
         "count(*) AS n, ROUND(sum(value), 6) AS sum_value " +

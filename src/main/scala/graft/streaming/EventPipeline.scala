@@ -54,6 +54,55 @@ object EventPipeline {
       .select(col("w.start").as("w_start"), col("event_type"),
         col("n"), col("sum_weight"))
 
+  /** Per-(event_type, hour-of-day) baseline profile from historical
+    * events: for each slot, the day-sample count / sum / sum-of-squares
+    * of hourly event counts. EXACT integer moments — any engine derives
+    * the identical mean/variance from them, which is what lets the
+    * scoring threshold below never flake across engines (the a10
+    * discipline). Two map-side-combinable aggregations; output
+    * cardinality = |event types| × 24, broadcastable forever. */
+  def hourOfDayBaseline(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"), hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type", "hod")
+      .agg(count(lit(1)).as("n_obs"), sum("n").as("s"),
+        sum(col("n") * col("n")).as("ssq"))
+
+  /** Online anomaly detection against a static baseline profile: hourly
+    * windowed counts per event type, joined to [[hourOfDayBaseline]]'s
+    * (event_type, hour-of-day) moments, scored
+    * `z = (n − mean) / sqrt(var)`, and filtered to `|z| ≥ minZ`. Works
+    * on batch and streaming frames alike — on a stream the windowed
+    * aggregation is watermarked (append mode, bounded state) and the
+    * baseline joins as a BROADCAST STATIC side after the aggregation: a
+    * stateless stream-static join re-resolved per micro-batch, the
+    * bounded way to score against reference data at any stream rate.
+    * Slots with fewer than `minObs` baseline days are skipped (scoring
+    * against no history is noise, not detection); zero-variance slots
+    * likewise. */
+  def anomalyAgainstBaseline(events: DataFrame, baseline: DataFrame,
+                             windowLength: String = "1 hour",
+                             lateness: String = "30 minutes",
+                             minZ: Double = 2.0, minObs: Int = 10): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", lateness) else events
+    src
+      .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+      .withColumn("hod", hour(col("w_start")))
+      .join(broadcast(baseline), Seq("event_type", "hod"))
+      .filter(col("n_obs") >= minObs)
+      .withColumn("vr",
+        (col("ssq").cast("double") - col("s").cast("double") * col("s") / col("n_obs")) / col("n_obs"))
+      .filter(col("vr") > 0)
+      .withColumn("z",
+        (col("n").cast("double") - col("s").cast("double") / col("n_obs")) / sqrt(col("vr")))
+      .filter(abs(col("z")) >= minZ)
+      .select(col("event_type"), col("w_start"), col("n"), col("z"))
+  }
+
   /** File-source streaming read of a testdata scale-factor directory's
     * events table (streaming sources read directories, so the single
     * events.parquet file is selected with a glob filter). The read schema

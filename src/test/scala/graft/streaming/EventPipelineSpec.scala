@@ -215,6 +215,35 @@ class EventPipelineSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("stream anomaly scoring against a static baseline matches the batch twin") {
+    // baseline profile precomputed in BATCH from the same table (the
+    // production shape: a historical profile scores the live stream);
+    // the streaming side must converge to the batch scorer's rows
+    val sfDir = "/root/testdata/sf0.001"
+    val batchEvents = graft.Util.events(spark, sfDir)
+    val baseline = EventPipeline.hourOfDayBaseline(batchEvents)
+    // minObs lowered: sf0.001 spans few days, so day-sample counts per
+    // (type, hour-of-day) slot are small
+    val expected = EventPipeline.anomalyAgainstBaseline(batchEvents, baseline,
+        minZ = 1.0, minObs = 2)
+      .collect().map(_.toSeq).toSet
+    expected.size should be > 0
+    val stream = EventPipeline.readEventStream(spark, sfDir)
+    val q = EventPipeline.anomalyAgainstBaseline(stream, baseline,
+        minZ = 1.0, minObs = 2)
+      .writeStream.format("memory").queryName("sanom").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // append mode emits only watermark-finalized windows; the last
+      // open window may be withheld, so streamed ⊆ batch and covers
+      // all but at most the final window per type
+      val streamed = spark.table("sanom")
+        .select("event_type", "w_start", "n", "z").collect().map(_.toSeq).toSet
+      streamed.subsetOf(expected) shouldBe true
+      streamed.size should be >= expected.size - 4
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed event ids within the watermark") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Event]
