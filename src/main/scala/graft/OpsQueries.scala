@@ -614,6 +614,16 @@ object OpsQueries {
         .groupBy("source").agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
         .orderBy("source")
     }),
+    "p9_bottomk_sample" -> ((s, dir) =>
+      // deterministic per-stratum k-sample via the mergeable bounded
+      // aggregator; the Lehmer priority is exact integer math, so the
+      // oracle verifies the SELECTION itself — the first hash-sampling
+      // operator in the suite whose chosen rows hash-match an external
+      // engine (p1/p2's xxhash orders are spec-pinned instead)
+      Sampling.bottomKSample(
+          table(s, dir, "orders").select(col("o_orderpriority"), col("o_orderkey")),
+          "o_orderpriority", "o_orderkey", n = 5)
+        .orderBy("o_orderpriority", "priority", "o_orderkey")),
     "p1_hash_split" -> ((s, dir) => {
       val (_, holdout) = Sampling.hashSplit(
         table(s, dir, "documents").select("doc_id", "lang"), "doc_id", 0.2)
@@ -1858,6 +1868,13 @@ object OpsQueries {
         "row_number() OVER (PARTITION BY o_orderpriority " +
         "ORDER BY o_totalprice DESC, o_orderkey) AS rank FROM orders) " +
         "WHERE rank <= 5 ORDER BY o_orderpriority, rank"),
+    "p9_bottomk_sample" ->
+      ("WITH pr AS (SELECT o_orderpriority, o_orderkey, " +
+        "((o_orderkey + 1) % 2147483647) * 48271 % 2147483647 * 48271 % 2147483647 AS priority FROM orders), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY o_orderpriority " +
+        "ORDER BY priority, o_orderkey) AS rk FROM pr) " +
+        "SELECT o_orderpriority, o_orderkey, priority FROM r WHERE rk <= 5 " +
+        "ORDER BY o_orderpriority, priority, o_orderkey"),
     "o3_text_formats" ->
       // same daily aggregate straight from the parquet, emitted once per
       // text format — identical rows pin both writers AND readers

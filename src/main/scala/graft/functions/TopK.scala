@@ -79,6 +79,27 @@ class TopK(k: Int) extends BoundedTopK[Scored](k) {
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Scored]]()
 }
 
+/** One (priority, id) candidate for [[BottomKIds]]; ordered by priority
+  * ASC then id ASC. */
+final case class Prioritized(priority: Long, id: Long)
+
+/** Bounded bottom-k per group on a long priority — the mergeable
+  * deterministic-sampling sketch: with priority = a seeded hash of the
+  * row id, the k smallest priorities per group ARE a uniform
+  * without-replacement sample of the group (bottom-k sampling), and the
+  * bounded buffer means the shuffle carries at most k rows per
+  * (partition, group) instead of the full per-stratum sort
+  * `stratifiedTake`'s window pays. Same complexity argument as
+  * [[BoundedTopK]]: O(n log k) total, no group ever materializes. */
+class BottomKIds(k: Int) extends BoundedTopK[Prioritized](k) {
+  override protected def lt(a: Prioritized, b: Prioritized): Boolean =
+    a.priority < b.priority || (a.priority == b.priority && a.id < b.id)
+  override def bufferEncoder: Encoder[Array[Prioritized]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Prioritized]]()
+  override def outputEncoder: Encoder[Array[Prioritized]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Prioritized]]()
+}
+
 class TopKTerms(k: Int) extends BoundedTopK[ScoredTerm](k) {
   override protected def lt(a: ScoredTerm, b: ScoredTerm): Boolean =
     a.score > b.score || (a.score == b.score && a.term < b.term)

@@ -43,6 +43,42 @@ object Sampling {
       .filter(col("__rk") <= n).drop("__rk")
   }
 
+  /** Lehmer-hash priority: TWO multiplicative steps of the classic
+    * minimal-standard generator, `x -> x * 48271 mod M` (M = 2^31−1),
+    * applied to `(id + seed) mod M`. One step is MONOTONE for
+    * id < M/48271 ≈ 44k — exactly the id range real tables start at, so
+    * a single step would "sample" the smallest ids; the second step
+    * wraps for every id ≥ 1 and yields the multiplicative permutation
+    * `id * 48271² mod M`. Every operation is exact 64-bit integer
+    * arithmetic (max intermediate M * 48271 < 2^47), so any SQL engine
+    * replays the SELECTION itself — which no xxhash-based order allows. */
+  def lehmerPriority(id: Column, seed: Long = 1L): Column = {
+    val m = lit(2147483647L)
+    val step1 = pmod(pmod(id + lit(seed), m) * lit(48271L), m)
+    pmod(step1 * lit(48271L), m)
+  }
+
+  /** [[stratifiedTake]]'s scale upgrade: the same deterministic
+    * per-stratum k-sample, computed with the bounded MERGEABLE
+    * [[graft.functions.BottomKIds]] aggregator instead of a per-stratum
+    * window sort. The window must shuffle and sort EVERY row of every
+    * stratum; the aggregator's partial buffers cap the shuffle at k rows
+    * per (partition, stratum) and total work at O(n log k) — at 100 TB
+    * that is the difference between a sample and a global sort. Priority
+    * is [[lehmerPriority]] so an external engine can verify the exact
+    * selection. Returns (stratum, id, priority) rows. */
+  def bottomKSample(df: DataFrame, strataCol: String, idCol: String,
+                    n: Int, seed: Long = 1L): DataFrame = {
+    val bk = udaf(new graft.functions.BottomKIds(n),
+      org.apache.spark.sql.Encoders.product[graft.functions.Prioritized])
+    df.select(col(strataCol), lehmerPriority(col(idCol), seed).as("__pr"),
+        col(idCol).cast("long").as("__id"))
+      .groupBy(strataCol)
+      .agg(bk(col("__pr"), col("__id")).as("__keep"))
+      .select(col(strataCol), explode(col("__keep")).as("__k"))
+      .select(col(strataCol), col("__k.id").as(idCol), col("__k.priority").as("priority"))
+  }
+
   /** Deterministic approximate per-stratum fractions (keys: stratum ->
     * keep fraction): narrow filter, no shuffle — each row's fate is a
     * pure function of (stratum, id hash). */

@@ -172,4 +172,29 @@ class SamplingSpec extends AnyFunSuite with Matchers {
     small.subsetOf(large) shouldBe true
     small should have size 40
   }
+
+  test("bottomKSample equals the window formulation and is partition-independent") {
+    val rows = (1L to 500L).map(i => (s"g${i % 4}", i))
+    val df = rows.toDF("g", "id")
+    // reference: full window sort on the SAME priority
+    import org.apache.spark.sql.functions.{col, row_number}
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(Sampling.lehmerPriority(col("id")), col("id"))
+    val ref = df.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= 7)
+      .select(col("g"), col("id")).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    def got(parts: Int): Set[(String, Long)] =
+      Sampling.bottomKSample(df.repartition(parts), "g", "id", n = 7)
+        .select(col("g"), col("id")).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    got(1) shouldBe ref
+    got(13) shouldBe ref
+    // k larger than a stratum: whole stratum survives, no padding
+    val tiny = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("g", "id")
+    Sampling.bottomKSample(tiny, "g", "id", n = 10).count() shouldBe 3
+    // different seeds pick different samples (permutation actually varies)
+    val s1 = Sampling.bottomKSample(df, "g", "id", n = 7, seed = 1L)
+      .select("id").as[Long].collect().toSet
+    val s2 = Sampling.bottomKSample(df, "g", "id", n = 7, seed = 2L)
+      .select("id").as[Long].collect().toSet
+    s1 should not equal s2
+  }
 }
