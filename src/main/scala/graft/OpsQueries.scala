@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{BloomJoin, Clustering, Dedup, Merge, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.ops.{BloomJoin, Clustering, Dedup, Graph, Merge, Multimodal, Packing, Sampling, Search, Similarity, TextAnalysis}
 import graft.streaming.EventPipeline
 import graft.Util.table
 
@@ -1139,6 +1139,129 @@ object OpsQueries {
           col("n"), round(col("z") + lit(5e-10), 6).as("z"))
         .orderBy("event_type", "h")
     }),
+
+    // ---- graph primitives ----------------------------------------------
+    "g1_triangles" -> ((s, dir) => {
+      // per-node triangle counts over a planted doc-adjacency graph:
+      // chain edges (i, i+1) for every doc, chords (i, i+2) at i%3==0
+      // and i%5==0 (overlapping at i%15==0 — exercises the canonical
+      // dedup), and (i, i+4) at i%7==0 (edges that close NO triangle —
+      // must contribute nothing). Triangles {i, i+1, i+2} appear exactly
+      // at the chord positions; the oracle replays the generation and
+      // counts via the three-way a<b<c join.
+      val ids = docs(s, dir).select(col("doc_id").as("i"))
+      val raw = ids.select(explode(array(
+          struct(col("i").as("src"), (col("i") + 1).as("dst"), lit(true).as("k")),
+          struct(col("i").as("src"), (col("i") + 2).as("dst"), (col("i") % 3 === 0).as("k")),
+          struct(col("i").as("src"), (col("i") + 2).as("dst"), (col("i") % 5 === 0).as("k")),
+          struct(col("i").as("src"), (col("i") + 4).as("dst"), (col("i") % 7 === 0).as("k")))).as("e"))
+        .filter(col("e.k"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      Graph.triangleCounts(Graph.canonicalEdges(raw, "src", "dst"))
+        .orderBy("node")
+    }),
+    "g2_pagerank" -> ((s, dir) => {
+      // 5-iteration PageRank over a deterministic order-derived directed
+      // graph (src = customer, dst folded from custkey+orderkey; edges to
+      // non-source targets drop their mass — the documented edges-only
+      // formulation both engines share). Top-20 by ROUNDED rank with id
+      // tiebreak, so a sub-1e-6 float divergence cannot flip the cut.
+      val e = table(s, dir, "orders").select(col("o_custkey").as("src"),
+        ((col("o_custkey") + col("o_orderkey")) % 1000).as("dst"))
+      Graph.pageRank(e, iters = 5)
+        .select(col("node"), round(col("rank") + lit(5e-10), 6).as("rank"))
+        .orderBy(col("rank").desc, col("node")).limit(20)
+    }),
+
+    // ---- full-text retrieval -------------------------------------------
+    "x14_bm25" -> ((s, dir) =>
+      // BM25 top-20 for a 3-term query: tf per term via in-row array
+      // filters (no explode/shuffle), corpus stats (N, avgdl, df) as ONE
+      // broadcast 1-row aggregate, top-k as TakeOrdered. All score
+      // inputs are exact integers (tf, dl, df, N) plus avgdl (an exact
+      // integer sum / count), so the double pipeline is deterministic
+      // and the oracle spells the identical operation order.
+      Search.bm25TopK(docs(s, dir), "doc_id", "text",
+          Seq("vector", "hash", "merge"), k = 20)
+        .select(col("doc_id"), col("dl"),
+          round(col("score") + lit(5e-10), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))),
+
+    // ---- quality-aware canonical dedup ---------------------------------
+    "d13_cluster_canonical" -> ((s, dir) => {
+      // the d6 planted corpus (equal-token near-dup 3-cliques), but the
+      // survivor policy is KEEP-BEST (longest text, tie -> min id) — the
+      // double/triple-space copies are LONGER than their donors, so the
+      // winner differs from d6's min-id everywhere a clique exists, and
+      // cluster_size pins the component membership itself under the hash
+      // gate (d6 only checked the survivor set).
+      val d = docs(s, dir)
+      val c1 = d.select((col("doc_id") + 1).as("doc_id"),
+        expr("replace(text, ' ', '  ')").as("__c1"))
+      val c2 = d.select((col("doc_id") + 2).as("doc_id"),
+        expr("replace(text, ' ', '   ')").as("__c2"))
+      val corpus = d.join(c1, Seq("doc_id"), "left").join(c2, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 3 && col("__c1").isNotNull, col("__c1"))
+            .when(col("doc_id") % 5 === 4 && col("__c2").isNotNull, col("__c2"))
+            .otherwise(col("text")).as("text"))
+      Dedup.canonicalPerCluster(corpus, "doc_id", "text",
+          prefer = length(col("text")), threshold = 1.0)
+        .select(col("doc_id"), col("cluster_size"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- time-series regularization ------------------------------------
+    "e12_gap_fill" -> ((s, dir) => {
+      // resample events to a dense per-type hourly grid: planted holes
+      // (hours 3/10/17 dropped) plus the corpus's natural gaps become
+      // explicit rows with n=0 and a forward-filled last-observed value —
+      // the shape every downstream window/anomaly consumer needs. The
+      // grid explodes from the per-type min/max AGGREGATE (5 rows -> one
+      // row per type-hour), never from raw events; the forward-fill
+      // window runs over those bounded hourly rows, not the raw scan.
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Util.events(s, dir)
+        .filter(hour(col("ts")) % 7 =!= 3)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"))
+      val grid = hourly.groupBy("event_type")
+        .agg(min("h").as("lo"), max("h").as("hi"))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+      val w = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("event_type", "h"), "left")
+        .withColumn("__ff", last(col("avg_value"), ignoreNulls = true).over(w))
+        .select(col("event_type"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("h"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          round(col("avg_value") + lit(5e-10), 6).as("avg_value"),
+          round(col("__ff") + lit(5e-10), 6).as("ff_value"))
+        .orderBy("event_type", "h")
+    }),
+
+    // ---- columnar sink/source: ORC -------------------------------------
+    "o4_orc_roundtrip" -> ((s, dir) => {
+      // ORC sink + source round-trip (the o3 pattern for the second
+      // columnar format): purchase events land as zlib ORC, are read
+      // back (ORC embeds its schema — no inference scan), and the daily
+      // aggregate must match the oracle computed straight from the
+      // parquet. Doubles round-trip exactly in ORC's binary encoding;
+      // timestamps travel preformatted (no parser semantics in play).
+      val base = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "graft_orc_events").toString
+      val src = Util.events(s, dir).filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+        .repartition(4)
+      src.write.mode("overwrite").option("compression", "zlib").orc(s"$base/orc")
+      s.read.orc(s"$base/orc")
+        .groupBy(substring(col("ts_s"), 1, 10).as("day"))
+        .agg(count(lit(1)).as("n"),
+          round(sum("value") + lit(5e-10), 6).as("sum_value"))
+        .orderBy("day")
+    }),
   )
 
   // DuckDB-side token array matching TextAnalysis.tokens. The whitespace
@@ -1612,6 +1735,104 @@ object OpsQueries {
         "round((n::DOUBLE - s::DOUBLE / cnt) / sqrt(vr) + 5e-10, 6) AS z " +
         "FROM v WHERE vr > 0 AND abs((n::DOUBLE - s::DOUBLE / cnt) / sqrt(vr)) >= 2.0 " +
         "ORDER BY event_type, h"),
+    "g1_triangles" ->
+      // replay the planted edge generation, canonicalize (least/greatest
+      // + DISTINCT), enumerate each triangle once via the x<y<z three-way
+      // join, then fan each triangle out to its three corners
+      ("WITH ids AS (SELECT doc_id AS i FROM documents), " +
+        "raw AS (SELECT i AS a, i + 1 AS b FROM ids " +
+        "UNION ALL SELECT i, i + 2 FROM ids WHERE i % 3 = 0 " +
+        "UNION ALL SELECT i, i + 2 FROM ids WHERE i % 5 = 0 " +
+        "UNION ALL SELECT i, i + 4 FROM ids WHERE i % 7 = 0), " +
+        "ce AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM raw WHERE a <> b), " +
+        "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM ce e1 " +
+        "JOIN ce e2 ON e2.a = e1.b JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b), " +
+        "corner AS (SELECT unnest([x, y, z]) AS node FROM tri) " +
+        "SELECT node, count(*)::BIGINT AS n_triangles FROM corner " +
+        "GROUP BY node ORDER BY node"),
+    "g2_pagerank" -> {
+      // 5 unrolled iterations of r'(v) = (1-d)/N + d·Σ r(u)/outdeg(u),
+      // the identical double operations as Graph.pageRank ((1.0 - 0.85)
+      // spelled as the expression, not a 0.15 literal, so the constant
+      // is the same IEEE value); float-sum partition-order noise is
+      // absorbed by the shared 6-decimal rounding
+      val iterCte = (k: Int) =>
+        s"r$k AS (SELECT n2.node, (1.0 - 0.85) / nn.n + 0.85 * coalesce(t.m, 0.0) AS rank " +
+          "FROM nodes n2 CROSS JOIN nn LEFT JOIN " +
+          s"(SELECT e.dst AS node, sum(p.rank / od.outdeg) AS m FROM e " +
+          s"JOIN r${k - 1} p ON p.node = e.src JOIN od ON od.src = e.src " +
+          "GROUP BY e.dst) t ON t.node = n2.node)"
+      "WITH e0 AS (SELECT DISTINCT o_custkey AS src, (o_custkey + o_orderkey) % 1000 AS dst " +
+        "FROM orders), " +
+        "nodes AS (SELECT DISTINCT src AS node FROM e0), " +
+        "e AS (SELECT src, dst FROM e0 WHERE dst IN (SELECT node FROM nodes)), " +
+        "od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src), " +
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM nodes), " +
+        "r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn), " +
+        (1 to 5).map(iterCte).mkString(", ") + " " +
+        "SELECT node, round(rank + 5e-10, 6) AS rank FROM r5 " +
+        "ORDER BY rank DESC, node LIMIT 20"
+    },
+    "x14_bm25" -> {
+      // identical operation order as Search.bm25: idf·tf·(k1+1) /
+      // (tf + k1·((1-b) + b·dl/avgdl)); all inputs exact integers except
+      // avgdl (exact integer sum / count — the same double in both
+      // engines). Inner ORDER/LIMIT cuts on the raw score exactly as the
+      // Spark TakeOrdered does; the outer SELECT rounds and re-orders.
+      val terms = Seq("vector", "hash", "merge")
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(tk, x -> x = '$t')) AS tf$i" }.mkString(", ")
+      val dfCols = terms.indices.map(i =>
+        s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+      val termScore = terms.indices.map(i =>
+        s"ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * tf$i * 2.2 " +
+          s"/ (tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl))").mkString(" + ")
+      s"WITH t AS (SELECT doc_id, ${toksOf("text")} AS tk FROM documents), " +
+        s"f AS (SELECT doc_id, len(tk)::DOUBLE AS dl, $tfCols FROM t), " +
+        s"st AS (SELECT count(*) AS n, avg(dl) AS avgdl, $dfCols FROM f), " +
+        s"sc AS (SELECT doc_id, dl, ($termScore) AS score FROM f CROSS JOIN st), " +
+        "top AS (SELECT doc_id, dl, score FROM sc WHERE score > 0.0 " +
+        "ORDER BY score DESC, doc_id LIMIT 20) " +
+        "SELECT doc_id, dl::BIGINT AS dl, round(score + 5e-10, 6) AS score " +
+        "FROM top ORDER BY score DESC, doc_id"
+    },
+    "d13_cluster_canonical" ->
+      // the d6 oracle's equal-shingle-set clusters, but the survivor is
+      // arg-max (length(text), min doc_id) and cluster_size rides along
+      ("WITH corpus AS (SELECT d.doc_id, " +
+        "CASE WHEN d.doc_id % 5 = 3 AND c1.text IS NOT NULL THEN replace(c1.text, ' ', '  ') " +
+        "WHEN d.doc_id % 5 = 4 AND c2.text IS NOT NULL THEN replace(c2.text, ' ', '   ') " +
+        "ELSE d.text END AS text FROM documents d " +
+        "LEFT JOIN documents c1 ON c1.doc_id = d.doc_id - 1 " +
+        "LEFT JOIN documents c2 ON c2.doc_id = d.doc_id - 2), " +
+        s"t AS (SELECT doc_id, text, ${toksOf("text")} AS tk FROM corpus), " +
+        s"keyed AS (SELECT doc_id, text, list_sort(${shingleSql(3, "tk")}) AS sk FROM t), " +
+        "ranked AS (SELECT doc_id, count(*) OVER (PARTITION BY sk) AS cluster_size, " +
+        "row_number() OVER (PARTITION BY sk ORDER BY length(text) DESC, doc_id) AS rn " +
+        "FROM keyed) " +
+        "SELECT doc_id, cluster_size::BIGINT AS cluster_size FROM ranked " +
+        "WHERE rn = 1 ORDER BY doc_id"),
+    "e12_gap_fill" ->
+      // dense hourly grid from per-type min/max via generate_series, left
+      // join of the observed hours, forward fill via IGNORE NULLS window
+      ("WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h, " +
+        "count(*) AS n, avg(value) AS av FROM events " +
+        "WHERE hour(ts) % 7 <> 3 GROUP BY 1, 2), " +
+        "b AS (SELECT event_type, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY 1), " +
+        "grid AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b), " +
+        "j AS (SELECT g.event_type, g.h, hourly.n, hourly.av FROM grid g " +
+        "LEFT JOIN hourly ON hourly.event_type = g.event_type AND hourly.h = g.h) " +
+        "SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS h, " +
+        "coalesce(n, 0)::BIGINT AS n, round(av + 5e-10, 6) AS avg_value, " +
+        "round(last_value(av IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 5e-10, 6) AS ff_value " +
+        "FROM j ORDER BY event_type, h"),
+    "o4_orc_roundtrip" ->
+      // the aggregate straight from the parquet — a mismatch means the
+      // ORC writer or reader changed a value in flight
+      ("SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n, " +
+        "round(sum(value) + 5e-10, 6) AS sum_value FROM events " +
+        "WHERE event_type = 'purchase' GROUP BY day ORDER BY day"),
     "x10_lm_score" ->
       // replay the add-0.1 bigram LM: same lowercased tokens, positional
       // bigrams via unnest(range), context counts as the sum of bigram

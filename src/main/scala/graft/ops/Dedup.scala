@@ -496,6 +496,41 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware near-dedup: like [[minHashDedupClustered]], but the
+    * survivor of each connected near-dup cluster is the member with the
+    * HIGHEST `prefer` value (ties broken toward the minimum id) rather
+    * than blindly the minimum id — the production policy when a cluster
+    * mixes a clean original with mangled copies and a quality signal
+    * (language-model score, length, domain trust) says which to keep.
+    *
+    * Shape: the LSH pair plan plus one (id -> component) join and one
+    * map-side-combinable `max_by(struct(prefer, -id))` per cluster — no
+    * per-cluster window, no sort. Docs in no qualifying pair are their
+    * own singleton cluster (cluster_size 1).
+    *
+    * Returns the surviving rows of `df` with a `cluster_size` column
+    * (how many members the survivor absorbed, 1 for singletons).
+    *
+    * @param prefer numeric quality column expression evaluated on `df`'s
+    *               rows; higher wins */
+  def canonicalPerCluster(df: DataFrame, idCol: String, textCol: String,
+                          prefer: Column,
+                          numHashes: Int = 64, bands: Int = 16,
+                          threshold: Double = 0.7): DataFrame = {
+    val pairs = minHashLshPairs(df, idCol, textCol, numHashes, bands, threshold)
+    val comp = connectedComponents(pairs.select("id_a", "id_b"))
+      .select(col("id").cast(df.schema(idCol).dataType).as(idCol), col("component"))
+    val winners = df
+      .join(comp, Seq(idCol), "left")
+      .withColumn("__comp", coalesce(col("component"), col(idCol)))
+      .groupBy("__comp")
+      .agg(
+        max_by(col(idCol), struct(prefer, -col(idCol))).as("__keep"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("__keep").as(idCol), col("cluster_size"))
+    df.join(winners, Seq(idCol))
+  }
+
   /** Near-dedup: drop all but the minimum-id member of each near-dup
     * candidate pair set (greedy transitive-lite pass: a doc survives iff
     * it is not the larger id of any qualifying pair). */

@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph primitives over edge-list DataFrames — the shapes a
+  * training-data pipeline needs when documents/users/domains form a graph
+  * (link graphs for quality propagation, co-citation clustering, fraud
+  * rings in event streams). Connected components already lives in
+  * [[Dedup.connectedComponents]]; this module adds triangle counting and
+  * PageRank, both expressed as declarative joins/aggregations so Catalyst
+  * plans the shuffles (AQE handles skew at runtime).
+  */
+object Graph {
+
+  /** Canonicalize an undirected edge list: order endpoints (a < b), drop
+    * self-loops and duplicate edges. One shuffle (the distinct). */
+  def canonicalEdges(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+
+  /** Per-node triangle participation counts.
+    *
+    * Algorithm: degree-oriented node-iterator. Each undirected edge is
+    * directed from its lower-(degree, id) endpoint to the higher one;
+    * under that total order every triangle {x,y,z} is counted exactly
+    * once as a wedge (u→v, u→w) closed by the edge (v→w). Orienting by
+    * DEGREE (not id) bounds each node's out-degree by O(sqrt(m)) on any
+    * graph — the wedge self-join fans out per-node as out-deg², so the
+    * worst case drops from O(n·d_max²) (a celebrity node with 10M
+    * followers would generate 10¹⁴ wedges under id-orientation) to
+    * O(m^1.5), the provable node-iterator bound. All joins are hash
+    * equi-joins on node ids; nothing is collected to the driver.
+    *
+    * Input must be canonical (see [[canonicalEdges]]): columns `a`, `b`
+    * with a < b, no dups. Output: (node, n_triangles) for every node in
+    * at least one triangle. */
+  def triangleCounts(canonical: DataFrame): DataFrame = {
+    // degree of every endpoint: one explode + hash agg (map-side combined)
+    val deg = canonical
+      .select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient each edge low→high under the (deg, id) total order
+    val aDeg = deg.select(col("node").as("a"), col("deg").as("deg_a"))
+    val bDeg = deg.select(col("node").as("b"), col("deg").as("deg_b"))
+    // uniform field names so the CASE branches carry the same struct type
+    val rankA = struct(col("deg_a").as("d"), col("a").as("n"))
+    val rankB = struct(col("deg_b").as("d"), col("b").as("n"))
+    val oriented = canonical.join(aDeg, "a").join(bDeg, "b")
+      .select(
+        when(rankA < rankB, col("a")).otherwise(col("b")).as("u"),
+        when(rankA < rankB, col("b")).otherwise(col("a")).as("v"),
+        // rank of the head endpoint under the same order, for wedge dedup
+        when(rankA < rankB, rankB).otherwise(rankA).as("v_rank"))
+    // wedges (u→v, u→w) with rank(v) < rank(w): each unordered pair once
+    val e1 = oriented.select(col("u"), col("v").as("v1"), col("v_rank").as("r1"))
+    val e2 = oriented.select(col("u"), col("v").as("v2"), col("v_rank").as("r2"))
+    val wedges = e1.join(e2, Seq("u")).filter(col("r1") < col("r2"))
+      .select(col("u"), col("v1"), col("v2"))
+    // close the wedge: (v1, v2) must be an oriented edge. v1 precedes v2
+    // under the order, so the closing edge is exactly (u=v1, v=v2).
+    val closing = oriented.select(col("u").as("v1"), col("v").as("v2"))
+    val triangles = wedges.join(closing, Seq("v1", "v2"))
+    // each triangle contributes one count to each of its three corners
+    triangles
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** PageRank with a FIXED iteration count over a directed edge list.
+    *
+    * Formulation: nodes = the set of SOURCE nodes; edges whose target is
+    * not itself a source are kept (their mass flows out of the node set
+    * and is dropped — the "edges-only" PageRank without dangling-mass
+    * redistribution; both this and the paired oracle SQL drop it
+    * identically, and ranks remain a well-defined fixpoint of the same
+    * linear map). Per iteration:
+    *   r'(v) = (1-d)/N + d · Σ_{(u→v)} r(u) / outdeg(u)
+    *
+    * Shape per iteration: one equi-join (ranks ⋈ edges on src — both
+    * sides hash-partitioned on the node id, so a pre-partitioned edge
+    * frame reuses its exchange) + one hash agg on dst + one left join
+    * back to the node list for nodes with no in-edges. The returned plan
+    * is LAZY and linear in `iters` — it references the edge plan once per
+    * iteration, so a caller whose edge derivation is expensive should
+    * persist it for the duration of their action (the library does not
+    * persist: a persist that outlives the returned lazy plan would leak
+    * executor storage with no sound unpersist point — the
+    * connectedComponents contract).
+    *
+    * @param edges directed edges, columns `src`, `dst` (duplicates allowed
+    *              and deduplicated here)
+    * @return (node, rank) for every source node */
+  def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val nodes = e.select(col("src").as("node")).distinct()
+    // keep only edges whose target is also a node (mass to non-source
+    // sinks is dropped by construction — documented above)
+    val inEdges = e.join(nodes.select(col("node").as("dst")), Seq("dst"))
+    val outDeg = inEdges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val contribEdges = inEdges.join(outDeg, Seq("src"))
+    // N is needed as a literal inside every iteration's base term; it is
+    // ONE count over the (tiny relative to the edge set) node list, and
+    // making it a crossJoined 1-row frame instead would re-evaluate the
+    // node plan once per iteration anyway — the count is the cheaper,
+    // clearer choice (aggregate-sized driver value, not row data).
+    val n = nodes.count()
+    val base = (1.0 - damping) / n
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      val flowed = contribEdges
+        .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") / col("outdeg")).as("in_mass"))
+      ranks = nodes.join(flowed, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("rank"))
+    }
+    ranks
+  }
+}

@@ -400,4 +400,51 @@ class DedupSpec extends AnyFunSuite with Matchers {
       .orderBy("doc_id").collect().toSeq
     a shouldBe b
   }
+
+  test("canonicalPerCluster keeps the highest-prefer member, min id on ties") {
+    import org.apache.spark.sql.functions.col
+    // cluster {1,2,3}: identical token streams, different spacing —
+    // doc 3 (triple spaces) is LONGEST and must win. docs 10, 11 are
+    // unrelated singletons.
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace(" ", "  ")),
+      (3L, base.replace(" ", "   ")),
+      (10L, "completely different content lives in this standalone document here"),
+      (11L, "another unrelated singleton text body with its own unique words"))
+      .toDF("doc_id", "text")
+    val out = Dedup.canonicalPerCluster(docs, "doc_id", "text",
+        prefer = org.apache.spark.sql.functions.length(col("text")), threshold = 1.0)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_size")).toMap
+    out shouldBe Map(3L -> 3L, 10L -> 1L, 11L -> 1L)
+  }
+
+  test("canonicalPerCluster tie on prefer falls back to the minimum id") {
+    import org.apache.spark.sql.functions.lit
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (5L, base), (6L, base.replace(" ", "  ")),
+      (9L, "some other loner document with enough distinct words inside"))
+      .toDF("doc_id", "text")
+    // constant prefer -> every member ties -> min id survives (the d6
+    // min-id policy recovered as a special case)
+    val out = Dedup.canonicalPerCluster(docs, "doc_id", "text",
+        prefer = lit(0), threshold = 1.0)
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    out shouldBe Array(5L, 9L)
+  }
+
+  test("canonicalPerCluster preserves the input row of the survivor") {
+    import org.apache.spark.sql.functions.col
+    val base = "one two three four five six seven eight nine ten eleven"
+    val docs = Seq((1L, base, "keepme"), (2L, base.replace(" ", "  "), "other"))
+      .toDF("doc_id", "text", "tag")
+    val rows = Dedup.canonicalPerCluster(docs, "doc_id", "text",
+        prefer = org.apache.spark.sql.functions.length(col("text")), threshold = 1.0).collect()
+    rows.length shouldBe 1
+    rows.head.getAs[Long]("doc_id") shouldBe 2L
+    rows.head.getAs[String]("tag") shouldBe "other"
+    rows.head.getAs[Long]("cluster_size") shouldBe 2L
+  }
 }
