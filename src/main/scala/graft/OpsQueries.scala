@@ -1241,6 +1241,58 @@ object OpsQueries {
         .orderBy("event_type", "h")
     }),
 
+    // ---- perceptual image hashing --------------------------------------
+    "m6_phash_neardup" -> ((s, dir) => {
+      // near-duplicate IMAGE detection by perceptual hash: every %10==5
+      // doc plants TWO 8x8 BMPs — its own bytes (img_id 2i) and a
+      // one-character-perturbed variant (img_id 2i+1, first byte 'Z') —
+      // then the full pipeline runs: decode -> 8x8 box resample (exact
+      // identity here) -> integer aHash -> banded hamming pairs. The
+      // variant differs in ONE pixel's gray (plus the mean shift), so
+      // most (2i, 2i+1) pairs land within hamming <= 3; the oracle
+      // replays the byte math and brute-forces all pairs — equal by the
+      // pigeonhole exactness of quarter banding at maxHamming 3.
+      val bmpHdr = lit(Multimodal.bmp24Header(8, 8))
+      val base = docs(s, dir).filter(col("doc_id") % 10 === 5)
+      val variants = base.select(explode(array(
+          struct((col("doc_id") * 2).as("img_id"), col("text").as("t")),
+          struct((col("doc_id") * 2 + 1).as("img_id"),
+            concat(lit("Z"), substring(col("text"), 2, 191)).as("t")))).as("v"))
+        .select(col("v.img_id").as("img_id"),
+          concat(bmpHdr,
+            substring(rpad(col("v.t"), 192, "x").cast("binary"), 1, 192)).as("payload"))
+      Multimodal.aHashPairs(
+          Multimodal.withImageAHash(variants, "payload"), "img_id", "ahash")
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- incremental aggregate maintenance -----------------------------
+    "u6_incremental_agg" -> ((s, dir) => {
+      // materialized-view update: per-customer aggregate state from the
+      // historical batch (o_orderkey % 7 != 0) merged with the delta
+      // batch's aggregate (% 7 == 0) — NO rescan of the history. The
+      // oracle recomputes the aggregate over ALL orders, so the hash
+      // gate pins merge(agg(A), agg(B)) == agg(A ∪ B) exactly (decimal
+      // sums — the j1 precedent — so combination order cannot drift).
+      val orders = table(s, dir, "orders").select(col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"), col("o_orderkey"))
+      def aggState(df: DataFrame): DataFrame = df.groupBy("o_custkey").agg(
+        count(lit(1)).as("n"), sum(col("p")).as("sum_price"),
+        min(col("p")).as("min_price"), max(col("p")).as("max_price"))
+      val state = aggState(orders.filter(col("o_orderkey") % 7 =!= 0))
+      val delta = aggState(orders.filter(col("o_orderkey") % 7 === 0))
+      Merge.mergeAggState(state, delta, Seq("o_custkey"),
+          Map("n" -> "sum", "sum_price" -> "sum",
+            "min_price" -> "min", "max_price" -> "max"))
+        .select(col("o_custkey"), col("n"),
+          round(col("sum_price").cast("double") + lit(5e-10), 6).as("sum_price"),
+          round(col("min_price").cast("double") + lit(5e-10), 6).as("min_price"),
+          round(col("max_price").cast("double") + lit(5e-10), 6).as("max_price"),
+          round(col("sum_price").cast("double") / col("n") + lit(5e-10), 6).as("mean_price"))
+        .orderBy("o_custkey")
+    }),
+
     // ---- columnar sink/source: ORC -------------------------------------
     "o4_orc_roundtrip" -> ((s, dir) => {
       // ORC sink + source round-trip (the o3 pattern for the second
@@ -1833,6 +1885,39 @@ object OpsQueries {
       ("SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n, " +
         "round(sum(value) + 5e-10, 6) AS sum_value FROM events " +
         "WHERE event_type = 'purchase' GROUP BY day ORDER BY day"),
+    "m6_phash_neardup" -> {
+      // replay the aHash byte math from the raw text: gray(i) = sum of
+      // the 3 bytes of pixel i (stride 24 = 3*8, no row padding, and
+      // r+g+b is storage-order invariant), bit i set iff 64*gray > total
+      // (exact integers), quarters packed 16 bits each; pairs are the
+      // BRUTE-FORCE a<b join — equal to the banded Spark join by the
+      // pigeonhole exactness at maxHamming 3
+      val quarter = (q: Int) =>
+        s"sum(CASE WHEN gv.i // 16 = $q AND 64 * gv.g > tot.total " +
+          s"THEN (1 << (gv.i % 16)::INT) ELSE 0 END)::INT AS q$q"
+      val ham = (0 to 3).map(i => s"bit_count(xor(a.q$i, b.q$i))").mkString(" + ")
+      "WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 5), " +
+        "imgs AS (SELECT doc_id * 2 AS img_id, rpad(text, 192, 'x') AS t FROM base " +
+        "UNION ALL SELECT doc_id * 2 + 1, " +
+        "rpad('Z' || substring(text, 2, 191), 192, 'x') FROM base), " +
+        "gv AS (SELECT img_id, i, " +
+        "unicode(substring(t, (3*i+1)::INT, 1)) + unicode(substring(t, (3*i+2)::INT, 1)) " +
+        "+ unicode(substring(t, (3*i+3)::INT, 1)) AS g FROM imgs, range(64) r(i)), " +
+        "tot AS (SELECT img_id, sum(g) AS total FROM gv GROUP BY img_id), " +
+        s"q AS (SELECT gv.img_id, ${(0 to 3).map(quarter).mkString(", ")} " +
+        "FROM gv JOIN tot ON tot.img_id = gv.img_id GROUP BY gv.img_id) " +
+        s"SELECT a.img_id AS id_a, b.img_id AS id_b, ($ham)::BIGINT AS hamming " +
+        s"FROM q a JOIN q b ON a.img_id < b.img_id WHERE ($ham) <= 3 " +
+        "ORDER BY id_a, id_b"
+    },
+    "u6_incremental_agg" ->
+      // full recompute over every order — the merged state must equal it
+      ("SELECT o_custkey, count(*)::BIGINT AS n, " +
+        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) + 5e-10, 6) AS sum_price, " +
+        "round(CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) + 5e-10, 6) AS min_price, " +
+        "round(CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) + 5e-10, 6) AS max_price, " +
+        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) + 5e-10, 6) AS mean_price " +
+        "FROM orders GROUP BY o_custkey ORDER BY o_custkey"),
     "x10_lm_score" ->
       // replay the add-0.1 bigram LM: same lowercased tokens, positional
       // bigrams via unnest(range), context counts as the sum of bigram

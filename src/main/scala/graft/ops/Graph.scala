@@ -37,7 +37,17 @@ object Graph {
     *
     * Input must be canonical (see [[canonicalEdges]]): columns `a`, `b`
     * with a < b, no dups. Output: (node, n_triangles) for every node in
-    * at least one triangle. */
+    * at least one triangle.
+    *
+    * Plan-duplication note: the self-joins reference the oriented edge
+    * subtree three times, but the identical shuffles collapse at runtime
+    * — the adaptive plan shows ReusedExchange for the canonical-edge
+    * (a,b) exchange, the degree aggregate, and the wedge join's by-u
+    * exchange (audited via graft.Explain EXPLAIN_RUN=1), so the edge
+    * plan is computed once per DISTINCT partitioning, not once per
+    * reference. Exchange reuse only deduplicates within one action;
+    * persist the canonical frame yourself if you also consume it
+    * elsewhere. */
   def triangleCounts(canonical: DataFrame): DataFrame = {
     // degree of every endpoint: one explode + hash agg (map-side combined)
     val deg = canonical

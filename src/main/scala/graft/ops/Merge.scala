@@ -128,4 +128,48 @@ object Merge {
           .otherwise(lit("unchanged")))
       .drop("__in_before", "__in_after")
   }
+
+  /** Incremental aggregate maintenance: combine a stored per-key
+    * aggregate-state snapshot with the aggregate of a new delta batch,
+    * WITHOUT rescanning the historical rows — the materialized-view
+    * update step. At 100 TB the historical corpus is the thing you never
+    * want to re-aggregate; this is one key-hash full-outer join of the
+    * (small) state table against the (small) delta aggregate.
+    *
+    * Soundness rests on the measures being DECOMPOSABLE: count and sum
+    * combine by +, min/max by least/greatest — so
+    * `merge(agg(A), agg(B)) == agg(A ∪ B)` exactly (MergeSpec pins it,
+    * and the u6 driver query pins it against DuckDB's full recompute).
+    * Derived statistics (mean = sum/n) must be computed FROM the merged
+    * state, never combined directly.
+    *
+    * @param state    prior aggregate state, one row per key
+    * @param deltaAgg the delta batch ALREADY aggregated to the same
+    *                 (keys, measures) schema
+    * @param keys     grouping key columns present on both sides
+    * @param combine  measure column -> combiner: "sum" (also for
+    *                 counts), "min", or "max" */
+  def mergeAggState(state: DataFrame, deltaAgg: DataFrame, keys: Seq[String],
+                    combine: Map[String, String]): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    val bad = combine.values.toSet -- Set("sum", "min", "max")
+    require(bad.isEmpty, s"unknown combiner(s): ${bad.mkString(", ")}")
+    val measures = combine.keys.toSeq.sorted
+    val s = state.select(keys.map(col) ++
+      measures.map(c => col(c).as(s"__s_$c")): _*)
+    val d = deltaAgg.select(keys.map(col) ++
+      measures.map(c => col(c).as(s"__d_$c")): _*)
+    s.join(d, keys, "full_outer")
+      .select(keys.map(col) ++ measures.map { c =>
+        val a = col(s"__s_$c"); val b = col(s"__d_$c")
+        (combine(c) match {
+          // when/when/otherwise instead of coalesce-to-0: preserves the
+          // measure's exact type (decimal scale included) and keeps a
+          // key absent from one side at its other side's value
+          case "sum" => when(a.isNull, b).when(b.isNull, a).otherwise(a + b)
+          case "min" => least(a, b) // least/greatest skip nulls
+          case "max" => greatest(a, b)
+        }).as(c)
+      }: _*)
+  }
 }

@@ -356,6 +356,84 @@ object Multimodal {
     * same decode stubs as [[withImageStats]]). The output is a REAL
     * payload — feed it back through [[withImageStats]] / [[withMediaMeta]]
     * or write it out; same `mapPartitions` batch shape as the decoders. */
+  /** 64-bit average-hash (aHash) of a decodable 24-bpp BMP, as FOUR
+    * 16-bit quarters (bit i of the hash lives in quarter i/16 at
+    * position i%16). The perceptual-hash pipeline: decode → box-resample
+    * to 8×8 ([[boxResize]]; already-8×8 inputs pass through the exact
+    * identity) → per-pixel gray = r+g+b (channel-order invariant, so BGR
+    * storage needs no mapping) → bit set iff the pixel is strictly
+    * brighter than the image mean, compared in EXACT integers
+    * (64·gray > total) so no float enters the hash.
+    *
+    * Quarters instead of one packed long: bit 63 would sign-wrap a
+    * BIGINT, and the quartered form is exactly what the banded pair
+    * join needs (pigeonhole: hamming ≤ 3 over 4 quarters guarantees one
+    * exactly-equal quarter — the [[Dedup.simHashPairs]] argument). */
+  private[ops] def aHash64Quarters(bytes: Array[Byte]): Option[Array[Int]] =
+    decodeBmp24Pixels(bytes).map { case (w, h, rgb) =>
+      val small = if (w == 8 && h == 8) rgb else boxResize(w, h, rgb, 8, 8)
+      val gray = new Array[Int](64)
+      var total = 0L
+      var i = 0
+      while (i < 64) {
+        gray(i) = (small(3 * i) & 0xFF) + (small(3 * i + 1) & 0xFF) +
+          (small(3 * i + 2) & 0xFF)
+        total += gray(i); i += 1
+      }
+      val q = new Array[Int](4)
+      i = 0
+      while (i < 64) {
+        if (64L * gray(i) > total) q(i / 16) |= 1 << (i % 16)
+        i += 1
+      }
+      q
+    }
+
+  /** Adds `outCol`: the [[aHash64Quarters]] perceptual hash as
+    * `array<int>` of 4 quarters; null for undecodable payloads. Pure
+    * projection — zero shuffle at any corpus size. */
+  def withImageAHash(df: DataFrame, payloadCol: String,
+                     outCol: String = "ahash"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add(StructField(outCol, ArrayType(IntegerType)))
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val q = aHash64Quarters(r.getAs[Array[Byte]](payloadIdx))
+          .map(_.toSeq).orNull
+        Row.fromSeq(r.toSeq :+ q)
+      }
+    }(enc)
+  }
+
+  /** Near-duplicate image pairs by perceptual-hash hamming distance:
+    * ids whose quartered aHashes differ in ≤ `maxHamming` bits. Banded
+    * equi-join on (quarter index, quarter value) — any pair within
+    * hamming 3 shares at least one exact quarter (pigeonhole over 4
+    * quarters), so this is an equi-join with per-bucket fanout, never an
+    * all-pairs cross join. Output: (id_a, id_b, hamming), id_a < id_b. */
+  def aHashPairs(df: DataFrame, idCol: String, hashCol: String,
+                 maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "quarter-banding is sound only for maxHamming <= 3")
+    val sigs = df.filter(col(hashCol).isNotNull)
+      .select(col(idCol).as("id"), col(hashCol).as("h"))
+    val banded = sigs.select(col("id"), col("h"), posexplode(col("h")))
+      .withColumnRenamed("pos", "quarter").withColumnRenamed("col", "qv")
+    val a = banded.select(col("quarter"), col("qv"),
+      col("id").as("id_a"), col("h").as("h_a"))
+    val b = banded.select(col("quarter"), col("qv"),
+      col("id").as("id_b"), col("h").as("h_b"))
+    val hamming = (0 until 4).map(i =>
+      bit_count(col("h_a").getItem(i).bitwiseXOR(col("h_b").getItem(i))))
+      .reduce(_ + _)
+    a.join(b, Seq("quarter", "qv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming.cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+  }
+
   def resizeBmp(df: DataFrame, payloadCol: String, outW: Int, outH: Int,
                 outCol: String = "resized"): DataFrame = {
     require(outW > 0 && outH > 0, "output dims must be positive")

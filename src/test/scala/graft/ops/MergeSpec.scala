@@ -171,4 +171,43 @@ class MergeSpec extends AnyFunSuite with Matchers {
     row6.isNullAt(row6.fieldIndex("before_s")) shouldBe true
     row6.getAs[String]("after_s") shouldBe "f"
   }
+
+  // --- incremental aggregate maintenance -------------------------------
+
+  test("mergeAggState(agg(A), agg(B)) equals agg(A union B) exactly") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{count, lit, max, min, sum}
+    val rows = (1L to 200L).map(i => (i % 13, i.toDouble * 1.5, i))
+    val all = rows.toDF("k", "v", "seq")
+    def aggOf(df: DataFrame): DataFrame = df.groupBy("k").agg(
+      count(lit(1)).as("n"), sum($"v").as("s"), min($"v").as("mn"), max($"v").as("mx"))
+    val a = all.filter($"seq" % 3 =!= 0)
+    val b = all.filter($"seq" % 3 === 0)
+    val merged = Merge.mergeAggState(aggOf(a), aggOf(b), Seq("k"),
+        Map("n" -> "sum", "s" -> "sum", "mn" -> "min", "mx" -> "max"))
+      .select($"k", $"n", $"s", $"mn", $"mx")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSeq
+    val direct = aggOf(all).select($"k", $"n", $"s", $"mn", $"mx")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSeq
+    merged shouldBe direct
+  }
+
+  test("mergeAggState keeps state-only and delta-only keys intact") {
+    val state = Seq((1L, 5L, 50.0), (2L, 3L, 30.0)).toDF("k", "n", "s")
+    val delta = Seq((2L, 2L, 20.0), (9L, 1L, 9.0)).toDF("k", "n", "s")
+    val out = Merge.mergeAggState(state, delta, Seq("k"),
+        Map("n" -> "sum", "s" -> "sum"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    out shouldBe Map(1L -> ((5L, 50.0)), 2L -> ((5L, 50.0)), 9L -> ((1L, 9.0)))
+  }
+
+  test("mergeAggState rejects unknown combiners and empty keys") {
+    val df = Seq((1L, 1L)).toDF("k", "n")
+    an[IllegalArgumentException] should be thrownBy
+      Merge.mergeAggState(df, df, Seq("k"), Map("n" -> "avg"))
+    an[IllegalArgumentException] should be thrownBy
+      Merge.mergeAggState(df, df, Nil, Map("n" -> "sum"))
+  }
 }

@@ -356,4 +356,75 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     frames.map(_.getAs[Int]("frame_offset")).toSeq shouldBe Seq(0, 8, 16)
     new String(frames(0).getAs[Array[Byte]]("frame_bytes")) shouldBe "another "
   }
+
+  // --- perceptual aHash ------------------------------------------------
+
+  /** 8x8 BMP whose pixel grays come from a function of the index. */
+  private def bmp8x8(gray: Int => Int): Array[Byte] = {
+    val body = new Array[Byte](192)
+    for (i <- 0 until 64; c <- 0 until 3) body(3 * i + c) = (gray(i) / 3).toByte
+    Multimodal.bmp24Header(8, 8) ++ body
+  }
+
+  test("aHash: half-dark half-bright image sets exactly the bright bits") {
+    // pixels 0-31 gray 30, 32-63 gray 240 -> mean 135: bits 32..63 set
+    val q = Multimodal.aHash64Quarters(bmp8x8(i => if (i < 32) 30 else 240)).get
+    q(0) shouldBe 0
+    q(1) shouldBe 0
+    q(2) shouldBe 0xFFFF
+    q(3) shouldBe 0xFFFF
+  }
+
+  test("aHash: uniform image has no bit set (strict > mean)") {
+    Multimodal.aHash64Quarters(bmp8x8(_ => 120)).get.toSeq shouldBe Seq(0, 0, 0, 0)
+  }
+
+  test("aHash: undecodable payload maps to null through withImageAHash") {
+    val df = Seq((1L, "not a bmp".getBytes), (2L, bmp8x8(i => i * 4)))
+      .toDF("id", "payload")
+    val out = Multimodal.withImageAHash(df, "payload")
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[scala.collection.Seq[Int]]("ahash"))).toMap
+    out(1L) shouldBe None
+    out(2L).get.length shouldBe 4
+  }
+
+  test("aHash goes through the 8x8 resize: a 16x16 2x-upscale of an 8x8 image hashes identically") {
+    val base = bmp8x8(i => (i * 7) % 256)
+    // build the 16x16 by duplicating each pixel 2x2 (exact box-average
+    // inverse), stride for w=16 is 48, no padding
+    val (_, _, rgb) = Multimodal.decodeBmp24Pixels(base).get
+    val body = new Array[Byte](3 * 16 * 16)
+    for (y <- 0 until 16; x <- 0 until 16; c <- 0 until 3)
+      // stored BGR: decodeBmp24Pixels returned RGB, re-swap
+      body(3 * (y * 16 + x) + c) = rgb(3 * ((y / 2) * 8 + x / 2) + (2 - c))
+    val big = Multimodal.bmp24Header(16, 16) ++ body
+    Multimodal.aHash64Quarters(big).get.toSeq shouldBe
+      Multimodal.aHash64Quarters(base).get.toSeq
+  }
+
+  test("aHashPairs finds small perturbations, skips distant images, dedups bands") {
+    // img 1 and 2 differ in one pixel's gray; img 3 is the inverse image
+    val df = Seq(
+      (1L, bmp8x8(i => if (i < 32) 30 else 240)),
+      (2L, bmp8x8(i => if (i == 0) 45 else if (i < 32) 30 else 240)),
+      (3L, bmp8x8(i => if (i < 32) 240 else 30)))
+      .toDF("id", "payload")
+    val pairs = Multimodal.aHashPairs(
+        Multimodal.withImageAHash(df, "payload"), "id", "ahash", maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("hamming")))
+    pairs.toSeq shouldBe Seq((1L, 2L, 0)) // same bit pattern: mean moved too
+  }
+
+  test("aHashPairs is partition-count independent") {
+    val imgs = (0L until 24L).map(i =>
+      (i, bmp8x8(p => if (p < 32) (i % 4).toInt * 3 else 200 + (i % 3).toInt)))
+    val df1 = imgs.toDF("id", "payload").repartition(1)
+    val df7 = imgs.toDF("id", "payload").repartition(7)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.aHashPairs(Multimodal.withImageAHash(df, "payload"), "id", "ahash")
+        .orderBy("id_a", "id_b").collect().toSeq
+    run(df1) shouldBe run(df7)
+  }
 }
