@@ -1173,6 +1173,22 @@ object OpsQueries {
         .orderBy(col("rank").desc, col("node")).limit(20)
     }),
 
+    "g3_components" -> ((s, dir) => {
+      // DIRECT oracle coverage for connectedComponents (d6/d13 exercise
+      // it only through the dedup pipelines): chain edges (i, i+1)
+      // broken at every block boundary (i % 50 == 49), so components
+      // are exactly the 50-wide id blocks and min-label = block start —
+      // SQL-derivable without any graph walk. Census output (component,
+      // size, max id) pins label assignment AND membership.
+      val edges = docs(s, dir).select(col("doc_id").as("i"))
+        .filter(col("i") % 50 =!= 49)
+        .select(col("i").as("id_a"), (col("i") + 1).as("id_b"))
+      Dedup.connectedComponents(edges)
+        .groupBy("component")
+        .agg(count(lit(1)).as("size"), max(col("id")).as("max_id"))
+        .orderBy("component")
+    }),
+
     // ---- full-text retrieval -------------------------------------------
     "x14_bm25" -> ((s, dir) =>
       // BM25 top-20 for a 3-term query: tf per term via in-row array
@@ -1239,6 +1255,33 @@ object OpsQueries {
           round(col("avg_value") + lit(5e-10), 6).as("avg_value"),
           round(col("__ff") + lit(5e-10), 6).as("ff_value"))
         .orderBy("event_type", "h")
+    }),
+
+    // ---- crawl dedup by canonical URL ----------------------------------
+    "d14_url_dedup" -> ((s, dir) => {
+      // the same page reached four ways — case-varied host + default
+      // port + tracking query (%4==0), trailing slash (%4==1), fragment
+      // (%4==2) — must group under ONE canonical key; %4==3 is a
+      // distinct host family that must NOT merge. Pure projection +
+      // one key agg: the 100 TB crawl-dedup shape.
+      docs(s, dir).select(col("doc_id"))
+        .withColumn("url",
+          when(col("doc_id") % 4 === 0,
+            concat(lit("HTTPS://Site-"), col("doc_id") % 5,
+              lit(".Example.org:443/p/"), col("doc_id") % 7, lit("?utm_source=x")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("https://site-"), col("doc_id") % 5,
+              lit(".example.org/p/"), col("doc_id") % 7, lit("/")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("https://site-"), col("doc_id") % 5,
+              lit(".example.org/p/"), col("doc_id") % 7, lit("#section-"), col("doc_id") % 3))
+          .otherwise(
+            concat(lit("http://other-"), col("doc_id") % 11,
+              lit(".example.net:80/q/"), col("doc_id") % 13)))
+        .withColumn("canonical_url", TextAnalysis.canonicalizeUrl(col("url")))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+        .orderBy("canonical_url")
     }),
 
     // ---- perceptual image hashing --------------------------------------
@@ -1825,6 +1868,15 @@ object OpsQueries {
         "SELECT node, round(rank + 5e-10, 6) AS rank FROM r5 " +
         "ORDER BY rank DESC, node LIMIT 20"
     },
+    "g3_components" ->
+      // the planted block-chain graph's components are derivable without
+      // a graph walk: nodes = chain endpoints, component = 50-wide block
+      // start (min-label semantics: the block start IS the minimum id)
+      ("WITH n AS (SELECT doc_id AS i FROM documents WHERE doc_id % 50 <> 49), " +
+        "nodes AS (SELECT i AS id FROM n UNION SELECT i + 1 FROM n), " +
+        "c AS (SELECT id, (id // 50) * 50 AS component FROM nodes) " +
+        "SELECT component, count(*)::BIGINT AS size, max(id) AS max_id " +
+        "FROM c GROUP BY component ORDER BY component"),
     "x14_bm25" -> {
       // identical operation order as Search.bm25: idf·tf·(k1+1) /
       // (tf + k1·((1-b) + b·dl/avgdl)); all inputs exact integers except
@@ -1885,6 +1937,22 @@ object OpsQueries {
       ("SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n, " +
         "round(sum(value) + 5e-10, 6) AS sum_value FROM events " +
         "WHERE event_type = 'purchase' GROUP BY day ORDER BY day"),
+    "d14_url_dedup" ->
+      // replay planting + the five canonicalization regex steps verbatim
+      ("WITH u AS (SELECT doc_id, CASE " +
+        "WHEN doc_id % 4 = 0 THEN 'HTTPS://Site-' || (doc_id % 5)::VARCHAR || '.Example.org:443/p/' || (doc_id % 7)::VARCHAR || '?utm_source=x' " +
+        "WHEN doc_id % 4 = 1 THEN 'https://site-' || (doc_id % 5)::VARCHAR || '.example.org/p/' || (doc_id % 7)::VARCHAR || '/' " +
+        "WHEN doc_id % 4 = 2 THEN 'https://site-' || (doc_id % 5)::VARCHAR || '.example.org/p/' || (doc_id % 7)::VARCHAR || '#section-' || (doc_id % 3)::VARCHAR " +
+        "ELSE 'http://other-' || (doc_id % 11)::VARCHAR || '.example.net:80/q/' || (doc_id % 13)::VARCHAR END AS url " +
+        "FROM documents), " +
+        raw"nf AS (SELECT doc_id, regexp_replace(url, '#.*$$', '') AS nofrag FROM u), " +
+        raw"pr AS (SELECT doc_id, nofrag, regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS prefix FROM nf), " +
+        "c AS (SELECT doc_id, " +
+        raw"regexp_replace(lower(prefix), ':(80|443)$$', '') || " +
+        raw"regexp_replace(regexp_replace(substring(nofrag, length(prefix) + 1), '\?utm_[^#]*$$', ''), '/$$', '') AS canonical_url " +
+        "FROM pr) " +
+        "SELECT canonical_url, count(*)::BIGINT AS n_docs, min(doc_id) AS first_doc " +
+        "FROM c GROUP BY canonical_url ORDER BY canonical_url"),
     "m6_phash_neardup" -> {
       // replay the aHash byte math from the raw text: gray(i) = sum of
       // the 3 bytes of pixel i (stride 24 = 3*8, no row padding, and

@@ -148,6 +148,21 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    "a11_grouped_quantiles" -> ((s, dir) =>
+      // per-group EXACT interpolated quantiles (percentile_cont
+      // semantics: rank (n-1)·p, linear interpolation) — the grouped
+      // complement of a3's global quartiles. Spark's exact `percentile`
+      // is a per-group sort aggregate: fine when groups are few and
+      // bounded (3 here); high-cardinality columns route to the
+      // order-statistics path (t9) — both gated paths stay covered.
+      table(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)") + lit(5e-10), 6).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)") + lit(5e-10), 6).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)") + lit(5e-10), 6).as("p75"),
+          round(expr("percentile(l_extendedprice, 0.95)") + lit(5e-10), 6).as("p95"))
+        .orderBy("l_returnflag")),
+
     // ---- joins / windows / set ops (SURVEY.md §2.5-2.7) ----
     "j1_outer_join" -> ((s, dir) => roundDoubles(
       table(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
@@ -236,6 +251,25 @@ object SparkEntry {
           round(percent_rank().over(w) + lit(5e-10), 6).as("prnk"),
           round(cume_dist().over(w) + lit(5e-10), 6).as("cdist"),
           ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+    "w5_value_family" -> ((s, dir) => {
+      // the VALUE window-function family over one shared key exchange:
+      // lead, first_value, nth_value (default growing frame), last_value
+      // (full frame), plus a RANGE frame (price +/- 1000 — the only
+      // frame kind w1/w2/w4 don't cover). o_orderkey is unique per
+      // partition, so every function is order-deterministic.
+      val byKey = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      val full = byKey.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val byPrice = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+        .rangeBetween(-1000, 0)
+      table(s, dir, "orders").filter(col("o_custkey") < 150)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(lead(col("o_totalprice"), 1).over(byKey) + lit(5e-10), 6).as("next_price"),
+          round(first(col("o_totalprice")).over(byKey) + lit(5e-10), 6).as("first_price"),
+          round(nth_value(col("o_totalprice"), 2).over(byKey) + lit(5e-10), 6).as("second_price"),
+          round(last(col("o_totalprice")).over(full) + lit(5e-10), 6).as("last_price"),
+          count(lit(1)).over(byPrice).as("n_within_1000"))
         .orderBy("o_custkey", "o_orderkey")
     }),
     "u1_set_ops" -> ((s, dir) => {
@@ -367,6 +401,25 @@ object SparkEntry {
         "ntile(4) OVER w AS quartile " +
         "FROM orders WHERE o_custkey < 100 " +
         "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) " +
+        "ORDER BY o_custkey, o_orderkey"),
+    "a11_grouped_quantiles" ->
+      ("SELECT l_returnflag, " +
+        "round(quantile_cont(l_extendedprice, 0.25) + 5e-10, 6) AS p25, " +
+        "round(quantile_cont(l_extendedprice, 0.5) + 5e-10, 6) AS p50, " +
+        "round(quantile_cont(l_extendedprice, 0.75) + 5e-10, 6) AS p75, " +
+        "round(quantile_cont(l_extendedprice, 0.95) + 5e-10, 6) AS p95 " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "w5_value_family" ->
+      ("SELECT o_custkey, o_orderkey, " +
+        "round(lead(o_totalprice, 1) OVER wk + 5e-10, 6) AS next_price, " +
+        "round(first_value(o_totalprice) OVER wk + 5e-10, 6) AS first_price, " +
+        "round(nth_value(o_totalprice, 2) OVER wk + 5e-10, 6) AS second_price, " +
+        "round(last_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) + 5e-10, 6) AS last_price, " +
+        "count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice " +
+        "RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)::BIGINT AS n_within_1000 " +
+        "FROM orders WHERE o_custkey < 150 " +
+        "WINDOW wk AS (PARTITION BY o_custkey ORDER BY o_orderkey) " +
         "ORDER BY o_custkey, o_orderkey"),
     "u4_bag_set_ops" ->
       ("WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 100000), " +

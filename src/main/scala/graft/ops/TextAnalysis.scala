@@ -230,6 +230,27 @@ object TextAnalysis {
   def urlHosts(text: Column): Column =
     transform(regexp_extract_all(text, lit(UrlHostPattern), lit(1)), h => lower(h))
 
+  /** Canonicalize a URL for crawl dedup — the same page reached through
+    * case-varied hosts, explicit default ports, tracking-only query
+    * strings, fragments, or a bare trailing slash must map to ONE key.
+    * Rules (each a pure regex/string step both engines replay verbatim):
+    *   1. drop the #fragment
+    *   2. lowercase the scheme://host[:port] prefix (paths stay
+    *      case-sensitive per RFC 3986)
+    *   3. drop an explicit default port (:80 / :443)
+    *   4. drop a tracking-only query string (?utm_... to the end)
+    *   5. drop a trailing slash (but keep a bare-host "/" collapse too:
+    *      the rule runs after 4, so "host/" -> "host")
+    * Non-URL input passes through the same steps harmlessly. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val prefix = regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val rest = noFrag.substr(length(prefix) + 1, length(noFrag))
+    val lowPrefix = regexp_replace(lower(prefix), ":(80|443)$", "")
+    val noUtm = regexp_replace(rest, "\\?utm_[^#]*$", "")
+    concat(lowPrefix, regexp_replace(noUtm, "/$", ""))
+  }
+
   def emailCount(text: Column): Column = regexp_count(text, lit(EmailPattern))
   def urlCount(text: Column): Column = regexp_count(text, lit(UrlPattern))
   def ipv4Count(text: Column): Column = regexp_count(text, lit(Ipv4Pattern))

@@ -219,4 +219,28 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     a.map(t => (t._1, t._2)) shouldBe b.map(t => (t._1, t._2))
     a.zip(b).foreach { case (x, y) => x._3 shouldBe y._3 +- 1e-12 }
   }
+
+  test("canonicalizeUrl collapses equivalent URLs and keeps distinctions") {
+    import org.apache.spark.sql.functions.col
+    val urls = Seq(
+      "HTTPS://Example.ORG:443/Path/Page?utm_source=feed#top",
+      "https://example.org/Path/Page",
+      "https://example.org/Path/Page/",
+      "http://example.org:80/Path/Page",
+      "http://example.org:8080/Path/Page", // non-default port KEPT
+      "https://example.org/path/page",     // path case KEPT distinct
+      "https://example.org/a?id=7&utm_source=x", // real params kept (not tracking-only)
+      "no url at all")
+    val out = urls.toDF("u")
+      .select(TextAnalysis.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(_.getString(0))
+    out(0) shouldBe "https://example.org/Path/Page"
+    out(1) shouldBe "https://example.org/Path/Page"
+    out(2) shouldBe "https://example.org/Path/Page"
+    out(3) shouldBe "http://example.org/Path/Page"
+    out(4) shouldBe "http://example.org:8080/Path/Page"
+    out(5) shouldBe "https://example.org/path/page"
+    out(6) shouldBe "https://example.org/a?id=7&utm_source=x"
+    out(7) shouldBe "no url at all"
+  }
 }
