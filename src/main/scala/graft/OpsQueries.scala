@@ -1173,6 +1173,16 @@ object OpsQueries {
         .orderBy(col("rank").desc, col("node")).limit(20)
     }),
 
+    "s7_knn_graph" -> ((s, dir) =>
+      // kNN-graph over the embedding corpus: top-3 bucket-mates per
+      // vector via the bounded TopK aggregator (shuffle carries <= 3
+      // rows per (partition, src)); bucket + cosine math shared with
+      // the oracle-green d5 path
+      Similarity.knnGraph(table(s, dir, "embeddings"), "vec_id", "embedding", k = 3)
+        .select(col("src"), col("rank"), col("dst"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("src", "rank")),
+
     "g3_components" -> ((s, dir) => {
       // DIRECT oracle coverage for connectedComponents (d6/d13 exercise
       // it only through the dedup pipelines): chain edges (i, i+1)
@@ -1867,6 +1877,20 @@ object OpsQueries {
         (1 to 5).map(iterCte).mkString(", ") + " " +
         "SELECT node, round(rank + 5e-10, 6) AS rank FROM r5 " +
         "ORDER BY rank DESC, node LIMIT 20"
+    },
+    "s7_knn_graph" -> {
+      // the d5 gated-bucket CTEs, directed candidates, row_number top-3
+      // with the TopK aggregator's exact (cosine desc, dst) order
+      val bucket = bucketSqlGated("embedding::DOUBLE[]",
+        graft.ops.Similarity.randomPlanes(16, 64), "(SELECT p FROM np)")
+      ("WITH np AS (SELECT greatest(4, least(16, CAST(ceil(log2(count(*) / 64.0)) AS INT))) AS p FROM embeddings), " +
+        "b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, " + bucket + " AS bucket FROM embeddings), " +
+        "pr AS (SELECT a.id AS src, c.id AS dst, list_cosine_similarity(a.v, c.v) AS cos, " +
+        "row_number() OVER (PARTITION BY a.id " +
+        "ORDER BY list_cosine_similarity(a.v, c.v) DESC, c.id) AS rn " +
+        "FROM b a JOIN b c ON a.bucket = c.bucket AND a.id <> c.id) " +
+        "SELECT src, rn::BIGINT AS rank, dst, ROUND(cos, 6) AS cosine " +
+        "FROM pr WHERE rn <= 3 ORDER BY src, rank")
     },
     "g3_components" ->
       // the planted block-chain graph's components are derivable without

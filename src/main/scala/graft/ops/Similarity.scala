@@ -275,4 +275,50 @@ object Similarity {
       .withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= k).drop("__rank")
   }
+
+  /** kNN-graph construction: every vector's top-k nearest bucket-mates
+    * by cosine — the index-building step for graph-based ANN (NN-descent
+    * seeds, HNSW base layers) and for similarity-graph clustering.
+    *
+    * Shape: the adaptive-bucket candidate join of
+    * [[Dedup.embeddingNearDupPairsAdaptive]] (population-stable buckets:
+    * P = clamp(ceil(log2(n/targetBucket)), min, max) folded into the
+    * plan as a broadcast 1-row count) made DIRECTED (src pairs with
+    * every other bucket-mate), then top-k per source via the bounded
+    * [[graft.functions.TopK]] aggregator — the shuffle carries at most k
+    * rows per (partition, src), never the full candidate list (a window
+    * would sort every candidate of every source). Recall is bucket-local
+    * by construction — the documented trade; raise targetBucket or use
+    * [[topKLsh]]'s multi-probe for recall-critical lookups.
+    *
+    * Output: (src, rank 1..k, dst, cosine), rank by (cosine desc, dst)
+    * — deterministic under any partitioning. */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int = 3,
+               minPlanes: Int = 4, maxPlanes: Int = 16,
+               targetBucket: Int = 64, seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val dim = inferDim(df, vecCol)
+    val planes = randomPlanes(maxPlanes, dim, seed)
+    val n = df.agg(count(lit(1)).as("__n"))
+    val p = greatest(lit(minPlanes), least(lit(maxPlanes),
+      ceil(log2(col("__n") / lit(targetBucket.toDouble))).cast("int")))
+    val withB = df.crossJoin(broadcast(n))
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        lshBucketGated(col(vecCol), planes, p).as("bucket"))
+    val a = withB.select(col("bucket"), col("id").as("src"), col("v").as("v_a"))
+    val b = withB.select(col("bucket"), col("id").as("dst"), col("v").as("v_b"))
+    val tk = org.apache.spark.sql.functions.udaf(new graft.functions.TopK(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+    a.join(b, Seq("bucket"))
+      .filter(col("src") =!= col("dst"))
+      // same uncast cosine as embeddingNearDupPairsAdaptive — the d5
+      // oracle precedent pins the double-for-double agreement
+      .select(col("src"), col("dst"),
+        cosine(col("v_a"), col("v_b")).as("cosine"))
+      .groupBy("src")
+      .agg(tk(col("cosine"), col("dst")).as("__top"))
+      .select(col("src"), posexplode(col("__top")))
+      .select(col("src"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("dst"), col("col.score").as("cosine"))
+  }
 }

@@ -225,4 +225,47 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
     // and centered on 1 on average
     (ratios.sum / ratios.size) shouldBe 1.0 +- 0.35
   }
+
+  test("knnGraph: dense ranks, non-increasing cosine, near-identical vector ranks first") {
+    import org.apache.spark.sql.functions.col
+    // 60 vectors in 64 dims: id 0 and 1 nearly identical, the rest
+    // deterministic pseudo-random noise (all land in adaptive buckets)
+    def vec(seed: Long): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(64)((r.nextDouble() - 0.5).toFloat)
+    }
+    val rows = (0L until 60L).map(i =>
+      (i, if (i == 1) vec(0).updated(0, vec(0).head + 1e-5f) else vec(i)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.knnGraph(df, "vec_id", "embedding", k = 3)
+      .orderBy("src", "rank").collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("rank"),
+        r.getAs[Long]("dst"), r.getAs[Double]("cosine")))
+    // per-src: ranks dense from 1, cosine non-increasing
+    out.groupBy(_._1).foreach { case (_, rs) =>
+      rs.map(_._2).toSeq shouldBe (1L to rs.length)
+      rs.map(_._4).toSeq.sliding(2).foreach {
+        case Seq(a, b) => a should be >= b
+        case _ =>
+      }
+    }
+    // 0 and 1 share a bucket (near-identical) -> each ranks the other #1
+    val bySrc = out.groupBy(_._1)
+    if (bySrc.contains(0L)) bySrc(0L).head._3 shouldBe 1L
+    if (bySrc.contains(1L)) bySrc(1L).head._3 shouldBe 0L
+  }
+
+  test("knnGraph is partition-count independent") {
+    import org.apache.spark.sql.functions.col
+    def vec(seed: Long): Seq[Float] = {
+      val r = new scala.util.Random(seed * 31 + 7)
+      Seq.fill(64)((r.nextDouble() - 0.5).toFloat)
+    }
+    val rows = (0L until 40L).map(i => (i, vec(i)))
+    def run(parts: Int) =
+      Similarity.knnGraph(rows.toDF("vec_id", "embedding").repartition(parts),
+          "vec_id", "embedding", k = 2)
+        .orderBy("src", "rank").collect().toSeq
+    run(1) shouldBe run(6)
+  }
 }
