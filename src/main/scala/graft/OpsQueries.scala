@@ -1267,6 +1267,23 @@ object OpsQueries {
         .orderBy("event_type", "h")
     }),
 
+    "d15_cross_corpus_dedup" -> ((s, dir) => {
+      // dedup the "new crawl" against the existing corpus: %4==0 is a
+      // byte-exact copy, %4==1 an equal-token near-dup (double spaces),
+      // %4 in {2,3} genuinely fresh (a unique token appended) — only
+      // the fresh half survives. Threshold 1.0 => a new doc is dropped
+      // iff its distinct shingle set EQUALS some ref doc's (the d6
+      // equality argument), which the oracle derives with a set-key
+      // anti-join — no LSH replay needed.
+      val ref = docs(s, dir)
+      val newc = ref.select((col("doc_id") + 1000000L).as("doc_id"),
+        when(col("doc_id") % 4 === 0, col("text"))
+          .when(col("doc_id") % 4 === 1, expr("replace(text, ' ', '  ')"))
+          .otherwise(concat(col("text"), lit(" zz"), col("doc_id"))).as("text"))
+      Dedup.crossCorpusDedup(newc, ref, "doc_id", "text", threshold = 1.0)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
     // ---- crawl dedup by canonical URL ----------------------------------
     "d14_url_dedup" -> ((s, dir) => {
       // the same page reached four ways — case-varied host + default
@@ -1344,6 +1361,31 @@ object OpsQueries {
           round(col("max_price").cast("double") + lit(5e-10), 6).as("max_price"),
           round(col("sum_price").cast("double") / col("n") + lit(5e-10), 6).as("mean_price"))
         .orderBy("o_custkey")
+    }),
+
+    // ---- metadata-only scan: parquet aggregate pushdown ----------------
+    "o5_agg_pushdown" -> ((s, dir) => {
+      // COUNT/MIN/MAX answered from parquet row-group STATISTICS — no
+      // data page is read (the 100 TB "profile this table" query as a
+      // footer walk). Needs the DSv2 parquet path; a child session
+      // isolates the conf flips from the shared verify/bench session
+      // (same SparkContext, separate SQL conf). SourcesSpec pins
+      // PushedAggregation in the plan so a silent fallback to a full
+      // scan cannot masquerade as a pass.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.sources.useV1SourceList", "")
+      s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      Util.table(s2, dir, "lineitem").agg(
+          count(lit(1)).as("n_rows"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+        .select(col("n_rows"),
+          round(col("min_qty") + lit(5e-10), 6).as("min_qty"),
+          round(col("max_qty") + lit(5e-10), 6).as("max_qty"),
+          round(col("min_price") + lit(5e-10), 6).as("min_price"),
+          round(col("max_price") + lit(5e-10), 6).as("max_price"))
     }),
 
     // ---- columnar sink/source: ORC -------------------------------------
@@ -1961,6 +2003,26 @@ object OpsQueries {
       ("SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n, " +
         "round(sum(value) + 5e-10, 6) AS sum_value FROM events " +
         "WHERE event_type = 'purchase' GROUP BY day ORDER BY day"),
+    "d15_cross_corpus_dedup" ->
+      // survivors = new docs whose sorted distinct 3-shingle set key
+      // matches no ref doc's (set equality <=> threshold-1.0 near-dup,
+      // the d6 argument; byte-exact copies are a subset)
+      ("WITH newc AS (SELECT doc_id + 1000000 AS id, " +
+        "CASE WHEN doc_id % 4 = 0 THEN text " +
+        "WHEN doc_id % 4 = 1 THEN replace(text, ' ', '  ') " +
+        "ELSE text || ' zz' || doc_id::VARCHAR END AS text FROM documents), " +
+        s"rt AS (SELECT ${toksOf("text")} AS tk FROM documents), " +
+        s"rk AS (SELECT DISTINCT list_sort(${shingleSql(3, "tk")}) AS sk FROM rt), " +
+        s"nt AS (SELECT id, ${toksOf("text")} AS tk FROM newc), " +
+        s"nk AS (SELECT id, list_sort(${shingleSql(3, "tk")}) AS sk FROM nt) " +
+        "SELECT nk.id AS doc_id FROM nk LEFT JOIN rk ON nk.sk = rk.sk " +
+        "WHERE rk.sk IS NULL ORDER BY doc_id"),
+    "o5_agg_pushdown" ->
+      ("SELECT count(*)::BIGINT AS n_rows, " +
+        "round(min(l_quantity) + 5e-10, 6) AS min_qty, " +
+        "round(max(l_quantity) + 5e-10, 6) AS max_qty, " +
+        "round(min(l_extendedprice) + 5e-10, 6) AS min_price, " +
+        "round(max(l_extendedprice) + 5e-10, 6) AS max_price FROM lineitem"),
     "d14_url_dedup" ->
       // replay planting + the five canonicalization regex steps verbatim
       ("WITH u AS (SELECT doc_id, CASE " +

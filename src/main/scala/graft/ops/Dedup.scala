@@ -531,6 +531,45 @@ object Dedup {
     df.join(winners, Seq(idCol))
   }
 
+  /** Cross-corpus dedup: keep rows of `newDf` matching NOTHING in
+    * `refDf` — neither byte-exact (8-byte content-hash anti-join; the
+    * ref text never travels) nor near-duplicate (MinHash-LSH pairs over
+    * the side-tagged union, filtered to pairs CROSSING the corpus
+    * boundary). The "dedup the new crawl against the existing corpus"
+    * step: new-vs-new duplicates are deliberately NOT touched — run
+    * [[minHashDedup]]/[[exact]] on the new corpus for that.
+    *
+    * Ids must be unique across BOTH corpora combined — enforced in-plan
+    * (the side-lookup aggregate raises on a duplicate id), because a
+    * shared id would silently mis-side pairs, the adjacentPairs
+    * precedent. */
+  def crossCorpusDedup(newDf: DataFrame, refDf: DataFrame, idCol: String,
+                       textCol: String, numHashes: Int = 64, bands: Int = 16,
+                       threshold: Double = 0.7): DataFrame = {
+    val refHashes = refDf
+      .select(graft.ops.TextAnalysis.contentHash(col(textCol)).as("__ch")).distinct()
+    val exactClean = newDf
+      .withColumn("__ch", graft.ops.TextAnalysis.contentHash(col(textCol)))
+      .join(refHashes, Seq("__ch"), "left_anti").drop("__ch")
+    val tagged = newDf.select(col(idCol), col(textCol)).withColumn("__side", lit(1))
+      .unionByName(refDf.select(col(idCol), col(textCol)).withColumn("__side", lit(0)))
+    val pairs = minHashLshPairs(tagged, idCol, textCol, numHashes, bands, threshold)
+    val sides = tagged.groupBy(col(idCol).as("__pid"))
+      .agg(count(lit(1)).as("__c"), max(col("__side")).as("__s"))
+      .select(col("__pid"),
+        when(col("__c") > 1, raise_error(concat(
+            lit("crossCorpusDedup: id not unique across corpora: "), col("__pid"))))
+          .otherwise(col("__s")).as("__s"))
+    val losers = pairs
+      .join(sides.select(col("__pid").as("id_a"), col("__s").as("__sa")), Seq("id_a"))
+      .join(sides.select(col("__pid").as("id_b"), col("__s").as("__sb")), Seq("id_b"))
+      .filter(col("__sa") =!= col("__sb"))
+      .select(when(col("__sa") === 1, col("id_a")).otherwise(col("id_b"))
+        .cast(newDf.schema(idCol).dataType).as(idCol))
+      .distinct()
+    exactClean.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Near-dedup: drop all but the minimum-id member of each near-dup
     * candidate pair set (greedy transitive-lite pass: a doc survives iff
     * it is not the larger id of any qualifying pair). */

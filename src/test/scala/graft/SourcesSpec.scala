@@ -123,4 +123,24 @@ class SourcesSpec extends AnyFunSuite with Matchers {
     val naive = spark.read.parquet(dir)
     naive.count() shouldBe 4
   }
+
+  test("parquet aggregate pushdown answers COUNT/MIN/MAX from footer statistics") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_pushdown").toString
+    (1L to 1000L).map(i => (i, i.toDouble * 1.5)).toDF("id", "v")
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    val agg = s2.read.parquet(dir).agg(
+      count(lit(1)).as("n"), min(col("v")).as("mn"), max(col("v")).as("mx"))
+    // the o5 load-bearing assertion: statistics answered the query — a
+    // silent fallback to a data-page scan would still be CORRECT, so
+    // only the plan can prove the metadata-only path was taken
+    agg.queryExecution.executedPlan.toString should include ("PushedAggregation")
+    val r = agg.head()
+    r.getLong(0) shouldBe 1000L
+    r.getDouble(1) shouldBe 1.5
+    r.getDouble(2) shouldBe 1500.0
+  }
 }

@@ -401,6 +401,38 @@ class DedupSpec extends AnyFunSuite with Matchers {
     a shouldBe b
   }
 
+  test("crossCorpusDedup drops exact and near matches to ref, keeps fresh and new-vs-new dups") {
+    val base = "the quick brown fox jumps over the lazy dog near the old barn door today"
+    val ref = Seq((1L, base),
+      (2L, "reference corpus second document with its own distinct words inside here"))
+      .toDF("doc_id", "text")
+    val newc = Seq(
+      (101L, base),                       // exact dup of ref 1 -> dropped
+      (102L, base.replace(" ", "  ")),    // equal-token near dup -> dropped
+      (103L, "a genuinely fresh crawl document nothing like the reference set"),
+      (104L, "a genuinely fresh crawl document nothing like the reference set"))
+      .toDF("doc_id", "text") // 103/104 duplicate EACH OTHER -> both kept
+    val out = Dedup.crossCorpusDedup(newc, ref, "doc_id", "text", threshold = 1.0)
+      .select("doc_id").as[Long].collect().sorted
+    out shouldBe Array(103L, 104L)
+  }
+
+  test("crossCorpusDedup raises on an id shared between the corpora") {
+    val textA = "some reference text with enough words to shingle properly here"
+    val textB = "a second reference body whose words differ from the first entirely"
+    val ref = Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
+    // id 1 reused by the new corpus; the (2, 50) near-dup pair forces
+    // the side-lookup aggregate (where the guard lives) to evaluate
+    val newc = Seq((1L, textA), (50L, textB)).toDF("doc_id", "text")
+    def allMessages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val e = intercept[Throwable] {
+      Dedup.crossCorpusDedup(newc, ref, "doc_id", "text", threshold = 1.0).collect()
+    }
+    allMessages(e) should include ("not unique")
+  }
+
   test("canonicalPerCluster keeps the highest-prefer member, min id on ties") {
     import org.apache.spark.sql.functions.col
     // cluster {1,2,3}: identical token streams, different spacing —
