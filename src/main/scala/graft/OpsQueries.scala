@@ -1267,6 +1267,53 @@ object OpsQueries {
         .orderBy("event_type", "h")
     }),
 
+    "d16_containment" -> ((s, dir) => {
+      // near-SUPERSET detection (quote/boilerplate wrapping — the Lee
+      // et al. containment signal Jaccard misses): directional
+      // |A∩B|/|A| over 3-gram shingle-hash sets on adjacent pairs.
+      // Every id%5==0 doc is planted to CONTAIN its predecessor
+      // verbatim, so containment_ab = 1.0 exactly there while jaccard
+      // stays well below 1 — the asymmetry is the point.
+      val d = docs(s, dir)
+      val prev = d.select((col("doc_id") + 1).as("doc_id"), col("text").as("__prev"))
+      val corpus = d.join(prev, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0 && col("__prev").isNotNull,
+            concat(col("text"), lit(" "), col("__prev")))
+            .otherwise(col("text")).as("text"))
+      val withSh = corpus.select(col("doc_id"),
+        graft.functions.HashFunctions.shingleHash(
+          TextAnalysis.tokens(lower(col("text"))), 3).as("sh"))
+      val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+      Dedup.adjacentPairs(withSh, "doc_id")
+        .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b"),
+          round(inter / greatest(size(col("sh_a")), lit(1)).cast("double"), 6).as("containment_ab"),
+          round(inter / greatest(size(col("sh_b")), lit(1)).cast("double"), 6).as("containment_ba"))
+        .orderBy("id_a")
+    }),
+
+    "u7_incremental_distinct" -> ((s, dir) => {
+      // incremental DISTINCT maintenance — the aggregate class u6's
+      // sum/min/max combiners cannot express: per-segment HLL sketches
+      // of the historical batch unioned with the delta batch's, exact
+      // recompute riding alongside. Rows-only (DuckDB has no
+      // Spark-compatible HLL); MergeSpec pins merged == whole-input
+      // sketch EXACTLY (register-wise max is associative).
+      val o = table(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"))
+        .join(table(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")), Seq("o_custkey"))
+      def sk(df: DataFrame): DataFrame = df.groupBy("c_mktsegment")
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      Merge.mergeSketchState(
+          sk(o.filter(col("o_orderkey") % 7 =!= 0)),
+          sk(o.filter(col("o_orderkey") % 7 === 0)),
+          Seq("c_mktsegment"), Seq("sk"))
+        .select(col("c_mktsegment"), hll_sketch_estimate(col("sk")).as("approx_customers"))
+        .join(o.groupBy("c_mktsegment")
+          .agg(count_distinct(col("o_custkey")).as("exact_customers")), Seq("c_mktsegment"))
+        .orderBy("c_mktsegment")
+    }),
+
     "d15_cross_corpus_dedup" -> ((s, dir) => {
       // dedup the "new crawl" against the existing corpus: %4==0 is a
       // byte-exact copy, %4==1 an equal-token near-dup (double spaces),
@@ -2003,6 +2050,22 @@ object OpsQueries {
       ("SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n, " +
         "round(sum(value) + 5e-10, 6) AS sum_value FROM events " +
         "WHERE event_type = 'purchase' GROUP BY day ORDER BY day"),
+    "d16_containment" -> {
+      // string-shingle replay (the d2 hash-vs-string precedent): set
+      // sizes agree with the 8-byte-hash sets up to 2^-64 collisions
+      val (sa, sb) = (shingleSql(3, "ta"), shingleSql(3, "tb"))
+      "WITH corpus AS (SELECT d.doc_id, " +
+        "CASE WHEN d.doc_id % 5 = 0 AND p.text IS NOT NULL " +
+        "THEN d.text || ' ' || p.text ELSE d.text END AS text " +
+        "FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 1), " +
+        s"toks AS (SELECT doc_id, ${toksOf("text")} AS tk FROM corpus) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        s"ROUND(len(list_intersect($sa, $sb))::DOUBLE / greatest(len($sa), 1), 6) AS containment_ab, " +
+        s"ROUND(len(list_intersect($sa, $sb))::DOUBLE / greatest(len($sb), 1), 6) AS containment_ba " +
+        "FROM (SELECT doc_id, tk AS ta FROM toks) a " +
+        "JOIN (SELECT doc_id, tk AS tb FROM toks) b ON b.doc_id = a.doc_id + 1 " +
+        "ORDER BY id_a"
+    },
     "d15_cross_corpus_dedup" ->
       // survivors = new docs whose sorted distinct 3-shingle set key
       // matches no ref doc's (set equality <=> threshold-1.0 near-dup,

@@ -129,6 +129,32 @@ object Merge {
       .drop("__in_before", "__in_after")
   }
 
+  /** Incremental DISTINCT-count maintenance: combine stored per-key HLL
+    * sketch columns with a delta batch's sketches — the one aggregate
+    * class [[mergeAggState]]'s sum/min/max combiners cannot express
+    * (distinct counts don't sum). Sketch columns are Spark
+    * `hll_sketch_agg` binaries; combination is `hll_union`, with the
+    * same null policy as mergeAggState (a key absent from one side
+    * keeps the other side's sketch). Store the sketch, not the number:
+    * the estimate is derived per read via `hll_sketch_estimate`, and
+    * tomorrow's delta unions into the same state forever — the 100 TB
+    * "distinct users ever" query without ever rescanning history. */
+  def mergeSketchState(state: DataFrame, deltaAgg: DataFrame, keys: Seq[String],
+                       sketchCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    require(sketchCols.nonEmpty, "need at least one sketch column")
+    val s = state.select(keys.map(col) ++
+      sketchCols.map(c => col(c).as(s"__s_$c")): _*)
+    val d = deltaAgg.select(keys.map(col) ++
+      sketchCols.map(c => col(c).as(s"__d_$c")): _*)
+    s.join(d, keys, "full_outer")
+      .select(keys.map(col) ++ sketchCols.map { c =>
+        val a = col(s"__s_$c"); val b = col(s"__d_$c")
+        when(a.isNull, b).when(b.isNull, a)
+          .otherwise(hll_union(a, b)).as(c)
+      }: _*)
+  }
+
   /** Incremental aggregate maintenance: combine a stored per-key
     * aggregate-state snapshot with the aggregate of a new delta batch,
     * WITHOUT rescanning the historical rows — the materialized-view

@@ -203,6 +203,36 @@ class MergeSpec extends AnyFunSuite with Matchers {
     out shouldBe Map(1L -> ((5L, 50.0)), 2L -> ((5L, 50.0)), 9L -> ((1L, 9.0)))
   }
 
+  test("mergeSketchState: merged HLL equals the whole-input sketch estimate exactly") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{col, hll_sketch_agg, hll_sketch_estimate}
+    val rows = (1L to 500L).map(i => (i % 7, i % 113))
+    val all = rows.toDF("k", "u")
+    def sk(df: DataFrame): DataFrame =
+      df.groupBy("k").agg(hll_sketch_agg(col("u")).as("s"))
+    val a = all.filter($"u" % 3 =!= 0)
+    val b = all.filter($"u" % 3 === 0)
+    def est(df: DataFrame): Map[Long, Long] =
+      df.select(col("k"), hll_sketch_estimate(col("s")).as("e"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // register-wise max is associative and order-free: union of the two
+    // batch sketches must equal the one-shot sketch REGISTER FOR
+    // REGISTER, hence estimate for estimate
+    est(Merge.mergeSketchState(sk(a), sk(b), Seq("k"), Seq("s"))) shouldBe est(sk(all))
+  }
+
+  test("mergeSketchState keeps one-sided keys' sketches") {
+    import org.apache.spark.sql.functions.{col, hll_sketch_agg, hll_sketch_estimate}
+    val a = Seq((1L, 10L), (1L, 11L)).toDF("k", "u")
+      .groupBy("k").agg(hll_sketch_agg(col("u")).as("s"))
+    val b = Seq((9L, 20L)).toDF("k", "u")
+      .groupBy("k").agg(hll_sketch_agg(col("u")).as("s"))
+    val out = Merge.mergeSketchState(a, b, Seq("k"), Seq("s"))
+      .select(col("k"), hll_sketch_estimate(col("s")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe Map(1L -> 2L, 9L -> 1L)
+  }
+
   test("mergeAggState rejects unknown combiners and empty keys") {
     val df = Seq((1L, 1L)).toDF("k", "n")
     an[IllegalArgumentException] should be thrownBy
