@@ -551,7 +551,12 @@ object Dedup {
     val exactClean = newDf
       .withColumn("__ch", graft.ops.TextAnalysis.contentHash(col(textCol)))
       .join(refHashes, Seq("__ch"), "left_anti").drop("__ch")
-    val tagged = newDf.select(col(idCol), col(textCol)).withColumn("__side", lit(1))
+    // Production order (the d6 exact-prefix argument): byte-exact copies
+    // are gone BEFORE the LSH stage, so they never band, never bucket,
+    // and never generate candidate pairs — on a mass-duplicated crawl
+    // the exact stage removes precisely the docs that would land in the
+    // heaviest buckets.
+    val tagged = exactClean.select(col(idCol), col(textCol)).withColumn("__side", lit(1))
       .unionByName(refDf.select(col(idCol), col(textCol)).withColumn("__side", lit(0)))
     val pairs = minHashLshPairs(tagged, idCol, textCol, numHashes, bands, threshold)
     val sides = tagged.groupBy(col(idCol).as("__pid"))

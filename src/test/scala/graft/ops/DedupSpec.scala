@@ -421,9 +421,11 @@ class DedupSpec extends AnyFunSuite with Matchers {
     val textA = "some reference text with enough words to shingle properly here"
     val textB = "a second reference body whose words differ from the first entirely"
     val ref = Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
-    // id 1 reused by the new corpus; the (2, 50) near-dup pair forces
-    // the side-lookup aggregate (where the guard lives) to evaluate
-    val newc = Seq((1L, textA), (50L, textB)).toDF("doc_id", "text")
+    // id 1 reused by the new corpus as a NEAR dup (double spaces) so it
+    // survives the exact prefix and reaches the LSH union; the (2, 50)
+    // near-dup pair forces the side-lookup aggregate (where the guard
+    // lives) to evaluate
+    val newc = Seq((1L, textA.replace(" ", "  ")), (50L, textB)).toDF("doc_id", "text")
     def allMessages(t: Throwable): String =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
         .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
