@@ -1173,6 +1173,22 @@ object OpsQueries {
         .orderBy(col("rank").desc, col("node")).limit(20)
     }),
 
+    "g4_shortest_paths" -> ((s, dir) => {
+      // multi-source BFS over g3's block-chain graph (components = 50-id
+      // blocks): seeds at id%97==0, hop cap 6. Chain distance is plain
+      // |node - seed| within the block, so the oracle needs no graph
+      // walk — min over same-block seeds, capped at 6.
+      val edges = docs(s, dir).select(col("doc_id").as("i"))
+        .filter(col("i") % 50 =!= 49)
+        .select(col("i").as("src"), (col("i") + 1).as("dst"))
+      val canonical = Graph.canonicalEdges(edges, "src", "dst")
+      val seeds = canonical
+        .select(explode(array(col("a"), col("b"))).as("node")).distinct()
+        .filter(col("node") % 97 === 0)
+      Graph.shortestPaths(canonical, seeds, maxHops = 6)
+        .orderBy("node")
+    }),
+
     "s7_knn_graph" -> ((s, dir) =>
       // kNN-graph over the embedding corpus: top-3 bucket-mates per
       // vector via the bounded TopK aggregator (shuffle carries <= 3
@@ -1981,6 +1997,13 @@ object OpsQueries {
         "SELECT src, rn::BIGINT AS rank, dst, ROUND(cos, 6) AS cosine " +
         "FROM pr WHERE rn <= 3 ORDER BY src, rank")
     },
+    "g4_shortest_paths" ->
+      ("WITH n AS (SELECT doc_id AS i FROM documents WHERE doc_id % 50 <> 49), " +
+        "nodes AS (SELECT i AS id FROM n UNION SELECT i + 1 FROM n), " +
+        "seeds AS (SELECT id AS s FROM nodes WHERE id % 97 = 0), " +
+        "d AS (SELECT nodes.id, min(abs(nodes.id - seeds.s)) AS dist FROM nodes " +
+        "JOIN seeds ON nodes.id // 50 = seeds.s // 50 GROUP BY nodes.id) " +
+        "SELECT id AS node, dist::BIGINT AS dist FROM d WHERE dist <= 6 ORDER BY node"),
     "g3_components" ->
       // the planted block-chain graph's components are derivable without
       // a graph walk: nodes = chain endpoints, component = 50-wide block

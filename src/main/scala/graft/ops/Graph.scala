@@ -80,6 +80,38 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Multi-source shortest paths within `maxHops` over an undirected
+    * canonical edge list (see [[canonicalEdges]]): (node, dist) for
+    * every node reachable from the seed set, dist = minimum hop count
+    * (0 for seeds); nodes further than `maxHops` are absent.
+    *
+    * Per hop: ONE join of the distance frame against the weighted
+    * adjacency + a min-aggregate. The adjacency carries weight-0
+    * SELF-LOOPS so a node's current distance and its neighbors' +1
+    * offers fold in the same aggregate — the distance frame is
+    * referenced exactly ONCE per iteration, keeping the lazy lineage
+    * LINEAR in `maxHops` (the [[Dedup.connectedComponents]] trick; the
+    * textbook union-then-min formulation references it twice and
+    * replays exponentially). Seeds that appear in no edge have no
+    * adjacency row (not even a self-loop) and drop out — seed the graph,
+    * not arbitrary ids. */
+  def shortestPaths(canonical: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 50, s"maxHops must be in [1, 50], got $maxHops")
+    val adj = canonical
+      .select(col("a").as("u"), col("b").as("v"), lit(1L).as("w"))
+      .unionByName(canonical.select(col("b").as("u"), col("a").as("v"), lit(1L).as("w")))
+    val nodes = canonical.select(explode(array(col("a"), col("b"))).as("n")).distinct()
+    val adjSelf = adj.unionByName(
+      nodes.select(col("n").as("u"), col("n").as("v"), lit(0L).as("w")))
+    var dist = seeds.select(col("node")).distinct().withColumn("dist", lit(0L))
+    for (_ <- 1 to maxHops) {
+      dist = adjSelf.join(dist, adjSelf("u") === dist("node"))
+        .groupBy(adjSelf("v").as("node"))
+        .agg(min(col("dist") + col("w")).as("dist"))
+    }
+    dist
+  }
+
   /** PageRank with a FIXED iteration count over a directed edge list.
     *
     * Formulation: nodes = the set of SOURCE nodes; edges whose target is

@@ -75,6 +75,48 @@ class GraphSpec extends AnyFunSuite with Matchers {
     ranks(7L) shouldBe 0.15 +- 1e-12
   }
 
+  test("shortestPaths: exact hop distances on a path, unreachable absent") {
+    val path = (0L until 10L).map(i => (i, i + 1)) :+ (20L, 21L) // island
+    val canonical = Graph.canonicalEdges(path.toDF("src", "dst"), "src", "dst")
+    val seeds = Seq(3L).toDF("node")
+    val out = Graph.shortestPaths(canonical, seeds, maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe Map(0L -> 3L, 1L -> 2L, 2L -> 1L, 3L -> 0L,
+      4L -> 1L, 5L -> 2L, 6L -> 3L, 7L -> 4L)
+    // 8..10 are 5+ hops away, the island is unreachable: both absent
+  }
+
+  test("shortestPaths: multiple seeds take the minimum distance") {
+    val path = (0L until 9L).map(i => (i, i + 1))
+    val canonical = Graph.canonicalEdges(path.toDF("src", "dst"), "src", "dst")
+    val out = Graph.shortestPaths(canonical, Seq(0L, 8L).toDF("node"), maxHops = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out(4L) shouldBe 4L
+    out(6L) shouldBe 2L  // nearer to seed 8
+    out(9L) shouldBe 1L
+  }
+
+  test("shortestPaths matches naive BFS on a random graph") {
+    val rnd = new scala.util.Random(77)
+    val edges = (for (_ <- 0 until 40) yield
+      (rnd.nextInt(15).toLong, rnd.nextInt(15).toLong)).filter(e => e._1 != e._2)
+    val naive: Map[Long, Long] = {
+      val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      var dist = Map(2L -> 0L)
+      for (h <- 1 to 5)
+        dist = dist ++ dist.toSeq.flatMap { case (n, d) =>
+          adj.getOrElse(n, Set.empty).map(_ -> (d + 1)) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+          .filterNot { case (n, d) => dist.get(n).exists(_ <= d) }
+      dist
+    }
+    val out = Graph.shortestPaths(
+        Graph.canonicalEdges(edges.toDF("src", "dst"), "src", "dst"),
+        Seq(2L).toDF("node"), maxHops = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe naive
+  }
+
   test("pageRank: more in-links means more rank") {
     // 1,2,3 all point at 4; 4 points at 1 — 4 must outrank everyone
     val e = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 1L), (2L, 1L), (3L, 2L))
