@@ -2,10 +2,10 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 /** Structured Streaming ingest for the `events` table shape
   * (event_id, ts, user_id, event_type, value, props).
@@ -219,6 +219,44 @@ object EventPipeline {
       }
       .outputMode(OutputMode.Append())
       .start()
+
+  /** Streaming materialized-view maintenance: each micro-batch is
+    * aggregated to the view's (keys, measures) grain and merged into the
+    * caller-held state via [[graft.ops.Merge.mergeAggState]] — the
+    * streaming complement of the u6 batch operator. Batch N costs ONE
+    * delta aggregate + one key join against the current state; history
+    * is never rescanned, so the view stays cheap at any stream age.
+    *
+    * The caller owns state storage through `get`/`set` (an in-memory
+    * frame in tests, a parquet/lakehouse table in production — a storage
+    * decision, deliberately not made here). `set` MUST materialize
+    * (collect, write, or checkpoint): handing the lazy merged plan back
+    * into the next batch's `get` would chain lineage across batches
+    * without bound.
+    *
+    * @param aggs    aggregate columns applied to each batch (aliased to
+    *                the measure names `combine` references)
+    * @param combine measure -> "sum" | "min" | "max" (mergeAggState) */
+  def maintainAggState(stream: DataFrame, keys: Seq[String],
+                       aggs: Seq[Column], combine: Map[String, String])
+                      (get: () => Option[DataFrame], set: DataFrame => Unit): StreamingQuery = {
+    require(aggs.nonEmpty, "need at least one aggregate")
+    val measureOrder = combine.keys.toSeq.sorted
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val delta = batch.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+          val merged = get() match {
+            case Some(state) => graft.ops.Merge.mergeAggState(state, delta, keys, combine)
+            // normalize the first batch to mergeAggState's column order
+            case None => delta.select((keys ++ measureOrder).map(col): _*)
+          }
+          set(merged)
+        }
+      }
+      .outputMode(OutputMode.Update())
+      .start()
+  }
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)

@@ -448,4 +448,37 @@ class EventPipelineSpec extends AnyFunSuite with Matchers {
       last shouldBe FunnelRow(1L, None, None, Some(ts("11:10").getTime), 0)
     } finally q.stop()
   }
+
+  test("maintainAggState: streamed micro-batches converge to the one-shot batch aggregate") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.{DataFrame, Row}
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Event]
+    // caller-owned state, MATERIALIZED per the contract (collected rows)
+    var state: Option[(Seq[Row], org.apache.spark.sql.types.StructType)] = None
+    def get(): Option[DataFrame] =
+      state.map { case (rows, sch) => spark.createDataFrame(rows.asJava, sch) }
+    def set(df: DataFrame): Unit = state = Some((df.collect().toSeq, df.schema))
+    val aggs = Seq(count(lit(1)).as("n"), sum(col("value")).as("s"),
+      min(col("value")).as("mn"), max(col("value")).as("mx"))
+    val combine = Map("n" -> "sum", "s" -> "sum", "mn" -> "min", "mx" -> "max")
+    val q = EventPipeline.maintainAggState(input.toDF(), Seq("event_type"),
+      aggs, combine)(get _, set _)
+    val fed = scala.collection.mutable.ArrayBuffer[Event]()
+    def feed(es: Event*): Unit = { fed ++= es; input.addData(es: _*); q.processAllAvailable() }
+    try {
+      feed(Event(1L, ts("10:00"), 1L, "click", 2.0),
+        Event(2L, ts("10:01"), 2L, "view", 5.0))
+      feed(Event(3L, ts("10:02"), 1L, "click", -1.0))
+      feed(Event(4L, ts("10:03"), 3L, "buy", 7.0)) // key first seen mid-stream
+      val got = get().get.select("event_type", "mn", "mx", "n", "s")
+        .orderBy("event_type").collect().map(_.toSeq).toSeq
+      val direct = fed.toSeq.toDF()
+        .groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+        .select("event_type", "mn", "mx", "n", "s")
+        .orderBy("event_type").collect().map(_.toSeq).toSeq
+      got shouldBe direct
+    } finally q.stop()
+  }
 }
