@@ -86,6 +86,24 @@ object SparkEntry {
       TableOneConfig(Some("l_linestatus"), Seq("l_returnflag", "l_quantity", "l_discount"),
         quartileSketchMaxRows = 0L)))),
 
+    "t10_weighted_summary" -> ((s, dir) => {
+      // survey-weighted Table 1 (sampling-weight capability the
+      // reference lacks): deterministic dyadic weights planted from
+      // l_orderkey, weighted counts/percents for the categorical and
+      // one-pass weighted moments for the continuous — frequency-weight
+      // SD formula, spelled identically in the oracle
+      val li = table(s, dir, "lineitem")
+        .withColumn("w", lit(1.0) + (col("l_orderkey") % 5).cast("double") * lit(0.5))
+      graft.tableone.WeightedSummary.summarize(li, Some("l_returnflag"),
+          Seq("l_linestatus"), Seq("l_quantity"), "w")
+        .select(col("variable"), col("level"), col("stratum"),
+          round(col("weighted_n") + lit(5e-10), 6).as("weighted_n"),
+          round(col("weighted_pct") + lit(5e-10), 6).as("weighted_pct"),
+          round(col("weighted_mean") + lit(5e-10), 6).as("weighted_mean"),
+          round(col("weighted_sd") + lit(5e-10), 6).as("weighted_sd"))
+        .orderBy("variable", "stratum", "level")
+    }),
+
     // ---- core aggregation operators (SURVEY.md §2.4) ----
     "a1_group_count" -> ((s, dir) =>
       table(s, dir, "lineitem").groupBy("l_returnflag")
@@ -402,6 +420,29 @@ object SparkEntry {
         "FROM orders WHERE o_custkey < 100 " +
         "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) " +
         "ORDER BY o_custkey, o_orderkey"),
+    "t10_weighted_summary" ->
+      ("WITH src AS (SELECT l_returnflag AS stratum, l_linestatus, l_quantity, " +
+        "1.0 + (l_orderkey % 5) * 0.5 AS w FROM lineitem), " +
+        "tot AS (SELECT stratum, sum(w) AS wtot FROM src GROUP BY stratum), " +
+        "catp AS (SELECT 'l_linestatus' AS variable, l_linestatus AS level, stratum, " +
+        "sum(w) AS weighted_n FROM src GROUP BY stratum, l_linestatus), " +
+        "cat2 AS (SELECT variable, level, catp.stratum, weighted_n, " +
+        "weighted_n / tot.wtot * 100.0 AS weighted_pct, " +
+        "NULL::DOUBLE AS weighted_mean, NULL::DOUBLE AS weighted_sd " +
+        "FROM catp JOIN tot ON tot.stratum = catp.stratum), " +
+        "conp AS (SELECT 'l_quantity' AS variable, NULL::VARCHAR AS level, stratum, " +
+        "sum(w) AS sw, sum(w * l_quantity) AS swx, sum(w * l_quantity * l_quantity) AS swx2 " +
+        "FROM src WHERE l_quantity IS NOT NULL GROUP BY stratum), " +
+        "con2 AS (SELECT variable, level, stratum, sw AS weighted_n, " +
+        "NULL::DOUBLE AS weighted_pct, " +
+        "CASE WHEN sw > 0.0 THEN swx / sw END AS weighted_mean, " +
+        "CASE WHEN sw > 1.0 THEN sqrt(greatest((swx2 - swx * swx / sw) / (sw - 1.0), 0.0)) END AS weighted_sd FROM conp), " +
+        "allp AS (SELECT * FROM cat2 UNION ALL SELECT * FROM con2) " +
+        "SELECT variable, level, stratum, round(weighted_n + 5e-10, 6) AS weighted_n, " +
+        "round(weighted_pct + 5e-10, 6) AS weighted_pct, " +
+        "round(weighted_mean + 5e-10, 6) AS weighted_mean, " +
+        "round(weighted_sd + 5e-10, 6) AS weighted_sd " +
+        "FROM allp ORDER BY variable, stratum, level"),
     "a11_grouped_quantiles" ->
       ("SELECT l_returnflag, " +
         "round(quantile_cont(l_extendedprice, 0.25) + 5e-10, 6) AS p25, " +
