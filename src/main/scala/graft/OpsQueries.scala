@@ -1216,6 +1216,16 @@ object OpsQueries {
     }),
 
     // ---- full-text retrieval -------------------------------------------
+    "x15_blocklist" -> ((s, dir) =>
+      // C4-style blocklist gate: token-exact hit counts for a literal
+      // blocklist + the 0/1 keep decision — one scan, zero shuffle
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.blocklistHits(col("text"),
+            Seq("merge", "vector", "slow")).cast("long").as("n_blocked"),
+          when(TextAnalysis.blocklistHits(col("text"),
+            Seq("merge", "vector", "slow")) === 0, 1L).otherwise(0L).as("kept"))
+        .orderBy("doc_id")),
+
     "x14_bm25" -> ((s, dir) =>
       // BM25 top-20 for a 3-term query: tf per term via in-row array
       // filters (no explode/shuffle), corpus stats (N, avgdl, df) as ONE
@@ -2013,6 +2023,13 @@ object OpsQueries {
         "c AS (SELECT id, (id // 50) * 50 AS component FROM nodes) " +
         "SELECT component, count(*)::BIGINT AS size, max(id) AS max_id " +
         "FROM c GROUP BY component ORDER BY component"),
+    "x15_blocklist" ->
+      (s"WITH t AS (SELECT doc_id, ${toksOf("text")} AS tk FROM documents) " +
+        "SELECT doc_id, " +
+        "len(list_filter(tk, x -> list_contains(['merge', 'vector', 'slow'], x)))::BIGINT AS n_blocked, " +
+        "CASE WHEN len(list_filter(tk, x -> list_contains(['merge', 'vector', 'slow'], x))) = 0 " +
+        "THEN 1 ELSE 0 END::BIGINT AS kept " +
+        "FROM t ORDER BY doc_id"),
     "x14_bm25" -> {
       // identical operation order as Search.bm25: idf·tf·(k1+1) /
       // (tf + k1·((1-b) + b·dl/avgdl)); all inputs exact integers except

@@ -251,6 +251,18 @@ object TextAnalysis {
     concat(lowPrefix, regexp_replace(noUtm, "/$", ""))
   }
 
+  /** Occurrences of blocklisted tokens in the text (C4-style "bad words"
+    * filtering: documents with any hit are dropped or routed for
+    * review). The list is a plan literal — broadcast by value into the
+    * projection, so filtering a 100 TB corpus is one scan with zero
+    * shuffle. Token-exact matching on the shared tokenizer (substring
+    * matching would flag "scunthorpe"-class false positives). */
+  def blocklistHits(text: Column, words: Seq[String]): Column = {
+    require(words.nonEmpty, "empty blocklist")
+    val lw = typedLit(words.map(_.toLowerCase).distinct)
+    size(filter(tokens(lower(text)), t => array_contains(lw, t)))
+  }
+
   def emailCount(text: Column): Column = regexp_count(text, lit(EmailPattern))
   def urlCount(text: Column): Column = regexp_count(text, lit(UrlPattern))
   def ipv4Count(text: Column): Column = regexp_count(text, lit(Ipv4Pattern))

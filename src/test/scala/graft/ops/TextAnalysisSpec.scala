@@ -220,6 +220,20 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     a.zip(b).foreach { case (x, y) => x._3 shouldBe y._3 +- 1e-12 }
   }
 
+  test("blocklistHits: token-exact, case-insensitive, counts occurrences") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "Bad BAD bad thing"),   // 3 hits, case-folded
+      (2L, "badge embedded notbad"), // substrings must NOT match
+      (3L, "clean text here")).toDF("id", "t")
+    val out = df.select(col("id"),
+        TextAnalysis.blocklistHits(col("t"), Seq("bad", "thing")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out shouldBe Map(1L -> 4, 2L -> 0, 3L -> 0)
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.blocklistHits(col("t"), Nil)
+  }
+
   test("canonicalizeUrl collapses equivalent URLs and keeps distinctions") {
     import org.apache.spark.sql.functions.col
     val urls = Seq(
