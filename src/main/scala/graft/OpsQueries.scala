@@ -1410,6 +1410,31 @@ object OpsQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    "m7_audio_fingerprint" -> ((s, dir) => {
+      // audio near-dup detection over the REAL PCM decode: 65-sample
+      // planted WAVs (the m5 byte transform), delta-contour fingerprint
+      // (bit = sample louder than its predecessor — pure integer
+      // comparisons), banded hamming pairs via the quarter-generic
+      // aHashPairs. Each %10==0 doc plants an original and a
+      // one-byte-perturbed variant (sample 5's low byte), which flips
+      // at most delta bits 4 and 5 — every planted pair lands within
+      // hamming <= 2 by construction; the oracle brute-forces all pairs.
+      val hdr = lit(Multimodal.wavPcm16Header(dataBytes = 130))
+      val base = docs(s, dir).filter(col("doc_id") % 10 === 0)
+      val variants = base.select(explode(array(
+          struct((col("doc_id") * 2).as("clip_id"), col("text").as("t")),
+          struct((col("doc_id") * 2 + 1).as("clip_id"),
+            concat(substring(col("text"), 1, 10), lit("Z"),
+              substring(col("text"), 12, 1000)).as("t")))).as("v"))
+        .select(col("v.clip_id").as("clip_id"),
+          concat(hdr,
+            substring(rpad(col("v.t"), 130, "x").cast("binary"), 1, 130)).as("payload"))
+      Multimodal.aHashPairs(
+          Multimodal.withAudioFingerprint(variants, "payload"), "clip_id", "afp")
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- incremental aggregate maintenance -----------------------------
     "u6_incremental_agg" -> ((s, dir) => {
       // materialized-view update: per-customer aggregate state from the
@@ -2165,6 +2190,27 @@ object OpsQueries {
         "FROM gv JOIN tot ON tot.img_id = gv.img_id GROUP BY gv.img_id) " +
         s"SELECT a.img_id AS id_a, b.img_id AS id_b, ($ham)::BIGINT AS hamming " +
         s"FROM q a JOIN q b ON a.img_id < b.img_id WHERE ($ham) <= 3 " +
+        "ORDER BY id_a, id_b"
+    },
+    "m7_audio_fingerprint" -> {
+      // LE16 decode (m5's byte replay) + delta bits + quarter packing
+      // (m6's), brute-force pairs == banded pairs by pigeonhole
+      val quarter = (q: Int) =>
+        s"sum(CASE WHEN (b.i - 1) // 16 = $q THEN b.bit * (1 << ((b.i - 1) % 16)::INT) ELSE 0 END)::INT AS q$q"
+      val ham = (0 to 3).map(i => s"bit_count(xor(a.q$i, c.q$i))").mkString(" + ")
+      "WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0), " +
+        "clips AS (SELECT doc_id * 2 AS clip_id, rpad(text, 130, 'x') AS t FROM base " +
+        "UNION ALL SELECT doc_id * 2 + 1, " +
+        "rpad(substring(text, 1, 10) || 'Z' || substring(text, 12), 130, 'x') FROM base), " +
+        "raw AS (SELECT clip_id, r.i, unicode(substring(t, (2*r.i+1)::INT, 1)) " +
+        "+ 256 * unicode(substring(t, (2*r.i+2)::INT, 1)) AS vu FROM clips, range(65) r(i)), " +
+        "s AS (SELECT clip_id, i, CASE WHEN vu >= 32768 THEN vu - 65536 ELSE vu END AS v FROM raw), " +
+        "b AS (SELECT clip_id, i, CASE WHEN v > lag(v) OVER (PARTITION BY clip_id ORDER BY i) " +
+        "THEN 1 ELSE 0 END AS bit FROM s), " +
+        s"q AS (SELECT b.clip_id, ${(0 to 3).map(quarter).mkString(", ")} " +
+        "FROM b WHERE b.i >= 1 GROUP BY b.clip_id) " +
+        s"SELECT a.clip_id AS id_a, c.clip_id AS id_b, ($ham)::BIGINT AS hamming " +
+        s"FROM q a JOIN q c ON a.clip_id < c.clip_id WHERE ($ham) <= 3 " +
         "ORDER BY id_a, id_b"
     },
     "u6_incremental_agg" ->

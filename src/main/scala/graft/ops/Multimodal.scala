@@ -389,6 +389,50 @@ object Multimodal {
       q
     }
 
+  /** 64-bit audio fingerprint of a PCM-16 WAV as four 16-bit quarters
+    * (the [[aHash64Quarters]] packing): bit i−1 is set iff sample i is
+    * strictly louder than sample i−1 over the first 65 samples — the
+    * sign-of-delta contour that survives volume scaling and small
+    * amplitude noise (the chromaprint-family idea at its integer-exact
+    * simplest). Pure integer comparisons, so an external engine replays
+    * it bit-for-bit from the raw bytes. None for undecodable WAVs or
+    * fewer than 65 samples (a truncated clip has no stable contour). */
+  private[ops] def audioFingerprintQuarters(bytes: Array[Byte]): Option[Array[Int]] =
+    wavPcm16DataRange(bytes).flatMap { case (dataOff, nSamples) =>
+      if (nSamples < 65) None
+      else {
+        def sample(j: Int): Int =
+          ((bytes(dataOff + 2 * j) & 0xFF) | ((bytes(dataOff + 2 * j + 1) & 0xFF) << 8))
+            .toShort.toInt
+        val q = new Array[Int](4)
+        var i = 1
+        while (i <= 64) {
+          if (sample(i) > sample(i - 1)) q((i - 1) / 16) |= 1 << ((i - 1) % 16)
+          i += 1
+        }
+        Some(q)
+      }
+    }
+
+  /** Adds `outCol`: the [[audioFingerprintQuarters]] delta-contour
+    * fingerprint as `array<int>` of 4 quarters; null for non-WAV or
+    * too-short payloads. Pure projection; pair with [[aHashPairs]]
+    * (quarter-generic) for banded near-match detection. */
+  def withAudioFingerprint(df: DataFrame, payloadCol: String,
+                           outCol: String = "afp"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add(StructField(outCol, ArrayType(IntegerType)))
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val q = audioFingerprintQuarters(r.getAs[Array[Byte]](payloadIdx))
+          .map(_.toSeq).orNull
+        Row.fromSeq(r.toSeq :+ q)
+      }
+    }(enc)
+  }
+
   /** Adds `outCol`: the [[aHash64Quarters]] perceptual hash as
     * `array<int>` of 4 quarters; null for undecodable payloads. Pure
     * projection — zero shuffle at any corpus size. */

@@ -417,6 +417,39 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     pairs.toSeq shouldBe Seq((1L, 2L, 0)) // same bit pattern: mean moved too
   }
 
+  test("audio fingerprint: monotone clip sets all bits, flat none, short clip null") {
+    def wavSamples(vs: Seq[Short]): Array[Byte] = {
+      val data = vs.flatMap(v => Seq((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)).toArray
+      Multimodal.wavPcm16Header(dataBytes = data.length) ++ data
+    }
+    val up = Multimodal.audioFingerprintQuarters(
+      wavSamples((0 until 65).map(_.toShort))).get
+    up.toSeq shouldBe Seq(0xFFFF, 0xFFFF, 0xFFFF, 0xFFFF)
+    val flat = Multimodal.audioFingerprintQuarters(
+      wavSamples(Seq.fill(65)(100.toShort))).get
+    flat.toSeq shouldBe Seq(0, 0, 0, 0)
+    Multimodal.audioFingerprintQuarters(
+      wavSamples((0 until 64).map(_.toShort))) shouldBe None
+    Multimodal.audioFingerprintQuarters("not a wav".getBytes) shouldBe None
+  }
+
+  test("audio fingerprint pairs: one-sample perturbation flips at most 2 bits") {
+    def wavSamples(vs: Seq[Short]): Array[Byte] = {
+      val data = vs.flatMap(v => Seq((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)).toArray
+      Multimodal.wavPcm16Header(dataBytes = data.length) ++ data
+    }
+    val base = (0 until 65).map(i => ((i * 37) % 200 - 100).toShort)
+    val perturbed = base.updated(20, (base(20) + 5).toShort)
+    val df = Seq((1L, wavSamples(base)), (2L, wavSamples(perturbed)),
+      (3L, wavSamples(base.map(v => (-v).toShort)))) // inverted contour
+      .toDF("id", "payload")
+    val pairs = Multimodal.aHashPairs(
+        Multimodal.withAudioFingerprint(df, "payload"), "id", "afp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    pairs.map(p => (p._1, p._2)) shouldBe Array((1L, 2L))
+    pairs.head._3 should be <= 2
+  }
+
   test("aHashPairs is partition-count independent") {
     val imgs = (0L until 24L).map(i =>
       (i, bmp8x8(p => if (p < 32) (i % 4).toInt * 3 else 200 + (i % 3).toInt)))
