@@ -1199,6 +1199,38 @@ object OpsQueries {
           round(col("cosine"), 6).as("cosine"))
         .orderBy("src", "rank")),
 
+    "c5_curation_v3" -> ((s, dir) => {
+      // end-to-end composite of the wave-3/4 operators: the d13 planted
+      // near-dup corpus → KEEP-BEST canonical per cluster (longest, tie
+      // min id) → blocklist gate (≤1 'spark' hit) → length gate
+      // (≥20 tokens) → per-language report carrying the absorbed
+      // cluster mass. Every stage is an individually oracle-verified
+      // operator; the oracle composes their verified CTE shapes.
+      val d = docs(s, dir)
+      val c1 = d.select((col("doc_id") + 1).as("doc_id"),
+        expr("replace(text, ' ', '  ')").as("__c1"))
+      val c2 = d.select((col("doc_id") + 2).as("doc_id"),
+        expr("replace(text, ' ', '   ')").as("__c2"))
+      val corpus = d.join(c1, Seq("doc_id"), "left").join(c2, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 3 && col("__c1").isNotNull, col("__c1"))
+            .when(col("doc_id") % 5 === 4 && col("__c2").isNotNull, col("__c2"))
+            .otherwise(col("text")).as("text"))
+      val surv = Dedup.canonicalPerCluster(corpus, "doc_id", "text",
+        prefer = length(col("text")), threshold = 1.0)
+      surv.select(col("doc_id"), col("cluster_size"),
+          size(TextAnalysis.tokens(lower(col("text")))).as("n_tok"),
+          TextAnalysis.blocklistHits(col("text"), Seq("spark")).as("n_blocked"))
+        .filter(col("n_blocked") <= 1 && col("n_tok") >= 20)
+        .join(table(s, dir, "documents").select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("cluster_size").as("mass"),
+          sum("n_tok").cast("long").as("n_tokens"),
+          round(avg(col("n_blocked")) + lit(5e-10), 6).as("mean_blocked"))
+        .orderBy("lang")
+    }),
+
     "g3_components" -> ((s, dir) => {
       // DIRECT oracle coverage for connectedComponents (d6/d13 exercise
       // it only through the dedup pipelines): chain edges (i, i+1)
@@ -2032,6 +2064,27 @@ object OpsQueries {
         "SELECT src, rn::BIGINT AS rank, dst, ROUND(cos, 6) AS cosine " +
         "FROM pr WHERE rn <= 3 ORDER BY src, rank")
     },
+    "c5_curation_v3" ->
+      // the d13 cluster CTEs + x15's blocklist filter + the length gate,
+      // reported per language
+      ("WITH corpus AS (SELECT d.doc_id, " +
+        "CASE WHEN d.doc_id % 5 = 3 AND c1.text IS NOT NULL THEN replace(c1.text, ' ', '  ') " +
+        "WHEN d.doc_id % 5 = 4 AND c2.text IS NOT NULL THEN replace(c2.text, ' ', '   ') " +
+        "ELSE d.text END AS text FROM documents d " +
+        "LEFT JOIN documents c1 ON c1.doc_id = d.doc_id - 1 " +
+        "LEFT JOIN documents c2 ON c2.doc_id = d.doc_id - 2), " +
+        s"t AS (SELECT doc_id, text, ${toksOf("text")} AS tk FROM corpus), " +
+        s"keyed AS (SELECT doc_id, text, tk, list_sort(${shingleSql(3, "tk")}) AS sk FROM t), " +
+        "ranked AS (SELECT doc_id, tk, count(*) OVER (PARTITION BY sk) AS cluster_size, " +
+        "row_number() OVER (PARTITION BY sk ORDER BY length(text) DESC, doc_id) AS rn FROM keyed), " +
+        "surv AS (SELECT doc_id, tk, cluster_size FROM ranked WHERE rn = 1), " +
+        "feat AS (SELECT doc_id, cluster_size, len(tk) AS n_tok, " +
+        "len(list_filter(tk, x -> x = 'spark')) AS n_blocked FROM surv), " +
+        "gated AS (SELECT * FROM feat WHERE n_blocked <= 1 AND n_tok >= 20) " +
+        "SELECT d.lang, count(*)::BIGINT AS n_docs, sum(g.cluster_size)::BIGINT AS mass, " +
+        "sum(g.n_tok)::BIGINT AS n_tokens, round(avg(g.n_blocked) + 5e-10, 6) AS mean_blocked " +
+        "FROM gated g JOIN documents d ON d.doc_id = g.doc_id " +
+        "GROUP BY d.lang ORDER BY d.lang"),
     "g4_shortest_paths" ->
       ("WITH n AS (SELECT doc_id AS i FROM documents WHERE doc_id % 50 <> 49), " +
         "nodes AS (SELECT i AS id FROM n UNION SELECT i + 1 FROM n), " +
