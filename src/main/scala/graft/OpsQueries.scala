@@ -1199,6 +1199,22 @@ object OpsQueries {
           round(col("cosine"), 6).as("cosine"))
         .orderBy("src", "rank")),
 
+    "e13_session_window" -> ((s, dir) =>
+      // Spark's NATIVE session_window operator (dynamic-gap session
+      // aggregation; e2 covers the gaps-and-islands formulation of the
+      // same semantics): sessions merge while the gap is < 30 min, the
+      // window end is last event + gap. One user_id+session exchange;
+      // works identically on a stream (watermark attaches there).
+      Util.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value") + lit(5e-10), 6).as("sum_value"))
+        .select(col("user_id"),
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("s_start"),
+          date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("s_end"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "s_start")),
+
     "c5_curation_v3" -> ((s, dir) => {
       // end-to-end composite of the wave-3/4 operators: the d13 planted
       // near-dup corpus → KEEP-BEST canonical per cluster (longest, tie
@@ -1230,6 +1246,17 @@ object OpsQueries {
           round(avg(col("n_blocked")) + lit(5e-10), 6).as("mean_blocked"))
         .orderBy("lang")
     }),
+
+    "s8_knn_reranked" -> ((s, dir) =>
+      // shrink-then-rerank: candidates bucketed on the 8-dim JL
+      // projection (s6's seeded planes), ranked by FULL 64-dim cosine —
+      // the production two-stage; recall is projection-bucket-local,
+      // precision is exact
+      Similarity.knnGraphReranked(table(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 3)
+        .select(col("src"), col("rank"), col("dst"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("src", "rank")),
 
     "g3_components" -> ((s, dir) => {
       // DIRECT oracle coverage for connectedComponents (d6/d13 exercise
@@ -2064,6 +2091,21 @@ object OpsQueries {
         "SELECT src, rn::BIGINT AS rank, dst, ROUND(cos, 6) AS cosine " +
         "FROM pr WHERE rn <= 3 ORDER BY src, rank")
     },
+    "e13_session_window" ->
+      // session_window boundary semantics: a gap of EXACTLY the duration
+      // starts a new session (>=, vs e2's strict >), and the session end
+      // is last event + gap; microsecond-exact epoch comparison so a
+      // boundary-straddling gap cannot decide differently per engine
+      ("WITH marked AS (SELECT user_id, ts, event_id, value, " +
+        "CASE WHEN lag(ts) OVER w IS NULL " +
+        "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS new_s " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "sess AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM marked) " +
+        "SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start, " +
+        "strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS s_end, " +
+        "count(*)::BIGINT AS n_events, ROUND(sum(value) + 5e-10, 6) AS sum_value " +
+        "FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start"),
     "c5_curation_v3" ->
       // the d13 cluster CTEs + x15's blocklist filter + the length gate,
       // reported per language
@@ -2092,6 +2134,25 @@ object OpsQueries {
         "d AS (SELECT nodes.id, min(abs(nodes.id - seeds.s)) AS dist FROM nodes " +
         "JOIN seeds ON nodes.id // 50 = seeds.s // 50 GROUP BY nodes.id) " +
         "SELECT id AS node, dist::BIGINT AS dist FROM d WHERE dist <= 6 ORDER BY node"),
+    "s8_knn_reranked" -> {
+      // replay: JL projection as the literal 8-component list (the s6
+      // plane replay), gated bucket over dim-8 planes, full-dim cosine
+      // rerank — both engines fold every inner product sequentially
+      val scale = 1.0 / math.sqrt(8.0)
+      val projList = graft.ops.Similarity.randomPlanes(8, 64).map(p =>
+          s"list_inner_product(embedding::DOUBLE[], ${p.mkString("[", ", ", "]")}) * $scale")
+        .mkString("[", ", ", "]")
+      val bucket = bucketSqlGated(projList,
+        graft.ops.Similarity.randomPlanes(16, 8), "(SELECT p FROM np)")
+      ("WITH np AS (SELECT greatest(4, least(16, CAST(ceil(log2(count(*) / 64.0)) AS INT))) AS p FROM embeddings), " +
+        "b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, " + bucket + " AS bucket FROM embeddings), " +
+        "pr AS (SELECT a.id AS src, c.id AS dst, list_cosine_similarity(a.v, c.v) AS cos, " +
+        "row_number() OVER (PARTITION BY a.id " +
+        "ORDER BY list_cosine_similarity(a.v, c.v) DESC, c.id) AS rn " +
+        "FROM b a JOIN b c ON a.bucket = c.bucket AND a.id <> c.id) " +
+        "SELECT src, rn::BIGINT AS rank, dst, ROUND(cos, 6) AS cosine " +
+        "FROM pr WHERE rn <= 3 ORDER BY src, rank")
+    },
     "g3_components" ->
       // the planted block-chain graph's components are derivable without
       // a graph walk: nodes = chain endpoints, component = 50-wide block

@@ -296,15 +296,40 @@ object Similarity {
   def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int = 3,
                minPlanes: Int = 4, maxPlanes: Int = 16,
                targetBucket: Int = 64, seed: Long = 42L): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
     val dim = inferDim(df, vecCol)
-    val planes = randomPlanes(maxPlanes, dim, seed)
+    knnGraphCore(df, idCol, vecCol, col(vecCol), dim,
+      k, minPlanes, maxPlanes, targetBucket, seed)
+  }
+
+  /** Shrink-then-rerank kNN graph — the two-stage every production ANN
+    * system runs at scale: candidate generation buckets on a
+    * Johnson-Lindenstrauss PROJECTION of the vectors ([[randomProjection]],
+    * same seeded planes as s6) so the per-candidate hash cost scales
+    * with `projDim`, while the final ranking scores candidates with the
+    * FULL-dimension cosine — projection distortion can only move which
+    * candidates are considered (recall), never mis-rank the ones that
+    * are (precision). Same output contract as [[knnGraph]]. */
+  def knnGraphReranked(df: DataFrame, idCol: String, vecCol: String, k: Int = 3,
+                       projDim: Int = 8, minPlanes: Int = 4, maxPlanes: Int = 16,
+                       targetBucket: Int = 64, seed: Long = 42L): DataFrame = {
+    val dim = inferDim(df, vecCol)
+    knnGraphCore(df, idCol, vecCol,
+      randomProjection(col(vecCol), projDim, dim, seed), projDim,
+      k, minPlanes, maxPlanes, targetBucket, seed)
+  }
+
+  private def knnGraphCore(df: DataFrame, idCol: String, vecCol: String,
+                           bucketVec: Column, bucketDim: Int, k: Int,
+                           minPlanes: Int, maxPlanes: Int,
+                           targetBucket: Int, seed: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val planes = randomPlanes(maxPlanes, bucketDim, seed)
     val n = df.agg(count(lit(1)).as("__n"))
     val p = greatest(lit(minPlanes), least(lit(maxPlanes),
       ceil(log2(col("__n") / lit(targetBucket.toDouble))).cast("int")))
     val withB = df.crossJoin(broadcast(n))
       .select(col(idCol).as("id"), col(vecCol).as("v"),
-        lshBucketGated(col(vecCol), planes, p).as("bucket"))
+        lshBucketGated(bucketVec, planes, p).as("bucket"))
     val a = withB.select(col("bucket"), col("id").as("src"), col("v").as("v_a"))
     val b = withB.select(col("bucket"), col("id").as("dst"), col("v").as("v_b"))
     val tk = org.apache.spark.sql.functions.udaf(new graft.functions.TopK(k),

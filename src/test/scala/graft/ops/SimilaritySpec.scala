@@ -255,6 +255,33 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
     if (bySrc.contains(1L)) bySrc(1L).head._3 shouldBe 0L
   }
 
+  test("knnGraphReranked: dense ranks by FULL-dim cosine; near-identical pair first") {
+    def vec(seed: Long): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(64)((r.nextDouble() - 0.5).toFloat)
+    }
+    val rows = (0L until 60L).map(i =>
+      (i, if (i == 1) vec(0).updated(0, vec(0).head + 1e-5f) else vec(i)))
+    val out = Similarity.knnGraphReranked(rows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 3)
+      .orderBy("src", "rank").collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("rank"),
+        r.getAs[Long]("dst"), r.getAs[Double]("cosine")))
+    out.groupBy(_._1).foreach { case (_, rs) =>
+      rs.map(_._2).toSeq shouldBe (1L to rs.length)
+      rs.map(_._4).toSeq.sliding(2).foreach {
+        case Seq(a, b) => a should be >= b
+        case _ =>
+      }
+    }
+    // the JL projection preserves near-identity: 0 and 1 bucket together
+    // and the full-dim rerank puts each first for the other
+    val bySrc = out.groupBy(_._1)
+    bySrc(0L).head._3 shouldBe 1L
+    bySrc(1L).head._3 shouldBe 0L
+    bySrc(0L).head._4 should be > 0.999999
+  }
+
   test("knnGraph is partition-count independent") {
     import org.apache.spark.sql.functions.col
     def vec(seed: Long): Seq[Float] = {
