@@ -2143,8 +2143,8 @@ object OpsQueries {
           s"list_inner_product(embedding::DOUBLE[], ${p.mkString("[", ", ", "]")}) * $scale")
         .mkString("[", ", ", "]")
       val bucket = bucketSqlGated(projList,
-        graft.ops.Similarity.randomPlanes(16, 8), "(SELECT p FROM np)")
-      ("WITH np AS (SELECT greatest(4, least(16, CAST(ceil(log2(count(*) / 64.0)) AS INT))) AS p FROM embeddings), " +
+        graft.ops.Similarity.randomPlanes(20, 8), "(SELECT p FROM np)")
+      ("WITH np AS (SELECT greatest(4, least(20, CAST(ceil(log2(count(*) / 16.0)) AS INT))) AS p FROM embeddings), " +
         "b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, " + bucket + " AS bucket FROM embeddings), " +
         "pr AS (SELECT a.id AS src, c.id AS dst, list_cosine_similarity(a.v, c.v) AS cos, " +
         "row_number() OVER (PARTITION BY a.id " +
