@@ -1199,6 +1199,31 @@ object OpsQueries {
           round(col("cosine"), 6).as("cosine"))
         .orderBy("src", "rank")),
 
+    "e15_retention_cohorts" -> ((s, dir) => {
+      // cohort retention: users grouped by first-seen day, retention =
+      // distinct users active at each day offset. Two map-side
+      // aggregates (first-seen via min, activity via distinct
+      // (user, day)) + one user-key join; the rate divides exact longs.
+      // The classic product-analytics grid, capped at offsets 0-7 to
+      // keep output cardinality fixed.
+      val ev = Util.events(s, dir).select(col("user_id"), to_date(col("ts")).as("d"))
+      val firstSeen = ev.groupBy("user_id").agg(min("d").as("cohort_day"))
+      val active = ev.distinct()
+      active.join(firstSeen, Seq("user_id"))
+        .withColumn("day_offset", datediff(col("d"), col("cohort_day")))
+        .filter(col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(count_distinct(col("user_id")).as("n_active"))
+        .withColumn("n_cohort",
+          max(when(col("day_offset") === 0, col("n_active"))).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("cohort_day")))
+        .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          col("day_offset").cast("long").as("day_offset"), col("n_active"),
+          round(col("n_active").cast("double") / col("n_cohort") + lit(5e-10), 6)
+            .as("retention"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
     "e13_session_window" -> ((s, dir) =>
       // Spark's NATIVE session_window operator (dynamic-gap session
       // aggregation; e2 covers the gaps-and-islands formulation of the
@@ -2091,6 +2116,19 @@ object OpsQueries {
         "SELECT src, rn::BIGINT AS rank, dst, ROUND(cos, 6) AS cosine " +
         "FROM pr WHERE rn <= 3 ORDER BY src, rank")
     },
+    "e15_retention_cohorts" ->
+      ("WITH ev AS (SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS d FROM events), " +
+        "fs AS (SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY user_id), " +
+        "g AS (SELECT fs.cohort_day, ev.d - fs.cohort_day AS day_offset, " +
+        "count(DISTINCT ev.user_id) AS n_active " +
+        "FROM ev JOIN fs ON fs.user_id = ev.user_id " +
+        "WHERE ev.d - fs.cohort_day <= 7 GROUP BY 1, 2), " +
+        "w AS (SELECT *, max(CASE WHEN day_offset = 0 THEN n_active END) " +
+        "OVER (PARTITION BY cohort_day) AS n_cohort FROM g) " +
+        "SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day, " +
+        "day_offset::BIGINT AS day_offset, n_active::BIGINT AS n_active, " +
+        "round(n_active::DOUBLE / n_cohort + 5e-10, 6) AS retention " +
+        "FROM w ORDER BY cohort_day, day_offset"),
     "e13_session_window" ->
       // session_window boundary semantics: a gap of EXACTLY the duration
       // starts a new session (>=, vs e2's strict >), and the session end

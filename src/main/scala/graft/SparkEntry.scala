@@ -223,6 +223,16 @@ object SparkEntry {
           grouping(col("l_returnflag")).cast("int").as("g_rf"),
           grouping(col("l_linestatus")).cast("int").as("g_ls"))
         .orderBy("g_rf", "g_ls", "l_returnflag", "l_linestatus")),
+    "a12_rollup" -> ((s, dir) =>
+      // ROLLUP completes the grouping-sets family (a7 covers CUBE):
+      // hierarchical prefixes only — (rf, ls), (rf), () — with grouping
+      // markers pinning which rows are subtotals
+      table(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"))
+        .orderBy("g_rf", "g_ls", "l_returnflag", "l_linestatus")),
     "a8_histogram" -> ((s, dir) => {
       // equi-width histogram (data profiling): pass 1 is a one-row
       // min/max agg broadcast into pass 2's bucket projection; the
@@ -388,6 +398,11 @@ object SparkEntry {
       ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
         "CAST(grouping(l_returnflag) AS INT) AS g_rf, CAST(grouping(l_linestatus) AS INT) AS g_ls " +
         "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) " +
+        "ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+    "a12_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+        "CAST(grouping(l_returnflag) AS INT) AS g_rf, CAST(grouping(l_linestatus) AS INT) AS g_ls " +
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) " +
         "ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
     "a9_corr" ->
       ("SELECT l_returnflag, " +
