@@ -1570,6 +1570,31 @@ object OpsQueries {
           round(col("max_price") + lit(5e-10), 6).as("max_price"))
     }),
 
+    // ---- ingest robustness: corrupt-record capture ---------------------
+    "o6_corrupt_records" -> ((s, dir) => {
+      // PERMISSIVE CSV ingest with a corrupt-record column: malformed
+      // rows (every 7th row's value planted non-numeric) survive the
+      // read as null fields + the captured raw line instead of failing
+      // the 100 TB job at row 3 billion; the report counts both
+      // populations and aggregates only the clean rows. The oracle
+      // derives all three numbers from the parquet planting rule.
+      val base = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "graft_corrupt_csv").toString
+      Util.events(s, dir).filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"),
+          when(col("event_id") % 7 === 0, lit("notanumber"))
+            .otherwise(col("value").cast("string")).as("value"))
+        .repartition(4)
+        .write.mode("overwrite").option("header", "true").csv(base)
+      val schema = "event_id LONG, user_id LONG, value DOUBLE, _corrupt_record STRING"
+      s.read.option("header", "true").option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(schema).csv(base)
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("_corrupt_record")).as("n_corrupt"),
+          round(sum("value") + lit(5e-10), 6).as("sum_good_value"))
+    }),
+
     // ---- columnar sink/source: ORC -------------------------------------
     "o4_orc_roundtrip" -> ((s, dir) => {
       // ORC sink + source round-trip (the o3 pattern for the second
@@ -2261,6 +2286,11 @@ object OpsQueries {
         "round(last_value(av IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 5e-10, 6) AS ff_value " +
         "FROM j ORDER BY event_type, h"),
+    "o6_corrupt_records" ->
+      ("SELECT count(*)::BIGINT AS n_rows, " +
+        "sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_corrupt, " +
+        "round(sum(CASE WHEN event_id % 7 <> 0 THEN value ELSE 0 END) + 5e-10, 6) AS sum_good_value " +
+        "FROM events WHERE event_type = 'view'"),
     "o4_orc_roundtrip" ->
       // the aggregate straight from the parquet — a mismatch means the
       // ORC writer or reader changed a value in flight
