@@ -129,7 +129,12 @@ object Bench {
     // stop() BEFORE the JSON println: the driver machine-parses the LAST
     // stdout line (BENCH_r07/r08 recorded "parsed": null), and Spark's
     // shutdown can emit stray stdout after our print if it runs last.
+    // Under sbt even that is not enough — sbt appends its own
+    // "[success] Total time: …" footer as the true last line — so the
+    // JSON is ALSO printed with a grep-able marker prefix: a driver that
+    // misses the last-line parse can recover it via `grep ^BENCH_JSON:`.
     spark.stop()
+    println("BENCH_JSON: " + json)
     println(json)
   }
 }

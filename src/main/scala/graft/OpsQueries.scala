@@ -2120,7 +2120,10 @@ object OpsQueries {
         "FROM orders), " +
         "nodes AS (SELECT DISTINCT src AS node FROM e0), " +
         "e AS (SELECT src, dst FROM e0 WHERE dst IN (SELECT node FROM nodes)), " +
-        "od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src), " +
+        // out-degree over the FULL distinct edge set e0, not the kept
+        // edges e: dropped edges' rank shares leave the node set (the
+        // Graph.pageRank drop semantics, replayed identically)
+        "od AS (SELECT src, count(*) AS outdeg FROM e0 GROUP BY src), " +
         "nn AS (SELECT count(*)::DOUBLE AS n FROM nodes), " +
         "r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn), " +
         (1 to 5).map(iterCte).mkString(", ") + " " +
@@ -2205,8 +2208,10 @@ object OpsQueries {
       val projList = graft.ops.Similarity.randomPlanes(8, 64).map(p =>
           s"list_inner_product(embedding::DOUBLE[], ${p.mkString("[", ", ", "]")}) * $scale")
         .mkString("[", ", ", "]")
+      // bucket planes at seed 43 (= knnGraphReranked's seed + 1): drawn
+      // from a stream distinct from the projection's, mirrored here
       val bucket = bucketSqlGated(projList,
-        graft.ops.Similarity.randomPlanes(20, 8), "(SELECT p FROM np)")
+        graft.ops.Similarity.randomPlanes(20, 8, 43L), "(SELECT p FROM np)")
       ("WITH np AS (SELECT greatest(4, least(20, CAST(ceil(log2(count(*) / 16.0)) AS INT))) AS p FROM embeddings), " +
         "b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, " + bucket + " AS bucket FROM embeddings), " +
         "pr AS (SELECT a.id AS src, c.id AS dst, list_cosine_similarity(a.v, c.v) AS cos, " +

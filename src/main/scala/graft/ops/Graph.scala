@@ -115,11 +115,14 @@ object Graph {
   /** PageRank with a FIXED iteration count over a directed edge list.
     *
     * Formulation: nodes = the set of SOURCE nodes; edges whose target is
-    * not itself a source are kept (their mass flows out of the node set
-    * and is dropped — the "edges-only" PageRank without dangling-mass
-    * redistribution; both this and the paired oracle SQL drop it
-    * identically, and ranks remain a well-defined fixpoint of the same
-    * linear map). Per iteration:
+    * not itself a source are dropped, and their mass genuinely LEAVES the
+    * node set: out-degree is counted over the FULL distinct edge list
+    * (kept + dropped), so a node with 3 edges of which 1 leaves the set
+    * emits rank/3 along each surviving edge and loses the third share —
+    * the "edges-only" PageRank without dangling-mass redistribution
+    * (the paired oracle SQL replays the identical formula, and ranks
+    * remain a well-defined fixpoint of the same linear map). Per
+    * iteration:
     *   r'(v) = (1-d)/N + d · Σ_{(u→v)} r(u) / outdeg(u)
     *
     * Shape per iteration: one equi-join (ranks ⋈ edges on src — both
@@ -141,9 +144,11 @@ object Graph {
     val e = edges.select(col("src"), col("dst")).distinct()
     val nodes = e.select(col("src").as("node")).distinct()
     // keep only edges whose target is also a node (mass to non-source
-    // sinks is dropped by construction — documented above)
+    // sinks is dropped by construction — documented above); out-degree
+    // is counted over the FULL edge set so the dropped edges' shares
+    // actually leave rather than being renormalized onto survivors
     val inEdges = e.join(nodes.select(col("node").as("dst")), Seq("dst"))
-    val outDeg = inEdges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val contribEdges = inEdges.join(outDeg, Seq("src"))
     // N is needed as a literal inside every iteration's base term; it is
     // ONE count over the (tiny relative to the edge set) node list, and

@@ -143,17 +143,30 @@ object Merge {
                        sketchCols: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "need at least one key column")
     require(sketchCols.nonEmpty, "need at least one sketch column")
-    val s = state.select(keys.map(col) ++
+    val s = state.select(keys.map(k => col(k).as(s"__sk_$k")) ++
       sketchCols.map(c => col(c).as(s"__s_$c")): _*)
-    val d = deltaAgg.select(keys.map(col) ++
+    val d = deltaAgg.select(keys.map(k => col(k).as(s"__dk_$k")) ++
       sketchCols.map(c => col(c).as(s"__d_$c")): _*)
-    s.join(d, keys, "full_outer")
-      .select(keys.map(col) ++ sketchCols.map { c =>
-        val a = col(s"__s_$c"); val b = col(s"__d_$c")
-        when(a.isNull, b).when(b.isNull, a)
-          .otherwise(hll_union(a, b)).as(c)
-      }: _*)
+    nullSafeFullOuter(s, d, keys)
+      .select(keys.map(k => coalesce(col(s"__sk_$k"), col(s"__dk_$k")).as(k)) ++
+        sketchCols.map { c =>
+          val a = col(s"__s_$c"); val b = col(s"__d_$c")
+          when(a.isNull, b).when(b.isNull, a)
+            .otherwise(hll_union(a, b)).as(c)
+        }: _*)
   }
+
+  /** Null-safe full-outer key join of the two pre-renamed state-merge
+    * sides. `groupBy` over a nullable column yields a NULL-keyed group,
+    * and a plain equi-join would never match it against itself — the
+    * merged state would silently carry two rows for the same null key,
+    * breaking merge(agg(A), agg(B)) == agg(A ∪ B). `<=>` (EqualNullSafe)
+    * is still an equi-join condition to Catalyst, so the plan stays a
+    * hash/sort-merge join on the key — no scale change. */
+  private def nullSafeFullOuter(s: DataFrame, d: DataFrame,
+                                keys: Seq[String]): DataFrame =
+    s.join(d, keys.map(k => col(s"__sk_$k") <=> col(s"__dk_$k")).reduce(_ && _),
+      "full_outer")
 
   /** Incremental aggregate maintenance: combine a stored per-key
     * aggregate-state snapshot with the aggregate of a new delta batch,
@@ -167,7 +180,9 @@ object Merge {
     * `merge(agg(A), agg(B)) == agg(A ∪ B)` exactly (MergeSpec pins it,
     * and the u6 driver query pins it against DuckDB's full recompute).
     * Derived statistics (mean = sum/n) must be computed FROM the merged
-    * state, never combined directly.
+    * state, never combined directly. Key matching is NULL-SAFE: the
+    * NULL-keyed group a nullable grouping column produces merges with
+    * itself like any other key.
     *
     * @param state    prior aggregate state, one row per key
     * @param deltaAgg the delta batch ALREADY aggregated to the same
@@ -181,21 +196,22 @@ object Merge {
     val bad = combine.values.toSet -- Set("sum", "min", "max")
     require(bad.isEmpty, s"unknown combiner(s): ${bad.mkString(", ")}")
     val measures = combine.keys.toSeq.sorted
-    val s = state.select(keys.map(col) ++
+    val s = state.select(keys.map(k => col(k).as(s"__sk_$k")) ++
       measures.map(c => col(c).as(s"__s_$c")): _*)
-    val d = deltaAgg.select(keys.map(col) ++
+    val d = deltaAgg.select(keys.map(k => col(k).as(s"__dk_$k")) ++
       measures.map(c => col(c).as(s"__d_$c")): _*)
-    s.join(d, keys, "full_outer")
-      .select(keys.map(col) ++ measures.map { c =>
-        val a = col(s"__s_$c"); val b = col(s"__d_$c")
-        (combine(c) match {
-          // when/when/otherwise instead of coalesce-to-0: preserves the
-          // measure's exact type (decimal scale included) and keeps a
-          // key absent from one side at its other side's value
-          case "sum" => when(a.isNull, b).when(b.isNull, a).otherwise(a + b)
-          case "min" => least(a, b) // least/greatest skip nulls
-          case "max" => greatest(a, b)
-        }).as(c)
-      }: _*)
+    nullSafeFullOuter(s, d, keys)
+      .select(keys.map(k => coalesce(col(s"__sk_$k"), col(s"__dk_$k")).as(k)) ++
+        measures.map { c =>
+          val a = col(s"__s_$c"); val b = col(s"__d_$c")
+          (combine(c) match {
+            // when/when/otherwise instead of coalesce-to-0: preserves the
+            // measure's exact type (decimal scale included) and keeps a
+            // key absent from one side at its other side's value
+            case "sum" => when(a.isNull, b).when(b.isNull, a).otherwise(a + b)
+            case "min" => least(a, b) // least/greatest skip nulls
+            case "max" => greatest(a, b)
+          }).as(c)
+        }: _*)
   }
 }

@@ -319,11 +319,15 @@ object Similarity {
     // bucketing at the full-space target produced ~4x the candidate
     // pairs (97 s vs 25 s at sf10); two extra effective planes recover
     // the full-space bucket population at the price the two-stage is
-    // meant to pay (recall via coarser GEOMETRY, not bigger buckets)
+    // meant to pay (recall via coarser GEOMETRY, not bigger buckets).
+    // Bucket planes draw from seed + 1, NOT seed: with a shared seed the
+    // bucket hyperplanes' first coefficients would be exactly the
+    // projection matrix's first coefficients (same Gaussian stream), a
+    // correlation that further skews the already-dependent sign bits.
     val dim = inferDim(df, vecCol)
     knnGraphCore(df, idCol, vecCol,
       randomProjection(col(vecCol), projDim, dim, seed), projDim,
-      k, minPlanes, maxPlanes, targetBucket, seed)
+      k, minPlanes, maxPlanes, targetBucket, seed + 1)
   }
 
   private def knnGraphCore(df: DataFrame, idCol: String, vecCol: String,

@@ -75,6 +75,21 @@ class GraphSpec extends AnyFunSuite with Matchers {
     ranks(7L) shouldBe 0.15 +- 1e-12
   }
 
+  test("pageRank: a node with both kept and dropped edges loses the dropped share") {
+    // edges 1->2, 2->1 (kept) and 1->99 (dropped: 99 is not a source).
+    // Full out-degree of 1 is 2, so node 1 emits rank/2 to node 2 and
+    // the other half LEAVES the node set. One iteration from uniform
+    // (0.5, 0.5) with d = 0.85, base = 0.15/2:
+    //   r(1) = 0.075 + 0.85 * (0.5 / 1) = 0.5
+    //   r(2) = 0.075 + 0.85 * (0.5 / 2) = 0.2875   (not 0.5)
+    val ranks = Graph.pageRank(Seq((1L, 2L), (2L, 1L), (1L, 99L)).toDF("src", "dst"),
+        iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ranks.keySet shouldBe Set(1L, 2L)
+    ranks(1L) shouldBe 0.5 +- 1e-12
+    ranks(2L) shouldBe 0.2875 +- 1e-12
+  }
+
   test("shortestPaths: exact hop distances on a path, unreachable absent") {
     val path = (0L until 10L).map(i => (i, i + 1)) :+ (20L, 21L) // island
     val canonical = Graph.canonicalEdges(path.toDF("src", "dst"), "src", "dst")

@@ -233,6 +233,34 @@ class MergeSpec extends AnyFunSuite with Matchers {
     out shouldBe Map(1L -> 2L, 9L -> 1L)
   }
 
+  test("mergeAggState merges NULL-keyed groups (null-safe key join)") {
+    // groupBy over a nullable column yields a NULL-keyed group on both
+    // sides; the merge must combine them into ONE row, not carry two
+    val state = Seq((Option(1L), 5L, 50.0), (None: Option[Long], 3L, 30.0))
+      .toDF("k", "n", "s")
+    val delta = Seq((Option(1L), 1L, 10.0), (None: Option[Long], 2L, 20.0))
+      .toDF("k", "n", "s")
+    val out = Merge.mergeAggState(state, delta, Seq("k"),
+        Map("n" -> "sum", "s" -> "sum"))
+      .collect().map(r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+          ((r.getLong(1), r.getDouble(2)))).toMap
+    out shouldBe Map(Some(1L) -> ((6L, 60.0)), None -> ((5L, 50.0)))
+  }
+
+  test("mergeSketchState merges NULL-keyed groups (null-safe key join)") {
+    import org.apache.spark.sql.functions.{col, hll_sketch_agg, hll_sketch_estimate}
+    val a = Seq((Option(1L), 10L), (None: Option[Long], 20L))
+      .toDF("k", "u").groupBy("k").agg(hll_sketch_agg(col("u")).as("s"))
+    val b = Seq((None: Option[Long], 21L), (None: Option[Long], 22L))
+      .toDF("k", "u").groupBy("k").agg(hll_sketch_agg(col("u")).as("s"))
+    val out = Merge.mergeSketchState(a, b, Seq("k"), Seq("s"))
+      .select(col("k"), hll_sketch_estimate(col("s")).as("e"))
+      .collect().map(r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getLong(1)).toMap
+    out shouldBe Map(Some(1L) -> 1L, None -> 3L)
+  }
+
   test("mergeAggState rejects unknown combiners and empty keys") {
     val df = Seq((1L, 1L)).toDF("k", "n")
     an[IllegalArgumentException] should be thrownBy
