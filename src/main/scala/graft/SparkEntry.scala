@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.tableone.{TableOne, TableOneConfig}
 import graft.oracle.TableOneSql
 import graft.Util.{roundDoubles, table}
+import graft.ops.Quantiles
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -168,17 +169,38 @@ object SparkEntry {
 
     "a11_grouped_quantiles" -> ((s, dir) =>
       // per-group EXACT interpolated quantiles (percentile_cont
-      // semantics: rank (n-1)·p, linear interpolation) — the grouped
-      // complement of a3's global quartiles. Spark's exact `percentile`
-      // is a per-group sort aggregate: fine when groups are few and
-      // bounded (3 here); high-cardinality columns route to the
-      // order-statistics path (t9) — both gated paths stay covered.
-      table(s, dir, "lineitem").groupBy("l_returnflag")
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.25)") + lit(5e-10), 6).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.5)") + lit(5e-10), 6).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.75)") + lit(5e-10), 6).as("p75"),
-          round(expr("percentile(l_extendedprice, 0.95)") + lit(5e-10), 6).as("p95"))
+      // semantics: position (n-1)·p, linear interpolation) — the grouped
+      // complement of a3's global quartiles, through the MEMORY-GATED
+      // router: a cheap max-group-size probe keeps Spark's `percentile`
+      // sort aggregate while the largest group's buffer is bounded, and
+      // routes unbounded groups to the distributed order-statistics pass
+      // (exercised oracle-identically by a13). Both regimes covered.
+      Quantiles.groupedQuantiles(table(s, dir, "lineitem"),
+          "l_returnflag", "l_extendedprice",
+          Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p95" -> 0.95))
+        .select(col("l_returnflag"),
+          round(col("p25") + lit(5e-10), 6).as("p25"),
+          round(col("p50") + lit(5e-10), 6).as("p50"),
+          round(col("p75") + lit(5e-10), 6).as("p75"),
+          round(col("p95") + lit(5e-10), 6).as("p95"))
+        .orderBy("l_returnflag")),
+
+    "a13_grouped_quantiles_dist" -> ((s, dir) =>
+      // the DISTRIBUTED order-statistics path of a11's gated router,
+      // forced (gate bypassed) so the driver's oracle checks this plan
+      // at every scale: range-partitioned (group, value) histogram,
+      // driver prefix sums over partition subtotals, per-partition
+      // rank picks, driver interpolation — per-executor memory bounded
+      // by partition size, never by group size (the a11 weak spot's
+      // 100 TB route).
+      Quantiles.groupedQuantilesExact(table(s, dir, "lineitem"),
+          "l_returnflag", "l_extendedprice",
+          Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p95" -> 0.95))
+        .select(col("l_returnflag"),
+          round(col("p25") + lit(5e-10), 6).as("p25"),
+          round(col("p50") + lit(5e-10), 6).as("p50"),
+          round(col("p75") + lit(5e-10), 6).as("p75"),
+          round(col("p95") + lit(5e-10), 6).as("p95"))
         .orderBy("l_returnflag")),
 
     // ---- joins / windows / set ops (SURVEY.md §2.5-2.7) ----
@@ -459,6 +481,15 @@ object SparkEntry {
         "round(weighted_sd + 5e-10, 6) AS weighted_sd " +
         "FROM allp ORDER BY variable, stratum, level"),
     "a11_grouped_quantiles" ->
+      ("SELECT l_returnflag, " +
+        "round(quantile_cont(l_extendedprice, 0.25) + 5e-10, 6) AS p25, " +
+        "round(quantile_cont(l_extendedprice, 0.5) + 5e-10, 6) AS p50, " +
+        "round(quantile_cont(l_extendedprice, 0.75) + 5e-10, 6) AS p75, " +
+        "round(quantile_cont(l_extendedprice, 0.95) + 5e-10, 6) AS p95 " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "a13_grouped_quantiles_dist" ->
+      // same oracle as a11: the distributed order-statistics path must
+      // produce the identical interpolated quantiles
       ("SELECT l_returnflag, " +
         "round(quantile_cont(l_extendedprice, 0.25) + 5e-10, 6) AS p25, " +
         "round(quantile_cont(l_extendedprice, 0.5) + 5e-10, 6) AS p50, " +

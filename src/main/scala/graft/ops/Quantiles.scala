@@ -1,0 +1,189 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+
+/** One (group, value) histogram row of the range-partitioned pick pass. */
+private[ops] case class QHistRow(g: String, v: Double, cnt: Long, pid: Int)
+
+/** One emitted order-statistic pick: the `rank`-th smallest value of
+  * group `g` (1-indexed over the group's non-null values). */
+private[ops] case class QPick(g: String, rank: Long, v: Double)
+
+/** Grouped EXACT interpolated quantiles (`percentile_cont` semantics:
+  * position p·(n−1), linear interpolation between the two bracketing
+  * order statistics) with a memory-gated physical plan.
+  *
+  * The reference computes quartiles per stratum with
+  * `percentile_approx(col, q, n+1)` (/root/reference/tableone_pyspark.py:384-388);
+  * this operator is the grouped generalization with arbitrary
+  * probabilities and a plan that survives any group size.
+  *
+  * Two regimes, complementary by construction:
+  *
+  *  - MANY SMALL groups: Spark's native `percentile` sort aggregate is
+  *    the right plan — its per-group buffer (an OpenHashMap of
+  *    value→count) is bounded by the group's size/cardinality, the agg
+  *    is a single hash exchange, and nothing touches the driver. The
+  *    gate keeps this path whenever the LARGEST group's row count is at
+  *    most `maxBufferedPerGroup`.
+  *  - FEW HUGE groups (the 100 TB shape: 3 return-flags × 10^10 rows):
+  *    that buffer grows linearly with the group and OOMs an executor.
+  *    [[groupedQuantilesExact]] instead range-partitions the per-(group,
+  *    value) histogram, prefix-sums partition subtotals on the driver
+  *    (O(#groups × #partitions) — aggregate-sized in this regime), and
+  *    has each partition emit the order statistics whose global rank
+  *    falls inside it. Every stage is parallel in the number of range
+  *    partitions; per-executor memory is bounded by partition size, not
+  *    group size — the same construction as TableOne.exactQuartiles,
+  *    generalized to arbitrary p and interpolation.
+  *
+  * The pathological corpus with BOTH 10^6+ groups and a multi-billion-row
+  * group would make the exact path's driver bookkeeping large; route such
+  * data by raising `maxBufferedPerGroup` (executors with the memory to
+  * sort the big group) or pre-splitting hot groups. The gate's one
+  * max-group-size job is a map-side-combined count — negligible against
+  * either path.
+  */
+object Quantiles {
+
+  /** Gated grouped quantiles: one cheap max-group-size probe job, then
+    * either the native `percentile` sort aggregate (max group ≤
+    * `maxBufferedPerGroup`) or the distributed order-statistics pass.
+    * Both paths return identical values (spec-pinned): one row per
+    * group, `groupCol` cast to string, one double column per `(name, p)`
+    * in `ps`. Rows whose value is null are ignored; a group with only
+    * nulls is absent from the output (it has no order statistics).
+    *
+    * @param maxBufferedPerGroup largest group row-count the native sort
+    *        aggregate is allowed to buffer on one executor. Default 4M
+    *        values ≈ 32 MB of doubles per group — comfortably inside an
+    *        executor, far above the crossover where the distributed
+    *        pass's ~4 scheduling round-trips stop mattering. */
+  def groupedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                       ps: Seq[(String, Double)],
+                       maxBufferedPerGroup: Long = 4L << 20): DataFrame = {
+    requirePs(ps)
+    // pre-filter nulls: percentile ignores them anyway, and dropping
+    // all-null groups HERE makes both paths agree that such a group is
+    // absent from the output
+    val nonNull = df.filter(col(valueCol).isNotNull)
+    val maxGroup = nonNull
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n"))).head()
+    val maxN = if (maxGroup.isNullAt(0)) 0L else maxGroup.getLong(0)
+    if (maxN <= maxBufferedPerGroup) {
+      val aggs = ps.map { case (name, p) =>
+        expr(s"percentile(`$valueCol`, $p)").as(name) }
+      nonNull.groupBy(col(groupCol).cast("string").as(groupCol))
+        .agg(aggs.head, aggs.tail: _*)
+    } else groupedQuantilesExact(df, groupCol, valueCol, ps)
+  }
+
+  /** The distributed order-statistics path — always safe, never buffers
+    * a group. See the object doc for the plan shape. Public so a caller
+    * who KNOWS the corpus shape (and the a13 driver query, which must
+    * exercise this path at every scale) can bypass the probe job. */
+  def groupedQuantilesExact(df: DataFrame, groupCol: String, valueCol: String,
+                            ps: Seq[(String, Double)]): DataFrame = {
+    requirePs(ps)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast(DoubleType).as("v"))
+      .filter(col("v").isNotNull)
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    // histPre cached: repartitionByRange samples its child for range
+    // boundaries before the real shuffle — uncached, the histogram
+    // aggregation would run twice. hist cached: the subtotal pass and
+    // the pick pass are two separate actions over the range-shuffled
+    // result, and AQE replans each — the cache is what guarantees the
+    // range shuffle happens once. Both released in finally.
+    val histPre = vals.groupBy("g", "v").agg(count(lit(1)).as("cnt")).persist()
+    val hist = histPre
+      .repartitionByRange(nParts, col("g"), col("v"))
+      .sortWithinPartitions("g", "v")
+      .withColumn("pid", spark_partition_id())
+      .as[QHistRow]
+      .persist()
+    try {
+      val subtotals: Array[((Int, String), Long)] = hist
+        .groupBy("pid", "g").agg(sum("cnt").as("t"))
+        .collect()
+        .map(r => (r.getAs[Int]("pid"), r.getAs[String]("g")) -> r.getAs[Long]("t"))
+      // driver prefix sums in pid order: the starting global rank offset
+      // of every (pid, group), plus each group's total n
+      val off = Map.newBuilder[(Int, String), Long]
+      val totB = Map.newBuilder[String, Long]
+      subtotals.groupBy(_._1._2).foreach { case (g, rows) =>
+        var acc = 0L
+        rows.sortBy(_._1._1).foreach { case ((pid, _), t) =>
+          off += ((pid, g) -> acc); acc += t
+        }
+        totB += (g -> acc)
+      }
+      val offsets = off.result(); val totals = totB.result()
+      // ranks to fish out per group: for each p, the 1-indexed order
+      // statistics bracketing position p·(n−1) — floor+1 always,
+      // floor+2 when the position has a fractional part
+      val ranksByGroup: Map[String, Array[Long]] = totals.map { case (g, n) =>
+        g -> ps.flatMap { case (_, p) =>
+          val r = p * (n - 1).toDouble
+          val lo = math.floor(r).toLong + 1
+          if (r == math.floor(r)) Seq(lo) else Seq(lo, lo + 1)
+        }.distinct.sorted.toArray
+      }
+      val picks: Array[QPick] = hist.mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[QPick]
+        val cum = scala.collection.mutable.Map.empty[String, Long]
+        it.foreach { h =>
+          val before = cum.getOrElse(h.g, offsets.getOrElse((h.pid, h.g), 0L))
+          val after = before + h.cnt
+          cum(h.g) = after
+          val ranks = ranksByGroup.getOrElse(h.g, Array.empty[Long])
+          var i = 0
+          while (i < ranks.length) {
+            val r = ranks(i)
+            if (before < r && r <= after) out += QPick(h.g, r, h.v)
+            i += 1
+          }
+        }
+        out.iterator
+      }.collect()
+      val vmap: Map[(String, Long), Double] =
+        picks.map(p => (p.g, p.rank) -> p.v).toMap
+      // null group key (a null stratum is a legitimate group) sorts last
+      val groupsSorted = totals.keys.toSeq.filter(_ != null).sorted ++
+        totals.keys.toSeq.filter(_ == null)
+      val rows: Seq[Row] = groupsSorted.map { g =>
+        val n = totals(g)
+        val qs = ps.map { case (_, p) =>
+          val r = p * (n - 1).toDouble
+          val lo = math.floor(r).toLong
+          val frac = r - math.floor(r)
+          val vlo = vmap((g, lo + 1))
+          // identical arithmetic as Spark's percentile and DuckDB's
+          // quantile_cont: lower + (higher − lower) · frac
+          val v = if (frac == 0.0) vlo else vlo + (vmap((g, lo + 2)) - vlo) * frac
+          java.lang.Double.valueOf(v)
+        }
+        Row.fromSeq(g +: qs)
+      }
+      val schema = StructType(
+        StructField(groupCol, StringType, nullable = true) +:
+          ps.map(p => StructField(p._1, DoubleType, nullable = true)))
+      spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        schema)
+    } finally { hist.unpersist(); histPre.unpersist() }
+  }
+
+  private def requirePs(ps: Seq[(String, Double)]): Unit = {
+    require(ps.nonEmpty, "need at least one (name, p)")
+    ps.foreach { case (n, p) =>
+      require(p >= 0.0 && p <= 1.0, s"p for `$n` must be in [0, 1], got $p")
+    }
+    require(ps.map(_._1).distinct.size == ps.size, "duplicate output names")
+  }
+}

@@ -1,0 +1,108 @@
+package graft.ops
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class QuantilesSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val ps = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p95" -> 0.95)
+
+  /** Driver-side percentile_cont reference: position p·(n−1), linear
+    * interpolation — the definition both engine paths must reproduce. */
+  private def refQuantile(sorted: Vector[Double], p: Double): Double = {
+    val r = p * (sorted.length - 1).toDouble
+    val lo = math.floor(r).toInt
+    val frac = r - math.floor(r)
+    if (frac == 0.0) sorted(lo)
+    else sorted(lo) + (sorted(lo + 1) - sorted(lo)) * frac
+  }
+
+  private def collectWide(df: org.apache.spark.sql.DataFrame): Map[String, Seq[Double]] =
+    df.collect().map(r => r.getString(0) ->
+      (1 to ps.length).map(r.getDouble)).toMap
+
+  test("exact path matches a driver-side percentile_cont model on random data") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 5000).map(_ =>
+      (s"g${rnd.nextInt(4)}", math.rint(rnd.nextDouble() * 1e6) / 100.0))
+    val out = collectWide(Quantiles.groupedQuantilesExact(
+      rows.toDF("g", "v"), "g", "v", ps))
+    val byG = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toVector).toMap
+    out.keySet shouldBe byG.keySet
+    for ((g, vs) <- byG; ((_, p), i) <- ps.zipWithIndex)
+      out(g)(i) shouldBe refQuantile(vs, p) +- 1e-9
+  }
+
+  test("exact path equals the native percentile sort-agg path exactly") {
+    val rnd = new scala.util.Random(11)
+    // duplicate-heavy values so the histogram genuinely collapses counts
+    val rows = (1 to 4000).map(_ =>
+      (s"k${rnd.nextInt(3)}", rnd.nextInt(50).toDouble))
+    val df = rows.toDF("g", "v")
+    val exact = collectWide(Quantiles.groupedQuantilesExact(df, "g", "v", ps))
+    val gated = collectWide(Quantiles.groupedQuantiles(df, "g", "v", ps))
+    gated.keySet shouldBe exact.keySet
+    for (g <- exact.keys; i <- ps.indices)
+      gated(g)(i) shouldBe exact(g)(i) +- 1e-12
+  }
+
+  test("gate routes a too-big group to the distributed path, same values") {
+    val rows = (1 to 2000).map(i => ("only", i.toDouble))
+    val df = rows.toDF("g", "v")
+    val forced = collectWide(
+      Quantiles.groupedQuantiles(df, "g", "v", ps, maxBufferedPerGroup = 100))
+    val native = collectWide(Quantiles.groupedQuantiles(df, "g", "v", ps))
+    for (i <- ps.indices) forced("only")(i) shouldBe native("only")(i) +- 1e-12
+  }
+
+  test("nulls are ignored; an all-null group is absent; null GROUP is kept") {
+    val rows = Seq(
+      (Option("a"), Option(1.0)), (Option("a"), Option(3.0)), (Option("a"), None),
+      (Option("dead"), None),
+      (None: Option[String], Option(10.0)), (None: Option[String], Option(20.0)))
+    val df = rows.toDF("g", "v")
+    for (out <- Seq(Quantiles.groupedQuantilesExact(df, "g", "v", Seq("p50" -> 0.5)),
+                    Quantiles.groupedQuantiles(df, "g", "v", Seq("p50" -> 0.5)))) {
+      val m = out.collect().map(r =>
+        Option(r.getString(0)) -> r.getDouble(1)).toMap
+      m.keySet shouldBe Set(Option("a"), None)
+      m(Option("a")) shouldBe 2.0 +- 1e-12
+      m(None) shouldBe 15.0 +- 1e-12
+    }
+  }
+
+  test("single-element group and p in {0, 1} hit the boundary order stats") {
+    val df = Seq(("s", 42.0), ("t", 1.0), ("t", 9.0)).toDF("g", "v")
+    val qs = Seq("pmin" -> 0.0, "pmid" -> 0.5, "pmax" -> 1.0)
+    val out = Quantiles.groupedQuantilesExact(df, "g", "v", qs)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    out("s") shouldBe ((42.0, 42.0, 42.0))
+    out("t")._1 shouldBe 1.0
+    out("t")._2 shouldBe 5.0 +- 1e-12
+    out("t")._3 shouldBe 9.0
+  }
+
+  test("exact path is partition-count independent") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 3000).map(_ => (s"g${rnd.nextInt(2)}", rnd.nextGaussian()))
+    val a = collectWide(Quantiles.groupedQuantilesExact(
+      rows.toDF("g", "v").repartition(1), "g", "v", ps))
+    val b = collectWide(Quantiles.groupedQuantilesExact(
+      rows.toDF("g", "v").repartition(17), "g", "v", ps))
+    a.keySet shouldBe b.keySet
+    for (g <- a.keys; i <- ps.indices) a(g)(i) shouldBe b(g)(i) +- 1e-12
+  }
+
+  test("rejects bad probabilities and duplicate names") {
+    val df = Seq(("a", 1.0)).toDF("g", "v")
+    an[IllegalArgumentException] should be thrownBy
+      Quantiles.groupedQuantiles(df, "g", "v", Seq("q" -> 1.5))
+    an[IllegalArgumentException] should be thrownBy
+      Quantiles.groupedQuantiles(df, "g", "v", Seq("q" -> 0.2, "q" -> 0.4))
+    an[IllegalArgumentException] should be thrownBy
+      Quantiles.groupedQuantiles(df, "g", "v", Nil)
+  }
+}
