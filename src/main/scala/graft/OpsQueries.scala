@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{BloomJoin, Clustering, Dedup, Graph, Merge, Multimodal, Packing, Sampling, Search, Similarity, TextAnalysis}
+import graft.ops.{BloomJoin, Clustering, Curation, Dedup, Graph, Merge, Multimodal, Packing, Sampling, Search, Similarity, TextAnalysis}
 import graft.streaming.EventPipeline
 import graft.Util.table
 
@@ -20,6 +20,43 @@ object OpsQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents").select(col("doc_id"), col("text"))
+
+  /** The c4/c6 shared upstream: exact-deduped, non-empty documents. */
+  private def dedupedCorpus(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(s, dir), "doc_id", "text")
+      .filter(length(col("text")) > 0)
+
+  /** The c4/c6 shared signal-join pipeline over a deduped corpus `dd`:
+    * per-doc profile/entropy scoring, duplicated-span fraction, LM
+    * perplexity — two left joins on doc_id, exact-arithmetic gates, and
+    * the per-language report. c4 runs it lazy (dd re-executes per
+    * stage); c6 runs it through [[Curation.withMaterialized]]. */
+  private def curationV2Report(dd: DataFrame): DataFrame = {
+    val p = col("__p")
+    val scored = dd
+      .withColumn("__p", TextAnalysis.profile(col("text")))
+      .withColumn("__e", graft.functions.HashFunctions.charEntropy(col("text")))
+      .select(col("doc_id"),
+        TextAnalysis.languageIdP(p).as("lang_pred"),
+        TextAnalysis.qualityScoreP(p).as("q"),
+        TextAnalysis.tokenCountP(p).cast("long").as("n_tok"),
+        col("__e.entropy").as("entropy"))
+    val dup = Dedup.dupNgramFraction(dd, "doc_id", "text", n = 5)
+      .select(col("doc_id"), col("dup_fraction"))
+    val lm = TextAnalysis.lmScore(dd, "doc_id", "text", alpha = 0.1)
+      .select(col("doc_id"), col("ppl"))
+    scored
+      .join(dup, Seq("doc_id"), "left")
+      .join(lm, Seq("doc_id"), "left")
+      .filter(col("q") >= 0.5 &&
+        (col("dup_fraction").isNull || col("dup_fraction") <= 0.5))
+      .groupBy("lang_pred")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        round(avg("entropy") + lit(5e-10), 6).as("mean_entropy"),
+        round(avg("ppl") + lit(5e-10), 4).as("mean_ppl"))
+      .orderBy("lang_pred")
+  }
 
   /** Adjacent-id document pairs (doc i vs doc i+1) — a deterministic,
     * oracle-friendly pair generator for the pairwise similarity ops. */
@@ -509,41 +546,26 @@ object OpsQueries {
         .orderBy("lang_pred")
     }),
 
-    "c4_curation_v2" -> ((s, dir) => {
+    "c4_curation_v2" -> ((s, dir) =>
       // End-to-end curation composing the round-9 signals: exact dedup
       // -> quality + duplicated-span GATES (both exact arithmetic:
       // quality is n/6, dup_fraction a long ratio — a float gate here
       // could flake the oracle on a knife-edge doc) -> per-language
       // report carrying the float signals (entropy, LM perplexity) only
       // inside nudged-rounded aggregates. Empty docs are garbage by
-      // definition and leave at the dedup step.
-      val dd = Dedup.exact(docs(s, dir), "doc_id", "text")
-        .filter(length(col("text")) > 0)
-      val p = col("__p")
-      val scored = dd
-        .withColumn("__p", TextAnalysis.profile(col("text")))
-        .withColumn("__e", graft.functions.HashFunctions.charEntropy(col("text")))
-        .select(col("doc_id"),
-          TextAnalysis.languageIdP(p).as("lang_pred"),
-          TextAnalysis.qualityScoreP(p).as("q"),
-          TextAnalysis.tokenCountP(p).cast("long").as("n_tok"),
-          col("__e.entropy").as("entropy"))
-      val dup = Dedup.dupNgramFraction(dd, "doc_id", "text", n = 5)
-        .select(col("doc_id"), col("dup_fraction"))
-      val lm = TextAnalysis.lmScore(dd, "doc_id", "text", alpha = 0.1)
-        .select(col("doc_id"), col("ppl"))
-      scored
-        .join(dup, Seq("doc_id"), "left")
-        .join(lm, Seq("doc_id"), "left")
-        .filter(col("q") >= 0.5 &&
-          (col("dup_fraction").isNull || col("dup_fraction") <= 0.5))
-        .groupBy("lang_pred")
-        .agg(count(lit(1)).as("n_docs"),
-          sum("n_tok").as("n_tokens"),
-          round(avg("entropy") + lit(5e-10), 6).as("mean_entropy"),
-          round(avg("ppl") + lit(5e-10), 4).as("mean_ppl"))
-        .orderBy("lang_pred")
-    }),
+      // definition and leave at the dedup step. Fully lazy: the deduped
+      // corpus plan is re-executed once per signal stage (c6 is the
+      // materialize-once production shape of the SAME pipeline).
+      curationV2Report(dedupedCorpus(s, dir))),
+
+    "c6_curation_mat" -> ((s, dir) =>
+      // c4's pipeline with the PRODUCTION storage decision: the deduped
+      // corpus is materialized ONCE (call-scoped MEMORY_AND_DISK persist,
+      // released before return) and the three signal stages scan the
+      // cache instead of re-running the dedup each — cost goes from
+      // Σ(dedup + stage) to dedup + Σ(stage). Same oracle as c4: a
+      // storage decision must never change results.
+      Curation.withMaterialized(dedupedCorpus(s, dir), curationV2Report(_))),
     "d11_semantic_dedup" -> ((s, dir) => {
       // SemDeDup against the same FIXED deterministic codebook as c2
       // (embeddings vec_id < 8): min-id dominance at cosine >= 0.2
@@ -1710,7 +1732,15 @@ object OpsQueries {
     s"(CASE WHEN m > 0.05 THEN (CASE $pick END) ELSE 'und' END)"
   }
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = oracleSqlBase
+    // c6 is c4's pipeline under a different STORAGE decision
+    // (materialize-once); the results — and therefore the oracle — are
+    // identical by contract
+    base + ("c6_curation_mat" -> base("c4_curation_v2"))
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     // chunk=64, overlap=8 -> stride 56; chunk i = tokens
     // [i*56+1, i*56+64] (1-based inclusive, DuckDB list_slice semantics
     // = Spark slice(start, length)); chunk count ceil(max(n-8,1)/56)
