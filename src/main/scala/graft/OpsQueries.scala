@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{BloomJoin, Clustering, Curation, Dedup, Graph, Merge, Multimodal, Packing, Sampling, Search, Similarity, TextAnalysis}
+import graft.ops.{BloomJoin, Clustering, Curation, Dedup, Graph, Histograms, Merge, Multimodal, Packing, Sampling, Search, Similarity, TextAnalysis}
 import graft.streaming.EventPipeline
 import graft.Util.table
 
@@ -1567,6 +1567,67 @@ object OpsQueries {
         .orderBy("o_custkey")
     }),
 
+    "u8_incremental_histogram" -> ((s, dir) => {
+      // incremental DISTRIBUTION maintenance: per-priority fixed-bin
+      // histogram state from the historical batch merged with the delta
+      // batch's state (bin counts sum — mergeAggState over keys+bin),
+      // then quantile ESTIMATES read from the merged state. The oracle
+      // recomputes the histogram over ALL orders and replays the same
+      // cum-walk + in-bin interpolation, pinning BOTH the exact merge
+      // and the estimate arithmetic.
+      val o = table(s, dir, "orders")
+      val keys = Seq("o_orderpriority")
+      def st(df: DataFrame) =
+        Histograms.binned(df, keys, "o_totalprice", 0.0, 600000.0, 64)
+      val merged = Histograms.mergeState(
+        st(o.filter(col("o_orderkey") % 3 =!= 0)),
+        st(o.filter(col("o_orderkey") % 3 === 0)), keys)
+      Histograms.quantileFromBins(merged, keys, 0.0, 600000.0, 64,
+          Seq("q25" -> 0.25, "q50" -> 0.5, "q90" -> 0.9))
+        .select(col("o_orderpriority"),
+          round(col("q25") + lit(5e-10), 6).as("q25"),
+          round(col("q50") + lit(5e-10), 6).as("q50"),
+          round(col("q90") + lit(5e-10), 6).as("q90"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "d17_sorted_neighborhood" -> ((s, dir) => {
+      // sorted-neighborhood blocking: within each language, docs sorted
+      // by length pair with their next 2 neighbors; candidates scored
+      // with exact unigram-set Jaccard (distinct token-hash arrays — set
+      // sizes equal the string version up to 2^-64 collisions, the d2
+      // precedent). One window pass, O(n·window) candidates.
+      val ms = graft.functions.HashFunctions.multiShingleHash(
+        TextAnalysis.tokens(lower(col("text"))), Seq(1))
+      val base = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          ms.getField("n1").as("s1"))
+      Dedup.sortedNeighborhoodPairs(base, "doc_id", col("lang"),
+          col("n_chars"), window = 3, carryCols = Seq("s1"))
+        .select(col("id_a"), col("id_b"),
+          round(size(array_intersect(col("s1_a"), col("s1_b"))).cast("double") /
+            greatest(size(array_union(col("s1_a"), col("s1_b"))), lit(1)).cast("double"),
+            6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "d18_fuzzy_join" -> ((s, dir) => {
+      // edit-distance record linkage: a small probe batch (every 199th
+      // part name, first character dropped — a planted typo at lev 1
+      // from its source) fuzzy-matched against the full part corpus at
+      // maxDist 2 via PassJoin segment blocking. Blocking is sound, so
+      // the output EQUALS the brute-force cross join the oracle runs.
+      val parts = table(s, dir, "part")
+        .select(col("p_partkey"), lower(col("p_name")).as("name"))
+      val probes = parts.filter(col("p_partkey") % 199 === 0)
+        .select(col("p_partkey").as("probe_id"),
+          col("name").substr(lit(2), length(col("name"))).as("probe_name"))
+      Dedup.fuzzyJoinLevenshtein(probes,
+          parts.select(col("p_partkey").as("part_id"), col("name")),
+          "probe_id", "probe_name", "part_id", "name", maxDist = 2)
+        .orderBy("probe_id", "part_id")
+    }),
+
     // ---- metadata-only scan: parquet aggregate pushdown ----------------
     "o5_agg_pushdown" -> ((s, dir) => {
       // COUNT/MIN/MAX answered from parquet row-group STATISTICS — no
@@ -2438,6 +2499,50 @@ object OpsQueries {
         "round(CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) + 5e-10, 6) AS max_price, " +
         "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) + 5e-10, 6) AS mean_price " +
         "FROM orders GROUP BY o_custkey ORDER BY o_custkey"),
+    "u8_incremental_histogram" ->
+      // full recompute over ALL orders (merge is exact by u6's argument)
+      // + the same cum-walk/in-bin interpolation arithmetic: bin floor
+      // in identical op order, first bin with cum >= p*n via FILTERed
+      // min_by, estimate lo + (bin + (p*n - cumBefore)/cnt) * width
+      ("WITH h AS (SELECT o_orderpriority, " +
+        "CAST(least(greatest(floor((o_totalprice - 0.0) / 600000.0 * 64), 0), 63) AS INT) AS bin, " +
+        "count(*)::BIGINT AS cnt FROM orders GROUP BY 1, 2), " +
+        "c AS (SELECT *, sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bin) AS cum, " +
+        "sum(cnt) OVER (PARTITION BY o_orderpriority) AS n FROM h), " +
+        "g AS (SELECT o_orderpriority, max(n) AS n, " +
+        Seq("25" -> "0.25", "50" -> "0.5", "90" -> "0.9").map { case (t, p) =>
+          s"min_by(struct_pack(b := bin, cum := cum, cnt := cnt), bin) " +
+            s"FILTER (WHERE cum >= $p * n) AS s$t" }.mkString(", ") +
+        " FROM c GROUP BY o_orderpriority) " +
+        "SELECT o_orderpriority, " +
+        Seq("25" -> "0.25", "50" -> "0.5", "90" -> "0.9").map { case (t, p) =>
+          s"round(0.0 + (CAST(s$t.b AS DOUBLE) + ($p * n - (s$t.cum - s$t.cnt)) / s$t.cnt) " +
+            s"* 9375.0 + 5e-10, 6) AS q$t" }.mkString(", ") +
+        " FROM g ORDER BY o_orderpriority"),
+    "d17_sorted_neighborhood" ->
+      // replay: same window (per-lang, ordered by n_chars then id), two
+      // lead offsets, string-token-set Jaccard (= the hash-set version
+      // up to 2^-64 collisions, the d2 precedent)
+      (s"WITH t AS (SELECT doc_id, lang, n_chars, list_distinct(${toksOf("text")}) AS tk FROM documents), " +
+        "w AS (SELECT doc_id, tk, " +
+        "lead(doc_id, 1) OVER wnd AS id1, lead(tk, 1) OVER wnd AS tk1, " +
+        "lead(doc_id, 2) OVER wnd AS id2, lead(tk, 2) OVER wnd AS tk2 " +
+        "FROM t WINDOW wnd AS (PARTITION BY lang ORDER BY n_chars, doc_id)), " +
+        "p AS (SELECT doc_id AS id_a, id1 AS id_b, tk AS ta, tk1 AS tb FROM w WHERE id1 IS NOT NULL " +
+        "UNION ALL SELECT doc_id, id2, tk, tk2 FROM w WHERE id2 IS NOT NULL) " +
+        "SELECT id_a, id_b, " +
+        "ROUND(len(list_intersect(ta, tb))::DOUBLE / " +
+        "greatest(len(list_distinct(list_concat(ta, tb))), 1), 6) AS jaccard " +
+        "FROM p ORDER BY id_a, id_b"),
+    "d18_fuzzy_join" ->
+      // brute-force cross join: the engine's PassJoin blocking is SOUND
+      // (zero false negatives), so its output must equal this exactly
+      ("WITH pr AS (SELECT p_partkey AS probe_id, substring(lower(p_name), 2) AS pn " +
+        "FROM part WHERE p_partkey % 199 = 0), " +
+        "co AS (SELECT p_partkey AS part_id, lower(p_name) AS cn FROM part) " +
+        "SELECT probe_id, part_id, levenshtein(pn, cn)::BIGINT AS dist " +
+        "FROM pr CROSS JOIN co WHERE levenshtein(pn, cn) <= 2 " +
+        "ORDER BY probe_id, part_id"),
     "x10_lm_score" ->
       // replay the add-0.1 bigram LM: same lowercased tokens, positional
       // bigrams via unnest(range), context counts as the sum of bigram

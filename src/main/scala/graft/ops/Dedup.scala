@@ -74,6 +74,139 @@ object Dedup {
         .select(inBlock.columns.map(col).toSeq: _*))
   }
 
+  /** Sorted-neighborhood candidate pairs (Hernández & Stolfo 1995, the
+    * classic record-linkage blocking): within each block, rows are
+    * sorted by `sortKey` and every row is paired with its next
+    * `window - 1` successors — candidates are the pairs a fuzzy matcher
+    * then scores, and a sort key chosen so near-duplicates sort close
+    * (length, normalized prefix, phonetic code) finds them without any
+    * all-pairs step.
+    *
+    * Scale shape: ONE window pass — a single hash exchange on the block
+    * key and a per-block sort (the scd2 co-residency contract); all
+    * `window - 1` lead offsets for the id AND every carried column
+    * evaluate inside ONE Window operator, and the posexplode emits at
+    * most `window - 1` candidates per row, so output is O(n·window),
+    * never O(n²). Blocks bound the sort width at scale; rows that
+    * straddle a block boundary are NOT paired (the method's standard
+    * trade — pick blocks coarse enough that true dups share one).
+    *
+    * @param carryCols columns duplicated onto each pair as `<c>_a` /
+    *        `<c>_b` (e.g. a shingle-hash set for the scoring step) so
+    *        the caller needs no join back
+    * @return `id_a`, `id_b` (+ carried pairs), `id_a` strictly before
+    *         `id_b` in (block, sortKey, id) order */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, blockCol: Column,
+                              sortKey: Column, window: Int = 3,
+                              carryCols: Seq[String] = Nil): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val w = Window.partitionBy("__blk").orderBy(col("__sort"), col(idCol))
+    val neighbors = array((1 until window).map { j =>
+      struct(lead(col(idCol), j).over(w).as("id") +:
+        carryCols.map(c => lead(col(c), j).over(w).as(c)): _*)
+    }: _*)
+    df.select(col(idCol) +: blockCol.as("__blk") +: sortKey.as("__sort") +:
+        carryCols.map(col): _*)
+      .withColumn("__nb", neighbors)
+      .select(col(idCol).as("id_a") +: explode(col("__nb")).as("__b") +:
+        carryCols.map(c => col(c).as(s"${c}_a")): _*)
+      .filter(col("__b.id").isNotNull)
+      .select(col("id_a") +: col("__b.id").as("id_b") +:
+        carryCols.flatMap(c =>
+          Seq(col(s"${c}_a"), col(s"__b.$c").as(s"${c}_b"))): _*)
+  }
+
+  /** Edit-distance fuzzy join (record linkage): every (probe, corpus)
+    * pair with `levenshtein(probeStr, corpusStr) <= maxDist`, EXACTLY —
+    * the blocking below is a sound candidate filter (no false
+    * negatives), so the output equals the brute-force cross join's,
+    * which is what the paired oracle replays.
+    *
+    * Blocking is the PassJoin segment-partition scheme (Li, Deng, Feng
+    * 2011 — pigeonhole over edit operations): split every probe string
+    * into `maxDist + 1` contiguous segments; if lev(a, b) <= d then at
+    * least one segment of `a` is untouched by any edit, so it occurs
+    * EXACTLY in `b`, shifted by at most d. The corpus side therefore
+    * emits, per row, the substrings that could be such a segment — for
+    * each candidate probe length L in [len(b) − d, len(b) + d], each
+    * segment index, each start within ±d of the segment's position —
+    * and the join is a plain EQUI-join on (L, segment index, segment
+    * text): (2d+1)²·(d+1) ≈ 75 keys/corpus row at d = 2 (deduplicated
+    * per row), never a cross join, never a theta-join.
+    *
+    * Scale shape: the probe side is the SMALL relation by contract (the
+    * incoming batch matched against a master corpus — the d8
+    * decontamination shape); with `broadcastProbe` its segment
+    * inventory broadcasts and the corpus never shuffles. Candidates are
+    * deduplicated per pair before the final levenshtein filter. Strings
+    * of length <= maxDist carry no segments; they take a broadcast
+    * cross of the two near-empty short-string sides (still
+    * levenshtein-filtered).
+    *
+    * @return (`probeId`, `corpusId`, `dist`), dist = exact levenshtein */
+  def fuzzyJoinLevenshtein(probe: DataFrame, corpus: DataFrame,
+                           probeId: String, probeStr: String,
+                           corpusId: String, corpusStr: String,
+                           maxDist: Int = 2,
+                           broadcastProbe: Boolean = true): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 4,
+      s"maxDist must be in [1, 4] (key fanout is (2d+1)^2*(d+1)), got $maxDist")
+    val d = maxDist
+    val nSeg = d + 1
+    // even segment layout of a length-L string: first (L mod nSeg)
+    // segments are one char longer; start_i = i*q + min(i, r), 0-based
+    def segLen(lCol: Column, i: Int): Column =
+      floor(lCol / nSeg).cast("int") + when(lit(i) < pmod(lCol, lit(nSeg)), 1).otherwise(0)
+    def segStart(lCol: Column, i: Int): Column =
+      lit(i) * floor(lCol / nSeg).cast("int") + least(lit(i), pmod(lCol, lit(nSeg)))
+
+    val pL = length(col(probeStr))
+    val probeSegs = probe
+      .filter(col(probeStr).isNotNull && pL > d)
+      .select(col(probeId).as("__pid"), col(probeStr).as("__pstr"),
+        explode(array((0 to d).map { i =>
+          struct(pL.as("slen"), lit(i).as("si"),
+            col(probeStr).substr(segStart(pL, i) + 1, segLen(pL, i)).as("seg"))
+        }: _*)).as("__k"))
+      .select(col("__pid"), col("__pstr"),
+        col("__k.slen"), col("__k.si"), col("__k.seg"))
+    val cM = length(col(corpusStr))
+    val corpusKeys = (for {
+      delta <- -d to d
+      i <- 0 to d
+      off <- -d to d
+    } yield {
+      val lCol = cM + delta
+      val p = segStart(lCol, i) + off
+      val len = segLen(lCol, i)
+      when(lCol > d && p >= 0 && p + len <= cM,
+        struct(lCol.as("slen"), lit(i).as("si"),
+          col(corpusStr).substr(p + 1, len).as("seg")))
+    }).toSeq
+    val corpusSegs = corpus
+      .filter(col(corpusStr).isNotNull)
+      .select(col(corpusId).as("__cid"), col(corpusStr).as("__cstr"),
+        explode(array_distinct(array(corpusKeys: _*))).as("__k"))
+      .filter(col("__k").isNotNull)
+      .select(col("__cid"), col("__cstr"),
+        col("__k.slen"), col("__k.si"), col("__k.seg"))
+    val pSide = if (broadcastProbe) broadcast(probeSegs) else probeSegs
+    val segCandidates = corpusSegs.join(pSide, Seq("slen", "si", "seg"))
+      .select(col("__pid"), col("__pstr"), col("__cid"), col("__cstr"))
+    // degenerate strings (<= d chars, no segments): both sides tiny
+    val pShort = probe.filter(col(probeStr).isNotNull && length(col(probeStr)) <= d)
+      .select(col(probeId).as("__pid"), col(probeStr).as("__pstr"))
+    val cShort = corpus.filter(col(corpusStr).isNotNull && length(col(corpusStr)) <= 2 * d)
+      .select(col(corpusId).as("__cid"), col(corpusStr).as("__cstr"))
+    val shortCandidates = cShort.crossJoin(broadcast(pShort))
+      .select(col("__pid"), col("__pstr"), col("__cid"), col("__cstr"))
+    segCandidates.unionByName(shortCandidates)
+      .distinct()
+      .filter(levenshtein(col("__pstr"), col("__cstr")) <= d)
+      .select(col("__pid").as(probeId), col("__cid").as(corpusId),
+        levenshtein(col("__pstr"), col("__cstr")).cast("long").as("dist"))
+  }
+
   /** Word n-gram shingles of a text column (the near-dup unit). */
   def shingles(text: Column, n: Int = 3): Column =
     graft.functions.HashFunctions.stringShingles(TextAnalysis.tokens(lower(text)), n)

@@ -1,0 +1,122 @@
+package graft.ops
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+
+class LinkageSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // --- sorted-neighborhood ---------------------------------------------
+
+  test("sortedNeighborhoodPairs: each row pairs with its next window-1 in-block successors") {
+    val rows = Seq(
+      (1L, "x", 10L), (2L, "x", 30L), (3L, "x", 20L), (4L, "x", 40L),
+      (5L, "y", 5L), (6L, "y", 6L))
+    val out = Dedup.sortedNeighborhoodPairs(rows.toDF("id", "blk", "k"),
+        "id", col("blk"), col("k"), window = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // block x sorted by k: 1(10), 3(20), 2(30), 4(40)
+    out shouldBe Set((1L, 3L), (1L, 2L), (3L, 2L), (3L, 4L), (2L, 4L), (5L, 6L))
+  }
+
+  test("sortedNeighborhoodPairs: no cross-block pairs; window=2 is adjacency") {
+    val rows = (1L to 20L).map(i => (i, (i % 4).toString, i))
+    val out = Dedup.sortedNeighborhoodPairs(rows.toDF("id", "blk", "k"),
+        "id", col("blk"), col("k"), window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    out.foreach { case (a, b) => (a % 4) shouldBe (b % 4) }
+    out.length shouldBe 4 * 4 // 5 rows per block -> 4 adjacent pairs
+  }
+
+  test("sortedNeighborhoodPairs carries columns as _a/_b") {
+    val rows = Seq((1L, "x", 1L, "p"), (2L, "x", 2L, "q"))
+    val out = Dedup.sortedNeighborhoodPairs(rows.toDF("id", "blk", "k", "t"),
+        "id", col("blk"), col("k"), window = 2, carryCols = Seq("t"))
+      .collect()
+    out.length shouldBe 1
+    out.head.getAs[String]("t_a") shouldBe "p"
+    out.head.getAs[String]("t_b") shouldBe "q"
+  }
+
+  test("sortedNeighborhoodPairs: sort-key ties break by id deterministically") {
+    val rows = Seq((7L, "x", 1L), (3L, "x", 1L), (5L, "x", 1L))
+    val out = Dedup.sortedNeighborhoodPairs(rows.toDF("id", "blk", "k"),
+        "id", col("blk"), col("k"), window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    out shouldBe Set((3L, 5L), (5L, 7L))
+  }
+
+  // --- fuzzy join -------------------------------------------------------
+
+  private def lev(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0 }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
+
+  private def bruteForce(probes: Seq[(Long, String)], corpus: Seq[(Long, String)],
+                         d: Int): Set[(Long, Long, Long)] =
+    (for ((pid, ps) <- probes; (cid, cs) <- corpus; dist = lev(ps, cs)
+          if dist <= d) yield (pid, cid, dist.toLong)).toSet
+
+  test("fuzzyJoinLevenshtein equals brute force on random strings with planted edits") {
+    val rnd = new scala.util.Random(42)
+    def word() = Seq.fill(6 + rnd.nextInt(10))(('a' + rnd.nextInt(6)).toChar).mkString
+    val corpus = (1L to 300L).map(i => (i, word()))
+    // probes: 30 corpus strings with 0-2 planted edits (sub/ins/del)
+    val probes = (1 to 30).map { k =>
+      val (_, s0) = corpus(rnd.nextInt(corpus.length))
+      var s = s0
+      (0 until rnd.nextInt(3)).foreach { _ =>
+        val p = rnd.nextInt(math.max(s.length, 1))
+        s = rnd.nextInt(3) match {
+          case 0 => s.updated(p, ('a' + rnd.nextInt(6)).toChar).mkString
+          case 1 => s.substring(0, p) + ('a' + rnd.nextInt(6)).toChar + s.substring(p)
+          case _ if s.length > 1 => s.substring(0, p) + s.substring(math.min(p + 1, s.length))
+          case _ => s
+        }
+      }
+      (1000L + k, s)
+    }
+    for (d <- Seq(1, 2)) {
+      val got = Dedup.fuzzyJoinLevenshtein(
+          probes.toDF("pid", "ps"), corpus.toDF("cid", "cs"),
+          "pid", "ps", "cid", "cs", maxDist = d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      got shouldBe bruteForce(probes, corpus, d)
+    }
+  }
+
+  test("fuzzyJoinLevenshtein handles degenerate short strings soundly") {
+    val probes = Seq((1L, "ab"), (2L, "a"), (3L, ""), (4L, "abcdef"))
+    val corpus = Seq((10L, "ab"), (11L, "b"), (12L, ""), (13L, "abcd"),
+      (14L, "xyzjklm"))
+    val got = Dedup.fuzzyJoinLevenshtein(
+        probes.toDF("pid", "ps"), corpus.toDF("cid", "cs"),
+        "pid", "ps", "cid", "cs", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    got shouldBe bruteForce(probes, corpus, 2)
+  }
+
+  test("fuzzyJoinLevenshtein: null strings drop, maxDist bounds enforced") {
+    val probes = Seq((1L, Option("abc")), (2L, None: Option[String]))
+    val corpus = Seq((10L, Option("abc")), (11L, None: Option[String]))
+    val got = Dedup.fuzzyJoinLevenshtein(
+        probes.toDF("pid", "ps"), corpus.toDF("cid", "cs"),
+        "pid", "ps", "cid", "cs", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe Set((1L, 10L))
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.fuzzyJoinLevenshtein(probes.toDF("pid", "ps"),
+        corpus.toDF("cid", "cs"), "pid", "ps", "cid", "cs", maxDist = 0)
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.fuzzyJoinLevenshtein(probes.toDF("pid", "ps"),
+        corpus.toDF("cid", "cs"), "pid", "ps", "cid", "cs", maxDist = 9)
+  }
+}
