@@ -832,6 +832,14 @@ object OpsQueries {
           count(when(col("k") === col("k_path"), 1)).as("n_path_agree"))
         .orderBy("event_type")
     }),
+    "e16_attribution" -> ((s, dir) =>
+      // last-touch attribution, 1-hour lookback: each purchase credits
+      // the user's latest click at-or-before it (ties by event id);
+      // organic purchases keep null touch columns. One window pass.
+      EventPipeline.lastTouchAttribution(Util.events(s, dir),
+          "click", "purchase", 3600 * 1000L)
+        .orderBy("conv_id")),
+
     "e8_funnel" -> ((s, dir) => {
       // strict first-occurrence conversion funnel view -> click ->
       // purchase: ONE map-side-combinable aggregation per user
@@ -2718,6 +2726,18 @@ object OpsQueries {
         "SELECT cid::BIGINT AS centroid_id, count(*)::BIGINT AS n, " +
         "ROUND(avg(cos), 6) AS mean_cos " +
         "FROM r WHERE rk = 1 GROUP BY cid ORDER BY centroid_id"),
+    "e16_attribution" ->
+      // same cumulative struct-max (latest click as (ms, id), ties by
+      // id) over the same (ts, event_id) window order; epoch_ms =
+      // unix_millis (both floor microseconds)
+      ("WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms, ts FROM events), " +
+        "w AS (SELECT *, max(CASE WHEN event_type = 'click' " +
+        "THEN struct_pack(ms := ms, id := event_id) END) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS lt FROM e) " +
+        "SELECT user_id, event_id AS conv_id, ms AS conv_ms, " +
+        "CASE WHEN lt IS NOT NULL AND ms - lt.ms <= 3600000 THEN lt.id END AS touch_id, " +
+        "CASE WHEN lt IS NOT NULL AND ms - lt.ms <= 3600000 THEN ms - lt.ms END AS gap_ms " +
+        "FROM w WHERE event_type = 'purchase' ORDER BY conv_id"),
     "e9_funnel_ttl" ->
       ("WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events), " +
         "l AS (SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev FROM e), " +

@@ -142,6 +142,38 @@ object EventPipeline {
       .select(col("user_id"), col("s_start"), col("s_end"), col("n_events"), col("sum_value"))
   }
 
+  /** Last-touch attribution: every `convType` event is attributed to the
+    * same user's most recent `touchType` event at-or-before it, provided
+    * the touch is within `lookbackMs` — the standard marketing-funnel
+    * credit assignment. Conversions with no in-window touch keep a null
+    * `touch_id` (organic conversions stay visible — dropping them would
+    * bias any conversion-rate readout).
+    *
+    * Scale shape: ONE window pass per user — a single hash exchange on
+    * user_id and a per-user sort (the sessionizeBatch co-residency
+    * contract); the running "latest touch" is a cumulative max of a
+    * (millis, event_id) struct, so no self-join, no per-conversion
+    * lookback scan, and nothing keyed wider than user_id. Ties at the
+    * same timestamp resolve by event-id order on BOTH the window frame
+    * and the struct max, so attribution is deterministic. */
+  def lastTouchAttribution(events: DataFrame, touchType: String = "click",
+                           convType: String = "purchase",
+                           lookbackMs: Long = 24 * 3600 * 1000L): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lastTouch = max(when(col("event_type") === touchType,
+      struct(unix_millis(col("ts")).as("ms"), col("event_id").as("id")))).over(w)
+    val inWindow = col("__lt").isNotNull &&
+      unix_millis(col("ts")) - col("__lt.ms") <= lookbackMs
+    events
+      .withColumn("__lt", lastTouch)
+      .filter(col("event_type") === convType)
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        unix_millis(col("ts")).as("conv_ms"),
+        when(inWindow, col("__lt.id")).as("touch_id"),
+        when(inWindow, unix_millis(col("ts")) - col("__lt.ms")).as("gap_ms"))
+  }
+
   /** Exactly-once-style ingest dedup for a stream: drops events whose
     * `idCols` were already seen, with state bounded by the watermark —
     * an id can only recur within `lateness` of the max event time, so

@@ -35,6 +35,46 @@ class EventPipelineSpec extends AnyFunSuite with Matchers {
       ("2024-01-01 13:00:00.0", "view", 1L, 4.0))
   }
 
+  test("lastTouchAttribution credits the latest in-window touch, null when organic") {
+    val events = Seq(
+      Event(1L, ts("10:00"), 1L, "click", 1.0),
+      Event(2L, ts("10:20"), 1L, "click", 1.0),    // latest click before conv
+      Event(3L, ts("10:30"), 1L, "purchase", 9.0), // -> touch 2, gap 10 min
+      Event(4L, ts("12:30"), 1L, "purchase", 9.0), // gap 130 min > 60 -> organic
+      Event(5L, ts("09:00"), 2L, "purchase", 9.0), // no touch ever -> organic
+      Event(6L, ts("11:00"), 3L, "view", 1.0),
+      Event(7L, ts("11:05"), 3L, "purchase", 9.0)  // view is not a touch
+    ).toDF()
+    val r = EventPipeline.lastTouchAttribution(events, "click", "purchase",
+        lookbackMs = 3600 * 1000L)
+      .orderBy("conv_id").collect()
+      .map(x => (x.getAs[Long]("conv_id"),
+        Option(x.getAs[Any]("touch_id")).map(_.asInstanceOf[Long]),
+        Option(x.getAs[Any]("gap_ms")).map(_.asInstanceOf[Long])))
+    r shouldBe Array(
+      (3L, Some(2L), Some(10L * 60 * 1000)),
+      (4L, None, None),
+      (5L, None, None),
+      (7L, None, None))
+  }
+
+  test("lastTouchAttribution: same-timestamp ties resolve by event id") {
+    val events = Seq(
+      Event(10L, ts("10:00"), 1L, "click", 1.0),
+      Event(11L, ts("10:00"), 1L, "purchase", 9.0), // click id 10 < 11: counts
+      Event(13L, ts("10:30"), 1L, "click", 1.0),    // id AFTER the purchase row
+      Event(12L, ts("10:30"), 1L, "purchase", 9.0)  // only sees clicks <= (ts, 12)
+    ).toDF()
+    val r = EventPipeline.lastTouchAttribution(events, "click", "purchase",
+        lookbackMs = 3600 * 1000L)
+      .orderBy("conv_id").collect()
+      .map(x => (x.getAs[Long]("conv_id"),
+        Option(x.getAs[Any]("touch_id")).map(_.asInstanceOf[Long])))
+    // conv 11 at 10:00 credits click 10 (same ts, lower id); conv 12 at
+    // 10:30 does NOT see click 13 (same ts, higher id) -> falls back to 10
+    r shouldBe Array((11L, Some(10L)), (12L, Some(10L)))
+  }
+
   test("sessionizeBatch closes sessions after the inactivity gap") {
     val r = EventPipeline.sessionizeBatch(batchEvents) // 30-min gap
       .orderBy("user_id", "s_start")
