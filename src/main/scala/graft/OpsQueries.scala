@@ -1600,17 +1600,23 @@ object OpsQueries {
     }),
 
     "d17_sorted_neighborhood" -> ((s, dir) => {
-      // sorted-neighborhood blocking: within each language, docs sorted
-      // by length pair with their next 2 neighbors; candidates scored
-      // with exact unigram-set Jaccard (distinct token-hash arrays — set
-      // sizes equal the string version up to 2^-64 collisions, the d2
-      // precedent). One window pass, O(n·window) candidates.
+      // sorted-neighborhood blocking: docs sorted by length within each
+      // (language, 256-char length band) block pair with their next 2
+      // neighbors; candidates scored with exact unigram-set Jaccard
+      // (distinct token-hash arrays — set sizes equal the string version
+      // up to 2^-64 collisions, the d2 precedent). One window pass,
+      // O(n·window) candidates. The band rides the SORT KEY itself, so
+      // banding loses only pairs straddling a 256-boundary — the
+      // method's standard trade, bought back as parallelism: blocking on
+      // bare lang (cardinality 5) would collapse the window sort to 5
+      // tasks at any corpus size.
       val ms = graft.functions.HashFunctions.multiShingleHash(
         TextAnalysis.tokens(lower(col("text"))), Seq(1))
       val base = table(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"),
           ms.getField("n1").as("s1"))
-      Dedup.sortedNeighborhoodPairs(base, "doc_id", col("lang"),
+      Dedup.sortedNeighborhoodPairs(base, "doc_id",
+          struct(col("lang"), (col("n_chars") / 256).cast("int").as("band")),
           col("n_chars"), window = 3, carryCols = Seq("s1"))
         .select(col("id_a"), col("id_b"),
           round(size(array_intersect(col("s1_a"), col("s1_b"))).cast("double") /
@@ -2535,7 +2541,7 @@ object OpsQueries {
         "w AS (SELECT doc_id, tk, " +
         "lead(doc_id, 1) OVER wnd AS id1, lead(tk, 1) OVER wnd AS tk1, " +
         "lead(doc_id, 2) OVER wnd AS id2, lead(tk, 2) OVER wnd AS tk2 " +
-        "FROM t WINDOW wnd AS (PARTITION BY lang ORDER BY n_chars, doc_id)), " +
+        "FROM t WINDOW wnd AS (PARTITION BY lang, n_chars // 256 ORDER BY n_chars, doc_id)), " +
         "p AS (SELECT doc_id AS id_a, id1 AS id_b, tk AS ta, tk1 AS tb FROM w WHERE id1 IS NOT NULL " +
         "UNION ALL SELECT doc_id, id2, tk, tk2 FROM w WHERE id2 IS NOT NULL) " +
         "SELECT id_a, id_b, " +
