@@ -1626,20 +1626,25 @@ object OpsQueries {
     }),
 
     "d18_fuzzy_join" -> ((s, dir) => {
-      // edit-distance record linkage: a small probe batch (every 199th
-      // part name, first character dropped — a planted typo at lev 1
-      // from its source) fuzzy-matched against the full part corpus at
-      // maxDist 2 via PassJoin segment blocking. Blocking is sound, so
-      // the output EQUALS the brute-force cross join the oracle runs.
+      // edit-distance record linkage: a probe batch (every 199th part
+      // name, first character dropped — a planted typo at lev 1 from
+      // its source) fuzzy-matched against the full part corpus at
+      // maxDist 2 via PassJoin segment blocking over DISTINCT names.
+      // Reported as the per-probe linkage summary (match count + best
+      // match, ties by id): the planted corpus has only 64 distinct
+      // names over n rows, so the dense id-pair set is O(n²/64)-sized
+      // OUTPUT (637M rows at the 100x bench scale) — fuzzyJoinBest
+      // aggregates at the name level and never materializes it. The
+      // pair-level op stays brute-force-equality-specced in LinkageSpec.
       val parts = table(s, dir, "part")
         .select(col("p_partkey"), lower(col("p_name")).as("name"))
       val probes = parts.filter(col("p_partkey") % 199 === 0)
         .select(col("p_partkey").as("probe_id"),
           col("name").substr(lit(2), length(col("name"))).as("probe_name"))
-      Dedup.fuzzyJoinLevenshtein(probes,
+      Dedup.fuzzyJoinBest(probes,
           parts.select(col("p_partkey").as("part_id"), col("name")),
           "probe_id", "probe_name", "part_id", "name", maxDist = 2)
-        .orderBy("probe_id", "part_id")
+        .orderBy("probe_id")
     }),
 
     // ---- metadata-only scan: parquet aggregate pushdown ----------------
@@ -2549,14 +2554,20 @@ object OpsQueries {
         "greatest(len(list_distinct(list_concat(ta, tb))), 1), 6) AS jaccard " +
         "FROM p ORDER BY id_a, id_b"),
     "d18_fuzzy_join" ->
-      // brute-force cross join: the engine's PassJoin blocking is SOUND
-      // (zero false negatives), so its output must equal this exactly
+      // brute-force cross join, aggregated to the per-probe summary: the
+      // engine's PassJoin blocking is SOUND (zero false negatives), so
+      // its match set — and therefore every aggregate of it — must equal
+      // this exactly; best-match tie by (dist, id) via struct min
       ("WITH pr AS (SELECT p_partkey AS probe_id, substring(lower(p_name), 2) AS pn " +
         "FROM part WHERE p_partkey % 199 = 0), " +
-        "co AS (SELECT p_partkey AS part_id, lower(p_name) AS cn FROM part) " +
-        "SELECT probe_id, part_id, levenshtein(pn, cn)::BIGINT AS dist " +
-        "FROM pr CROSS JOIN co WHERE levenshtein(pn, cn) <= 2 " +
-        "ORDER BY probe_id, part_id"),
+        "co AS (SELECT p_partkey AS part_id, lower(p_name) AS cn FROM part), " +
+        "m AS (SELECT pr.probe_id, co.part_id, levenshtein(pn, cn) AS d " +
+        "FROM pr CROSS JOIN co WHERE levenshtein(pn, cn) <= 2), " +
+        "g AS (SELECT probe_id, count(*)::BIGINT AS n_matches, " +
+        "min(struct_pack(d := d, id := part_id)) AS best FROM m GROUP BY probe_id) " +
+        "SELECT pr.probe_id, g.n_matches, " +
+        "(g.best).d::BIGINT AS best_dist, (g.best).id AS best_id " +
+        "FROM pr LEFT JOIN g USING (probe_id) ORDER BY probe_id"),
     "x10_lm_score" ->
       // replay the add-0.1 bigram LM: same lowercased tokens, positional
       // bigrams via unnest(range), context counts as the sum of bigram

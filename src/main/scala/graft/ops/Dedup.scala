@@ -122,26 +122,38 @@ object Dedup {
     * negatives), so the output equals the brute-force cross join's,
     * which is what the paired oracle replays.
     *
-    * Blocking is the PassJoin segment-partition scheme (Li, Deng, Feng
-    * 2011 — pigeonhole over edit operations): split every probe string
-    * into `maxDist + 1` contiguous segments; if lev(a, b) <= d then at
-    * least one segment of `a` is untouched by any edit, so it occurs
-    * EXACTLY in `b`, shifted by at most d. The corpus side therefore
-    * emits, per row, the substrings that could be such a segment — for
-    * each candidate probe length L in [len(b) − d, len(b) + d], each
-    * segment index, each start within ±d of the segment's position —
-    * and the join is a plain EQUI-join on (L, segment index, segment
-    * text): (2d+1)²·(d+1) ≈ 75 keys/corpus row at d = 2 (deduplicated
-    * per row), never a cross join, never a theta-join.
+    * Plan, outside in:
+    *
+    *  1. NORMALIZE THEN LINK: both sides first dedup to DISTINCT
+    *     strings — matching cost scales with the distinct-name space,
+    *     not the row count (a master corpus carries each name many
+    *     times; matching the same pair of strings once per id pair
+    *     measured 448 s at the 100x bench scale, ~3 s normalized). The
+    *     id pairs come back at the end via two plain equi-joins on the
+    *     matched strings.
+    *  2. PassJoin segment blocking (Li, Deng, Feng 2011 — pigeonhole
+    *     over edit operations): split every probe string into d+1
+    *     contiguous segments; if lev(a, b) <= d, some segment of `a` is
+    *     untouched by any edit and occurs EXACTLY in `b`. The corpus
+    *     side emits the substrings that could be such a segment, with
+    *     TIGHT shift windows: a segment occurrence shifted by `s` needs
+    *     |s| edits before it and |s + δ| after (δ = length difference),
+    *     so only shifts with |s| + |s + δ| <= d are feasible — and
+    *     segment 0 pins to s = 0 (nothing precedes it), the last to
+    *     s = −δ (nothing follows). 22 keys/row at d = 2, deduplicated.
+    *  3. The join key is ONE xxhash64 long over (length, segment index,
+    *     segment text) — a hash collision can only create a false
+    *     CANDIDATE, which the final levenshtein filter kills, so
+    *     soundness is untouched and no segment string ever shuffles.
     *
     * Scale shape: the probe side is the SMALL relation by contract (the
-    * incoming batch matched against a master corpus — the d8
-    * decontamination shape); with `broadcastProbe` its segment
-    * inventory broadcasts and the corpus never shuffles. Candidates are
-    * deduplicated per pair before the final levenshtein filter. Strings
-    * of length <= maxDist carry no segments; they take a broadcast
-    * cross of the two near-empty short-string sides (still
-    * levenshtein-filtered).
+    * incoming batch matched against a master — the d8 decontamination
+    * shape); with `broadcastProbe` its distinct-name segment inventory
+    * broadcasts, so the corpus never shuffles for candidate generation.
+    * The id-expansion joins hash on the matched string — the only
+    * corpus exchange, carrying matched rows only. Strings of length
+    * <= maxDist carry no segments; they take a broadcast cross of the
+    * two near-empty short-string sides (still levenshtein-filtered).
     *
     * @return (`probeId`, `corpusId`, `dist`), dist = exact levenshtein */
   def fuzzyJoinLevenshtein(probe: DataFrame, corpus: DataFrame,
@@ -149,61 +161,117 @@ object Dedup {
                            corpusId: String, corpusStr: String,
                            maxDist: Int = 2,
                            broadcastProbe: Boolean = true): DataFrame = {
+    val matched = fuzzyNameMatches(probe, corpus, probeStr, corpusStr,
+      maxDist, broadcastProbe)
+    // expand matched DISTINCT strings back to id pairs
+    matched
+      .join(probe.select(col(probeId).as("__pid"), col(probeStr).as("__pstr")),
+        Seq("__pstr"))
+      .join(corpus.select(col(corpusId).as("__cid"), col(corpusStr).as("__cstr")),
+        Seq("__cstr"))
+      .select(col("__pid").as(probeId), col("__cid").as(corpusId), col("dist"))
+  }
+
+  /** Per-probe linkage SUMMARY — the entity-resolution deliverable: for
+    * every probe row, how many corpus rows match within `maxDist` and
+    * which single corpus row is the BEST match (smallest distance, ties
+    * by smallest corpus id — deterministic). Null match columns mean the
+    * probe linked to nothing.
+    *
+    * Unlike [[fuzzyJoinLevenshtein]] this NEVER materializes the id pair
+    * set: the match count and the best (dist, id) are aggregated at the
+    * DISTINCT-NAME level (corpus name stats are one map-side-combinable
+    * aggregate) and only then expanded to probe rows — output is one row
+    * per probe row at any scale, where a duplicate-heavy master would
+    * make the dense pair set quadratic-sized (64 distinct names over 2M
+    * rows measured a 637M-row pair output; this shape returns 10k rows
+    * from the same inputs).
+    *
+    * @return (`probeId`, `n_matches`, `best_dist`, `best_id`) */
+  def fuzzyJoinBest(probe: DataFrame, corpus: DataFrame,
+                    probeId: String, probeStr: String,
+                    corpusId: String, corpusStr: String,
+                    maxDist: Int = 2,
+                    broadcastProbe: Boolean = true): DataFrame = {
+    val matched = fuzzyNameMatches(probe, corpus, probeStr, corpusStr,
+      maxDist, broadcastProbe)
+    val cStats = corpus.filter(col(corpusStr).isNotNull)
+      .groupBy(col(corpusStr).as("__cstr"))
+      .agg(count(lit(1)).as("__cn_rows"), min(col(corpusId)).as("__cn_min_id"))
+    val perName = matched.join(cStats, Seq("__cstr"))
+      .groupBy("__pstr")
+      .agg(sum(col("__cn_rows")).as("n_matches"),
+        min(struct(col("dist"), col("__cn_min_id").as("id"))).as("__best"))
+    probe.select(col(probeId).as("__pid"), col(probeStr).as("__pstr"))
+      .join(perName, Seq("__pstr"), "left")
+      .select(col("__pid").as(probeId), col("n_matches"),
+        col("__best.dist").as("best_dist"), col("__best.id").as("best_id"))
+  }
+
+  /** Shared PassJoin core of the fuzzy joins: all DISTINCT string pairs
+    * within `maxDist`, as (`__pstr`, `__cstr`, `dist`). */
+  private def fuzzyNameMatches(probe: DataFrame, corpus: DataFrame,
+                               probeStr: String, corpusStr: String,
+                               maxDist: Int,
+                               broadcastProbe: Boolean): DataFrame = {
     require(maxDist >= 1 && maxDist <= 4,
-      s"maxDist must be in [1, 4] (key fanout is (2d+1)^2*(d+1)), got $maxDist")
+      s"maxDist must be in [1, 4] (key fanout grows with d^2), got $maxDist")
     val d = maxDist
     val nSeg = d + 1
+    val pNames = probe.filter(col(probeStr).isNotNull)
+      .select(col(probeStr).as("__pstr")).distinct()
+    val cNames = corpus.filter(col(corpusStr).isNotNull)
+      .select(col(corpusStr).as("__cstr")).distinct()
     // even segment layout of a length-L string: first (L mod nSeg)
     // segments are one char longer; start_i = i*q + min(i, r), 0-based
     def segLen(lCol: Column, i: Int): Column =
       floor(lCol / nSeg).cast("int") + when(lit(i) < pmod(lCol, lit(nSeg)), 1).otherwise(0)
     def segStart(lCol: Column, i: Int): Column =
       lit(i) * floor(lCol / nSeg).cast("int") + least(lit(i), pmod(lCol, lit(nSeg)))
+    def key(lCol: Column, i: Int, seg: Column): Column =
+      xxhash64(lCol, lit(i), seg)
 
-    val pL = length(col(probeStr))
-    val probeSegs = probe
-      .filter(col(probeStr).isNotNull && pL > d)
-      .select(col(probeId).as("__pid"), col(probeStr).as("__pstr"),
-        explode(array((0 to d).map { i =>
-          struct(pL.as("slen"), lit(i).as("si"),
-            col(probeStr).substr(segStart(pL, i) + 1, segLen(pL, i)).as("seg"))
-        }: _*)).as("__k"))
-      .select(col("__pid"), col("__pstr"),
-        col("__k.slen"), col("__k.si"), col("__k.seg"))
-    val cM = length(col(corpusStr))
+    val pL = length(col("__pstr"))
+    val probeSegs = pNames
+      .filter(pL > d)
+      .select(col("__pstr"), explode(array((0 to d).map { i =>
+        key(pL, i, col("__pstr").substr(segStart(pL, i) + 1, segLen(pL, i)))
+      }: _*)).as("__k"))
+    val cM = length(col("__cstr"))
     val corpusKeys = (for {
       delta <- -d to d
       i <- 0 to d
       off <- -d to d
+      // tight PassJoin windows: >= |shift| edits must precede the
+      // segment and >= |shift + delta| follow, so |off| + |off + delta|
+      // <= d. Segment 0 has an EMPTY prefix — only insertions can
+      // precede it, so its shift is non-negative; symmetrically the
+      // last segment's suffix admits only insertions, so shift <= -delta
+      if math.abs(off) + math.abs(off + delta) <= d
+      if i != 0 || off >= 0
+      if i != d || off <= -delta
     } yield {
       val lCol = cM + delta
       val p = segStart(lCol, i) + off
       val len = segLen(lCol, i)
       when(lCol > d && p >= 0 && p + len <= cM,
-        struct(lCol.as("slen"), lit(i).as("si"),
-          col(corpusStr).substr(p + 1, len).as("seg")))
+        key(lCol, i, col("__cstr").substr(p + 1, len)))
     }).toSeq
-    val corpusSegs = corpus
-      .filter(col(corpusStr).isNotNull)
-      .select(col(corpusId).as("__cid"), col(corpusStr).as("__cstr"),
-        explode(array_distinct(array(corpusKeys: _*))).as("__k"))
+    val corpusSegs = cNames
+      .select(col("__cstr"), explode(array_distinct(array(corpusKeys: _*))).as("__k"))
       .filter(col("__k").isNotNull)
-      .select(col("__cid"), col("__cstr"),
-        col("__k.slen"), col("__k.si"), col("__k.seg"))
     val pSide = if (broadcastProbe) broadcast(probeSegs) else probeSegs
-    val segCandidates = corpusSegs.join(pSide, Seq("slen", "si", "seg"))
-      .select(col("__pid"), col("__pstr"), col("__cid"), col("__cstr"))
+    val segCandidates = corpusSegs.join(pSide, Seq("__k"))
+      .select(col("__pstr"), col("__cstr"))
     // degenerate strings (<= d chars, no segments): both sides tiny
-    val pShort = probe.filter(col(probeStr).isNotNull && length(col(probeStr)) <= d)
-      .select(col(probeId).as("__pid"), col(probeStr).as("__pstr"))
-    val cShort = corpus.filter(col(corpusStr).isNotNull && length(col(corpusStr)) <= 2 * d)
-      .select(col(corpusId).as("__cid"), col(corpusStr).as("__cstr"))
+    val pShort = pNames.filter(length(col("__pstr")) <= d)
+    val cShort = cNames.filter(length(col("__cstr")) <= 2 * d)
     val shortCandidates = cShort.crossJoin(broadcast(pShort))
-      .select(col("__pid"), col("__pstr"), col("__cid"), col("__cstr"))
+      .select(col("__pstr"), col("__cstr"))
     segCandidates.unionByName(shortCandidates)
       .distinct()
       .filter(levenshtein(col("__pstr"), col("__cstr")) <= d)
-      .select(col("__pid").as(probeId), col("__cid").as(corpusId),
+      .select(col("__pstr"), col("__cstr"),
         levenshtein(col("__pstr"), col("__cstr")).cast("long").as("dist"))
   }
 

@@ -93,6 +93,69 @@ class LinkageSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("fuzzyJoinLevenshtein expands duplicate strings to the full id cross product") {
+    // normalize-then-link must not lose id multiplicity: 2 probe rows x
+    // 3 corpus rows of the same matched string pair -> 6 id pairs
+    val probes = Seq((1L, "abcdef"), (2L, "abcdef"), (3L, "zzzzzz"))
+    val corpus = Seq((10L, "abcdxf"), (11L, "abcdxf"), (12L, "abcdxf"), (13L, "qqqqqq"))
+    val got = Dedup.fuzzyJoinLevenshtein(
+        probes.toDF("pid", "ps"), corpus.toDF("cid", "cs"),
+        "pid", "ps", "cid", "cs", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    got shouldBe bruteForce(probes, corpus, 2)
+    got.size shouldBe 6
+  }
+
+  test("fuzzyJoinBest reports match count and deterministic (dist, id) best match") {
+    val probes = Seq((1L, "abcdef"), (2L, "nomatchxx"))
+    val corpus = Seq(
+      (30L, "abcdxf"), (10L, "abcdxf"), // dist 1, best id 10
+      (5L, "abcdxy"),                   // dist 2 — worse dist, smaller id loses
+      (40L, "zzzzzz"))
+    val got = Dedup.fuzzyJoinBest(
+        probes.toDF("pid", "ps"), corpus.toDF("cid", "cs"),
+        "pid", "ps", "cid", "cs", maxDist = 2)
+      .orderBy("pid").collect()
+      .map(r => (r.getLong(0),
+        Option(r.getAs[Any]("n_matches")).map(_.asInstanceOf[Long]),
+        Option(r.getAs[Any]("best_dist")).map(_.asInstanceOf[Long]),
+        Option(r.getAs[Any]("best_id")).map(_.asInstanceOf[Long])))
+    got shouldBe Array(
+      (1L, Some(3L), Some(1L), Some(10L)),
+      (2L, None, None, None))
+  }
+
+  test("fuzzyJoinBest equals the aggregated brute force on random data") {
+    val rnd = new scala.util.Random(77)
+    def word() = Seq.fill(6 + rnd.nextInt(8))(('a' + rnd.nextInt(5)).toChar).mkString
+    // duplicate-heavy corpus: few distinct names, many ids per name
+    val names = (1 to 40).map(_ => word())
+    val corpus = (1L to 400L).map(i => (i, names(rnd.nextInt(names.length))))
+    val probes = (1 to 25).map { k =>
+      val s0 = names(rnd.nextInt(names.length))
+      val s = if (k % 2 == 0) s0.drop(1) else s0
+      (1000L + k, s)
+    }
+    val brute = bruteForce(probes, corpus, 2)
+    val expect = probes.map { case (pid, _) =>
+      val ms = brute.filter(_._1 == pid)
+      if (ms.isEmpty) (pid, None, None, None)
+      else {
+        val best = ms.map { case (_, cid, dd) => (dd, cid) }.min
+        (pid, Some(ms.size.toLong), Some(best._1), Some(best._2))
+      }
+    }.sortBy(_._1)
+    val got = Dedup.fuzzyJoinBest(
+        probes.toDF("pid", "ps"), corpus.toDF("cid", "cs"),
+        "pid", "ps", "cid", "cs", maxDist = 2)
+      .orderBy("pid").collect()
+      .map(r => (r.getLong(0),
+        Option(r.getAs[Any]("n_matches")).map(_.asInstanceOf[Long]),
+        Option(r.getAs[Any]("best_dist")).map(_.asInstanceOf[Long]),
+        Option(r.getAs[Any]("best_id")).map(_.asInstanceOf[Long]))).toSeq
+    got shouldBe expect
+  }
+
   test("fuzzyJoinLevenshtein handles degenerate short strings soundly") {
     val probes = Seq((1L, "ab"), (2L, "a"), (3L, ""), (4L, "abcdef"))
     val corpus = Seq((10L, "ab"), (11L, "b"), (12L, ""), (13L, "abcd"),
