@@ -203,6 +203,29 @@ object SparkEntry {
           round(col("p95") + lit(5e-10), 6).as("p95"))
         .orderBy("l_returnflag")),
 
+    "a14_winsorized_stats" -> ((s, dir) => {
+      // winsorization — the standard outlier-robust preprocessing step,
+      // composed from the gated quantile operator: per-group [p05, p95]
+      // bounds (3 rows) broadcast back onto the corpus, values clamped,
+      // one aggregate. Both engines interpolate the bounds with the
+      // identical arithmetic (the a11 precedent), so the clamp
+      // boundaries agree bitwise and only the rounded averages carry
+      // float-sum noise.
+      val li = table(s, dir, "lineitem")
+      val qs = Quantiles.groupedQuantiles(li, "l_returnflag",
+        "l_extendedprice", Seq("lo" -> 0.05, "hi" -> 0.95))
+      li.select(col("l_returnflag"), col("l_extendedprice"))
+        .join(broadcast(qs), Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          least(greatest(col("l_extendedprice"), col("lo")), col("hi")).as("wv"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("wv")) + lit(5e-10), 6).as("mean_w"),
+          round(min(col("wv")) + lit(5e-10), 6).as("min_w"),
+          round(max(col("wv")) + lit(5e-10), 6).as("max_w"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- joins / windows / set ops (SURVEY.md §2.5-2.7) ----
     "j1_outer_join" -> ((s, dir) => roundDoubles(
       table(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
@@ -487,6 +510,21 @@ object SparkEntry {
         "round(quantile_cont(l_extendedprice, 0.75) + 5e-10, 6) AS p75, " +
         "round(quantile_cont(l_extendedprice, 0.95) + 5e-10, 6) AS p95 " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "a14_winsorized_stats" ->
+      // identical quantile interpolation (the a11 precedent) makes the
+      // clamp bounds bitwise-equal; only the averages are rounded
+      ("WITH q AS (SELECT l_returnflag, " +
+        "quantile_cont(l_extendedprice, 0.05) AS lo, " +
+        "quantile_cont(l_extendedprice, 0.95) AS hi " +
+        "FROM lineitem GROUP BY 1), " +
+        "w AS (SELECT l.l_returnflag, " +
+        "least(greatest(l_extendedprice, lo), hi) AS wv " +
+        "FROM lineitem l JOIN q USING (l_returnflag)) " +
+        "SELECT l_returnflag, count(*)::BIGINT AS n, " +
+        "round(avg(wv) + 5e-10, 6) AS mean_w, " +
+        "round(min(wv) + 5e-10, 6) AS min_w, " +
+        "round(max(wv) + 5e-10, 6) AS max_w " +
+        "FROM w GROUP BY 1 ORDER BY 1"),
     "a13_grouped_quantiles_dist" ->
       // same oracle as a11: the distributed order-statistics path must
       // produce the identical interpolated quantiles
