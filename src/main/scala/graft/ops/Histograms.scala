@@ -31,14 +31,22 @@ object Histograms {
     * @return keys ++ (`bin` int, `cnt` long), only non-empty bins */
   def binned(df: DataFrame, keys: Seq[String], valueCol: String,
              lo: Double, hi: Double, nBins: Int): DataFrame = {
+    val v = col(valueCol).cast("double")
+    df.filter(v.isNotNull)
+      .groupBy(keys.map(col) :+ binColumn(v, lo, hi, nBins).as("bin"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The bin-assignment expression [[binned]] groups by — public so a
+    * STREAM can derive the same bin column per micro-batch and maintain
+    * histogram state through `EventPipeline.maintainAggState` with
+    * keys :+ "bin" (bin counts sum, so the streaming view converges to
+    * the batch histogram exactly — spec-pinned). */
+  def binColumn(v: Column, lo: Double, hi: Double, nBins: Int): Column = {
     require(nBins >= 1, s"nBins must be >= 1, got $nBins")
     require(lo < hi, s"need lo < hi, got [$lo, $hi)")
-    val v = col(valueCol).cast("double")
-    val raw = floor((v - lit(lo)) / lit(hi - lo) * nBins).cast("int")
-    val bin = least(greatest(raw, lit(0)), lit(nBins - 1))
-    df.filter(v.isNotNull)
-      .groupBy(keys.map(col) :+ bin.as("bin"): _*)
-      .agg(count(lit(1)).as("cnt"))
+    val raw = floor((v.cast("double") - lit(lo)) / lit(hi - lo) * nBins).cast("int")
+    least(greatest(raw, lit(0)), lit(nBins - 1))
   }
 
   /** Merge two histogram states — sugar for the mergeAggState call the

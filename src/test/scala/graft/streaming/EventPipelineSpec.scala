@@ -489,6 +489,41 @@ class EventPipelineSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("maintainAggState maintains HISTOGRAM state (u8's streaming twin) exactly") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.{DataFrame, Row}
+    import org.apache.spark.sql.functions.{col, count, lit}
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Event]
+    var state: Option[(Seq[Row], org.apache.spark.sql.types.StructType)] = None
+    def get(): Option[DataFrame] =
+      state.map { case (rows, sch) => spark.createDataFrame(rows.asJava, sch) }
+    def set(df: DataFrame): Unit = state = Some((df.collect().toSeq, df.schema))
+    // same bin expression as Histograms.binned — keys become (type, bin)
+    // and the state merge is the cnt -> sum it was designed for
+    val binned = input.toDF()
+      .withColumn("bin", graft.ops.Histograms.binColumn(col("value"), 0.0, 10.0, 5))
+    val q = EventPipeline.maintainAggState(binned, Seq("event_type", "bin"),
+      Seq(count(lit(1)).as("cnt")), Map("cnt" -> "sum"))(get _, set _)
+    val fed = scala.collection.mutable.ArrayBuffer[Event]()
+    def feed(es: Event*): Unit = { fed ++= es; input.addData(es: _*); q.processAllAvailable() }
+    try {
+      feed(Event(1L, ts("10:00"), 1L, "click", 1.0),
+        Event(2L, ts("10:01"), 2L, "click", 3.0),
+        Event(3L, ts("10:02"), 3L, "view", 9.5))
+      feed(Event(4L, ts("10:03"), 1L, "click", 3.4),  // same bin as 3.0
+        Event(5L, ts("10:04"), 2L, "click", -2.0))    // clamps into bin 0
+      feed(Event(6L, ts("10:05"), 9L, "buy", 99.0))   // clamps into bin 4
+      val got = get().get.orderBy("event_type", "bin")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+      val direct = graft.ops.Histograms.binned(fed.toSeq.toDF(),
+          Seq("event_type"), "value", 0.0, 10.0, 5)
+        .orderBy("event_type", "bin")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+      got shouldBe direct
+    } finally q.stop()
+  }
+
   test("maintainAggState: streamed micro-batches converge to the one-shot batch aggregate") {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.{DataFrame, Row}
