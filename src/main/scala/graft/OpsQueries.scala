@@ -1302,6 +1302,27 @@ object OpsQueries {
         .orderBy("lang")
     }),
 
+    "s9_standardize" -> ((s, dir) => {
+      // per-dimension feature standardization: z = (v - mean)/std from
+      // one melt aggregate, applied via a broadcast 1-row (means, stds)
+      // pack — zero corpus shuffle for the transform. The report pins
+      // BOTH the moments and the transform: after-stats must read
+      // (0, 1) per dimension to 6 decimals, which only holds if every
+      // z value was computed from the right per-dim constants.
+      val z = Similarity.standardize(table(s, dir, "embeddings"),
+        "embedding", "z")
+      val before = table(s, dir, "embeddings")
+        .select(posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+        .groupBy("dim").agg(
+          round(avg(col("v")) + lit(5e-10), 6).as("mean_d"),
+          round(stddev_samp(col("v")) + lit(5e-10), 6).as("std_d"))
+      val after = z.select(posexplode(col("z")).as(Seq("dim", "zv")))
+        .groupBy("dim").agg(
+          round(avg(col("zv")) + lit(5e-10), 6).as("mean_z"),
+          round(stddev_samp(col("zv")) + lit(5e-10), 6).as("std_z"))
+      before.join(after, Seq("dim")).orderBy("dim")
+    }),
+
     "s8_knn_reranked" -> ((s, dir) =>
       // shrink-then-rerank: candidates bucketed on the 8-dim JL
       // projection (s6's seeded planes), ranked by FULL 64-dim cosine —
@@ -2240,6 +2261,21 @@ object OpsQueries {
         "SELECT node, round(rank + 5e-10, 6) AS rank FROM r5 " +
         "ORDER BY rank DESC, node LIMIT 20"
     },
+    "s9_standardize" ->
+      // identical melt + avg/stddev_samp (the a4 precedent) and the same
+      // (v - mean)/std transform; cross-engine 1e-15 moment noise leaves
+      // after-stats at exactly (0, 1) under the 6-decimal rounding
+      ("WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
+        "m AS (SELECT unnest(range(0, 64)) AS dim, emb FROM v), " +
+        "x AS (SELECT dim, emb[(dim + 1)::INT] AS val FROM m), " +
+        "st AS (SELECT dim, avg(val) AS mu, stddev_samp(val) AS sd FROM x GROUP BY dim), " +
+        "z AS (SELECT x.dim, CASE WHEN sd IS NULL OR sd = 0 THEN 0.0 " +
+        "ELSE (val - mu) / sd END AS zv FROM x JOIN st USING (dim)), " +
+        "za AS (SELECT dim, avg(zv) AS mz, stddev_samp(zv) AS sz FROM z GROUP BY dim) " +
+        "SELECT st.dim::INT AS dim, " +
+        "round(mu + 5e-10, 6) AS mean_d, round(sd + 5e-10, 6) AS std_d, " +
+        "round(mz + 5e-10, 6) AS mean_z, round(sz + 5e-10, 6) AS std_z " +
+        "FROM st JOIN za USING (dim) ORDER BY dim"),
     "s7_knn_graph" -> {
       // the d5 gated-bucket CTEs, directed candidates, row_number top-3
       // with the TopK aggregator's exact (cosine desc, dst) order

@@ -358,4 +358,38 @@ object Similarity {
       .select(col("src"), (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as("dst"), col("col.score").as("cosine"))
   }
+
+  /** Per-dimension feature STANDARDIZATION of an embedding column:
+    * z = (v_d − mean_d) / std_d (sample std; a zero-variance dimension
+    * maps to 0 rather than NaN) — the scaling step before any
+    * distance-based downstream (k-means, LSH, kNN all assume comparable
+    * dimension scales).
+    *
+    * Fully in-plan, no driver collect: dimension moments come from ONE
+    * melt aggregate (posexplode →
+    * hash agg on `dim` — map-side combined, the shuffle carries
+    * dim × partitions rows, never corpus rows), packed into a 1-row
+    * frame of (means[], stds[]) ordered by dimension and broadcast back
+    * onto the corpus via crossJoin; the transform itself is a codegen'd
+    * zip_with chain, zero additional shuffle. Appends `outCol`,
+    * everything else unchanged. */
+  def standardize(df: DataFrame, vecCol: String,
+                  outCol: String = "standardized"): DataFrame = {
+    val stats = df
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(avg(col("v")).as("mean_d"), stddev_samp(col("v")).as("std_d"))
+    val packed = stats.agg(
+      transform(array_sort(collect_list(struct(col("dim"), col("mean_d")))),
+        s => s.getField("mean_d")).as("__means"),
+      transform(array_sort(collect_list(struct(col("dim"), col("std_d")))),
+        s => s.getField("std_d")).as("__stds"))
+    df.crossJoin(broadcast(packed))
+      .withColumn(outCol,
+        zip_with(
+          zip_with(col(vecCol).cast("array<double>"), col("__means"), (v, m) => v - m),
+          col("__stds"),
+          (c, s) => when(s.isNull || s === 0.0, lit(0.0)).otherwise(c / s)))
+      .drop("__means", "__stds")
+  }
 }

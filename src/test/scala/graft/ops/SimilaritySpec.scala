@@ -295,4 +295,38 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
         .orderBy("src", "rank").collect().toSeq
     run(1) shouldBe run(6)
   }
+
+  test("standardize: per-dim mean 0 / sample std 1; matches a driver model") {
+    val rnd = new scala.util.Random(3)
+    val rows = (1L to 200L).map(i =>
+      (i, Seq(rnd.nextGaussian() * 5 + 10, rnd.nextGaussian() * 0.1 - 2, 7.0)))
+    val out = Similarity.standardize(rows.toDF("id", "v"), "v", "z")
+      .orderBy("id").collect().map(_.getSeq[Double](2))
+    // driver model
+    val cols = (0 until 3).map(d => rows.map(_._2(d)))
+    val mus = cols.map(c => c.sum / c.length)
+    val sds = cols.zip(mus).map { case (c, mu) =>
+      math.sqrt(c.map(x => (x - mu) * (x - mu)).sum / (c.length - 1)) }
+    rows.zip(out).foreach { case ((_, v), z) =>
+      (0 until 3).foreach { d =>
+        val expect = if (sds(d) == 0.0) 0.0 else (v(d) - mus(d)) / sds(d)
+        z(d) shouldBe expect +- 1e-9
+      }
+    }
+    // the constant third dimension maps to 0, never NaN
+    out.foreach(z => z(2) shouldBe 0.0)
+    // recomputed per-dim stats of z: mean ~0, std ~1 (dims 0, 1)
+    (0 until 2).foreach { d =>
+      val zc = out.map(_(d))
+      val mz = zc.sum / zc.length
+      mz shouldBe 0.0 +- 1e-9
+      math.sqrt(zc.map(x => (x - mz) * (x - mz)).sum / (zc.length - 1)) shouldBe 1.0 +- 1e-9
+    }
+  }
+
+  test("standardize appends the column and preserves the input schema") {
+    val df = Seq((1L, Seq(1.0, 2.0), "tag")).toDF("id", "v", "t")
+    val out = Similarity.standardize(df, "v")
+    out.columns.toSeq shouldBe Seq("id", "v", "t", "standardized")
+  }
 }
