@@ -1083,6 +1083,29 @@ object OpsQueries {
         .orderBy("day")
     }),
 
+    "o7_compaction" -> ((s, dir) => {
+      // small-file compaction: orders planted as 64 undersized shards,
+      // rewritten to ceil(bytes/target) files via a shuffle-free
+      // coalesce; the read-back aggregate must equal the source table's
+      // (content preservation IS the oracle; file counts are
+      // size-dependent and spec-pinned in SinksSpec instead). Decimal
+      // sums — the u6 precedent — so combination order cannot drift.
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val frag = new org.apache.hadoop.fs.Path(wh, "graft_frag_orders").toString
+      val packed = new org.apache.hadoop.fs.Path(wh, "graft_compact_orders").toString
+      table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .repartition(64).write.mode("overwrite").parquet(frag)
+      graft.sources.Sinks.compact(s, frag, packed, targetFileBytes = 4L << 20)
+      s.read.parquet(packed)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            + lit(5e-10), 6).as("sum_price"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- lakehouse mutation: CDC upsert + SCD2 history -----------------
     "u2_upsert" -> ((s, dir) => {
       // MERGE INTO shape: orders replayed as a change stream against the
@@ -2904,6 +2927,13 @@ object OpsQueries {
       ("SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n, " +
         "ROUND(sum(value) + 5e-10, 6) AS sum_value " +
         "FROM events WHERE event_type = 'error' GROUP BY day ORDER BY day"),
+    "o7_compaction" ->
+      // content preservation: the compacted read-back must aggregate to
+      // the source table exactly (decimal sums, the u6 precedent)
+      ("SELECT o_orderpriority, count(*)::BIGINT AS n, " +
+        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) + 5e-10, 6) AS sum_price, " +
+        "max(o_orderkey) AS max_key " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "u3_scd2" ->
       ("SELECT o_custkey AS c_custkey, row_number() OVER w AS version, " +
         "ROUND(o_totalprice + 5e-10, 6) AS bal, " +

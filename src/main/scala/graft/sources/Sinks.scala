@@ -38,6 +38,40 @@ object Sinks {
       .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
   }
 
+  /** Small-file COMPACTION — the table-maintenance pass every lakehouse
+    * runs: rewrite a directory of many undersized parquet files into
+    * ceil(totalBytes / targetFileBytes) balanced ones. Small files are
+    * the silent 100 TB killer (one scan task + one footer + one open per
+    * file; a 10^6-file table spends longer listing than reading).
+    *
+    * Plan shape: sizing comes from the FileSystem listing (a metadata
+    * walk, no data read), and the rewrite defaults to `coalesce` — a
+    * narrow merge of read partitions with NO shuffle, the right call for
+    * an IO-bound rewrite. `rebalance = true` switches to `repartition`
+    * (one full round-robin exchange) for inputs so skewed that merged
+    * neighbors would produce lopsided files. Content is preserved
+    * row-for-row (spec-pinned; o7 pins it against the source-table
+    * oracle).
+    *
+    * @return (files before, files after) */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+              outPath: String, targetFileBytes: Long = 128L << 20,
+              rebalance: Boolean = false): (Int, Int) = {
+    require(targetFileBytes >= (1L << 20), s"targetFileBytes must be >= 1 MiB")
+    val fs = new org.apache.hadoop.fs.Path(inPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetFiles(p: String) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(p))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val before = parquetFiles(inPath)
+    val totalBytes = before.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(inPath)
+    (if (rebalance) df.repartition(nOut) else df.coalesce(nOut))
+      .write.mode("overwrite").parquet(outPath)
+    (before.length, parquetFiles(outPath).length)
+  }
+
   /** Morton / Z-order interleave key over `dims` pre-bucketed dimension
     * columns: bit b of dimension j lands at output bit `b * dims.size + j`,
     * so consecutive key values walk a space-filling curve that keeps rows

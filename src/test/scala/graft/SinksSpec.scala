@@ -32,6 +32,37 @@ class SinksSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("compact: fewer files, content preserved row-for-row") {
+    val frag = tmp(); val packed = tmp()
+    data.repartition(24).write.parquet(frag)
+    def files(p: String) = new java.io.File(p)
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    files(frag) shouldBe 24
+    val (before, after) = Sinks.compact(spark, frag, packed,
+      targetFileBytes = 1L << 20)
+    before shouldBe 24
+    // 24 tiny shards total well under 1 MiB -> one output file
+    after shouldBe 1
+    files(packed) shouldBe 1
+    spark.read.parquet(packed).as[(Long, String, Double)].collect().toSet shouldBe
+      data.as[(Long, String, Double)].collect().toSet
+  }
+
+  test("compact honors the target size (multiple output files when needed)") {
+    val frag = tmp(); val packed = tmp()
+    // ~3 MiB of rows so a 1 MiB target needs several files
+    val big = (1 to 120000).map(i => (i.toLong, s"payload_$i" * 3, i * 1.1))
+      .toDF("id", "s", "v")
+    big.repartition(32).write.parquet(frag)
+    val (_, after) = Sinks.compact(spark, frag, packed,
+      targetFileBytes = 1L << 20)
+    after should be > 1
+    after should be < 32
+    spark.read.parquet(packed).count() shouldBe 120000
+    an[IllegalArgumentException] should be thrownBy
+      Sinks.compact(spark, frag, tmp(), targetFileBytes = 1000L)
+  }
+
   test("filesPerPartition widens a value across that many files") {
     val path = tmp()
     // AQE rightly re-merges KB-sized salted partitions; pin it off to
