@@ -832,6 +832,18 @@ object OpsQueries {
           count(when(col("k") === col("k_path"), 1)).as("n_path_agree"))
         .orderBy("event_type")
     }),
+    "e17_sliding_window" -> ((s, dir) =>
+      // sliding event-time windows (1 h length, 30 min slide): every
+      // event lands in exactly 2 overlapping windows — the smoothed-rate
+      // readout e1's tumbling form cannot give. One generate + one hash
+      // aggregate.
+      EventPipeline.slidingWindowedCounts(Util.events(s, dir), "1 hour",
+          "30 minutes")
+        .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("event_type"), col("n"),
+          round(col("sum_value") + lit(5e-10), 6).as("sum_value"))
+        .orderBy("w_start", "event_type")),
+
     "e16_attribution" -> ((s, dir) =>
       // last-touch attribution, 1-hour lookback: each purchase credits
       // the user's latest click at-or-before it (ties by event id);
@@ -2802,6 +2814,17 @@ object OpsQueries {
         "SELECT cid::BIGINT AS centroid_id, count(*)::BIGINT AS n, " +
         "ROUND(avg(cos), 6) AS mean_cos " +
         "FROM r WHERE rk = 1 GROUP BY cid ORDER BY centroid_id"),
+    "e17_sliding_window" ->
+      // each event's two window starts via epoch-grid floor arithmetic
+      // (Spark's window() aligns to the epoch; 30-min grid): b and
+      // b - 30 min; then the same aggregate
+      ("WITH e AS (SELECT event_type, value, " +
+        "make_timestamp((epoch_ms(ts) // 1800000) * 1800000 * 1000) AS b FROM events), " +
+        "u AS (SELECT b AS ws, event_type, value FROM e " +
+        "UNION ALL SELECT b - INTERVAL 30 MINUTE, event_type, value FROM e) " +
+        "SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS w_start, event_type, " +
+        "count(*)::BIGINT AS n, round(sum(value) + 5e-10, 6) AS sum_value " +
+        "FROM u GROUP BY ws, event_type ORDER BY w_start, event_type"),
     "e16_attribution" ->
       // same cumulative struct-max (latest click as (ms, id), ties by
       // id) over the same (ts, event_id) window order; epoch_ms =

@@ -25,6 +25,20 @@ object EventPipeline {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** SLIDING-window counts: each event lands in windowLength/slide
+    * overlapping windows (Spark's `window(ts, length, slide)` generate —
+    * a bounded per-row fan-out, then the same hash aggregate as the
+    * tumbling form). The standard smoothed-rate readout; state and
+    * output scale by the overlap factor, which the caller picks. Works
+    * on batch and streaming frames alike (streaming adds a watermark
+    * upstream, the e1 pattern). */
+  def slidingWindowedCounts(events: DataFrame, windowLength: String = "1 hour",
+                            slide: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLength, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+
   /** Streaming variant with a watermark for state cleanup: late events
     * beyond `lateness` are dropped, window state is purged once the
     * watermark passes — bounded state at any scale. */

@@ -35,6 +35,20 @@ class EventPipelineSpec extends AnyFunSuite with Matchers {
       ("2024-01-01 13:00:00.0", "view", 1L, 4.0))
   }
 
+  test("slidingWindowedCounts: every event lands in length/slide overlapping windows") {
+    val r = EventPipeline.slidingWindowedCounts(batchEvents, "1 hour", "30 minutes")
+      .orderBy("w_start", "event_type").collect()
+      .map(x => (x.getAs[java.sql.Timestamp]("w_start").toString,
+        x.getAs[String]("event_type"), x.getAs[Long]("n")))
+    // total window-memberships = 2x the event count
+    r.map(_._3).sum shouldBe batchEvents.count() * 2
+    // the 10:05 click is in windows starting 09:30 and 10:00
+    r.filter(_._2 == "click").map(_._1) should contain allOf(
+      "2024-01-01 09:30:00.0", "2024-01-01 10:00:00.0")
+    // window [10:00, 11:00) holds clicks at 10:05 and 10:50
+    r.find(x => x._1 == "2024-01-01 10:00:00.0" && x._2 == "click").get._3 shouldBe 2
+  }
+
   test("lastTouchAttribution credits the latest in-window touch, null when organic") {
     val events = Seq(
       Event(1L, ts("10:00"), 1L, "click", 1.0),
