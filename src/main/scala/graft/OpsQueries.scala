@@ -955,6 +955,14 @@ object OpsQueries {
           round(sum(col("l_quantity")), 2).as("sum_qty"))
         .orderBy("p_type")
     }),
+    "k4_skew_report" -> ((s, dir) =>
+      // skew diagnosis — the planning step before k1/k2's salted ops:
+      // MG candidates, exact recount, share + suggested salt per heavy
+      // key. event_type has 5 values, all within the 64-key sketch, so
+      // the report is EXACT and the oracle replays it with plain SQL.
+      graft.ops.Skew.skewReport(Util.events(s, dir), "event_type",
+        partitions = 32)),
+
     "k3_bloom_join" -> ((s, dir) => {
       // bloom-prefiltered semi join: lineitems of the ~2% of parts with
       // p_size = 1. The distributed bloom build ships only a bitmap to
@@ -2888,6 +2896,16 @@ object OpsQueries {
         "ROUND(sum(l_quantity), 2) AS sum_qty " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey " +
         "GROUP BY p_type ORDER BY p_type"),
+    "k4_skew_report" ->
+      // MG with 5 distinct keys <= 64 capacity surfaces every key, so
+      // the report equals the exact per-key census; identical
+      // cnt/total double division and ceil on both sides
+      ("WITH t AS (SELECT count(*)::DOUBLE AS total FROM events), " +
+        "c AS (SELECT event_type, count(*)::BIGINT AS cnt FROM events GROUP BY 1) " +
+        "SELECT event_type, cnt, round(cnt / total + 5e-10, 6) AS share, " +
+        "CAST(ceil(cnt / total * 32) AS BIGINT) AS suggested_salt " +
+        "FROM c, t WHERE cnt / total >= 0.01 " +
+        "ORDER BY cnt DESC, event_type"),
     "k3_bloom_join" ->
       ("SELECT l_returnflag, count(*)::BIGINT AS n_items, " +
         "ROUND(sum(l_quantity), 2) AS sum_qty " +

@@ -110,6 +110,44 @@ object Skew {
     * costs a handful of replicated dim rows, while under-salting a truly
     * heavy one recreates the straggler — MG's guarantee (every key with
     * freq > N/(maxHotKeys+1) surfaces) bounds the miss direction. */
+  /** Skew DIAGNOSIS report — the planning step the salted operators
+    * assume someone already did: which keys are heavy, how heavy, and
+    * what salt factor would level each across the cluster. Returns one
+    * row per confirmed heavy key: exact `cnt`, `share` of the corpus,
+    * and `suggested_salt` = ceil(share · partitions) — the number of
+    * tasks that key's rows would need to occupy for its partition to
+    * shrink back to an average-sized one.
+    *
+    * Scale shape: the x9 sketch-then-recount pattern — a Misra-Gries
+    * pass surfaces ≤ `maxKeys` candidates (the detection shuffle
+    * carries one bounded map per partition, never keys), then ONE
+    * aggregate recounts the candidates exactly (MG overestimates; the
+    * recount kills false positives) against a 1-row broadcast total.
+    * Keys below `minShare` are dropped — they need no salting. */
+  def skewReport(df: DataFrame, keyCol: String, partitions: Int,
+                 maxKeys: Int = 64, minShare: Double = 0.01): DataFrame = {
+    require(partitions >= 1, s"partitions must be >= 1, got $partitions")
+    require(minShare >= 0.0 && minShare <= 1.0, s"minShare must be in [0, 1]")
+    val mg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.MisraGries(maxKeys), org.apache.spark.sql.Encoders.STRING)
+    val candidates: Seq[String] = df
+      .select(col(keyCol).cast("string").as("__k")).filter(col("__k").isNotNull)
+      .agg(mg(col("__k")).as("sk"))
+      .select(explode(map_keys(col("sk"))).as("k"))
+      .collect().map(_.getString(0)).toSeq
+    val total = df.agg(count(lit(1)).as("__total"))
+    val share = col("cnt").cast("double") / col("__total").cast("double")
+    df.filter(col(keyCol).cast("string").isin(candidates: _*))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(share >= minShare)
+      .select(col(keyCol), col("cnt"),
+        round(share + lit(5e-10), 6).as("share"),
+        ceil(share * partitions).cast("long").as("suggested_salt"))
+      .orderBy(col("cnt").desc, col(keyCol))
+  }
+
   def hotSaltedJoin(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
                     saltFactor: Int = 32, maxHotKeys: Int = 64, seed: Long = 42L,
                     saltCol: Option[String] = None): DataFrame = {

@@ -9,6 +9,31 @@ class SkewSpec extends AnyFunSuite with Matchers {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("skewReport: exact counts, shares, and leveling salt for heavy keys") {
+    // key 7 holds 50% of rows, key 8 holds 25%, a 25% uniform tail of
+    // 100 keys (each 0.25% — below the default 1% share floor)
+    val rows = (1 to 4000).map { i =>
+      val k = if (i <= 2000) 7L else if (i <= 3000) 8L else 100L + i % 100
+      (k, i)
+    }
+    val out = graft.ops.Skew.skewReport(rows.toDF("k", "v"), "k",
+        partitions = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    out.map(x => (x._1, x._2)).toSeq shouldBe Seq((7L, 2000L), (8L, 1000L))
+    out(0)._3 shouldBe 0.5 +- 1e-9
+    out(0)._4 shouldBe 8L  // ceil(0.5 * 16)
+    out(1)._4 shouldBe 4L  // ceil(0.25 * 16)
+  }
+
+  test("skewReport on a uniform corpus suggests salt 1 everywhere it reports") {
+    val rows = (1 to 3000).map(i => (i % 10L, i))
+    val out = graft.ops.Skew.skewReport(rows.toDF("k", "v"), "k",
+        partitions = 8, minShare = 0.05)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    out.length shouldBe 10
+    out.foreach(_._2 shouldBe 1L) // ceil(0.1 * 8) = 1: no salting needed
+  }
+
   test("salted aggregate equals direct groupBy on a skewed distribution") {
     // one heavy hitter (90% of rows) + a uniform tail
     val rows = (1 to 2000).map { i =>
