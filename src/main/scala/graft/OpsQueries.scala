@@ -832,6 +832,22 @@ object OpsQueries {
           count(when(col("k") === col("k_path"), 1)).as("n_path_agree"))
         .orderBy("event_type")
     }),
+    "w6_ewma" -> ((s, dir) => {
+      // truncated EWMA (α = 0.3, 8 lags, head-renormalized) over each
+      // event type's hourly value series — the smoothed-rate signal
+      // monitoring reads; all 8 lags share one window operator on the
+      // single event_type exchange
+      val hourly = Util.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(col("value")).as("v"))
+      EventPipeline.ewmaSmoothed(hourly, "event_type", "h", "v")
+        .select(col("event_type"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("h"),
+          round(col("v") + lit(5e-10), 6).as("v"),
+          round(col("ewma") + lit(5e-10), 6).as("ewma"))
+        .orderBy("event_type", "h")
+    }),
+
     "e17_sliding_window" -> ((s, dir) =>
       // sliding event-time windows (1 h length, 30 min slide): every
       // event lands in exactly 2 overlapping windows — the smoothed-rate
@@ -2822,6 +2838,25 @@ object OpsQueries {
         "SELECT cid::BIGINT AS centroid_id, count(*)::BIGINT AS n, " +
         "ROUND(avg(cos), 6) AS mean_cos " +
         "FROM r WHERE rk = 1 GROUP BY cid ORDER BY centroid_id"),
+    "w6_ewma" -> {
+      // identical weight literals (Scala double toString round-trips),
+      // identical left-fold order for numerator and denominator, same
+      // null-renormalization at series heads
+      val lags = graft.streaming.EventPipeline.ewmaWeights(0.3, 8).zipWithIndex
+      val num = lags.map { case (wt, j) =>
+        s"(CASE WHEN lag(v, $j) OVER w IS NOT NULL THEN lag(v, $j) OVER w * $wt ELSE 0.0 END)"
+      }.mkString(" + ")
+      val den = lags.map { case (wt, j) =>
+        s"(CASE WHEN lag(v, $j) OVER w IS NOT NULL THEN $wt ELSE 0.0 END)"
+      }.mkString(" + ")
+      "WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h, sum(value) AS v " +
+        "FROM events GROUP BY 1, 2), " +
+        s"e AS (SELECT event_type, h, v, ($num) / ($den) AS ewma FROM hourly " +
+        "WINDOW w AS (PARTITION BY event_type ORDER BY h)) " +
+        "SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS h, " +
+        "round(v + 5e-10, 6) AS v, round(ewma + 5e-10, 6) AS ewma " +
+        "FROM e ORDER BY event_type, h"
+    },
     "e17_sliding_window" ->
       // each event's two window starts via epoch-grid floor arithmetic
       // (Spark's window() aligns to the epoch; 30-min grid): b and

@@ -49,6 +49,37 @@ object EventPipeline {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Truncated exponential smoothing (EWMA) over a keyed time series:
+    * smoothed_t = Σ_{j<k} w_j · v_{t−j} / Σ_{j<k, v_{t−j} exists} w_j
+    * with w_j = α(1−α)^j — the finite-impulse-response form monitoring
+    * systems run on rolling aggregates. Truncating at `k` lags (and
+    * renormalizing over the lags that exist, so series heads are not
+    * biased toward 0) is what makes the recursion DISTRIBUTABLE: the
+    * exact infinite recursion needs a sequential scan per key, while k
+    * lags are one window operator — all of them share the single key
+    * exchange and per-key sort, exactly like w2's rolling frame. With
+    * α = 0.3, lag k = 8 carries weight 0.3·0.7⁸ ≈ 1.7% — the truncation
+    * error is bounded by (1−α)^k of the signal range. */
+  def ewmaSmoothed(series: DataFrame, keyCol: String, timeCol: String,
+                   valCol: String, alpha: Double = 0.3, k: Int = 8,
+                   outCol: String = "ewma"): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0, 1), got $alpha")
+    require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k")
+    val w = Window.partitionBy(keyCol).orderBy(timeCol)
+    val terms = ewmaWeights(alpha, k).zipWithIndex.map { case (wt, j) =>
+      val l = lag(col(valCol), j).over(w)
+      (when(l.isNotNull, lit(wt)).otherwise(lit(0.0)),
+        when(l.isNotNull, l * lit(wt)).otherwise(lit(0.0)))
+    }
+    series.withColumn(outCol,
+      terms.map(_._2).reduce(_ + _) / terms.map(_._1).reduce(_ + _))
+  }
+
+  /** The literal weights `ewmaSmoothed` folds — public so an external
+    * replay (the w6 oracle) embeds the IDENTICAL doubles. */
+  def ewmaWeights(alpha: Double, k: Int): Seq[Double] =
+    (0 until k).map(j => alpha * math.pow(1 - alpha, j))
+
   /** Stream-static dimension enrichment: join the event stream against a
     * small static dim table on `event_type` and aggregate the dim's
     * weight per watermarked tumbling window. The static side is

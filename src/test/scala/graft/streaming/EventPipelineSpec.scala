@@ -35,6 +35,32 @@ class EventPipelineSpec extends AnyFunSuite with Matchers {
       ("2024-01-01 13:00:00.0", "view", 1L, 4.0))
   }
 
+  test("ewmaSmoothed matches a driver model; head renormalizes; converges on constants") {
+    val series = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 10.0), ("a", 4L, 40.0),
+      ("b", 1L, 5.0), ("b", 2L, 5.0), ("b", 3L, 5.0))
+      .toDF("k", "t", "v")
+    val out = EventPipeline.ewmaSmoothed(series, "k", "t", "v",
+        alpha = 0.5, k = 3)
+      .orderBy("k", "t").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    val ws = EventPipeline.ewmaWeights(0.5, 3) // 0.5, 0.25, 0.125
+    def model(vs: Seq[Double]): Double = {
+      val pairs = ws.zipWithIndex.flatMap { case (w, j) =>
+        vs.lift(vs.length - 1 - j).map(v => (w, v)) }
+      pairs.map { case (w, v) => w * v }.sum / pairs.map(_._1).sum
+    }
+    val byKey = Seq(("a", Seq(10.0, 20.0, 10.0, 40.0)), ("b", Seq(5.0, 5.0, 5.0)))
+    for ((k, vs) <- byKey; t <- 1 to vs.length) {
+      val got = out.find(x => x._1 == k && x._2 == t).get._3
+      got shouldBe model(vs.take(t)) +- 1e-12
+    }
+    // a constant series smooths to itself at every position (head incl.)
+    out.filter(_._1 == "b").map(_._3).foreach(_ shouldBe 5.0 +- 1e-12)
+    // the first point of any series is the raw value (weights renormalize)
+    out.find(x => x._1 == "a" && x._2 == 1L).get._3 shouldBe 10.0 +- 1e-12
+  }
+
   test("slidingWindowedCounts: every event lands in length/slide overlapping windows") {
     val r = EventPipeline.slidingWindowedCounts(batchEvents, "1 hour", "30 minutes")
       .orderBy("w_start", "event_type").collect()
