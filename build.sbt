@@ -44,5 +44,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // t9 11.9 s under the default vs 2.9 s / 1.9 s at 1g — and the total
   // dropped 52 s -> 34.5 s). Explains prior rounds' full-run-only
   // inflation (e.g. x3 at 102 s full vs 1.25 s isolated in round 3).
-  "-XX:ReservedCodeCacheSize=1g",
+  // Round 10's 136-query sweep re-hit the same class at 1g (x9 17.9 s
+  // in-sweep vs 4.3 s isolated at sf10) — 2g plus the wider Spark
+  // codegen class cache (Bench.scala) restores headroom; reservation
+  // is address space, committed only as used.
+  "-XX:ReservedCodeCacheSize=2g",
 )

@@ -9,6 +9,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // Static conf, read at session creation. The default 100-entry
+      // generated-class cache cannot hold a 136-query suite: every full
+      // pass evicts everything, so every pass re-generates, re-Janino-
+      // compiles, and re-JITs each query's codegen classes — the class
+      // churn behind the round-10 late-alphabet sweep inflation (x9
+      // 17.9 s in-sweep vs 4.3 s isolated at sf10, same code). 2048
+      // entries hold all passes' classes for the foreseeable suite.
+      .config("spark.sql.codegen.cache.maxEntries", "2048")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Steady-state measurement: one untimed pass first (JIT compilation,
@@ -64,8 +72,24 @@ object Bench {
     val drainOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_DRAIN", "1") != "0"
     def drain(): Unit =
       if (drainOn) { System.gc(); Thread.sleep(50); System.gc() }
-    def timedPass(dir: String, tag: String): Seq[(String, Double)] =
-      ordered.map { case (name, fn) =>
+    // JVM-health telemetry, printed after every pass: code-heap and
+    // metaspace occupancy. The round-10 sweep inflated late-alphabet
+    // queries 2-5x with untouched code (x9 17.9 s in-sweep vs 4.3 s
+    // isolated); this line is what turns the next such episode from a
+    // guessing game into a read-off — a near-full CodeHeap or a
+    // metaspace ramp across passes IS the diagnosis.
+    def jvmHealth(tag: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(p => p.getName.startsWith("CodeHeap") || p.getName == "Metaspace")
+      val s = pools.map { p =>
+        val u = p.getUsage
+        f"${p.getName}=${u.getUsed / 1048576}%d/${math.max(u.getMax, u.getCommitted) / 1048576}%dMB"
+      }.mkString(" ")
+      System.err.println(s"[jvm] $tag $s")
+    }
+    def timedPass(dir: String, tag: String): Seq[(String, Double)] = {
+      val out = ordered.map { case (name, fn) =>
         // drain before EVERY rep, not just per query: a shuffle-heavy
         // query's reps otherwise stack tens of GB of not-yet-collected
         // shuffle files inside one median block (d3's median read 86 s
@@ -84,6 +108,9 @@ object Bench {
         System.err.println(f"[$tag] $name%-22s $sec%8.2f s  (reps ${times.map(t => f"$t%.2f").mkString("/")})")
         name -> sec
       }
+      jvmHealth(tag)
+      out
+    }
     def toJson(r: Seq[(String, Double)]): String =
       r.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     // A total must sum only queries that RAN: -1.0 failure sentinels would

@@ -639,20 +639,23 @@ object OpsQueries {
     "p9_bottomk_sample" -> ((s, dir) =>
       // deterministic per-stratum k-sample via the mergeable bounded
       // aggregator; the Lehmer priority is exact integer math, so the
-      // oracle verifies the SELECTION itself — the first hash-sampling
-      // operator in the suite whose chosen rows hash-match an external
-      // engine (p1/p2's xxhash orders are spec-pinned instead)
+      // oracle verifies the SELECTION itself (the pattern p1/p2 now
+      // share via lehmerSplit / lehmerStratifiedTake)
       Sampling.bottomKSample(
           table(s, dir, "orders").select(col("o_orderpriority"), col("o_orderkey")),
           "o_orderpriority", "o_orderkey", n = 5)
         .orderBy("o_orderpriority", "priority", "o_orderkey")),
     "p1_hash_split" -> ((s, dir) => {
-      val (_, holdout) = Sampling.hashSplit(
+      // replayable split: holdout = Lehmer priority below 0.2·M — the
+      // oracle re-derives MEMBERSHIP itself (hash-PASS, not rows-only)
+      val (_, holdout) = Sampling.lehmerSplit(
         table(s, dir, "documents").select("doc_id", "lang"), "doc_id", 0.2)
       holdout.orderBy("doc_id")
     }),
     "p2_stratified_take" -> ((s, dir) =>
-      Sampling.stratifiedTake(
+      // replayable exact-5-per-lang sample: priority order is exact
+      // integer math, so the oracle re-derives the chosen rows
+      Sampling.lehmerStratifiedTake(
           table(s, dir, "documents").select("doc_id", "lang"), "lang", "doc_id", n = 5)
         .orderBy("lang", "doc_id")),
     "p4_chunk_tokens" -> ((s, dir) =>
@@ -2978,6 +2981,17 @@ object OpsQueries {
         "ORDER BY priority, o_orderkey) AS rk FROM pr) " +
         "SELECT o_orderpriority, o_orderkey, priority FROM r WHERE rk <= 5 " +
         "ORDER BY o_orderpriority, priority, o_orderkey"),
+    "p1_hash_split" ->
+      // Lehmer membership replay: holdout iff priority < floor(0.2 * (2^31-1))
+      ("SELECT doc_id, lang FROM documents " +
+        "WHERE ((doc_id + 1) % 2147483647) * 48271 % 2147483647 * 48271 % 2147483647 " +
+        "< 429496729 ORDER BY doc_id"),
+    "p2_stratified_take" ->
+      ("WITH pr AS (SELECT doc_id, lang, " +
+        "((doc_id + 1) % 2147483647) * 48271 % 2147483647 * 48271 % 2147483647 AS priority FROM documents), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY lang " +
+        "ORDER BY priority, doc_id) AS rk FROM pr) " +
+        "SELECT doc_id, lang FROM r WHERE rk <= 5 ORDER BY lang, doc_id"),
     "o3_text_formats" ->
       // same daily aggregate straight from the parquet, emitted once per
       // text format — identical rows pin both writers AND readers

@@ -51,6 +51,36 @@ object ScaleData {
     when(rep % 5 === 0 || n === 0, text).otherwise(concat_ws(" ", mut))
   }
 
+  /** Near-dup realism for replicated EMBEDDINGS — the round-10 twin
+    * audit found documents.text already de-twinned (max dup group 8 at
+    * sf10) but every embedding vector byte-identical across all 100
+    * replicas (2000 distinct vectors x 100 copies), so d5/d11/s7/s8
+    * benchmarked degenerate 100-deep LSH buckets and tie-saturated kNN
+    * lists. Same stratum policy as [[mutatedText]]: `rep % 5 == 0`
+    * stays exact (one exact twin per factor-10 build), every other
+    * replica gets per-dimension multiplicative jitter
+    * `x * (1 + a * u_i)` with u_i uniform in [-1, 1] seeded by
+    * (vecId, rep, i) and a per-replica amplitude `a` drawn from
+    * {0.15, 0.3, 0.5, 0.8, 1.2}. Independent relative noise of
+    * variance a^2/3 lands the replica at cosine ~ 1/sqrt(1 + a^2/3) to
+    * its original — {0.996, 0.985, 0.96, 0.90, 0.81} — straddling the
+    * usual 0.95-ish near-dup thresholds the way a real corpus does
+    * instead of sitting at all-1.0. Deterministic in (vecId, rep);
+    * composing builds re-jitters jittered vectors, still deterministic. */
+  private[graft] def jitteredEmbedding(vec: org.apache.spark.sql.Column,
+                                       vecId: org.apache.spark.sql.Column,
+                                       rep: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val amps = Seq(0.15, 0.3, 0.5, 0.8, 1.2)
+    val amp = element_at(
+      array(amps.map(lit): _*), (pmod(xxhash64(vecId, rep, lit(41L)), lit(amps.size)) + 1).cast("int"))
+    val jit = transform(vec, (x, i) => {
+      // u in [-1, 1): 20-bit hash slice, exact in doubles
+      val u = pmod(xxhash64(vecId, rep, i, lit(53L)), lit(1048576)).cast("double") / 524288.0 - 1.0
+      (x * (amp * u + 1.0)).cast("float")
+    })
+    when(rep % 5 === 0, vec).otherwise(jit)
+  }
+
   private val keyCols: Seq[(String, Seq[String])] = Seq(
     "region"     -> Nil,
     "nation"     -> Nil,
@@ -90,6 +120,8 @@ object ScaleData {
             // mutation set is independent of the key shift)
             else if (t == "documents" && c == "text")
               mutatedText(col(c), col("doc_id"), col("__rep")).as(c)
+            else if (t == "embeddings" && c == "embedding")
+              jitteredEmbedding(col(c), col("vec_id"), col("__rep")).as(c)
             else col(c)
           }.toSeq: _*)
       // Spread replicated tables across one file per core: the source

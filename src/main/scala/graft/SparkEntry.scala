@@ -210,9 +210,13 @@ object SparkEntry {
       // one aggregate. Both engines interpolate the bounds with the
       // identical arithmetic (the a11 precedent), so the clamp
       // boundaries agree bitwise and only the rounded averages carry
-      // float-sum noise.
+      // float-sum noise. The caller KNOWS the group shape here — 3
+      // return-flag groups that each dwarf any sane sort buffer — so it
+      // calls the distributed-exact path directly instead of paying
+      // groupedQuantiles' max-group-size probe job: two lineitem passes
+      // (bounds histogram + clamp aggregate) instead of three.
       val li = table(s, dir, "lineitem")
-      val qs = Quantiles.groupedQuantiles(li, "l_returnflag",
+      val qs = Quantiles.groupedQuantilesExact(li, "l_returnflag",
         "l_extendedprice", Seq("lo" -> 0.05, "hi" -> 0.95))
       li.select(col("l_returnflag"), col("l_extendedprice"))
         .join(broadcast(qs), Seq("l_returnflag"))

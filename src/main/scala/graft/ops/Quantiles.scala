@@ -156,16 +156,24 @@ object Quantiles {
       // null group key (a null stratum is a legitimate group) sorts last
       val groupsSorted = totals.keys.toSeq.filter(_ != null).sorted ++
         totals.keys.toSeq.filter(_ == null)
+      // a missed pick means the pick pass's partition-id contract broke
+      // (e.g. the cached range shuffle was recomputed with different
+      // boundaries) — fail with the group/rank, not a bare map miss
+      def pick(g: String, rank: Long): Double = vmap.getOrElse((g, rank),
+        throw new IllegalStateException(
+          s"groupedQuantilesExact: pick pass emitted no value for group " +
+            s"'$g' rank $rank (n=${totals.getOrElse(g, -1L)}) — " +
+            "range-partition offsets no longer match the cached histogram"))
       val rows: Seq[Row] = groupsSorted.map { g =>
         val n = totals(g)
         val qs = ps.map { case (_, p) =>
           val r = p * (n - 1).toDouble
           val lo = math.floor(r).toLong
           val frac = r - math.floor(r)
-          val vlo = vmap((g, lo + 1))
+          val vlo = pick(g, lo + 1)
           // identical arithmetic as Spark's percentile and DuckDB's
           // quantile_cont: lower + (higher − lower) · frac
-          val v = if (frac == 0.0) vlo else vlo + (vmap((g, lo + 2)) - vlo) * frac
+          val v = if (frac == 0.0) vlo else vlo + (pick(g, lo + 2) - vlo) * frac
           java.lang.Double.valueOf(v)
         }
         Row.fromSeq(g +: qs)

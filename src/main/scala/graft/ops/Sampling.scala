@@ -58,6 +58,37 @@ object Sampling {
     pmod(step1 * lit(48271L), m)
   }
 
+  /** [[hashSplit]]'s externally-REPLAYABLE variant: membership is
+    * `lehmerPriority(id) < fraction * M` — exact 64-bit integer
+    * arithmetic any SQL engine reproduces verbatim (the p1 oracle
+    * replays the selection itself), where xxhash memberships can only
+    * ever be property-tested. The Lehmer permutation is uniform on
+    * [0, M) so realized fractions concentrate like the hash split's;
+    * it mixes less (it is a fixed multiplicative stride), so prefer
+    * [[hashSplit]] when nothing external must re-derive membership. */
+  def lehmerSplit(df: DataFrame, idCol: String,
+                  holdoutFraction: Double, seed: Long = 1L): (DataFrame, DataFrame) = {
+    require(holdoutFraction > 0 && holdoutFraction < 1, "fraction in (0,1)")
+    val cut = (holdoutFraction * 2147483647L).toLong
+    val pr = lehmerPriority(col(idCol), seed)
+    (df.filter(pr >= cut), df.filter(pr < cut))
+  }
+
+  /** [[stratifiedTake]]'s externally-REPLAYABLE variant: the same
+    * exact-n-per-stratum window sample ordered by [[lehmerPriority]]
+    * instead of xxhash, so an external engine re-derives the CHOSEN
+    * rows with `row_number() OVER (PARTITION BY stratum ORDER BY
+    * priority, id)` — the p2 oracle does exactly that. Same shuffle
+    * shape (one exchange on the stratum key, WindowGroupLimit caps
+    * per-partition work at top-n). */
+  def lehmerStratifiedTake(df: DataFrame, strataCol: String, idCol: String,
+                           n: Int, seed: Long = 1L): DataFrame = {
+    val w = Window.partitionBy(strataCol)
+      .orderBy(lehmerPriority(col(idCol), seed), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n).drop("__rk")
+  }
+
   /** [[stratifiedTake]]'s scale upgrade: the same deterministic
     * per-stratum k-sample, computed with the bounded MERGEABLE
     * [[graft.functions.BottomKIds]] aggregator instead of a per-stratum

@@ -76,40 +76,6 @@ object Skew {
       .agg(agg.merge.head, agg.merge.tail: _*)
   }
 
-  /** Skew-resistant equi-join of a big (possibly key-skewed) fact side
-    * against a dimension side that is too large to broadcast: the fact
-    * side gets a deterministic row-content salt in [0, saltFactor), the
-    * dimension side is replicated once per salt value, and the join runs
-    * on (key, salt) — a heavy fact key spreads over `saltFactor` tasks
-    * instead of serializing into one.
-    *
-    * AQE's skew-join split already handles most sort-merge skew at
-    * runtime; use this when the skew mitigation must be IN THE PLAN —
-    * e.g. the output feeds a co-partitioned consumer AQE would re-plan
-    * around, or the join runs inside a cached/streaming subtree where
-    * AQE does not apply. Cost: `saltFactor * |dim|` shuffle rows on the
-    * replicated side — the standard trade.
-    *
-    * Same determinism rule as [[saltedAggregate]] (recomputed map tasks
-    * must re-derive identical salts), and the same identical-duplicate
-    * caveat: fact rows that are bit-for-bit equal hash to one salt; pass
-    * `saltCol` pointing at a unique/stable column when heavy keys are
-    * dominated by full-row duplicates. */
-  /** [[saltedJoin]] with the replication cost paid ONLY for keys that are
-    * actually hot: a Misra-Gries sketch over the fact keys finds up to
-    * `maxHotKeys` heavy-hitter candidates (the detection shuffle carries
-    * one small map per partition — never the keys themselves, no extra
-    * wide shuffle), hot fact rows take the salted join against the dim
-    * rows of those keys, and everything else takes the untouched plain
-    * join. Replicated-side cost drops from `saltFactor * |dim|` to
-    * `saltFactor * |hotKeys|` (≤ saltFactor * maxHotKeys rows) — on a
-    * skew-free input the operator degrades to the plain join plus one
-    * cheap sketch pass, instead of paying the full replication anyway.
-    *
-    * All MG candidates are treated as hot: over-salting a merely-warm key
-    * costs a handful of replicated dim rows, while under-salting a truly
-    * heavy one recreates the straggler — MG's guarantee (every key with
-    * freq > N/(maxHotKeys+1) surfaces) bounds the miss direction. */
   /** Skew DIAGNOSIS report — the planning step the salted operators
     * assume someone already did: which keys are heavy, how heavy, and
     * what salt factor would level each across the cluster. Returns one
@@ -148,6 +114,21 @@ object Skew {
       .orderBy(col("cnt").desc, col(keyCol))
   }
 
+  /** [[saltedJoin]] with the replication cost paid ONLY for keys that are
+    * actually hot: a Misra-Gries sketch over the fact keys finds up to
+    * `maxHotKeys` heavy-hitter candidates (the detection shuffle carries
+    * one small map per partition — never the keys themselves, no extra
+    * wide shuffle), hot fact rows take the salted join against the dim
+    * rows of those keys, and everything else takes the untouched plain
+    * join. Replicated-side cost drops from `saltFactor * |dim|` to
+    * `saltFactor * |hotKeys|` (≤ saltFactor * maxHotKeys rows) — on a
+    * skew-free input the operator degrades to the plain join plus one
+    * cheap sketch pass, instead of paying the full replication anyway.
+    *
+    * All MG candidates are treated as hot: over-salting a merely-warm key
+    * costs a handful of replicated dim rows, while under-salting a truly
+    * heavy one recreates the straggler — MG's guarantee (every key with
+    * freq > N/(maxHotKeys+1) surfaces) bounds the miss direction. */
   def hotSaltedJoin(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
                     saltFactor: Int = 32, maxHotKeys: Int = 64, seed: Long = 42L,
                     saltCol: Option[String] = None): DataFrame = {
@@ -196,6 +177,25 @@ object Skew {
     }
   }
 
+  /** Skew-resistant equi-join of a big (possibly key-skewed) fact side
+    * against a dimension side that is too large to broadcast: the fact
+    * side gets a deterministic row-content salt in [0, saltFactor), the
+    * dimension side is replicated once per salt value, and the join runs
+    * on (key, salt) — a heavy fact key spreads over `saltFactor` tasks
+    * instead of serializing into one.
+    *
+    * AQE's skew-join split already handles most sort-merge skew at
+    * runtime; use this when the skew mitigation must be IN THE PLAN —
+    * e.g. the output feeds a co-partitioned consumer AQE would re-plan
+    * around, or the join runs inside a cached/streaming subtree where
+    * AQE does not apply. Cost: `saltFactor * |dim|` shuffle rows on the
+    * replicated side — the standard trade.
+    *
+    * Same determinism rule as [[saltedAggregate]] (recomputed map tasks
+    * must re-derive identical salts), and the same identical-duplicate
+    * caveat: fact rows that are bit-for-bit equal hash to one salt; pass
+    * `saltCol` pointing at a unique/stable column when heavy keys are
+    * dominated by full-row duplicates. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
                  saltFactor: Int = 32, seed: Long = 42L,
                  saltCol: Option[String] = None): DataFrame = {

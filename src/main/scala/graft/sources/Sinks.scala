@@ -60,9 +60,20 @@ object Sinks {
     require(targetFileBytes >= (1L << 20), s"targetFileBytes must be >= 1 MiB")
     val fs = new org.apache.hadoop.fs.Path(inPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def parquetFiles(p: String) =
-      fs.listStatus(new org.apache.hadoop.fs.Path(p))
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    // Recursive walk: spark.read.parquet descends into Hive-style
+    // partition directories, so sizing must too — a flat listStatus over
+    // a partitioned layout sees only subdirectories, reports
+    // totalBytes = 0, and the rewrite would collapse the table to one
+    // file while both returned counts miss every real data file.
+    def parquetFiles(p: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+      def walk(d: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+        fs.listStatus(d).toSeq.flatMap { f =>
+          if (f.isDirectory) walk(f.getPath)
+          else if (f.getPath.getName.endsWith(".parquet")) Seq(f)
+          else Nil
+        }
+      walk(new org.apache.hadoop.fs.Path(p))
+    }
     val before = parquetFiles(inPath)
     val totalBytes = before.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)

@@ -59,13 +59,21 @@ object EventPipeline {
     * lags are one window operator — all of them share the single key
     * exchange and per-key sort, exactly like w2's rolling frame. With
     * α = 0.3, lag k = 8 carries weight 0.3·0.7⁸ ≈ 1.7% — the truncation
-    * error is bounded by (1−α)^k of the signal range. */
+    * error is bounded by (1−α)^k of the signal range.
+    *
+    * Duplicate timestamps within a key make the lag sequence — and thus
+    * the smoothed value — depend on tie order, so pass `tieCol` (a
+    * unique/stable id, the lastTouchAttribution (ts, event_id) pattern)
+    * whenever `timeCol` is not unique per key; with `tieCol = None` the
+    * caller asserts per-key-unique timestamps (true for the w6 hourly
+    * rollup, whose key IS the rollup grain). */
   def ewmaSmoothed(series: DataFrame, keyCol: String, timeCol: String,
                    valCol: String, alpha: Double = 0.3, k: Int = 8,
-                   outCol: String = "ewma"): DataFrame = {
+                   outCol: String = "ewma", tieCol: Option[String] = None): DataFrame = {
     require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0, 1), got $alpha")
     require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k")
-    val w = Window.partitionBy(keyCol).orderBy(timeCol)
+    val ordering = col(timeCol) +: tieCol.map(col).toSeq
+    val w = Window.partitionBy(keyCol).orderBy(ordering: _*)
     val terms = ewmaWeights(alpha, k).zipWithIndex.map { case (wt, j) =>
       val l = lag(col(valCol), j).over(w)
       (when(l.isNotNull, lit(wt)).otherwise(lit(0.0)),
