@@ -1632,6 +1632,30 @@ object OpsQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    "m8_mp3_meta" -> ((s, dir) => {
+      // MPEG-1 Layer III stream metadata over the REAL frame-header
+      // walk: every %10==3 doc plants a deterministic frame chain whose
+      // count / bitrate / sample rate are closed-form functions of
+      // doc_id, so the oracle derives every decoded field without
+      // replaying any byte math. Sample-level decode of compressed
+      // audio stays the documented stub — headers carry everything the
+      // curation gate needs (duration, CBR check, rate buckets).
+      val planted = docs(s, dir).filter(col("doc_id") % 10 === 3)
+        .select(col("doc_id"), Multimodal.mp3FramesPayload(
+          (col("doc_id") % 4 + 1).cast("int"),
+          (col("doc_id") % 14 + 1).cast("int"),
+          (col("doc_id") % 3).cast("int")).as("payload"))
+      Multimodal.withMp3Meta(planted, "payload")
+        .select(col("doc_id"),
+          col("mp3_meta.n_frames").cast("long").as("n_frames"),
+          col("mp3_meta.sample_rate").cast("long").as("sample_rate"),
+          col("mp3_meta.bitrate_min_kbps").cast("long").as("bitrate_min_kbps"),
+          col("mp3_meta.bitrate_max_kbps").cast("long").as("bitrate_max_kbps"),
+          col("mp3_meta.n_samples").as("n_samples"),
+          round(col("mp3_meta.duration_s") + lit(5e-10), 6).as("duration_s"))
+        .orderBy("doc_id")
+    }),
+
     // ---- incremental aggregate maintenance -----------------------------
     "u6_incremental_agg" -> ((s, dir) => {
       // materialized-view update: per-customer aggregate state from the
@@ -2608,6 +2632,18 @@ object OpsQueries {
         s"FROM q a JOIN q c ON a.clip_id < c.clip_id WHERE ($ham) <= 3 " +
         "ORDER BY id_a, id_b"
     },
+    "m8_mp3_meta" ->
+      // closed-form replay of the planting parameters (no byte math):
+      // n_frames = 1 + id%4, bitrate = MPEG-1 L3 table[1 + id%14],
+      // rate = [44100,48000,32000][id%3], 1152 samples per frame
+      ("WITH m AS (SELECT doc_id, (1 + doc_id % 4)::BIGINT AS n_frames, " +
+        "list_extract([44100,48000,32000], (doc_id % 3)::INT + 1)::BIGINT AS sample_rate, " +
+        "list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320], (1 + doc_id % 14)::INT)::BIGINT AS kbps " +
+        "FROM documents WHERE doc_id % 10 = 3) " +
+        "SELECT doc_id, n_frames, sample_rate, kbps AS bitrate_min_kbps, " +
+        "kbps AS bitrate_max_kbps, (n_frames * 1152)::BIGINT AS n_samples, " +
+        "ROUND((n_frames * 1152)::DOUBLE / sample_rate + 5e-10, 6) AS duration_s " +
+        "FROM m ORDER BY doc_id"),
     "u6_incremental_agg" ->
       // full recompute over every order — the merged state must equal it
       ("SELECT o_custkey, count(*)::BIGINT AS n, " +

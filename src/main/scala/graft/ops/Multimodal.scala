@@ -216,6 +216,129 @@ object Multimodal {
     bb.array()
   }
 
+  val mp3MetaType: StructType = StructType(Seq(
+    StructField("n_frames", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("bitrate_min_kbps", IntegerType),
+    StructField("bitrate_max_kbps", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("duration_s", DoubleType)))
+
+  // MPEG-1 Layer III header tables (ISO/IEC 11172-3): bitrate index
+  // 1..14 in kbps (0 = free format, 15 = forbidden — both rejected),
+  // sample-rate index 0..2 in Hz (3 = reserved)
+  private val mp3Bitrates =
+    Array(-1, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, -1)
+  private val mp3SampleRates = Array(44100, 48000, 32000, -1)
+
+  /** REAL MPEG-1 Layer III FRAME-HEADER decode — the metadata pass an
+    * audio-curation pipeline gates on before any transcode: walk the
+    * frame chain from byte 0 (11-bit sync, version 1, layer III,
+    * non-free bitrate index, non-reserved sample-rate index), step by
+    * each frame's own computed length `144000·kbps/rate + padding`, and
+    * fold stream totals: frame count, sample rate, min/max frame
+    * bitrate (min = max ⟺ CBR), samples (1152 per MPEG-1 Layer III
+    * frame) and duration. Returns None when byte 0 is not a valid
+    * frame header (no tag/garbage scan — callers strip ID3 first).
+    * A final frame cut off by truncation still COUNTS (its header
+    * parsed; crawl payloads are routinely cut off — same prefix policy
+    * as [[decodeWavPcm16]]); the walk stops at the first invalid sync.
+    * Sample-level (PCM) decode of compressed audio remains the one
+    * documented stub — headers carry everything the curation pass
+    * needs. */
+  private[ops] def decodeMp3Frames(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Long, Double)] = {
+    if (bytes == null || bytes.length < 4) return None
+    def u8(i: Int): Int = bytes(i) & 0xFF
+    // one frame header at `i`: Some((bitrateKbps, sampleRate, frameLen))
+    def header(i: Int): Option[(Int, Int, Int)] = {
+      if (i + 4 > bytes.length) return None
+      if (u8(i) != 0xFF || (u8(i + 1) & 0xE0) != 0xE0) return None
+      val versionBits = (u8(i + 1) >> 3) & 0x3
+      val layerBits = (u8(i + 1) >> 1) & 0x3
+      if (versionBits != 3 || layerBits != 1) return None // MPEG-1 Layer III only
+      val kbps = mp3Bitrates(u8(i + 2) >> 4)
+      val rate = mp3SampleRates((u8(i + 2) >> 2) & 0x3)
+      if (kbps < 0 || rate < 0) return None
+      val pad = (u8(i + 2) >> 1) & 0x1
+      Some((kbps, rate, 144000 * kbps / rate + pad))
+    }
+    header(0).map { case (kbps0, rate, len0) =>
+      var n = 0; var bMin = kbps0; var bMax = kbps0
+      var i = 0
+      var next: Option[(Int, Int, Int)] = Some((kbps0, rate, len0))
+      while (next.isDefined) {
+        val (kbps, r, len) = next.get
+        // a sample-rate switch mid-stream is not one stream — stop
+        if (r != rate) next = None
+        else {
+          n += 1
+          if (kbps < bMin) bMin = kbps
+          if (kbps > bMax) bMax = kbps
+          i += len
+          next = header(i)
+        }
+      }
+      val nSamples = n.toLong * 1152L
+      (n, rate, bMin, bMax, nSamples, nSamples.toDouble / rate)
+    }
+  }
+
+  /** Builder for deterministic MPEG-1 Layer III frame chains —
+    * fixture/planting helper (the m8 oracle derives every field of
+    * [[decodeMp3Frames]]' output in closed form from the planting
+    * parameters). `bitrateIdx` in 1..14, `srIdx` in 0..2; frame bodies
+    * are 'x' filler (header decode never reads them). */
+  def encodeMp3Frames(nFrames: Int, bitrateIdx: Int, srIdx: Int): Array[Byte] = {
+    require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
+    require(bitrateIdx >= 1 && bitrateIdx <= 14, s"bitrateIdx in 1..14, got $bitrateIdx")
+    require(srIdx >= 0 && srIdx <= 2, s"srIdx in 0..2, got $srIdx")
+    val kbps = mp3Bitrates(bitrateIdx)
+    val rate = mp3SampleRates(srIdx)
+    val frameLen = 144000 * kbps / rate // padding bit 0
+    val out = new Array[Byte](frameLen * nFrames)
+    java.util.Arrays.fill(out, 'x'.toByte)
+    var f = 0
+    while (f < nFrames) {
+      val o = f * frameLen
+      out(o) = 0xFF.toByte
+      out(o + 1) = 0xFB.toByte // sync | MPEG-1 (11) | Layer III (01) | no CRC
+      out(o + 2) = ((bitrateIdx << 4) | (srIdx << 2)).toByte // padding 0, private 0
+      out(o + 3) = 0xC4.toByte // mono, no mode ext, no copyright/original
+      f += 1
+    }
+    out
+  }
+
+  /** In-plan MP3 planting wrap: a Column building [[encodeMp3Frames]]
+    * chains from per-row parameters — the [[pngRgb8Payload]] pattern
+    * (scalar planting UDF justified: per-row codec byte construction
+    * with no built-in equivalent; never on a decode/hot path). */
+  def mp3FramesPayload(nFrames: org.apache.spark.sql.Column,
+                       bitrateIdx: org.apache.spark.sql.Column,
+                       srIdx: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val enc = udf((n: Int, b: Int, s: Int) => encodeMp3Frames(n, b, s))
+    enc(nFrames, bitrateIdx, srIdx)
+  }
+
+  /** Partition-wise MP3 stream-metadata extraction over a binary
+    * column: adds an `mp3_meta` struct ([[mp3MetaType]]) — null for
+    * payloads that do not start with a valid MPEG-1 Layer III frame.
+    * Same `mapPartitions` batch shape as [[withAudioStats]]. */
+  def withMp3Meta(df: DataFrame, payloadCol: String): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add(StructField("mp3_meta", mp3MetaType))
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val meta = decodeMp3Frames(r.getAs[Array[Byte]](payloadIdx))
+          .map { case (n, rate, bMin, bMax, ns, dur) => Row(n, rate, bMin, bMax, ns, dur) }
+          .orNull
+        Row.fromSeq(r.toSeq :+ meta)
+      }
+    }(enc)
+  }
+
   val imageStatsType: StructType = StructType(Seq(
     StructField("n_pixels", LongType),
     StructField("mean_r", DoubleType),

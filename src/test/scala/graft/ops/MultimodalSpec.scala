@@ -460,4 +460,61 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
         .orderBy("id_a", "id_b").collect().toSeq
     run(df1) shouldBe run(df7)
   }
+
+  test("decodeMp3Frames reads CBR chains: count, rate, bitrate, duration") {
+    // 3 frames at 128 kbps / 44100 Hz: frameLen = 144000*128/44100 = 417
+    val bytes = Multimodal.encodeMp3Frames(3, bitrateIdx = 9, srIdx = 0)
+    bytes.length shouldBe 3 * 417
+    val (n, rate, bMin, bMax, ns, dur) = Multimodal.decodeMp3Frames(bytes).get
+    n shouldBe 3
+    rate shouldBe 44100
+    bMin shouldBe 128; bMax shouldBe 128
+    ns shouldBe 3L * 1152L
+    dur shouldBe (3456.0 / 44100.0) +- 1e-15
+  }
+
+  test("decodeMp3Frames: VBR concatenation reports min/max frame bitrate") {
+    // two chains at the SAME sample rate, different bitrates, glued:
+    // frames are self-delimiting so the walk crosses the seam
+    val vbr = Multimodal.encodeMp3Frames(2, bitrateIdx = 5, srIdx = 1) ++ // 64 kbps
+      Multimodal.encodeMp3Frames(1, bitrateIdx = 14, srIdx = 1)          // 320 kbps
+    val (n, rate, bMin, bMax, _, _) = Multimodal.decodeMp3Frames(vbr).get
+    n shouldBe 3
+    rate shouldBe 48000
+    bMin shouldBe 64; bMax shouldBe 320
+  }
+
+  test("decodeMp3Frames: truncated final frame still counts (prefix policy)") {
+    val bytes = Multimodal.encodeMp3Frames(2, bitrateIdx = 9, srIdx = 0)
+    val cut = bytes.dropRight(100) // second header intact, body cut off
+    Multimodal.decodeMp3Frames(cut).map(_._1) shouldBe Some(2)
+  }
+
+  test("decodeMp3Frames rejects non-MP3 and stops at a mid-stream rate switch") {
+    Multimodal.decodeMp3Frames(null) shouldBe None
+    Multimodal.decodeMp3Frames("not audio at all".getBytes) shouldBe None
+    // MPEG-2 version bits (not MPEG-1): rejected
+    val v2 = Multimodal.encodeMp3Frames(1, 9, 0)
+    v2(1) = 0xF3.toByte // version bits 10 = MPEG-2
+    Multimodal.decodeMp3Frames(v2) shouldBe None
+    // free-format (bitrate idx 0) rejected
+    val free = Multimodal.encodeMp3Frames(1, 9, 0)
+    free(2) = 0x00.toByte
+    Multimodal.decodeMp3Frames(free) shouldBe None
+    // a sample-rate switch mid-stream ends the walk at the seam
+    val mixed = Multimodal.encodeMp3Frames(2, 9, 0) ++
+      Multimodal.encodeMp3Frames(2, 9, 2)
+    Multimodal.decodeMp3Frames(mixed).map(r => (r._1, r._2)) shouldBe Some((2, 44100))
+  }
+
+  test("withMp3Meta decodes planted chains in-plan, nulls the rest") {
+    val rows = Seq(
+      (1L, Multimodal.encodeMp3Frames(2, 9, 0)),
+      (2L, "definitely not an mp3 payload".getBytes))
+    val out = Multimodal.withMp3Meta(rows.toDF("id", "payload"), "payload")
+      .select(col("id"), col("mp3_meta.n_frames"), col("mp3_meta.sample_rate"))
+      .orderBy("id").collect()
+    out(0) shouldBe Row(1L, 2, 44100)
+    out(1).isNullAt(1) shouldBe true
+  }
 }
