@@ -645,6 +645,22 @@ object OpsQueries {
           table(s, dir, "orders").select(col("o_orderpriority"), col("o_orderkey")),
           "o_orderpriority", "o_orderkey", n = 5)
         .orderBy("o_orderpriority", "priority", "o_orderkey")),
+    "p10_dsir_weights" -> ((s, dir) =>
+      // DSIR importance weights: hashed-unigram target-vs-source log
+      // ratio per document (target = English docs, source = the whole
+      // corpus). Bucketing is the replayable positional char hash, so
+      // the oracle re-derives every bucket assignment AND the smoothed
+      // log-ratio model — the weight computation is hash-verified, not
+      // rows-only; the Gumbel-top-k select step over these weights is
+      // Sampling.importanceResample (determinism spec-pinned).
+      TextAnalysis.importanceWeights(
+          table(s, dir, "documents").select("doc_id", "text", "lang"),
+          "doc_id", "text",
+          targetCond = col("lang") === "en", buckets = 4096, alpha = 0.5)
+        .select(col("doc_id"), col("n_grams"),
+          round(col("logw_sum") + lit(5e-10), 6).as("logw_sum"),
+          round(col("logw_avg") + lit(5e-10), 6).as("logw_avg"))
+        .orderBy("doc_id")),
     "p1_hash_split" -> ((s, dir) => {
       // replayable split: holdout = Lehmer priority below 0.2·M — the
       // oracle re-derives MEMBERSHIP itself (hash-PASS, not rows-only)
@@ -3017,6 +3033,27 @@ object OpsQueries {
         "ORDER BY priority, o_orderkey) AS rk FROM pr) " +
         "SELECT o_orderpriority, o_orderkey, priority FROM r WHERE rk <= 5 " +
         "ORDER BY o_orderpriority, priority, o_orderkey"),
+    "p10_dsir_weights" ->
+      // full model replay: normalize tokens to [a-z0-9], bucket with the
+      // positional char hash (1-based list_transform index == Spark's
+      // 0-based i + 1), rebuild both smoothed count profiles, rescore
+      (s"WITH tkn AS (SELECT doc_id, lang, ${toksOf("text")} AS tk FROM documents), " +
+        "occ AS (SELECT doc_id, lang, unnest(tk) AS t FROM tkn), " +
+        "nrm AS (SELECT doc_id, lang, regexp_replace(t, '[^a-z0-9]', '', 'g') AS t FROM occ), " +
+        "hb AS (SELECT doc_id, lang, " +
+        "list_sum(list_transform(list_transform(string_split(t, ''), c -> unicode(c)), " +
+        "(c, i) -> c * ((i * 2654435761) % 1048573))) % 1048573 % 4096 AS b " +
+        "FROM nrm WHERE length(t) > 0), " +
+        "cnt AS (SELECT b, sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS tc, " +
+        "count(*)::BIGINT AS sc FROM hb GROUP BY b), " +
+        "tot AS (SELECT sum(tc)::BIGINT AS tt, sum(sc)::BIGINT AS ts FROM cnt), " +
+        "llr AS (SELECT b, ln((tc + 0.5) / (tt + 0.5 * 4096)) - ln((sc + 0.5) / (ts + 0.5 * 4096)) AS llr " +
+        "FROM cnt CROSS JOIN tot), " +
+        "sc2 AS (SELECT hb.doc_id, l.llr FROM hb JOIN llr l USING (b)) " +
+        "SELECT doc_id, count(*)::BIGINT AS n_grams, " +
+        "round(sum(llr) + 5e-10, 6) AS logw_sum, " +
+        "round(avg(llr) + 5e-10, 6) AS logw_avg " +
+        "FROM sc2 GROUP BY doc_id ORDER BY doc_id"),
     "p1_hash_split" ->
       // Lehmer membership replay: holdout iff priority < floor(0.2 * (2^31-1))
       ("SELECT doc_id, lang FROM documents " +

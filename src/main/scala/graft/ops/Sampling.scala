@@ -227,6 +227,35 @@ object Sampling {
         (col("epoch") === fullEpochs && u < rate - fullEpochs))
   }
 
+  /** Importance RESAMPLING via the Gumbel-top-k trick — the DSIR select
+    * step over [[graft.ops.TextAnalysis.importanceWeights]]' output (or
+    * any log-weight column): drawing k rows WITHOUT replacement with
+    * probability ∝ exp(logw / temperature) is exactly "take the k
+    * largest `logw/T + G_i`" with standard Gumbel noise
+    * `G = −ln(−ln(u))`. The noise is DETERMINISTIC — `u ∈ (0,1)` comes
+    * from the [[lehmerPriority]] permutation of `idCol` — so re-runs
+    * reproduce the identical sample on any partitioning (spec-pinned),
+    * and a new `seed` is a fresh independent draw.
+    *
+    * Scale shape: one narrow projection, then `orderBy(key).limit(k)` —
+    * Spark plans TakeOrderedAndProject, a per-partition top-k merged on
+    * the driver, NOT a global sort; k rows is the only thing that
+    * moves. `temperature` → 0 degenerates toward deterministic top-k by
+    * weight; large T toward uniform. */
+  def importanceResample(df: DataFrame, idCol: String, logwCol: String,
+                         k: Int, seed: Long = 1L,
+                         temperature: Double = 1.0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(temperature > 0, s"temperature must be > 0, got $temperature")
+    // u in (0, 1): priority in [0, M), shifted to (0, M] then scaled by
+    // 1/(M+1) — both endpoints strictly excluded, log(-log(u)) total
+    val u = (lehmerPriority(col(idCol), seed).cast("double") + lit(1.0)) /
+      lit(2147483648.0)
+    val key = col(logwCol) / lit(temperature) - log(-log(u))
+    df.withColumn("__gk", key).orderBy(col("__gk").desc, col(idCol)).limit(k)
+      .drop("__gk")
+  }
+
   /** Deterministic epoch shuffle: a seeded pseudo-random but REPRODUCIBLE
     * global reordering — `orderBy(xxhash64(id, seed))`, i.e. one
     * range-partitioned sort on an 8-byte key. Changing `seed` gives an

@@ -398,6 +398,71 @@ object TextAnalysis {
       .withColumn("ppl", exp(-col("avg_logp")))
   }
 
+  // --- DSIR-style importance weights ----------------------------------
+
+  /** Replayable hashed-gram bucket for a NORMALIZED ([a-z0-9]+) token:
+    * a positional weighted character sum, `Σ code(c_i) · w_i mod P mod
+    * buckets` with `w_i = (i+1) · 2654435761 mod P` (Knuth's
+    * multiplicative constant spreads positions over the prime
+    * P = 1048573) — exact integer arithmetic end to end, so an external
+    * engine re-derives every bucket assignment (the lmScore/p9
+    * discipline: auditability beats xxhash's mixing here; max
+    * intermediate `code·w < 2^27`, token sums < 2^41). */
+  def hashedGramBucket(tok: Column, buckets: Int): Column = {
+    val p = 1048573L
+    val codes = transform(split(tok, ""), c => ascii(c).cast("long"))
+    val weighted = transform(codes, (c, i) =>
+      c * pmod((i.cast("long") + lit(1L)) * lit(2654435761L), lit(p)))
+    pmod(pmod(aggregate(weighted, lit(0L), (a, x) => a + x), lit(p)), lit(buckets.toLong))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by `log w(x) = Σ_g [log p_target(bucket(g)) −
+    * log p_source(bucket(g))]` over its hashed unigram occurrences,
+    * where both bucket models are add-α-smoothed count profiles —
+    * target = rows satisfying `targetCond`, source = the whole corpus.
+    * High-weight documents look like the target distribution; feeding
+    * them to [[Sampling.importanceResample]] (Gumbel top-k) completes
+    * the DSIR select step.
+    *
+    * Scale shape: tokens normalize to [a-z0-9] and bucket via the
+    * replayable [[hashedGramBucket]] in one projection; the two count
+    * profiles are ONE map-side-combinable aggregate over the exploded
+    * occurrences (`buckets` output rows — aggregate-sized, broadcast
+    * back with the 1-row totals, the x4 corpus-count pattern); scoring
+    * is a broadcast join + per-doc aggregate. Two corpus scans (model +
+    * score), zero corpus shuffles beyond the per-doc aggregate — the
+    * lmScore shape. Documents with no surviving normalized token are
+    * absent from the output (they have no grams to weigh).
+    *
+    * Output: (idCol, n_grams, logw_sum, logw_avg) — `logw_sum` is the
+    * DSIR weight; `logw_avg` the length-stabilized variant. */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+                        targetCond: Column, buckets: Int = 4096,
+                        alpha: Double = 0.5): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    val norm = docs.select(col(idCol), targetCond.as("__is_t"),
+        filter(
+          transform(tokens(lower(col(textCol))), t => regexp_replace(t, "[^a-z0-9]", "")),
+          t => length(t) > 0).as("__nt"))
+    val pairs = norm.select(col(idCol), col("__is_t"),
+      explode(transform(col("__nt"), t => hashedGramBucket(t, buckets))).as("__b"))
+    val counts = pairs.groupBy("__b").agg(
+      sum(when(col("__is_t"), 1L).otherwise(0L)).as("__tc"),
+      count(lit(1)).as("__sc"))
+    val tot = broadcast(counts.agg(
+      sum("__tc").as("__T"), sum("__sc").as("__S")))
+    val llr = broadcast(counts.crossJoin(tot).select(col("__b"),
+      (log((col("__tc") + lit(alpha)) / (col("__T") + lit(alpha * buckets))) -
+        log((col("__sc") + lit(alpha)) / (col("__S") + lit(alpha * buckets)))).as("__llr")))
+    pairs.join(llr, Seq("__b"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum("__llr").as("logw_sum"), avg("__llr").as("logw_avg"))
+  }
+
   // --- fingerprinting -------------------------------------------------
 
   /** Character k-gram rolling-hash fingerprint (winnowing-style): hash

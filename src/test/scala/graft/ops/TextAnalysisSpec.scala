@@ -257,4 +257,30 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     out(6) shouldBe "https://example.org/a?id=7&utm_source=x"
     out(7) shouldBe "no url at all"
   }
+
+  test("importanceWeights: target-looking docs outscore source-only vocabulary") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // target corpus speaks one vocabulary, the rest another; a held-out
+    // doc in target vocabulary must outweigh one in source vocabulary
+    val docs = (
+      (1L to 20L).map(i => (i, "alpha beta gamma delta epsilon", true)) ++
+      (21L to 40L).map(i => (i, "uno dos tres cuatro cinco", false)) ++
+      Seq((100L, "alpha beta gamma", false),   // target-like held-out
+          (101L, "uno dos tres", false))       // source-like held-out
+    ).toDF("id", "text", "is_t")
+    val w = TextAnalysis.importanceWeights(docs, "id", "text", col("is_t"),
+        buckets = 512, alpha = 0.5)
+      .select("id", "logw_avg").as[(Long, Double)].collect().toMap
+    w(100L) should be > w(101L)
+    // n_grams counts occurrences WITH multiplicity
+    val rep = Seq((1L, "word word word", true)).toDF("id", "text", "is_t")
+    TextAnalysis.importanceWeights(rep, "id", "text", col("is_t"))
+      .select("n_grams").as[Long].head() shouldBe 3L
+    // hashedGramBucket is stable, in range, and spreads distinct tokens
+    val toks = Seq("alpha", "beta", "gamma", "delta", "epsilon").toDF("t")
+    val bs = toks.select(TextAnalysis.hashedGramBucket(col("t"), 4096).as("b"))
+      .as[Long].collect()
+    all(bs) should (be >= 0L and be < 4096L)
+    bs.distinct.length should be > 1
+  }
 }
