@@ -1220,28 +1220,15 @@ object OpsQueries {
         .orderBy("o_orderkey")
     }),
     "a10_anomaly" -> ((s, dir) => {
-      // rolling z-score outlier detection over hourly event counts: the
-      // trailing-24h mean/var derive from window sums of exact longs
-      // (count, sum, sum-of-squares), so z is the identical double in
-      // both engines — the frame excludes the current row (self-exclusion
-      // keeps a spike from masking itself), and short history (< 12
-      // prior hours) is skipped rather than scored against noise.
-      import org.apache.spark.sql.expressions.Window
+      // rolling z-score outlier detection over hourly event counts —
+      // the shared rollingZAnomalies read-out (exact-long window
+      // moments, self-excluding frame, <12-prior-hours skip), which the
+      // streaming twin reads identically off maintainAggState state
+      // (parity spec-pinned in EventPipelineSpec).
       val hourly = Util.events(s, dir)
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
         .agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-24, -1)
-      hourly
-        .withColumn("cnt", count(lit(1)).over(w))
-        .withColumn("s", sum("n").over(w))
-        .withColumn("ssq", sum(col("n") * col("n")).over(w))
-        .filter(col("cnt") >= 12)
-        .withColumn("vr",
-          (col("ssq").cast("double") - col("s").cast("double") * col("s") / col("cnt")) / col("cnt"))
-        .filter(col("vr") > 0)
-        .withColumn("z",
-          (col("n").cast("double") - col("s").cast("double") / col("cnt")) / sqrt(col("vr")))
-        .filter(abs(col("z")) >= 2.0)
+      EventPipeline.rollingZAnomalies(hourly)
         .select(col("event_type"),
           date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("h"),
           col("n"), round(col("z") + lit(5e-10), 6).as("z"))
@@ -1308,27 +1295,17 @@ object OpsQueries {
         .orderBy("src", "rank")),
 
     "e15_retention_cohorts" -> ((s, dir) => {
-      // cohort retention: users grouped by first-seen day, retention =
-      // distinct users active at each day offset. Two map-side
-      // aggregates (first-seen via min, activity via distinct
-      // (user, day)) + one user-key join; the rate divides exact longs.
-      // The classic product-analytics grid, capped at offsets 0-7 to
-      // keep output cardinality fixed.
+      // cohort retention grid — the shared retentionGrid read-out
+      // (first-seen via mergeable min, activity via distinct
+      // (user, day), one user-key join; exact-long rate), which the
+      // streaming twin reads identically off maintainAggState
+      // (user_id, d) state (parity spec-pinned in EventPipelineSpec).
+      // Capped at offsets 0-7 to keep output cardinality fixed.
       val ev = Util.events(s, dir).select(col("user_id"), to_date(col("ts")).as("d"))
-      val firstSeen = ev.groupBy("user_id").agg(min("d").as("cohort_day"))
-      val active = ev.distinct()
-      active.join(firstSeen, Seq("user_id"))
-        .withColumn("day_offset", datediff(col("d"), col("cohort_day")))
-        .filter(col("day_offset") <= 7)
-        .groupBy("cohort_day", "day_offset")
-        .agg(count_distinct(col("user_id")).as("n_active"))
-        .withColumn("n_cohort",
-          max(when(col("day_offset") === 0, col("n_active"))).over(
-            org.apache.spark.sql.expressions.Window.partitionBy("cohort_day")))
+      EventPipeline.retentionGrid(ev, maxOffset = 7)
         .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
-          col("day_offset").cast("long").as("day_offset"), col("n_active"),
-          round(col("n_active").cast("double") / col("n_cohort") + lit(5e-10), 6)
-            .as("retention"))
+          col("day_offset"), col("n_active"),
+          round(col("retention") + lit(5e-10), 6).as("retention"))
         .orderBy("cohort_day", "day_offset")
     }),
 

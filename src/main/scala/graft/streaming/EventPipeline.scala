@@ -156,6 +156,60 @@ object EventPipeline {
       .select(col("event_type"), col("w_start"), col("n"), col("z"))
   }
 
+  /** Rolling z-score anomaly detection over an hourly rollup
+    * (event_type, h, n) — the a10 batch query's scoring step, factored
+    * out so the SAME derivation reads either a one-shot `groupBy`
+    * rollup or [[maintainAggState]]-maintained hourly state (the a10
+    * streaming twin; stream/batch parity spec-pinned). The trailing
+    * mean/var derive from window sums of exact longs, the frame
+    * excludes the current row (a spike must not mask itself), and
+    * short history (< `minHistory` prior hours) is skipped rather than
+    * scored against noise. One window pass over rollup-sized rows —
+    * |event types| × hours, never raw events. */
+  def rollingZAnomalies(hourly: DataFrame, window: Int = 24,
+                        minHistory: Int = 12, zThresh: Double = 2.0): DataFrame = {
+    require(window >= minHistory, s"window $window < minHistory $minHistory")
+    val w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-window, -1)
+    hourly
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("s", sum("n").over(w))
+      .withColumn("ssq", sum(col("n") * col("n")).over(w))
+      .filter(col("cnt") >= minHistory)
+      .withColumn("vr",
+        (col("ssq").cast("double") - col("s").cast("double") * col("s") / col("cnt")) / col("cnt"))
+      .filter(col("vr") > 0)
+      .withColumn("z",
+        (col("n").cast("double") - col("s").cast("double") / col("cnt")) / sqrt(col("vr")))
+      .filter(abs(col("z")) >= zThresh)
+      .select(col("event_type"), col("h"), col("n"), col("z"))
+  }
+
+  /** Cohort retention grid over per-(user, day) activity — the e15
+    * batch query's derivation, factored out so the SAME read-out runs
+    * over a one-shot `distinct` or over [[maintainAggState]]-maintained
+    * (user_id, d) activity state (the e15 streaming twin; stream/batch
+    * parity spec-pinned). Cohort = each user's first-seen day (min —
+    * mergeable, so maintained state converges to it); retention =
+    * distinct active users at each day offset / cohort size. Input
+    * needs (user_id, d) columns; extra state columns (counts) are
+    * ignored via the leading distinct. Aggregate-grid output:
+    * |cohort days| × (maxOffset + 1) rows. */
+  def retentionGrid(activity: DataFrame, maxOffset: Int = 7): DataFrame = {
+    val act = activity.select(col("user_id"), col("d")).distinct()
+    val firstSeen = act.groupBy("user_id").agg(min("d").as("cohort_day"))
+    act.join(firstSeen, Seq("user_id"))
+      .withColumn("day_offset", datediff(col("d"), col("cohort_day")))
+      .filter(col("day_offset") <= maxOffset)
+      .groupBy("cohort_day", "day_offset")
+      .agg(count_distinct(col("user_id")).as("n_active"))
+      .withColumn("n_cohort",
+        max(when(col("day_offset") === 0, col("n_active"))).over(
+          Window.partitionBy("cohort_day")))
+      .select(col("cohort_day"), col("day_offset").cast("long").as("day_offset"),
+        col("n_active"),
+        (col("n_active").cast("double") / col("n_cohort")).as("retention"))
+  }
+
   /** File-source streaming read of a testdata scale-factor directory's
     * events table (streaming sources read directories, so the single
     * events.parquet file is selected with a glob filter). The read schema

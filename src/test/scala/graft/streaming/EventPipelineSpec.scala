@@ -596,4 +596,86 @@ class EventPipelineSpec extends AnyFunSuite with Matchers {
       got shouldBe direct
     } finally q.stop()
   }
+
+  test("rollingZAnomalies over maintained hourly state equals the batch path (a10 twin)") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.{DataFrame, Row}
+    import org.apache.spark.sql.functions.{col, count, date_trunc, lit}
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Event]
+    var state: Option[(Seq[Row], org.apache.spark.sql.types.StructType)] = None
+    def get(): Option[DataFrame] =
+      state.map { case (rows, sch) => spark.createDataFrame(rows.asJava, sch) }
+    def set(df: DataFrame): Unit = state = Some((df.collect().toSeq, df.schema))
+    // maintain the hourly (event_type, h) rollup the a10 read-out scores
+    val keyed = input.toDF().withColumn("h", date_trunc("hour", col("ts")))
+    val q = EventPipeline.maintainAggState(keyed, Seq("event_type", "h"),
+      Seq(count(lit(1)).as("n")), Map("n" -> "sum"))(get _, set _)
+    val fed = scala.collection.mutable.ArrayBuffer[Event]()
+    def feed(es: Event*): Unit = { fed ++= es; input.addData(es: _*); q.processAllAvailable() }
+    try {
+      // alternating 1/2-per-hour baseline for 9 hours (nonzero variance,
+      // |z| <= 1 everywhere), then a 6-event spike in hour 9; split
+      // mid-hour across batches so state merging is exercised
+      var id = 0L
+      def ev(hhmm: String): Event = { id += 1; Event(id, ts(hhmm), id % 3, "click", 1.0) }
+      feed((0 to 8).flatMap(i =>
+        ev(f"$i%02d:15") +: (if (i % 2 == 0) Seq(ev(f"$i%02d:45")) else Nil)): _*)
+      feed(ev("09:01"), ev("09:10"), ev("09:20"))
+      feed(ev("09:30"), ev("09:40"), ev("09:50"))
+      val params = (6, 4, 1.5) // window, minHistory, zThresh — spec-sized
+      def score(hourly: DataFrame): Seq[Seq[Any]] =
+        EventPipeline.rollingZAnomalies(hourly, params._1, params._2, params._3)
+          .orderBy("event_type", "h").collect().map(_.toSeq).toSeq
+      val got = score(get().get)
+      val direct = score(fed.toSeq.toDF()
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n")))
+      got shouldBe direct
+      got should not be empty // the spike actually scores
+    } finally q.stop()
+  }
+
+  test("retentionGrid over maintained (user, day) state equals the batch path (e15 twin)") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.{DataFrame, Row}
+    import org.apache.spark.sql.functions.{col, count, lit, to_date}
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Event]
+    var state: Option[(Seq[Row], org.apache.spark.sql.types.StructType)] = None
+    def get(): Option[DataFrame] =
+      state.map { case (rows, sch) => spark.createDataFrame(rows.asJava, sch) }
+    def set(df: DataFrame): Unit = state = Some((df.collect().toSeq, df.schema))
+    val keyed = input.toDF().withColumn("d", to_date(col("ts")))
+    val q = EventPipeline.maintainAggState(keyed, Seq("user_id", "d"),
+      Seq(count(lit(1)).as("n")), Map("n" -> "sum"))(get _, set _)
+    val fed = scala.collection.mutable.ArrayBuffer[Event]()
+    def feed(es: Event*): Unit = { fed ++= es; input.addData(es: _*); q.processAllAvailable() }
+    def at(day: Int, hhmm: String, user: Long): Event = {
+      val t = java.sql.Timestamp.valueOf(f"2024-03-${10 + day}%02d $hhmm:00")
+      Event(fed.size + 1L, t, user, "click", 1.0)
+    }
+    try {
+      // cohort A (users 1,2) starts day 0; user 2 churns after day 1;
+      // cohort B (user 3) starts day 1; duplicate same-day activity
+      // (user 1 twice on day 0) must not double-count
+      feed(at(0, "09:00", 1L), at(0, "17:30", 1L), at(0, "10:00", 2L))
+      feed(at(1, "11:00", 1L), at(1, "12:00", 2L), at(1, "13:00", 3L))
+      feed(at(2, "09:30", 1L), at(2, "10:30", 3L))
+      def grid(activity: DataFrame): Seq[Seq[Any]] =
+        EventPipeline.retentionGrid(activity, maxOffset = 7)
+          .orderBy("cohort_day", "day_offset").collect().map(_.toSeq).toSeq
+      val got = grid(get().get)
+      val direct = grid(fed.toSeq.toDF()
+        .select(col("user_id"), to_date(col("ts")).as("d")))
+      got shouldBe direct
+      // spot-check the semantics: cohort 03-10 has 2 users, both active
+      // at offset 1, one at offset 2
+      val m = got.map(r => (r(0).toString, r(1)) -> (r(2), r(3))).toMap
+      m(("2024-03-10", 0L)) shouldBe ((2L, 1.0))
+      m(("2024-03-10", 1L)) shouldBe ((2L, 1.0))
+      m(("2024-03-10", 2L)) shouldBe ((1L, 0.5))
+      m(("2024-03-11", 1L))._1 shouldBe 1L
+    } finally q.stop()
+  }
 }
