@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{BloomJoin, Clustering, Curation, Dedup, Graph, Histograms, Merge, Multimodal, Packing, Sampling, Search, Similarity, TextAnalysis}
+import graft.ops.{BloomJoin, Clustering, Curation, Dedup, Graph, Histograms, Merge, Multimodal, Packing, Quality, Sampling, Search, Similarity, TextAnalysis}
 import graft.streaming.EventPipeline
 import graft.Util.table
 
@@ -645,6 +645,40 @@ object OpsQueries {
           table(s, dir, "orders").select(col("o_orderpriority"), col("o_orderkey")),
           "o_orderpriority", "o_orderkey", n = 5)
         .orderBy("o_orderpriority", "priority", "o_orderkey")),
+    "q1_quality_suite" -> ((s, dir) => {
+      // declarative write-audit-publish gate over orders: scalar checks
+      // share ONE aggregate pass; uniqueness is a (count, distinct)
+      // pair; referential is one anti-join count against a planted
+      // two-thirds reference (so the orphan branch actually exercises).
+      // The mix is chosen to emit both passing and failing rows.
+      val orders = table(s, dir, "orders")
+      val customerRef = table(s, dir, "customer").filter(col("c_custkey") % 3 =!= 0)
+      Quality.checkSuite(orders, Seq(
+          Quality.NotNull("o_custkey"),
+          Quality.InRange("o_totalprice", 0.0, 400000.0, maxBadFrac = 0.05),
+          Quality.MatchesRegex("o_orderpriority", "^[1-5]-"),
+          Quality.Unique(Seq("o_orderkey")),
+          Quality.Unique(Seq("o_custkey"), maxBadFrac = 0.5),
+          Quality.Referential("o_custkey", customerRef, "c_custkey", maxBadFrac = 0.1)))
+        .select(col("check"), col("target"), col("n_rows"), col("n_bad"),
+          round(col("bad_frac") + lit(5e-10), 6).as("bad_frac"),
+          round(col("threshold") + lit(5e-10), 6).as("threshold"),
+          col("passed").cast("long").as("passed"))
+        .orderBy("check", "target")
+    }),
+    "p11_negative_samples" -> ((s, dir) => {
+      // contrastive-training negatives: 3 per anchor from a bounded
+      // deterministic pool (vec_id % 101 — scale-proportional, always
+      // under the literal-array cap), slot probes on the Lehmer
+      // permutation with bounded same-label rejection — the whole draw
+      // is exact integer math the oracle replays, selections included
+      val items = table(s, dir, "embeddings").select(col("vec_id"), col("label"))
+      val pool = items.filter(col("vec_id") % 101 === 0)
+      Sampling.negativeSamples(items, pool, "vec_id", "label", k = 3)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("slot"), col("neg_id"))
+        .orderBy("vec_id", "slot")
+    }),
     "p10_dsir_weights" -> ((s, dir) =>
       // DSIR importance weights: hashed-unigram target-vs-source log
       // ratio per document (target = English docs, source = the whole
@@ -3010,6 +3044,46 @@ object OpsQueries {
         "ORDER BY priority, o_orderkey) AS rk FROM pr) " +
         "SELECT o_orderpriority, o_orderkey, priority FROM r WHERE rk <= 5 " +
         "ORDER BY o_orderpriority, priority, o_orderkey"),
+    "q1_quality_suite" ->
+      // every check recomputed as a scalar CTE; fractions divide the
+      // same exact longs; CHECK is a reserved word -> quoted alias
+      ("WITH t AS (SELECT count(*)::BIGINT AS n FROM orders), " +
+        "c1 AS (SELECT 'not_null' AS c, 'o_custkey' AS target, " +
+        "coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0)::BIGINT AS n_bad, 0.0 AS threshold FROM orders), " +
+        "c2 AS (SELECT 'in_range', 'o_totalprice[0.0,400000.0]', " +
+        "coalesce(sum(CASE WHEN o_totalprice IS NOT NULL AND (o_totalprice < 0.0 OR o_totalprice > 400000.0) THEN 1 ELSE 0 END), 0)::BIGINT, 0.05 FROM orders), " +
+        "c3 AS (SELECT 'matches_regex', 'o_orderpriority~^[1-5]-', " +
+        "coalesce(sum(CASE WHEN o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END), 0)::BIGINT, 0.0 FROM orders), " +
+        "c4 AS (SELECT 'unique', 'o_orderkey', (count(*) - count(DISTINCT o_orderkey))::BIGINT, 0.0 FROM orders), " +
+        "c5 AS (SELECT 'unique', 'o_custkey', (count(*) - count(DISTINCT o_custkey))::BIGINT, 0.5 FROM orders), " +
+        "c6 AS (SELECT 'referential', 'o_custkey->c_custkey', " +
+        "(SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL AND NOT EXISTS " +
+        "(SELECT 1 FROM customer c WHERE c.c_custkey % 3 <> 0 AND c.c_custkey = o.o_custkey))::BIGINT, 0.1), " +
+        "u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3 " +
+        "UNION ALL SELECT * FROM c4 UNION ALL SELECT * FROM c5 UNION ALL SELECT * FROM c6) " +
+        "SELECT u.c AS \"check\", u.target, t.n AS n_rows, u.n_bad, " +
+        "round(u.n_bad::DOUBLE / t.n + 5e-10, 6) AS bad_frac, " +
+        "round(u.threshold + 5e-10, 6) AS threshold, " +
+        "((u.n_bad::DOUBLE / t.n) <= u.threshold)::BIGINT AS passed " +
+        "FROM u CROSS JOIN t ORDER BY \"check\", u.target"),
+    "p11_negative_samples" ->
+      // pool lists rebuilt in SQL (ordered by vec_id, the same sort the
+      // operator collects under), then the identical Lehmer-probe walk
+      ("WITH pool AS (SELECT list(vec_id ORDER BY vec_id) AS ids, " +
+        "list(label ORDER BY vec_id) AS labs, count(*)::BIGINT AS n FROM " +
+        "(SELECT DISTINCT vec_id::BIGINT AS vec_id, label::BIGINT AS label FROM embeddings " +
+        "WHERE vec_id IS NOT NULL AND label IS NOT NULL AND vec_id % 101 = 0)), " +
+        "a AS (SELECT vec_id::BIGINT AS vec_id, label::BIGINT AS label FROM embeddings), " +
+        "s AS (SELECT a.vec_id, a.label, r.s AS slot FROM a, range(3) r(s)), " +
+        "b AS (SELECT s.vec_id, s.label, s.slot, pool.ids, pool.labs, pool.n, " +
+        "(((s.vec_id * 3 + s.slot + 1) % 2147483647) * 48271 % 2147483647 * 48271 % 2147483647) % pool.n AS base " +
+        "FROM s CROSS JOIN pool) " +
+        "SELECT vec_id, label, slot::BIGINT AS slot, COALESCE(" +
+        (0 until 8).map(r =>
+          s"CASE WHEN list_extract(labs, ((base + $r) % n + 1)::INT) <> label " +
+          s"AND list_extract(ids, ((base + $r) % n + 1)::INT) <> vec_id " +
+          s"THEN list_extract(ids, ((base + $r) % n + 1)::INT) END").mkString(", ") +
+        ") AS neg_id FROM b ORDER BY vec_id, slot"),
     "p10_dsir_weights" ->
       // full model replay: normalize tokens to [a-z0-9], bucket with the
       // positional char hash (1-based list_transform index == Spark's

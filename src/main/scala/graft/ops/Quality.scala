@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StringType, StructField, StructType}
+
+/** Declarative data-quality constraint suite — the write-audit-publish
+  * gate every production table pass runs before results are published
+  * (the Deequ/dbt-tests shape, expressed Spark-first): the caller
+  * declares constraints, the engine evaluates them in as few jobs as
+  * the constraint mix allows and returns one report row per check.
+  *
+  * Scale shape: every SCALAR check (null fraction, range, regex) folds
+  * into ONE shared aggregate pass over the table — adding a tenth check
+  * costs one more conditional sum inside the same scan, not another
+  * job. Each uniqueness check is one (count, count-distinct) aggregate
+  * of its key tuple; each referential check is one broadcast-friendly
+  * left-anti count against its reference keys. Everything the driver
+  * touches is aggregate-sized (one row per job); the report itself is
+  * |checks| rows.
+  *
+  * Fractions divide exact longs, so an external engine derives the
+  * identical doubles and the pass/fail cut cannot flake (the a10
+  * discipline). An empty table passes every check vacuously
+  * (bad_frac = 0 by definition — there is nothing to violate).
+  */
+object Quality {
+
+  /** One declared constraint. `maxBadFrac` is the tolerated violation
+    * fraction — 0.0 means "no violations allowed". */
+  sealed trait Check
+
+  /** Null fraction of `column` must be <= maxBadFrac. */
+  final case class NotNull(column: String, maxBadFrac: Double = 0.0) extends Check
+
+  /** Fraction of NON-NULL values outside [lo, hi] must be <= maxBadFrac
+    * (nulls are NotNull's business — counting them twice would make one
+    * data problem fail two unrelated checks). */
+  final case class InRange(column: String, lo: Double, hi: Double,
+                           maxBadFrac: Double = 0.0) extends Check
+
+  /** Fraction of NON-NULL values NOT matching `pattern` (Java regex,
+    * `rlike` semantics — unanchored; anchor explicitly for full-string
+    * matches) must be <= maxBadFrac. */
+  final case class MatchesRegex(column: String, pattern: String,
+                                maxBadFrac: Double = 0.0) extends Check
+
+  /** Fraction of rows carrying a duplicated key tuple (rows beyond the
+    * first of each distinct tuple) must be <= maxBadFrac. */
+  final case class Unique(columns: Seq[String], maxBadFrac: Double = 0.0) extends Check
+
+  /** Fraction of NON-NULL `column` values absent from `ref.refColumn`
+    * (orphans) must be <= maxBadFrac. */
+  final case class Referential(column: String, ref: DataFrame, refColumn: String,
+                               maxBadFrac: Double = 0.0) extends Check
+
+  private val reportSchema = StructType(Seq(
+    StructField("check", StringType, nullable = false),
+    StructField("target", StringType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("n_bad", LongType, nullable = false),
+    StructField("bad_frac", DoubleType, nullable = false),
+    StructField("threshold", DoubleType, nullable = false),
+    StructField("passed", BooleanType, nullable = false)))
+
+  /** Evaluate `checks` against `df`; returns the |checks|-row report
+    * (check, target, n_rows, n_bad, bad_frac, threshold, passed) in
+    * declaration order. See the object doc for the job layout. */
+  def checkSuite(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "checkSuite needs at least one check")
+    val spark = df.sparkSession
+    // ---- one shared aggregate for every scalar check ----
+    val scalar: Seq[(Check, org.apache.spark.sql.Column)] = checks.collect {
+      case c @ NotNull(col0, _) =>
+        c -> sum(when(col(col0).isNull, 1L).otherwise(0L))
+      case c @ InRange(col0, lo, hi, _) =>
+        c -> sum(when(col(col0).isNotNull &&
+          (col(col0) < lit(lo) || col(col0) > lit(hi)), 1L).otherwise(0L))
+      case c @ MatchesRegex(col0, pat, _) =>
+        c -> sum(when(col(col0).isNotNull && !col(col0).rlike(pat), 1L).otherwise(0L))
+    }
+    val aggCols = count(lit(1)).as("__n") +:
+      scalar.zipWithIndex.map { case ((_, e), i) => coalesce(e, lit(0L)).as(s"__b$i") }
+    val head = df.agg(aggCols.head, aggCols.tail: _*).head()
+    val nRows = head.getLong(0)
+    val scalarBad: Map[Check, Long] =
+      scalar.zipWithIndex.map { case ((c, _), i) => c -> head.getLong(i + 1) }.toMap
+    // ---- one (count, distinct) aggregate per uniqueness check ----
+    val uniqueBad: Map[Check, Long] = checks.collect { case c @ Unique(cols0, _) =>
+      require(cols0.nonEmpty, "Unique check needs at least one column")
+      val r = df.agg(count(lit(1)).as("n"),
+        count_distinct(struct(cols0.map(col): _*)).as("d")).head()
+      c -> (r.getLong(0) - r.getLong(1))
+    }.toMap
+    // ---- one anti-join count per referential check ----
+    val refBad: Map[Check, Long] = checks.collect { case c @ Referential(col0, ref, refCol, _) =>
+      val orphans = df.select(col(col0).as("__k")).filter(col("__k").isNotNull)
+        .join(ref.select(col(refCol).as("__k")).distinct(), Seq("__k"), "left_anti")
+        .count()
+      c -> orphans
+    }.toMap
+    val rows: Seq[Row] = checks.map { c =>
+      val (name, target, bad, thr) = c match {
+        case NotNull(col0, t) => ("not_null", col0, scalarBad(c), t)
+        case InRange(col0, lo, hi, t) => ("in_range", s"$col0[$lo,$hi]", scalarBad(c), t)
+        case MatchesRegex(col0, pat, t) => ("matches_regex", s"$col0~$pat", scalarBad(c), t)
+        case Unique(cols0, t) => ("unique", cols0.mkString(","), uniqueBad(c), t)
+        case Referential(col0, _, refCol, t) => ("referential", s"$col0->$refCol", refBad(c), t)
+      }
+      val frac = if (nRows == 0L) 0.0 else bad.toDouble / nRows
+      Row(name, target, nRows, bad, frac, thr, frac <= thr)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      reportSchema)
+  }
+}

@@ -256,6 +256,57 @@ object Sampling {
       .drop("__gk")
   }
 
+  /** Deterministic NEGATIVE sampling for contrastive training: for each
+    * anchor row, `k` negatives drawn from a bounded candidate pool,
+    * rejecting candidates that share the anchor's label (or are the
+    * anchor itself) by bounded linear probing. Everything is exact
+    * integer arithmetic on the [[lehmerPriority]] permutation —
+    * `slot s` probes pool index `(perm(anchor·k + s) + r) mod |pool|`
+    * for r = 0..probes−1 and keeps the first valid candidate — so the
+    * draw is reproducible on any partitioning AND an external engine
+    * re-derives every selection (the p1/p2/p9 discipline). A slot whose
+    * probe chain finds only same-label candidates emits a null
+    * `neg_id` (flagged, never silently dropped — a heavily imbalanced
+    * pool should be visible, not invisible).
+    *
+    * Scale shape: the pool is collected ONCE (id-sorted, required
+    * ≤ `maxPool` rows — pre-sample a bigger universe with
+    * [[bottomKSample]] first) and rides the plan as two literal arrays;
+    * per anchor the k·probes lookups are pure codegen'd `element_at`
+    * arithmetic — zero shuffle, zero join, linear in anchors. Output:
+    * (idCol, labelCol, slot, neg_id). */
+  def negativeSamples(anchors: DataFrame, pool: DataFrame, idCol: String,
+                      labelCol: String, k: Int, seed: Long = 1L,
+                      probes: Int = 8, maxPool: Int = 65536): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(probes >= 1 && probes <= 64, s"probes must be in [1, 64], got $probes")
+    val collected = pool.select(col(idCol).cast("long"), col(labelCol).cast("long"))
+      .filter(col(idCol).isNotNull && col(labelCol).isNotNull)
+      .distinct().orderBy(idCol).collect()
+    require(collected.nonEmpty, "negativeSamples: candidate pool is empty")
+    require(collected.length <= maxPool,
+      s"negativeSamples: pool has ${collected.length} rows (> maxPool $maxPool) — " +
+        "pre-sample it (bottomKSample) before collecting to a plan literal")
+    val ids = collected.map(_.getLong(0))
+    val labels = collected.map(_.getLong(1))
+    val n = ids.length
+    val idArr = typedLit(ids.toSeq)
+    val labArr = typedLit(labels.toSeq)
+    val base = pmod(lehmerPriority(col(idCol).cast("long") * lit(k.toLong) + col("slot"), seed),
+      lit(n.toLong))
+    val candAt = (r: Int) => {
+      val idx = (pmod(base + lit(r.toLong), lit(n.toLong)) + 1L).cast("int")
+      (element_at(idArr, idx), element_at(labArr, idx))
+    }
+    val neg = (0 until probes).map { r =>
+      val (cid, clab) = candAt(r)
+      when(clab =!= col(labelCol).cast("long") && cid =!= col(idCol).cast("long"), cid)
+    }.reduce(coalesce(_, _))
+    anchors.select(col(idCol), col(labelCol))
+      .withColumn("slot", explode(sequence(lit(0L), lit(k - 1L))))
+      .withColumn("neg_id", neg)
+  }
+
   /** Deterministic epoch shuffle: a seeded pseudo-random but REPRODUCIBLE
     * global reordering — `orderBy(xxhash64(id, seed))`, i.e. one
     * range-partitioned sort on an 8-byte key. Changing `seed` gives an

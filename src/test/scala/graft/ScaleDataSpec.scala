@@ -53,4 +53,41 @@ class ScaleDataSpec extends AnyFunSuite with Matchers {
     mutate(42L, 3L) should not be mutate(42L, 4L)
     mutate(42L, 3L) should not be mutate(43L, 3L)
   }
+
+  // a unit-ish 16-dim embedding like the synthetic corpus ships
+  private val vec = (1 to 16).map(i => (math.sin(i.toDouble) / 4.0).toFloat)
+
+  private def jitter(vecId: Long, rep: Long): Seq[Float] =
+    Seq((vecId, rep, vec)).toDF("vec_id", "rep", "embedding")
+      .select(ScaleData.jitteredEmbedding(col("embedding"), col("vec_id"), col("rep")).as("j"))
+      .head().getSeq[Float](0)
+
+  private def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+    dot / (na * nb)
+  }
+
+  test("embedding exact-twin stratum (rep % 5 == 0) passes vectors through unchanged") {
+    jitter(7L, 0L) shouldBe vec
+    jitter(7L, 5L) shouldBe vec
+    jitter(123L, 10L) shouldBe vec
+  }
+
+  test("jittered replicas spread over the near-dup cosine band, deterministically") {
+    val sims = for (id <- 1L to 30L; rep <- Seq(1L, 2L, 3L, 4L, 6L, 7L)) yield {
+      val j = jitter(id, rep)
+      j should not be vec
+      cosine(vec, j)
+    }
+    // amplitudes {0.15..1.2} target cosines ~{0.996..0.81}; per-draw
+    // variance widens the band but must keep it both high-similarity
+    // and genuinely spread (no 100-deep exact twin buckets, no noise soup)
+    sims.min should be > 0.5
+    sims.max should be > 0.98
+    sims.count(_ < 0.97).toDouble / sims.size should be > 0.3
+    jitter(42L, 3L) shouldBe jitter(42L, 3L)
+    jitter(42L, 3L) should not be jitter(42L, 4L)
+  }
 }

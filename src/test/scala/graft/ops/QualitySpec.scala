@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class QualitySpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 10 rows with planted violations of every class
+  private def fixture = Seq(
+    (1L, Some(5.0), "1-URGENT"),
+    (2L, Some(15.0), "2-HIGH"),     // out of [0,10]
+    (3L, None, "3-MEDIUM"),         // null value
+    (4L, Some(7.0), "garbage"),     // regex violation
+    (5L, Some(-1.0), "4-LOW"),      // out of range (below)
+    (5L, Some(3.0), "5-LOW"),       // duplicate id
+    (6L, Some(2.0), "1-URGENT"),
+    (7L, Some(0.0), "2-HIGH"),      // boundary: inclusive, NOT a violation
+    (8L, Some(10.0), "3-MEDIUM"),   // boundary: inclusive
+    (9L, None, "4-LOW")             // second null
+  ).toDF("id", "v", "prio")
+
+  private def report(checks: Seq[Quality.Check]) =
+    Quality.checkSuite(fixture, checks)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getBoolean(6))).toSeq
+
+  test("scalar checks count exact violations in one shared pass") {
+    val rows = report(Seq(
+      Quality.NotNull("v"),
+      Quality.InRange("v", 0.0, 10.0),
+      Quality.MatchesRegex("prio", "^[1-5]-")))
+    rows(0) shouldBe ("not_null", "v", 10L, 2L, 0.2, false)
+    // nulls are NOT range violations (NotNull's business); boundaries inclusive
+    rows(1) shouldBe ("in_range", "v[0.0,10.0]", 10L, 2L, 0.2, false)
+    rows(2) shouldBe ("matches_regex", "prio~^[1-5]-", 10L, 1L, 0.1, false)
+  }
+
+  test("thresholds gate pass/fail; report preserves declaration order") {
+    val rows = report(Seq(
+      Quality.MatchesRegex("prio", "^[1-5]-", maxBadFrac = 0.1), // frac == thr -> pass
+      Quality.NotNull("v", maxBadFrac = 0.1)))                   // 0.2 > 0.1 -> fail
+    rows(0)._6 shouldBe true
+    rows(1)._6 shouldBe false
+    rows.map(_._1) shouldBe Seq("matches_regex", "not_null")
+  }
+
+  test("uniqueness counts rows beyond the first of each duplicated tuple") {
+    val rows = report(Seq(
+      Quality.Unique(Seq("id")),
+      Quality.Unique(Seq("id", "prio")))) // (5, 4-LOW) vs (5, 5-LOW): distinct pairs
+    rows(0) shouldBe ("unique", "id", 10L, 1L, 0.1, false)
+    rows(1) shouldBe ("unique", "id,prio", 10L, 0L, 0.0, true)
+  }
+
+  test("referential counts orphans, excluding null keys") {
+    val withNullKey = fixture.withColumn("fk",
+      org.apache.spark.sql.functions.when($"id" <= 7, $"id"))
+    val ref = Seq(1L, 2L, 3L, 4L).toDF("k")
+    val out = Quality.checkSuite(withNullKey,
+        Seq(Quality.Referential("fk", ref, "k", maxBadFrac = 0.5)))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3), r.getBoolean(6)))
+    // fk non-null for ids 1..7 (8 rows incl. the duplicate 5); orphans: 5, 5, 6, 7
+    out.head shouldBe ("referential", "fk->k", 4L, true)
+  }
+
+  test("empty table passes every check vacuously") {
+    val empty = fixture.filter($"id" < 0)
+    val rows = Quality.checkSuite(empty, Seq(
+        Quality.NotNull("v"), Quality.Unique(Seq("id")),
+        Quality.Referential("id", Seq(1L).toDF("k"), "k")))
+      .collect()
+    all(rows.map(_.getLong(2))) shouldBe 0L
+    all(rows.map(_.getDouble(4))) shouldBe 0.0
+    all(rows.map(_.getBoolean(6))) shouldBe true
+  }
+
+  test("argument validation") {
+    an[IllegalArgumentException] should be thrownBy
+      Quality.checkSuite(fixture, Nil)
+    an[IllegalArgumentException] should be thrownBy
+      Quality.checkSuite(fixture, Seq(Quality.Unique(Nil)))
+  }
+}

@@ -198,6 +198,47 @@ class SamplingSpec extends AnyFunSuite with Matchers {
     s1 should not equal s2
   }
 
+  test("negativeSamples equals the driver probe model; never label-collides") {
+    import org.apache.spark.sql.functions.col
+    val items = (1L to 300L).map(i => (i, i % 7)).toDF("id", "lab")
+    val pool = items.filter(col("id") % 5 === 0) // 60 candidates
+    val out = Sampling.negativeSamples(items, pool, "id", "lab", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    out.length shouldBe 900 // 300 anchors x 3 slots
+    // driver replay of the exact operator arithmetic
+    val poolSorted = (1L to 300L).filter(_ % 5 == 0).map(i => (i, i % 7)).sortBy(_._1)
+    val (pids, plabs) = (poolSorted.map(_._1).toArray, poolSorted.map(_._2).toArray)
+    def lehmer(x: Long): Long = {
+      val m = 2147483647L
+      ((x + 1L) % m) * 48271L % m * 48271L % m
+    }
+    def model(anchor: Long, lab: Long, slot: Long): Option[Long] = {
+      val base = lehmer(anchor * 3 + slot) % pids.length
+      (0 until 8).iterator.map { r =>
+        val i = ((base + r) % pids.length).toInt
+        if (plabs(i) != lab && pids(i) != anchor) Some(pids(i)) else None
+      }.collectFirst { case Some(x) => x }
+    }
+    out.foreach { case (a, lab, s, neg) =>
+      neg shouldBe model(a, lab, s)
+      neg.foreach { n => n % 7 should not be lab; n should not be a }
+    }
+    // deterministic under repartitioning
+    val re = Sampling.negativeSamples(items.repartition(13), pool, "id", "lab", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    re shouldBe out.map(t => (t._1, t._3, t._4)).toSet
+    // a pool of one label: anchors of that label get null slots (flagged)
+    val mono = Seq((1L, 0L), (2L, 0L), (3L, 1L)).toDF("id", "lab")
+    val monoOut = Sampling.negativeSamples(mono, mono.filter(col("lab") === 0), "id", "lab", k = 2)
+      .collect().map(r => (r.getLong(0), r.isNullAt(3)))
+    monoOut.filter(_._1 == 3L).map(_._2) shouldBe Seq(false, false) // label 1 finds 0s
+    // oversized pool is rejected loudly, not silently truncated
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.negativeSamples(items, items, "id", "lab", k = 1, maxPool = 10)
+  }
+
   test("importanceResample equals the driver Gumbel-top-k model, any partitioning") {
     import org.apache.spark.sql.functions.col
     // weights spread over several orders of magnitude in exp-space
