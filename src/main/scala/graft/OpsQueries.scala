@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{BloomJoin, Clustering, Curation, Dedup, Graph, Histograms, Merge, Multimodal, Packing, Quality, Sampling, Search, Similarity, TextAnalysis}
+import graft.ops.{BloomJoin, Clustering, Curation, Dedup, Drift, Graph, Histograms, Merge, Multimodal, Packing, Quality, Sampling, Search, Similarity, TextAnalysis}
 import graft.streaming.EventPipeline
 import graft.Util.table
 
@@ -665,6 +665,36 @@ object OpsQueries {
           round(col("threshold") + lit(5e-10), 6).as("threshold"),
           col("passed").cast("long").as("passed"))
         .orderBy("check", "target")
+    }),
+    "q2_profile" -> ((s, dir) =>
+      // discovery companion to q1: exact per-column profile of orders
+      // (long + string columns only — double/timestamp renderings are
+      // engine-specific and belong to typed checks, not the profile)
+      Quality.profileExact(table(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy("column")),
+    "q3_psi_drift" -> ((s, dir) => {
+      // monitoring gate: PSI of the value distribution, view-cohort as
+      // reference vs purchase-cohort as current, fixed audit bins; the
+      // ±inf lo/hi columns are specced, the driver row keeps the counts
+      // and the (rounded) psi terms/total
+      val ev = table(s, dir, "events")
+      Drift.psiDrift(ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "purchase"),
+          "value", Seq(10.0, 25.0, 50.0, 100.0, 200.0))
+        .select(col("bin"), col("n_ref"), col("n_cur"),
+          round(col("psi_term") + lit(5e-10), 6).as("psi_term"),
+          round(col("psi") + lit(5e-10), 6).as("psi"))
+        .orderBy("bin")
+    }),
+    "q4_ks_drift" -> ((s, dir) => {
+      // bin-free companion: exact two-sample KS over the same cohorts
+      val ev = table(s, dir, "events")
+      Drift.ksStatistic(ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "purchase"), "value")
+        .select(round(col("ks") + lit(5e-10), 6).as("ks"),
+          round(col("at_value") + lit(5e-10), 6).as("at_value"),
+          col("n_ref"), col("n_cur"))
     }),
     "p11_negative_samples" -> ((s, dir) => {
       // contrastive-training negatives: 3 per anchor from a bounded
@@ -3066,6 +3096,52 @@ object OpsQueries {
         "round(u.threshold + 5e-10, 6) AS threshold, " +
         "((u.n_bad::DOUBLE / t.n) <= u.threshold)::BIGINT AS passed " +
         "FROM u CROSS JOIN t ORDER BY \"check\", u.target"),
+    "q2_profile" ->
+      // one CTE per column replaying the value-histogram profile; mode
+      // tie-break is larger NATIVE value (cast to VARCHAR after)
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority").map { c =>
+        s"SELECT '$c' AS \"column\", count(*)::BIGINT AS n_rows, " +
+          s"(count(*) - count($c))::BIGINT AS n_null, " +
+          s"count(DISTINCT $c)::BIGINT AS ndv, " +
+          s"min($c)::VARCHAR AS min_v, max($c)::VARCHAR AS max_v, " +
+          s"(SELECT $c::VARCHAR FROM orders WHERE $c IS NOT NULL " +
+          s"GROUP BY $c ORDER BY count(*) DESC, $c DESC LIMIT 1) AS top_v, " +
+          s"coalesce((SELECT count(*)::BIGINT FROM orders WHERE $c IS NOT NULL " +
+          s"GROUP BY $c ORDER BY count(*) DESC LIMIT 1), 0) AS top_n FROM orders"
+      }.mkString("", " UNION ALL ", " ORDER BY \"column\""),
+    "q3_psi_drift" ->
+      // bin arithmetic, add-alpha smoothing, and ln-ratio terms replayed
+      // with identical operation order (alpha=0.5, 6 bins -> +3.0)
+      ("WITH r AS (SELECT value AS v FROM events WHERE event_type = 'view' AND value IS NOT NULL), " +
+        "c AS (SELECT value AS v FROM events WHERE event_type = 'purchase' AND value IS NOT NULL), " +
+        "bins AS (SELECT range AS bin FROM range(6)), " +
+        {
+          val binExpr = Seq(10.0, 25.0, 50.0, 100.0, 200.0)
+            .map(e => s"(CASE WHEN v >= $e THEN 1 ELSE 0 END)").mkString(" + ")
+          s"rb AS (SELECT $binExpr AS bin, count(*)::BIGINT AS n FROM r GROUP BY 1), " +
+          s"cb AS (SELECT $binExpr AS bin, count(*)::BIGINT AS n FROM c GROUP BY 1), "
+        } +
+        "d AS (SELECT bins.bin, coalesce(rb.n, 0)::BIGINT AS n_ref, coalesce(cb.n, 0)::BIGINT AS n_cur " +
+        "FROM bins LEFT JOIN rb ON bins.bin = rb.bin LEFT JOIN cb ON bins.bin = cb.bin), " +
+        "p AS (SELECT bin, n_ref, n_cur, " +
+        "(n_ref + 5e-1) / ((SELECT count(*) FROM r) + 3e0) AS pr, " +
+        "(n_cur + 5e-1) / ((SELECT count(*) FROM c) + 3e0) AS pc FROM d) " +
+        "SELECT bin, n_ref, n_cur, " +
+        "round((pc - pr) * ln(pc / pr) + 5e-10, 6) AS psi_term, " +
+        "round(sum((pc - pr) * ln(pc / pr)) OVER () + 5e-10, 6) AS psi " +
+        "FROM p ORDER BY bin"),
+    "q4_ks_drift" ->
+      // per-distinct-value count pairs, both CDFs, sup with smallest-value
+      // tie-break; divisions use the identical exact-long operands
+      ("WITH u AS (SELECT value AS v, 1 AS r, 0 AS c FROM events WHERE event_type = 'view' AND value IS NOT NULL " +
+        "UNION ALL SELECT value, 0, 1 FROM events WHERE event_type = 'purchase' AND value IS NOT NULL), " +
+        "g AS (SELECT v, sum(r)::BIGINT AS nr, sum(c)::BIGINT AS nc FROM u GROUP BY v), " +
+        "t AS (SELECT sum(nr)::BIGINT AS tr, sum(nc)::BIGINT AS tc FROM g), " +
+        "cdf AS (SELECT v, sum(nr) OVER (ORDER BY v) AS cr, sum(nc) OVER (ORDER BY v) AS cc FROM g) " +
+        "SELECT round(abs(cr::DOUBLE / tr - cc::DOUBLE / tc) + 5e-10, 6) AS ks, " +
+        "round(v + 5e-10, 6) AS at_value, tr AS n_ref, tc AS n_cur " +
+        "FROM cdf CROSS JOIN t " +
+        "ORDER BY abs(cr::DOUBLE / tr - cc::DOUBLE / tc) DESC, v LIMIT 1"),
     "p11_negative_samples" ->
       // pool lists rebuilt in SQL (ordered by vec_id, the same sort the
       // operator collects under), then the identical Lehmer-probe walk

@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Distribution-drift measures between a REFERENCE corpus (what the
+  * model was trained/validated on) and a CURRENT corpus (what the
+  * pipeline is about to feed it) — the monitoring step that decides
+  * whether a retrain/requalification gate fires.
+  *
+  * Two complementary measures:
+  *  - [[psiDrift]]: Population Stability Index over caller-fixed bins —
+  *    the standard scorecard-monitoring statistic
+  *    (Σ (p_cur − p_ref)·ln(p_cur/p_ref)); bins make it cheap (two
+  *    map-side-combined bin-count scans, everything after is
+  *    bins-sized) and the fixed edges make runs comparable over time.
+  *  - [[ksStatistic]]: the exact two-sample Kolmogorov–Smirnov
+  *    statistic sup|F_ref − F_cur| — bin-free, sensitive anywhere on
+  *    the axis, for when the PSI's binning is the thing in question.
+  *
+  * Both use exact long counts so an external engine re-derives every
+  * fraction (and the KS tie-break) bit-for-bit.
+  */
+object Drift {
+
+  /** PSI over the bins cut by `edges` (k edges → k+1 bins; bin i holds
+    * `edges(i-1) <= v < edges(i)`, bin 0 is (−∞, edges(0)), bin k is
+    * [edges(k−1), ∞)). Nulls are excluded — null-rate drift is
+    * [[Quality.checkSuite]]'s business. Empty-bin zeros are smoothed
+    * with add-`alpha` (p = (n + α)/(N + α·(k+1))) so the log ratio is
+    * always finite and BOTH sides use the identical smoothing.
+    *
+    * Output: one row per bin — (bin, lo, hi, n_ref, n_cur, psi_term)
+    * plus the constant `psi` total column — ordered by bin. Scale
+    * shape: one map-side-combined bin-count aggregate per side (the
+    * shuffle carries ≤ k+1 rows per mapper), a full outer join of two
+    * (k+1)-row frames, and a window over that same tiny frame; nothing
+    * driver-side, nothing proportional to corpus size. */
+  def psiDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+               edges: Seq[Double], alpha: Double = 0.5): DataFrame = {
+    require(edges.nonEmpty, "psiDrift needs at least one bin edge")
+    require(edges == edges.sorted && edges.distinct.size == edges.size,
+      s"edges must be strictly increasing, got $edges")
+    require(alpha > 0.0, s"alpha must be > 0 (finite log ratios), got $alpha")
+    val nBins = edges.size + 1
+    // bin index = how many edges are <= v: branch-free, same arithmetic
+    // an external engine writes as a sum of CASEs
+    def binOf(v: Column): Column =
+      edges.map(e => when(v >= lit(e), 1L).otherwise(0L)).reduce(_ + _)
+    def counts(df: DataFrame, name: String): DataFrame =
+      df.select(col(valueCol).cast(DoubleType).as("__v"))
+        .filter(col("__v").isNotNull)
+        .groupBy(binOf(col("__v")).as("bin"))
+        .agg(count(lit(1)).as(name))
+    val joined = counts(ref, "n_ref")
+      .join(counts(cur, "n_cur"), Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    // densify: every bin appears even when BOTH sides are empty there,
+    // so the report shape is stable run-over-run
+    val allBins = joined.sparkSession.range(nBins).select(col("id").as("bin"))
+    val dense = allBins.join(joined, Seq("bin"), "left_outer")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val w = Window.partitionBy(lit(1))
+    val loEdge = element_at(lit(Double.NegativeInfinity +: edges.toArray), (col("bin") + 1).cast("int"))
+    val hiEdge = element_at(lit(edges.toArray :+ Double.PositiveInfinity), (col("bin") + 1).cast("int"))
+    val pRef = (col("n_ref") + lit(alpha)) / (sum("n_ref").over(w) + lit(alpha * nBins))
+    val pCur = (col("n_cur") + lit(alpha)) / (sum("n_cur").over(w) + lit(alpha * nBins))
+    dense
+      .withColumn("lo", loEdge).withColumn("hi", hiEdge)
+      .withColumn("psi_term", (pCur - pRef) * log(pCur / pRef))
+      .withColumn("psi", sum("psi_term").over(w))
+      .select("bin", "lo", "hi", "n_ref", "n_cur", "psi_term", "psi")
+      .orderBy("bin")
+  }
+
+  /** Exact two-sample KS statistic: `sup_v |F_ref(v) − F_cur(v)|`,
+    * evaluated at every distinct value of either sample (where the sup
+    * of two step functions lives). Returns ONE row:
+    * (ks, at_value, n_ref, n_cur) — `at_value` the SMALLEST value
+    * attaining the sup, so ties have a total order.
+    *
+    * Scale shape: the corpus reduces to a per-distinct-value count
+    * pair (one map-side-combined aggregate over the tagged union —
+    * the shuffle carries distinct values, not rows); the cumulative
+    * sums that form both CDFs run INSIDE range partitions (window
+    * partitioned by partition id), stitched with driver prefix offsets
+    * of ≤ #partitions rows — the same construction as
+    * [[Quantiles.groupedQuantilesExact]], so no single-partition
+    * global window ever materializes. The final sup is a top-1
+    * TakeOrderedAndProject. */
+  def ksStatistic(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+    val spark = ref.sparkSession
+    def side(df: DataFrame, r: Long, c: Long): DataFrame =
+      df.select(col(valueCol).cast(DoubleType).as("v"))
+        .filter(col("v").isNotNull)
+        .select(col("v"), lit(r).as("r"), lit(c).as("c"))
+    val counts = side(ref, 1L, 0L).unionByName(side(cur, 0L, 1L))
+      .groupBy("v").agg(sum("r").as("n_ref"), sum("c").as("n_cur"))
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    // persist before repartitionByRange: the range sampler plus the two
+    // downstream actions would otherwise recompute the aggregate, and
+    // the offsets contract needs ONE stable set of range boundaries
+    val pre = counts.persist()
+    val parts = pre.repartitionByRange(nParts, col("v"))
+      .sortWithinPartitions("v")
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    try {
+      val subtotals = parts.groupBy("pid")
+        .agg(sum("n_ref").as("tr"), sum("n_cur").as("tc"))
+        .collect().map(r => (r.getAs[Int]("pid"),
+          r.getAs[Long]("tr"), r.getAs[Long]("tc"))).sortBy(_._1)
+      val nRef = subtotals.map(_._2).sum
+      val nCur = subtotals.map(_._3).sum
+      require(nRef > 0 && nCur > 0,
+        s"ksStatistic needs non-null values on both sides (ref=$nRef, cur=$nCur)")
+      // driver prefix offsets per partition id (≤ #partitions entries)
+      val offR = subtotals.scanLeft(0L)(_ + _._2).init
+      val offC = subtotals.scanLeft(0L)(_ + _._3).init
+      val offRMap = map(subtotals.indices.flatMap(i =>
+        Seq(lit(subtotals(i)._1), lit(offR(i)))): _*)
+      val offCMap = map(subtotals.indices.flatMap(i =>
+        Seq(lit(subtotals(i)._1), lit(offC(i)))): _*)
+      val w = Window.partitionBy("pid").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // the sup is ONE row — materialize it inside the cache scope so
+      // the persists can be released here, not by the caller
+      val top = parts
+        .withColumn("cr", sum("n_ref").over(w) + element_at(offRMap, col("pid")))
+        .withColumn("cc", sum("n_cur").over(w) + element_at(offCMap, col("pid")))
+        .withColumn("diff",
+          abs(col("cr").cast(DoubleType) / lit(nRef.toDouble) -
+            col("cc").cast(DoubleType) / lit(nCur.toDouble)))
+        .orderBy(col("diff").desc, col("v").asc)
+        .limit(1)
+        .select(col("diff"), col("v"))
+        .head()
+      import spark.implicits._
+      Seq((top.getDouble(0), top.getDouble(1), nRef, nCur))
+        .toDF("ks", "at_value", "n_ref", "n_cur")
+    } finally { parts.unpersist(); pre.unpersist() }
+  }
+}

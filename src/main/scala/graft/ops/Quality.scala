@@ -114,4 +114,76 @@ object Quality {
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
       reportSchema)
   }
+
+  /** EXACT per-column profile — the companion discovery step to
+    * [[checkSuite]] (profile first, then declare the constraints the
+    * profile suggests): one report row per column with row count, null
+    * count, exact distinct count, min/max, and the modal value with its
+    * frequency (ties broken toward the LARGER value, so the answer is a
+    * total order, not a scan order).
+    *
+    * Scale shape: one map-side-combined `groupBy(value)` per column —
+    * the shuffle carries the column's DISTINCT values, not its rows,
+    * and the second aggregate reduces that to ONE row per column. Exact
+    * NDV and an exact mode cannot be had cheaper than the value
+    * histogram; when a 100-TB column's value space is itself huge, use
+    * [[profileApprox]] (one shared scan, sketched NDV, no mode) and
+    * reserve this pass for the columns the approx profile flags.
+    * min/max compare in the column's NATIVE type (then render as
+    * string), so numeric columns don't suffer lexicographic "10" < "9".
+    */
+  def profileExact(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "profileExact needs at least one column")
+    val perCol = columns.map { c =>
+      df.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__cnt"))
+        .agg(
+          coalesce(sum(col("__cnt")), lit(0L)).as("n_rows"),
+          coalesce(sum(when(col("__v").isNull, col("__cnt"))), lit(0L)).as("n_null"),
+          count(when(col("__v").isNotNull, lit(1))).as("ndv"),
+          min(col("__v")).cast(StringType).as("min_v"),
+          max(col("__v")).cast(StringType).as("max_v"),
+          max(when(col("__v").isNotNull, struct(col("__cnt"), col("__v"))))
+            .getField("__v").cast(StringType).as("top_v"),
+          coalesce(max(when(col("__v").isNotNull, col("__cnt"))), lit(0L)).as("top_n"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_null"), col("ndv"),
+          col("min_v"), col("max_v"), col("top_v"), col("top_n"))
+    }
+    perCol.reduce(_.unionByName(_))
+  }
+
+  /** Sketched per-column profile in ONE shared scan: row count plus, per
+    * column, null count, HLL-approximate NDV (`rsd` relative error) and
+    * native-typed min/max — the 100-TB first pass that decides which
+    * columns earn [[profileExact]]'s per-column histogram. Mode columns
+    * (`top_v`/`top_n`) are null here: an exact mode needs the value
+    * histogram by definition. Output schema matches [[profileExact]]. */
+  def profileApprox(df: DataFrame, columns: Seq[String], rsd: Double = 0.05): DataFrame = {
+    require(columns.nonEmpty, "profileApprox needs at least one column")
+    val aggs = count(lit(1)).as("__n") +: columns.flatMap { c => Seq(
+      coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__null_$c"),
+      approx_count_distinct(col(c), rsd).as(s"__ndv_$c"),
+      min(col(c)).cast(StringType).as(s"__min_$c"),
+      max(col(c)).cast(StringType).as(s"__max_$c"))
+    }
+    // ONE action; the single aggregate row is collected (aggregate-sized)
+    // so the per-column report rows don't re-run the scan |columns| times
+    val one = df.agg(aggs.head, aggs.tail: _*).head()
+    val rows: Seq[Row] = columns.zipWithIndex.map { case (c, i) =>
+      Row(c, one.getLong(0), one.getLong(1 + 4 * i), one.getLong(2 + 4 * i),
+        one.getAs[String](3 + 4 * i), one.getAs[String](4 + 4 * i), null, null)
+    }
+    df.sparkSession.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      profileSchema)
+  }
+
+  private val profileSchema = StructType(Seq(
+    StructField("column", StringType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("n_null", LongType, nullable = false),
+    StructField("ndv", LongType, nullable = false),
+    StructField("min_v", StringType, nullable = true),
+    StructField("max_v", StringType, nullable = true),
+    StructField("top_v", StringType, nullable = true),
+    StructField("top_n", LongType, nullable = true)))
 }

@@ -1,0 +1,95 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class DriftSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("psiDrift matches the driver model on a planted shift") {
+    val ref = Seq(1.0, 2.0, 3.0, 12.0, 15.0, 30.0, 30.0, 55.0).toDF("x")
+    val cur = Seq(2.0, 14.0, 33.0, 52.0, 56.0, 58.0).toDF("x")
+    val edges = Seq(10.0, 25.0, 50.0)
+    val out = Drift.psiDrift(ref, cur, "x", edges).collect()
+    out.map(_.getLong(0)).toSeq shouldBe Seq(0L, 1L, 2L, 3L)
+    out.map(_.getLong(3)).toSeq shouldBe Seq(3L, 2L, 2L, 1L) // n_ref
+    out.map(_.getLong(4)).toSeq shouldBe Seq(1L, 1L, 1L, 3L) // n_cur
+    // lo/hi bin bounds: (-inf,10),[10,25),[25,50),[50,inf)
+    out.head.getDouble(1) shouldBe Double.NegativeInfinity
+    out.head.getDouble(2) shouldBe 10.0
+    out.last.getDouble(1) shouldBe 50.0
+    out.last.getDouble(2) shouldBe Double.PositiveInfinity
+    // driver replay of the smoothed terms
+    val nr = Seq(3L, 2L, 2L, 1L); val nc = Seq(1L, 1L, 1L, 3L)
+    val terms = (0 until 4).map { i =>
+      val pr = (nr(i) + 0.5) / (8 + 0.5 * 4)
+      val pc = (nc(i) + 0.5) / (6 + 0.5 * 4)
+      (pc - pr) * math.log(pc / pr)
+    }
+    // Math.log's JIT intrinsic may differ from the driver's call by 1 ulp,
+    // so terms compare with a tolerance, not bitwise
+    out.map(_.getDouble(5)).zip(terms).foreach { case (got, want) =>
+      got shouldBe want +- 1e-12
+    }
+    all(out.map(_.getDouble(6))) shouldBe terms.sum +- 1e-12
+  }
+
+  test("psiDrift is exactly zero for identical samples; nulls excluded; empty bins stay finite") {
+    val s = Seq(Some(1.0), Some(20.0), Some(90.0), None).toDF("x")
+    val out = Drift.psiDrift(s, s, "x", Seq(10.0, 25.0, 50.0)).collect()
+    out.map(_.getLong(3)).sum shouldBe 3L // null dropped
+    all(out.map(_.getDouble(6))) shouldBe 0.0 // identical -> every term 0
+    // bin 2 ([25,50)) is empty on BOTH sides and still reports a finite term
+    out(2).getLong(3) shouldBe 0L
+    out(2).getDouble(5).isNaN shouldBe false
+  }
+
+  test("psiDrift argument validation") {
+    val s = Seq(1.0).toDF("x")
+    an[IllegalArgumentException] should be thrownBy
+      Drift.psiDrift(s, s, "x", Seq(5.0, 3.0))
+    an[IllegalArgumentException] should be thrownBy
+      Drift.psiDrift(s, s, "x", Nil)
+    an[IllegalArgumentException] should be thrownBy
+      Drift.psiDrift(s, s, "x", Seq(1.0), alpha = 0.0)
+  }
+
+  test("ksStatistic equals the brute-force sup over a pseudo-random pair, any partitioning") {
+    // deterministic LCG so the spec needs no RNG object
+    def seq(seed: Long, n: Int, shift: Double): Seq[Double] = {
+      var x = seed
+      (1 to n).map { _ =>
+        x = (x * 48271) % 2147483647
+        (x % 1000).toDouble / 10.0 + shift
+      }
+    }
+    val a = seq(7L, 400, 0.0); val b = seq(13L, 300, 8.0)
+    val out = Drift.ksStatistic(
+      a.toDF("x").repartition(7), b.toDF("x").repartition(3), "x").head()
+    // brute force: evaluate both ECDFs at every distinct value
+    val pts = (a ++ b).distinct.sorted
+    val sups = pts.map(v => (math.abs(
+      a.count(_ <= v).toDouble / a.size - b.count(_ <= v).toDouble / b.size), v))
+    val best = sups.maxBy { case (d, v) => (d, -v) }
+    out.getDouble(0) shouldBe best._1
+    out.getDouble(1) shouldBe best._2
+    out.getLong(2) shouldBe 400L
+    out.getLong(3) shouldBe 300L
+  }
+
+  test("ksStatistic detects a disjoint shift exactly and breaks sup ties at the smallest value") {
+    val ref = (1 to 100).map(_.toDouble).toDF("x")
+    val cur = (51 to 150).map(_.toDouble).toDF("x")
+    val r = Drift.ksStatistic(ref, cur, "x").head()
+    r.getDouble(0) shouldBe 0.5
+    // diff is 0.5 on the whole plateau 50..100; smallest value wins
+    r.getDouble(1) shouldBe 50.0
+    // one side all-null is a loud error, not a NaN
+    val nulls = Seq.empty[Double].toDF("x")
+    an[IllegalArgumentException] should be thrownBy
+      Drift.ksStatistic(ref, nulls, "x")
+  }
+}

@@ -83,4 +83,51 @@ class QualitySpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy
       Quality.checkSuite(fixture, Seq(Quality.Unique(Nil)))
   }
+
+  test("profileExact: exact ndv/nulls/min/max and a total-order mode") {
+    val out = Quality.profileExact(fixture, Seq("id", "v", "prio"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5), r.getString(6), r.getLong(7))).toSeq
+    // id: 10 rows, no nulls, 9 distinct (5 twice); mode 5 with count 2
+    out(0) shouldBe ("id", 10L, 0L, 9L, "1", "9", "5", 2L)
+    // v: 2 nulls, 8 distinct non-null; every count 1 -> mode ties broken
+    // toward the LARGER native value: 15.0
+    out(1) shouldBe ("v", 10L, 2L, 8L, "-1.0", "15.0", "15.0", 1L)
+    // prio: 6 distinct; four values tie at count 2 -> larger string wins
+    out(2)._1 shouldBe "prio"
+    out(2)._4 shouldBe 6L
+    out(2)._7 shouldBe "4-LOW"
+    out(2)._8 shouldBe 2L
+  }
+
+  test("profileExact: numeric min/max compare natively, not lexicographically") {
+    val df = Seq(9L, 10L, 100L).toDF("n")
+    val r = Quality.profileExact(df, Seq("n")).head()
+    r.getString(4) shouldBe "9"
+    r.getString(5) shouldBe "100"
+  }
+
+  test("profileApprox: one-scan sketch agrees with exact on nulls/min/max, ndv within rsd") {
+    val df = (1L to 2000L).map(i => (i, if (i % 10 == 0) None else Some(i % 97)))
+      .toDF("id", "m")
+    val exact = Quality.profileExact(df, Seq("id", "m")).collect()
+    val approx = Quality.profileApprox(df, Seq("id", "m"), rsd = 0.02).collect()
+    approx.zip(exact).foreach { case (a, e) =>
+      a.getString(0) shouldBe e.getString(0)
+      a.getLong(1) shouldBe e.getLong(1)                 // n_rows exact
+      a.getLong(2) shouldBe e.getLong(2)                 // n_null exact
+      a.getString(4) shouldBe e.getString(4)             // min exact
+      a.getString(5) shouldBe e.getString(5)             // max exact
+      a.getLong(3).toDouble shouldBe e.getLong(3).toDouble +- e.getLong(3) * 0.1
+      a.isNullAt(6) shouldBe true                        // no mode from a sketch
+    }
+  }
+
+  test("profileExact on an all-null column") {
+    val df = Seq[Option[Long]](None, None).toDF("x")
+    val r = Quality.profileExact(df, Seq("x")).head()
+    (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(7)) shouldBe ((2L, 2L, 0L, 0L))
+    r.isNullAt(4) shouldBe true
+    r.isNullAt(6) shouldBe true
+  }
 }
