@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{BloomJoin, Clustering, Curation, Dedup, Drift, Graph, Histograms, Merge, Multimodal, Packing, Quality, Sampling, Search, Similarity, TextAnalysis}
+import graft.ops.{BloomJoin, Clustering, Curation, Dedup, Drift, Evaluation, Graph, Histograms, Merge, Multimodal, Packing, Quality, Sampling, Search, Similarity, TextAnalysis}
 import graft.streaming.EventPipeline
 import graft.Util.table
 
@@ -673,6 +673,37 @@ object OpsQueries {
       Quality.profileExact(table(s, dir, "orders"),
           Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
         .orderBy("column")),
+    "p12_group_holdout" -> ((s, dir) => {
+      // leakage-safe eval split: whole SOURCES move together; the
+      // output is the holdout side itself, so the oracle re-derives the
+      // exact membership (hash + Lehmer replayed in SQL)
+      val (_, holdout) = Sampling.groupHoldout(
+        table(s, dir, "documents"), "source", holdoutFraction = 0.4)
+      holdout.select(col("doc_id"), col("source")).orderBy("doc_id")
+    }),
+    "v1_roc_auc" -> ((s, dir) => {
+      // exact corpus-scale ROC-AUC: first embedding component as the
+      // score, odd labels as the positive class
+      val e = table(s, dir, "embeddings")
+      Evaluation.rocAuc(
+          e.select(element_at(col("embedding"), 1).as("score"),
+            (col("label") % 2).as("y")), "score", "y")
+        .select(round(col("auc") + lit(5e-10), 6).as("auc"),
+          col("n_pos"), col("n_neg"))
+    }),
+    "v2_confusion" -> ((s, dir) => {
+      // one-pass confusion counts + derived metrics for the thresholded
+      // second component against the same class
+      val e = table(s, dir, "embeddings")
+      Evaluation.confusionStats(
+          e.select((element_at(col("embedding"), 2) > 0.0f).cast("long").as("pred"),
+            (col("label") % 2).as("y")), "pred", "y")
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          round(col("precision") + lit(5e-10), 6).as("precision"),
+          round(col("recall") + lit(5e-10), 6).as("recall"),
+          round(col("f1") + lit(5e-10), 6).as("f1"),
+          round(col("accuracy") + lit(5e-10), 6).as("accuracy"))
+    }),
     "q3_psi_drift" -> ((s, dir) => {
       // monitoring gate: PSI of the value distribution, view-cohort as
       // reference vs purchase-cohort as current, fixed audit bins; the
@@ -3109,6 +3140,39 @@ object OpsQueries {
           s"coalesce((SELECT count(*)::BIGINT FROM orders WHERE $c IS NOT NULL " +
           s"GROUP BY $c ORDER BY count(*) DESC LIMIT 1), 0) AS top_n FROM orders"
       }.mkString("", " UNION ALL ", " ORDER BY \"column\""),
+    "p12_group_holdout" ->
+      // the DSIR positional char hash of lower(source) mod P feeds the
+      // Lehmer permutation; cut = floor(0.4 * (2^31 - 1)) = 858993458
+      ("WITH k AS (SELECT doc_id, source, " +
+        "list_sum(list_transform(list_transform(string_split(lower(source), ''), c -> unicode(c)), " +
+        "(c, i) -> c * ((i * 2654435761) % 1048573))) % 1048573 AS key FROM documents) " +
+        "SELECT doc_id, source FROM k " +
+        "WHERE ((key + 1) % 2147483647) * 48271 % 2147483647 * 48271 % 2147483647 < 858993458 " +
+        "ORDER BY doc_id"),
+    "v1_roc_auc" ->
+      // per-distinct-score class counts, strictly-below negative cumsum,
+      // the exact-integer Mann-Whitney numerator, ONE double division
+      ("WITH s AS (SELECT embedding[1]::DOUBLE AS v, (label % 2)::BIGINT AS y FROM embeddings " +
+        "WHERE embedding[1] IS NOT NULL AND label IS NOT NULL), " +
+        "g AS (SELECT v, sum(CASE WHEN y <> 0 THEN 1 ELSE 0 END)::BIGINT AS np, " +
+        "sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)::BIGINT AS nn FROM s GROUP BY v), " +
+        "t AS (SELECT sum(np)::BIGINT AS p, sum(nn)::BIGINT AS n FROM g), " +
+        "c AS (SELECT np, nn, coalesce(sum(nn) OVER (ORDER BY v " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS below FROM g) " +
+        "SELECT round(sum((below * 2 + nn)::HUGEINT * np)::DOUBLE / (2e0 * p * n) + 5e-10, 6) AS auc, " +
+        "p AS n_pos, n AS n_neg FROM c CROSS JOIN t GROUP BY p, n"),
+    "v2_confusion" ->
+      ("WITH s AS (SELECT (embedding[2] > 0e0) AS pred, ((label % 2) <> 0) AS y FROM embeddings " +
+        "WHERE embedding[2] IS NOT NULL AND label IS NOT NULL), " +
+        "a AS (SELECT sum(CASE WHEN pred AND y THEN 1 ELSE 0 END)::BIGINT AS tp, " +
+        "sum(CASE WHEN pred AND NOT y THEN 1 ELSE 0 END)::BIGINT AS fp, " +
+        "sum(CASE WHEN NOT pred AND y THEN 1 ELSE 0 END)::BIGINT AS fn, " +
+        "sum(CASE WHEN NOT pred AND NOT y THEN 1 ELSE 0 END)::BIGINT AS tn FROM s) " +
+        "SELECT tp, fp, fn, tn, " +
+        "round(tp::DOUBLE / (tp + fp) + 5e-10, 6) AS precision, " +
+        "round(tp::DOUBLE / (tp + fn) + 5e-10, 6) AS recall, " +
+        "round((tp * 2)::DOUBLE / (tp * 2 + fp + fn) + 5e-10, 6) AS f1, " +
+        "round((tp + tn)::DOUBLE / (tp + fp + fn + tn) + 5e-10, 6) AS accuracy FROM a"),
     "q3_psi_drift" ->
       // bin arithmetic, add-alpha smoothing, and ln-ratio terms replayed
       // with identical operation order (alpha=0.5, 6 bins -> +3.0)

@@ -74,6 +74,30 @@ object Sampling {
     (df.filter(pr >= cut), df.filter(pr < cut))
   }
 
+  /** LEAKAGE-SAFE holdout: membership decided per GROUP, not per row —
+    * every row of a group (domain, author, near-dup cluster id, …)
+    * lands on the same side, so the eval split cannot leak shared
+    * context into training (the failure mode a row-level split has on
+    * any corpus with correlated rows). The group key is reduced to a
+    * long by the replayable positional char hash
+    * ([[TextAnalysis.hashedGramBucket]] over the lower-cased key, mod
+    * P = 1048573) and routed through [[lehmerPriority]] — a pure
+    * per-row projection: ZERO shuffle, no group table, no join, and an
+    * external engine re-derives the membership of every group (the
+    * p1/p2 discipline). Two groups that collide in the 2^20 key space
+    * merely co-assign (still leakage-safe); the realized fraction
+    * concentrates at `holdoutFraction` of GROUPS, not of rows — a
+    * heavy group moves its whole mass with it, which is the point.
+    * Returns (rest, holdout). */
+  def groupHoldout(df: DataFrame, groupCol: String, holdoutFraction: Double,
+                   seed: Long = 1L): (DataFrame, DataFrame) = {
+    require(holdoutFraction > 0 && holdoutFraction < 1, "fraction in (0,1)")
+    val key = TextAnalysis.hashedGramBucket(lower(col(groupCol)), 1048573)
+    val cut = (holdoutFraction * 2147483647L).toLong
+    val pr = lehmerPriority(key, seed)
+    (df.filter(pr >= cut), df.filter(pr < cut))
+  }
+
   /** [[stratifiedTake]]'s externally-REPLAYABLE variant: the same
     * exact-n-per-stratum window sample ordered by [[lehmerPriority]]
     * instead of xxhash, so an external engine re-derives the CHOSEN

@@ -198,6 +198,27 @@ class SamplingSpec extends AnyFunSuite with Matchers {
     s1 should not equal s2
   }
 
+  test("groupHoldout keeps every group on one side and splits GROUPS by the fraction") {
+    import org.apache.spark.sql.functions.col
+    val df = (1 to 2000).map(i => (i.toLong, s"dom${i % 97}")).toDF("id", "grp")
+    val (rest, hold) = Sampling.groupHoldout(df, "grp", 0.3)
+    val restG = rest.select("grp").distinct().collect().map(_.getString(0)).toSet
+    val holdG = hold.select("grp").distinct().collect().map(_.getString(0)).toSet
+    restG.intersect(holdG) shouldBe empty // leakage-safe: no group straddles
+    (rest.count() + hold.count()) shouldBe 2000L
+    // realized fraction concentrates on GROUPS (97 of them), not rows
+    holdG.size.toDouble / 97 shouldBe 0.3 +- 0.12
+    // deterministic; a different seed moves different groups
+    val (_, hold2) = Sampling.groupHoldout(df, "grp", 0.3)
+    hold2.select("grp").distinct().collect().map(_.getString(0)).toSet shouldBe holdG
+    val (_, hold3) = Sampling.groupHoldout(df, "grp", 0.3, seed = 99L)
+    hold3.select("grp").distinct().collect().map(_.getString(0)).toSet should not be holdG
+    // zero-shuffle contract: membership is a pure filter on the corpus
+    hold.queryExecution.executedPlan.toString should not include "Exchange"
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.groupHoldout(df, "grp", 0.0)
+  }
+
   test("negativeSamples equals the driver probe model; never label-collides") {
     import org.apache.spark.sql.functions.col
     val items = (1L to 300L).map(i => (i, i % 7)).toDF("id", "lab")
