@@ -673,6 +673,22 @@ object OpsQueries {
       Quality.profileExact(table(s, dir, "orders"),
           Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
         .orderBy("column")),
+    "q5_incremental_psi" -> ((s, dir) => {
+      // drift read OFF HISTOGRAM STATE, not the corpora: first-half vs
+      // second-half events per event_type, 10 bins over [0, 500) — in
+      // production both states arrive via mergeState/maintainAggState
+      // and this query never rescans a corpus
+      val ev = table(s, dir, "events")
+      val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+      val refH = Histograms.binned(ev.filter(col("ts") < cut),
+        Seq("event_type"), "value", 0.0, 500.0, 10)
+      val curH = Histograms.binned(ev.filter(col("ts") >= cut),
+        Seq("event_type"), "value", 0.0, 500.0, 10)
+      Drift.psiFromHistograms(refH, curH, Seq("event_type"), 10)
+        .select(col("event_type"), col("n_ref"), col("n_cur"),
+          round(col("psi") + lit(5e-10), 6).as("psi"))
+        .orderBy("event_type")
+    }),
     "p12_group_holdout" -> ((s, dir) => {
       // leakage-safe eval split: whole SOURCES move together; the
       // output is the holdout side itself, so the oracle re-derives the
@@ -3140,6 +3156,25 @@ object OpsQueries {
           s"coalesce((SELECT count(*)::BIGINT FROM orders WHERE $c IS NOT NULL " +
           s"GROUP BY $c ORDER BY count(*) DESC LIMIT 1), 0) AS top_n FROM orders"
       }.mkString("", " UNION ALL ", " ORDER BY \"column\""),
+    "q5_incremental_psi" ->
+      // bin assignment replayed with Spark's operation order (divide,
+      // then scale, then clamp); smoothing via e-notation doubles
+      ("WITH e AS (SELECT event_type, ts, value FROM events WHERE value IS NOT NULL), " +
+        "rb AS (SELECT event_type, least(greatest(floor(value / 5e2 * 10), 0), 9)::INT AS bin, " +
+        "count(*)::BIGINT AS n FROM e WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1, 2), " +
+        "cb AS (SELECT event_type, least(greatest(floor(value / 5e2 * 10), 0), 9)::INT AS bin, " +
+        "count(*)::BIGINT AS n FROM e WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1, 2), " +
+        "k AS (SELECT event_type FROM rb UNION SELECT event_type FROM cb), " +
+        "g AS (SELECT k.event_type, b.range::INT AS bin FROM k CROSS JOIN range(10) b), " +
+        "d AS (SELECT g.event_type, g.bin, coalesce(rb.n, 0)::BIGINT AS nr, coalesce(cb.n, 0)::BIGINT AS nc " +
+        "FROM g LEFT JOIN rb ON g.event_type = rb.event_type AND g.bin = rb.bin " +
+        "LEFT JOIN cb ON g.event_type = cb.event_type AND g.bin = cb.bin), " +
+        "t AS (SELECT event_type, sum(nr)::BIGINT AS tr, sum(nc)::BIGINT AS tc FROM d GROUP BY 1), " +
+        "p AS (SELECT d.event_type, tr, tc, (nr + 5e-1) / (tr + 5e0) AS pr, " +
+        "(nc + 5e-1) / (tc + 5e0) AS pc FROM d JOIN t USING (event_type)) " +
+        "SELECT event_type, max(tr)::BIGINT AS n_ref, max(tc)::BIGINT AS n_cur, " +
+        "round(sum((pc - pr) * ln(pc / pr)) + 5e-10, 6) AS psi " +
+        "FROM p GROUP BY 1 ORDER BY 1"),
     "p12_group_holdout" ->
       // the DSIR positional char hash of lower(source) mod P feeds the
       // Lehmer permutation; cut = floor(0.4 * (2^31 - 1)) = 858993458

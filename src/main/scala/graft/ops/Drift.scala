@@ -79,6 +79,49 @@ object Drift {
       .orderBy("bin")
   }
 
+  /** PSI read directly off two [[Histograms]] long-format states
+    * (keys ++ bin, cnt) — the INCREMENTAL drift gate: maintain a
+    * histogram state per corpus snapshot (constant-time refresh via
+    * `Histograms.mergeState` / `EventPipeline.maintainAggState`) and
+    * read the drift between any two states without ever rescanning a
+    * corpus. Same add-`alpha` smoothing as [[psiDrift]]; bins densify
+    * over 0..nBins−1 per key so empty bins smooth identically on both
+    * sides. Returns one row per key: keys ++ (n_ref, n_cur, psi).
+    *
+    * Scale shape: every frame here is STATE-sized (|keys|·nBins rows) —
+    * the distinct-keys × bin-range grid, the two outer joins, the
+    * per-key totals join and the final per-key sum are all orders of
+    * magnitude below corpus size by construction. */
+  def psiFromHistograms(refState: DataFrame, curState: DataFrame,
+                        keys: Seq[String], nBins: Int,
+                        alpha: Double = 0.5): DataFrame = {
+    require(keys.nonEmpty, "psiFromHistograms needs at least one key column")
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    require(alpha > 0.0, s"alpha must be > 0 (finite log ratios), got $alpha")
+    val keyCols = keys.map(col)
+    def one(st: DataFrame, name: String): DataFrame =
+      st.groupBy(keyCols :+ col("bin"): _*).agg(sum("cnt").as(name))
+    val allKeys = refState.select(keyCols: _*)
+      .unionByName(curState.select(keyCols: _*)).distinct()
+    val grid = allKeys.crossJoin(
+      refState.sparkSession.range(nBins).select(col("id").cast("int").as("bin")))
+    val dense = grid
+      .join(one(refState, "n_ref"), keys :+ "bin", "left_outer")
+      .join(one(curState, "n_cur"), keys :+ "bin", "left_outer")
+      .select(keyCols ++ Seq(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur")): _*)
+    val totals = dense.groupBy(keyCols: _*)
+      .agg(sum("n_ref").as("__tr"), sum("n_cur").as("__tc"))
+    val pRef = (col("n_ref") + lit(alpha)) / (col("__tr") + lit(alpha * nBins))
+    val pCur = (col("n_cur") + lit(alpha)) / (col("__tc") + lit(alpha * nBins))
+    dense.join(totals, keys)
+      .withColumn("__term", (pCur - pRef) * log(pCur / pRef))
+      .groupBy(keyCols: _*)
+      .agg(max(col("__tr")).as("n_ref"), max(col("__tc")).as("n_cur"),
+        sum(col("__term")).as("psi"))
+  }
+
   /** Exact two-sample KS statistic: `sup_v |F_ref(v) − F_cur(v)|`,
     * evaluated at every distinct value of either sample (where the sup
     * of two step functions lives). Returns ONE row:

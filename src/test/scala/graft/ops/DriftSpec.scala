@@ -57,6 +57,35 @@ class DriftSpec extends AnyFunSuite with Matchers {
       Drift.psiDrift(s, s, "x", Seq(1.0), alpha = 0.0)
   }
 
+  test("psiFromHistograms equals psiDrift on aligned bins and is state-merge invariant") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val refV = Seq(1.0, 5.0, 12.0, 15.0, 22.0, 31.0, 35.0, 38.0)
+    val curV = Seq(2.0, 14.0, 24.0, 25.0, 26.0, 33.0)
+    val ref = refV.map(("k", _)).toDF("k", "x")
+    val cur = curV.map(("k", _)).toDF("k", "x")
+    // uniform [0,40)/4 bins == edge bins {10,20,30} for in-range values
+    val refH = Histograms.binned(ref, Seq("k"), "x", 0.0, 40.0, 4)
+    val curH = Histograms.binned(cur, Seq("k"), "x", 0.0, 40.0, 4)
+    val viaState = Drift.psiFromHistograms(refH, curH, Seq("k"), 4).head()
+    val direct = Drift.psiDrift(ref.select("x"), cur.select("x"), "x",
+      Seq(10.0, 20.0, 30.0)).head().getDouble(6)
+    viaState.getDouble(3) shouldBe direct +- 1e-12
+    viaState.getLong(1) shouldBe 8L
+    viaState.getLong(2) shouldBe 6L
+    // merging two half-states first changes nothing (the incremental claim)
+    val refA = Histograms.binned(ref.limit(4), Seq("k"), "x", 0.0, 40.0, 4)
+    val refB = Histograms.binned(ref.orderBy(col("x").desc).limit(4), Seq("k"), "x", 0.0, 40.0, 4)
+    val merged = Histograms.mergeState(refA, refB, Seq("k"))
+    Drift.psiFromHistograms(merged, curH, Seq("k"), 4).head().getDouble(3) shouldBe
+      direct +- 1e-12
+    // a key present in only one state stays finite and keyed
+    val lop = Drift.psiFromHistograms(
+      refH.withColumn("k", lit("only_ref")), curH, Seq("k"), 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    lop.keySet shouldBe Set("only_ref", "k")
+    lop.values.foreach { v => v.isNaN shouldBe false; v.isInfinite shouldBe false }
+  }
+
   test("ksStatistic equals the brute-force sup over a pseudo-random pair, any partitioning") {
     // deterministic LCG so the spec needs no RNG object
     def seq(seed: Long, n: Int, shift: Double): Seq[Double] = {
