@@ -1272,6 +1272,31 @@ object OpsQueries {
         .orderBy("o_orderpriority")
     }),
 
+    "o8_versioned_table" -> ((s, dir) => {
+      // snapshot-versioned table: v1 = even orderkeys, v2 = append the
+      // odd ones, v3 = overwrite with a decoy slice; the query reads v2
+      // BY VERSION NUMBER after v3 landed, so the aggregate equals the
+      // full source table only if append accumulation, manifest
+      // isolation, and time travel all hold. Decimal sums (u6 precedent).
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val t = new org.apache.hadoop.fs.Path(wh, "graft_versioned_orders").toString
+      val fs0 = new org.apache.hadoop.fs.Path(t).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      fs0.delete(new org.apache.hadoop.fs.Path(t), true) // fresh table per run
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      graft.sources.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 0), t)
+      graft.sources.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 1), t)
+      graft.sources.VersionedTable.commit(o.limit(10), t, mode = "overwrite")
+      graft.sources.VersionedTable.read(s, t, version = Some(2L))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            + lit(5e-10), 6).as("sum_price"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- lakehouse mutation: CDC upsert + SCD2 history -----------------
     "u2_upsert" -> ((s, dir) => {
       // MERGE INTO shape: orders replayed as a change stream against the
@@ -3319,6 +3344,13 @@ object OpsQueries {
     "o7_compaction" ->
       // content preservation: the compacted read-back must aggregate to
       // the source table exactly (decimal sums, the u6 precedent)
+      ("SELECT o_orderpriority, count(*)::BIGINT AS n, " +
+        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) + 5e-10, 6) AS sum_price, " +
+        "max(o_orderkey) AS max_key " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "o8_versioned_table" ->
+      // v2 = even-keys commit + odd-keys append = the whole table; the
+      // overwrite that followed must be invisible to the v2 read
       ("SELECT o_orderpriority, count(*)::BIGINT AS n, " +
         "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) + 5e-10, 6) AS sum_price, " +
         "max(o_orderkey) AS max_key " +

@@ -232,6 +232,32 @@ object SparkEntry {
           round(max(col("wv")) + lit(5e-10), 6).as("max_w"))
         .orderBy("l_returnflag")
     }),
+    "a15_robust_stats" -> ((s, dir) => {
+      // robust center/spread + outlier census: per-group median and MAD
+      // via two gated quantile passes, then one outlier-count scan with
+      // the (median, mad) pair attached as literals (3 groups — the a14
+      // lesson: a tiny broadcast hash join costs ~10x the aggregate it
+      // feeds). 4.4478 = 3 x 1.4826 (the normal-consistency constant),
+      // written as one literal so both engines compare the same double.
+      val li = table(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val rm = Quantiles.groupedMad(li, "l_returnflag", "l_extendedprice")
+      val stats = rm.collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      val medE = stats.map { case (g, m, _) =>
+        when(col("l_returnflag") === g, lit(m)) }.reduce(coalesce(_, _))
+      val madE = stats.map { case (g, _, d) =>
+        when(col("l_returnflag") === g, lit(d)) }.reduce(coalesce(_, _))
+      li.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(abs(col("l_extendedprice") - medE) > lit(4.4478) * madE, 1L)
+            .otherwise(0L)).as("n_out"))
+        .withColumn("median", round(medE + lit(5e-10), 6))
+        .withColumn("mad", round(madE + lit(5e-10), 6))
+        .select(col("l_returnflag"), col("n"), col("median"), col("mad"),
+          col("n_out"),
+          round(col("n_out").cast("double") / col("n") + lit(5e-10), 6).as("out_frac"))
+        .orderBy("l_returnflag")
+    }),
 
     // ---- joins / windows / set ops (SURVEY.md §2.5-2.7) ----
     "j1_outer_join" -> ((s, dir) => roundDoubles(
@@ -532,6 +558,21 @@ object SparkEntry {
         "round(min(wv) + 5e-10, 6) AS min_w, " +
         "round(max(wv) + 5e-10, 6) AS max_w " +
         "FROM w GROUP BY 1 ORDER BY 1"),
+    "a15_robust_stats" ->
+      // median and MAD re-derived with quantile_cont (interpolation
+      // identical to the gated router — the a11 precedent), outliers
+      // against the same single-literal 4.4478 threshold
+      ("WITH m AS (SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med " +
+        "FROM lineitem GROUP BY 1), " +
+        "d AS (SELECT l.l_returnflag, quantile_cont(abs(l_extendedprice - med), 0.5) AS mad " +
+        "FROM lineitem l JOIN m USING (l_returnflag) GROUP BY 1), " +
+        "o AS (SELECT l.l_returnflag, count(*)::BIGINT AS n, " +
+        "sum(CASE WHEN abs(l_extendedprice - m.med) > 4.4478e0 * d.mad THEN 1 ELSE 0 END)::BIGINT AS n_out, " +
+        "max(m.med) AS med, max(d.mad) AS mad " +
+        "FROM lineitem l JOIN m USING (l_returnflag) JOIN d USING (l_returnflag) GROUP BY 1) " +
+        "SELECT l_returnflag, n, round(med + 5e-10, 6) AS median, " +
+        "round(mad + 5e-10, 6) AS mad, n_out, " +
+        "round(n_out::DOUBLE / n + 5e-10, 6) AS out_frac FROM o ORDER BY 1"),
     "a13_grouped_quantiles_dist" ->
       // same oracle as a11: the distributed order-statistics path must
       // produce the identical interpolated quantiles

@@ -238,6 +238,47 @@ object Quantiles {
         .drop("__g", "__lo", "__hi")
   }
 
+  /** Grouped robust center/spread: per-group median and MAD (median
+    * absolute deviation, `median(|x − median(x)|)`), the
+    * outlier-immune counterparts of mean/stddev — a single 3σ-style
+    * corrupted value moves a mean arbitrarily far but moves a median
+    * not at all, which is why robust scaling is the standard
+    * preprocessing for corpus statistics nobody hand-cleaned.
+    *
+    * Two quantile passes, each routed through [[groupedQuantiles]]'
+    * memory gate (so any group shape survives): medians, then medians
+    * of the residuals — with the group medians attached to the residual
+    * scan by the same literal-branch-chain gate as [[clampToBounds]]
+    * (≤ `maxLiteralGroups` groups; beyond that a broadcast join, which
+    * is also the regime where the join cost stops mattering relative to
+    * group size). Returns one row per group: (group, median, mad). */
+  def groupedMad(df: DataFrame, groupCol: String, valueCol: String,
+                 maxBufferedPerGroup: Long = 4L << 20,
+                 maxLiteralGroups: Int = 64): DataFrame = {
+    val med = groupedQuantiles(df, groupCol, valueCol,
+      Seq("med" -> 0.5), maxBufferedPerGroup)
+    val gStr = col(groupCol).cast(StringType)
+    val probe = med.limit(maxLiteralGroups + 1).collect()
+    val resid =
+      if (probe.length <= maxLiteralGroups) {
+        val m = probe.map { r =>
+          val cond = if (r.isNullAt(0)) gStr.isNull else gStr === lit(r.getString(0))
+          when(cond, lit(r.getDouble(1)))
+        }.reduceOption(coalesce(_, _)).getOrElse(lit(null).cast(DoubleType))
+        df.select(gStr.as(groupCol),
+          abs(col(valueCol).cast(DoubleType) - m).as("__r"))
+      } else
+        df.join(broadcast(med.select(gStr.as("__g"), col("med").as("__m"))),
+            gStr <=> col("__g"), "inner")
+          .select(gStr.as(groupCol),
+            abs(col(valueCol).cast(DoubleType) - col("__m")).as("__r"))
+    // null-safe final join: a null group key is a legitimate group
+    groupedQuantiles(resid, groupCol, "__r", Seq("mad" -> 0.5), maxBufferedPerGroup)
+      .join(med.select(gStr.as("__gj"), col("med")),
+        col(groupCol) <=> col("__gj"), "inner")
+      .select(col(groupCol), col("med").as("median"), col("mad"))
+  }
+
   private def requirePs(ps: Seq[(String, Double)]): Unit = {
     require(ps.nonEmpty, "need at least one (name, p)")
     ps.foreach { case (n, p) =>

@@ -1,0 +1,70 @@
+package graft.sources
+
+import java.nio.file.Files
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class VersionedTableSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp() = Files.createTempDirectory("graft_vt").resolve("t").toString
+
+  test("append commits accumulate; every version stays readable (time travel)") {
+    val t = tmp()
+    val v1 = VersionedTable.commit((1 to 5).map(i => (i.toLong, s"a$i")).toDF("k", "s"), t)
+    val v2 = VersionedTable.commit((6 to 9).map(i => (i.toLong, s"a$i")).toDF("k", "s"), t)
+    (v1, v2) shouldBe ((1L, 2L))
+    VersionedTable.read(spark, t).select("k").collect().map(_.getLong(0)).sorted shouldBe
+      (1L to 9L).toArray
+    VersionedTable.read(spark, t, Some(1L)).count() shouldBe 5L
+    VersionedTable.versions(spark, t) shouldBe Seq(1L -> "append", 2L -> "append")
+  }
+
+  test("overwrite starts a fresh file list but history remains") {
+    val t = tmp()
+    VersionedTable.commit(Seq((1L, "x")).toDF("k", "s"), t)
+    VersionedTable.commit(Seq((2L, "y")).toDF("k", "s"), t)
+    VersionedTable.commit(Seq((99L, "z")).toDF("k", "s"), t, mode = "overwrite")
+    VersionedTable.read(spark, t).collect().map(_.getLong(0)).toSeq shouldBe Seq(99L)
+    VersionedTable.read(spark, t, Some(2L)).count() shouldBe 2L
+    VersionedTable.versions(spark, t).last shouldBe (3L -> "overwrite")
+  }
+
+  test("two writers racing on one version number: one wins, one gets the typed conflict") {
+    val t = tmp()
+    VersionedTable.commit(Seq((1L, "x")).toDF("k", "s"), t)
+    // both writers resolved next = 2; the publish step decides the race
+    VersionedTable.publishManifest(spark, t, 2L,
+      """{"version":2,"mode":"append","dirs":["data/c2-aaaa"]}""")
+    a[VersionedTable.ConcurrentCommitException] should be thrownBy
+      VersionedTable.publishManifest(spark, t, 2L,
+        """{"version":2,"mode":"append","dirs":["data/c2-bbbb"]}""")
+    // a fresh commit simply lands on the NEXT number — no clobber
+    VersionedTable.commit(Seq((2L, "y")).toDF("k", "s"), t) shouldBe 3L
+  }
+
+  test("vacuum drops pre-horizon versions and unreferenced data, keeps the rest") {
+    val t = tmp()
+    VersionedTable.commit(Seq((1L, "x")).toDF("k", "s"), t)
+    VersionedTable.commit(Seq((2L, "y")).toDF("k", "s"), t)
+    VersionedTable.commit(Seq((3L, "z")).toDF("k", "s"), t, mode = "overwrite")
+    VersionedTable.vacuum(spark, t, keepFrom = 3L)
+    // v3 intact; v1/v2 gone at resolve time
+    VersionedTable.read(spark, t).collect().map(_.getLong(0)).toSeq shouldBe Seq(3L)
+    an[IllegalArgumentException] should be thrownBy
+      VersionedTable.read(spark, t, Some(1L))
+    // the overwritten versions' data directories are physically gone
+    val fs = new org.apache.hadoop.fs.Path(t).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(t, "data")).length shouldBe 1
+  }
+
+  test("reads of an empty or missing table fail loudly") {
+    an[IllegalArgumentException] should be thrownBy
+      VersionedTable.read(spark, tmp())
+    an[IllegalArgumentException] should be thrownBy
+      VersionedTable.commit(Seq((1L, "x")).toDF("k", "s"), tmp(), mode = "merge")
+  }
+}

@@ -120,6 +120,30 @@ class QuantilesSpec extends AnyFunSuite with Matchers {
     lit0.toSeq shouldBe w.sortBy(_.toString).toSeq
   }
 
+  test("groupedMad equals the driver median/MAD on both attach paths; outlier-immune") {
+    // group a: median 5, residuals {4,2,0,2,4} -> MAD 2 (odd sizes: exact)
+    // group b has one wild outlier that must not move median or MAD much
+    val df = (Seq(("a", 1.0), ("a", 3.0), ("a", 5.0), ("a", 7.0), ("a", 9.0)) ++
+      Seq(("b", 10.0), ("b", 20.0), ("b", 30.0), ("b", 40.0), ("b", 1e9))).toDF("g", "v")
+    val out = Quantiles.groupedMad(df, "g", "v").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    out("a") shouldBe ((5.0, 2.0))
+    out("b")._1 shouldBe 30.0 // the 1e9 row moved the median one slot, not 1e8
+    out("b")._2 shouldBe 10.0 // residuals {20,10,0,10,1e9-30} -> median 10
+    // forcing the broadcast-join attach path gives identical results
+    val joined = Quantiles.groupedMad(df, "g", "v", maxLiteralGroups = 0).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    joined shouldBe out
+    // driver replay on a pseudo-random group, interpolation included
+    val vals = (1 to 101).map(i => (i * 48271 % 997).toDouble)
+    val one = vals.map(("z", _)).toDF("g", "v")
+    val med = vals.sorted.apply(50)
+    val mad = vals.map(x => math.abs(x - med)).sorted.apply(50)
+    val got = Quantiles.groupedMad(one, "g", "v").head()
+    got.getDouble(1) shouldBe med
+    got.getDouble(2) shouldBe mad
+  }
+
   test("rejects bad probabilities and duplicate names") {
     val df = Seq(("a", 1.0)).toDF("g", "v")
     an[IllegalArgumentException] should be thrownBy
