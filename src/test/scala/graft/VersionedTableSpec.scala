@@ -61,6 +61,32 @@ class VersionedTableSpec extends AnyFunSuite with Matchers {
     fs.listStatus(new org.apache.hadoop.fs.Path(t, "data")).length shouldBe 1
   }
 
+  test("transactional MERGE: applyChangelog over the latest version commits as a new one") {
+    import org.apache.spark.sql.functions.col
+    val t = tmp()
+    VersionedTable.commit(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "s", "v"), t)
+    val changes = Seq(
+      (2L, "u", 1L, "B", 21.0),  // update
+      (4L, "u", 1L, "d", 40.0),  // insert
+      (3L, "d", 1L, "", 0.0))    // delete
+      .toDF("k", "op", "seq", "s", "v")
+    val merged = graft.ops.Merge.applyChangelog(
+      VersionedTable.read(spark, t), changes, "k", "op", Seq("seq"), Seq("s", "v"))
+    val v2 = VersionedTable.commit(merged.select("k", "s", "v"), t, mode = "overwrite")
+    v2 shouldBe 2L
+    VersionedTable.read(spark, t).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq shouldBe
+      Seq((1L, "a", 10.0), (2L, "B", 21.0), (4L, "d", 40.0))
+    // the pre-merge snapshot is still there: audit/rollback for free
+    VersionedTable.read(spark, t, Some(1L)).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L, 3L)
+    // rollback = re-commit an old snapshot as the new head
+    VersionedTable.commit(VersionedTable.read(spark, t, Some(1L)), t, mode = "overwrite")
+    VersionedTable.read(spark, t).select(col("k")).collect()
+      .map(_.getLong(0)).sorted.toSeq shouldBe Seq(1L, 2L, 3L)
+  }
+
   test("reads of an empty or missing table fail loudly") {
     an[IllegalArgumentException] should be thrownBy
       VersionedTable.read(spark, tmp())

@@ -597,6 +597,46 @@ class EventPipelineSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("streaming drift monitor: psiFromHistograms over maintained state equals the batch path") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.{DataFrame, Row}
+    import org.apache.spark.sql.functions.{col, count, lit}
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Event]
+    var state: Option[(Seq[Row], org.apache.spark.sql.types.StructType)] = None
+    def get(): Option[DataFrame] =
+      state.map { case (rows, sch) => spark.createDataFrame(rows.asJava, sch) }
+    def set(df: DataFrame): Unit = state = Some((df.collect().toSeq, df.schema))
+    val binned = input.toDF()
+      .withColumn("bin", graft.ops.Histograms.binColumn(col("value"), 0.0, 10.0, 5))
+    val q = EventPipeline.maintainAggState(binned, Seq("event_type", "bin"),
+      Seq(count(lit(1)).as("cnt")), Map("cnt" -> "sum"))(get _, set _)
+    // the reference profile the stream drifts against
+    val refEvents = Seq(Event(100L, ts("09:00"), 1L, "click", 2.0),
+      Event(101L, ts("09:01"), 2L, "click", 4.0),
+      Event(102L, ts("09:02"), 3L, "click", 6.0))
+    val refH = graft.ops.Histograms.binned(refEvents.toDF(),
+      Seq("event_type"), "value", 0.0, 10.0, 5)
+    val fed = scala.collection.mutable.ArrayBuffer[Event]()
+    def feed(es: Event*): Unit = { fed ++= es; input.addData(es: _*); q.processAllAvailable() }
+    try {
+      feed(Event(1L, ts("10:00"), 1L, "click", 8.0),
+        Event(2L, ts("10:01"), 2L, "click", 9.0))
+      feed(Event(3L, ts("10:02"), 3L, "click", 8.5),
+        Event(4L, ts("10:03"), 4L, "click", 1.0))
+      // drift read off the STREAMED state == drift off the batch histogram
+      val live = graft.ops.Drift.psiFromHistograms(refH, get().get,
+        Seq("event_type"), 5).head()
+      val batchH = graft.ops.Histograms.binned(fed.toSeq.toDF(),
+        Seq("event_type"), "value", 0.0, 10.0, 5)
+      val direct = graft.ops.Drift.psiFromHistograms(refH, batchH,
+        Seq("event_type"), 5).head()
+      live.getDouble(3) shouldBe direct.getDouble(3)
+      live.getLong(2) shouldBe 4L
+      live.getDouble(3) should be > 0.1 // the planted shift is visible
+    } finally q.stop()
+  }
+
   test("maintainBottomKState converges to the batch bottom-k sample, replays included") {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.{DataFrame, Row}
