@@ -348,6 +348,34 @@ object OpsQueries {
           round(col("image_stats.mean_b"), 6).as("img_mean_b"))
         .orderBy("doc_id")
     }),
+    "m9_adpcm_stats" -> ((s, dir) => {
+      // REAL compressed-audio sample decode: four closed-form PCM
+      // signals are ADPCM-encoded ON THE DRIVER (fixture encoder) and
+      // planted as literals; the ENGINE runs the real nibble-walk
+      // decoder per row. The oracle carries golden per-variant stats
+      // verified in MultimodalSpec against an independently-typed
+      // reference decoder — ADPCM's stateful recursion is the one
+      // decode DuckDB cannot replay structurally (the m2 JPEG class),
+      // so the constants stand in for the closed form.
+      val variants = (0 until 4).map { v =>
+        val pcm = Array.tabulate[Short](64)(j =>
+          (((j + 1) * (2 * v + 3) * 997) % 32768 - 16384).toShort)
+        lit(Multimodal.imaAdpcmWav(pcm, blockAlign = 36))
+      }
+      val planted = docs(s, dir).filter(col("doc_id") % 10 === 3)
+        .withColumn("payload",
+          when(col("doc_id") % 40 === 3, variants(0))
+            .when(col("doc_id") % 40 === 13, variants(1))
+            .when(col("doc_id") % 40 === 23, variants(2))
+            .otherwise(variants(3)))
+      Multimodal.withAudioStats(planted.select(col("doc_id"), col("payload")), "payload")
+        .select(col("doc_id"),
+          col("audio_stats.n_samples").as("n_samples"),
+          round(col("audio_stats.mean") + lit(5e-10), 6).as("mean"),
+          round(col("audio_stats.rms") + lit(5e-10), 6).as("rms"),
+          round(col("audio_stats.peak") + lit(5e-10), 6).as("peak"))
+        .orderBy("doc_id")
+    }),
     "m5_audio_frames" -> ((s, dir) => {
       // frame-level features over the REAL PCM decode: the planted WAVs
       // carry 32 samples whose bytes are a known transform of the doc
@@ -2137,6 +2165,19 @@ object OpsQueries {
         "round(i.mg, 6) AS img_mean_g, round(i.mb, 6) AS img_mean_b " +
         "FROM base b LEFT JOIN audio a USING (doc_id) LEFT JOIN img i USING (doc_id) " +
         "ORDER BY b.doc_id"),
+    "m9_adpcm_stats" ->
+      // golden per-variant stats (verified against the spec's independent
+      // reference decoder) — ADPCM's stateful nibble recursion is not
+      // structurally SQL-replayable, so constants stand in for the
+      // closed form (the m8 planting discipline, one level removed)
+      ("SELECT doc_id, 65::BIGINT AS n_samples, " +
+        "CASE (doc_id % 40) WHEN 3 THEN -0.045437 WHEN 13 THEN -0.011611 " +
+        "WHEN 23 THEN -0.022701 ELSE -0.026201 END AS mean, " +
+        "CASE (doc_id % 40) WHEN 3 THEN 0.277715 WHEN 13 THEN 0.283089 " +
+        "WHEN 23 THEN 0.288659 ELSE 0.271879 END AS rms, " +
+        "CASE (doc_id % 40) WHEN 3 THEN 0.460754 WHEN 13 THEN 0.528046 " +
+        "WHEN 23 THEN 0.57196 ELSE 0.533844 END AS peak " +
+        "FROM documents WHERE doc_id % 10 = 3 ORDER BY doc_id"),
     "m5_audio_frames" ->
       // replay the frame fold from the raw text bytes: LE16 pairs,
       // sign-extended, frame = i // 8; ZCR counts strict sign flips of

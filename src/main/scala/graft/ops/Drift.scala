@@ -99,23 +99,39 @@ object Drift {
     require(nBins >= 1, s"nBins must be >= 1, got $nBins")
     require(alpha > 0.0, s"alpha must be > 0 (finite log ratios), got $alpha")
     val keyCols = keys.map(col)
+    // every key join here is NULL-SAFE: a null key is a legitimate
+    // monitored group (a null language, an unattributed source) and an
+    // equi-join would silently drop its state rows
+    def nsJoin(left: DataFrame, right: DataFrame, rightKeys: Seq[String],
+               how: String): DataFrame = {
+      val cond = keys.zip(rightKeys).map { case (k, rk) => left(k) <=> right(rk) }
+        .reduce(_ && _) && left("bin") === right("__rbin")
+      (rightKeys :+ "__rbin").foldLeft(left.join(right, cond, how)) {
+        (d, c) => d.drop(right(c))
+      }
+    }
     def one(st: DataFrame, name: String): DataFrame =
       st.groupBy(keyCols :+ col("bin"): _*).agg(sum("cnt").as(name))
+        .select(keys.map(k => col(k).as(s"__rk_$k")) ++
+          Seq(col("bin").as("__rbin"), col(name)): _*)
     val allKeys = refState.select(keyCols: _*)
       .unionByName(curState.select(keyCols: _*)).distinct()
     val grid = allKeys.crossJoin(
       refState.sparkSession.range(nBins).select(col("id").cast("int").as("bin")))
-    val dense = grid
-      .join(one(refState, "n_ref"), keys :+ "bin", "left_outer")
-      .join(one(curState, "n_cur"), keys :+ "bin", "left_outer")
+    val rkNames = keys.map(k => s"__rk_$k")
+    val dense = nsJoin(nsJoin(grid, one(refState, "n_ref"), rkNames, "left_outer"),
+        one(curState, "n_cur"), rkNames, "left_outer")
       .select(keyCols ++ Seq(col("bin"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur")): _*)
     val totals = dense.groupBy(keyCols: _*)
       .agg(sum("n_ref").as("__tr"), sum("n_cur").as("__tc"))
+      .select(keys.map(k => col(k).as(s"__tk_$k")) ++
+        Seq(col("__tr"), col("__tc")): _*)
     val pRef = (col("n_ref") + lit(alpha)) / (col("__tr") + lit(alpha * nBins))
     val pCur = (col("n_cur") + lit(alpha)) / (col("__tc") + lit(alpha * nBins))
-    dense.join(totals, keys)
+    val totCond = keys.map(k => col(k) <=> col(s"__tk_$k")).reduce(_ && _)
+    dense.join(totals, totCond)
       .withColumn("__term", (pCur - pRef) * log(pCur / pRef))
       .groupBy(keyCols: _*)
       .agg(max(col("__tr")).as("n_ref"), max(col("__tc")).as("n_cur"),

@@ -177,6 +177,66 @@ object Quality {
       profileSchema)
   }
 
+  /** A failed write-audit-publish gate: carries the full report so the
+    * caller can log WHICH checks failed, not just that one did. */
+  final class QualityGateFailed(val report: Seq[Row])
+    extends RuntimeException(QualityGateFailed.describe(report))
+
+  private object QualityGateFailed {
+    def describe(report: Seq[Row]): String =
+      "quality gate failed: " + report.collect {
+        case r if !r.getBoolean(6) =>
+          s"${r.getString(0)}(${r.getString(1)}): ${r.getLong(3)}/${r.getLong(2)} bad"
+      }.mkString("; ")
+  }
+
+  /** WRITE-AUDIT-PUBLISH, composed end to end: evaluate `checks`
+    * against `df` and publish it as the next version of `table` ONLY if
+    * every check passes — a failing suite throws [[QualityGateFailed]]
+    * (with the full report attached) and commits NOTHING, so readers of
+    * the table can never observe data that failed its own gate. The
+    * audit runs on `df` before any file is written; the publish is
+    * [[graft.sources.VersionedTable.commit]]'s atomic manifest, so the
+    * gate composes with snapshot isolation and time travel for free.
+    * Returns the committed version. */
+  def auditedCommit(df: DataFrame, table: String, checks: Seq[Check],
+                    mode: String = "append"): Long = {
+    val report = checkSuite(df, checks).collect().toSeq
+    if (report.exists(!_.getBoolean(6))) throw new QualityGateFailed(report)
+    graft.sources.VersionedTable.commit(df, table, mode)
+  }
+
+  /** Constraint SUGGESTION from a profile (the Deequ suggestion shape):
+    * turn a [[profileExact]] report into the checks the data currently
+    * satisfies, for a human to review and freeze into the pipeline's
+    * [[checkSuite]] gate — profile once, suggest, audit forever.
+    * Rules (deliberately few and predictable):
+    *  - no nulls observed          → `NotNull(col)`
+    *  - all values distinct, 0 null → `Unique(col)`
+    *  - numeric min/max observed   → `InRange(lo − m·span, hi + m·span)`
+    *    with margin m = `rangeMargin` (headroom so the suggestion is a
+    *    fence, not a cast of today's exact extremes)
+    * Driver-side by design — the input is |columns| rows. */
+  def suggestChecks(profile: DataFrame, rangeMargin: Double = 0.1): Seq[Check] = {
+    require(rangeMargin >= 0.0, s"rangeMargin must be >= 0, got $rangeMargin")
+    profile.collect().toSeq.flatMap { r =>
+      val c = r.getString(0)
+      val nRows = r.getLong(1); val nNull = r.getLong(2); val ndv = r.getLong(3)
+      val minV = Option(r.getString(4)); val maxV = Option(r.getString(5))
+      val notNull = if (nNull == 0L && nRows > 0L) Seq(NotNull(c)) else Nil
+      val unique = if (nNull == 0L && nRows > 0L && ndv == nRows)
+        Seq(Unique(Seq(c))) else Nil
+      val range = for {
+        lo <- minV.flatMap(_.toDoubleOption)
+        hi <- maxV.flatMap(_.toDoubleOption)
+      } yield {
+        val span = hi - lo
+        InRange(c, lo - rangeMargin * span, hi + rangeMargin * span)
+      }
+      notNull ++ unique ++ range.toSeq
+    }
+  }
+
   private val profileSchema = StructType(Seq(
     StructField("column", StringType, nullable = false),
     StructField("n_rows", LongType, nullable = false),

@@ -59,6 +59,25 @@ object VersionedTable {
     }
   }
 
+  /** [[commit]] with a PINNED version number — the idempotence
+    * primitive: a writer that knows which version its work should
+    * become (a streaming micro-batch keyed by batchId, a retry of a
+    * known step) calls this, and a replay of an already-committed
+    * version surfaces as [[ConcurrentCommitException]] instead of a
+    * duplicate append. `expected` must be exactly `latest + 1` — gaps
+    * would leave unreadable version numbers. */
+  def commitAt(df: DataFrame, table: String, expected: Long,
+               mode: String = "append"): Long = {
+    val spark = df.sparkSession
+    val latest = latestVersion(spark, table)
+    if (expected <= latest)
+      throw new ConcurrentCommitException(
+        s"version $expected of $table was committed by another writer")
+    require(expected == latest + 1,
+      s"expected version $expected would leave a gap (latest is $latest)")
+    commitNext(df, table, mode, latest)
+  }
+
   /** Commit `df` as the next version. `mode` is "append" (new data
     * directory + everything the previous version referenced) or
     * "overwrite" (new data directory only). Returns the committed
@@ -66,11 +85,14 @@ object VersionedTable {
     * writer claimed the version number first (retry to land on the next
     * one); the orphaned data directory a lost race leaves behind is
     * reclaimed by [[vacuum]]. */
-  def commit(df: DataFrame, table: String, mode: String = "append"): Long = {
+  def commit(df: DataFrame, table: String, mode: String = "append"): Long =
+    commitNext(df, table, mode, latestVersion(df.sparkSession, table))
+
+  private def commitNext(df: DataFrame, table: String, mode: String,
+                         prev: Long, batchId: Option[Long] = None): Long = {
     require(mode == "append" || mode == "overwrite",
       s"mode must be append|overwrite, got $mode")
     val spark = df.sparkSession
-    val prev = latestVersion(spark, table)
     val next = prev + 1
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val dataRel = s"data/c$next-$nonce"
@@ -79,10 +101,34 @@ object VersionedTable {
       if (mode == "overwrite" || prev == 0L) Seq(dataRel)
       else parseManifest(readManifest(fs(spark, new Path(table)),
         manifestPath(table, prev)))._2 :+ dataRel
+    val bidField = batchId.map(b => s""","batchId":$b""").getOrElse("")
     val manifest =
-      s"""{"version":$next,"mode":"$mode","dirs":[${dirs.map("\"" + _ + "\"").mkString(",")}]}"""
+      s"""{"version":$next,"mode":"$mode"$bidField,"dirs":[${dirs.map("\"" + _ + "\"").mkString(",")}]}"""
     publishManifest(spark, table, next, manifest)
     next
+  }
+
+  /** Idempotent micro-batch append — the EXACTLY-ONCE sink primitive
+    * for a single checkpointed stream writing this table: versions
+    * record the `batchId` they committed, and a batch whose id is ≤ the
+    * latest recorded one is a REPLAY (post-crash re-delivery) and
+    * returns None without writing anything. A concurrent-commit loss is
+    * treated the same way (the competing writer of this table in that
+    * scenario IS the restarted incarnation of this stream). Multiple
+    * independent streams appending one table need distinct tables (or
+    * an outer coordinator) — batchId spaces would collide, which is a
+    * contract note, not a detected error. */
+  def commitBatch(df: DataFrame, table: String, batchId: Long): Option[Long] = {
+    val spark = df.sparkSession
+    val prev = latestVersion(spark, table)
+    val lastBatch =
+      if (prev == 0L) None
+      else parseManifest(readManifest(fs(spark, new Path(table)),
+        manifestPath(table, prev)))._3
+    if (lastBatch.exists(_ >= batchId)) None
+    else
+      try Some(commitNext(df, table, "append", prev, Some(batchId)))
+      catch { case _: ConcurrentCommitException => None }
   }
 
   /** The atomic publish step: create-exclusive manifest write. One
@@ -147,14 +193,15 @@ object VersionedTable {
     } finally in.close()
   }
 
-  /** (mode, data dirs) from the manifest JSON. The format is this
-    * object's own fixed emission (no nesting, no escapes in dir names —
-    * they are `data/c<v>-<hex>` by construction), so a regex parse is
-    * exact, not approximate. */
-  private def parseManifest(json: String): (String, Seq[String]) = {
+  /** (mode, data dirs, batchId) from the manifest JSON. The format is
+    * this object's own fixed emission (no nesting, no escapes in dir
+    * names — they are `data/c<v>-<hex>` by construction), so a regex
+    * parse is exact, not approximate. */
+  private def parseManifest(json: String): (String, Seq[String], Option[Long]) = {
     val mode = "\"mode\":\"([a-z]+)\"".r.findFirstMatchIn(json)
       .map(_.group(1)).getOrElse(sys.error(s"bad manifest: $json"))
     val dirs = "\"(data/[^\"]+)\"".r.findAllMatchIn(json).map(_.group(1)).toSeq
-    (mode, dirs)
+    val bid = "\"batchId\":(-?\\d+)".r.findFirstMatchIn(json).map(_.group(1).toLong)
+    (mode, dirs, bid)
   }
 }

@@ -440,6 +440,26 @@ object EventPipeline {
       .start()
   }
 
+  /** EXACTLY-ONCE streaming append into a
+    * [[graft.sources.VersionedTable]]: each micro-batch commits as one
+    * table version carrying its batchId, and
+    * [[graft.sources.VersionedTable.commitBatch]]'s replay detection
+    * (batchId ≤ the latest recorded one → no-op) makes post-crash
+    * re-delivery invisible to readers — the at-least-once delivery of
+    * foreachBatch composes with the idempotent commit into exactly-once
+    * TABLE-VISIBLE semantics, the same construction every transactional
+    * lake sink uses. Readers get snapshot isolation and time travel per
+    * the table's contract; downstream batch jobs can diff versions
+    * (`Merge.snapshotDiff`) instead of re-reading the stream. Single
+    * checkpointed stream per table (see commitBatch's contract note). */
+  def versionedSink(stream: DataFrame, table: String): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) { graft.sources.VersionedTable.commitBatch(batch, table, batchId); () }
+      }
+      .outputMode(OutputMode.Append())
+      .start()
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class FunnelState(vMs: Long, cMs: Long, pMs: Long, lastMs: Long = 0L)

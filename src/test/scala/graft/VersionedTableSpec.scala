@@ -87,6 +87,30 @@ class VersionedTableSpec extends AnyFunSuite with Matchers {
       .map(_.getLong(0)).sorted.toSeq shouldBe Seq(1L, 2L, 3L)
   }
 
+  test("commitBatch: replayed micro-batches are invisible (exactly-once appends)") {
+    val t = tmp()
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val b1 = Seq((3L, "c")).toDF("k", "s")
+    VersionedTable.commitBatch(b0, t, batchId = 0L) shouldBe Some(1L)
+    VersionedTable.commitBatch(b1, t, batchId = 1L) shouldBe Some(2L)
+    // post-crash re-delivery of both batches: no-ops, no duplicates
+    VersionedTable.commitBatch(b1, t, batchId = 1L) shouldBe None
+    VersionedTable.commitBatch(b0, t, batchId = 0L) shouldBe None
+    VersionedTable.read(spark, t).count() shouldBe 3L
+    // the stream then moves on
+    VersionedTable.commitBatch(Seq((4L, "d")).toDF("k", "s"), t, 2L) shouldBe Some(3L)
+    VersionedTable.read(spark, t).count() shouldBe 4L
+  }
+
+  test("commitAt pins a version: replays conflict, gaps are rejected") {
+    val t = tmp()
+    VersionedTable.commitAt(Seq((1L, "a")).toDF("k", "s"), t, expected = 1L) shouldBe 1L
+    a[VersionedTable.ConcurrentCommitException] should be thrownBy
+      VersionedTable.commitAt(Seq((1L, "a")).toDF("k", "s"), t, expected = 1L)
+    an[IllegalArgumentException] should be thrownBy
+      VersionedTable.commitAt(Seq((2L, "b")).toDF("k", "s"), t, expected = 3L)
+  }
+
   test("reads of an empty or missing table fail loudly") {
     an[IllegalArgumentException] should be thrownBy
       VersionedTable.read(spark, tmp())

@@ -84,6 +84,13 @@ class DriftSpec extends AnyFunSuite with Matchers {
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
     lop.keySet shouldBe Set("only_ref", "k")
     lop.values.foreach { v => v.isNaN shouldBe false; v.isInfinite shouldBe false }
+    // a NULL key is a legitimate monitored group, not silently dropped
+    val nullKeyed = Drift.psiFromHistograms(
+      refH.withColumn("k", lit(null).cast("string")),
+      curH.withColumn("k", lit(null).cast("string")), Seq("k"), 4).collect()
+    nullKeyed.length shouldBe 1
+    nullKeyed.head.isNullAt(0) shouldBe true
+    nullKeyed.head.getDouble(3) shouldBe direct +- 1e-12
   }
 
   test("ksStatistic equals the brute-force sup over a pseudo-random pair, any partitioning") {

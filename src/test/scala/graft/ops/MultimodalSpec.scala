@@ -517,4 +517,128 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     out(0) shouldBe Row(1L, 2, 44100)
     out(1).isNullAt(1) shouldBe true
   }
+
+  // ---- IMA ADPCM: real compressed-audio sample decode -----------------
+
+  /** Independent reference decode of a mono IMA-ADPCM WAV, typed from
+    * the public spec separately from the library implementation, so a
+    * transcription slip in either tables or nibble walk fails here. */
+  private def refAdpcmDecode(bytes: Array[Byte]): Seq[Int] = {
+    val step = Array(7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+      34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+      157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+      724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499,
+      2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630,
+      9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+      27086, 29794, 32767)
+    val adj = Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+    def u8(i: Int) = bytes(i) & 0xFF
+    // locate fmt blockAlign + data by the same public RIFF layout
+    var i = 12; var blockAlign = -1; var dOff = -1; var dLen = 0
+    while (i + 8 <= bytes.length && (blockAlign < 0 || dOff < 0)) {
+      val id = new String(bytes, i, 4, "US-ASCII")
+      val sz = u8(i + 4) | (u8(i + 5) << 8) | (u8(i + 6) << 16) | (u8(i + 7) << 24)
+      if (id == "fmt ") blockAlign = u8(i + 8 + 12) | (u8(i + 8 + 13) << 8)
+      else if (id == "data") { dOff = i + 8; dLen = math.min(sz, bytes.length - i - 8) }
+      i += 8 + sz + (sz & 1)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var blk = dOff
+    while (blk + 4 <= dOff + dLen) {
+      var pred = ((u8(blk) | (u8(blk + 1) << 8)).toShort).toInt
+      var idx = u8(blk + 2)
+      out += pred
+      var b = blk + 4
+      while (b < math.min(blk + blockAlign, dOff + dLen)) {
+        for (nib <- Seq(u8(b) & 0xF, (u8(b) >> 4) & 0xF)) {
+          val st = step(idx)
+          var diff = st >> 3
+          if ((nib & 1) != 0) diff += st >> 2
+          if ((nib & 2) != 0) diff += st >> 1
+          if ((nib & 4) != 0) diff += st
+          pred = math.max(-32768, math.min(32767,
+            if ((nib & 8) != 0) pred - diff else pred + diff))
+          idx = math.max(0, math.min(88, idx + adj(nib)))
+          out += pred
+        }
+        b += 1
+      }
+      blk += blockAlign
+    }
+    out.toSeq
+  }
+
+  private def statsOf(dec: Seq[Int]): (Long, Double, Double, Double) = {
+    val s = dec.map(_ / 32768.0)
+    (s.size.toLong, s.sum / s.size,
+      math.sqrt(s.map(x => x * x).sum / s.size), s.map(math.abs).max)
+  }
+
+  test("ADPCM decode equals the independent reference decoder, multi-block included") {
+    // pseudo-random PCM spanning 3 blocks (perBlock = 65 at blockAlign 36)
+    val pcm = Array.tabulate[Short](180)(j => (((j * 48271 + 11) % 32768) - 16384).toShort)
+    val wav = Multimodal.imaAdpcmWav(pcm, blockAlign = 36)
+    val got = Multimodal.decodeWavImaAdpcm(wav).get
+    val want = statsOf(refAdpcmDecode(wav))
+    got._1 shouldBe want._1
+    got._2 shouldBe want._2 +- 1e-12
+    got._3 shouldBe want._3 +- 1e-12
+    got._4 shouldBe want._4
+  }
+
+  test("ADPCM round-trip tracks the original signal (4:1 compression, bounded error)") {
+    // a smooth signal the adaptive quantizer follows closely
+    val pcm = Array.tabulate[Short](650)(j =>
+      (8000.0 * math.sin(j / 9.0)).toShort)
+    val wav = Multimodal.imaAdpcmWav(pcm, blockAlign = 36)
+    val dec = refAdpcmDecode(wav)
+    val err = pcm.indices.map(j => math.abs(dec(j) - pcm(j)) / 32768.0)
+    (err.sum / err.size) should be < 0.01 // mean abs error < 1% full scale
+    // and it IS 4:1-ish: 650 samples of PCM16 = 1300 bytes vs ~360 of data
+    wav.length should be < 500
+  }
+
+  test("ADPCM truncation decodes the prefix; non-ADPCM payloads are None") {
+    val pcm = Array.tabulate[Short](130)(j => ((j * 997 % 8192) - 4096).toShort)
+    val wav = Multimodal.imaAdpcmWav(pcm, blockAlign = 36)
+    val cut = wav.take(wav.length - 10)
+    val full = Multimodal.decodeWavImaAdpcm(wav).get
+    val part = Multimodal.decodeWavImaAdpcm(cut).get
+    part._1 should be < full._1
+    part._1 should be > 0L
+    // format gates: PCM-16 is not ADPCM and vice versa
+    val pcmWav = Multimodal.wavPcm16Header(8) ++ Array[Byte](1, 0, 2, 0, 3, 0, 4, 0)
+    Multimodal.decodeWavImaAdpcm(pcmWav) shouldBe None
+    Multimodal.decodeWavPcm16(wav) shouldBe None
+  }
+
+  test("withAudioStats decodes BOTH PCM-16 and ADPCM payloads in one frame; m9 goldens hold") {
+    val pcm = Array.tabulate[Short](64)(j => ((j * 500 % 16384) - 8192).toShort)
+    val rows = Seq(
+      (1L, Multimodal.wavPcm16Header(8) ++ Array[Byte](0, 16, 0, 16, 0, 16, 0, 16)),
+      (2L, Multimodal.imaAdpcmWav(pcm, blockAlign = 36)),
+      (3L, "not audio".getBytes))
+    val out = Multimodal.withAudioStats(rows.toDF("id", "payload"), "payload")
+      .select(col("id"), col("audio_stats.n_samples"))
+      .orderBy("id").collect()
+    out(0).getLong(1) shouldBe 4L
+    out(1).getLong(1) shouldBe 65L
+    out(2).isNullAt(1) shouldBe true
+    // the m9 oracle's golden constants ARE what the decoder produces
+    val goldens = Seq(
+      (0, -0.045437, 0.277715, 0.460754),
+      (1, -0.011611, 0.283089, 0.528046),
+      (2, -0.022701, 0.288659, 0.57196),
+      (3, -0.026201, 0.271879, 0.533844))
+    goldens.foreach { case (v, m, r, p) =>
+      val sig = Array.tabulate[Short](64)(j =>
+        (((j + 1) * (2 * v + 3) * 997) % 32768 - 16384).toShort)
+      val (n, mean, rms, peak) =
+        Multimodal.decodeWavImaAdpcm(Multimodal.imaAdpcmWav(sig, blockAlign = 36)).get
+      n shouldBe 65L
+      BigDecimal(mean + 5e-10).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble shouldBe m
+      BigDecimal(rms + 5e-10).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble shouldBe r
+      BigDecimal(peak + 5e-10).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble shouldBe p
+    }
+  }
 }

@@ -597,6 +597,25 @@ class EventPipelineSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("versionedSink: each micro-batch is one table version; history time-travels") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Event]
+    val t = java.nio.file.Files.createTempDirectory("graft_vsink").resolve("t").toString
+    val q = EventPipeline.versionedSink(
+      input.toDF().select("event_id", "event_type", "value"), t)
+    try {
+      input.addData(Event(1L, ts("10:00"), 1L, "click", 1.0),
+        Event(2L, ts("10:01"), 2L, "view", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(3L, ts("10:02"), 3L, "click", 3.0))
+      q.processAllAvailable()
+      val vt = graft.sources.VersionedTable
+      vt.read(spark, t).count() shouldBe 3L
+      vt.versions(spark, t).map(_._2) shouldBe Seq("append", "append")
+      vt.read(spark, t, Some(1L)).count() shouldBe 2L // the first batch alone
+    } finally q.stop()
+  }
+
   test("streaming drift monitor: psiFromHistograms over maintained state equals the batch path") {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.{DataFrame, Row}
