@@ -376,6 +376,33 @@ object OpsQueries {
           round(col("audio_stats.peak") + lit(5e-10), 6).as("peak"))
         .orderBy("doc_id")
     }),
+    "m10_video_frames" -> ((s, dir) => {
+      // REAL video sample decode, oracle-checked end to end: plant a
+      // minimal single-stream AVI whose uncompressed BI_RGB DIB frame
+      // rasters are the doc text bytes (4x2, two frames — stride 12 is
+      // unpadded, so text byte i IS raster byte i), container-parse the
+      // header AND pixel-decode every frame in the engine, and let
+      // DuckDB replay the per-frame channel means from the raw text.
+      // DIB is BGR order: channel at text position i is BGR[i % 3].
+      // All means are sums of 8 bytes / 8 — exact dyadic rationals, no
+      // rounding nudge needed (the m5 class). MJPG (lossy) frames are
+      // tolerance-specced in MultimodalSpec, not oracled (the m2 class).
+      val planted = docs(s, dir).filter(col("doc_id") % 10 === 6)
+        .withColumn("payload", Multimodal.aviDibPayload(col("text"), w = 4, h = 2, nFrames = 2))
+      val meta = Multimodal.withVideoMeta(planted.select(col("doc_id"), col("payload")), "payload")
+      Multimodal.videoFrames(meta, "payload")
+        .select(col("doc_id"),
+          col("video_meta.n_frames").cast("long").as("n_frames"),
+          col("video_meta.width").cast("long").as("width"),
+          col("video_meta.height").cast("long").as("height"),
+          round(col("video_meta.duration_ms"), 6).as("duration_ms"),
+          col("frame_id").cast("long").as("frame_id"),
+          col("n_pixels"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
+        .orderBy("doc_id", "frame_id")
+    }),
     "m5_audio_frames" -> ((s, dir) => {
       // frame-level features over the REAL PCM decode: the planted WAVs
       // carry 32 samples whose bytes are a known transform of the doc
@@ -2178,6 +2205,23 @@ object OpsQueries {
         "CASE (doc_id % 40) WHEN 3 THEN 0.460754 WHEN 13 THEN 0.528046 " +
         "WHEN 23 THEN 0.57196 ELSE 0.533844 END AS peak " +
         "FROM documents WHERE doc_id % 10 = 3 ORDER BY doc_id"),
+    "m10_video_frames" ->
+      // replay the AVI frame decode from the raw text bytes: the planted
+      // DIB rasters are t48 verbatim (frame f = bytes f*24 .. f*24+23,
+      // BGR at i % 3), so each channel mean is an avg over 8 bytes —
+      // exact dyadic math, identical rounding in both engines. The
+      // header fields are planting constants (4x2, 2 frames, 40 ms each).
+      ("WITH base AS (SELECT doc_id, rpad(text, 48, 'x') AS t " +
+        "FROM documents WHERE doc_id % 10 = 6), " +
+        "px AS (SELECT doc_id, (t.i // 24)::BIGINT AS frame_id, t.i % 3 AS c, " +
+        "unicode(substring(t, (t.i+1)::INT, 1)) AS v FROM base, range(48) t(i)) " +
+        "SELECT doc_id, 2::BIGINT AS n_frames, 4::BIGINT AS width, " +
+        "2::BIGINT AS height, 80.0 AS duration_ms, frame_id, " +
+        "8::BIGINT AS n_pixels, " +
+        "round(avg(CASE WHEN c = 2 THEN v END), 6) AS mean_r, " +
+        "round(avg(CASE WHEN c = 1 THEN v END), 6) AS mean_g, " +
+        "round(avg(CASE WHEN c = 0 THEN v END), 6) AS mean_b " +
+        "FROM px GROUP BY doc_id, frame_id ORDER BY doc_id, frame_id"),
     "m5_audio_frames" ->
       // replay the frame fold from the raw text bytes: LE16 pairs,
       // sign-extended, frame = i // 8; ZCR counts strict sign flips of

@@ -641,4 +641,121 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
       BigDecimal(peak + 5e-10).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble shouldBe p
     }
   }
+
+  // ---- AVI video: container parse + real frame decode ----
+
+  private def rgbFrame(w: Int, h: Int)(f: Int => Int): Array[Byte] =
+    Array.tabulate[Byte](w * h * 3)(i => f(i).toByte)
+
+  private def channelMeans(rgb: Array[Byte]): (Double, Double, Double) = {
+    val n = rgb.length / 3
+    def mean(c: Int) = (0 until n).map(p => rgb(3 * p + c) & 0xFF).sum.toDouble / n
+    (mean(0), mean(1), mean(2))
+  }
+
+  test("AVI: encodeAvi/aviInfo round-trips the header (DIB and MJPG handlers)") {
+    val frames = Seq(rgbFrame(6, 4)(_ % 251), rgbFrame(6, 4)(i => (i * 7) % 251))
+    val dib = Multimodal.encodeAvi(6, 4, frames, usecPerFrame = 33367)
+    Multimodal.aviInfo(dib) shouldBe Some((33367, 2, 6, 4, "DIB "))
+    val mjpg = Multimodal.encodeAvi(6, 4, frames, usecPerFrame = 40000, mjpeg = true)
+    Multimodal.aviInfo(mjpg) shouldBe Some((40000, 2, 6, 4, "MJPG"))
+    // header parse is O(header): a junk tail after the valid lists is ignored
+    Multimodal.aviInfo(dib ++ Array.fill[Byte](1000)(0x55)) shouldBe Some((33367, 2, 6, 4, "DIB "))
+  }
+
+  test("AVI: uncompressed DIB frames decode to exact per-channel means (BGR + bottom-up honored)") {
+    // w=5 forces a padded stride (15 -> 16) so the stride math is exercised
+    val f0 = rgbFrame(5, 3)(i => i % 3 match { case 0 => 100; case 1 => 150; case _ => 200 })
+    val f1 = rgbFrame(5, 3)(i => i) // distinct per-channel means
+    val avi = Multimodal.encodeAvi(5, 3, Seq(f0, f1), usecPerFrame = 40000)
+    val frames = Multimodal.decodeAviFrames(avi).get
+    frames.length shouldBe 2
+    frames(0)._1 shouldBe 0
+    frames(0)._2 shouldBe 15L
+    frames(0)._3 shouldBe 100.0 +- 1e-12 // mean_r
+    frames(0)._4 shouldBe 150.0 +- 1e-12
+    frames(0)._5 shouldBe 200.0 +- 1e-12
+    val (er, eg, eb) = channelMeans(f1)
+    frames(1)._3 shouldBe er +- 1e-12
+    frames(1)._4 shouldBe eg +- 1e-12
+    frames(1)._5 shouldBe eb +- 1e-12
+  }
+
+  test("AVI: MJPG frames decode through the real JPEG path within lossy tolerance") {
+    // smooth frames compress politely; per-channel means survive within a few counts
+    val f0 = rgbFrame(16, 16)(_ => 128)
+    val f1 = rgbFrame(16, 16)(i => 60 + (i / 48))
+    val avi = Multimodal.encodeAvi(16, 16, Seq(f0, f1), mjpeg = true)
+    val frames = Multimodal.decodeAviFrames(avi).get
+    frames.length shouldBe 2
+    frames(0)._2 shouldBe 256L
+    frames(0)._3 shouldBe 128.0 +- 3.0
+    val (er, eg, eb) = channelMeans(f1)
+    frames(1)._3 shouldBe er +- 4.0
+    frames(1)._4 shouldBe eg +- 4.0
+    frames(1)._5 shouldBe eb +- 4.0
+  }
+
+  test("AVI: corrupt payloads fail whole (strict policy), non-AVI None, maxFrames bounds fan-out") {
+    val frames = Seq(rgbFrame(4, 2)(_ + 1), rgbFrame(4, 2)(_ + 9), rgbFrame(4, 2)(_ + 17))
+    val avi = Multimodal.encodeAvi(4, 2, frames)
+    Multimodal.decodeAviFrames("RIFFxxxxWAVE".getBytes ++ Array.fill[Byte](40)(0)) shouldBe None
+    Multimodal.decodeAviFrames(null) shouldBe None
+    // truncating the last frame's raster corrupts its chunk -> whole payload None
+    Multimodal.decodeAviFrames(avi.take(avi.length - 5)) shouldBe None
+    // maxFrames caps the explode without failing the decode
+    Multimodal.decodeAviFrames(avi, maxFrames = 2).get.length shouldBe 2
+    // forged giant dimensions are bomb-gated before any pixel walk
+    val bomb = avi.clone()
+    // avih width/height at offsets 64/68 (RIFF 12 + LIST hdr 12 + avih hdr 8 + 32)
+    val wOff = 64
+    bomb(wOff) = 0; bomb(wOff + 1) = 0; bomb(wOff + 2) = 0; bomb(wOff + 3) = 0x40
+    Multimodal.decodeAviFrames(bomb) shouldBe None
+  }
+
+  test("AVI: withVideoMeta and videoFrames run in-plan; non-AVI rows null/drop") {
+    val avi = Multimodal.encodeAvi(4, 2, Seq(rgbFrame(4, 2)(_ => 50), rgbFrame(4, 2)(_ => 250)),
+      usecPerFrame = 20000)
+    val rows = Seq((1L, avi), (2L, "not a video".getBytes))
+    val meta = Multimodal.withVideoMeta(rows.toDF("id", "payload"), "payload")
+      .select(col("id"), col("video_meta.n_frames"), col("video_meta.duration_ms"),
+        col("video_meta.handler"))
+      .orderBy("id").collect()
+    meta(0).getInt(1) shouldBe 2
+    meta(0).getDouble(2) shouldBe 40.0
+    meta(0).getString(3) shouldBe "DIB "
+    meta(1).isNullAt(1) shouldBe true
+    val fr = Multimodal.videoFrames(rows.toDF("id", "payload"), "payload")
+      .select(col("id"), col("frame_id"), col("mean_r"))
+      .orderBy("id", "frame_id").collect()
+    fr.length shouldBe 2 // non-AVI row dropped
+    fr(0).getDouble(2) shouldBe 50.0
+    fr(1).getDouble(2) shouldBe 250.0
+  }
+
+  test("AVI: aviDibPayload plants text bytes as rasters the decoder reads back (m10 contract)") {
+    val text = (0 until 48).map(i => ('A' + (i * 11) % 26).toChar).mkString
+    val df = Seq((7L, text)).toDF("doc_id", "text")
+    val planted = df.withColumn("payload",
+      Multimodal.aviDibPayload(col("text"), w = 4, h = 2, nFrames = 2))
+    val got = Multimodal.videoFrames(planted, "payload")
+      .select(col("frame_id"), col("n_pixels"), col("mean_r"), col("mean_g"), col("mean_b"))
+      .orderBy("frame_id").collect()
+    got.length shouldBe 2
+    def expMean(f: Int, c: Int): Double = // DIB raster: text byte i is channel BGR[i%3]
+      (0 until 24).filter(_ % 3 == c).map(i => text(f * 24 + i).toInt).sum / 8.0
+    (0 until 2).foreach { f =>
+      got(f).getLong(1) shouldBe 8L
+      got(f).getDouble(2) shouldBe expMean(f, 2) +- 1e-12 // R is BGR index 2
+      got(f).getDouble(3) shouldBe expMean(f, 1) +- 1e-12
+      got(f).getDouble(4) shouldBe expMean(f, 0) +- 1e-12
+    }
+    // short text pads with 'x' (120) — both frames decode, second is all-'x'
+    val short = Seq((8L, "ab")).toDF("doc_id", "text")
+      .withColumn("payload", Multimodal.aviDibPayload(col("text"), 4, 2, 2))
+    val g2 = Multimodal.videoFrames(short, "payload")
+      .select(col("frame_id"), col("mean_g")).orderBy("frame_id").collect()
+    g2.length shouldBe 2
+    g2(1).getDouble(1) shouldBe 120.0 // 'x'
+  }
 }
