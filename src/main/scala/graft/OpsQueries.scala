@@ -1352,6 +1352,37 @@ object OpsQueries {
         .orderBy("o_orderpriority")
     }),
 
+    "o9_stats_pruned_read" -> ((s, dir) => {
+      // file-level min/max data skipping over a versioned table: commit
+      // orders range-partitioned by o_orderkey (disjoint per-file key
+      // ranges — the layout sorted/z-ordered writes produce), record
+      // parquet-FOOTER stats per file at commit time (metadata-only, no
+      // row data read), then answer a narrow between() by opening ONLY
+      // the files whose [min,max] intersects it. The require makes the
+      // query self-checking for the prune property at every scale; the
+      // row-level gate is the oracle (plain full-scan filter).
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val t = new org.apache.hadoop.fs.Path(wh, "graft_pruned_orders").toString
+      val fs0 = new org.apache.hadoop.fs.Path(t).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      fs0.delete(new org.apache.hadoop.fs.Path(t), true) // fresh table per run
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .repartitionByRange(8, col("o_orderkey"))
+      graft.sources.FileSkipping.commitWithStats(o, t, Seq("o_orderkey"))
+      val (pruned, rep) = graft.sources.FileSkipping.readBetween(
+        s, t, "o_orderkey", 1000L, 2500L)
+      require(rep.filesKept < rep.filesTotal,
+        s"stats pruning opened all ${rep.filesTotal} files — skipping broke")
+      pruned.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            + lit(5e-10), 6).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- lakehouse mutation: CDC upsert + SCD2 history -----------------
     "u2_upsert" -> ((s, dir) => {
       // MERGE INTO shape: orders replayed as a change stream against the
@@ -3440,6 +3471,14 @@ object OpsQueries {
         "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) + 5e-10, 6) AS sum_price, " +
         "max(o_orderkey) AS max_key " +
         "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "o9_stats_pruned_read" ->
+      // the pruned read must equal the plain full-scan filter — file
+      // skipping decides which files to OPEN, never which rows qualify
+      ("SELECT o_orderpriority, count(*)::BIGINT AS n, " +
+        "min(o_orderkey) AS min_key, max(o_orderkey) AS max_key, " +
+        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) + 5e-10, 6) AS sum_price " +
+        "FROM orders WHERE o_orderkey BETWEEN 1000 AND 2500 " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "u3_scd2" ->
       ("SELECT o_custkey AS c_custkey, row_number() OVER w AS version, " +
         "ROUND(o_totalprice + 5e-10, 6) AS bal, " +

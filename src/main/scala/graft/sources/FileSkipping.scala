@@ -1,0 +1,334 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+
+/** File-level min/max data skipping over a [[VersionedTable]] — the scan
+  * mechanism every production table format (Iceberg manifests, Delta
+  * add-file stats) layers on top of partition pruning. At 100 TB the
+  * difference between "scan the snapshot" and "scan the 3 files whose
+  * [min,max] intersects the predicate" IS the query cost, so the stats
+  * live with the table, not with the query:
+  *
+  *  - [[commitWithStats]] commits a version, then writes ONE stats file
+  *    per new data directory (`_stats/<dir>.json`) holding per-file
+  *    min/max/nullCount/rowCount for the chosen columns. Stats come from
+  *    the PARQUET FOOTERS — a metadata-only read (no row data is
+  *    scanned), executed ON THE EXECUTORS (the footer walk is
+  *    parallelized over files; the driver collects only the
+  *    aggregate-sized stats lines). Append commits write stats only for
+  *    the directory they added: stats cost is O(new files), never
+  *    O(table).
+  *  - [[readBetween]] resolves a version's directories, prunes each
+  *    directory's file list against its stats, and hands Spark ONLY the
+  *    surviving files, plus the residual filter (stats pruning is
+  *    conservative, never a substitute for the predicate). Directories
+  *    without stats — crashed stats writes, tables predating stats —
+  *    degrade to "keep every file", never to a wrong answer.
+  *
+  * Stats families: integral columns (int32/int64, dates as epoch days)
+  * compare as longs, float/double as doubles, UTF-8 strings as strings
+  * (Java lexicographic compare — equivalent to parquet's unsigned byte
+  * order for the ASCII data this engine plants; a non-ASCII edge would
+  * only ever KEEP extra files, because [[statsLinesForFiles]] skips
+  * stats it cannot represent faithfully rather than emitting them).
+  * Decimals, booleans and nested types get no stats and are simply
+  * unprunable — again conservative, never wrong.
+  */
+object FileSkipping {
+
+  /** One file's stats for one column. `min`/`max` are None when every
+    * value in the file is null (`nulls == rows`). */
+  final case class ColStats(file: String, column: String, family: String,
+                            min: Option[String], max: Option[String],
+                            nulls: Long, rows: Long)
+
+  /** What the pruned read decided: total candidate files, files actually
+    * handed to the scan, and directories that had no stats (all their
+    * files are force-kept). */
+  final case class PruneReport(filesTotal: Int, filesKept: Int, dirsWithoutStats: Int)
+
+  private def statsPath(table: String, dirRel: String): Path =
+    new Path(new Path(table, "_stats"), dirRel.stripPrefix("data/") + ".json")
+
+  // ---- commit-time: footer walk + stats publish ----------------------
+
+  /** [[VersionedTable.commit]] + footer stats for the new directory.
+    * Returns the committed version. The stats write is idempotent
+    * (skipped if the file exists) and non-atomic WITH the commit by
+    * design: a crash between the two leaves a committed version whose
+    * new directory is merely unprunable until [[backfillStats]]. */
+  def commitWithStats(df: DataFrame, table: String, statsCols: Seq[String],
+                      mode: String = "append"): Long = {
+    val spark = df.sparkSession
+    val v = VersionedTable.commit(df, table, mode)
+    val newDir = VersionedTable.resolveDirs(spark, table, v).last
+    writeStatsIfAbsent(spark, table, newDir, statsCols)
+    v
+  }
+
+  /** Write stats files for every directory of `version` (default latest)
+    * that is missing one — adopt a pre-stats table or repair a crashed
+    * stats write. Returns the directories backfilled. */
+  def backfillStats(spark: SparkSession, table: String, statsCols: Seq[String],
+                    version: Option[Long] = None): Seq[String] = {
+    val v = version.getOrElse(VersionedTable.latestVersion(spark, table))
+    VersionedTable.resolveDirs(spark, table, v)
+      .filter(writeStatsIfAbsent(spark, table, _, statsCols))
+  }
+
+  /** True when this call wrote the stats file (false = already present). */
+  private def writeStatsIfAbsent(spark: SparkSession, table: String,
+                                 dirRel: String, statsCols: Seq[String]): Boolean = {
+    val sp = statsPath(table, dirRel)
+    val f = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(sp)) return false
+    val dirAbs = new Path(table, dirRel)
+    val files = f.listStatus(dirAbs).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted.toSeq
+    val lines = statsLinesForFiles(spark, files, statsCols.toSet)
+    f.mkdirs(sp.getParent)
+    val out = try f.create(sp, /* overwrite = */ false) catch {
+      case _: java.io.IOException => return false // concurrent backfill won
+    }
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+    true
+  }
+
+  /** Per-file per-column stats lines from parquet FOOTERS, computed on
+    * the executors (one task per slice of the file list; a fresh Hadoop
+    * conf is rebuilt from the session's entries, since Configuration is
+    * not serializable). Multi-row-group files fold their chunk stats.
+    * Only the aggregate-sized JSON lines come back to the driver. */
+  private[sources] def statsLinesForFiles(spark: SparkSession, files: Seq[String],
+                                          wanted: Set[String]): Seq[String] = {
+    if (files.isEmpty) return Nil
+    val confMap: Map[String, String] = {
+      val it = spark.sessionState.newHadoopConf().iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.result()
+    }
+    val slices = math.min(files.size, spark.sparkContext.defaultParallelism)
+    spark.sparkContext.parallelize(files, slices).mapPartitions { it =>
+      val conf = new org.apache.hadoop.conf.Configuration(false)
+      confMap.foreach { case (k, v) => conf.set(k, v) }
+      it.flatMap { fileAbs =>
+        // store the bare file name: data dirs are flat by construction,
+        // and absolute paths would break across scheme spellings
+        // (file:/ URI from listStatus vs plain path at read time)
+        val name = new Path(fileAbs).getName
+        footerStats(conf, fileAbs, wanted).map(s => statsJson(s.copy(file = name)))
+      }
+    }.collect().toSeq.sorted
+  }
+
+  /** Footer-only stats for one parquet file: open the footer, fold every
+    * row group's column-chunk statistics. No row data is read. */
+  private[sources] def footerStats(conf: org.apache.hadoop.conf.Configuration,
+                                   fileAbs: String, wanted: Set[String]): Seq[ColStats] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(fileAbs), conf))
+    try {
+      val blocks = reader.getFooter.getBlocks
+      // (column -> (family, min, max, nulls, rows)) folded across row groups
+      val acc = scala.collection.mutable.Map.empty[String, (String, Option[String], Option[String], Long, Long)]
+      var b = 0
+      while (b < blocks.size()) {
+        val block = blocks.get(b)
+        val cols = block.getColumns
+        var c = 0
+        while (c < cols.size()) {
+          val cc = cols.get(c)
+          val name = cc.getPath.toDotString
+          if (wanted.contains(name)) {
+            val pt = cc.getPrimitiveType
+            val ann = pt.getLogicalTypeAnnotation
+            val family: String = pt.getPrimitiveTypeName match {
+              case INT32 | INT64 =>
+                ann match {
+                  case null => "long"
+                  case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation => "long"
+                  case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => "long"
+                  case _ => null // decimal-as-int etc.: unscaled values, skip
+                }
+              case FLOAT | DOUBLE => "double"
+              case BINARY =>
+                ann match {
+                  case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => "string"
+                  case _ => null
+                }
+              case _ => null
+            }
+            if (family != null) {
+              val st = cc.getStatistics
+              if (st != null && !st.isEmpty) {
+                val rows = block.getRowCount
+                val nulls = st.getNumNulls
+                def render(v: Any): String = v match {
+                  // Binary.toString is a debug repr; decode the UTF-8 payload
+                  case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+                  case other => other.toString
+                }
+                val (mn, mx): (Option[String], Option[String]) =
+                  if (!st.hasNonNullValue) (None, None)
+                  else (Some(render(st.genericGetMin)), Some(render(st.genericGetMax)))
+                acc.get(name) match {
+                  case None => acc(name) = (family, mn, mx, nulls, rows)
+                  case Some((fam, pmn, pmx, pn, pr)) =>
+                    acc(name) = (fam, foldBound(fam, pmn, mn, takeMin = true),
+                      foldBound(fam, pmx, mx, takeMin = false), pn + nulls, pr + rows)
+                }
+              }
+            }
+          }
+          c += 1
+        }
+        b += 1
+      }
+      acc.toSeq.sortBy(_._1).map { case (name, (fam, mn, mx, nulls, rows)) =>
+        ColStats(fileAbs, name, fam, mn, mx, nulls, rows)
+      }
+    } finally reader.close()
+  }
+
+  private def foldBound(family: String, a: Option[String], b: Option[String],
+                        takeMin: Boolean): Option[String] = (a, b) match {
+    case (None, x) => x
+    case (x, None) => x
+    case (Some(x), Some(y)) =>
+      val xSmaller = cmp(family, x, y) <= 0
+      Some(if (xSmaller == takeMin) x else y)
+  }
+
+  private def cmp(family: String, a: String, b: String): Int = family match {
+    case "long" => java.lang.Long.compare(a.toLong, b.toLong)
+    case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case _ => a.compareTo(b)
+  }
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case ch if ch < ' ' => f"\\u${ch.toInt}%04x"
+      case ch => ch.toString
+    }
+
+  private def statsJson(s: ColStats): String = {
+    def opt(v: Option[String]) = v.map(x => "\"" + jsonEscape(x) + "\"").getOrElse("null")
+    s"""{"file":"${jsonEscape(s.file)}","col":"${jsonEscape(s.column)}","t":"${s.family}",""" +
+      s""""min":${opt(s.min)},"max":${opt(s.max)},"nulls":${s.nulls},"rows":${s.rows}}"""
+  }
+
+  private val statsLineRe =
+    ("""\{"file":"((?:[^"\\]|\\.)*)","col":"((?:[^"\\]|\\.)*)","t":"(\w+)",""" +
+      """"min":(null|"(?:[^"\\]|\\.)*"),"max":(null|"(?:[^"\\]|\\.)*"),""" +
+      """"nulls":(\d+),"rows":(\d+)\}""").r
+
+  private def jsonUnescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' => sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case other => sb.append(other); i += 2
+        }
+      } else { sb.append(ch); i += 1 }
+    }
+    sb.toString
+  }
+
+  private[sources] def parseStatsLines(text: String): Seq[ColStats] =
+    text.linesIterator.filter(_.nonEmpty).map { line =>
+      statsLineRe.findFirstMatchIn(line) match {
+        case Some(m) =>
+          def opt(g: String) = if (g == "null") None
+            else Some(jsonUnescape(g.substring(1, g.length - 1)))
+          ColStats(jsonUnescape(m.group(1)), jsonUnescape(m.group(2)), m.group(3),
+            opt(m.group(4)), opt(m.group(5)), m.group(6).toLong, m.group(7).toLong)
+        case None => sys.error(s"bad stats line: $line")
+      }
+    }.toSeq
+
+  // ---- read-time: prune + residual filter -----------------------------
+
+  /** Stats-pruned between-read: scan ONLY the files whose [min,max] for
+    * `column` can intersect [lo, hi], with the residual filter applied
+    * on top (stats decide which files to open, never which rows
+    * qualify). `lo`/`hi` must be a Long/Int, Double/Float, or String to
+    * match the column's stats family; a family mismatch keeps every
+    * file (conservative). Returns the frame and the prune report. */
+  def readBetween(spark: SparkSession, table: String, column: String,
+                  lo: Any, hi: Any, version: Option[Long] = None): (DataFrame, PruneReport) = {
+    val v = version.getOrElse(VersionedTable.latestVersion(spark, table))
+    val dirs = VersionedTable.resolveDirs(spark, table, v)
+    val f = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var total = 0; var noStats = 0
+    val kept = Seq.newBuilder[String]
+    dirs.foreach { dirRel =>
+      val dirAbs = new Path(table, dirRel)
+      val files = f.listStatus(dirAbs).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      total += files.length
+      val sp = statsPath(table, dirRel)
+      if (!f.exists(sp)) {
+        noStats += 1
+        files.foreach(p => kept += p.toString)
+      } else {
+        val byFile = parseStatsLines(readFully(f, sp))
+          .filter(_.column == column).map(s => s.file -> s).toMap
+        files.foreach { p =>
+          val keep = byFile.get(p.getName) match {
+            case None => true // no stats for this column in this file
+            case Some(s) => fileCouldMatch(s, lo, hi)
+          }
+          if (keep) kept += p.toString
+        }
+      }
+    }
+    val keptFiles = kept.result()
+    val residual: Column = col(column) >= lit(lo) && col(column) <= lit(hi)
+    val df =
+      if (keptFiles.nonEmpty) spark.read.parquet(keptFiles: _*).filter(residual)
+      else // every file pruned: empty frame with the TABLE's schema
+        VersionedTable.read(spark, table, Some(v)).filter(lit(false))
+    (df, PruneReport(total, keptFiles.length, noStats))
+  }
+
+  /** Conservative per-file test: false ONLY when the stats prove no row
+    * can satisfy lo <= col <= hi (range disjoint, or all-null file). */
+  private[sources] def fileCouldMatch(s: ColStats, lo: Any, hi: Any): Boolean = {
+    if (s.nulls == s.rows && s.rows > 0) return false // all null: between() never matches
+    (s.min, s.max) match {
+      case (Some(mn), Some(mx)) =>
+        (s.family, lo, hi) match {
+          case ("long", l: Number, h: Number) =>
+            !(mx.toLong < l.longValue() || mn.toLong > h.longValue())
+          case ("double", l: Number, h: Number) =>
+            !(mx.toDouble < l.doubleValue() || mn.toDouble > h.doubleValue())
+          case ("string", l: String, h: String) =>
+            !(mx.compareTo(l) < 0 || mn.compareTo(h) > 0)
+          case _ => true // family/predicate type mismatch: keep
+        }
+      case _ => true // stats present but boundless: keep
+    }
+  }
+
+  private def readFully(f: org.apache.hadoop.fs.FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      bytes.toString("UTF-8")
+    } finally in.close()
+  }
+}

@@ -152,12 +152,18 @@ object VersionedTable {
     * cannot leak into it. */
   def read(spark: SparkSession, table: String, version: Option[Long] = None): DataFrame = {
     val v = version.getOrElse(latestVersion(spark, table))
+    spark.read.parquet(resolveDirs(spark, table, v).map(d => new Path(table, d).toString): _*)
+  }
+
+  /** The data directories (relative to the table root) a version's
+    * manifest references — the snapshot-resolution step [[read]] and the
+    * stats-pruned read in [[FileSkipping]] share. */
+  private[sources] def resolveDirs(spark: SparkSession, table: String, v: Long): Seq[String] = {
     require(v >= 1, s"$table has no committed versions")
     val mp = manifestPath(table, v)
     val f = fs(spark, mp)
     require(f.exists(mp), s"$table has no version $v")
-    val dirs = parseManifest(readManifest(f, mp))._2
-    spark.read.parquet(dirs.map(d => new Path(table, d).toString): _*)
+    parseManifest(readManifest(f, mp))._2
   }
 
   /** Drop manifests STRICTLY older than `keepFrom` and delete every data
