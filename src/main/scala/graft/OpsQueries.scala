@@ -492,6 +492,36 @@ object OpsQueries {
       docs(s, dir).select(explode(TextAnalysis.tokens(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token")).limit(20)),
+    "x16_cms_freq" -> ((s, dir) => {
+      // Count-Min point-frequency estimates, gated against exact counts:
+      // build the sketch in ONE decomposable pass (map-side combined —
+      // the shuffle carries a 4x8192 long grid per partition, never a
+      // token), then check both CMS guarantees for the exact top-20
+      // tokens: estimates never undercount, and overcount beyond
+      // 2N/width only with prob 2^-depth. The grid is seed-deterministic
+      // so both booleans are stable facts of the data the oracle pins
+      // TRUE (the d6 planted-derivability discipline, one level up).
+      // The sketch and top-20 collects are aggregate-sized (256 KiB + 20
+      // rows).
+      val depth = 4; val width = 8192
+      val cms = udaf(new graft.functions.CountMin(depth, width),
+        org.apache.spark.sql.Encoders.STRING)
+      val tk = docs(s, dir).select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val skRow = tk.agg(cms(col("token")).as("sk"), count(lit(1)).as("total")).head()
+      val grid = skRow.getAs[scala.collection.Seq[Long]]("sk").toArray
+      val total = skRow.getAs[Long]("total")
+      val top = tk.groupBy("token").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("token")).limit(20).collect()
+      val bound = 2L * total / width
+      val checked = top.toSeq.map { r =>
+        val t = r.getString(0); val e = r.getLong(1)
+        val est = graft.functions.CountMin.estimate(grid, depth, width, t)
+        (t, e, est >= e, est <= e + bound)
+      }
+      import s.implicits._
+      checked.toDF("token", "exact_n", "est_ge_exact", "within_bound")
+        .orderBy(col("exact_n").desc, col("token"))
+    }),
     "x5_repetition" -> ((s, dir) => {
       val t = col("text")
       // one compiled ArrayFreqStats pass shared by both line signals
@@ -2369,6 +2399,14 @@ object OpsQueries {
     "x3_token_topk" ->
       (s"SELECT t AS token, count(*) AS cnt FROM (SELECT unnest($Toks) AS t FROM documents) " +
         "GROUP BY t ORDER BY cnt DESC, token LIMIT 20"),
+    "x16_cms_freq" ->
+      // exact top-20 replayed; the two CMS guarantee booleans are stable
+      // facts of the seed-deterministic grid, pinned TRUE (verified at
+      // the gate SF; CountMinSpec pins the guarantees structurally)
+      (s"WITH tk AS (SELECT unnest($Toks) AS t FROM documents) " +
+        "SELECT t AS token, count(*)::BIGINT AS exact_n, " +
+        "true AS est_ge_exact, true AS within_bound " +
+        "FROM tk GROUP BY t ORDER BY exact_n DESC, token LIMIT 20"),
     "x2_text_enrich" -> (enrichSql("documents") +
       "SELECT doc_id, " +
         raw"len(regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N}${TextAnalysis.WhitespaceClass}]'))::BIGINT AS n_tokens_bpeish, " +
