@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{BloomJoin, Clustering, Curation, Dedup, Drift, Evaluation, Graph, Histograms, Merge, Multimodal, Packing, Quality, Sampling, Search, Similarity, TextAnalysis}
+import graft.ops.{BloomJoin, Bpe, Clustering, Curation, Dedup, Drift, Evaluation, Graph, Histograms, Merge, Multimodal, Packing, Quality, Sampling, Search, Similarity, TextAnalysis}
 import graft.streaming.EventPipeline
 import graft.Util.table
 
@@ -492,6 +492,18 @@ object OpsQueries {
       docs(s, dir).select(explode(TextAnalysis.tokens(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token")).limit(20)),
+    "x17_bpe_merges" -> ((s, dir) =>
+      // distributed BPE merge training (Sennrich subword algorithm):
+      // ONE corpus scan builds word frequencies, then each of 12 rounds
+      // is a map-side-combined pair count over the DISTRIBUTED vocab
+      // (never collected) plus a narrow merge map. Deterministic
+      // (count-desc, pair-asc tie break), so the oracle pins the merge
+      // table as data-derived golden constants — justified by BpeSpec,
+      // where an independently-written single-machine reference trainer
+      // reproduces the distributed result on the sf0.001 documents (the
+      // m9 golden-constant discipline).
+      Bpe.mergesFrame(s, Bpe.train(docs(s, dir), "text", nMerges = 12))
+        .orderBy("rank")),
     "x16_cms_freq" -> ((s, dir) => {
       // Count-Min point-frequency estimates, gated against exact counts:
       // build the sketch in ONE decomposable pass (map-side combined —
@@ -2399,6 +2411,15 @@ object OpsQueries {
     "x3_token_topk" ->
       (s"SELECT t AS token, count(*) AS cnt FROM (SELECT unnest($Toks) AS t FROM documents) " +
         "GROUP BY t ORDER BY cnt DESC, token LIMIT 20"),
+    "x17_bpe_merges" ->
+      // golden merge table for the sf0.01 documents corpus — BPE's
+      // iterative argmax-and-rewrite has no SQL replay, so constants
+      // stand in, justified by BpeSpec's independent reference trainer
+      // reproducing the distributed result (the m9 discipline)
+      ("SELECT * FROM (VALUES (1,'e','r'),(2,'i','n'),(3,'o','w'),(4,'o','r')," +
+        "(5,'s','t'),(6,'m','er'),(7,'a','t'),(8,'l','u'),(9,'a','r')," +
+        "(10,'p','ar'),(11,'j','o'),(12,'jo','in')) " +
+        "AS t(\"rank\", \"left\", \"right\") ORDER BY \"rank\""),
     "x16_cms_freq" ->
       // exact top-20 replayed; the two CMS guarantee booleans are stable
       // facts of the seed-deterministic grid, pinned TRUE (verified at
