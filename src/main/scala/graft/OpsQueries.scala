@@ -1425,6 +1425,38 @@ object OpsQueries {
         .orderBy("o_orderpriority")
     }),
 
+    "o10_zorder_pruned_read" -> ((s, dir) => {
+      // the full 2-D data-skipping stack: a z-ordered layout (each file
+      // a Morton TILE with tight min/max on BOTH dimensions at once)
+      // committed with footer stats, then a conjunctive 2-D range read
+      // that opens only the tiles both predicates can touch. A sorted
+      // layout prunes one dimension; this prunes both from the same
+      // stats — the o2 key + o9 stats composed into the read path.
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val t = new org.apache.hadoop.fs.Path(wh, "graft_zorder_orders").toString
+      val fs0 = new org.apache.hadoop.fs.Path(t).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      fs0.delete(new org.apache.hadoop.fs.Path(t), true) // fresh table per run
+      val o = table(s, dir, "orders").select(
+        col("o_orderkey"), col("o_totalprice"),
+        (col("o_orderkey") % 64).as("d1"),
+        (col("o_custkey") % 64).as("d2"))
+      val arranged = o
+        .withColumn("__z", graft.sources.Sinks.zorderKey(Seq(col("d1"), col("d2")), 6))
+        .repartitionByRange(16, col("__z"))
+        .sortWithinPartitions("__z").drop("__z")
+      graft.sources.FileSkipping.commitWithStats(arranged, t, Seq("d1", "d2"))
+      val (pruned, rep) = graft.sources.FileSkipping.readWhere(
+        s, t, Seq(("d1", 3L, 5L), ("d2", 10L, 20L)))
+      require(rep.filesKept < rep.filesTotal,
+        s"z-order 2-D pruning opened all ${rep.filesTotal} files — skipping broke")
+      pruned.agg(count(lit(1)).as("n"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          + lit(5e-10), 6).as("sum_price"))
+    }),
+
     // ---- lakehouse mutation: CDC upsert + SCD2 history -----------------
     "u2_upsert" -> ((s, dir) => {
       // MERGE INTO shape: orders replayed as a change stream against the
@@ -3538,6 +3570,13 @@ object OpsQueries {
         "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) + 5e-10, 6) AS sum_price " +
         "FROM orders WHERE o_orderkey BETWEEN 1000 AND 2500 " +
         "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "o10_zorder_pruned_read" ->
+      // the 2-D pruned read must equal the plain conjunctive filter
+      ("SELECT count(*)::BIGINT AS n, " +
+        "min(o_orderkey) AS min_key, max(o_orderkey) AS max_key, " +
+        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) + 5e-10, 6) AS sum_price " +
+        "FROM orders WHERE (o_orderkey % 64) BETWEEN 3 AND 5 " +
+        "AND (o_custkey % 64) BETWEEN 10 AND 20"),
     "u3_scd2" ->
       ("SELECT o_custkey AS c_custkey, row_number() OVER w AS version, " +
         "ROUND(o_totalprice + 5e-10, 6) AS bal, " +

@@ -67,16 +67,21 @@ object Bpe {
     // the ONE corpus-sized pass: word frequencies
     val words = docs.select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
-    var vocab: Dataset[WordSyms] =
+    var persisted: Dataset[WordSyms] =
       words.map(r => WordSyms(charSyms(r.getString(0)), r.getLong(1)))
-    vocab.persist()
-    vocab.count() // materialize so each round starts from a computed vocab
+    persisted.persist()
+    persisted.count() // materialize so the rounds start from a computed vocab
+    var vocab = persisted
+    var depth = 0 // narrow maps stacked above the persisted handle
     val merges = Seq.newBuilder[Merge]
     var rank = 1
     var done = false
     try {
       while (rank <= nMerges && !done) {
-        // pair counts: one aggregation, map-side combined
+        // pair counts: one aggregation, map-side combined. The round's
+        // ONLY job — the vocab rewrite below stays lazy, re-running at
+        // most 2 stacked narrow maps above the persisted snapshot
+        // (cheaper than a materialization job per round).
         val best = vocab.flatMap { ws =>
           if (ws.syms.length < 2) Iterator.empty
           else ws.syms.iterator.zip(ws.syms.iterator.drop(1))
@@ -90,15 +95,22 @@ object Bpe {
           val p = best(0).getStruct(0)
           val (l, r) = (p.getString(0), p.getString(1))
           merges += Merge(rank, l, r)
-          val next = vocab.map(ws => WordSyms(applyMerge(ws.syms, l, r), ws.n))
-          next.persist()
-          next.count() // materialize before dropping the parent (bounded lineage)
-          vocab.unpersist()
-          vocab = next
+          vocab = vocab.map(ws => WordSyms(applyMerge(ws.syms, l, r), ws.n))
+          depth += 1
+          if (depth == 3) { // re-root the lineage every third round
+            vocab.persist()
+            vocab.count()
+            persisted.unpersist()
+            persisted = vocab
+            depth = 0
+          }
           rank += 1
         }
       }
-    } finally vocab.unpersist()
+    } finally {
+      persisted.unpersist()
+      if (!(vocab eq persisted)) vocab.unpersist() // no-op unless mid-window persist raced
+    }
     merges.result()
   }
 

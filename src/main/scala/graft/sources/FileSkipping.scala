@@ -266,10 +266,22 @@ object FileSkipping {
     * match the column's stats family; a family mismatch keeps every
     * file (conservative). Returns the frame and the prune report. */
   def readBetween(spark: SparkSession, table: String, column: String,
-                  lo: Any, hi: Any, version: Option[Long] = None): (DataFrame, PruneReport) = {
+                  lo: Any, hi: Any, version: Option[Long] = None): (DataFrame, PruneReport) =
+    readWhere(spark, table, Seq((column, lo, hi)), version)
+
+  /** Conjunctive multi-column pruned read: a file is opened only when
+    * EVERY (column, lo, hi) range could match its stats — the read path
+    * for z-ordered layouts, whose files are tiles with tight min/max on
+    * every z dimension at once (one sorted column prunes one dimension;
+    * the Morton layout prunes all of them from the same footer stats).
+    * The residual filter is the AND of the betweens. */
+  def readWhere(spark: SparkSession, table: String, preds: Seq[(String, Any, Any)],
+                version: Option[Long] = None): (DataFrame, PruneReport) = {
+    require(preds.nonEmpty, "at least one (column, lo, hi) predicate required")
     val v = version.getOrElse(VersionedTable.latestVersion(spark, table))
     val dirs = VersionedTable.resolveDirs(spark, table, v)
     val f = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val wanted = preds.map(_._1).toSet
     var total = 0; var noStats = 0
     val kept = Seq.newBuilder[String]
     dirs.foreach { dirRel =>
@@ -282,19 +294,25 @@ object FileSkipping {
         noStats += 1
         files.foreach(p => kept += p.toString)
       } else {
-        val byFile = parseStatsLines(readFully(f, sp))
-          .filter(_.column == column).map(s => s.file -> s).toMap
+        val byFileCol = parseStatsLines(readFully(f, sp))
+          .filter(s => wanted.contains(s.column))
+          .groupBy(_.file).view.mapValues(_.map(s => s.column -> s).toMap).toMap
         files.foreach { p =>
-          val keep = byFile.get(p.getName) match {
-            case None => true // no stats for this column in this file
-            case Some(s) => fileCouldMatch(s, lo, hi)
+          val stats = byFileCol.getOrElse(p.getName, Map.empty)
+          val keep = preds.forall { case (c, lo, hi) =>
+            stats.get(c) match {
+              case None => true // no stats for this column in this file
+              case Some(s) => fileCouldMatch(s, lo, hi)
+            }
           }
           if (keep) kept += p.toString
         }
       }
     }
     val keptFiles = kept.result()
-    val residual: Column = col(column) >= lit(lo) && col(column) <= lit(hi)
+    val residual: Column = preds.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
     val df =
       if (keptFiles.nonEmpty) spark.read.parquet(keptFiles: _*).filter(residual)
       else // every file pruned: empty frame with the TABLE's schema

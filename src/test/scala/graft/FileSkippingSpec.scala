@@ -118,6 +118,29 @@ class FileSkippingSpec extends AnyFunSuite with Matchers {
     s.rows shouldBe 10L // silence unused warning for the hand-built sample
   }
 
+  test("readWhere: conjunctive 2-D pruning over a z-ordered layout beats either single dim") {
+    val t = tmp()
+    val rows = (0 until 4096).map { i =>
+      val d1 = (i * 7) % 64L; val d2 = (i * 13) % 64L
+      (i.toLong, d1, d2)
+    }
+    val df = rows.toDF("id", "d1", "d2")
+    val arranged = df
+      .withColumn("__z", Sinks.zorderKey(Seq(col("d1"), col("d2")), 6))
+      .repartitionByRange(16, col("__z"))
+      .sortWithinPartitions("__z").drop("__z")
+    FileSkipping.commitWithStats(arranged, t, Seq("d1", "d2"))
+    val (both, repBoth) = FileSkipping.readWhere(spark, t,
+      Seq(("d1", 0L, 7L), ("d2", 0L, 7L)))
+    val (one, repOne) = FileSkipping.readBetween(spark, t, "d1", 0L, 7L)
+    repBoth.filesKept should be < repOne.filesKept // the second dim prunes further
+    repOne.filesKept should be < repOne.filesTotal
+    // and the rows are exactly the conjunctive filter
+    val want = rows.filter(r => r._2 <= 7 && r._3 <= 7).map(_._1).sorted
+    both.select("id").collect().map(_.getLong(0)).sorted shouldBe want.toArray
+    one.count() shouldBe rows.count(_._2 <= 7).toLong
+  }
+
   test("footer stats are metadata-exact: min/max/nulls match the data") {
     val t = tmp()
     FileSkipping.commitWithStats(
