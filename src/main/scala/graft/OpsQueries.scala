@@ -2021,6 +2021,15 @@ object OpsQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    "d19_repeated_spans" -> ((s, dir) =>
+      // cross-document repeated-span anchors (the Lee-et-al substring
+      // dedup signal, sampled): every 8th 24-gram of every doc, exact
+      // two-level aggregation, survivors = fingerprints of spans
+      // occurring more than once corpus-wide. Positional sampling so
+      // DuckDB replays the anchor set verbatim; the alignment-robust
+      // hashMod mode is spec-pinned (DedupSpec).
+      Dedup.repeatedSpans(docs(s, dir), "doc_id", "text", k = 24, stride = 8)
+        .orderBy(col("n_occ").desc, col("gram")).limit(30)),
     "d18_fuzzy_join" -> ((s, dir) => {
       // edit-distance record linkage: a probe batch (every 199th part
       // name, first character dropped — a planted typo at lev 1 from
@@ -3023,6 +3032,17 @@ object OpsQueries {
         "ROUND(len(list_intersect(ta, tb))::DOUBLE / " +
         "greatest(len(list_distinct(list_concat(ta, tb))), 1), 6) AS jaccard " +
         "FROM p ORDER BY id_a, id_b"),
+    "d19_repeated_spans" ->
+      // replay the positional anchor set: constant-bounded range + a
+      // position-fits filter (DuckDB's range() cannot take a lateral
+      // column bound); 512 * 8 covers any sf0.01 doc length
+      ("WITH g AS (SELECT doc_id, substring(text, (8*t.i+1)::INT, 24) AS gram " +
+        "FROM documents, range(512) t(i) " +
+        "WHERE len(text) >= 24 AND 8*t.i + 24 <= len(text)), " +
+        "d AS (SELECT gram, doc_id, count(*) AS c FROM g GROUP BY 1, 2) " +
+        "SELECT gram, sum(c)::BIGINT AS n_occ, count(*)::BIGINT AS n_docs " +
+        "FROM d GROUP BY gram HAVING sum(c) >= 2 " +
+        "ORDER BY n_occ DESC, gram LIMIT 30"),
     "d18_fuzzy_join" ->
       // brute-force cross join, aggregated to the per-probe summary: the
       // engine's PassJoin blocking is SOUND (zero false negatives), so

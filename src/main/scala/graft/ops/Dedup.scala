@@ -868,4 +868,51 @@ object Dedup {
         Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Cross-document repeated-SPAN detection — the corpus-level exact
+    * substring dedup signal (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL 2022, builds a suffix array for
+    * this; a distributed engine gets the same signal from SAMPLED
+    * character k-gram anchors without any global index):
+    *
+    *  - every `stride`-th k-character gram of every document is an
+    *    anchor (pure `sequence`/`substring` projection — codegen'd, no
+    *    UDF, no corpus-sized state);
+    *  - anchors aggregate exactly in two map-side-combinable levels
+    *    ((gram, doc) then gram), so the shuffle carries distinct
+    *    sampled grams, about `corpus_chars / stride` rows — the knob
+    *    that makes 100 TB affordable;
+    *  - a gram surviving `minOcc` is a repeated span's fingerprint:
+    *    any repeated span of length >= k + stride - 1 is GUARANTEED to
+    *    contain at least one sampled anchor of one copy, and alignment
+    *    differences only shift WHICH anchor repeats, not whether one
+    *    does, when both copies sit at the same offsets mod stride.
+    *    `hashMod > 1` switches to content-defined sampling (keep grams
+    *    whose xxhash64 is 0 mod hashMod — winnowing-style), which is
+    *    alignment-INDEPENDENT: the same grams are selected in every
+    *    copy wherever it starts. Positional mode is externally
+    *    replayable (the d19 oracle); hash mode is the robust production
+    *    knob (spec-pinned, like every xxhash operator here).
+    *
+    * Returns (gram, n_occ, n_docs) for every surviving anchor. Callers
+    * route hits to span removal or doc-level quarantine. */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String, k: Int = 24,
+                    stride: Int = 8, minOcc: Long = 2L, hashMod: Int = 0): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    require(hashMod == 0 || hashMod >= 2, s"hashMod must be 0 (positional) or >= 2, got $hashMod")
+    val anchors = df.filter(length(col(textCol)) >= k)
+      .select(col(idCol).as("__id"), col(textCol).as("__t"))
+      .select(col("__id"), col("__t"),
+        explode(sequence(lit(0), length(col("__t")) - k, lit(stride))).as("__pos"))
+      .select(col("__id"), expr(s"substring(__t, __pos + 1, $k)").as("gram"))
+    val sampled =
+      if (hashMod >= 2) anchors.filter(pmod(xxhash64(col("gram")), lit(hashMod)) === 0)
+      else anchors
+    sampled
+      .groupBy(col("gram"), col("__id")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("gram"))
+      .agg(sum(col("__c")).as("n_occ"), count(lit(1)).as("n_docs"))
+      .filter(col("n_occ") >= minOcc)
+  }
 }

@@ -481,4 +481,47 @@ class DedupSpec extends AnyFunSuite with Matchers {
     rows.head.getAs[String]("tag") shouldBe "other"
     rows.head.getAs[Long]("cluster_size") shouldBe 2L
   }
+
+  // ---- cross-document repeated spans (sampled k-gram anchors) ----
+
+  test("repeatedSpans: an aligned repeated span >= k+stride-1 is guaranteed an anchor hit") {
+    val span = "the quick brown fox jumps over the lazy dog again" // 50 chars
+    val docs = Seq(
+      (1L, "XXXXXXXX" + span + "YYYYYYYYYYYY"), // span at offset 8 (aligned mod 8)
+      (2L, span + "ZZZZZZZZZZZZZZZZZZZZ"), // span at offset 0
+      (3L, "completely unrelated text with no repeats at all here"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.repeatedSpans(docs, "doc_id", "text", k = 24, stride = 8).collect()
+    hits should not be empty
+    // every surviving gram is a substring of the planted span
+    hits.foreach(h => span should include(h.getString(0)))
+    val top = hits.maxBy(_.getAs[Long]("n_occ"))
+    top.getAs[Long]("n_docs") shouldBe 2L
+  }
+
+  test("repeatedSpans: hash-mod sampling detects MISALIGNED copies positional sampling can miss") {
+    val span = "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGH" // 45 chars
+    val docs = Seq(
+      (1L, span + "@@@@@@@@@@@"),
+      (2L, "###" + span + "%%%%%%%%")) // offset 3: copies disagree mod 8; tails differ
+      .toDF("doc_id", "text")
+    val robust = Dedup.repeatedSpans(docs, "doc_id", "text", k = 12, stride = 1, hashMod = 4)
+      .collect()
+    robust should not be empty // content-defined: same grams selected in both copies
+    robust.foreach { h =>
+      h.getAs[Long]("n_docs") shouldBe 2L
+      span should include(h.getString(0))
+    }
+  }
+
+  test("repeatedSpans: intra-doc repetition counts occurrences, not docs; minOcc filters") {
+    val docs = Seq((1L, "samechunkhere...padding...samechunkhere...padding...samechunkhere"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.repeatedSpans(docs, "doc_id", "text", k = 8, stride = 1).collect()
+    val best = hits.maxBy(_.getAs[Long]("n_occ"))
+    best.getAs[Long]("n_occ") should be >= 3L
+    best.getAs[Long]("n_docs") shouldBe 1L
+    Dedup.repeatedSpans(docs, "doc_id", "text", k = 8, stride = 1, minOcc = 100L)
+      .count() shouldBe 0L
+  }
 }
