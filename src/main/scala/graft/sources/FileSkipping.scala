@@ -68,6 +68,22 @@ object FileSkipping {
     v
   }
 
+  /** [[VersionedTable.commitBatch]] + footer stats: the exactly-once
+    * streaming sink with data skipping on the read side. A replayed
+    * batch returns None and writes nothing (including stats); a crash
+    * between commit and stats write degrades that directory to
+    * unprunable until [[backfillStats]], same as [[commitWithStats]]. */
+  def commitBatchWithStats(df: DataFrame, table: String, batchId: Long,
+                           statsCols: Seq[String]): Option[Long] = {
+    val spark = df.sparkSession
+    val v = VersionedTable.commitBatch(df, table, batchId)
+    v.foreach { ver =>
+      writeStatsIfAbsent(spark, table,
+        VersionedTable.resolveDirs(spark, table, ver).last, statsCols)
+    }
+    v
+  }
+
   /** Write stats files for every directory of `version` (default latest)
     * that is missing one — adopt a pre-stats table or repair a crashed
     * stats write. Returns the directories backfilled. */

@@ -268,4 +268,29 @@ class MergeSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy
       Merge.mergeAggState(df, df, Nil, Map("n" -> "sum"))
   }
+
+  test("mergeGridState: CMS state maintained batch-by-batch equals the whole-stream sketch") {
+    import org.apache.spark.sql.functions._
+    val cms = udaf(new graft.functions.CountMin(4, 64),
+      org.apache.spark.sql.Encoders.STRING)
+    // three "micro-batches" of keyed token streams
+    val batches = Seq(
+      Seq(("a", "x"), ("a", "y"), ("b", "x")),
+      Seq(("a", "x"), ("c", "z")), // key c first appears in batch 2
+      Seq(("b", "x"), ("b", "x"), ("a", "y")))
+    def sketchOf(rows: Seq[(String, String)]) =
+      rows.toDF("k", "w").groupBy("k").agg(cms(col("w")).as("grid"))
+    val maintained = batches.map(sketchOf).reduce { (state, delta) =>
+      Merge.mergeGridState(state, delta, Seq("k"), Seq("grid"))
+    }
+    val whole = sketchOf(batches.flatten)
+    val got = maintained.orderBy("k").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1))
+    val want = whole.orderBy("k").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1))
+    got shouldBe want // EXACT union: no estimator drift across maintenance steps
+    // and point estimates over the maintained state are sane
+    val aGrid = got.find(_._1 == "a").get._2.toArray
+    graft.functions.CountMin.estimate(aGrid, 4, 64, "y") should be >= 2L
+  }
 }
