@@ -504,6 +504,17 @@ object OpsQueries {
       // m9 golden-constant discipline).
       Bpe.mergesFrame(s, Bpe.train(docs(s, dir), "text", nMerges = 12))
         .orderBy("rank")),
+    "p13_temperature_weights" -> ((s, dir) =>
+      // temperature-scaled mixing shares (p_s ∝ n_s^(1/T), T = 2): the
+      // smoothing every multilingual training mix uses to boost
+      // low-resource languages. One count aggregate + a 1-row broadcast
+      // total; the selection itself composes through weightedMixture
+      // (temperatureMixture, spec-pinned — the p5 rows-only class).
+      Sampling.temperatureWeights(
+          table(s, dir, "documents").select(col("lang")), "lang", temperature = 2.0)
+        .select(col("source").as("lang"), col("n_rows").as("n_docs"),
+          round(col("share") + lit(5e-10), 6).as("share"))
+        .orderBy("lang")),
     "x16_cms_freq" -> ((s, dir) => {
       // Count-Min point-frequency estimates, gated against exact counts:
       // build the sketch in ONE decomposable pass (map-side combined —
@@ -2452,6 +2463,13 @@ object OpsQueries {
     "x3_token_topk" ->
       (s"SELECT t AS token, count(*) AS cnt FROM (SELECT unnest($Toks) AS t FROM documents) " +
         "GROUP BY t ORDER BY cnt DESC, token LIMIT 20"),
+    "p13_temperature_weights" ->
+      // identical float order: per-language pow, then one global sum
+      ("WITH c AS (SELECT lang, count(*)::BIGINT AS n_docs " +
+        "FROM documents GROUP BY lang), " +
+        "w AS (SELECT lang, n_docs, pow(n_docs::DOUBLE, 0.5) AS pw FROM c) " +
+        "SELECT lang, n_docs, round(pw / (SELECT sum(pw) FROM w) + 5e-10, 6) AS share " +
+        "FROM w ORDER BY lang"),
     "x17_bpe_merges" ->
       // golden merge table for the sf0.01 documents corpus — BPE's
       // iterative argmax-and-rewrite has no SQL replay, so constants

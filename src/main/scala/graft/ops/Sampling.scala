@@ -188,6 +188,39 @@ object Sampling {
     stratifiedSample(df, sourceCol, idCol, rates, seed)
   }
 
+  /** Temperature-scaled source shares — the multilingual-LM sampling rule
+    * (p_s ∝ n_s^(1/T), the mBERT / XLM-R exponent smoothing): T = 1
+    * reproduces natural proportions, larger T flattens toward uniform,
+    * boosting low-resource sources without the hard cliff of equal
+    * shares. Returns one row per source: (source, n_rows, share).
+    *
+    * Scale shape: one map-side-combined count per source, then the
+    * share normalization over that SOURCES-sized frame via a 1-row
+    * broadcast total — the corpus is scanned once and never shuffled. */
+  def temperatureWeights(df: DataFrame, sourceCol: String,
+                         temperature: Double): DataFrame = {
+    require(temperature > 0, s"temperature must be positive, got $temperature")
+    val counts = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("__w", pow(col("n_rows").cast("double"), lit(1.0 / temperature)))
+    val total = counts.agg(sum(col("__w")).as("__tw"))
+    counts.crossJoin(broadcast(total))
+      .select(col("source"), col("n_rows"),
+        (col("__w") / col("__tw")).as("share"))
+  }
+
+  /** [[weightedMixture]] with the proportions derived from the data by
+    * [[temperatureWeights]] instead of supplied — "mix my corpus at
+    * temperature T" as one call. The shares collect is sources-sized. */
+  def temperatureMixture(df: DataFrame, sourceCol: String, idCol: String,
+                         temperature: Double, seed: Long = 42L): DataFrame = {
+    val shares = temperatureWeights(df, sourceCol, temperature)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // renormalize away float dust so weightedMixture's sum-to-1 gate holds
+    val z = shares.values.sum
+    weightedMixture(df, sourceCol, idCol, shares.map { case (k, v) => k -> v / z }, seed)
+  }
+
   /** Training-mix construction that may UPSAMPLE: meet target proportions
     * `weights` at a requested output size `totalOut` by REPEATING
     * under-represented sources. Source s with rate

@@ -293,4 +293,41 @@ class SamplingSpec extends AnyFunSuite with Matchers {
     // the __gk helper column does not leak into the output
     Sampling.importanceResample(df, "id", "logw", k = 5).columns.toSeq shouldBe Seq("id", "logw")
   }
+
+  test("temperatureWeights: T=1 is natural proportions, large T approaches uniform") {
+    import org.apache.spark.sql.functions.col
+    val df = (Seq.fill(900)("big") ++ Seq.fill(100)("small"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "src")
+    def shares(t: Double): Map[String, Double] =
+      Sampling.temperatureWeights(df, "src", t).collect()
+        .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val nat = shares(1.0)
+    nat("big") shouldBe 0.9 +- 1e-12
+    nat("small") shouldBe 0.1 +- 1e-12
+    val t2 = shares(2.0) // sqrt smoothing: 30 / (30 + 10) = 0.75
+    t2("big") shouldBe 0.75 +- 1e-12
+    t2("small") shouldBe 0.25 +- 1e-12
+    val flat = shares(1000.0)
+    flat("big") shouldBe 0.5 +- 0.01
+    flat("small") shouldBe 0.5 +- 0.01
+    // shares always normalize
+    shares(3.7).values.sum shouldBe 1.0 +- 1e-9
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.temperatureWeights(df, "src", 0.0)
+  }
+
+  test("temperatureMixture: deterministic, honors the derived proportions, keeps the bottleneck whole") {
+    val df = (Seq.fill(900)("big") ++ Seq.fill(100)("small"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "src")
+    val out = Sampling.temperatureMixture(df, "src", "id", temperature = 2.0)
+    val counts = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // T=2 shares: big 0.75, small 0.25 -> small (100 rows / 0.25 = 400) is
+    // the bottleneck and is kept whole; big samples down toward 300
+    counts("small") shouldBe 100L
+    counts("big").toDouble shouldBe 300.0 +- 40.0 // hash-Bernoulli concentration
+    // deterministic in (id, seed)
+    val again = Sampling.temperatureMixture(df, "src", "id", temperature = 2.0)
+    again.orderBy("id").collect() shouldBe out.orderBy("id").collect()
+  }
 }
