@@ -2041,6 +2041,22 @@ object OpsQueries {
       // hashMod mode is spec-pinned (DedupSpec).
       Dedup.repeatedSpans(docs(s, dir), "doc_id", "text", k = 24, stride = 8)
         .orderBy(col("n_occ").desc, col("gram")).limit(30)),
+    "d20_span_mask" -> ((s, dir) => {
+      // detect -> remove, end to end: d19's top-30 anchors become the
+      // blocklist (aggregate-sized collect by construction), and the
+      // mask pass blanks every character covered by ANY occurrence of
+      // any of them — coverage semantics, so overlaps compose
+      // order-free and DuckDB can replay the whole transform. The mask
+      // scan checks every position (stride 1): occurrences the strided
+      // DETECTOR sampled past are still masked.
+      val grams = Dedup.repeatedSpans(docs(s, dir), "doc_id", "text", k = 24, stride = 8)
+        .orderBy(col("n_occ").desc, col("gram")).limit(30)
+        .collect().map(_.getString(0)).toSeq
+      Dedup.maskSpans(docs(s, dir), "text", grams, k = 24)
+        .filter(col("n_masked") > 0)
+        .select(col("doc_id"), col("masked"), col("n_masked").cast("long").as("n_masked"))
+        .orderBy("doc_id")
+    }),
     "d18_fuzzy_join" -> ((s, dir) => {
       // edit-distance record linkage: a probe batch (every 199th part
       // name, first character dropped — a planted typo at lev 1 from
@@ -3061,6 +3077,31 @@ object OpsQueries {
         "SELECT gram, sum(c)::BIGINT AS n_occ, count(*)::BIGINT AS n_docs " +
         "FROM d GROUP BY gram HAVING sum(c) >= 2 " +
         "ORDER BY n_occ DESC, gram LIMIT 30"),
+    "d20_span_mask" ->
+      // replay detect->mask: same top-30 anchor selection as d19, then
+      // exhaustive (stride-1) occurrence starts, the distinct covered
+      // positions, and a per-char rebuild via ordered string_agg.
+      // n_masked counts covered POSITIONS (join presence), immune to
+      // '#' appearing in source text.
+      ("WITH g AS (SELECT doc_id, substring(text, (8*t.i+1)::INT, 24) AS gram " +
+        "FROM documents, range(512) t(i) " +
+        "WHERE len(text) >= 24 AND 8*t.i + 24 <= len(text)), " +
+        "dd AS (SELECT gram, doc_id, count(*) AS c FROM g GROUP BY 1, 2), " +
+        "gsel AS (SELECT gram FROM (SELECT gram, sum(c) AS n_occ FROM dd " +
+        "GROUP BY gram HAVING sum(c) >= 2 ORDER BY n_occ DESC, gram LIMIT 30)), " +
+        "cov AS (SELECT d.doc_id, p.i AS s FROM documents d, range(600) p(i) " +
+        "WHERE p.i + 24 <= len(d.text) " +
+        "AND substring(d.text, (p.i+1)::INT, 24) IN (SELECT gram FROM gsel)), " +
+        "mp AS (SELECT DISTINCT cov.doc_id, cov.s + o.i AS pos FROM cov, range(24) o(i)), " +
+        "base AS (SELECT d.doc_id, c.i AS pos, substring(d.text, (c.i+1)::INT, 1) AS och " +
+        "FROM documents d, range(600) c(i) WHERE c.i < len(d.text)), " +
+        "ch AS (SELECT b.doc_id, b.pos, " +
+        "CASE WHEN mp.pos IS NOT NULL THEN '#' ELSE b.och END AS cch, " +
+        "CASE WHEN mp.pos IS NOT NULL THEN 1 ELSE 0 END AS cv " +
+        "FROM base b LEFT JOIN mp ON mp.doc_id = b.doc_id AND mp.pos = b.pos) " +
+        "SELECT doc_id, string_agg(cch, '' ORDER BY pos) AS masked, " +
+        "sum(cv)::BIGINT AS n_masked " +
+        "FROM ch GROUP BY doc_id HAVING sum(cv) > 0 ORDER BY doc_id"),
     "d18_fuzzy_join" ->
       // brute-force cross join, aggregated to the per-probe summary: the
       // engine's PassJoin blocking is SOUND (zero false negatives), so

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -896,6 +896,62 @@ object Dedup {
     *
     * Returns (gram, n_occ, n_docs) for every surviving anchor. Callers
     * route hits to span removal or doc-level quarantine. */
+  /** The REMOVAL side of [[repeatedSpans]]: mask every character covered
+    * by an occurrence of any blocklisted k-gram (Lee et al. cut the
+    * repeated spans; masking keeps offsets stable for downstream
+    * alignment). Coverage semantics, not replacement semantics: a
+    * position is masked iff SOME occurrence of SOME gram covers it, so
+    * overlapping hits compose without order-dependence — which is what
+    * makes the transform externally replayable (the d20 oracle).
+    *
+    * Scale shape: the gram set rides a broadcast (anchors are
+    * aggregate-sized by [[repeatedSpans]]'s construction); the scan is
+    * a pure per-row `mapPartitions` — position-by-position hash-set
+    * lookups, no shuffle, no explode. Adds `masked` (text with covered
+    * chars as `maskChar`) and `n_masked` (covered char count). All
+    * grams must have length `k`. */
+  def maskSpans(df: DataFrame, textCol: String, grams: Seq[String], k: Int,
+                maskChar: Char = '#'): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(grams.forall(_.length == k), s"every gram must have length $k")
+    val spark = df.sparkSession
+    val gramsB = spark.sparkContext.broadcast(grams.toSet)
+    import org.apache.spark.sql.types._
+    val inSchema = df.schema
+    val outSchema = inSchema
+      .add(StructField("masked", StringType))
+      .add(StructField("n_masked", IntegerType, nullable = false))
+    val textIdx = inSchema.fieldIndex(textCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      val gs = gramsB.value
+      rows.map { r =>
+        val t = r.getString(textIdx)
+        if (t == null) Row.fromSeq(r.toSeq ++ Seq[Any](null, 0))
+        else {
+          val n = t.length
+          val covered = new Array[Boolean](n)
+          var i = 0
+          while (i + k <= n) {
+            if (gs.contains(t.substring(i, i + k))) {
+              var j = i
+              while (j < i + k) { covered(j) = true; j += 1 }
+            }
+            i += 1
+          }
+          val sb = new java.lang.StringBuilder(n)
+          var m = 0
+          i = 0
+          while (i < n) {
+            if (covered(i)) { sb.append(maskChar); m += 1 } else sb.append(t.charAt(i))
+            i += 1
+          }
+          Row.fromSeq(r.toSeq ++ Seq[Any](sb.toString, m))
+        }
+      }
+    }(enc)
+  }
+
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String, k: Int = 24,
                     stride: Int = 8, minOcc: Long = 2L, hashMod: Int = 0): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")

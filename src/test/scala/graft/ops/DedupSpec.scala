@@ -524,4 +524,31 @@ class DedupSpec extends AnyFunSuite with Matchers {
     Dedup.repeatedSpans(docs, "doc_id", "text", k = 8, stride = 1, minOcc = 100L)
       .count() shouldBe 0L
   }
+
+  test("maskSpans: coverage semantics — overlapping hits compose, offsets stay stable") {
+    val docs = Seq(
+      (1L, "xxABCDyyABCDzz"), // two disjoint hits
+      (2L, "AABCDX"), // no hit of 'ABCD'? yes at pos 1 -> covers 1..4
+      (3L, "clean text"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.maskSpans(docs, "text", Seq("ABCD"), k = 4, maskChar = '_')
+      .select(col("doc_id"), col("masked"), col("n_masked")).orderBy("doc_id").collect()
+    out(0).getString(1) shouldBe "xx____yy____zz"
+    out(0).getInt(2) shouldBe 8
+    out(1).getString(1) shouldBe "A____X"
+    out(1).getInt(2) shouldBe 4
+    out(2).getString(1) shouldBe "clean text"
+    out(2).getInt(2) shouldBe 0
+    out(3).isNullAt(1) shouldBe true
+    out(3).getInt(2) shouldBe 0
+    // overlapping grams: 'AAA' in 'AAAA' covers everything once, not twice
+    val ov = Dedup.maskSpans(Seq((1L, "zAAAAz")).toDF("doc_id", "text"),
+      "text", Seq("AAA"), k = 3).collect()(0)
+    ov.getString(2) shouldBe "z####z"
+    ov.getInt(3) shouldBe 4
+    // contract: gram length must equal k
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.maskSpans(docs, "text", Seq("AB"), k = 4)
+  }
 }
