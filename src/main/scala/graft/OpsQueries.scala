@@ -422,6 +422,31 @@ object OpsQueries {
           round(col("rms"), 6).as("rms"), col("zcr").cast("long").as("zcr"))
         .orderBy("doc_id", "frame_id")
     }),
+    "m11_flip_crop" -> ((s, dir) => {
+      // augmentation pipeline, oracle-checked end to end: plant 4x4
+      // BMPs from the doc text (the m4 pattern), mirror horizontally,
+      // crop an ASYMMETRIC 2x2 window at (0,1) — the crop of the flip
+      // reads source columns {3,2}, so a broken flip changes the
+      // stats — and decode the cropped payload for channel means.
+      // 4-pixel means are exact dyadic rationals (the m4/m5 class).
+      val bmpHdr = lit(Multimodal.bmp24Header(4, 4))
+      val planted = Multimodal.asBinaryPayload(docs(s, dir), "text")
+        .filter(col("doc_id") % 10 === 2)
+        .withColumn("payload",
+          concat(bmpHdr, substring(rpad(col("text"), 48, "x").cast("binary"), 1, 48)))
+      val flipped = Multimodal.flipBmp(
+        planted.select(col("doc_id"), col("payload")), "payload")
+        .drop("payload").withColumnRenamed("flipped", "payload")
+      val cropped = Multimodal.cropBmp(flipped, "payload", x0 = 0, y0 = 1, cw = 2, ch = 2)
+        .drop("payload").withColumnRenamed("cropped", "payload")
+      Multimodal.withImageStats(cropped, "payload")
+        .select(col("doc_id"),
+          col("image_stats.n_pixels").as("n_pixels"),
+          round(col("image_stats.mean_r"), 6).as("mean_r"),
+          round(col("image_stats.mean_g"), 6).as("mean_g"),
+          round(col("image_stats.mean_b"), 6).as("mean_b"))
+        .orderBy("doc_id")
+    }),
     "m4_resize" -> ((s, dir) => {
       // REAL resize pipeline, oracle-checked end to end: plant 4x4 BMPs
       // from the doc text (as m2b), box-resample to 2x2 through
@@ -2379,6 +2404,23 @@ object OpsQueries {
         "round(sqrt(avg((v/32768.0)*(v/32768.0))), 6) AS rms, " +
         "sum(CASE WHEN i % 8 <> 0 AND pv * v < 0 THEN 1 ELSE 0 END)::BIGINT AS zcr " +
         "FROM w GROUP BY doc_id, f ORDER BY doc_id, frame_id"),
+    "m11_flip_crop" ->
+      // replay flip-then-crop from the raw text bytes: the BMP family
+      // works in STORED row order (decodeBmp24Pixels doc), so the crop
+      // rows {1,2} are stored rows {1,2} and the mirrored crop columns
+      // {0,1} read source columns {3,2} — the window is stored bytes
+      // (y in {1,2}) x (x in {2,3}), channel c at y*12 + 3x + c
+      // (1-based; c=3 is R in the BGR triple, as m4)
+      ("WITH base AS (SELECT doc_id, rpad(text, 48, 'x') AS t " +
+        "FROM documents WHERE doc_id % 10 = 2), " +
+        "px AS (SELECT b.doc_id, " +
+        "unicode(substring(b.t, ((1 + t.i//2)*12 + 3*(2 + t.i%2) + 3)::INT, 1)) AS r, " +
+        "unicode(substring(b.t, ((1 + t.i//2)*12 + 3*(2 + t.i%2) + 2)::INT, 1)) AS g, " +
+        "unicode(substring(b.t, ((1 + t.i//2)*12 + 3*(2 + t.i%2) + 1)::INT, 1)) AS bl " +
+        "FROM base b, range(4) t(i)) " +
+        "SELECT doc_id, 4::BIGINT AS n_pixels, round(avg(r), 6) AS mean_r, " +
+        "round(avg(g), 6) AS mean_g, round(avg(bl), 6) AS mean_b " +
+        "FROM px GROUP BY doc_id ORDER BY doc_id"),
     "m4_resize" -> {
       // replay the 4x4 -> 2x2 box resample from the raw text bytes: the
       // planted BMP is t48 as BGR triples at stride 12, output pixel

@@ -755,35 +755,91 @@ object Multimodal {
   def resizeBmp(df: DataFrame, payloadCol: String, outW: Int, outH: Int,
                 outCol: String = "resized"): DataFrame = {
     require(outW > 0 && outH > 0, "output dims must be positive")
+    transformBmp(df, payloadCol, outCol) { (w, h, rgb) =>
+      Some((outW, outH, boxResize(w, h, rgb, outW, outH)))
+    }
+  }
+
+  /** Shared decode -> pixel-transform -> re-encode frame for the BMP
+    * augmentation family ([[resizeBmp]], [[flipBmp]], [[cropBmp]]):
+    * `f` maps (w, h, top-down RGB) to the transformed raster, or None
+    * to null the row (e.g. a crop window outside the image). Same
+    * `mapPartitions` batch shape as every decoder here. */
+  private def transformBmp(df: DataFrame, payloadCol: String, outCol: String)(
+      f: (Int, Int, Array[Byte]) => Option[(Int, Int, Array[Byte])]): DataFrame = {
     val inSchema = df.schema
     val outSchema = inSchema.add(StructField(outCol, BinaryType))
     val payloadIdx = inSchema.fieldIndex(payloadCol)
     val enc = RowEncoder.encoderFor(outSchema)
     df.mapPartitions { rows =>
       rows.map { r =>
-        val resized = decodeBmp24Pixels(r.getAs[Array[Byte]](payloadIdx)).map {
-          case (w, h, rgb) =>
-            val small = boxResize(w, h, rgb, outW, outH)
-            val stride = (3 * outW + 3) & ~3
-            val body = new Array[Byte](stride * outH)
+        val out = decodeBmp24Pixels(r.getAs[Array[Byte]](payloadIdx)).flatMap {
+          case (w, h, rgb) => f(w, h, rgb).map { case (ow, oh, orgb) =>
+            val stride = (3 * ow + 3) & ~3
+            val body = new Array[Byte](stride * oh)
             var y = 0
-            while (y < outH) {
+            while (y < oh) {
               var x = 0
-              while (x < outW) {
-                val src = 3 * (y * outW + x)
+              while (x < ow) {
+                val src = 3 * (y * ow + x)
                 val dst = y * stride + 3 * x
-                body(dst) = small(src + 2)     // store BGR
-                body(dst + 1) = small(src + 1)
-                body(dst + 2) = small(src)
+                body(dst) = orgb(src + 2) // store BGR
+                body(dst + 1) = orgb(src + 1)
+                body(dst + 2) = orgb(src)
                 x += 1
               }
               y += 1
             }
-            bmp24Header(outW, outH) ++ body
+            bmp24Header(ow, oh) ++ body
+          }
         }.orNull
-        Row.fromSeq(r.toSeq :+ resized)
+        Row.fromSeq(r.toSeq :+ out)
       }
     }(enc)
+  }
+
+  /** Horizontal mirror of a BMP payload — the cheapest classic image
+    * augmentation, exact byte math (pixel (x, y) <- (w-1-x, y)), so the
+    * m11 oracle replays it from the planted bytes. Null for non-BMP. */
+  def flipBmp(df: DataFrame, payloadCol: String, outCol: String = "flipped"): DataFrame =
+    transformBmp(df, payloadCol, outCol) { (w, h, rgb) =>
+      val out = new Array[Byte](rgb.length)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val d = 3 * (y * w + x); val s = 3 * (y * w + (w - 1 - x))
+          out(d) = rgb(s); out(d + 1) = rgb(s + 1); out(d + 2) = rgb(s + 2)
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, out))
+    }
+
+  /** Crop a `cw` x `ch` window at top-left (x0, y0) of a BMP payload —
+    * exact byte selection. Rows whose window falls outside the image
+    * null out (a silent partial crop would corrupt training data). */
+  def cropBmp(df: DataFrame, payloadCol: String, x0: Int, y0: Int, cw: Int, ch: Int,
+              outCol: String = "cropped"): DataFrame = {
+    require(x0 >= 0 && y0 >= 0 && cw > 0 && ch > 0, "crop window must be non-negative/positive")
+    transformBmp(df, payloadCol, outCol) { (w, h, rgb) =>
+      if (x0 + cw > w || y0 + ch > h) None
+      else {
+        val out = new Array[Byte](cw * ch * 3)
+        var y = 0
+        while (y < ch) {
+          var x = 0
+          while (x < cw) {
+            val d = 3 * (y * cw + x); val s = 3 * ((y0 + y) * w + (x0 + x))
+            out(d) = rgb(s); out(d + 1) = rgb(s + 1); out(d + 2) = rgb(s + 2)
+            x += 1
+          }
+          y += 1
+        }
+        Some((cw, ch, out))
+      }
+    }
   }
 
   /** Canonical 54-byte 24-bpp BMP header for a `w` x `h` image —

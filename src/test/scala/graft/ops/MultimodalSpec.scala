@@ -642,6 +642,38 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("flipBmp mirrors exactly; flip of flip is the identity; crop selects exact bytes") {
+    // 2x2 image with distinct pixels. The BMP family here works in
+    // STORED row order throughout (decodeBmp24Pixels doc), so row 0
+    // below is decoded row 0. Pixels per stored row: BGR triples.
+    val body = Array[Byte](
+      1, 2, 3, 4, 5, 6, 0, 0, // stored row 0: px0=BGR(1,2,3), px1=BGR(4,5,6); stride pad
+      7, 8, 9, 10, 11, 12, 0, 0) // stored row 1
+    val bmp = Multimodal.bmp24Header(2, 2) ++ body
+    val df = Seq((1L, bmp), (2L, "junk".getBytes)).toDF("id", "payload")
+    val flipped = Multimodal.flipBmp(df, "payload")
+    val fRows = flipped.orderBy("id").collect()
+    fRows(1).isNullAt(2) shouldBe true // non-BMP nulls
+    val fb = fRows(0).getAs[Array[Byte]]("flipped")
+    val (w, h, rgb) = Multimodal.decodeBmp24Pixels(fb).get
+    (w, h) shouldBe ((2, 2))
+    // stored row 0 was [RGB(3,2,1), RGB(6,5,4)]; the mirror swaps columns
+    rgb.take(6).map(_.toInt) shouldBe Array(6, 5, 4, 3, 2, 1)
+    // flip twice = identity (payload bytes round-trip exactly)
+    val twice = Multimodal.flipBmp(
+      flipped.drop("payload").withColumnRenamed("flipped", "payload"), "payload")
+      .orderBy("id").collect()(0).getAs[Array[Byte]]("flipped")
+    twice shouldBe bmp
+    // crop 1x1 at (1, 0): stored row 0, col 1 = RGB(6,5,4)
+    val crop = Multimodal.cropBmp(df, "payload", 1, 0, 1, 1).orderBy("id").collect()
+    val (cw, chh, cpx) = Multimodal.decodeBmp24Pixels(crop(0).getAs[Array[Byte]]("cropped")).get
+    (cw, chh) shouldBe ((1, 1))
+    cpx.map(_.toInt) shouldBe Array(6, 5, 4)
+    // window outside the image nulls out, never partially crops
+    Multimodal.cropBmp(df, "payload", 1, 1, 2, 2).orderBy("id")
+      .collect()(0).isNullAt(2) shouldBe true
+  }
+
   // ---- AVI video: container parse + real frame decode ----
 
   private def rgbFrame(w: Int, h: Int)(f: Int => Int): Array[Byte] =
