@@ -447,6 +447,29 @@ object OpsQueries {
           round(col("image_stats.mean_b"), 6).as("mean_b"))
         .orderBy("doc_id")
     }),
+    "m12_audio_decimate" -> ((s, dir) => {
+      // audio augmentation, oracle-checked end to end: plant 32-sample
+      // PCM-16 WAVs from the doc text (the m5 pattern), decimate by 4
+      // through the real header-rewriting transform, then decode the
+      // DECIMATED payload for stats AND read its rewritten sample rate
+      // back off the fmt header (2000 = 8000/4) via withMediaMeta.
+      val hdr = lit(Multimodal.wavPcm16Header(dataBytes = 64))
+      val planted = Multimodal.asBinaryPayload(docs(s, dir), "text")
+        .filter(col("doc_id") % 10 === 4)
+        .withColumn("payload",
+          concat(hdr, substring(rpad(col("text"), 64, "x").cast("binary"), 1, 64)))
+      val dec = Multimodal.decimateWav(
+          planted.select(col("doc_id"), col("payload")), "payload", factor = 4)
+        .drop("payload").withColumnRenamed("decimated", "payload")
+      Multimodal.withAudioStats(Multimodal.withMediaMeta(dec, "payload"), "payload")
+        .select(col("doc_id"),
+          col("media_meta.width").cast("long").as("rate"),
+          col("audio_stats.n_samples").as("n_samples"),
+          round(col("audio_stats.mean") + lit(5e-10), 6).as("mean"),
+          round(col("audio_stats.rms"), 6).as("rms"),
+          round(col("audio_stats.peak"), 6).as("peak"))
+        .orderBy("doc_id")
+    }),
     "m4_resize" -> ((s, dir) => {
       // REAL resize pipeline, oracle-checked end to end: plant 4x4 BMPs
       // from the doc text (as m2b), box-resample to 2x2 through
@@ -2388,6 +2411,21 @@ object OpsQueries {
         "round(avg(CASE WHEN c = 1 THEN v END), 6) AS mean_g, " +
         "round(avg(CASE WHEN c = 0 THEN v END), 6) AS mean_b " +
         "FROM px GROUP BY doc_id, frame_id ORDER BY doc_id, frame_id"),
+    "m12_audio_decimate" ->
+      // replay decimate-by-4 from the raw text bytes: samples i in
+      // {0,4,...,28} as sign-extended LE16 pairs (the m5 replay);
+      // mean/peak are exact dyadic rationals, rms rounds the identical
+      // double in both engines; the rewritten rate is the 8000/4 const
+      ("WITH base AS (SELECT doc_id, rpad(text, 64, 'x') AS t64 " +
+        "FROM documents WHERE doc_id % 10 = 4), " +
+        "raw AS (SELECT doc_id, unicode(substring(t64, (8*t.i+1)::INT, 1)) " +
+        "+ 256*unicode(substring(t64, (8*t.i+2)::INT, 1)) AS vu FROM base, range(8) t(i)), " +
+        "sgn AS (SELECT doc_id, CASE WHEN vu >= 32768 THEN vu - 65536 ELSE vu END AS v FROM raw) " +
+        "SELECT doc_id, 2000::BIGINT AS rate, count(*)::BIGINT AS n_samples, " +
+        "round(sum(v)/count(*)/32768.0 + 5e-10, 6) AS mean, " +
+        "round(sqrt(avg((v/32768.0)*(v/32768.0))), 6) AS rms, " +
+        "round(max(abs(v))/32768.0, 6) AS peak " +
+        "FROM sgn GROUP BY doc_id ORDER BY doc_id"),
     "m5_audio_frames" ->
       // replay the frame fold from the raw text bytes: LE16 pairs,
       // sign-extended, frame = i // 8; ZCR counts strict sign flips of

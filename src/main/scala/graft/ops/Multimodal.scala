@@ -147,6 +147,61 @@ object Multimodal {
       (math.min(dataLen, (bytes.length - dataOff).toLong) / 2).toInt))
   }
 
+  /** The fmt chunk's sample rate, walking chunks like
+    * [[wavPcm16DataRange]] (junk chunks before fmt are legal). */
+  private[ops] def wavSampleRate(bytes: Array[Byte]): Option[Int] = {
+    if (bytes == null || bytes.length < 44) return None
+    def u8(i: Int): Int = bytes(i) & 0xFF
+    def le32(i: Int): Long = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int): String = new String(bytes, i, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var i = 12
+    while (i + 8 <= bytes.length) {
+      val sz = le32(i + 4)
+      if (tag(i) == "fmt " && i + 8 + 8 <= bytes.length)
+        return Some(le32(i + 8 + 4).toInt)
+      val next = i.toLong + 8L + sz + (sz & 1L)
+      if (next <= i || next > Int.MaxValue) return None
+      i = next.toInt
+    }
+    None
+  }
+
+  /** Integer-factor decimation of a PCM-16 WAV: keep every `factor`-th
+    * sample and emit a REAL WAV at `rate / factor` — the exact-transform
+    * augmentation complementing [[audioFrames]]' features (plain
+    * sample-drop decimation, no anti-alias filter; byte-exact, which is
+    * what lets the m12 oracle replay it). Null for non-PCM-16 payloads.
+    * Same per-row `mapPartitions` shape as the BMP transform family. */
+  def decimateWav(df: DataFrame, payloadCol: String, factor: Int,
+                  outCol: String = "decimated"): DataFrame = {
+    require(factor >= 2, s"factor must be >= 2, got $factor")
+    val inSchema = df.schema
+    val outSchema = inSchema.add(StructField(outCol, BinaryType))
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val out = wavPcm16DataRange(bytes).flatMap { case (dataOff, nSamples) =>
+          wavSampleRate(bytes).map { rate =>
+            val outN = if (nSamples == 0) 0 else (nSamples + factor - 1) / factor
+            val data = new Array[Byte](outN * 2)
+            var i = 0; var j = 0
+            while (i < nSamples) {
+              data(2 * j) = bytes(dataOff + 2 * i)
+              data(2 * j + 1) = bytes(dataOff + 2 * i + 1)
+              j += 1; i += factor
+            }
+            wavPcm16Header(outN * 2, math.max(1, rate / factor)) ++ data
+          }
+        }.orNull
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(enc)
+  }
+
   private[ops] def decodeWavPcm16(bytes: Array[Byte]): Option[(Long, Double, Double, Double)] =
     wavPcm16DataRange(bytes).map { case (dataOff, n) =>
       def u8(i: Int): Int = bytes(i) & 0xFF

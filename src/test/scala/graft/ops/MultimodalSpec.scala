@@ -674,6 +674,28 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
       .collect()(0).isNullAt(2) shouldBe true
   }
 
+  test("decimateWav keeps every factor-th sample, rewrites the rate, nulls non-PCM") {
+    // 8 samples: 100, 200, ..., 800 (LE16)
+    val data = (1 to 8).flatMap { i =>
+      val v = i * 100; Seq((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    }.toArray
+    val wav = Multimodal.wavPcm16Header(16, sampleRate = 8000) ++ data
+    val df = Seq((1L, wav), (2L, "nope".getBytes)).toDF("id", "payload")
+    val out = Multimodal.decimateWav(df, "payload", factor = 3).orderBy("id").collect()
+    out(1).isNullAt(2) shouldBe true
+    val dec = out(0).getAs[Array[Byte]]("decimated")
+    Multimodal.wavSampleRate(dec) shouldBe Some(2666) // 8000 / 3
+    // samples 0, 3, 6 -> 100, 400, 700
+    val (n, mean, _, peak) = Multimodal.decodeWavPcm16(dec).get
+    n shouldBe 3L
+    mean shouldBe ((100 + 400 + 700) / 3.0 / 32768.0) +- 1e-12
+    peak shouldBe (700 / 32768.0) +- 1e-15
+    // junk chunk before fmt still parses the rate
+    val junk = wav.take(12) ++ "LIST".getBytes ++ Array[Byte](4, 0, 0, 0) ++
+      "INFO".getBytes ++ wav.drop(12)
+    Multimodal.wavSampleRate(junk) shouldBe Some(8000)
+  }
+
   // ---- AVI video: container parse + real frame decode ----
 
   private def rgbFrame(w: Int, h: Int)(f: Int => Int): Array[Byte] =
