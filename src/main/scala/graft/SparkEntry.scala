@@ -259,6 +259,17 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    "a16_grouped_mode" -> ((s, dir) =>
+      // exact categorical mode per group (deterministic smallest-value
+      // tie-break): most common order priority per order year. Two
+      // map-side-combined aggregations; shuffle bounded by distinct
+      // (year, priority) pairs, never rows.
+      Quantiles.groupedMode(
+          table(s, dir, "orders").select(
+            year(col("o_orderdate")).cast("long").as("yr"), col("o_orderpriority")),
+          "yr", "o_orderpriority")
+        .orderBy("yr")),
+
     // ---- joins / windows / set ops (SURVEY.md §2.5-2.7) ----
     "j1_outer_join" -> ((s, dir) => roundDoubles(
       table(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
@@ -573,6 +584,16 @@ object SparkEntry {
         "SELECT l_returnflag, n, round(med + 5e-10, 6) AS median, " +
         "round(mad + 5e-10, 6) AS mad, n_out, " +
         "round(n_out::DOUBLE / n + 5e-10, 6) AS out_frac FROM o ORDER BY 1"),
+    "a16_grouped_mode" ->
+      // replay the census + deterministic pick: frequency desc, value
+      // asc — exactly groupedMode's min(struct(-count, value)) ordering
+      ("WITH c AS (SELECT year(o_orderdate)::BIGINT AS yr, o_orderpriority AS v, " +
+        "count(*) AS n FROM orders GROUP BY 1, 2), " +
+        "r AS (SELECT yr, v, n, row_number() OVER " +
+        "(PARTITION BY yr ORDER BY n DESC, v) AS rn, " +
+        "sum(n) OVER (PARTITION BY yr) AS tot FROM c) " +
+        "SELECT yr, v AS mode, n::BIGINT AS mode_n, tot::BIGINT AS n " +
+        "FROM r WHERE rn = 1 ORDER BY yr"),
     "a13_grouped_quantiles_dist" ->
       // same oracle as a11: the distributed order-statistics path must
       // produce the identical interpolated quantiles

@@ -286,4 +286,22 @@ object Quantiles {
     }
     require(ps.map(_._1).distinct.size == ps.size, "duplicate output names")
   }
+
+  /** Exact per-group MODE (most frequent value) with a deterministic
+    * tie-break to the smallest value — the categorical companion of the
+    * median/MAD pair above. Two map-side-combinable aggregations: the
+    * (group, value) census, then one `min(struct(-count, value))` per
+    * group (struct ordering is field-by-field, so -count ranks by
+    * frequency first, value breaks ties). Shuffle volume is bounded by
+    * distinct (group, value) pairs — a categorical value column keeps
+    * it tiny at any corpus size, and nothing ever buffers a group.
+    * Returns (group, mode, mode_n, n). */
+  def groupedMode(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(groupCol))
+      .agg(min(struct((-col("__c")).as("nc"), col(valueCol).as("v"))).as("__b"),
+        sum(col("__c")).as("n"))
+      .select(col(groupCol), col("__b.v").as("mode"),
+        (-col("__b.nc")).as("mode_n"), col("n"))
 }

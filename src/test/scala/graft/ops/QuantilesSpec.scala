@@ -153,4 +153,19 @@ class QuantilesSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy
       Quantiles.groupedQuantiles(df, "g", "v", Nil)
   }
+
+  test("groupedMode: exact census, deterministic smallest-value tie-break, any partitioning") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      ("g1", "b"), ("g1", "b"), ("g1", "a"), // clear winner b
+      ("g2", "z"), ("g2", "y"), // tie at 1: smallest value y wins
+      ("g3", "only"))
+    def run(parts: Int) =
+      Quantiles.groupedMode(rows.toDF("g", "v").repartition(parts), "g", "v")
+        .orderBy("g").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val want = Array(("g1", "b", 2L, 3L), ("g2", "y", 1L, 2L), ("g3", "only", 1L, 1L))
+    run(1) shouldBe want
+    run(7) shouldBe want
+  }
 }
