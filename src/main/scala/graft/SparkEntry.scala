@@ -270,6 +270,19 @@ object SparkEntry {
           "yr", "o_orderpriority")
         .orderBy("yr")),
 
+    "a17_grouped_entropy" -> ((s, dir) =>
+      // categorical diversity profile per group: Shannon entropy via
+      // the exact ln(n) - sum(c ln c)/n algebra — the census shuffle is
+      // the only wide stage, bounded by distinct (group, value) pairs.
+      Quantiles.groupedEntropy(
+          table(s, dir, "orders").select(
+            year(col("o_orderdate")).cast("long").as("yr"), col("o_orderpriority")),
+          "yr", "o_orderpriority")
+        .select(col("yr"), col("n"), col("n_distinct"),
+          round(col("entropy") + lit(5e-10), 6).as("entropy"),
+          round(col("evenness") + lit(5e-10), 6).as("evenness"))
+        .orderBy("yr")),
+
     // ---- joins / windows / set ops (SURVEY.md §2.5-2.7) ----
     "j1_outer_join" -> ((s, dir) => roundDoubles(
       table(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
@@ -594,6 +607,16 @@ object SparkEntry {
         "sum(n) OVER (PARTITION BY yr) AS tot FROM c) " +
         "SELECT yr, v AS mode, n::BIGINT AS mode_n, tot::BIGINT AS n " +
         "FROM r WHERE rn = 1 ORDER BY yr"),
+    "a17_grouped_entropy" ->
+      // identical algebra: ln(n) - sum(c*ln(c))/n; per-term doubles are
+      // identical, the nudged 6-dp round absorbs summation-order dust
+      ("WITH c AS (SELECT year(o_orderdate)::BIGINT AS yr, o_orderpriority AS v, " +
+        "count(*)::DOUBLE AS c FROM orders GROUP BY 1, 2) " +
+        "SELECT yr, sum(c)::BIGINT AS n, count(*)::BIGINT AS n_distinct, " +
+        "round(ln(sum(c)) - sum(c*ln(c))/sum(c) + 5e-10, 6) AS entropy, " +
+        "round(CASE WHEN count(*) > 1 THEN " +
+        "(ln(sum(c)) - sum(c*ln(c))/sum(c)) / ln(count(*)) END + 5e-10, 6) AS evenness " +
+        "FROM c GROUP BY yr ORDER BY yr"),
     "a13_grouped_quantiles_dist" ->
       // same oracle as a11: the distributed order-statistics path must
       // produce the identical interpolated quantiles

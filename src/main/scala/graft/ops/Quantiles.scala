@@ -304,4 +304,31 @@ object Quantiles {
         sum(col("__c")).as("n"))
       .select(col(groupCol), col("__b.v").as("mode"),
         (-col("__b.nc")).as("mode_n"), col("n"))
+
+  /** Shannon entropy (nats) of the VALUE distribution per group, plus
+    * the distinct-value count and the normalized evenness H / ln(k) —
+    * the diversity profile of a categorical column (is a partition
+    * dominated by one label, or balanced?). Exact algebra avoids any
+    * per-group value array: -Σ (c/n)·ln(c/n) = ln(n) − (Σ c·ln c)/n,
+    * so after the same (group, value) census as [[groupedMode]] the
+    * entropy is TWO more map-side-combinable sums — shuffle stays
+    * bounded by distinct pairs, and nothing ever buffers a group.
+    * Single-value groups report entropy 0 and evenness NULL (ln(1) = 0
+    * denominators are undefined, not zero). */
+  def groupedEntropy(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val c = col("__c").cast("double")
+    df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("n"),
+        count(lit(1)).as("n_distinct"),
+        sum(c * log(c)).as("__sclc"))
+      .select(col(groupCol), col("n"), col("n_distinct"),
+        (log(col("n").cast("double")) - col("__sclc") / col("n").cast("double"))
+          .as("entropy"),
+        when(col("n_distinct") > 1,
+          (log(col("n").cast("double")) - col("__sclc") / col("n").cast("double"))
+            / log(col("n_distinct").cast("double")))
+          .as("evenness"))
+  }
 }

@@ -168,4 +168,24 @@ class QuantilesSpec extends AnyFunSuite with Matchers {
     run(1) shouldBe want
     run(7) shouldBe want
   }
+
+  test("groupedEntropy: hand-computed entropy, evenness bounds, single-value null") {
+    val rows = Seq(
+      ("u", "a"), ("u", "a"), ("u", "b"), ("u", "b"), // uniform over 2: H = ln 2
+      ("s", "a"), ("s", "a"), ("s", "a"), ("s", "b"), // skewed 3:1
+      ("one", "x"), ("one", "x")) // single value: H = 0, evenness null
+    val got = Quantiles.groupedEntropy(rows.toDF("g", "v"), "g", "v")
+      .orderBy("g").collect()
+    val one = got(0); val s = got(1); val u = got(2)
+    one.getString(0) shouldBe "one"
+    one.getDouble(3) shouldBe 0.0 +- 1e-12
+    one.isNullAt(4) shouldBe true
+    u.getDouble(3) shouldBe math.log(2) +- 1e-12
+    u.getDouble(4) shouldBe 1.0 +- 1e-12 // uniform = maximal evenness
+    val hs = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    s.getDouble(3) shouldBe hs +- 1e-12
+    s.getDouble(4) shouldBe (hs / math.log(2)) +- 1e-12
+    s.getLong(1) shouldBe 4L
+    s.getLong(2) shouldBe 2L
+  }
 }
