@@ -876,6 +876,78 @@ object OpsQueries {
           round(col("f1") + lit(5e-10), 6).as("f1"),
           round(col("accuracy") + lit(5e-10), 6).as("accuracy"))
     }),
+    "v3_ndcg" -> ((s, dir) => {
+      // ranking-eval: NDCG@10 per order-year — score = o_totalprice,
+      // relevance = a deterministic 4-grade (o_custkey % 4), ties broken
+      // by o_orderkey. Two bounded TopKRel buffers per group ride ONE
+      // map-side-combined aggregate; the oracle's window formulation
+      // must per-group-sort every row — the plan this operator avoids.
+      Evaluation.ndcgAtK(
+          table(s, dir, "orders")
+            .filter(col("o_totalprice").isNotNull && col("o_custkey").isNotNull &&
+              col("o_orderkey").isNotNull)
+            .select(year(col("o_orderdate")).cast("long").as("yr"),
+              col("o_totalprice").as("score"),
+              (col("o_custkey") % 4).as("rel"),
+              col("o_orderkey").as("id")),
+          "yr", "score", "rel", "id", 10)
+        .select(col("yr"), col("n_items"),
+          round(col("dcg") + lit(5e-10), 6).as("dcg"),
+          round(col("idcg") + lit(5e-10), 6).as("idcg"),
+          round(col("ndcg") + lit(5e-10), 6).as("ndcg"))
+        .orderBy("yr")
+    }),
+    "v4_calibration" -> ((s, dir) => {
+      // reliability diagram + ECE in one aggregate pass: "model
+      // probability" p = (o_orderkey % 1000)/1000, label = fully-shipped
+      // status; 10 equal-width bins, the ECE walk rides the tiny bin frame
+      Evaluation.calibrationBins(
+          table(s, dir, "orders")
+            .filter(col("o_orderkey").isNotNull && col("o_orderstatus").isNotNull)
+            .select(((col("o_orderkey") % 1000).cast("double") / 1000.0).as("p"),
+              (col("o_orderstatus") === "F").cast("long").as("y")),
+          "p", "y", 10)
+        .select(col("bin"), col("n"),
+          round(col("conf") + lit(5e-10), 6).as("conf"),
+          round(col("acc") + lit(5e-10), 6).as("acc"),
+          round(col("gap") + lit(5e-10), 6).as("gap"),
+          round(col("ece") + lit(5e-10), 6).as("ece"))
+        .orderBy("bin")
+    }),
+    "v5_cohen_kappa" -> ((s, dir) => {
+      // inter-annotator agreement: rater1 = l_suppkey % 3; rater2 agrees
+      // on the deterministic 60% slice (l_orderkey % 5 < 3) and votes the
+      // next label otherwise — chance-corrected by the exact-integer
+      // marginal products
+      Evaluation.cohenKappa(
+          table(s, dir, "lineitem")
+            .filter(col("l_suppkey").isNotNull && col("l_orderkey").isNotNull)
+            .select((col("l_suppkey") % 3).as("r1"),
+              when(col("l_orderkey") % 5 < 3, col("l_suppkey") % 3)
+                .otherwise((col("l_suppkey") + 1) % 3).as("r2")),
+          "r1", "r2")
+        .select(col("n"),
+          round(col("p_o") + lit(5e-10), 6).as("p_o"),
+          round(col("p_e") + lit(5e-10), 6).as("p_e"),
+          round(col("kappa") + lit(5e-10), 6).as("kappa"))
+    }),
+    "v6_fleiss_kappa" -> ((s, dir) => {
+      // multi-rater agreement: 3 deterministic raters per order — base
+      // label o_orderkey % 4, rater r flips to the next label on its own
+      // 20% slice ((o_orderkey + r) % 5 = 0; the slices are disjoint, so
+      // every item keeps exactly 3 votes)
+      val o = table(s, dir, "orders").filter(col("o_orderkey").isNotNull)
+      val votes = o.select(col("o_orderkey").as("item"),
+        explode(array((0 to 2).map(r =>
+          when((col("o_orderkey") + lit(r.toLong)) % 5 === 0,
+            ((col("o_orderkey") % 4) + 1) % 4)
+            .otherwise(col("o_orderkey") % 4)): _*)).as("label"))
+      Evaluation.fleissKappa(votes, "item", "label")
+        .select(col("n_items"), col("n_raters"),
+          round(col("p_bar") + lit(5e-10), 6).as("p_bar"),
+          round(col("p_e") + lit(5e-10), 6).as("p_e"),
+          round(col("kappa") + lit(5e-10), 6).as("kappa"))
+    }),
     "q3_psi_drift" -> ((s, dir) => {
       // monitoring gate: PSI of the value distribution, view-cohort as
       // reference vs purchase-cohort as current, fixed audit bins; the
@@ -3599,6 +3671,75 @@ object OpsQueries {
         "round(tp::DOUBLE / (tp + fn) + 5e-10, 6) AS recall, " +
         "round((tp * 2)::DOUBLE / (tp * 2 + fp + fn) + 5e-10, 6) AS f1, " +
         "round((tp + tn)::DOUBLE / (tp + fp + fn + tn) + 5e-10, 6) AS accuracy FROM a"),
+    "v3_ndcg" ->
+      // the window formulation of the same metric: rank by score (ties ->
+      // id), rank by relevance for the ideal, identical gain/discount
+      // arithmetic (2^rel - 1) / log2(pos + 1), one-based positions
+      ("WITH s AS (SELECT year(o_orderdate)::BIGINT AS yr, o_totalprice::DOUBLE AS score, " +
+        "(o_custkey % 4)::DOUBLE AS rel, o_orderkey AS id FROM orders " +
+        "WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL AND o_orderkey IS NOT NULL), " +
+        "r AS (SELECT yr, rel, row_number() OVER (PARTITION BY yr ORDER BY score DESC, id) AS rn FROM s), " +
+        "ri AS (SELECT yr, rel, row_number() OVER (PARTITION BY yr ORDER BY rel DESC, id) AS rn FROM s), " +
+        "d AS (SELECT yr, sum((pow(2e0, rel) - 1) / log2(rn + 1)) AS dcg FROM r WHERE rn <= 10 GROUP BY yr), " +
+        "i AS (SELECT yr, sum((pow(2e0, rel) - 1) / log2(rn + 1)) AS idcg FROM ri WHERE rn <= 10 GROUP BY yr), " +
+        "n AS (SELECT yr, count(*)::BIGINT AS n_items FROM s GROUP BY yr) " +
+        "SELECT n.yr, n_items, round(dcg + 5e-10, 6) AS dcg, round(idcg + 5e-10, 6) AS idcg, " +
+        "round(CASE WHEN idcg > 0 THEN dcg / idcg END + 5e-10, 6) AS ndcg " +
+        "FROM n JOIN d ON n.yr = d.yr JOIN i ON n.yr = i.yr ORDER BY n.yr"),
+    "v4_calibration" ->
+      // bin arithmetic and the explicit sum_p / n confidence replayed with
+      // identical operation order; ECE as the tiny-frame weighted walk
+      ("WITH s AS (SELECT (o_orderkey % 1000)::DOUBLE / 1000 AS p, " +
+        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders " +
+        "WHERE o_orderkey IS NOT NULL AND o_orderstatus IS NOT NULL), " +
+        "b AS (SELECT least(floor(p * 10)::BIGINT, 9) AS bin, count(*)::BIGINT AS n, " +
+        "sum(p) AS sum_p, sum(y)::BIGINT AS sum_y FROM s GROUP BY 1), " +
+        "c AS (SELECT bin, n, sum_p / n AS conf, sum_y::DOUBLE / n AS acc FROM b) " +
+        "SELECT bin, n, round(conf + 5e-10, 6) AS conf, round(acc + 5e-10, 6) AS acc, " +
+        "round(acc - conf + 5e-10, 6) AS gap, " +
+        "round(sum(n * abs(acc - conf)) OVER () / sum(n) OVER () + 5e-10, 6) AS ece " +
+        "FROM c ORDER BY bin"),
+    "v5_cohen_kappa" ->
+      // exact-integer confusion cells, diag/N observed agreement, the
+      // marginal-product chance numerator, two divisions at the end
+      ("WITH s AS (SELECT (l_suppkey % 3)::VARCHAR AS r1, " +
+        "(CASE WHEN l_orderkey % 5 < 3 THEN l_suppkey % 3 ELSE (l_suppkey + 1) % 3 END)::VARCHAR AS r2 " +
+        "FROM lineitem WHERE l_suppkey IS NOT NULL AND l_orderkey IS NOT NULL), " +
+        "t AS (SELECT count(*)::BIGINT AS n, " +
+        "sum(CASE WHEN r1 = r2 THEN 1 ELSE 0 END)::BIGINT AS diag FROM s), " +
+        "rm AS (SELECT r1 AS l, count(*)::BIGINT AS rn FROM s GROUP BY 1), " +
+        "cm AS (SELECT r2 AS l, count(*)::BIGINT AS cn FROM s GROUP BY 1), " +
+        "pe AS (SELECT sum(coalesce(rn, 0) * coalesce(cn, 0))::BIGINT AS pe_num " +
+        "FROM rm FULL OUTER JOIN cm USING (l)) " +
+        "SELECT n, round(diag::DOUBLE / n + 5e-10, 6) AS p_o, " +
+        "round(pe_num::DOUBLE / (n * n) + 5e-10, 6) AS p_e, " +
+        "round((diag::DOUBLE / n - pe_num::DOUBLE / (n * n)) / " +
+        "(1 - pe_num::DOUBLE / (n * n)) + 5e-10, 6) AS kappa " +
+        "FROM t CROSS JOIN pe"),
+    "v6_fleiss_kappa" ->
+      // the three rater columns as a UNION ALL, per-item cell counts,
+      // exact-integer sum-of-squares numerators, the standard Fleiss
+      // algebra with the operator's exact operation order
+      ("WITH v AS (" +
+        (0 to 2).map(r =>
+          s"SELECT o_orderkey AS item, CASE WHEN (o_orderkey + $r) % 5 = 0 " +
+            "THEN (o_orderkey % 4 + 1) % 4 ELSE o_orderkey % 4 END AS label " +
+            "FROM orders WHERE o_orderkey IS NOT NULL").mkString(" UNION ALL ") + "), " +
+        "cells AS (SELECT item, label, count(*)::BIGINT AS c FROM v GROUP BY 1, 2), " +
+        "pi AS (SELECT item, sum(c)::BIGINT AS nv, sum(c * c)::BIGINT AS sq FROM cells GROUP BY 1), " +
+        "top AS (SELECT count(*)::BIGINT AS n_items, min(nv)::BIGINT AS n_raters, " +
+        "sum(sq)::DOUBLE AS sq_sum FROM pi), " +
+        "lj AS (SELECT sum(cj * cj)::DOUBLE AS cj_sq FROM " +
+        "(SELECT sum(c)::BIGINT AS cj FROM cells GROUP BY label)) " +
+        "SELECT n_items, n_raters, " +
+        "round((sq_sum - n_items::DOUBLE * n_raters) / " +
+        "(n_items::DOUBLE * n_raters * (n_raters - 1)) + 5e-10, 6) AS p_bar, " +
+        "round(cj_sq / (n_items::DOUBLE * n_raters * n_items::DOUBLE * n_raters) + 5e-10, 6) AS p_e, " +
+        "round(((sq_sum - n_items::DOUBLE * n_raters) / " +
+        "(n_items::DOUBLE * n_raters * (n_raters - 1)) - " +
+        "cj_sq / (n_items::DOUBLE * n_raters * n_items::DOUBLE * n_raters)) / " +
+        "(1 - cj_sq / (n_items::DOUBLE * n_raters * n_items::DOUBLE * n_raters)) + 5e-10, 6) AS kappa " +
+        "FROM top CROSS JOIN lj"),
     "q3_psi_drift" ->
       // bin arithmetic, add-alpha smoothing, and ln-ratio terms replayed
       // with identical operation order (alpha=0.5, 6 bins -> +3.0)

@@ -283,6 +283,18 @@ object SparkEntry {
           round(col("evenness") + lit(5e-10), 6).as("evenness"))
         .orderBy("yr")),
 
+    "a18_corr_matrix" -> ((s, dir) =>
+      // numeric-feature co-movement profile: all 6 Pearson pairs over the
+      // 4 lineitem measures in ONE map-side-combined aggregate (15 sums,
+      // one scan) — never a per-pair job
+      graft.ops.Quality.correlationMatrix(
+          table(s, dir, "lineitem")
+            .select("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .select(col("col_x"), col("col_y"), col("n"),
+          round(col("corr") + lit(5e-10), 6).as("corr"))
+        .orderBy("col_x", "col_y")),
+
     // ---- joins / windows / set ops (SURVEY.md §2.5-2.7) ----
     "j1_outer_join" -> ((s, dir) => roundDoubles(
       table(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
@@ -617,6 +629,31 @@ object SparkEntry {
         "round(CASE WHEN count(*) > 1 THEN " +
         "(ln(sum(c)) - sum(c*ln(c))/sum(c)) / ln(count(*)) END + 5e-10, 6) AS evenness " +
         "FROM c GROUP BY yr ORDER BY yr"),
+    "a18_corr_matrix" ->
+      // the identical exact-sums algebra: shared listwise-complete n,
+      // per-column sum / sum-of-squares, per-pair cross sums, then
+      // corr = (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
+      ("WITH s AS (SELECT l_quantity::DOUBLE AS q, l_extendedprice::DOUBLE AS e, " +
+        "l_discount::DOUBLE AS d, l_tax::DOUBLE AS t FROM lineitem " +
+        "WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL " +
+        "AND l_discount IS NOT NULL AND l_tax IS NOT NULL), " +
+        "g AS (SELECT count(*)::DOUBLE AS n, " +
+        "sum(q) AS sq, sum(e) AS se, sum(d) AS sd, sum(t) AS st, " +
+        "sum(q*q) AS sqq, sum(e*e) AS see, sum(d*d) AS sdd, sum(t*t) AS stt, " +
+        "sum(q*e) AS sqe, sum(q*d) AS sqd, sum(q*t) AS sqt, " +
+        "sum(e*d) AS sed, sum(e*t) AS set_, sum(d*t) AS sdt FROM s) " +
+        Seq(("l_quantity", "l_extendedprice", "sqe", "sq", "se", "sqq", "see"),
+            ("l_quantity", "l_discount", "sqd", "sq", "sd", "sqq", "sdd"),
+            ("l_quantity", "l_tax", "sqt", "sq", "st", "sqq", "stt"),
+            ("l_extendedprice", "l_discount", "sed", "se", "sd", "see", "sdd"),
+            ("l_extendedprice", "l_tax", "set_", "se", "st", "see", "stt"),
+            ("l_discount", "l_tax", "sdt", "sd", "st", "sdd", "stt"))
+          .map { case (cx, cy, sxy, sx, sy, sxx, syy) =>
+            s"SELECT '$cx' AS col_x, '$cy' AS col_y, n::BIGINT AS n, " +
+              s"round((n*$sxy - $sx*$sy) / (sqrt(n*$sxx - $sx*$sx) * sqrt(n*$syy - $sy*$sy)) " +
+              "+ 5e-10, 6) AS corr FROM g"
+          }.mkString(" UNION ALL ") +
+        " ORDER BY col_x, col_y"),
     "a13_grouped_quantiles_dist" ->
       // same oracle as a11: the distributed order-statistics path must
       // produce the identical interpolated quantiles

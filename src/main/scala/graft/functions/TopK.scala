@@ -100,6 +100,25 @@ class BottomKIds(k: Int) extends BoundedTopK[Prioritized](k) {
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Prioritized]]()
 }
 
+/** One (score, rel, id) candidate for [[TopKRel]]: a ranking score plus
+  * the relevance grade it carries into gain computation; ordered by
+  * score DESC then id ASC. */
+final case class RelScored(score: Double, rel: Double, id: Long)
+
+/** [[BoundedTopK]] over (score, relevance, id) — the ranking-metric
+  * workhorse: per group, the k best-scored items WITH their relevance
+  * grades ride the bounded partial aggregate, so NDCG@k over a corpus
+  * needs no per-group sort window. Passing the relevance as the score
+  * gives the ideal (IDCG) ranking from the same aggregator. */
+class TopKRel(k: Int) extends BoundedTopK[RelScored](k) {
+  override protected def lt(a: RelScored, b: RelScored): Boolean =
+    a.score > b.score || (a.score == b.score && a.id < b.id)
+  override def bufferEncoder: Encoder[Array[RelScored]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[RelScored]]()
+  override def outputEncoder: Encoder[Array[RelScored]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[RelScored]]()
+}
+
 class TopKTerms(k: Int) extends BoundedTopK[ScoredTerm](k) {
   override protected def lt(a: ScoredTerm, b: ScoredTerm): Boolean =
     a.score > b.score || (a.score == b.score && a.term < b.term)

@@ -78,6 +78,161 @@ object Evaluation {
     } finally { parts.unpersist(); pre.unpersist() }
   }
 
+  /** Exact NDCG@k per group (ranking quality of a retrieval/reranking
+    * stage): DCG@k = Σ_{i=1..k} (2^rel_i − 1) / log2(i + 1) over items
+    * ranked by `scoreCol` DESC (ties broken by `idCol` ASC, so the
+    * metric is deterministic under score ties), normalized by the ideal
+    * DCG@k from ranking the SAME items by relevance.
+    *
+    * Scale shape: ONE map-side-combined aggregate carrying two bounded
+    * k-element buffers per (task, group) — [[graft.functions.TopKRel]]
+    * on the model score and again on the relevance (for IDCG). No
+    * per-group sort window ever materializes: O(n log k) total vs the
+    * window formulation's O(n log n) per group, which at 100 TB is the
+    * difference between a top-10 metric and a global sort. The gain and
+    * discount arithmetic runs as array expressions over the ≤ k-element
+    * buffers, in rank order, so an external engine replays it exactly.
+    *
+    * Returns one row per group: (group, n_items, dcg, idcg, ndcg);
+    * ndcg is NULL when every candidate has zero relevance (idcg = 0). */
+  def ndcgAtK(df: DataFrame, groupCol: String, scoreCol: String,
+              relCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tk = udaf(new graft.functions.TopKRel(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.RelScored])
+    val g = df.select(col(groupCol).as("g"),
+        col(scoreCol).cast(DoubleType).as("score"),
+        col(relCol).cast(DoubleType).as("rel"),
+        col(idCol).cast("long").as("id"))
+      .filter(col("score").isNotNull && col("rel").isNotNull && col("id").isNotNull)
+    // position i (0-based) contributes gain(rel)/log2(i+2); buffers are
+    // already rank-sorted, so the indexed transform IS the ranked walk
+    def dcgOf(arr: org.apache.spark.sql.Column) = aggregate(
+      transform(arr, (x, i) =>
+        (pow(lit(2.0), x.getField("rel")) - lit(1.0)) /
+          log2(i.cast(DoubleType) + lit(2.0))),
+      lit(0.0), (acc, v) => acc + v)
+    g.groupBy(col("g").as(groupCol))
+      .agg(
+        tk(col("score"), col("rel"), col("id")).as("by_score"),
+        tk(col("rel"), col("rel"), col("id")).as("by_rel"),
+        count(lit(1)).as("n_items"))
+      .select(col(groupCol), col("n_items"),
+        dcgOf(col("by_score")).as("dcg"),
+        dcgOf(col("by_rel")).as("idcg"))
+      .withColumn("ndcg", when(col("idcg") > 0.0, col("dcg") / col("idcg")))
+  }
+
+  /** Reliability diagram + expected calibration error in one aggregate
+    * pass: probabilities bucket into `nBins` equal-width bins (the last
+    * bin closed, so p = 1.0 lands in bin nBins−1), each bin reports its
+    * count, mean confidence (sum_p / n — explicit sums, so an external
+    * engine re-derives it bit-for-bit), empirical accuracy, and the
+    * signed gap; `ece` = Σ n_b/N · |acc_b − conf_b| rides every row via
+    * a window over the ≤ nBins-row bin frame (the documented
+    * tiny-frame window class — the corpus itself never re-shuffles).
+    * Rows with a null probability or label are excluded. */
+  def calibrationBins(df: DataFrame, probCol: String, labelCol: String,
+                      nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val bins = df
+      .select(col(probCol).cast(DoubleType).as("p"),
+        when(col(labelCol).cast("long") =!= 0L, 1L).otherwise(0L).as("y"))
+      .filter(col("p").isNotNull && col(labelCol).isNotNull)
+      .groupBy(least(floor(col("p") * nBins).cast("long"), lit(nBins - 1L)).as("bin"))
+      .agg(count(lit(1)).as("n"), sum("p").as("sum_p"), sum("y").as("sum_y"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    bins
+      .withColumn("conf", col("sum_p") / col("n"))
+      .withColumn("acc", col("sum_y").cast(DoubleType) / col("n"))
+      .withColumn("ece",
+        sum(col("n") * abs(col("acc") - col("conf"))).over(w) /
+          sum(col("n")).over(w))
+      .select(col("bin"), col("n"), col("conf"), col("acc"),
+        (col("acc") - col("conf")).as("gap"), col("ece"))
+  }
+
+  /** Cohen's kappa between two raters (chance-corrected agreement over
+    * a label-pair confusion matrix): kappa = (p_o − p_e)/(1 − p_e) with
+    * p_o = Σ diag / N and p_e = Σ_l rowN(l)·colN(l) / N². Every count
+    * stays an exact long — p_e's numerator is the exact integer
+    * Σ rowN·colN — so the two divisions at the end are the only float
+    * ops. Scale shape: the corpus reduces to ≤ L² (rater1, rater2)
+    * cells in one map-side-combined aggregate; the marginal products
+    * ride two tiny self-aggregations of that cell frame. Returns ONE
+    * row (n, p_o, p_e, kappa); kappa is NULL at p_e = 1 (both raters
+    * constant and equal — agreement is undefined, not perfect). */
+  def cohenKappa(df: DataFrame, rater1Col: String, rater2Col: String): DataFrame = {
+    val cells = df
+      .select(col(rater1Col).cast("string").as("r1"),
+        col(rater2Col).cast("string").as("r2"))
+      .filter(col("r1").isNotNull && col("r2").isNotNull)
+      .groupBy("r1", "r2").agg(count(lit(1)).as("c"))
+    val totals = cells.agg(sum("c").as("n"),
+      sum(when(col("r1") === col("r2"), col("c")).otherwise(0L)).as("diag"))
+    val rowM = cells.groupBy(col("r1").as("l")).agg(sum("c").as("rn"))
+    val colM = cells.groupBy(col("r2").as("l")).agg(sum("c").as("cn"))
+    // outer join: a label one rater never uses has marginal 0 and
+    // contributes nothing, but must not drop the OTHER marginal's label
+    val peNum = rowM.join(colM, Seq("l"), "full_outer")
+      .agg(coalesce(sum(coalesce(col("rn"), lit(0L)) * coalesce(col("cn"), lit(0L))),
+        lit(0L)).as("pe_num"))
+    val one = totals.crossJoin(broadcast(peNum))
+    one.select(col("n"),
+      (col("diag").cast(DoubleType) / col("n")).as("p_o"),
+      (col("pe_num").cast(DoubleType) / (col("n") * col("n"))).as("p_e"))
+      .withColumn("kappa",
+        when(col("p_e") =!= 1.0, (col("p_o") - col("p_e")) / (lit(1.0) - col("p_e"))))
+  }
+
+  /** Fleiss' kappa over long-format votes (item, label) with a CONSTANT
+    * number of raters n per item (validated loudly — the statistic is
+    * undefined otherwise): per-item agreement
+    * P_i = (Σ_j n_ij² − n)/(n(n−1)), P̄ = mean over items, chance
+    * agreement P_e = Σ_j p_j² with p_j the global label share. Both
+    * numerators are kept as exact integers — Σ_i Σ_j n_ij² and Σ_j c_j²
+    * (38-digit decimals, so 10^10 items × wide label sets cannot
+    * overflow) — with the divisions deferred to the end.
+    *
+    * Scale shape: one aggregate to (item, label) cells, one to per-item
+    * totals (the rater-count validation rides it), one to label column
+    * sums bounded by L rows. No window, no join back to the corpus.
+    * Returns ONE row (n_items, n_raters, p_bar, p_e, kappa); kappa is
+    * NULL at p_e = 1 (all votes one label). */
+  def fleissKappa(votes: DataFrame, itemCol: String, labelCol: String): DataFrame = {
+    val cells = votes
+      .select(col(itemCol).cast("long").as("item"),
+        col(labelCol).cast("string").as("label"))
+      .filter(col("item").isNotNull && col("label").isNotNull)
+      .groupBy("item", "label").agg(count(lit(1)).as("c"))
+    val perItem = cells.groupBy("item").agg(
+      sum("c").as("n_votes"),
+      sum(col("c") * col("c")).as("sq"))
+    val top = perItem.agg(
+      count(lit(1)).as("n_items"),
+      min("n_votes").as("n_min"), max("n_votes").as("n_max"),
+      sum(col("sq").cast(DecimalType(38, 0))).as("sq_sum"))
+    val labelSq = cells.groupBy("label").agg(sum("c").as("cj"))
+      .agg(sum((col("cj") * col("cj")).cast(DecimalType(38, 0))).as("cj_sq_sum"))
+    val r = top.crossJoin(broadcast(labelSq)).head()
+    val nItems = r.getAs[Long]("n_items")
+    require(nItems > 0, "fleissKappa: no votes after null filtering")
+    val n = r.getAs[Long]("n_min")
+    require(n == r.getAs[Long]("n_max"),
+      s"fleissKappa needs a constant rater count per item, got " +
+        s"min=$n max=${r.getAs[Long]("n_max")}")
+    require(n >= 2, s"fleissKappa needs >= 2 raters per item, got $n")
+    val sqSum = r.getAs[java.math.BigDecimal]("sq_sum").doubleValue()
+    val cjSqSum = r.getAs[java.math.BigDecimal]("cj_sq_sum").doubleValue()
+    val pBar = (sqSum - nItems.toDouble * n) / (nItems.toDouble * n * (n - 1))
+    val pE = cjSqSum / (nItems.toDouble * n * nItems.toDouble * n)
+    val kappa = if (pE == 1.0) None else Some((pBar - pE) / (1.0 - pE))
+    val spark = votes.sparkSession
+    import spark.implicits._
+    Seq((nItems, n, pBar, pE, kappa)).toDF(
+      "n_items", "n_raters", "p_bar", "p_e", "kappa")
+  }
+
   /** Binary-classification confusion counts and the derived metrics, in
     * ONE map-side-combined aggregate pass: (tp, fp, fn, tn, precision,
     * recall, f1, accuracy) as a single row. Predictions and labels are

@@ -177,6 +177,48 @@ object Quality {
       profileSchema)
   }
 
+  /** Pairwise Pearson correlation matrix over `columns` in ONE
+    * map-side-combined aggregate pass — the numeric-feature profiling
+    * companion to [[profileExact]] (which columns are redundant, which
+    * quality signals co-move before they feed a mixture weight).
+    *
+    * Rows are LISTWISE complete: any null among `columns` drops the row,
+    * so every pair shares one n and each column's Σx / Σx² is computed
+    * once — p·(p+3)/2 + 1 conditional sums inside a single scan, never a
+    * per-pair job. corr = (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx·Σx) ·
+    * √(n·Σy² − Σy·Σy)) with exactly that operation order, so an external
+    * engine re-derives the doubles; a constant column (zero variance —
+    * the subtraction can float-dust fractionally negative, so the guard
+    * is den > 0, which also catches the NaN) yields NULL, not NaN.
+    *
+    * Returns the strict upper triangle in long form: (col_x, col_y, n,
+    * corr), |columns|·(|columns|−1)/2 rows, ordered by declaration. */
+  def correlationMatrix(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.size >= 2, s"correlationMatrix needs >= 2 columns, got ${columns.size}")
+    require(columns.distinct.size == columns.size, "correlationMatrix: duplicate column")
+    val pairs = for {
+      i <- columns.indices; j <- (i + 1) until columns.size
+    } yield (columns(i), columns(j))
+    val base = df
+      .select(columns.map(c => col(c).cast(DoubleType).as(c)): _*)
+      .filter(columns.map(col(_).isNotNull).reduce(_ && _))
+    val aggs = Seq(count(lit(1)).cast(DoubleType).as("__n")) ++
+      columns.flatMap(c => Seq(sum(col(c)).as(s"__s_$c"),
+        sum(col(c) * col(c)).as(s"__ss_$c"))) ++
+      pairs.map { case (x, y) => sum(col(x) * col(y)).as(s"__sp_${x}__$y") }
+    val one = base.agg(aggs.head, aggs.tail: _*)
+    val n = col("__n")
+    val structs = pairs.map { case (x, y) =>
+      val num = n * col(s"__sp_${x}__$y") - col(s"__s_$x") * col(s"__s_$y")
+      val den = sqrt(n * col(s"__ss_$x") - col(s"__s_$x") * col(s"__s_$x")) *
+        sqrt(n * col(s"__ss_$y") - col(s"__s_$y") * col(s"__s_$y"))
+      struct(lit(x).as("col_x"), lit(y).as("col_y"),
+        when(den > 0.0, num / den).as("corr"))
+    }
+    one.select(n.cast("long").as("n"), explode(array(structs: _*)).as("p"))
+      .select(col("p.col_x"), col("p.col_y"), col("n"), col("p.corr"))
+  }
+
   /** A failed write-audit-publish gate: carries the full report so the
     * caller can log WHICH checks failed, not just that one did. */
   final class QualityGateFailed(val report: Seq[Row])

@@ -69,4 +69,98 @@ class EvaluationSpec extends AnyFunSuite with Matchers {
     r.isNullAt(4) shouldBe true // precision 0/0
     r.getDouble(5) shouldBe 0.0 // recall 0/1
   }
+
+  test("ndcgAtK matches the hand-computed fixture and window formulation") {
+    // one group, 5 items, k=3: scores rank ids 5,4,3,2,1
+    val df = Seq(
+      ("g", 50.0, 3.0, 5L), ("g", 40.0, 0.0, 4L), ("g", 30.0, 2.0, 3L),
+      ("g", 20.0, 1.0, 2L), ("g", 10.0, 3.0, 1L)).toDF("grp", "s", "rel", "id")
+    val r = Evaluation.ndcgAtK(df.repartition(4), "grp", "s", "rel", "id", 3).head()
+    val log2 = (x: Double) => math.log(x) / math.log(2.0)
+    // ranked rels (7, 0, 3); ideal top-3 rels (7, 7, 3) from rel sort
+    val dcg = 7.0 / log2(2.0) + 0.0 / log2(3.0) + 3.0 / log2(4.0)
+    val idcg = 7.0 / log2(2.0) + 7.0 / log2(3.0) + 3.0 / log2(4.0)
+    r.getAs[Long]("n_items") shouldBe 5L
+    r.getAs[Double]("dcg") shouldBe dcg +- 1e-12
+    r.getAs[Double]("idcg") shouldBe idcg +- 1e-12
+    r.getAs[Double]("ndcg") shouldBe (dcg / idcg) +- 1e-12
+  }
+
+  test("ndcgAtK: perfect ranking is 1.0, zero relevance is NULL, score ties break by id") {
+    val perfect = (1 to 20).map(i => ("g", i.toDouble, i.toDouble, i.toLong))
+      .toDF("grp", "s", "rel", "id")
+    Evaluation.ndcgAtK(perfect, "grp", "s", "rel", "id", 5)
+      .head().getAs[Double]("ndcg") shouldBe 1.0 +- 1e-12
+    val zero = (1 to 5).map(i => ("g", i.toDouble, 0.0, i.toLong)).toDF("grp", "s", "rel", "id")
+    Evaluation.ndcgAtK(zero, "grp", "s", "rel", "id", 3).head()
+      .isNullAt(4) shouldBe true
+    // all scores tie -> ranking is by id ASC deterministically: rels (2, 0)
+    val ties = Seq(("g", 1.0, 2.0, 1L), ("g", 1.0, 0.0, 2L), ("g", 1.0, 3.0, 9L))
+      .toDF("grp", "s", "rel", "id")
+    val t = Evaluation.ndcgAtK(ties.repartition(3), "grp", "s", "rel", "id", 2).head()
+    val log2 = (x: Double) => math.log(x) / math.log(2.0)
+    t.getAs[Double]("dcg") shouldBe (3.0 / log2(2.0) + 0.0) +- 1e-12
+  }
+
+  test("calibrationBins: fixture bins, closed last bin, and the ECE identity") {
+    // bin 0: p in {0.05 x 2}, y = (1, 0) -> conf 0.05, acc 0.5
+    // bin 9: p in {0.95, 1.0}, y = (1, 1) -> conf 0.975, acc 1.0 (p=1.0 stays in bin 9)
+    val df = Seq((0.05, 1L), (0.05, 0L), (0.95, 1L), (1.0, 1L)).toDF("p", "y")
+    val out = Evaluation.calibrationBins(df.repartition(3), "p", "y", 10)
+      .orderBy("bin").collect()
+    out.map(_.getAs[Long]("bin")).toSeq shouldBe Seq(0L, 9L)
+    out(0).getAs[Double]("conf") shouldBe 0.05 +- 1e-12
+    out(0).getAs[Double]("acc") shouldBe 0.5
+    out(1).getAs[Double]("conf") shouldBe 0.975 +- 1e-12
+    out(1).getAs[Double]("acc") shouldBe 1.0
+    val ece = (2.0 * math.abs(0.5 - 0.05) + 2.0 * math.abs(1.0 - 0.975)) / 4.0
+    all(out.map(_.getAs[Double]("ece"))) shouldBe ece +- 1e-12
+  }
+
+  test("cohenKappa: perfect agreement 1, independence ~0, and the textbook 2x2") {
+    val perfect = (1 to 30).map(i => (i % 3, i % 3)).toDF("a", "b")
+    Evaluation.cohenKappa(perfect, "a", "b").head().getAs[Double]("kappa") shouldBe 1.0
+    // the classic 2x2: 20 yes-yes, 5 yes-no, 10 no-yes, 15 no-no
+    // po = 35/50; pe = (25*30 + 25*20)/2500 = 0.5; kappa = 0.4
+    val cells = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val r = Evaluation.cohenKappa(cells.toDF("a", "b").repartition(7), "a", "b").head()
+    r.getAs[Long]("n") shouldBe 50L
+    r.getAs[Double]("p_o") shouldBe 0.7
+    r.getAs[Double]("p_e") shouldBe 0.5
+    r.getAs[Double]("kappa") shouldBe 0.4 +- 1e-12
+    // both raters constant and equal -> pe = 1 -> kappa undefined (NULL)
+    val const = (1 to 5).map(_ => ("x", "x")).toDF("a", "b")
+    Evaluation.cohenKappa(const, "a", "b").head().isNullAt(3) shouldBe true
+    // a label only one rater uses must still enter the other's marginal
+    val asym = Seq(("a", "b"), ("a", "b"), ("b", "a")).toDF("a", "b")
+    val r2 = Evaluation.cohenKappa(asym, "a", "b").head()
+    // rowN(a)=2 colN(a)=1, rowN(b)=1 colN(b)=2 -> pe_num = 2 + 2 = 4
+    r2.getAs[Double]("p_e") shouldBe 4.0 / 9.0 +- 1e-12
+  }
+
+  test("fleissKappa matches the hand-computed 2-label fixture and validates rater counts") {
+    // 4 items x 3 raters: votes (3,0), (2,1), (2,1), (0,3) for labels (a,b)
+    // P_i = (9-3)/6, (5-3)/6, (5-3)/6, (9-3)/6 -> Pbar = 16/24 = 2/3
+    // c_a = 7, c_b = 5 -> Pe = (49 + 25)/144
+    val votes = (Seq.fill(3)((1L, "a")) ++
+      Seq((2L, "a"), (2L, "a"), (2L, "b")) ++
+      Seq((3L, "a"), (3L, "a"), (3L, "b")) ++
+      Seq.fill(3)((4L, "b"))).toDF("item", "lab")
+    val r = Evaluation.fleissKappa(votes.repartition(5), "item", "lab").head()
+    r.getAs[Long]("n_items") shouldBe 4L
+    r.getAs[Long]("n_raters") shouldBe 3L
+    val pBar = 2.0 / 3.0
+    val pE = 74.0 / 144.0
+    r.getAs[Double]("p_bar") shouldBe pBar +- 1e-12
+    r.getAs[Double]("p_e") shouldBe pE +- 1e-12
+    r.getAs[Double]("kappa") shouldBe ((pBar - pE) / (1 - pE)) +- 1e-12
+    // unequal rater counts are a loud error, not a silent wrong number
+    val ragged = votes.union(Seq((1L, "b")).toDF("item", "lab"))
+    an[IllegalArgumentException] should be thrownBy
+      Evaluation.fleissKappa(ragged, "item", "lab")
+    // unanimous single label -> pe = 1 -> kappa NULL
+    val unanimous = (1 to 3).flatMap(i => Seq.fill(2)((i.toLong, "a"))).toDF("item", "lab")
+    Evaluation.fleissKappa(unanimous, "item", "lab").head().isNullAt(4) shouldBe true
+  }
 }

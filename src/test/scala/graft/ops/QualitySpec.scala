@@ -173,4 +173,30 @@ class QualitySpec extends AnyFunSuite with Matchers {
     r.isNullAt(4) shouldBe true
     r.isNullAt(6) shouldBe true
   }
+
+  test("correlationMatrix: exact pairs, listwise nulls, constant column -> NULL") {
+    val df = Seq(
+      (1.0, 2.0, 5.0), (2.0, 4.0, 3.0), (3.0, 6.0, 8.0),
+      (4.0, 8.0, 1.0), (5.0, 10.0, 9.0)).toDF("x", "y", "z")
+    val out = Quality.correlationMatrix(df.repartition(3), Seq("x", "y", "z"))
+      .orderBy("col_x", "col_y").collect()
+    out.map(r => (r.getString(0), r.getString(1))).toSeq shouldBe
+      Seq(("x", "y"), ("x", "z"), ("y", "z"))
+    all(out.map(_.getAs[Long]("n"))) shouldBe 5L
+    out(0).getAs[Double]("corr") shouldBe 1.0 +- 1e-12      // y = 2x exactly
+    out(1).getAs[Double]("corr") shouldBe 0.2834733547569204 +- 1e-12
+    out(2).getAs[Double]("corr") shouldBe 0.2834733547569204 +- 1e-12
+    // a null in ANY column drops the row for EVERY pair (listwise)
+    val withNull = (Seq(
+      (1.0, 2.0, Option(5.0)), (2.0, 4.0, Option(3.0)), (3.0, 6.0, Option(8.0)),
+      (4.0, 8.0, Option(1.0)), (5.0, 10.0, Option(9.0)),
+      (10.0, -100.0, None: Option[Double]))).toDF("x", "y", "z")
+    val ln = Quality.correlationMatrix(withNull, Seq("x", "y", "z")).collect()
+    all(ln.map(_.getAs[Long]("n"))) shouldBe 5L
+    ln(0).getAs[Double]("corr") shouldBe 1.0 +- 1e-12
+    // constant column: zero variance is NULL, never NaN
+    val const = Seq((1.0, 7.0), (2.0, 7.0), (3.0, 7.0)).toDF("a", "b")
+    val c = Quality.correlationMatrix(const, Seq("a", "b")).head()
+    c.isNullAt(3) shouldBe true
+  }
 }
