@@ -2177,6 +2177,17 @@ object OpsQueries {
         .select(col("doc_id"), col("masked"), col("n_masked").cast("long").as("n_masked"))
         .orderBy("doc_id")
     }),
+    "d21_jaro_winkler_pairs" -> ((s, dir) =>
+      // prefix-biased fuzzy linkage at the DISTINCT-name level: all
+      // part-name pairs with Jaro-Winkler >= 0.84, candidates from the
+      // lossless length-banded equi-join; the oracle cross-validates the
+      // whole JaroOps kernel against DuckDB's own jaro_winkler_similarity
+      Dedup.jaroWinklerPairs(
+          table(s, dir, "part").select(lower(col("p_name")).as("name")),
+          "name", threshold = 0.84)
+        .select(col("name_a"), col("name_b"), col("n_a"), col("n_b"),
+          round(col("jw") + lit(5e-10), 6).as("jw"))
+        .orderBy("name_a", "name_b")),
     "d18_fuzzy_join" -> ((s, dir) => {
       // edit-distance record linkage: a probe batch (every 199th part
       // name, first character dropped — a planted typo at lev 1 from
@@ -3254,6 +3265,18 @@ object OpsQueries {
         "SELECT doc_id, string_agg(cch, '' ORDER BY pos) AS masked, " +
         "sum(cv)::BIGINT AS n_masked " +
         "FROM ch GROUP BY doc_id HAVING sum(cv) > 0 ORDER BY doc_id"),
+    "d21_jaro_winkler_pairs" ->
+      // brute-force distinct-pair join scored by DuckDB's NATIVE
+      // jaro_winkler_similarity — an independent implementation of the
+      // same standard constants, so a PASS pins the JaroOps kernel's
+      // window/transposition/boost semantics, not just its arithmetic
+      ("WITH n AS (SELECT lower(p_name) AS name, count(*)::BIGINT AS c FROM part " +
+        "WHERE p_name IS NOT NULL AND len(p_name) > 0 GROUP BY 1) " +
+        "SELECT a.name AS name_a, b.name AS name_b, a.c AS n_a, b.c AS n_b, " +
+        "round(jaro_winkler_similarity(a.name, b.name) + 5e-10, 6) AS jw " +
+        "FROM n a JOIN n b ON a.name < b.name " +
+        "WHERE jaro_winkler_similarity(a.name, b.name) >= 0.84 " +
+        "ORDER BY name_a, name_b"),
     "d18_fuzzy_join" ->
       // brute-force cross join, aggregated to the per-probe summary: the
       // engine's PassJoin blocking is SOUND (zero false negatives), so

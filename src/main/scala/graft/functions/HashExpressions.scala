@@ -680,6 +680,89 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryVectorEx
     copy(left = l(0), right = l(1))
 }
 
+/** Jaro / Jaro-Winkler kernels shared by [[JaroWinklerSim]] — one tight
+  * unboxed loop per pair, semantics pinned to the de-facto standard the
+  * d21 oracle cross-validates against DuckDB's `jaro_winkler_similarity`:
+  * either side empty → 0.0 (even for two empties); match window
+  * `max(l1,l2)/2 − 1`; half-counted transpositions; Winkler boost
+  * `j + min(prefix,4) · 0.1 · (1 − j)` applied only when jaro > 0.7. */
+private[functions] object JaroOps {
+  def jaro(s1: String, s2: String): Double = {
+    val l1 = s1.length
+    val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    val window = math.max(math.max(l1, l2) / 2 - 1, 0)
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(i + window, l2 - 1)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val tr = t / 2
+    val md = m.toDouble
+    (md / l1 + md / l2 + (md - tr) / md) / 3.0
+  }
+
+  def jaroWinkler(s1: String, s2: String): Double = {
+    val j = jaro(s1, s2)
+    if (j <= 0.7) return j
+    val maxP = math.min(4, math.min(s1.length, s2.length))
+    var p = 0
+    while (p < maxP && s1.charAt(p) == s2.charAt(p)) p += 1
+    j + p * 0.1 * (1.0 - j)
+  }
+}
+
+/** Jaro-Winkler similarity of two strings in [0, 1] — the prefix-biased
+  * fuzzy-name metric complementing exact Levenshtein (d18): insensitive
+  * to string LENGTH in cost (one O(l1·l2/...) windowed pass, no DP
+  * matrix), biased toward shared prefixes, which is what name/title
+  * linkage wants. Constants are the standard ones (see [[JaroOps]]).
+  * Operates on UTF-16 code units (= code points for the BMP text this
+  * engine's corpora carry). */
+case class JaroWinklerSim(left: Expression, right: Expression)
+  extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(left, right)
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaro_winkler_sim"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
+    JaroOps.jaroWinkler(a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString)
+  }
+
+  override protected def withNewChildrenInternal(l: IndexedSeq[Expression]): JaroWinklerSim =
+    copy(left = l(0), right = l(1))
+}
+
 /** Indices of the `nprobe` highest-cosine centroids for a vector, against
   * a codebook carried INSIDE the expression as plain data. The
   * alternative — one cosine sub-expression per centroid assembled into an
@@ -769,6 +852,11 @@ object HashFunctions {
   /** 64-bit SimHash of a token-array column. */
   def simHash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(expr(tokens)))
+
+  /** Jaro-Winkler similarity of two string columns (standard constants:
+    * boost threshold 0.7, prefix cap 4, scale 0.1). */
+  def jaroWinkler(a: Column, b: Column): Column =
+    ColumnBridge.column(JaroWinklerSim(expr(a), expr(b)))
 
   /** One-pass frequency stats struct (n, n_distinct, max_count,
     * total_chars, dup_chars) of a string-array column. */

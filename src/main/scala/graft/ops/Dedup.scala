@@ -275,6 +275,55 @@ object Dedup {
         levenshtein(col("__pstr"), col("__cstr")).cast("long").as("dist"))
   }
 
+  /** Jaro-Winkler near-name pairs over the DISTINCT values of `nameCol`
+    * — the prefix-biased fuzzy-linkage complement to the exact-edit
+    * PassJoin ([[fuzzyJoin]]): JW tolerates length-proportional noise
+    * and rewards shared prefixes, which catches "cold widget" ~
+    * "old widget" classes a fixed edit budget prices the same as
+    * unrelated strings.
+    *
+    * Scale shape follows the d18 lesson: everything runs at the
+    * DISTINCT-name level (corpus multiplicity rides along as `n_a` /
+    * `n_b` counts), never the id-pair level. Candidates come from a
+    * LENGTH-BANDED equi-join that is provably lossless: jw ≥ t forces
+    * jaro ≥ (t − 0.4)/0.6 (the boost adds at most 0.4·(1 − j)), and
+    * jaro ≥ j forces min(l1,l2)/max(l1,l2) ≥ 3j − 2, so each name only
+    * joins the length buckets inside that ratio — an equi-join on the
+    * partner length, no cartesian node. The band only BITES for
+    * t ≳ 0.85 (below that the admissible ratio hits 0 and the candidate
+    * set is all distinct pairs — threshold-based JW discovery is
+    * genuinely quadratic in NDV without heuristic blocking; compose
+    * with [[sortedNeighborhoodPairs]] when NDV is unbounded).
+    *
+    * Returns (name_a, name_b, n_a, n_b, jw) for name_a < name_b and
+    * jw ≥ threshold. `threshold` must exceed 0.7 (the boost knee —
+    * below it JW ranking degenerates to Jaro and the band is void). */
+  def jaroWinklerPairs(df: DataFrame, nameCol: String,
+                       threshold: Double): DataFrame = {
+    require(threshold > 0.7 && threshold <= 1.0,
+      s"threshold must be in (0.7, 1.0], got $threshold")
+    val names = df
+      .select(col(nameCol).cast("string").as("name"))
+      .filter(col("name").isNotNull && length(col("name")) > 0)
+      .groupBy("name").agg(count(lit(1)).as("n"))
+    // max length bounds the explode; aggregate-sized driver value
+    val maxLen = names.agg(max(length(col("name")))).head().getInt(0)
+    val r = math.max(3.0 * ((threshold - 0.4) / 0.6) - 2.0, 0.0)
+    val lenA = length(col("name")).cast("int")
+    val partnerLo = if (r > 0.0) greatest(lit(1), ceil(lenA * lit(r)).cast("int")) else lit(1)
+    val partnerHi = if (r > 0.0) least(lit(maxLen), floor(lenA / lit(r)).cast("int")) else lit(maxLen)
+    val a = names.select(col("name").as("name_a"), col("n").as("n_a"),
+      explode(sequence(partnerLo, partnerHi)).as("__len_b"))
+    val b = names.select(col("name").as("name_b"), col("n").as("n_b"),
+      length(col("name")).cast("int").as("__len_b"))
+    val jw = graft.functions.HashFunctions.jaroWinkler(col("name_a"), col("name_b"))
+    a.join(b, Seq("__len_b"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("jw", jw)
+      .filter(col("jw") >= threshold)
+      .select("name_a", "name_b", "n_a", "n_b", "jw")
+  }
+
   /** Word n-gram shingles of a text column (the near-dup unit). */
   def shingles(text: Column, n: Int = 3): Column =
     graft.functions.HashFunctions.stringShingles(TextAnalysis.tokens(lower(text)), n)

@@ -182,4 +182,56 @@ class LinkageSpec extends AnyFunSuite with Matchers {
       Dedup.fuzzyJoinLevenshtein(probes.toDF("pid", "ps"),
         corpus.toDF("cid", "cs"), "pid", "ps", "cid", "cs", maxDist = 9)
   }
+
+  test("jaroWinkler expression matches the published fixtures and edge cases") {
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),   // classic: 1 transposition + boost
+      ("dixon", "dicksonx", 0.8133333333333332),  // prefix 2 boost
+      ("jellyfish", "smellyfish", 0.8962962962962964), // no prefix -> jaro only
+      ("shackleford", "shackelford", 0.9818181818181818), // prefix capped at 4
+      ("abcdefgh", "abcdzzzz", 0.6666666666666666), // jaro <= 0.7 -> NO boost
+      ("abc", "abc", 1.0),
+      ("ab", "ba", 0.0),                           // window 0: no matches
+      ("", "abc", 0.0), ("", "", 0.0))             // empty -> 0, even both-empty
+    val df = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .withColumn("jw", graft.functions.HashFunctions.jaroWinkler(col("a"), col("b")))
+    val got = df.collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    cases.foreach { case (a, b, want) =>
+      got((a, b)) shouldBe want +- 1e-12
+    }
+    // null propagates
+    Seq((Some("x"), None: Option[String])).toDF("a", "b")
+      .withColumn("jw", graft.functions.HashFunctions.jaroWinkler(col("a"), col("b")))
+      .head().isNullAt(2) shouldBe true
+  }
+
+  test("jaroWinklerPairs equals brute force at a band-biting threshold and counts multiplicity") {
+    // t = 0.9 -> jaro floor 5/6 -> length ratio floor 0.5: the band
+    // genuinely prunes (e.g. len 4 never pairs with len 12)
+    val names = Seq(
+      "cold widget", "old widget", "bold widget", "cold widgets",
+      "ring", "rings", "sprocketsprings", "cold gear", "old gear")
+    val corpus = names.zipWithIndex.flatMap { case (n, i) =>
+      Seq.fill(i + 1)(n) } // multiplicity i+1
+    val df = corpus.toDF("name")
+    val got = Dedup.jaroWinklerPairs(df.repartition(5), "name", 0.9)
+      .orderBy("name_a", "name_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val brute = (for {
+      a <- names; b <- names if a < b
+      jw = {
+        // reference JW via the same public column function on a 1-row frame
+        Seq((a, b)).toDF("x", "y")
+          .withColumn("jw", graft.functions.HashFunctions.jaroWinkler(col("x"), col("y")))
+          .head().getDouble(2)
+      } if jw >= 0.9
+    } yield (a, b, names.indexOf(a).toLong + 1, names.indexOf(b).toLong + 1, jw))
+      .sortBy(t => (t._1, t._2))
+    got.toSeq shouldBe brute
+    got.nonEmpty shouldBe true // the fixture must actually exercise pairs
+    // thresholds at or below the boost knee are rejected loudly
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.jaroWinklerPairs(df, "name", 0.7)
+  }
 }
