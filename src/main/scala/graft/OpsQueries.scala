@@ -563,6 +563,23 @@ object OpsQueries {
         .select(col("source").as("lang"), col("n_rows").as("n_docs"),
           round(col("share") + lit(5e-10), 6).as("share"))
         .orderBy("lang")),
+    "p14_kfold" -> ((s, dir) => {
+      // exact k-fold assignment audit: the per-fold census (size, price
+      // mass, key range) over fold = lehmerPriority(o_orderkey, 7) mod 5
+      // — the ASSIGNMENT arithmetic replays in SQL, so the oracle pins
+      // every row's fold, not just the sizes
+      val folds = Sampling.assignFolds(
+        table(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+          .filter(col("o_orderkey").isNotNull),
+        "o_orderkey", k = 5, seed = 7L)
+      folds.groupBy("fold").agg(
+          count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            + lit(5e-10), 6).as("sum_price"),
+          min("o_orderkey").as("min_key"),
+          max("o_orderkey").as("max_key"))
+        .orderBy("fold")
+    }),
     "x16_cms_freq" -> ((s, dir) => {
       // Count-Min point-frequency estimates, gated against exact counts:
       // build the sketch in ONE decomposable pass (map-side combined —
@@ -3835,6 +3852,16 @@ object OpsQueries {
         "round(sum(llr) + 5e-10, 6) AS logw_sum, " +
         "round(avg(llr) + 5e-10, 6) AS logw_avg " +
         "FROM sc2 GROUP BY doc_id ORDER BY doc_id"),
+    "p14_kfold" ->
+      // the Lehmer fold arithmetic replayed verbatim, then the same
+      // exact-decimal census per fold
+      ("WITH f AS (SELECT o_orderkey, o_totalprice, " +
+        "((o_orderkey + 7) % 2147483647) * 48271 % 2147483647 * 48271 % 2147483647 % 5 AS fold " +
+        "FROM orders WHERE o_orderkey IS NOT NULL) " +
+        "SELECT fold, count(*)::BIGINT AS n, " +
+        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) + 5e-10, 6) AS sum_price, " +
+        "min(o_orderkey) AS min_key, max(o_orderkey) AS max_key " +
+        "FROM f GROUP BY fold ORDER BY fold"),
     "p1_hash_split" ->
       // Lehmer membership replay: holdout iff priority < floor(0.2 * (2^31-1))
       ("SELECT doc_id, lang FROM documents " +

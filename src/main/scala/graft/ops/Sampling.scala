@@ -74,6 +74,30 @@ object Sampling {
     (df.filter(pr >= cut), df.filter(pr < cut))
   }
 
+  /** Exact k-fold cross-validation assignment: fold =
+    * `lehmerPriority(id, seed) mod k` — a pure row-local projection
+    * (no shuffle, no state), deterministic under any partitioning, and
+    * replayable by any SQL engine as 64-bit integer arithmetic (the p1
+    * discipline: the ASSIGNMENT itself is oracle-checkable, not just
+    * its statistics). The Lehmer permutation is uniform on [0, M), so
+    * fold sizes concentrate at n/k (M mod k bias ≤ k/M ≈ 1e-9).
+    * Appends a `fold` column in [0, k). */
+  def assignFolds(df: DataFrame, idCol: String, k: Int, seed: Long = 1L): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.withColumn("fold", pmod(lehmerPriority(col(idCol), seed), lit(k.toLong)))
+  }
+
+  /** The (train, test) pair for one fold of [[assignFolds]] — two
+    * filters over the same projection, so iterating all k folds is k
+    * cheap scans, never a shuffle or a materialized assignment table. */
+  def foldSplit(df: DataFrame, idCol: String, k: Int, fold: Int,
+                seed: Long = 1L): (DataFrame, DataFrame) = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(fold >= 0 && fold < k, s"fold must be in [0, $k), got $fold")
+    val f = pmod(lehmerPriority(col(idCol), seed), lit(k.toLong))
+    (df.filter(f =!= lit(fold.toLong)), df.filter(f === lit(fold.toLong)))
+  }
+
   /** LEAKAGE-SAFE holdout: membership decided per GROUP, not per row —
     * every row of a group (domain, author, near-dup cluster id, …)
     * lands on the same side, so the eval split cannot leak shared

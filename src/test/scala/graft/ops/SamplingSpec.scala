@@ -330,4 +330,34 @@ class SamplingSpec extends AnyFunSuite with Matchers {
     val again = Sampling.temperatureMixture(df, "src", "id", temperature = 2.0)
     again.orderBy("id").collect() shouldBe out.orderBy("id").collect()
   }
+
+  test("assignFolds partitions rows deterministically with balanced folds") {
+    val df = (0L until 10000L).toDF("id")
+    val folds = Sampling.assignFolds(df.repartition(13), "id", k = 5, seed = 7L)
+    val sizes = folds.groupBy("fold").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sizes.keySet shouldBe Set(0L, 1L, 2L, 3L, 4L)
+    sizes.values.sum shouldBe 10000L               // every row exactly one fold
+    all(sizes.values) should (be >= 1800L and be <= 2200L) // uniformity
+    // partitioning-independent: the assignment is a pure function of id
+    val again = Sampling.assignFolds(df.repartition(1), "id", k = 5, seed = 7L)
+    again.orderBy("id").collect() shouldBe folds.orderBy("id").collect()
+    // a different seed permutes the assignment
+    val other = Sampling.assignFolds(df, "id", k = 5, seed = 8L)
+    other.orderBy("id").collect() should not be folds.orderBy("id").collect()
+  }
+
+  test("foldSplit is a disjoint, complete train/test partition consistent with assignFolds") {
+    val df = (0L until 2000L).toDF("id")
+    val (train, test) = Sampling.foldSplit(df, "id", k = 4, fold = 2, seed = 1L)
+    val nTrain = train.count()
+    val nTest = test.count()
+    nTrain + nTest shouldBe 2000L
+    train.join(test, "id").count() shouldBe 0L
+    val byFilter = Sampling.assignFolds(df, "id", k = 4, seed = 1L)
+      .filter($"fold" === 2L).count()
+    nTest shouldBe byFilter
+    an[IllegalArgumentException] should be thrownBy Sampling.foldSplit(df, "id", 4, 4)
+    an[IllegalArgumentException] should be thrownBy Sampling.assignFolds(df, "id", 1)
+  }
 }
