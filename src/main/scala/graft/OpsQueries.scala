@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{BloomJoin, Bpe, Clustering, Curation, Dedup, Drift, Evaluation, Graph, Histograms, Merge, Multimodal, Packing, Quality, Sampling, Search, Similarity, TextAnalysis}
+import graft.ops.{BloomJoin, Bpe, Clustering, Curation, Dedup, Drift, Evaluation, Graph, Histograms, Merge, Multimodal, Packing, Pq, Quality, Sampling, Search, Similarity, TextAnalysis}
 import graft.streaming.EventPipeline
 import graft.Util.table
 
@@ -731,6 +731,29 @@ object OpsQueries {
       // materialize-once production shape of the SAME pipeline).
       curationV2Report(dedupedCorpus(s, dir))),
 
+    "c7_pq_adc" -> ((s, dir) => {
+      // product-quantization ADC search with PLANTED codebooks (the
+      // subvector slices of vec_id 0..15 — aggregate-sized collects), so
+      // encode + table + top-10 are pure closed-form arithmetic the
+      // oracle replays per position; TRAINING (Pq.fit's Lloyd rounds) is
+      // iterative-float and stays spec-pinned in PqSpec, the c3 class.
+      // The scan side touches only the m-int code column: at 100 TB the
+      // vectors are read once to encode, never again per query.
+      val e = table(s, dir, "embeddings")
+        .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      val first = e.filter(col("vec_id") < 16).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0))
+      val dsub = 8
+      val codebooks = (0 until 8).map(sub =>
+        first.map(v => v.slice(sub * dsub, (sub + 1) * dsub)).toSeq)
+      val query = e.filter(col("vec_id") === 7)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      val enc = Pq.encode(e, "vec_id", "embedding", codebooks)
+      Pq.search(enc, "vec_id", "codes", query, codebooks, 10)
+        .select(col("vec_id"), round(col("adc") + lit(5e-10), 6).as("adc"))
+        .orderBy("adc", "vec_id")
+    }),
     "c6_curation_mat" -> ((s, dir) =>
       // c4's pipeline with the PRODUCTION storage decision: the deduped
       // corpus is materialized ONCE (call-scoped MEMORY_AND_DISK persist,
@@ -2963,6 +2986,29 @@ object OpsQueries {
         "strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS s_end, " +
         "count(*)::BIGINT AS n_events, ROUND(sum(value) + 5e-10, 6) AS sum_value " +
         "FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start"),
+    "c7_pq_adc" ->
+      // the full PQ pipeline replayed per position: codebook = subvector
+      // slices of vec_id 0..15, per-(vec, sub, cent) squared L2 via the
+      // positional lambda, argmin with ties to the lowest centroid, the
+      // query's (vec_id 7) distance table, and the m-term ADC sum
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings " +
+        "WHERE vec_id IS NOT NULL AND embedding IS NOT NULL), " +
+        "cb AS (SELECT s.i AS sub, e.vec_id AS cent, v[s.i*8+1 : s.i*8+8] AS cv " +
+        "FROM e, range(8) s(i) WHERE e.vec_id < 16), " +
+        "sv AS (SELECT e.vec_id, s.i AS sub, v[s.i*8+1 : s.i*8+8] AS svec " +
+        "FROM e, range(8) s(i)), " +
+        "d AS (SELECT sv.vec_id, sv.sub, cb.cent, " +
+        "list_sum(list_transform(range(1, 9), j -> " +
+        "(svec[j] - cv[j]) * (svec[j] - cv[j]))) AS dist " +
+        "FROM sv JOIN cb ON sv.sub = cb.sub), " +
+        "codes AS (SELECT vec_id, sub, cent FROM " +
+        "(SELECT vec_id, sub, cent, row_number() OVER " +
+        "(PARTITION BY vec_id, sub ORDER BY dist, cent) AS rn FROM d) WHERE rn = 1), " +
+        "q AS (SELECT sub, cent, dist FROM d WHERE vec_id = 7), " +
+        "adc AS (SELECT c.vec_id, sum(q.dist) AS adc FROM codes c " +
+        "JOIN q ON c.sub = q.sub AND c.cent = q.cent GROUP BY 1) " +
+        "SELECT vec_id, round(adc + 5e-10, 6) AS adc FROM adc " +
+        "ORDER BY adc, vec_id LIMIT 10"),
     "c5_curation_v3" ->
       // the d13 cluster CTEs + x15's blocklist filter + the length gate,
       // reported per language

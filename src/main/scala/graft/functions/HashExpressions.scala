@@ -680,6 +680,163 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryVectorEx
     copy(left = l(0), right = l(1))
 }
 
+/** Product-quantization kernels shared by [[PqEncode]] / [[PqAdcDistance]]
+  * / [[PqQuantizationError]] — the vector is never sub-sliced into
+  * intermediate arrays; every distance runs over (offset, len) windows of
+  * the original buffer with sequential IEEE accumulation, so the c7
+  * oracle's per-position replay sees identical doubles. */
+private[functions] object PqOps {
+  /** codes(sub) = argmin over centroids of squared L2 on the sub-window;
+    * ties break to the LOWEST centroid index. `cb(sub)(cent)` is dsub
+    * doubles. */
+  def encode(v: ArrayData, cb: Array[Array[Array[Double]]], dsub: Int): Array[Int] = {
+    val m = cb.length
+    val out = new Array[Int](m)
+    var sub = 0
+    while (sub < m) {
+      val cents = cb(sub)
+      val off = sub * dsub
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var d = 0.0
+        var j = 0
+        while (j < dsub) {
+          val diff = v.getDouble(off + j) - cent(j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(sub) = best
+      sub += 1
+    }
+    out
+  }
+
+  /** Sum over subspaces of the squared L2 to the ASSIGNED centroid —
+    * encode and total quantization error in one pass. */
+  def quantError(v: ArrayData, cb: Array[Array[Array[Double]]], dsub: Int): Double = {
+    val m = cb.length
+    var total = 0.0
+    var sub = 0
+    while (sub < m) {
+      val cents = cb(sub)
+      val off = sub * dsub
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var d = 0.0
+        var j = 0
+        while (j < dsub) {
+          val diff = v.getDouble(off + j) - cent(j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) bestD = d
+        c += 1
+      }
+      total += bestD
+      sub += 1
+    }
+    total
+  }
+}
+
+/** PQ code assignment: `array<int>` of length m — element `sub` is the
+  * index of the nearest (squared-L2, ties to lowest index) centroid of
+  * `codebooks(sub)` for the vector's `sub`-th dsub-wide window. The
+  * codebooks ride INSIDE the expression as plain data (the
+  * [[NearestCentroids]] plan-cost argument: one node regardless of
+  * m × ksub). Input dimension must be exactly m · dsub — a silent
+  * truncation would corrupt every downstream code. */
+case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+  extends UnaryExpression with CodegenFallback {
+  require(codebooks.nonEmpty, "codebooks must not be empty")
+  require(codebooks.forall(_.nonEmpty), "every subspace needs >= 1 centroid")
+  private val dsub = codebooks.head.head.length
+  require(dsub >= 1 && codebooks.forall(_.forall(_.length == dsub)),
+    "all centroids must share one subvector dimension")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  @transient private lazy val cb: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    require(v.numElements() == cb.length * dsub,
+      s"pq_encode: vector dim ${v.numElements()} != ${cb.length} x $dsub")
+    new GenericArrayData(PqOps.encode(v, cb, dsub))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** Asymmetric-distance lookup: given a PQ code array and the QUERY's
+  * precomputed distance table (`table(sub)(cent)` = squared L2 from the
+  * query's sub-window to that centroid), the approximate distance is the
+  * m-term table sum — the scan side of PQ search never touches a vector,
+  * only m small-int lookups per row. */
+case class PqAdcDistance(child: Expression, table: Seq[Seq[Double]])
+  extends UnaryExpression with CodegenFallback {
+  require(table.nonEmpty, "distance table must not be empty")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_distance"
+
+  @transient private lazy val t: Array[Array[Double]] = table.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val codes = input.asInstanceOf[ArrayData]
+    require(codes.numElements() == t.length,
+      s"pq_adc_distance: ${codes.numElements()} codes != ${t.length} subspaces")
+    var sum = 0.0
+    var sub = 0
+    while (sub < t.length) {
+      sum += t(sub)(codes.getInt(sub))
+      sub += 1
+    }
+    sum
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqAdcDistance =
+    copy(child = newChild)
+}
+
+/** Total squared quantization error of a vector under PQ codebooks
+  * (Σ over subspaces of the squared L2 to the assigned centroid) — the
+  * training-quality metric, one pass, no code materialization. */
+case class PqQuantizationError(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+  extends UnaryExpression with CodegenFallback {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "empty codebook")
+  private val dsub = codebooks.head.head.length
+  require(dsub >= 1 && codebooks.forall(_.forall(_.length == dsub)),
+    "all centroids must share one subvector dimension")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_quant_error"
+
+  @transient private lazy val cb: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    require(v.numElements() == cb.length * dsub,
+      s"pq_quant_error: vector dim ${v.numElements()} != ${cb.length} x $dsub")
+    PqOps.quantError(v, cb, dsub)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqQuantizationError =
+    copy(child = newChild)
+}
+
 /** Jaro / Jaro-Winkler kernels shared by [[JaroWinklerSim]] — one tight
   * unboxed loop per pair, semantics pinned to the de-facto standard the
   * d21 oracle cross-validates against DuckDB's `jaro_winkler_similarity`:
@@ -857,6 +1014,21 @@ object HashFunctions {
     * boost threshold 0.7, prefix cap 4, scale 0.1). */
   def jaroWinkler(a: Column, b: Column): Column =
     ColumnBridge.column(JaroWinklerSim(expr(a), expr(b)))
+
+  /** PQ code array (length m) of a double-array column under per-subspace
+    * codebooks `codebooks(sub)(cent)(j)`. */
+  def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    ColumnBridge.column(PqEncode(expr(vec), codebooks))
+
+  /** Asymmetric PQ distance of a code-array column under a query's
+    * per-subspace distance table. */
+  def pqAdcDistance(codes: Column, table: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(PqAdcDistance(expr(codes), table))
+
+  /** Total squared quantization error of a double-array column under PQ
+    * codebooks. */
+  def pqQuantizationError(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    ColumnBridge.column(PqQuantizationError(expr(vec), codebooks))
 
   /** One-pass frequency stats struct (n, n_distinct, max_count,
     * total_chars, dup_chars) of a string-array column. */

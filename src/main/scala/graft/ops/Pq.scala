@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.HashFunctions
+
+/** Product quantization (Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011) — the memory-compression half of
+  * billion-scale ANN: a D-dim vector becomes m small-int codes (one per
+  * D/m-wide subspace), shrinking a 64-dim float corpus ~32× while
+  * keeping distances approximable from the codes alone. Composes with
+  * the IVF coarse stage in [[Similarity]] the way IVF-PQ systems do:
+  * IVF prunes WHICH rows to score, PQ makes each scoring O(m) lookups.
+  *
+  * Scale shape:
+  *   - TRAINING is m simultaneous Lloyd loops sharing ONE corpus scan
+  *     per round: assignment for every subspace happens inside a single
+  *     [[graft.functions.PqEncode]] expression pass, and the per-
+  *     (subspace, code) mean update is one map-side-combined aggregate
+  *     of m·ksub cells — never a per-subspace job, never a collect of
+  *     anything bigger than the m × ksub × dsub codebook.
+  *   - ENCODE is a pure projection (one expression node); codes shuffle
+  *     as m ints, the vectors never move again.
+  *   - SEARCH precomputes the query's m × ksub distance table on the
+  *     driver (codebook-sized) and scans CODES only — per row m array
+  *     lookups and adds ([[graft.functions.PqAdcDistance]]), then a
+  *     TakeOrdered top-k (per-partition heads merged, no global sort).
+  *
+  * Distances are squared L2 with sequential IEEE accumulation in every
+  * kernel, so an external engine replaying the arithmetic per position
+  * (the c7 oracle) derives identical doubles.
+  */
+object Pq {
+
+  /** Deterministic farthest-point seeding under squared L2 (the metric
+    * this quantizer trains): start from the first sample point, then
+    * greedily add the point farthest from its nearest chosen seed
+    * (ties to the lowest index). */
+  private def farthestInitL2(pts: Array[Array[Double]], k: Int): Array[Array[Double]] = {
+    val n = pts.length
+    val kk = math.min(k, n)
+    val chosen = new Array[Array[Double]](kk)
+    chosen(0) = pts(0)
+    val minD = Array.fill(n)(Double.MaxValue)
+    var c = 0
+    while (c + 1 < kk) {
+      var best = -1
+      var bestD = Double.NegativeInfinity
+      var i = 0
+      while (i < n) {
+        val last = chosen(c)
+        var d = 0.0
+        var j = 0
+        val m = math.min(pts(i).length, last.length)
+        while (j < m) { val t = pts(i)(j) - last(j); d += t * t; j += 1 }
+        if (d < minD(i)) minD(i) = d
+        if (minD(i) > bestD) { bestD = minD(i); best = i }
+        i += 1
+      }
+      chosen(c + 1) = pts(best)
+      c += 1
+    }
+    chosen
+  }
+
+  private def sliceOf(v: Array[Double], sub: Int, dsub: Int): Array[Double] =
+    java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub)
+
+  /** Train PQ codebooks: `m` subspaces × up to `ksub` centroids each
+    * (fewer when the corpus has fewer distinct points than ksub).
+    * Deterministic: hash-ordered init sample, farthest-point seeding,
+    * and ties in assignment to the lowest code. The vector dimension
+    * must divide evenly by `m`. Eager (returns the codebook), with the
+    * [[Clustering.fit]] persist-and-release scan discipline. */
+  def fit(corpus: DataFrame, idCol: String, vecCol: String, m: Int, ksub: Int,
+          iters: Int = 8, sampleSize: Int = 2048,
+          tol: Double = 1e-9): Seq[Seq[Seq[Double]]] = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(ksub >= 1, s"ksub must be >= 1, got $ksub")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val vecs = corpus
+      .select(col(vecCol).cast("array<double>").as("__v"), col(idCol).as("__id"))
+      .filter(col("__v").isNotNull)
+    val cached = vecs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sample = cached.orderBy(xxhash64(col("__id")), col("__id"))
+        .limit(math.max(sampleSize, ksub))
+        .select(col("__v")).collect().map(_.getSeq[Double](0).toArray)
+      require(sample.nonEmpty, "cannot fit PQ on an empty corpus")
+      val dim = sample(0).length
+      require(dim % m == 0, s"vector dim $dim not divisible by m=$m")
+      val dsub = dim / m
+      var cents: Seq[Seq[Seq[Double]]] = (0 until m).map { sub =>
+        farthestInitL2(sample.map(sliceOf(_, sub, dsub)), ksub).map(_.toSeq).toSeq
+      }
+      val vsum = udaf(new graft.functions.VectorSum(dsub), VectorSumEncoders.seqDouble)
+      var iter = 0
+      var moved = Double.MaxValue
+      while (iter < iters && moved > tol) {
+        val agg = cached
+          .select(col("__v"), posexplode(HashFunctions.pqEncode(col("__v"), cents)))
+          .select(col("pos").as("__sub"), col("col").as("__code"),
+            slice(col("__v"), col("pos") * dsub + 1, lit(dsub)).as("__sv"))
+          .groupBy("__sub", "__code")
+          .agg(vsum(col("__sv")).as("__s"), count(lit(1)).as("__n"))
+          .collect()
+        val next = cents.map(_.map(_.toArray).toArray).toArray
+        agg.foreach { r =>
+          val sub = r.getInt(0)
+          val code = r.getInt(1)
+          val s = r.getSeq[Double](2)
+          val n = r.getLong(3)
+          // an empty cell (no rows assigned) keeps its old centroid
+          if (n > 0) next(sub)(code) = s.map(_ / n).toArray
+        }
+        moved = cents.zipWithIndex.map { case (subCents, sub) =>
+          subCents.zipWithIndex.map { case (c, i) =>
+            math.sqrt(c.zip(next(sub)(i)).map { case (x, y) => (x - y) * (x - y) }.sum)
+          }.max
+        }.max
+        cents = next.map(_.map(_.toSeq).toSeq).toSeq
+        iter += 1
+      }
+      cents
+    } finally { cached.unpersist(blocking = false); () }
+  }
+
+  /** Encode every corpus vector to its m-code array — one projection
+    * pass, the compressed representation downstream search scans. */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String,
+             codebooks: Seq[Seq[Seq[Double]]]): DataFrame =
+    corpus
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol),
+        HashFunctions.pqEncode(col(vecCol).cast("array<double>"), codebooks).as("codes"))
+
+  /** The query's per-subspace squared-L2 distance table
+    * (`table(sub)(cent)`), computed once on the driver — codebook-sized,
+    * the only thing ADC search ships to executors besides the plan. */
+  def distanceTable(query: Seq[Double], codebooks: Seq[Seq[Seq[Double]]]): Seq[Seq[Double]] = {
+    val dsub = codebooks.head.head.length
+    require(query.length == codebooks.length * dsub,
+      s"query dim ${query.length} != ${codebooks.length} x $dsub")
+    val q = query.toArray
+    codebooks.zipWithIndex.map { case (subCents, sub) =>
+      val off = sub * dsub
+      subCents.map { cent =>
+        var d = 0.0
+        var j = 0
+        while (j < dsub) { val t = q(off + j) - cent(j); d += t * t; j += 1 }
+        d
+      }
+    }
+  }
+
+  /** Asymmetric-distance top-k over an encoded corpus: per row, m table
+    * lookups; then TakeOrdered (adc ASC, id ASC — deterministic under
+    * ties). Returns (idCol, adc). */
+  def search(encoded: DataFrame, idCol: String, codesCol: String,
+             query: Seq[Double], codebooks: Seq[Seq[Seq[Double]]], k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    encoded
+      .withColumn("adc", HashFunctions.pqAdcDistance(col(codesCol),
+        distanceTable(query, codebooks)))
+      .orderBy(col("adc"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("adc"))
+  }
+
+  /** Corpus-mean squared quantization error under `codebooks` — ONE
+    * aggregate row (n, mse); the training-quality gate (lower ksub or
+    * fewer iters must never report a smaller error than more). */
+  def mse(corpus: DataFrame, vecCol: String, codebooks: Seq[Seq[Seq[Double]]]): DataFrame =
+    corpus
+      .filter(col(vecCol).isNotNull)
+      .agg(count(lit(1)).as("n"),
+        avg(HashFunctions.pqQuantizationError(
+          col(vecCol).cast("array<double>"), codebooks)).as("mse"))
+}

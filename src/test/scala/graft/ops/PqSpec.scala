@@ -1,0 +1,92 @@
+package graft.ops
+
+import graft.TestSpark
+import graft.functions.HashFunctions
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+
+class PqSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 2 subspaces x 2 dims; per subspace 4 well-separated anchors at
+  // (0,0) (10,0) (0,10) (10,10) plus a tiny deterministic jitter
+  private def planted(n: Int): Seq[(Long, Seq[Double])] =
+    (0 until n).map { i =>
+      val a1 = i % 4
+      val a2 = (i / 4) % 4
+      def anchor(a: Int): Seq[Double] = Seq((a % 2) * 10.0, (a / 2) * 10.0)
+      val jit = (i % 7) * 0.01
+      (i.toLong, anchor(a1).map(_ + jit) ++ anchor(a2).map(_ - jit))
+    }
+
+  test("encode matches the brute-force argmin with lowest-index ties") {
+    val cb = Seq(
+      Seq(Seq(0.0, 0.0), Seq(10.0, 0.0)),
+      Seq(Seq(0.0, 10.0), Seq(0.0, 10.0))) // duplicate centroids: tie -> 0
+    val df = Seq((1L, Seq(1.0, 1.0, 0.0, 9.0)), (2L, Seq(9.0, 0.5, 1.0, 11.0)))
+      .toDF("id", "v")
+    val got = Pq.encode(df.repartition(2), "id", "v", cb)
+      .orderBy("id").collect().map(_.getSeq[Int](1).toSeq)
+    got(0) shouldBe Seq(0, 0)
+    got(1) shouldBe Seq(1, 0) // second subspace ties exactly -> lowest index
+  }
+
+  test("fit recovers planted subspace anchors and mse improves with ksub") {
+    val df = planted(256).toDF("id", "v")
+    val cb4 = Pq.fit(df.repartition(9), "id", "v", m = 2, ksub = 4, iters = 6)
+    cb4.length shouldBe 2
+    all(cb4.map(_.length)) shouldBe 4
+    // every planted anchor has a learned centroid within the jitter radius
+    val anchors = Seq(Seq(0.0, 0.0), Seq(10.0, 0.0), Seq(0.0, 10.0), Seq(10.0, 10.0))
+    cb4.foreach { sub =>
+      anchors.foreach { a =>
+        val best = sub.map(c =>
+          math.sqrt(c.zip(a).map { case (x, y) => (x - y) * (x - y) }.sum)).min
+        best should be < 0.1
+      }
+    }
+    val mse4 = Pq.mse(df, "v", cb4).head().getDouble(1)
+    val cb1 = Pq.fit(df, "id", "v", m = 2, ksub = 1, iters = 6)
+    val mse1 = Pq.mse(df, "v", cb1).head().getDouble(1)
+    mse4 should be < 0.01   // within-anchor jitter only
+    mse1 should be > (10.0 * mse4) // one centroid per subspace cannot fit 4 anchors
+    // stable across partitioning up to float-summation dust (the mean
+    // update's aggregation order is the only partition-dependent bit)
+    val again = Pq.fit(df.repartition(3), "id", "v", m = 2, ksub = 4, iters = 6)
+    again.flatten.flatten.zip(cb4.flatten.flatten).foreach { case (a, b) =>
+      a shouldBe b +- 1e-9
+    }
+  }
+
+  test("search returns the exact ADC top-k, ties broken by id") {
+    val df = planted(64).toDF("id", "v")
+    val cb = Pq.fit(df, "id", "v", m = 2, ksub = 4, iters = 6)
+    val enc = Pq.encode(df, "id", "v", cb)
+    val query = planted(64).head._2 // anchor (0,0)x(0,0), jitter 0
+    val got = Pq.search(enc.repartition(5), "id", "codes", query, cb, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // brute force over collected codes with the same table
+    val table = Pq.distanceTable(query, cb)
+    val brute = enc.collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).zipWithIndex
+        .map { case (c, s) => table(s)(c) }.sum))
+      .sortBy { case (id, adc) => (adc, id) }.take(5).toSeq
+    got.toSeq shouldBe brute
+    // the query's own anchor cell must rank first with near-zero distance
+    got.head._2 should be < 0.01
+  }
+
+  test("dimension and argument validation fail loudly") {
+    val df = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("id", "v")
+    an[IllegalArgumentException] should be thrownBy
+      Pq.fit(df, "id", "v", m = 2, ksub = 2) // 3 dims not divisible by 2
+    val cb = Seq(Seq(Seq(0.0, 0.0)), Seq(Seq(0.0, 0.0)))
+    // vector dim 3 != 2x2 -> the expression rejects instead of truncating
+    an[Exception] should be thrownBy
+      Pq.encode(df, "id", "v", cb).collect()
+    an[IllegalArgumentException] should be thrownBy
+      Pq.distanceTable(Seq(1.0), cb)
+  }
+}
