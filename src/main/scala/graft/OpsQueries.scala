@@ -937,6 +937,22 @@ object OpsQueries {
           round(col("ndcg") + lit(5e-10), 6).as("ndcg"))
         .orderBy("yr")
     }),
+    "v7_mrr_precision" -> ((s, dir) =>
+      // MRR@10 / P@10 over the v3 ranking task (relevant = grade > 0)
+      // from the same bounded buffer — exact rationals end to end
+      Evaluation.rankingAtK(
+          table(s, dir, "orders")
+            .filter(col("o_totalprice").isNotNull && col("o_custkey").isNotNull &&
+              col("o_orderkey").isNotNull)
+            .select(year(col("o_orderdate")).cast("long").as("yr"),
+              col("o_totalprice").as("score"),
+              (col("o_custkey") % 4).as("rel"),
+              col("o_orderkey").as("id")),
+          "yr", "score", "rel", "id", 10)
+        .select(col("yr"), col("n_items"),
+          round(col("mrr") + lit(5e-10), 6).as("mrr"),
+          round(col("precision") + lit(5e-10), 6).as("precision"))
+        .orderBy("yr")),
     "v4_calibration" -> ((s, dir) => {
       // reliability diagram + ECE in one aggregate pass: "model
       // probability" p = (o_orderkey % 1000)/1000, label = fully-shipped
@@ -1010,6 +1026,18 @@ object OpsQueries {
         .select(round(col("ks") + lit(5e-10), 6).as("ks"),
           round(col("at_value") + lit(5e-10), 6).as("at_value"),
           col("n_ref"), col("n_cur"))
+    }),
+    "q6_jsd_drift" -> ((s, dir) => {
+      // symmetric bounded drift over the q3 cohorts and bins: JSD
+      // saturates at ln 2 where PSI explodes on one-sided empty bins
+      val ev = table(s, dir, "events")
+      Drift.jsdDrift(ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "purchase"),
+          "value", Seq(10.0, 25.0, 50.0, 100.0, 200.0))
+        .select(col("bin"), col("n_ref"), col("n_cur"),
+          round(col("jsd_term") + lit(5e-10), 6).as("jsd_term"),
+          round(col("jsd") + lit(5e-10), 6).as("jsd"))
+        .orderBy("bin")
     }),
     "p11_negative_samples" -> ((s, dir) => {
       // contrastive-training negatives: 3 per anchor from a bounded
@@ -1824,6 +1852,32 @@ object OpsQueries {
         .orderBy("lang")
     }),
 
+    "s10_ivf_pq" -> ((s, dir) => {
+      // the full billion-scale ANN layout, oracle-checked end to end
+      // with PLANTED stages: coarse centroids = vectors 16..31, PQ
+      // codebooks = subvector slices of vectors 0..15 (both
+      // aggregate-sized collects), query = vector 7, nprobe 4 of 16
+      // lists. The scan side reads the pruned lists' m-int codes only;
+      // training both stages stays spec-pinned (PqSpec / c3).
+      val e = table(s, dir, "embeddings")
+        .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      def collectVecs(lo: Int, hi: Int): Seq[Seq[Double]] =
+        e.filter(col("vec_id") >= lo && col("vec_id") < hi).orderBy("vec_id")
+          .select(col("embedding").cast("array<double>"))
+          .collect().map(_.getSeq[Double](0)).toSeq
+      val cbSrc = collectVecs(0, 16)
+      val dsub = 8
+      val codebooks = (0 until 8).map(sub =>
+        cbSrc.map(v => v.slice(sub * dsub, (sub + 1) * dsub)))
+      val coarse = collectVecs(16, 32)
+      val query = e.filter(col("vec_id") === 7)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      val enc = Pq.encodeIvfPq(e, "vec_id", "embedding", coarse, codebooks)
+      Pq.searchIvfPq(enc, "vec_id", query, coarse, codebooks, k = 10, nprobe = 4)
+        .select(col("vec_id"), col("list").cast("long").as("list"),
+          round(col("adc") + lit(5e-10), 6).as("adc"))
+        .orderBy("adc", "vec_id")
+    }),
     "s9_standardize" -> ((s, dir) => {
       // per-dimension feature standardization: z = (v - mean)/std from
       // one melt aggregate, applied via a broadcast 1-row (means, stds)
@@ -2929,6 +2983,40 @@ object OpsQueries {
         "SELECT node, round(rank + 5e-10, 6) AS rank FROM r5 " +
         "ORDER BY rank DESC, node LIMIT 20"
     },
+    "s10_ivf_pq" ->
+      // c7's CTEs plus the coarse stage: full-dim squared L2 to vectors
+      // 16..31, per-vector argmin assignment, the query's 4 nearest
+      // lists, ADC restricted to the probed lists
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings " +
+        "WHERE vec_id IS NOT NULL AND embedding IS NOT NULL), " +
+        "co AS (SELECT vec_id AS cent, v AS cv FROM e WHERE vec_id >= 16 AND vec_id < 32), " +
+        "cd AS (SELECT e.vec_id, co.cent, " +
+        "list_sum(list_transform(range(1, 65), j -> (v[j] - cv[j]) * (v[j] - cv[j]))) AS dist " +
+        "FROM e, co), " +
+        "assign AS (SELECT vec_id, cent FROM " +
+        "(SELECT vec_id, cent, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY dist, cent) AS rn FROM cd) WHERE rn = 1), " +
+        "probe AS (SELECT cent FROM cd WHERE vec_id = 7 ORDER BY dist, cent LIMIT 4), " +
+        "cb AS (SELECT s.i AS sub, e.vec_id AS cent, v[s.i*8+1 : s.i*8+8] AS cv " +
+        "FROM e, range(8) s(i) WHERE e.vec_id < 16), " +
+        "sv AS (SELECT e.vec_id, s.i AS sub, v[s.i*8+1 : s.i*8+8] AS svec " +
+        "FROM e, range(8) s(i)), " +
+        "d AS (SELECT sv.vec_id, sv.sub, cb.cent, " +
+        "list_sum(list_transform(range(1, 9), j -> " +
+        "(svec[j] - cv[j]) * (svec[j] - cv[j]))) AS dist " +
+        "FROM sv JOIN cb ON sv.sub = cb.sub), " +
+        "codes AS (SELECT vec_id, sub, cent FROM " +
+        "(SELECT vec_id, sub, cent, row_number() OVER " +
+        "(PARTITION BY vec_id, sub ORDER BY dist, cent) AS rn FROM d) WHERE rn = 1), " +
+        "q AS (SELECT sub, cent, dist FROM d WHERE vec_id = 7), " +
+        "adc AS (SELECT c.vec_id, sum(q.dist) AS adc FROM codes c " +
+        "JOIN q ON c.sub = q.sub AND c.cent = q.cent " +
+        "WHERE c.vec_id IN (SELECT a.vec_id FROM assign a WHERE a.cent IN (SELECT cent FROM probe)) " +
+        "GROUP BY 1) " +
+        "SELECT adc.vec_id, (a.cent - 16)::BIGINT AS list, " +
+        "round(adc.adc + 5e-10, 6) AS adc " +
+        "FROM adc JOIN assign a ON a.vec_id = adc.vec_id " +
+        "ORDER BY adc.adc, adc.vec_id LIMIT 10"),
     "s9_standardize" ->
       // identical melt + avg/stddev_samp (the a4 precedent) and the same
       // (v - mean)/std transform; cross-engine 1e-15 moment noise leaves
@@ -3772,6 +3860,20 @@ object OpsQueries {
         "SELECT n.yr, n_items, round(dcg + 5e-10, 6) AS dcg, round(idcg + 5e-10, 6) AS idcg, " +
         "round(CASE WHEN idcg > 0 THEN dcg / idcg END + 5e-10, 6) AS ndcg " +
         "FROM n JOIN d ON n.yr = d.yr JOIN i ON n.yr = i.yr ORDER BY n.yr"),
+    "v7_mrr_precision" ->
+      // the window formulation: rank by (score DESC, id), first relevant
+      // rank within 10, relevant count within 10, exact divisions
+      ("WITH s AS (SELECT year(o_orderdate)::BIGINT AS yr, o_totalprice::DOUBLE AS score, " +
+        "(o_custkey % 4)::DOUBLE AS rel, o_orderkey AS id FROM orders " +
+        "WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL AND o_orderkey IS NOT NULL), " +
+        "r AS (SELECT yr, rel, row_number() OVER (PARTITION BY yr ORDER BY score DESC, id) AS rn FROM s), " +
+        "a AS (SELECT yr, min(CASE WHEN rel > 0 THEN rn END) AS first_rel, " +
+        "sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)::BIGINT AS n_rel FROM r WHERE rn <= 10 GROUP BY yr), " +
+        "n AS (SELECT yr, count(*)::BIGINT AS n_items FROM s GROUP BY yr) " +
+        "SELECT n.yr, n_items, " +
+        "round(coalesce(1e0 / first_rel, 0e0) + 5e-10, 6) AS mrr, " +
+        "round(n_rel::DOUBLE / 10 + 5e-10, 6) AS precision " +
+        "FROM n JOIN a ON n.yr = a.yr ORDER BY n.yr"),
     "v4_calibration" ->
       // bin arithmetic and the explicit sum_p / n confidence replayed with
       // identical operation order; ECE as the tiny-frame weighted walk
@@ -3859,6 +3961,27 @@ object OpsQueries {
         "round(v + 5e-10, 6) AS at_value, tr AS n_ref, tc AS n_cur " +
         "FROM cdf CROSS JOIN t " +
         "ORDER BY abs(cr::DOUBLE / tr - cc::DOUBLE / tc) DESC, v LIMIT 1"),
+    "q6_jsd_drift" ->
+      // q3's bin/smoothing CTEs with the JSD term algebra: m = (p+q)/2,
+      // 0.5*p*ln(p/m) + 0.5*q*ln(q/m), identical operation order
+      ("WITH r AS (SELECT value AS v FROM events WHERE event_type = 'view' AND value IS NOT NULL), " +
+        "c AS (SELECT value AS v FROM events WHERE event_type = 'purchase' AND value IS NOT NULL), " +
+        "bins AS (SELECT range AS bin FROM range(6)), " +
+        {
+          val binExpr = Seq(10.0, 25.0, 50.0, 100.0, 200.0)
+            .map(e => s"(CASE WHEN v >= $e THEN 1 ELSE 0 END)").mkString(" + ")
+          s"rb AS (SELECT $binExpr AS bin, count(*)::BIGINT AS n FROM r GROUP BY 1), " +
+          s"cb AS (SELECT $binExpr AS bin, count(*)::BIGINT AS n FROM c GROUP BY 1), "
+        } +
+        "d AS (SELECT bins.bin, coalesce(rb.n, 0)::BIGINT AS n_ref, coalesce(cb.n, 0)::BIGINT AS n_cur " +
+        "FROM bins LEFT JOIN rb ON bins.bin = rb.bin LEFT JOIN cb ON bins.bin = cb.bin), " +
+        "p AS (SELECT bin, n_ref, n_cur, " +
+        "(n_ref + 5e-1) / ((SELECT count(*) FROM r) + 3e0) AS pr, " +
+        "(n_cur + 5e-1) / ((SELECT count(*) FROM c) + 3e0) AS pc FROM d), " +
+        "t AS (SELECT bin, n_ref, n_cur, " +
+        "5e-1 * pr * ln(pr / ((pr + pc) / 2e0)) + 5e-1 * pc * ln(pc / ((pr + pc) / 2e0)) AS jsd_term FROM p) " +
+        "SELECT bin, n_ref, n_cur, round(jsd_term + 5e-10, 6) AS jsd_term, " +
+        "round(sum(jsd_term) OVER () + 5e-10, 6) AS jsd FROM t ORDER BY bin"),
     "p11_negative_samples" ->
       // pool lists rebuilt in SQL (ordered by vec_id, the same sort the
       // operator collects under), then the identical Lehmer-probe walk

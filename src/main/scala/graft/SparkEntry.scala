@@ -283,6 +283,36 @@ object SparkEntry {
           round(col("evenness") + lit(5e-10), 6).as("evenness"))
         .orderBy("yr")),
 
+    "a19_grouped_moments" -> ((s, dir) => {
+      // exact per-group higher moments from raw power sums in ONE
+      // map-side-combined pass: skewness and excess kurtosis derived
+      // with the identical algebra the oracle replays (s1..s4 -> mean,
+      // m2, m3, m4). Bounded values (l_quantity <= 50) keep s4 well
+      // inside double precision at any scale.
+      val q = col("l_quantity")
+      table(s, dir, "lineitem")
+        .filter(q.isNotNull && col("l_returnflag").isNotNull)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("double").as("nd"),
+          sum(q).as("s1"), sum(q * q).as("s2"),
+          sum(q * q * q).as("s3"), sum(q * q * q * q).as("s4"))
+        .select(col("l_returnflag"), col("nd").cast("long").as("n"),
+          (col("s1") / col("nd")).as("mean"),
+          (col("s2") / col("nd") - (col("s1") / col("nd")) * (col("s1") / col("nd"))).as("m2"),
+          col("nd").as("nd"), col("s2").as("s2"), col("s3").as("s3"), col("s4").as("s4"))
+        .select(col("l_returnflag"), col("n"),
+          round(col("mean") + lit(5e-10), 6).as("mean"),
+          round(col("m2") + lit(5e-10), 6).as("variance"),
+          round((col("s3") / col("nd") - lit(3.0) * col("mean") * (col("s2") / col("nd"))
+            + lit(2.0) * col("mean") * col("mean") * col("mean"))
+            / pow(col("m2"), 1.5) + lit(5e-10), 6).as("skewness"),
+          round((col("s4") / col("nd") - lit(4.0) * col("mean") * (col("s3") / col("nd"))
+            + lit(6.0) * col("mean") * col("mean") * (col("s2") / col("nd"))
+            - lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean"))
+            / (col("m2") * col("m2")) - lit(3.0) + lit(5e-10), 6).as("kurtosis"))
+        .orderBy("l_returnflag")
+    }),
+
     "a18_corr_matrix" -> ((s, dir) =>
       // numeric-feature co-movement profile: all 6 Pearson pairs over the
       // 4 lineitem measures in ONE map-side-combined aggregate (15 sums,
@@ -629,6 +659,20 @@ object SparkEntry {
         "round(CASE WHEN count(*) > 1 THEN " +
         "(ln(sum(c)) - sum(c*ln(c))/sum(c)) / ln(count(*)) END + 5e-10, 6) AS evenness " +
         "FROM c GROUP BY yr ORDER BY yr"),
+    "a19_grouped_moments" ->
+      // the same power-sum algebra, term order preserved
+      ("WITH g AS (SELECT l_returnflag, count(*)::DOUBLE AS nd, sum(l_quantity) AS s1, " +
+        "sum(l_quantity*l_quantity) AS s2, sum(l_quantity*l_quantity*l_quantity) AS s3, " +
+        "sum(l_quantity*l_quantity*l_quantity*l_quantity) AS s4 " +
+        "FROM lineitem WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL GROUP BY 1), " +
+        "m AS (SELECT l_returnflag, nd, s2, s3, s4, s1/nd AS mean, " +
+        "s2/nd - (s1/nd)*(s1/nd) AS m2 FROM g) " +
+        "SELECT l_returnflag, nd::BIGINT AS n, round(mean + 5e-10, 6) AS mean, " +
+        "round(m2 + 5e-10, 6) AS variance, " +
+        "round((s3/nd - 3.0*mean*(s2/nd) + 2.0*mean*mean*mean) / pow(m2, 1.5) + 5e-10, 6) AS skewness, " +
+        "round((s4/nd - 4.0*mean*(s3/nd) + 6.0*mean*mean*(s2/nd) - 3.0*mean*mean*mean*mean) " +
+        "/ (m2*m2) - 3.0 + 5e-10, 6) AS kurtosis " +
+        "FROM m ORDER BY l_returnflag"),
     "a18_corr_matrix" ->
       // the identical exact-sums algebra: shared listwise-complete n,
       // per-column sum / sum-of-squares, per-pair cross sums, then

@@ -38,12 +38,14 @@ object Drift {
     * shuffle carries ≤ k+1 rows per mapper), a full outer join of two
     * (k+1)-row frames, and a window over that same tiny frame; nothing
     * driver-side, nothing proportional to corpus size. */
-  def psiDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
-               edges: Seq[Double], alpha: Double = 0.5): DataFrame = {
-    require(edges.nonEmpty, "psiDrift needs at least one bin edge")
+  /** Shared binning for the binned divergence measures: edge-count bin
+    * assignment, per-side counts, and densification so every bin
+    * appears even when both sides are empty there. */
+  private def binnedDense(ref: DataFrame, cur: DataFrame, valueCol: String,
+                          edges: Seq[Double], opName: String): DataFrame = {
+    require(edges.nonEmpty, s"$opName needs at least one bin edge")
     require(edges == edges.sorted && edges.distinct.size == edges.size,
       s"edges must be strictly increasing, got $edges")
-    require(alpha > 0.0, s"alpha must be > 0 (finite log ratios), got $alpha")
     val nBins = edges.size + 1
     // bin index = how many edges are <= v: branch-free, same arithmetic
     // an external engine writes as a sum of CASEs
@@ -59,13 +61,18 @@ object Drift {
       .select(col("bin"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
-    // densify: every bin appears even when BOTH sides are empty there,
-    // so the report shape is stable run-over-run
     val allBins = joined.sparkSession.range(nBins).select(col("id").as("bin"))
-    val dense = allBins.join(joined, Seq("bin"), "left_outer")
+    allBins.join(joined, Seq("bin"), "left_outer")
       .select(col("bin"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+  }
+
+  def psiDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+               edges: Seq[Double], alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0.0, s"alpha must be > 0 (finite log ratios), got $alpha")
+    val nBins = edges.size + 1
+    val dense = binnedDense(ref, cur, valueCol, edges, "psiDrift")
     val w = Window.partitionBy(lit(1))
     val loEdge = element_at(lit(Double.NegativeInfinity +: edges.toArray), (col("bin") + 1).cast("int"))
     val hiEdge = element_at(lit(edges.toArray :+ Double.PositiveInfinity), (col("bin") + 1).cast("int"))
@@ -76,6 +83,31 @@ object Drift {
       .withColumn("psi_term", (pCur - pRef) * log(pCur / pRef))
       .withColumn("psi", sum("psi_term").over(w))
       .select("bin", "lo", "hi", "n_ref", "n_cur", "psi_term", "psi")
+      .orderBy("bin")
+  }
+
+  /** Jensen-Shannon divergence over the same binned, add-alpha-smoothed
+    * distributions as [[psiDrift]] — the SYMMETRIC, bounded companion
+    * (0 ≤ JSD ≤ ln 2 in nats): PSI explodes when a bin empties on one
+    * side, JSD saturates, which is what an alerting threshold wants.
+    * jsd_term = 0.5·p·ln(p/m) + 0.5·q·ln(q/m) with m = (p + q)/2,
+    * operation order preserved for external replay. Same scale shape as
+    * PSI: two count aggregates, a ≤ nBins-row frame, tiny-frame window
+    * walks. */
+  def jsdDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+               edges: Seq[Double], alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0.0, s"alpha must be > 0 (finite log ratios), got $alpha")
+    val nBins = edges.size + 1
+    val dense = binnedDense(ref, cur, valueCol, edges, "jsdDrift")
+    val w = Window.partitionBy(lit(1))
+    val pRef = (col("n_ref") + lit(alpha)) / (sum("n_ref").over(w) + lit(alpha * nBins))
+    val pCur = (col("n_cur") + lit(alpha)) / (sum("n_cur").over(w) + lit(alpha * nBins))
+    val pM = (pRef + pCur) / lit(2.0)
+    dense
+      .withColumn("jsd_term",
+        lit(0.5) * pRef * log(pRef / pM) + lit(0.5) * pCur * log(pCur / pM))
+      .withColumn("jsd", sum("jsd_term").over(w))
+      .select("bin", "n_ref", "n_cur", "jsd_term", "jsd")
       .orderBy("bin")
   }
 

@@ -123,6 +123,35 @@ object Evaluation {
       .withColumn("ndcg", when(col("idcg") > 0.0, col("dcg") / col("idcg")))
   }
 
+  /** MRR@k and precision@k per group from the SAME bounded top-k buffer
+    * as [[ndcgAtK]] (one map-side-combined aggregate, no sort window):
+    * an item is RELEVANT when its grade is > 0; mrr = 1/rank of the
+    * first relevant item within the top k (0.0 when none — the
+    * convention that keeps the group average meaningful), precision =
+    * relevant-in-top-k / k. Exact rationals both, so external replay is
+    * bit-for-bit. Returns (group, n_items, mrr, precision). */
+  def rankingAtK(df: DataFrame, groupCol: String, scoreCol: String,
+                 relCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tk = udaf(new graft.functions.TopKRel(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.RelScored])
+    val g = df.select(col(groupCol).as("g"),
+        col(scoreCol).cast(DoubleType).as("score"),
+        col(relCol).cast(DoubleType).as("rel"),
+        col(idCol).cast("long").as("id"))
+      .filter(col("score").isNotNull && col("rel").isNotNull && col("id").isNotNull)
+    val isRel = (x: org.apache.spark.sql.Column) => x.getField("rel") > 0.0
+    g.groupBy(col("g").as(groupCol))
+      .agg(tk(col("score"), col("rel"), col("id")).as("by_score"),
+        count(lit(1)).as("n_items"))
+      .select(col(groupCol), col("n_items"),
+        array_position(transform(col("by_score"), isRel), lit(true)).as("__first"),
+        size(filter(col("by_score"), isRel)).as("__n_rel"))
+      .select(col(groupCol), col("n_items"),
+        when(col("__first") > 0L, lit(1.0) / col("__first")).otherwise(0.0).as("mrr"),
+        (col("__n_rel").cast(DoubleType) / lit(k)).as("precision"))
+  }
+
   /** Reliability diagram + expected calibration error in one aggregate
     * pass: probabilities bucket into `nBins` equal-width bins (the last
     * bin closed, so p = 1.0 lands in bin nBins−1), each bin reports its

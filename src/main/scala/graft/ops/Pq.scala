@@ -167,6 +167,49 @@ object Pq {
       .select(col(idCol), col("adc"))
   }
 
+  /** IVF-PQ encode: inverted-list assignment (nearest coarse centroid by
+    * squared L2, ties to the lowest index — [[graft.functions.PqEncode]]
+    * with ONE subspace spanning the full dimension) plus the PQ code
+    * array, in one projection pass. This is the billion-scale ANN
+    * layout: `list` partitions the corpus for probe pruning, `codes`
+    * compresses it for in-list scoring; the vectors are never read
+    * again after this pass. */
+  def encodeIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
+                  coarse: Seq[Seq[Double]],
+                  codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    require(coarse.nonEmpty, "coarse codebook must not be empty")
+    val v = col(vecCol).cast("array<double>")
+    corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol),
+        element_at(HashFunctions.pqEncode(v, Seq(coarse)), 1).as("list"),
+        HashFunctions.pqEncode(v, codebooks).as("codes"))
+  }
+
+  /** IVF-PQ search over an [[encodeIvfPq]] layout: the driver ranks the
+    * nprobe nearest coarse lists for the query (ties to the lowest
+    * index — a coarse-codebook-sized computation), the scan keeps ONLY
+    * rows in those lists (at 100 TB this is the partition-pruning step:
+    * `list` is the natural partition/bucket column, so unprobed lists
+    * are never read), and ADC scores the survivors from the query's
+    * distance table. Returns (idCol, list, adc), top-k by (adc, id). */
+  def searchIvfPq(encoded: DataFrame, idCol: String, query: Seq[Double],
+                  coarse: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+                  k: Int, nprobe: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobe >= 1 && nprobe <= coarse.size,
+      s"nprobe must be in [1, ${coarse.size}], got $nprobe")
+    val coarseDists = distanceTable(query, Seq(coarse)).head
+    val probed = coarseDists.zipWithIndex
+      .sortBy { case (d, i) => (d, i) }.take(nprobe).map(_._2)
+    encoded
+      .filter(col("list").isin(probed: _*))
+      .withColumn("adc", HashFunctions.pqAdcDistance(col("codes"),
+        distanceTable(query, codebooks)))
+      .orderBy(col("adc"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("list"), col("adc"))
+  }
+
   /** Corpus-mean squared quantization error under `codebooks` — ONE
     * aggregate row (n, mse); the training-quality gate (lower ksub or
     * fewer iters must never report a smaller error than more). */

@@ -128,4 +128,28 @@ class DriftSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy
       Drift.ksStatistic(ref, nulls, "x")
   }
+
+  test("jsdDrift: zero on identical data, symmetric, bounded by ln 2") {
+    val edges = Seq(10.0, 20.0, 30.0)
+    val a = (1 to 100).map(i => (i % 40).toDouble).toDF("x")
+    val b = (1 to 100).map(i => ((i * 7) % 35).toDouble + 5.0).toDF("x")
+    val same = Drift.jsdDrift(a, a, "x", edges).head()
+    same.getAs[Double]("jsd") shouldBe 0.0 +- 1e-12
+    // symmetry: JSD(a, b) = JSD(b, a); PSI shares this but JSD is the
+    // bounded one
+    val ab = Drift.jsdDrift(a, b, "x", edges).head().getAs[Double]("jsd")
+    val ba = Drift.jsdDrift(b, a, "x", edges).head().getAs[Double]("jsd")
+    ab shouldBe ba +- 1e-12
+    ab should be > 0.0
+    // maximal separation: disjoint supports saturate BELOW ln 2 (the
+    // smoothing keeps it finite where PSI would blow up the ratio)
+    val lo = (1 to 50).map(_ => 1.0).toDF("x")
+    val hi = (1 to 50).map(_ => 100.0).toDF("x")
+    val sep = Drift.jsdDrift(lo, hi, "x", edges).head().getAs[Double]("jsd")
+    sep should be <= math.log(2.0)
+    sep should be > 0.5
+    // per-bin terms sum to the total
+    val rows = Drift.jsdDrift(a, b, "x", edges).collect()
+    rows.map(_.getAs[Double]("jsd_term")).sum shouldBe ab +- 1e-12
+  }
 }

@@ -102,6 +102,21 @@ class EvaluationSpec extends AnyFunSuite with Matchers {
     t.getAs[Double]("dcg") shouldBe (3.0 / log2(2.0) + 0.0) +- 1e-12
   }
 
+  test("rankingAtK: MRR and precision match the hand fixture, 0 when nothing relevant") {
+    // ranked rels by score desc: (0, 0, 2, 1, 0) -> first rel at rank 3
+    val df = Seq(
+      ("g", 50.0, 0.0, 1L), ("g", 40.0, 0.0, 2L), ("g", 30.0, 2.0, 3L),
+      ("g", 20.0, 1.0, 4L), ("g", 10.0, 0.0, 5L),
+      ("h", 9.0, 0.0, 6L), ("h", 8.0, 0.0, 7L)).toDF("grp", "s", "rel", "id")
+    val out = Evaluation.rankingAtK(df.repartition(3), "grp", "s", "rel", "id", 4)
+      .orderBy("grp").collect()
+    out(0).getAs[Double]("mrr") shouldBe (1.0 / 3.0) +- 1e-15
+    out(0).getAs[Double]("precision") shouldBe 0.5 // 2 relevant in top-4
+    out(1).getAs[Double]("mrr") shouldBe 0.0
+    out(1).getAs[Double]("precision") shouldBe 0.0
+    out(0).getAs[Long]("n_items") shouldBe 5L
+  }
+
   test("calibrationBins: fixture bins, closed last bin, and the ECE identity") {
     // bin 0: p in {0.05 x 2}, y = (1, 0) -> conf 0.05, acc 0.5
     // bin 9: p in {0.95, 1.0}, y = (1, 1) -> conf 0.975, acc 1.0 (p=1.0 stays in bin 9)

@@ -78,6 +78,33 @@ class PqSpec extends AnyFunSuite with Matchers {
     got.head._2 should be < 0.01
   }
 
+  test("searchIvfPq prunes to probed lists and converges to full search at nprobe = nlist") {
+    val data = planted(128)
+    val df = data.toDF("id", "v")
+    val cb = Pq.fit(df, "id", "v", m = 2, ksub = 4, iters = 6)
+    // coarse centroids: 4 planted full-dim anchor combinations
+    val coarse = Seq(
+      Seq(0.0, 0.0, 0.0, 0.0), Seq(10.0, 0.0, 0.0, 0.0),
+      Seq(0.0, 10.0, 10.0, 10.0), Seq(10.0, 10.0, 10.0, 0.0))
+    val enc = Pq.encodeIvfPq(df.repartition(7), "id", "v", coarse, cb)
+    enc.columns.toSeq shouldBe Seq("id", "list", "codes")
+    val query = data(5)._2
+    // nprobe = nlist must equal unpartitioned PQ search exactly
+    val full = Pq.searchIvfPq(enc, "id", query, coarse, cb, k = 8, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val plain = Pq.search(enc.select(col("id"), col("codes")), "id", "codes", query, cb, 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    full.toSeq shouldBe plain.toSeq
+    // nprobe = 1 returns ONLY rows from the query's own nearest list
+    val one = Pq.searchIvfPq(enc, "id", query, coarse, cb, k = 8, nprobe = 1)
+      .collect()
+    one.map(_.getInt(1)).distinct.length shouldBe 1
+    // and the top hit still reconstructs the query's own cell
+    one.head.getDouble(2) should be < 0.01
+    an[IllegalArgumentException] should be thrownBy
+      Pq.searchIvfPq(enc, "id", query, coarse, cb, k = 1, nprobe = 5)
+  }
+
   test("dimension and argument validation fail loudly") {
     val df = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("id", "v")
     an[IllegalArgumentException] should be thrownBy
