@@ -105,6 +105,25 @@ object SparkEntry {
         .orderBy("variable", "stratum", "level")
     }),
 
+    "t11_smd" -> ((s, dir) =>
+      // standardized mean differences between return-flag strata — the
+      // balance diagnostic p-values stop providing at corpus scale:
+      // two continuous variables (sample-variance formula) and one
+      // planted binary (proportion formula), all from ONE melted
+      // aggregate + a moment-frame self-join
+      graft.tableone.Smd.pairwise(
+          table(s, dir, "lineitem")
+            .filter(col("l_quantity").isNotNull && col("l_extendedprice").isNotNull &&
+              col("l_discount").isNotNull)
+            .withColumn("high_discount", (col("l_discount") > 0.05).cast("double")),
+          "l_returnflag",
+          contCols = Seq("l_quantity", "l_extendedprice"),
+          binCols = Seq("high_discount"))
+        .select(col("variable"), col("kind"), col("strat_a"), col("strat_b"),
+          col("n_a"), col("n_b"),
+          round(col("smd") + lit(5e-10), 6).as("smd"))
+        .orderBy("variable", "strat_a", "strat_b")),
+
     // ---- core aggregation operators (SURVEY.md §2.4) ----
     "a1_group_count" -> ((s, dir) =>
       table(s, dir, "lineitem").groupBy("l_returnflag")
@@ -312,6 +331,22 @@ object SparkEntry {
             / (col("m2") * col("m2")) - lit(3.0) + lit(5e-10), 6).as("kurtosis"))
         .orderBy("l_returnflag")
     }),
+
+    "a20_weighted_median" -> ((s, dir) =>
+      // exact lower weighted median per return flag: dyadic planted
+      // weights ride as decimal(28,10), so the cumulative-weight pick is
+      // exact integer-scaled arithmetic on both engines — the census
+      // reduces the window's sort to distinct (group, value) pairs
+      Quantiles.groupedWeightedMedian(
+          table(s, dir, "lineitem")
+            .filter(col("l_quantity").isNotNull && col("l_orderkey").isNotNull &&
+              col("l_returnflag").isNotNull)
+            .withColumn("w", lit(1.0) + (col("l_orderkey") % 5).cast("double") * lit(0.5)),
+          "l_returnflag", "l_quantity", "w")
+        .select(col("l_returnflag"),
+          round(col("total_w").cast("double") + lit(5e-10), 6).as("total_w"),
+          round(col("median") + lit(5e-10), 6).as("median"))
+        .orderBy("l_returnflag")),
 
     "a18_corr_matrix" -> ((s, dir) =>
       // numeric-feature co-movement profile: all 6 Pearson pairs over the
@@ -579,6 +614,28 @@ object SparkEntry {
         "FROM orders WHERE o_custkey < 100 " +
         "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) " +
         "ORDER BY o_custkey, o_orderkey"),
+    "t11_smd" ->
+      // the melted moment frame as a 3-way UNION ALL, the pair self-join
+      // on strat_a < strat_b, and both variance formulas with the
+      // operator's exact operation order
+      ("WITH src AS (SELECT l_returnflag::VARCHAR AS s, l_quantity::DOUBLE AS q, " +
+        "l_extendedprice::DOUBLE AS e, " +
+        "(CASE WHEN l_discount > 0.05 THEN 1e0 ELSE 0e0 END) AS hd FROM lineitem " +
+        "WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL " +
+        "AND l_discount IS NOT NULL AND l_returnflag IS NOT NULL), " +
+        "m AS (SELECT 'l_quantity' AS variable, 'cont' AS kind, s, " +
+        "count(*)::BIGINT AS n, sum(q) AS s1, sum(q*q) AS s2 FROM src GROUP BY s " +
+        "UNION ALL SELECT 'l_extendedprice', 'cont', s, count(*)::BIGINT, sum(e), sum(e*e) FROM src GROUP BY s " +
+        "UNION ALL SELECT 'high_discount', 'bin', s, count(*)::BIGINT, sum(hd), sum(hd*hd) FROM src GROUP BY s), " +
+        "p AS (SELECT a.variable, a.kind, a.s AS strat_a, b.s AS strat_b, " +
+        "a.n AS n_a, b.n AS n_b, a.s1/a.n AS ma, b.s1/b.n AS mb, " +
+        "CASE WHEN a.kind = 'cont' THEN " +
+        "((a.s2 - a.s1*a.s1/a.n)/(a.n - 1) + (b.s2 - b.s1*b.s1/b.n)/(b.n - 1))/2e0 " +
+        "ELSE ((a.s1/a.n)*(1e0 - a.s1/a.n) + (b.s1/b.n)*(1e0 - b.s1/b.n))/2e0 END AS pooled " +
+        "FROM m a JOIN m b ON a.variable = b.variable AND a.kind = b.kind AND a.s < b.s) " +
+        "SELECT variable, kind, strat_a, strat_b, n_a, n_b, " +
+        "round(CASE WHEN pooled > 0 THEN (ma - mb)/sqrt(pooled) END + 5e-10, 6) AS smd " +
+        "FROM p ORDER BY variable, strat_a, strat_b"),
     "t10_weighted_summary" ->
       ("WITH src AS (SELECT l_returnflag AS stratum, l_linestatus, l_quantity, " +
         "1.0 + (l_orderkey % 5) * 0.5 AS w FROM lineitem), " +
@@ -673,6 +730,20 @@ object SparkEntry {
         "round((s4/nd - 4.0*mean*(s3/nd) + 6.0*mean*mean*(s2/nd) - 3.0*mean*mean*mean*mean) " +
         "/ (m2*m2) - 3.0 + 5e-10, 6) AS kurtosis " +
         "FROM m ORDER BY l_returnflag"),
+    "a20_weighted_median" ->
+      // same census -> exact-decimal cumulative walk -> smallest value
+      // whose doubled cumulative weight reaches the total
+      ("WITH src AS (SELECT l_returnflag AS g, l_quantity::DOUBLE AS v, " +
+        "CAST(1.0 + (l_orderkey % 5) * 0.5 AS DECIMAL(28,10)) AS w FROM lineitem " +
+        "WHERE l_quantity IS NOT NULL AND l_orderkey IS NOT NULL AND l_returnflag IS NOT NULL), " +
+        "c AS (SELECT g, v, sum(w) AS w FROM src GROUP BY 1, 2), " +
+        "k AS (SELECT g, v, sum(w) OVER (PARTITION BY g ORDER BY v " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw, " +
+        "sum(w) OVER (PARTITION BY g) AS tw FROM c) " +
+        "SELECT g AS l_returnflag, " +
+        "round(min(tw)::DOUBLE + 5e-10, 6) AS total_w, " +
+        "round(min(v) + 5e-10, 6) AS median " +
+        "FROM k WHERE cw * 2 >= tw GROUP BY g ORDER BY g"),
     "a18_corr_matrix" ->
       // the identical exact-sums algebra: shared listwise-complete n,
       // per-column sum / sum-of-squares, per-pair cross sums, then

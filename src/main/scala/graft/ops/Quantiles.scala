@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
 
@@ -330,5 +331,42 @@ object Quantiles {
           (log(col("n").cast("double")) - col("__sclc") / col("n").cast("double"))
             / log(col("n_distinct").cast("double")))
           .as("evenness"))
+  }
+
+  /** Exact WEIGHTED median per group: the smallest value v with
+    * cumulative weight(≤ v) ≥ total/2 — the lower weighted median, the
+    * convention that degenerates to the lower median at unit weights.
+    * Weights ride as `decimal(28, 10)` end to end, so the cumulative
+    * sums and the ×2-vs-total comparison are EXACT integer-scaled
+    * arithmetic — no float knife edge can flip the pick, and an
+    * external engine replays the selection itself.
+    *
+    * Scale shape: the corpus reduces to one row per DISTINCT (group,
+    * value) pair (map-side-combined weight sums) BEFORE the per-group
+    * cumulative window, so the window sorts distinct values, not rows —
+    * the same census discipline as [[groupedMode]]. For a value column
+    * with unbounded per-group cardinality AND unit weights, prefer
+    * [[groupedQuantilesExact]] (range-partitioned, no per-group
+    * window); this operator's contract is bounded distinct values per
+    * group. Returns (group, total_w, median). Non-positive or null
+    * weights are rejected per row (a zero-weight row cannot carry a
+    * median). */
+  def groupedWeightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+                            weightCol: String): DataFrame = {
+    val w = col(weightCol).cast("decimal(28,10)")
+    val census = df
+      .filter(col(valueCol).isNotNull && w.isNotNull && (w > 0))
+      .groupBy(col(groupCol), col(valueCol).cast("double").as("__v"))
+      .agg(sum(w).as("__w"))
+    val win = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col(groupCol))
+    census
+      .withColumn("__cw", sum("__w").over(win))
+      .withColumn("__tw", sum("__w").over(tot))
+      .filter(col("__cw") * 2 >= col("__tw"))
+      .groupBy(col(groupCol))
+      .agg(min(col("__v")).as("median"), min(col("__tw")).as("total_w"))
+      .select(col(groupCol), col("total_w"), col("median"))
   }
 }

@@ -178,4 +178,27 @@ class EvaluationSpec extends AnyFunSuite with Matchers {
     val unanimous = (1 to 3).flatMap(i => Seq.fill(2)((i.toLong, "a"))).toDF("item", "lab")
     Evaluation.fleissKappa(unanimous, "item", "lab").head().isNullAt(4) shouldBe true
   }
+
+  test("fleissKappaWide equals the long-format path and drops incomplete rows") {
+    // the same 4-item fixture as the long-format test, pivoted wide
+    val wide = Seq(
+      ("a", "a", "a"), ("a", "a", "b"), ("a", "a", "b"), ("b", "b", "b"))
+      .toDF("r1", "r2", "r3")
+    val w = Evaluation.fleissKappaWide(wide.repartition(3), Seq("r1", "r2", "r3")).head()
+    val votes = (Seq.fill(3)((1L, "a")) ++
+      Seq((2L, "a"), (2L, "a"), (2L, "b")) ++
+      Seq((3L, "a"), (3L, "a"), (3L, "b")) ++
+      Seq.fill(3)((4L, "b"))).toDF("item", "lab")
+    val l = Evaluation.fleissKappa(votes, "item", "lab").head()
+    w.getAs[Long]("n_items") shouldBe l.getAs[Long]("n_items")
+    w.getAs[Double]("p_bar") shouldBe l.getAs[Double]("p_bar") +- 1e-15
+    w.getAs[Double]("p_e") shouldBe l.getAs[Double]("p_e") +- 1e-15
+    w.getAs[Double]("kappa") shouldBe l.getAs[Double]("kappa") +- 1e-15
+    // a null vote drops the whole row (constant-rater-count by construction)
+    val ragged = wide.union(Seq((null.asInstanceOf[String], "a", "a")).toDF("r1", "r2", "r3"))
+    Evaluation.fleissKappaWide(ragged, Seq("r1", "r2", "r3"))
+      .head().getAs[Long]("n_items") shouldBe 4L
+    an[IllegalArgumentException] should be thrownBy
+      Evaluation.fleissKappaWide(wide, Seq("r1"))
+  }
 }

@@ -188,4 +188,32 @@ class QuantilesSpec extends AnyFunSuite with Matchers {
     s.getLong(1) shouldBe 4L
     s.getLong(2) shouldBe 2L
   }
+
+  test("groupedWeightedMedian: exact lower weighted median, unit-weight degeneration") {
+    // g: values (1 w=1), (2 w=1), (3 w=4): total 6, half 3 -> cum at 2 is
+    // 2 < 3, cum at 3 is 6 >= 3... lower pick must be 3? No: cum(1)=1,
+    // cum(2)=2 < 3, cum(3)=6 -> median 3
+    val df = Seq(("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 4.0),
+      ("h", 5.0, 2.0), ("h", 7.0, 1.0)).toDF("s", "v", "w")
+    val out = Quantiles.groupedWeightedMedian(df.repartition(3), "s", "v", "w")
+      .orderBy("s").collect()
+    out(0).getAs[Double]("median") shouldBe 3.0
+    out(0).getDecimal(1).doubleValue() shouldBe 6.0
+    // h: cum(5)=2, 2*2 >= 3 -> lower median 5
+    out(1).getAs[Double]("median") shouldBe 5.0
+    // unit weights degenerate to the lower median
+    val units = (1 to 9).map(i => ("u", i.toDouble, 1.0)).toDF("s", "v", "w")
+    Quantiles.groupedWeightedMedian(units, "s", "v", "w")
+      .head().getAs[Double]("median") shouldBe 5.0
+    val even = (1 to 10).map(i => ("u", i.toDouble, 1.0)).toDF("s", "v", "w")
+    Quantiles.groupedWeightedMedian(even, "s", "v", "w")
+      .head().getAs[Double]("median") shouldBe 5.0 // LOWER median convention
+    // duplicate values pool their weight before the walk; zero/negative
+    // and null weights are excluded rows
+    val dups = Seq(("d", 1.0, 1.0), ("d", 1.0, 1.0), ("d", 2.0, 1.0),
+      ("d", 9.0, 0.0), ("d", 9.0, -3.0)).toDF("s", "v", "w")
+    val r = Quantiles.groupedWeightedMedian(dups, "s", "v", "w").head()
+    r.getAs[Double]("median") shouldBe 1.0 // cum(1)=2, 2*2 >= 3
+    r.getDecimal(1).doubleValue() shouldBe 3.0
+  }
 }
