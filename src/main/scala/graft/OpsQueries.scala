@@ -540,6 +540,15 @@ object OpsQueries {
       docs(s, dir).select(explode(TextAnalysis.tokens(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token")).limit(20)),
+    "x18_sentence_stats" -> ((s, dir) =>
+      // sentence segmentation + ARI readability per document: one
+      // compiled projection, zero shuffle; ARI is the syllable-free
+      // readability index, so every term replays as exact arithmetic
+      TextAnalysis.sentenceStats(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_sentences"), col("n_words"), col("n_chars"),
+          round(col("words_per_sentence") + lit(5e-10), 6).as("words_per_sentence"),
+          round(col("ari") + lit(5e-10), 6).as("ari"))
+        .orderBy("doc_id")),
     "x17_bpe_merges" -> ((s, dir) =>
       // distributed BPE merge training (Sennrich subword algorithm):
       // ONE corpus scan builds word frequencies, then each of 12 rounds
@@ -1854,6 +1863,29 @@ object OpsQueries {
         .orderBy("lang")
     }),
 
+    "s11_ivf_pq_rerank" -> ((s, dir) => {
+      // s10's planted IVF-PQ stack + the exact-rerank tail: the ADC
+      // shortlist (50) is re-scored with exact squared L2 on the
+      // original vectors — the production recall-repair step, every
+      // stage still closed-form and replayed by the oracle
+      val e = table(s, dir, "embeddings")
+        .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      def collectVecs(lo: Int, hi: Int): Seq[Seq[Double]] =
+        e.filter(col("vec_id") >= lo && col("vec_id") < hi).orderBy("vec_id")
+          .select(col("embedding").cast("array<double>"))
+          .collect().map(_.getSeq[Double](0)).toSeq
+      val cbSrc = collectVecs(0, 16)
+      val codebooks = (0 until 8).map(sub =>
+        cbSrc.map(v => v.slice(sub * 8, (sub + 1) * 8)))
+      val coarse = collectVecs(16, 32)
+      val query = e.filter(col("vec_id") === 7)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      Pq.searchIvfPqReranked(e, "vec_id", "embedding", query, coarse, codebooks,
+          k = 10, kShortlist = 50, nprobe = 4)
+        .select(col("vec_id"),
+          round(col("exact_dist") + lit(5e-10), 6).as("exact_dist"))
+        .orderBy("exact_dist", "vec_id")
+    }),
     "s10_ivf_pq" -> ((s, dir) => {
       // the full billion-scale ANN layout, oracle-checked end to end
       // with PLANTED stages: coarse centroids = vectors 16..31, PQ
@@ -2745,6 +2777,20 @@ object OpsQueries {
         "w AS (SELECT lang, n_docs, pow(n_docs::DOUBLE, 0.5) AS pw FROM c) " +
         "SELECT lang, n_docs, round(pw / (SELECT sum(pw) FROM w) + 5e-10, 6) AS share " +
         "FROM w ORDER BY lang"),
+    "x18_sentence_stats" ->
+      // the same split/filter/strip arithmetic with RE2's identical
+      // character classes, and the ARI algebra term for term
+      ("SELECT doc_id, " +
+        s"len(list_filter(string_split_regex(text, '[.!?]+$Ws+'), s -> length(trim(s)) > 0))::BIGINT AS n_sentences, " +
+        s"len($Toks)::BIGINT AS n_words, " +
+        s"length(regexp_replace(text, '$Ws+', '', 'g'))::BIGINT AS n_chars, " +
+        s"round(CASE WHEN len(list_filter(string_split_regex(text, '[.!?]+$Ws+'), s -> length(trim(s)) > 0)) > 0 " +
+        s"THEN len($Toks)::DOUBLE / len(list_filter(string_split_regex(text, '[.!?]+$Ws+'), s -> length(trim(s)) > 0)) END + 5e-10, 6) AS words_per_sentence, " +
+        s"round(CASE WHEN len($Toks) > 0 AND len(list_filter(string_split_regex(text, '[.!?]+$Ws+'), s -> length(trim(s)) > 0)) > 0 " +
+        s"THEN 4.71 * (length(regexp_replace(text, '$Ws+', '', 'g'))::DOUBLE / len($Toks)) " +
+        s"+ 0.5 * (len($Toks)::DOUBLE / len(list_filter(string_split_regex(text, '[.!?]+$Ws+'), s -> length(trim(s)) > 0))) " +
+        "- 21.43 END + 5e-10, 6) AS ari " +
+        "FROM documents WHERE text IS NOT NULL ORDER BY doc_id"),
     "x17_bpe_merges" ->
       // golden merge table for the sf0.01 documents corpus — BPE's
       // iterative argmax-and-rewrite has no SQL replay, so constants
@@ -2985,6 +3031,42 @@ object OpsQueries {
         "SELECT node, round(rank + 5e-10, 6) AS rank FROM r5 " +
         "ORDER BY rank DESC, node LIMIT 20"
     },
+    "s11_ivf_pq_rerank" ->
+      // s10's CTE chain, shortlist LIMIT 50, then the exact full-dim
+      // distance replay over the shortlist
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings " +
+        "WHERE vec_id IS NOT NULL AND embedding IS NOT NULL), " +
+        "co AS (SELECT vec_id AS cent, v AS cv FROM e WHERE vec_id >= 16 AND vec_id < 32), " +
+        "cd AS (SELECT e.vec_id, co.cent, " +
+        "list_sum(list_transform(range(1, 65), j -> (v[j] - cv[j]) * (v[j] - cv[j]))) AS dist " +
+        "FROM e, co), " +
+        "assign AS (SELECT vec_id, cent FROM " +
+        "(SELECT vec_id, cent, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY dist, cent) AS rn FROM cd) WHERE rn = 1), " +
+        "probe AS (SELECT cent FROM cd WHERE vec_id = 7 ORDER BY dist, cent LIMIT 4), " +
+        "cb AS (SELECT s.i AS sub, e.vec_id AS cent, v[s.i*8+1 : s.i*8+8] AS cv " +
+        "FROM e, range(8) s(i) WHERE e.vec_id < 16), " +
+        "sv AS (SELECT e.vec_id, s.i AS sub, v[s.i*8+1 : s.i*8+8] AS svec " +
+        "FROM e, range(8) s(i)), " +
+        "d AS (SELECT sv.vec_id, sv.sub, cb.cent, " +
+        "list_sum(list_transform(range(1, 9), j -> " +
+        "(svec[j] - cv[j]) * (svec[j] - cv[j]))) AS dist " +
+        "FROM sv JOIN cb ON sv.sub = cb.sub), " +
+        "codes AS (SELECT vec_id, sub, cent FROM " +
+        "(SELECT vec_id, sub, cent, row_number() OVER " +
+        "(PARTITION BY vec_id, sub ORDER BY dist, cent) AS rn FROM d) WHERE rn = 1), " +
+        "q AS (SELECT sub, cent, dist FROM d WHERE vec_id = 7), " +
+        "adc AS (SELECT c.vec_id, sum(q.dist) AS adc FROM codes c " +
+        "JOIN q ON c.sub = q.sub AND c.cent = q.cent " +
+        "WHERE c.vec_id IN (SELECT a.vec_id FROM assign a WHERE a.cent IN (SELECT cent FROM probe)) " +
+        "GROUP BY 1), " +
+        "short AS (SELECT vec_id FROM adc ORDER BY adc, vec_id LIMIT 50), " +
+        "ex AS (SELECT e.vec_id, " +
+        "list_sum(list_transform(range(1, 65), j -> (e.v[j] - q2.qv[j]) * (e.v[j] - q2.qv[j]))) AS exact_dist " +
+        "FROM e JOIN short USING (vec_id) " +
+        "CROSS JOIN (SELECT v AS qv FROM e WHERE vec_id = 7) q2) " +
+        "SELECT vec_id, round(exact_dist + 5e-10, 6) AS exact_dist " +
+        "FROM ex ORDER BY exact_dist, vec_id LIMIT 10"),
     "s10_ivf_pq" ->
       // c7's CTEs plus the coarse stage: full-dim squared L2 to vectors
       // 16..31, per-vector argmin assignment, the query's 4 nearest

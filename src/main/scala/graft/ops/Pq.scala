@@ -210,6 +210,38 @@ object Pq {
       .select(col(idCol), col("list"), col("adc"))
   }
 
+  /** The full production ANN stack: IVF-PQ shortlist, then EXACT
+    * squared-L2 rerank of the shortlist's ORIGINAL vectors — the
+    * standard recall-repair step (ADC error only reorders within the
+    * shortlist; reranking makes the top-k exact over it). The rerank
+    * reads vectors for the ≤ kShortlist ids via a broadcast semi-join
+    * (one corpus scan, vector payloads for survivors only ride the
+    * distance projection); the shortlist itself never touched a
+    * vector. Returns (idCol, exact_dist), top-k by (exact_dist, id). */
+  def searchIvfPqReranked(corpus: DataFrame, idCol: String, vecCol: String,
+                          query: Seq[Double], coarse: Seq[Seq[Double]],
+                          codebooks: Seq[Seq[Seq[Double]]],
+                          k: Int, kShortlist: Int, nprobe: Int): DataFrame = {
+    require(kShortlist >= k, s"kShortlist ($kShortlist) must be >= k ($k)")
+    val enc = encodeIvfPq(corpus, idCol, vecCol, coarse, codebooks)
+    val short = searchIvfPq(enc, idCol, query, coarse, codebooks, kShortlist, nprobe)
+      .select(col(idCol))
+    val qlit = lit(query.toArray)
+    val exact = aggregate(
+      transform(col("__v"), (x, i) => {
+        val d = x - element_at(qlit, i + lit(1))
+        d * d
+      }),
+      lit(0.0), (acc, v) => acc + v)
+    corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .join(broadcast(short), Seq(idCol))
+      .withColumn("exact_dist", exact)
+      .orderBy(col("exact_dist"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("exact_dist"))
+  }
+
   /** Corpus-mean squared quantization error under `codebooks` — ONE
     * aggregate row (n, mse); the training-quality gate (lower ksub or
     * fewer iters must never report a smaller error than more). */

@@ -27,6 +27,36 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Sentence segmentation + length/readability profile in ONE compiled
+    * projection (zero shuffle): sentences split on terminal punctuation
+    * runs followed by whitespace (`[.!?]+\s+` — the character classes
+    * are Java/RE2-identical, the x7 discipline), words by [[tokens]],
+    * characters = the whitespace-stripped length. `ari` is the
+    * Automated Readability Index `4.71·(c/w) + 0.5·(w/s) − 21.43` —
+    * the syllable-free readability score, so every term is exact
+    * arithmetic an external engine replays (Flesch needs syllable
+    * heuristics that are not). NULL when a doc has no words or no
+    * sentences. Returns (id, n_sentences, n_words, n_chars,
+    * words_per_sentence, ari). */
+  def sentenceStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val sentences = filter(split(t, s"[.!?]+[$WhitespaceClass]+"),
+      x => length(trim(x)) > 0)
+    df.filter(t.isNotNull)
+      .select(col(idCol),
+        size(sentences).cast("long").as("n_sentences"),
+        size(tokens(t)).cast("long").as("n_words"),
+        length(regexp_replace(t, s"[$WhitespaceClass]+", "")).cast("long").as("n_chars"))
+      .withColumn("words_per_sentence",
+        when(col("n_sentences") > 0L,
+          col("n_words").cast("double") / col("n_sentences")))
+      .withColumn("ari",
+        when(col("n_words") > 0L && col("n_sentences") > 0L,
+          lit(4.71) * (col("n_chars").cast("double") / col("n_words"))
+            + lit(0.5) * (col("n_words").cast("double") / col("n_sentences"))
+            - lit(21.43)))
+  }
+
   /** ASCII control characters (C0 + DEL), spelled as an explicit range
     * because Java's `\p{Cntrl}` and RE2's `\p{Cc}` disagree on the C1
     * block (U+0080-U+009F) — the explicit class is identical in both

@@ -105,6 +105,30 @@ class PqSpec extends AnyFunSuite with Matchers {
       Pq.searchIvfPq(enc, "id", query, coarse, cb, k = 1, nprobe = 5)
   }
 
+  test("searchIvfPqReranked: exact distances on the shortlist, ordered and validated") {
+    val data = planted(96)
+    val df = data.toDF("id", "v")
+    val cb = Pq.fit(df, "id", "v", m = 2, ksub = 4, iters = 6)
+    val coarse = Seq(
+      Seq(0.0, 0.0, 0.0, 0.0), Seq(10.0, 0.0, 0.0, 0.0),
+      Seq(0.0, 10.0, 10.0, 10.0), Seq(10.0, 10.0, 10.0, 0.0))
+    val query = data(3)._2
+    val got = Pq.searchIvfPqReranked(df.repartition(5), "id", "v", query, coarse, cb,
+        k = 5, kShortlist = 96, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // full-coverage shortlist + full probes -> EXACT brute-force top-5
+    val brute = data.map { case (id, v) =>
+      (id, v.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }.sortBy { case (id, d) => (d, id) }.take(5)
+    got.map(_._1).toSeq shouldBe brute.map(_._1)
+    got.zip(brute).foreach { case ((_, g), (_, b)) => g shouldBe b +- 1e-9 }
+    // the query vector itself ranks first at distance ~0
+    got.head._1 shouldBe data(3)._1
+    got.head._2 shouldBe 0.0 +- 1e-18
+    an[IllegalArgumentException] should be thrownBy
+      Pq.searchIvfPqReranked(df, "id", "v", query, coarse, cb, k = 10, kShortlist = 5, nprobe = 1)
+  }
+
   test("dimension and argument validation fail loudly") {
     val df = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("id", "v")
     an[IllegalArgumentException] should be thrownBy

@@ -283,4 +283,30 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     all(bs) should (be >= 0L and be < 4096L)
     bs.distinct.length should be > 1
   }
+
+  test("sentenceStats: segmentation, counts, and the ARI algebra on crafted docs") {
+    val df = Seq(
+      (1L, "One two three. Four five! Six seven eight?  Nine."),
+      (2L, "no terminal punctuation here"),
+      (3L, "Trailing period stays attached."),
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.sentenceStats(df.repartition(2), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 1: splits -> "One two three", "Four five", "Six seven eight", "Nine."
+    out(0).getAs[Long]("n_sentences") shouldBe 4L
+    out(0).getAs[Long]("n_words") shouldBe 9L
+    val c1 = "Onetwothree.Fourfive!Sixseveneight?Nine.".length.toLong
+    out(0).getAs[Long]("n_chars") shouldBe c1
+    out(0).getAs[Double]("ari") shouldBe
+      (4.71 * (c1.toDouble / 9) + 0.5 * (9.0 / 4) - 21.43) +- 1e-12
+    // doc 2: one sentence (no delimiter), 4 words
+    out(1).getAs[Long]("n_sentences") shouldBe 1L
+    out(1).getAs[Long]("n_words") shouldBe 4L
+    // doc 3: trailing "." with no following whitespace does not split
+    out(2).getAs[Long]("n_sentences") shouldBe 1L
+    // doc 4: empty -> zero everything, NULL ratios
+    out(3).getAs[Long]("n_sentences") shouldBe 0L
+    out(3).isNullAt(4) shouldBe true
+    out(3).isNullAt(5) shouldBe true
+  }
 }
