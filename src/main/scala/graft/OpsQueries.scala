@@ -1944,6 +1944,18 @@ object OpsQueries {
           round(col("cosine"), 6).as("cosine"))
         .orderBy("src", "rank")),
 
+    "g5_label_propagation" -> ((s, dir) => {
+      // community detection on the g3 chain-block graph: 2 synchronous
+      // LPA rounds, every step deterministic (mode with smallest-label
+      // ties), so the oracle replays both rounds join-for-join
+      val edges = docs(s, dir).select(col("doc_id").as("i"))
+        .filter(col("i") % 50 =!= 49)
+        .select(col("i").as("id_a"), (col("i") + 1).as("id_b"))
+      Graph.labelPropagation(edges, iters = 2)
+        .groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("size"), min("id").as("min_id"), max("id").as("max_id"))
+        .orderBy("community")
+    }),
     "g3_components" -> ((s, dir) => {
       // DIRECT oracle coverage for connectedComponents (d6/d13 exercise
       // it only through the dedup pipelines): chain edges (i, i+1)
@@ -3230,6 +3242,22 @@ object OpsQueries {
         "SELECT src, rn::BIGINT AS rank, dst, ROUND(cos, 6) AS cosine " +
         "FROM pr WHERE rn <= 3 ORDER BY src, rank")
     },
+    "g5_label_propagation" ->
+      // both LPA rounds replayed: neighbor-label census, mode with
+      // (count DESC, label) ranking, then the community census
+      ("WITH ed AS (SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 50 <> 49), " +
+        "und AS (SELECT a AS src, b AS dst FROM ed UNION ALL SELECT b, a FROM ed), " +
+        "l0 AS (SELECT DISTINCT src AS id FROM und), " +
+        "r1 AS (SELECT u.src, l.label, count(*) AS c FROM und u " +
+        "JOIN (SELECT id, id AS label FROM l0) l ON u.dst = l.id GROUP BY 1, 2), " +
+        "l1 AS (SELECT src AS id, label FROM (SELECT src, label, " +
+        "row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS rn FROM r1) WHERE rn = 1), " +
+        "r2 AS (SELECT u.src, l.label, count(*) AS c FROM und u " +
+        "JOIN l1 l ON u.dst = l.id GROUP BY 1, 2), " +
+        "l2 AS (SELECT src AS id, label FROM (SELECT src, label, " +
+        "row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS rn FROM r2) WHERE rn = 1) " +
+        "SELECT label AS community, count(*)::BIGINT AS size, " +
+        "min(id) AS min_id, max(id) AS max_id FROM l2 GROUP BY label ORDER BY label"),
     "g3_components" ->
       // the planted block-chain graph's components are derivable without
       // a graph walk: nodes = chain endpoints, component = 50-wide block

@@ -169,4 +169,39 @@ object Graph {
     }
     ranks
   }
+
+  /** Synchronous label propagation over a canonical (id_a < id_b)
+    * undirected edge set — the community-detection companion to
+    * [[graft.ops.Dedup.connectedComponents]] (components merge
+    * everything reachable; LPA keeps densely-linked neighborhoods
+    * apart). Every node starts labeled with its own id; each round
+    * EVERY node simultaneously adopts the most frequent label among
+    * its neighbors, ties to the SMALLEST label — fully deterministic,
+    * which is what makes a fixed-round run externally replayable
+    * (asynchronous/randomized LPA variants are not).
+    *
+    * Scale shape per round: one edge-to-label join (shuffle keyed by
+    * node id) + two map-side-combined aggregations ((node, label)
+    * census, then the min-struct mode pick — the [[Quantiles]]
+    * groupedMode shape on a graph). Nothing ever buffers a
+    * neighborhood; `iters` is small by LPA convention (labels
+    * stabilize in a few rounds; each round extends lineage by one
+    * join, so very large budgets should checkpoint — out of scope for
+    * the ≤10 this accepts). Returns (id, label). */
+  def labelPropagation(canonical: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 10, s"iters must be in [1, 10], got $iters")
+    val und = canonical.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(canonical.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val nodes = und.select(col("src").as("id")).distinct()
+    var labels = nodes.withColumn("label", col("id"))
+    for (_ <- 1 to iters) {
+      labels = und
+        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("__c"))
+        .groupBy(col("src"))
+        .agg(min(struct((-col("__c")).as("nc"), col("label").as("l"))).as("__b"))
+        .select(col("src").as("id"), col("__b.l").as("label"))
+    }
+    labels
+  }
 }

@@ -140,4 +140,27 @@ class GraphSpec extends AnyFunSuite with Matchers {
     ranks(4L) should be > ranks(2L)
     ranks(4L) should be > ranks(3L)
   }
+
+  test("labelPropagation separates a barbell into its two triangles deterministically") {
+    // triangles {1,2,3} and {4,5,6} joined by the 3-4 bridge
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val l3 = Graph.labelPropagation(edges.repartition(5), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-traced synchronous rounds: the triangles stabilize on labels
+    // 1 and 3, the bridge does not merge them
+    l3 shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L)
+    // partitioning-independent (every step is a deterministic aggregate)
+    val again = Graph.labelPropagation(edges.repartition(1), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    again shouldBe l3
+    // one round on a star: every leaf adopts the hub's id, the hub
+    // adopts the smallest leaf
+    val star = Seq((10L, 1L), (10L, 2L), (10L, 3L)).toDF("id_a", "id_b")
+    val l1 = Graph.labelPropagation(star, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    l1 shouldBe Map(10L -> 1L, 1L -> 10L, 2L -> 10L, 3L -> 10L)
+    an[IllegalArgumentException] should be thrownBy Graph.labelPropagation(star, 0)
+    an[IllegalArgumentException] should be thrownBy Graph.labelPropagation(star, 11)
+  }
 }
