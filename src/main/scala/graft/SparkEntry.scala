@@ -124,6 +124,25 @@ object SparkEntry {
           round(col("smd") + lit(5e-10), 6).as("smd"))
         .orderBy("variable", "strat_a", "strat_b")),
 
+    "t12_mann_whitney" -> ((s, dir) =>
+      // nonparametric two-group test over the heavily-tied quantity
+      // column (50 distinct values × 60k rows — the census discipline's
+      // home turf): tie-corrected z without ranking a single row
+      graft.tableone.RankTests.mannWhitney(
+          table(s, dir, "lineitem"), "l_linestatus", "l_quantity")
+        .select(col("group_lo"), col("group_hi"), col("n_lo"), col("n_hi"),
+          round(col("u_lo") + lit(5e-10), 6).as("u_lo"),
+          round(col("z") + lit(5e-10), 6).as("z"),
+          round(col("rank_biserial") + lit(5e-10), 6).as("rank_biserial"))),
+
+    "t13_kruskal_wallis" -> ((s, dir) =>
+      // the 3-group nonparametric ANOVA companion, same census shape
+      graft.tableone.RankTests.kruskalWallis(
+          table(s, dir, "lineitem"), "l_returnflag", "l_quantity")
+        .select(col("n_groups"), col("n"),
+          round(col("h") + lit(5e-10), 6).as("h"),
+          round(col("epsilon_sq") + lit(5e-10), 6).as("epsilon_sq"))),
+
     // ---- core aggregation operators (SURVEY.md §2.4) ----
     "a1_group_count" -> ((s, dir) =>
       table(s, dir, "lineitem").groupBy("l_returnflag")
@@ -636,6 +655,48 @@ object SparkEntry {
         "SELECT variable, kind, strat_a, strat_b, n_a, n_b, " +
         "round(CASE WHEN pooled > 0 THEN (ma - mb)/sqrt(pooled) END + 5e-10, 6) AS smd " +
         "FROM p ORDER BY variable, strat_a, strat_b"),
+    "t12_mann_whitney" ->
+      // census → distinct-value avg ranks → exact half-integer rank
+      // sums, every formula in the operator's operation order
+      ("WITH cen AS (SELECT l_quantity::DOUBLE AS v, l_linestatus::VARCHAR AS g, " +
+        "count(*)::BIGINT AS c FROM lineitem " +
+        "WHERE l_linestatus IS NOT NULL AND l_quantity IS NOT NULL GROUP BY 1, 2), " +
+        "bv AS (SELECT v, sum(c)::BIGINT AS cv FROM cen GROUP BY v), " +
+        "rk AS (SELECT v, cv, coalesce(sum(cv) OVER " +
+        "(ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+        "+ (cv + 1) / 2.0 AS r FROM bv), " +
+        "j AS (SELECT cen.g, cen.c, rk.cv, rk.r FROM cen JOIN rk USING (v)), " +
+        "s AS (SELECT sum((CASE WHEN g = 'F' THEN c ELSE 0 END)::DOUBLE * r) AS r1, " +
+        "sum(CASE WHEN g = 'F' THEN c ELSE 0 END)::BIGINT AS n1, " +
+        "sum(c)::BIGINT AS n, sum((cv::HUGEINT * cv - 1) * c)::DOUBLE AS tie FROM j), " +
+        "u AS (SELECT n1, n, tie, r1 - n1::DOUBLE * (n1 + 1) / 2.0 AS u1 FROM s) " +
+        "SELECT 'F' AS group_lo, 'O' AS group_hi, n1 AS n_lo, n - n1 AS n_hi, " +
+        "round(u1 + 5e-10, 6) AS u_lo, " +
+        "round((u1 - n1::DOUBLE * (n::DOUBLE - n1::DOUBLE) / 2.0) / " +
+        "sqrt(n1::DOUBLE * (n::DOUBLE - n1::DOUBLE) / 12.0 * " +
+        "((n::DOUBLE + 1.0) - tie / (n::DOUBLE * (n::DOUBLE - 1.0)))) + 5e-10, 6) AS z, " +
+        "round(1.0 - 2.0 * u1 / (n1::DOUBLE * (n - n1)) + 5e-10, 6) AS rank_biserial " +
+        "FROM u"),
+    "t13_kruskal_wallis" ->
+      // same census; per-group rank sums, tie-corrected H, epsilon^2
+      ("WITH cen AS (SELECT l_quantity::DOUBLE AS v, l_returnflag::VARCHAR AS g, " +
+        "count(*)::BIGINT AS c FROM lineitem " +
+        "WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL GROUP BY 1, 2), " +
+        "bv AS (SELECT v, sum(c)::BIGINT AS cv FROM cen GROUP BY v), " +
+        "rk AS (SELECT v, cv, coalesce(sum(cv) OVER " +
+        "(ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+        "+ (cv + 1) / 2.0 AS r FROM bv), " +
+        "j AS (SELECT cen.g, cen.c, rk.cv, rk.r FROM cen JOIN rk USING (v)), " +
+        "pg AS (SELECT g, sum(c::DOUBLE * r) AS rg, sum(c)::BIGINT AS ng, " +
+        "sum((cv::HUGEINT * cv - 1) * c) AS tg FROM j GROUP BY g), " +
+        "s AS (SELECT count(*)::BIGINT AS k, sum(ng)::BIGINT AS n, " +
+        "sum(rg * rg / ng::DOUBLE) AS sq, sum(tg)::DOUBLE AS tie FROM pg), " +
+        "hh AS (SELECT k, n, (12.0 / (n::DOUBLE * (n::DOUBLE + 1.0)) * sq " +
+        "- 3.0 * (n::DOUBLE + 1.0)) / " +
+        "(1.0 - tie / (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE)) AS h FROM s) " +
+        "SELECT k AS n_groups, n, round(h + 5e-10, 6) AS h, " +
+        "round((h - k::DOUBLE + 1.0) / (n::DOUBLE - k::DOUBLE) + 5e-10, 6) AS epsilon_sq " +
+        "FROM hh"),
     "t10_weighted_summary" ->
       ("WITH src AS (SELECT l_returnflag AS stratum, l_linestatus, l_quantity, " +
         "1.0 + (l_orderkey % 5) * 0.5 AS w FROM lineitem), " +

@@ -1,0 +1,135 @@
+package graft.tableone
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Nonparametric rank tests — the "nonnormal" companion to the
+  * moment-based [[StatTests]] (clinical Table 1 reports typically offer
+  * both: t-test/ANOVA for normal variables, Mann-Whitney /
+  * Kruskal-Wallis for skewed ones). Reference scope ends at the
+  * parametric tests (tableone_pyspark.py:388-432); these are the
+  * beyond-parity extension.
+  *
+  * Both tests are computed WITHOUT ranking rows: average ranks are a
+  * pure function of the (value → per-group count) census, so the corpus
+  * reduces to one map-side-combined aggregate over DISTINCT values
+  * before any window touches data — the [[graft.ops.Quantiles]] census
+  * discipline. The only window orders the distinct-value frame (its
+  * cardinality, not the row count, is the contract: bounded distinct
+  * values per variable; pre-bin truly continuous columns first).
+  *
+  * Numeric posture: average ranks are half-integers and per-census-row
+  * rank-sum terms are integer multiples of 0.5, so every rank sum is
+  * EXACT (order-independent) until 2^52 — an external engine replaying
+  * the same census reproduces U, H, and the tie term bit-for-bit; only
+  * the final z / H normalizations involve real division and sqrt.
+  */
+object RankTests {
+
+  private def censusWithRanks(df: DataFrame, groupCol: String,
+                              valueCol: String): DataFrame = {
+    val census = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    // global per-value census (second small aggregate over the census,
+    // not the corpus), then the cumulative count of strictly-smaller
+    // values; the window sorts distinct values only
+    val byValue = census.groupBy(col("__v")).agg(sum("__c").as("__cv"))
+    val win = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byValue
+      .withColumn("__cb", coalesce(sum("__cv").over(win), lit(0L)))
+      // average rank of a tied block starting after __cb rows: exact
+      // half-integer (__cb + (cv + 1)/2)
+      .withColumn("__r", col("__cb") + (col("__cv") + lit(1)) / lit(2.0))
+    census.join(ranked.select(col("__v"), col("__cv"), col("__r")), Seq("__v"))
+  }
+
+  /** Per-census-row tie contribution. The tie term Σ(t³ − t) runs over
+    * DISTINCT values, but the census has one row per (group, value);
+    * since the per-value total __cv = Σ_g __c, weighting each row by
+    * __c reapportions the block exactly: Σ_rows (cv² − 1)·c =
+    * Σ_values (cv² − 1)·cv = Σ(cv³ − cv). Every factor is an integer
+    * kept in decimal(38,0), so the sum is exact in any order and a
+    * pathological 100 TB tie block cannot silently overflow a long. */
+  private def tieTermRow: Column =
+    (col("__cv").cast("decimal(38,0)") * col("__cv") - lit(1)) * col("__c")
+
+  /** Mann-Whitney U (Wilcoxon rank-sum) for EXACTLY two groups:
+    * tie-corrected normal approximation without continuity correction,
+    * plus the rank-biserial effect size r = 1 − 2U_lo/(n_lo·n_hi).
+    * The two group labels are resolved by one aggregate-sized collect
+    * and attached as LITERALS (the clampToBounds gate — a 2-row
+    * broadcast join measured ~10× a literal attach at sf10).
+    * Returns one row: (group_lo, group_hi, n_lo, n_hi, u_lo, z,
+    * rank_biserial); z is NULL when the variance degenerates (all
+    * values tied). */
+  def mannWhitney(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val groups = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string")).distinct()
+      .orderBy(groupCol).collect().map(_.getString(0))
+    require(groups.length == 2,
+      s"mannWhitney needs exactly 2 groups in $groupCol, got ${groups.length}")
+    val (gLo, gHi) = (groups(0), groups(1))
+    censusWithRanks(df, groupCol, valueCol)
+      .agg(
+        // per-census-row: count of group-lo rows at this value × its
+        // exact half-integer average rank
+        sum(when(col("__g").cast("string") === lit(gLo), col("__c"))
+          .otherwise(lit(0L)).cast("double") * col("__r")).as("__r1"),
+        sum(when(col("__g").cast("string") === lit(gLo), col("__c"))
+          .otherwise(lit(0L))).as("__n1"),
+        sum(col("__c")).as("__n"),
+        sum(tieTermRow).cast("double").as("__tie"))
+      .select(
+        lit(gLo).as("group_lo"), lit(gHi).as("group_hi"),
+        col("__n1").as("n_lo"), (col("__n") - col("__n1")).as("n_hi"),
+        (col("__r1") - col("__n1").cast("double") * (col("__n1") + lit(1)) / lit(2.0)).as("__u1"),
+        col("__n1").as("__m"), col("__n").as("__nn"), col("__tie"))
+      .select(col("group_lo"), col("group_hi"), col("n_lo"), col("n_hi"),
+        col("__u1").as("u_lo"),
+        {
+          val m = col("__m").cast("double")
+          val nn = col("__nn").cast("double")
+          val n2 = nn - m
+          val mu = m * n2 / lit(2.0)
+          val sig2 = m * n2 / lit(12.0) *
+            ((nn + lit(1.0)) - col("__tie") / (nn * (nn - lit(1.0))))
+          when(sig2 > 0, (col("__u1") - mu) / sqrt(sig2)).as("z")
+        },
+        (lit(1.0) - lit(2.0) * col("__u1") /
+          (col("__m").cast("double") * (col("__nn") - col("__m")))).as("rank_biserial"))
+  }
+
+  /** Kruskal-Wallis H across any number of groups, tie-corrected, with
+    * the epsilon-squared effect size ε² = (H − k + 1)/(n − k). Same
+    * census shape as [[mannWhitney]] but needs no group literals: the
+    * per-group rank sums are one more aggregate over the census.
+    * Returns one row: (n_groups, n, h, epsilon_sq); h is NULL when the
+    * tie correction degenerates (every value identical). */
+  def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val perGroup = censusWithRanks(df, groupCol, valueCol)
+      .groupBy(col("__g"))
+      .agg(sum(col("__c").cast("double") * col("__r")).as("__rg"),
+        sum(col("__c")).as("__ng"),
+        sum(tieTermRow).as("__tg"))
+    perGroup
+      .agg(count(lit(1)).as("n_groups"),
+        sum("__ng").as("n"),
+        sum(col("__rg") * col("__rg") / col("__ng").cast("double")).as("__s"),
+        sum("__tg").cast("double").as("__tie"))
+      .select(col("n_groups"), col("n"),
+        {
+          val nn = col("n").cast("double")
+          val h0 = lit(12.0) / (nn * (nn + lit(1.0))) * col("__s") -
+            lit(3.0) * (nn + lit(1.0))
+          val corr = lit(1.0) - col("__tie") / (nn * nn * nn - nn)
+          when(corr > 0, h0 / corr).as("h")
+        })
+      .select(col("n_groups"), col("n"), col("h"),
+        ((col("h") - col("n_groups").cast("double") + lit(1.0)) /
+          (col("n").cast("double") - col("n_groups").cast("double"))).as("epsilon_sq"))
+  }
+}
