@@ -143,6 +143,40 @@ object SparkEntry {
           round(col("h") + lit(5e-10), 6).as("h"),
           round(col("epsilon_sq") + lit(5e-10), 6).as("epsilon_sq"))),
 
+    "t14_km_curve" -> ((s, dir) =>
+      // Kaplan-Meier over ship-delay days (order placed -> line shipped),
+      // "return" as the event, censored otherwise; the subjects frame is
+      // a genuine fact-fact shuffle join, the curve is census-sized
+      graft.ops.Survival.kaplanMeier(
+          table(s, dir, "lineitem")
+            .join(table(s, dir, "orders"),
+              col("l_orderkey") === col("o_orderkey"))
+            .select(datediff(col("l_shipdate"), col("o_orderdate"))
+              .cast("double").as("dur"),
+              (col("l_returnflag") === "R").cast("int").as("ev"),
+              col("l_linestatus").as("g")),
+          "g", "dur", "ev")
+        .select(col("g"), col("t"), col("n_risk"), col("n_event"),
+          col("n_censor"),
+          round(col("survival") + lit(5e-10), 6).as("survival"))
+        .orderBy("g", "t")),
+
+    "t15_logrank" -> ((s, dir) =>
+      // two-group log-rank z over the same subjects frame
+      graft.ops.Survival.logRank(
+          table(s, dir, "lineitem")
+            .join(table(s, dir, "orders"),
+              col("l_orderkey") === col("o_orderkey"))
+            .select(datediff(col("l_shipdate"), col("o_orderdate"))
+              .cast("double").as("dur"),
+              (col("l_returnflag") === "R").cast("int").as("ev"),
+              col("l_linestatus").as("g")),
+          "g", "dur", "ev")
+        .select(col("group_lo"), col("group_hi"), col("o_lo"),
+          round(col("e_lo") + lit(5e-10), 6).as("e_lo"),
+          round(col("z") + lit(5e-10), 6).as("z"),
+          round(col("chi2") + lit(5e-10), 6).as("chi2"))),
+
     // ---- core aggregation operators (SURVEY.md §2.4) ----
     "a1_group_count" -> ((s, dir) =>
       table(s, dir, "lineitem").groupBy("l_returnflag")
@@ -697,6 +731,56 @@ object SparkEntry {
         "SELECT k AS n_groups, n, round(h + 5e-10, 6) AS h, " +
         "round((h - k::DOUBLE + 1.0) / (n::DOUBLE - k::DOUBLE) + 5e-10, 6) AS epsilon_sq " +
         "FROM hh"),
+    "t14_km_curve" ->
+      // census -> at-risk windows -> exp(running ln-sum) with the
+      // absorbing-zero dead flag, replayed step-for-step
+      ("WITH src AS (SELECT date_diff('day', o_orderdate::DATE, l_shipdate::DATE)::DOUBLE AS t, " +
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ev, l_linestatus AS g " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
+        "cen AS (SELECT g, t, sum(ev)::BIGINT AS d, sum(1 - ev)::BIGINT AS c " +
+        "FROM src GROUP BY 1, 2), " +
+        "w AS (SELECT g, t, d, c, sum(d + c) OVER (PARTITION BY g)::BIGINT AS ng, " +
+        "coalesce(sum(d + c) OVER (PARTITION BY g ORDER BY t " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cb FROM cen), " +
+        "k AS (SELECT g, t, d, c, ng - cb AS n_risk, " +
+        "CASE WHEN d > 0 AND d < ng - cb THEN ln(1.0 - d::DOUBLE / (ng - cb)::DOUBLE) " +
+        "ELSE 0.0 END AS lnterm, " +
+        "CASE WHEN d = ng - cb THEN 1 ELSE 0 END AS deadf FROM w), " +
+        "s AS (SELECT g, t, n_risk, d, c, sum(deadf) OVER pw AS dead, " +
+        "exp(sum(lnterm) OVER pw) AS sv FROM k " +
+        "WINDOW pw AS (PARTITION BY g ORDER BY t " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+        "SELECT g, t, n_risk, d AS n_event, c AS n_censor, " +
+        "round(CASE WHEN dead > 0 THEN 0.0 ELSE sv END + 5e-10, 6) AS survival " +
+        "FROM s ORDER BY g, t"),
+    "t15_logrank" ->
+      // completed (group x pooled time) grid, then the expectation walk
+      ("WITH src AS (SELECT date_diff('day', o_orderdate::DATE, l_shipdate::DATE)::DOUBLE AS t, " +
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ev, l_linestatus AS g " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
+        "cen AS (SELECT g, t, sum(ev)::BIGINT AS d, sum(1 - ev)::BIGINT AS c " +
+        "FROM src GROUP BY 1, 2), " +
+        "grid AS (SELECT gg.g, tt.t FROM (SELECT DISTINCT g FROM cen) gg " +
+        "CROSS JOIN (SELECT DISTINCT t FROM cen) tt), " +
+        "fl AS (SELECT grid.g, grid.t, coalesce(cen.d, 0) AS d, coalesce(cen.c, 0) AS c " +
+        "FROM grid LEFT JOIN cen ON grid.g = cen.g AND grid.t = cen.t), " +
+        "w AS (SELECT g, t, d, sum(d + c) OVER (PARTITION BY g)::BIGINT " +
+        "- coalesce(sum(d + c) OVER (PARTITION BY g ORDER BY t " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS n_risk FROM fl), " +
+        "pt AS (SELECT t, sum(d)::BIGINT AS d, " +
+        "sum(CASE WHEN g = 'F' THEN d ELSE 0 END)::BIGINT AS d1, " +
+        "sum(n_risk)::BIGINT AS n, " +
+        "sum(CASE WHEN g = 'F' THEN n_risk ELSE 0 END)::BIGINT AS n1 " +
+        "FROM w GROUP BY t HAVING sum(d) > 0), " +
+        "s AS (SELECT sum(d1)::BIGINT AS o_lo, sum(d::DOUBLE * n1 / n) AS e_lo, " +
+        "sum(CASE WHEN n > 1 THEN d::DOUBLE * (n1::DOUBLE / n) * " +
+        "(1.0 - n1::DOUBLE / n) * (n - d)::DOUBLE / (n - 1)::DOUBLE " +
+        "ELSE 0.0 END) AS v FROM pt) " +
+        "SELECT 'F' AS group_lo, 'O' AS group_hi, o_lo, " +
+        "round(e_lo + 5e-10, 6) AS e_lo, " +
+        "round((o_lo::DOUBLE - e_lo) / sqrt(v) + 5e-10, 6) AS z, " +
+        "round((o_lo::DOUBLE - e_lo) * (o_lo::DOUBLE - e_lo) / v + 5e-10, 6) AS chi2 " +
+        "FROM s"),
     "t10_weighted_summary" ->
       ("WITH src AS (SELECT l_returnflag AS stratum, l_linestatus, l_quantity, " +
         "1.0 + (l_orderkey % 5) * 0.5 AS w FROM lineitem), " +
