@@ -1944,6 +1944,36 @@ object OpsQueries {
           round(col("cosine"), 6).as("cosine"))
         .orderBy("src", "rank")),
 
+    "g6_kcore" -> ((s, dir) => {
+      // fixed-round 2-core peeling on a mixed planted graph: even
+      // blocks are chain+skip bands (a stable 2-core), odd blocks are
+      // bare chains (peel 1 node per end per round) — 3 rounds leave
+      // the bands whole and the chains 3 shorter at each end, and the
+      // oracle replays each round's degree census + semi-joins
+      val ids = docs(s, dir).select(col("doc_id").as("i"))
+      val chain = ids.filter(col("i") % 50 =!= 49)
+        .select(col("i").as("id_a"), (col("i") + 1).as("id_b"))
+      val band = ids.filter(col("i") % 50 < 48 &&
+          floor(col("i") / 50).cast("long") % 2 === 0)
+        .select(col("i").as("id_a"), (col("i") + 2).as("id_b"))
+      Graph.kCore(chain.union(band), k = 2, rounds = 3)
+        .groupBy(floor(col("id") / 50).cast("long").as("block"))
+        .agg(count(lit(1)).as("n_nodes"), sum("degree").as("total_degree"))
+        .orderBy("block")
+    }),
+    "g7_adamic_adar" -> ((s, dir) => {
+      // link prediction on the full chain+skip band graph: every
+      // non-adjacent two-hop pair scored by its common neighbors
+      val ids = docs(s, dir).select(col("doc_id").as("i"))
+      val chain = ids.filter(col("i") % 50 =!= 49)
+        .select(col("i").as("id_a"), (col("i") + 1).as("id_b"))
+      val band = ids.filter(col("i") % 50 < 48)
+        .select(col("i").as("id_a"), (col("i") + 2).as("id_b"))
+      Graph.adamicAdar(chain.union(band), maxDegree = 64)
+        .select(col("id_a"), col("id_b"), col("n_common"),
+          round(col("aa_score") + lit(5e-10), 6).as("aa_score"))
+        .orderBy("id_a", "id_b")
+    }),
     "g5_label_propagation" -> ((s, dir) => {
       // community detection on the g3 chain-block graph: 2 synchronous
       // LPA rounds, every step deterministic (mode with smallest-label
@@ -3242,6 +3272,48 @@ object OpsQueries {
         "SELECT src, rn::BIGINT AS rank, dst, ROUND(cos, 6) AS cosine " +
         "FROM pr WHERE rn <= 3 ORDER BY src, rank")
     },
+    "g6_kcore" ->
+      // three peel rounds replayed: degree census -> keep-set ->
+      // endpoint filters, then the surviving-degree census by block
+      ("WITH ids AS (SELECT doc_id AS i FROM documents), " +
+        "e0 AS (SELECT i AS a, i + 1 AS b FROM ids WHERE i % 50 <> 49 " +
+        "UNION ALL SELECT i, i + 2 FROM ids WHERE i % 50 < 48 " +
+        "AND floor(i / 50)::BIGINT % 2 = 0), " +
+        "d1 AS (SELECT id, count(*) AS dg FROM " +
+        "(SELECT a AS id FROM e0 UNION ALL SELECT b FROM e0) GROUP BY id), " +
+        "k1 AS (SELECT id FROM d1 WHERE dg >= 2), " +
+        "e1 AS (SELECT a, b FROM e0 WHERE a IN (SELECT id FROM k1) " +
+        "AND b IN (SELECT id FROM k1)), " +
+        "d2 AS (SELECT id, count(*) AS dg FROM " +
+        "(SELECT a AS id FROM e1 UNION ALL SELECT b FROM e1) GROUP BY id), " +
+        "k2 AS (SELECT id FROM d2 WHERE dg >= 2), " +
+        "e2 AS (SELECT a, b FROM e1 WHERE a IN (SELECT id FROM k2) " +
+        "AND b IN (SELECT id FROM k2)), " +
+        "d3 AS (SELECT id, count(*) AS dg FROM " +
+        "(SELECT a AS id FROM e2 UNION ALL SELECT b FROM e2) GROUP BY id), " +
+        "k3 AS (SELECT id FROM d3 WHERE dg >= 2), " +
+        "e3 AS (SELECT a, b FROM e2 WHERE a IN (SELECT id FROM k3) " +
+        "AND b IN (SELECT id FROM k3)), " +
+        "df AS (SELECT id, count(*) AS dg FROM " +
+        "(SELECT a AS id FROM e3 UNION ALL SELECT b FROM e3) GROUP BY id) " +
+        "SELECT floor(id / 50)::BIGINT AS block, count(*)::BIGINT AS n_nodes, " +
+        "sum(dg)::BIGINT AS total_degree FROM df GROUP BY 1 ORDER BY 1"),
+    "g7_adamic_adar" ->
+      // wedge self-join on the shared neighbor, degree-capped, existing
+      // edges anti-joined away
+      ("WITH ids AS (SELECT doc_id AS i FROM documents), " +
+        "e AS (SELECT i AS a, i + 1 AS b FROM ids WHERE i % 50 <> 49 " +
+        "UNION ALL SELECT i, i + 2 FROM ids WHERE i % 50 < 48), " +
+        "und AS (SELECT a AS z, b AS n FROM e UNION ALL SELECT b, a FROM e), " +
+        "deg AS (SELECT z, count(*) AS dg FROM und GROUP BY z HAVING count(*) <= 64), " +
+        "hub AS (SELECT und.z, und.n, deg.dg FROM und JOIN deg USING (z)), " +
+        "pr AS (SELECT l.n AS x, r.n AS y, l.dg FROM hub l JOIN hub r " +
+        "ON l.z = r.z AND l.n < r.n), " +
+        "sc AS (SELECT x, y, count(*)::BIGINT AS n_common, " +
+        "sum(1.0 / ln(dg::DOUBLE)) AS aa FROM pr GROUP BY x, y) " +
+        "SELECT x AS id_a, y AS id_b, n_common, round(aa + 5e-10, 6) AS aa_score " +
+        "FROM sc WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = sc.x AND e.b = sc.y) " +
+        "ORDER BY id_a, id_b"),
     "g5_label_propagation" ->
       // both LPA rounds replayed: neighbor-label census, mode with
       // (count DESC, label) ranking, then the community census

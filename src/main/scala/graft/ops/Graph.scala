@@ -170,6 +170,67 @@ object Graph {
     ranks
   }
 
+  /** Fixed-round synchronous k-core peeling over a canonical
+    * (id_a < id_b) edge set: each round computes degrees on the
+    * SURVIVING subgraph and removes every node with degree < k (and its
+    * edges). Returns the surviving (id, degree) frame after `rounds`
+    * rounds — once peeling converges, further rounds are no-ops, so a
+    * caller that over-provisions `rounds` gets the true k-core and an
+    * external engine can replay exactly `rounds` rounds either way
+    * (the same fixed-round contract as [[labelPropagation]]).
+    *
+    * Scale shape per round: one explode + map-side-combined degree
+    * count, then two semi-joins keyed by node id to drop dead
+    * endpoints. Nothing buffers a neighborhood; lineage grows by three
+    * joins per round (checkpoint beyond the ≤10 this accepts). */
+  def kCore(canonical: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1 && rounds <= 10, s"rounds must be in [1, 10], got $rounds")
+    var edges = canonical.select(col("id_a").as("a"), col("id_b").as("b"))
+    def degrees: DataFrame = edges
+      .select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    for (_ <- 1 to rounds) {
+      val keep = degrees.filter(col("degree") >= k).select(col("id"))
+      edges = edges
+        .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+    }
+    degrees
+  }
+
+  /** Adamic-Adar link prediction over a canonical (id_a < id_b) edge
+    * set: for every NON-adjacent pair (x, y) sharing at least one
+    * neighbor, score Σ_{z ∈ N(x)∩N(y)} 1/ln(deg(z)) — common neighbors
+    * weighted down by their promiscuity. A shared neighbor has degree
+    * ≥ 2 by construction, so 1/ln(deg) is always finite.
+    *
+    * Scale shape: the wedge self-join keyed by the shared neighbor z
+    * fans out as Σ deg(z)² — the classic two-hop blow-up. `maxDegree`
+    * caps it: hubs above the cap contribute no wedges (their AA terms
+    * are the smallest anyway — 1/ln(deg) vanishes exactly where the
+    * fan-out explodes), the standard production trade. Existing edges
+    * are removed with an anti-join on the canonical pair. Returns
+    * (id_a, id_b, n_common, aa_score). */
+  def adamicAdar(canonical: DataFrame, maxDegree: Int = Int.MaxValue): DataFrame = {
+    require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
+    val edges = canonical.select(col("id_a").as("a"), col("id_b").as("b"))
+    val und = edges.select(col("a").as("z"), col("b").as("n"))
+      .union(edges.select(col("b").as("z"), col("a").as("n")))
+    val deg = und.groupBy(col("z")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") <= maxDegree)
+    val hub = und.join(deg, Seq("z"))
+    val left = hub.select(col("z"), col("n").as("x"), col("deg"))
+    val right = hub.select(col("z"), col("n").as("y"))
+    left.join(right, Seq("z")).filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(lit(1.0) / log(col("deg").cast("double"))).as("aa_score"))
+      .join(edges, col("x") === col("a") && col("y") === col("b"), "left_anti")
+      .select(col("x").as("id_a"), col("y").as("id_b"),
+        col("n_common"), col("aa_score"))
+  }
+
   /** Synchronous label propagation over a canonical (id_a < id_b)
     * undirected edge set — the community-detection companion to
     * [[graft.ops.Dedup.connectedComponents]] (components merge

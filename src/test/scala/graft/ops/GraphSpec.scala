@@ -141,6 +141,54 @@ class GraphSpec extends AnyFunSuite with Matchers {
     ranks(4L) should be > ranks(3L)
   }
 
+  test("kCore peels a path inward round by round and is idempotent after convergence") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    // round 1 removes the endpoints; the survivors' degrees reflect the subgraph
+    val r1 = Graph.kCore(path, k = 2, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    r1 shouldBe Map(2L -> 1L, 3L -> 2L, 4L -> 1L)
+    // a path has no 2-core: three rounds dissolve it completely
+    Graph.kCore(path, k = 2, rounds = 3).count() shouldBe 0L
+    // triangle + tail: the tail node peels, the triangle is the stable 2-core
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val core2 = Graph.kCore(tri.repartition(3), k = 2, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    core2 shouldBe Map(1L -> 2L, 2L -> 2L, 3L -> 2L)
+    // converged: extra rounds are no-ops
+    Graph.kCore(tri, k = 2, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe core2
+    an[IllegalArgumentException] should be thrownBy Graph.kCore(tri, 0, 1)
+    an[IllegalArgumentException] should be thrownBy Graph.kCore(tri, 2, 11)
+  }
+
+  test("adamicAdar scores the square's diagonals and excludes existing edges") {
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("id_a", "id_b")
+    val aa = Graph.adamicAdar(square.repartition(3))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    aa.keySet shouldBe Set((1L, 3L), (2L, 4L))
+    aa((1L, 3L))._1 shouldBe 2L
+    aa((1L, 3L))._2 shouldBe (2.0 / math.log(2.0)) +- 1e-12
+    // close one diagonal: (1,3) becomes an edge and drops out; the other
+    // diagonal's common neighbors now have degree 3
+    val closed = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L))
+      .toDF("id_a", "id_b")
+    val aa2 = Graph.adamicAdar(closed)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    aa2.keySet shouldBe Set((2L, 4L))
+    aa2((2L, 4L)) shouldBe (2.0 / math.log(3.0)) +- 1e-12
+  }
+
+  test("adamicAdar maxDegree drops hub wedges") {
+    val star = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 2L)).toDF("id_a", "id_b")
+    val full = Graph.adamicAdar(star)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    full.keySet shouldBe Set((1L, 3L), (2L, 3L))
+    full((1L, 3L)) shouldBe (1.0 / math.log(3.0)) +- 1e-12
+    // cap below the hub degree: every surviving wedge closes an existing edge
+    Graph.adamicAdar(star, maxDegree = 2).count() shouldBe 0L
+    an[IllegalArgumentException] should be thrownBy Graph.adamicAdar(star, 1)
+  }
+
   test("labelPropagation separates a barbell into its two triangles deterministically") {
     // triangles {1,2,3} and {4,5,6} joined by the 3-4 bridge
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
