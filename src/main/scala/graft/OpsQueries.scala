@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{BloomJoin, Bpe, Clustering, Curation, Dedup, Drift, Evaluation, Graph, Histograms, Merge, Multimodal, Packing, Pq, Quality, Sampling, Search, Similarity, TextAnalysis}
+import graft.ops.{BloomJoin, Bpe, Clustering, Curation, Dedup, Drift, Evaluation, Graph, Histograms, Merge, Multimodal, Packing, Pq, Quality, Sampling, Search, Similarity, TextAnalysis, TimeSeries}
 import graft.streaming.EventPipeline
 import graft.Util.table
 
@@ -1038,6 +1038,30 @@ object OpsQueries {
           round(col("at_value") + lit(5e-10), 6).as("at_value"),
           col("n_ref"), col("n_cur"))
     }),
+    "q7_acf" -> ((s, dir) => {
+      // autocorrelation of hourly event-value series per type: one
+      // shuffle keyed by event_type serves the mean window, all six lag
+      // offsets, and the per-lag conditional sums
+      val hourly = table(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(sum("value").as("x"))
+      TimeSeries.acf(hourly, "event_type", "h", "x", maxLag = 6)
+        .select(col("event_type"), col("lag"), col("n_pairs"),
+          round(col("acf") + lit(5e-10), 6).as("acf"))
+        .orderBy("event_type", "lag")
+    }),
+    "x19_zipf" -> ((s, dir) =>
+      // corpus-health Zipf fit: vocabulary census -> rank window over
+      // vocab rows only -> closed-form OLS in one aggregate
+      TextAnalysis.zipfFit(
+          docs(s, dir)
+            .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+            .groupBy("token").agg(count(lit(1)).as("cnt")),
+          "token", "cnt", topN = 1000)
+        .select(col("n_tokens"),
+          round(col("slope") + lit(5e-10), 6).as("slope"),
+          round(col("intercept") + lit(5e-10), 6).as("intercept"),
+          round(col("r2") + lit(5e-10), 6).as("r2"))),
     "q6_jsd_drift" -> ((s, dir) => {
       // symmetric bounded drift over the q3 cohorts and bins: JSD
       // saturates at ln 2 where PSI explodes on one-sided empty bins
@@ -4145,8 +4169,45 @@ object OpsQueries {
         "round(v + 5e-10, 6) AS at_value, tr AS n_ref, tc AS n_cur " +
         "FROM cdf CROSS JOIN t " +
         "ORDER BY abs(cr::DOUBLE / tr - cc::DOUBLE / tc) DESC, v LIMIT 1"),
+    "q7_acf" ->
+      // hourly census, partition mean, six lag offsets, per-lag
+      // conditional sums — unpivoted as a 6-way UNION ALL
+      ("WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h, " +
+        "sum(value) AS x FROM events GROUP BY 1, 2), " +
+        "b AS (SELECT event_type, h, x, " +
+        "avg(x) OVER (PARTITION BY event_type) AS m FROM hourly), " +
+        "l AS (SELECT event_type, x, m, " +
+        (1 to 6).map(k => s"lag(x, $k) OVER w AS x$k").mkString(", ") +
+        " FROM b WINDOW w AS (PARTITION BY event_type ORDER BY h)), " +
+        "a AS (SELECT event_type, sum((x - m) * (x - m)) AS den, " +
+        (1 to 6).map(k =>
+          s"sum(CASE WHEN x$k IS NOT NULL THEN (x - m) * (x$k - m) ELSE 0.0 END) AS n$k, " +
+            s"sum(CASE WHEN x$k IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS c$k")
+          .mkString(", ") +
+        " FROM l GROUP BY 1) " +
+        (1 to 6).map(k =>
+          s"SELECT event_type, $k AS lag, c$k AS n_pairs, " +
+            s"round(CASE WHEN den > 0 THEN n$k / den END + 5e-10, 6) AS acf FROM a")
+          .mkString(" UNION ALL ") +
+        " ORDER BY event_type, lag"),
+    "x19_zipf" ->
+      // vocab census -> (cnt desc, token) rank -> the OLS sums and the
+      // operator's exact cov/vx/vy formulas
+      (s"WITH tok AS (SELECT unnest($Toks) AS t FROM documents), " +
+        "cen AS (SELECT t, count(*)::BIGINT AS cnt FROM tok GROUP BY t), " +
+        "rk AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, t) AS rn FROM cen), " +
+        "xy AS (SELECT ln(rn::DOUBLE) AS x, ln(cnt::DOUBLE) AS y FROM rk WHERE rn <= 1000), " +
+        "s AS (SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy, " +
+        "sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy FROM xy), " +
+        "f AS (SELECT n, sx, sy, n::DOUBLE * sxy - sx * sy AS cov, " +
+        "n::DOUBLE * sxx - sx * sx AS vx, n::DOUBLE * syy - sy * sy AS vy FROM s) " +
+        "SELECT n AS n_tokens, " +
+        "round(CASE WHEN vx > 0 THEN cov / vx END + 5e-10, 6) AS slope, " +
+        "round(CASE WHEN vx > 0 THEN (sy - cov / vx * sx) / n::DOUBLE END + 5e-10, 6) AS intercept, " +
+        "round(CASE WHEN vx > 0 AND vy > 0 THEN cov * cov / (vx * vy) END + 5e-10, 6) AS r2 " +
+        "FROM f"),
     "q6_jsd_drift" ->
-      // q3's bin/smoothing CTEs with the JSD term algebra: m = (p+q)/2,
+      //q3's bin/smoothing CTEs with the JSD term algebra: m = (p+q)/2,
       // 0.5*p*ln(p/m) + 0.5*q*ln(q/m), identical operation order
       ("WITH r AS (SELECT value AS v FROM events WHERE event_type = 'view' AND value IS NOT NULL), " +
         "c AS (SELECT value AS v FROM events WHERE event_type = 'purchase' AND value IS NOT NULL), " +

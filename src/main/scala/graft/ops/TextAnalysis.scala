@@ -510,4 +510,45 @@ object TextAnalysis {
   /** Single 64-bit content fingerprint (exact-dup detection at scale:
     * 8-byte shuffle key instead of the full text). */
   def contentHash(text: Column): Column = xxhash64(text)
+
+  /** Zipf's-law fit over a (token, count) census: OLS of ln(count) on
+    * ln(rank) for the top `topN` tokens ranked by (count desc, token) —
+    * the corpus-health diagnostic (natural language sits near slope −1;
+    * a much flatter or steeper fit flags boilerplate or templating).
+    *
+    * Scale shape: the input is already the vocabulary census (one
+    * map-side-combined aggregate upstream), so the rank window orders
+    * vocab rows, not corpus rows — the [[graft.ops.Quantiles]] census
+    * discipline; closed-form OLS needs one aggregate over the ≤ topN
+    * ranked rows, no iteration. Returns one row: (n_tokens, slope,
+    * intercept, r2). */
+  def zipfFit(census: DataFrame, tokenCol: String, cntCol: String,
+              topN: Int): DataFrame = {
+    require(topN >= 2, s"topN must be >= 2, got $topN")
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col(cntCol).desc, col(tokenCol))
+    val xy = census
+      .withColumn("__rank", row_number().over(win))
+      .filter(col("__rank") <= topN)
+      .select(log(col("__rank").cast("double")).as("__x"),
+        log(col(cntCol).cast("double")).as("__y"))
+    xy.agg(count(lit(1)).as("n_tokens"),
+        sum("__x").as("__sx"), sum("__y").as("__sy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"),
+        sum(col("__x") * col("__y")).as("__sxy"))
+      .select(col("n_tokens"),
+        {
+          val n = col("n_tokens").cast("double")
+          val cov = n * col("__sxy") - col("__sx") * col("__sy")
+          val vx = n * col("__sxx") - col("__sx") * col("__sx")
+          val vy = n * col("__syy") - col("__sy") * col("__sy")
+          struct(
+            when(vx > 0, cov / vx).as("slope"),
+            when(vx > 0, (col("__sy") - cov / vx * col("__sx")) / n).as("intercept"),
+            when(vx > 0 && vy > 0, cov * cov / (vx * vy)).as("r2")).as("__f")
+        })
+      .select(col("n_tokens"), col("__f.slope").as("slope"),
+        col("__f.intercept").as("intercept"), col("__f.r2").as("r2"))
+  }
 }

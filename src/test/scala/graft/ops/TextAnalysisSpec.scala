@@ -309,4 +309,30 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     out(3).isNullAt(4) shouldBe true
     out(3).isNullAt(5) shouldBe true
   }
+
+  test("zipfFit recovers a perfect power law exactly") {
+    // cnt = 12/rank for ranks 1..4: ln(cnt) = ln 12 - 1 * ln(rank)
+    val census = Seq(("a", 12L), ("b", 6L), ("c", 4L), ("d", 3L))
+      .toDF("token", "cnt")
+    val r = TextAnalysis.zipfFit(census.repartition(3), "token", "cnt", topN = 10).head()
+    r.getAs[Long]("n_tokens") shouldBe 4L
+    r.getAs[Double]("slope") shouldBe -1.0 +- 1e-12
+    r.getAs[Double]("intercept") shouldBe math.log(12.0) +- 1e-12
+    r.getAs[Double]("r2") shouldBe 1.0 +- 1e-12
+  }
+
+  test("zipfFit ranks ties by token, honors topN, and nulls a 1-row census") {
+    // tie on cnt=6: 'b' outranks 'x'; topN=2 uses ranks 1..2 only
+    val census = Seq(("a", 12L), ("x", 6L), ("b", 6L)).toDF("token", "cnt")
+    val r = TextAnalysis.zipfFit(census, "token", "cnt", topN = 2).head()
+    r.getAs[Long]("n_tokens") shouldBe 2L
+    // points (0, ln 12), (ln 2, ln 6): slope = (ln 6 - ln 12)/ln 2 = -1
+    r.getAs[Double]("slope") shouldBe -1.0 +- 1e-12
+    val one = TextAnalysis.zipfFit(Seq(("a", 5L)).toDF("token", "cnt"),
+      "token", "cnt", topN = 5).head()
+    one.getAs[Long]("n_tokens") shouldBe 1L
+    one.isNullAt(one.fieldIndex("slope")) shouldBe true
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.zipfFit(census, "token", "cnt", 1)
+  }
 }

@@ -1,0 +1,44 @@
+package graft.ops
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class TimeSeriesSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("acf matches the hand-traced ramp at every lag") {
+    // x = 1,2,3,4: mean 2.5, den 5; r1 = 1.25/5, r2 = -1.5/5, r3 = -2.25/5
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0), ("a", 4L, 4.0))
+      .toDF("k", "t", "x")
+    val rows = TimeSeries.acf(df.repartition(3), "k", "t", "x", maxLag = 3)
+      .orderBy("lag").collect()
+    rows.map(_.getAs[Int]("lag")).toSeq shouldBe Seq(1, 2, 3)
+    rows.map(_.getAs[Long]("n_pairs")).toSeq shouldBe Seq(3L, 2L, 1L)
+    rows(0).getAs[Double]("acf") shouldBe 0.25 +- 1e-12
+    rows(1).getAs[Double]("acf") shouldBe -0.3 +- 1e-12
+    rows(2).getAs[Double]("acf") shouldBe -0.45 +- 1e-12
+  }
+
+  test("acf keys series independently and nulls out constant series") {
+    val df = (Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 1.0), ("a", 4L, 2.0)) ++
+      (1 to 4).map(i => ("c", i.toLong, 7.0))).toDF("k", "t", "x")
+    val byKey = TimeSeries.acf(df, "k", "t", "x", maxLag = 1)
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    // alternating series: dev = -.5,.5,-.5,.5, den 1, num lag1 = -0.75
+    byKey("a").getAs[Double]("acf") shouldBe -0.75 +- 1e-12
+    byKey("c").isNullAt(byKey("c").fieldIndex("acf")) shouldBe true
+    an[IllegalArgumentException] should be thrownBy
+      TimeSeries.acf(df, "k", "t", "x", 0)
+  }
+
+  test("a pure period-2 signal has acf -1 at lag 1 and +1-ish at lag 2") {
+    val df = (0 until 40).map(i => ("s", i.toLong, if (i % 2 == 0) 1.0 else -1.0))
+      .toDF("k", "t", "x")
+    val rows = TimeSeries.acf(df.repartition(7), "k", "t", "x", 2)
+      .orderBy("lag").collect()
+    rows(0).getAs[Double]("acf") shouldBe -(39.0 / 40.0) +- 1e-12
+    rows(1).getAs[Double]("acf") shouldBe (38.0 / 40.0) +- 1e-12
+  }
+}
