@@ -572,6 +572,19 @@ object OpsQueries {
         .select(col("source").as("lang"), col("n_rows").as("n_docs"),
           round(col("share") + lit(5e-10), 6).as("share"))
         .orderBy("lang")),
+    "p15_bootstrap_ci" -> ((s, dir) =>
+      // Poisson bootstrap CI of the mean document byte length: 24
+      // replicates' weighted sums + the point estimate in ONE scan —
+      // no resample is ever materialized, and the integer Lehmer +
+      // threshold weights let the oracle replay the resampling itself
+      Sampling.poissonBootstrapCi(
+          table(s, dir, "documents")
+            .select(col("doc_id"), octet_length(col("text")).as("blen")),
+          "doc_id", "blen", b = 24, seed = 11L, alpha = 0.1)
+        .select(col("b"), col("n"),
+          round(col("point_mean") + lit(5e-10), 6).as("point_mean"),
+          round(col("ci_lo") + lit(5e-10), 6).as("ci_lo"),
+          round(col("ci_hi") + lit(5e-10), 6).as("ci_hi"))),
     "p14_kfold" -> ((s, dir) => {
       // exact k-fold assignment audit: the per-fold census (size, price
       // mass, key range) over fold = lehmerPriority(o_orderkey, 7) mod 5
@@ -4266,6 +4279,27 @@ object OpsQueries {
         "round(sum(llr) + 5e-10, 6) AS logw_sum, " +
         "round(avg(llr) + 5e-10, 6) AS logw_avg " +
         "FROM sc2 GROUP BY doc_id ORDER BY doc_id"),
+    "p15_bootstrap_ci" -> {
+      // the resample replayed weight-for-weight: Lehmer integer
+      // arithmetic + the SAME threshold literals the operator embeds,
+      // then the order-statistic picks
+      val m = "2147483647"
+      val wcase = "CASE " + Sampling.poissonThresholds.zipWithIndex
+        .map { case (t, k) => s"WHEN pr < $t THEN $k" }.mkString(" ") +
+        " ELSE 8 END"
+      ("WITH d AS (SELECT doc_id AS id, strlen(text)::DOUBLE AS x " +
+        "FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), " +
+        s"pw AS (SELECT r.b, d.x, ((d.id + 11 + r.b) % $m) * 48271 % $m " +
+        s"* 48271 % $m AS pr FROM d CROSS JOIN " +
+        "(SELECT unnest(range(1, 25)) AS b) r), " +
+        s"wv AS (SELECT b, x, $wcase AS w FROM pw), " +
+        "mm AS (SELECT b, sum(w::DOUBLE * x) / sum(w)::DOUBLE AS mean FROM wv GROUP BY b), " +
+        "pt AS (SELECT sum(1)::BIGINT AS n, sum(1.0 * x) / sum(1)::DOUBLE AS pm FROM d), " +
+        "rk AS (SELECT mean, row_number() OVER (ORDER BY mean, b) AS rn FROM mm) " +
+        "SELECT 24 AS b, n, round(pm + 5e-10, 6) AS point_mean, " +
+        "round((SELECT mean FROM rk WHERE rn = 2) + 5e-10, 6) AS ci_lo, " +
+        "round((SELECT mean FROM rk WHERE rn = 23) + 5e-10, 6) AS ci_hi FROM pt")
+    },
     "p14_kfold" ->
       // the Lehmer fold arithmetic replayed verbatim, then the same
       // exact-decimal census per fold

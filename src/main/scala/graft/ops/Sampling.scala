@@ -475,4 +475,92 @@ object Sampling {
       .drop("__h", "__b", "__cg", "__cutb", "__rem", "__prev")
     before.unionByName(crossing)
   }
+
+  // --- Poisson bootstrap ----------------------------------------------
+
+  private val LehmerM = 2147483647L
+
+  /** Integer cutpoints of the Poisson(1) inverse CDF on the Lehmer
+    * range [0, M): a priority below `poissonThresholds(k)` means
+    * resample weight ≤ k. Public so the oracle SQL embeds the SAME
+    * literals — weight assignment is then an exact integer comparison
+    * in any engine, with no float knife edge at the cuts. */
+  val poissonThresholds: IndexedSeq[Long] = (0 to 7).map { k =>
+    val cdf = (0 to k).map(j => math.exp(-1.0) / (1 to j).product).sum
+    (cdf * LehmerM.toDouble).toLong
+  }
+
+  /** Poisson(1) resample weight from a Lehmer priority: the inverse-CDF
+    * CASE chain over [[poissonThresholds]], capped at 8 (mass beyond is
+    * ~1e-5; the cap keeps the chain short and the replay finite). */
+  def poissonWeight(priority: Column): Column =
+    poissonThresholds.zipWithIndex.foldRight(lit(8)) { case ((t, k), rest) =>
+      when(priority < lit(t), lit(k)).otherwise(rest)
+    }
+
+  /** Poisson bootstrap of a column mean — the resampling scheme that
+    * works at corpus scale because it never materializes a resample:
+    * replicate b gives row i the deterministic weight
+    * Poisson⁻¹(lehmerPriority(id, seed + b)/M), and all `b` replicate
+    * (Σwx, Σw) pairs PLUS the unweighted point estimate are computed in
+    * ONE map-side-combined aggregate over the corpus — one scan, 2(b+1)
+    * running sums, no row ever duplicated b times. Per-row weights are
+    * exact integer arithmetic end to end, so an external engine replays
+    * the resample itself; only the final means divide.
+    *
+    * Returns b+1 rows: (replicate, n_eff, mean) with replicate 0 the
+    * plain sample mean (weight 1 everywhere) and 1..b the bootstrap
+    * replicates. */
+  def poissonBootstrapMeans(df: DataFrame, idCol: String, valueCol: String,
+                            b: Int, seed: Long = 1L): DataFrame = {
+    require(b >= 2 && b <= 512, s"b must be in [2, 512], got $b")
+    val x = col(valueCol).cast("double")
+    val aggs = (0 to b).flatMap { i =>
+      val w =
+        if (i == 0) lit(1)
+        else poissonWeight(lehmerPriority(col(idCol), seed + i))
+      Seq(sum(w.cast("double") * x).as(s"__sx$i"),
+        sum(w.cast("long")).as(s"__n$i"))
+    }
+    val rows = (0 to b).map { i =>
+      struct(lit(i).as("replicate"), col(s"__n$i").as("n_eff"),
+        (col(s"__sx$i") / col(s"__n$i").cast("double")).as("mean"))
+    }
+    df.filter(col(idCol).isNotNull && x.isNotNull)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rows: _*)).as("__r"))
+      .select(col("__r.replicate").as("replicate"), col("__r.n_eff").as("n_eff"),
+        col("__r.mean").as("mean"))
+  }
+
+  /** Percentile-method bootstrap confidence interval for a column mean:
+    * the [[poissonBootstrapMeans]] frame reduced to one row. Bounds are
+    * the k_lo = ⌊α/2·b⌋+1 and k_hi = b−k_lo+1 order statistics of the
+    * replicate means (ties broken by replicate id — the pick itself is
+    * deterministic and replayable; the window orders b rows, not data).
+    * Returns (b, n, point_mean, ci_lo, ci_hi). */
+  def poissonBootstrapCi(df: DataFrame, idCol: String, valueCol: String,
+                         b: Int, seed: Long = 1L,
+                         alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val kLo = (alpha / 2 * b).toInt + 1
+    val kHi = b - kLo + 1
+    require(kLo < kHi, s"b=$b too small for alpha=$alpha")
+    // ONE pass: the point row and the replicate ranks live in the same
+    // b+1-row frame (the rank window partitions on the is-point flag so
+    // replicate 0 never shifts the order statistics) — a second
+    // reference to the replicate frame would rescan the corpus
+    val rn = row_number().over(Window
+      .partitionBy(col("replicate") === lit(0))
+      .orderBy(col("mean"), col("replicate")))
+    poissonBootstrapMeans(df, idCol, valueCol, b, seed)
+      .withColumn("__rn", rn)
+      .agg(
+        min(when(col("replicate") === 0, col("n_eff"))).as("n"),
+        min(when(col("replicate") === 0, col("mean"))).as("point_mean"),
+        min(when(col("replicate") > 0 && col("__rn") === kLo, col("mean"))).as("ci_lo"),
+        min(when(col("replicate") > 0 && col("__rn") === kHi, col("mean"))).as("ci_hi"))
+      .select(lit(b).as("b"), col("n"), col("point_mean"),
+        col("ci_lo"), col("ci_hi"))
+  }
 }
