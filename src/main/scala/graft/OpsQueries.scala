@@ -1075,6 +1075,21 @@ object OpsQueries {
           round(col("slope") + lit(5e-10), 6).as("slope"),
           round(col("intercept") + lit(5e-10), 6).as("intercept"),
           round(col("r2") + lit(5e-10), 6).as("r2"))),
+    "q8_seasonal_decompose" -> ((s, dir) => {
+      // hour-of-day seasonality of event traffic: classical additive
+      // decomposition with the 2x24 centered MA; one shuffle per type
+      // serves every window, the seasonal census is 24 rows per type
+      val hourly = table(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).cast("double").as("x"))
+      TimeSeries.decompose(hourly, "event_type", "h", "x", period = 24)
+        .select(col("event_type"), col("h"), col("x"),
+          col("phase").cast("long").as("phase"),
+          round(col("trend") + lit(5e-10), 6).as("trend"),
+          round(col("seasonal") + lit(5e-10), 6).as("seasonal"),
+          round(col("residual") + lit(5e-10), 6).as("residual"))
+        .orderBy("event_type", "h")
+    }),
     "q6_jsd_drift" -> ((s, dir) => {
       // symmetric bounded drift over the q3 cohorts and bins: JSD
       // saturates at ln 2 where PSI explodes on one-sided empty bins
@@ -4219,6 +4234,27 @@ object OpsQueries {
         "round(CASE WHEN vx > 0 THEN (sy - cov / vx * sx) / n::DOUBLE END + 5e-10, 6) AS intercept, " +
         "round(CASE WHEN vx > 0 AND vy > 0 THEN cov * cov / (vx * vy) END + 5e-10, 6) AS r2 " +
         "FROM f"),
+    "q8_seasonal_decompose" ->
+      // the same windows: row-number phase, 25-row centered sum with
+      // half-weight endpoints, phase-mean census, centering, remainder
+      ("WITH hourly AS (SELECT event_type AS k, date_trunc('hour', ts) AS h, " +
+        "count(*)::DOUBLE AS x FROM events GROUP BY 1, 2), " +
+        "b AS (SELECT k, h, x, (row_number() OVER w - 1) % 24 AS phase, " +
+        "count(*) OVER wf AS cnt, sum(x) OVER wf AS sm, " +
+        "lag(x, 12) OVER w AS xl, lead(x, 12) OVER w AS xr FROM hourly " +
+        "WINDOW w AS (PARTITION BY k ORDER BY h), " +
+        "wf AS (PARTITION BY k ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)), " +
+        "t AS (SELECT k, h, x, phase, " +
+        "CASE WHEN cnt = 25 THEN (sm - (xl + xr) / 2.0) / 24.0 END AS trend FROM b), " +
+        "d AS (SELECT k, h, x, phase, trend, x - trend AS dd FROM t), " +
+        "pm AS (SELECT k, phase, avg(dd) AS pm FROM d GROUP BY 1, 2), " +
+        "sea AS (SELECT k, phase, pm - avg(pm) OVER (PARTITION BY k) AS seasonal FROM pm) " +
+        "SELECT d.k AS event_type, d.h, d.x, d.phase::BIGINT AS phase, " +
+        "round(d.trend + 5e-10, 6) AS trend, " +
+        "round(sea.seasonal + 5e-10, 6) AS seasonal, " +
+        "round(d.x - d.trend - sea.seasonal + 5e-10, 6) AS residual " +
+        "FROM d JOIN sea ON d.k = sea.k AND d.phase = sea.phase " +
+        "ORDER BY event_type, h"),
     "q6_jsd_drift" ->
       //q3's bin/smoothing CTEs with the JSD term algebra: m = (p+q)/2,
       // 0.5*p*ln(p/m) + 0.5*q*ln(q/m), identical operation order

@@ -27,6 +27,57 @@ object TimeSeries {
     * Contract: one row per (key, time) — pre-aggregate to a regular
     * grid first (e.g. hourly sums); gaps are treated as adjacent
     * samples, not missing ones. Returns (key, lag, n_pairs, acf). */
+  /** Classical additive seasonal decomposition x = trend + seasonal +
+    * residual per series key: centered moving-average trend (the 2×p MA
+    * with half-weight endpoints when `period` is even, the plain
+    * centered p-window when odd), per-phase means of the detrended
+    * series as the seasonal component (centered so it sums to ~0 over a
+    * cycle), remainder as residual. Phase is the 0-based row index mod
+    * `period` — the same regular-grid contract as [[acf]].
+    *
+    * Scale shape: one shuffle keyed by the series key serves the
+    * row-number, trend-window, and endpoint-lag computations; the
+    * seasonal component is a (key × period)-sized census aggregate
+    * joined back on (key, phase). Trend (and residual) are NULL at the
+    * half-window edges where the centered MA is undefined. Returns
+    * (key, time, x, phase, trend, seasonal, residual). */
+  def decompose(df: DataFrame, keyCol: String, timeCol: String,
+                valueCol: String, period: Int): DataFrame = {
+    require(period >= 2 && period <= 1000,
+      s"period must be in [2, 1000], got $period")
+    val ordered = Window.partitionBy(col("__k")).orderBy(col("__t"))
+    val h = period / 2
+    val wFull = ordered.rowsBetween(-h, h)
+    val base = df
+      .filter(col(keyCol).isNotNull && col(timeCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(timeCol).as("__t"),
+        col(valueCol).cast("double").as("__x"))
+      .withColumn("__phase", (row_number().over(ordered) - lit(1)) % lit(period))
+      .withColumn("__cnt", count(lit(1)).over(wFull))
+    val trended =
+      if (period % 2 == 0)
+        base.withColumn("trend",
+          when(col("__cnt") === period + 1,
+            (sum(col("__x")).over(wFull) -
+              (lag(col("__x"), h).over(ordered) +
+                lead(col("__x"), h).over(ordered)) / lit(2.0)) / lit(period.toDouble)))
+      else
+        base.withColumn("trend",
+          when(col("__cnt") === period, sum(col("__x")).over(wFull) / lit(period.toDouble)))
+    val det = trended.withColumn("__d", col("__x") - col("trend"))
+    val phaseMeans = det.groupBy(col("__k"), col("__phase"))
+      .agg(avg(col("__d")).as("__pm"))
+      .withColumn("seasonal",
+        col("__pm") - avg(col("__pm")).over(Window.partitionBy(col("__k"))))
+      .select(col("__k"), col("__phase"), col("seasonal"))
+    det.join(phaseMeans, Seq("__k", "__phase"))
+      .select(col("__k").as(keyCol), col("__t").as(timeCol),
+        col("__x").as("x"), col("__phase").as("phase"), col("trend"),
+        col("seasonal"),
+        (col("__x") - col("trend") - col("seasonal")).as("residual"))
+  }
+
   def acf(df: DataFrame, keyCol: String, timeCol: String, valueCol: String,
           maxLag: Int): DataFrame = {
     require(maxLag >= 1 && maxLag <= 64, s"maxLag must be in [1, 64], got $maxLag")

@@ -33,6 +33,41 @@ class TimeSeriesSpec extends AnyFunSuite with Matchers {
       TimeSeries.acf(df, "k", "t", "x", 0)
   }
 
+  test("decompose recovers an exact linear trend + zero-sum seasonal (odd period)") {
+    // x = (10 + 2t) + s(phase), s = (3, -1, -2): MA_3 kills the seasonal
+    val s = Array(3.0, -1.0, -2.0)
+    val df = (1 to 9).map(t => ("a", t.toLong, 10.0 + 2 * t + s((t - 1) % 3)))
+      .toDF("k", "t", "x")
+    val rows = TimeSeries.decompose(df.repartition(4), "k", "t", "x", period = 3)
+      .orderBy("t").collect()
+    rows.length shouldBe 9
+    rows(0).isNullAt(rows(0).fieldIndex("trend")) shouldBe true
+    rows(8).isNullAt(rows(8).fieldIndex("trend")) shouldBe true
+    for (i <- 1 to 7) {
+      rows(i).getAs[Double]("trend") shouldBe (10.0 + 2 * (i + 1)) +- 1e-12
+      rows(i).getAs[Double]("residual") shouldBe 0.0 +- 1e-12
+    }
+    for (i <- 0 to 8)
+      rows(i).getAs[Double]("seasonal") shouldBe s(i % 3) +- 1e-12
+  }
+
+  test("decompose even period uses the half-weight 2xp moving average") {
+    // alternating +-1: interior trend (x_t + (x_{t-1}+x_{t+1})/2)/2 = 0
+    val df = (1 to 10).map(t => ("a", t.toLong, if (t % 2 == 1) 1.0 else -1.0))
+      .toDF("k", "t", "x")
+    val rows = TimeSeries.decompose(df, "k", "t", "x", period = 2)
+      .orderBy("t").collect()
+    rows(0).isNullAt(rows(0).fieldIndex("trend")) shouldBe true
+    for (i <- 1 to 8) {
+      rows(i).getAs[Double]("trend") shouldBe 0.0 +- 1e-12
+      rows(i).getAs[Double]("residual") shouldBe 0.0 +- 1e-12
+    }
+    rows(2).getAs[Double]("seasonal") shouldBe 1.0 +- 1e-12
+    rows(3).getAs[Double]("seasonal") shouldBe -1.0 +- 1e-12
+    an[IllegalArgumentException] should be thrownBy
+      TimeSeries.decompose(df, "k", "t", "x", 1)
+  }
+
   test("a pure period-2 signal has acf -1 at lag 1 and +1-ish at lag 2") {
     val df = (0 until 40).map(i => ("s", i.toLong, if (i % 2 == 0) 1.0 else -1.0))
       .toDF("k", "t", "x")
