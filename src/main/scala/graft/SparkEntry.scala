@@ -177,6 +177,28 @@ object SparkEntry {
           round(col("z") + lit(5e-10), 6).as("z"),
           round(col("chi2") + lit(5e-10), 6).as("chi2"))),
 
+    "t16_iptw_balance" -> ((s, dir) => {
+      // IPTW balance check: fixed-coefficient logistic scores (fitting
+      // is the caller's model; the weighting/diagnostic algebra is the
+      // operator), stabilized + clamped weights, weighted SMDs + ESS
+      val src = table(s, dir, "lineitem")
+        .select(
+          (col("l_discount") > 0.05).cast("int").as("treat"),
+          (lit(1.0) / (lit(1.0) + exp(-(lit(-0.2) + lit(0.01) * col("l_quantity") +
+            lit(2.0) * col("l_tax"))))).as("ps"),
+          col("l_quantity"), col("l_extendedprice"))
+      graft.tableone.Iptw.weightedBalance(
+          graft.tableone.Iptw.stabilizedWeights(src, "treat", "ps", 0.1, 10.0),
+          "treat", "iptw", Seq("l_quantity", "l_extendedprice"))
+        .select(col("variable"), col("n_t"), col("n_c"),
+          round(col("ess_t") + lit(5e-10), 6).as("ess_t"),
+          round(col("ess_c") + lit(5e-10), 6).as("ess_c"),
+          round(col("wmean_t") + lit(5e-10), 6).as("wmean_t"),
+          round(col("wmean_c") + lit(5e-10), 6).as("wmean_c"),
+          round(col("wsmd") + lit(5e-10), 6).as("wsmd"))
+        .orderBy("variable")
+    }),
+
     // ---- core aggregation operators (SURVEY.md §2.4) ----
     "a1_group_count" -> ((s, dir) =>
       table(s, dir, "lineitem").groupBy("l_returnflag")
@@ -781,6 +803,40 @@ object SparkEntry {
         "round((o_lo::DOUBLE - e_lo) / sqrt(v) + 5e-10, 6) AS z, " +
         "round((o_lo::DOUBLE - e_lo) * (o_lo::DOUBLE - e_lo) / v + 5e-10, 6) AS chi2 " +
         "FROM s"),
+    "t16_iptw_balance" ->
+      // marginal rate, stabilized/clamped weights, melted conditional
+      // weighted moments — every formula in the operator's order
+      ("WITH src AS (SELECT CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS t, " +
+        "1.0 / (1.0 + exp(-(-0.2 + 0.01 * l_quantity + 2.0 * l_tax))) AS ps, " +
+        "l_quantity AS q, l_extendedprice AS e FROM lineitem), " +
+        "p AS (SELECT avg(t::DOUBLE) AS p FROM src), " +
+        "w AS (SELECT t, q, e, CASE WHEN ps > 0 AND ps < 1 THEN " +
+        "least(greatest(CASE WHEN t = 1 THEN p.p / ps " +
+        "ELSE (1.0 - p.p) / (1.0 - ps) END, 0.1), 10.0) END AS w " +
+        "FROM src CROSS JOIN p), " +
+        "m AS (SELECT 'l_quantity' AS variable, t, w, q AS x FROM w " +
+        "UNION ALL SELECT 'l_extendedprice', t, w, e FROM w), " +
+        "g AS (SELECT variable, " +
+        "sum(CASE WHEN t = 1 THEN 1 ELSE 0 END)::BIGINT AS n_t, " +
+        "sum(CASE WHEN t = 0 THEN 1 ELSE 0 END)::BIGINT AS n_c, " +
+        "sum(CASE WHEN t = 1 THEN w ELSE 0.0 END) AS swt, " +
+        "sum(CASE WHEN t = 0 THEN w ELSE 0.0 END) AS swc, " +
+        "sum(CASE WHEN t = 1 THEN w * w ELSE 0.0 END) AS swwt, " +
+        "sum(CASE WHEN t = 0 THEN w * w ELSE 0.0 END) AS swwc, " +
+        "sum(CASE WHEN t = 1 THEN w * x ELSE 0.0 END) AS swxt, " +
+        "sum(CASE WHEN t = 0 THEN w * x ELSE 0.0 END) AS swxc, " +
+        "sum(CASE WHEN t = 1 THEN w * x * x ELSE 0.0 END) AS swxxt, " +
+        "sum(CASE WHEN t = 0 THEN w * x * x ELSE 0.0 END) AS swxxc " +
+        "FROM m WHERE w IS NOT NULL AND x IS NOT NULL GROUP BY variable), " +
+        "f AS (SELECT variable, n_t, n_c, swt * swt / swwt AS ess_t, " +
+        "swc * swc / swwc AS ess_c, swxt / swt AS mt, swxc / swc AS mc, " +
+        "(swxxt / swt - swxt / swt * (swxt / swt) + " +
+        "(swxxc / swc - swxc / swc * (swxc / swc))) / 2.0 AS pooled FROM g) " +
+        "SELECT variable, n_t, n_c, round(ess_t + 5e-10, 6) AS ess_t, " +
+        "round(ess_c + 5e-10, 6) AS ess_c, round(mt + 5e-10, 6) AS wmean_t, " +
+        "round(mc + 5e-10, 6) AS wmean_c, " +
+        "round(CASE WHEN pooled > 0 THEN (mt - mc) / sqrt(pooled) END + 5e-10, 6) AS wsmd " +
+        "FROM f ORDER BY variable"),
     "t10_weighted_summary" ->
       ("WITH src AS (SELECT l_returnflag AS stratum, l_linestatus, l_quantity, " +
         "1.0 + (l_orderkey % 5) * 0.5 AS w FROM lineitem), " +
