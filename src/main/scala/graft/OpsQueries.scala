@@ -1063,6 +1063,19 @@ object OpsQueries {
           round(col("acf") + lit(5e-10), 6).as("acf"))
         .orderBy("event_type", "lag")
     }),
+    "x20_benford" -> ((s, dir) =>
+      // first-digit audit of prices-in-cents: the digit comes from the
+      // decimal string, immune to the log10 power-of-ten knife edge
+      graft.ops.Audit.benford(
+          table(s, dir, "lineitem")
+            .select(round(col("l_extendedprice") * lit(100)).cast("long")
+              .as("cents")),
+          "cents")
+        .select(col("digit"), col("cnt"),
+          round(col("obs_freq") + lit(5e-10), 6).as("obs_freq"),
+          round(col("exp_freq") + lit(5e-10), 6).as("exp_freq"),
+          round(col("dev") + lit(5e-10), 6).as("dev"))
+        .orderBy("digit")),
     "x19_zipf" -> ((s, dir) =>
       // corpus-health Zipf fit: vocabulary census -> rank window over
       // vocab rows only -> closed-form OLS in one aggregate
@@ -4218,6 +4231,17 @@ object OpsQueries {
             s"round(CASE WHEN den > 0 THEN n$k / den END + 5e-10, 6) AS acf FROM a")
           .mkString(" UNION ALL ") +
         " ORDER BY event_type, lag"),
+    "x20_benford" ->
+      // same string-digit extraction, census, and Benford expectation
+      ("WITH d AS (SELECT substr((round(l_extendedprice * 100)::BIGINT)::VARCHAR, 1, 1)::INTEGER AS digit " +
+        "FROM lineitem WHERE l_extendedprice IS NOT NULL " +
+        "AND round(l_extendedprice * 100)::BIGINT > 0), " +
+        "c AS (SELECT digit, count(*)::BIGINT AS cnt FROM d GROUP BY digit), " +
+        "t AS (SELECT digit, cnt, cnt::DOUBLE / (SELECT sum(cnt) FROM c) AS obs, " +
+        "log10(1.0 + 1.0 / digit::DOUBLE) AS expf FROM c) " +
+        "SELECT digit, cnt, round(obs + 5e-10, 6) AS obs_freq, " +
+        "round(expf + 5e-10, 6) AS exp_freq, " +
+        "round(obs - expf + 5e-10, 6) AS dev FROM t ORDER BY digit"),
     "x19_zipf" ->
       // vocab census -> (cnt desc, token) rank -> the OLS sums and the
       // operator's exact cov/vx/vy formulas

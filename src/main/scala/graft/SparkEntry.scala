@@ -199,6 +199,27 @@ object SparkEntry {
         .orderBy("variable")
     }),
 
+    "a21_association" -> ((s, dir) =>
+      // categorical association report (leakage / redundancy check):
+      // chi-square, Cramér's V, and mutual information from ONE
+      // contingency census
+      graft.ops.Association.associationStats(
+          table(s, dir, "lineitem"), "l_returnflag", "l_linestatus")
+        .select(col("n"), col("n_a"), col("n_b"),
+          round(col("chi2") + lit(5e-10), 6).as("chi2"),
+          round(col("cramers_v") + lit(5e-10), 6).as("cramers_v"),
+          round(col("mutual_info") + lit(5e-10), 6).as("mutual_info"))),
+
+    "a22_gini" -> ((s, dir) =>
+      // exact concentration coefficient per stratum without a pairwise
+      // join — the census cumulative walk
+      graft.ops.Audit.groupedGini(
+          table(s, dir, "lineitem"), "l_returnflag", "l_extendedprice")
+        .select(col("l_returnflag"), col("n"),
+          round(col("mean") + lit(5e-10), 6).as("mean"),
+          round(col("gini") + lit(5e-10), 6).as("gini"))
+        .orderBy("l_returnflag")),
+
     // ---- core aggregation operators (SURVEY.md §2.4) ----
     "a1_group_count" -> ((s, dir) =>
       table(s, dir, "lineitem").groupBy("l_returnflag")
@@ -837,6 +858,39 @@ object SparkEntry {
         "round(mc + 5e-10, 6) AS wmean_c, " +
         "round(CASE WHEN pooled > 0 THEN (mt - mc) / sqrt(pooled) END + 5e-10, 6) AS wsmd " +
         "FROM f ORDER BY variable"),
+    "a21_association" ->
+      // census + marginal windows + the expectation-residual chi2 (no
+      // absent-cell materialization), V and MI in the operator's order
+      ("WITH cells AS (SELECT l_returnflag::VARCHAR AS a, l_linestatus::VARCHAR AS b, " +
+        "count(*)::BIGINT AS c FROM lineitem " +
+        "WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL GROUP BY 1, 2), " +
+        "mg AS (SELECT a, b, c, sum(c) OVER (PARTITION BY a)::BIGINT AS ca, " +
+        "sum(c) OVER (PARTITION BY b)::BIGINT AS cb, sum(c) OVER ()::BIGINT AS n FROM cells), " +
+        "s AS (SELECT min(n)::BIGINT AS n, count(DISTINCT a)::BIGINT AS n_a, " +
+        "count(DISTINCT b)::BIGINT AS n_b, " +
+        "sum((c - ca::DOUBLE * cb / n) * (c - ca::DOUBLE * cb / n) / " +
+        "(ca::DOUBLE * cb / n)) AS chiobs, " +
+        "sum(ca::DOUBLE * cb / n) AS eobs, " +
+        "sum(c::DOUBLE / n::DOUBLE * ln(c::DOUBLE * n::DOUBLE / (ca::DOUBLE * cb))) AS mi " +
+        "FROM mg) " +
+        "SELECT n, n_a, n_b, round(chiobs + (n::DOUBLE - eobs) + 5e-10, 6) AS chi2, " +
+        "round(CASE WHEN least(n_a, n_b) - 1 > 0 THEN " +
+        "sqrt((chiobs + (n::DOUBLE - eobs)) / (n::DOUBLE * (least(n_a, n_b) - 1))) END " +
+        "+ 5e-10, 6) AS cramers_v, round(mi + 5e-10, 6) AS mutual_info FROM s"),
+    "a22_gini" ->
+      // the sorted-census cumulative count/sum walk, term for term
+      ("WITH cen AS (SELECT l_returnflag AS g, l_extendedprice::DOUBLE AS v, " +
+        "count(*)::BIGINT AS c FROM lineitem WHERE l_returnflag IS NOT NULL " +
+        "AND l_extendedprice IS NOT NULL AND l_extendedprice >= 0 GROUP BY 1, 2), " +
+        "w AS (SELECT g, v, c, coalesce(sum(c) OVER pw, 0)::BIGINT AS cb, " +
+        "coalesce(sum(c::DOUBLE * v) OVER pw, 0.0) AS sb FROM cen " +
+        "WINDOW pw AS (PARTITION BY g ORDER BY v " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), " +
+        "s AS (SELECT g, sum(c)::BIGINT AS n, sum(c::DOUBLE * v) AS sv, " +
+        "sum(c::DOUBLE * (v * cb - sb)) AS md FROM w GROUP BY g) " +
+        "SELECT g AS l_returnflag, n, round(sv / n::DOUBLE + 5e-10, 6) AS mean, " +
+        "round(CASE WHEN sv > 0 THEN md / (n::DOUBLE * sv) END + 5e-10, 6) AS gini " +
+        "FROM s ORDER BY 1"),
     "t10_weighted_summary" ->
       ("WITH src AS (SELECT l_returnflag AS stratum, l_linestatus, l_quantity, " +
         "1.0 + (l_orderkey % 5) * 0.5 AS w FROM lineitem), " +

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-audit statistics — distribution-shape checks that flag
+  * fabricated, truncated, or template-generated numeric columns before
+  * they poison a training corpus: Benford first-digit conformance (real
+  * transaction/measurement data follows log10(1+1/d); synthetic or
+  * capped data does not) and the Gini concentration coefficient (how
+  * unequally a quantity is spread — token budgets, spend, dup counts).
+  */
+object Audit {
+
+  /** Benford first-significant-digit profile of a positive integer
+    * column (convert currency to cents etc. upstream — the digit is
+    * taken from the DECIMAL STRING, not via log10, whose float
+    * round-trip misclassifies exact powers of ten). Returns one row per
+    * observed digit: (digit, cnt, obs_freq, exp_freq, dev); dev =
+    * obs − exp is signed so the caller can read excess/deficit
+    * directly. Non-positive and null values are excluded (they carry
+    * no leading digit). */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val digits = df.filter(v.isNotNull && (v > 0))
+      .select(substring(v.cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("cnt"))
+    val nTot = Window.partitionBy()
+    digits
+      .withColumn("__n", sum("cnt").over(nTot))
+      .select(col("digit"), col("cnt"),
+        (col("cnt").cast("double") / col("__n")).as("obs_freq"),
+        log10(lit(1.0) + lit(1.0) / col("digit").cast("double")).as("exp_freq"))
+      .withColumn("dev", col("obs_freq") - col("exp_freq"))
+  }
+
+  /** Exact per-group Gini coefficient G = Σᵢⱼ|xᵢ−xⱼ| / (2n²μ) over a
+    * non-negative value column, computed WITHOUT a pairwise join: on
+    * the sorted distinct-value census, Σ_{i<j} cᵢcⱼ(xⱼ−xᵢ) =
+    * Σⱼ cⱼ·(xⱼ·C₍<ⱼ₎ − S₍<ⱼ₎) with cumulative count/sum windows — the
+    * [[Quantiles]] census discipline (the window orders distinct
+    * values, not rows). G = that sum / (n · Σx). Returns
+    * (group, n, mean, gini); gini NULL when the group total is 0. */
+  def groupedGini(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val census = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull &&
+        (col(valueCol) >= 0))
+      .groupBy(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val before = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    census
+      .withColumn("__cb", coalesce(sum("__c").over(before), lit(0L)))
+      .withColumn("__sb", coalesce(sum(col("__c").cast("double") * col("__v"))
+        .over(before), lit(0.0)))
+      .groupBy(col("__g"))
+      .agg(sum("__c").as("n"),
+        sum(col("__c").cast("double") * col("__v")).as("__s"),
+        sum(col("__c").cast("double") *
+          (col("__v") * col("__cb") - col("__sb"))).as("__md"))
+      .select(col("__g").as(groupCol), col("n"),
+        (col("__s") / col("n").cast("double")).as("mean"),
+        when(col("__s") > 0,
+          col("__md") / (col("n").cast("double") * col("__s"))).as("gini"))
+  }
+}

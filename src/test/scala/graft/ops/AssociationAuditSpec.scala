@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class AssociationAuditSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("associationStats: perfect association gives V=1 and MI=ln(2)") {
+    val df = (Seq.fill(5)(("x", "x")) ++ Seq.fill(5)(("y", "y"))).toDF("a", "b")
+    val r = Association.associationStats(df.repartition(3), "a", "b").head()
+    r.getAs[Long]("n") shouldBe 10L
+    r.getAs[Long]("n_a") shouldBe 2L
+    r.getAs[Double]("chi2") shouldBe 10.0 +- 1e-12
+    r.getAs[Double]("cramers_v") shouldBe 1.0 +- 1e-12
+    r.getAs[Double]("mutual_info") shouldBe math.log(2.0) +- 1e-12
+  }
+
+  test("associationStats: independence gives 0; constant column gives NULL V") {
+    val indep = (for (a <- Seq("x", "y"); b <- Seq("u", "v"); _ <- 1 to 25)
+      yield (a, b)).toDF("a", "b")
+    val r = Association.associationStats(indep, "a", "b").head()
+    r.getAs[Double]("chi2") shouldBe 0.0 +- 1e-12
+    r.getAs[Double]("cramers_v") shouldBe 0.0 +- 1e-12
+    r.getAs[Double]("mutual_info") shouldBe 0.0 +- 1e-12
+    val const = Seq(("x", "u"), ("x", "v")).toDF("a", "b")
+    val rc = Association.associationStats(const, "a", "b").head()
+    rc.isNullAt(rc.fieldIndex("cramers_v")) shouldBe true
+    rc.getAs[Double]("chi2") shouldBe 0.0 +- 1e-12
+  }
+
+  test("associationStats counts absent cells through the expectation residual") {
+    // L-shaped table: (x,u)=4, (x,v)=4, (y,u)=4 — cell (y,v) absent
+    val df = (Seq.fill(4)(("x", "u")) ++ Seq.fill(4)(("x", "v")) ++
+      Seq.fill(4)(("y", "u"))).toDF("a", "b")
+    val r = Association.associationStats(df, "a", "b").head()
+    // marginals: x=8,y=4; u=8,v=4; e(y,v) = 4*4/12 = 4/3 contributes fully
+    val e = Map(("x", "u") -> 16.0 / 3, ("x", "v") -> 8.0 / 3, ("y", "u") -> 8.0 / 3)
+    val chiObs = e.map { case (k, ev) =>
+      val o = if (k == ("x", "u")) 4.0 else 4.0
+      (o - ev) * (o - ev) / ev
+    }.sum
+    r.getAs[Double]("chi2") shouldBe (chiObs + (12.0 - e.values.sum)) +- 1e-9
+  }
+
+  test("benford takes digits from the decimal string, not log10") {
+    val df = Seq(1L, 10L, 100L, 1000L, 999L, 23L, 0L, -5L).toDF("v")
+    val by = Audit.benford(df.repartition(3), "v")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    by(1)._1 shouldBe 4L // 1, 10, 100, 1000 — powers of ten stay digit 1
+    by(9)._1 shouldBe 1L
+    by(2)._1 shouldBe 1L
+    by.values.map(_._1).sum shouldBe 6L // 0 and -5 excluded
+    by(1)._2 shouldBe (4.0 / 6.0) +- 1e-12
+    val exp1 = Audit.benford(df, "v").filter("digit = 1")
+      .head().getAs[Double]("exp_freq")
+    exp1 shouldBe math.log10(2.0) +- 1e-12
+  }
+
+  test("groupedGini matches hand traces and brute force") {
+    val df = Seq(("a", 1.0), ("a", 1.0), ("a", 4.0), // G = 1/3
+      ("b", 5.0), ("b", 5.0), // equal -> 0
+      ("c", 0.0), ("c", 2.0), // one holder of everything -> (n-1)/n = 1/2
+      ("z", 0.0), ("z", 0.0)) // zero total -> NULL
+      .toDF("g", "x")
+    val by = Audit.groupedGini(df.repartition(4), "g", "x")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    by("a").getAs[Double]("gini") shouldBe (1.0 / 3.0) +- 1e-12
+    by("a").getAs[Double]("mean") shouldBe 2.0 +- 1e-12
+    by("b").getAs[Double]("gini") shouldBe 0.0 +- 1e-12
+    by("c").getAs[Double]("gini") shouldBe 0.5 +- 1e-12
+    by("z").isNullAt(by("z").fieldIndex("gini")) shouldBe true
+    // brute-force parity on a pseudo-random group
+    val xs = (1 to 60).map(i => (i * 37 % 23).toDouble)
+    val g = Audit.groupedGini(xs.map(("r", _)).toDF("g", "x"), "g", "x")
+      .head().getAs[Double]("gini")
+    val n = xs.length
+    val brute = (for (a <- xs; b <- xs) yield math.abs(a - b)).sum /
+      (2.0 * n * n * (xs.sum / n))
+    g shouldBe brute +- 1e-9
+  }
+}
