@@ -1088,6 +1088,31 @@ object OpsQueries {
           round(col("slope") + lit(5e-10), 6).as("slope"),
           round(col("intercept") + lit(5e-10), 6).as("intercept"),
           round(col("r2") + lit(5e-10), 6).as("r2"))),
+    "e18_markov_transitions" -> ((s, dir) =>
+      // behavioral baseline: P(next event | current event) per user
+      // stream, deterministic under equal timestamps via the event-id
+      // tiebreak
+      TimeSeries.transitionMatrix(
+          table(s, dir, "events"), "user_id", "ts", "event_type", "event_id")
+        .select(col("from_state"), col("to_state"), col("cnt"),
+          round(col("prob") + lit(5e-10), 6).as("prob"))
+        .orderBy("from_state", "to_state")),
+    "q9_cross_correlation" -> ((s, dir) => {
+      // does purchasing echo clicking? lead-lag correlation between the
+      // two hourly series on one shared grid
+      val hourly = table(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(when(col("event_type") === "click", 1).otherwise(0))
+          .cast("double").as("x"),
+          sum(when(col("event_type") === "purchase", 1).otherwise(0))
+            .cast("double").as("y"))
+        .withColumn("k", lit("click_purchase"))
+      TimeSeries.crossCorrelation(hourly, "k", "h", "x", "y", maxLag = 4)
+        .select(col("k"), col("lag"), col("n_pairs"),
+          round(col("ccf") + lit(5e-10), 6).as("ccf"))
+        .orderBy("lag")
+    }),
     "q8_seasonal_decompose" -> ((s, dir) => {
       // hour-of-day seasonality of event traffic: classical additive
       // decomposition with the 2x24 centered MA; one shuffle per type
@@ -4258,6 +4283,43 @@ object OpsQueries {
         "round(CASE WHEN vx > 0 THEN (sy - cov / vx * sx) / n::DOUBLE END + 5e-10, 6) AS intercept, " +
         "round(CASE WHEN vx > 0 AND vy > 0 THEN cov * cov / (vx * vy) END + 5e-10, 6) AS r2 " +
         "FROM f"),
+    "e18_markov_transitions" ->
+      // the lag window with the same (ts, event_id) order, bigram
+      // census, marginal-window normalization
+      ("WITH s AS (SELECT user_id, ts, event_id, event_type FROM events " +
+        "WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL), " +
+        "l AS (SELECT event_type AS t, lag(event_type) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS f FROM s), " +
+        "c AS (SELECT f AS from_state, t AS to_state, count(*)::BIGINT AS cnt " +
+        "FROM l WHERE f IS NOT NULL GROUP BY 1, 2) " +
+        "SELECT from_state, to_state, cnt, round(cnt::DOUBLE / " +
+        "sum(cnt) OVER (PARTITION BY from_state) + 5e-10, 6) AS prob " +
+        "FROM c ORDER BY from_state, to_state"),
+    "q9_cross_correlation" -> {
+      def nm(k: Int) = if (k < 0) s"m${-k}" else s"p$k"
+      val lagCols = (1 to 4).map(k =>
+        s"lag(y, $k) OVER w AS y${nm(k)}, lead(y, $k) OVER w AS y${nm(-k)}")
+        .mkString(", ")
+      val aggCols = (-4 to 4).map { k =>
+        val yk = if (k == 0) "y" else s"y${nm(k)}"
+        s"sum(CASE WHEN $yk IS NOT NULL THEN (x - mx) * ($yk - my) ELSE 0.0 END) AS num${nm(k)}, " +
+          s"sum(CASE WHEN $yk IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS c${nm(k)}"
+      }.mkString(", ")
+      val sel = (-4 to 4).map { k =>
+        s"SELECT 'click_purchase' AS k, $k AS lag, c${nm(k)} AS n_pairs, " +
+          s"round(CASE WHEN dx2 > 0 AND dy2 > 0 THEN num${nm(k)} / sqrt(dx2 * dy2) END " +
+          "+ 5e-10, 6) AS ccf FROM a"
+      }.mkString(" UNION ALL ")
+      "WITH hourly AS (SELECT date_trunc('hour', ts) AS h, " +
+        "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::DOUBLE AS x, " +
+        "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::DOUBLE AS y " +
+        "FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1), " +
+        "b AS (SELECT h, x, y, avg(x) OVER () AS mx, avg(y) OVER () AS my FROM hourly), " +
+        s"l AS (SELECT x, y, mx, my, $lagCols FROM b WINDOW w AS (ORDER BY h)), " +
+        "a AS (SELECT sum((x - mx) * (x - mx)) AS dx2, " +
+        s"sum((y - my) * (y - my)) AS dy2, $aggCols FROM l) " +
+        sel + " ORDER BY lag"
+    },
     "q8_seasonal_decompose" ->
       // the same windows: row-number phase, 25-row centered sum with
       // half-weight endpoints, phase-mean census, centering, remainder

@@ -78,6 +78,82 @@ object TimeSeries {
         (col("__x") - col("trend") - col("seasonal")).as("residual"))
   }
 
+  /** First-order Markov transition matrix over per-entity event
+    * sequences: P(next = b | current = a) estimated from the bigram
+    * census of each entity's time-ordered stream — the behavioral-model
+    * summary (and anomaly baseline) of an event log. `tieCol` breaks
+    * equal timestamps so the sequence — and therefore the census — is
+    * deterministic.
+    *
+    * Scale shape: one shuffle keyed by entity for the lag window, then
+    * a map-side-combined (from, to) census; row-normalization is a
+    * marginal window over the states×states census, never over events.
+    * Returns (from_state, to_state, cnt, prob). */
+  def transitionMatrix(df: DataFrame, entityCol: String, timeCol: String,
+                       stateCol: String, tieCol: String): DataFrame = {
+    val ordered = Window.partitionBy(col("__e"))
+      .orderBy(col("__t"), col("__tb"))
+    df.filter(col(entityCol).isNotNull && col(timeCol).isNotNull &&
+        col(stateCol).isNotNull)
+      .select(col(entityCol).as("__e"), col(timeCol).as("__t"),
+        col(tieCol).as("__tb"), col(stateCol).cast("string").as("__s"))
+      .withColumn("__prev", lag(col("__s"), 1).over(ordered))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("from_state"), col("__s").as("to_state"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("prob", col("cnt").cast("double") /
+        sum("cnt").over(Window.partitionBy(col("from_state"))))
+  }
+
+  /** Lead-lag cross-correlation between two aligned series per key:
+    * r(k) = Σ(x_t − x̄)(y_{t−k} − ȳ) / √(Σ(x−x̄)²·Σ(y−ȳ)²) for
+    * k = −maxLag..maxLag — positive k means x echoes y k steps later
+    * (y leads). Same one-shuffle shape and regular-grid contract as
+    * [[acf]]; the global means/denominators keep r(0) equal to the
+    * plain Pearson correlation. Returns (key, lag, n_pairs, ccf). */
+  def crossCorrelation(df: DataFrame, keyCol: String, timeCol: String,
+                       xCol: String, yCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64, s"maxLag must be in [1, 64], got $maxLag")
+    val byKey = Window.partitionBy(col("__k"))
+    val ordered = byKey.orderBy(col("__t"))
+    var d = df
+      .filter(col(keyCol).isNotNull && col(timeCol).isNotNull &&
+        col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(timeCol).as("__t"),
+        col(xCol).cast("double").as("__x"), col(yCol).cast("double").as("__y"))
+      .withColumn("__mx", avg(col("__x")).over(byKey))
+      .withColumn("__my", avg(col("__y")).over(byKey))
+    for (k <- -maxLag to maxLag; if k != 0)
+      d = d.withColumn(s"__yl${lagName(k)}",
+        // explicit lead for negative k (not lag with a negative offset,
+        // which not every engine honors — the oracle replays lead too)
+        if (k < 0) lead(col("__y"), -k).over(ordered)
+        else lag(col("__y"), k).over(ordered))
+    val dx = col("__x") - col("__mx")
+    val aggs =
+      Seq(sum(dx * dx).as("__dx2"),
+        sum((col("__y") - col("__my")) * (col("__y") - col("__my"))).as("__dy2")) ++
+        (-maxLag to maxLag).flatMap { k =>
+          val yk = if (k == 0) col("__y") else col(s"__yl${lagName(k)}")
+          Seq(
+            sum(when(yk.isNotNull, dx * (yk - col("__my")))
+              .otherwise(lit(0.0))).as(s"__num${lagName(k)}"),
+            sum(when(yk.isNotNull, lit(1L)).otherwise(lit(0L))).as(s"__n${lagName(k)}"))
+        }
+    val rows = (-maxLag to maxLag).map { k =>
+      struct(lit(k).as("lag"), col(s"__n${lagName(k)}").as("n_pairs"),
+        when(col("__dx2") > 0 && col("__dy2") > 0,
+          col(s"__num${lagName(k)}") / sqrt(col("__dx2") * col("__dy2"))).as("ccf"))
+    }
+    d.groupBy(col("__k"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("__k"), explode(array(rows: _*)).as("__r"))
+      .select(col("__k").as(keyCol), col("__r.lag").as("lag"),
+        col("__r.n_pairs").as("n_pairs"), col("__r.ccf").as("ccf"))
+  }
+
+  private def lagName(k: Int): String = if (k < 0) s"m${-k}" else s"p$k"
+
   def acf(df: DataFrame, keyCol: String, timeCol: String, valueCol: String,
           maxLag: Int): DataFrame = {
     require(maxLag >= 1 && maxLag <= 64, s"maxLag must be in [1, 64], got $maxLag")

@@ -68,6 +68,40 @@ class TimeSeriesSpec extends AnyFunSuite with Matchers {
       TimeSeries.decompose(df, "k", "t", "x", 1)
   }
 
+  test("transitionMatrix counts bigrams per entity and row-normalizes") {
+    val df = Seq((1L, 1L, 0L, "A"), (1L, 2L, 0L, "B"), (1L, 3L, 0L, "A"),
+      (1L, 4L, 0L, "B"), (2L, 1L, 0L, "A"), (2L, 2L, 0L, "A"))
+      .toDF("u", "t", "id", "s")
+    val m = TimeSeries.transitionMatrix(df.repartition(3), "u", "t", "s", "id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    m(("A", "B")) shouldBe (2L, 2.0 / 3.0)
+    m(("A", "A")) shouldBe (1L, 1.0 / 3.0)
+    m(("B", "A")) shouldBe (1L, 1.0)
+    m.size shouldBe 3
+    // equal timestamps: the tie column pins the sequence
+    val tied = Seq((1L, 5L, 1L, "X"), (1L, 5L, 2L, "Y")).toDF("u", "t", "id", "s")
+    TimeSeries.transitionMatrix(tied, "u", "t", "s", "id")
+      .head().getString(0) shouldBe "X"
+  }
+
+  test("crossCorrelation finds the lead-lag structure of a shifted alternation") {
+    // y_t = x_{t+1} = -x_t on a +-1 alternation: r(0) = -1, r(+-1) = 7/8
+    val df = (1 to 8).map { t =>
+      val x = if (t % 2 == 1) 1.0 else -1.0
+      ("s", t.toLong, x, -x)
+    }.toDF("k", "t", "x", "y")
+    val rows = TimeSeries.crossCorrelation(df.repartition(5), "k", "t", "x", "y", 1)
+      .orderBy("lag").collect()
+    rows.map(_.getAs[Int]("lag")).toSeq shouldBe Seq(-1, 0, 1)
+    rows.map(_.getAs[Long]("n_pairs")).toSeq shouldBe Seq(7L, 8L, 7L)
+    rows(1).getAs[Double]("ccf") shouldBe -1.0 +- 1e-12
+    rows(0).getAs[Double]("ccf") shouldBe (7.0 / 8.0) +- 1e-12
+    rows(2).getAs[Double]("ccf") shouldBe (7.0 / 8.0) +- 1e-12
+    an[IllegalArgumentException] should be thrownBy
+      TimeSeries.crossCorrelation(df, "k", "t", "x", "y", 0)
+  }
+
   test("a pure period-2 signal has acf -1 at lag 1 and +1-ish at lag 2") {
     val df = (0 until 40).map(i => ("s", i.toLong, if (i % 2 == 0) 1.0 else -1.0))
       .toDF("k", "t", "x")
