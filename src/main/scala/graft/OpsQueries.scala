@@ -189,6 +189,16 @@ object OpsQueries {
     }),
 
     // ---- similarity search over embeddings -----------------------------
+    "s12_centroid_outliers" -> ((s, dir) =>
+      // per-label embedding outlier screen: k-row centroid exchange,
+      // broadcast back, one group-keyed window for the z-scores; all
+      // rows emitted so no engine sits on the threshold knife edge
+      Similarity.centroidOutliers(table(s, dir, "embeddings"),
+          "vec_id", "label", "embedding", dim = 64)
+        .select(col("vec_id"), col("label"),
+          round(col("dist") + lit(5e-10), 6).as("dist"),
+          round(col("z") + lit(5e-10), 6).as("z"))
+        .orderBy("vec_id")),
     "s5_embedding_by_lang" -> ((s, dir) => {
       // cross-modal profiling join: the narrow text-metadata projection
       // (doc_id, lang) broadcasts into the embedding scan — the vector
@@ -2853,6 +2863,22 @@ object OpsQueries {
         "FROM cb JOIN qb USING (bucket)) WHERE rn <= 10 " +
         "ORDER BY query_id, cosine DESC, id")
     },
+    "s12_centroid_outliers" ->
+      // per-dim centroid means, the same squared-diff fold, label
+      // windows for mu/sd
+      ("WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings " +
+        "WHERE vec_id IS NOT NULL AND label IS NOT NULL AND embedding IS NOT NULL " +
+        "AND len(embedding) = 64), " +
+        "c AS (SELECT label, dim, avg(v[dim]) AS cx FROM e " +
+        "CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) GROUP BY 1, 2), " +
+        "d AS (SELECT e.vec_id, e.label, " +
+        "sqrt(sum((e.v[c.dim] - c.cx) * (e.v[c.dim] - c.cx))) AS dist " +
+        "FROM e JOIN c USING (label) GROUP BY 1, 2), " +
+        "z AS (SELECT vec_id, label, dist, avg(dist) OVER (PARTITION BY label) AS mu, " +
+        "stddev_samp(dist) OVER (PARTITION BY label) AS sd FROM d) " +
+        "SELECT vec_id, label, round(dist + 5e-10, 6) AS dist, " +
+        "round(CASE WHEN sd > 0 THEN (dist - mu) / sd END + 5e-10, 6) AS z " +
+        "FROM z ORDER BY vec_id"),
     "s5_embedding_by_lang" ->
       ("WITH e AS (SELECT vec_id, label, " +
         "sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x), 'sum')) AS l2 " +

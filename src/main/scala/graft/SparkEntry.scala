@@ -220,6 +220,21 @@ object SparkEntry {
           round(col("gini") + lit(5e-10), 6).as("gini"))
         .orderBy("l_returnflag")),
 
+    "a23_quantile_normalize" -> ((s, dir) =>
+      // feature harmonization: both lineitem features forced onto the
+      // shared rank-mean distribution; output thinned to a prime-stride
+      // rank sample so the compare stays aggregate-sized
+      Quantiles.quantileNormalize(
+          table(s, dir, "lineitem")
+            .select((col("l_orderkey") * 10 + col("l_linenumber")).as("lid"),
+              col("l_quantity"), col("l_discount")),
+          "lid", Seq("l_quantity", "l_discount"))
+        .filter(col("rank") % 997 === 0)
+        .select(col("lid"), col("feature"), col("rank").cast("long").as("rank"),
+          col("value"),
+          round(col("normalized") + lit(5e-10), 6).as("normalized"))
+        .orderBy("feature", "rank")),
+
     // ---- core aggregation operators (SURVEY.md §2.4) ----
     "a1_group_count" -> ((s, dir) =>
       table(s, dir, "lineitem").groupBy("l_returnflag")
@@ -891,6 +906,21 @@ object SparkEntry {
         "SELECT g AS l_returnflag, n, round(sv / n::DOUBLE + 5e-10, 6) AS mean, " +
         "round(CASE WHEN sv > 0 THEN md / (n::DOUBLE * sv) END + 5e-10, 6) AS gini " +
         "FROM s ORDER BY 1"),
+    "a23_quantile_normalize" ->
+      // melted frame, per-feature (value, id) rank, rank-mean reference
+      ("WITH src AS (SELECT l_orderkey * 10 + l_linenumber AS lid, " +
+        "l_quantity::DOUBLE AS q, l_discount::DOUBLE AS d FROM lineitem " +
+        "WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL " +
+        "AND l_quantity IS NOT NULL AND l_discount IS NOT NULL), " +
+        "m AS (SELECT lid, 'l_quantity' AS feature, q AS x FROM src " +
+        "UNION ALL SELECT lid, 'l_discount', d FROM src), " +
+        "r AS (SELECT lid, feature, x, row_number() OVER " +
+        "(PARTITION BY feature ORDER BY x, lid) AS rank FROM m), " +
+        "ref AS (SELECT rank, avg(x) AS nrm FROM r GROUP BY rank) " +
+        "SELECT r.lid, r.feature, r.rank, r.x AS value, " +
+        "round(ref.nrm + 5e-10, 6) AS normalized " +
+        "FROM r JOIN ref USING (rank) WHERE r.rank % 997 = 0 " +
+        "ORDER BY feature, rank"),
     "t10_weighted_summary" ->
       ("WITH src AS (SELECT l_returnflag AS stratum, l_linestatus, l_quantity, " +
         "1.0 + (l_orderkey % 5) * 0.5 AS w FROM lineitem), " +

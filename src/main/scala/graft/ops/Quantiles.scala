@@ -369,4 +369,40 @@ object Quantiles {
       .agg(min(col("__v")).as("median"), min(col("__tw")).as("total_w"))
       .select(col(groupCol), col("total_w"), col("median"))
   }
+
+  /** Quantile normalization across feature columns — the preprocessing
+    * transform that forces every feature onto the SAME empirical
+    * distribution (the mean of the per-rank order statistics), the
+    * bioinformatics/feature-harmonization standard. Rows with any null
+    * feature are dropped first so every feature carries the same count
+    * and ranks align; within-feature ties are ordered by `idCol`
+    * (row_number semantics — deterministic and externally replayable;
+    * classical tie-averaging can be layered on the output).
+    *
+    * Scale shape: this op IS a per-feature full sort (ranks are global
+    * order statistics — no census shortcut exists for the reference
+    * distribution), melted so all features sort in ONE window shuffle
+    * partitioned by feature; the rank-mean reference is a
+    * map-side-combined aggregate joined back by rank. At truly
+    * unbounded scale, pre-bin values and normalize bin representatives
+    * instead. Returns (id, feature, rank, value, normalized). */
+  def quantileNormalize(df: DataFrame, idCol: String,
+                        featureCols: Seq[String]): DataFrame = {
+    require(featureCols.size >= 2, "need at least two features to harmonize")
+    val complete = featureCols.foldLeft(df.filter(col(idCol).isNotNull)) {
+      (d, c) => d.filter(col(c).isNotNull)
+    }
+    val melted = complete.select(col(idCol).as("__id"),
+      explode(array(featureCols.map(c =>
+        struct(lit(c).as("f"), col(c).cast("double").as("x"))): _*)).as("__c"))
+      .select(col("__id"), col("__c.f").as("__f"), col("__c.x").as("__x"))
+    val ranked = melted.withColumn("__rank", row_number().over(
+      Window.partitionBy(col("__f")).orderBy(col("__x"), col("__id"))))
+    val reference = ranked.groupBy(col("__rank"))
+      .agg(avg(col("__x")).as("__ref"))
+    ranked.join(reference, Seq("__rank"))
+      .select(col("__id").as(idCol), col("__f").as("feature"),
+        col("__rank").as("rank"), col("__x").as("value"),
+        col("__ref").as("normalized"))
+  }
 }

@@ -392,4 +392,42 @@ object Similarity {
           (c, s) => when(s.isNull || s === 0.0, lit(0.0)).otherwise(c / s)))
       .drop("__means", "__stds")
   }
+  /** Per-group embedding outlier scores: distance of every vector to
+    * its group centroid, z-scored within the group — the cheap "these
+    * embeddings do not belong to their cluster/label" screen that runs
+    * before any expensive relabeling. Returns every row (id, group,
+    * dist, z, is_outlier) rather than only the flagged tail, so
+    * thresholds can be tuned without recomputation (and an external
+    * check never sits on the z = threshold knife edge).
+    *
+    * Scale shape: pass 1 is a map-side-combined [[graft.functions.VectorSum]]
+    * per group (the k-row centroid exchange); pass 2 broadcasts the
+    * centroid frame into the corpus scan and z-scores through ONE
+    * group-keyed window (mean + stddev share the shuffle). */
+  def centroidOutliers(df: DataFrame, idCol: String, groupCol: String,
+                       vecCol: String, dim: Int,
+                       zThreshold: Double = 2.0): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    require(zThreshold > 0, s"zThreshold must be > 0, got $zThreshold")
+    val vsum = udaf(new graft.functions.VectorSum(dim), VectorSumEncoders.seqDouble)
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val base = df
+      .filter(col(idCol).isNotNull && col(groupCol).isNotNull &&
+        col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(idCol).as("__id"), col(groupCol).as("__g"), v.as("__v"))
+    val centroids = base.groupBy(col("__g"))
+      .agg(vsum(col("__v")).as("__s"), count(lit(1)).as("__n"))
+      .select(col("__g"),
+        transform(col("__s"), x => x / col("__n")).as("__c"))
+    val byG = Window.partitionBy(col("__g"))
+    base.join(broadcast(centroids), Seq("__g"))
+      .withColumn("dist", sqrt(aggregate(
+        zip_with(col("__v"), col("__c"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)))
+      .withColumn("__mu", avg(col("dist")).over(byG))
+      .withColumn("__sd", stddev_samp(col("dist")).over(byG))
+      .select(col("__id").as(idCol), col("__g").as(groupCol), col("dist"),
+        when(col("__sd") > 0, (col("dist") - col("__mu")) / col("__sd")).as("z"))
+      .withColumn("is_outlier", col("z") > zThreshold)
+  }
 }

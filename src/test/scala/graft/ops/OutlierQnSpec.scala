@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class OutlierQnSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("centroidOutliers: distances to the group centroid, z-scored in-group") {
+    // square corners around (1,1) + one far point => centroid (3,1)
+    val pts = Seq((1L, Seq(0f, 0f)), (2L, Seq(2f, 0f)), (3L, Seq(0f, 2f)),
+      (4L, Seq(2f, 2f)), (5L, Seq(11f, 1f)), (6L, Seq(1f, 1f, 9f)))
+    val df = pts.map { case (id, v) => (id, "g", v) }.toDF("id", "grp", "vec")
+    val out = Similarity.centroidOutliers(df.repartition(3), "id", "grp",
+        "vec", dim = 2, zThreshold = 1.0)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    out.keySet shouldBe Set(1L, 2L, 3L, 4L, 5L) // wrong-dim row dropped
+    val dists = Map(1L -> math.sqrt(10.0), 2L -> math.sqrt(2.0),
+      3L -> math.sqrt(10.0), 4L -> math.sqrt(2.0), 5L -> 8.0)
+    for ((id, d) <- dists)
+      out(id).getAs[Double]("dist") shouldBe d +- 1e-9
+    val mu = dists.values.sum / 5
+    val sd = math.sqrt(dists.values.map(d => (d - mu) * (d - mu)).sum / 4)
+    out(5L).getAs[Double]("z") shouldBe ((8.0 - mu) / sd) +- 1e-9
+    out(5L).getAs[Boolean]("is_outlier") shouldBe true
+    out(2L).getAs[Boolean]("is_outlier") shouldBe false
+  }
+
+  test("centroidOutliers: a perfectly symmetric group has zero spread -> NULL z") {
+    val df = Seq((1L, Seq(0f, 0f)), (2L, Seq(2f, 0f)), (3L, Seq(0f, 2f)),
+      (4L, Seq(2f, 2f))).map { case (id, v) => (id, "g", v) }
+      .toDF("id", "grp", "vec")
+    val out = Similarity.centroidOutliers(df, "id", "grp", "vec", 2).collect()
+    all(out.map(_.isNullAt(3))) shouldBe true
+  }
+
+  test("quantileNormalize forces both features onto the rank-mean distribution") {
+    val df = Seq((1L, Some(4.0), Some(10.0)), (2L, Some(3.0), Some(30.0)),
+      (3L, Some(2.0), Some(20.0)), (4L, Some(1.0), Some(40.0)),
+      (5L, Option.empty[Double], Some(7.0)))
+      .toDF("id", "x", "y")
+    val out = Quantiles.quantileNormalize(df.repartition(3), "id", Seq("x", "y"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getInt(2), r.getDouble(4))).toMap
+    out.size shouldBe 8 // id 5 dropped from BOTH features
+    out((1L, "x")) shouldBe (4, 22.0) // largest x -> rank 4 -> (4+40)/2
+    out((1L, "y")) shouldBe (1, 5.5) // smallest y -> rank 1 -> (1+10)/2
+    out((3L, "x")) shouldBe (2, 11.0)
+    out((3L, "y")) shouldBe (2, 11.0)
+    // identical post-normalization distributions
+    val xs = out.collect { case ((_, "x"), (_, n)) => n }.toSeq.sorted
+    val ys = out.collect { case ((_, "y"), (_, n)) => n }.toSeq.sorted
+    xs shouldBe ys
+    an[IllegalArgumentException] should be thrownBy
+      Quantiles.quantileNormalize(df, "id", Seq("x"))
+  }
+
+  test("quantileNormalize breaks ties by id deterministically") {
+    val df = Seq((10L, 7.0, 1.0), (20L, 7.0, 2.0)).toDF("id", "x", "y")
+    val out = Quantiles.quantileNormalize(df, "id", Seq("x", "y"))
+      .filter("feature = 'x'").collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    out(10L) shouldBe 1
+    out(20L) shouldBe 2
+  }
+}
