@@ -1123,6 +1123,20 @@ object OpsQueries {
           round(col("ccf") + lit(5e-10), 6).as("ccf"))
         .orderBy("lag")
     }),
+    "q10_cusum" -> ((s, dir) =>
+      // did traffic shift? CUSUM changepoint over each type's hourly
+      // count series; the argmax criterion is integer-exact so the
+      // located index is engine-independent
+      TimeSeries.cusum(
+          table(s, dir, "events")
+            .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+            .agg(count(lit(1)).cast("double").as("x")),
+          "event_type", "h", "x")
+        .select(col("event_type"), col("n"), col("cp_index"),
+          date_format(col("cp_time"), "yyyy-MM-dd HH:mm:ss").as("cp_hour"),
+          round(col("s_max") + lit(5e-10), 6).as("s_max"),
+          round(col("stat") + lit(5e-10), 6).as("stat"))
+        .orderBy("event_type")),
     "q8_seasonal_decompose" -> ((s, dir) => {
       // hour-of-day seasonality of event traffic: classical additive
       // decomposition with the 2x24 centered MA; one shuffle per type
@@ -4321,6 +4335,28 @@ object OpsQueries {
         "SELECT from_state, to_state, cnt, round(cnt::DOUBLE / " +
         "sum(cnt) OVER (PARTITION BY from_state) + 5e-10, 6) AS prob " +
         "FROM c ORDER BY from_state, to_state"),
+    "q10_cusum" ->
+      // the same hourly census, cumulative-sum windows, integer-exact
+      // argmax criterion, and first-index tiebreak
+      ("WITH hourly AS (SELECT event_type AS k, date_trunc('hour', ts) AS t, " +
+        "count(*)::DOUBLE AS x FROM events " +
+        "WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2), " +
+        "w AS (SELECT k, t, x, row_number() OVER o AS rn, " +
+        "sum(x) OVER (PARTITION BY k ORDER BY t " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs, " +
+        "count(*) OVER (PARTITION BY k) AS n, " +
+        "sum(x) OVER (PARTITION BY k) AS tot, " +
+        "stddev_pop(x) OVER (PARTITION BY k) AS sd FROM hourly " +
+        "WINDOW o AS (PARTITION BY k ORDER BY t)), " +
+        "c AS (SELECT *, abs(n::DOUBLE * cs - rn * tot) AS crit FROM w), " +
+        "m AS (SELECT *, max(crit) OVER (PARTITION BY k) AS mx FROM c), " +
+        "p AS (SELECT k, n, sd, mx, rn, t, " +
+        "row_number() OVER (PARTITION BY k ORDER BY rn) AS pr FROM m WHERE crit = mx) " +
+        "SELECT k AS event_type, n::BIGINT AS n, rn::BIGINT AS cp_index, " +
+        "strftime(t, '%Y-%m-%d %H:%M:%S') AS cp_hour, " +
+        "round(mx / n + 5e-10, 6) AS s_max, " +
+        "round(CASE WHEN sd > 0 THEN mx / (n * sd * sqrt(n::DOUBLE)) END + 5e-10, 6) AS stat " +
+        "FROM p WHERE pr = 1 ORDER BY event_type"),
     "q9_cross_correlation" -> {
       def nm(k: Int) = if (k < 0) s"m${-k}" else s"p$k"
       val lagCols = (1 to 4).map(k =>

@@ -235,6 +235,34 @@ object SparkEntry {
           round(col("normalized") + lit(5e-10), 6).as("normalized"))
         .orderBy("feature", "rank")),
 
+    "a24_theil" -> ((s, dir) =>
+      // decomposable inequality companion to a22's Gini: one
+      // map-side-combinable aggregate, no sorted walk
+      graft.ops.Audit.groupedTheil(
+          table(s, dir, "lineitem"), "l_returnflag", "l_extendedprice")
+        .select(col("l_returnflag"), col("n"),
+          round(col("mean") + lit(5e-10), 6).as("mean"),
+          round(col("theil_t") + lit(5e-10), 6).as("theil_t"),
+          round(col("theil_l") + lit(5e-10), 6).as("theil_l"))
+        .orderBy("l_returnflag")),
+
+    "t17_two_proportion" -> ((s, dir) => {
+      // does any market segment place urgent orders at a different
+      // rate? group-vs-rest two-proportion z over the joined census
+      val o = table(s, dir, "orders")
+        .select(col("o_custkey"),
+          (col("o_orderpriority") === "1-URGENT").cast("int").as("urgent"))
+      val c = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      graft.ops.Association.twoProportionZ(
+          o.join(c, o("o_custkey") === c("c_custkey")), "c_mktsegment", "urgent")
+        .select(col("c_mktsegment"), col("n"), col("successes"),
+          round(col("p_group") + lit(5e-10), 6).as("p_group"),
+          round(col("p_rest") + lit(5e-10), 6).as("p_rest"),
+          round(col("z") + lit(5e-10), 6).as("z"))
+        .orderBy("c_mktsegment")
+    }),
+
     // ---- core aggregation operators (SURVEY.md §2.4) ----
     "a1_group_count" -> ((s, dir) =>
       table(s, dir, "lineitem").groupBy("l_returnflag")
@@ -921,6 +949,34 @@ object SparkEntry {
         "round(ref.nrm + 5e-10, 6) AS normalized " +
         "FROM r JOIN ref USING (rank) WHERE r.rank % 997 = 0 " +
         "ORDER BY feature, rank"),
+    "a24_theil" ->
+      // the same four sufficient statistics and closed forms
+      ("WITH s AS (SELECT l_returnflag AS g, count(*)::BIGINT AS n, " +
+        "sum(l_extendedprice::DOUBLE) AS sv, " +
+        "sum(l_extendedprice::DOUBLE * ln(l_extendedprice::DOUBLE)) AS sxlx, " +
+        "sum(ln(l_extendedprice::DOUBLE)) AS slx FROM lineitem " +
+        "WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL " +
+        "AND l_extendedprice > 0 GROUP BY 1) " +
+        "SELECT g AS l_returnflag, n, round(sv / n + 5e-10, 6) AS mean, " +
+        "round(sxlx / sv - ln(sv / n) + 5e-10, 6) AS theil_t, " +
+        "round(ln(sv / n) - slx / n + 5e-10, 6) AS theil_l " +
+        "FROM s ORDER BY 1"),
+    "t17_two_proportion" ->
+      // joined census, total window over the 5 census rows, pooled z
+      ("WITH j AS (SELECT c_mktsegment AS g, " +
+        "CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS s " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey), " +
+        "cen AS (SELECT g, count(*)::BIGINT AS n, sum(s)::BIGINT AS x " +
+        "FROM j GROUP BY g), " +
+        "t AS (SELECT g, n, x, sum(n) OVER ()::BIGINT AS nn, " +
+        "sum(x) OVER ()::BIGINT AS xx FROM cen) " +
+        "SELECT g AS c_mktsegment, n, x AS successes, " +
+        "round(x::DOUBLE / n + 5e-10, 6) AS p_group, " +
+        "round((xx - x)::DOUBLE / (nn - n) + 5e-10, 6) AS p_rest, " +
+        "round(CASE WHEN nn > n AND xx::DOUBLE / nn > 0 AND xx::DOUBLE / nn < 1 THEN " +
+        "(x::DOUBLE / n - (xx - x)::DOUBLE / (nn - n)) / " +
+        "sqrt((xx::DOUBLE / nn) * (1 - xx::DOUBLE / nn) * (1.0 / n + 1.0 / (nn - n))) END " +
+        "+ 5e-10, 6) AS z FROM t ORDER BY 1"),
     "t10_weighted_summary" ->
       ("WITH src AS (SELECT l_returnflag AS stratum, l_linestatus, l_quantity, " +
         "1.0 + (l_orderkey % 5) * 0.5 AS w FROM lineitem), " +

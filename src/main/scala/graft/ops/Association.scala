@@ -59,4 +59,64 @@ object Association {
         },
         col("mutual_info"))
   }
+
+  /** Per-group two-proportion z-test against the complement (each group
+    * vs the rest of the population): z = (p₁−p₂) / √(p̂(1−p̂)(1/n₁+1/n₂))
+    * with the pooled p̂ — the A/B screen for "does this slice convert
+    * differently?". successCol must be 0/1 (or castable to it).
+    *
+    * Scale shape: ONE map-side-combinable census aggregate over the
+    * corpus; the group-vs-rest arithmetic is a total window over the
+    * ≤|groups| census rows, never over data. Returns
+    * (group, n, successes, p_group, p_rest, z); z NULL when the
+    * complement is empty or p̂ is degenerate (0 or 1). */
+  def twoProportionZ(df: DataFrame, groupCol: String,
+                     successCol: String): DataFrame = {
+    val census = df
+      .filter(col(groupCol).isNotNull && col(successCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("n"), sum(col(successCol).cast("long")).as("successes"))
+    val tot = Window.partitionBy()
+    val n1 = col("n").cast("double")
+    val n2 = (col("__N") - col("n")).cast("double")
+    val p1 = col("successes").cast("double") / n1
+    val p2 = (col("__X") - col("successes")).cast("double") / n2
+    val phat = col("__X").cast("double") / col("__N")
+    census
+      .withColumn("__N", sum("n").over(tot))
+      .withColumn("__X", sum("successes").over(tot))
+      .select(col("__g").as(groupCol), col("n"), col("successes"),
+        p1.as("p_group"),
+        when(col("__N") > col("n"), p2).as("p_rest"),
+        when(col("__N") > col("n") && phat > 0 && phat < 1,
+          (p1 - p2) / sqrt(phat * (lit(1.0) - phat) *
+            (lit(1.0) / n1 + lit(1.0) / n2))).as("z"))
+  }
+
+  /** Wilson score interval per group for a 0/1 outcome — the proportion
+    * CI that stays inside [0, 1] and behaves at p̂ near 0/1 where the
+    * naive Wald interval collapses: with z the normal quantile,
+    * center = (p̂ + z²/2n) / (1 + z²/n) and
+    * half-width = z·√(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n).
+    *
+    * Scale shape: ONE map-side-combinable (n, successes) census per
+    * group; the interval arithmetic is row-local over |groups| rows.
+    * Returns (group, n, successes, p_hat, ci_lo, ci_hi). */
+  def wilsonInterval(df: DataFrame, groupCol: String, successCol: String,
+                     z: Double = 1.959963984540054): DataFrame = {
+    require(z > 0, s"z must be positive, got $z")
+    val census = df
+      .filter(col(groupCol).isNotNull && col(successCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("n"), sum(col(successCol).cast("long")).as("successes"))
+    val nd = col("n").cast("double")
+    val ph = col("successes").cast("double") / nd
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / nd
+    val center = (ph + z2 / (lit(2.0) * nd)) / denom
+    val half = lit(z) * sqrt(ph * (lit(1.0) - ph) / nd +
+      z2 / (lit(4.0) * nd * nd)) / denom
+    census.select(col("__g").as(groupCol), col("n"), col("successes"),
+      ph.as("p_hat"), (center - half).as("ci_lo"), (center + half).as("ci_hi"))
+  }
 }

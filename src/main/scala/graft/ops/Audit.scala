@@ -35,6 +35,29 @@ object Audit {
       .withColumn("dev", col("obs_freq") - col("exp_freq"))
   }
 
+  /** Exact per-group Theil inequality indices over a positive value
+    * column in ONE map-side-combinable aggregate (no sort, no window):
+    * Theil-T = (Σ x·ln x)/Σx − ln μ (top-sensitive) and the mean log
+    * deviation L = ln μ − (Σ ln x)/n (bottom-sensitive), both closed
+    * forms over the sufficient statistics (n, Σx, Σ x·ln x, Σ ln x).
+    * Unlike [[groupedGini]] (which needs the sorted census walk), Theil
+    * is fully decomposable — the four sums merge exactly across
+    * partitions and across incremental batches, so at 100 TB this is a
+    * plain partial-aggregate scan with a |groups|-row shuffle.
+    * Zero/negative values are excluded (ln undefined). Returns
+    * (group, n, mean, theil_t, theil_l). */
+  def groupedTheil(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    df.filter(col(groupCol).isNotNull && v.isNotNull && (v > 0))
+      .groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("n"), sum(v).as("__s"),
+        sum(v * log(v)).as("__sxlx"), sum(log(v)).as("__slx"))
+      .select(col("__g").as(groupCol), col("n"),
+        (col("__s") / col("n")).as("mean"),
+        (col("__sxlx") / col("__s") - log(col("__s") / col("n"))).as("theil_t"),
+        (log(col("__s") / col("n")) - col("__slx") / col("n")).as("theil_l"))
+  }
+
   /** Exact per-group Gini coefficient G = Σᵢⱼ|xᵢ−xⱼ| / (2n²μ) over a
     * non-negative value column, computed WITHOUT a pairwise join: on
     * the sorted distinct-value census, Σ_{i<j} cᵢcⱼ(xⱼ−xᵢ) =

@@ -335,4 +335,68 @@ object Evaluation {
       ratio(col("tp") + col("tn"),
         col("tp") + col("fp") + col("fn") + col("tn")).as("accuracy"))
   }
+
+  /** Proper-scoring-rule metrics per group over a probabilistic
+    * classifier's output: Brier score = mean (p − y)², log-loss =
+    * mean −(y·ln p + (1−y)·ln(1−p)) with p clamped to [eps, 1−eps]
+    * (so a hard 0/1 prediction costs ln(1/eps), not ∞), plus the
+    * group's base rate. The two scores decompose the same question
+    * ROC-AUC dodges: is the PROBABILITY itself right, not just the
+    * ranking.
+    *
+    * Scale shape: ONE map-side-combinable aggregate — each score is a
+    * plain mean of a per-row expression, so partials merge exactly and
+    * the shuffle carries |groups| rows. Returns
+    * (group, n, base_rate, brier, logloss). */
+  def probMetrics(df: DataFrame, groupCol: String, probCol: String,
+                  labelCol: String, eps: Double = 1e-15): DataFrame = {
+    require(eps > 0 && eps < 0.5, s"eps must be in (0, 0.5), got $eps")
+    val p = col(probCol).cast(DoubleType)
+    val y = col(labelCol).cast("long")
+    val pc = least(greatest(p, lit(eps)), lit(1.0 - eps))
+    df.filter(col(groupCol).isNotNull && p.isNotNull && y.isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("n"),
+        avg(y.cast(DoubleType)).as("base_rate"),
+        avg((p - y) * (p - y)).as("brier"),
+        avg(-(y * log(pc) + (lit(1L) - y) * log(lit(1.0) - pc))).as("logloss"))
+      .select(col("__g").as(groupCol), col("n"),
+        col("base_rate"), col("brier"), col("logloss"))
+  }
+
+  /** Exact average precision per group (the area under the
+    * precision-recall curve in its standard step form):
+    * AP = (1/P) Σ_{ranks r with a positive} cumPos(r)/r, items ranked
+    * by `scoreCol` DESC with ties broken by `idCol` ASC — the
+    * deterministic-tie contract shared with [[ndcgAtK]].
+    *
+    * Scale shape: one shuffle keyed by the group serves the rank and
+    * cumulative-positive windows (groups are assumed numerous-and-
+    * moderate, the per-key regular shape every windowed operator here
+    * uses); a |groups|-row census finishes the division. cumPos and
+    * rank are exact integers, so the only float work is the final sum
+    * of bounded rationals. Returns (group, n, n_pos, ap); ap NULL when
+    * the group has no positives. */
+  def averagePrecision(df: DataFrame, groupCol: String, scoreCol: String,
+                       labelCol: String, idCol: String): DataFrame = {
+    val byG = org.apache.spark.sql.expressions.Window.partitionBy(col("__g"))
+    val ordered = byG.orderBy(col("__s").desc, col("__id"))
+    val cum = ordered.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    df.filter(col(groupCol).isNotNull && col(scoreCol).isNotNull &&
+        col(labelCol).isNotNull && col(idCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(scoreCol).as("__s"),
+        (col(labelCol).cast("long") =!= 0L).cast("long").as("__y"),
+        col(idCol).as("__id"))
+      .withColumn("__r", row_number().over(ordered))
+      .withColumn("__cp", sum("__y").over(cum))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"), sum("__y").as("n_pos"),
+        sum(when(col("__y") === 1L,
+          col("__cp").cast(DoubleType) / col("__r"))).as("__apsum"))
+      .select(col("__g").as(groupCol), col("n"), col("n_pos"),
+        when(col("n_pos") > 0L,
+          col("__apsum") / col("n_pos")).as("ap"))
+  }
 }

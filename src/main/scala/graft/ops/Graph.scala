@@ -265,4 +265,53 @@ object Graph {
     }
     labels
   }
+
+  /** Fixed-round HITS (hubs and authorities) over a DIRECTED edge set
+    * (src, dst), started from h₀ ≡ 1: each round sets
+    * a(v) = Σ_{u→v} h(u) then h(u) = Σ_{u→v} a(v).
+    *
+    * Determinism: per-round L1 normalization factors OUT of the power
+    * iteration (the scale constants commute through the linear maps),
+    * so this runs the recursion on RAW scores — exact integers from the
+    * h₀ ≡ 1 start, immune to float-summation order — and divides by the
+    * L1 totals exactly once at the end. An external engine replays the
+    * rounds join-for-join on integers (the [[labelPropagation]] replay
+    * contract); the per-round-normalized classic produces the same
+    * final direction.
+    *
+    * Scale shape per round: two edge-keyed join + map-side-combined sum
+    * passes; score frames stay |nodes|-sized. Lineage grows ~4 joins
+    * per round — the same ≤ small-iters contract as [[pageRank]].
+    * Returns (node, authority, hub) L1-normalized; nodes with no
+    * in-edges (resp. out-edges) score 0. */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 10, s"iters must be in [1, 10], got $iters")
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var hub = nodes.withColumn("h", lit(1.0))
+    var auth = nodes.withColumn("a", lit(0.0))
+    for (_ <- 1 to iters) {
+      auth = nodes.join(
+          e.join(hub.select(col("node").as("src"), col("h")), Seq("src"))
+            .groupBy(col("dst").as("node")).agg(sum("h").as("__in")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("__in"), lit(0.0)).as("a"))
+      hub = nodes.join(
+          e.join(auth.select(col("node").as("dst"), col("a")), Seq("dst"))
+            .groupBy(col("src").as("node")).agg(sum("a").as("__out")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("__out"), lit(0.0)).as("h"))
+    }
+    // final L1 totals ride a 1-row broadcast, not a global window (a
+    // partition-all window would funnel the node frame to one task)
+    val scored = auth.join(hub, Seq("node"))
+    scored.crossJoin(broadcast(
+        scored.agg(sum("a").as("__ta"), sum("h").as("__th"))))
+      .select(col("node"),
+        when(col("__ta") > 0, col("a") / col("__ta")).otherwise(lit(0.0))
+          .as("authority"),
+        when(col("__th") > 0, col("h") / col("__th")).otherwise(lit(0.0))
+          .as("hub"))
+  }
 }

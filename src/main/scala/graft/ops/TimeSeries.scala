@@ -152,6 +152,93 @@ object TimeSeries {
         col("__r.n_pairs").as("n_pairs"), col("__r.ccf").as("ccf"))
   }
 
+  /** CUSUM changepoint scan per series key: with S_t = Σ_{i≤t}(xᵢ − x̄),
+    * the changepoint estimate is the FIRST index maximizing |S_t| and
+    * the reported statistic is max|S_t| / (σ̂√n) — the Brownian-bridge
+    * normalization, so values ≳1.36 reject "no change" at ~5%.
+    *
+    * Determinism: the argmax is taken over the criterion
+    * |n·cumsum_t − t·total|, which for integer-valued series (counts)
+    * is an EXACT integer in a double — the located index never depends
+    * on float-summation order across engines; only the reported
+    * magnitudes are floats. Scale shape: one shuffle keyed by the
+    * series key serves the row-number, cumulative-sum, and per-key
+    * scalar windows; the argmax filter plus a |keys|-row census reduce
+    * the series to one row per key. Same regular-grid contract as
+    * [[acf]]. Returns (key, n, cp_index, cp_time, s_max, stat);
+    * stat NULL for a constant series. */
+  def cusum(df: DataFrame, keyCol: String, timeCol: String,
+            valueCol: String): DataFrame = {
+    val byKey = Window.partitionBy(col("__k"))
+    val ordered = byKey.orderBy(col("__t"))
+    val cum = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nd = col("__n").cast("double")
+    val picked = df
+      .filter(col(keyCol).isNotNull && col(timeCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(timeCol).as("__t"),
+        col(valueCol).cast("double").as("__x"))
+      .withColumn("__rn", row_number().over(ordered))
+      .withColumn("__cs", sum("__x").over(cum))
+      .withColumn("__n", count(lit(1)).over(byKey))
+      .withColumn("__tot", sum("__x").over(byKey))
+      .withColumn("__sd", stddev_pop(col("__x")).over(byKey))
+      .withColumn("__crit", abs(nd * col("__cs") - col("__rn") * col("__tot")))
+      .withColumn("__mx", max(col("__crit")).over(byKey))
+      .filter(col("__crit") === col("__mx"))
+    picked
+      .groupBy(col("__k"))
+      .agg(min(struct(col("__rn").as("rn"), col("__t").as("t"))).as("__pick"),
+        min(col("__n")).as("n"), min(col("__mx")).as("__m"),
+        min(col("__sd")).as("__s"))
+      .select(col("__k").as(keyCol), col("n"),
+        col("__pick.rn").as("cp_index"), col("__pick.t").as("cp_time"),
+        (col("__m") / col("n")).as("s_max"),
+        when(col("__s") > 0,
+          col("__m") / (col("n") * col("__s") * sqrt(col("n").cast("double"))))
+          .as("stat"))
+  }
+
+  /** Grouped OLS trend fit y = slope·x + intercept per series key, with
+    * x the 1-based POSITION in time order (not the raw timestamp): the
+    * slope reads as "change per step", and — the determinism point —
+    * every sufficient statistic (n, Σx, Σy, Σxy, Σx², Σy²) is an exact
+    * integer in a double for integer-valued series, so the fit is
+    * engine-independent regardless of partial-aggregation order, where
+    * raw epoch-seconds x would put Σx² near 2⁵³ and make the
+    * n·Σxy − Σx·Σy cancellation float-order-sensitive.
+    *
+    * Scale shape: one shuffle keyed by the series key serves the
+    * row-number window; the six sums ride a map-side-combined aggregate
+    * down to |keys| rows where the closed forms run row-locally.
+    * Returns (key, n, slope, intercept, r2); slope/intercept NULL for
+    * n < 2, r2 NULL when the series is constant (zero y-variance). */
+  def trend(df: DataFrame, keyCol: String, timeCol: String,
+            valueCol: String): DataFrame = {
+    val ordered = Window.partitionBy(col("__k")).orderBy(col("__t"))
+    val sums = df
+      .filter(col(keyCol).isNotNull && col(timeCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(timeCol).as("__t"),
+        col(valueCol).cast("double").as("__y"))
+      .withColumn("__x", row_number().over(ordered).cast("double"))
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("n"), sum("__x").as("__sx"), sum("__y").as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+    val nd = col("n").cast("double")
+    val covN = nd * col("__sxy") - col("__sx") * col("__sy")
+    val varXN = nd * col("__sxx") - col("__sx") * col("__sx")
+    val varYN = nd * col("__syy") - col("__sy") * col("__sy")
+    val slope = covN / varXN
+    sums.select(col("__k").as(keyCol), col("n"),
+      when(col("n") >= 2L, slope).as("slope"),
+      when(col("n") >= 2L, (col("__sy") - slope * col("__sx")) / nd).as("intercept"),
+      when(col("n") >= 2L && varYN > 0,
+        (covN * covN) / (varXN * varYN)).as("r2"))
+  }
+
   private def lagName(k: Int): String = if (k < 0) s"m${-k}" else s"p$k"
 
   def acf(df: DataFrame, keyCol: String, timeCol: String, valueCol: String,

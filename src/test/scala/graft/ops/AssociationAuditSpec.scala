@@ -81,4 +81,40 @@ class AssociationAuditSpec extends AnyFunSuite with Matchers {
       (2.0 * n * n * (xs.sum / n))
     g shouldBe brute +- 1e-9
   }
+
+  test("groupedTheil matches the closed form and skips non-positive values") {
+    val df = Seq(("a", 1.0), ("a", 1.0), ("a", 4.0), ("a", 0.0), ("a", -3.0),
+      ("b", 5.0), ("b", 5.0), ("b", 5.0)) // equal -> both indices 0
+      .toDF("g", "x")
+    val by = Audit.groupedTheil(df.repartition(4), "g", "x")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    by("a").getAs[Long]("n") shouldBe 3L // 0 and -3 excluded (ln undefined)
+    by("a").getAs[Double]("mean") shouldBe 2.0 +- 1e-12
+    by("a").getAs[Double]("theil_t") shouldBe 0.2310490601866484 +- 1e-12
+    by("a").getAs[Double]("theil_l") shouldBe 0.2310490601866484 +- 1e-12
+    by("b").getAs[Double]("theil_t") shouldBe 0.0 +- 1e-12
+    by("b").getAs[Double]("theil_l") shouldBe 0.0 +- 1e-12
+  }
+
+  test("twoProportionZ tests each group against its complement") {
+    val df = Seq.fill(4)(("a", 1)) ++ Seq(("a", 0)) ++
+      Seq(("b", 1)) ++ Seq.fill(4)(("b", 0))
+    val by = Association.twoProportionZ(df.toDF("g", "s").repartition(3), "g", "s")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    // pooled p = 0.5: z = (0.8 - 0.2) / sqrt(0.25 * (1/5 + 1/5))
+    val want = 0.6 / math.sqrt(0.25 * 0.4)
+    by("a").getAs[Long]("n") shouldBe 5L
+    by("a").getAs[Long]("successes") shouldBe 4L
+    by("a").getAs[Double]("p_group") shouldBe 0.8 +- 1e-12
+    by("a").getAs[Double]("p_rest") shouldBe 0.2 +- 1e-12
+    by("a").getAs[Double]("z") shouldBe want +- 1e-12
+    by("b").getAs[Double]("z") shouldBe -want +- 1e-12
+    // single group -> empty complement -> z NULL; all-success -> phat = 1 -> NULL
+    val solo = Association.twoProportionZ(
+      Seq(("x", 1), ("x", 0)).toDF("g", "s"), "g", "s").head()
+    solo.isNullAt(solo.fieldIndex("z")) shouldBe true
+    val ones = Association.twoProportionZ(
+      Seq(("x", 1), ("y", 1)).toDF("g", "s"), "g", "s").head()
+    ones.isNullAt(ones.fieldIndex("z")) shouldBe true
+  }
 }

@@ -110,4 +110,25 @@ class TimeSeriesSpec extends AnyFunSuite with Matchers {
     rows(0).getAs[Double]("acf") shouldBe -(39.0 / 40.0) +- 1e-12
     rows(1).getAs[Double]("acf") shouldBe (38.0 / 40.0) +- 1e-12
   }
+
+  test("cusum locates a level shift and normalizes by sigma*sqrt(n)") {
+    // x = 0,0,0,10,10: S_t = -4,-8,-12,-6,0 -> max|S| = 12 at t = 3
+    val df = Seq(("a", 1L, 0.0), ("a", 2L, 0.0), ("a", 3L, 0.0),
+      ("a", 4L, 10.0), ("a", 5L, 10.0),
+      ("c", 1L, 7.0), ("c", 2L, 7.0)) // constant -> stat NULL
+      .toDF("k", "t", "x")
+    val by = TimeSeries.cusum(df.repartition(3), "k", "t", "x")
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    by("a").getAs[Long]("cp_index") shouldBe 3L
+    by("a").getAs[Long]("cp_time") shouldBe 3L
+    by("a").getAs[Double]("s_max") shouldBe 12.0 +- 1e-12
+    by("a").getAs[Double]("stat") shouldBe
+      12.0 / (math.sqrt(24.0) * math.sqrt(5.0)) +- 1e-12
+    by("c").isNullAt(by("c").fieldIndex("stat")) shouldBe true
+    // tied criterion (x = 1, 0, -1 has |S_1| = |S_2|) -> first index wins
+    val tied = Seq(("t", 1L, 1.0), ("t", 2L, 0.0), ("t", 3L, -1.0))
+      .toDF("k", "t", "x")
+    TimeSeries.cusum(tied, "k", "t", "x").head()
+      .getAs[Long]("cp_index") shouldBe 1L
+  }
 }
