@@ -985,6 +985,39 @@ object OpsQueries {
           round(col("mrr") + lit(5e-10), 6).as("mrr"),
           round(col("precision") + lit(5e-10), 6).as("precision"))
         .orderBy("yr")),
+    "v8_brier_logloss" -> ((s, dir) =>
+      // proper-scoring companion to v4's ECE: per-priority Brier and
+      // log-loss of the same synthetic probability against the
+      // fully-shipped label — one map-side-combined aggregate
+      Evaluation.probMetrics(
+          table(s, dir, "orders")
+            .filter(col("o_orderkey").isNotNull && col("o_orderstatus").isNotNull &&
+              col("o_orderpriority").isNotNull)
+            .select(col("o_orderpriority"),
+              ((col("o_orderkey") % 1000).cast("double") / 1000.0).as("p"),
+              (col("o_orderstatus") === "F").cast("long").as("y")),
+          "o_orderpriority", "p", "y")
+        .select(col("o_orderpriority"), col("n"),
+          round(col("base_rate") + lit(5e-10), 6).as("base_rate"),
+          round(col("brier") + lit(5e-10), 6).as("brier"),
+          round(col("logloss") + lit(5e-10), 6).as("logloss"))
+        .orderBy("o_orderpriority")),
+    "v9_avg_precision" -> ((s, dir) =>
+      // PR-curve area per order-year: score = o_totalprice, positives =
+      // the 10% custkey slice, ties pinned by o_orderkey; cumPos/rank
+      // stay exact integers so the step sum replays bit-for-bit
+      Evaluation.averagePrecision(
+          table(s, dir, "orders")
+            .filter(col("o_totalprice").isNotNull && col("o_custkey").isNotNull &&
+              col("o_orderkey").isNotNull)
+            .select(year(col("o_orderdate")).cast("long").as("yr"),
+              col("o_totalprice").as("score"),
+              (col("o_custkey") % 10 === 0).cast("long").as("y"),
+              col("o_orderkey").as("id")),
+          "yr", "score", "y", "id")
+        .select(col("yr"), col("n"), col("n_pos"),
+          round(col("ap") + lit(5e-10), 6).as("ap"))
+        .orderBy("yr")),
     "v4_calibration" -> ((s, dir) => {
       // reliability diagram + ECE in one aggregate pass: "model
       // probability" p = (o_orderkey % 1000)/1000, label = fully-shipped
@@ -1136,6 +1169,20 @@ object OpsQueries {
           date_format(col("cp_time"), "yyyy-MM-dd HH:mm:ss").as("cp_hour"),
           round(col("s_max") + lit(5e-10), 6).as("s_max"),
           round(col("stat") + lit(5e-10), 6).as("stat"))
+        .orderBy("event_type")),
+    "q11_trend" -> ((s, dir) =>
+      // is traffic growing? grouped OLS over each type's hourly counts
+      // with position as the regressor — all six sufficient sums are
+      // exact integers, so the fit replays engine-independently
+      TimeSeries.trend(
+          table(s, dir, "events")
+            .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+            .agg(count(lit(1)).cast("double").as("x")),
+          "event_type", "h", "x")
+        .select(col("event_type"), col("n"),
+          round(col("slope") + lit(5e-10), 6).as("slope"),
+          round(col("intercept") + lit(5e-10), 6).as("intercept"),
+          round(col("r2") + lit(5e-10), 6).as("r2"))
         .orderBy("event_type")),
     "q8_seasonal_decompose" -> ((s, dir) => {
       // hour-of-day seasonality of event traffic: classical additive
@@ -2087,6 +2134,27 @@ object OpsQueries {
         .select(col("id_a"), col("id_b"), col("n_common"),
           round(col("aa_score") + lit(5e-10), 6).as("aa_score"))
         .orderBy("id_a", "id_b")
+    }),
+    "g8_hits" -> ((s, dir) => {
+      // hubs/authorities on a directed planted graph: chain i -> i+1
+      // inside each 50-block plus every node pointing at its block
+      // start — block starts become the authorities. 2 raw-integer
+      // rounds (normalization factors out of the power iteration), so
+      // the block census AND the argmax authority node are exact; the
+      // divisions by the L1 totals are single integer-ratio doubles
+      val ids = docs(s, dir).select(col("doc_id").as("i"))
+      val chain = ids.filter(col("i") % 50 =!= 49)
+        .select(col("i").as("src"), (col("i") + 1).as("dst"))
+      val toStart = ids.filter(col("i") % 50 =!= 0)
+        .select(col("i").as("src"), (col("i") - col("i") % 50).as("dst"))
+      Graph.hits(chain.union(toStart), iters = 2)
+        .groupBy((col("node") - col("node") % 50).as("block"))
+        .agg(count(lit(1)).as("n_nodes"),
+          max_by(col("node"), struct(col("authority"), -col("node"))).as("top_auth_node"),
+          round(max(col("authority")) + lit(5e-10), 6).as("max_authority"),
+          round(sum(col("authority")) + lit(5e-10), 6).as("sum_authority"),
+          round(sum(col("hub")) + lit(5e-10), 6).as("sum_hub"))
+      .orderBy("block")
     }),
     "g5_label_propagation" -> ((s, dir) => {
       // community detection on the g3 chain-block graph: 2 synchronous
@@ -3444,6 +3512,32 @@ object OpsQueries {
         "SELECT x AS id_a, y AS id_b, n_common, round(aa + 5e-10, 6) AS aa_score " +
         "FROM sc WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = sc.x AND e.b = sc.y) " +
         "ORDER BY id_a, id_b"),
+    "g8_hits" ->
+      // both HITS rounds replayed join-for-join on raw integers (the
+      // normalization factors out), then one division by the L1 totals
+      ("WITH ids AS (SELECT doc_id AS i FROM documents), " +
+        "e AS (SELECT i AS src, i + 1 AS dst FROM ids WHERE i % 50 <> 49 " +
+        "UNION SELECT i, i - i % 50 FROM ids WHERE i % 50 <> 0), " +
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+        "a1 AS (SELECT n.node, coalesce(t.c, 0)::DOUBLE AS a FROM nodes n LEFT JOIN " +
+        "(SELECT dst AS node, count(*)::BIGINT AS c FROM e GROUP BY 1) t USING (node)), " +
+        "h1 AS (SELECT n.node, coalesce(t.s, 0)::DOUBLE AS h FROM nodes n LEFT JOIN " +
+        "(SELECT e.src AS node, sum(a1.a) AS s FROM e JOIN a1 ON e.dst = a1.node GROUP BY 1) t USING (node)), " +
+        "a2 AS (SELECT n.node, coalesce(t.s, 0)::DOUBLE AS a FROM nodes n LEFT JOIN " +
+        "(SELECT e.dst AS node, sum(h1.h) AS s FROM e JOIN h1 ON e.src = h1.node GROUP BY 1) t USING (node)), " +
+        "h2 AS (SELECT n.node, coalesce(t.s, 0)::DOUBLE AS h FROM nodes n LEFT JOIN " +
+        "(SELECT e.src AS node, sum(a2.a) AS s FROM e JOIN a2 ON e.dst = a2.node GROUP BY 1) t USING (node)), " +
+        "fin AS (SELECT a2.node, a2.a / (SELECT sum(a) FROM a2) AS authority, " +
+        "h2.h / (SELECT sum(h) FROM h2) AS hub FROM a2 JOIN h2 USING (node)), " +
+        "blk AS (SELECT node - node % 50 AS block, node, authority, hub FROM fin), " +
+        "top AS (SELECT block, node, row_number() OVER " +
+        "(PARTITION BY block ORDER BY authority DESC, node) AS pr FROM blk) " +
+        "SELECT b.block, count(*)::BIGINT AS n_nodes, min(t.node) AS top_auth_node, " +
+        "round(max(b.authority) + 5e-10, 6) AS max_authority, " +
+        "round(sum(b.authority) + 5e-10, 6) AS sum_authority, " +
+        "round(sum(b.hub) + 5e-10, 6) AS sum_hub " +
+        "FROM blk b JOIN (SELECT block, node FROM top WHERE pr = 1) t USING (block) " +
+        "GROUP BY b.block ORDER BY b.block"),
     "g5_label_propagation" ->
       // both LPA rounds replayed: neighbor-label census, mode with
       // (count DESC, label) ranking, then the community census
@@ -4188,6 +4282,33 @@ object OpsQueries {
         "round(coalesce(1e0 / first_rel, 0e0) + 5e-10, 6) AS mrr, " +
         "round(n_rel::DOUBLE / 10 + 5e-10, 6) AS precision " +
         "FROM n JOIN a ON n.yr = a.yr ORDER BY n.yr"),
+    "v8_brier_logloss" ->
+      // identical clamp constants and per-row expressions; the means are
+      // plain sums of bounded values so 6-dp rounding absorbs order
+      ("WITH s AS (SELECT o_orderpriority AS g, (o_orderkey % 1000)::DOUBLE / 1000 AS p, " +
+        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders " +
+        "WHERE o_orderkey IS NOT NULL AND o_orderstatus IS NOT NULL " +
+        "AND o_orderpriority IS NOT NULL), " +
+        "c AS (SELECT g, p, y, least(greatest(p, 1e-15), 1.0 - 1e-15) AS pc FROM s) " +
+        "SELECT g AS o_orderpriority, count(*)::BIGINT AS n, " +
+        "round(avg(y::DOUBLE) + 5e-10, 6) AS base_rate, " +
+        "round(avg((p - y) * (p - y)) + 5e-10, 6) AS brier, " +
+        "round(avg(-(y * ln(pc) + (1 - y) * ln(1.0 - pc))) + 5e-10, 6) AS logloss " +
+        "FROM c GROUP BY g ORDER BY 1"),
+    "v9_avg_precision" ->
+      // the window formulation: rank by (score DESC, id), integer
+      // cumulative positives, the AP step sum, one division per group
+      ("WITH s AS (SELECT year(o_orderdate)::BIGINT AS yr, o_totalprice::DOUBLE AS score, " +
+        "CASE WHEN o_custkey % 10 = 0 THEN 1 ELSE 0 END AS y, o_orderkey AS id FROM orders " +
+        "WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL AND o_orderkey IS NOT NULL), " +
+        "r AS (SELECT yr, y, row_number() OVER w AS rn, " +
+        "sum(y) OVER (PARTITION BY yr ORDER BY score DESC, id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp FROM s " +
+        "WINDOW w AS (PARTITION BY yr ORDER BY score DESC, id)) " +
+        "SELECT yr, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos, " +
+        "round(CASE WHEN sum(y) > 0 THEN " +
+        "sum(CASE WHEN y = 1 THEN cp::DOUBLE / rn END) / sum(y) END + 5e-10, 6) AS ap " +
+        "FROM r GROUP BY yr ORDER BY yr"),
     "v4_calibration" ->
       // bin arithmetic and the explicit sum_p / n confidence replayed with
       // identical operation order; ECE as the tiny-frame weighted walk
@@ -4357,6 +4478,23 @@ object OpsQueries {
         "round(mx / n + 5e-10, 6) AS s_max, " +
         "round(CASE WHEN sd > 0 THEN mx / (n * sd * sqrt(n::DOUBLE)) END + 5e-10, 6) AS stat " +
         "FROM p WHERE pr = 1 ORDER BY event_type"),
+    "q11_trend" ->
+      // same hourly census, position regressor, six integer-exact sums,
+      // identical closed-form operation order
+      ("WITH hourly AS (SELECT event_type AS k, date_trunc('hour', ts) AS t, " +
+        "count(*)::DOUBLE AS x FROM events " +
+        "WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2), " +
+        "w AS (SELECT k, x, row_number() OVER (PARTITION BY k ORDER BY t)::DOUBLE AS rn " +
+        "FROM hourly), " +
+        "s AS (SELECT k, count(*)::BIGINT AS n, sum(rn) AS sx, sum(x) AS sy, " +
+        "sum(rn * x) AS sxy, sum(rn * rn) AS sxx, sum(x * x) AS syy FROM w GROUP BY k), " +
+        "f AS (SELECT k, n, sx, sy, n::DOUBLE * sxy - sx * sy AS covn, " +
+        "n::DOUBLE * sxx - sx * sx AS varxn, n::DOUBLE * syy - sy * sy AS varyn FROM s) " +
+        "SELECT k AS event_type, n, " +
+        "round(CASE WHEN n >= 2 THEN covn / varxn END + 5e-10, 6) AS slope, " +
+        "round(CASE WHEN n >= 2 THEN (sy - covn / varxn * sx) / n END + 5e-10, 6) AS intercept, " +
+        "round(CASE WHEN n >= 2 AND varyn > 0 THEN covn * covn / (varxn * varyn) END " +
+        "+ 5e-10, 6) AS r2 FROM f ORDER BY 1"),
     "q9_cross_correlation" -> {
       def nm(k: Int) = if (k < 0) s"m${-k}" else s"p$k"
       val lagCols = (1 to 4).map(k =>

@@ -263,6 +263,23 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    "t18_wilson_ci" -> ((s, dir) => {
+      // interval companion to t17's z: Wilson 95% CI on each segment's
+      // urgent-order rate — same joined census, row-local algebra
+      val o = table(s, dir, "orders")
+        .select(col("o_custkey"),
+          (col("o_orderpriority") === "1-URGENT").cast("int").as("urgent"))
+      val c = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      graft.ops.Association.wilsonInterval(
+          o.join(c, o("o_custkey") === c("c_custkey")), "c_mktsegment", "urgent")
+        .select(col("c_mktsegment"), col("n"), col("successes"),
+          round(col("p_hat") + lit(5e-10), 6).as("p_hat"),
+          round(col("ci_lo") + lit(5e-10), 6).as("ci_lo"),
+          round(col("ci_hi") + lit(5e-10), 6).as("ci_hi"))
+        .orderBy("c_mktsegment")
+    }),
+
     // ---- core aggregation operators (SURVEY.md §2.4) ----
     "a1_group_count" -> ((s, dir) =>
       table(s, dir, "lineitem").groupBy("l_returnflag")
@@ -977,6 +994,23 @@ object SparkEntry {
         "(x::DOUBLE / n - (xx - x)::DOUBLE / (nn - n)) / " +
         "sqrt((xx::DOUBLE / nn) * (1 - xx::DOUBLE / nn) * (1.0 / n + 1.0 / (nn - n))) END " +
         "+ 5e-10, 6) AS z FROM t ORDER BY 1"),
+    "t18_wilson_ci" ->
+      // same census, Wilson algebra with the operator's exact op order
+      ("WITH j AS (SELECT c_mktsegment AS g, " +
+        "CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS s " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey), " +
+        "cen AS (SELECT g, count(*)::BIGINT AS n, sum(s)::BIGINT AS x " +
+        "FROM j GROUP BY g), " +
+        "k AS (SELECT g, n, x, x::DOUBLE / n AS ph, 1.959963984540054 AS z, " +
+        "1.959963984540054 * 1.959963984540054 AS z2 FROM cen), " +
+        "c2 AS (SELECT g, n, x, ph, " +
+        "(ph + z2 / (2.0 * n)) / (1.0 + z2 / n) AS center, " +
+        "z * sqrt(ph * (1.0 - ph) / n + z2 / (4.0 * n * n)) / (1.0 + z2 / n) AS half " +
+        "FROM k) " +
+        "SELECT g AS c_mktsegment, n, x AS successes, " +
+        "round(ph + 5e-10, 6) AS p_hat, " +
+        "round(center - half + 5e-10, 6) AS ci_lo, " +
+        "round(center + half + 5e-10, 6) AS ci_hi FROM c2 ORDER BY 1"),
     "t10_weighted_summary" ->
       ("WITH src AS (SELECT l_returnflag AS stratum, l_linestatus, l_quantity, " +
         "1.0 + (l_orderkey % 5) * 0.5 AS w FROM lineitem), " +

@@ -117,4 +117,31 @@ class AssociationAuditSpec extends AnyFunSuite with Matchers {
       Seq(("x", 1), ("y", 1)).toDF("g", "s"), "g", "s").head()
     ones.isNullAt(ones.fieldIndex("z")) shouldBe true
   }
+
+  test("wilsonInterval matches the closed form and stays inside [0, 1]") {
+    val df = (Seq.fill(5)(("a", 1)) ++ Seq.fill(5)(("a", 0)) ++
+      Seq.fill(3)(("b", 1))).toDF("g", "s") // b: p_hat = 1 at n = 3
+    val by = Association.wilsonInterval(df.repartition(3), "g", "s")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    val z = 1.959963984540054
+    def wilson(x: Long, n: Long): (Double, Double) = {
+      val ph = x.toDouble / n; val z2 = z * z
+      val den = 1.0 + z2 / n
+      val c = (ph + z2 / (2.0 * n)) / den
+      val h = z * math.sqrt(ph * (1 - ph) / n + z2 / (4.0 * n * n)) / den
+      (c - h, c + h)
+    }
+    val (lo, hi) = wilson(5, 10)
+    by("a").getAs[Double]("p_hat") shouldBe 0.5 +- 1e-15
+    by("a").getAs[Double]("ci_lo") shouldBe lo +- 1e-12
+    by("a").getAs[Double]("ci_hi") shouldBe hi +- 1e-12
+    // degenerate p_hat = 1: the interval collapses toward 1 but stays <= 1
+    val (blo, bhi) = wilson(3, 3)
+    by("b").getAs[Double]("ci_lo") shouldBe blo +- 1e-12
+    by("b").getAs[Double]("ci_hi") shouldBe bhi +- 1e-12
+    bhi shouldBe 1.0 +- 1e-12
+    blo should be > 0.2
+    an[IllegalArgumentException] should be thrownBy
+      Association.wilsonInterval(df, "g", "s", z = 0.0)
+  }
 }

@@ -201,4 +201,37 @@ class EvaluationSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy
       Evaluation.fleissKappaWide(wide, Seq("r1"))
   }
+
+  test("probMetrics matches hand-traced Brier/log-loss and clamps hard 0/1") {
+    // group a: (p=0.8,y=1), (p=0.2,y=0) -> brier = 0.04, ll = -ln(0.8)
+    val df = Seq(("a", 0.8, 1L), ("a", 0.2, 0L), ("z", 0.0, 1L))
+      .toDF("g", "p", "y")
+    val by = Evaluation.probMetrics(df.repartition(3), "g", "p", "y")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    by("a").getAs[Double]("base_rate") shouldBe 0.5 +- 1e-15
+    by("a").getAs[Double]("brier") shouldBe 0.04 +- 1e-12
+    by("a").getAs[Double]("logloss") shouldBe -math.log(0.8) +- 1e-12
+    // a confident wrong answer costs ln(1/eps), not infinity
+    by("z").getAs[Double]("brier") shouldBe 1.0 +- 1e-12
+    by("z").getAs[Double]("logloss") shouldBe -math.log(1e-15) +- 1e-9
+    an[IllegalArgumentException] should be thrownBy
+      Evaluation.probMetrics(df, "g", "p", "y", eps = 0.7)
+  }
+
+  test("averagePrecision matches the hand-traced step sum with id tiebreak") {
+    // ranked by score desc: y = 1,0,1 -> AP = (1/1 + 2/3) / 2 = 5/6
+    val df = Seq(("g", 3.0, 1L, 1L), ("g", 2.0, 0L, 2L), ("g", 1.0, 1L, 3L),
+      ("e", 9.0, 0L, 1L)) // no positives -> NULL
+      .toDF("grp", "s", "y", "id")
+    val by = Evaluation.averagePrecision(df.repartition(3), "grp", "s", "y", "id")
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    by("g").getAs[Long]("n_pos") shouldBe 2L
+    by("g").getAs[Double]("ap") shouldBe (5.0 / 6.0) +- 1e-15
+    by("e").isNullAt(by("e").fieldIndex("ap")) shouldBe true
+    // tied scores: id ASC decides -> positives at ranks 1,2 -> AP = 1
+    val tied = Seq(("t", 1.0, 1L, 1L), ("t", 1.0, 1L, 2L), ("t", 1.0, 0L, 3L))
+      .toDF("grp", "s", "y", "id")
+    Evaluation.averagePrecision(tied, "grp", "s", "y", "id")
+      .head().getAs[Double]("ap") shouldBe 1.0 +- 1e-15
+  }
 }

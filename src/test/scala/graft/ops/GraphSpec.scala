@@ -211,4 +211,27 @@ class GraphSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy Graph.labelPropagation(star, 0)
     an[IllegalArgumentException] should be thrownBy Graph.labelPropagation(star, 11)
   }
+
+  test("hits concentrates authority on the sink of a 2-source star") {
+    // 1 -> 3, 2 -> 3: a(3) = 1, hubs split evenly, all other scores 0
+    val star = Seq((1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val by = Graph.hits(star.repartition(3), iters = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    by(3L).getAs[Double]("authority") shouldBe 1.0 +- 1e-15
+    by(3L).getAs[Double]("hub") shouldBe 0.0 +- 1e-15
+    by(1L).getAs[Double]("authority") shouldBe 0.0 +- 1e-15
+    by(1L).getAs[Double]("hub") shouldBe 0.5 +- 1e-15
+    by(2L).getAs[Double]("hub") shouldBe 0.5 +- 1e-15
+    // hand-trace on a chain 1->2->3: a1 = (0,1,1); h1 = (1,1,0);
+    // a2 = (0,1,1); h2 = (1,1,0) -> authority (0,.5,.5), hub (.5,.5,0)
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val c = Graph.hits(chain, iters = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    c(1L).getAs[Double]("authority") shouldBe 0.0 +- 1e-15
+    c(2L).getAs[Double]("authority") shouldBe 0.5 +- 1e-15
+    c(3L).getAs[Double]("authority") shouldBe 0.5 +- 1e-15
+    c(3L).getAs[Double]("hub") shouldBe 0.0 +- 1e-15
+    an[IllegalArgumentException] should be thrownBy Graph.hits(star, 0)
+    an[IllegalArgumentException] should be thrownBy Graph.hits(star, 11)
+  }
 }

@@ -131,4 +131,26 @@ class TimeSeriesSpec extends AnyFunSuite with Matchers {
     TimeSeries.cusum(tied, "k", "t", "x").head()
       .getAs[Long]("cp_index") shouldBe 1L
   }
+
+  test("trend recovers a perfect line and NULLs degenerate fits") {
+    // y = 2x + 1 over positions 1..5; constant series; singleton
+    val df = (1 to 5).map(t => ("a", t.toLong, 2.0 * t + 1.0)) ++
+      (1 to 4).map(t => ("c", t.toLong, 7.0)) ++ Seq(("s", 1L, 3.0))
+    val by = TimeSeries.trend(df.toDF("k", "t", "x").repartition(3), "k", "t", "x")
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    by("a").getAs[Double]("slope") shouldBe 2.0 +- 1e-12
+    by("a").getAs[Double]("intercept") shouldBe 1.0 +- 1e-12
+    by("a").getAs[Double]("r2") shouldBe 1.0 +- 1e-12
+    by("c").getAs[Double]("slope") shouldBe 0.0 +- 1e-12
+    by("c").getAs[Double]("intercept") shouldBe 7.0 +- 1e-12
+    by("c").isNullAt(by("c").fieldIndex("r2")) shouldBe true
+    by("s").isNullAt(by("s").fieldIndex("slope")) shouldBe true
+    // hand trace, non-trivial: y = (3, 1, 4) -> slope 0.5, r2 = 1/14... no:
+    // x=(1,2,3), cov*n = 3*17 - 6*8 = 3, var_x*n = 3*14 - 36 = 6 -> 0.5;
+    // var_y*n = 3*26 - 64 = 14 -> r2 = 9/84
+    val h = TimeSeries.trend(Seq(("h", 1L, 3.0), ("h", 2L, 1.0), ("h", 3L, 4.0))
+      .toDF("k", "t", "x"), "k", "t", "x").head()
+    h.getAs[Double]("slope") shouldBe 0.5 +- 1e-12
+    h.getAs[Double]("r2") shouldBe (9.0 / 84.0) +- 1e-12
+  }
 }
