@@ -1119,6 +1119,44 @@ object OpsQueries {
           round(col("exp_freq") + lit(5e-10), 6).as("exp_freq"),
           round(col("dev") + lit(5e-10), 6).as("dev"))
         .orderBy("digit")),
+    "x21_oov_rate" -> ((s, dir) => {
+      // tokenizer-coverage screen: per-source out-of-vocabulary rate
+      // against the corpus's own top-20 token vocabulary (count DESC,
+      // token ASC ties). Two passes over ONE exploded token frame; the
+      // vocab rides a broadcast left join
+      val tk = table(s, dir, "documents")
+        .filter(col("source").isNotNull && col("text").isNotNull)
+        .select(col("source"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+      val vocab = tk.groupBy("token").agg(count(lit(1)).as("__n"))
+        .orderBy(col("__n").desc, col("token")).limit(20)
+        .select(col("token"), lit(1L).as("__in"))
+      tk.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("source"), col("n_tokens"), col("n_oov"),
+          round(col("n_oov").cast("double") / col("n_tokens") + lit(5e-10), 6)
+            .as("oov_rate"))
+        .orderBy("source")
+    }),
+    "x22_boilerplate" -> ((s, dir) =>
+      // boilerplate-header detector: each source's most common leading
+      // trigram and its share of the source's docs — one prefix
+      // projection, one census, a min(struct) argmax, no window
+      table(s, dir, "documents")
+        .filter(col("source").isNotNull && col("text").isNotNull)
+        .select(col("source"), concat_ws(" ",
+          slice(TextAnalysis.tokens(lower(col("text"))), 1, 3)).as("prefix"))
+        .groupBy("source", "prefix").agg(count(lit(1)).as("__c"))
+        .groupBy("source")
+        .agg(sum("__c").as("n_docs"),
+          min(struct((-col("__c")).as("nc"), col("prefix").as("p"))).as("__b"))
+        .select(col("source"), col("n_docs"),
+          col("__b.p").as("top_prefix"), (-col("__b.nc")).as("n_top"),
+          round((-col("__b.nc")).cast("double") / col("n_docs") + lit(5e-10), 6)
+            .as("share"))
+        .orderBy("source")),
     "x19_zipf" -> ((s, dir) =>
       // corpus-health Zipf fit: vocabulary census -> rank window over
       // vocab rows only -> closed-form OLS in one aggregate
@@ -2540,6 +2578,16 @@ object OpsQueries {
         .select(col("name_a"), col("name_b"), col("n_a"), col("n_b"),
           round(col("jw") + lit(5e-10), 6).as("jw"))
         .orderBy("name_a", "name_b")),
+    "d22_source_overlap" -> ((s, dir) =>
+      // can these crawls be mixed? pairwise Jaccard/containment of each
+      // source pair's distinct word-trigram sets; the gram self-join
+      // fans out at most |sources|^2 per gram, never rows^2
+      Dedup.sourceOverlapMatrix(table(s, dir, "documents"), "source", "text", n = 3)
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+          col("n_common"),
+          round(col("jaccard") + lit(5e-10), 6).as("jaccard"),
+          round(col("containment") + lit(5e-10), 6).as("containment"))
+        .orderBy("src_a", "src_b")),
     "d18_fuzzy_join" -> ((s, dir) => {
       // edit-distance record linkage: a probe batch (every 199th part
       // name, first character dropped — a planted typo at lev 1 from
@@ -3836,6 +3884,21 @@ object OpsQueries {
         "FROM n a JOIN n b ON a.name < b.name " +
         "WHERE jaro_winkler_similarity(a.name, b.name) >= 0.84 " +
         "ORDER BY name_a, name_b"),
+    "d22_source_overlap" ->
+      // the same distinct (source, trigram) census, pair intersections
+      // from the gram self-join, set algebra on the pair frame
+      (s"WITH g0 AS (SELECT source AS src, unnest(${shingleSql(3, toksOf("text"))}) AS gr " +
+        "FROM documents WHERE source IS NOT NULL AND text IS NOT NULL), " +
+        "g AS (SELECT DISTINCT src, gr FROM g0), " +
+        "sz AS (SELECT src, count(*)::BIGINT AS n FROM g GROUP BY 1), " +
+        "it AS (SELECT a.src AS src_a, b.src AS src_b, count(*)::BIGINT AS c " +
+        "FROM g a JOIN g b ON a.gr = b.gr AND a.src < b.src GROUP BY 1, 2), " +
+        "pr AS (SELECT a.src AS src_a, b.src AS src_b, a.n AS n_a, b.n AS n_b " +
+        "FROM sz a JOIN sz b ON a.src < b.src) " +
+        "SELECT src_a, src_b, n_a, n_b, coalesce(c, 0)::BIGINT AS n_common, " +
+        "round(coalesce(c, 0)::DOUBLE / (n_a + n_b - coalesce(c, 0)) + 5e-10, 6) AS jaccard, " +
+        "round(coalesce(c, 0)::DOUBLE / least(n_a, n_b) + 5e-10, 6) AS containment " +
+        "FROM pr LEFT JOIN it USING (src_a, src_b) ORDER BY src_a, src_b"),
     "d18_fuzzy_join" ->
       // brute-force cross join, aggregated to the per-probe summary: the
       // engine's PassJoin blocking is SOUND (zero false negatives), so
@@ -4428,6 +4491,27 @@ object OpsQueries {
         "SELECT digit, cnt, round(obs + 5e-10, 6) AS obs_freq, " +
         "round(expf + 5e-10, 6) AS exp_freq, " +
         "round(obs - expf + 5e-10, 6) AS dev FROM t ORDER BY digit"),
+    "x21_oov_rate" ->
+      // same top-20 vocabulary (count DESC, token ASC) and the per-source
+      // miss census over the exploded tokens
+      (s"WITH tk AS (SELECT source, unnest(${toksOf("text")}) AS token FROM documents " +
+        "WHERE source IS NOT NULL AND text IS NOT NULL), " +
+        "v AS (SELECT token FROM (SELECT token, count(*)::BIGINT AS n FROM tk GROUP BY 1) " +
+        "ORDER BY n DESC, token LIMIT 20) " +
+        "SELECT source, count(*)::BIGINT AS n_tokens, " +
+        "sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov, " +
+        "round(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*) " +
+        "+ 5e-10, 6) AS oov_rate " +
+        "FROM tk LEFT JOIN v ON tk.token = v.token GROUP BY source ORDER BY source"),
+    "x22_boilerplate" ->
+      // leading-trigram census, (count DESC, prefix) argmax per source
+      (s"WITH p AS (SELECT source, array_to_string(list_slice(${toksOf("text")}, 1, 3), ' ') " +
+        "AS prefix FROM documents WHERE source IS NOT NULL AND text IS NOT NULL), " +
+        "c AS (SELECT source, prefix, count(*)::BIGINT AS n FROM p GROUP BY 1, 2), " +
+        "r AS (SELECT source, prefix, n, sum(n) OVER (PARTITION BY source) AS tot, " +
+        "row_number() OVER (PARTITION BY source ORDER BY n DESC, prefix) AS rn FROM c) " +
+        "SELECT source, tot::BIGINT AS n_docs, prefix AS top_prefix, n AS n_top, " +
+        "round(n::DOUBLE / tot + 5e-10, 6) AS share FROM r WHERE rn = 1 ORDER BY source"),
     "x19_zipf" ->
       // vocab census -> (cnt desc, token) rank -> the OLS sums and the
       // operator's exact cov/vx/vy formulas

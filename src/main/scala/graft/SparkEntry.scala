@@ -635,6 +635,53 @@ object SparkEntry {
           count(lit(1)).over(byPrice).as("n_within_1000"))
         .orderBy("o_custkey", "o_orderkey")
     }),
+    "a25_grouping_sets" -> ((s, dir) =>
+      // irregular GROUPING SETS — (rf, ls), (ls), () — the shape
+      // neither a7's CUBE nor a12's ROLLUP can express (it skips the
+      // (rf) level); one Expand + one aggregate exchange
+      table(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity").cast("double")) + lit(5e-10), 6).as("sum_qty"),
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"))
+        .orderBy("g_rf", "g_ls", "l_returnflag", "l_linestatus")),
+    "w7_unpivot" -> ((s, dir) =>
+      // melt a wide per-flag stat frame to long form with the native
+      // unpivot operator (Expand, zero shuffle beyond the aggregate)
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        // decimal sums stay exact through the shuffle; cast once after
+        .agg(sum(col("l_quantity")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice")).cast("double").as("sum_price"),
+          (sum(col("l_discount")).cast("double") / count(lit(1))).as("avg_disc"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("avg_disc")),
+          "metric", "value")
+        .select(col("l_returnflag"), col("metric"),
+          round(col("value") + lit(5e-10), 6).as("value"))
+        .orderBy("l_returnflag", "metric")),
+    "w8_period_over_period" -> ((s, dir) => {
+      // year-over-year revenue growth per market segment: exact decimal
+      // yearly sums, one lag window over the tiny (segment, year) census
+      val o = table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_totalprice"),
+          year(col("o_orderdate")).cast("long").as("yr"))
+      val c = table(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val rev = o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("yr"))
+        .agg(sum(col("o_totalprice")).as("rev"))
+      val w = Window.partitionBy("c_mktsegment").orderBy("yr")
+      rev.withColumn("prev", lag(col("rev"), 1).over(w))
+        .select(col("c_mktsegment"), col("yr"),
+          round(col("rev").cast("double") + lit(5e-10), 6).as("revenue"),
+          round((col("rev").cast("double") - col("prev").cast("double")) /
+            col("prev").cast("double") + lit(5e-10), 6).as("yoy"))
+        .orderBy("c_mktsegment", "yr")
+    }),
     "u1_set_ops" -> ((s, dir) => {
       val o = table(s, dir, "orders")
       val hi = o.filter(col("o_totalprice") > 100000).select(col("o_custkey"))
@@ -1165,6 +1212,34 @@ object SparkEntry {
         "FROM orders WHERE o_custkey < 150 " +
         "WINDOW wk AS (PARTITION BY o_custkey ORDER BY o_orderkey) " +
         "ORDER BY o_custkey, o_orderkey"),
+    "a25_grouping_sets" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+        "round(sum(l_quantity::DOUBLE) + 5e-10, 6) AS sum_qty, " +
+        "CAST(grouping(l_returnflag) AS INT) AS g_rf, " +
+        "CAST(grouping(l_linestatus) AS INT) AS g_ls " +
+        "FROM lineitem " +
+        "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ()) " +
+        "ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+    "w7_unpivot" ->
+      // the melt written longhand: one stat row per flag per metric
+      ("WITH s AS (SELECT l_returnflag, sum(l_quantity)::DOUBLE AS sum_qty, " +
+        "sum(l_extendedprice)::DOUBLE AS sum_price, " +
+        "sum(l_discount)::DOUBLE / count(*) AS avg_disc " +
+        "FROM lineitem GROUP BY 1) " +
+        "SELECT l_returnflag, metric, round(value + 5e-10, 6) AS value FROM (" +
+        "SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM s " +
+        "UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM s " +
+        "UNION ALL SELECT l_returnflag, 'avg_disc', avg_disc FROM s) " +
+        "ORDER BY l_returnflag, metric"),
+    "w8_period_over_period" ->
+      ("WITH rev AS (SELECT c_mktsegment, year(o_orderdate)::BIGINT AS yr, " +
+        "sum(o_totalprice) AS rev FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY 1, 2) " +
+        "SELECT c_mktsegment, yr, round(rev::DOUBLE + 5e-10, 6) AS revenue, " +
+        "round((rev::DOUBLE - prev::DOUBLE) / prev::DOUBLE + 5e-10, 6) AS yoy FROM (" +
+        "SELECT c_mktsegment, yr, rev, lag(rev, 1) OVER " +
+        "(PARTITION BY c_mktsegment ORDER BY yr) AS prev FROM rev) " +
+        "ORDER BY c_mktsegment, yr"),
     "u4_bag_set_ops" ->
       ("WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 100000), " +
         "urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') " +

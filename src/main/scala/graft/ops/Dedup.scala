@@ -1020,4 +1020,42 @@ object Dedup {
       .agg(sum(col("__c")).as("n_occ"), count(lit(1)).as("n_docs"))
       .filter(col("n_occ") >= minOcc)
   }
+
+  /** Pairwise corpus-overlap matrix: for every unordered pair of values
+    * of `keyCol` (corpus source, snapshot, shard…), the Jaccard and
+    * containment of their DISTINCT word n-gram sets — the "how much of
+    * source A is also in source B" report that decides whether two
+    * crawls can be mixed without [[decontaminate]]-style filtering.
+    *
+    * Scale shape: ONE (key, gram)-distinct shuffle over the exploded
+    * corpus, then a gram-keyed self-join whose per-gram fan-out is
+    * bounded by |keys|² (keys are FEW by contract — sources, not docs;
+    * a gram shared by every key yields |keys|² rows, never row-count²),
+    * reduced map-side to the |keys|²-row matrix. Per-key set sizes ride
+    * a broadcast. Returns every pair (src_a < src_b), zero-intersection
+    * pairs included: (src_a, src_b, n_a, n_b, n_common, jaccard,
+    * containment) where containment divides by the SMALLER set. */
+  def sourceOverlapMatrix(df: DataFrame, keyCol: String, textCol: String,
+                          n: Int = 3): DataFrame = {
+    val grams = df
+      .filter(col(keyCol).isNotNull && col(textCol).isNotNull)
+      .select(col(keyCol).as("__src"), explode(shingles(col(textCol), n)).as("__g"))
+      .distinct()
+    val sizes = grams.groupBy("__src").agg(count(lit(1)).as("__sz"))
+    val inter = grams.select(col("__src").as("src_a"), col("__g"))
+      .join(grams.select(col("__src").as("src_b"), col("__g")), Seq("__g"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_common"))
+    // all pairs from the tiny size census, so empty intersections show up
+    val pairs = sizes.select(col("__src").as("src_a"), col("__sz").as("n_a"))
+      .crossJoin(sizes.select(col("__src").as("src_b"), col("__sz").as("n_b")))
+      .filter(col("src_a") < col("src_b"))
+    pairs.join(broadcast(inter), Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")))
+      .withColumn("containment",
+        col("n_common").cast("double") / least(col("n_a"), col("n_b")))
+  }
 }

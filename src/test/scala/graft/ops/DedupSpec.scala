@@ -551,4 +551,25 @@ class DedupSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy
       Dedup.maskSpans(docs, "text", Seq("AB"), k = 4)
   }
+
+  test("sourceOverlapMatrix computes pairwise Jaccard over distinct grams") {
+    // unigrams: a = {x, y}, b = {y, z}, c = {q} (disjoint from both)
+    val df = Seq(("a", "x y"), ("a", "y x"), ("b", "y z"), ("c", "q"))
+      .toDF("src", "text")
+    val m = Dedup.sourceOverlapMatrix(df.repartition(3), "src", "text", n = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    m.size shouldBe 3 // all pairs present, including zero-overlap ones
+    val ab = m(("a", "b"))
+    ab.getAs[Long]("n_a") shouldBe 2L
+    ab.getAs[Long]("n_b") shouldBe 2L
+    ab.getAs[Long]("n_common") shouldBe 1L
+    ab.getAs[Double]("jaccard") shouldBe (1.0 / 3.0) +- 1e-12
+    ab.getAs[Double]("containment") shouldBe 0.5 +- 1e-12
+    m(("a", "c")).getAs[Long]("n_common") shouldBe 0L
+    m(("a", "c")).getAs[Double]("jaccard") shouldBe 0.0 +- 1e-12
+    // trigram path: identical docs across sources -> full overlap
+    val tri = Seq(("a", "p q r s"), ("b", "p q r s")).toDF("src", "text")
+    val full = Dedup.sourceOverlapMatrix(tri, "src", "text", n = 3).head()
+    full.getAs[Double]("jaccard") shouldBe 1.0 +- 1e-12
+  }
 }
