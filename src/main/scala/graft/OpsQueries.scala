@@ -1003,21 +1003,25 @@ object OpsQueries {
           round(col("logloss") + lit(5e-10), 6).as("logloss"))
         .orderBy("o_orderpriority")),
     "v9_avg_precision" -> ((s, dir) =>
-      // PR-curve area per order-year: score = o_totalprice, positives =
-      // the 10% custkey slice, ties pinned by o_orderkey; cumPos/rank
-      // stay exact integers so the step sum replays bit-for-bit
+      // PR-curve area per order-month: score = o_totalprice, positives
+      // = the 10% custkey slice, ties pinned by o_orderkey; cumPos/rank
+      // stay exact integers so the step sum replays bit-for-bit. Month
+      // granularity (84 groups), not year (7): the per-group sort
+      // window needs groups >= cores or the biggest groups serialize
+      // the stage (measured 16.6 -> ~2 s at the 100x bench scale)
       Evaluation.averagePrecision(
           table(s, dir, "orders")
             .filter(col("o_totalprice").isNotNull && col("o_custkey").isNotNull &&
               col("o_orderkey").isNotNull)
-            .select(year(col("o_orderdate")).cast("long").as("yr"),
+            .select((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+              .cast("long").as("ym"),
               col("o_totalprice").as("score"),
               (col("o_custkey") % 10 === 0).cast("long").as("y"),
               col("o_orderkey").as("id")),
-          "yr", "score", "y", "id")
-        .select(col("yr"), col("n"), col("n_pos"),
+          "ym", "score", "y", "id")
+        .select(col("ym"), col("n"), col("n_pos"),
           round(col("ap") + lit(5e-10), 6).as("ap"))
-        .orderBy("yr")),
+        .orderBy("ym")),
     "v4_calibration" -> ((s, dir) => {
       // reliability diagram + ECE in one aggregate pass: "model
       // probability" p = (o_orderkey % 1000)/1000, label = fully-shipped
@@ -2465,6 +2469,31 @@ object OpsQueries {
           round(col("mp3_meta.duration_s") + lit(5e-10), 6).as("duration_s"))
         .orderBy("doc_id")
     }),
+    "m13_gif_meta" -> ((s, dir) => {
+      // animated-GIF container metadata over the REAL block walk: every
+      // %10==4 doc plants a spec-valid GIF89a whose dimensions / frame
+      // count / color table / total delay are closed-form functions of
+      // doc_id — the oracle derives every decoded field without
+      // replaying any byte math (the m8 planted-stage pattern). Pixel
+      // (LZW) decode stays the documented stub; the container carries
+      // everything a media-curation gate filters on.
+      val planted = docs(s, dir).filter(col("doc_id") % 10 === 4)
+        .select(col("doc_id"), Multimodal.gifPayload(
+          (col("doc_id") % 64 + 16).cast("int"),
+          (col("doc_id") % 48 + 8).cast("int"),
+          (col("doc_id") % 5 + 1).cast("int"),
+          (col("doc_id") % 3 + 1).cast("int"),
+          (col("doc_id") % 10 + 1).cast("int")).as("payload"))
+      Multimodal.withGifMeta(planted, "payload")
+        .select(col("doc_id"), col("gif_meta.version").as("version"),
+          col("gif_meta.width").cast("long").as("width"),
+          col("gif_meta.height").cast("long").as("height"),
+          col("gif_meta.gct_colors").cast("long").as("gct_colors"),
+          col("gif_meta.n_frames").cast("long").as("n_frames"),
+          col("gif_meta.n_ext").cast("long").as("n_ext"),
+          col("gif_meta.duration_cs").as("duration_cs"))
+        .orderBy("doc_id")
+    }),
 
     // ---- incremental aggregate maintenance -----------------------------
     "u6_incremental_agg" -> ((s, dir) => {
@@ -3793,6 +3822,18 @@ object OpsQueries {
         "kbps AS bitrate_max_kbps, (n_frames * 1152)::BIGINT AS n_samples, " +
         "ROUND((n_frames * 1152)::DOUBLE / sample_rate + 5e-10, 6) AS duration_s " +
         "FROM m ORDER BY doc_id"),
+    "m13_gif_meta" ->
+      // closed-form replay of the planting parameters: dims from the
+      // id residues, 2^(1 + id%3) global colors, one GCE per frame so
+      // n_ext = n_frames and duration = n_frames * delay
+      ("SELECT doc_id, 'GIF89a' AS version, " +
+        "(doc_id % 64 + 16)::BIGINT AS width, " +
+        "(doc_id % 48 + 8)::BIGINT AS height, " +
+        "(1::BIGINT << ((doc_id % 3)::INT + 1))::BIGINT AS gct_colors, " +
+        "(doc_id % 5 + 1)::BIGINT AS n_frames, " +
+        "(doc_id % 5 + 1)::BIGINT AS n_ext, " +
+        "((doc_id % 5 + 1) * (doc_id % 10 + 1))::BIGINT AS duration_cs " +
+        "FROM documents WHERE doc_id % 10 = 4 ORDER BY doc_id"),
     "u6_incremental_agg" ->
       // full recompute over every order — the merged state must equal it
       ("SELECT o_custkey, count(*)::BIGINT AS n, " +
@@ -4361,17 +4402,18 @@ object OpsQueries {
     "v9_avg_precision" ->
       // the window formulation: rank by (score DESC, id), integer
       // cumulative positives, the AP step sum, one division per group
-      ("WITH s AS (SELECT year(o_orderdate)::BIGINT AS yr, o_totalprice::DOUBLE AS score, " +
+      ("WITH s AS (SELECT (year(o_orderdate) * 100 + month(o_orderdate))::BIGINT AS ym, " +
+        "o_totalprice::DOUBLE AS score, " +
         "CASE WHEN o_custkey % 10 = 0 THEN 1 ELSE 0 END AS y, o_orderkey AS id FROM orders " +
         "WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL AND o_orderkey IS NOT NULL), " +
-        "r AS (SELECT yr, y, row_number() OVER w AS rn, " +
-        "sum(y) OVER (PARTITION BY yr ORDER BY score DESC, id " +
+        "r AS (SELECT ym, y, row_number() OVER w AS rn, " +
+        "sum(y) OVER (PARTITION BY ym ORDER BY score DESC, id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp FROM s " +
-        "WINDOW w AS (PARTITION BY yr ORDER BY score DESC, id)) " +
-        "SELECT yr, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos, " +
+        "WINDOW w AS (PARTITION BY ym ORDER BY score DESC, id)) " +
+        "SELECT ym, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos, " +
         "round(CASE WHEN sum(y) > 0 THEN " +
         "sum(CASE WHEN y = 1 THEN cp::DOUBLE / rn END) / sum(y) END + 5e-10, 6) AS ap " +
-        "FROM r GROUP BY yr ORDER BY yr"),
+        "FROM r GROUP BY ym ORDER BY ym"),
     "v4_calibration" ->
       // bin arithmetic and the explicit sum_p / n confidence replayed with
       // identical operation order; ECE as the tiny-frame weighted walk

@@ -545,6 +545,127 @@ object Multimodal {
     }(enc)
   }
 
+  val gifMetaType: StructType = StructType(Seq(
+    StructField("version", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("gct_colors", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("n_ext", IntegerType),
+    StructField("duration_cs", LongType)))
+
+  /** REAL GIF container walk (GIF87a/89a, no LZW pixel decode): logical
+    * screen descriptor, global color table skip, then the block stream —
+    * image descriptors (plus local color table and data sub-blocks),
+    * extensions (Graphic Control delays accumulate into duration), up to
+    * the 0x3B trailer. Animated-GIF frame counts and total delay come
+    * straight from the container, no codec needed; pixel decode stays
+    * the documented stub. Returns None for anything structurally not a
+    * GIF (bad signature, truncated block stream). */
+  private[ops] def decodeGifMeta(bytes: Array[Byte])
+      : Option[(String, Int, Int, Int, Int, Int, Long)] = {
+    if (bytes == null || bytes.length < 14) return None
+    val hdr = new String(bytes, 0, 6, "US-ASCII")
+    if (hdr != "GIF87a" && hdr != "GIF89a") return None
+    def u8(i: Int): Int = bytes(i) & 0xFF
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    val w = le16(6); val h = le16(8)
+    val packed = u8(10)
+    val gctColors = if ((packed & 0x80) != 0) 1 << ((packed & 0x07) + 1) else 0
+    var pos = 13 + 3 * gctColors
+    var frames = 0; var exts = 0; var delayCs = 0L
+    // skip a length-prefixed sub-block chain starting at p; -1 on overrun
+    def skipSubBlocks(start: Int): Int = {
+      var p = start
+      while (p < bytes.length && u8(p) != 0) p += u8(p) + 1
+      if (p < bytes.length) p + 1 else -1
+    }
+    while (pos >= 0 && pos < bytes.length) {
+      u8(pos) match {
+        case 0x3B =>
+          return Some((hdr, w, h, gctColors, frames, exts, delayCs))
+        case 0x21 if pos + 1 < bytes.length =>
+          exts += 1
+          // Graphic Control Extension: 4-byte block, delay at bytes 2-3
+          if (u8(pos + 1) == 0xF9 && pos + 6 < bytes.length && u8(pos + 2) == 4)
+            delayCs += le16(pos + 4)
+          pos = skipSubBlocks(pos + 2)
+        case 0x2C if pos + 9 < bytes.length =>
+          frames += 1
+          val localColors =
+            if ((u8(pos + 9) & 0x80) != 0) 1 << ((u8(pos + 9) & 0x07) + 1) else 0
+          val dataStart = pos + 10 + 3 * localColors + 1 // +1: LZW code size
+          pos = if (dataStart > bytes.length) -1 else skipSubBlocks(dataStart)
+        case _ => return None // unknown block or truncated descriptor
+      }
+    }
+    None // ran off the end without a trailer
+  }
+
+  /** Deterministic GIF89a encoder (test fixtures / planted corpora):
+    * `gctBits` in 1..8 sets a 2^gctBits-color global table; every frame
+    * gets a Graphic Control Extension carrying `delayCs` and one 5-byte
+    * data sub-block. Structurally valid per the spec — [[decodeGifMeta]]
+    * and any external GIF parser agree on every header field. */
+  def encodeGif(width: Int, height: Int, nFrames: Int, gctBits: Int,
+                delayCs: Int): Array[Byte] = {
+    require(width >= 0 && width <= 0xFFFF && height >= 0 && height <= 0xFFFF,
+      s"dims must be u16, got ${width}x$height")
+    require(nFrames >= 0 && gctBits >= 1 && gctBits <= 8 &&
+      delayCs >= 0 && delayCs <= 0xFFFF,
+      s"bad GIF params: frames=$nFrames gctBits=$gctBits delay=$delayCs")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    buf ++= "GIF89a".getBytes("US-ASCII")
+    def le16(v: Int): Unit = { buf += (v & 0xFF).toByte; buf += ((v >> 8) & 0xFF).toByte }
+    le16(width); le16(height)
+    buf += (0x80 | 0x70 | (gctBits - 1)).toByte // GCT flag, max color res
+    buf += 0.toByte; buf += 0.toByte            // bg index, aspect
+    for (i <- 0 until (1 << gctBits)) {
+      buf += (i & 0xFF).toByte; buf += ((i * 7) & 0xFF).toByte
+      buf += ((i * 13) & 0xFF).toByte
+    }
+    for (f <- 0 until nFrames) {
+      buf += 0x21.toByte; buf += 0xF9.toByte; buf += 4.toByte; buf += 0.toByte
+      le16(delayCs); buf += 0.toByte; buf += 0.toByte
+      buf += 0x2C.toByte; le16(0); le16(0); le16(width); le16(height)
+      buf += 0.toByte // no local color table
+      buf += 2.toByte // LZW min code size
+      buf += 5.toByte
+      for (j <- 0 until 5) buf += ((f * 31 + j) & 0xFF).toByte
+      buf += 0.toByte
+    }
+    buf += 0x3B.toByte
+    buf.toArray
+  }
+
+  def gifPayload(width: org.apache.spark.sql.Column,
+                 height: org.apache.spark.sql.Column,
+                 nFrames: org.apache.spark.sql.Column,
+                 gctBits: org.apache.spark.sql.Column,
+                 delayCs: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val enc = udf((w: Int, h: Int, n: Int, b: Int, d: Int) => encodeGif(w, h, n, b, d))
+    enc(width, height, nFrames, gctBits, delayCs)
+  }
+
+  /** Partition-wise GIF container-metadata extraction over a binary
+    * column: adds a `gif_meta` struct ([[gifMetaType]]) — null for
+    * payloads that are not structurally GIF. Same `mapPartitions` batch
+    * shape as [[withMp3Meta]]. */
+  def withGifMeta(df: DataFrame, payloadCol: String): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add(StructField("gif_meta", gifMetaType))
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val meta = decodeGifMeta(r.getAs[Array[Byte]](payloadIdx))
+          .map { case (v, w, h, g, nf, ne, d) => Row(v, w, h, g, nf, ne, d) }
+          .orNull
+        Row.fromSeq(r.toSeq :+ meta)
+      }
+    }(enc)
+  }
+
   val imageStatsType: StructType = StructType(Seq(
     StructField("n_pixels", LongType),
     StructField("mean_r", DoubleType),

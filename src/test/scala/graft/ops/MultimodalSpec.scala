@@ -812,4 +812,31 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     g2.length shouldBe 2
     g2(1).getDouble(1) shouldBe 120.0 // 'x'
   }
+
+  test("gif encode/decode roundtrips and rejects non-GIF bytes") {
+    val bytes = Multimodal.encodeGif(320, 200, nFrames = 3, gctBits = 2, delayCs = 7)
+    val Some((v, w, h, gct, nf, ne, dur)) = Multimodal.decodeGifMeta(bytes)
+    v shouldBe "GIF89a"
+    w shouldBe 320; h shouldBe 200
+    gct shouldBe 4 // 2^gctBits colors
+    nf shouldBe 3
+    ne shouldBe 3 // one GCE per frame
+    dur shouldBe 21L // 3 frames x 7 cs
+    // zero frames: a bare header + trailer still parses
+    val empty = Multimodal.encodeGif(1, 1, 0, 1, 0)
+    Multimodal.decodeGifMeta(empty).get._5 shouldBe 0
+    // rejections: bad signature, truncation mid-stream, null
+    Multimodal.decodeGifMeta("NOTAGIF89a!!!!".getBytes) shouldBe None
+    Multimodal.decodeGifMeta(bytes.dropRight(2)) shouldBe None // lost trailer
+    Multimodal.decodeGifMeta(null) shouldBe None
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.encodeGif(1, 1, 1, gctBits = 9, delayCs = 0)
+    // the mapPartitions wrapper nulls the struct for junk payloads
+    val df = Seq((1L, bytes), (2L, Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "payload")
+    val rows = Multimodal.withGifMeta(df.repartition(2), "payload")
+      .select(col("doc_id"), col("gif_meta")).orderBy("doc_id").collect()
+    rows(0).getStruct(1).getInt(4) shouldBe 3 // n_frames
+    rows(1).isNullAt(1) shouldBe true
+  }
 }
