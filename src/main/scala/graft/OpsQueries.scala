@@ -612,6 +612,18 @@ object OpsQueries {
           max("o_orderkey").as("max_key"))
         .orderBy("fold")
     }),
+    "p17_stratified_kfold" -> ((s, dir) =>
+      // class-balanced folds: the round-robin deal within each priority
+      // stratum bounds every (stratum, fold) census at +-1 row — visible
+      // in the n column — and the oracle re-derives each row's fold
+      Sampling.stratifiedFolds(
+          table(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+            .filter(col("o_orderkey").isNotNull && col("o_orderpriority").isNotNull),
+          "o_orderpriority", "o_orderkey", k = 5, seed = 3L)
+        .groupBy(col("o_orderpriority"), col("fold"))
+        .agg(count(lit(1)).as("n"), min("o_orderkey").as("min_key"),
+          max("o_orderkey").as("max_key"))
+        .orderBy("o_orderpriority", "fold")),
     "x16_cms_freq" -> ((s, dir) => {
       // Count-Min point-frequency estimates, gated against exact counts:
       // build the sketch in ONE decomposable pass (map-side combined —
@@ -2710,6 +2722,30 @@ object OpsQueries {
           round(sum("value") + lit(5e-10), 6).as("sum_value"))
         .orderBy("day")
     }),
+    "o11_schema_merge" -> ((s, dir) => {
+      // schema evolution across parquet batches: the v1 history lacks
+      // the discount column the v2 writer added; mergeSchema unions the
+      // schemas on read and v1 rows surface NULL discounts. The census
+      // must match an oracle computed straight from the source table —
+      // pinning that evolution loses no rows and invents no values.
+      val base = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "graft_schema_merge").toString
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_discount"))
+      li.filter(col("l_orderkey") % 3 === 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .repartition(2).write.mode("overwrite").parquet(s"$base/v1")
+      li.filter(col("l_orderkey") % 3 === 1)
+        .repartition(2).write.mode("overwrite").parquet(s"$base/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$base/v1", s"$base/v2")
+        .groupBy((col("l_orderkey") % 3).as("batch"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")).cast("double") + lit(5e-10), 6).as("sum_qty"),
+          sum(when(col("l_discount").isNull, 1L).otherwise(0L)).as("n_null_disc"),
+          round(sum(col("l_discount")).cast("double") + lit(5e-10), 6).as("sum_disc"))
+        .orderBy("batch")
+    }),
   )
 
   // DuckDB-side token array matching TextAnalysis.tokens. The whitespace
@@ -4758,6 +4794,27 @@ object OpsQueries {
         "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) + 5e-10, 6) AS sum_price, " +
         "min(o_orderkey) AS min_key, max(o_orderkey) AS max_key " +
         "FROM f GROUP BY fold ORDER BY fold"),
+    "p17_stratified_kfold" ->
+      // the same Lehmer priority, per-stratum rank, round-robin deal
+      ("WITH pr AS (SELECT o_orderkey, o_orderpriority, " +
+        "((o_orderkey + 3) % 2147483647) * 48271 % 2147483647 * 48271 % 2147483647 AS priority " +
+        "FROM orders WHERE o_orderkey IS NOT NULL AND o_orderpriority IS NOT NULL), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY o_orderpriority " +
+        "ORDER BY priority, o_orderkey) AS rk FROM pr) " +
+        "SELECT o_orderpriority, ((rk - 1) % 5)::BIGINT AS fold, count(*)::BIGINT AS n, " +
+        "min(o_orderkey) AS min_key, max(o_orderkey) AS max_key " +
+        "FROM r GROUP BY 1, 2 ORDER BY 1, 2"),
+    "o11_schema_merge" ->
+      // straight from the source table: batch 0 rows carry no discount
+      // (the column postdates them), batch 1 rows carry theirs
+      ("WITH s AS (SELECT l_orderkey % 3 AS batch, l_quantity, " +
+        "CASE WHEN l_orderkey % 3 = 1 THEN l_discount END AS disc " +
+        "FROM lineitem WHERE l_orderkey % 3 IN (0, 1)) " +
+        "SELECT batch::BIGINT AS batch, count(*)::BIGINT AS n, " +
+        "round(sum(l_quantity)::DOUBLE + 5e-10, 6) AS sum_qty, " +
+        "sum(CASE WHEN disc IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_disc, " +
+        "round(sum(disc)::DOUBLE + 5e-10, 6) AS sum_disc " +
+        "FROM s GROUP BY 1 ORDER BY 1"),
     "p1_hash_split" ->
       // Lehmer membership replay: holdout iff priority < floor(0.2 * (2^31-1))
       ("SELECT doc_id, lang FROM documents " +

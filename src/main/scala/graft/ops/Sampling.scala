@@ -98,6 +98,28 @@ object Sampling {
     (df.filter(f =!= lit(fold.toLong)), df.filter(f === lit(fold.toLong)))
   }
 
+  /** STRATIFIED k-fold assignment: within each stratum, rows are ranked
+    * by (lehmerPriority(id, seed), id) and dealt round-robin — fold =
+    * (rank − 1) mod k — so every stratum's fold sizes differ by AT MOST
+    * ONE row (the balance guarantee [[assignFolds]]'s unconditioned
+    * modulus only gives in expectation; a rare stratum can land all its
+    * rows in one of assignFolds' folds, which for an eval split means a
+    * fold with zero examples of that class). Fully replayable: the
+    * priority is exact integer arithmetic and the deal is a row_number,
+    * so an external engine re-derives every row's fold.
+    *
+    * Scale shape: ONE shuffle keyed by the stratum serving the rank
+    * window — the per-key regular shape every windowed operator here
+    * uses; no per-row state, no collect. */
+  def stratifiedFolds(df: DataFrame, strataCol: String, idCol: String,
+                      k: Int, seed: Long = 1L): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(lehmerPriority(col(idCol), seed), col(idCol))
+    df.withColumn("fold", pmod(row_number().over(w) - 1, lit(k)).cast("long"))
+  }
+
   /** LEAKAGE-SAFE holdout: membership decided per GROUP, not per row —
     * every row of a group (domain, author, near-dup cluster id, …)
     * lands on the same side, so the eval split cannot leak shared

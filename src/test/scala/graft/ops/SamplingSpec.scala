@@ -360,4 +360,24 @@ class SamplingSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy Sampling.foldSplit(df, "id", 4, 4)
     an[IllegalArgumentException] should be thrownBy Sampling.assignFolds(df, "id", 1)
   }
+
+  test("stratifiedFolds balances every stratum to within one row") {
+    // 103 'a' rows and 7 'b' rows into 4 folds: a -> 26/26/26/25 in
+    // some order, b -> 2/2/2/1 — no fold ever misses a stratum
+    val df = ((1 to 103).map(i => (i.toLong, "a")) ++
+      (200 to 206).map(i => (i.toLong, "b"))).toDF("id", "s")
+    val folds = Sampling.stratifiedFolds(df.repartition(5), "s", "id", k = 4)
+    val census = folds.groupBy("s", "fold").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    census.size shouldBe 8
+    census.filterKeys(_._1 == "a").values.toSeq.sorted shouldBe Seq(25L, 26L, 26L, 26L)
+    census.filterKeys(_._1 == "b").values.toSeq.sorted shouldBe Seq(1L, 2L, 2L, 2L)
+    // deterministic under repartitioning
+    val again = Sampling.stratifiedFolds(df.repartition(1), "s", "id", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val first = folds.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    again shouldBe first
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.stratifiedFolds(df, "s", "id", 1)
+  }
 }
