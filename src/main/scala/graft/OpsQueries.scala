@@ -2730,20 +2730,18 @@ object OpsQueries {
       // pinning that evolution loses no rows and invents no values.
       val base = new org.apache.hadoop.fs.Path(
         s.conf.get("spark.sql.warehouse.dir"), "graft_schema_merge").toString
-      val li = table(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber"),
-          col("l_quantity"), col("l_discount"))
-      li.filter(col("l_orderkey") % 3 === 0)
-        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      o.filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_custkey")
         .repartition(2).write.mode("overwrite").parquet(s"$base/v1")
-      li.filter(col("l_orderkey") % 3 === 1)
+      o.filter(col("o_orderkey") % 3 === 1)
         .repartition(2).write.mode("overwrite").parquet(s"$base/v2")
       s.read.option("mergeSchema", "true").parquet(s"$base/v1", s"$base/v2")
-        .groupBy((col("l_orderkey") % 3).as("batch"))
+        .groupBy((col("o_orderkey") % 3).as("batch"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("l_quantity")).cast("double") + lit(5e-10), 6).as("sum_qty"),
-          sum(when(col("l_discount").isNull, 1L).otherwise(0L)).as("n_null_disc"),
-          round(sum(col("l_discount")).cast("double") + lit(5e-10), 6).as("sum_disc"))
+          sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("n_null_price"),
+          round(sum(col("o_totalprice")).cast("double") + lit(5e-10), 6).as("sum_price"))
         .orderBy("batch")
     }),
   )
@@ -4807,13 +4805,12 @@ object OpsQueries {
     "o11_schema_merge" ->
       // straight from the source table: batch 0 rows carry no discount
       // (the column postdates them), batch 1 rows carry theirs
-      ("WITH s AS (SELECT l_orderkey % 3 AS batch, l_quantity, " +
-        "CASE WHEN l_orderkey % 3 = 1 THEN l_discount END AS disc " +
-        "FROM lineitem WHERE l_orderkey % 3 IN (0, 1)) " +
+      ("WITH s AS (SELECT o_orderkey % 3 AS batch, " +
+        "CASE WHEN o_orderkey % 3 = 1 THEN o_totalprice END AS price " +
+        "FROM orders WHERE o_orderkey % 3 IN (0, 1)) " +
         "SELECT batch::BIGINT AS batch, count(*)::BIGINT AS n, " +
-        "round(sum(l_quantity)::DOUBLE + 5e-10, 6) AS sum_qty, " +
-        "sum(CASE WHEN disc IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_disc, " +
-        "round(sum(disc)::DOUBLE + 5e-10, 6) AS sum_disc " +
+        "sum(CASE WHEN price IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_price, " +
+        "round(sum(price)::DOUBLE + 5e-10, 6) AS sum_price " +
         "FROM s GROUP BY 1 ORDER BY 1"),
     "p1_hash_split" ->
       // Lehmer membership replay: holdout iff priority < floor(0.2 * (2^31-1))
