@@ -377,6 +377,14 @@ class SamplingSpec extends AnyFunSuite with Matchers {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     val first = folds.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     again shouldBe first
+    // the bucket-stitched rank equals the naive global-window rank
+    import org.apache.spark.sql.functions.{lit, pmod, row_number}
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"s").orderBy(Sampling.lehmerPriority($"id"), $"id")
+    val naive = df
+      .withColumn("fold", pmod(row_number().over(w) - 1, lit(4)).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    first shouldBe naive
     an[IllegalArgumentException] should be thrownBy
       Sampling.stratifiedFolds(df, "s", "id", 1)
   }
