@@ -1238,6 +1238,17 @@ object OpsQueries {
           round(col("intercept") + lit(5e-10), 6).as("intercept"),
           round(col("r2") + lit(5e-10), 6).as("r2"))
         .orderBy("event_type")),
+    "q12_interarrival" -> ((s, dir) =>
+      // how bursty is each event type? per-(type, user) inter-arrival
+      // gaps (microsecond-exact, ties by event_id) reduced to a per-type
+      // census — the window keys on (type, user), never type alone
+      TimeSeries.interArrival(Util.events(s, dir),
+          "event_type", "user_id", "ts", "event_id")
+        .select(col("event_type"), col("n_pairs"),
+          round(col("mean_gap_s") + lit(5e-10), 6).as("mean_gap_s"),
+          round(col("min_gap_s") + lit(5e-10), 6).as("min_gap_s"),
+          round(col("max_gap_s") + lit(5e-10), 6).as("max_gap_s"))
+        .orderBy("event_type")),
     "q8_seasonal_decompose" -> ((s, dir) => {
       // hour-of-day seasonality of event traffic: classical additive
       // decomposition with the 2x24 centered MA; one shuffle per type
@@ -4655,6 +4666,18 @@ object OpsQueries {
         "round(CASE WHEN n >= 2 THEN (sy - covn / varxn * sx) / n END + 5e-10, 6) AS intercept, " +
         "round(CASE WHEN n >= 2 AND varyn > 0 THEN covn * covn / (varxn * varyn) END " +
         "+ 5e-10, 6) AS r2 FROM f ORDER BY 1"),
+    "q12_interarrival" ->
+      // same (type, user)-stream lag at exact microseconds, same census
+      ("WITH e AS (SELECT event_type AS k, user_id AS u, epoch_us(ts) AS us, " +
+        "event_id AS tie FROM events WHERE event_type IS NOT NULL " +
+        "AND user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL), " +
+        "g AS (SELECT k, us - lag(us) OVER (PARTITION BY k, u ORDER BY us, tie) AS gap " +
+        "FROM e) " +
+        "SELECT k AS event_type, count(*)::BIGINT AS n_pairs, " +
+        "round(sum(gap)::DOUBLE / count(*) / 1000000.0 + 5e-10, 6) AS mean_gap_s, " +
+        "round(min(gap)::DOUBLE / 1000000.0 + 5e-10, 6) AS min_gap_s, " +
+        "round(max(gap)::DOUBLE / 1000000.0 + 5e-10, 6) AS max_gap_s " +
+        "FROM g WHERE gap IS NOT NULL GROUP BY k ORDER BY k"),
     "q9_cross_correlation" -> {
       def nm(k: Int) = if (k < 0) s"m${-k}" else s"p$k"
       val lagCols = (1 to 4).map(k =>

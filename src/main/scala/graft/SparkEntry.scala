@@ -280,6 +280,20 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    "t19_cochran_armitage" -> ((s, dir) =>
+      // dose-response: does the fully-shipped rate TREND across the
+      // ordered urgency levels (score = the priority's leading digit)?
+      // one census aggregate; exact longs until p-bar's division
+      graft.ops.Association.cochranArmitage(
+          table(s, dir, "orders")
+            .filter(col("o_orderpriority").isNotNull && col("o_orderstatus").isNotNull)
+            .select(substring(col("o_orderpriority"), 1, 1).cast("long").as("w"),
+              (col("o_orderstatus") === "F").cast("int").as("shipped")),
+          "w", "shipped")
+        .select(col("n_groups"), col("n"), col("successes"),
+          round(col("t_stat") + lit(5e-10), 6).as("t_stat"),
+          round(col("z") + lit(5e-10), 6).as("z"))),
+
     // ---- core aggregation operators (SURVEY.md §2.4) ----
     "a1_group_count" -> ((s, dir) =>
       table(s, dir, "lineitem").groupBy("l_returnflag")
@@ -1058,6 +1072,22 @@ object SparkEntry {
         "round(ph + 5e-10, 6) AS p_hat, " +
         "round(center - half + 5e-10, 6) AS ci_lo, " +
         "round(center + half + 5e-10, 6) AS ci_hi FROM c2 ORDER BY 1"),
+    "t19_cochran_armitage" ->
+      // same census, exact-integer sums, identical T / Var(T) op order
+      ("WITH cen AS (SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w, " +
+        "count(*)::BIGINT AS n, " +
+        "sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS x " +
+        "FROM orders WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL " +
+        "GROUP BY 1), " +
+        "t AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS nn, sum(x)::BIGINT AS xx, " +
+        "sum(n * w)::BIGINT AS snw, sum(n * w * w)::BIGINT AS snw2, " +
+        "sum(w * x)::BIGINT AS swx FROM cen), " +
+        "f AS (SELECT k, nn, xx, swx - (xx::DOUBLE / nn) * snw AS tst, " +
+        "(xx::DOUBLE / nn) * (1.0 - xx::DOUBLE / nn) * " +
+        "(snw2 - snw::DOUBLE * snw / nn) AS vart FROM t) " +
+        "SELECT k AS n_groups, nn AS n, xx AS successes, " +
+        "round(tst + 5e-10, 6) AS t_stat, " +
+        "round(CASE WHEN vart > 0 THEN tst / sqrt(vart) END + 5e-10, 6) AS z FROM f"),
     "t10_weighted_summary" ->
       ("WITH src AS (SELECT l_returnflag AS stratum, l_linestatus, l_quantity, " +
         "1.0 + (l_orderkey % 5) * 0.5 AS w FROM lineitem), " +

@@ -119,4 +119,35 @@ object Association {
     census.select(col("__g").as(groupCol), col("n"), col("successes"),
       ph.as("p_hat"), (center - half).as("ci_lo"), (center + half).as("ci_hi"))
   }
+
+  /** Cochran–Armitage trend test: is a 0/1 outcome rate MONOTONE in an
+    * ordered exposure? With integer scores w per ordered group,
+    * T = Σ wᵢ(xᵢ − nᵢp̄) and Var(T) = p̄(1−p̄)(Σ nᵢwᵢ² − (Σ nᵢwᵢ)²/N);
+    * z = T/√Var — the dose-response screen the per-group t17 z cannot
+    * give (k separate tests say nothing about ordering).
+    *
+    * scoreCol must be a NUMERIC group score (the ordering). Scale
+    * shape: ONE map-side-combinable (score → n, x) census, a second
+    * aggregate over the ≤|groups| census rows; every sum is an exact
+    * long until p̄'s division. Returns ONE row
+    * (n_groups, n, successes, t_stat, z); z NULL when p̄ is degenerate
+    * or the scores are constant. */
+  def cochranArmitage(df: DataFrame, scoreCol: String,
+                      successCol: String): DataFrame = {
+    val census = df
+      .filter(col(scoreCol).isNotNull && col(successCol).isNotNull)
+      .groupBy(col(scoreCol).cast("long").as("__w"))
+      .agg(count(lit(1)).as("__n"), sum(col(successCol).cast("long")).as("__x"))
+    val sums = census.agg(
+      count(lit(1)).as("n_groups"), sum("__n").as("n"), sum("__x").as("successes"),
+      sum(col("__n") * col("__w")).as("__snw"),
+      sum(col("__n") * col("__w") * col("__w")).as("__snw2"),
+      sum(col("__w") * col("__x")).as("__swx"))
+    val pbar = col("successes").cast("double") / col("n")
+    val t = col("__swx") - pbar * col("__snw")
+    val varT = pbar * (lit(1.0) - pbar) *
+      (col("__snw2") - col("__snw").cast("double") * col("__snw") / col("n"))
+    sums.select(col("n_groups"), col("n"), col("successes"),
+      t.as("t_stat"), when(varT > 0, t / sqrt(varT)).as("z"))
+  }
 }

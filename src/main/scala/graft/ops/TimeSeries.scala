@@ -239,6 +239,34 @@ object TimeSeries {
         (covN * covN) / (varXN * varYN)).as("r2"))
   }
 
+  /** Inter-arrival gap census per series key over per-entity event
+    * streams: gaps are taken WITHIN each (key, entity) stream — the
+    * window partitions on (key, entity), which stays wide-parallel
+    * where a per-key global order would serialize into |keys| sort
+    * tasks (the few-fat-groups lesson). Timestamps compare at exact
+    * microsecond longs (millisecond truncation loses boundary ties);
+    * ties within a stream are pinned by `tieCol`. The mean divides two
+    * exact integers before the single 1e6 rescale. Returns
+    * (key, n_pairs, mean_gap_s, min_gap_s, max_gap_s). */
+  def interArrival(df: DataFrame, keyCol: String, entityCol: String,
+                   timeCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__k"), col("__e"))
+      .orderBy(col("__us"), col("__tie"))
+    df.filter(col(keyCol).isNotNull && col(entityCol).isNotNull &&
+        col(timeCol).isNotNull && col(tieCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(entityCol).as("__e"),
+        unix_micros(col(timeCol)).as("__us"), col(tieCol).as("__tie"))
+      .withColumn("__gap", col("__us") - lag("__us", 1).over(w))
+      .filter(col("__gap").isNotNull)
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (sum("__gap").cast("double") / count(lit(1)) / lit(1e6)).as("mean_gap_s"),
+        (min("__gap").cast("double") / lit(1e6)).as("min_gap_s"),
+        (max("__gap").cast("double") / lit(1e6)).as("max_gap_s"))
+      .select(col("__k").as(keyCol), col("n_pairs"),
+        col("mean_gap_s"), col("min_gap_s"), col("max_gap_s"))
+  }
+
   private def lagName(k: Int): String = if (k < 0) s"m${-k}" else s"p$k"
 
   def acf(df: DataFrame, keyCol: String, timeCol: String, valueCol: String,

@@ -144,4 +144,29 @@ class AssociationAuditSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy
       Association.wilsonInterval(df, "g", "s", z = 0.0)
   }
+
+  test("cochranArmitage detects a monotone trend and zeroes a flat one") {
+    // rates 1/4, 2/4, 3/4 at scores 1,2,3: T = 2, Var = 2, z = sqrt(2)
+    def rows(xs: Seq[(Int, Int, Int)]) = // (score, n, successes)
+      xs.flatMap { case (w, n, x) =>
+        Seq.fill(x)((w, 1)) ++ Seq.fill(n - x)((w, 0))
+      }.toDF("w", "s")
+    val up = Association.cochranArmitage(
+      rows(Seq((1, 4, 1), (2, 4, 2), (3, 4, 3))).repartition(3), "w", "s").head()
+    up.getAs[Long]("n_groups") shouldBe 3L
+    up.getAs[Long]("n") shouldBe 12L
+    up.getAs[Long]("successes") shouldBe 6L
+    up.getAs[Double]("t_stat") shouldBe 2.0 +- 1e-12
+    up.getAs[Double]("z") shouldBe math.sqrt(2.0) +- 1e-12
+    val flat = Association.cochranArmitage(
+      rows(Seq((1, 4, 2), (2, 4, 2), (3, 4, 2))), "w", "s").head()
+    flat.getAs[Double]("z") shouldBe 0.0 +- 1e-12
+    // degenerate p-bar (all successes) and constant score -> z NULL
+    val allOne = Association.cochranArmitage(
+      rows(Seq((1, 3, 3), (2, 3, 3))), "w", "s").head()
+    allOne.isNullAt(allOne.fieldIndex("z")) shouldBe true
+    val oneScore = Association.cochranArmitage(
+      rows(Seq((5, 6, 3))), "w", "s").head()
+    oneScore.isNullAt(oneScore.fieldIndex("z")) shouldBe true
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.TestSpark
+import org.apache.spark.sql.functions.{col, timestamp_seconds}
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -152,5 +153,27 @@ class TimeSeriesSpec extends AnyFunSuite with Matchers {
       .toDF("k", "t", "x"), "k", "t", "x").head()
     h.getAs[Double]("slope") shouldBe 0.5 +- 1e-12
     h.getAs[Double]("r2") shouldBe (9.0 / 84.0) +- 1e-12
+  }
+
+  test("interArrival takes gaps within each entity stream, not across") {
+    // key a / user 1: 0,2,5 -> gaps 2,3; user 2: 10,14 -> gap 4
+    val df = Seq(("a", 1L, 0L, 1L), ("a", 1L, 2L, 2L), ("a", 1L, 5L, 3L),
+      ("a", 2L, 10L, 4L), ("a", 2L, 14L, 5L),
+      ("b", 9L, 0L, 6L)) // singleton stream -> no pairs -> key absent
+      .toDF("k", "u", "sec", "id")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val rows = TimeSeries.interArrival(df.repartition(3), "k", "u", "ts", "id")
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    rows.keySet shouldBe Set("a")
+    rows("a").getAs[Long]("n_pairs") shouldBe 3L
+    rows("a").getAs[Double]("mean_gap_s") shouldBe 3.0 +- 1e-12
+    rows("a").getAs[Double]("min_gap_s") shouldBe 2.0 +- 1e-12
+    rows("a").getAs[Double]("max_gap_s") shouldBe 4.0 +- 1e-12
+    // equal timestamps: the tie column pins order, gap 0 is a real pair
+    val tied = Seq(("t", 1L, 7L, 1L), ("t", 1L, 7L, 2L))
+      .toDF("k", "u", "sec", "id")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    TimeSeries.interArrival(tied, "k", "u", "ts", "id")
+      .head().getAs[Double]("min_gap_s") shouldBe 0.0 +- 1e-12
   }
 }
