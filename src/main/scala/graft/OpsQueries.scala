@@ -2374,6 +2374,39 @@ object OpsQueries {
         .orderBy("c_mktsegment")
     }),
 
+    "u9_incremental_topk" -> ((s, dir) => {
+      // heavy-hitter STATE maintenance: the historical batch's k-entry
+      // Misra-Gries summary merges with the delta batch's driver-side
+      // (MisraGries.mergeSummaries — Agarwal et al.'s rule, preserving
+      // the N/(k+1) bound over the COMBINED stream), so the history is
+      // never re-summarized. The merged candidates then take ONE exact
+      // re-count + floor filter, which makes the output "exact counts
+      // of all tokens above total/(k+1)" — deterministic and
+      // SQL-derivable however the stream was batched (the x9 argument,
+      // extended across batches; x9 uses k=50, this uses k=40 so the
+      // two pin different floors).
+      val k = 40
+      val mg = udaf(new graft.functions.MisraGries(k),
+        org.apache.spark.sql.Encoders.STRING)
+      val tk = docs(s, dir).select(col("doc_id"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+      def summary(df: DataFrame) =
+        df.agg(mg(col("token")).as("sk"), count(lit(1)).as("n")).head()
+      val hist = summary(tk.filter(col("doc_id") % 5 =!= 0))
+      val delta = summary(tk.filter(col("doc_id") % 5 === 0))
+      val merged = graft.functions.MisraGries.mergeSummaries(
+        hist.getAs[scala.collection.Map[String, Long]]("sk").toMap,
+        delta.getAs[scala.collection.Map[String, Long]]("sk").toMap, k)
+      val total = hist.getAs[Long]("n") + delta.getAs[Long]("n")
+      import s.implicits._
+      val cand = merged.keys.toSeq.toDF("token")
+      tk.join(broadcast(cand), Seq("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .filter(col("n") * (k + 1) > lit(total))
+        .select(col("token"), col("n"),
+          round(col("n").cast("double") / lit(total.toDouble), 6).as("share"))
+        .orderBy(col("n").desc, col("token"))
+    }),
     "d15_cross_corpus_dedup" -> ((s, dir) => {
       // dedup the "new crawl" against the existing corpus: %4==0 is a
       // byte-exact copy, %4==1 an equal-token near-dup (double spaces),
@@ -4261,6 +4294,15 @@ object OpsQueries {
         "c AS (SELECT token, count(*)::BIGINT AS n FROM tk GROUP BY token) " +
         "SELECT token, n, ROUND(n::DOUBLE / total::DOUBLE, 6) AS share " +
         "FROM c CROSS JOIN tot WHERE n * 51 > total ORDER BY n DESC, token"),
+    // the merged-state path is output-equivalent to a one-shot summary:
+    // exact counts of every token above the total/(k+1) floor, however
+    // the stream was batched — so the oracle needs no batching at all
+    "u9_incremental_topk" ->
+      (s"WITH tk AS (SELECT unnest(${toksOf("text")}) AS token FROM documents), " +
+        "tot AS (SELECT count(*)::BIGINT AS total FROM tk), " +
+        "c AS (SELECT token, count(*)::BIGINT AS n FROM tk GROUP BY token) " +
+        "SELECT token, n, ROUND(n::DOUBLE / total::DOUBLE, 6) AS share " +
+        "FROM c CROSS JOIN tot WHERE n * 41 > total ORDER BY n DESC, token"),
     // l_quantity is integer-valued, so the double sum is exact in any
     // accumulation order
     "k2_salted_join" ->

@@ -74,3 +74,27 @@ class MisraGries(k: Int)
   override def outputEncoder: Encoder[Map[String, Long]] =
     ExpressionEncoder[Map[String, Long]]()
 }
+
+object MisraGries {
+  /** Merge two FINALIZED summaries under the same mergeable-summaries
+    * rule the Aggregator's in-plan merge uses — the state-maintenance
+    * entry point: keep yesterday's k-entry summary, summarize only the
+    * delta batch, merge driver-side. Preserves the N/(k+1) bound over
+    * the COMBINED stream, so "every token with combined frequency >
+    * N/(k+1) is present" still holds for the merged map. */
+  def mergeSummaries(a: Map[String, Long], b: Map[String, Long],
+                     k: Int): Map[String, Long] = {
+    require(k >= 1, "k must be >= 1")
+    val m = mutable.HashMap.empty[String, Long]
+    a.foreach { case (t, c) => m.update(t, m.getOrElse(t, 0L) + c) }
+    b.foreach { case (t, c) => m.update(t, m.getOrElse(t, 0L) + c) }
+    if (m.size > k) {
+      val counts = m.values.toArray
+      java.util.Arrays.sort(counts)
+      val cut = counts(counts.length - (k + 1))
+      m.filterInPlace((_, c) => c - cut > 0)
+      m.mapValuesInPlace((_, c) => c - cut)
+    }
+    m.toMap
+  }
+}

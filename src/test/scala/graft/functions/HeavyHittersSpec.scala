@@ -81,4 +81,28 @@ class HeavyHittersSpec extends AnyFunSuite with Matchers {
       keys should contain ("heavy")
     }
   }
+
+  test("mergeSummaries preserves the heavy-hitter bound across batches") {
+    // exact merge below capacity: plain counter union
+    MisraGries.mergeSummaries(Map("a" -> 3L), Map("a" -> 2L, "b" -> 1L), k = 4) shouldBe
+      Map("a" -> 5L, "b" -> 1L)
+    // over capacity: subtract the (k+1)-th largest, drop <= 0
+    val m = MisraGries.mergeSummaries(
+      Map("a" -> 10L, "b" -> 4L), Map("c" -> 6L, "d" -> 1L), k = 3)
+    m shouldBe Map("a" -> 9L, "b" -> 3L, "c" -> 5L) // cut = 1 (4th largest)
+    // end-to-end: summarize two halves of a stream separately, merge,
+    // and the true heavy item must survive with a bounded undercount
+    val stream = (0 until 3000).map(i => if (i % 3 == 0) "heavy" else s"n$i")
+    val (h1, h2) = stream.splitAt(1500)
+    def summarize(xs: Seq[String]): Map[String, Long] = {
+      val agg = new MisraGries(10)
+      xs.foldLeft(agg.zero)(agg.reduce).toMap
+    }
+    val merged = MisraGries.mergeSummaries(summarize(h1), summarize(h2), k = 10)
+    merged.keySet should contain ("heavy")
+    merged("heavy") should be >= (1000L - 3000L / 11L)
+    merged.size should be <= 10
+    an[IllegalArgumentException] should be thrownBy
+      MisraGries.mergeSummaries(Map.empty, Map.empty, 0)
+  }
 }
