@@ -2298,6 +2298,33 @@ object OpsQueries {
     }),
 
     // ---- time-series regularization ------------------------------------
+    "e19_new_vs_returning" -> ((s, dir) => {
+      // daily audience decomposition: each day's actives split into
+      // first-ever-seen ("new") vs returning, plus the running total of
+      // distinct users — the cumulative-distinct that has no direct
+      // operator. Exact at any scale: first-seen day is ONE map-side-
+      // combinable min per user; every window below runs on the
+      // ~|days|-row census only, never on events
+      val presence = Util.events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val active = presence.groupBy("day").agg(count(lit(1)).as("active_users"))
+      val firstSeen = presence.groupBy("user_id").agg(min("day").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("new_users"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      active.join(firstSeen, Seq("day"), "left")
+        .select(col("day"), col("active_users"),
+          coalesce(col("new_users"), lit(0L)).as("new_users"))
+        .withColumn("returning_users", col("active_users") - col("new_users"))
+        .withColumn("cumulative_users", sum("new_users").over(w))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("active_users"), col("new_users"), col("returning_users"),
+          col("cumulative_users"))
+        .orderBy("day")
+    }),
     "e12_gap_fill" -> ((s, dir) => {
       // resample events to a dense per-type hourly grid: planted holes
       // (hours 3/10/17 dropped) plus the corpus's natural gaps become
@@ -3764,6 +3791,20 @@ object OpsQueries {
         "FROM keyed) " +
         "SELECT doc_id, cluster_size::BIGINT AS cluster_size FROM ranked " +
         "WHERE rn = 1 ORDER BY doc_id"),
+    "e19_new_vs_returning" ->
+      // the same presence census, first-seen mins, and day-frame windows
+      ("WITH p AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events " +
+        "WHERE user_id IS NOT NULL AND ts IS NOT NULL), " +
+        "a AS (SELECT day, count(*)::BIGINT AS active_users FROM p GROUP BY 1), " +
+        "f AS (SELECT day, count(*)::BIGINT AS new_users FROM " +
+        "(SELECT user_id, min(day) AS day FROM p GROUP BY 1) GROUP BY day), " +
+        "j AS (SELECT a.day, active_users, coalesce(new_users, 0)::BIGINT AS new_users " +
+        "FROM a LEFT JOIN f ON a.day = f.day) " +
+        "SELECT strftime(day, '%Y-%m-%d') AS day, active_users, new_users, " +
+        "(active_users - new_users)::BIGINT AS returning_users, " +
+        "sum(new_users) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING " +
+        "AND CURRENT ROW)::BIGINT AS cumulative_users " +
+        "FROM j ORDER BY day"),
     "e12_gap_fill" ->
       // dense hourly grid from per-type min/max via generate_series, left
       // join of the observed hours, forward fill via IGNORE NULLS window
