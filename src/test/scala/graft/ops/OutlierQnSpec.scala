@@ -43,12 +43,12 @@ class OutlierQnSpec extends AnyFunSuite with Matchers {
       .toDF("id", "x", "y")
     val out = Quantiles.quantileNormalize(df.repartition(3), "id", Seq("x", "y"))
       .collect().map(r => (r.getLong(0), r.getString(1)) ->
-        (r.getInt(2), r.getDouble(4))).toMap
+        (r.getLong(2), r.getDouble(4))).toMap
     out.size shouldBe 8 // id 5 dropped from BOTH features
-    out((1L, "x")) shouldBe (4, 22.0) // largest x -> rank 4 -> (4+40)/2
-    out((1L, "y")) shouldBe (1, 5.5) // smallest y -> rank 1 -> (1+10)/2
-    out((3L, "x")) shouldBe (2, 11.0)
-    out((3L, "y")) shouldBe (2, 11.0)
+    out((1L, "x")) shouldBe (4L, 22.0) // largest x -> rank 4 -> (4+40)/2
+    out((1L, "y")) shouldBe (1L, 5.5) // smallest y -> rank 1 -> (1+10)/2
+    out((3L, "x")) shouldBe (2L, 11.0)
+    out((3L, "y")) shouldBe (2L, 11.0)
     // identical post-normalization distributions
     val xs = out.collect { case ((_, "x"), (_, n)) => n }.toSeq.sorted
     val ys = out.collect { case ((_, "y"), (_, n)) => n }.toSeq.sorted
@@ -61,8 +61,8 @@ class OutlierQnSpec extends AnyFunSuite with Matchers {
     val df = Seq((10L, 7.0, 1.0), (20L, 7.0, 2.0)).toDF("id", "x", "y")
     val out = Quantiles.quantileNormalize(df, "id", Seq("x", "y"))
       .filter("feature = 'x'").collect()
-      .map(r => r.getLong(0) -> r.getInt(2)).toMap
-    out(10L) shouldBe 1
-    out(20L) shouldBe 2
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    out(10L) shouldBe 1L
+    out(20L) shouldBe 2L
   }
 }
