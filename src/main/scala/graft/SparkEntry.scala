@@ -294,6 +294,19 @@ object SparkEntry {
           round(col("t_stat") + lit(5e-10), 6).as("t_stat"),
           round(col("z") + lit(5e-10), 6).as("z"))),
 
+    "t21_mcnemar" -> ((s, dir) =>
+      // paired screens over the same orders: does the high-value flag
+      // disagree with the high-urgency flag symmetrically? one aggregate
+      graft.ops.Association.mcnemar(
+          table(s, dir, "orders")
+            .filter(col("o_totalprice").isNotNull && col("o_orderpriority").isNotNull)
+            .select((col("o_totalprice") > 150000).cast("int").as("hi_value"),
+              col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int")
+                .as("hi_urgency")),
+          "hi_value", "hi_urgency")
+        .select(col("n"), col("n_agree"), col("b"), col("c"),
+          round(col("chi2") + lit(5e-10), 6).as("chi2"))),
+
     "t20_levene" -> ((s, dir) =>
       // are the quantity spreads equal across return flags? Levene with
       // mean centers — the assumption check behind t5's pooled tests.
@@ -1101,6 +1114,19 @@ object SparkEntry {
         "SELECT k AS n_groups, nn AS n, xx AS successes, " +
         "round(tst + 5e-10, 6) AS t_stat, " +
         "round(CASE WHEN vart > 0 THEN tst / sqrt(vart) END + 5e-10, 6) AS z FROM f"),
+    "t21_mcnemar" ->
+      // four exact-integer cells, the continuity-corrected ratio at the end
+      ("WITH s AS (SELECT CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS a, " +
+        "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS p " +
+        "FROM orders WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL), " +
+        "t AS (SELECT count(*)::BIGINT AS n, " +
+        "sum(CASE WHEN a = p THEN 1 ELSE 0 END)::BIGINT AS n_agree, " +
+        "sum(CASE WHEN a = 1 AND p = 0 THEN 1 ELSE 0 END)::BIGINT AS b, " +
+        "sum(CASE WHEN a = 0 AND p = 1 THEN 1 ELSE 0 END)::BIGINT AS c FROM s) " +
+        "SELECT n, n_agree, b, c, " +
+        "round(CASE WHEN b + c > 0 THEN " +
+        "(abs(b - c)::DOUBLE - 1.0) * (abs(b - c)::DOUBLE - 1.0) / (b + c) END " +
+        "+ 5e-10, 6) AS chi2 FROM t"),
     "t20_levene" ->
       // exact-integer group means make every |x - mean| bit-identical;
       // the census closed forms mirror the operator's op order

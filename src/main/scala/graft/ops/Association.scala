@@ -187,4 +187,29 @@ object Association {
       when(col("n_groups") >= 2 && ssw > 0,
         ((nd - k) / (k - lit(1.0))) * (ssb / ssw)).as("w"))
   }
+
+  /** McNemar's test for PAIRED binary outcomes (two screens over the
+    * same rows — did flag A and flag B disagree more in one direction
+    * than the other?): with b = |A ∧ ¬B| and c = |¬A ∧ B|, the
+    * continuity-corrected χ² = (|b−c|−1)²/(b+c). The marginal
+    * homogeneity check an unpaired two-proportion z gets wrong on
+    * paired data (it ignores that concordant pairs carry no signal).
+    *
+    * Scale shape: ONE map-side-combinable aggregate — four exact long
+    * counts, row-local algebra after. Returns ONE row
+    * (n, n_agree, b, c, chi2); chi2 NULL when b + c = 0. */
+  def mcnemar(df: DataFrame, pred1Col: String, pred2Col: String): DataFrame = {
+    val a = col(pred1Col).cast("long") =!= 0L
+    val b = col(pred2Col).cast("long") =!= 0L
+    val counts = df
+      .filter(col(pred1Col).isNotNull && col(pred2Col).isNotNull)
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(a === b, 1L).otherwise(0L)), lit(0L)).as("n_agree"),
+        coalesce(sum(when(a && !b, 1L).otherwise(0L)), lit(0L)).as("b"),
+        coalesce(sum(when(!a && b, 1L).otherwise(0L)), lit(0L)).as("c"))
+    val d = abs(col("b") - col("c")).cast("double") - lit(1.0)
+    counts.select(col("n"), col("n_agree"), col("b"), col("c"),
+      when(col("b") + col("c") > 0L,
+        d * d / (col("b") + col("c"))).as("chi2"))
+  }
 }

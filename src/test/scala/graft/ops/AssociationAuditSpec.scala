@@ -190,4 +190,20 @@ class AssociationAuditSpec extends AnyFunSuite with Matchers {
       "g", "x").head()
     const.isNullAt(const.fieldIndex("w")) shouldBe true
   }
+
+  test("mcnemar counts discordant pairs and applies the continuity correction") {
+    // b = 3 (a=1,p=0), c = 1, agree = 2: chi2 = (|3-1|-1)^2 / 4 = 0.25
+    val df = (Seq.fill(3)((1, 0)) ++ Seq((0, 1)) ++ Seq((1, 1), (0, 0)))
+      .toDF("a", "p")
+    val r = Association.mcnemar(df.repartition(3), "a", "p").head()
+    r.getAs[Long]("n") shouldBe 6L
+    r.getAs[Long]("n_agree") shouldBe 2L
+    r.getAs[Long]("b") shouldBe 3L
+    r.getAs[Long]("c") shouldBe 1L
+    r.getAs[Double]("chi2") shouldBe 0.25 +- 1e-12
+    // all-concordant: no discordant pairs -> chi2 NULL
+    val agree = Association.mcnemar(
+      Seq((1, 1), (0, 0)).toDF("a", "p"), "a", "p").head()
+    agree.isNullAt(agree.fieldIndex("chi2")) shouldBe true
+  }
 }
