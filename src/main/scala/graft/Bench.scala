@@ -87,6 +87,21 @@ object Bench {
         f"${p.getName}=${u.getUsed / 1048576}%d/${math.max(u.getMax, u.getCommitted) / 1048576}%dMB"
       }.mkString(" ")
       System.err.println(s"[jvm] $tag $s")
+      // Hard gate, not telemetry: the round-10 sweep silently inflated
+      // late-alphabet queries 2-5x when the JIT code cache thrashed.
+      // Occupancy >90% of a CodeHeap's reserved max means the NEXT such
+      // episode is underway — fail the whole bench loudly (rc!=0, driver
+      // records the failure) rather than publish numbers that measure
+      // deoptimized re-JIT churn instead of the queries.
+      pools.filter(p => p.getName.startsWith("CodeHeap") && p.getUsage.getMax > 0)
+        .foreach { p =>
+          val u = p.getUsage
+          val frac = u.getUsed.toDouble / u.getMax
+          if (frac > 0.90)
+            throw new IllegalStateException(
+              f"[jvm] $tag ${p.getName} at ${frac * 100}%.1f%% of reserved max — " +
+                "bench numbers would measure code-cache thrash, not queries; aborting")
+        }
     }
     def timedPass(dir: String, tag: String): Seq[(String, Double)] = {
       val out = ordered.map { case (name, fn) =>
@@ -120,32 +135,98 @@ object Bench {
     // can never read as a clean win.
     def liveTotal(r: Seq[(String, Double)]): Double = r.map(_._2).filter(_ >= 0).sum
     def nFailed(r: Seq[(String, Double)]): Int = r.count(_._2 < 0)
+    // Isolated re-timing for the heavy tail: a long shared-JVM sweep
+    // inflates its most expensive queries ~1.5-2x through accumulated GC
+    // pressure even with the codegen-cache and drain fixes (d15 measured
+    // 38 s isolated vs 60.8 s in-sweep at sf10, a23 59 vs 67.3 — same
+    // code, same data). For any query whose sweep median exceeds the
+    // threshold, re-run it in a FRESH child JVM (same flags as this one,
+    // cloned from RuntimeMXBean) and record BOTH numbers, so the JSON's
+    // heavy tail measures the operator, not the suite. Bounded to the
+    // top `isoMax` offenders; the child runs Bench restricted to the one
+    // query with isolation and extra scales disabled (no recursion).
+    val isoThreshold = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISO_SEC", "10").toDouble
+    val isoMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISO_MAX", "10").toInt
+    val isoOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0" && isoMax > 0
+    def isolatedRerun(passResults: Seq[(String, Double)], dir: String, tag: String): Seq[(String, Double)] = {
+      if (!isoOn) return Seq.empty
+      val heavy = passResults.filter(_._2 > isoThreshold).sortBy(-_._2).take(isoMax)
+      heavy.flatMap { case (name, sweepSec) =>
+        val rt = java.lang.management.ManagementFactory.getRuntimeMXBean
+        import scala.jdk.CollectionConverters._
+        val javaBin = new java.io.File(new java.io.File(sys.props("java.home"), "bin"), "java").getPath
+        val tmp = java.nio.file.Files.createTempFile("graft_iso_", ".json")
+        val cmd = (Seq(javaBin) ++ rt.getInputArguments.asScala.filterNot(_.startsWith("-agentlib"))
+          ++ Seq("-cp", sys.props("java.class.path"), "graft.Bench", name)).asJava
+        val pb = new ProcessBuilder(cmd)
+        pb.environment().put("SPARK_GRAFT_SF_DIR", dir)
+        pb.environment().put("SPARK_GRAFT_BENCH_ISOLATE", "0")
+        pb.environment().put("SPARK_GRAFT_BENCH_SCALES", "sf")
+        pb.environment().put("SPARK_GRAFT_BENCH_OUT", tmp.toString)
+        pb.redirectErrorStream(false)
+        pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+        pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+        val rc = try pb.start().waitFor() catch { case _: Exception => -1 }
+        val iso = if (rc != 0) None else {
+          val txt = try new String(java.nio.file.Files.readAllBytes(tmp),
+            java.nio.charset.StandardCharsets.UTF_8) catch { case _: Exception => "" }
+          val re = ("\"" + java.util.regex.Pattern.quote(name) + "\":(-?[0-9.]+)").r
+          re.findFirstMatchIn(txt).map(_.group(1).toDouble)
+        }
+        try java.nio.file.Files.deleteIfExists(tmp) catch { case _: Exception => () }
+        iso match {
+          case Some(s) =>
+            System.err.println(f"[$tag-iso] $name%-22s sweep $sweepSec%.2f s -> isolated $s%.2f s")
+            Some(name -> s)
+          case None =>
+            System.err.println(s"[$tag-iso] $name isolated rerun failed (rc=$rc) — keeping sweep number only")
+            None
+        }
+      }
+    }
     val results = timedPass(sfDir, "bench")
     val total = liveTotal(results)
-    // 10x scale check: if the replicated sf1 dataset exists (built by
-    // graft.ScaleData from sf0.1), run ONE timed pass over it too — the
-    // JVM/codegen are already warm from the sf0.1 passes. Catches
-    // constant-factor and superlinear-scaling regressions that the sf0.1
-    // numbers alone cannot see (e.g. the quartile-sketch merge: 3.4 s at
-    // sf0.1 but 99 s at sf1 before it was replaced).
+    val iso0 = isolatedRerun(results, sfDir, "bench")
+    val isoJson0 = if (iso0.isEmpty) "" else s""","isolated_queries":${toJson(iso0)}"""
+    // Extra-scale passes are OPT-IN: at 220+ queries a 3-scale sweep runs
+    // ~1.6 h, past the driver's bench budget — round 11's official record
+    // came back rc=124/parsed:null because these passes ran by default
+    // whenever benchdata/ existed. The default invocation now lands
+    // warmup + the sf0.1 timed pass only; the builder's own 3-scale
+    // record sets SPARK_GRAFT_BENCH_SCALES=all (in tmux). A present-but-
+    // skipped scale is declared in the JSON so the skip is loud.
+    val scales = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALES", "sf")
+    def scaleWanted(s: String) = scales == "all" || scales.split(",").map(_.trim).contains(s)
+    var skipped = List.empty[String]
+    // 10x scale check (replicated sf1 dataset, built by graft.ScaleData
+    // from sf0.1): catches constant-factor and superlinear-scaling
+    // regressions the sf0.1 numbers alone cannot see (e.g. the quartile-
+    // sketch merge: 3.4 s at sf0.1 but 99 s at sf1 before replacement).
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "benchdata/sf1")
-    val sf1 = if (!new java.io.File(sf1Dir).isDirectory) "" else {
+    val sf1 = if (!new java.io.File(sf1Dir).isDirectory) "" else if (!scaleWanted("sf1")) {
+      skipped ::= "sf1"; ""
+    } else {
       val r1 = timedPass(sf1Dir, "bench-sf1")
-      s""","sf1_total":${liveTotal(r1)},"sf1_failed":${nFailed(r1)},"sf1_queries":${toJson(r1)},"sf1_dir":"$sf1Dir""""
+      val i1 = isolatedRerun(r1, sf1Dir, "bench-sf1")
+      val ij = if (i1.isEmpty) "" else s""","sf1_isolated_queries":${toJson(i1)}"""
+      s""","sf1_total":${liveTotal(r1)},"sf1_failed":${nFailed(r1)},"sf1_queries":${toJson(r1)},"sf1_dir":"$sf1Dir"$ij"""
     }
     // 100x scale check, same per-rep drain + median discipline as every
-    // other pass (round 5 ran sf10 as a manual single timed pass, which
-    // is exactly the measurement shape the median work exists to kill —
-    // its 105-140 s cross-run band was dominated by single-sample GC /
-    // page-cache luck on the largest inputs). Opt-in by the directory
-    // existing; SPARK_GRAFT_SF10=0 skips it for quick iterations.
+    // other pass. SPARK_GRAFT_SF10=0 additionally skips it even when the
+    // scale is requested (quick 2-scale iterations).
     val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "benchdata/sf10")
-    val sf10 = if (sys.env.getOrElse("SPARK_GRAFT_SF10", "1") == "0"
-        || !new java.io.File(sf10Dir).isDirectory) "" else {
+    val sf10 = if (!new java.io.File(sf10Dir).isDirectory
+        || sys.env.getOrElse("SPARK_GRAFT_SF10", "1") == "0") "" else if (!scaleWanted("sf10")) {
+      skipped ::= "sf10"; ""
+    } else {
       val r10 = timedPass(sf10Dir, "bench-sf10")
-      s""","sf10_total":${liveTotal(r10)},"sf10_failed":${nFailed(r10)},"sf10_queries":${toJson(r10)},"sf10_dir":"$sf10Dir""""
+      val i10 = isolatedRerun(r10, sf10Dir, "bench-sf10")
+      val ij = if (i10.isEmpty) "" else s""","sf10_isolated_queries":${toJson(i10)}"""
+      s""","sf10_total":${liveTotal(r10)},"sf10_failed":${nFailed(r10)},"sf10_queries":${toJson(r10)},"sf10_dir":"$sf10Dir"$ij"""
     }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","failed":${nFailed(results)},"queries":${toJson(results)},"sf":"$sfDir"$sf1$sf10}"""
+    val skippedJson = if (skipped.isEmpty) "" else
+      s""","skipped_scales":"${skipped.sorted.mkString(",")}""""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","failed":${nFailed(results)},"queries":${toJson(results)},"sf":"$sfDir"$isoJson0$sf1$sf10$skippedJson}"""
     // Persist the full JSON to a file — the durable record for
     // round-over-round per-query comparison.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

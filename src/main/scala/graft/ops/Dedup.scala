@@ -306,8 +306,18 @@ object Dedup {
       .select(col(nameCol).cast("string").as("name"))
       .filter(col("name").isNotNull && length(col("name")) > 0)
       .groupBy("name").agg(count(lit(1)).as("n"))
-    // max length bounds the explode; aggregate-sized driver value
-    val maxLen = names.agg(max(length(col("name")))).head().getInt(0)
+    // max length bounds the explode; aggregate-sized driver value.
+    // The aggregate cell is NULL when no non-null non-empty name
+    // survives the filter — return the empty result frame instead of
+    // letting getInt throw.
+    val maxLenRow = names.agg(max(length(col("name")))).head()
+    if (maxLenRow.isNullAt(0)) {
+      val spark = df.sparkSession
+      import spark.implicits._
+      return Seq.empty[(String, String, Long, Long, Double)]
+        .toDF("name_a", "name_b", "n_a", "n_b", "jw")
+    }
+    val maxLen = maxLenRow.getInt(0)
     val r = math.max(3.0 * ((threshold - 0.4) / 0.6) - 2.0, 0.0)
     val lenA = length(col("name")).cast("int")
     val partnerLo = if (r > 0.0) greatest(lit(1), ceil(lenA * lit(r)).cast("int")) else lit(1)

@@ -484,7 +484,14 @@ object Sampling {
     val h = xxhash64(col(idCol), lit(seed))
     val bkt = shiftrightunsigned(h.bitwiseXOR(lit(Long.MinValue)), shift)
     val keyed = df.withColumn("__h", h).withColumn("__b", bkt)
-    val perBucket = keyed.groupBy(col(groupCol).as("__g"), col("__b"))
+    // Cast to string INSIDE the frame, before the aggregate: the cut
+    // table round-trips group values through the driver, and Java
+    // toString disagrees with Spark's cast for some types (Timestamp
+    // renders "… 00:00:00.0" vs Spark's "… 00:00:00") — a join key
+    // built driver-side would silently drop every row of such groups.
+    // Aggregating on the Spark-rendered string makes the round trip an
+    // identity.
+    val perBucket = keyed.groupBy(col(groupCol).cast("string").as("__g"), col("__b"))
       .agg(sum(col(tokensCol)).cast("long").as("__t"))
       .collect()
     // driver: cumsum each group's buckets in bucket order -> first bucket
@@ -505,7 +512,8 @@ object Sampling {
       // buckets keeps everything
       cut.orElse(Some((g, buckets.toLong, 0L)))
     }
-    val cutDf = broadcast(cuts.map { case (g, b, r) => (Option(g).map(_.toString), b, r) }
+    // __g is already a Spark-rendered string (or null); no re-rendering
+    val cutDf = broadcast(cuts.map { case (g, b, r) => (Option(g).map(_.asInstanceOf[String]), b, r) }
       .toDF("__cg", "__cutb", "__rem"))
     // null-safe equality so a NULL group budgets like any other value
     val joined = keyed.join(cutDf, col(groupCol).cast("string") <=> col("__cg"))

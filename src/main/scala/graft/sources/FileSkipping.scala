@@ -153,6 +153,18 @@ object FileSkipping {
       val blocks = reader.getFooter.getBlocks
       // (column -> (family, min, max, nulls, rows)) folded across row groups
       val acc = scala.collection.mutable.Map.empty[String, (String, Option[String], Option[String], Long, Long)]
+      // Completeness contract: a file-level ColStats may only be emitted
+      // when EVERY row group contributed usable bounds (or was provably
+      // all-null). Parquet writers legitimately omit chunk statistics —
+      // and drop min/max for oversized binary values while keeping the
+      // stats object — and a bound folded from a subset of row groups
+      // would let readWhere prune a file that contains matching rows.
+      // Any such chunk poisons its column for the whole file: no stats
+      // line is written and the reader force-keeps the file.
+      val incomplete = scala.collection.mutable.Set.empty[String]
+      // getNumNulls returns -1 when the writer never set the null count;
+      // folding that into the sum could corrupt the all-null prune test.
+      val nullsUnknown = scala.collection.mutable.Set.empty[String]
       var b = 0
       while (b < blocks.size()) {
         val block = blocks.get(b)
@@ -182,9 +194,15 @@ object FileSkipping {
             }
             if (family != null) {
               val st = cc.getStatistics
-              if (st != null && !st.isEmpty) {
-                val rows = block.getRowCount
-                val nulls = st.getNumNulls
+              val rows = block.getRowCount
+              val nulls = if (st != null && st.isNumNullsSet) st.getNumNulls else -1L
+              val allNullProven = nulls >= 0 && nulls == rows
+              if (st == null || st.isEmpty || (!st.hasNonNullValue && !allNullProven)) {
+                // no usable bounds and not provably all-null: this row
+                // group's values are uncovered — poison the column
+                incomplete += name
+              } else {
+                if (nulls < 0) nullsUnknown += name
                 def render(v: Any): String = v match {
                   // Binary.toString is a debug repr; decode the UTF-8 payload
                   case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
@@ -194,10 +212,10 @@ object FileSkipping {
                   if (!st.hasNonNullValue) (None, None)
                   else (Some(render(st.genericGetMin)), Some(render(st.genericGetMax)))
                 acc.get(name) match {
-                  case None => acc(name) = (family, mn, mx, nulls, rows)
+                  case None => acc(name) = (family, mn, mx, math.max(nulls, 0L), rows)
                   case Some((fam, pmn, pmx, pn, pr)) =>
                     acc(name) = (fam, foldBound(fam, pmn, mn, takeMin = true),
-                      foldBound(fam, pmx, mx, takeMin = false), pn + nulls, pr + rows)
+                      foldBound(fam, pmx, mx, takeMin = false), pn + math.max(nulls, 0L), pr + rows)
                 }
               }
             }
@@ -206,9 +224,14 @@ object FileSkipping {
         }
         b += 1
       }
-      acc.toSeq.sortBy(_._1).map { case (name, (fam, mn, mx, nulls, rows)) =>
-        ColStats(fileAbs, name, fam, mn, mx, nulls, rows)
-      }
+      acc.toSeq.sortBy(_._1)
+        .filterNot { case (name, _) => incomplete.contains(name) }
+        .map { case (name, (fam, mn, mx, nulls, rows)) =>
+          // unknown null count: emit -1 so the reader's all-null test
+          // (nulls == rows) can never fire on a fabricated sum
+          ColStats(fileAbs, name, fam, mn, mx,
+            if (nullsUnknown.contains(name)) -1L else nulls, rows)
+        }
     } finally reader.close()
   }
 
@@ -244,7 +267,7 @@ object FileSkipping {
   private val statsLineRe =
     ("""\{"file":"((?:[^"\\]|\\.)*)","col":"((?:[^"\\]|\\.)*)","t":"(\w+)",""" +
       """"min":(null|"(?:[^"\\]|\\.)*"),"max":(null|"(?:[^"\\]|\\.)*"),""" +
-      """"nulls":(\d+),"rows":(\d+)\}""").r
+      """"nulls":(-?\d+),"rows":(\d+)\}""").r
 
   private def jsonUnescape(s: String): String = {
     val sb = new StringBuilder

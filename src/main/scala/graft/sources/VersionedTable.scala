@@ -51,12 +51,20 @@ object VersionedTable {
       .foldLeft(0L)(math.max)
   }
 
-  /** All committed versions, ascending, with their modes. */
+  /** All committed versions, ascending, with their modes. Enumerated
+    * from the actual manifest listing, NOT an assumed contiguous
+    * 1..latest chain — [[vacuum]] deletes manifests below its horizon,
+    * and a vacuumed table must list its surviving versions rather than
+    * throw on the first missing one. */
   def versions(spark: SparkSession, table: String): Seq[(Long, String)] = {
-    val f = fs(spark, manifestDir(table))
-    (1L to latestVersion(spark, table)).map { v =>
-      v -> parseManifest(readManifest(f, manifestPath(table, v)))._1
-    }
+    val dir = manifestDir(table)
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) return Seq.empty
+    f.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toLong }
+      .sorted.toSeq
+      .map { v => v -> parseManifest(readManifest(f, manifestPath(table, v)))._1 }
   }
 
   /** [[commit]] with a PINNED version number — the idempotence

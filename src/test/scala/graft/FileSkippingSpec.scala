@@ -156,6 +156,42 @@ class FileSkippingSpec extends AnyFunSuite with Matchers {
     df.count() shouldBe 11L
   }
 
+  test("chunks without usable statistics poison their column: file force-kept, others still prune") {
+    // Writers legitimately omit chunk statistics (disabled, or dropped
+    // for oversized binary values). A bound folded from the row groups
+    // that DO have stats would let readWhere prune a file whose
+    // uncovered rows match — the completeness contract instead emits NO
+    // stats line for that column, so the reader keeps the file.
+    val t = tmp()
+    val dir = new org.apache.hadoop.fs.Path(t, "data/c1-nostats")
+    (1 to 100).map(i => (i.toLong, f"s$i%04d")).toDF("k", "s")
+      .repartitionByRange(4, col("k"))
+      .write
+      // per-column disable: k has no chunk stats, s keeps them
+      .option("parquet.column.statistics.enabled#k", "false")
+      .parquet(dir.toString)
+    VersionedTable.publishManifest(spark, t, 1L,
+      """{"version":1,"mode":"append","dirs":["data/c1-nostats"]}""")
+    FileSkipping.backfillStats(spark, t, Seq("k", "s")) should have size 1
+    // stats file: s lines present, k lines absent (poisoned)
+    val sp = new org.apache.hadoop.fs.Path(t, "_stats")
+    val f = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = f.listStatus(sp).head.getPath
+    val in = f.open(p); val buf = new Array[Byte](65536)
+    val n = in.read(buf); in.close()
+    val stats = FileSkipping.parseStatsLines(new String(buf, 0, n, "UTF-8"))
+    stats.exists(_.column == "s") shouldBe true
+    stats.exists(_.column == "k") shouldBe false
+    // k predicate: conservative keep-everything, result exact
+    val (dk, repK) = FileSkipping.readBetween(spark, t, "k", 10L, 12L)
+    repK.filesKept shouldBe repK.filesTotal
+    dk.select("k").collect().map(_.getLong(0)).sorted shouldBe Array(10L, 11L, 12L)
+    // s predicate on the SAME files still prunes
+    val (ds, repS) = FileSkipping.readBetween(spark, t, "s", "s0010", "s0012")
+    repS.filesKept should be < repS.filesTotal
+    ds.count() shouldBe 3L
+  }
+
   test("footer stats are metadata-exact: min/max/nulls match the data") {
     val t = tmp()
     FileSkipping.commitWithStats(

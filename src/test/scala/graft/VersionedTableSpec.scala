@@ -59,6 +59,9 @@ class VersionedTableSpec extends AnyFunSuite with Matchers {
     val fs = new org.apache.hadoop.fs.Path(t).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     fs.listStatus(new org.apache.hadoop.fs.Path(t, "data")).length shouldBe 1
+    // versions() lists SURVIVORS after vacuum — it must not assume a
+    // contiguous 1..latest manifest chain and throw on the deleted ones
+    VersionedTable.versions(spark, t) shouldBe Seq(3L -> "overwrite")
   }
 
   test("transactional MERGE: applyChangelog over the latest version commits as a new one") {

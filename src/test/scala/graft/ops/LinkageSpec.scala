@@ -234,4 +234,16 @@ class LinkageSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy
       Dedup.jaroWinklerPairs(df, "name", 0.7)
   }
+
+  test("jaroWinklerPairs: no surviving names yields an empty frame, not an NPE") {
+    // all-null and empty-string inputs are filtered out before the
+    // max-length probe; the null aggregate cell must not be getInt'd
+    val df = Seq(Option.empty[String], Some(""), None).toDF("name")
+    val out = Dedup.jaroWinklerPairs(df, "name", 0.9)
+    out.columns.toSeq shouldBe Seq("name_a", "name_b", "n_a", "n_b", "jw")
+    out.count() shouldBe 0L
+    // fully empty input too
+    Dedup.jaroWinklerPairs(spark.emptyDataset[String].toDF("name"), "name", 0.9)
+      .count() shouldBe 0L
+  }
 }
