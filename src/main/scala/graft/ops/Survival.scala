@@ -22,21 +22,27 @@ import org.apache.spark.sql.functions._
   */
 object Survival {
 
-  /** Per-(group, time) census with at-risk counts: one aggregate over
-    * subjects + two windows over the census. `complete = true` expands
-    * the census to the FULL (group × pooled-time) grid first (zero
-    * event/censor fill) so every group has an at-risk row at every
-    * pooled time — the log-rank walk needs that; the per-group KM curve
-    * does not. */
-  private def riskCensus(df: DataFrame, groupCol: String, durationCol: String,
-                         eventCol: String, complete: Boolean): DataFrame = {
+  /** The ONE aggregate over subjects: per-(group, time) event and
+    * censor counts. This is the only step that executes the caller's
+    * frame — everything downstream (at-risk windows, product-limit,
+    * log-rank walk, even the two-label probe) runs on this census,
+    * whose cardinality is distinct times × groups. */
+  private def subjectCensus(df: DataFrame, groupCol: String, durationCol: String,
+                            eventCol: String): DataFrame = {
     val ev = col(eventCol).cast("int")
-    val census0 = df
-      .filter(col(groupCol).isNotNull && col(durationCol).isNotNull &&
+    df.filter(col(groupCol).isNotNull && col(durationCol).isNotNull &&
         ev.isNotNull)
       .groupBy(col(groupCol).as("g"), col(durationCol).cast("double").as("t"))
       .agg(sum(ev).cast("long").as("d"),
         sum(lit(1) - ev).cast("long").as("c"))
+  }
+
+  /** At-risk counts over a census frame: two windows, census-sized.
+    * `complete = true` expands the census to the FULL (group ×
+    * pooled-time) grid first (zero event/censor fill) so every group
+    * has an at-risk row at every pooled time — the log-rank walk needs
+    * that; the per-group KM curve does not. */
+  private def atRisk(census0: DataFrame, complete: Boolean): DataFrame = {
     val census =
       if (!complete) census0
       else census0.select(col("g")).distinct()
@@ -61,7 +67,7 @@ object Survival {
                   eventCol: String): DataFrame = {
     val byT = Window.partitionBy(col("g")).orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    riskCensus(df, groupCol, durationCol, eventCol, complete = false)
+    atRisk(subjectCensus(df, groupCol, durationCol, eventCol), complete = false)
       .withColumn("__ln", when(col("d") > 0 && col("d") < col("n_risk"),
         log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double")))
         .otherwise(lit(0.0)))
@@ -73,43 +79,64 @@ object Survival {
         col("d").as("n_event"), col("c").as("n_censor"), col("survival"))
   }
 
-  /** Two-group log-rank test. The two group labels are resolved by one
-    * aggregate-sized collect and attached as literals (the
-    * clampToBounds gate). At each pooled event time: E_lo += d·n_lo/n,
-    * V += d·(n_lo/n)·(1 − n_lo/n)·(n − d)/(n − 1); z =
-    * (O_lo − E_lo)/√V, chi2 = z². Returns one row: (group_lo,
-    * group_hi, o_lo, e_lo, z, chi2). */
+  /** Two-group log-rank test. At each pooled event time:
+    * E_lo += d·n_lo/n, V += d·(n_lo/n)·(1 − n_lo/n)·(n − d)/(n − 1);
+    * z = (O_lo − E_lo)/√V, chi2 = z². Returns one row: (group_lo,
+    * group_hi, o_lo, e_lo, z, chi2).
+    *
+    * The caller's subjects frame executes exactly ONCE: its census is
+    * persisted (census-sized — distinct times × groups), the two group
+    * labels come off the census (an aggregate-sized collect), the
+    * complete-grid walk runs over the cached census, and the one-row
+    * result is collected inside the persist scope and lifted back as a
+    * literal row — the sound-release pattern every call-scoped persist
+    * here uses. Before this, the label probe and the census each
+    * re-executed the caller's plan (a fact-fact join upstream ran
+    * twice: t15 measured 18.7 s vs its 5.9 s sibling at sf10 on the
+    * SAME subjects frame). */
   def logRank(df: DataFrame, groupCol: String, durationCol: String,
               eventCol: String): DataFrame = {
-    val groups = df.filter(col(groupCol).isNotNull && col(durationCol).isNotNull)
-      .select(col(groupCol).cast("string")).distinct()
-      .orderBy(groupCol).collect().map(_.getString(0))
-    require(groups.length == 2,
-      s"logRank needs exactly 2 groups in $groupCol, got ${groups.length}")
-    val (gLo, gHi) = (groups(0), groups(1))
-    val perTime = riskCensus(df, groupCol, durationCol, eventCol, complete = true)
-      .groupBy(col("t"))
-      .agg(sum("d").as("__d"),
-        sum(when(col("g").cast("string") === lit(gLo), col("d"))
-          .otherwise(lit(0L))).as("__d1"),
-        sum("n_risk").as("__n"),
-        sum(when(col("g").cast("string") === lit(gLo), col("n_risk"))
-          .otherwise(lit(0L))).as("__n1"))
-      .filter(col("__d") > 0)
-    perTime
-      .agg(sum("__d1").as("o_lo"),
-        sum(col("__d").cast("double") * col("__n1") / col("__n")).as("e_lo"),
-        sum(when(col("__n") > 1,
-          col("__d").cast("double") * (col("__n1").cast("double") / col("__n")) *
-            (lit(1.0) - col("__n1").cast("double") / col("__n")) *
-            (col("__n") - col("__d")).cast("double") / (col("__n") - lit(1)).cast("double"))
-          .otherwise(lit(0.0))).as("__v"))
-      .select(lit(gLo).as("group_lo"), lit(gHi).as("group_hi"),
-        col("o_lo"), col("e_lo"),
-        when(col("__v") > 0,
-          (col("o_lo").cast("double") - col("e_lo")) / sqrt(col("__v"))).as("z"),
-        when(col("__v") > 0,
-          (col("o_lo").cast("double") - col("e_lo")) *
-            (col("o_lo").cast("double") - col("e_lo")) / col("__v")).as("chi2"))
+    val spark = df.sparkSession
+    val c0 = subjectCensus(df, groupCol, durationCol, eventCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // label probe off the CENSUS — this is the execution that fills
+      // the cache; groups whose rows all carry null durations/events
+      // are (as before) not label candidates
+      val groups = c0.select(col("g").cast("string")).distinct()
+        .orderBy("g").collect().map(_.getString(0))
+      require(groups.length == 2,
+        s"logRank needs exactly 2 groups in $groupCol, got ${groups.length}")
+      val (gLo, gHi) = (groups(0), groups(1))
+      val perTime = atRisk(c0, complete = true)
+        .groupBy(col("t"))
+        .agg(sum("d").as("__d"),
+          sum(when(col("g").cast("string") === lit(gLo), col("d"))
+            .otherwise(lit(0L))).as("__d1"),
+          sum("n_risk").as("__n"),
+          sum(when(col("g").cast("string") === lit(gLo), col("n_risk"))
+            .otherwise(lit(0L))).as("__n1"))
+        .filter(col("__d") > 0)
+      val r = perTime
+        .agg(sum("__d1").as("o_lo"),
+          sum(col("__d").cast("double") * col("__n1") / col("__n")).as("e_lo"),
+          sum(when(col("__n") > 1,
+            col("__d").cast("double") * (col("__n1").cast("double") / col("__n")) *
+              (lit(1.0) - col("__n1").cast("double") / col("__n")) *
+              (col("__n") - col("__d")).cast("double") / (col("__n") - lit(1)).cast("double"))
+            .otherwise(lit(0.0))).as("__v"))
+        .head()
+      val oLo = if (r.isNullAt(0)) None else Some(r.getLong(0))
+      val eLo = if (r.isNullAt(1)) None else Some(r.getDouble(1))
+      val v = if (r.isNullAt(2)) 0.0 else r.getDouble(2)
+      // same float op ORDER as the previous in-plan expressions (the
+      // oracle replays these exact operations): z = (o−e)/√v and
+      // chi2 = (o−e)·(o−e)/v — chi2 is NOT z·z in floating point
+      val z = for { o <- oLo; e <- eLo; if v > 0 } yield (o.toDouble - e) / math.sqrt(v)
+      val chi2 = for { o <- oLo; e <- eLo; if v > 0 } yield (o.toDouble - e) * (o.toDouble - e) / v
+      import spark.implicits._
+      Seq((gLo, gHi, oLo, eLo, z, chi2))
+        .toDF("group_lo", "group_hi", "o_lo", "e_lo", "z", "chi2")
+    } finally { c0.unpersist(); () }
   }
 }
