@@ -863,13 +863,13 @@ object OpsQueries {
         .orderBy("centroid_id")
     }),
 
-    // ---- deterministic sampling (xxhash-keyed -> rows-only) ------------
+    // ---- deterministic sampling ----------------------------------------
     "p8_token_budget" -> ((s, dir) => {
-      // "take ~5000 tokens per source" in seeded-hash order — the
+      // "take ~5000 tokens per source" in seeded-priority order — the
       // token-budget mixture primitive; bucketed weight-cumsum keeps the
       // window sort to ~1/1024 of each source (spec-pinned equal to the
-      // naive whole-group window). xxhash order -> rows-only like the
-      // rest of the sampling family.
+      // naive whole-group window). Lehmer-keyed, so the oracle replays
+      // the naive window and hash-checks the kept set.
       val d = table(s, dir, "documents")
         .withColumn("n_tok", size(TextAnalysis.tokens(col("text"))).cast("long"))
       Sampling.tokenBudgetSample(d, "source", "doc_id", "n_tok", budgetTokens = 5000L)
@@ -1324,33 +1324,37 @@ object OpsQueries {
       Packing.chunkByTokens(docs(s, dir), "doc_id", "text",
           chunkTokens = 64, overlap = 8)
         .orderBy("doc_id", "chunk_id")),
-    "p5_weighted_mixture" -> ((s, dir) => { // hash Bernoulli -> rows-only
+    "p5_weighted_mixture" -> ((s, dir) => { // Lehmer membership -> oracle replays it
       // training-mix downsampling to 50/30/20 target proportions; the
       // bottleneck source (largest weight, equal sizes) is kept whole.
-      // Per-source kept counts are the query output; the proportion and
-      // determinism CONTRACTS are pinned by SamplingSpec.
+      // Selection keys on lehmerPriority — exact integer arithmetic the
+      // oracle re-derives from the same per-source counts, so the KEPT
+      // SET itself is hash-checked; proportion/determinism contracts
+      // additionally pinned by SamplingSpec.
       val mix = Sampling.weightedMixture(
         table(s, dir, "documents").select("doc_id", "source"), "source", "doc_id",
         Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
       mix.groupBy("source").agg(count(lit(1)).as("n_kept")).orderBy("source")
     }),
-    "p6_epoch_shuffle" -> ((s, dir) => { // seeded-hash order -> rows-only
+    "p6_epoch_shuffle" -> ((s, dir) => { // Lehmer order key -> oracle replays it
       // deterministic epoch reshuffle: reproducible global permutation
-      // via ONE range sort on xxhash64(id, seed) — balanced boundaries
-      // by hash uniformity even on skewed ids. The query emits epoch 1's
-      // first 100 docs (smallest hash keys -> TakeOrderedAndProject, no
-      // full sort for the probe); SamplingSpec pins determinism,
-      // permutation equality, and cross-seed independence.
+      // via ONE range sort on (lehmerPriority(id, seed), id) — balanced
+      // boundaries by permutation uniformity even on skewed ids. The
+      // query emits epoch 1's first 100 docs with their priorities
+      // (smallest keys -> TakeOrderedAndProject, no full sort for the
+      // probe); the priority column pins the ORDER, not just the set.
       Sampling.epochShuffle(docs(s, dir).select(col("doc_id")), "doc_id", seed = 1L)
         .limit(100)
+        .withColumn("priority", Sampling.lehmerPriority(col("doc_id"), 1L))
     }),
-    "p7_mixture_upsample" -> ((s, dir) => { // hash Bernoulli -> rows-only
+    "p7_mixture_upsample" -> ((s, dir) => { // Lehmer partial epoch -> oracle replays it
       // upsampling mix: build a 2x-corpus training mix at 60/30/10 by
       // REPEATING under-represented sources (full epochs + one
-      // deterministic partial epoch); per-(source, epoch) kept counts
-      // are the output, proportion/determinism contracts in SamplingSpec.
-      // totalOut derives from the multiplier inside the operator — no
-      // extra full-scan d.count() action during query construction
+      // deterministic partial epoch). The partial-epoch slice keys on
+      // lehmerPriority/M, so the oracle re-derives every (row, epoch)
+      // from the counts; proportion/determinism contracts in
+      // SamplingSpec. totalOut derives from the multiplier inside the
+      // operator — no extra full-scan d.count() action at construction.
       val d = table(s, dir, "documents").select("doc_id", "source")
       val mix = Sampling.weightedMixtureUpsample(d, "source", "doc_id",
         Map("src0" -> 0.6, "src1" -> 0.3, "src2" -> 0.1), totalOutMultiplier = 2.0)
@@ -4929,6 +4933,59 @@ object OpsQueries {
         "r AS (SELECT *, row_number() OVER (PARTITION BY lang " +
         "ORDER BY priority, doc_id) AS rk FROM pr) " +
         "SELECT doc_id, lang FROM r WHERE rk <= 5 ORDER BY lang, doc_id"),
+    "p5_weighted_mixture" ->
+      // the full mixture derivation replayed: per-source counts ->
+      // bottleneck (min count/weight) -> rates (bottleneck pinned 1.0)
+      // -> Lehmer membership below floor(rate * M). Same float op order
+      // as the Scala driver ((w * total) / n), so cuts match bitwise.
+      ("WITH c AS (SELECT source, count(*)::BIGINT AS n FROM documents " +
+        "WHERE source IN ('src0', 'src1', 'src2') GROUP BY source), " +
+        "w AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)) AS t(source, wt)), " +
+        "b AS (SELECT c.source, c.n / w.wt AS tot FROM c JOIN w USING (source) " +
+        "ORDER BY c.n / w.wt LIMIT 1), " +
+        "r AS (SELECT c.source, CASE WHEN c.source = (SELECT source FROM b) THEN 1.0 " +
+        "ELSE least(1.0, w.wt * (SELECT tot FROM b) / c.n) END AS rate " +
+        "FROM c JOIN w USING (source)), " +
+        "k AS (SELECT d.source FROM documents d JOIN r ON d.source = r.source " +
+        "WHERE ((d.doc_id + 42) % 2147483647) * 48271 % 2147483647 * 48271 % 2147483647 " +
+        "< CAST(floor(r.rate * 2147483647.0) AS BIGINT)) " +
+        "SELECT source, count(*)::BIGINT AS n_kept FROM k GROUP BY source ORDER BY source"),
+    "p6_epoch_shuffle" ->
+      // epoch 1's first 100 docs by (priority, id); the priority column
+      // pins the permutation order inside the hash check
+      ("SELECT doc_id, ((doc_id + 1) % 2147483647) * 48271 % 2147483647 * 48271 % 2147483647 AS priority " +
+        "FROM documents ORDER BY priority, doc_id LIMIT 100"),
+    "p7_mixture_upsample" ->
+      // totalOut = max(1, round(2.0 * weighted rows)) [round = floor(x+.5),
+      // matching Scala math.round]; rate = (w * totalOut) / n; every row
+      // fans out floor(rate)+1 times and the last copy keeps iff
+      // priority/M < rate - floor(rate) — all replayed verbatim
+      ("WITH c AS (SELECT source, count(*)::BIGINT AS n FROM documents " +
+        "WHERE source IN ('src0', 'src1', 'src2') GROUP BY source), " +
+        "t AS (SELECT greatest(1, CAST(floor(2.0 * CAST(sum(n) AS BIGINT) + 0.5) AS BIGINT)) AS total FROM c), " +
+        "w AS (SELECT * FROM (VALUES ('src0', 0.6), ('src1', 0.3), ('src2', 0.1)) AS ww(source, wt)), " +
+        "r AS (SELECT c.source, w.wt * (SELECT total FROM t) / c.n AS rate " +
+        "FROM c JOIN w USING (source)), " +
+        "g AS (SELECT unnest(range(0, 64)) AS epoch), " +
+        "e AS (SELECT d.source, d.doc_id, r.rate, g.epoch " +
+        "FROM documents d JOIN r ON d.source = r.source " +
+        "JOIN g ON g.epoch <= CAST(floor(r.rate) AS BIGINT)), " +
+        "k AS (SELECT source, epoch FROM e WHERE epoch < floor(rate) OR (epoch = floor(rate) " +
+        "AND (((doc_id + 42) % 2147483647) * 48271 % 2147483647 * 48271 % 2147483647) / 2147483647.0 " +
+        "< rate - floor(rate))) " +
+        "SELECT source, epoch::BIGINT AS epoch, count(*)::BIGINT AS n_kept " +
+        "FROM k GROUP BY 1, 2 ORDER BY 1, 2"),
+    "p8_token_budget" ->
+      // the NAIVE whole-group running-sum window (spec-pinned identical
+      // to the bucketed fast path): keep while the per-source token sum
+      // BEFORE the row (in Lehmer order, id tiebreak) is under budget
+      (s"WITH t AS (SELECT source, doc_id, len($Toks)::BIGINT AS n_tok, " +
+        "((doc_id + 42) % 2147483647) * 48271 % 2147483647 * 48271 % 2147483647 AS pr " +
+        "FROM documents), " +
+        "w AS (SELECT source, n_tok, coalesce(sum(n_tok) OVER (PARTITION BY source " +
+        "ORDER BY pr, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev FROM t) " +
+        "SELECT source, count(*)::BIGINT AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens " +
+        "FROM w WHERE prev < 5000 GROUP BY source ORDER BY source"),
     "o3_text_formats" ->
       // same daily aggregate straight from the parquet, emitted once per
       // text format — identical rows pin both writers AND readers

@@ -225,12 +225,15 @@ object Sampling {
     *
     * Scale shape: one aggregate-sized `groupBy(source).count()` to find
     * the bottleneck (tiny collect, never row data), then a narrow
-    * deterministic hash filter — no shuffle of the corpus itself.
+    * deterministic filter — no shuffle of the corpus itself.
     * Expected output size per source s: `weights(s) * T` where
-    * `T = min_s(count_s / weights(s))`; sampling is per-row hash
-    * Bernoulli, so realized counts concentrate around that expectation
-    * (exactness would need a per-source top-n shuffle — see
-    * [[stratifiedTake]] when exact counts matter more than scan cost). */
+    * `T = min_s(count_s / weights(s))`; sampling is per-row Bernoulli
+    * on the [[lehmerPriority]] permutation, so realized counts
+    * concentrate around that expectation (exactness would need a
+    * per-source top-n shuffle — see [[stratifiedTake]] when exact
+    * counts matter more than scan cost) AND the membership is exact
+    * 64-bit integer arithmetic an external SQL engine replays verbatim
+    * — the p1/p2 discipline; the p5 oracle re-derives the kept set. */
   def weightedMixture(df: DataFrame, sourceCol: String, idCol: String,
                       weights: Map[String, Double], seed: Long = 42L): DataFrame = {
     require(weights.nonEmpty, "weights must be non-empty")
@@ -254,7 +257,16 @@ object Sampling {
     val rates = weights.map { case (s, w) =>
       s -> (if (s == bottleneck) 1.0 else math.min(1.0, w * total / counts(s)))
     }
-    stratifiedSample(df, sourceCol, idCol, rates, seed)
+    // Lehmer-keyed membership (not the xxhash stratifiedSample): the
+    // cut `floor(rate * M)` and the priority are exact integer
+    // arithmetic, so the oracle re-derives every kept row from the
+    // same per-source counts. The bottleneck's rate is pinned 1.0 ->
+    // cut = M -> every priority (all < M) passes: kept whole, exactly.
+    val pr = lehmerPriority(col(idCol), seed)
+    val keep = rates.foldLeft(lit(false)) { case (acc, (stratum, f)) =>
+      acc || (col(sourceCol) === stratum && pr < (f * 2147483647.0).toLong)
+    }
+    df.filter(keep)
   }
 
   /** Temperature-scaled source shares — the multilingual-LM sampling rule
@@ -346,8 +358,11 @@ object Sampling {
     val rates = weights.map { case (s, w) => s -> w * totalOut / counts(s) }
     val rate = coalesce(typedLit(rates).apply(col(sourceCol)), lit(0.0))
     val fullEpochs = floor(rate)
-    // uniform-in-[0,1) hash of (id, seed): the SAME slice every run
-    val u = pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L)).cast("double") / 1e6
+    // uniform-in-[0,1) from the Lehmer permutation of (id, seed): the
+    // SAME slice every run, and — unlike an xxhash u — one an external
+    // SQL engine re-derives exactly (priority/M with the identical
+    // double division; the p7 oracle replays the partial epoch) */
+    val u = lehmerPriority(col(idCol), seed).cast("double") / lit(2147483647.0)
     df.withColumn("epoch", explode(sequence(lit(0L), fullEpochs.cast("long"))))
       .filter(col("epoch") < fullEpochs ||
         (col("epoch") === fullEpochs && u < rate - fullEpochs))
@@ -434,19 +449,24 @@ object Sampling {
   }
 
   /** Deterministic epoch shuffle: a seeded pseudo-random but REPRODUCIBLE
-    * global reordering — `orderBy(xxhash64(id, seed))`, i.e. one
-    * range-partitioned sort on an 8-byte key. Changing `seed` gives an
-    * independent permutation (a new epoch); re-running the same seed
+    * global reordering — `orderBy(lehmerPriority(id, seed), id)`, i.e.
+    * one range-partitioned sort on an 8-byte key. Changing `seed` gives
+    * a different permutation (a new epoch); re-running the same seed
     * gives byte-identical order, which is what makes training runs
     * resumable and data-order bugs reproducible. `rand()`-based
     * shuffles lose exactly that under task retry.
     *
-    * Scale shape: the sort key is a hash — uniformly distributed by
+    * Scale shape: the sort key is a permutation of [0, M) — uniform by
     * construction — so the range exchange's sampled boundaries are
     * balanced regardless of how skewed `idCol` itself is. Downstream
     * writers inherit the permutation partition-by-partition. */
   def epochShuffle(df: DataFrame, idCol: String, seed: Long = 42L): DataFrame =
-    df.orderBy(xxhash64(col(idCol), lit(seed)))
+    // Lehmer priority, id tiebreak (ids >= M wrap mod M and can
+    // collide): the permutation is a fixed multiplicative stride —
+    // uniform on [0, M), so range boundaries stay balanced — and the
+    // order key is exact integer arithmetic an external engine
+    // re-derives, making the shuffle itself oracle-checkable (p6)
+    df.orderBy(lehmerPriority(col(idCol), seed), col(idCol))
 
   /** Token-budget sampling: per `groupCol` value, keep rows in seeded-hash
     * order until the running `tokensCol` total reaches `budgetTokens` —
@@ -478,11 +498,14 @@ object Sampling {
       s"buckets must be a power of two >= 2, got $buckets")
     val spark = df.sparkSession
     import spark.implicits._
-    val shift = 64 - java.lang.Long.numberOfTrailingZeros(buckets.toLong)
-    // order-aligned bucket: top log2(buckets) bits of the hash flipped to
-    // unsigned order, so bucket ranks exactly like the signed hash value
-    val h = xxhash64(col(idCol), lit(seed))
-    val bkt = shiftrightunsigned(h.bitwiseXOR(lit(Long.MinValue)), shift)
+    // order-aligned bucket: top log2(buckets) bits of the 31-bit Lehmer
+    // priority, so bucket ranks exactly like the priority value. Lehmer
+    // (not xxhash) keys the selection so an external SQL engine replays
+    // the EXACT kept set as integer arithmetic (the p8 oracle replays
+    // the equivalent naive running-sum window — spec-pinned identical).
+    val shift = 31 - java.lang.Long.numberOfTrailingZeros(buckets.toLong).toInt
+    val h = lehmerPriority(col(idCol), seed)
+    val bkt = shiftright(h, shift)
     val keyed = df.withColumn("__h", h).withColumn("__b", bkt)
     // Cast to string INSIDE the frame, before the aggregate: the cut
     // table round-trips group values through the driver, and Java

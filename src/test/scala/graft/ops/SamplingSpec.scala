@@ -147,7 +147,7 @@ class SamplingSpec extends AnyFunSuite with Matchers {
       val fast = Sampling.tokenBudgetSample(df, "src", "id", "n_tok", budget)
         .select("id").as[Long].collect().toSet
       val w = Window.partitionBy(col("src"))
-        .orderBy(xxhash64(col("id"), lit(42L)), col("id"))
+        .orderBy(Sampling.lehmerPriority(col("id"), 42L), col("id"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val naive = df
         .withColumn("__prev", coalesce(sum(col("n_tok")).over(w), lit(0L)))
