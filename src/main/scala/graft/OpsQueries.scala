@@ -2581,6 +2581,29 @@ object OpsQueries {
           col("gif_meta.duration_cs").as("duration_cs"))
         .orderBy("doc_id")
     }),
+    "m14_gif_pixels" -> ((s, dir) => {
+      // REAL GIF pixel decode (round 12 — the LZW stub closed): every
+      // %10==4 doc plants a GIF89a whose frames carry genuinely
+      // LZW-compressed rasters of the (f + k) mod m index pattern; the
+      // engine walks the container, decompresses each frame's variable
+      // width bit stream, folds palette-channel means — and the oracle
+      // derives the same means closed-form from the residue counts.
+      // Smaller dims than m13: pixel work scales with w*h*frames.
+      val planted = docs(s, dir).filter(col("doc_id") % 10 === 4)
+        .select(col("doc_id"), Multimodal.gifPayload(
+          (col("doc_id") % 24 + 8).cast("int"),
+          (col("doc_id") % 12 + 4).cast("int"),
+          (col("doc_id") % 4 + 1).cast("int"),
+          (col("doc_id") % 3 + 1).cast("int"),
+          lit(2)).as("payload"))
+      Multimodal.gifFrames(planted, "payload")
+        .select(col("doc_id"), col("frame_id").cast("long").as("frame_id"),
+          col("n_pixels"),
+          round(col("mean_r") + lit(5e-10), 6).as("mean_r"),
+          round(col("mean_g") + lit(5e-10), 6).as("mean_g"),
+          round(col("mean_b") + lit(5e-10), 6).as("mean_b"))
+        .orderBy("doc_id", "frame_id")
+    }),
 
     // ---- incremental aggregate maintenance -----------------------------
     "u6_incremental_agg" -> ((s, dir) => {
@@ -3957,6 +3980,26 @@ object OpsQueries {
         "(doc_id % 5 + 1)::BIGINT AS n_ext, " +
         "((doc_id % 5 + 1) * (doc_id % 10 + 1))::BIGINT AS duration_cs " +
         "FROM documents WHERE doc_id % 10 = 4 ORDER BY doc_id"),
+    "m14_gif_pixels" ->
+      // closed-form replay of the planted rasters: frame f pixel k is
+      // palette index (f + k) mod m over n = w*h pixels, so residue j
+      // appears n//m (+1 inside the partial cycle) times and the
+      // channel means are exact residue-count sums over palette entry
+      // (j, 7j mod 256, 13j mod 256) — no LZW replay needed; the Scala
+      // side earns the match by actually decompressing the bit stream
+      ("WITH d AS (SELECT doc_id, (doc_id % 24 + 8) AS w, (doc_id % 12 + 4) AS h, " +
+        "(doc_id % 4 + 1) AS nf, (1::BIGINT << ((doc_id % 3)::INT + 1))::BIGINT AS m " +
+        "FROM documents WHERE doc_id % 10 = 4), " +
+        "f AS (SELECT d.*, g.f FROM d JOIN (SELECT unnest(range(0, 4)) AS f) g ON g.f < d.nf), " +
+        "j AS (SELECT f.*, r.j FROM f JOIN (SELECT unnest(range(0, 8)) AS j) r ON r.j < f.m), " +
+        "c AS (SELECT doc_id, f, w * h AS n, j, " +
+        "(w * h) // m + CASE WHEN ((j - f) % m + m) % m < (w * h) % m THEN 1 ELSE 0 END AS cnt " +
+        "FROM j) " +
+        "SELECT doc_id, f::BIGINT AS frame_id, CAST(max(n) AS BIGINT) AS n_pixels, " +
+        "round(CAST(sum(cnt * j) AS DOUBLE) / max(n) + 5e-10, 6) AS mean_r, " +
+        "round(CAST(sum(cnt * ((j * 7) % 256)) AS DOUBLE) / max(n) + 5e-10, 6) AS mean_g, " +
+        "round(CAST(sum(cnt * ((j * 13) % 256)) AS DOUBLE) / max(n) + 5e-10, 6) AS mean_b " +
+        "FROM c GROUP BY doc_id, f ORDER BY doc_id, frame_id"),
     "u6_incremental_agg" ->
       // full recompute over every order — the merged state must equal it
       ("SELECT o_custkey, count(*)::BIGINT AS n, " +

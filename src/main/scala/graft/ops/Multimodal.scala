@@ -554,14 +554,14 @@ object Multimodal {
     StructField("n_ext", IntegerType),
     StructField("duration_cs", LongType)))
 
-  /** REAL GIF container walk (GIF87a/89a, no LZW pixel decode): logical
-    * screen descriptor, global color table skip, then the block stream —
-    * image descriptors (plus local color table and data sub-blocks),
-    * extensions (Graphic Control delays accumulate into duration), up to
-    * the 0x3B trailer. Animated-GIF frame counts and total delay come
-    * straight from the container, no codec needed; pixel decode stays
-    * the documented stub. Returns None for anything structurally not a
-    * GIF (bad signature, truncated block stream). */
+  /** REAL GIF container walk (GIF87a/89a, header-only — pixel decode is
+    * [[decodeGifFrames]]): logical screen descriptor, global color table
+    * skip, then the block stream — image descriptors (plus local color
+    * table and data sub-blocks), extensions (Graphic Control delays
+    * accumulate into duration), up to the 0x3B trailer. Animated-GIF
+    * frame counts and total delay come straight from the container, no
+    * codec needed. Returns None for anything structurally not a GIF
+    * (bad signature, truncated block stream). */
   private[ops] def decodeGifMeta(bytes: Array[Byte])
       : Option[(String, Int, Int, Int, Int, Int, Long)] = {
     if (bytes == null || bytes.length < 14) return None
@@ -602,11 +602,118 @@ object Multimodal {
     None // ran off the end without a trailer
   }
 
+  /** GIF-flavor LZW compression of a color-index stream — the fixture
+    * twin of [[lzwDecode]]: variable-width codes (minCodeSize+1 up to
+    * 12 bits, LSB-first bit packing), a leading CLEAR, dictionary reset
+    * via CLEAR when the 4096-entry table fills, EOI terminator. The
+    * width-growth rule mirrors the decoder one entry ahead (encoder
+    * grows at nextCode == 2^w + 1, decoder at its counter == 2^w),
+    * which is the standard GIF pairing. Spec-pinned: decode(encode(x))
+    * round-trips across width growth and table resets. */
+  private[ops] def lzwEncode(indices: Array[Byte], minCodeSize: Int): Array[Byte] = {
+    require(minCodeSize >= 2 && minCodeSize <= 8,
+      s"LZW min code size must be in [2, 8], got $minCodeSize")
+    val clear = 1 << minCodeSize; val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var cur = 0L; var nbits = 0
+    var codeSize = minCodeSize + 1
+    def emit(code: Int): Unit = {
+      cur |= code.toLong << nbits; nbits += codeSize
+      while (nbits >= 8) { out.write((cur & 0xFF).toInt); cur >>= 8; nbits -= 8 }
+    }
+    val table = new java.util.HashMap[Integer, Integer]()
+    var nextCode = eoi + 1
+    emit(clear)
+    if (indices.nonEmpty) {
+      var prev: Int = indices(0) & 0xFF
+      require(prev < clear, s"index $prev exceeds the $minCodeSize-bit alphabet")
+      var i = 1
+      while (i < indices.length) {
+        val b = indices(i) & 0xFF
+        require(b < clear, s"index $b exceeds the $minCodeSize-bit alphabet")
+        val hit = table.get((prev << 8) | b)
+        if (hit != null) prev = hit
+        else {
+          emit(prev)
+          table.put((prev << 8) | b, nextCode); nextCode += 1
+          if (nextCode == (1 << codeSize) + 1 && codeSize < 12) codeSize += 1
+          if (nextCode > 4095) {
+            emit(clear)
+            table.clear(); nextCode = eoi + 1; codeSize = minCodeSize + 1
+          }
+          prev = b
+        }
+        i += 1
+      }
+      emit(prev)
+    }
+    emit(eoi)
+    if (nbits > 0) out.write((cur & 0xFF).toInt)
+    out.toByteArray
+  }
+
+  /** GIF-flavor LZW decompression: reads LSB-first variable-width codes,
+    * handles CLEAR/EOI, the KwKwK case (code == next), width growth at
+    * table size 2^w capped at 12 bits, and a full table (no adds past
+    * 4095 until a CLEAR). Stops after `maxPixels` output bytes or EOI.
+    * Returns None for a malformed stream (code beyond the table, or
+    * bits exhausted before EOI/maxPixels) — the strict corrupt policy
+    * every decoder here shares. */
+  private[ops] def lzwDecode(data: Array[Byte], minCodeSize: Int,
+                             maxPixels: Int): Option[Array[Byte]] = {
+    if (minCodeSize < 2 || minCodeSize > 8) return None
+    val clear = 1 << minCodeSize; val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    val prefix = new Array[Int](4096); val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4097)
+    var codeSize = minCodeSize + 1
+    var next = eoi + 1
+    var prev = -1
+    var cur = 0L; var nbits = 0; var pos = 0
+    var done = false
+    while (!done && out.size < maxPixels) {
+      while (nbits < codeSize && pos < data.length) {
+        cur |= (data(pos) & 0xFFL) << nbits; nbits += 8; pos += 1
+      }
+      if (nbits < codeSize) return None // truncated before EOI
+      val code = (cur & ((1L << codeSize) - 1)).toInt
+      cur >>= codeSize; nbits -= codeSize
+      if (code == clear) { next = eoi + 1; codeSize = minCodeSize + 1; prev = -1 }
+      else if (code == eoi) done = true
+      else if (prev == -1) {
+        if (code >= clear) return None // first code after clear must be a literal
+        out.write(code); prev = code
+      } else {
+        val kwk = code == next && next < 4096
+        if (code >= next && !kwk) return None
+        var sp = 0
+        var c = if (kwk) prev else code
+        while (c >= clear + 2) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+        if (c >= clear) return None // chain bottomed out on a reserved code
+        val first = c.toByte
+        out.write(c)
+        while (sp > 0) { sp -= 1; out.write(stack(sp)) }
+        if (kwk) out.write(first)
+        if (next < 4096) {
+          prefix(next) = prev; suffix(next) = first
+          next += 1
+          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+    }
+    Some(out.toByteArray)
+  }
+
   /** Deterministic GIF89a encoder (test fixtures / planted corpora):
-    * `gctBits` in 1..8 sets a 2^gctBits-color global table; every frame
-    * gets a Graphic Control Extension carrying `delayCs` and one 5-byte
-    * data sub-block. Structurally valid per the spec — [[decodeGifMeta]]
-    * and any external GIF parser agree on every header field. */
+    * `gctBits` in 1..8 sets a 2^gctBits-color global table (entry i =
+    * (i, 7i mod 256, 13i mod 256)); every frame gets a Graphic Control
+    * Extension carrying `delayCs` and REAL LZW pixel data — frame f's
+    * pixel k is palette index (f + k) mod 2^gctBits, so per-frame
+    * channel means are closed-form in (doc params) and the m14 oracle
+    * derives them without byte math. Structurally valid per the spec —
+    * [[decodeGifMeta]], [[decodeGifFrames]], and any external GIF
+    * parser agree on every field. */
   def encodeGif(width: Int, height: Int, nFrames: Int, gctBits: Int,
                 delayCs: Int): Array[Byte] = {
     require(width >= 0 && width <= 0xFFFF && height >= 0 && height <= 0xFFFF,
@@ -624,15 +731,27 @@ object Multimodal {
       buf += (i & 0xFF).toByte; buf += ((i * 7) & 0xFF).toByte
       buf += ((i * 13) & 0xFF).toByte
     }
+    val m = 1 << gctBits
+    val minCode = math.max(2, gctBits) // spec: LZW min code size >= 2
     for (f <- 0 until nFrames) {
       buf += 0x21.toByte; buf += 0xF9.toByte; buf += 4.toByte; buf += 0.toByte
       le16(delayCs); buf += 0.toByte; buf += 0.toByte
       buf += 0x2C.toByte; le16(0); le16(0); le16(width); le16(height)
       buf += 0.toByte // no local color table
-      buf += 2.toByte // LZW min code size
-      buf += 5.toByte
-      for (j <- 0 until 5) buf += ((f * 31 + j) & 0xFF).toByte
-      buf += 0.toByte
+      buf += minCode.toByte
+      val px = new Array[Byte](width * height)
+      var k = 0
+      while (k < px.length) { px(k) = ((f + k) % m).toByte; k += 1 }
+      val lzw = lzwEncode(px, minCode)
+      var off = 0
+      while (off < lzw.length) {
+        val n = math.min(255, lzw.length - off)
+        buf += n.toByte
+        var j = 0
+        while (j < n) { buf += lzw(off + j); j += 1 }
+        off += n
+      }
+      buf += 0.toByte // sub-block terminator
     }
     buf += 0x3B.toByte
     buf.toArray
@@ -662,6 +781,116 @@ object Multimodal {
           .map { case (v, w, h, g, nf, ne, d) => Row(v, w, h, g, nf, ne, d) }
           .orNull
         Row.fromSeq(r.toSeq :+ meta)
+      }
+    }(enc)
+  }
+
+  /** REAL GIF frame decode: container walk + per-frame LZW pixel
+    * decompression ([[lzwDecode]]) + palette lookup, folding channel
+    * means. Frames use their local color table when present, else the
+    * global one. Strict corrupt policy (the AVI discipline): any frame
+    * that fails — bad LZW stream, fewer decoded pixels than the
+    * descriptor promises, index beyond the palette, missing palette —
+    * makes the whole payload None rather than a silent partial result.
+    * The 64 MiB/4 pixel bomb gate matches [[decodeAviFrames]].
+    * Returns (frame_id, n_pixels, mean_r, mean_g, mean_b) per frame. */
+  private[ops] def decodeGifFrames(bytes: Array[Byte], maxFrames: Int = 1024)
+      : Option[Array[(Int, Long, Double, Double, Double)]] = {
+    if (bytes == null || bytes.length < 14) return None
+    val hdr = new String(bytes, 0, 6, "US-ASCII")
+    if (hdr != "GIF87a" && hdr != "GIF89a") return None
+    def u8(i: Int): Int = bytes(i) & 0xFF
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    val packed = u8(10)
+    val gctColors = if ((packed & 0x80) != 0) 1 << ((packed & 0x07) + 1) else 0
+    val gctAt = 13
+    var pos = gctAt + 3 * gctColors
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double, Double)]
+    var fid = 0
+    def skipSubBlocks(start: Int): Int = {
+      var p = start
+      while (p < bytes.length && u8(p) != 0) p += u8(p) + 1
+      if (p < bytes.length) p + 1 else -1
+    }
+    while (pos >= 0 && pos < bytes.length) {
+      u8(pos) match {
+        case 0x3B =>
+          return if (out.isEmpty) None else Some(out.toArray)
+        case 0x21 if pos + 1 < bytes.length =>
+          pos = skipSubBlocks(pos + 2)
+        case 0x2C if pos + 9 < bytes.length =>
+          val fw = le16(pos + 5); val fh = le16(pos + 7)
+          val fPacked = u8(pos + 9)
+          val localColors = if ((fPacked & 0x80) != 0) 1 << ((fPacked & 0x07) + 1) else 0
+          val (palAt, palColors) =
+            if (localColors > 0) (pos + 10, localColors)
+            else (gctAt, gctColors)
+          val np = fw.toLong * fh
+          if (palColors == 0 || np > (64L << 20) / 4) return None
+          val minCodeAt = pos + 10 + 3 * localColors
+          if (minCodeAt >= bytes.length) return None
+          val minCode = u8(minCodeAt)
+          // concatenate the data sub-blocks into one LZW stream
+          val lzw = new java.io.ByteArrayOutputStream()
+          var p = minCodeAt + 1
+          while (p < bytes.length && u8(p) != 0) {
+            val n = u8(p)
+            if (p + 1 + n > bytes.length) return None
+            lzw.write(bytes, p + 1, n)
+            p += n + 1
+          }
+          if (p >= bytes.length) return None
+          if (fid < maxFrames) {
+            val px = lzwDecode(lzw.toByteArray, minCode, np.toInt) match {
+              case Some(a) if a.length >= np => a
+              case _ => return None // bad stream or fewer pixels than promised
+            }
+            var sr = 0.0; var sg = 0.0; var sb = 0.0
+            var k = 0
+            while (k < np) {
+              val idx = px(k) & 0xFF
+              if (idx >= palColors) return None
+              val base = palAt + 3 * idx
+              sr += u8(base); sg += u8(base + 1); sb += u8(base + 2)
+              k += 1
+            }
+            out += ((fid, np, sr / np, sg / np, sb / np))
+          }
+          fid += 1
+          pos = p + 1
+        case _ => return None
+      }
+    }
+    None // ran off the end without a trailer
+  }
+
+  val gifFrameType: StructType = StructType(Seq(
+    StructField("frame_id", IntegerType, nullable = false),
+    StructField("n_pixels", LongType, nullable = false),
+    StructField("mean_r", DoubleType, nullable = false),
+    StructField("mean_g", DoubleType, nullable = false),
+    StructField("mean_b", DoubleType, nullable = false)))
+
+  /** Frame-level REAL GIF decode over a binary column: one output row
+    * per decoded frame (rows of non-GIF or corrupt payloads are
+    * dropped), carrying (frame_id, n_pixels, mean_r, mean_g, mean_b).
+    * The explode happens inside the partition iterator, exactly like
+    * [[videoFrames]] — zero shuffle, output bounded by `maxFrames`
+    * rows per payload. */
+  def gifFrames(df: DataFrame, payloadCol: String, maxFrames: Int = 1024): DataFrame = {
+    require(maxFrames >= 1, s"maxFrames must be >= 1, got $maxFrames")
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields.toSeq ++ gifFrameType.fields)
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeGifFrames(r.getAs[Array[Byte]](payloadIdx), maxFrames)
+          .toSeq.flatMap { frames =>
+            frames.iterator.map { case (fid, np, mr, mg, mb) =>
+              Row.fromSeq(r.toSeq ++ Seq[Any](fid, np, mr, mg, mb))
+            }
+          }
       }
     }(enc)
   }

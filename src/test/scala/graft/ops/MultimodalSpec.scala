@@ -839,4 +839,59 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     rows(0).getStruct(1).getInt(4) shouldBe 3 // n_frames
     rows(1).isNullAt(1) shouldBe true
   }
+
+  test("GIF LZW round-trips across width growth, KwKwK, and table resets") {
+    val rnd = new scala.util.Random(7)
+    for (minCode <- Seq(2, 3, 5, 8); n <- Seq(0, 1, 7, 300, 20000)) {
+      val alphabet = 1 << minCode
+      val px = Array.fill(n)((rnd.nextInt(alphabet)).toByte)
+      val enc = Multimodal.lzwEncode(px, minCode)
+      withClue(s"minCode=$minCode n=$n: ") {
+        Multimodal.lzwDecode(enc, minCode, n).get.toSeq shouldBe px.toSeq
+      }
+    }
+    // KwKwK: aaa...a forces code == next immediately
+    val runs = Array.fill(500)(1.toByte)
+    Multimodal.lzwDecode(Multimodal.lzwEncode(runs, 2), 2, 500).get.toSeq shouldBe runs.toSeq
+    // highly repetitive long input crosses the 4096-entry reset
+    val rep = Array.tabulate(60000)(i => ((i / 3) % 4).toByte)
+    Multimodal.lzwDecode(Multimodal.lzwEncode(rep, 2), 2, 60000).get.toSeq shouldBe rep.toSeq
+    // malformed: truncated stream, garbage code stream
+    Multimodal.lzwDecode(Array[Byte](), 2, 10) shouldBe None
+    Multimodal.lzwDecode(Array.fill(8)(0xFF.toByte), 2, 1000) should
+      (be(None) or not be None) // must not throw; strictness checked below
+  }
+
+  test("decodeGifFrames: planted per-frame pixel means are closed-form; corrupt GIFs are None") {
+    // frame f pixel k = (f + k) mod m; palette i = (i, 7i, 13i)
+    val (w, h, nf, bits) = (20, 9, 3, 3)
+    val m = 1 << bits
+    val bytes = Multimodal.encodeGif(w, h, nf, bits, delayCs = 2)
+    val frames = Multimodal.decodeGifFrames(bytes).get
+    frames.length shouldBe nf
+    val n = w * h
+    for (f <- 0 until nf) {
+      val cnt = Array.tabulate(m)(j =>
+        n / m + (if (((j - f) % m + m) % m < n % m) 1 else 0))
+      val er = (0 until m).map(j => cnt(j).toDouble * j).sum / n
+      val eg = (0 until m).map(j => cnt(j).toDouble * ((j * 7) % 256)).sum / n
+      val eb = (0 until m).map(j => cnt(j).toDouble * ((j * 13) % 256)).sum / n
+      val (fid, np, mr, mg, mb) = frames(f)
+      fid shouldBe f
+      np shouldBe n.toLong
+      mr shouldBe er +- 1e-9; mg shouldBe eg +- 1e-9; mb shouldBe eb +- 1e-9
+    }
+    // corrupt: truncating the pixel stream must fail the WHOLE payload
+    Multimodal.decodeGifFrames(bytes.dropRight(12)) shouldBe None
+    Multimodal.decodeGifFrames("junk".getBytes) shouldBe None
+    Multimodal.decodeGifFrames(null) shouldBe None
+    // DataFrame wrapper: per-frame rows, corrupt payloads dropped
+    val df = Seq((1L, bytes), (2L, Array[Byte](9, 9))).toDF("doc_id", "payload")
+    val got = Multimodal.gifFrames(df.repartition(2), "payload")
+      .select(col("doc_id"), col("frame_id"), col("n_pixels"))
+      .orderBy("doc_id", "frame_id").collect()
+    got.map(r => (r.getLong(0), r.getInt(1))).toSeq shouldBe
+      (0 until nf).map(f => (1L, f))
+    all(got.map(_.getLong(2))) shouldBe n.toLong
+  }
 }
