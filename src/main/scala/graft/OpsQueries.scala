@@ -1809,6 +1809,43 @@ object OpsQueries {
         .orderBy("o_orderpriority")
     }),
 
+    "o12_compact_pruned_read" -> ((s, dir) => {
+      // the lakehouse loop CLOSED (round 12): audited fragmented ingest
+      // (quality gate + stats) -> compaction TRANSACTION (overwrite
+      // version, range-clustered on the prune key, stats republished)
+      // -> stats-pruned read of the bottom key decile. The aggregate
+      // hash-matches the source table under the same filter, and the
+      // in-plan booleans pin that compaction shrank the file count AND
+      // that the pruned read actually skipped files — a compaction that
+      // lost rows, stats that went stale, or pruning that kept
+      // everything each break a column.
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val t = new org.apache.hadoop.fs.Path(wh, "graft_compact_loop_orders").toString
+      val fs0 = new org.apache.hadoop.fs.Path(t).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      fs0.delete(new org.apache.hadoop.fs.Path(t), true) // fresh table per run
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      graft.ops.Quality.auditedCommitWithStats(o.repartition(64), t,
+        Seq(graft.ops.Quality.NotNull("o_orderkey"),
+          graft.ops.Quality.MatchesRegex("o_orderpriority", "^[1-5]-")),
+        statsCols = Seq("o_orderkey"))
+      val (_, nBefore, nAfter) = graft.sources.FileSkipping.compactTable(
+        s, t, Seq("o_orderkey"), clusterBy = Seq("o_orderkey"),
+        targetFiles = Some(8))
+      val maxKey = o.agg(max("o_orderkey")).head().getLong(0)
+      val (pruned, rep) = graft.sources.FileSkipping.readBetween(
+        s, t, "o_orderkey", 0L, maxKey / 10)
+      pruned.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            + lit(5e-10), 6).as("sum_price"),
+          max(col("o_orderkey")).as("max_key"))
+        .withColumn("compacted", lit(nBefore > nAfter))
+        .withColumn("files_pruned", lit(rep.filesKept < rep.filesTotal))
+        .orderBy("o_orderpriority")
+    }),
+
     "o8_versioned_table" -> ((s, dir) => {
       // snapshot-versioned table: v1 = even orderkeys, v2 = append the
       // odd ones, v3 = overwrite with a decoy slice; the query reads v2
@@ -5083,6 +5120,16 @@ object OpsQueries {
         "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) + 5e-10, 6) AS sum_price " +
         "FROM orders WHERE (o_orderkey % 64) BETWEEN 3 AND 5 " +
         "AND (o_custkey % 64) BETWEEN 10 AND 20"),
+    "o12_compact_pruned_read" ->
+      // the post-compaction pruned read over the bottom key decile must
+      // equal the plain source filter; the booleans pin that the loop's
+      // file-count and pruning effects actually happened (Spark emits
+      // them from the real counts, the oracle demands true)
+      ("SELECT o_orderpriority, count(*)::BIGINT AS n, " +
+        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) + 5e-10, 6) AS sum_price, " +
+        "max(o_orderkey) AS max_key, true AS compacted, true AS files_pruned " +
+        "FROM orders WHERE o_orderkey <= (SELECT max(o_orderkey) FROM orders) // 10 " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "u3_scd2" ->
       ("SELECT o_custkey AS c_custkey, row_number() OVER w AS version, " +
         "ROUND(o_totalprice + 5e-10, 6) AS bal, " +

@@ -248,6 +248,21 @@ object Quality {
     graft.sources.VersionedTable.commit(df, table, mode)
   }
 
+  /** [[auditedCommit]] + footer stats for the new directory — the full
+    * ingest gate: audit, publish atomically, AND hand the read path its
+    * pruning stats in the same call, so a table written through this
+    * never has an unprunable (or unaudited) directory.
+    * [[graft.sources.FileSkipping.compactTable]] is the matching
+    * maintenance transaction; together they close the
+    * write-audit-publish-compact-prune loop the o12 query pins end to
+    * end. */
+  def auditedCommitWithStats(df: DataFrame, table: String, checks: Seq[Check],
+                             statsCols: Seq[String], mode: String = "append"): Long = {
+    val report = checkSuite(df, checks).collect().toSeq
+    if (report.exists(!_.getBoolean(6))) throw new QualityGateFailed(report)
+    graft.sources.FileSkipping.commitWithStats(df, table, statsCols, mode)
+  }
+
   /** Constraint SUGGESTION from a profile (the Deequ suggestion shape):
     * turn a [[profileExact]] report into the checks the data currently
     * satisfies, for a human to review and freeze into the pipeline's

@@ -84,6 +84,55 @@ object FileSkipping {
     v
   }
 
+  /** Small-file compaction as a TABLE TRANSACTION — the maintenance loop
+    * [[graft.ops.Quality.auditedCommitWithStats]] opens and this closes:
+    * read the latest version, rewrite its many files into few, and
+    * publish the result as an overwrite commit WITH fresh footer stats,
+    * so [[readWhere]] prunes the compacted layout immediately. Readers
+    * of the old version are untouched (snapshot isolation); the old
+    * files stay for time travel until [[VersionedTable.vacuum]].
+    *
+    * `clusterBy` range-partitions + sorts the rewrite on those columns —
+    * compaction is THE moment to establish a prunable layout, because
+    * tight per-file min/max on the predicate columns is what the stats
+    * pruning feeds on; an unclustered compaction yields files that all
+    * span the whole key range and prune nothing. Empty = plain coalesce
+    * (IO-bound shuffle-free rewrite, [[graft.sources.Sinks.compact]]'s
+    * default shape).
+    *
+    * Sizing: `targetFiles` pins the output file count (scale-independent
+    * fixtures, explicit maintenance plans); otherwise
+    * ceil(currentBytes / targetFileBytes) from the FileSystem listing —
+    * a metadata walk, no data read.
+    *
+    * @return (committed version, files before, files after) */
+  def compactTable(spark: SparkSession, table: String, statsCols: Seq[String],
+                   targetFileBytes: Long = 128L << 20,
+                   clusterBy: Seq[String] = Seq.empty,
+                   targetFiles: Option[Int] = None): (Long, Int, Int) = {
+    require(targetFileBytes >= (1L << 16), "targetFileBytes must be >= 64 KiB")
+    targetFiles.foreach(n => require(n >= 1, s"targetFiles must be >= 1, got $n"))
+    val v = VersionedTable.latestVersion(spark, table)
+    val dirs = VersionedTable.resolveDirs(spark, table, v)
+    val f = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = dirs.flatMap { dirRel =>
+      f.listStatus(new Path(table, dirRel)).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+    }
+    val nOut = targetFiles.getOrElse(
+      math.max(1, math.ceil(files.map(_.getLen).sum.toDouble / targetFileBytes).toInt))
+    val df = VersionedTable.read(spark, table, Some(v))
+    val arranged =
+      if (clusterBy.isEmpty) df.coalesce(nOut)
+      else df.repartitionByRange(nOut, clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
+    val v2 = commitWithStats(arranged, table, statsCols, mode = "overwrite")
+    val newDir = VersionedTable.resolveDirs(spark, table, v2).last
+    val after = f.listStatus(new Path(table, newDir))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    (v2, files.length, after)
+  }
+
   /** Write stats files for every directory of `version` (default latest)
     * that is missing one — adopt a pre-stats table or repair a crashed
     * stats write. Returns the directories backfilled. */

@@ -192,6 +192,37 @@ class FileSkippingSpec extends AnyFunSuite with Matchers {
     ds.count() shouldBe 3L
   }
 
+  test("compactTable: overwrite commit with fresh stats; clustered layout prunes, history survives") {
+    val t = tmp()
+    // fragmented audited ingest: 16 shards, each spanning the whole key
+    // range -> stats exist but prune nothing
+    val df = (1 to 800).map(i => (i.toLong, s"v$i")).toDF("k", "s").repartition(16)
+    graft.ops.Quality.auditedCommitWithStats(df, t,
+      Seq(graft.ops.Quality.NotNull("k")), statsCols = Seq("k"))
+    val (_, repFrag) = FileSkipping.readBetween(spark, t, "k", 10L, 60L)
+    repFrag.filesKept shouldBe repFrag.filesTotal // unclustered: no pruning
+    // compaction transaction: 4 range-clustered files, stats republished
+    val (v2, nBefore, nAfter) = FileSkipping.compactTable(spark, t, Seq("k"),
+      clusterBy = Seq("k"), targetFiles = Some(4))
+    v2 shouldBe 2L
+    nBefore shouldBe 16
+    nAfter shouldBe 4
+    val (got, rep) = FileSkipping.readBetween(spark, t, "k", 10L, 60L)
+    rep.filesTotal shouldBe 4
+    rep.filesKept should be < rep.filesTotal // clustered: pruning bites
+    got.select("k").collect().map(_.getLong(0)).sorted shouldBe (10L to 60L).toArray
+    // content preserved row-for-row across the rewrite
+    VersionedTable.read(spark, t).count() shouldBe 800L
+    // the pre-compaction snapshot is still readable (time travel)
+    VersionedTable.read(spark, t, Some(1L)).count() shouldBe 800L
+    // a failing gate commits nothing
+    a[graft.ops.Quality.QualityGateFailed] should be thrownBy
+      graft.ops.Quality.auditedCommitWithStats(
+        Seq((Option.empty[java.lang.Long], "x")).toDF("k", "s"), t,
+        Seq(graft.ops.Quality.NotNull("k")), statsCols = Seq("k"))
+    VersionedTable.latestVersion(spark, t) shouldBe 2L
+  }
+
   test("footer stats are metadata-exact: min/max/nulls match the data") {
     val t = tmp()
     FileSkipping.commitWithStats(
