@@ -152,4 +152,48 @@ class DriftSpec extends AnyFunSuite with Matchers {
     val rows = Drift.jsdDrift(a, b, "x", edges).collect()
     rows.map(_.getAs[Double]("jsd_term")).sum shouldBe ab +- 1e-12
   }
+
+  test("lakehouse drift monitor end to end: exactly-once sink -> snapshotDiff -> incremental PSI") {
+    import graft.sources.{FileSkipping, VersionedTable}
+    // the full composition the per-operator queries cover separately:
+    // micro-batches land exactly-once in a versioned table with pruning
+    // stats; the version pair is diffed; per-snapshot histogram STATES
+    // (maintained incrementally, never a corpus rescan) feed the PSI
+    // gate that flags the drifted append.
+    val t = java.nio.file.Files.createTempDirectory("graft_driftmon")
+      .resolve("t").toString
+    val b0 = (1 to 1000).map(i => (i.toLong, (i % 100).toDouble, "src0"))
+      .toDF("k", "x", "src")
+    val b1 = (1001 to 1600).map(i => (i.toLong, (i % 100 + 60).toDouble, "src0"))
+      .toDF("k", "x", "src")
+    FileSkipping.commitBatchWithStats(b0, t, batchId = 0L, Seq("k")) shouldBe Some(1L)
+    FileSkipping.commitBatchWithStats(b1, t, batchId = 1L, Seq("k")) shouldBe Some(2L)
+    // post-crash re-delivery: invisible, version chain untouched
+    FileSkipping.commitBatchWithStats(b1, t, batchId = 1L, Seq("k")) shouldBe None
+    VersionedTable.latestVersion(spark, t) shouldBe 2L
+    val v1 = VersionedTable.read(spark, t, Some(1L))
+    val v2 = VersionedTable.read(spark, t, Some(2L))
+    // 1) snapshot diff: exactly the appended keys are `added`
+    val byClass = Merge.snapshotDiff(v1, v2, "k", Seq("x"))
+      .groupBy("diff_class").count().as[(String, Long)].collect().toMap
+    byClass shouldBe Map("added" -> 600L, "unchanged" -> 1000L)
+    // 2) histogram states per snapshot; the v2 state maintained
+    //    INCREMENTALLY from v1's state + the micro-batch equals the
+    //    full-recompute state (merge exactness), so the drift read
+    //    never needs the corpus
+    val h1 = Histograms.binned(v1, Seq("src"), "x", 0.0, 200.0, 20)
+    val h2full = Histograms.binned(v2, Seq("src"), "x", 0.0, 200.0, 20)
+    val h2inc = Histograms.mergeState(h1,
+      Histograms.binned(b1, Seq("src"), "x", 0.0, 200.0, 20), Seq("src"))
+    h2inc.orderBy("bin").as[(String, Int, Long)].collect() shouldBe
+      h2full.orderBy("bin").as[(String, Int, Long)].collect()
+    // 3) the PSI gate: drifted append flags, self-comparison is zero
+    val psi = Drift.psiFromHistograms(h1, h2inc, Seq("src"), nBins = 20)
+      .select("src", "psi").as[(String, Double)].collect()
+    psi.length shouldBe 1
+    psi.head._2 should be > 0.1 // the +60 shift is well past the 0.1 alert line
+    val self = Drift.psiFromHistograms(h1, h1, Seq("src"), nBins = 20)
+      .select("psi").as[Double].head()
+    self shouldBe 0.0 +- 1e-12
+  }
 }
