@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{BloomJoin, Bpe, Clustering, Curation, Dedup, Drift, Evaluation, Graph, Histograms, Merge, Multimodal, Packing, Pq, Quality, Sampling, Search, Similarity, TextAnalysis, TimeSeries}
+import graft.ops.{Association, BloomJoin, Bpe, Clustering, Curation, Dedup, Drift, Encoding, Evaluation, Graph, Histograms, Merge, Multimodal, Packing, Pq, Quality, Sampling, Search, Similarity, TextAnalysis, TimeSeries}
 import graft.streaming.EventPipeline
 import graft.Util.table
 
@@ -559,6 +559,64 @@ object OpsQueries {
           round(col("words_per_sentence") + lit(5e-10), 6).as("words_per_sentence"),
           round(col("ari") + lit(5e-10), 6).as("ari"))
         .orderBy("doc_id")),
+    "x23_flesch" -> ((s, dir) =>
+      // Flesch reading ease + FK grade with the vowel-group syllable
+      // heuristic — deliberately the simplest engine-identical regex
+      // rule, so the oracle replays the count; one compiled projection
+      TextAnalysis.fleschStats(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_sentences"), col("n_words"), col("n_syllables"),
+          round(col("flesch_ease") + lit(5e-10), 6).as("flesch_ease"),
+          round(col("fk_grade") + lit(5e-10), 6).as("fk_grade"))
+        .orderBy("doc_id")),
+    "a26_spearman" -> ((s, dir) =>
+      // tie-averaged Spearman over the lineitem measures: ranks from
+      // the bucketed (feature, value) census (no per-feature sort
+      // task), doubled ranks keep every sum integral in DECIMAL(38,0),
+      // so the oracle's HUGEINT sums replay rho bit-for-bit
+      Association.spearmanMatrix(
+          table(s, dir, "lineitem")
+            .select("l_quantity", "l_extendedprice", "l_discount"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .select(col("col_x"), col("col_y"), col("n"),
+          round(col("rho") + lit(5e-10), 6).as("rho"))
+        .orderBy("col_x", "col_y")),
+    "a27_target_encode" -> ((s, dir) =>
+      // smoothed mean-target encoding (k = 10 pseudo-counts toward the
+      // global mean): one census aggregate + a 1-row broadcast total;
+      // decimal sums keep the means partition-order exact
+      Encoding.targetEncode(table(s, dir, "orders"),
+          "o_orderpriority", "o_totalprice", k = 10.0)
+        .select(col("category"), col("n"),
+          round(col("mean_raw") + lit(5e-10), 6).as("mean_raw"),
+          round(col("mean_encoded") + lit(5e-10), 6).as("mean_encoded"))
+        .orderBy("category")),
+    "a28_woe_iv" -> ((s, dir) => {
+      // weight-of-evidence + information value against a replayable
+      // binary target (orderkey % 3): the feature-screening encoder,
+      // add-0.5 smoothing keeps empty cells finite
+      val o = table(s, dir, "orders")
+        .withColumn("y", (col("o_orderkey") % 3 === 0).cast("int"))
+      Encoding.woeEncode(o, "o_orderpriority", "y")
+        .select(col("category"), col("n"), col("n_good"), col("n_bad"),
+          round(col("woe") + lit(5e-10), 6).as("woe"),
+          round(col("iv_term") + lit(5e-10), 6).as("iv_term"))
+        .orderBy("category")
+    }),
+    "t22_bh_fdr" -> ((s, dir) => {
+      // Benjamini-Hochberg step-up over a deterministic p spread (the
+      // Lehmer priority of the nation key normalized to (0,1)) — the
+      // multiple-testing mechanics are the operator under test, and the
+      // replayable spread lets the oracle re-derive rank, adjustment,
+      // and rejection exactly; input is REPORT-sized by contract
+      val p = table(s, dir, "nation").select(col("n_nationkey"),
+        (Sampling.lehmerPriority(col("n_nationkey"), 5L).cast("double") /
+          lit(2147483647.0)).as("p"))
+      Association.bhAdjust(p, "n_nationkey", "p", alpha = 0.1)
+        .select(col("n_nationkey"), round(col("p") + lit(5e-10), 6).as("p"),
+          col("p_rank").cast("long").as("p_rank"),
+          round(col("p_adj") + lit(5e-10), 6).as("p_adj"), col("reject"))
+        .orderBy("n_nationkey")
+    }),
     "x17_bpe_merges" -> ((s, dir) =>
       // distributed BPE merge training (Sennrich subword algorithm):
       // ONE corpus scan builds word frequencies, then each of 12 rounds
@@ -3277,6 +3335,79 @@ object OpsQueries {
         s"+ 0.5 * (len($Toks)::DOUBLE / len(list_filter(string_split_regex(text, '[.!?]+$Ws+'), s -> length(trim(s)) > 0))) " +
         "- 21.43 END + 5e-10, 6) AS ari " +
         "FROM documents WHERE text IS NOT NULL ORDER BY doc_id"),
+    "x23_flesch" ->
+      // same split/token fragments as x18 plus the vowel-group
+      // syllable count; Flesch and FK algebra replayed term for term
+      (s"WITH t AS (SELECT doc_id, " +
+        s"len(list_filter(string_split_regex(text, '[.!?]+$Ws+'), s -> length(trim(s)) > 0))::BIGINT AS ns, " +
+        s"len($Toks)::BIGINT AS nw, " +
+        "len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT AS nsyl " +
+        "FROM documents WHERE text IS NOT NULL) " +
+        "SELECT doc_id, ns AS n_sentences, nw AS n_words, nsyl AS n_syllables, " +
+        "round(CASE WHEN nw > 0 AND ns > 0 THEN " +
+        "206.835 - 1.015 * (nw::DOUBLE / ns) - 84.6 * (nsyl::DOUBLE / nw) END + 5e-10, 6) AS flesch_ease, " +
+        "round(CASE WHEN nw > 0 AND ns > 0 THEN " +
+        "0.39 * (nw::DOUBLE / ns) + 11.8 * (nsyl::DOUBLE / nw) - 15.59 END + 5e-10, 6) AS fk_grade " +
+        "FROM t ORDER BY doc_id"),
+    "a26_spearman" ->
+      // tie-averaged doubled ranks via rank()/count() windows (equal to
+      // the census closed form 2*below + cnt + 1), HUGEINT sums cast to
+      // DOUBLE, then the identical rho algebra per pair
+      ("WITH s AS (SELECT l_quantity::DOUBLE AS q, l_extendedprice::DOUBLE AS e, " +
+        "l_discount::DOUBLE AS d FROM lineitem WHERE l_quantity IS NOT NULL " +
+        "AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL), " +
+        "r AS (SELECT " +
+        "(2 * rank() OVER (ORDER BY q) + count(*) OVER (PARTITION BY q) - 1) AS rq, " +
+        "(2 * rank() OVER (ORDER BY e) + count(*) OVER (PARTITION BY e) - 1) AS re, " +
+        "(2 * rank() OVER (ORDER BY d) + count(*) OVER (PARTITION BY d) - 1) AS rd FROM s), " +
+        "g AS (SELECT count(*)::BIGINT AS nn, count(*)::DOUBLE AS n, " +
+        "sum(rq)::DOUBLE AS sq, sum(re)::DOUBLE AS se, sum(rd)::DOUBLE AS sd, " +
+        "sum(rq*rq)::DOUBLE AS sqq, sum(re*re)::DOUBLE AS see, sum(rd*rd)::DOUBLE AS sdd, " +
+        "sum(rq*re)::DOUBLE AS sqe, sum(rq*rd)::DOUBLE AS sqd, sum(re*rd)::DOUBLE AS sed FROM r) " +
+        Seq(("l_quantity", "l_extendedprice", "sqe", "sq", "se", "sqq", "see"),
+            ("l_quantity", "l_discount", "sqd", "sq", "sd", "sqq", "sdd"),
+            ("l_extendedprice", "l_discount", "sed", "se", "sd", "see", "sdd"))
+          .map { case (cx, cy, sxy, sx, sy, sxx, syy) =>
+            s"SELECT '$cx' AS col_x, '$cy' AS col_y, nn AS n, " +
+              s"round(CASE WHEN sqrt(n*$sxx - $sx*$sx) * sqrt(n*$syy - $sy*$sy) > 0 " +
+              s"THEN (n*$sxy - $sx*$sy) / (sqrt(n*$sxx - $sx*$sx) * sqrt(n*$syy - $sy*$sy)) END " +
+              "+ 5e-10, 6) AS rho FROM g"
+          }.mkString(" UNION ALL ") +
+        " ORDER BY col_x, col_y"),
+    "a27_target_encode" ->
+      // per-category decimal sums + the same shrinkage algebra
+      ("WITH c AS (SELECT o_orderpriority AS category, count(*)::BIGINT AS n, " +
+        "sum(CAST(o_totalprice AS DECIMAL(18,6))) AS s FROM orders " +
+        "WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(n) AS BIGINT) AS tn, sum(s) AS ts FROM c) " +
+        "SELECT category, n, round(s::DOUBLE / n + 5e-10, 6) AS mean_raw, " +
+        "round((s::DOUBLE + 10.0 * (ts::DOUBLE / tn)) / (n::DOUBLE + 10.0) + 5e-10, 6) AS mean_encoded " +
+        "FROM c, t ORDER BY category"),
+    "a28_woe_iv" ->
+      // the same smoothed odds algebra from exact long counts
+      ("WITH c AS (SELECT o_orderpriority AS category, count(*)::BIGINT AS n, " +
+        "CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good, " +
+        "CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_bad " +
+        "FROM orders WHERE o_orderpriority IS NOT NULL AND o_orderkey IS NOT NULL GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(n_good) AS BIGINT) AS tg, CAST(sum(n_bad) AS BIGINT) AS tb FROM c) " +
+        "SELECT category, n, n_good, n_bad, " +
+        "round(ln(((n_good + 0.5) / (tg + 1.0)) / ((n_bad + 0.5) / (tb + 1.0))) + 5e-10, 6) AS woe, " +
+        "round((((n_good + 0.5) / (tg + 1.0)) - ((n_bad + 0.5) / (tb + 1.0))) * " +
+        "ln(((n_good + 0.5) / (tg + 1.0)) / ((n_bad + 0.5) / (tb + 1.0))) + 5e-10, 6) AS iv_term " +
+        "FROM c, t ORDER BY category"),
+    "t22_bh_fdr" ->
+      // the Lehmer p spread, the rank, and the step-up tail min
+      // replayed verbatim
+      ("WITH p AS (SELECT n_nationkey, " +
+        "(((n_nationkey::BIGINT + 5) % 2147483647) * 48271 % 2147483647 * 48271 % 2147483647) / 2147483647.0 AS p " +
+        "FROM nation WHERE n_nationkey IS NOT NULL), " +
+        "r AS (SELECT n_nationkey, p, count(*) OVER () AS m, " +
+        "row_number() OVER (ORDER BY p, n_nationkey) AS p_rank FROM p), " +
+        "a AS (SELECT *, least(1.0, min(p * m / p_rank) OVER (ORDER BY p_rank " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS p_adj FROM r) " +
+        "SELECT n_nationkey, round(p + 5e-10, 6) AS p, p_rank::BIGINT AS p_rank, " +
+        "round(p_adj + 5e-10, 6) AS p_adj, p_adj <= 0.1 AS reject " +
+        "FROM a ORDER BY n_nationkey"),
     "x17_bpe_merges" ->
       // golden merge table for the sf0.01 documents corpus — BPE's
       // iterative argmax-and-rewrite has no SQL replay, so constants

@@ -212,4 +212,96 @@ object Association {
       when(col("b") + col("c") > 0L,
         d * d / (col("b") + col("c"))).as("chi2"))
   }
+
+  /** Spearman rank correlation for every pair of `cols` — the monotone-
+    * association companion to the Pearson matrix (a18): Pearson on
+    * TIE-AVERAGED ranks, the textbook tie-corrected rho. Listwise
+    * complete-case like a18 so all pairs share one n.
+    *
+    * Scale shape: ranks come from COUNTS, never a sort of the data —
+    * the melted (feature, value) census runs through
+    * [[Quantiles.valueCumBefore]] (bucket-offset prefix sums; windows
+    * keyed (feature) over bucket censuses and (feature, bucket), never
+    * one task per feature), and the tie-averaged rank is the closed
+    * form (2·below + cnt + 1)/2 — census algebra, no per-row window at
+    * all. DOUBLED ranks keep everything integral: each column's rank
+    * frame joins back by value, and one final aggregate folds the
+    * pairwise sums as DECIMAL(38,0) — exact at any scale, and exactly
+    * what an external engine's HUGEINT sums reproduce (the a26
+    * oracle replays rho bit-for-bit; doubling cancels in the formula
+    * by powers of two). rho = (n·Sxy − Sx·Sy) /
+    * (√(n·Sxx − Sx²)·√(n·Syy − Sy²)) over x = 2·rank.
+    * Returns (col_x, col_y, n, rho) per pair; rho NULL for a constant
+    * column. */
+  def spearmanMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val complete = cols.foldLeft(df)((d, c) => d.filter(col(c).isNotNull))
+      .select(cols.map(c => col(c).cast("double").as(c)): _*)
+    val melted = complete.select(
+      explode(array(cols.map(c =>
+        struct(lit(c).as("f"), col(c).as("x"))): _*)).as("__m"))
+      .select(col("__m.f").as("__f"), col("__m.x").as("__x"))
+    // (feature, value) -> doubled tie-averaged rank, census-sized
+    val twoRanks = Quantiles.valueCumBefore(melted)
+      .select(col("__f"), col("__x"),
+        (col("__before") * 2 + col("__c") + 1).as("__r2"))
+    // attach each column's doubled rank by value (k census joins)
+    val ranked = cols.foldLeft(complete) { (d, c) =>
+      val r = twoRanks.filter(col("__f") === c)
+        .select(col("__x").as(c), col("__r2").as(s"__r2_$c"))
+      d.join(r, Seq(c))
+    }
+    val pairs = cols.combinations(2).map { case Seq(cx, cy) => (cx, cy) }.toSeq
+    val dec = "decimal(38,0)"
+    val rx = (c: String) => col(s"__r2_$c")
+    val aggs =
+      Seq(count(lit(1)).as("__n")) ++
+      cols.flatMap(c => Seq(
+        sum(rx(c).cast(dec)).as(s"__s_$c"),
+        sum((rx(c) * rx(c)).cast(dec)).as(s"__ss_$c"))) ++
+      pairs.map { case (cx, cy) =>
+        sum((rx(cx) * rx(cy)).cast(dec)).as(s"__sp_${cx}_$cy") }
+    val sums = ranked.agg(aggs.head, aggs.tail: _*)
+    val perPair = pairs.map { case (cx, cy) =>
+      val n = col("__n").cast("double")
+      val sx = col(s"__s_$cx").cast("double"); val sy = col(s"__s_$cy").cast("double")
+      val sxx = col(s"__ss_$cx").cast("double"); val syy = col(s"__ss_$cy").cast("double")
+      val sxy = col(s"__sp_${cx}_$cy").cast("double")
+      val den = sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)
+      sums.select(lit(cx).as("col_x"), lit(cy).as("col_y"),
+        col("__n").as("n"),
+        when(den > 0, (n * sxy - sx * sy) / den).as("rho"))
+    }
+    perPair.reduce(_ unionByName _)
+  }
+
+  /** Benjamini-Hochberg FDR adjustment over a REPORT of test scores —
+    * the multiple-testing step that belongs after any family of screens
+    * here (per-variable tableone p-values, per-slice proportion tests,
+    * per-feature drift flags): rank the m p-values ascending, adjusted
+    * p(i) = min over j >= i of p(j)·m/j capped at 1, reject iff
+    * adjusted <= alpha (equivalent to the classic step-up rule).
+    *
+    * Scale contract: the INPUT is a report (one row per test), not a
+    * corpus — m is checks-sized by nature, so the two global windows
+    * here order m rows, the same bounded-frame license every report
+    * operator in [[Quality]] uses. Returns the input plus
+    * (p_rank, p_adj, reject), ties broken by `keyCol` for a
+    * deterministic, externally replayable order. */
+  def bhAdjust(df: DataFrame, keyCol: String, pCol: String,
+               alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val m = Window.partitionBy()
+    val wRank = Window.orderBy(col(pCol), col(keyCol))
+    val wTail = wRank.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    df.filter(col(pCol).isNotNull)
+      .withColumn("__m", count(lit(1)).over(m))
+      .withColumn("p_rank", row_number().over(wRank))
+      // each row's own p·m/j factor is row-local once p_rank exists;
+      // the step-up min then runs over the tail of the ranked order
+      .withColumn("__factor", col(pCol).cast("double") * col("__m") / col("p_rank"))
+      .withColumn("p_adj", least(lit(1.0), min(col("__factor")).over(wTail)))
+      .withColumn("reject", col("p_adj") <= alpha)
+      .drop("__m", "__factor")
+  }
 }

@@ -396,17 +396,18 @@ object Quantiles {
     * toward the tie window's value-group sizes — still bounded by the
     * hottest single value, not the feature.
     * Returns (id, feature, rank, value, normalized). */
-  def quantileNormalize(df: DataFrame, idCol: String,
-                        featureCols: Seq[String]): DataFrame = {
-    require(featureCols.size >= 2, "need at least two features to harmonize")
-    val nb = 4096
-    val complete = featureCols.foldLeft(df.filter(col(idCol).isNotNull)) {
-      (d, c) => d.filter(col(c).isNotNull)
-    }
-    val melted = complete.select(col(idCol).as("__id"),
-      explode(array(featureCols.map(c =>
-        struct(lit(c).as("f"), col(c).cast("double").as("x"))): _*)).as("__c"))
-      .select(col("__id"), col("__c.f").as("__f"), col("__c.x").as("__x"))
+  /** Per-(feature, value) count and strictly-below count WITHOUT a
+    * per-feature global sort: the (feature, value) census buckets into
+    * `nb` equal-width value ranges per feature (broadcast bounds),
+    * per-bucket sums prefix into rank offsets over a (feature)-keyed
+    * census-of-censuses window, and the in-bucket cumsum runs keyed
+    * (feature, bucket) — thousands of keys, never |features| sort
+    * tasks (the a23 few-fat-groups construction). Input needs columns
+    * (__f, __x); returns (__f, __x, __c, __before) where `__before` is
+    * the number of rows of the feature with a strictly smaller value —
+    * everything rank-like (quantile normalization's row ranks, the
+    * a26 tie-averaged Spearman ranks) derives from it. */
+  private[ops] def valueCumBefore(melted: DataFrame, nb: Int = 4096): DataFrame = {
     val census = melted.groupBy(col("__f"), col("__x")).agg(count(lit(1)).as("__c"))
     val bounds = census.groupBy("__f").agg(min("__x").as("__lo"), max("__x").as("__hi"))
     val withB = census.join(broadcast(bounds), Seq("__f"))
@@ -422,10 +423,23 @@ object Quantiles {
       .select(col("__f"), col("__bk"), col("__boff"))
     val wCum = Window.partitionBy("__f", "__bk").orderBy("__x")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cumBefore = withB.join(broadcast(bucketOffsets), Seq("__f", "__bk"))
+    withB.join(broadcast(bucketOffsets), Seq("__f", "__bk"))
       .withColumn("__cumIn", sum("__c").over(wCum))
-      .select(col("__f"), col("__x"),
+      .select(col("__f"), col("__x"), col("__c"),
         (col("__boff") + col("__cumIn") - col("__c")).as("__before"))
+  }
+
+  def quantileNormalize(df: DataFrame, idCol: String,
+                        featureCols: Seq[String]): DataFrame = {
+    require(featureCols.size >= 2, "need at least two features to harmonize")
+    val complete = featureCols.foldLeft(df.filter(col(idCol).isNotNull)) {
+      (d, c) => d.filter(col(c).isNotNull)
+    }
+    val melted = complete.select(col(idCol).as("__id"),
+      explode(array(featureCols.map(c =>
+        struct(lit(c).as("f"), col(c).cast("double").as("x"))): _*)).as("__c"))
+      .select(col("__id"), col("__c.f").as("__f"), col("__c.x").as("__x"))
+    val cumBefore = valueCumBefore(melted).select("__f", "__x", "__before")
     val wTie = Window.partitionBy("__f", "__x").orderBy("__id")
     val ranked = melted.join(cumBefore, Seq("__f", "__x"))
       .withColumn("__rank", col("__before") + row_number().over(wTie))

@@ -34,8 +34,8 @@ object TextAnalysis {
     * characters = the whitespace-stripped length. `ari` is the
     * Automated Readability Index `4.71·(c/w) + 0.5·(w/s) − 21.43` —
     * the syllable-free readability score, so every term is exact
-    * arithmetic an external engine replays (Flesch needs syllable
-    * heuristics that are not). NULL when a doc has no words or no
+    * arithmetic an external engine replays (the vowel-group Flesch
+    * variant lives in [[fleschStats]]). NULL when a doc has no words or no
     * sentences. Returns (id, n_sentences, n_words, n_chars,
     * words_per_sentence, ari). */
   def sentenceStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -55,6 +55,36 @@ object TextAnalysis {
           lit(4.71) * (col("n_chars").cast("double") / col("n_words"))
             + lit(0.5) * (col("n_words").cast("double") / col("n_sentences"))
             - lit(21.43)))
+  }
+
+  /** Flesch readability — [[sentenceStats]]' syllable-bearing sibling.
+    * Syllables use the crude-but-standard VOWEL-GROUP heuristic (runs
+    * of `[aeiouy]+` in the lowercased text; whitespace breaks runs, so
+    * groups never span words) — deliberately the simplest rule that is
+    * ENGINE-IDENTICAL as a regex, which is what lets the x23 oracle
+    * replay the count (the dictionary-based refinements every
+    * readability library layers on are not). Reading ease =
+    * 206.835 − 1.015·(w/s) − 84.6·(syl/w); FK grade =
+    * 0.39·(w/s) + 11.8·(syl/w) − 15.59. NULL when a doc has no words
+    * or sentences. Pure compiled projection, zero shuffle. Returns
+    * (id, n_sentences, n_words, n_syllables, flesch_ease, fk_grade). */
+  def fleschStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val sentences = filter(split(t, s"[.!?]+[$WhitespaceClass]+"),
+      x => length(trim(x)) > 0)
+    val wps = col("n_words").cast("double") / col("n_sentences")
+    val spw = col("n_syllables").cast("double") / col("n_words")
+    df.filter(t.isNotNull)
+      .select(col(idCol),
+        size(sentences).cast("long").as("n_sentences"),
+        size(tokens(t)).cast("long").as("n_words"),
+        regexp_count(lower(t), lit("[aeiouy]+")).cast("long").as("n_syllables"))
+      .withColumn("flesch_ease",
+        when(col("n_words") > 0L && col("n_sentences") > 0L,
+          lit(206.835) - lit(1.015) * wps - lit(84.6) * spw))
+      .withColumn("fk_grade",
+        when(col("n_words") > 0L && col("n_sentences") > 0L,
+          lit(0.39) * wps + lit(11.8) * spw - lit(15.59)))
   }
 
   /** ASCII control characters (C0 + DEL), spelled as an explicit range

@@ -206,4 +206,65 @@ class AssociationAuditSpec extends AnyFunSuite with Matchers {
       Seq((1, 1), (0, 0)).toDF("a", "p"), "a", "p").head()
     agree.isNullAt(agree.fieldIndex("chi2")) shouldBe true
   }
+
+  test("spearmanMatrix matches a driver-side tie-averaged reference, any partitioning") {
+    val rnd = new scala.util.Random(13)
+    // heavy ties (x quantized), monotone-ish y, independent z
+    val rows = (1 to 400).map { i =>
+      val x = (rnd.nextInt(10)).toDouble
+      (x, x * 3 + rnd.nextDouble() * 4, rnd.nextDouble())
+    }
+    def avgRanks(v: Seq[Double]): Map[Double, Double] = {
+      val sorted = v.sorted
+      v.distinct.map { x =>
+        val below = sorted.count(_ < x); val cnt = sorted.count(_ == x)
+        x -> (below + (cnt + 1) / 2.0)
+      }.toMap
+    }
+    def pearson(a: Seq[Double], b: Seq[Double]): Double = {
+      val n = a.size.toDouble
+      val (sa, sb) = (a.sum, b.sum)
+      val saa = a.map(x => x * x).sum; val sbb = b.map(x => x * x).sum
+      val sab = a.zip(b).map { case (x, y) => x * y }.sum
+      (n * sab - sa * sb) / (math.sqrt(n * saa - sa * sa) * math.sqrt(n * sbb - sb * sb))
+    }
+    val (xs, ys, zs) = (rows.map(_._1), rows.map(_._2), rows.map(_._3))
+    val (rx, ry, rz) = (avgRanks(xs), avgRanks(ys), avgRanks(zs))
+    val want = Map(
+      ("x", "y") -> pearson(xs.map(rx), ys.map(ry)),
+      ("x", "z") -> pearson(xs.map(rx), zs.map(rz)),
+      ("y", "z") -> pearson(ys.map(ry), zs.map(rz)))
+    val got = Association.spearmanMatrix(
+        rows.toDF("x", "y", "z").repartition(7), Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    want.foreach { case (k, v) => got(k) shouldBe v +- 1e-9 }
+    // strong monotone pair ranks high, independent pair near zero
+    got(("x", "y")) should be > 0.9
+    math.abs(got(("x", "z"))) should be < 0.2
+    // constant column: NULL rho, not NaN/crash
+    val const = Association.spearmanMatrix(
+      Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0)).toDF("a", "b"), Seq("a", "b"))
+    const.head().isNullAt(3) shouldBe true
+  }
+
+  test("bhAdjust equals the classic step-up rule") {
+    // textbook fixture: m = 10 p-values, alpha = 0.05
+    val ps = Seq(0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.074, 0.205, 0.212, 0.216)
+    val df = ps.zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("k", "p")
+    val got = Association.bhAdjust(df, "k", "p", alpha = 0.05)
+      .orderBy("p_rank")
+      .collect().map(r => (r.getDouble(1), r.getInt(2), r.getDouble(3), r.getBoolean(4)))
+    // hand model: adj(i) = min_{j>=i} p_j * m / j, capped at 1
+    val m = ps.size
+    val want = ps.indices.map { i =>
+      (i until m).map(j => math.min(1.0, ps(j) * m / (j + 1))).min
+    }
+    got.map(_._1) shouldBe ps // rank order is p order
+    got.map(_._2) shouldBe (1 to m)
+    got.map(_._3).zip(want).foreach { case (g, w) => g shouldBe w +- 1e-12 }
+    // step-up at alpha 0.05: k = 2 (p(2)=0.008 <= 2*0.05/10, p(3)=0.039
+    // > 3*0.05/10 and no later rank passes), and rejection == adj <= alpha
+    got.map(_._4).toSeq shouldBe got.map(_._3 <= 0.05).toSeq
+    got.count(_._4) shouldBe 2
+  }
 }

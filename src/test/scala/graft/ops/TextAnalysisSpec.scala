@@ -335,4 +335,28 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy
       TextAnalysis.zipfFit(census, "token", "cnt", 1)
   }
+
+  test("fleschStats: vowel-group syllables and the Flesch/FK algebra on crafted docs") {
+    // "the cat sat. it ran fast." -> 2 sentences, 6 words,
+    // vowel groups: e,a,a,i,a,a -> 6 syllables
+    val df = Seq((1L, "the cat sat. it ran fast."),
+      (2L, "queueing"), // one vowel GROUP (ueuei), one word, one sentence
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.fleschStats(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    got(0).getLong(1) shouldBe 2L
+    got(0).getLong(2) shouldBe 6L
+    got(0).getLong(3) shouldBe 6L
+    val wps = 6.0 / 2.0; val spw = 6.0 / 6.0
+    got(0).getDouble(4) shouldBe (206.835 - 1.015 * wps - 84.6 * spw) +- 1e-9
+    got(0).getDouble(5) shouldBe (0.39 * wps + 11.8 * spw - 15.59) +- 1e-9
+    // "queueing" = q + "ueuei" (one contiguous vowel run) + "ng": the
+    // crude heuristic counts 1 syllable — a known undercount the doc
+    // advertises; the point is the count is deterministic and replayable
+    got(1).getLong(3) shouldBe 1L
+    // empty doc: zero everything, NULL scores
+    got(2).getLong(2) shouldBe 0L
+    got(2).isNullAt(4) shouldBe true
+    got(2).isNullAt(5) shouldBe true
+  }
 }
