@@ -617,6 +617,12 @@ object OpsQueries {
           round(col("p_adj") + lit(5e-10), 6).as("p_adj"), col("reject"))
         .orderBy("n_nationkey")
     }),
+    "x25_feature_hash" -> ((s, dir) =>
+      // vocabulary-free sparse vectorization via the hashing trick:
+      // bucket + sign from the replayable positional char hash, signed
+      // counts per (doc, bucket) — one explode + one map-side aggregate
+      TextAnalysis.featureHash(docs(s, dir), "doc_id", "text", buckets = 64)
+        .orderBy("doc_id", "bucket")),
     "x17_bpe_merges" -> ((s, dir) =>
       // distributed BPE merge training (Sennrich subword algorithm):
       // ONE corpus scan builds word frequencies, then each of 12 rounds
@@ -3349,6 +3355,21 @@ object OpsQueries {
         "round(CASE WHEN nw > 0 AND ns > 0 THEN " +
         "0.39 * (nw::DOUBLE / ns) + 11.8 * (nsyl::DOUBLE / nw) - 15.59 END + 5e-10, 6) AS fk_grade " +
         "FROM t ORDER BY doc_id"),
+    "x25_feature_hash" ->
+      // bucket, sign, and signed count re-derived from the same
+      // positional char hash (the p10 fragment), 1-based list index ==
+      // Spark's 0-based i + 1
+      (s"WITH tkn AS (SELECT doc_id, ${toksOf("text")} AS tk FROM documents), " +
+        "occ AS (SELECT doc_id, unnest(tk) AS t FROM tkn), " +
+        "nrm AS (SELECT doc_id, regexp_replace(t, '[^a-z0-9]', '', 'g') AS t FROM occ), " +
+        "k AS (SELECT doc_id, " +
+        "list_sum(list_transform(list_transform(string_split(t, ''), c -> unicode(c)), " +
+        "(c, i) -> c * ((i * 2654435761) % 1048573))) % 1048573 AS k " +
+        "FROM nrm WHERE length(t) > 0) " +
+        "SELECT doc_id, (k % 64)::BIGINT AS bucket, " +
+        "CAST(sum(1 - 2 * ((k * 2654435761) % 2)) AS BIGINT) AS weight, " +
+        "count(*)::BIGINT AS n_terms " +
+        "FROM k GROUP BY doc_id, k % 64 ORDER BY doc_id, bucket"),
     "a26_spearman" ->
       // tie-averaged doubled ranks via rank()/count() windows (equal to
       // the census closed form 2*below + cnt + 1), HUGEINT sums cast to

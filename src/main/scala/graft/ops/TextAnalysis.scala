@@ -523,6 +523,44 @@ object TextAnalysis {
         sum("__llr").as("logw_sum"), avg("__llr").as("logw_avg"))
   }
 
+  /** Hashing-trick featurizer (Weinberger et al.'s feature hashing —
+    * the fixed-width sparse vectorizer that needs NO vocabulary pass):
+    * each normalized token lands in bucket `hashedGramBucket(t)` with a
+    * sign drawn from an independent bit of the same positional char
+    * hash, and per-(doc, bucket) signed counts form the sparse vector —
+    * the unbiased-estimator variant (signs make collision noise
+    * zero-mean). Everything is exact integer arithmetic, so the x25
+    * oracle re-derives every bucket, sign, and weight (the DSIR
+    * discipline — vocabulary-free TF vectors an external engine can
+    * audit).
+    *
+    * Scale shape: one projection + explode + ONE map-side-combinable
+    * groupBy(doc, bucket) — no vocabulary state, no joins, nothing
+    * keyed wider than the doc. Output (sparse rows):
+    * (id, bucket, weight, n_terms). */
+  def featureHash(df: DataFrame, idCol: String, textCol: String,
+                  buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val p = 1048573L
+    val norm = df.select(col(idCol),
+      filter(
+        transform(tokens(lower(col(textCol))), t => regexp_replace(t, "[^a-z0-9]", "")),
+        t => length(t) > 0).as("__nt"))
+    val keyed = norm.select(col(idCol), explode(col("__nt")).as("__t"))
+      .withColumn("__k", {
+        val codes = transform(split(col("__t"), ""), c => ascii(c).cast("long"))
+        val weighted = transform(codes, (c, i) =>
+          c * pmod((i.cast("long") + lit(1L)) * lit(2654435761L), lit(p)))
+        pmod(aggregate(weighted, lit(0L), (a, x) => a + x), lit(p))
+      })
+      // bucket from the key's residue; sign from an INDEPENDENT bit —
+      // remix with the Knuth multiplier so sign ⟂ bucket parity
+      .withColumn("__b", pmod(col("__k"), lit(buckets.toLong)))
+      .withColumn("__s", lit(1L) - lit(2L) * pmod(col("__k") * lit(2654435761L), lit(2L)))
+    keyed.groupBy(col(idCol), col("__b").as("bucket"))
+      .agg(sum(col("__s")).as("weight"), count(lit(1)).as("n_terms"))
+  }
+
   // --- fingerprinting -------------------------------------------------
 
   /** Character k-gram rolling-hash fingerprint (winnowing-style): hash

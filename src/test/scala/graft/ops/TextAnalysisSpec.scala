@@ -359,4 +359,30 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     got(2).isNullAt(4) shouldBe true
     got(2).isNullAt(5) shouldBe true
   }
+
+  test("featureHash equals the driver-side hash model exactly, any partitioning") {
+    // same formula, computed driver-side: positional char hash mod p,
+    // bucket = key mod B, sign from the remixed parity bit
+    val p = 1048573L
+    def key(t: String): Long =
+      t.zipWithIndex.map { case (c, i) => c.toLong * (((i + 1) * 2654435761L) % p) }.sum % p
+    def bucket(t: String): Long = key(t) % 16
+    def sign(t: String): Long = 1L - 2L * ((key(t) * 2654435761L) % 2)
+    val docs = Seq((1L, "alpha beta alpha Gamma!"), (2L, "alpha"), (3L, ""))
+    val want = docs.flatMap { case (id, text) =>
+      text.toLowerCase.split("\\s+").map(_.replaceAll("[^a-z0-9]", ""))
+        .filter(_.nonEmpty).map(t => (id, bucket(t), sign(t)))
+    }.groupBy { case (id, b, _) => (id, b) }
+      .map { case ((id, b), ts) => (id, b, ts.map(_._3).sum, ts.size.toLong) }
+      .toSeq.sorted
+    val got = TextAnalysis.featureHash(
+        docs.toDF("doc_id", "text").repartition(5), "doc_id", "text", buckets = 16)
+      .orderBy("doc_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    got shouldBe want
+    // doc 3 (no surviving tokens) emits nothing; repeated 'alpha'
+    // accumulated into one row per its bucket
+    got.map(_._1).distinct shouldBe Seq(1L, 2L)
+    got.map(_._4).sum shouldBe 5L
+  }
 }
