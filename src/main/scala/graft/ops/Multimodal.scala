@@ -826,7 +826,10 @@ object Multimodal {
             if (localColors > 0) (pos + 10, localColors)
             else (gctAt, gctColors)
           val np = fw.toLong * fh
-          if (palColors == 0 || np > (64L << 20) / 4) return None
+          // np == 0 (a 0-width/height descriptor) would fold NaN means;
+          // structurally hostile -> whole payload fails, like any other
+          // corrupt frame
+          if (palColors == 0 || np == 0 || np > (64L << 20) / 4) return None
           val minCodeAt = pos + 10 + 3 * localColors
           if (minCodeAt >= bytes.length) return None
           val minCode = u8(minCodeAt)
