@@ -602,6 +602,16 @@ object OpsQueries {
           round(col("iv_term") + lit(5e-10), 6).as("iv_term"))
         .orderBy("category")
     }),
+    "t23_kendall_tau" -> ((s, dir) =>
+      // ordinal concordance between quantity and discount: C/D pair
+      // counts off the bounded (x, y) cell census (50x11 cells), ties
+      // from the marginals — rows touched once, pairs counted in cell
+      // space (the documented tiny-cross class)
+      Association.kendallTau(
+          table(s, dir, "lineitem").select("l_quantity", "l_discount"),
+          "l_quantity", "l_discount")
+        .select(col("n"), col("n_cells"), col("concordant"), col("discordant"),
+          round(col("tau_b") + lit(5e-10), 6).as("tau_b"))),
     "t22_bh_fdr" -> ((s, dir) => {
       // Benjamini-Hochberg step-up over a deterministic p spread (the
       // Lehmer priority of the nation key normalized to (0,1)) — the
@@ -3416,6 +3426,22 @@ object OpsQueries {
         "round((((n_good + 0.5) / (tg + 1.0)) - ((n_bad + 0.5) / (tb + 1.0))) * " +
         "ln(((n_good + 0.5) / (tg + 1.0)) / ((n_bad + 0.5) / (tb + 1.0))) + 5e-10, 6) AS iv_term " +
         "FROM c, t ORDER BY category"),
+    "t23_kendall_tau" ->
+      // census self-join with x1 < x2, HUGEINT pair sums, marginal tie
+      // pairs, and the identical tau-b algebra
+      ("WITH c AS (SELECT l_quantity::DOUBLE AS x, l_discount::DOUBLE AS y, count(*)::BIGINT AS c " +
+        "FROM lineitem WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL GROUP BY 1, 2), " +
+        "cd AS (SELECT coalesce(sum(CASE WHEN a.y < b.y THEN a.c * b.c END), 0) AS C, " +
+        "coalesce(sum(CASE WHEN a.y > b.y THEN a.c * b.c END), 0) AS D " +
+        "FROM c a JOIN c b ON a.x < b.x), " +
+        "tx AS (SELECT coalesce(sum(t * (t - 1) // 2), 0) AS n1 FROM (SELECT sum(c)::BIGINT AS t FROM c GROUP BY x)), " +
+        "ty AS (SELECT coalesce(sum(t * (t - 1) // 2), 0) AS n2 FROM (SELECT sum(c)::BIGINT AS t FROM c GROUP BY y)), " +
+        "nf AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*)::BIGINT AS n_cells FROM c) " +
+        "SELECT n, n_cells, CAST(C AS BIGINT) AS concordant, CAST(D AS BIGINT) AS discordant, " +
+        "round(CASE WHEN sqrt(((n * (n - 1) // 2)::DOUBLE - n1::DOUBLE) * ((n * (n - 1) // 2)::DOUBLE - n2::DOUBLE)) > 0 " +
+        "THEN (C - D)::DOUBLE / sqrt(((n * (n - 1) // 2)::DOUBLE - n1::DOUBLE) * ((n * (n - 1) // 2)::DOUBLE - n2::DOUBLE)) END " +
+        "+ 5e-10, 6) AS tau_b " +
+        "FROM nf, cd, tx, ty"),
     "t22_bh_fdr" ->
       // the Lehmer p spread, the rank, and the step-up tail min
       // replayed verbatim

@@ -275,6 +275,61 @@ object Association {
     perPair.reduce(_ unionByName _)
   }
 
+  /** Kendall's tau-b for two DISCRETE/ordinal columns from the (x, y)
+    * cell census — the concordance companion to [[spearmanMatrix]]
+    * when the data is ordinal by nature (priorities, ratings, bucketed
+    * scores): C and D count concordant/discordant PAIRS as
+    * Σ c₁·c₂ over census-cell pairs with x₁<x₂ (y agreeing/opposing),
+    * tie corrections from the marginals, tau-b =
+    * (C − D)/√((n₀−n₁)(n₀−n₂)).
+    *
+    * Scale contract (the d18 NDV lesson): pair counting is quadratic
+    * in CELLS, so this operator is for bounded-cardinality ordinals —
+    * the census size is checked against `maxCells` (one aggregate-
+    * sized count) and the cell-pair join is a documented tiny-cross
+    * (census × census, the g8/d22 class); rows themselves are touched
+    * exactly once by the census aggregate. Continuous near-unique
+    * columns belong in [[spearmanMatrix]], which is linear. All counts
+    * fold as DECIMAL(38,0), so the t23 oracle's HUGEINT sums replay
+    * tau bit-for-bit; n₀ = n(n−1)/2 stays in long arithmetic, which
+    * bounds n at ~3·10⁹ rows per call (pre-bucket or sample beyond
+    * that — the pair COUNT itself leaves double precision there too).
+    * Returns one row:
+    * (n, n_cells, concordant, discordant, tau_b); tau_b NULL when
+    * either margin is constant. */
+  def kendallTau(df: DataFrame, xCol: String, yCol: String,
+                 maxCells: Int = 4096): DataFrame = {
+    require(maxCells >= 1, s"maxCells must be >= 1, got $maxCells")
+    val cells = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).cast("double").as("__x"), col(yCol).cast("double").as("__y"))
+      .agg(count(lit(1)).as("__c"))
+    val nCells = cells.count()
+    require(nCells <= maxCells,
+      s"kendallTau is quadratic in census cells: got $nCells (> maxCells $maxCells) " +
+        "— bucket the columns first, or use spearmanMatrix for continuous data")
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val a = cells.select(col("__x").as("__x1"), col("__y").as("__y1"), col("__c").as("__c1"))
+    val b = cells.select(col("__x").as("__x2"), col("__y").as("__y2"), col("__c").as("__c2"))
+    val cd = a.join(b, col("__x1") < col("__x2"))
+      .agg(
+        coalesce(sum(when(col("__y1") < col("__y2"), dec(col("__c1") * col("__c2")))), dec(lit(0))).as("__C"),
+        coalesce(sum(when(col("__y1") > col("__y2"), dec(col("__c1") * col("__c2")))), dec(lit(0))).as("__D"))
+    def tiePairs(k: String) = cells.groupBy(col(k)).agg(sum("__c").as("__t"))
+      .agg(coalesce(sum(dec(col("__t") * (col("__t") - 1) / 2)), dec(lit(0))).as(s"__tie"))
+    val nf = cells.agg(sum("__c").as("__n"), count(lit(1)).as("__cells"))
+    val n0 = (col("__n") * (col("__n") - 1) / 2).cast("double")
+    val den = sqrt((n0 - col("__t1").cast("double")) * (n0 - col("__t2").cast("double")))
+    nf.crossJoin(broadcast(cd))
+      .crossJoin(broadcast(tiePairs("__x").select(col("__tie").as("__t1"))))
+      .crossJoin(broadcast(tiePairs("__y").select(col("__tie").as("__t2"))))
+      .select(col("__n").as("n"), col("__cells").as("n_cells"),
+        col("__C").cast("long").as("concordant"),
+        col("__D").cast("long").as("discordant"),
+        when(den > 0,
+          (col("__C") - col("__D")).cast("double") / den).as("tau_b"))
+  }
+
   /** Benjamini-Hochberg FDR adjustment over a REPORT of test scores —
     * the multiple-testing step that belongs after any family of screens
     * here (per-variable tableone p-values, per-slice proportion tests,

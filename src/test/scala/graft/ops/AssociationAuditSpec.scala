@@ -247,6 +247,40 @@ class AssociationAuditSpec extends AnyFunSuite with Matchers {
     const.head().isNullAt(3) shouldBe true
   }
 
+  test("kendallTau equals the brute-force pair count, tie-corrected; cell cap enforced") {
+    // mixed ties fixture, brute-forced driver-side
+    val rows = Seq((1, 1), (1, 2), (2, 2), (2, 2), (3, 1), (3, 3), (4, 2), (4, 4))
+      .map { case (a, b) => (a.toDouble, b.toDouble) }
+    var c = 0L; var d = 0L
+    for (i <- rows.indices; j <- rows.indices if i < j) {
+      val s = (rows(i)._1 - rows(j)._1) * (rows(i)._2 - rows(j)._2)
+      if (s > 0) c += 1 else if (s < 0) d += 1
+    }
+    val n = rows.size.toLong
+    val n0 = n * (n - 1) / 2
+    def ties(vs: Seq[Double]) = vs.groupBy(identity).values
+      .map(g => g.size.toLong * (g.size - 1) / 2).sum
+    val want = (c - d).toDouble /
+      math.sqrt((n0 - ties(rows.map(_._1))).toDouble * (n0 - ties(rows.map(_._2))))
+    val got = Association.kendallTau(rows.toDF("x", "y").repartition(3), "x", "y").head()
+    got.getLong(0) shouldBe n
+    got.getLong(2) shouldBe c
+    got.getLong(3) shouldBe d
+    got.getDouble(4) shouldBe want +- 1e-12
+    // perfect concordance / discordance
+    Association.kendallTau(Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0)).toDF("x", "y"),
+      "x", "y").head().getDouble(4) shouldBe 1.0 +- 1e-12
+    Association.kendallTau(Seq((1.0, 3.0), (2.0, 2.0), (3.0, 1.0)).toDF("x", "y"),
+      "x", "y").head().getDouble(4) shouldBe -1.0 +- 1e-12
+    // constant margin: NULL tau
+    Association.kendallTau(Seq((1.0, 5.0), (2.0, 5.0)).toDF("x", "y"), "x", "y")
+      .head().isNullAt(4) shouldBe true
+    // quadratic-blowup guard refuses loudly
+    an[IllegalArgumentException] should be thrownBy
+      Association.kendallTau((1 to 100).map(i => (i.toDouble, i.toDouble)).toDF("x", "y"),
+        "x", "y", maxCells = 10)
+  }
+
   test("bhAdjust equals the classic step-up rule") {
     // textbook fixture: m = 10 p-values, alpha = 0.05
     val ps = Seq(0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.074, 0.205, 0.212, 0.216)
