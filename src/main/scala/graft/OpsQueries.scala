@@ -612,6 +612,50 @@ object OpsQueries {
           "l_quantity", "l_discount")
         .select(col("n"), col("n_cells"), col("concordant"), col("discordant"),
           round(col("tau_b") + lit(5e-10), 6).as("tau_b"))),
+    "t24_mantel_haenszel" -> ((s, dir) =>
+      // confounder-adjusted 2x2: does a big order line (qty > 25) still
+      // associate with a deep discount AFTER stratifying on return
+      // flag? ONE stratum-census aggregate; every MH sum is row-local
+      // over the 3 census rows
+      Association.mantelHaenszel(
+          table(s, dir, "lineitem").select(col("l_returnflag"),
+            (col("l_quantity") > 25).cast("int").as("exposed"),
+            (col("l_discount") >= 0.05).cast("int").as("outcome")),
+          "l_returnflag", "exposed", "outcome")
+        .select(col("n_strata"), col("n"), col("sum_a"),
+          round(col("or_mh") + lit(5e-10), 6).as("or_mh"),
+          round(col("cmh_stat") + lit(5e-10), 6).as("cmh_stat"))),
+    "t25_risk_ratios" -> ((s, dir) =>
+      // crude 2x2 effect sizes with 95% CIs: urgent orders vs a
+      // high-ticket outcome — one 4-cell census, row-local algebra
+      Association.riskRatios(
+          table(s, dir, "orders").select(
+            (col("o_orderpriority") === "1-URGENT").cast("int").as("exposed"),
+            (col("o_totalprice") > 150000.0).cast("int").as("outcome")),
+          "exposed", "outcome")
+        .select(col("n"), col("a"), col("b"), col("c"), col("d"),
+          round(col("odds_ratio") + lit(5e-10), 6).as("odds_ratio"),
+          round(col("or_lo") + lit(5e-10), 6).as("or_lo"),
+          round(col("or_hi") + lit(5e-10), 6).as("or_hi"),
+          round(col("risk_ratio") + lit(5e-10), 6).as("risk_ratio"),
+          round(col("rr_lo") + lit(5e-10), 6).as("rr_lo"),
+          round(col("rr_hi") + lit(5e-10), 6).as("rr_hi"),
+          round(col("risk_diff") + lit(5e-10), 6).as("risk_diff"),
+          round(col("rd_lo") + lit(5e-10), 6).as("rd_lo"),
+          round(col("rd_hi") + lit(5e-10), 6).as("rd_hi"))),
+    "a29_partial_corr" -> ((s, dir) =>
+      // is the price~quantity correlation just the discount channel?
+      // nine decimal power sums in ONE aggregate; the double algebra
+      // sees exact operands so the oracle replays it bit-for-bit
+      Association.partialCorrelation(
+          table(s, dir, "lineitem")
+            .select("l_extendedprice", "l_quantity", "l_discount"),
+          "l_extendedprice", "l_quantity", "l_discount")
+        .select(col("n"),
+          round(col("r_xy") + lit(5e-10), 6).as("r_xy"),
+          round(col("r_xz") + lit(5e-10), 6).as("r_xz"),
+          round(col("r_yz") + lit(5e-10), 6).as("r_yz"),
+          round(col("r_partial") + lit(5e-10), 6).as("r_partial"))),
     "t22_bh_fdr" -> ((s, dir) => {
       // Benjamini-Hochberg step-up over a deterministic p spread (the
       // Lehmer priority of the nation key normalized to (0,1)) — the
@@ -1349,6 +1393,32 @@ object OpsQueries {
           round(col("jsd_term") + lit(5e-10), 6).as("jsd_term"),
           round(col("jsd") + lit(5e-10), 6).as("jsd"))
         .orderBy("bin")
+    }),
+    "q13_wasserstein" -> ((s, dir) => {
+      // exact earth-mover drift between returned and accepted lines'
+      // price distributions: decimal CDF cross-products over the value
+      // census, range-partitioned cumulatives + driver prefix offsets
+      // (the KS scaffold), ONE double division on the final row
+      val li = table(s, dir, "lineitem")
+      Drift.wasserstein1(
+          li.filter(col("l_returnflag") === "R"),
+          li.filter(col("l_returnflag") === "A"),
+          "l_extendedprice")
+        .select(round(col("w1") + lit(5e-10), 6).as("w1"),
+          col("n_ref"), col("n_cur"))
+    }),
+    "q14_categorical_drift" -> ((s, dir) => {
+      // chi-square homogeneity of the source mix, English vs the rest:
+      // two category censuses full-outer-joined, statistic + Cramer's V
+      // off exact counts (p-value stays with the scipy-constant specs)
+      val d = table(s, dir, "documents")
+      Drift.categoricalDrift(
+          d.filter(col("lang") === "en"),
+          d.filter(col("lang") =!= "en"),
+          "source")
+        .select(col("n_ref"), col("n_cur"), col("n_categories"),
+          round(col("chi2") + lit(5e-10), 6).as("chi2"), col("dof"),
+          round(col("cramers_v") + lit(5e-10), 6).as("cramers_v"))
     }),
     "p11_negative_samples" -> ((s, dir) => {
       // contrastive-training negatives: 3 per anchor from a bounded
@@ -3442,6 +3512,116 @@ object OpsQueries {
         "THEN (C - D)::DOUBLE / sqrt(((n * (n - 1) // 2)::DOUBLE - n1::DOUBLE) * ((n * (n - 1) // 2)::DOUBLE - n2::DOUBLE)) END " +
         "+ 5e-10, 6) AS tau_b " +
         "FROM nf, cd, tx, ty"),
+    "t24_mantel_haenszel" ->
+      // the stratum 2x2 census, the MH sums, and the uncorrected CMH
+      // quadratic replayed with the identical operand order
+      ("WITH c AS (SELECT l_returnflag AS s, " +
+        "CAST(sum(CASE WHEN l_quantity > 25 AND l_discount >= 0.05::DOUBLE THEN 1 ELSE 0 END) AS BIGINT) AS a, " +
+        "CAST(sum(CASE WHEN l_quantity > 25 AND NOT (l_discount >= 0.05::DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS b, " +
+        "CAST(sum(CASE WHEN NOT (l_quantity > 25) AND l_discount >= 0.05::DOUBLE THEN 1 ELSE 0 END) AS BIGINT) AS c, " +
+        "CAST(sum(CASE WHEN NOT (l_quantity > 25) AND NOT (l_discount >= 0.05::DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS d " +
+        "FROM lineitem WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL " +
+        "AND l_discount IS NOT NULL GROUP BY 1), " +
+        "f AS (SELECT *, a + b + c + d AS nk FROM c WHERE a + b + c + d >= 2), " +
+        "g AS (SELECT count(*)::BIGINT AS n_strata, CAST(sum(nk) AS BIGINT) AS n, " +
+        "CAST(sum(a) AS BIGINT) AS sum_a, " +
+        "sum(a::DOUBLE * d / nk) AS rn, sum(b::DOUBLE * c / nk) AS rd, " +
+        "sum((a + b)::DOUBLE * (a + c) / nk) AS esum, " +
+        "sum((a + b)::DOUBLE * (c + d) * (a + c) * (b + d) / (nk::DOUBLE * nk * (nk - 1.0))) AS vsum " +
+        "FROM f) " +
+        "SELECT n_strata, n, sum_a, " +
+        "round(CASE WHEN rd > 0 THEN rn / rd END + 5e-10, 6) AS or_mh, " +
+        "round(CASE WHEN vsum > 0 THEN (sum_a::DOUBLE - esum) * (sum_a::DOUBLE - esum) / vsum END + 5e-10, 6) AS cmh_stat " +
+        "FROM g"),
+    "t25_risk_ratios" ->
+      // the 4-cell census and all three Wald intervals with the same
+      // operand order (z pinned to the same 15-digit constant)
+      ("WITH raw AS (SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS e, " +
+        "CASE WHEN o_totalprice > 150000.0::DOUBLE THEN 1 ELSE 0 END AS o FROM orders " +
+        "WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL), " +
+        "c AS (SELECT CAST(sum(e * o) AS BIGINT) AS a, CAST(sum(e * (1 - o)) AS BIGINT) AS b, " +
+        "CAST(sum((1 - e) * o) AS BIGINT) AS c, CAST(sum((1 - e) * (1 - o)) AS BIGINT) AS d FROM raw), " +
+        "x AS (SELECT *, a::DOUBLE + b AS n1, c::DOUBLE + d AS n0, " +
+        "a::DOUBLE / (a::DOUBLE + b) AS p1, c::DOUBLE / (c::DOUBLE + d) AS p0, " +
+        "1.959963984540054 AS z, a > 0 AND b > 0 AND c > 0 AND d > 0 AS ok, " +
+        "a::DOUBLE * d / (b::DOUBLE * c) AS orv, " +
+        "sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d) AS seor FROM c), " +
+        "y AS (SELECT *, p1 / p0 AS rrv, sqrt(b / (a::DOUBLE * n1) + d / (c::DOUBLE * n0)) AS serr, " +
+        "sqrt(p1 * (1.0 - p1) / n1 + p0 * (1.0 - p0) / n0) AS serd FROM x) " +
+        "SELECT a + b + c + d AS n, a, b, c, d, " +
+        "round(CASE WHEN ok THEN orv END + 5e-10, 6) AS odds_ratio, " +
+        "round(CASE WHEN ok THEN exp(ln(orv) - z * seor) END + 5e-10, 6) AS or_lo, " +
+        "round(CASE WHEN ok THEN exp(ln(orv) + z * seor) END + 5e-10, 6) AS or_hi, " +
+        "round(CASE WHEN a > 0 AND c > 0 THEN rrv END + 5e-10, 6) AS risk_ratio, " +
+        "round(CASE WHEN a > 0 AND c > 0 THEN exp(ln(rrv) - z * serr) END + 5e-10, 6) AS rr_lo, " +
+        "round(CASE WHEN a > 0 AND c > 0 THEN exp(ln(rrv) + z * serr) END + 5e-10, 6) AS rr_hi, " +
+        "round(CASE WHEN n1 > 0 AND n0 > 0 THEN p1 - p0 END + 5e-10, 6) AS risk_diff, " +
+        "round(CASE WHEN n1 > 0 AND n0 > 0 THEN p1 - p0 - z * serd END + 5e-10, 6) AS rd_lo, " +
+        "round(CASE WHEN n1 > 0 AND n0 > 0 THEN p1 - p0 + z * serd END + 5e-10, 6) AS rd_hi " +
+        "FROM y"),
+    "a29_partial_corr" ->
+      // the nine decimal power sums and the identical double algebra
+      ("WITH g AS (SELECT count(*)::BIGINT AS n, " +
+        "sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS sx, " +
+        "sum(CAST(l_quantity AS DECIMAL(18,6))) AS sy, " +
+        "sum(CAST(l_discount AS DECIMAL(18,6))) AS sz, " +
+        "sum(CAST(l_extendedprice AS DECIMAL(28,6)) * CAST(l_extendedprice AS DECIMAL(28,6))) AS sxx, " +
+        "sum(CAST(l_quantity AS DECIMAL(28,6)) * CAST(l_quantity AS DECIMAL(28,6))) AS syy, " +
+        "sum(CAST(l_discount AS DECIMAL(28,6)) * CAST(l_discount AS DECIMAL(28,6))) AS szz, " +
+        "sum(CAST(l_extendedprice AS DECIMAL(28,6)) * CAST(l_quantity AS DECIMAL(28,6))) AS sxy, " +
+        "sum(CAST(l_extendedprice AS DECIMAL(28,6)) * CAST(l_discount AS DECIMAL(28,6))) AS sxz, " +
+        "sum(CAST(l_quantity AS DECIMAL(28,6)) * CAST(l_discount AS DECIMAL(28,6))) AS syz " +
+        "FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL " +
+        "AND l_discount IS NOT NULL), " +
+        "r AS (SELECT n, " +
+        "CASE WHEN sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0 " +
+        "THEN (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)) END AS r_xy, " +
+        "CASE WHEN sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) * sqrt(n::DOUBLE * szz::DOUBLE - sz::DOUBLE * sz::DOUBLE) > 0 " +
+        "THEN (n::DOUBLE * sxz::DOUBLE - sx::DOUBLE * sz::DOUBLE) / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) * sqrt(n::DOUBLE * szz::DOUBLE - sz::DOUBLE * sz::DOUBLE)) END AS r_xz, " +
+        "CASE WHEN sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) * sqrt(n::DOUBLE * szz::DOUBLE - sz::DOUBLE * sz::DOUBLE) > 0 " +
+        "THEN (n::DOUBLE * syz::DOUBLE - sy::DOUBLE * sz::DOUBLE) / (sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) * sqrt(n::DOUBLE * szz::DOUBLE - sz::DOUBLE * sz::DOUBLE)) END AS r_yz " +
+        "FROM g) " +
+        "SELECT n, round(r_xy + 5e-10, 6) AS r_xy, round(r_xz + 5e-10, 6) AS r_xz, " +
+        "round(r_yz + 5e-10, 6) AS r_yz, " +
+        "round(CASE WHEN abs(r_xz) < 1.0 - 1e-12 AND abs(r_yz) < 1.0 - 1e-12 " +
+        "THEN (r_xy - r_xz * r_yz) / (sqrt(1.0 - r_xz * r_xz) * sqrt(1.0 - r_yz * r_yz)) END + 5e-10, 6) AS r_partial " +
+        "FROM r"),
+    "q13_wasserstein" ->
+      // the value census, one global cumulative, and the same decimal
+      // cross-product mass with ONE final double division
+      ("WITH v AS (SELECT CAST(l_extendedprice AS DECIMAL(18,6)) AS v, " +
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r, " +
+        "CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS c " +
+        "FROM lineitem WHERE l_returnflag IN ('R','A') AND l_extendedprice IS NOT NULL), " +
+        "g AS (SELECT v, CAST(sum(r) AS BIGINT) AS nr, CAST(sum(c) AS BIGINT) AS nc FROM v GROUP BY v), " +
+        "t AS (SELECT CAST(sum(nr) AS BIGINT) AS tr, CAST(sum(nc) AS BIGINT) AS tc FROM g), " +
+        "w AS (SELECT v, sum(nr) OVER (ORDER BY v) AS cr, sum(nc) OVER (ORDER BY v) AS cc, " +
+        "lead(v) OVER (ORDER BY v) AS nv FROM g), " +
+        "m AS (SELECT sum(abs(cr * tc - cc * tr) * (nv - v)) AS mass FROM w, t WHERE nv IS NOT NULL) " +
+        "SELECT round(mass::DOUBLE / (tr::DOUBLE * tc::DOUBLE) + 5e-10, 6) AS w1, " +
+        "tr AS n_ref, tc AS n_cur FROM m, t"),
+    "q14_categorical_drift" ->
+      // two category censuses full-outer-joined, the homogeneity
+      // quadratic with multiplication-before-division operand order
+      ("WITH r AS (SELECT source AS cat, count(*)::BIGINT AS nr FROM documents " +
+        "WHERE lang = 'en' AND source IS NOT NULL GROUP BY 1), " +
+        "c AS (SELECT source AS cat, count(*)::BIGINT AS nc FROM documents " +
+        "WHERE lang <> 'en' AND source IS NOT NULL GROUP BY 1), " +
+        "j AS (SELECT coalesce(r.cat, c.cat) AS cat, coalesce(nr, 0) AS nr, " +
+        "coalesce(nc, 0) AS nc FROM r FULL OUTER JOIN c ON r.cat = c.cat), " +
+        "t AS (SELECT CAST(sum(nr) AS BIGINT) AS tr, CAST(sum(nc) AS BIGINT) AS tc, " +
+        "count(*)::BIGINT AS g FROM j), " +
+        "x AS (SELECT sum(" +
+        "(CASE WHEN tr::DOUBLE * (nr + nc) / (tr + tc) > 0 " +
+        "THEN (nr::DOUBLE - tr::DOUBLE * (nr + nc) / (tr + tc)) * (nr::DOUBLE - tr::DOUBLE * (nr + nc) / (tr + tc)) / (tr::DOUBLE * (nr + nc) / (tr + tc)) ELSE 0.0 END) + " +
+        "(CASE WHEN tc::DOUBLE * (nr + nc) / (tr + tc) > 0 " +
+        "THEN (nc::DOUBLE - tc::DOUBLE * (nr + nc) / (tr + tc)) * (nc::DOUBLE - tc::DOUBLE * (nr + nc) / (tr + tc)) / (tc::DOUBLE * (nr + nc) / (tr + tc)) ELSE 0.0 END)) AS chi2 " +
+        "FROM j, t) " +
+        "SELECT tr AS n_ref, tc AS n_cur, g AS n_categories, " +
+        "round(CASE WHEN g > 1 THEN chi2 END + 5e-10, 6) AS chi2, " +
+        "(g - 1)::BIGINT AS dof, " +
+        "round(CASE WHEN g > 1 THEN sqrt(chi2 / (tr + tc)::DOUBLE) END + 5e-10, 6) AS cramers_v " +
+        "FROM x, t"),
     "t22_bh_fdr" ->
       // the Lehmer p spread, the rank, and the step-up tail min
       // replayed verbatim

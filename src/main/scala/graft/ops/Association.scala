@@ -330,6 +330,172 @@ object Association {
           (col("__C") - col("__D")).cast("double") / den).as("tau_b"))
   }
 
+  /** Mantel-Haenszel common odds ratio + CMH statistic for a stratified
+    * 2×2 design — "does exposure associate with outcome after adjusting
+    * for the stratum?", the confounder-adjusted companion to the crude
+    * 2×2 in [[riskRatios]] and the chi-square in the tableone layer.
+    * exposureCol/outcomeCol must be 0/1 (or castable); per stratum k
+    * with cells (a=e∩o, b=e∩!o, c=!e∩o, d complements, n_k total):
+    * OR_MH = Σ(a_k·d_k/n_k) / Σ(b_k·c_k/n_k) and the (uncorrected)
+    * CMH statistic (Σa_k − ΣE_k)² / ΣV_k with E_k = r1_k·c1_k/n_k and
+    * V_k = r1_k·r0_k·c1_k·c0_k / (n_k²·(n_k−1)).
+    *
+    * Scale shape: ONE map-side-combinable census over the corpus
+    * (stratum × 4 long cells), then row-local arithmetic over
+    * |strata| census rows folded by a second tiny aggregate — no
+    * windows, no collects. Strata with n_k < 2 contribute nothing to
+    * the variance sum (their V_k is undefined) and are excluded from
+    * every MH sum, the standard treatment. Returns one row:
+    * (n_strata, n, sum_a, or_mh, cmh_stat); or_mh NULL when the
+    * discordant denominator is 0, cmh_stat NULL when ΣV_k = 0. */
+  def mantelHaenszel(df: DataFrame, stratumCol: String,
+                     exposureCol: String, outcomeCol: String): DataFrame = {
+    val e = col(exposureCol).cast("int")
+    val o = col(outcomeCol).cast("int")
+    val census = df
+      .filter(col(stratumCol).isNotNull && e.isNotNull && o.isNotNull)
+      .groupBy(col(stratumCol).as("__s"))
+      .agg(
+        sum(e * o).cast("long").as("__a"),
+        sum(e * (lit(1) - o)).cast("long").as("__b"),
+        sum((lit(1) - e) * o).cast("long").as("__c"),
+        sum((lit(1) - e) * (lit(1) - o)).cast("long").as("__d"))
+      .withColumn("__nk", col("__a") + col("__b") + col("__c") + col("__d"))
+      .filter(col("__nk") >= 2)
+    val nk = col("__nk").cast("double")
+    val r1 = (col("__a") + col("__b")).cast("double")
+    val r0 = (col("__c") + col("__d")).cast("double")
+    val c1 = (col("__a") + col("__c")).cast("double")
+    val c0 = (col("__b") + col("__d")).cast("double")
+    census
+      .agg(
+        count(lit(1)).as("n_strata"),
+        sum(col("__nk")).cast("long").as("n"),
+        sum(col("__a")).cast("long").as("sum_a"),
+        sum(col("__a").cast("double") * col("__d") / nk).as("__rn"),
+        sum(col("__b").cast("double") * col("__c") / nk).as("__rd"),
+        sum(r1 * c1 / nk).as("__esum"),
+        sum(r1 * r0 * c1 * c0 / (nk * nk * (nk - lit(1.0)))).as("__vsum"))
+      .select(col("n_strata"), col("n"), col("sum_a"),
+        when(col("__rd") > 0, col("__rn") / col("__rd")).as("or_mh"),
+        when(col("__vsum") > 0,
+          (col("sum_a").cast("double") - col("__esum")) *
+            (col("sum_a").cast("double") - col("__esum")) / col("__vsum"))
+          .as("cmh_stat"))
+  }
+
+  /** Crude 2×2 effect sizes with 95% CIs — the epidemiology /
+    * experiment-readout trio: odds ratio, risk ratio, and risk
+    * difference, each with its standard large-sample interval
+    * (log-normal Wald for OR and RR, Wald for RD). exposureCol and
+    * outcomeCol must be 0/1 (or castable). With cells a=e∩o, b=e∩!o,
+    * c=!e∩o, d=!e∩!o:
+    * OR = ad/bc, CI exp(ln OR ± z√(1/a+1/b+1/c+1/d));
+    * RR = p1/p0, CI exp(ln RR ± z√(b/(a(a+b)) + d/(c(c+d))));
+    * RD = p1−p0, CI RD ± z√(p1(1−p1)/(a+b) + p0(1−p0)/(c+d)).
+    *
+    * Scale shape: ONE map-side-combinable 4-long-cell census aggregate
+    * over the corpus, then row-local arithmetic on the single census
+    * row. OR/RR and their CIs are NULL when any required cell is 0
+    * (the textbook undefined cases); RD needs both margins non-empty. */
+  def riskRatios(df: DataFrame, exposureCol: String, outcomeCol: String,
+                 z: Double = 1.959963984540054): DataFrame = {
+    require(z > 0, s"z must be positive, got $z")
+    val e = col(exposureCol).cast("int")
+    val o = col(outcomeCol).cast("int")
+    val cells = df
+      .filter(e.isNotNull && o.isNotNull)
+      .agg(
+        sum(e * o).cast("long").as("a"),
+        sum(e * (lit(1) - o)).cast("long").as("b"),
+        sum((lit(1) - e) * o).cast("long").as("c"),
+        sum((lit(1) - e) * (lit(1) - o)).cast("long").as("d"))
+    val ad = col("a").cast("double")
+    val bd = col("b").cast("double")
+    val cd = col("c").cast("double")
+    val dd = col("d").cast("double")
+    val n1 = ad + bd
+    val n0 = cd + dd
+    val p1 = ad / n1
+    val p0 = cd / n0
+    val allPos = col("a") > 0 && col("b") > 0 && col("c") > 0 && col("d") > 0
+    val orV = ad * dd / (bd * cd)
+    val seOr = sqrt(lit(1.0) / ad + lit(1.0) / bd + lit(1.0) / cd + lit(1.0) / dd)
+    val rrOk = col("a") > 0 && col("c") > 0 && col("b") >= 0
+    val rrV = p1 / p0
+    val seRr = sqrt(bd / (ad * n1) + dd / (cd * n0))
+    val rdOk = n1 > 0 && n0 > 0
+    val seRd = sqrt(p1 * (lit(1.0) - p1) / n1 + p0 * (lit(1.0) - p0) / n0)
+    cells.select(
+      (col("a") + col("b") + col("c") + col("d")).as("n"),
+      col("a"), col("b"), col("c"), col("d"),
+      when(allPos, orV).as("odds_ratio"),
+      when(allPos, exp(log(orV) - lit(z) * seOr)).as("or_lo"),
+      when(allPos, exp(log(orV) + lit(z) * seOr)).as("or_hi"),
+      when(rrOk, rrV).as("risk_ratio"),
+      when(rrOk, exp(log(rrV) - lit(z) * seRr)).as("rr_lo"),
+      when(rrOk, exp(log(rrV) + lit(z) * seRr)).as("rr_hi"),
+      when(rdOk, p1 - p0).as("risk_diff"),
+      when(rdOk, p1 - p0 - lit(z) * seRd).as("rd_lo"),
+      when(rdOk, p1 - p0 + lit(z) * seRd).as("rd_hi"))
+  }
+
+  /** First-order partial correlation r_xy·z — the linear association
+    * between x and y with z held fixed, the screen for "is this
+    * feature's signal just the confounder again?":
+    * r_xy·z = (r_xy − r_xz·r_yz) / (√(1−r_xz²)·√(1−r_yz²)) with each
+    * r the Pearson correlation.
+    *
+    * Scale shape: ONE map-side-combinable aggregate carries all nine
+    * power sums; every sum folds as DECIMAL so the operands the double
+    * arithmetic sees are exact (order-independent) and the oracle
+    * replays the result bit-for-bit — the a26/t23 decimal-census
+    * discipline. Rows with a null in ANY of the three columns are
+    * excluded (complete-case, matching the pairwise formula's
+    * requirement of one shared n). Returns one row:
+    * (n, r_xy, r_xz, r_yz, r_partial); NULL r's on degenerate
+    * variance, NULL r_partial when either control correlation is ±1. */
+  def partialCorrelation(df: DataFrame, xCol: String, yCol: String,
+                         zCol: String): DataFrame = {
+    def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+    val x = d6(col(xCol))
+    val y = d6(col(yCol))
+    val z = d6(col(zCol))
+    val sums = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull && col(zCol).isNotNull)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("__sx"), sum(y).as("__sy"), sum(z).as("__sz"),
+        sum(x * x).as("__sxx"), sum(y * y).as("__syy"), sum(z * z).as("__szz"),
+        sum(x * y).as("__sxy"), sum(x * z).as("__sxz"), sum(y * z).as("__syz"))
+    val nd = col("n").cast("double")
+    def r(suv: String, su: String, sv: String, suu: String, svv: String) = {
+      val den = sqrt(nd * col(suu).cast("double") -
+          col(su).cast("double") * col(su).cast("double")) *
+        sqrt(nd * col(svv).cast("double") -
+          col(sv).cast("double") * col(sv).cast("double"))
+      when(den > 0,
+        (nd * col(suv).cast("double") -
+          col(su).cast("double") * col(sv).cast("double")) / den)
+    }
+    val pden = sqrt(lit(1.0) - col("r_xz") * col("r_xz")) *
+      sqrt(lit(1.0) - col("r_yz") * col("r_yz"))
+    // a collinear control lands at |r| = 1 ∓ 2ulp, not exactly 1 (the
+    // sqrt(q)·sqrt(q) denominator re-rounds), so the degeneracy guard
+    // needs a margin; 1e-12 is ~5000 ulps — far above rounding noise,
+    // far below any honestly-estimable correlation
+    val ok = abs(col("r_xz")) < lit(1.0) - lit(1e-12) &&
+      abs(col("r_yz")) < lit(1.0) - lit(1e-12)
+    sums
+      .select(col("n"),
+        r("__sxy", "__sx", "__sy", "__sxx", "__syy").as("r_xy"),
+        r("__sxz", "__sx", "__sz", "__sxx", "__szz").as("r_xz"),
+        r("__syz", "__sy", "__sz", "__syy", "__szz").as("r_yz"))
+      .select(col("n"), col("r_xy"), col("r_xz"), col("r_yz"),
+        when(ok,
+          (col("r_xy") - col("r_xz") * col("r_yz")) / pden).as("r_partial"))
+  }
+
   /** Benjamini-Hochberg FDR adjustment over a REPORT of test scores —
     * the multiple-testing step that belongs after any family of screens
     * here (per-variable tableone p-values, per-slice proportion tests,

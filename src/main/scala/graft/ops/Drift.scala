@@ -185,6 +185,138 @@ object Drift {
     * [[Quantiles.groupedQuantilesExact]], so no single-partition
     * global window ever materializes. The final sup is a top-1
     * TakeOrderedAndProject. */
+  /** Exact 1-D Wasserstein-1 distance (earth-mover's) between the two
+    * samples' empirical distributions: W₁ = ∫|F_ref(v) − F_cur(v)| dv —
+    * the drift measure that weights HOW FAR mass moved, where KS only
+    * sees the single worst gap and PSI only sees its own bins. Over the
+    * pooled distinct values v₁<…<v_m this is
+    * Σᵢ |F_ref(vᵢ) − F_cur(vᵢ)| · (vᵢ₊₁ − vᵢ).
+    *
+    * Scale shape: the [[ksStatistic]] construction exactly — one
+    * map-side-combined (value, n_ref, n_cur) census, range-partitioned
+    * cumulative counts stitched with driver prefix offsets (≤
+    * #partitions rows collected), plus one extra ≤#partitions-sized
+    * driver map carrying each partition's successor value so the
+    * `lead` at partition edges never needs a global window. Every term
+    * folds as DECIMAL(38,6) off exact long counts and 6-dp-quantized
+    * values, so the sum is order-independent and an external engine
+    * replays it bit-for-bit; the single double division by
+    * n_ref·n_cur happens once on the final row.
+    * Returns one row: (w1, n_ref, n_cur). */
+  def wasserstein1(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+    val spark = ref.sparkSession
+    def side(df: DataFrame, r: Long, c: Long): DataFrame =
+      df.select(col(valueCol).cast("decimal(18,6)").as("v"))
+        .filter(col("v").isNotNull)
+        .select(col("v"), lit(r).as("r"), lit(c).as("c"))
+    val counts = side(ref, 1L, 0L).unionByName(side(cur, 0L, 1L))
+      .groupBy("v").agg(sum("r").as("n_ref"), sum("c").as("n_cur"))
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val pre = counts.persist()
+    val parts = pre.repartitionByRange(nParts, col("v"))
+      .sortWithinPartitions("v")
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    try {
+      val subtotals = parts.groupBy("pid")
+        .agg(sum("n_ref").as("tr"), sum("n_cur").as("tc"), min("v").as("mv"))
+        .collect().map(r => (r.getAs[Int]("pid"), r.getAs[Long]("tr"),
+          r.getAs[Long]("tc"), r.getAs[java.math.BigDecimal]("mv")))
+        .sortBy(_._1)
+      val nRef = subtotals.map(_._2).sum
+      val nCur = subtotals.map(_._3).sum
+      require(nRef > 0 && nCur > 0,
+        s"wasserstein1 needs non-null values on both sides (ref=$nRef, cur=$nCur)")
+      val offR = subtotals.scanLeft(0L)(_ + _._2).init
+      val offC = subtotals.scanLeft(0L)(_ + _._3).init
+      val offRMap = map(subtotals.indices.flatMap(i =>
+        Seq(lit(subtotals(i)._1), lit(offR(i)))): _*)
+      val offCMap = map(subtotals.indices.flatMap(i =>
+        Seq(lit(subtotals(i)._1), lit(offC(i)))): _*)
+      // each partition's last row needs its SUCCESSOR value, which lives
+      // in the next non-empty partition — a ≤#partitions driver map
+      val nextV: Map[Int, java.math.BigDecimal] = subtotals.indices.init.map { i =>
+        subtotals(i)._1 -> subtotals(i + 1)._4
+      }.toMap
+      val nextVMap =
+        if (nextV.isEmpty) map()
+        else map(nextV.toSeq.flatMap { case (p, v) =>
+          Seq(lit(p), lit(v).cast("decimal(18,6)")) }: _*)
+      val w = Window.partitionBy("pid").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wLead = Window.partitionBy("pid").orderBy("v")
+      val gap = coalesce(lead(col("v"), 1).over(wLead),
+        element_at(nextVMap, col("pid"))) - col("v")
+      val total = parts
+        .withColumn("cr", sum("n_ref").over(w) + element_at(offRMap, col("pid")))
+        .withColumn("cc", sum("n_cur").over(w) + element_at(offCMap, col("pid")))
+        .withColumn("__term",
+          // decimal cross-products: long·long would overflow past ~3e9
+          // rows per side, and the decimal fold keeps the sum exact
+          when(gap.isNotNull,
+            abs(col("cr").cast("decimal(19,0)") * lit(nCur) -
+              col("cc").cast("decimal(19,0)") * lit(nRef)) * gap)
+            .otherwise(lit(java.math.BigDecimal.ZERO).cast("decimal(38,6)")))
+        .agg(sum("__term").as("__mass"))
+        .select((col("__mass").cast("double") /
+          lit(nRef.toDouble * nCur.toDouble)).as("w1"))
+        .head()
+      import spark.implicits._
+      Seq((total.getDouble(0), nRef, nCur)).toDF("w1", "n_ref", "n_cur")
+    } finally { parts.unpersist(); pre.unpersist() }
+  }
+
+  /** Categorical drift: the chi-square homogeneity test of the 2×g
+    * (side × category) table plus its Cramér's V effect size — PSI's
+    * sibling for label/enum columns where "bins" are the categories
+    * themselves. With row totals N_ref/N_cur and category totals t_j,
+    * e_side,j = N_side·t_j/N and χ² = Σ (o−e)²/e over all 2g cells;
+    * dof = g−1; V = √(χ²/N) (min(r−1, c−1) = 1 for a 2-row table).
+    * The statistic and dof are exact census facts; the p-value lives
+    * with the scipy-constant discipline in the stats specs, not here.
+    *
+    * Scale shape: one map-side-combinable category census per side,
+    * a full outer join of two ≤g-row frames (so a category absent on
+    * one side still contributes its expected-count mass), and tiny
+    * aggregates over that census — nothing proportional to corpus
+    * size. Returns one row:
+    * (n_ref, n_cur, n_categories, chi2, dof, cramers_v). */
+  def categoricalDrift(ref: DataFrame, cur: DataFrame,
+                       catCol: String): DataFrame = {
+    def side(df: DataFrame, name: String): DataFrame =
+      df.filter(col(catCol).isNotNull)
+        .groupBy(col(catCol).cast("string").as("cat"))
+        .agg(count(lit(1)).as(name))
+    val census = side(ref, "n_ref").join(side(cur, "n_cur"), Seq("cat"), "full_outer")
+      .select(col("cat"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = Window.partitionBy()
+    val withTot = census
+      .withColumn("__NR", sum("n_ref").over(tot))
+      .withColumn("__NC", sum("n_cur").over(tot))
+    val nAll = (col("__NR") + col("__NC")).cast("double")
+    val tj = (col("n_ref") + col("n_cur")).cast("double")
+    def cellTerm(o: Column, rowTot: Column): Column = {
+      val e = rowTot.cast("double") * tj / nAll
+      when(e > 0, (o.cast("double") - e) * (o.cast("double") - e) / e)
+        .otherwise(lit(0.0))
+    }
+    withTot
+      .agg(
+        min(col("__NR")).as("n_ref"),
+        min(col("__NC")).as("n_cur"),
+        count(lit(1)).as("n_categories"),
+        sum(cellTerm(col("n_ref"), col("__NR")) +
+          cellTerm(col("n_cur"), col("__NC"))).as("chi2"))
+      .select(col("n_ref"), col("n_cur"), col("n_categories"),
+        when(col("n_categories") > 1, col("chi2")).as("chi2"),
+        (col("n_categories") - 1).cast("long").as("dof"),
+        when(col("n_categories") > 1,
+          sqrt(col("chi2") / (col("n_ref") + col("n_cur")).cast("double")))
+          .as("cramers_v"))
+  }
+
   def ksStatistic(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
     val spark = ref.sparkSession
     def side(df: DataFrame, r: Long, c: Long): DataFrame =

@@ -301,4 +301,91 @@ class AssociationAuditSpec extends AnyFunSuite with Matchers {
     got.map(_._4).toSeq shouldBe got.map(_._3 <= 0.05).toSeq
     got.count(_._4) shouldBe 2
   }
+
+  test("mantelHaenszel pools strata to the textbook common OR and CMH statistic") {
+    // two strata, both OR = 4: S1 a=10 b=5 c=5 d=10, S2 a=20 b=10 c=10 d=20
+    val rows =
+      Seq.fill(10)(("s1", 1, 1)) ++ Seq.fill(5)(("s1", 1, 0)) ++
+      Seq.fill(5)(("s1", 0, 1)) ++ Seq.fill(10)(("s1", 0, 0)) ++
+      Seq.fill(20)(("s2", 1, 1)) ++ Seq.fill(10)(("s2", 1, 0)) ++
+      Seq.fill(10)(("s2", 0, 1)) ++ Seq.fill(20)(("s2", 0, 0))
+    val r = Association.mantelHaenszel(
+      rows.toDF("s", "e", "o").repartition(4), "s", "e", "o").head()
+    r.getAs[Long]("n_strata") shouldBe 2L
+    r.getAs[Long]("n") shouldBe 90L
+    r.getAs[Long]("sum_a") shouldBe 30L
+    r.getAs[Double]("or_mh") shouldBe 4.0 +- 1e-12
+    // E1 = 15*15/30, V1 = 15^4/(30^2*29); E2 = 30*30/60, V2 = 30^4/(60^2*59)
+    val esum = 7.5 + 15.0
+    val vsum = 50625.0 / 26100.0 + 810000.0 / 212400.0
+    r.getAs[Double]("cmh_stat") shouldBe
+      ((30.0 - esum) * (30.0 - esum) / vsum) +- 1e-9
+  }
+
+  test("mantelHaenszel drops n_k<2 strata, nulls, and degenerate denominators") {
+    // a singleton stratum must not enter any sum; a null stratum is excluded
+    val rows = Seq(("tiny", 1, 1), (null, 1, 0)) ++
+      Seq.fill(4)(("s", 1, 1)) ++ Seq.fill(4)(("s", 0, 0))
+    val r = Association.mantelHaenszel(
+      rows.toDF("s", "e", "o"), "s", "e", "o").head()
+    r.getAs[Long]("n_strata") shouldBe 1L
+    r.getAs[Long]("n") shouldBe 8L
+    // b = c = 0 in the surviving stratum: discordant denominator is 0 -> NULL
+    r.isNullAt(r.fieldIndex("or_mh")) shouldBe true
+  }
+
+  test("riskRatios reproduces the textbook 2x2 effect sizes and Wald intervals") {
+    val rows = Seq.fill(20)((1, 1)) ++ Seq.fill(80)((1, 0)) ++
+      Seq.fill(10)((0, 1)) ++ Seq.fill(90)((0, 0))
+    val r = Association.riskRatios(rows.toDF("e", "o").repartition(3), "e", "o").head()
+    r.getAs[Long]("n") shouldBe 200L
+    r.getAs[Long]("a") shouldBe 20L
+    r.getAs[Double]("odds_ratio") shouldBe 2.25 +- 1e-12
+    r.getAs[Double]("risk_ratio") shouldBe 2.0 +- 1e-12
+    r.getAs[Double]("risk_diff") shouldBe 0.1 +- 1e-12
+    val z = 1.959963984540054
+    val seOr = math.sqrt(1.0 / 20 + 1.0 / 80 + 1.0 / 10 + 1.0 / 90)
+    r.getAs[Double]("or_lo") shouldBe math.exp(math.log(2.25) - z * seOr) +- 1e-9
+    r.getAs[Double]("or_hi") shouldBe math.exp(math.log(2.25) + z * seOr) +- 1e-9
+    val seRr = math.sqrt(80.0 / (20.0 * 100) + 90.0 / (10.0 * 100))
+    r.getAs[Double]("rr_lo") shouldBe math.exp(math.log(2.0) - z * seRr) +- 1e-9
+    val seRd = math.sqrt(0.2 * 0.8 / 100 + 0.1 * 0.9 / 100)
+    r.getAs[Double]("rd_hi") shouldBe (0.1 + z * seRd) +- 1e-9
+  }
+
+  test("riskRatios: a zero cell nulls OR and its CI but leaves the census intact") {
+    val rows = Seq.fill(5)((1, 1)) ++ Seq.fill(5)((0, 1)) ++ Seq.fill(5)((0, 0))
+    val r = Association.riskRatios(rows.toDF("e", "o"), "e", "o").head()
+    r.getAs[Long]("b") shouldBe 0L
+    r.isNullAt(r.fieldIndex("odds_ratio")) shouldBe true
+    r.isNullAt(r.fieldIndex("or_lo")) shouldBe true
+    // RR is still defined (a > 0, c > 0): p1 = 1.0, p0 = 0.5
+    r.getAs[Double]("risk_ratio") shouldBe 2.0 +- 1e-12
+  }
+
+  test("partialCorrelation recovers the recursion formula and nulls on |r|=1 controls") {
+    // y = x + z with x, z chosen non-collinear; expected from the raw sums
+    val xs = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0)
+    val zs = Seq(2.0, 1.0, 4.0, 3.0, 6.0, 5.0)
+    val ys = xs.zip(zs).map { case (a, b) => a + 2.0 * b }
+    def pearson(u: Seq[Double], v: Seq[Double]): Double = {
+      val n = u.size.toDouble
+      val num = n * u.zip(v).map { case (a, b) => a * b }.sum - u.sum * v.sum
+      val den = math.sqrt(n * u.map(a => a * a).sum - u.sum * u.sum) *
+        math.sqrt(n * v.map(a => a * a).sum - v.sum * v.sum)
+      num / den
+    }
+    val (rxy, rxz, ryz) = (pearson(xs, ys), pearson(xs, zs), pearson(ys, zs))
+    val expected = (rxy - rxz * ryz) /
+      (math.sqrt(1.0 - rxz * rxz) * math.sqrt(1.0 - ryz * ryz))
+    val df = xs.indices.map(i => (xs(i), ys(i), zs(i))).toDF("x", "y", "z")
+    val r = Association.partialCorrelation(df.repartition(3), "x", "y", "z").head()
+    r.getAs[Long]("n") shouldBe 6L
+    r.getAs[Double]("r_xy") shouldBe rxy +- 1e-9
+    r.getAs[Double]("r_partial") shouldBe expected +- 1e-9
+    // x == z: r_xz = 1 makes the partial denominator 0 -> NULL
+    val degenerate = xs.indices.map(i => (xs(i), ys(i), xs(i))).toDF("x", "y", "z")
+    val rd = Association.partialCorrelation(degenerate, "x", "y", "z").head()
+    rd.isNullAt(rd.fieldIndex("r_partial")) shouldBe true
+  }
 }

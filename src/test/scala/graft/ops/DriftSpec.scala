@@ -196,4 +196,57 @@ class DriftSpec extends AnyFunSuite with Matchers {
       .select("psi").as[Double].head()
     self shouldBe 0.0 +- 1e-12
   }
+
+  test("wasserstein1 equals the closed-form integral on small samples, any partitioning") {
+    // ref mass at {0, 1}, cur at {1, 2}: W1 = 0.5*1 + 0.5*1 = 1.0
+    val ref = Seq(0.0, 1.0).toDF("x")
+    val cur = Seq(1.0, 2.0).toDF("x")
+    Drift.wasserstein1(ref, cur, "x").head().getDouble(0) shouldBe 1.0 +- 1e-9
+    // a constant shift moves W1 by exactly the shift
+    val base = Seq(1.0, 3.0, 7.0, 12.0, 20.0)
+    val shifted = base.map(_ + 2.5)
+    val w = Drift.wasserstein1(
+      base.toDF("x").repartition(7), shifted.toDF("x").repartition(3), "x")
+      .head()
+    w.getDouble(0) shouldBe 2.5 +- 1e-9
+    w.getAs[Long]("n_ref") shouldBe 5L
+    w.getAs[Long]("n_cur") shouldBe 5L
+    // identical samples: zero distance
+    Drift.wasserstein1(base.toDF("x"), base.toDF("x"), "x")
+      .head().getDouble(0) shouldBe 0.0 +- 1e-12
+  }
+
+  test("wasserstein1 handles unequal sizes and duplicated values exactly") {
+    // ref: 0 (x3); cur: 0, 3 — F_ref jumps to 1 at 0, F_cur = 1/2 on [0,3)
+    val ref = Seq(0.0, 0.0, 0.0).toDF("x")
+    val cur = Seq(0.0, 3.0).toDF("x")
+    Drift.wasserstein1(ref, cur, "x").head().getDouble(0) shouldBe 1.5 +- 1e-9
+    // brute check against the equal-size sorted-pairing formula
+    val a = Seq(1.0, 5.0, 9.0, 2.0)
+    val b = Seq(4.0, 0.0, 8.0, 8.0)
+    val brute = a.sorted.zip(b.sorted).map { case (u, v) => math.abs(u - v) }.sum / 4.0
+    Drift.wasserstein1(a.toDF("x"), b.toDF("x"), "x")
+      .head().getDouble(0) shouldBe brute +- 1e-9
+  }
+
+  test("categoricalDrift reproduces the hand chi-square and zeroes on identical mixes") {
+    val ref = (Seq.fill(10)("A") ++ Seq.fill(10)("B")).toDF("c")
+    val cur = Seq.fill(20)("A").toDF("c")
+    val r = Drift.categoricalDrift(ref, cur, "c").head()
+    r.getAs[Long]("n_ref") shouldBe 20L
+    r.getAs[Long]("n_cur") shouldBe 20L
+    r.getAs[Long]("n_categories") shouldBe 2L
+    r.getAs[Long]("dof") shouldBe 1L
+    // cells (10,10)/(20,0): e = 15,5,15,5 -> chi2 = 25/15+25/5+25/15+25/5
+    val chi2 = 25.0 / 15 + 25.0 / 5 + 25.0 / 15 + 25.0 / 5
+    r.getAs[Double]("chi2") shouldBe chi2 +- 1e-9
+    r.getAs[Double]("cramers_v") shouldBe math.sqrt(chi2 / 40.0) +- 1e-9
+    val same = Drift.categoricalDrift(ref, ref, "c").head()
+    same.getAs[Double]("chi2") shouldBe 0.0 +- 1e-12
+    // one-sided category still contributes its expected-count mass
+    val rd = Drift.categoricalDrift(ref,
+      (Seq.fill(10)("A") ++ Seq.fill(10)("C")).toDF("c"), "c").head()
+    rd.getAs[Long]("n_categories") shouldBe 3L
+    rd.getAs[Double]("chi2") shouldBe (10.0 + 10.0) +- 1e-9
+  }
 }
