@@ -1394,6 +1394,39 @@ object OpsQueries {
           round(col("jsd") + lit(5e-10), 6).as("jsd"))
         .orderBy("bin")
     }),
+    "w9_theil_sen" -> ((s, dir) => {
+      // robust daily-traffic trend per event type: median of all
+      // pairwise slopes over the 30-point daily census — quadratic in
+      // CENSUS points (435 pairs/key), never in events
+      val daily = table(s, dir, "events")
+        .filter(col("event_type").isNotNull && col("ts").isNotNull)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).as("day"))
+        .agg(count(lit(1)).cast("double").as("n_events"))
+      TimeSeries.theilSen(daily, "event_type", "day", "n_events")
+        .select(col("event_type"), col("n_points"), col("n_pairs"),
+          round(col("sen_slope") + lit(5e-10), 6).as("sen_slope"))
+        .orderBy("event_type")
+    }),
+    "v10_pr_auc" -> ((s, dir) => {
+      // exact trapezoidal PR-AUC on the v1 score/label pair: every
+      // operating point AND its predecessor are row-local integer
+      // ratios off the same cumsum census — one pass, one final fold
+      val e = table(s, dir, "embeddings")
+      Evaluation.prAuc(
+          e.select(element_at(col("embedding"), 1).as("score"),
+            (col("label") % 2).as("y")), "score", "y")
+        .select(round(col("pr_auc") + lit(5e-10), 6).as("pr_auc"),
+          round(col("baseline") + lit(5e-10), 6).as("baseline"),
+          col("n_pos"), col("n_neg"))
+    }),
+    "x26_pmi_collocations" -> ((s, dir) =>
+      // top-20 glued bigrams by PMI: in-array bigram assembly (zero
+      // shuffle), two token censuses, minCount >= 5 prunes the
+      // rare-pair PMI ceiling, deterministic lexicographic tie-break
+      TextAnalysis.pmiCollocations(docs(s, dir), "text", minCount = 5L, topK = 20)
+        .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+          round(col("pmi") + lit(5e-10), 6).as("pmi"))),
     "q13_wasserstein" -> ((s, dir) => {
       // exact earth-mover drift between returned and accepted lines'
       // price distributions: decimal CDF cross-products over the value
@@ -2383,6 +2416,21 @@ object OpsQueries {
       Graph.adamicAdar(chain.union(band), maxDegree = 64)
         .select(col("id_a"), col("id_b"), col("n_common"),
           round(col("aa_score") + lit(5e-10), 6).as("aa_score"))
+        .orderBy("id_a", "id_b")
+    }),
+    "g9_jaccard_links" -> ((s, dir) => {
+      // normalized link prediction on the g7 graph: wedge census for
+      // the overlap, inclusion-exclusion union off the two UNCAPPED
+      // endpoint degrees, existing edges anti-joined away
+      val ids = docs(s, dir).select(col("doc_id").as("i"))
+      val chain = ids.filter(col("i") % 50 =!= 49)
+        .select(col("i").as("id_a"), (col("i") + 1).as("id_b"))
+      val band = ids.filter(col("i") % 50 < 48)
+        .select(col("i").as("id_a"), (col("i") + 2).as("id_b"))
+      Graph.jaccardScores(chain.union(band), maxDegree = 64)
+        .select(col("id_a"), col("id_b"), col("n_common"),
+          col("deg_a"), col("deg_b"),
+          round(col("jaccard") + lit(5e-10), 6).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
     "g8_hits" -> ((s, dir) => {
@@ -3512,6 +3560,57 @@ object OpsQueries {
         "THEN (C - D)::DOUBLE / sqrt(((n * (n - 1) // 2)::DOUBLE - n1::DOUBLE) * ((n * (n - 1) // 2)::DOUBLE - n2::DOUBLE)) END " +
         "+ 5e-10, 6) AS tau_b " +
         "FROM nf, cd, tx, ty"),
+    "w9_theil_sen" ->
+      // the daily census, the pairwise-slope join, and quantile_cont
+      // (DuckDB's interpolated median == Spark's exact percentile)
+      ("WITH d AS (SELECT event_type, " +
+        "date_diff('day', DATE '1970-01-01', ts::DATE)::DOUBLE AS day, " +
+        "count(*)::DOUBLE AS y FROM events " +
+        "WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2), " +
+        "p AS (SELECT a.event_type, (b.y - a.y) / (b.day - a.day) AS slope " +
+        "FROM d a JOIN d b ON a.event_type = b.event_type AND a.day < b.day), " +
+        "m AS (SELECT event_type, count(*)::BIGINT AS n_pairs, " +
+        "quantile_cont(slope, 0.5) AS sen_slope FROM p GROUP BY 1), " +
+        "c AS (SELECT event_type, count(*)::BIGINT AS n_points FROM d GROUP BY 1) " +
+        "SELECT m.event_type, n_points, n_pairs, " +
+        "round(sen_slope + 5e-10, 6) AS sen_slope " +
+        "FROM m JOIN c USING (event_type) ORDER BY event_type"),
+    "v10_pr_auc" ->
+      // per-distinct-score class counts, both strictly-below cumsums,
+      // each trapezoid term row-local with the same operand order
+      ("WITH s AS (SELECT embedding[1]::DOUBLE AS v, (label % 2)::BIGINT AS y FROM embeddings " +
+        "WHERE embedding[1] IS NOT NULL AND label IS NOT NULL), " +
+        "g AS (SELECT v, sum(CASE WHEN y <> 0 THEN 1 ELSE 0 END)::BIGINT AS np, " +
+        "sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)::BIGINT AS nn FROM s GROUP BY v), " +
+        "t AS (SELECT sum(np)::BIGINT AS p, sum(nn)::BIGINT AS n FROM g), " +
+        "c AS (SELECT np, nn, " +
+        "coalesce(sum(np) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS pb, " +
+        "coalesce(sum(nn) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS nb FROM g), " +
+        "x AS (SELECT np, (p - pb)::DOUBLE AS tp, (n - nb)::DOUBLE AS fp, " +
+        "(p - pb)::DOUBLE - np AS tpp, (n - nb)::DOUBLE - nn AS fpp, p, n FROM c, t), " +
+        "z AS (SELECT sum(np::DOUBLE / p * " +
+        "((tp / (tp + fp)) + (CASE WHEN tpp + fpp > 0 THEN tpp / (tpp + fpp) ELSE 1.0 END)) / 2.0) AS pr_auc " +
+        "FROM x) " +
+        "SELECT round(pr_auc + 5e-10, 6) AS pr_auc, " +
+        "round(p::DOUBLE / (p + n)::DOUBLE + 5e-10, 6) AS baseline, " +
+        "p AS n_pos, n AS n_neg FROM z, t"),
+    "g9_jaccard_links" ->
+      // the g7 wedge census with inclusion-exclusion degrees
+      ("WITH ids AS (SELECT doc_id AS i FROM documents), " +
+        "e AS (SELECT i AS a, i + 1 AS b FROM ids WHERE i % 50 <> 49 " +
+        "UNION ALL SELECT i, i + 2 FROM ids WHERE i % 50 < 48), " +
+        "und AS (SELECT a AS z, b AS n FROM e UNION ALL SELECT b, a FROM e), " +
+        "deg AS (SELECT z, count(*)::BIGINT AS dg FROM und GROUP BY z), " +
+        "hub AS (SELECT und.z, und.n FROM und JOIN deg USING (z) WHERE dg <= 64), " +
+        "pr AS (SELECT l.n AS x, r.n AS y FROM hub l JOIN hub r " +
+        "ON l.z = r.z AND l.n < r.n), " +
+        "sc AS (SELECT x, y, count(*)::BIGINT AS n_common FROM pr GROUP BY x, y), " +
+        "nc AS (SELECT sc.x, sc.y, sc.n_common, da.dg AS deg_a, db.dg AS deg_b " +
+        "FROM sc JOIN deg da ON da.z = sc.x JOIN deg db ON db.z = sc.y " +
+        "WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = sc.x AND e.b = sc.y)) " +
+        "SELECT x AS id_a, y AS id_b, n_common, deg_a, deg_b, " +
+        "round(n_common::DOUBLE / (deg_a + deg_b - n_common)::DOUBLE + 5e-10, 6) AS jaccard " +
+        "FROM nc ORDER BY id_a, id_b"),
     "t24_mantel_haenszel" ->
       // the stratum 2x2 census, the MH sums, and the uncorrected CMH
       // quadratic replayed with the identical operand order
@@ -3644,6 +3743,23 @@ object OpsQueries {
         "(5,'s','t'),(6,'m','er'),(7,'a','t'),(8,'l','u'),(9,'a','r')," +
         "(10,'p','ar'),(11,'j','o'),(12,'jo','in')) " +
         "AS t(\"rank\", \"left\", \"right\") ORDER BY \"rank\""),
+    "x26_pmi_collocations" ->
+      // positional bigram self-join, both censuses, and the identical
+      // left-associative PMI operand order; ties cut lexicographically
+      (s"WITH tk AS (SELECT doc_id, unnest($Toks) AS w, " +
+        s"generate_subscripts($Toks, 1) AS i FROM documents), " +
+        "uni AS (SELECT w, count(*)::BIGINT AS c FROM tk GROUP BY w), " +
+        "tu AS (SELECT CAST(sum(c) AS BIGINT) AS nu FROM uni), " +
+        "bi AS (SELECT l.w AS w1, r.w AS w2 FROM tk l JOIN tk r " +
+        "ON l.doc_id = r.doc_id AND r.i = l.i + 1), " +
+        "tb AS (SELECT count(*)::BIGINT AS nb FROM bi), " +
+        "bg AS (SELECT w1, w2, count(*)::BIGINT AS c_xy FROM bi " +
+        "GROUP BY 1, 2 HAVING count(*) >= 5), " +
+        "sc AS (SELECT w1, w2, c_xy, cu1.c AS c_x, cu2.c AS c_y, " +
+        "ln(c_xy::DOUBLE * nu * nu / (nb::DOUBLE * cu1.c * cu2.c)) AS pmi " +
+        "FROM bg JOIN uni cu1 ON cu1.w = bg.w1 JOIN uni cu2 ON cu2.w = bg.w2, tu, tb) " +
+        "SELECT w1, w2, c_xy, c_x, c_y, round(pmi + 5e-10, 6) AS pmi " +
+        "FROM sc ORDER BY pmi DESC, w1, w2 LIMIT 20"),
     "x16_cms_freq" ->
       // exact top-20 replayed; the two CMS guarantee booleans are stable
       // facts of the seed-deterministic grid, pinned TRUE (verified at

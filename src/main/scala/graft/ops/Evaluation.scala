@@ -78,6 +78,81 @@ object Evaluation {
     } finally { parts.unpersist(); pre.unpersist() }
   }
 
+  /** Exact precision-recall AUC (trapezoidal) — the class-imbalance
+    * companion to [[rocAuc]]: with 0.1% positives, a model can hold
+    * ROC-AUC ≈ 0.99 while drowning every alert in false positives;
+    * the PR curve shows that directly. Operating points are the
+    * distinct score thresholds t (predict positive iff score ≥ t),
+    * anchored at the conventional (R=0, P=1) start; between
+    * consecutive thresholds the trapezoid (R−R_prev)·(P+P_prev)/2.
+    *
+    * Every point is a ratio of exact integers: at threshold v,
+    * TP = P − posBelow(v), FP = N − negBelow(v), and the PREVIOUS
+    * point is row-local too (TP − nPos(v), FP − nNeg(v)) because
+    * posBelow(successor) = posBelow(v) + nPos(v) — so the whole curve
+    * folds in one aggregate, no self-join of consecutive thresholds.
+    *
+    * Scale shape: the [[rocAuc]] construction with both class cumsums —
+    * one (score → nPos, nNeg) census, range-partitioned within-partition
+    * window cumsums stitched with ≤ #partitions driver prefix offsets,
+    * one final 1-row aggregate. Returns ONE row
+    * (pr_auc, baseline, n_pos, n_neg); baseline = P/(P+N) is the
+    * no-skill precision the AUC should be read against. */
+  def prAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val counts = df
+      .select(col(scoreCol).cast(DoubleType).as("v"),
+        col(labelCol).cast("long").as("y"))
+      .filter(col("v").isNotNull && col("y").isNotNull)
+      .groupBy("v").agg(
+        sum(when(col("y") =!= 0L, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("y") === 0L, 1L).otherwise(0L)).as("n_neg"))
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val pre = counts.persist()
+    val parts = pre.repartitionByRange(nParts, col("v"))
+      .sortWithinPartitions("v")
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    try {
+      val subtotals = parts.groupBy("pid")
+        .agg(sum("n_pos").as("tp"), sum("n_neg").as("tn"))
+        .collect().map(r => (r.getAs[Int]("pid"),
+          r.getAs[Long]("tp"), r.getAs[Long]("tn"))).sortBy(_._1)
+      val nPos = subtotals.map(_._2).sum
+      val nNeg = subtotals.map(_._3).sum
+      require(nPos > 0 && nNeg > 0,
+        s"prAuc needs both classes present (pos=$nPos, neg=$nNeg)")
+      val offP = subtotals.scanLeft(0L)(_ + _._2).init
+      val offN = subtotals.scanLeft(0L)(_ + _._3).init
+      val offPMap = map(subtotals.indices.flatMap(i =>
+        Seq(lit(subtotals(i)._1), lit(offP(i)))): _*)
+      val offNMap = map(subtotals.indices.flatMap(i =>
+        Seq(lit(subtotals(i)._1), lit(offN(i)))): _*)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("pid").orderBy("v")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val tp = (lit(nPos) - (sum("n_pos").over(w) +
+        element_at(offPMap, col("pid")) - col("n_pos"))).cast(DoubleType)
+      val fp = (lit(nNeg) - (sum("n_neg").over(w) +
+        element_at(offNMap, col("pid")) - col("n_neg"))).cast(DoubleType)
+      val tpPrev = tp - col("n_pos").cast(DoubleType)
+      val fpPrev = fp - col("n_neg").cast(DoubleType)
+      val prec = tp / (tp + fp)
+      val precPrev = when(tpPrev + fpPrev > 0, tpPrev / (tpPrev + fpPrev))
+        .otherwise(lit(1.0))
+      val auc = parts
+        .withColumn("__term",
+          col("n_pos").cast(DoubleType) / lit(nPos.toDouble) *
+            (prec + precPrev) / lit(2.0))
+        .agg(sum("__term").as("pr_auc"))
+        .head().getDouble(0)
+      import spark.implicits._
+      Seq((auc, nPos.toDouble / (nPos + nNeg).toDouble, nPos, nNeg))
+        .toDF("pr_auc", "baseline", "n_pos", "n_neg")
+    } finally { parts.unpersist(); pre.unpersist() }
+  }
+
   /** Exact NDCG@k per group (ranking quality of a retrieval/reranking
     * stage): DCG@k = Σ_{i=1..k} (2^rel_i − 1) / log2(i + 1) over items
     * ranked by `scoreCol` DESC (ties broken by `idCol` ASC, so the

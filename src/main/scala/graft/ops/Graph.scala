@@ -231,6 +231,46 @@ object Graph {
         col("n_common"), col("aa_score"))
   }
 
+  /** Jaccard link prediction over a canonical (id_a < id_b) undirected
+    * edge set — [[adamicAdar]]'s normalized sibling: for each
+    * non-adjacent pair sharing ≥1 neighbor,
+    * J = |Γ(x) ∩ Γ(y)| / |Γ(x) ∪ Γ(y)|, with the union denominator by
+    * inclusion-exclusion off the two endpoint degrees (so no second
+    * pair-level set materializes). Adamic-Adar weights rare shared
+    * neighbors up; Jaccard asks how much of each node's neighborhood
+    * the overlap covers — the better screen when degree skew itself is
+    * the signal to normalize away.
+    *
+    * Scale shape: the [[adamicAdar]] wedge census (self-join on the
+    * shared neighbor, hub side capped at `maxDegree` so a celebrity
+    * node cannot emit O(deg²) wedges), one anti-join against the edge
+    * set, then two degree joins keyed on the endpoint id. The
+    * ENDPOINT degrees come from the UNCAPPED degree table — the cap
+    * bounds which wedges are counted (documented approximation under
+    * skew, exact when no node exceeds it), never the denominators.
+    * Returns (id_a, id_b, n_common, deg_a, deg_b, jaccard). */
+  def jaccardScores(canonical: DataFrame, maxDegree: Int = Int.MaxValue): DataFrame = {
+    require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
+    val edges = canonical.select(col("id_a").as("a"), col("id_b").as("b"))
+    val und = edges.select(col("a").as("z"), col("b").as("n"))
+      .union(edges.select(col("b").as("z"), col("a").as("n")))
+    val deg = und.groupBy(col("z")).agg(count(lit(1)).as("deg"))
+    val hub = und.join(deg.filter(col("deg") <= maxDegree).select("z"), Seq("z"))
+    val left = hub.select(col("z"), col("n").as("x"))
+    val right = hub.select(col("z"), col("n").as("y"))
+    left.join(right, Seq("z")).filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(edges, col("x") === col("a") && col("y") === col("b"), "left_anti")
+      .join(deg.select(col("z").as("x"), col("deg").as("deg_a")), Seq("x"))
+      .join(deg.select(col("z").as("y"), col("deg").as("deg_b")), Seq("y"))
+      .select(col("x").as("id_a"), col("y").as("id_b"),
+        col("n_common"), col("deg_a"), col("deg_b"),
+        (col("n_common").cast("double") /
+          (col("deg_a") + col("deg_b") - col("n_common")).cast("double"))
+          .as("jaccard"))
+  }
+
   /** Synchronous label propagation over a canonical (id_a < id_b)
     * undirected edge set — the community-detection companion to
     * [[graft.ops.Dedup.connectedComponents]] (components merge

@@ -27,6 +27,53 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Pointwise-mutual-information collocations — the corpus's glued-
+    * together adjacent token pairs ("new york", "machine learning"),
+    * the screen that finds multi-word units before vocabulary
+    * construction and surfaces templated boilerplate n-grams:
+    * PMI(w₁,w₂) = ln( (c₁₂/N_bi) / ((c₁/N_uni)·(c₂/N_uni)) ), with the
+    * bigram count from ADJACENT positions only. Pairs below `minCount`
+    * are noise (a 1-in-a-corpus bigram of two rare words maxes PMI by
+    * construction) and are dropped before scoring; top `topK` by PMI,
+    * ties broken lexicographically so the cut is deterministic.
+    *
+    * Scale shape: bigrams assemble INSIDE the token array (slice-
+    * indexed transform — zero shuffle, no positional self-join), then
+    * two map-side-combined censuses (unigram, bigram); scoring joins
+    * the minCount-pruned bigram census against the unigram census
+    * twice (keyed on token, census-sized), totals ride a 1-row
+    * broadcast, and the top-k is a TakeOrderedAndProject, never a
+    * global sort. Returns (w1, w2, c_xy, c_x, c_y, pmi). */
+  def pmiCollocations(df: DataFrame, textCol: String,
+                      minCount: Long = 5L, topK: Int = 20): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(tokens(col(textCol)).as("__t"))
+    val uni = toks.select(explode(col("__t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bi = toks.filter(size(col("__t")) >= 2)
+      .select(explode(transform(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        (w, i) => struct(w.as("w1"), element_at(col("__t"), i + 2).as("w2"))))
+        .as("__b"))
+      .select(col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+    val totals = uni.agg(sum("c").as("__nu"))
+      .crossJoin(bi.agg(sum("c_xy").as("__nb")))
+    bi.filter(col("c_xy") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("c_x")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi",
+        log(col("c_xy").cast("double") * col("__nu") * col("__nu") /
+          (col("__nb").cast("double") * col("c_x") * col("c_y"))))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        col("pmi"))
+  }
+
   /** Sentence segmentation + length/readability profile in ONE compiled
     * projection (zero shuffle): sentences split on terminal punctuation
     * runs followed by whitespace (`[.!?]+\s+` — the character classes

@@ -239,6 +239,47 @@ object TimeSeries {
         (covN * covN) / (varXN * varYN)).as("r2"))
   }
 
+  /** Theil-Sen robust slope per series key — the median of all pairwise
+    * slopes (y_j − y_i)/(x_j − x_i), the trend estimator that shrugs
+    * off the outlier days OLS [[trend]] gets dragged by (29.3%
+    * breakdown point). Duplicate x within a key collapse to their mean
+    * y first (same-x pairs have undefined slope; the collapse is the
+    * standard treatment and makes the census deterministic).
+    *
+    * Scale shape: ONE map-side-combined (key, x) census over the
+    * corpus, then the pairwise join runs in CENSUS space keyed on the
+    * series key — the t23/kendallTau tiny-cross class, quadratic in
+    * points-per-key, never in rows. `maxPoints` enforces that contract
+    * (a daily census is ~365 points/year → ~66k slope pairs per key);
+    * beyond it, pre-bucket the time axis. The median is the exact
+    * interpolated percentile over each key's slope set — a shuffle
+    * keyed (key), with per-key pair counts bounded by maxPoints²/2.
+    * Returns (key, n_points, n_pairs, sen_slope). */
+  def theilSen(df: DataFrame, keyCol: String, xCol: String, yCol: String,
+               maxPoints: Int = 2048): DataFrame = {
+    require(maxPoints >= 2, s"maxPoints must be >= 2, got $maxPoints")
+    val census = df
+      .filter(col(keyCol).isNotNull && col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(keyCol).as("__k"), col(xCol).cast("double").as("__x"))
+      .agg(avg(col(yCol).cast("double")).as("__y"))
+    val maxN = census.groupBy("__k").agg(count(lit(1)).as("c"))
+      .agg(max("c")).head().getLong(0)
+    require(maxN <= maxPoints,
+      s"theilSen is quadratic in census points per key: got $maxN (> maxPoints " +
+        s"$maxPoints) — bucket the x axis first (e.g. daily → weekly)")
+    val a = census.select(col("__k"), col("__x").as("__x1"), col("__y").as("__y1"))
+    val b = census.select(col("__k"), col("__x").as("__x2"), col("__y").as("__y2"))
+    a.join(b, Seq("__k")).filter(col("__x1") < col("__x2"))
+      .select(col("__k"),
+        ((col("__y2") - col("__y1")) / (col("__x2") - col("__x1"))).as("__slope"))
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("percentile(__slope, 0.5)").as("sen_slope"))
+      .join(census.groupBy("__k").agg(count(lit(1)).as("n_points")), Seq("__k"))
+      .select(col("__k").as(keyCol), col("n_points"), col("n_pairs"),
+        col("sen_slope"))
+  }
+
   /** Inter-arrival gap census per series key over per-entity event
     * streams: gaps are taken WITHIN each (key, entity) stream — the
     * window partitions on (key, entity), which stays wide-parallel

@@ -234,4 +234,29 @@ class EvaluationSpec extends AnyFunSuite with Matchers {
     Evaluation.averagePrecision(tied, "grp", "s", "y", "id")
       .head().getAs[Double]("ap") shouldBe 1.0 +- 1e-15
   }
+
+  test("prAuc matches the hand-computed trapezoid and anchors at (0,1)") {
+    // thresholds desc: .9 -> (R=.5,P=1); .8 -> dR=0; .7 -> (R=1,P=2/3); .6 -> dR=0
+    val df = Seq((0.9, 1L), (0.8, 0L), (0.7, 1L), (0.6, 0L)).toDF("s", "y")
+    val r = Evaluation.prAuc(df.repartition(5), "s", "y").head()
+    r.getAs[Double]("pr_auc") shouldBe (0.5 + 7.0 / 24.0) +- 1e-12
+    r.getAs[Double]("baseline") shouldBe 0.5 +- 1e-15
+    r.getAs[Long]("n_pos") shouldBe 2L
+    r.getAs[Long]("n_neg") shouldBe 2L
+    // perfect separation integrates to 1
+    val perfect = Seq((0.9, 1L), (0.8, 1L), (0.2, 0L), (0.1, 0L)).toDF("s", "y")
+    Evaluation.prAuc(perfect, "s", "y").head()
+      .getAs[Double]("pr_auc") shouldBe 1.0 +- 1e-12
+    an[Exception] should be thrownBy
+      Evaluation.prAuc(Seq((0.5, 1L)).toDF("s", "y"), "s", "y").head()
+  }
+
+  test("prAuc groups tied scores into one operating point") {
+    // one threshold at 0.5 carrying (1 pos, 1 neg), one at 0.3 (1 pos):
+    // point1 (R=.5, P=.5) vs anchor P=1: term = .5*(0.5+1)/2 = .375
+    // point2 (R=1, P=2/3), prev (.5,.5): term = .5*(2/3+.5)/2 = 7/24
+    val df = Seq((0.5, 1L), (0.5, 0L), (0.3, 1L)).toDF("s", "y")
+    Evaluation.prAuc(df, "s", "y").head()
+      .getAs[Double]("pr_auc") shouldBe (0.375 + 7.0 / 24.0) +- 1e-12
+  }
 }

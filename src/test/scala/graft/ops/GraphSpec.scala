@@ -234,4 +234,30 @@ class GraphSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy Graph.hits(star, 0)
     an[IllegalArgumentException] should be thrownBy Graph.hits(star, 11)
   }
+
+  test("jaccardScores: overlap over inclusion-exclusion union, adjacency excluded") {
+    // triangle 1-2-3 plus pendant 3-4: non-adjacent 2-hop pairs are
+    // (1,4) and (2,4), each sharing {3}; deg 1=2, 2=2, 3=3, 4=1
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val got = Graph.jaccardScores(edges.repartition(3))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getAs[Long]("n_common"), r.getAs[Long]("deg_a"),
+         r.getAs[Long]("deg_b"), r.getAs[Double]("jaccard")))).toMap
+    got.keySet shouldBe Set((1L, 4L), (2L, 4L))
+    got((1L, 4L)) shouldBe ((1L, 2L, 1L, 0.5))
+    got((2L, 4L)) shouldBe ((1L, 2L, 1L, 0.5))
+  }
+
+  test("jaccardScores caps wedge centers but keeps endpoint degrees uncapped") {
+    // star center 0 with leaves 1..3: center degree 3 > cap 2 kills all wedges
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("id_a", "id_b")
+    Graph.jaccardScores(star, maxDegree = 2).count() shouldBe 0L
+    // with the cap open, leaf pairs share the center; union = 1+1-1
+    val full = Graph.jaccardScores(star, maxDegree = 64).collect()
+    full.length shouldBe 3
+    full.foreach { r =>
+      r.getAs[Long]("deg_a") shouldBe 1L
+      r.getAs[Double]("jaccard") shouldBe 1.0 +- 1e-15
+    }
+  }
 }

@@ -385,4 +385,32 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     got.map(_._1).distinct shouldBe Seq(1L, 2L)
     got.map(_._4).sum shouldBe 5L
   }
+
+  test("pmiCollocations: census-exact PMI, minCount prune, deterministic cut") {
+    // five "a b" docs push (a,b) past minCount; the lone "a c" stays out
+    val docs = (Seq.fill(5)("a b") :+ "a c").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val rows = TextAnalysis.pmiCollocations(docs, "text", minCount = 5L, topK = 20)
+      .collect()
+    rows.length shouldBe 1
+    val r = rows.head
+    r.getAs[String]("w1") shouldBe "a"
+    r.getAs[String]("w2") shouldBe "b"
+    r.getAs[Long]("c_xy") shouldBe 5L
+    r.getAs[Long]("c_x") shouldBe 6L
+    r.getAs[Long]("c_y") shouldBe 5L
+    // PMI = ln(c_xy * Nu^2 / (Nb * c_x * c_y)) = ln(5*144 / (6*30)) = ln 4
+    r.getAs[Double]("pmi") shouldBe math.log(4.0) +- 1e-12
+  }
+
+  test("pmiCollocations topK cuts on PMI desc with lexicographic ties") {
+    // two bigrams with identical counts and symmetric marginals tie on
+    // PMI; topK = 1 must keep the lexicographically smaller pair
+    val docs = (Seq.fill(5)("x y") ++ Seq.fill(5)("p q")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val rows = TextAnalysis.pmiCollocations(docs, "text", minCount = 5L, topK = 1)
+      .collect()
+    rows.length shouldBe 1
+    rows.head.getAs[String]("w1") shouldBe "p"
+  }
 }

@@ -176,4 +176,29 @@ class TimeSeriesSpec extends AnyFunSuite with Matchers {
     TimeSeries.interArrival(tied, "k", "u", "ts", "id")
       .head().getAs[Double]("min_gap_s") shouldBe 0.0 +- 1e-12
   }
+
+  test("theilSen shrugs off the outlier OLS is dragged by") {
+    val pts = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (4.0, 4.0), (5.0, 100.0))
+      .map { case (x, y) => ("k", x, y) }
+    val df = pts.toDF("k", "x", "y").repartition(3)
+    val sen = TimeSeries.theilSen(df, "k", "x", "y").head()
+    sen.getAs[Long]("n_points") shouldBe 5L
+    sen.getAs[Long]("n_pairs") shouldBe 10L
+    // 6 of 10 pairwise slopes are exactly 1; the median sits on them
+    sen.getAs[Double]("sen_slope") shouldBe 1.0 +- 1e-12
+    val ols = TimeSeries.trend(df, "k", "x", "y").head().getAs[Double]("slope")
+    ols should be > 10.0
+  }
+
+  test("theilSen collapses duplicate x to the mean and enforces maxPoints") {
+    val df = Seq(("k", 1.0, 0.0), ("k", 1.0, 2.0), ("k", 2.0, 3.0)).toDF("k", "x", "y")
+    val r = TimeSeries.theilSen(df, "k", "x", "y").head()
+    r.getAs[Long]("n_points") shouldBe 2L
+    r.getAs[Long]("n_pairs") shouldBe 1L
+    // (3 - mean(0,2)) / (2 - 1) = 2
+    r.getAs[Double]("sen_slope") shouldBe 2.0 +- 1e-12
+    an[IllegalArgumentException] should be thrownBy TimeSeries.theilSen(
+      (1 to 10).map(i => ("k", i.toDouble, 1.0)).toDF("k", "x", "y"),
+      "k", "x", "y", maxPoints = 4).head()
+  }
 }
