@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Association, BloomJoin, Bpe, Clustering, Curation, Dedup, Drift, Encoding, Evaluation, Graph, Histograms, Merge, Multimodal, Packing, Pq, Quality, Sampling, Search, Similarity, TextAnalysis, TimeSeries}
+import graft.ops.{Association, BloomJoin, Bpe, Clustering, Curation, Dedup, Drift, Encoding, Evaluation, Graph, Histograms, Merge, Multimodal, Packing, Pca, Pq, Quality, Sampling, Search, Similarity, TextAnalysis, TimeSeries}
 import graft.streaming.EventPipeline
 import graft.Util.table
 
@@ -1393,6 +1393,45 @@ object OpsQueries {
           round(col("jsd_term") + lit(5e-10), 6).as("jsd_term"),
           round(col("jsd") + lit(5e-10), 6).as("jsd"))
         .orderBy("bin")
+    }),
+    "a30_quantile_bins" -> ((s, dir) =>
+      // equal-frequency quintiles of price: edges from the gated exact
+      // quantile router, attached as LITERALS (the clampToBounds gate),
+      // census in one branch-free aggregate
+      Encoding.quantileBin(
+          table(s, dir, "lineitem").select("l_extendedprice"),
+          "l_extendedprice", k = 5)
+        .select(col("bin"),
+          round(col("lo") + lit(5e-10), 6).as("lo"),
+          round(col("hi") + lit(5e-10), 6).as("hi"),
+          col("n"),
+          round(col("mean_value") + lit(5e-10), 6).as("mean_value"))
+        .orderBy("bin")),
+    "s13_embed_cov" -> ((s, dir) =>
+      // the distributed half of PCA as an oracle-checkable census: the
+      // 64x64 upper-triangle sample covariance off ONE corpus scan
+      // (in-array Gram assembly, zero shuffle beyond the combine)
+      Pca.covFrame(table(s, dir, "embeddings").select("embedding"),
+          "embedding", dim = 64)
+        .select(col("i"), col("j"), col("n"),
+          // + 0.0 normalizes IEEE -0.0 to +0.0 — the near-zero
+          // covariances land on either side of 0 and the two engines'
+          // round() disagree on the zero's SIGN, which the driver's
+          // stringified row sort would scramble
+          (round(col("cov") + lit(5e-10), 6) + lit(0.0)).as("cov"))
+        .orderBy("i", "j")),
+    "s14_pca_variance" -> ((s, dir) => {
+      // eigen spectrum of the s13 covariance: driver Jacobi over the
+      // census (the c3 training class — iterative, spec-pinned; the
+      // corpus-side pass is what s13 hash-checks)
+      val m = Pca.fit(table(s, dir, "embeddings").select("embedding"),
+        "embedding", dim = 64, k = 8)
+      Pca.varianceFrame(s, m)
+        .select(col("component"),
+          round(col("eigenvalue") + lit(5e-10), 6).as("eigenvalue"),
+          round(col("var_ratio") + lit(5e-10), 6).as("var_ratio"),
+          round(col("cum_ratio") + lit(5e-10), 6).as("cum_ratio"))
+        .orderBy("component")
     }),
     "w9_theil_sen" -> ((s, dir) => {
       // robust daily-traffic trend per event type: median of all
@@ -3560,6 +3599,42 @@ object OpsQueries {
         "THEN (C - D)::DOUBLE / sqrt(((n * (n - 1) // 2)::DOUBLE - n1::DOUBLE) * ((n * (n - 1) // 2)::DOUBLE - n2::DOUBLE)) END " +
         "+ 5e-10, 6) AS tau_b " +
         "FROM nf, cd, tx, ty"),
+    "a30_quantile_bins" ->
+      // quantile_cont edges (== Spark's exact percentile), the same
+      // branch-free bin sum, decimal value sums for the means
+      ("WITH e AS (SELECT quantile_cont(l_extendedprice, 0.2) AS e1, " +
+        "quantile_cont(l_extendedprice, 0.4) AS e2, " +
+        "quantile_cont(l_extendedprice, 0.6) AS e3, " +
+        "quantile_cont(l_extendedprice, 0.8) AS e4 " +
+        "FROM lineitem WHERE l_extendedprice IS NOT NULL), " +
+        "b AS (SELECT (CASE WHEN v >= e1 THEN 1 ELSE 0 END + " +
+        "CASE WHEN v >= e2 THEN 1 ELSE 0 END + CASE WHEN v >= e3 THEN 1 ELSE 0 END + " +
+        "CASE WHEN v >= e4 THEN 1 ELSE 0 END)::BIGINT AS bin, v FROM " +
+        "(SELECT l_extendedprice::DOUBLE AS v FROM lineitem " +
+        "WHERE l_extendedprice IS NOT NULL), e), " +
+        "g AS (SELECT bin, count(*)::BIGINT AS n, " +
+        "sum(CAST(v AS DECIMAL(18,6))) AS s FROM b GROUP BY bin) " +
+        "SELECT bin, " +
+        "round(CASE bin WHEN 0 THEN '-infinity'::DOUBLE WHEN 1 THEN e1 " +
+        "WHEN 2 THEN e2 WHEN 3 THEN e3 ELSE e4 END + 5e-10, 6) AS lo, " +
+        "round(CASE bin WHEN 0 THEN e1 WHEN 1 THEN e2 WHEN 2 THEN e3 " +
+        "WHEN 3 THEN e4 ELSE 'infinity'::DOUBLE END + 5e-10, 6) AS hi, " +
+        "n, round(s::DOUBLE / n + 5e-10, 6) AS mean_value " +
+        "FROM g, e ORDER BY bin"),
+    "s13_embed_cov" ->
+      // per-dimension sums + positional product sums via the
+      // subscripted self-join; the same (sij - si*sj/n)/(n-1) algebra
+      ("WITH tk AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, " +
+        "generate_subscripts(embedding, 1) AS i FROM embeddings " +
+        "WHERE embedding IS NOT NULL AND len(embedding) = 64), " +
+        "nn AS (SELECT count(DISTINCT vec_id)::BIGINT AS n FROM tk), " +
+        "s AS (SELECT i, sum(x) AS si FROM tk GROUP BY i), " +
+        "p AS (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sij FROM tk a " +
+        "JOIN tk b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY 1, 2) " +
+        "SELECT (p.i - 1)::BIGINT AS i, (p.j - 1)::BIGINT AS j, n, " +
+        "round((sij - sa.si * sb.si / n) / (n - 1) + 5e-10, 6) + 0.0 AS cov " +
+        "FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j, nn " +
+        "ORDER BY i, j"),
     "w9_theil_sen" ->
       // the daily census, the pairwise-slope join, and quantile_cont
       // (DuckDB's interpolated median == Spark's exact percentile)

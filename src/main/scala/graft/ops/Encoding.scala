@@ -70,4 +70,50 @@ object Encoding {
         log(pGood / pBad).as("woe"),
         ((pGood - pBad) * log(pGood / pBad)).as("iv_term"))
   }
+
+  /** Equal-frequency discretizer: cut `valueCol` at its own k-quantiles
+    * (percentile_cont semantics, interior edges p = 1/k … (k−1)/k) and
+    * report the per-bin census — the binning step in front of WOE/IV
+    * for continuous features, and the robust-histogram profiler for
+    * skewed columns where equal-WIDTH bins put everything in one bar.
+    * Bin i holds edge(i−1) ≤ v < edge(i) (bin 0 open below, bin k−1
+    * open above); a heavily-tied column can leave interior bins empty
+    * (duplicate edges) — those simply don't appear in the census.
+    *
+    * Scale shape: edges come from the MEMORY-GATED exact quantile
+    * router ([[Quantiles.groupedQuantiles]] — the a11/a13 machinery,
+    * sort-aggregate while the column fits a buffer, distributed
+    * order-statistics beyond), collected as k−1 doubles and attached
+    * as LITERALS (the clampToBounds gate: a k-row broadcast join costs
+    * ~10× a literal when-chain — measured, SURVEY §6.4); the census is
+    * then ONE map-side-combined aggregate with branch-free bin
+    * arithmetic an external engine replays. DECIMAL value sums keep
+    * the per-bin means exact. Returns (bin, lo, hi, n, mean_value),
+    * ordered by bin. */
+  def quantileBin(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= 256, s"k must be in [2, 256], got $k")
+    val ps = (1 until k).map(i => (s"__e$i", i.toDouble / k))
+    val edgeRow = Quantiles.groupedQuantiles(
+      df.filter(col(valueCol).isNotNull)
+        .select(lit(1).as("__g"), col(valueCol).cast("double").as("__v")),
+      "__g", "__v", ps).head()
+    val es = (1 until k).map(i => edgeRow.getAs[Double](s"__e$i"))
+    val bin = es.map(e => when(col("__v") >= lit(e), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val lo = es.zipWithIndex.foldLeft(lit(Double.NegativeInfinity)) {
+      case (acc, (e, i)) => when(col("bin") === (i + 1).toLong, lit(e)).otherwise(acc)
+    }
+    val hi = es.zipWithIndex.foldLeft(lit(Double.PositiveInfinity)) {
+      case (acc, (e, i)) => when(col("bin") === i.toLong, lit(e)).otherwise(acc)
+    }
+    df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__v"))
+      .withColumn("bin", bin)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(col("__v").cast("decimal(18,6)")).as("__s"))
+      .select(col("bin"), lo.as("lo"), hi.as("hi"), col("n"),
+        (col("__s").cast("double") / col("n")).as("mean_value"))
+      .orderBy("bin")
+  }
 }

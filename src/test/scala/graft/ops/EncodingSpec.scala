@@ -48,4 +48,31 @@ class EncodingSpec extends AnyFunSuite with Matchers {
     got(0)._5 shouldBe got(1)._5 +- 1e-12
     got(0)._5 should be > 0.0
   }
+
+  test("quantileBin cuts quartiles of 1..8 exactly (percentile_cont edges)") {
+    val df = (1 to 8).map(_.toDouble).toDF("v")
+    val rows = Encoding.quantileBin(df.repartition(3), "v", k = 4).collect()
+    rows.map(_.getLong(0)).toSeq shouldBe Seq(0L, 1L, 2L, 3L)
+    rows.map(_.getAs[Long]("n")).toSeq shouldBe Seq(2L, 2L, 2L, 2L)
+    // interpolated edges: (8-1)*p + 1 -> 2.75, 4.5, 6.25
+    rows(0).getAs[Double]("lo") shouldBe Double.NegativeInfinity
+    rows(0).getAs[Double]("hi") shouldBe 2.75 +- 1e-12
+    rows(1).getAs[Double]("lo") shouldBe 2.75 +- 1e-12
+    rows(2).getAs[Double]("hi") shouldBe 6.25 +- 1e-12
+    rows(3).getAs[Double]("hi") shouldBe Double.PositiveInfinity
+    rows.map(_.getAs[Double]("mean_value")).toSeq shouldBe
+      Seq(1.5, 3.5, 5.5, 7.5)
+  }
+
+  test("quantileBin: a constant column collapses into the top bin; args validated") {
+    val const = Seq.fill(6)(3.0).toDF("v")
+    val rows = Encoding.quantileBin(const, "v", k = 3).collect()
+    // every edge equals 3.0 and v >= edge everywhere: one census row
+    rows.length shouldBe 1
+    rows.head.getLong(0) shouldBe 2L
+    rows.head.getAs[Long]("n") shouldBe 6L
+    rows.head.getAs[Double]("mean_value") shouldBe 3.0 +- 1e-12
+    an[IllegalArgumentException] should be thrownBy
+      Encoding.quantileBin(const, "v", k = 1)
+  }
 }
