@@ -1433,6 +1433,49 @@ object OpsQueries {
           round(col("cum_ratio") + lit(5e-10), 6).as("cum_ratio"))
         .orderBy("component")
     }),
+    "s15_sq8_topk" -> ((s, dir) => {
+      // scalar-quantized ANN: per-dim min/max census (nothing
+      // iterative, so the ORACLE re-derives model AND codes AND
+      // scores), floor-256 codes (no half-point tie for two engines
+      // to disagree on), mid-rise ADC dot product, TakeOrdered top-10
+      val emb = table(s, dir, "embeddings")
+      val model = Pq.sqTrain(emb, "embedding", dim = 64)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      Pq.sqSearch(Pq.sqEncode(emb, "vec_id", "embedding", model),
+          "vec_id", "codes", q, model, k = 10)
+        .select(col("vec_id"), round(col("score") + lit(5e-10), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
+    "p18_neyman_allocation" -> ((s, dir) =>
+      // variance-optimal eval-budget split across priority strata:
+      // decimal power-sum census, N_h*S_h shares, largest-remainder
+      // rounding so the allocations sum to the budget EXACTLY
+      Sampling.neymanAllocation(
+          table(s, dir, "orders").select("o_orderpriority", "o_totalprice"),
+          "o_orderpriority", "o_totalprice", budget = 1000L)
+        .select(col("stratum"), col("n"),
+          round(col("sd") + lit(5e-10), 6).as("sd"),
+          round(col("share") + lit(5e-10), 6).as("share"), col("n_alloc"))
+        .orderBy("stratum")),
+    "w10_rolling_median" -> ((s, dir) => {
+      // 7-day rolling median of daily traffic per type: the robust
+      // anomaly baseline; the window orders the 30-row daily CENSUS
+      // per type, never events
+      val daily = table(s, dir, "events")
+        .filter(col("event_type").isNotNull && col("ts").isNotNull)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).as("day"))
+        .agg(count(lit(1)).cast("double").as("n_events"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+      daily.withColumn("med7", expr("percentile(n_events, 0.5)").over(w))
+        .select(col("event_type"), col("day"),
+          col("n_events").cast("long").as("n_events"),
+          round(col("med7") + lit(5e-10), 6).as("med7"))
+        .orderBy("event_type", "day")
+    }),
     "w9_theil_sen" -> ((s, dir) => {
       // robust daily-traffic trend per event type: median of all
       // pairwise slopes over the 30-point daily census — quadratic in
@@ -3635,6 +3678,53 @@ object OpsQueries {
         "round((sij - sa.si * sb.si / n) / (n - 1) + 5e-10, 6) + 0.0 AS cov " +
         "FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j, nn " +
         "ORDER BY i, j"),
+    "s15_sq8_topk" ->
+      // model, codes, and ADC scores all re-derived from scratch: the
+      // min/max census, the same floor-256 clamp, the same mid-rise
+      // reconstruction inside the dot product
+      ("WITH tk AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, " +
+        "generate_subscripts(embedding, 1) AS i FROM embeddings " +
+        "WHERE embedding IS NOT NULL AND len(embedding) = 64), " +
+        "m AS (SELECT i, min(x) AS lo, max(x) AS hi FROM tk GROUP BY i), " +
+        "q AS (SELECT i, x AS qx FROM tk WHERE vec_id = 0), " +
+        "cd AS (SELECT t.vec_id, t.i, CASE WHEN hi - lo > 0 " +
+        "THEN least(255.0, floor((t.x - lo) * 256.0 / (hi - lo))) ELSE 0.0 END AS c, " +
+        "lo, hi FROM tk t JOIN m USING (i)), " +
+        "sc AS (SELECT vec_id, sum(qx * (lo + (c + 0.5) * (hi - lo) / 256.0)) AS score " +
+        "FROM cd JOIN q USING (i) GROUP BY vec_id) " +
+        "SELECT vec_id, round(score + 5e-10, 6) AS score FROM sc " +
+        "ORDER BY score DESC, vec_id LIMIT 10"),
+    "p18_neyman_allocation" ->
+      // decimal census, the same sd/share algebra, and the same
+      // largest-remainder walk (frac desc, stratum tie-break)
+      ("WITH c AS (SELECT o_orderpriority AS stratum, count(*)::BIGINT AS n, " +
+        "sum(CAST(o_totalprice AS DECIMAL(18,6))) AS sx, " +
+        "sum(CAST(o_totalprice AS DECIMAL(28,6)) * CAST(o_totalprice AS DECIMAL(28,6))) AS sxx " +
+        "FROM orders WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL GROUP BY 1), " +
+        "d AS (SELECT stratum, n, CASE WHEN n >= 2 THEN " +
+        "sqrt((sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE) / (n::DOUBLE - 1.0)) " +
+        "ELSE 0.0 END AS sd FROM c), " +
+        "e AS (SELECT *, n::DOUBLE * sd AS m, sum(n::DOUBLE * sd) OVER () AS tm, " +
+        "sum(n) OVER () AS tn FROM d), " +
+        "f AS (SELECT stratum, n, sd, CASE WHEN tm > 0 THEN m / tm " +
+        "ELSE n::DOUBLE / tn END AS share FROM e), " +
+        "g AS (SELECT *, 1000.0 * share AS ex, floor(1000.0 * share)::BIGINT AS base FROM f), " +
+        "h AS (SELECT *, ex - base AS frac, 1000 - sum(base) OVER () AS short, " +
+        "row_number() OVER (ORDER BY ex - base DESC, stratum) AS rn FROM g) " +
+        "SELECT stratum, n, round(sd + 5e-10, 6) AS sd, " +
+        "round(share + 5e-10, 6) AS share, " +
+        "(base + CASE WHEN rn <= short THEN 1 ELSE 0 END)::BIGINT AS n_alloc " +
+        "FROM h ORDER BY stratum"),
+    "w10_rolling_median" ->
+      // the same daily census with a framed quantile_cont window
+      ("WITH d AS (SELECT event_type, " +
+        "date_diff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS day, " +
+        "count(*)::DOUBLE AS y FROM events " +
+        "WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2) " +
+        "SELECT event_type, day, y::BIGINT AS n_events, " +
+        "round(quantile_cont(y, 0.5) OVER (PARTITION BY event_type ORDER BY day " +
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) + 5e-10, 6) AS med7 " +
+        "FROM d ORDER BY event_type, day"),
     "w9_theil_sen" ->
       // the daily census, the pairwise-slope join, and quantile_cont
       // (DuckDB's interpolated median == Spark's exact percentile)

@@ -161,6 +161,24 @@ object SparkEntry {
           round(col("survival") + lit(5e-10), 6).as("survival"))
         .orderBy("g", "t")),
 
+    "t26_nelson_aalen" -> ((s, dir) =>
+      // cumulative hazard over the t14 subjects frame: the same census
+      // + at-risk windows, a d/n running sum instead of the product
+      // limit (no absorbing zero — a d = n terminal adds a finite step)
+      graft.ops.Survival.nelsonAalen(
+          table(s, dir, "lineitem")
+            .join(table(s, dir, "orders"),
+              col("l_orderkey") === col("o_orderkey"))
+            .select(datediff(col("l_shipdate"), col("o_orderdate"))
+              .cast("double").as("dur"),
+              (col("l_returnflag") === "R").cast("int").as("ev"),
+              col("l_linestatus").as("g")),
+          "g", "dur", "ev")
+        .select(col("g"), col("t"), col("n_risk"), col("n_event"),
+          col("n_censor"),
+          round(col("cum_hazard") + lit(5e-10), 6).as("cum_hazard"))
+        .orderBy("g", "t")),
+
     "t15_logrank" -> ((s, dir) =>
       // two-group log-rank z over the same subjects frame
       graft.ops.Survival.logRank(
@@ -943,6 +961,22 @@ object SparkEntry {
         "SELECT g, t, n_risk, d AS n_event, c AS n_censor, " +
         "round(CASE WHEN dead > 0 THEN 0.0 ELSE sv END + 5e-10, 6) AS survival " +
         "FROM s ORDER BY g, t"),
+    "t26_nelson_aalen" ->
+      // the t14 census + at-risk windows with the d/n running sum
+      ("WITH src AS (SELECT date_diff('day', o_orderdate::DATE, l_shipdate::DATE)::DOUBLE AS t, " +
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ev, l_linestatus AS g " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
+        "cen AS (SELECT g, t, sum(ev)::BIGINT AS d, sum(1 - ev)::BIGINT AS c " +
+        "FROM src GROUP BY 1, 2), " +
+        "w AS (SELECT g, t, d, c, sum(d + c) OVER (PARTITION BY g)::BIGINT AS ng, " +
+        "coalesce(sum(d + c) OVER (PARTITION BY g ORDER BY t " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cb FROM cen), " +
+        "h AS (SELECT g, t, d, c, ng - cb AS n_risk, " +
+        "sum(CASE WHEN d > 0 THEN d::DOUBLE / (ng - cb)::DOUBLE ELSE 0.0 END) " +
+        "OVER (PARTITION BY g ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ch " +
+        "FROM w) " +
+        "SELECT g, t, n_risk, d AS n_event, c AS n_censor, " +
+        "round(ch + 5e-10, 6) AS cum_hazard FROM h ORDER BY g, t"),
     "t15_logrank" ->
       // completed (group x pooled time) grid, then the expectation walk
       ("WITH src AS (SELECT date_diff('day', o_orderdate::DATE, l_shipdate::DATE)::DOUBLE AS t, " +

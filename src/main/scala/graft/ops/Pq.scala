@@ -251,4 +251,82 @@ object Pq {
       .agg(count(lit(1)).as("n"),
         avg(HashFunctions.pqQuantizationError(
           col(vecCol).cast("array<double>"), codebooks)).as("mse"))
+
+  // ---- scalar quantization (SQ8) -------------------------------------
+
+  /** Per-dimension quantization range for [[sqEncode]]. */
+  final case class SqModel(lo: Seq[Double], hi: Seq[Double])
+
+  /** Train SQ8: the per-dimension [min, max] census — PQ's cheap
+    * sibling (4× compression at dim doubles → dim bytes, no codebook
+    * training, no Lloyd rounds) and the first thing to try before
+    * paying for PQ: at 100 TB the difference is one min/max scan vs
+    * m×iters Lloyd scans. Unlike [[fit]] there is nothing iterative
+    * here, so the trained ranges are externally re-derivable — the
+    * s15 oracle recomputes model AND codes AND scores from scratch.
+    *
+    * Scale shape: one posexplode feeding a map-side-combined 64-key
+    * aggregate (the shuffle carries dim rows per mapper), then a
+    * dim-row collect — codebook-sized, the [[distanceTable]] license. */
+  def sqTrain(corpus: DataFrame, vecCol: String, dim: Int): SqModel = {
+    require(dim >= 1 && dim <= 4096, s"dim must be in [1, 4096], got $dim")
+    val vd = col(vecCol).cast("array<double>")
+    val perDim = corpus.filter(vd.isNotNull && size(vd) === dim)
+      .select(posexplode(vd).as(Seq("__i", "__x")))
+      .groupBy("__i").agg(min("__x").as("__lo"), max("__x").as("__hi"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(perDim.length == dim,
+      s"sqTrain saw ${perDim.length} dimensions, expected $dim (empty corpus?)")
+    SqModel(perDim.map(_._2).toSeq, perDim.map(_._3).toSeq)
+  }
+
+  /** SQ8 encode: code_i = min(255, ⌊(x_i − lo_i)·256/(hi_i − lo_i)⌋),
+    * 0 on a degenerate (constant) dimension. Floor-of-256 rather than
+    * round-of-255 deliberately: floor has no half-point tie for two
+    * engines to disagree on, so every code is an exact integer fact of
+    * the data. One zero-shuffle projection pass against literal range
+    * arrays (the clampToBounds literal-attach gate). */
+  def sqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               model: SqModel): DataFrame = {
+    val dim = model.lo.size
+    val loLit = lit(model.lo.toArray)
+    val spanLit = lit(model.lo.indices.map(i => model.hi(i) - model.lo(i)).toArray)
+    val vd = col(vecCol).cast("array<double>")
+    corpus
+      .filter(vd.isNotNull && size(vd) === dim)
+      .select(col(idCol),
+        transform(vd, (x, i) => {
+          val lo = element_at(loLit, i + 1)
+          val span = element_at(spanLit, i + 1)
+          when(span > 0,
+            least(lit(255.0), floor((x - lo) * lit(256.0) / span)))
+            .otherwise(lit(0.0)).cast("int")
+        }).as("codes"))
+  }
+
+  /** SQ8 asymmetric search: score every encoded row against one query
+    * by the mid-rise reconstruction dot product
+    * Σ q_i·(lo_i + (code_i + 0.5)·span_i/256), then TakeOrdered
+    * (score DESC, id ASC — deterministic under ties). The per-row work
+    * is a dim-length compiled array fold against literal arrays; the
+    * top-k never sorts the corpus. Returns (idCol, score). */
+  def sqSearch(encoded: DataFrame, idCol: String, codesCol: String,
+               query: Seq[Double], model: SqModel, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val dim = model.lo.size
+    require(query.size == dim, s"query dim ${query.size} != $dim")
+    val loLit = lit(model.lo.toArray)
+    val spanLit = lit(model.lo.indices.map(i => model.hi(i) - model.lo(i)).toArray)
+    val qLit = lit(query.toArray)
+    val xhat = transform(col(codesCol), (c, i) =>
+      element_at(qLit, i + 1) *
+        (element_at(loLit, i + 1) + (c.cast("double") + lit(0.5)) *
+          element_at(spanLit, i + 1) / lit(256.0)))
+    encoded
+      .withColumn("score", aggregate(xhat, lit(0.0), (s, x) => s + x))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
 }

@@ -639,4 +639,54 @@ object Sampling {
       .select(lit(b).as("b"), col("n"), col("point_mean"),
         col("ci_lo"), col("ci_hi"))
   }
+
+  /** Neyman-optimal stratified sample allocation: spend a `budget` of
+    * draws across strata proportionally to N_h·S_h (stratum size times
+    * its value's sample standard deviation) — the allocation that
+    * minimizes the stratified-mean variance for a fixed budget, and
+    * the principled answer to "how many rows from each source should
+    * the eval sample take?". Degenerate inputs fall back to
+    * proportional allocation (all strata constant → S_h = 0 for every
+    * h). Integer allocations use the largest-remainder method (floor
+    * each, then +1 to the largest fractional parts, ties to the
+    * lexicographically smaller stratum), so Σ n_alloc == budget
+    * EXACTLY and every step replays externally.
+    *
+    * Scale shape: ONE map-side-combinable census aggregate over the
+    * corpus (count + decimal power sums per stratum — the a26
+    * exactness discipline), then three windows over the ≤|strata|-row
+    * census. Returns (stratum, n, sd, share, n_alloc), the feed for
+    * [[lehmerStratifiedTake]]'s per-stratum take counts. */
+  def neymanAllocation(df: DataFrame, strataCol: String, valueCol: String,
+                       budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val x = col(valueCol).cast("decimal(18,6)")
+    val census = df
+      .filter(col(strataCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(strataCol).cast("string").as("stratum"))
+      .agg(count(lit(1)).as("n"), sum(x).as("__sx"), sum(x * x).as("__sxx"))
+    val nd = col("n").cast("double")
+    val sd = when(col("n") >= 2,
+      sqrt((col("__sxx").cast("double") -
+        col("__sx").cast("double") * col("__sx").cast("double") / nd) /
+        (nd - 1.0))).otherwise(lit(0.0))
+    val tot = Window.partitionBy()
+    val byFrac = Window.orderBy(col("__frac").desc, col("stratum"))
+    census
+      .withColumn("sd", sd)
+      .withColumn("__m", nd * col("sd"))
+      .withColumn("__tm", sum("__m").over(tot))
+      .withColumn("__tn", sum("n").over(tot))
+      .withColumn("share",
+        when(col("__tm") > 0, col("__m") / col("__tm"))
+          .otherwise(nd / col("__tn")))
+      .withColumn("__exact", lit(budget.toDouble) * col("share"))
+      .withColumn("__base", floor(col("__exact")).cast("long"))
+      .withColumn("__frac", col("__exact") - col("__base").cast("double"))
+      .withColumn("__short", lit(budget) - sum("__base").over(tot))
+      .withColumn("n_alloc",
+        col("__base") + when(row_number().over(byFrac) <= col("__short"), 1L)
+          .otherwise(0L))
+      .select(col("stratum"), col("n"), col("sd"), col("share"), col("n_alloc"))
+  }
 }

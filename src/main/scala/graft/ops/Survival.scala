@@ -79,6 +79,29 @@ object Survival {
         col("d").as("n_event"), col("c").as("n_censor"), col("survival"))
   }
 
+  /** Nelson-Aalen cumulative hazard per group — the hazard-scale
+    * companion to [[kaplanMeier]]: H(t) = Σ_{event times ≤ t} d/n.
+    * Preferred over −ln S(t) for small risk sets (it has no absorbing
+    * zero: a d = n terminal event adds a finite d/n = 1 step), and its
+    * increments ARE the discrete hazard — the retention-curve slope
+    * readout. Same census discipline as the KM curve: the subjects
+    * frame executes once into the (group, time) census; the cumulative
+    * sum windows order census rows only. Returns one row per (group,
+    * distinct time): (group, t, n_risk, n_event, n_censor,
+    * cum_hazard). */
+  def nelsonAalen(df: DataFrame, groupCol: String, durationCol: String,
+                  eventCol: String): DataFrame = {
+    val byT = Window.partitionBy(col("g")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    atRisk(subjectCensus(df, groupCol, durationCol, eventCol), complete = false)
+      .withColumn("__h", when(col("d") > 0,
+        col("d").cast("double") / col("n_risk").cast("double"))
+        .otherwise(lit(0.0)))
+      .withColumn("cum_hazard", sum(col("__h")).over(byT))
+      .select(col("g").as(groupCol), col("t"), col("n_risk"),
+        col("d").as("n_event"), col("c").as("n_censor"), col("cum_hazard"))
+  }
+
   /** Two-group log-rank test. At each pooled event time:
     * E_lo += d·n_lo/n, V += d·(n_lo/n)·(1 − n_lo/n)·(n − d)/(n − 1);
     * z = (O_lo − E_lo)/√V, chi2 = z². Returns one row: (group_lo,

@@ -140,4 +140,31 @@ class PqSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy
       Pq.distanceTable(Seq(1.0), cb)
   }
+
+  test("SQ8: min/max model, floor-256 codes with clamp, degenerate dims code 0") {
+    val df = Seq((0L, Seq(0.0f, 0.0f, 7.0f)), (1L, Seq(1.0f, 10.0f, 7.0f)),
+      (2L, Seq(2.0f, 20.0f, 7.0f))).toDF("id", "v")
+    val m = Pq.sqTrain(df, "v", dim = 3)
+    m.lo shouldBe Seq(0.0, 0.0, 7.0)
+    m.hi shouldBe Seq(2.0, 20.0, 7.0)
+    val codes = Pq.sqEncode(df, "id", "v", m).orderBy("id")
+      .collect().map(_.getAs[scala.collection.Seq[Int]]("codes"))
+    codes(0).toSeq shouldBe Seq(0, 0, 0)
+    codes(1).toSeq shouldBe Seq(128, 128, 0)  // midpoints land on 128
+    codes(2).toSeq shouldBe Seq(255, 255, 0)  // x = hi clamps from 256
+  }
+
+  test("SQ8 search scores by the mid-rise reconstruction, deterministic ties") {
+    val df = Seq((0L, Seq(0.0f, 0.0f)), (1L, Seq(1.0f, 10.0f)),
+      (2L, Seq(2.0f, 20.0f))).toDF("id", "v")
+    val m = Pq.sqTrain(df, "v", dim = 2)
+    val got = Pq.sqSearch(Pq.sqEncode(df, "id", "v", m), "id", "codes",
+      Seq(1.0, 1.0), m, k = 3).collect()
+    // xhat(id) = ((c0+.5)*2/256, (c1+.5)*20/256); score = sum of both
+    def score(c0: Int, c1: Int): Double =
+      1.0 * (0.0 + (c0 + 0.5) * 2.0 / 256.0) + 1.0 * (0.0 + (c1 + 0.5) * 20.0 / 256.0)
+    got.map(r => (r.getLong(0), r.getDouble(1))).toSeq shouldBe Seq(
+      (2L, score(255, 255)), (1L, score(128, 128)), (0L, score(0, 0)))
+    got.head.getDouble(1) should be > got.last.getDouble(1)
+  }
 }

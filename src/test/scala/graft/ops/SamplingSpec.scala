@@ -388,4 +388,30 @@ class SamplingSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy
       Sampling.stratifiedFolds(df, "s", "id", 1)
   }
+
+  test("neymanAllocation: budget follows N_h*S_h; constant strata get nothing") {
+    val a = Seq.fill(3)(Seq(0.0, 10.0)).flatten.map(("A", _))
+    val b = Seq.fill(4)(("B", 5.0))
+    val got = Sampling.neymanAllocation((a ++ b).toDF("s", "x"), "s", "x", budget = 10L)
+      .orderBy("stratum").collect()
+    got.map(_.getString(0)).toSeq shouldBe Seq("A", "B")
+    got(0).getAs[Double]("sd") shouldBe math.sqrt(30.0) +- 1e-9
+    got(1).getAs[Double]("sd") shouldBe 0.0 +- 1e-12
+    got(0).getAs[Long]("n_alloc") shouldBe 10L
+    got(1).getAs[Long]("n_alloc") shouldBe 0L
+  }
+
+  test("neymanAllocation: all-constant falls back to proportional; remainder is deterministic") {
+    val df = (Seq.fill(6)(("A", 1.0)) ++ Seq.fill(4)(("B", 1.0))).toDF("s", "x")
+    val got = Sampling.neymanAllocation(df, "s", "x", budget = 5L)
+      .orderBy("stratum").collect()
+    got.map(_.getAs[Long]("n_alloc")).toSeq shouldBe Seq(3L, 2L)
+    // three equal strata, budget 10: 3.33 each, the +1 goes to the
+    // lexicographically smallest stratum
+    val eq = Seq(("a", 1.0), ("b", 1.0), ("c", 1.0)).toDF("s", "x")
+    val alloc = Sampling.neymanAllocation(eq, "s", "x", budget = 10L)
+      .orderBy("stratum").collect().map(r => r.getString(0) -> r.getAs[Long]("n_alloc"))
+    alloc.toSeq shouldBe Seq("a" -> 4L, "b" -> 3L, "c" -> 3L)
+    alloc.map(_._2).sum shouldBe 10L
+  }
 }

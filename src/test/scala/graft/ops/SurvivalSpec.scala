@@ -64,4 +64,22 @@ class SurvivalSpec extends AnyFunSuite with Matchers {
       .orderBy("g", "t").collect().map(_.toSeq).toSeq
     many shouldBe one
   }
+
+  test("nelsonAalen: d/n running sum, censoring thins the risk set, no absorbing zero") {
+    // one group: event@1, censor@2, two events@3 (d = n at the end)
+    val df = Seq((1.0, 1), (2.0, 0), (3.0, 1), (3.0, 1)).map { case (t, e) => ("g", t, e) }
+      .toDF("grp", "dur", "ev")
+    val rows = Survival.nelsonAalen(df.repartition(3), "grp", "dur", "ev")
+      .orderBy("t").collect()
+    rows.map(_.getAs[Long]("n_risk")).toSeq shouldBe Seq(4L, 3L, 2L)
+    rows.map(_.getAs[Long]("n_event")).toSeq shouldBe Seq(1L, 0L, 2L)
+    val h = rows.map(_.getAs[Double]("cum_hazard"))
+    h(0) shouldBe 0.25 +- 1e-12
+    h(1) shouldBe 0.25 +- 1e-12       // censor-only time adds nothing
+    h(2) shouldBe 1.25 +- 1e-12       // terminal d = n adds the finite d/n = 1
+    // KM at the same terminal time is the absorbing zero — the two
+    // estimators diverge exactly where NA is preferred
+    Survival.kaplanMeier(df, "grp", "dur", "ev").orderBy("t").collect()
+      .last.getAs[Double]("survival") shouldBe 0.0 +- 1e-12
+  }
 }
