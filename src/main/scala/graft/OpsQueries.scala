@@ -643,6 +643,45 @@ object OpsQueries {
           round(col("risk_diff") + lit(5e-10), 6).as("risk_diff"),
           round(col("rd_lo") + lit(5e-10), 6).as("rd_lo"),
           round(col("rd_hi") + lit(5e-10), 6).as("rd_hi"))),
+    "t27_welch_t" -> ((s, dir) =>
+      // unequal-variance mean comparison of order value between the two
+      // order statuses that survive filtering: decimal census, Welch-
+      // Satterthwaite dof in-plan, p-value left to the scipy specs
+      Association.welchT(
+          table(s, dir, "orders")
+            .filter(col("o_orderstatus").isin("F", "O"))
+            .select("o_orderstatus", "o_totalprice"),
+          "o_orderstatus", "o_totalprice")
+        .select(col("group_a"), col("group_b"), col("n_groups"),
+          col("n_a"), col("n_b"),
+          round(col("mean_a") + lit(5e-10), 6).as("mean_a"),
+          round(col("mean_b") + lit(5e-10), 6).as("mean_b"),
+          round(col("t_stat") + lit(5e-10), 6).as("t_stat"),
+          round(col("dof") + lit(5e-10), 6).as("dof"))),
+    "t28_paired_t" -> ((s, dir) =>
+      // before/after the discount, per line: the pairing removes the
+      // between-line price variance; differences fold as decimals
+      Association.pairedT(
+          table(s, dir, "lineitem")
+            .select(col("l_extendedprice").as("pre"),
+              (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("post")),
+          "pre", "post")
+        .select(col("n"),
+          round(col("mean_diff") + lit(5e-10), 6).as("mean_diff"),
+          round(col("sd_diff") + lit(5e-10), 6).as("sd_diff"),
+          round(col("t_stat") + lit(5e-10), 6).as("t_stat"), col("dof"))),
+    "g10_assortativity" -> ((s, dir) => {
+      // hub-mixing of the g7 chain+band graph: exact decimal degree
+      // power sums over both edge directions, one double correlation
+      val ids = docs(s, dir).select(col("doc_id").as("i"))
+      val chain = ids.filter(col("i") % 50 =!= 49)
+        .select(col("i").as("id_a"), (col("i") + 1).as("id_b"))
+      val band = ids.filter(col("i") % 50 < 48)
+        .select(col("i").as("id_a"), (col("i") + 2).as("id_b"))
+      Graph.assortativity(chain.union(band))
+        .select(col("n_edges"),
+          round(col("r_assortativity") + lit(5e-10), 6).as("r_assortativity"))
+    }),
     "a29_partial_corr" -> ((s, dir) =>
       // is the price~quantity correlation just the discount channel?
       // nine decimal power sums in ONE aggregate; the double algebra
@@ -3823,6 +3862,65 @@ object OpsQueries {
         "round(CASE WHEN n1 > 0 AND n0 > 0 THEN p1 - p0 - z * serd END + 5e-10, 6) AS rd_lo, " +
         "round(CASE WHEN n1 > 0 AND n0 > 0 THEN p1 - p0 + z * serd END + 5e-10, 6) AS rd_hi " +
         "FROM y"),
+    "t27_welch_t" ->
+      // the 2-row decimal census, then the same Welch algebra with
+      // every operand double-cast in the same positions
+      ("WITH c AS (SELECT o_orderstatus AS g, count(*)::BIGINT AS n, " +
+        "sum(CAST(o_totalprice AS DECIMAL(18,6))) AS sx, " +
+        "sum(CAST(o_totalprice AS DECIMAL(28,6)) * CAST(o_totalprice AS DECIMAL(28,6))) AS sxx " +
+        "FROM orders WHERE o_orderstatus IN ('F','O') AND o_totalprice IS NOT NULL GROUP BY 1), " +
+        "w AS (SELECT min(g) AS ga, max(g) AS gb, count(DISTINCT g)::BIGINT AS k FROM c), " +
+        "p AS (SELECT w.ga AS group_a, w.gb AS group_b, k AS n_groups, " +
+        "a.n AS n_a, b.n AS n_b, a.sx AS sxa, a.sxx AS sxxa, b.sx AS sxb, b.sxx AS sxxb " +
+        "FROM w JOIN c a ON a.g = w.ga JOIN c b ON b.g = w.gb), " +
+        "q AS (SELECT *, sxa::DOUBLE / n_a::DOUBLE AS ma, sxb::DOUBLE / n_b::DOUBLE AS mb, " +
+        "(sxxa::DOUBLE - sxa::DOUBLE * sxa::DOUBLE / n_a::DOUBLE) / (n_a::DOUBLE - 1.0) AS va, " +
+        "(sxxb::DOUBLE - sxb::DOUBLE * sxb::DOUBLE / n_b::DOUBLE) / (n_b::DOUBLE - 1.0) AS vb FROM p), " +
+        "z AS (SELECT *, va / n_a::DOUBLE + vb / n_b::DOUBLE AS se2, " +
+        "n_groups = 2 AND n_a >= 2 AND n_b >= 2 AS ok FROM q) " +
+        "SELECT group_a, group_b, n_groups, n_a, n_b, " +
+        "round(ma + 5e-10, 6) AS mean_a, round(mb + 5e-10, 6) AS mean_b, " +
+        "round(CASE WHEN ok AND se2 > 0 THEN (ma - mb) / sqrt(se2) END + 5e-10, 6) AS t_stat, " +
+        "round(CASE WHEN ok AND se2 > 0 THEN se2 * se2 / " +
+        "((va / n_a::DOUBLE) * (va / n_a::DOUBLE) / (n_a::DOUBLE - 1.0) + " +
+        "(vb / n_b::DOUBLE) * (vb / n_b::DOUBLE) / (n_b::DOUBLE - 1.0)) END + 5e-10, 6) AS dof " +
+        "FROM z"),
+    "t28_paired_t" ->
+      // exact decimal difference sums, the same one-sample algebra
+      ("WITH s AS (SELECT count(*)::BIGINT AS n, " +
+        "sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)) - " +
+        "CAST(l_extendedprice AS DECIMAL(18,6))) AS sd, " +
+        "sum((CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6)) - " +
+        "CAST(l_extendedprice AS DECIMAL(28,6))) * " +
+        "(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6)) - " +
+        "CAST(l_extendedprice AS DECIMAL(28,6)))) AS sdd " +
+        "FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL), " +
+        "q AS (SELECT n, sd::DOUBLE / n::DOUBLE AS md, " +
+        "(sdd::DOUBLE - sd::DOUBLE * sd::DOUBLE / n::DOUBLE) / (n::DOUBLE - 1.0) AS vd FROM s) " +
+        "SELECT n, round(md + 5e-10, 6) AS mean_diff, " +
+        "round(CASE WHEN n >= 2 AND vd >= 0 THEN sqrt(vd) END + 5e-10, 6) AS sd_diff, " +
+        "round(CASE WHEN n >= 2 AND vd > 0 THEN md / (sqrt(vd) / sqrt(n::DOUBLE)) END + 5e-10, 6) AS t_stat, " +
+        "CASE WHEN n >= 2 THEN (n - 1)::BIGINT END AS dof FROM q"),
+    "g10_assortativity" ->
+      // degree census on both directions, HUGEINT power sums, one
+      // double correlation with the identical operand order
+      ("WITH ids AS (SELECT doc_id AS i FROM documents), " +
+        "e AS (SELECT i AS a, i + 1 AS b FROM ids WHERE i % 50 <> 49 " +
+        "UNION ALL SELECT i, i + 2 FROM ids WHERE i % 50 < 48), " +
+        "und AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e), " +
+        "deg AS (SELECT u AS z, count(*)::BIGINT AS dg FROM und GROUP BY u), " +
+        "j AS (SELECT du.dg AS du, dv.dg AS dv FROM und " +
+        "JOIN deg du ON du.z = und.u JOIN deg dv ON dv.z = und.v), " +
+        "s AS (SELECT count(*)::BIGINT AS m, sum(du::HUGEINT) AS sx, sum(dv::HUGEINT) AS sy, " +
+        "sum(du::HUGEINT * dv) AS sxy, sum(du::HUGEINT * du) AS sxx, " +
+        "sum(dv::HUGEINT * dv) AS syy FROM j) " +
+        "SELECT m AS n_edges, " +
+        "round(CASE WHEN sqrt(m::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) * " +
+        "sqrt(m::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0 " +
+        "THEN (m::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) / " +
+        "(sqrt(m::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) * " +
+        "sqrt(m::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)) END + 5e-10, 6) AS r_assortativity " +
+        "FROM s"),
     "a29_partial_corr" ->
       // the nine decimal power sums and the identical double algebra
       ("WITH g AS (SELECT count(*)::BIGINT AS n, " +

@@ -496,6 +496,88 @@ object Association {
           (col("r_xy") - col("r_xz") * col("r_yz")) / pden).as("r_partial"))
   }
 
+  /** Welch's unequal-variance t statistic with the Welch–Satterthwaite
+    * degrees of freedom — the two-sample mean comparison that doesn't
+    * assume equal variances (the pooled test in the tableone layer
+    * does; Welch is what you want when the two slices have different
+    * spreads, which at corpus scale is the norm). The STATISTIC and
+    * dof are exact census facts an external engine replays; the
+    * p-value needs the t CDF and lives with the scipy-constant specs
+    * (the t5 discipline).
+    *
+    * Scale shape: ONE map-side-combinable census aggregate over the
+    * corpus (count + decimal power sums per group), then row-local
+    * algebra over the 2-row census. Groups are identified as the
+    * lexicographic (min, max) labels; `n_groups` exposes the input
+    * cardinality, and t/dof are NULL unless it is exactly 2 (or a
+    * variance is degenerate). Returns one row: (group_a, group_b,
+    * n_groups, n_a, n_b, mean_a, mean_b, t_stat, dof). */
+  def welchT(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("decimal(18,6)")
+    val census = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(count(lit(1)).as("__n"), sum(x).as("__sx"), sum(x * x).as("__sxx"))
+    val tot = Window.partitionBy()
+    def side(tag: String, pick: org.apache.spark.sql.Column) = Seq(
+      min(when(col("__g") === pick, col("__n"))).as(s"n_$tag"),
+      min(when(col("__g") === pick, col("__sx"))).as(s"__sx_$tag"),
+      min(when(col("__g") === pick, col("__sxx"))).as(s"__sxx_$tag"))
+    val agged = census
+      .withColumn("__ga", min("__g").over(tot))
+      .withColumn("__gb", max("__g").over(tot))
+      .groupBy(col("__ga").as("group_a"), col("__gb").as("group_b"))
+      .agg(countDistinct("__g").as("n_groups"),
+        side("a", col("__ga")) ++ side("b", col("__gb")): _*)
+    def stats(tag: String) = {
+      val n = col(s"n_$tag").cast("double")
+      val m = col(s"__sx_$tag").cast("double") / n
+      val v = (col(s"__sxx_$tag").cast("double") -
+        col(s"__sx_$tag").cast("double") * col(s"__sx_$tag").cast("double") / n) /
+        (n - lit(1.0))
+      (n, m, v)
+    }
+    val (na, ma, va) = stats("a")
+    val (nb, mb, vb) = stats("b")
+    val se2 = va / na + vb / nb
+    val ok = col("n_groups") === 2 && col("n_a") >= 2 && col("n_b") >= 2
+    agged
+      .select(col("group_a"), col("group_b"), col("n_groups"),
+        col("n_a"), col("n_b"),
+        when(col("n_a") >= 1, ma).as("mean_a"),
+        when(col("n_b") >= 1, mb).as("mean_b"),
+        when(ok && se2 > 0, (ma - mb) / sqrt(se2)).as("t_stat"),
+        when(ok && se2 > 0,
+          se2 * se2 / ((va / na) * (va / na) / (na - lit(1.0)) +
+            (vb / nb) * (vb / nb) / (nb - lit(1.0)))).as("dof"))
+  }
+
+  /** Paired t statistic over per-subject (pre, post) pairs: the
+    * one-sample t of the differences, t = d̄/(s_d/√n), dof = n − 1 —
+    * the before/after screen where the pairing removes the
+    * between-subject variance an unpaired test drowns in. Statistic
+    * and dof only (the t5 p-value discipline). Differences fold as
+    * DECIMAL so the census is exact. Returns one row:
+    * (n, mean_diff, sd_diff, t_stat, dof). */
+  def pairedT(df: DataFrame, preCol: String, postCol: String): DataFrame = {
+    val d = (col(postCol).cast("decimal(18,6)") -
+      col(preCol).cast("decimal(18,6)"))
+    val sums = df
+      .filter(col(preCol).isNotNull && col(postCol).isNotNull)
+      .agg(count(lit(1)).as("n"), sum(d).as("__sd"), sum(d * d).as("__sdd"))
+    val nd = col("n").cast("double")
+    val mean = col("__sd").cast("double") / nd
+    val varD = (col("__sdd").cast("double") -
+      col("__sd").cast("double") * col("__sd").cast("double") / nd) /
+      (nd - lit(1.0))
+    sums.select(col("n"),
+      when(col("n") >= 1, mean).as("mean_diff"),
+      when(col("n") >= 2 && varD >= 0, sqrt(varD)).as("sd_diff"),
+      when(col("n") >= 2 && varD > 0,
+        mean / (sqrt(varD) / sqrt(nd))).as("t_stat"),
+      when(col("n") >= 2, (col("n") - 1).cast("long")).as("dof"))
+  }
+
   /** Benjamini-Hochberg FDR adjustment over a REPORT of test scores —
     * the multiple-testing step that belongs after any family of screens
     * here (per-variable tableone p-values, per-slice proportion tests,

@@ -231,6 +231,46 @@ object Graph {
         col("n_common"), col("aa_score"))
   }
 
+  /** Degree assortativity over a canonical (id_a < id_b) undirected
+    * edge set: the Pearson correlation of (deg_u, deg_v) across edge
+    * endpoints, both directions counted (the standard Newman r) — do
+    * high-degree nodes link to other hubs (r > 0, social graphs) or to
+    * leaves (r < 0, hub-and-spoke link farms, which is exactly the
+    * shape a citation-ring or SEO cluster leaves in a crawl graph)?
+    *
+    * Scale shape: one degree census (map-side-combined), two keyed
+    * joins to put endpoint degrees on each edge, ONE aggregate over
+    * edges. Degrees are integers, so every power sum folds as
+    * DECIMAL(38,0) — exact, order-independent, replayed bit-for-bit
+    * by the oracle; the final correlation is one double expression.
+    * Returns one row: (n_edges, r_assortativity); r NULL when either
+    * marginal is constant (e.g. a regular graph). */
+  def assortativity(canonical: DataFrame): DataFrame = {
+    val edges = canonical.select(col("id_a").as("a"), col("id_b").as("b"))
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .union(edges.select(col("b").as("u"), col("a").as("v")))
+    val deg = und.groupBy(col("u").as("z")).agg(count(lit(1)).as("deg"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val sums = und
+      .join(deg.select(col("z").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("z").as("v"), col("deg").as("dv")), Seq("v"))
+      .agg(count(lit(1)).as("m"),
+        sum(dec(col("du"))).as("__sx"), sum(dec(col("dv"))).as("__sy"),
+        sum(dec(col("du")) * dec(col("dv"))).as("__sxy"),
+        sum(dec(col("du")) * dec(col("du"))).as("__sxx"),
+        sum(dec(col("dv")) * dec(col("dv"))).as("__syy"))
+    val md = col("m").cast("double")
+    val den = sqrt(md * col("__sxx").cast("double") -
+        col("__sx").cast("double") * col("__sx").cast("double")) *
+      sqrt(md * col("__syy").cast("double") -
+        col("__sy").cast("double") * col("__sy").cast("double"))
+    sums.select(col("m").as("n_edges"),
+      when(den > 0,
+        (md * col("__sxy").cast("double") -
+          col("__sx").cast("double") * col("__sy").cast("double")) / den)
+        .as("r_assortativity"))
+  }
+
   /** Jaccard link prediction over a canonical (id_a < id_b) undirected
     * edge set — [[adamicAdar]]'s normalized sibling: for each
     * non-adjacent pair sharing ≥1 neighbor,

@@ -388,4 +388,46 @@ class AssociationAuditSpec extends AnyFunSuite with Matchers {
     val rd = Association.partialCorrelation(degenerate, "x", "y", "z").head()
     rd.isNullAt(rd.fieldIndex("r_partial")) shouldBe true
   }
+
+  test("welchT reproduces the unequal-variance statistic and Satterthwaite dof") {
+    val rows = Seq(1.0, 2.0, 3.0, 4.0).map(("A", _)) ++ Seq(10.0, 20.0).map(("B", _))
+    val r = Association.welchT(rows.toDF("g", "x").repartition(3), "g", "x").head()
+    r.getAs[String]("group_a") shouldBe "A"
+    r.getAs[String]("group_b") shouldBe "B"
+    r.getAs[Long]("n_groups") shouldBe 2L
+    r.getAs[Double]("mean_a") shouldBe 2.5 +- 1e-12
+    r.getAs[Double]("mean_b") shouldBe 15.0 +- 1e-12
+    val va = 5.0 / 3.0; val vb = 50.0
+    val se2 = va / 4.0 + vb / 2.0
+    r.getAs[Double]("t_stat") shouldBe ((2.5 - 15.0) / math.sqrt(se2)) +- 1e-9
+    val dof = se2 * se2 /
+      ((va / 4.0) * (va / 4.0) / 3.0 + (vb / 2.0) * (vb / 2.0) / 1.0)
+    r.getAs[Double]("dof") shouldBe dof +- 1e-9
+  }
+
+  test("welchT nulls the statistic off the 2-group contract") {
+    val three = Seq(("A", 1.0), ("A", 2.0), ("B", 1.0), ("B", 3.0), ("C", 9.0), ("C", 1.0))
+    val r3 = Association.welchT(three.toDF("g", "x"), "g", "x").head()
+    r3.getAs[Long]("n_groups") shouldBe 3L
+    r3.isNullAt(r3.fieldIndex("t_stat")) shouldBe true
+    // a singleton side has no variance estimate
+    val single = Seq(("A", 1.0), ("A", 2.0), ("B", 7.0))
+    val rs = Association.welchT(single.toDF("g", "x"), "g", "x").head()
+    rs.isNullAt(rs.fieldIndex("t_stat")) shouldBe true
+  }
+
+  test("pairedT: the one-sample t of differences, degenerate variance nulls it") {
+    val df = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0)).toDF("pre", "post")
+    val r = Association.pairedT(df.repartition(2), "pre", "post").head()
+    r.getAs[Long]("n") shouldBe 3L
+    r.getAs[Double]("mean_diff") shouldBe 2.0 +- 1e-12
+    r.getAs[Double]("sd_diff") shouldBe 1.0 +- 1e-12
+    r.getAs[Double]("t_stat") shouldBe (2.0 / (1.0 / math.sqrt(3.0))) +- 1e-9
+    r.getAs[Long]("dof") shouldBe 2L
+    // constant shift: sd = 0, t undefined, mean still reported
+    val const = Seq((1.0, 2.0), (5.0, 6.0)).toDF("pre", "post")
+    val rc = Association.pairedT(const, "pre", "post").head()
+    rc.getAs[Double]("mean_diff") shouldBe 1.0 +- 1e-12
+    rc.isNullAt(rc.fieldIndex("t_stat")) shouldBe true
+  }
 }

@@ -260,4 +260,29 @@ class GraphSpec extends AnyFunSuite with Matchers {
       r.getAs[Double]("jaccard") shouldBe 1.0 +- 1e-15
     }
   }
+
+  test("assortativity: a star is perfectly disassortative, a regular graph is NULL") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("id_a", "id_b")
+    val r = Graph.assortativity(star.repartition(2)).head()
+    r.getAs[Long]("n_edges") shouldBe 6L // both directions
+    r.getAs[Double]("r_assortativity") shouldBe -1.0 +- 1e-12
+    // triangle: every degree 2 -> constant marginals -> NULL
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    val rt = Graph.assortativity(tri).head()
+    rt.isNullAt(rt.fieldIndex("r_assortativity")) shouldBe true
+  }
+
+  test("assortativity matches the hand Pearson on a path graph") {
+    // path 0-1-2-3: degrees 1,2,2,1; directed pairs (du,dv):
+    // (1,2),(2,2),(2,1) + reverses
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val du = Seq(1.0, 2.0, 2.0, 2.0, 2.0, 1.0)
+    val dv = Seq(2.0, 2.0, 1.0, 1.0, 2.0, 2.0)
+    val m = 6.0
+    val num = m * du.zip(dv).map { case (a, b) => a * b }.sum - du.sum * dv.sum
+    val den = math.sqrt(m * du.map(a => a * a).sum - du.sum * du.sum) *
+      math.sqrt(m * dv.map(a => a * a).sum - dv.sum * dv.sum)
+    Graph.assortativity(path).head()
+      .getAs[Double]("r_assortativity") shouldBe (num / den) +- 1e-12
+  }
 }
