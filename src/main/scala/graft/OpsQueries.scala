@@ -1472,6 +1472,68 @@ object OpsQueries {
           round(col("cum_ratio") + lit(5e-10), 6).as("cum_ratio"))
         .orderBy("component")
     }),
+    "c8_mix_report" -> ((s, dir) => {
+      // pretraining-mix planner, the c1/p13/p18 disciplines composed:
+      // quality gate -> per-SOURCE token census -> temperature-smoothed
+      // (T = 2, over token mass) shares -> exact 100k-token budget via
+      // largest remainder. One scoring projection, one census shuffle,
+      // three windows over the <=|sources| census.
+      val p = col("__p")
+      val kept = table(s, dir, "documents")
+        .select(col("source"), col("text"))
+        .withColumn("__p", TextAnalysis.profile(col("text")))
+        .select(col("source"),
+          TextAnalysis.qualityScoreP(p).as("q"),
+          TextAnalysis.tokenCountP(p).cast("long").as("n_tok"))
+        .filter(col("q") >= 0.5)
+      val tot = org.apache.spark.sql.expressions.Window.partitionBy()
+      val byFrac = org.apache.spark.sql.expressions.Window
+        .orderBy(col("__frac").desc, col("source"))
+      kept.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .withColumn("__m", sqrt(col("n_tokens").cast("double")))
+        .withColumn("__tm", sum("__m").over(tot))
+        .withColumn("share", col("__m") / col("__tm"))
+        .withColumn("__exact", lit(100000.0) * col("share"))
+        .withColumn("__base", floor(col("__exact")).cast("long"))
+        .withColumn("__frac", col("__exact") - col("__base").cast("double"))
+        .withColumn("__short", lit(100000L) - sum("__base").over(tot))
+        .withColumn("token_budget",
+          col("__base") + when(row_number().over(byFrac) <= col("__short"), 1L)
+            .otherwise(0L))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("share") + lit(5e-10), 6).as("share"), col("token_budget"))
+        .orderBy("source")
+    }),
+    "v11_lift_table" -> ((s, dir) => {
+      // decile gains table on the v1 score/label pair: gated-router
+      // edges as literals, one branch-free census, cumulative capture
+      // and lift scanning from the best bin over the 10-row census
+      val e = table(s, dir, "embeddings")
+      Evaluation.liftTable(
+          e.select(element_at(col("embedding"), 1).as("score"),
+            (col("label") % 2).as("y")), "score", "y", k = 10)
+        .select(col("bin"), col("n"), col("n_pos"),
+          round(col("rate") + lit(5e-10), 6).as("rate"),
+          round(col("lift") + lit(5e-10), 6).as("lift"),
+          round(col("cum_capture") + lit(5e-10), 6).as("cum_capture"),
+          round(col("cum_lift") + lit(5e-10), 6).as("cum_lift"))
+        .orderBy(col("bin").desc)
+    }),
+    "w11_seasonal_strength" -> ((s, dir) => {
+      // is hourly traffic genuinely seasonal? Hyndman F-statistics off
+      // the q8 decomposition — six power sums per type, census algebra
+      val hourly = table(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).cast("double").as("x"))
+      TimeSeries.seasonalStrength(
+          TimeSeries.decompose(hourly, "event_type", "h", "x", period = 24),
+          "event_type")
+        .select(col("event_type"), col("n"),
+          round(col("f_seasonal") + lit(5e-10), 6).as("f_seasonal"),
+          round(col("f_trend") + lit(5e-10), 6).as("f_trend"))
+        .orderBy("event_type")
+    }),
     "s15_sq8_topk" -> ((s, dir) => {
       // scalar-quantized ANN: per-dim min/max census (nothing
       // iterative, so the ORACLE re-derives model AND codes AND
@@ -3717,6 +3779,73 @@ object OpsQueries {
         "round((sij - sa.si * sb.si / n) / (n - 1) + 5e-10, 6) + 0.0 AS cov " +
         "FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j, nn " +
         "ORDER BY i, j"),
+    "c8_mix_report" ->
+      // the x2 enrich CTEs for the quality gate and token counts, then
+      // the same sqrt-share and largest-remainder walk
+      (enrichSql("documents") +
+        ", k AS (SELECT d.source, f.n_tok FROM f JOIN documents d ON d.doc_id = f.doc_id " +
+        s"WHERE $QualityScoreSql >= 0.5), " +
+        "c AS (SELECT source, count(*)::BIGINT AS n_docs, " +
+        "CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM k GROUP BY source), " +
+        "w AS (SELECT *, sqrt(n_tokens::DOUBLE) AS m, " +
+        "sum(sqrt(n_tokens::DOUBLE)) OVER () AS tm FROM c), " +
+        "x AS (SELECT source, n_docs, n_tokens, m / tm AS share, " +
+        "100000.0 * (m / tm) AS ex, floor(100000.0 * (m / tm))::BIGINT AS base FROM w), " +
+        "y AS (SELECT *, ex - base AS frac, 100000 - sum(base) OVER () AS short, " +
+        "row_number() OVER (ORDER BY ex - base DESC, source) AS rn FROM x) " +
+        "SELECT source, n_docs, n_tokens, round(share + 5e-10, 6) AS share, " +
+        "(base + CASE WHEN rn <= short THEN 1 ELSE 0 END)::BIGINT AS token_budget " +
+        "FROM y ORDER BY source"),
+    "v11_lift_table" ->
+      // quantile_cont decile edges, the same branch-free bin sum, and
+      // the same from-the-top cumulative windows
+      ("WITH s AS (SELECT embedding[1]::DOUBLE AS v, (label % 2)::BIGINT AS y FROM embeddings " +
+        "WHERE embedding[1] IS NOT NULL AND label IS NOT NULL), " +
+        "e AS (SELECT " + (1 until 10).map(i =>
+          s"quantile_cont(v, 0.$i) AS e$i").mkString(", ") + " FROM s), " +
+        "b AS (SELECT (" + (1 until 10).map(i =>
+          s"CASE WHEN v >= e$i THEN 1 ELSE 0 END").mkString(" + ") +
+        ")::BIGINT AS bin, y FROM s, e), " +
+        "g AS (SELECT bin, count(*)::BIGINT AS n, " +
+        "CAST(sum(CASE WHEN y <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos FROM b GROUP BY bin), " +
+        "w AS (SELECT *, CAST(sum(n) OVER () AS BIGINT) AS tn, " +
+        "CAST(sum(n_pos) OVER () AS BIGINT) AS tp, " +
+        "CAST(sum(n) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn, " +
+        "CAST(sum(n_pos) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cp FROM g) " +
+        "SELECT bin, n, n_pos, " +
+        "round(n_pos::DOUBLE / n + 5e-10, 6) AS rate, " +
+        "round(CASE WHEN tp > 0 THEN (n_pos::DOUBLE / n) / (tp::DOUBLE / tn) END + 5e-10, 6) AS lift, " +
+        "round(CASE WHEN tp > 0 THEN cp::DOUBLE / tp END + 5e-10, 6) AS cum_capture, " +
+        "round(CASE WHEN tp > 0 THEN (cp::DOUBLE / cn) / (tp::DOUBLE / tn) END + 5e-10, 6) AS cum_lift " +
+        "FROM w ORDER BY bin DESC"),
+    "w11_seasonal_strength" ->
+      // the q8 decomposition CTEs, then the six power sums and the
+      // same variance-ratio algebra per key
+      ("WITH hourly AS (SELECT event_type AS k, date_trunc('hour', ts) AS h, " +
+        "count(*)::DOUBLE AS x FROM events GROUP BY 1, 2), " +
+        "b AS (SELECT k, h, x, (row_number() OVER w - 1) % 24 AS phase, " +
+        "count(*) OVER wf AS cnt, sum(x) OVER wf AS sm, " +
+        "lag(x, 12) OVER w AS xl, lead(x, 12) OVER w AS xr FROM hourly " +
+        "WINDOW w AS (PARTITION BY k ORDER BY h), " +
+        "wf AS (PARTITION BY k ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)), " +
+        "t AS (SELECT k, h, x, phase, " +
+        "CASE WHEN cnt = 25 THEN (sm - (xl + xr) / 2.0) / 24.0 END AS trend FROM b), " +
+        "d AS (SELECT k, h, x, phase, trend, x - trend AS dd FROM t), " +
+        "pm AS (SELECT k, phase, avg(dd) AS pm FROM d GROUP BY 1, 2), " +
+        "sea AS (SELECT k, phase, pm - avg(pm) OVER (PARTITION BY k) AS seasonal FROM pm), " +
+        "j AS (SELECT d.k, d.x - d.trend - sea.seasonal AS r, sea.seasonal AS s, d.trend AS tr " +
+        "FROM d JOIN sea ON d.k = sea.k AND d.phase = sea.phase WHERE d.trend IS NOT NULL), " +
+        "g AS (SELECT k, count(*)::BIGINT AS n, sum(r) AS s1, sum(r * r) AS s2, " +
+        "sum(s + r) AS s3, sum((s + r) * (s + r)) AS s4, " +
+        "sum(tr + r) AS s5, sum((tr + r) * (tr + r)) AS s6 FROM j GROUP BY k) " +
+        "SELECT k AS event_type, n, " +
+        "round(CASE WHEN n >= 2 AND (s4 - s3 * s3 / n::DOUBLE) / (n::DOUBLE - 1.0) > 0 " +
+        "THEN greatest(0.0, 1.0 - ((s2 - s1 * s1 / n::DOUBLE) / (n::DOUBLE - 1.0)) / " +
+        "((s4 - s3 * s3 / n::DOUBLE) / (n::DOUBLE - 1.0))) END + 5e-10, 6) AS f_seasonal, " +
+        "round(CASE WHEN n >= 2 AND (s6 - s5 * s5 / n::DOUBLE) / (n::DOUBLE - 1.0) > 0 " +
+        "THEN greatest(0.0, 1.0 - ((s2 - s1 * s1 / n::DOUBLE) / (n::DOUBLE - 1.0)) / " +
+        "((s6 - s5 * s5 / n::DOUBLE) / (n::DOUBLE - 1.0))) END + 5e-10, 6) AS f_trend " +
+        "FROM g ORDER BY event_type"),
     "s15_sq8_topk" ->
       // model, codes, and ADC scores all re-derived from scratch: the
       // min/max census, the same floor-256 clamp, the same mid-rise

@@ -3,8 +3,6 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorSum
-
 /** Principal component analysis over an embedding column — the
   * dimensionality-reduction step in front of ANN indexing ([[Pq]]'s
   * natural companion: PQ quantizes, PCA first rotates the mass into
@@ -14,11 +12,12 @@ import graft.functions.VectorSum
   * cliff in the eigen spectrum long before downstream metrics move).
   *
   * Split the same way [[Clustering.fit]] is: the corpus-sized work is
-  * ONE map-side-combined moment census (n, Σx — `dim` doubles — and
-  * the upper-triangle Gram Σx·xᵀ — dim·(dim+1)/2 doubles, assembled
-  * INSIDE the row's array expression, zero shuffle beyond the final
-  * combine), and the eigen-decomposition runs on the driver over the
-  * dim×dim covariance — O(dim³) on a census, never on rows. The
+  * ONE moment-census scan (n, Σx — `dim` doubles — and the
+  * upper-triangle Gram Σx·xᵀ — dim·(dim+1)/2 doubles, accumulated in a
+  * primitive per-partition kernel; each partition ships one ~17 KB
+  * triple to the driver), and the eigen-decomposition runs on the
+  * driver over the dim×dim covariance — O(dim³) on a census, never on
+  * rows. The
   * reference scale contract: dim ≤ 512 keeps the Gram vector ≤ 131k
   * doubles per partition combine, far under any executor budget; the
   * 100 TB cost is exactly one corpus scan.
@@ -40,23 +39,59 @@ object Pca {
                             components: Seq[Seq[Double]],
                             totalVariance: Double)
 
-  /** One-pass moment census: (n, Σx, upper-triangle Σ x_i·x_j). */
+  /** One-pass moment census: (n, Σx, upper-triangle Σ x_i·x_j).
+    *
+    * This is a genuine per-partition imperative kernel (the documented
+    * mapPartitions last resort, taken on measurement): the declarative
+    * form — an in-array Gram via nested `transform`/`slice` feeding a
+    * [[VectorSum]] UDAF — runs INTERPRETED (higher-order functions
+    * don't codegen) and boxes every one of the d(d+1)/2 products per
+    * row, measured at ~11 s for 5000×64 vectors at sf0.1; this
+    * primitive-array kernel does the identical arithmetic in one tight
+    * loop. Each partition emits ONE (n, Σx, Gram) triple; the driver
+    * folds ≤ #partitions of them (≤ 32 × ~17 KB — the ksStatistic
+    * offsets license). Exactly one corpus scan either way. */
   private def momentSums(df: DataFrame, vecCol: String,
                          dim: Int): (Long, Array[Double], Array[Double]) = {
     val nUpper = dim * (dim + 1) / 2
+    val spark = df.sparkSession
+    import spark.implicits._
     val vd = col(vecCol).cast("array<double>")
-    val upper = flatten(transform(vd,
-      (xi, i) => transform(slice(vd, i + lit(1), lit(dim)), xj => xi * xj)))
-    val row = df
+    val partials = df
       .filter(vd.isNotNull && size(vd) === dim)
-      .select(vd.as("__v"), upper.as("__u"))
-      .agg(count(lit(1)).as("__n"),
-        udaf(new VectorSum(dim), VectorSumEncoders.seqDouble)(col("__v")).as("__s"),
-        udaf(new VectorSum(nUpper), VectorSumEncoders.seqDouble)(col("__u")).as("__g"))
-      .head()
-    (row.getAs[Long]("__n"),
-      row.getAs[scala.collection.Seq[Double]]("__s").toArray,
-      row.getAs[scala.collection.Seq[Double]]("__g").toArray)
+      .select(vd)
+      .as[Array[Double]]
+      .mapPartitions { it =>
+        val s = new Array[Double](dim)
+        val g = new Array[Double](nUpper)
+        var n = 0L
+        while (it.hasNext) {
+          val v = it.next()
+          var i = 0
+          var k = 0
+          while (i < dim) {
+            val xi = v(i)
+            s(i) += xi
+            var j = i
+            while (j < dim) { g(k) += xi * v(j); k += 1; j += 1 }
+            i += 1
+          }
+          n += 1
+        }
+        if (n == 0L) Iterator.empty else Iterator.single((n, s, g))
+      }
+      .collect()
+    val s = new Array[Double](dim)
+    val g = new Array[Double](nUpper)
+    var n = 0L
+    partials.foreach { case (pn, ps, pg) =>
+      n += pn
+      var i = 0
+      while (i < dim) { s(i) += ps(i); i += 1 }
+      var k = 0
+      while (k < nUpper) { g(k) += pg(k); k += 1 }
+    }
+    (n, s, g)
   }
 
   private def upperIndex(i: Int, j: Int, dim: Int): Int =

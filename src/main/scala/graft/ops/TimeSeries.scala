@@ -239,6 +239,43 @@ object TimeSeries {
         (covN * covN) / (varXN * varYN)).as("r2"))
   }
 
+  /** Seasonal and trend strength per key over a [[decompose]] output
+    * (Hyndman & Athanasopoulos FPP3 §4.4):
+    * F_seasonal = max(0, 1 − Var(R)/Var(S+R)) and
+    * F_trend = max(0, 1 − Var(R)/Var(T+R)) — the one-number answers to
+    * "is this series actually seasonal / trending, or is the
+    * decomposition fitting noise?", computed only over rows where the
+    * centered-MA trend is defined (the decomposition's edge rows carry
+    * null trend by construction). Sample variances; strengths NULL
+    * when the denominator variance is degenerate.
+    *
+    * Scale shape: ONE map-side-combinable aggregate over the
+    * decomposed frame (six power sums per key), row-local algebra on
+    * the ≤|keys| census. Returns (key, n, f_seasonal, f_trend). */
+  def seasonalStrength(decomposed: DataFrame, keyCol: String): DataFrame = {
+    val r = col("residual")
+    val sr = col("seasonal") + col("residual")
+    val tr = col("trend") + col("residual")
+    val sums = decomposed
+      .filter(col("trend").isNotNull && col("residual").isNotNull)
+      .groupBy(col(keyCol).as("__k"))
+      .agg(count(lit(1)).as("n"),
+        sum(r).as("__s1"), sum(r * r).as("__s2"),
+        sum(sr).as("__s3"), sum(sr * sr).as("__s4"),
+        sum(tr).as("__s5"), sum(tr * tr).as("__s6"))
+    val nd = col("n").cast("double")
+    def v(sx: String, sxx: String) =
+      (col(sxx) - col(sx) * col(sx) / nd) / (nd - lit(1.0))
+    val vr = v("__s1", "__s2")
+    val vs = v("__s3", "__s4")
+    val vt = v("__s5", "__s6")
+    sums.select(col("__k").as(keyCol), col("n"),
+      when(col("n") >= 2 && vs > 0,
+        greatest(lit(0.0), lit(1.0) - vr / vs)).as("f_seasonal"),
+      when(col("n") >= 2 && vt > 0,
+        greatest(lit(0.0), lit(1.0) - vr / vt)).as("f_trend"))
+  }
+
   /** Theil-Sen robust slope per series key — the median of all pairwise
     * slopes (y_j − y_i)/(x_j − x_i), the trend estimator that shrugs
     * off the outlier days OLS [[trend]] gets dragged by (29.3%

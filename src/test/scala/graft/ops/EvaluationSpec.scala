@@ -259,4 +259,23 @@ class EvaluationSpec extends AnyFunSuite with Matchers {
     Evaluation.prAuc(df, "s", "y").head()
       .getAs[Double]("pr_auc") shouldBe (0.375 + 7.0 / 24.0) +- 1e-12
   }
+
+  test("liftTable: median split reproduces the hand gains table, best bin first") {
+    // scores 1..10, responders at 9 and 10; k=2 cuts at 5.5
+    val df = (1 to 10).map(i => (i.toDouble, if (i >= 9) 1L else 0L)).toDF("s", "y")
+    val rows = Evaluation.liftTable(df.repartition(3), "s", "y", k = 2).collect()
+    rows.map(_.getLong(0)).toSeq shouldBe Seq(1L, 0L) // bin DESC
+    val top = rows(0); val bot = rows(1)
+    top.getAs[Long]("n") shouldBe 5L
+    top.getAs[Long]("n_pos") shouldBe 2L
+    top.getAs[Double]("rate") shouldBe 0.4 +- 1e-12
+    top.getAs[Double]("lift") shouldBe 2.0 +- 1e-12
+    top.getAs[Double]("cum_capture") shouldBe 1.0 +- 1e-12
+    top.getAs[Double]("cum_lift") shouldBe 2.0 +- 1e-12
+    bot.getAs[Double]("rate") shouldBe 0.0 +- 1e-12
+    bot.getAs[Double]("cum_capture") shouldBe 1.0 +- 1e-12
+    bot.getAs[Double]("cum_lift") shouldBe 1.0 +- 1e-12
+    an[IllegalArgumentException] should be thrownBy
+      Evaluation.liftTable(df, "s", "y", k = 1)
+  }
 }

@@ -201,4 +201,27 @@ class TimeSeriesSpec extends AnyFunSuite with Matchers {
       (1 to 10).map(i => ("k", i.toDouble, 1.0)).toDF("k", "x", "y"),
       "k", "x", "y", maxPoints = 4).head()
   }
+
+  test("seasonalStrength: strong seasonality scores near 1, flat trend near 0") {
+    // hand-built decomposition: constant trend, alternating seasonal,
+    // tiny residual; null-trend edge rows must be excluded
+    val rows = (0 until 8).map { i =>
+      val s = if (i % 2 == 0) 2.0 else -2.0
+      val r = if (i % 2 == 0) 0.1 else -0.1
+      ("k", Some(10.0), s, r)
+    } :+ (("k", None: Option[Double], 9.9, 0.5))
+    val df = rows.toDF("event_type", "trend", "seasonal", "residual")
+    val got = TimeSeries.seasonalStrength(df.repartition(3), "event_type").head()
+    got.getAs[Long]("n") shouldBe 8L
+    def sampleVar(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1)
+    }
+    val rs = (0 until 8).map(i => if (i % 2 == 0) 0.1 else -0.1)
+    val srs = (0 until 8).map(i => if (i % 2 == 0) 2.1 else -2.1)
+    val expSeasonal = math.max(0.0, 1.0 - sampleVar(rs) / sampleVar(srs))
+    got.getAs[Double]("f_seasonal") shouldBe expSeasonal +- 1e-9
+    // trend + residual is just the residual shifted: F_trend clamps to 0
+    got.getAs[Double]("f_trend") shouldBe 0.0 +- 1e-12
+  }
 }
