@@ -503,6 +503,28 @@ object OpsQueries {
           round(col("image_stats.mean_b"), 6).as("mean_b"))
         .orderBy("doc_id")
     }),
+    "m15_otsu_threshold" -> ((s, dir) => {
+      // REAL binarization over planted 4x4 BMPs (the m4 discipline):
+      // decode -> integer-luma histogram -> the full 256-candidate
+      // between-class-variance walk, ties to the smallest t — every
+      // step exact integer/double arithmetic the oracle replays from
+      // the raw text bytes; constant images (no valid split) drop out
+      val bmpHdr = lit(Multimodal.bmp24Header(4, 4))
+      val planted = Multimodal.asBinaryPayload(docs(s, dir), "text")
+        .filter(col("doc_id") % 7 === 3)
+        .withColumn("payload",
+          concat(bmpHdr, substring(rpad(col("text"), 48, "x").cast("binary"), 1, 48)))
+      Multimodal.withOtsuStats(planted, "payload")
+        .filter(col("otsu_stats").isNotNull)
+        .select(col("doc_id"),
+          col("otsu_stats.n_pixels").as("n_pixels"),
+          col("otsu_stats.threshold").as("threshold"),
+          col("otsu_stats.n_below").as("n_below"),
+          round(col("otsu_stats.mean_below") + lit(5e-10), 6).as("mean_below"),
+          round(col("otsu_stats.mean_above") + lit(5e-10), 6).as("mean_above"),
+          round(col("otsu_stats.between_var") + lit(5e-10), 6).as("between_var"))
+        .orderBy("doc_id")
+    }),
     "m3_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(
           Multimodal.asBinaryPayload(docs(s, dir), "text"), "payload", stride = 64)
@@ -1610,6 +1632,31 @@ object OpsQueries {
       TextAnalysis.pmiCollocations(docs(s, dir), "text", minCount = 5L, topK = 20)
         .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
           round(col("pmi") + lit(5e-10), 6).as("pmi"))),
+    "q15_drift_panel" -> ((s, dir) => {
+      // one-call drift dashboard: the four production measures on one
+      // (ref, cur) pair — PSI over fixed bins, exact KS, exact
+      // Wasserstein-1, categorical mix chi-square + Cramer's V — as a
+      // (check_name, value) report; every leg is the already-verified
+      // operator, unioned into the report the retrain gate reads
+      val d = table(s, dir, "documents")
+      val ref = d.filter(col("lang") === "en")
+      val cur = d.filter(col("lang") =!= "en")
+      val psi = Drift.psiDrift(ref, cur, "n_chars",
+          Seq(200.0, 500.0, 1000.0, 2000.0))
+        .select(lit("psi").as("check_name"), col("psi").as("value")).limit(1)
+      val ks = Drift.ksStatistic(ref, cur, "n_chars")
+        .select(lit("ks").as("check_name"), col("ks").as("value"))
+      val w1 = Drift.wasserstein1(ref, cur, "n_chars")
+        .select(lit("w1").as("check_name"), col("w1").as("value"))
+      val cat = Drift.categoricalDrift(ref, cur, "source")
+      val chi = cat.select(lit("chi2_source").as("check_name"),
+        col("chi2").as("value"))
+      val cv = cat.select(lit("cramers_v_source").as("check_name"),
+        col("cramers_v").as("value"))
+      psi.unionByName(ks).unionByName(w1).unionByName(chi).unionByName(cv)
+        .select(col("check_name"), round(col("value") + lit(5e-10), 6).as("value"))
+        .orderBy("check_name")
+    }),
     "q13_wasserstein" -> ((s, dir) => {
       // exact earth-mover drift between returned and accepted lines'
       // price distributions: decimal CDF cross-products over the value
@@ -2206,6 +2253,34 @@ object OpsQueries {
         .orderBy("o_orderpriority")
     }),
 
+    "o13_zero_copy_clone" -> ((s, dir) => {
+      // shallow clone: v1+v2 of the source, clone (manifest-only, no
+      // data copied), diverge the clone with a third slice — the clone
+      // reads all three while the source still reads two, which only
+      // holds if the absolute-path manifest resolves the SHARED files
+      // and the divergence stayed private
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      def pth(n: String) = new org.apache.hadoop.fs.Path(wh, n).toString
+      val fs0 = new org.apache.hadoop.fs.Path(wh).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      val src = pth("graft_clone_src"); val tgt = pth("graft_clone_tgt")
+      fs0.delete(new org.apache.hadoop.fs.Path(src), true)
+      fs0.delete(new org.apache.hadoop.fs.Path(tgt), true)
+      val o = table(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.VersionedTable.commit(o.filter(col("o_orderkey") % 3 === 0), src)
+      graft.sources.VersionedTable.commit(o.filter(col("o_orderkey") % 3 === 1), src)
+      graft.sources.VersionedTable.cloneTable(s, src, tgt)
+      graft.sources.VersionedTable.commit(o.filter(col("o_orderkey") % 3 === 2), tgt)
+      val srcR = graft.sources.VersionedTable.read(s, src)
+        .agg(count(lit(1)).as("src_rows"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            + lit(5e-10), 6).as("src_sum"))
+      val tgtR = graft.sources.VersionedTable.read(s, tgt)
+        .agg(count(lit(1)).as("clone_rows"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            + lit(5e-10), 6).as("clone_sum"))
+      srcR.crossJoin(broadcast(tgtR))
+    }),
     "o8_versioned_table" -> ((s, dir) => {
       // snapshot-versioned table: v1 = even orderkeys, v2 = append the
       // odd ones, v3 = overwrite with a decoy slice; the query reads v2
@@ -3537,6 +3612,32 @@ object OpsQueries {
         "round(avg(g), 6) AS mean_g, round(avg(bl), 6) AS mean_b " +
         "FROM px GROUP BY doc_id ORDER BY doc_id"
     },
+    "m15_otsu_threshold" ->
+      // integer-luma pixels from the raw text bytes, the same 256-t
+      // sigma walk, argmax with the same smallest-t tie
+      ("WITH base AS (SELECT doc_id, rpad(text, 48, 'x') AS t " +
+        "FROM documents WHERE doc_id % 7 = 3), " +
+        "px AS (SELECT b.doc_id, (unicode(substring(b.t, (o.i * 3 + 1)::INT, 1)) + " +
+        "unicode(substring(b.t, (o.i * 3 + 2)::INT, 1)) + " +
+        "unicode(substring(b.t, (o.i * 3 + 3)::INT, 1))) // 3 AS gray " +
+        "FROM base b, range(16) o(i)), " +
+        "h AS (SELECT doc_id, gray, count(*)::BIGINT AS c FROM px GROUP BY 1, 2), " +
+        "cu AS (SELECT h.doc_id, r.range AS t, " +
+        "CAST(coalesce(sum(CASE WHEN h.gray <= r.range THEN h.c END), 0) AS BIGINT) AS n0, " +
+        "CAST(coalesce(sum(CASE WHEN h.gray <= r.range THEN h.gray * h.c END), 0) AS BIGINT) AS s0, " +
+        "CAST(sum(h.c) AS BIGINT) AS n, CAST(sum(h.gray * h.c) AS BIGINT) AS st " +
+        "FROM h, range(256) r GROUP BY 1, 2), " +
+        "sg AS (SELECT doc_id, t, n0, s0, n, st, " +
+        "CASE WHEN n0 > 0 AND n - n0 > 0 THEN (n0::DOUBLE / n) * ((n - n0)::DOUBLE / n) * " +
+        "(s0::DOUBLE / n0 - (st - s0)::DOUBLE / (n - n0)) * " +
+        "(s0::DOUBLE / n0 - (st - s0)::DOUBLE / (n - n0)) END AS sigma FROM cu), " +
+        "pick AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY sigma DESC, t) AS rn " +
+        "FROM sg WHERE sigma IS NOT NULL) " +
+        "SELECT doc_id, n AS n_pixels, t::INT AS threshold, n0 AS n_below, " +
+        "round(s0::DOUBLE / n0 + 5e-10, 6) AS mean_below, " +
+        "round((st - s0)::DOUBLE / (n - n0) + 5e-10, 6) AS mean_above, " +
+        "round(sigma + 5e-10, 6) AS between_var " +
+        "FROM pick WHERE rn = 1 ORDER BY doc_id"),
     "m3_frame_sample" ->
       ("SELECT doc_id, ((greatest(octet_length(encode(text)) - 1, 0) // 64) + 1)::BIGINT AS n_frames " +
         "FROM documents ORDER BY doc_id"),
@@ -4077,6 +4178,60 @@ object OpsQueries {
         "round(CASE WHEN abs(r_xz) < 1.0 - 1e-12 AND abs(r_yz) < 1.0 - 1e-12 " +
         "THEN (r_xy - r_xz * r_yz) / (sqrt(1.0 - r_xz * r_xz) * sqrt(1.0 - r_yz * r_yz)) END + 5e-10, 6) AS r_partial " +
         "FROM r"),
+    "q15_drift_panel" ->
+      // all four legs replayed with their own queries' idioms (q3 psi
+      // smoothing, q4 KS sup, q13 decimal mass, q14 homogeneity) and
+      // unioned into the same 5-row report
+      ("WITH r AS (SELECT n_chars::DOUBLE AS v FROM documents WHERE lang = 'en' AND n_chars IS NOT NULL), " +
+        "c AS (SELECT n_chars::DOUBLE AS v FROM documents WHERE lang <> 'en' AND n_chars IS NOT NULL), " +
+        "bins AS (SELECT range AS bin FROM range(5)), " +
+        {
+          val binExpr = Seq(200.0, 500.0, 1000.0, 2000.0)
+            .map(e => s"(CASE WHEN v >= $e THEN 1 ELSE 0 END)").mkString(" + ")
+          s"rb AS (SELECT $binExpr AS bin, count(*)::BIGINT AS n FROM r GROUP BY 1), " +
+          s"cb AS (SELECT $binExpr AS bin, count(*)::BIGINT AS n FROM c GROUP BY 1), "
+        } +
+        "d0 AS (SELECT bins.bin, coalesce(rb.n, 0)::BIGINT AS nr, coalesce(cb.n, 0)::BIGINT AS nc " +
+        "FROM bins LEFT JOIN rb ON bins.bin = rb.bin LEFT JOIN cb ON bins.bin = cb.bin), " +
+        "p0 AS (SELECT (nr + 5e-1) / ((SELECT count(*) FROM r) + 25e-1) AS pr, " +
+        "(nc + 5e-1) / ((SELECT count(*) FROM c) + 25e-1) AS pc FROM d0), " +
+        "psiv AS (SELECT 'psi' AS check_name, sum((pc - pr) * ln(pc / pr)) AS value FROM p0), " +
+        "u AS (SELECT v, 1 AS r1, 0 AS c1 FROM r UNION ALL SELECT v, 0, 1 FROM c), " +
+        "g0 AS (SELECT v, sum(r1)::BIGINT AS nr, sum(c1)::BIGINT AS nc FROM u GROUP BY v), " +
+        "t0 AS (SELECT sum(nr)::BIGINT AS tr, sum(nc)::BIGINT AS tc FROM g0), " +
+        "cdf AS (SELECT v, sum(nr) OVER (ORDER BY v) AS cr, sum(nc) OVER (ORDER BY v) AS cc FROM g0), " +
+        "ksv AS (SELECT 'ks' AS check_name, abs(cr::DOUBLE / tr - cc::DOUBLE / tc) AS value " +
+        "FROM cdf CROSS JOIN t0 ORDER BY value DESC, v LIMIT 1), " +
+        "w1g AS (SELECT CAST(n_chars AS DECIMAL(18,6)) AS v, " +
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS r1, " +
+        "CASE WHEN lang <> 'en' THEN 1 ELSE 0 END AS c1 FROM documents " +
+        "WHERE n_chars IS NOT NULL AND lang IS NOT NULL), " +
+        "w1c AS (SELECT v, CAST(sum(r1) AS BIGINT) AS nr, CAST(sum(c1) AS BIGINT) AS nc FROM w1g GROUP BY v), " +
+        "w1t AS (SELECT CAST(sum(nr) AS BIGINT) AS tr, CAST(sum(nc) AS BIGINT) AS tc FROM w1c), " +
+        "w1w AS (SELECT v, sum(nr) OVER (ORDER BY v) AS cr, sum(nc) OVER (ORDER BY v) AS cc, " +
+        "lead(v) OVER (ORDER BY v) AS nv FROM w1c), " +
+        "w1m AS (SELECT sum(abs(cr * tc - cc * tr) * (nv - v)) AS mass FROM w1w, w1t WHERE nv IS NOT NULL), " +
+        "w1v AS (SELECT 'w1' AS check_name, mass::DOUBLE / (tr::DOUBLE * tc::DOUBLE) AS value FROM w1m, w1t), " +
+        "cr2 AS (SELECT source AS cat, count(*)::BIGINT AS nr FROM documents " +
+        "WHERE lang = 'en' AND source IS NOT NULL GROUP BY 1), " +
+        "cc2 AS (SELECT source AS cat, count(*)::BIGINT AS nc FROM documents " +
+        "WHERE lang <> 'en' AND source IS NOT NULL GROUP BY 1), " +
+        "cj AS (SELECT coalesce(cr2.cat, cc2.cat) AS cat, coalesce(nr, 0) AS nr, " +
+        "coalesce(nc, 0) AS nc FROM cr2 FULL OUTER JOIN cc2 ON cr2.cat = cc2.cat), " +
+        "ct AS (SELECT CAST(sum(nr) AS BIGINT) AS tr, CAST(sum(nc) AS BIGINT) AS tc, " +
+        "count(*)::BIGINT AS g2 FROM cj), " +
+        "cx AS (SELECT sum(" +
+        "(CASE WHEN tr::DOUBLE * (nr + nc) / (tr + tc) > 0 " +
+        "THEN (nr::DOUBLE - tr::DOUBLE * (nr + nc) / (tr + tc)) * (nr::DOUBLE - tr::DOUBLE * (nr + nc) / (tr + tc)) / (tr::DOUBLE * (nr + nc) / (tr + tc)) ELSE 0.0 END) + " +
+        "(CASE WHEN tc::DOUBLE * (nr + nc) / (tr + tc) > 0 " +
+        "THEN (nc::DOUBLE - tc::DOUBLE * (nr + nc) / (tr + tc)) * (nc::DOUBLE - tc::DOUBLE * (nr + nc) / (tr + tc)) / (tc::DOUBLE * (nr + nc) / (tr + tc)) ELSE 0.0 END)) AS chi2 " +
+        "FROM cj, ct), " +
+        "chiv AS (SELECT 'chi2_source' AS check_name, CASE WHEN g2 > 1 THEN chi2 END AS value FROM cx, ct), " +
+        "cvv AS (SELECT 'cramers_v_source' AS check_name, " +
+        "CASE WHEN g2 > 1 THEN sqrt(chi2 / (tr + tc)::DOUBLE) END AS value FROM cx, ct) " +
+        "SELECT check_name, round(value + 5e-10, 6) AS value FROM " +
+        "(SELECT * FROM psiv UNION ALL SELECT * FROM ksv UNION ALL SELECT * FROM w1v " +
+        "UNION ALL SELECT * FROM chiv UNION ALL SELECT * FROM cvv) ORDER BY check_name"),
     "q13_wasserstein" ->
       // the value census, one global cumulative, and the same decimal
       // cross-product mass with ONE final double division
@@ -5964,6 +6119,16 @@ object OpsQueries {
         "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) + 5e-10, 6) AS sum_price, " +
         "max(o_orderkey) AS max_key " +
         "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "o13_zero_copy_clone" ->
+      // the two-slice source vs the full three-slice clone, straight
+      // off the orders slices the commits planted
+      ("WITH s2 AS (SELECT count(*)::BIGINT AS src_rows, " +
+        "round(sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE + 5e-10, 6) AS src_sum " +
+        "FROM orders WHERE o_orderkey % 3 = 0 OR o_orderkey % 3 = 1), " +
+        "c2 AS (SELECT count(*)::BIGINT AS clone_rows, " +
+        "round(sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE + 5e-10, 6) AS clone_sum " +
+        "FROM orders WHERE o_orderkey IS NOT NULL) " +
+        "SELECT src_rows, src_sum, clone_rows, clone_sum FROM s2, c2"),
     "o8_versioned_table" ->
       // v2 = even-keys commit + odd-keys append = the whole table; the
       // overwrite that followed must be invisible to the v2 read

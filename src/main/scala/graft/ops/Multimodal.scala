@@ -1542,6 +1542,89 @@ object Multimodal {
     enc(payload)
   }
 
+  val otsuStatsType: StructType = StructType(Seq(
+    StructField("n_pixels", LongType, nullable = false),
+    StructField("threshold", IntegerType, nullable = false),
+    StructField("n_below", LongType, nullable = false),
+    StructField("mean_below", DoubleType, nullable = false),
+    StructField("mean_above", DoubleType, nullable = false),
+    StructField("between_var", DoubleType, nullable = false)))
+
+  /** Otsu's global threshold over a decoded 24-bpp BMP payload:
+    * grayscale = integer luma (r + g + b) / 3 (channel-order invariant
+    * and exactly replayable), then the classic between-class-variance
+    * maximization σ²_b(t) = w₀·w₁·(μ₀ − μ₁)² over t ∈ [0, 255], ties
+    * to the SMALLEST t — the binarization step of any scanned-document
+    * / figure-extraction leg, and the simplest "is this image bimodal
+    * or flat?" screen. Returns None for non-BMP payloads and for
+    * constant images (no t splits two non-empty classes). */
+  private[ops] def otsuOfBmp(bytes: Array[Byte]): Option[Row] =
+    decodeBmp24Pixels(bytes).flatMap { case (w, h, rgb) =>
+      val n = w * h
+      if (n == 0) None
+      else {
+        val hist = new Array[Long](256)
+        var p = 0
+        while (p < n) {
+          val c0 = rgb(3 * p) & 0xFF
+          val c1 = rgb(3 * p + 1) & 0xFF
+          val c2 = rgb(3 * p + 2) & 0xFF
+          hist((c0 + c1 + c2) / 3) += 1
+          p += 1
+        }
+        var total = 0L
+        var g = 0
+        while (g < 256) { total += g.toLong * hist(g); g += 1 }
+        var bestT = -1
+        var bestSigma = -1.0
+        var n0 = 0L
+        var s0 = 0L
+        var t = 0
+        while (t < 256) {
+          n0 += hist(t)
+          s0 += t.toLong * hist(t)
+          val n1 = n - n0
+          if (n0 > 0 && n1 > 0) {
+            val mu0 = s0.toDouble / n0
+            val mu1 = (total - s0).toDouble / n1
+            val w0 = n0.toDouble / n
+            val w1 = n1.toDouble / n
+            val d = mu0 - mu1
+            val sigma = w0 * w1 * d * d
+            if (sigma > bestSigma) { bestSigma = sigma; bestT = t }
+          }
+          t += 1
+        }
+        if (bestT < 0) None
+        else {
+          var nb = 0L
+          var sb = 0L
+          var k = 0
+          while (k <= bestT) { nb += hist(k); sb += k.toLong * hist(k); k += 1 }
+          Some(Row(n.toLong, bestT, nb,
+            sb.toDouble / nb, (total - sb).toDouble / (n - nb), bestSigma))
+        }
+      }
+    }
+
+  /** Partition-wise Otsu thresholding over a binary column: adds an
+    * `otsu_stats` struct ([[otsuStatsType]]), null for non-BMP and
+    * constant payloads. Zero shuffle — the [[withImageStats]] batch
+    * shape; the 256-bin histogram and the threshold walk are
+    * per-row-local primitive loops. */
+  def withOtsuStats(df: DataFrame, payloadCol: String): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add(StructField("otsu_stats", otsuStatsType))
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        Row.fromSeq(r.toSeq :+ otsuOfBmp(bytes).orNull)
+      }
+    }(enc)
+  }
+
   /** Partition-wise REAL image decode over a binary column: adds an
     * `image_stats` struct (n_pixels, per-channel means) for 24-bpp
     * uncompressed BMP, non-interlaced 8-bit RGB/RGBA PNG, and baseline

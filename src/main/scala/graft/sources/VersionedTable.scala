@@ -209,13 +209,43 @@ object VersionedTable {
 
   /** (mode, data dirs, batchId) from the manifest JSON. The format is
     * this object's own fixed emission (no nesting, no escapes in dir
-    * names — they are `data/c<v>-<hex>` by construction), so a regex
-    * parse is exact, not approximate. */
+    * names — `data/c<v>-<hex>` by construction, or an absolute source
+    * path written by [[cloneTable]]), so extracting the `dirs` array
+    * block and splitting its quoted entries is exact, not
+    * approximate. */
   private def parseManifest(json: String): (String, Seq[String], Option[Long]) = {
     val mode = "\"mode\":\"([a-z]+)\"".r.findFirstMatchIn(json)
       .map(_.group(1)).getOrElse(sys.error(s"bad manifest: $json"))
-    val dirs = "\"(data/[^\"]+)\"".r.findAllMatchIn(json).map(_.group(1)).toSeq
+    val dirsBlock = "\"dirs\":\\[([^\\]]*)\\]".r.findFirstMatchIn(json)
+      .map(_.group(1)).getOrElse(sys.error(s"bad manifest: $json"))
+    val dirs = "\"([^\"]+)\"".r.findAllMatchIn(dirsBlock).map(_.group(1)).toSeq
     val bid = "\"batchId\":(-?\\d+)".r.findFirstMatchIn(json).map(_.group(1).toLong)
     (mode, dirs, bid)
+  }
+
+  /** Zero-copy CLONE — the "dev branch from prod" primitive: publish
+    * version 1 of `target` whose manifest references the SOURCE
+    * snapshot's data directories by ABSOLUTE path. No data file moves
+    * or copies; the clone materializes instantly at any source size.
+    * Subsequent commits to the clone land under the clone's own
+    * `data/` and the source never sees them (divergence); the clone's
+    * [[vacuum]] can never touch source files — it only deletes
+    * children of the clone's own data root. Caveats, documented not
+    * hidden: source and clone must share a filesystem (the manifest
+    * stores the resolved path), and vacuuming the SOURCE below the
+    * cloned snapshot breaks the clone's pinned version — the standard
+    * shallow-clone retention contract (Delta SHALLOW CLONE documents
+    * the same). Returns the clone's version (always 1). */
+  def cloneTable(spark: SparkSession, src: String, target: String,
+                 version: Option[Long] = None): Long = {
+    val v = version.getOrElse(latestVersion(spark, src))
+    require(v >= 1, s"$src has no committed versions to clone")
+    val dirs = resolveDirs(spark, src, v).map(d => new Path(src, d).toString)
+    require(latestVersion(spark, target) == 0L,
+      s"clone target $target already has committed versions")
+    val manifest =
+      s"""{"version":1,"mode":"clone","dirs":[${dirs.map("\"" + _ + "\"").mkString(",")}]}"""
+    publishManifest(spark, target, 1L, manifest)
+    1L
   }
 }

@@ -120,4 +120,25 @@ class VersionedTableSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy
       VersionedTable.commit(Seq((1L, "x")).toDF("k", "s"), tmp(), mode = "merge")
   }
+
+  test("cloneTable: zero-copy snapshot shares files, diverges privately, vacuums safely") {
+    val src = tmp(); val tgt = tmp()
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), src)
+    VersionedTable.commit(Seq((3L, "c")).toDF("k", "s"), src)
+    VersionedTable.cloneTable(spark, src, tgt) shouldBe 1L
+    // the clone reads the source snapshot without copying a byte
+    VersionedTable.read(spark, tgt).orderBy("k").collect().map(_.getLong(0)).toSeq shouldBe
+      Seq(1L, 2L, 3L)
+    // divergence: appends to the clone never reach the source
+    VersionedTable.commit(Seq((9L, "z")).toDF("k", "s"), tgt)
+    VersionedTable.read(spark, tgt).count() shouldBe 4L
+    VersionedTable.read(spark, src).count() shouldBe 3L
+    // the clone's vacuum must not delete SHARED source files
+    VersionedTable.vacuum(spark, tgt, keepFrom = 2L)
+    VersionedTable.read(spark, src).count() shouldBe 3L
+    VersionedTable.read(spark, tgt, version = Some(2L)).count() shouldBe 4L
+    // contract errors: empty source, occupied target
+    an[Exception] should be thrownBy VersionedTable.cloneTable(spark, tmp(), tmp())
+    an[Exception] should be thrownBy VersionedTable.cloneTable(spark, src, tgt)
+  }
 }

@@ -894,4 +894,40 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
       (0 until nf).map(f => (1L, f))
     all(got.map(_.getLong(2))) shouldBe n.toLong
   }
+
+  test("otsuOfBmp: bimodal image splits at the smallest optimal t, constants drop") {
+    import org.apache.spark.sql.Row
+    // 4x4 BMP: 8 dark pixels (10,10,10), 8 bright (200,200,200)
+    val dark = Array.fill(8 * 3)(10.toByte)
+    val bright = Array.fill(8 * 3)(200.toByte)
+    val bi = Multimodal.bmp24Header(4, 4) ++ dark ++ bright
+    val r = Multimodal.otsuOfBmp(bi).get
+    r.getLong(0) shouldBe 16L                        // n_pixels
+    r.getInt(1) shouldBe 10                          // smallest optimal t
+    r.getLong(2) shouldBe 8L                         // n_below
+    r.getDouble(3) shouldBe 10.0 +- 1e-12            // mean_below
+    r.getDouble(4) shouldBe 200.0 +- 1e-12           // mean_above
+    r.getDouble(5) shouldBe (0.5 * 0.5 * 190.0 * 190.0) +- 1e-9
+    // constant image: no t separates two classes
+    val const = Multimodal.bmp24Header(4, 4) ++ Array.fill(48)(55.toByte)
+    Multimodal.otsuOfBmp(const) shouldBe None
+    // garbage payload
+    Multimodal.otsuOfBmp("nope".getBytes) shouldBe None
+    // channel-order invariance: (0, 15, 30) -> integer luma 15
+    val px = Array[Byte](0, 15, 30) ++ Array.fill(45)(90.toByte)
+    val mixed = Multimodal.bmp24Header(4, 4) ++ px
+    val rm = Multimodal.otsuOfBmp(mixed).get
+    rm.getLong(2) shouldBe 1L       // the single luma-15 pixel below t
+    rm.getDouble(3) shouldBe 15.0 +- 1e-12
+  }
+
+  test("withOtsuStats: null struct for undecodable payloads, stats ride the row") {
+    val good = Multimodal.bmp24Header(4, 4) ++
+      Array.fill(24)(10.toByte) ++ Array.fill(24)(200.toByte)
+    val df = Seq((1L, good), (2L, "junk".getBytes)).toDF("id", "payload")
+    val out = Multimodal.withOtsuStats(df.repartition(2), "payload")
+      .orderBy("id").collect()
+    out(0).getAs[org.apache.spark.sql.Row]("otsu_stats").getInt(1) shouldBe 10
+    out(1).isNullAt(out(1).fieldIndex("otsu_stats")) shouldBe true
+  }
 }
