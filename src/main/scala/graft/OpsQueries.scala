@@ -2253,6 +2253,30 @@ object OpsQueries {
         .orderBy("o_orderpriority")
     }),
 
+    "o14_table_history" -> ((s, dir) => {
+      // time-travel history report: plant append/append/overwrite, then
+      // one row per surviving version — (version, mode, rows, mass) —
+      // every version's content a derivable orders slice, so the oracle
+      // pins the WHOLE history, not just the latest snapshot
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val t = new org.apache.hadoop.fs.Path(wh, "graft_history_orders").toString
+      val fs0 = new org.apache.hadoop.fs.Path(t).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      fs0.delete(new org.apache.hadoop.fs.Path(t), true)
+      val o = table(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 0), t)
+      graft.sources.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 1), t)
+      graft.sources.VersionedTable.commit(o.filter(col("o_orderkey") % 5 === 0), t,
+        mode = "overwrite")
+      graft.sources.VersionedTable.versions(s, t).map { case (v, mode) =>
+        graft.sources.VersionedTable.read(s, t, version = Some(v))
+          .agg(count(lit(1)).as("n_rows"),
+            round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              + lit(5e-10), 6).as("sum_price"))
+          .select(lit(v).as("version"), lit(mode).as("mode"),
+            col("n_rows"), col("sum_price"))
+      }.reduce(_ unionByName _).orderBy("version")
+    }),
     "o13_zero_copy_clone" -> ((s, dir) => {
       // shallow clone: v1+v2 of the source, clone (manifest-only, no
       // data copied), diverge the clone with a third slice — the clone
@@ -6119,6 +6143,20 @@ object OpsQueries {
         "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) + 5e-10, 6) AS sum_price, " +
         "max(o_orderkey) AS max_key " +
         "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "o14_table_history" ->
+      // each version's slice algebra replayed: evens, evens+odds
+      // (append accumulation), then the overwrite's fifth slice
+      ("WITH v1 AS (SELECT 1::BIGINT AS version, 'append' AS mode, count(*)::BIGINT AS n_rows, " +
+        "round(sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE + 5e-10, 6) AS sum_price " +
+        "FROM orders WHERE o_orderkey % 2 = 0), " +
+        "v2 AS (SELECT 2::BIGINT, 'append', count(*)::BIGINT, " +
+        "round(sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE + 5e-10, 6) " +
+        "FROM orders WHERE o_orderkey IS NOT NULL), " +
+        "v3 AS (SELECT 3::BIGINT, 'overwrite', count(*)::BIGINT, " +
+        "round(sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE + 5e-10, 6) " +
+        "FROM orders WHERE o_orderkey % 5 = 0) " +
+        "SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3 " +
+        "ORDER BY version"),
     "o13_zero_copy_clone" ->
       // the two-slice source vs the full three-slice clone, straight
       // off the orders slices the commits planted
