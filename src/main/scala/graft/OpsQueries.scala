@@ -1632,6 +1632,16 @@ object OpsQueries {
       TextAnalysis.pmiCollocations(docs(s, dir), "text", minCount = 5L, topK = 20)
         .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
           round(col("pmi") + lit(5e-10), 6).as("pmi"))),
+    "x28_langid_confusion" -> ((s, dir) =>
+      // the language-ID operator EVALUATED against the corpus labels:
+      // the (label, prediction) confusion census — one compiled
+      // profile projection + one map-side-combined aggregate; the
+      // classifier itself is the thing under oracle here
+      table(s, dir, "documents")
+        .filter(col("lang").isNotNull && col("text").isNotNull)
+        .select(col("lang"), TextAnalysis.languageId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")),
     "q15_drift_panel" -> ((s, dir) => {
       // one-call drift dashboard: the four production measures on one
       // (ref, cur) pair — PSI over fixed bins, exact KS, exact
@@ -4331,6 +4341,15 @@ object OpsQueries {
         "FROM bg JOIN uni cu1 ON cu1.w = bg.w1 JOIN uni cu2 ON cu2.w = bg.w2, tu, tb) " +
         "SELECT w1, w2, c_xy, c_x, c_y, round(pmi + 5e-10, 6) AS pmi " +
         "FROM sc ORDER BY pmi DESC, w1, w2 LIMIT 20"),
+    "x28_langid_confusion" ->
+      // the x2 enrich CTEs + the same argmax language pick, censused
+      // against the stored label
+      (enrichSql("documents") +
+        ", p AS (SELECT d.lang, " + LangPickSql + " AS lang_pred " +
+        "FROM f JOIN documents d ON d.doc_id = f.doc_id " +
+        "WHERE d.lang IS NOT NULL AND d.text IS NOT NULL) " +
+        "SELECT lang, lang_pred, count(*)::BIGINT AS n FROM p " +
+        "GROUP BY 1, 2 ORDER BY lang, lang_pred"),
     "x16_cms_freq" ->
       // exact top-20 replayed; the two CMS guarantee booleans are stable
       // facts of the seed-deterministic grid, pinned TRUE (verified at
