@@ -3813,7 +3813,7 @@ object OpsQueries {
         "(c, i) -> c * ((i * 2654435761) % 1048573))) % 1048573 AS k " +
         "FROM nrm WHERE length(t) > 0) " +
         "SELECT doc_id, (k % 64)::BIGINT AS bucket, " +
-        "CAST(sum(1 - 2 * ((k * 2654435761) % 2)) AS BIGINT) AS weight, " +
+        "CAST(sum(1 - 2 * (((k * 2654435761) >> 12) % 2)) AS BIGINT) AS weight, " +
         "count(*)::BIGINT AS n_terms " +
         "FROM k GROUP BY doc_id, k % 64 ORDER BY doc_id, bucket"),
     "a26_spearman" ->
@@ -3991,7 +3991,7 @@ object OpsQueries {
         "m AS (SELECT i, min(x) AS lo, max(x) AS hi FROM tk GROUP BY i), " +
         "q AS (SELECT i, x AS qx FROM tk WHERE vec_id = 0), " +
         "cd AS (SELECT t.vec_id, t.i, CASE WHEN hi - lo > 0 " +
-        "THEN least(255.0, floor((t.x - lo) * 256.0 / (hi - lo))) ELSE 0.0 END AS c, " +
+        "THEN greatest(0.0, least(255.0, floor((t.x - lo) * 256.0 / (hi - lo)))) ELSE 0.0 END AS c, " +
         "lo, hi FROM tk t JOIN m USING (i)), " +
         "sc AS (SELECT vec_id, sum(qx * (lo + (c + 0.5) * (hi - lo) / 256.0)) AS score " +
         "FROM cd JOIN q USING (i) GROUP BY vec_id) " +

@@ -258,9 +258,11 @@ object Association {
       Seq(count(lit(1)).as("__n")) ++
       cols.flatMap(c => Seq(
         sum(rx(c).cast(dec)).as(s"__s_$c"),
-        sum((rx(c) * rx(c)).cast(dec)).as(s"__ss_$c"))) ++
+        // cast EACH factor before the multiply: doubled ranks reach ~2n,
+        // so a long×long product would silently wrap past n ≈ 1.5e9 rows
+        sum(rx(c).cast(dec) * rx(c).cast(dec)).as(s"__ss_$c"))) ++
       pairs.map { case (cx, cy) =>
-        sum((rx(cx) * rx(cy)).cast(dec)).as(s"__sp_${cx}_$cy") }
+        sum(rx(cx).cast(dec) * rx(cy).cast(dec)).as(s"__sp_${cx}_$cy") }
     val sums = ranked.agg(aggs.head, aggs.tail: _*)
     val perPair = pairs.map { case (cx, cy) =>
       val n = col("__n").cast("double")
@@ -291,9 +293,11 @@ object Association {
     * exactly once by the census aggregate. Continuous near-unique
     * columns belong in [[spearmanMatrix]], which is linear. All counts
     * fold as DECIMAL(38,0), so the t23 oracle's HUGEINT sums replay
-    * tau bit-for-bit; n₀ = n(n−1)/2 stays in long arithmetic, which
-    * bounds n at ~3·10⁹ rows per call (pre-bucket or sample beyond
-    * that — the pair COUNT itself leaves double precision there too).
+    * tau bit-for-bit; n₀ = n(n−1)/2 and the tie pairs t(t−1)/2 are
+    * computed EXACTLY in decimal (halve the even factor with a bit
+    * shift, then a decimal multiply — never long×long, never double
+    * division), so the counting never wraps or rounds at any row
+    * count; only tau_b's final √ denominator is double.
     * Returns one row:
     * (n, n_cells, concordant, discordant, tau_b); tau_b NULL when
     * either margin is constant. */
@@ -309,6 +313,13 @@ object Association {
       s"kendallTau is quadratic in census cells: got $nCells (> maxCells $maxCells) " +
         "— bucket the columns first, or use spearmanMatrix for continuous data")
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    // exact k·(k−1)/2 over long counts: halve the EVEN factor first
+    // (one of k, k−1 always is) with a bit shift, then multiply in
+    // DECIMAL — no double division (loses exactness past 2^53) and no
+    // long×long wrap, matching the oracle's integer `//` bit-for-bit
+    def choose2(k: org.apache.spark.sql.Column) =
+      when(pmod(k, lit(2L)) === 0, dec(shiftright(k, 1)) * dec(k - 1))
+        .otherwise(dec(k) * dec(shiftright(k - 1, 1)))
     val a = cells.select(col("__x").as("__x1"), col("__y").as("__y1"), col("__c").as("__c1"))
     val b = cells.select(col("__x").as("__x2"), col("__y").as("__y2"), col("__c").as("__c2"))
     val cd = a.join(b, col("__x1") < col("__x2"))
@@ -316,9 +327,9 @@ object Association {
         coalesce(sum(when(col("__y1") < col("__y2"), dec(col("__c1") * col("__c2")))), dec(lit(0))).as("__C"),
         coalesce(sum(when(col("__y1") > col("__y2"), dec(col("__c1") * col("__c2")))), dec(lit(0))).as("__D"))
     def tiePairs(k: String) = cells.groupBy(col(k)).agg(sum("__c").as("__t"))
-      .agg(coalesce(sum(dec(col("__t") * (col("__t") - 1) / 2)), dec(lit(0))).as(s"__tie"))
+      .agg(coalesce(sum(choose2(col("__t"))), dec(lit(0))).as(s"__tie"))
     val nf = cells.agg(sum("__c").as("__n"), count(lit(1)).as("__cells"))
-    val n0 = (col("__n") * (col("__n") - 1) / 2).cast("double")
+    val n0 = choose2(col("__n")).cast("double")
     val den = sqrt((n0 - col("__t1").cast("double")) * (n0 - col("__t2").cast("double")))
     nf.crossJoin(broadcast(cd))
       .crossJoin(broadcast(tiePairs("__x").select(col("__tie").as("__t1"))))

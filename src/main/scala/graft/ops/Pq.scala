@@ -281,11 +281,15 @@ object Pq {
     SqModel(perDim.map(_._2).toSeq, perDim.map(_._3).toSeq)
   }
 
-  /** SQ8 encode: code_i = min(255, ⌊(x_i − lo_i)·256/(hi_i − lo_i)⌋),
+  /** SQ8 encode: code_i = max(0, min(255, ⌊(x_i − lo_i)·256/(hi_i − lo_i)⌋)),
     * 0 on a degenerate (constant) dimension. Floor-of-256 rather than
     * round-of-255 deliberately: floor has no half-point tie for two
     * engines to disagree on, so every code is an exact integer fact of
-    * the data. One zero-shuffle projection pass against literal range
+    * the data. Clamped BOTH sides: the train-once-encode-later flow
+    * hands this model fresh vectors that can fall outside the trained
+    * per-dimension range, and a negative code would make [[sqSearch]]'s
+    * mid-rise reconstruction extrapolate instead of saturating at the
+    * range edge. One zero-shuffle projection pass against literal range
     * arrays (the clampToBounds literal-attach gate). */
   def sqEncode(corpus: DataFrame, idCol: String, vecCol: String,
                model: SqModel): DataFrame = {
@@ -300,7 +304,8 @@ object Pq {
           val lo = element_at(loLit, i + 1)
           val span = element_at(spanLit, i + 1)
           when(span > 0,
-            least(lit(255.0), floor((x - lo) * lit(256.0) / span)))
+            greatest(lit(0.0),
+              least(lit(255.0), floor((x - lo) * lit(256.0) / span))))
             .otherwise(lit(0.0)).cast("int")
         }).as("codes"))
   }

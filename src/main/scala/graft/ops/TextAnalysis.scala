@@ -601,9 +601,14 @@ object TextAnalysis {
         pmod(aggregate(weighted, lit(0L), (a, x) => a + x), lit(p))
       })
       // bucket from the key's residue; sign from an INDEPENDENT bit —
-      // remix with the Knuth multiplier so sign ⟂ bucket parity
+      // the Knuth-multiplied product's bit 12, NOT its low bit (an odd
+      // multiplier preserves the low bit, which even bucket counts pin
+      // per bucket; a mid bit mixes all key bits, so colliding tokens
+      // within a bucket can carry opposite signs and cancel — the
+      // Weinberger zero-mean collision property)
       .withColumn("__b", pmod(col("__k"), lit(buckets.toLong)))
-      .withColumn("__s", lit(1L) - lit(2L) * pmod(col("__k") * lit(2654435761L), lit(2L)))
+      .withColumn("__s", lit(1L) - lit(2L) *
+        pmod(shiftright(col("__k") * lit(2654435761L), 12), lit(2L)))
     keyed.groupBy(col(idCol), col("__b").as("bucket"))
       .agg(sum(col("__s")).as("weight"), count(lit(1)).as("n_terms"))
   }

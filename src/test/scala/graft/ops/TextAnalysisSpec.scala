@@ -367,7 +367,7 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     def key(t: String): Long =
       t.zipWithIndex.map { case (c, i) => c.toLong * (((i + 1) * 2654435761L) % p) }.sum % p
     def bucket(t: String): Long = key(t) % 16
-    def sign(t: String): Long = 1L - 2L * ((key(t) * 2654435761L) % 2)
+    def sign(t: String): Long = 1L - 2L * (((key(t) * 2654435761L) >> 12) % 2)
     val docs = Seq((1L, "alpha beta alpha Gamma!"), (2L, "alpha"), (3L, ""))
     val want = docs.flatMap { case (id, text) =>
       text.toLowerCase.split("\\s+").map(_.replaceAll("[^a-z0-9]", ""))
