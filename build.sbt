@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// No "[success] Total time: …" footer, and the forked JVM writes RAW
+// to stdout (no "[info] " logger prefix): the bench driver
+// machine-parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as the result JSON, and both sbt decorations otherwise break that
+// parse (every prior round's official record carried parsed:null).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,6 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  /** One query's timed-pass record: the median rep's wall seconds plus
+    * that SAME rep's GC and JIT compilation time — the two numbers that
+    * classify a round-over-round mover as environment (GC/JIT churn)
+    * vs plan (neither moved). sec = -1 marks a failed query. */
+  private case class QRes(name: String, sec: Double, gcMs: Long, jitMs: Long)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -72,6 +79,21 @@ object Bench {
     val drainOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_DRAIN", "1") != "0"
     def drain(): Unit =
       if (drainOn) { System.gc(); Thread.sleep(50); System.gc() }
+    // Per-rep environment telemetry (the neighbor-pollution classifier):
+    // GC time and JIT compilation time accumulated INSIDE the rep's
+    // timed span. A query whose seconds move round-over-round while its
+    // plan is untouched is classified by these — gc_ms/jit_ms moving
+    // with it says environment (heap pressure, code-cache churn, a
+    // concurrent process stealing cores shows as neither), flat
+    // telemetry with moved seconds says the plan itself changed.
+    import scala.jdk.CollectionConverters._
+    def gcTotalMs(): Long =
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).filter(_ >= 0).sum
+    val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
+    def jitTotalMs(): Long =
+      if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported)
+        jitBean.getTotalCompilationTime else -1L
     // JVM-health telemetry, printed after every pass: code-heap and
     // metaspace occupancy. The round-10 sweep inflated late-alphabet
     // queries 2-5x with untouched code (x9 17.9 s in-sweep vs 4.3 s
@@ -79,7 +101,6 @@ object Bench {
     // guessing game into a read-off — a near-full CodeHeap or a
     // metaspace ramp across passes IS the diagnosis.
     def jvmHealth(tag: String): Unit = {
-      import scala.jdk.CollectionConverters._
       val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
         .filter(p => p.getName.startsWith("CodeHeap") || p.getName == "Metaspace")
       val s = pools.map { p =>
@@ -103,57 +124,97 @@ object Bench {
                 "bench numbers would measure code-cache thrash, not queries; aborting")
         }
     }
-    def timedPass(dir: String, tag: String): Seq[(String, Double)] = {
+    def timedPass(dir: String, tag: String): Seq[QRes] = {
       val out = ordered.map { case (name, fn) =>
         // drain before EVERY rep, not just per query: a shuffle-heavy
         // query's reps otherwise stack tens of GB of not-yet-collected
         // shuffle files inside one median block (d3's median read 86 s
         // in a full run vs 11-13 s isolated; disk pressure, not compute)
-        val times = (1 to repeats).map { i =>
+        val reps = (1 to repeats).map { i =>
           drain()
+          val g0 = gcTotalMs(); val j0 = jitTotalMs()
           val t0 = System.nanoTime()
           val ok = try { consume(fn(spark, dir)); true } catch {
             case e: Throwable =>
               System.err.println(s"[$tag] $name rep $i FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
               false
           }
-          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+          val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+          (sec, gcTotalMs() - g0, if (j0 < 0) -1L else jitTotalMs() - j0)
         }
-        val sec = if (times.contains(-1.0)) -1.0 else times.sorted.apply(times.size / 2)
-        System.err.println(f"[$tag] $name%-22s $sec%8.2f s  (reps ${times.map(t => f"$t%.2f").mkString("/")})")
-        name -> sec
+        // the median rep carries its OWN telemetry: the pairing is what
+        // lets a reader attribute that specific measurement
+        val r = if (reps.exists(_._1 < 0)) QRes(name, -1.0, -1L, -1L) else {
+          val (s, g, j) = reps.sortBy(_._1).apply(reps.size / 2)
+          QRes(name, s, g, j)
+        }
+        System.err.println(f"[$tag] $name%-22s ${r.sec}%8.2f s  (reps ${reps.map(t => f"${t._1}%.2f").mkString("/")})  gc ${r.gcMs}%dms jit ${r.jitMs}%dms")
+        r
       }
       jvmHealth(tag)
       out
     }
     def toJson(r: Seq[(String, Double)]): String =
       r.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def toJsonL(r: Seq[(String, Long)]): String =
+      r.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     // A total must sum only queries that RAN: -1.0 failure sentinels would
     // otherwise silently subtract from it (round 8's recorded 37.1 s was
     // really 46.1 s over the live queries — nine -1.0s hid 9 s). The
     // failure count is emitted alongside so a "fast" total with failures
     // can never read as a clean win.
-    def liveTotal(r: Seq[(String, Double)]): Double = r.map(_._2).filter(_ >= 0).sum
-    def nFailed(r: Seq[(String, Double)]): Int = r.count(_._2 < 0)
-    // Isolated re-timing for the heavy tail: a long shared-JVM sweep
-    // inflates its most expensive queries ~1.5-2x through accumulated GC
-    // pressure even with the codegen-cache and drain fixes (d15 measured
-    // 38 s isolated vs 60.8 s in-sweep at sf10, a23 59 vs 67.3 — same
-    // code, same data). For any query whose sweep median exceeds the
-    // threshold, re-run it in a FRESH child JVM (same flags as this one,
-    // cloned from RuntimeMXBean) and record BOTH numbers, so the JSON's
-    // heavy tail measures the operator, not the suite. Bounded to the
-    // top `isoMax` offenders; the child runs Bench restricted to the one
-    // query with isolation and extra scales disabled (no recursion).
+    def liveTotal(r: Seq[QRes]): Double = r.map(_.sec).filter(_ >= 0).sum
+    def nFailed(r: Seq[QRes]): Int = r.count(_.sec < 0)
+    // --- round-over-round regression gate -------------------------------
+    // The round-12 official record carried x4_tfidf at 8.01 s and
+    // q8_seasonal_decompose at 4.13 s — ~10x their committed prior
+    // records with UNTOUCHED code — and the 10 s absolute isolation
+    // threshold never cross-checked them. The gate is relative, not
+    // absolute: any query whose sweep median exceeds REG_FACTOR x its
+    // median in the previous COMMITTED bench record (bench_out.json at
+    // process start, i.e. the repo's checked-in prior round) joins the
+    // fresh-child-JVM isolation set regardless of absolute seconds, and
+    // both numbers land in the JSON under "regressions". A tiny floor
+    // keeps 30 ms -> 100 ms jitter from spawning child JVMs.
+    val regFactor = sys.env.getOrElse("SPARK_GRAFT_BENCH_REG_FACTOR", "3").toDouble
+    val regFloor = sys.env.getOrElse("SPARK_GRAFT_BENCH_REG_FLOOR", "0.2").toDouble
+    val priorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV",
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+    def loadPrior(key: String): Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(priorPath)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      // [{,] anchors the exact key: a bare "queries":{ search would land
+      // inside "isolated_queries":{ first
+      val m = java.util.regex.Pattern.compile("[{,]\"" + key + "\":\\{([^}]*)\\}").matcher(txt)
+      if (!m.find()) Map.empty
+      else "\"([A-Za-z0-9_]+)\":(-?[0-9][0-9.eE+-]*)".r.findAllMatchIn(m.group(1))
+        .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
+    } catch { case _: Exception => Map.empty }
+    def regressions(rows: Seq[QRes], prior: Map[String, Double]): Seq[(String, Double, Double)] =
+      rows.filter(_.sec > 0).flatMap { r =>
+        prior.get(r.name)
+          .filter(p => p > 0 && r.sec > regFactor * p && r.sec > regFloor)
+          .map(p => (r.name, p, r.sec))
+      }
+    // Isolated re-timing for the heavy tail AND the regression set: a
+    // long shared-JVM sweep inflates its most expensive queries ~1.5-2x
+    // through accumulated GC pressure even with the codegen-cache and
+    // drain fixes (d15 measured 38 s isolated vs 60.8 s in-sweep at
+    // sf10, a23 59 vs 67.3 — same code, same data). For any query whose
+    // sweep median exceeds the absolute threshold OR regressed >3x its
+    // prior committed record, re-run it in a FRESH child JVM (same flags
+    // as this one, cloned from RuntimeMXBean) and record BOTH numbers,
+    // so the JSON's heavy tail measures the operator, not the suite.
+    // Bounded to the top `isoMax` offenders per class; the child runs
+    // Bench restricted to the one query with isolation and extra scales
+    // disabled (no recursion).
     val isoThreshold = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISO_SEC", "10").toDouble
     val isoMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISO_MAX", "10").toInt
     val isoOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0" && isoMax > 0
-    def isolatedRerun(passResults: Seq[(String, Double)], dir: String, tag: String): Seq[(String, Double)] = {
+    def isolatedRerun(targets: Seq[(String, Double)], dir: String, tag: String): Seq[(String, Double)] = {
       if (!isoOn) return Seq.empty
-      val heavy = passResults.filter(_._2 > isoThreshold).sortBy(-_._2).take(isoMax)
-      heavy.flatMap { case (name, sweepSec) =>
+      targets.flatMap { case (name, sweepSec) =>
         val rt = java.lang.management.ManagementFactory.getRuntimeMXBean
-        import scala.jdk.CollectionConverters._
         val javaBin = new java.io.File(new java.io.File(sys.props("java.home"), "bin"), "java").getPath
         val tmp = java.nio.file.Files.createTempFile("graft_iso_", ".json")
         val cmd = (Seq(javaBin) ++ rt.getInputArguments.asScala.filterNot(_.startsWith("-agentlib"))
@@ -184,10 +245,32 @@ object Bench {
         }
       }
     }
+    /** The full per-scale JSON fragment: queries + telemetry maps +
+      * regressions vs the prior committed record + isolated reruns of
+      * (heavy ∪ regressed). `prefix` is "" for the main sf0.1 pass,
+      * "sf1_"/"sf10_" for the extra scales. */
+    def passJson(rows: Seq[QRes], dir: String, tag: String, prefix: String,
+                 priorKey: String): String = {
+      val prior = loadPrior(priorKey)
+      val regs = regressions(rows, prior).sortBy(-_._3).take(isoMax)
+      val heavy = rows.filter(_.sec > isoThreshold).sortBy(-_.sec).take(isoMax)
+        .map(r => r.name -> r.sec)
+      val targets = (heavy ++ regs.map(r => (r._1, r._3)).filterNot(t => heavy.exists(_._1 == t._1)))
+      regs.foreach { case (n, p, s) =>
+        System.err.println(f"[$tag-reg] $n%-22s prior $p%.2f s -> sweep $s%.2f s (>${regFactor}%.0fx) — isolating") }
+      val iso = isolatedRerun(targets, dir, tag)
+      val isoJson = if (iso.isEmpty) "" else s""","${prefix}isolated_queries":${toJson(iso)}"""
+      val regJson = if (regs.isEmpty) "" else
+        s""","${prefix}regressions":{""" + regs.map { case (n, p, s) =>
+          s""""$n":{"prior":$p,"sweep":$s}""" }.mkString(",") + "}"
+      s""""${prefix}queries":${toJson(rows.map(r => r.name -> r.sec))}""" +
+        s""","${prefix}gc_ms":${toJsonL(rows.map(r => r.name -> r.gcMs))}""" +
+        s""","${prefix}jit_ms":${toJsonL(rows.map(r => r.name -> r.jitMs))}""" +
+        isoJson + regJson
+    }
     val results = timedPass(sfDir, "bench")
     val total = liveTotal(results)
-    val iso0 = isolatedRerun(results, sfDir, "bench")
-    val isoJson0 = if (iso0.isEmpty) "" else s""","isolated_queries":${toJson(iso0)}"""
+    val mainJson = passJson(results, sfDir, "bench", "", "queries")
     // Extra-scale passes are OPT-IN: at 220+ queries a 3-scale sweep runs
     // ~1.6 h, past the driver's bench budget — round 11's official record
     // came back rc=124/parsed:null because these passes ran by default
@@ -207,9 +290,9 @@ object Bench {
       skipped ::= "sf1"; ""
     } else {
       val r1 = timedPass(sf1Dir, "bench-sf1")
-      val i1 = isolatedRerun(r1, sf1Dir, "bench-sf1")
-      val ij = if (i1.isEmpty) "" else s""","sf1_isolated_queries":${toJson(i1)}"""
-      s""","sf1_total":${liveTotal(r1)},"sf1_failed":${nFailed(r1)},"sf1_queries":${toJson(r1)},"sf1_dir":"$sf1Dir"$ij"""
+      s""","sf1_total":${liveTotal(r1)},"sf1_failed":${nFailed(r1)},""" +
+        passJson(r1, sf1Dir, "bench-sf1", "sf1_", "sf1_queries") +
+        s""","sf1_dir":"$sf1Dir""""
     }
     // 100x scale check, same per-rep drain + median discipline as every
     // other pass. SPARK_GRAFT_SF10=0 additionally skips it even when the
@@ -220,13 +303,13 @@ object Bench {
       skipped ::= "sf10"; ""
     } else {
       val r10 = timedPass(sf10Dir, "bench-sf10")
-      val i10 = isolatedRerun(r10, sf10Dir, "bench-sf10")
-      val ij = if (i10.isEmpty) "" else s""","sf10_isolated_queries":${toJson(i10)}"""
-      s""","sf10_total":${liveTotal(r10)},"sf10_failed":${nFailed(r10)},"sf10_queries":${toJson(r10)},"sf10_dir":"$sf10Dir"$ij"""
+      s""","sf10_total":${liveTotal(r10)},"sf10_failed":${nFailed(r10)},""" +
+        passJson(r10, sf10Dir, "bench-sf10", "sf10_", "sf10_queries") +
+        s""","sf10_dir":"$sf10Dir""""
     }
     val skippedJson = if (skipped.isEmpty) "" else
       s""","skipped_scales":"${skipped.sorted.mkString(",")}""""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","failed":${nFailed(results)},"queries":${toJson(results)},"sf":"$sfDir"$isoJson0$sf1$sf10$skippedJson}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","failed":${nFailed(results)},$mainJson,"sf":"$sfDir"$sf1$sf10$skippedJson}"""
     // Persist the full JSON to a file — the durable record for
     // round-over-round per-query comparison.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
@@ -235,12 +318,13 @@ object Bench {
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     // stop() BEFORE the JSON println: the driver machine-parses the LAST
-    // stdout line (BENCH_r07/r08 recorded "parsed": null), and Spark's
-    // shutdown can emit stray stdout after our print if it runs last.
-    // Under sbt even that is not enough — sbt appends its own
-    // "[success] Total time: …" footer as the true last line — so the
-    // JSON is ALSO printed with a grep-able marker prefix: a driver that
-    // misses the last-line parse can recover it via `grep ^BENCH_JSON:`.
+    // stdout line, and Spark's shutdown can emit stray stdout after our
+    // print if it runs last. Under sbt the true last line used to be
+    // sbt's own "[success] Total time: …" footer — build.sbt now sets
+    // `Global / showSuccess := false` so THIS println is the final
+    // stdout line and the driver's `parsed` field fills. The grep-able
+    // marker line stays as the fallback recovery path
+    // (`grep ^BENCH_JSON:`).
     spark.stop()
     println("BENCH_JSON: " + json)
     println(json)
