@@ -224,17 +224,30 @@ object Association {
     * keyed (feature) over bucket censuses and (feature, bucket), never
     * one task per feature), and the tie-averaged rank is the closed
     * form (2·below + cnt + 1)/2 — census algebra, no per-row window at
-    * all. DOUBLED ranks keep everything integral: each column's rank
-    * frame joins back by value, and one final aggregate folds the
-    * pairwise sums as DECIMAL(38,0) — exact at any scale, and exactly
-    * what an external engine's HUGEINT sums reproduce (the a26
-    * oracle replays rho bit-for-bit; doubling cancels in the formula
-    * by powers of two). rho = (n·Sxy − Sx·Sy) /
-    * (√(n·Sxx − Sx²)·√(n·Syy − Sy²)) over x = 2·rank.
-    * Returns (col_x, col_y, n, rho) per pair; rho NULL for a constant
-    * column. */
-  def spearmanMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    * all. The census is PERSISTED and executed once (the t15 logRank
+    * lesson — the unpersisted version recomputed the whole census
+    * pipeline k times, once per rank-attach join), its per-feature NDV
+    * read off the cache, and each column's rank frame then attaches by
+    * value as an EXPLICIT broadcast-hash join when its census fits
+    * (`maxBroadcastCells`, default 4M value rows ≈ tens of MB) — the k
+    * probes chain inside one codegen stage over a single scan of the
+    * complete-case frame, no fact-side shuffle at all (sf10: 41 s as
+    * k sort-merge joins → one-scan). A census wider than the gate
+    * falls back to a shuffled join for that column only. DOUBLED ranks
+    * keep everything integral: the final aggregate folds the pairwise
+    * sums as DECIMAL(38,0) — exact at any scale, and exactly what an
+    * external engine's HUGEINT sums reproduce (the a26 oracle replays
+    * rho bit-for-bit; doubling cancels in the formula by powers of
+    * two). The sums row is collected (ONE aggregate row — the D1
+    * aggregates-only contract) and the per-pair result is literal-
+    * lifted, computing rho = (n·Sxy − Sx·Sy) /
+    * (√(n·Sxx − Sx²)·√(n·Syy − Sy²)) driver-side in the identical
+    * double-op order. Returns (col_x, col_y, n, rho) per pair; rho
+    * NULL for a constant column. */
+  def spearmanMatrix(df: DataFrame, cols: Seq[String],
+                     maxBroadcastCells: Long = 4000000L): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
+    val spark = df.sparkSession
     val complete = cols.foldLeft(df)((d, c) => d.filter(col(c).isNotNull))
       .select(cols.map(c => col(c).cast("double").as(c)): _*)
     val melted = complete.select(
@@ -243,38 +256,65 @@ object Association {
       .select(col("__m.f").as("__f"), col("__m.x").as("__x"))
     // (feature, value) -> doubled tie-averaged rank, census-sized
     val twoRanks = Quantiles.valueCumBefore(melted)
-      .select(col("__f"), col("__x"),
+      .select(col("__f"), col("__x"), col("__c"),
         (col("__before") * 2 + col("__c") + 1).as("__r2"))
-    // attach each column's doubled rank by value (k census joins)
-    val ranked = cols.foldLeft(complete) { (d, c) =>
-      val r = twoRanks.filter(col("__f") === c)
-        .select(col("__x").as(c), col("__r2").as(s"__r2_$c"))
-      d.join(r, Seq(c))
-    }
-    val pairs = cols.combinations(2).map { case Seq(cx, cy) => (cx, cy) }.toSeq
-    val dec = "decimal(38,0)"
-    val rx = (c: String) => col(s"__r2_$c")
-    val aggs =
-      Seq(count(lit(1)).as("__n")) ++
-      cols.flatMap(c => Seq(
-        sum(rx(c).cast(dec)).as(s"__s_$c"),
-        // cast EACH factor before the multiply: doubled ranks reach ~2n,
-        // so a long×long product would silently wrap past n ≈ 1.5e9 rows
-        sum(rx(c).cast(dec) * rx(c).cast(dec)).as(s"__ss_$c"))) ++
-      pairs.map { case (cx, cy) =>
-        sum(rx(cx).cast(dec) * rx(cy).cast(dec)).as(s"__sp_${cx}_$cy") }
-    val sums = ranked.agg(aggs.head, aggs.tail: _*)
-    val perPair = pairs.map { case (cx, cy) =>
-      val n = col("__n").cast("double")
-      val sx = col(s"__s_$cx").cast("double"); val sy = col(s"__s_$cy").cast("double")
-      val sxx = col(s"__ss_$cx").cast("double"); val syy = col(s"__ss_$cy").cast("double")
-      val sxy = col(s"__sp_${cx}_$cy").cast("double")
-      val den = sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)
-      sums.select(lit(cx).as("col_x"), lit(cy).as("col_y"),
-        col("__n").as("n"),
-        when(den > 0, (n * sxy - sx * sy) / den).as("rho"))
-    }
-    perPair.reduce(_ unionByName _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // one census-sized pass yields BOTH the per-feature NDV (the
+      // broadcast gate) and the exact row count n = Σ cell counts (the
+      // long-vs-decimal multiply gate below)
+      val censusStats = twoRanks.groupBy("__f")
+        .agg(count(lit(1)).as("__cnt"), sum("__c").as("__rows"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val ndv = censusStats.map { case (f, (cnt, _)) => f -> cnt }
+      val nExact = censusStats.values.headOption.map(_._2).getOrElse(0L)
+      // attach each column's doubled rank by value: k cached-census
+      // probes, broadcast when the census fits
+      val ranked = cols.foldLeft(complete) { (d, c) =>
+        val r = twoRanks.filter(col("__f") === c)
+          .select(col("__x").as(c), col("__r2").as(s"__r2_$c"))
+        d.join(if (ndv.getOrElse(c, Long.MaxValue) <= maxBroadcastCells)
+          broadcast(r) else r, Seq(c))
+      }
+      val pairs = cols.combinations(2).map { case Seq(cx, cy) => (cx, cy) }.toSeq
+      val dec = "decimal(38,0)"
+      val rx = (c: String) => col(s"__r2_$c")
+      // doubled ranks reach 2n, so a long×long rank product is exact
+      // only while (2n+1)² fits a long — n < ~1.5e9. The gate is the
+      // EXACT n just read off the census (never an estimate): below it,
+      // multiply in long and pay decimal only at the sum (the hot 60M-
+      // row loop keeps primitive multiplies); at or past it, cast each
+      // factor to decimal first — bit-identical results either way,
+      // never a silent wrap (the round-12 advisory).
+      val longMulSafe = nExact < 1500000000L
+      def prod(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        if (longMulSafe) (a * b).cast(dec) else a.cast(dec) * b.cast(dec)
+      val aggs =
+        Seq(count(lit(1)).as("__n")) ++
+        cols.flatMap(c => Seq(
+          sum(rx(c).cast(dec)).as(s"__s_$c"),
+          sum(prod(rx(c), rx(c))).as(s"__ss_$c"))) ++
+        pairs.map { case (cx, cy) =>
+          sum(prod(rx(cx), rx(cy))).as(s"__sp_${cx}_$cy") }
+      // the ONE aggregate row, read while the census cache is live
+      val row = ranked.agg(aggs.head, aggs.tail: _*).collect().head
+      val nRows = row.getLong(row.fieldIndex("__n"))
+      def d(name: String): Option[Double] =
+        Option(row.getDecimal(row.fieldIndex(name))).map(_.doubleValue)
+      val out = pairs.map { case (cx, cy) =>
+        val rho = for {
+          sx <- d(s"__s_$cx"); sy <- d(s"__s_$cy")
+          sxx <- d(s"__ss_$cx"); syy <- d(s"__ss_$cy")
+          sxy <- d(s"__sp_${cx}_$cy")
+          n = nRows.toDouble
+          den = math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+          if den > 0
+        } yield (n * sxy - sx * sy) / den
+        (cx, cy, nRows, rho)
+      }
+      import spark.implicits._
+      out.toDF("col_x", "col_y", "n", "rho")
+    } finally { twoRanks.unpersist(); () }
   }
 
   /** Kendall's tau-b for two DISCRETE/ordinal columns from the (x, y)
