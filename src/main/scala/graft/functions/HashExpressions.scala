@@ -620,14 +620,47 @@ case class SanitizeStrat(child: Expression)
     copy(child = newChild)
 }
 
-/** Base for the vector-math expressions: both children must evaluate to
-  * array<double> (callers cast float embeddings up front). */
+/** Base for the vector-math expressions: children evaluate to
+  * array<float> OR array<double>, read natively — no Cast node. The
+  * defensive `cast("array<double>")` the wrappers used to inject made
+  * every float-embedding comparison ALLOCATE two widened copies per
+  * pair (the s8 candidate join: ~8M pairs × 2 × 64-element arrays of
+  * pure GC churn, in a Project already outside whole-stage codegen
+  * because of the CodegenFallback boundary). float→double widening is
+  * IEEE-exact and happens here per ELEMENT in the same accumulation
+  * order, so results are bit-identical to the cast formulation. Any
+  * other element type fails analysis with a cast-first message. */
 abstract class BinaryVectorExpression extends Expression with CodegenFallback {
   def left: Expression
   def right: Expression
   override def children: Seq[Expression] = Seq(left, right)
   override def nullable: Boolean = left.nullable || right.nullable
   override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<float> or array<double> inputs, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString} — " +
+          "cast to array<double> first")
+  }
+
+  @transient protected final lazy val leftIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient protected final lazy val rightIsFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  // one predictable branch per element — the JIT hoists the instance-
+  // final boolean out of the loop; no boxing, no lambda dispatch
+  protected final def elemL(a: ArrayData, i: Int): Double =
+    if (leftIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+  protected final def elemR(b: ArrayData, i: Int): Double =
+    if (rightIsFloat) b.getFloat(i).toDouble else b.getDouble(i)
 
   protected def compute(a: ArrayData, b: ArrayData): Double
 
@@ -640,21 +673,21 @@ abstract class BinaryVectorExpression extends Expression with CodegenFallback {
   }
 }
 
-/** Dot product of two double arrays (length = min of the two). */
+/** Dot product of two numeric arrays (length = min of the two). */
 case class DotProduct(left: Expression, right: Expression) extends BinaryVectorExpression {
   override def prettyName: String = "dot_product"
   override protected def compute(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0
     var i = 0
-    while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) { dot += elemL(a, i) * elemR(b, i); i += 1 }
     dot
   }
   override protected def withNewChildrenInternal(l: IndexedSeq[Expression]): DotProduct =
     copy(left = l(0), right = l(1))
 }
 
-/** Cosine similarity of two double arrays; 0.0 when either norm is 0.
+/** Cosine similarity of two numeric arrays; 0.0 when either norm is 0.
   * One pass accumulating dot and both norms — the HOF formulation
   * (`aggregate(zip_with(...))` x5, interpreted, no common-subexpression
   * elimination under CodegenFallback) costs ~15 array traversals. Same
@@ -668,8 +701,8 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryVectorEx
     var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getDouble(i)
-      val y = b.getDouble(i)
+      val x = elemL(a, i)
+      val y = elemR(b, i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
@@ -1059,17 +1092,19 @@ object HashFunctions {
                   langs: Seq[(String, Seq[String])]): Column =
     ColumnBridge.column(TextProfile(expr(text), stop, langs))
 
-  // The defensive cast is a no-op for already-double arrays but protects
-  // against reading a float-backed ArrayData as doubles (garbage bytes).
+  // No defensive double-cast here: the expressions read float- and
+  // double-backed ArrayData natively (element-wise widening, bit-
+  // identical), and the cast node cost two widened array ALLOCATIONS
+  // per comparison on float embeddings — the s8/d5 candidate joins'
+  // dominant GC load. Other element types fail analysis with a clear
+  // cast-first message instead of reading garbage bytes.
   /** Dot product of two numeric-array columns. */
   def dotProduct(a: Column, b: Column): Column =
-    ColumnBridge.column(DotProduct(
-      expr(a.cast("array<double>")), expr(b.cast("array<double>"))))
+    ColumnBridge.column(DotProduct(expr(a), expr(b)))
 
   /** Cosine similarity of two numeric-array columns (0.0 on zero norm). */
   def cosineSim(a: Column, b: Column): Column =
-    ColumnBridge.column(CosineSim(
-      expr(a.cast("array<double>")), expr(b.cast("array<double>"))))
+    ColumnBridge.column(CosineSim(expr(a), expr(b)))
 
   /** Indices of the `nprobe` nearest (highest-cosine) codebook centroids. */
   def nearestCentroids(vec: Column, cents: Seq[Seq[Double]], nprobe: Int): Column =
