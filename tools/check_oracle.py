@@ -7,8 +7,31 @@ Reads each <out>/<query> parquet written by graft.Verify, runs the matching
 oracle SQL from <out>/oracle_sql.json in DuckDB over the same sf tables,
 and compares: columns sorted by name, rows compared after a stable sort,
 numerics cell-wise (exact + 1e-9-tolerance report).
+
+The round-12 oracle gotchas are ENCODED here as automatic checks, so a
+query author cannot re-trip them silently:
+  * LINT (hard FAIL before execution): an arithmetic product involving a
+    bare INT32/INT16/INT8 base-table column — DuckDB multiplies INTEGERs
+    in INTEGER and wraps at 2^31 (the t22 Lehmer-key overflow); write
+    col::BIGINT * ... instead.
+  * LINT (hard FAIL): sum(<bare int column>) — DuckDB returns HUGEINT,
+    which lands as float64/object in pandas and hash-mismatches Spark's
+    int64; write sum(col)::BIGINT or sum(col::BIGINT).
+  * LINT (warning): unnest(range(...)) together with a later OR filter —
+    DuckDB cannot bind a correlated unnest alias in a later CTE filter
+    with OR (the p7 lesson); join a bounded unnest table instead.
+  * WARN (runtime): a float column containing -0.0 on either side — the
+    driver's stringified row sort scrambles on the SIGN of a rounded
+    zero (the s13 lesson); append + 0.0 AFTER the round on both sides.
+  * Poisoned-connection recovery: one INTERNAL error used to fail every
+    later query on the shared connection ("closed pending query result"
+    cascades); each oracle error now rebuilds the connection and retries
+    once, so one bad SQL costs one FAIL, not the rest of the gate.
+
+Self-test: python3 tools/test_check_oracle.py (seeded bad oracles must
+be rejected; every committed oracle must pass the lint).
 """
-import json, sys, glob, os
+import json, sys, glob, os, re
 import duckdb
 import pandas as pd
 import numpy as np
@@ -18,6 +41,47 @@ def load_views(con, sf_dir):
         name = os.path.basename(p)[:-8]
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
 
+def narrow_int_columns(con):
+    """Base-table columns DuckDB types narrower than BIGINT — the operand
+    set the overflow lint guards."""
+    rows = con.execute(
+        "SELECT column_name, data_type FROM information_schema.columns").fetchall()
+    return {c for c, dt in rows if dt in ("INTEGER", "SMALLINT", "TINYINT")}
+
+def lint_oracle(name, sql, intcols):
+    """Static pre-checks over the oracle SQL text. Returns a list of hard
+    errors (reject before execution) and prints warnings directly."""
+    errors = []
+    # A bare narrow-int column adjacent to '*' multiplies in INTEGER and
+    # silently wraps at 2^31. A cast column reads 'col::BIGINT' so the
+    # token captured next to '*' would be BIGINT, not the column name —
+    # capturing the bare name IS the evidence it was uncast.
+    for m in re.finditer(r"\b(\w+)\s*\*", sql):
+        if m.group(1) in intcols:
+            errors.append(
+                f"uncast INT32 column '{m.group(1)}' on the left of '*' — "
+                "DuckDB multiplies INTEGERs in INTEGER (wraps at 2^31); "
+                f"write {m.group(1)}::BIGINT * ...")
+    for m in re.finditer(r"\*\s*(\w+)\b", sql):
+        if m.group(1) in intcols:
+            errors.append(
+                f"uncast INT32 column '{m.group(1)}' on the right of '*' — "
+                f"write ... * {m.group(1)}::BIGINT")
+    # sum(bare int col): HUGEINT result -> pandas float64/object -> the
+    # driver's typed hash mismatches Spark's int64 even on equal values.
+    for m in re.finditer(r"\bsum\s*\(\s*(\w+)\s*\)(?!\s*::)", sql, re.IGNORECASE):
+        if m.group(1) in intcols:
+            errors.append(
+                f"sum({m.group(1)}) over an INT32 column without a cast — "
+                "DuckDB returns HUGEINT (float64 in pandas); write "
+                f"sum({m.group(1)})::BIGINT or sum({m.group(1)}::BIGINT)")
+    if re.search(r"unnest\s*\(\s*range\s*\(", sql, re.IGNORECASE) and \
+            re.search(r"\bOR\b", sql):
+        print(f"LINT-WARN {name}: unnest(range(...)) plus an OR filter — "
+              "DuckDB cannot bind a correlated unnest alias in a later CTE "
+              "filter with OR (p7 lesson); join a bounded unnest table instead")
+    return errors
+
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
     if len(df) == 0:
@@ -26,12 +90,26 @@ def canon(df):
     key = df.astype(str).agg("|".join, axis=1)
     return df.iloc[key.argsort(kind="stable")].reset_index(drop=True)
 
+def negzero_warning(name, a, b):
+    """The driver sorts STRINGIFIED rows, and Spark/DuckDB disagree on a
+    rounded zero's sign — any -0.0 on either side is a latent scramble."""
+    for side, df in (("spark", a), ("duck", b)):
+        for c in df.columns:
+            if pd.api.types.is_float_dtype(df[c].dtype):
+                v = df[c].to_numpy()
+                if np.any((v == 0.0) & np.signbit(v)):
+                    print(f"WARN {name}: {side} column '{c}' contains -0.0 — "
+                          "append + 0.0 after the round on BOTH sides "
+                          "(s13 lesson) or the stringified row sort can scramble")
+                    return
+
 def compare(name, spark_df, duck_df):
     a, b = canon(spark_df), canon(duck_df)
     if list(a.columns) != list(b.columns):
         return f"FAIL {name}: columns differ\n  spark={list(a.columns)}\n  duck ={list(b.columns)}"
     if len(a) != len(b):
         return f"FAIL {name}: row counts differ spark={len(a)} duck={len(b)}"
+    negzero_warning(name, a, b)
     # The driver's hash gate stringifies typed cells, so an int64 column on
     # one side vs float64 on the other (DuckDB HUGEINT sums land as float64)
     # hash-mismatches even when values agree — flag dtype family drift.
@@ -68,6 +146,7 @@ def compare(name, spark_df, duck_df):
 def main(out_dir, sf_dir):
     con = duckdb.connect()
     load_views(con, sf_dir)
+    intcols = narrow_int_columns(con)
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracle = json.load(f)
     failures = 0
@@ -82,12 +161,29 @@ def main(out_dir, sf_dir):
                 failures += 1
                 print(f"FAIL {q}: zero rows")
             continue
+        lint = lint_oracle(q, oracle[q], intcols)
+        if lint:
+            print(f"FAIL {q}: oracle SQL rejected by lint\n  " + "\n  ".join(lint))
+            failures += 1
+            continue
         try:
             duck_df = con.execute(oracle[q]).fetchdf()
         except Exception as e:
-            print(f"FAIL {q}: oracle SQL error: {e}")
-            failures += 1
-            continue
+            # One INTERNAL error poisons the shared connection for every
+            # later query — rebuild and retry once so one bad SQL costs
+            # exactly one FAIL.
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = duckdb.connect()
+            load_views(con, sf_dir)
+            try:
+                duck_df = con.execute(oracle[q]).fetchdf()
+            except Exception:
+                print(f"FAIL {q}: oracle SQL error: {e}")
+                failures += 1
+                continue
         msg = compare(q, spark_df, duck_df)
         print(msg)
         if msg.startswith("FAIL"):
