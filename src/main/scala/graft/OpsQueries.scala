@@ -21,6 +21,22 @@ object OpsQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents").select(col("doc_id"), col("text"))
 
+  /** The g1/g11 shared planted doc-adjacency graph, canonical (a < b):
+    * chain edges (i, i+1), chords (i, i+2) at i%3==0 and i%5==0
+    * (overlapping at i%15==0 — exercises the canonical dedup), and
+    * triangle-free (i, i+4) edges at i%7==0. */
+  private def plantedDocGraph(s: SparkSession, dir: String): DataFrame = {
+    val ids = docs(s, dir).select(col("doc_id").as("i"))
+    val raw = ids.select(explode(array(
+        struct(col("i").as("src"), (col("i") + 1).as("dst"), lit(true).as("k")),
+        struct(col("i").as("src"), (col("i") + 2).as("dst"), (col("i") % 3 === 0).as("k")),
+        struct(col("i").as("src"), (col("i") + 2).as("dst"), (col("i") % 5 === 0).as("k")),
+        struct(col("i").as("src"), (col("i") + 4).as("dst"), (col("i") % 7 === 0).as("k")))).as("e"))
+      .filter(col("e.k"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    Graph.canonicalEdges(raw, "src", "dst")
+  }
+
   /** The c4/c6 shared upstream: exact-deduped, non-empty documents. */
   private def dedupedCorpus(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(docs(s, dir), "doc_id", "text")
@@ -243,6 +259,20 @@ object OpsQueries {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.topKForQueries(emb, "vec_id", "embedding", q, "qid", "qv", k = 10)
         .select(col("query_id"), col("id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("cosine").desc, col("id"))
+    }),
+    "s16_binary_hamming" -> ((s, dir) => {
+      // 32x-compressed sign codes -> Hamming shortlist (the scan moves
+      // two longs per vector, never the 64 floats) -> exact-cosine
+      // rerank of 50 candidates per query; the oracle replays the bit
+      // packing term-for-term
+      val emb = table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.topKBinary(emb, "vec_id", "embedding", q, "qid", "qv",
+          k = 10, dims = 64)
+        .select(col("query_id"), col("id"), col("hamming"),
+          round(col("cosine"), 6).as("cosine"))
         .orderBy(col("query_id"), col("cosine").desc, col("id"))
     }),
     "s2_ann_lsh" -> ((s, dir) => { // oracle embeds the deterministic plane literals
@@ -704,6 +734,60 @@ object OpsQueries {
         .select(col("n_edges"),
           round(col("r_assortativity") + lit(5e-10), 6).as("r_assortativity"))
     }),
+    "t29_cochran_q" -> ((s, dir) =>
+      // do three matched binary screens share one positive rate?
+      // R_i/R_i² are row-local, so the whole corpus folds to 6 exact
+      // longs in ONE aggregate and Q is a single division
+      Association.cochranQ(
+          table(s, dir, "orders")
+            .filter(col("o_orderstatus").isNotNull &&
+              col("o_totalprice").isNotNull && col("o_orderkey").isNotNull)
+            .select((col("o_orderstatus") === "F").as("t1"),
+              (col("o_totalprice") > 150000.0).as("t2"),
+              (col("o_orderkey") % 2 === 0).as("t3")),
+          Seq("t1", "t2", "t3"))
+        .select(col("n"), col("k"), col("t_total"),
+          round(col("q_stat") + lit(5e-10), 6).as("q_stat"), col("dof"))),
+    "g12_rich_club" -> ((s, dir) =>
+      // hub wiring audit over the g1 planted graph: per degree
+      // threshold, the edge density among the above-threshold nodes —
+      // two censuses + report-sized theta joins, rows touched once
+      Graph.richClub(plantedDocGraph(s, dir))
+        .select(col("k"), col("n_nodes"), col("n_edges"),
+          round(col("phi") + lit(5e-10), 6).as("phi"))
+        .orderBy("k")),
+    "a31_cuped" -> ((s, dir) =>
+      // the A/B variance-reduction lever: adjust revenue by the
+      // quantity covariate with the POOLED theta — one per-flag census
+      // of exact decimal power sums, theta/xbar off the same census,
+      // all algebra row-local over census rows
+      Association.cuped(
+          table(s, dir, "lineitem")
+            .select("l_returnflag", "l_extendedprice", "l_quantity"),
+          "l_returnflag", "l_extendedprice", "l_quantity")
+        .select(col("l_returnflag"), col("n"),
+          round(col("mean_y") + lit(5e-10), 6).as("mean_y"),
+          round(col("mean_cuped") + lit(5e-10), 6).as("mean_cuped"),
+          round(col("var_y") + lit(5e-10), 6).as("var_y"),
+          round(col("var_cuped") + lit(5e-10), 6).as("var_cuped"),
+          round(col("var_reduction") + lit(5e-10), 6).as("var_reduction"))
+        .orderBy("l_returnflag")),
+    "v13_brier_decomposition" -> ((s, dir) =>
+      // WHY is the v8 Brier what it is: Murphy reliability/resolution/
+      // uncertainty over the distinct-forecast census, with the exact
+      // identity brier = rel - res + unc (spec-pinned)
+      Evaluation.brierDecomposition(
+          table(s, dir, "orders")
+            .filter(col("o_orderkey").isNotNull && col("o_orderstatus").isNotNull)
+            .select(((col("o_orderkey") % 1000).cast("double") / 1000.0).as("p"),
+              (col("o_orderstatus") === "F").cast("long").as("y")),
+          "p", "y")
+        .select(col("n"), col("n_forecasts"),
+          round(col("base_rate") + lit(5e-10), 6).as("base_rate"),
+          round(col("reliability") + lit(5e-10), 6).as("reliability"),
+          round(col("resolution") + lit(5e-10), 6).as("resolution"),
+          round(col("uncertainty") + lit(5e-10), 6).as("uncertainty"),
+          round(col("brier") + lit(5e-10), 6).as("brier"))),
     "a29_partial_corr" -> ((s, dir) =>
       // is the price~quantity correlation just the discount channel?
       // nine decimal power sums in ONE aggregate; the double algebra
@@ -1613,6 +1697,36 @@ object OpsQueries {
           round(col("sen_slope") + lit(5e-10), 6).as("sen_slope"))
         .orderBy("event_type")
     }),
+    "x29_ngram_novelty" -> ((s, dir) => {
+      // incoming-snapshot freshness screen: every 10th doc plays the
+      // new crawl, the rest the standing corpus; per-source share of
+      // the snapshot's DISTINCT trigrams never seen in the reference —
+      // census-vs-census, one gram-keyed join, no per-doc pair work
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val cur = d.filter(col("doc_id") % 10 === 0 && col("source").isNotNull)
+      val ref = d.filter(col("doc_id") % 10 =!= 0)
+      TextAnalysis.ngramNovelty(cur, ref, "source", "text", n = 3)
+        .select(col("source"), col("n_grams"), col("n_novel"),
+          round(col("novelty_rate") + lit(5e-10), 6).as("novelty_rate"))
+        .orderBy("source")
+    }),
+    "w12_mann_kendall" -> ((s, dir) => {
+      // distribution-free monotone-trend test on w9's daily census —
+      // S folds as an exact long over the 435-pair tiny cross, the tie
+      // correction off a second census aggregate; only Var's /18 and
+      // the continuity-corrected Z are doubles
+      val daily = table(s, dir, "events")
+        .filter(col("event_type").isNotNull && col("ts").isNotNull)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).as("day"))
+        .agg(count(lit(1)).cast("double").as("n_events"))
+      TimeSeries.mannKendall(daily, "event_type", "day", "n_events")
+        .select(col("event_type"), col("n_points"), col("s_stat"),
+          round(col("var_s") + lit(5e-10), 6).as("var_s"),
+          round(col("z") + lit(5e-10), 6).as("z"))
+        .orderBy("event_type")
+    }),
     "v10_pr_auc" -> ((s, dir) => {
       // exact trapezoidal PR-AUC on the v1 score/label pair: every
       // operating point AND its predecessor are row-local integer
@@ -2287,6 +2401,43 @@ object OpsQueries {
             col("n_rows"), col("sum_price"))
       }.reduce(_ unionByName _).orderBy("version")
     }),
+    "o15_jsonl_export" -> ((s, dir) => {
+      // the "export for training" handoff CLOSED: documents land as
+      // token-budgeted JSONL shards (one file per shard, budget =
+      // max(2000, total div 64) so the layout scales with the corpus),
+      // the per-shard census registers as a VersionedTable manifest,
+      // and the output is the census of the RE-READ JSONL with tokens
+      // RECOMPUTED from the round-tripped text — a lost document, a
+      // mangled escape, a drifted shard boundary, a stale manifest, or
+      // a shard split across files each break a column
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      def pth(n: String) = new org.apache.hadoop.fs.Path(wh, n).toString
+      val out = pth("graft_export_jsonl"); val mt = pth("graft_export_manifest")
+      val fs0 = new org.apache.hadoop.fs.Path(wh).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      fs0.delete(new org.apache.hadoop.fs.Path(out), true)
+      fs0.delete(new org.apache.hadoop.fs.Path(mt), true)
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .filter(col("text").isNotNull)
+        .withColumn("n_tok", size(TextAnalysis.tokens(col("text"))).cast("long"))
+      val rep = graft.sources.Sinks.exportJsonlSharded(
+        d, out, "doc_id", "n_tok", manifestTable = mt)
+      def rereadCensus = s.read
+        .schema("doc_id LONG, source STRING, text STRING, n_tok LONG")
+        .json(out)
+        .withColumn("rt", size(TextAnalysis.tokens(col("text"))).cast("long"))
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum("rt").as("n_tokens"))
+      val manifest = graft.sources.VersionedTable.read(s, mt)
+        .select(col("shard"), col("n_docs"), col("n_tokens"))
+      val manifestOk = rereadCensus.exceptAll(manifest)
+        .unionAll(manifest.exceptAll(rereadCensus)).isEmpty
+      rereadCensus
+        .withColumn("one_file_per_shard", lit(rep.nFiles == rep.nShards))
+        .withColumn("manifest_match", lit(manifestOk))
+        .orderBy("shard")
+    }),
     "o13_zero_copy_clone" -> ((s, dir) => {
       // shallow clone: v1+v2 of the source, clone (manifest-only, no
       // data copied), diverge the clone with a third slice — the clone
@@ -2486,16 +2637,23 @@ object OpsQueries {
       // must contribute nothing). Triangles {i, i+1, i+2} appear exactly
       // at the chord positions; the oracle replays the generation and
       // counts via the three-way a<b<c join.
-      val ids = docs(s, dir).select(col("doc_id").as("i"))
-      val raw = ids.select(explode(array(
-          struct(col("i").as("src"), (col("i") + 1).as("dst"), lit(true).as("k")),
-          struct(col("i").as("src"), (col("i") + 2).as("dst"), (col("i") % 3 === 0).as("k")),
-          struct(col("i").as("src"), (col("i") + 2).as("dst"), (col("i") % 5 === 0).as("k")),
-          struct(col("i").as("src"), (col("i") + 4).as("dst"), (col("i") % 7 === 0).as("k")))).as("e"))
-        .filter(col("e.k"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      Graph.triangleCounts(Graph.canonicalEdges(raw, "src", "dst"))
-        .orderBy("node")
+      Graph.triangleCounts(plantedDocGraph(s, dir)).orderBy("node")
+    }),
+    "g11_clustering_coeff" -> ((s, dir) => {
+      // per-degree local-clustering report over the g1 planted graph:
+      // within a degree class the coefficient denominator d(d-1) is
+      // constant, so the class average folds EXACTLY as
+      // 2*sum_triangles / (n_nodes*d*(d-1)) — one double division per
+      // output row off exact longs, no float accumulation to drift
+      val byDeg = Graph.clusteringCoefficients(plantedDocGraph(s, dir))
+        .groupBy("deg")
+        .agg(count(lit(1)).as("n_nodes"), sum("n_triangles").as("n_triangles"))
+      byDeg.select(col("deg"), col("n_nodes"), col("n_triangles"),
+          round(when(col("deg") > 1,
+            col("n_triangles").cast("double") * 2.0 /
+              (col("n_nodes") * col("deg") * (col("deg") - 1)).cast("double"))
+            .otherwise(lit(0.0)) + lit(5e-10), 6).as("avg_coeff"))
+        .orderBy("deg")
     }),
     "g2_pagerank" -> ((s, dir) => {
       // 5-iteration PageRank over a deterministic order-derived directed
@@ -3745,6 +3903,31 @@ object OpsQueries {
         "ROUND(list_max(list_transform(v, x -> abs(x))) + 5e-10, 6) AS max_abs, " +
         "ROUND(v[1] / sqrt(sq) + 5e-10, 6) AS unit_first " +
         "FROM s ORDER BY vec_id"),
+    "s16_binary_hamming" -> {
+      // the same 32-bit word packing, term for term: disjoint bits, so
+      // + substitutes for | (the o2 Morton precedent); Hamming via
+      // bit_count(xor); shortlist and rerank replay the two windows
+      def word(w: Int) = (0 until 32).map(b =>
+        s"(CASE WHEN embedding[${w * 32 + b + 1}] > 0 THEN ${1L << b}::BIGINT ELSE 0 END)")
+        .mkString(" + ")
+      ("WITH c AS (SELECT vec_id, embedding, " +
+        s"${word(0)} AS w0, ${word(1)} AS w1 FROM embeddings), " +
+        "q AS (SELECT vec_id AS qid, w0 AS q0, w1 AS q1, embedding::DOUBLE[] AS qv " +
+        "FROM c WHERE vec_id < 3), " +
+        "h AS (SELECT q.qid AS query_id, c.vec_id AS id, " +
+        "CAST(bit_count(xor(c.w0, q.q0)) AS BIGINT) + CAST(bit_count(xor(c.w1, q.q1)) AS BIGINT) AS hamming " +
+        "FROM c CROSS JOIN q), " +
+        "sl AS (SELECT query_id, id, hamming, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY hamming, id) AS rn FROM h), " +
+        "cand AS (SELECT query_id, id, hamming FROM sl WHERE rn <= 50), " +
+        "r AS (SELECT cand.query_id, cand.id, cand.hamming, " +
+        "list_cosine_similarity(c2.embedding::DOUBLE[], q.qv) AS cos0 " +
+        "FROM cand JOIN c c2 ON c2.vec_id = cand.id JOIN q ON q.qid = cand.query_id), " +
+        "rk AS (SELECT query_id, id, hamming, ROUND(cos0, 6) AS cosine, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY cos0 DESC, id) AS rn FROM r) " +
+        "SELECT query_id, id, hamming, cosine FROM rk WHERE rn <= 10 " +
+        "ORDER BY query_id, cosine DESC, id")
+    },
     "s1_cosine_topk" ->
       ("WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3) " +
         "SELECT query_id, id, cosine FROM (" +
@@ -4043,6 +4226,27 @@ object OpsQueries {
         "SELECT m.event_type, n_points, n_pairs, " +
         "round(sen_slope + 5e-10, 6) AS sen_slope " +
         "FROM m JOIN c USING (event_type) ORDER BY event_type"),
+    "w12_mann_kendall" ->
+      // w9's daily census; S via the signed pair join (exact integer),
+      // ties via the (key, y) census, Var and Z replayed as the same
+      // single double expressions
+      ("WITH d AS (SELECT event_type, " +
+        "date_diff('day', DATE '1970-01-01', ts::DATE)::DOUBLE AS day, " +
+        "count(*)::DOUBLE AS y FROM events " +
+        "WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2), " +
+        "s AS (SELECT a.event_type, CAST(sum(CASE WHEN b.y > a.y THEN 1 " +
+        "WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_stat " +
+        "FROM d a JOIN d b ON a.event_type = b.event_type AND a.day < b.day GROUP BY 1), " +
+        "tg AS (SELECT event_type, y, count(*)::BIGINT AS t FROM d GROUP BY 1, 2), " +
+        "ti AS (SELECT event_type, CAST(sum(t) AS BIGINT) AS n_points, " +
+        "CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tiek FROM tg GROUP BY 1), " +
+        "v AS (SELECT ti.event_type, n_points, coalesce(s.s_stat, 0) AS s_stat, " +
+        "(n_points * (n_points - 1) * (2 * n_points + 5) - tiek) / 18.0 AS var_s " +
+        "FROM ti LEFT JOIN s USING (event_type)) " +
+        "SELECT event_type, n_points, s_stat, round(var_s + 5e-10, 6) AS var_s, " +
+        "round(CASE WHEN n_points >= 2 AND var_s > 0 THEN " +
+        "(s_stat - sign(s_stat)) / sqrt(var_s) END + 5e-10, 6) AS z " +
+        "FROM v ORDER BY event_type"),
     "v10_pr_auc" ->
       // per-distinct-score class counts, both strictly-below cumsums,
       // each trapezoid term row-local with the same operand order
@@ -4185,6 +4389,90 @@ object OpsQueries {
         "(sqrt(m::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) * " +
         "sqrt(m::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)) END + 5e-10, 6) AS r_assortativity " +
         "FROM s"),
+    "t29_cochran_q" ->
+      // the six exact longs and the single-division Q, replayed
+      ("WITH b AS (SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS t1, " +
+        "CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS t2, " +
+        "CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS t3 FROM orders " +
+        "WHERE o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL " +
+        "AND o_orderkey IS NOT NULL), " +
+        "g AS (SELECT count(*)::BIGINT AS n, CAST(sum(t1 + t2 + t3) AS BIGINT) AS t, " +
+        "CAST(sum((t1 + t2 + t3) * (t1 + t2 + t3)) AS BIGINT) AS r2, " +
+        "CAST(sum(t1) AS BIGINT) AS c1, CAST(sum(t2) AS BIGINT) AS c2, " +
+        "CAST(sum(t3) AS BIGINT) AS c3 FROM b) " +
+        "SELECT n, 3::BIGINT AS k, t AS t_total, " +
+        "round(CASE WHEN 3 * t - r2 > 0 THEN " +
+        "CAST(2 * (3 * (c1 * c1 + c2 * c2 + c3 * c3) - t * t) AS DOUBLE) / (3 * t - r2) END " +
+        "+ 5e-10, 6) AS q_stat, 2::BIGINT AS dof FROM g"),
+    "g12_rich_club" ->
+      // g1's edge replay + degree census; suffix counts via the same
+      // greater-than joins in census space
+      ("WITH ids AS (SELECT doc_id AS i FROM documents), " +
+        "raw AS (SELECT i AS a, i + 1 AS b FROM ids " +
+        "UNION ALL SELECT i, i + 2 FROM ids WHERE i % 3 = 0 " +
+        "UNION ALL SELECT i, i + 2 FROM ids WHERE i % 5 = 0 " +
+        "UNION ALL SELECT i, i + 4 FROM ids WHERE i % 7 = 0), " +
+        "ce AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM raw WHERE a <> b), " +
+        "deg AS (SELECT node, count(*)::BIGINT AS deg FROM " +
+        "(SELECT a AS node FROM ce UNION ALL SELECT b FROM ce) GROUP BY node), " +
+        "dc AS (SELECT deg, count(*)::BIGINT AS cnt FROM deg GROUP BY deg), " +
+        "em AS (SELECT least(da.deg, db.deg) AS mdeg, count(*)::BIGINT AS ecnt " +
+        "FROM ce JOIN deg da ON da.node = ce.a JOIN deg db ON db.node = ce.b GROUP BY 1), " +
+        "ks AS (SELECT deg AS k FROM dc WHERE deg < (SELECT max(deg) FROM dc)), " +
+        "nk AS (SELECT k, CAST(sum(cnt) AS BIGINT) AS n_nodes FROM ks " +
+        "JOIN dc ON dc.deg > ks.k GROUP BY k), " +
+        "ek AS (SELECT k, CAST(coalesce(sum(ecnt), 0) AS BIGINT) AS n_edges FROM ks " +
+        "LEFT JOIN em ON em.mdeg > ks.k GROUP BY k) " +
+        "SELECT nk.k, n_nodes, n_edges, " +
+        "round(CASE WHEN n_nodes >= 2 THEN n_edges::DOUBLE * 2.0 / (n_nodes * (n_nodes - 1)) END " +
+        "+ 5e-10, 6) AS phi FROM nk JOIN ek USING (k) ORDER BY k"),
+    "a31_cuped" -> {
+      // per-flag decimal power sums, pooled theta/xbar off their
+      // grand totals, the identical double algebra per census row
+      val vy = "(syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE) / (n::DOUBLE - 1.0)"
+      val vx = "(sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE) / (n::DOUBLE - 1.0)"
+      val cv = "(sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE) / (n::DOUBLE - 1.0)"
+      val vc = s"$vy - 2.0 * theta * $cv + theta * theta * $vx"
+      ("WITH c AS (SELECT l_returnflag AS g, count(*)::BIGINT AS n, " +
+        "sum(CAST(l_quantity AS DECIMAL(18,6))) AS sx, " +
+        "sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS sy, " +
+        "sum(CAST(l_quantity AS DECIMAL(28,6)) * CAST(l_quantity AS DECIMAL(28,6))) AS sxx, " +
+        "sum(CAST(l_extendedprice AS DECIMAL(28,6)) * CAST(l_extendedprice AS DECIMAL(28,6))) AS syy, " +
+        "sum(CAST(l_quantity AS DECIMAL(28,6)) * CAST(l_extendedprice AS DECIMAL(28,6))) AS sxy " +
+        "FROM lineitem WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL " +
+        "AND l_quantity IS NOT NULL GROUP BY 1), " +
+        "p AS (SELECT CAST(sum(n) AS BIGINT) AS pn, sum(sx) AS psx, sum(sy) AS psy, " +
+        "sum(sxx) AS psxx, sum(sxy) AS psxy FROM c), " +
+        "t AS (SELECT c.*, CASE WHEN pn::DOUBLE * psxx::DOUBLE - psx::DOUBLE * psx::DOUBLE > 0 " +
+        "THEN (pn::DOUBLE * psxy::DOUBLE - psx::DOUBLE * psy::DOUBLE) / " +
+        "(pn::DOUBLE * psxx::DOUBLE - psx::DOUBLE * psx::DOUBLE) END AS theta, " +
+        "psx::DOUBLE / pn::DOUBLE AS xbar FROM c CROSS JOIN p) " +
+        "SELECT g AS l_returnflag, n, " +
+        "round(sy::DOUBLE / n::DOUBLE + 5e-10, 6) AS mean_y, " +
+        "round(sy::DOUBLE / n::DOUBLE - theta * (sx::DOUBLE / n::DOUBLE - xbar) + 5e-10, 6) AS mean_cuped, " +
+        s"round(CASE WHEN n >= 2 THEN $vy END + 5e-10, 6) AS var_y, " +
+        s"round(CASE WHEN n >= 2 THEN $vc END + 5e-10, 6) AS var_cuped, " +
+        s"round(CASE WHEN n >= 2 AND $vy > 0 THEN 1.0 - ($vc) / ($vy) END + 5e-10, 6) AS var_reduction " +
+        "FROM t ORDER BY l_returnflag")
+    },
+    "v13_brier_decomposition" ->
+      // the distinct-forecast census, base rate off its totals, the
+      // three Murphy terms and their exact-identity recombination
+      ("WITH s AS (SELECT (o_orderkey % 1000)::DOUBLE / 1000.0 AS p, " +
+        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders " +
+        "WHERE o_orderkey IS NOT NULL AND o_orderstatus IS NOT NULL), " +
+        "c AS (SELECT p, count(*)::BIGINT AS n, CAST(sum(y) AS BIGINT) AS sy FROM s GROUP BY p), " +
+        "t AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(sy) AS BIGINT) AS nsy FROM c), " +
+        "d AS (SELECT c.n, c.p, c.sy::DOUBLE / c.n AS ybar, t.nn, " +
+        "t.nsy::DOUBLE / t.nn AS base FROM c CROSS JOIN t) " +
+        "SELECT CAST(min(nn) AS BIGINT) AS n, count(*)::BIGINT AS n_forecasts, " +
+        "round(min(base) + 5e-10, 6) AS base_rate, " +
+        "round(sum(n * (p - ybar) * (p - ybar) / nn) + 5e-10, 6) AS reliability, " +
+        "round(sum(n * (ybar - base) * (ybar - base) / nn) + 5e-10, 6) AS resolution, " +
+        "round(min(base * (1.0 - base)) + 5e-10, 6) AS uncertainty, " +
+        "round(sum(n * (p - ybar) * (p - ybar) / nn) - sum(n * (ybar - base) * (ybar - base) / nn) " +
+        "+ min(base * (1.0 - base)) + 5e-10, 6) AS brier " +
+        "FROM d"),
     "a29_partial_corr" ->
       // the nine decimal power sums and the identical double algebra
       ("WITH g AS (SELECT count(*)::BIGINT AS n, " +
@@ -4555,6 +4843,27 @@ object OpsQueries {
         "corner AS (SELECT unnest([x, y, z]) AS node FROM tri) " +
         "SELECT node, count(*)::BIGINT AS n_triangles FROM corner " +
         "GROUP BY node ORDER BY node"),
+    "g11_clustering_coeff" ->
+      // g1's triangle replay plus the degree census; nodes outside any
+      // triangle left-join to 0, and the class average replays as the
+      // same single exact-long division
+      ("WITH ids AS (SELECT doc_id AS i FROM documents), " +
+        "raw AS (SELECT i AS a, i + 1 AS b FROM ids " +
+        "UNION ALL SELECT i, i + 2 FROM ids WHERE i % 3 = 0 " +
+        "UNION ALL SELECT i, i + 2 FROM ids WHERE i % 5 = 0 " +
+        "UNION ALL SELECT i, i + 4 FROM ids WHERE i % 7 = 0), " +
+        "ce AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM raw WHERE a <> b), " +
+        "deg AS (SELECT node, count(*)::BIGINT AS deg FROM " +
+        "(SELECT a AS node FROM ce UNION ALL SELECT b FROM ce) GROUP BY node), " +
+        "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM ce e1 " +
+        "JOIN ce e2 ON e2.a = e1.b JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b), " +
+        "tc AS (SELECT node, count(*)::BIGINT AS t FROM " +
+        "(SELECT unnest([x, y, z]) AS node FROM tri) GROUP BY node), " +
+        "pn AS (SELECT deg.deg, coalesce(tc.t, 0) AS t FROM deg LEFT JOIN tc USING (node)) " +
+        "SELECT deg, count(*)::BIGINT AS n_nodes, CAST(sum(t) AS BIGINT) AS n_triangles, " +
+        "round(CASE WHEN deg > 1 THEN CAST(sum(t) AS DOUBLE) * 2.0 / " +
+        "(count(*) * deg * (deg - 1)) ELSE 0.0 END + 5e-10, 6) AS avg_coeff " +
+        "FROM pn GROUP BY deg ORDER BY deg"),
     "g2_pagerank" -> {
       // 5 unrolled iterations of r'(v) = (1-d)/N + d·Σ r(u)/outdeg(u),
       // the identical double operations as Graph.pageRank ((1.0 - 0.85)
@@ -5207,6 +5516,22 @@ object OpsQueries {
         "round(coalesce(c, 0)::DOUBLE / (n_a + n_b - coalesce(c, 0)) + 5e-10, 6) AS jaccard, " +
         "round(coalesce(c, 0)::DOUBLE / least(n_a, n_b) + 5e-10, 6) AS containment " +
         "FROM pr LEFT JOIN it USING (src_a, src_b) ORDER BY src_a, src_b"),
+    "x29_ngram_novelty" ->
+      // both sides' distinct-trigram censuses off the shared shingle
+      // helper; novelty = the left join's miss share per source
+      (s"WITH t AS (SELECT source, doc_id, ${toksOf("text")} AS tk " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        s"c0 AS (SELECT source, unnest(${shingleSql(3, "tk")}) AS gram FROM t " +
+        "WHERE doc_id % 10 = 0 AND source IS NOT NULL AND len(tk) > 0), " +
+        "c AS (SELECT DISTINCT source, gram FROM c0), " +
+        s"r0 AS (SELECT unnest(${shingleSql(3, "tk")}) AS gram FROM t " +
+        "WHERE doc_id % 10 <> 0 AND len(tk) > 0), " +
+        "r AS (SELECT DISTINCT gram FROM r0) " +
+        "SELECT c.source, count(*)::BIGINT AS n_grams, " +
+        "CAST(sum(CASE WHEN r.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, " +
+        "round(sum(CASE WHEN r.gram IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*) " +
+        "+ 5e-10, 6) AS novelty_rate " +
+        "FROM c LEFT JOIN r ON c.gram = r.gram GROUP BY 1 ORDER BY 1"),
     "d18_fuzzy_join" ->
       // brute-force cross join, aggregated to the per-probe summary: the
       // engine's PassJoin blocking is SOUND (zero false negatives), so
@@ -6176,6 +6501,20 @@ object OpsQueries {
         "FROM orders WHERE o_orderkey % 5 = 0) " +
         "SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3 " +
         "ORDER BY version"),
+    "o15_jsonl_export" ->
+      // shard assignment replayed: running token total BEFORE each doc
+      // (doc_id order) integer-divided by the derived budget
+      // max(2000, total div 64); the booleans pin the one-file-per-shard
+      // layout and the manifest round-trip, which only Spark can see
+      (s"WITH t AS (SELECT doc_id, len($Toks)::BIGINT AS n_tok " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "b AS (SELECT greatest(2000, CAST(sum(n_tok) AS BIGINT) // 64) AS budget FROM t), " +
+        "w AS (SELECT doc_id, n_tok, coalesce(CAST(sum(n_tok) OVER (ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS prev FROM t) " +
+        "SELECT CAST(prev // (SELECT budget FROM b) AS BIGINT) AS shard, " +
+        "count(*)::BIGINT AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
+        "true AS one_file_per_shard, true AS manifest_match " +
+        "FROM w GROUP BY 1 ORDER BY 1"),
     "o13_zero_copy_clone" ->
       // the two-slice source vs the full three-slice clone, straight
       // off the orders slices the commits planted

@@ -213,6 +213,39 @@ object Association {
         d * d / (col("b") + col("c"))).as("chi2"))
   }
 
+  /** Cochran's Q test over k ≥ 2 matched binary measurements per
+    * subject (k wide 0/1 columns) — [[mcnemar]]'s k-treatment
+    * generalization: do the treatments share one success rate?
+    * Q = (k−1)(k·ΣC_j² − T²) / (k·T − ΣR_i²) with C_j the treatment
+    * totals, R_i the per-subject row totals, T the grand total;
+    * Q ~ χ²(k−1) under H₀. At k = 2, Q equals McNemar's uncorrected
+    * statistic.
+    *
+    * Scale shape: ONE map-side-combined aggregate — R_i and R_i² are
+    * row-local expressions, so the whole corpus folds to k+3 exact
+    * longs and Q is a single double division an external engine
+    * replays bit-for-bit. Returns one row
+    * (n, k, t_total, q_stat, dof); q NULL when the denominator is 0
+    * (every subject constant across treatments). */
+  def cochranQ(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"cochranQ needs >= 2 treatment columns, got ${cols.size}")
+    val bs = cols.map(c => when(col(c).cast("long") =!= 0L, 1L).otherwise(0L))
+    val ri = bs.reduce(_ + _)
+    val k = cols.size.toLong
+    val aggCols = sum(ri).as("__t") +: sum(ri * ri).as("__r2") +:
+      bs.zipWithIndex.map { case (b, i) => sum(b).as(s"__c$i") }
+    val sums = df
+      .filter(cols.map(col(_).isNotNull).reduce(_ && _))
+      .agg(count(lit(1)).as("n"), aggCols: _*)
+    val sumC2 = cols.indices.map(i => col(s"__c$i") * col(s"__c$i")).reduce(_ + _)
+    val den = lit(k) * col("__t") - col("__r2")
+    sums.select(col("n"), lit(k).as("k"), col("__t").as("t_total"),
+      when(den > 0,
+        (lit(k - 1) * (lit(k) * sumC2 - col("__t") * col("__t"))).cast("double") /
+          den.cast("double")).as("q_stat"),
+      lit(k - 1).as("dof"))
+  }
+
   /** Spearman rank correlation for every pair of `cols` — the monotone-
     * association companion to the Pearson matrix (a18): Pearson on
     * TIE-AVERAGED ranks, the textbook tie-corrected rho. Listwise
@@ -545,6 +578,66 @@ object Association {
       .select(col("n"), col("r_xy"), col("r_xz"), col("r_yz"),
         when(ok,
           (col("r_xy") - col("r_xz") * col("r_yz")) / pden).as("r_partial"))
+  }
+
+  /** CUPED variance reduction (controlled experiments using pre-period
+    * data; Deng, Xu, Kohavi & Walker, WSDM 2013): adjust the experiment
+    * metric Y by the pre-period covariate X with the POOLED
+    * θ = cov(X,Y)/var(X) and pooled mean X̄ — Y′ = Y − θ(X − X̄). Group
+    * means keep their expectation while var(Y′) shrinks by the squared
+    * X–Y correlation — the standard lever for tightening an A/B test
+    * without more traffic. The report shows, per group, the raw and
+    * adjusted means and the realized variance reduction.
+    *
+    * Scale shape: ONE map-side-combined per-group census of exact
+    * decimal power sums; the pooled θ/X̄ fold from the same census
+    * (a group-count-sized second aggregate, 1-row broadcast back), and
+    * every output is row-local algebra over census rows — the corpus
+    * is scanned once. Returns (group, n, mean_y, mean_cuped, var_y,
+    * var_cuped, var_reduction); adjusted columns NULL when pooled
+    * var(X) is degenerate, variance columns NULL at n < 2. */
+  def cuped(df: DataFrame, groupCol: String, metricCol: String,
+            covariateCol: String): DataFrame = {
+    def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+    val x = d6(col(covariateCol))
+    val y = d6(col(metricCol))
+    val cells = df
+      .filter(col(groupCol).isNotNull && col(metricCol).isNotNull &&
+        col(covariateCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * x).as("__sxx"), sum(y * y).as("__syy"),
+        sum(x * y).as("__sxy"))
+    val pooled = cells.agg(
+      sum("n").as("__pn"), sum("__sx").as("__psx"), sum("__sy").as("__psy"),
+      sum("__sxx").as("__psxx"), sum("__sxy").as("__psxy"))
+    def dd(name: String) = col(name).cast("double")
+    val pn = dd("__pn")
+    val thetaDen = pn * dd("__psxx") - dd("__psx") * dd("__psx")
+    val theta = when(thetaDen > 0,
+      (pn * dd("__psxy") - dd("__psx") * dd("__psy")) / thetaDen)
+    val xbarPool = dd("__psx") / pn
+    val nd = dd("n")
+    val meanY = dd("__sy") / nd
+    val meanX = dd("__sx") / nd
+    val varY = when(col("n") >= 2,
+      (dd("__syy") - dd("__sy") * dd("__sy") / nd) / (nd - lit(1.0)))
+    val varX = (dd("__sxx") - dd("__sx") * dd("__sx") / nd) / (nd - lit(1.0))
+    val covG = (dd("__sxy") - dd("__sx") * dd("__sy") / nd) / (nd - lit(1.0))
+    cells.crossJoin(broadcast(pooled))
+      .withColumn("__theta", theta)
+      .select(col("__g").as(groupCol), col("n"),
+        meanY.as("mean_y"),
+        (meanY - col("__theta") * (meanX - xbarPool)).as("mean_cuped"),
+        varY.as("var_y"),
+        when(col("n") >= 2,
+          varY - lit(2.0) * col("__theta") * covG +
+            col("__theta") * col("__theta") * varX).as("var_cuped"),
+        when(col("n") >= 2 && varY > 0,
+          lit(1.0) - (varY - lit(2.0) * col("__theta") * covG +
+            col("__theta") * col("__theta") * varX) / varY)
+          .as("var_reduction"))
   }
 
   /** Welch's unequal-variance t statistic with the Welch–Satterthwaite

@@ -494,6 +494,59 @@ object Evaluation {
         col("base_rate"), col("brier"), col("logloss"))
   }
 
+  /** Murphy decomposition of the Brier score over the distinct forecast
+    * values: reliability REL = Σ n_k(f_k − ȳ_k)²/N (calibration error,
+    * lower better), resolution RES = Σ n_k(ȳ_k − base)²/N (how much the
+    * forecast separates outcomes, higher better), uncertainty
+    * UNC = base(1 − base) — with the EXACT identity
+    * Brier = REL − RES + UNC when conditioning on distinct forecasts
+    * (spec-pinned; binned variants only approximate it). The v8 Brier
+    * number says "how wrong"; this says WHY — miscalibrated or
+    * uninformative.
+    *
+    * Scale shape: the corpus reduces to a (forecast, n, Σy) census in
+    * ONE map-side-combined aggregate (distinct forecasts are assumed
+    * census-scale — scores from a model head are; raw floats may need
+    * rounding upstream), the global base rate rides the same census,
+    * and the decomposition is one aggregate over census rows. Returns
+    * ONE row (n, n_forecasts, base_rate, reliability, resolution,
+    * uncertainty, brier). */
+  def brierDecomposition(df: DataFrame, probCol: String,
+                         labelCol: String): DataFrame = {
+    val p = col(probCol).cast(DoubleType)
+    val y = when(col(labelCol).cast("long") =!= 0L, 1L).otherwise(0L)
+    val cells = df.filter(p.isNotNull && col(labelCol).isNotNull)
+      .groupBy(p.as("__p"))
+      .agg(count(lit(1)).as("__n"), sum(y).as("__sy"))
+    // totals literal-attached off ONE aggregate row (the D1 aggregates-
+    // only contract), NOT a global window: a window over lit(1) was
+    // re-planned per-row here, silently zeroing the (ybar - base)
+    // terms — measured, not theoretical
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pre = cells.persist()
+    try {
+      val t = pre.agg(sum("__n"), sum("__sy")).head()
+      require(!t.isNullAt(0) && t.getLong(0) > 0,
+        s"brierDecomposition needs non-null ($probCol, $labelCol) rows")
+      val bigN = t.getLong(0)
+      val base = t.getLong(1).toDouble / bigN.toDouble
+      val nd = lit(bigN.toDouble)
+      val ybar = col("__sy").cast(DoubleType) / col("__n")
+      val r = pre.agg(
+        count(lit(1)).as("n_forecasts"),
+        sum(col("__n") * (col("__p") - ybar) * (col("__p") - ybar) / nd)
+          .as("reliability"),
+        sum(col("__n") * (ybar - lit(base)) * (ybar - lit(base)) / nd)
+          .as("resolution")).head()
+      val (rel, res) = (r.getDouble(1), r.getDouble(2))
+      val unc = base * (1.0 - base)
+      Seq((bigN, r.getLong(0), base, rel, res, unc, rel - res + unc))
+        .toDF("n", "n_forecasts", "base_rate", "reliability", "resolution",
+          "uncertainty", "brier")
+    } finally pre.unpersist()
+  }
+
   /** Exact average precision per group (the area under the
     * precision-recall curve in its standard step form):
     * AP = (1/P) Σ_{ranks r with a positive} cumPos(r)/r, items ranked

@@ -80,6 +80,32 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Per-node local clustering coefficient over a canonical (a < b)
+    * undirected edge set: C(v) = 2·T(v) / (deg(v)·(deg(v)−1)) — the
+    * fraction of a node's neighbor pairs that are themselves adjacent,
+    * the standard "how cliquish is this node's neighborhood" signal
+    * (community cores score high, hub-and-spoke centers score 0).
+    * Nodes of degree ≤ 1 have no neighbor pair; C is 0 there by
+    * convention.
+    *
+    * Scale shape: [[triangleCounts]]' O(m^1.5) degree-oriented wedge
+    * census plus one degree aggregate and ONE left join keyed on the
+    * node id — no new pair generator; the coefficient is a row-local
+    * expression off two exact longs. Returns
+    * (node, deg, n_triangles, coeff). */
+  def clusteringCoefficients(canonical: DataFrame): DataFrame = {
+    val deg = canonical
+      .select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    deg.join(triangleCounts(canonical), Seq("node"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .withColumn("coeff",
+        when(col("deg") > 1,
+          col("n_triangles").cast("double") * 2.0 /
+            (col("deg") * (col("deg") - 1)).cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
   /** Multi-source shortest paths within `maxHops` over an undirected
     * canonical edge list (see [[canonicalEdges]]): (node, dist) for
     * every node reachable from the seed set, dist = minimum hop count
@@ -269,6 +295,48 @@ object Graph {
         (md * col("__sxy").cast("double") -
           col("__sx").cast("double") * col("__sy").cast("double")) / den)
         .as("r_assortativity"))
+  }
+
+  /** Rich-club coefficient over a canonical (a < b) undirected edge
+    * set: for each degree threshold k, φ(k) = 2·E_k / (N_k(N_k−1))
+    * where N_k counts nodes of degree > k and E_k the edges with BOTH
+    * endpoints above — "do the hubs preferentially wire to each
+    * other?" (φ near 1 at high k = an elite densely-connected core;
+    * compare against a degree-preserving null before reading social
+    * meaning into it — Colizza et al. 2006).
+    *
+    * Scale shape: the corpus reduces to a (deg → node count) census
+    * and a (min endpoint degree → edge count) census (one degree
+    * aggregate + the assortativity-style two degree joins), and the
+    * per-threshold suffix counts are a theta join of the ≤|distinct
+    * degrees| threshold rows against those censuses — report-sized
+    * work, broadcast both ways, never touching rows again. Thresholds
+    * are the distinct degrees below the maximum (φ undefined past it).
+    * Returns (k, n_nodes, n_edges, phi); phi NULL when N_k < 2. */
+  def richClub(canonical: DataFrame): DataFrame = {
+    val edges = canonical.select(col("a"), col("b"))
+    val deg = edges.select(explode(array(col("a"), col("b"))).as("z"))
+      .groupBy("z").agg(count(lit(1)).as("deg"))
+    val degCensus = deg.groupBy("deg").agg(count(lit(1)).as("cnt")).persist()
+    try {
+      val edgeMin = edges
+        .join(deg.select(col("z").as("a"), col("deg").as("da")), Seq("a"))
+        .join(deg.select(col("z").as("b"), col("deg").as("db")), Seq("b"))
+        .select(least(col("da"), col("db")).as("mdeg"))
+        .groupBy("mdeg").agg(count(lit(1)).as("ecnt"))
+      val maxDeg = degCensus.agg(max("deg")).head().getLong(0)
+      val ks = degCensus.select(col("deg").as("k")).filter(col("k") < maxDeg)
+      val nk = ks.join(broadcast(degCensus), col("deg") > col("k"))
+        .groupBy("k").agg(sum("cnt").as("n_nodes"))
+      val ek = ks.join(broadcast(edgeMin), col("mdeg") > col("k"), "left")
+        .groupBy("k").agg(coalesce(sum("ecnt"), lit(0L)).as("n_edges"))
+      nk.join(ek, Seq("k"))
+        .select(col("k"), col("n_nodes"), col("n_edges"),
+          when(col("n_nodes") >= 2,
+            col("n_edges").cast("double") * 2.0 /
+              (col("n_nodes") * (col("n_nodes") - 1)).cast("double"))
+            .as("phi"))
+    } finally degCensus.unpersist()
   }
 
   /** Jaccard link prediction over a canonical (id_a < id_b) undirected

@@ -60,6 +60,74 @@ object Similarity {
       .filter(col("__rank") <= k).drop("__rank")
   }
 
+  /** Sign-bit binary quantization: the vector's `dims` sign bits packed
+    * into ceil(dims/32) 32-bit words — 32× compression of a float
+    * vector, the cheapest tier below PQ ([[graft.ops.Pq]]) and SQ8.
+    * Words stay in [0, 2³²) inside longs, so XOR/popcount never touch
+    * the sign bit and an external engine replays them exactly. Packing
+    * is dims codegen'd CASE terms (disjoint bits, OR-folded), not a
+    * higher-order array fold — the PCA lesson: HOFs run interpreted in
+    * hot loops. Hamming distance between two codes is monotone in the
+    * angle between the vectors in expectation (Charikar 2002, the
+    * [[lshBucket]] construction used as a REPRESENTATION, not a
+    * bucketing key). */
+  def binarySignWords(vec: Column, dims: Int): Column = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    val nWords = (dims + 31) / 32
+    array((0 until nWords).map { w =>
+      (w * 32 until math.min(dims, w * 32 + 32)).map { i =>
+        when(element_at(vec, i + 1) > lit(0.0), lit(1L << (i - w * 32)))
+          .otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+    }: _*)
+  }
+
+  /** Hamming distance between two [[binarySignWords]] codes: nWords
+    * codegen'd bit_count(xor) terms over pinned word positions — no
+    * per-pair array allocation, no HOF. */
+  def hammingWords(a: Column, b: Column, nWords: Int): Column =
+    (0 until nWords).map(i =>
+      bit_count(element_at(a, i + 1).bitwiseXOR(element_at(b, i + 1)))
+        .cast("long"))
+      .reduce(_ + _)
+
+  /** Binary-quantized top-k: Hamming shortlist over the packed sign
+    * codes, then exact-cosine rerank of the survivors. The corpus scan
+    * that feeds the shortlist carries (id, ceil(d/32) longs) per row —
+    * at 100 TB that is the whole point: the 256-byte float vector never
+    * shuffles; only the ≤`shortlist` candidates per query re-join their
+    * full vectors (two broadcast-candidate joins), and the final top-k
+    * ranks ≤shortlist rows per query. Ties break (hamming, id) and
+    * (cosine desc, id), so the cut is deterministic end to end.
+    * Returns (query_id, id, hamming, cosine). */
+  def topKBinary(corpus: DataFrame, corpusId: String, corpusVec: String,
+                 queries: DataFrame, queryId: String, queryVec: String,
+                 k: Int, dims: Int, shortlist: Int = 50): DataFrame = {
+    require(k >= 1 && shortlist >= k,
+      s"need shortlist >= k >= 1, got k=$k shortlist=$shortlist")
+    val nWords = (dims + 31) / 32
+    val coded = corpus.select(col(corpusId).as("id"),
+      binarySignWords(col(corpusVec), dims).as("__w"))
+    val qCoded = queries.select(col(queryId).as("query_id"),
+      binarySignWords(col(queryVec), dims).as("__qw"))
+    val w1 = Window.partitionBy("query_id").orderBy(col("hamming"), col("id"))
+    val cand = coded.crossJoin(broadcast(qCoded))
+      .select(col("query_id"), col("id"),
+        hammingWords(col("__w"), col("__qw"), nWords).as("hamming"))
+      .withColumn("__r", row_number().over(w1))
+      .filter(col("__r") <= shortlist).drop("__r")
+    val rejoined = corpus
+      .select(col(corpusId).as("id"), col(corpusVec).as("__v"))
+      .join(broadcast(cand), Seq("id"))
+      .join(broadcast(queries.select(col(queryId).as("query_id"),
+        col(queryVec).as("__qv"))), Seq("query_id"))
+      .select(col("query_id"), col("id"), col("hamming"),
+        cosine(col("__v"), col("__qv")).as("cosine"))
+    val w2 = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id"))
+    rejoined.withColumn("__r", row_number().over(w2))
+      .filter(col("__r") <= k).drop("__r")
+  }
+
   /** Deterministic random hyperplanes (xorshift-free simple LCG seeded by
     * `seed`) for sign-bit LSH. Public-knowledge construction: cosine-LSH
     * via random projections (Charikar 2002). */

@@ -671,4 +671,35 @@ object TextAnalysis {
       .select(col("n_tokens"), col("__f.slope").as("slope"),
         col("__f.intercept").as("intercept"), col("__f.r2").as("r2"))
   }
+
+  /** Corpus n-gram novelty — per `groupCol` slice of `cur`, the share
+    * of its DISTINCT word n-grams never seen anywhere in `ref`: the
+    * memorization/freshness screen for an incoming crawl snapshot (a
+    * slice near 0 is re-crawled or templated content; near 1 is
+    * genuinely new text), and the aggregate-level complement to
+    * [[graft.ops.Dedup]]'s per-document decontamination match.
+    *
+    * Scale shape: both sides reduce to DISTINCT-shingle censuses
+    * (map-side-combined — the shuffle carries vocabulary-scale grams,
+    * never rows), the novelty probe is ONE left-anti-shaped join keyed
+    * on the gram, and the per-group report aggregates census rows.
+    * Shingling runs the [[graft.ops.Dedup.shingles]] codegen'd
+    * expression. Returns (group, n_grams, n_novel, novelty_rate). */
+  def ngramNovelty(cur: DataFrame, ref: DataFrame, groupCol: String,
+                   textCol: String, n: Int = 3): DataFrame = {
+    def grams(df: DataFrame, extra: Seq[Column]) = df
+      .filter(col(textCol).isNotNull &&
+        size(tokens(lower(col(textCol)))) > 0)
+      .select(extra :+
+        explode(graft.ops.Dedup.shingles(col(textCol), n)).as("__gram"): _*)
+    val curCensus = grams(cur, Seq(col(groupCol).as("__g"))).distinct()
+    val refCensus = grams(ref, Nil).distinct()
+      .select(col("__gram"), lit(1L).as("__seen"))
+    curCensus.join(refCensus, Seq("__gram"), "left")
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("__g").as(groupCol), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams")).as("novelty_rate"))
+  }
 }

@@ -317,6 +317,59 @@ object TimeSeries {
         col("sen_slope"))
   }
 
+  /** Mann–Kendall trend test per series key — the distribution-free
+    * "is there ANY monotone trend" companion to [[theilSen]]'s slope:
+    * S = Σ_{i<j} sgn(y_j − y_i) over the x-ordered points, with the
+    * tie-corrected normal approximation
+    * Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)] / 18 (t_g = size
+    * of each tied-y group) and the continuity-corrected
+    * Z = (S−sgn(S))/√Var(S). Duplicate x within a key collapse to
+    * their mean y first (the theilSen treatment — deterministic census,
+    * and S is undefined over same-x pairs).
+    *
+    * Scale shape: the [[theilSen]] contract exactly — ONE map-side-
+    * combined (key, x) census, the sign join quadratic in CENSUS points
+    * per key (gated by `maxPoints`), the tie census a second tiny
+    * aggregate of the same frame; S folds as an exact long sum, so the
+    * oracle replays it bit-for-bit and only Var's single /18 and the
+    * final Z are doubles. Returns (key, n_points, s_stat, var_s, z);
+    * z NULL when Var(S) = 0 (all y tied) or n < 2. */
+  def mannKendall(df: DataFrame, keyCol: String, xCol: String, yCol: String,
+                  maxPoints: Int = 2048): DataFrame = {
+    require(maxPoints >= 2, s"maxPoints must be >= 2, got $maxPoints")
+    val census = df
+      .filter(col(keyCol).isNotNull && col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(keyCol).as("__k"), col(xCol).cast("double").as("__x"))
+      .agg(avg(col(yCol).cast("double")).as("__y"))
+    val maxN = census.groupBy("__k").agg(count(lit(1)).as("c"))
+      .agg(max("c")).head().getLong(0)
+    require(maxN <= maxPoints,
+      s"mannKendall is quadratic in census points per key: got $maxN (> maxPoints " +
+        s"$maxPoints) — bucket the x axis first (e.g. daily → weekly)")
+    val a = census.select(col("__k"), col("__x").as("__x1"), col("__y").as("__y1"))
+    val b = census.select(col("__k"), col("__x").as("__x2"), col("__y").as("__y2"))
+    val sStat = a.join(b, Seq("__k")).filter(col("__x1") < col("__x2"))
+      .groupBy("__k")
+      .agg(sum(signum(col("__y2") - col("__y1")).cast("long")).as("s_stat"))
+    // tie-group sizes over y; each group's t(t-1)(2t+5) term is exact
+    // long arithmetic (t <= maxPoints, far under the 2^63 bound)
+    def kTerm(t: org.apache.spark.sql.Column) = t * (t - 1) * (t * 2 + 5)
+    val ties = census.groupBy(col("__k"), col("__y"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy("__k")
+      .agg(sum("__t").as("n_points"), sum(kTerm(col("__t"))).as("__tieK"))
+    val varS = (kTerm(col("n_points")) - col("__tieK")).cast("double") / lit(18.0)
+    ties.join(sStat, Seq("__k"), "left")
+      .withColumn("s_stat", coalesce(col("s_stat"), lit(0L)))
+      .withColumn("var_s", varS)
+      .withColumn("z",
+        when(col("n_points") >= 2 && col("var_s") > 0,
+          (col("s_stat") - signum(col("s_stat"))).cast("double") /
+            sqrt(col("var_s"))))
+      .select(col("__k").as(keyCol), col("n_points"), col("s_stat"),
+        col("var_s"), col("z"))
+  }
+
   /** Inter-arrival gap census per series key over per-entity event
     * streams: gaps are taken WITHIN each (key, entity) stream — the
     * window partitions on (key, entity), which stays wide-parallel

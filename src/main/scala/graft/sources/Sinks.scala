@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Partitioned-layout sinks: Hive-style `partitionBy` parquet with the
@@ -125,6 +126,95 @@ object Sinks {
       else keyed.repartitionByRange(col("__z"))
     ranged.sortWithinPartitions("__z").drop("__z")
       .write.mode("overwrite").parquet(path)
+  }
+
+  /** What [[exportJsonlSharded]] did: the derived per-shard token budget,
+    * how many shards landed, how many data files they occupy (the writer
+    * contract is exactly one per shard), and the [[VersionedTable]]
+    * manifest version the per-shard census was registered under. */
+  final case class JsonlExportReport(tokensPerShard: Long, nShards: Long,
+                                     nFiles: Long, manifestVersion: Long)
+
+  /** The "export for training" handoff: write `df` as JSONL shards of
+    * ~`tokensPerShard` tokens each (trainer-loader-sized units, not
+    * task-count-sized files), one file per shard, and register the
+    * per-shard (n_docs, n_tokens) census as a [[VersionedTable]]
+    * manifest at `manifestTable` so the consumer can verify the handoff
+    * without rescanning the corpus.
+    *
+    * Shard assignment is deterministic and externally replayable: rows
+    * are taken in `orderCol` order (must be unique — doc ids), and a row
+    * whose running token total BEFORE it is `p` lands in shard
+    * `p div tokensPerShard` — shards meet the budget exactly except for
+    * the one overshooting document at each boundary. The running total
+    * never materializes a global single-partition window: rows are
+    * range-partitioned on `orderCol`, each partition cumulates locally,
+    * and ≤ #partitions driver prefix offsets stitch the global sum (the
+    * [[graft.ops.Quantiles.groupedQuantilesExact]] /
+    * `Drift.ksStatistic` construction). With `tokensPerShard <= 0` the
+    * budget derives from the corpus itself as
+    * max(`minShardTokens`, totalTokens div `targetShards`) — the total
+    * is free off the same subtotals the offsets need.
+    *
+    * The write is `repartition(shard)` + `partitionBy(shard)`: every
+    * shard is owned by exactly one task, so the layout is one JSONL
+    * file per shard directory regardless of parallelism (the
+    * [[writePartitioned]] small-files discipline). Returns the report;
+    * the caller re-reads `path` with `spark.read.json` (shard is a
+    * partition column) and checks its census against the manifest. */
+  def exportJsonlSharded(df: DataFrame, path: String, orderCol: String,
+                         tokenCol: String, manifestTable: String,
+                         tokensPerShard: Long = 0L,
+                         minShardTokens: Long = 2000L,
+                         targetShards: Int = 64): JsonlExportReport = {
+    val spark = df.sparkSession
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val parts = df
+      .withColumn("__tok", col(tokenCol).cast("long"))
+      .repartitionByRange(nParts, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    try {
+      val subtotals = parts.groupBy("__pid").agg(sum("__tok").as("t"))
+        .collect().map(r => (r.getAs[Int]("__pid"), r.getAs[Long]("t")))
+        .sortBy(_._1)
+      val total = subtotals.map(_._2).sum
+      require(total > 0, s"exportJsonlSharded: no tokens in $tokenCol")
+      val budget =
+        if (tokensPerShard > 0) tokensPerShard
+        else math.max(minShardTokens, total / targetShards)
+      val off = subtotals.scanLeft(0L)(_ + _._2).init
+      val offMap = map(subtotals.indices.flatMap(i =>
+        Seq(lit(subtotals(i)._1), lit(off(i)))): _*)
+      val w = Window.partitionBy("__pid").orderBy(orderCol)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val sharded = parts
+        .withColumn("__prev",
+          coalesce(sum("__tok").over(w), lit(0L)) +
+            element_at(offMap, col("__pid")))
+        .withColumn("shard", expr(s"__prev div ${budget}L"))
+        .persist()
+      try {
+        sharded.drop("__tok", "__pid", "__prev")
+          .repartition(col("shard"))
+          .write.mode("overwrite").partitionBy("shard").json(path)
+        val census = sharded.groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum("__tok").as("n_tokens"))
+        val version = VersionedTable.commit(census, manifestTable,
+          mode = "overwrite")
+        val hfs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        def dataFiles(d: org.apache.hadoop.fs.Path): Long =
+          hfs.listStatus(d).map { f =>
+            val n = f.getPath.getName
+            if (f.isDirectory) dataFiles(f.getPath)
+            else if (n.startsWith("_") || n.startsWith(".")) 0L else 1L
+          }.sum
+        JsonlExportReport(budget, census.count(),
+          dataFiles(new org.apache.hadoop.fs.Path(path)), version)
+      } finally sharded.unpersist()
+    } finally parts.unpersist()
   }
 
   /** Overwrite-by-partition append pattern (the incremental-ingest shape):

@@ -137,6 +137,48 @@ class SinksSpec extends AnyFunSuite with Matchers {
     sSpans.foreach { case (_, dy) => dy shouldBe 63L }
   }
 
+  test("jsonl export: budget-exact shards, one file each, manifest census matches re-read") {
+    val path = tmp(); val manifest = tmp()
+    // 200 docs x 10 tokens = 2000 tokens; budget 300 -> shard boundaries
+    // every ceil(300/10)=30 docs: shards 0..6 (6 x 300 + 1 x 200)
+    val docs = (1L to 200L)
+      .map(i => (i, s"s${i % 4}", Seq.fill(10)(s"w$i").mkString(" "), 10L))
+      .toDF("doc_id", "source", "text", "n_tok")
+    val rep = Sinks.exportJsonlSharded(docs, path, "doc_id", "n_tok",
+      manifestTable = manifest, tokensPerShard = 300L)
+    rep.tokensPerShard shouldBe 300L
+    rep.nShards shouldBe 7L
+    rep.nFiles shouldBe 7L // exactly one data file per shard
+    val back = spark.read
+      .schema("doc_id LONG, source STRING, text STRING, n_tok LONG")
+      .json(path)
+    back.count() shouldBe 200
+    // deterministic assignment: doc i (1-based) has prev = (i-1)*10
+    back.select($"doc_id", $"shard".cast("long")).as[(Long, Long)]
+      .collect().foreach { case (id, sh) => sh shouldBe (id - 1) * 10 / 300 }
+    // text round-trips byte-exact through the JSON escape
+    back.filter($"doc_id" === 7L).select("text").head().getString(0) shouldBe
+      Seq.fill(10)("w7").mkString(" ")
+    // the registered manifest census equals the re-read census
+    val census = back.groupBy($"shard".cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    val reg = graft.sources.VersionedTable.read(spark, manifest)
+    reg.as[(Long, Long, Long)].collect().toSet shouldBe
+      census.as[(Long, Long, Long)].collect().toSet
+    reg.as[(Long, Long, Long)].collect().map(_._3).sum shouldBe 2000L
+  }
+
+  test("jsonl export derives the budget from the corpus when unset") {
+    val path = tmp(); val manifest = tmp()
+    val docs = (1L to 50L).map(i => (i, "s", "a b c", 3L))
+      .toDF("doc_id", "source", "text", "n_tok")
+    // 150 total tokens, targetShards 8 -> derived budget max(60, 150/8)=60
+    val rep = Sinks.exportJsonlSharded(docs, path, "doc_id", "n_tok",
+      manifestTable = manifest, minShardTokens = 60L, targetShards = 8)
+    rep.tokensPerShard shouldBe 60L
+    rep.nShards shouldBe 3L // 150 tokens / 60 = shards 0,1,2
+  }
+
   test("dynamic partition overwrite replaces only the incoming partitions") {
     val path = tmp()
     Sinks.writePartitioned(data, path, Seq("g"))

@@ -430,4 +430,67 @@ class AssociationAuditSpec extends AnyFunSuite with Matchers {
     rc.getAs[Double]("mean_diff") shouldBe 1.0 +- 1e-12
     rc.isNullAt(rc.fieldIndex("t_stat")) shouldBe true
   }
+
+  test("cochranQ: hand trace, k=2 equals McNemar's uncorrected chi2, degenerate null") {
+    // C = (3,3,1), T = 7, sumR2 = 15 -> Q = 2*(3*19 - 49)/(21 - 15)
+    val rows = Seq((1L, 1L, 0L), (1L, 1L, 1L), (0L, 1L, 0L), (1L, 0L, 0L))
+    val r = Association.cochranQ(rows.toDF("t1", "t2", "t3").repartition(2),
+      Seq("t1", "t2", "t3")).head()
+    r.getAs[Long]("n") shouldBe 4L
+    r.getAs[Long]("k") shouldBe 3L
+    r.getAs[Long]("t_total") shouldBe 7L
+    r.getAs[Double]("q_stat") shouldBe (16.0 / 6.0) +- 1e-12
+    r.getAs[Long]("dof") shouldBe 2L
+    // k = 2: b = 3 discordant one way, c = 1 the other -> (b-c)^2/(b+c)
+    val two = Seq((1L, 0L), (1L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (1L, 1L), (0L, 0L))
+    val q2 = Association.cochranQ(two.toDF("p1", "p2"), Seq("p1", "p2")).head()
+    q2.getAs[Double]("q_stat") shouldBe 1.0 +- 1e-12
+    // every subject constant across treatments -> denominator 0 -> null
+    val const = Seq((1L, 1L, 1L), (0L, 0L, 0L))
+    val qc = Association.cochranQ(const.toDF("t1", "t2", "t3"),
+      Seq("t1", "t2", "t3")).head()
+    qc.isNullAt(qc.fieldIndex("q_stat")) shouldBe true
+  }
+
+  test("cuped: perfectly correlated covariate removes all variance, means keep expectation") {
+    // y = 3x exactly -> pooled theta = 3, var_cuped = 0, reduction = 1;
+    // mean_cuped_g = mean_y_g - 3 (mean_x_g - xbar_pool)
+    val rows = Seq(("a", 3.0, 1.0), ("a", 6.0, 2.0), ("a", 9.0, 3.0),
+      ("b", 12.0, 4.0), ("b", 15.0, 5.0), ("b", 18.0, 6.0))
+    val r = Association.cuped(rows.toDF("g", "y", "x").repartition(3), "g", "y", "x")
+      .orderBy("g").collect()
+    val xbar = 3.5
+    val a = r(0)
+    a.getAs[Long]("n") shouldBe 3L
+    a.getAs[Double]("mean_y") shouldBe 6.0 +- 1e-9
+    a.getAs[Double]("mean_cuped") shouldBe (6.0 - 3.0 * (2.0 - xbar)) +- 1e-9
+    a.getAs[Double]("var_cuped") shouldBe 0.0 +- 1e-9
+    a.getAs[Double]("var_reduction") shouldBe 1.0 +- 1e-9
+    val b = r(1)
+    b.getAs[Double]("mean_cuped") shouldBe (15.0 - 3.0 * (5.0 - xbar)) +- 1e-9
+    // the adjusted means collapse toward each other: that IS the
+    // variance-reduction story (group means differ only through x)
+    math.abs(a.getAs[Double]("mean_cuped") - b.getAs[Double]("mean_cuped")) should be < 1e-9
+  }
+
+  test("cuped: constant covariate leaves metric untouched (theta undefined -> nulls)") {
+    val rows = Seq(("a", 1.0, 5.0), ("a", 3.0, 5.0), ("b", 2.0, 5.0))
+    val r = Association.cuped(rows.toDF("g", "y", "x"), "g", "y", "x")
+      .orderBy("g").collect()
+    r(0).getAs[Double]("mean_y") shouldBe 2.0 +- 1e-12
+    r(0).isNullAt(r(0).fieldIndex("mean_cuped")) shouldBe true
+    r(0).getAs[Double]("var_y") shouldBe 2.0 +- 1e-12
+    // n = 1 group: variance columns null, mean reported
+    r(1).getAs[Double]("mean_y") shouldBe 2.0 +- 1e-12
+    r(1).isNullAt(r(1).fieldIndex("var_y")) shouldBe true
+  }
+
+  test("cuped: uncorrelated covariate reduces nothing (theta = 0)") {
+    // x symmetric around its mean within each y level -> cov = 0
+    val rows = Seq(("a", 1.0, 1.0), ("a", 1.0, 3.0), ("a", 5.0, 1.0), ("a", 5.0, 3.0))
+    val r = Association.cuped(rows.toDF("g", "y", "x"), "g", "y", "x").head()
+    r.getAs[Double]("mean_cuped") shouldBe r.getAs[Double]("mean_y") +- 1e-12
+    r.getAs[Double]("var_cuped") shouldBe r.getAs[Double]("var_y") +- 1e-12
+    r.getAs[Double]("var_reduction") shouldBe 0.0 +- 1e-12
+  }
 }

@@ -278,4 +278,36 @@ class EvaluationSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy
       Evaluation.liftTable(df, "s", "y", k = 1)
   }
+
+  test("brierDecomposition: hand trace and the exact Murphy identity") {
+    // forecasts: p=0.2 x5 (1 pos), p=0.8 x5 (4 pos) -> base = 0.5
+    val rows = (Seq.fill(4)((0.2, 0L)) :+ ((0.2, 1L))) ++
+      (Seq.fill(4)((0.8, 1L)) :+ ((0.8, 0L)))
+    val df = rows.map { case (p, y) => (p, y) }.toDF("p", "y").repartition(3)
+    val r = Evaluation.brierDecomposition(df, "p", "y").head()
+    r.getAs[Long]("n") shouldBe 10L
+    r.getAs[Long]("n_forecasts") shouldBe 2L
+    r.getAs[Double]("base_rate") shouldBe 0.5 +- 1e-12
+    // REL: both bins |p - ybar| = 0 -> 0; RES: both |ybar - base| = 0.3
+    r.getAs[Double]("reliability") shouldBe 0.0 +- 1e-12
+    r.getAs[Double]("resolution") shouldBe 0.09 +- 1e-12
+    r.getAs[Double]("uncertainty") shouldBe 0.25 +- 1e-12
+    // identity AND the direct mean((p-y)^2): 0 - 0.09 + 0.25 = 0.16
+    r.getAs[Double]("brier") shouldBe 0.16 +- 1e-12
+    val direct = rows.map { case (p, y) => (p - y) * (p - y) }.sum / 10.0
+    r.getAs[Double]("brier") shouldBe direct +- 1e-12
+  }
+
+  test("brierDecomposition identity holds on an arbitrary forecast set") {
+    val rows = (1 to 97).map(i => ((i % 13).toDouble / 13.0, (i % 3 == 0)))
+    val df = rows.toDF("p", "yb")
+      .withColumn("y", org.apache.spark.sql.functions.col("yb").cast("long"))
+    val r = Evaluation.brierDecomposition(df, "p", "y").head()
+    val direct = rows.map { case (p, b) =>
+      val y = if (b) 1.0 else 0.0; (p - y) * (p - y) }.sum / rows.size
+    r.getAs[Double]("brier") shouldBe direct +- 1e-9
+    r.getAs[Double]("brier") shouldBe
+      (r.getAs[Double]("reliability") - r.getAs[Double]("resolution") +
+        r.getAs[Double]("uncertainty")) +- 1e-12
+  }
 }

@@ -285,4 +285,50 @@ class GraphSpec extends AnyFunSuite with Matchers {
     Graph.assortativity(path).head()
       .getAs[Double]("r_assortativity") shouldBe (num / den) +- 1e-12
   }
+
+  private def coeffs(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Double)] =
+    Graph.clusteringCoefficients(
+        Graph.canonicalEdges(edges.toDF("src", "dst"), "src", "dst"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+
+  test("richClub: star+chord hand trace; regular graph has no thresholds") {
+    // star 0-{1,2,3} + (1,2): degrees 3,2,2,1 -> thresholds {1,2}
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L))
+    val got = Graph.richClub(
+        Graph.canonicalEdges(star.toDF("src", "dst"), "src", "dst"))
+      .orderBy("k").collect()
+    got.map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L)
+    val k1 = got(0)
+    k1.getAs[Long]("n_nodes") shouldBe 3L // {0,1,2}
+    k1.getAs[Long]("n_edges") shouldBe 3L // (0,1),(0,2),(1,2)
+    k1.getAs[Double]("phi") shouldBe 1.0 +- 1e-12 // the hub core IS a clique
+    val k2 = got(1)
+    k2.getAs[Long]("n_nodes") shouldBe 1L
+    k2.getAs[Long]("n_edges") shouldBe 0L
+    k2.isNullAt(k2.fieldIndex("phi")) shouldBe true
+    // K4 is regular: every degree equals the max -> no threshold rows
+    val k4 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    Graph.richClub(Graph.canonicalEdges(k4.toDF("src", "dst"), "src", "dst"))
+      .count() shouldBe 0L
+  }
+
+  test("clustering coefficient: K4 is 1 everywhere, path is 0, hub scores its wedge share") {
+    val k4 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    coeffs(k4).values.foreach { case (deg, t, c) =>
+      deg shouldBe 3L; t shouldBe 3L; c shouldBe 1.0
+    }
+    // path 0-1-2: middle node has 1 neighbor pair, not adjacent -> 0;
+    // endpoints have degree 1 -> 0 by convention
+    coeffs(Seq((0L, 1L), (1L, 2L))) shouldBe Map(
+      0L -> ((1L, 0L, 0.0)), 1L -> ((2L, 0L, 0.0)), 2L -> ((1L, 0L, 0.0)))
+    // star 0-{1,2,3} + edge (1,2): hub 0 has 3 of C(3,2)=3 pairs,
+    // exactly one adjacent -> 2*1/(3*2) = 1/3
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L))
+    val m = coeffs(star)
+    m(0L) shouldBe ((3L, 1L, 1.0 / 3.0))
+    m(1L) shouldBe ((2L, 1L, 1.0))
+    m(3L) shouldBe ((1L, 0L, 0.0))
+  }
 }

@@ -329,4 +329,46 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
     val out = Similarity.standardize(df, "v")
     out.columns.toSeq shouldBe Seq("id", "v", "t", "standardized")
   }
+
+  test("binarySignWords packs sign bits into 32-bit words; hammingWords counts flips") {
+    // 40 dims: bit i set iff dim i > 0 -> word 0 bits 0..31, word 1 bits 0..7
+    val v1 = (0 until 40).map(i => if (i % 3 == 0) 1.0 else -1.0)
+    val v2 = (0 until 40).map(i => if (i % 3 == 0) 1.0 else -1.0)
+      .updated(0, -1.0).updated(34, 1.0) // flip bit 0 (word 0) and bit 34 (word 1)
+    val df = Seq((v1, v2)).toDF("a", "b")
+    val r = df.select(
+      Similarity.binarySignWords(col("a"), 40).as("wa"),
+      Similarity.binarySignWords(col("b"), 40).as("wb"))
+      .select(col("wa"), col("wb"),
+        Similarity.hammingWords(col("wa"), col("wb"), 2).as("h"))
+      .head()
+    val wa = r.getSeq[Long](0)
+    wa should have length 2
+    val expW0 = (0 until 32).filter(_ % 3 == 0).map(1L << _).reduce(_ | _)
+    val expW1 = (32 until 40).filter(_ % 3 == 0).map(i => 1L << (i - 32)).reduce(_ | _)
+    wa shouldBe Seq(expW0, expW1)
+    // all words stay in [0, 2^32): the sign bit is never touched
+    r.getSeq[Long](1).foreach { w => w should be >= 0L; w should be < (1L << 32) }
+    r.getAs[Long]("h") shouldBe 2L
+  }
+
+  test("topKBinary: identical vector is Hamming-0 and cosine-1; cut is deterministic") {
+    // corpus: 3 tight copies of a base direction + orthogonal noise rows
+    val base = (0 until 64).map(i => if (i % 2 == 0) 1.0 else -1.0)
+    val flipped = base.map(-_)
+    val rows = Seq(
+      (0L, base), (1L, base.updated(0, 2.0)), (2L, base.updated(2, 3.0)),
+      (3L, flipped), (4L, flipped.updated(1, -2.0)))
+    val corpus = rows.toDF("id", "v")
+    val q = Seq((0L, base)).toDF("qid", "qv")
+    val got = Similarity.topKBinary(corpus, "id", "v", q, "qid", "qv",
+        k = 3, dims = 64, shortlist = 4)
+      .orderBy(desc("cosine"), col("id")).collect()
+    got.map(_.getAs[Long]("id")).toSeq shouldBe Seq(0L, 1L, 2L)
+    got.head.getAs[Long]("hamming") shouldBe 0L
+    got.head.getAs[Double]("cosine") shouldBe 1.0 +- 1e-12
+    // the flipped rows differ in every sign bit -> Hamming 64, outside
+    // the shortlist; they must never appear even at k > matches
+    got.map(_.getAs[Long]("id")) should not contain 3L
+  }
 }

@@ -413,4 +413,37 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     rows.length shouldBe 1
     rows.head.getAs[String]("w1") shouldBe "p"
   }
+
+  test("ngramNovelty: distinct-gram novelty per slice, case-folded, short docs included") {
+    // ref corpus knows the trigram "a b c" (and "b c d"); cur has one
+    // doc repeating a known gram (novelty 0) and one all-new doc
+    val ref = Seq((1L, "zz", "A b c d")).toDF("doc_id", "source", "text")
+    val cur = Seq(
+      (10L, "s1", "a B c"),          // 1 gram, seen (case-folded)
+      (11L, "s1", "a b c"),          // duplicate gram -> distinct census
+      (12L, "s2", "x y z w"),        // 2 grams, both novel
+      (13L, "s2", "a b c x y z")     // 4 grams: 1 seen, 3 novel
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.ngramNovelty(cur, ref, "source", "text", n = 3)
+      .orderBy("source").collect()
+    val s1 = got(0)
+    s1.getAs[Long]("n_grams") shouldBe 1L
+    s1.getAs[Long]("n_novel") shouldBe 0L
+    s1.getAs[Double]("novelty_rate") shouldBe 0.0 +- 1e-12
+    val s2 = got(1)
+    // s2 distinct grams: "x y z","y z w","a b c","b c x","c x y" -> 5,
+    // novel = all but "a b c" -> 4
+    s2.getAs[Long]("n_grams") shouldBe 5L
+    s2.getAs[Long]("n_novel") shouldBe 4L
+    s2.getAs[Double]("novelty_rate") shouldBe 0.8 +- 1e-12
+  }
+
+  test("ngramNovelty: empty-token docs drop; an empty reference makes everything novel") {
+    val cur = Seq((1L, "s", "p q r"), (2L, "s", "   ")).toDF("doc_id", "source", "text")
+    val ref = Seq((9L, "z", "   ")).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.ngramNovelty(cur, ref, "source", "text", n = 3).head()
+    got.getAs[Long]("n_grams") shouldBe 1L
+    got.getAs[Long]("n_novel") shouldBe 1L
+    got.getAs[Double]("novelty_rate") shouldBe 1.0 +- 1e-12
+  }
 }

@@ -224,4 +224,39 @@ class TimeSeriesSpec extends AnyFunSuite with Matchers {
     // trend + residual is just the residual shifted: F_trend clamps to 0
     got.getAs[Double]("f_trend") shouldBe 0.0 +- 1e-12
   }
+
+  test("mannKendall: hand-computed S, tie-corrected variance, continuity-corrected Z") {
+    // y = 1,3,2,4,5 -> S = 8; no ties: Var = 5*4*15/18; Z = 7/sqrt(Var)
+    val up = (0 to 4).map(i => ("k", i.toDouble, Seq(1.0, 3.0, 2.0, 4.0, 5.0)(i)))
+    val r = TimeSeries.mannKendall(up.toDF("k", "x", "y").repartition(3),
+      "k", "x", "y").head()
+    r.getAs[Long]("n_points") shouldBe 5L
+    r.getAs[Long]("s_stat") shouldBe 8L
+    r.getAs[Double]("var_s") shouldBe (300.0 / 18.0) +- 1e-12
+    r.getAs[Double]("z") shouldBe (7.0 / math.sqrt(300.0 / 18.0)) +- 1e-12
+    // y = 1,2,2,3 -> S = 5; one tie group t=2: Var = (156 - 18)/18
+    val tied = (0 to 3).map(i => ("k", i.toDouble, Seq(1.0, 2.0, 2.0, 3.0)(i)))
+    val t = TimeSeries.mannKendall(tied.toDF("k", "x", "y"), "k", "x", "y").head()
+    t.getAs[Long]("s_stat") shouldBe 5L
+    t.getAs[Double]("var_s") shouldBe (138.0 / 18.0) +- 1e-12
+    t.getAs[Double]("z") shouldBe (4.0 / math.sqrt(138.0 / 18.0)) +- 1e-12
+  }
+
+  test("mannKendall: constant series has Z null; duplicate x collapse to the mean") {
+    val flat = (0 to 3).map(i => ("k", i.toDouble, 7.0))
+    val f = TimeSeries.mannKendall(flat.toDF("k", "x", "y"), "k", "x", "y").head()
+    f.getAs[Long]("s_stat") shouldBe 0L
+    f.getAs[Double]("var_s") shouldBe 0.0 +- 1e-12
+    f.isNullAt(f.fieldIndex("z")) shouldBe true
+    // x = 0,0,1 with y = 1,3,10: census (0 -> 2), (1 -> 10); S = 1,
+    // n = 2, Var = 2*1*9/18 = 1, Z = (1-1)/1 = 0
+    val dup = Seq(("k", 0.0, 1.0), ("k", 0.0, 3.0), ("k", 1.0, 10.0))
+    val d = TimeSeries.mannKendall(dup.toDF("k", "x", "y"), "k", "x", "y").head()
+    d.getAs[Long]("n_points") shouldBe 2L
+    d.getAs[Long]("s_stat") shouldBe 1L
+    d.getAs[Double]("z") shouldBe 0.0 +- 1e-12
+    val three = Seq(("k", 0.0, 1.0), ("k", 1.0, 3.0), ("k", 2.0, 10.0))
+    an[IllegalArgumentException] should be thrownBy TimeSeries.mannKendall(
+      three.toDF("k", "x", "y"), "k", "x", "y", maxPoints = 2)
+  }
 }
