@@ -275,6 +275,35 @@ object OpsQueries {
           round(col("cosine"), 6).as("cosine"))
         .orderBy(col("query_id"), col("cosine").desc, col("id"))
     }),
+    "s17_ann_recall" -> ((s, dir) => {
+      // the ANN QUALITY harness: recall@10 of the LSH multi-probe and
+      // the binary-Hamming shortlist against the exact brute-force
+      // truth, per probe query — the eval loop every approximate index
+      // must close before it replaces the exact scan
+      val emb = table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val truth = Similarity.topKForQueries(emb, "vec_id", "embedding",
+          q, "qid", "qv", k = 10)
+        .select(col("query_id"), col("id"))
+      def recallOf(approx: DataFrame, tag: String) =
+        truth.join(
+            approx.select(col("query_id"), col("id"), lit(1L).as("__hit")),
+            Seq("query_id", "id"), "left")
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("k"),
+            sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+          .select(lit(tag).as("method"), col("query_id"), col("k"),
+            col("n_hits"),
+            (col("n_hits").cast("double") / col("k")).as("recall"))
+      recallOf(Similarity.topKLsh(emb, "vec_id", "embedding", q, "qid", "qv",
+          k = 10, numPlanes = 8), "lsh")
+        .unionByName(recallOf(Similarity.topKBinary(emb, "vec_id", "embedding",
+          q, "qid", "qv", k = 10, dims = 64), "binary"))
+        .select(col("method"), col("query_id"), col("k"), col("n_hits"),
+          round(col("recall") + lit(5e-10), 6).as("recall"))
+        .orderBy("method", "query_id")
+    }),
     "s2_ann_lsh" -> ((s, dir) => { // oracle embeds the deterministic plane literals
       val emb = table(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 3)
@@ -1696,6 +1725,57 @@ object OpsQueries {
         .select(col("event_type"), col("n_points"), col("n_pairs"),
           round(col("sen_slope") + lit(5e-10), 6).as("sen_slope"))
         .orderBy("event_type")
+    }),
+    "q16_embedding_drift" -> ((s, dir) => {
+      // has the embedding cloud moved? every 5th vector plays the new
+      // snapshot with a planted affine shift (x*1.1 + 0.05) so all
+      // three signal families fire: centroid direction, centroid
+      // norms, and the per-dim variance trace — 2x64 census cells off
+      // one pass per side, metrics literal-lifted
+      val emb = table(s, dir, "embeddings")
+      val ref = emb.filter(col("vec_id") % 5 =!= 0)
+      val cur = emb.filter(col("vec_id") % 5 === 0)
+        .select(transform(col("embedding"),
+          x => x.cast("double") * lit(1.1) + lit(0.05)).as("embedding"))
+      Drift.embeddingDrift(ref, cur, "embedding", dims = 64)
+        .select(col("n_ref"), col("n_cur"),
+          round(col("mean_cosine") + lit(5e-10), 6).as("mean_cosine"),
+          round(col("norm_ref") + lit(5e-10), 6).as("norm_ref"),
+          round(col("norm_cur") + lit(5e-10), 6).as("norm_cur"),
+          round(col("var_trace_ref") + lit(5e-10), 6).as("var_trace_ref"),
+          round(col("var_trace_cur") + lit(5e-10), 6).as("var_trace_cur"))
+    }),
+    "u10_incremental_join_view" -> ((s, dir) => {
+      // incremental JOIN view maintenance over a materialized table:
+      // V = base orders x base customers lands as a VersionedTable,
+      // the delta dAxB U AxdB U dAxdB APPENDS (V itself never
+      // recomputed), and the re-read view must aggregate to the full
+      // recomputed join — the IVM algebra, the append accumulation,
+      // and the manifest round-trip all under one hash
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val t = new org.apache.hadoop.fs.Path(wh, "graft_ivm_view").toString
+      val fs0 = new org.apache.hadoop.fs.Path(t).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      fs0.delete(new org.apache.hadoop.fs.Path(t), true)
+      val o = table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      val c = table(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      val oBase = o.filter(col("o_orderkey") % 3 =!= 0)
+      val oDelta = o.filter(col("o_orderkey") % 3 === 0)
+      val cBase = c.filter(col("o_custkey") % 2 === 0)
+      val cDelta = c.filter(col("o_custkey") % 2 =!= 0)
+      graft.sources.VersionedTable.commit(oBase.join(cBase, Seq("o_custkey")), t)
+      graft.sources.VersionedTable.commit(
+        graft.ops.Merge.incrementalJoinDelta(oBase, oDelta, cBase, cDelta,
+          Seq("o_custkey")), t)
+      graft.sources.VersionedTable.read(s, t)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            + lit(5e-10), 6).as("sum_price"),
+          max("o_orderkey").as("max_key"))
+        .orderBy("c_mktsegment")
     }),
     "x29_ngram_novelty" -> ((s, dir) => {
       // incoming-snapshot freshness screen: every 10th doc plays the
@@ -3842,6 +3922,52 @@ object OpsQueries {
         "FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id " +
         "WHERE list_cosine_similarity(a.v, c.v) >= 0.2 ORDER BY id_a, id_b")
     },
+    "s17_ann_recall" -> {
+      // truth = the s1 exact window; lsh = the s2 bucket replay;
+      // binary = the s16 packing with k=10; recall = per-query hit
+      // share off two left joins of 10-row sets
+      val bucket = bucketSql("embedding::DOUBLE[]", graft.ops.Similarity.randomPlanes(8, 64))
+      val probeList = ("bucket" +: (0 until 8).map(i => s"xor(bucket, ${1L << i})"))
+        .mkString("[", ", ", "]")
+      def word(w: Int) = (0 until 32).map(b =>
+        s"(CASE WHEN embedding[${w * 32 + b + 1}] > 0 THEN ${1L << b}::BIGINT ELSE 0 END)")
+        .mkString(" + ")
+      ("WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3), " +
+        "tr AS (SELECT query_id, id FROM (SELECT q.qid AS query_id, e.vec_id AS id, " +
+        "row_number() OVER (PARTITION BY q.qid " +
+        "ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id) AS rn " +
+        "FROM embeddings e CROSS JOIN q) WHERE rn <= 10), " +
+        s"cb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, $bucket AS bucket FROM embeddings), " +
+        s"q0 AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv2, $bucket AS bucket " +
+        "FROM embeddings WHERE vec_id < 3), " +
+        s"qb AS (SELECT qid, qv2, unnest($probeList) AS bucket FROM q0), " +
+        "ls AS (SELECT query_id, id FROM (SELECT qb.qid AS query_id, cb.id, " +
+        "row_number() OVER (PARTITION BY qb.qid " +
+        "ORDER BY list_cosine_similarity(cb.v, qb.qv2) DESC, cb.id) AS rn " +
+        "FROM cb JOIN qb USING (bucket)) WHERE rn <= 10), " +
+        s"c2 AS (SELECT vec_id, embedding, ${word(0)} AS w0, ${word(1)} AS w1 FROM embeddings), " +
+        "bq AS (SELECT vec_id AS qid, w0 AS b0, w1 AS b1, embedding::DOUBLE[] AS bqv " +
+        "FROM c2 WHERE vec_id < 3), " +
+        "h2 AS (SELECT bq.qid AS query_id, c2.vec_id AS id, " +
+        "CAST(bit_count(xor(c2.w0, bq.b0)) AS BIGINT) + CAST(bit_count(xor(c2.w1, bq.b1)) AS BIGINT) AS hamming " +
+        "FROM c2 CROSS JOIN bq), " +
+        "sl2 AS (SELECT query_id, id, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY hamming, id) AS rn FROM h2), " +
+        "cn2 AS (SELECT query_id, id FROM sl2 WHERE rn <= 50), " +
+        "bn AS (SELECT query_id, id FROM (SELECT cn2.query_id, cn2.id, " +
+        "row_number() OVER (PARTITION BY cn2.query_id " +
+        "ORDER BY list_cosine_similarity(c3.embedding::DOUBLE[], bq.bqv) DESC, cn2.id) AS rn " +
+        "FROM cn2 JOIN c2 c3 ON c3.vec_id = cn2.id JOIN bq ON bq.qid = cn2.query_id) " +
+        "WHERE rn <= 10), " +
+        "rc AS (SELECT 'lsh' AS method, tr.query_id, count(*)::BIGINT AS k, " +
+        "CAST(sum(CASE WHEN ls.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits " +
+        "FROM tr LEFT JOIN ls ON ls.query_id = tr.query_id AND ls.id = tr.id GROUP BY 2 " +
+        "UNION ALL SELECT 'binary', tr.query_id, count(*)::BIGINT, " +
+        "CAST(sum(CASE WHEN bn.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        "FROM tr LEFT JOIN bn ON bn.query_id = tr.query_id AND bn.id = tr.id GROUP BY 2) " +
+        "SELECT method, query_id, k, n_hits, " +
+        "round(n_hits::DOUBLE / k + 5e-10, 6) AS recall FROM rc ORDER BY method, query_id")
+    },
     "s2_ann_lsh" -> {
       val bucket = bucketSql("embedding::DOUBLE[]", graft.ops.Similarity.randomPlanes(8, 64))
       // multi-probe: the query probes its own bucket plus every 1-bit-flip
@@ -5516,6 +5642,36 @@ object OpsQueries {
         "round(coalesce(c, 0)::DOUBLE / (n_a + n_b - coalesce(c, 0)) + 5e-10, 6) AS jaccard, " +
         "round(coalesce(c, 0)::DOUBLE / least(n_a, n_b) + 5e-10, 6) AS containment " +
         "FROM pr LEFT JOIN it USING (src_a, src_b) ORDER BY src_a, src_b"),
+    "q16_embedding_drift" ->
+      // both sides' (dim, n, sx, sxx) censuses via generate_subscripts
+      // (the s13 construction), the same mean/variance algebra, and
+      // the planted affine shift replayed per element
+      ("WITH r0 AS (SELECT embedding AS v FROM embeddings " +
+        "WHERE vec_id % 5 <> 0 AND embedding IS NOT NULL AND len(embedding) = 64), " +
+        "c0 AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.1 + 0.05) AS v " +
+        "FROM embeddings WHERE vec_id % 5 = 0 AND embedding IS NOT NULL AND len(embedding) = 64), " +
+        "re AS (SELECT generate_subscripts(v, 1) AS d, CAST(unnest(v) AS DOUBLE) AS x FROM r0), " +
+        "ce AS (SELECT generate_subscripts(v, 1) AS d, CAST(unnest(v) AS DOUBLE) AS x FROM c0), " +
+        "rs AS (SELECT d, count(*)::BIGINT AS n, sum(x) AS sx, sum(x * x) AS sxx FROM re GROUP BY d), " +
+        "cs AS (SELECT d, count(*)::BIGINT AS n, sum(x) AS sx, sum(x * x) AS sxx FROM ce GROUP BY d), " +
+        "m AS (SELECT rs.d, rs.n AS nr, cs.n AS nc, rs.sx / rs.n AS mur, cs.sx / cs.n AS muc, " +
+        "rs.sxx / rs.n - (rs.sx / rs.n) * (rs.sx / rs.n) AS vr, " +
+        "cs.sxx / cs.n - (cs.sx / cs.n) * (cs.sx / cs.n) AS vc FROM rs JOIN cs USING (d)), " +
+        "g AS (SELECT CAST(max(nr) AS BIGINT) AS n_ref, CAST(max(nc) AS BIGINT) AS n_cur, " +
+        "sum(mur * muc) AS dot, sqrt(sum(mur * mur)) AS normr, sqrt(sum(muc * muc)) AS normc, " +
+        "sum(vr) AS vtr, sum(vc) AS vtc FROM m) " +
+        "SELECT n_ref, n_cur, " +
+        "round(CASE WHEN normr > 0 AND normc > 0 THEN dot / (normr * normc) END + 5e-10, 6) AS mean_cosine, " +
+        "round(normr + 5e-10, 6) AS norm_ref, round(normc + 5e-10, 6) AS norm_cur, " +
+        "round(vtr + 5e-10, 6) AS var_trace_ref, round(vtc + 5e-10, 6) AS var_trace_cur FROM g"),
+    "u10_incremental_join_view" ->
+      // the full recomputed join: appending the three-term delta to
+      // the materialized base view must equal it exactly
+      ("SELECT c_mktsegment, count(*)::BIGINT AS n, " +
+        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) + 5e-10, 6) AS sum_price, " +
+        "max(o_orderkey) AS max_key " +
+        "FROM orders JOIN customer ON c_custkey = o_custkey " +
+        "GROUP BY 1 ORDER BY 1"),
     "x29_ngram_novelty" ->
       // both sides' distinct-trigram censuses off the shared shingle
       // helper; novelty = the left join's miss share per source

@@ -317,6 +317,60 @@ object Drift {
           .as("cramers_v"))
   }
 
+  /** Embedding-space drift between two vector corpora — the q3/q13
+    * scalar machinery says nothing about a 64-dim embedding column;
+    * this is the retrain-gate check for it: cosine between the two
+    * MEAN vectors (has the centroid direction moved?), both centroid
+    * norms (has magnitude collapsed — the degenerate-encoder smell),
+    * and each side's total per-dimension variance (has the cloud
+    * tightened or exploded?). Population variance (the /n form), so
+    * every number derives from the census alone.
+    *
+    * Scale shape: both corpora fold to ONE (side, dim) moment census —
+    * posexplode into a map-side-combined hash aggregate of 2·dims
+    * cells, the [[graft.ops.Pca]] moment discipline without the d²
+    * Gram — and the ≤2·dims census rows are collected (aggregates-only
+    * contract) with the seven metrics literal-lifted. Returns one row
+    * (n_ref, n_cur, mean_cosine, norm_ref, norm_cur, var_trace_ref,
+    * var_trace_cur); cosine NULL when either centroid is the zero
+    * vector. */
+  def embeddingDrift(ref: DataFrame, cur: DataFrame, vecCol: String,
+                     dims: Int): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    def side(df: DataFrame, r: Long) = df
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
+      .select(lit(r).as("__r"), posexplode(col(vecCol)).as(Seq("__d", "__x0")))
+      .select(col("__r"), col("__d"),
+        col("__x0").cast(DoubleType).as("__x"))
+    val census = side(ref, 1L).unionByName(side(cur, 0L))
+      .groupBy("__r", "__d")
+      .agg(count(lit(1)).as("n"), sum("__x").as("sx"),
+        sum(col("__x") * col("__x")).as("sxx"))
+      .collect()
+      .map(row => (row.getLong(0), row.getInt(1),
+        (row.getLong(2), row.getDouble(3), row.getDouble(4))))
+    def metrics(r: Long) = {
+      val cells = census.filter(_._1 == r).sortBy(_._2).map(_._3)
+      val n = if (cells.isEmpty) 0L else cells.head._1
+      val mu = cells.map(c => c._2 / c._1)
+      val vt = cells.map(c => c._3 / c._1).zip(mu).map { case (m2, m) => m2 - m * m }.sum
+      (n, mu, vt)
+    }
+    val (nRef, muR, vtR) = metrics(1L)
+    val (nCur, muC, vtC) = metrics(0L)
+    require(nRef > 0 && nCur > 0,
+      s"embeddingDrift needs $dims-dim vectors on both sides (ref=$nRef, cur=$nCur)")
+    val dot = muR.zip(muC).map { case (a, b) => a * b }.sum
+    val normR = math.sqrt(muR.map(a => a * a).sum)
+    val normC = math.sqrt(muC.map(a => a * a).sum)
+    val cosine = if (normR > 0 && normC > 0) Some(dot / (normR * normC)) else None
+    val spark = ref.sparkSession
+    import spark.implicits._
+    Seq((nRef, nCur, cosine, normR, normC, vtR, vtC))
+      .toDF("n_ref", "n_cur", "mean_cosine", "norm_ref", "norm_cur",
+        "var_trace_ref", "var_trace_cur")
+  }
+
   def ksStatistic(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
     val spark = ref.sparkSession
     def side(df: DataFrame, r: Long, c: Long): DataFrame =

@@ -229,6 +229,27 @@ object Merge {
     * breaking merge(agg(A), agg(B)) == agg(A ∪ B). `<=>` (EqualNullSafe)
     * is still an equi-join condition to Catalyst, so the plan stays a
     * hash/sort-merge join on the key — no scale change. */
+  /** Incremental equi-join view maintenance (insert-only deltas): the
+    * delta of V = A ⋈ B under appends (dA, dB) is exactly
+    * dV = dA⋈B ∪ A⋈dB ∪ dA⋈dB — appending dV to the materialized V
+    * equals recomputing (A∪dA) ⋈ (B∪dB), and V itself is never
+    * touched. This is THE 100 TB join-maintenance move: the standing
+    * sides are each scanned once against a delta (which the planner
+    * broadcasts when small — the normal ingest shape), so maintenance
+    * cost scales with the delta, not the view. Both inputs' key
+    * columns must be non-null (equi-join semantics); duplicate keys
+    * multiply as in the full join, exactly like the recompute would.
+    * Insert-only by contract — deletes/updates need the changelog
+    * machinery ([[applyChangelog]]) upstream. */
+  def incrementalJoinDelta(a: DataFrame, da: DataFrame,
+                           b: DataFrame, db: DataFrame,
+                           keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "incrementalJoinDelta needs join keys")
+    da.join(b, keys)
+      .unionByName(a.join(db, keys))
+      .unionByName(da.join(db, keys))
+  }
+
   private def nullSafeFullOuter(s: DataFrame, d: DataFrame,
                                 keys: Seq[String]): DataFrame =
     s.join(d, keys.map(k => col(s"__sk_$k") <=> col(s"__dk_$k")).reduce(_ && _),

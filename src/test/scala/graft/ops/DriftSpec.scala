@@ -249,4 +249,30 @@ class DriftSpec extends AnyFunSuite with Matchers {
     rd.getAs[Long]("n_categories") shouldBe 3L
     rd.getAs[Double]("chi2") shouldBe (10.0 + 10.0) +- 1e-9
   }
+
+  test("embeddingDrift: identical clouds are cosine 1; a planted shift moves every signal") {
+    val base = Seq(
+      Seq(1.0, 0.0, 1.0), Seq(1.0, 2.0, 1.0), Seq(1.0, 4.0, 1.0))
+    val ref = base.map(Tuple1(_)).toDF("v")
+    val same = Drift.embeddingDrift(ref, ref, "v", dims = 3).head()
+    same.getAs[Long]("n_ref") shouldBe 3L
+    same.getAs[Double]("mean_cosine") shouldBe 1.0 +- 1e-12
+    // mu = (1, 2, 1); population var trace = 0 + 8/3 + 0
+    same.getAs[Double]("norm_ref") shouldBe math.sqrt(6.0) +- 1e-12
+    same.getAs[Double]("var_trace_ref") shouldBe (8.0 / 3.0) +- 1e-12
+    // scale*2: direction unchanged (cos 1), norm and trace scale
+    val cur = base.map(v => Tuple1(v.map(_ * 2.0))).toDF("v")
+    val sc = Drift.embeddingDrift(ref, cur, "v", dims = 3).head()
+    sc.getAs[Double]("mean_cosine") shouldBe 1.0 +- 1e-12
+    sc.getAs[Double]("norm_cur") shouldBe (2.0 * math.sqrt(6.0)) +- 1e-12
+    sc.getAs[Double]("var_trace_cur") shouldBe (4.0 * 8.0 / 3.0) +- 1e-12
+    // orthogonal-ish shift: cosine drops below 1
+    val shifted = base.map(v => Tuple1(Seq(v(0), v(1), v(2) + 10.0))).toDF("v")
+    Drift.embeddingDrift(ref, shifted, "v", dims = 3).head()
+      .getAs[Double]("mean_cosine") should be < 0.9
+    // wrong-length vectors are excluded by the dims guard
+    val ragged = (base :+ Seq(9.0)).map(Tuple1(_)).toDF("v")
+    Drift.embeddingDrift(ragged, ref, "v", dims = 3).head()
+      .getAs[Long]("n_ref") shouldBe 3L
+  }
 }

@@ -325,4 +325,21 @@ class MergeSpec extends AnyFunSuite with Matchers {
     merged.length shouldBe 2
     merged(1).getMap[String, Long](1)("z") shouldBe 1L
   }
+
+  test("incrementalJoinDelta: base view + delta equals the full recomputed join") {
+    val a = Seq((1L, "a1"), (2L, "a2"), (3L, "a3")).toDF("k", "av")
+    val da = Seq((2L, "a2b"), (4L, "a4")).toDF("k", "av")
+    val b = Seq((1L, "b1"), (2L, "b2")).toDF("k", "bv")
+    val db = Seq((2L, "b2b"), (3L, "b3"), (9L, "b9")).toDF("k", "bv")
+    val view = a.join(b, Seq("k"))
+      .unionByName(Merge.incrementalJoinDelta(a, da, b, db, Seq("k")))
+    val full = a.unionByName(da).join(b.unionByName(db), Seq("k"))
+    view.as[(Long, String, String)].collect().sorted shouldBe
+      full.as[(Long, String, String)].collect().sorted
+    // duplicate keys multiply exactly as the recompute does: k=2 has
+    // 2 left x 2 right = 4 rows
+    view.filter($"k" === 2L).count() shouldBe 4L
+    an[IllegalArgumentException] should be thrownBy
+      Merge.incrementalJoinDelta(a, da, b, db, Nil)
+  }
 }
