@@ -763,6 +763,32 @@ object OpsQueries {
         .select(col("n_edges"),
           round(col("r_assortativity") + lit(5e-10), 6).as("r_assortativity"))
     }),
+    "a32_bartlett" -> ((s, dir) =>
+      // Levene's (t20) parametric sibling over the same shape: one
+      // decimal power-sum census, one aggregate over its <=k rows,
+      // every log/division on census-derived doubles
+      Association.bartlett(
+          table(s, dir, "lineitem").select("l_returnflag", "l_extendedprice"),
+          "l_returnflag", "l_extendedprice")
+        .select(col("k"), col("n"),
+          round(col("chi2") + lit(5e-10), 6).as("chi2"), col("dof"))),
+    "w13_changepoint" -> ((s, dir) => {
+      // WHERE did the daily traffic shift: binary segmentation (depth
+      // 1) over the w9 daily census — prefix windows over census rows,
+      // the normalized mean-shift score, argmax with earliest-x ties
+      val daily = table(s, dir, "events")
+        .filter(col("event_type").isNotNull && col("ts").isNotNull)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).as("day"))
+        .agg(count(lit(1)).cast("double").as("n_events"))
+      TimeSeries.changePoint(daily, "event_type", "day", "n_events")
+        .select(col("event_type"), col("n_points"),
+          col("split_x").cast("long").as("split_x"),
+          round(col("mean_left") + lit(5e-10), 6).as("mean_left"),
+          round(col("mean_right") + lit(5e-10), 6).as("mean_right"),
+          round(col("stat") + lit(5e-10), 6).as("stat"))
+        .orderBy("event_type")
+    }),
     "t29_cochran_q" -> ((s, dir) =>
       // do three matched binary screens share one positive rate?
       // R_i/R_i² are row-local, so the whole corpus folds to 6 exact
@@ -4515,6 +4541,44 @@ object OpsQueries {
         "(sqrt(m::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) * " +
         "sqrt(m::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)) END + 5e-10, 6) AS r_assortativity " +
         "FROM s"),
+    "a32_bartlett" ->
+      // per-flag decimal power sums, the same pooled-variance and
+      // correction-factor algebra over the census rows
+      ("WITH c AS (SELECT l_returnflag AS g, count(*)::BIGINT AS ni, " +
+        "sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS sx, " +
+        "sum(CAST(l_extendedprice AS DECIMAL(28,6)) * CAST(l_extendedprice AS DECIMAL(28,6))) AS sxx " +
+        "FROM lineitem WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL GROUP BY 1), " +
+        "s AS (SELECT ni, (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / ni::DOUBLE) / (ni::DOUBLE - 1.0) AS s2 FROM c), " +
+        "g AS (SELECT count(*)::BIGINT AS k, CAST(sum(ni) AS BIGINT) AS n, " +
+        "min(ni) AS minn, min(s2) AS mins2, " +
+        "sum((ni - 1)::DOUBLE * s2) AS ssw, sum((ni - 1)::DOUBLE * ln(s2)) AS slog, " +
+        "sum(1.0 / (ni - 1)::DOUBLE) AS sinv FROM s) " +
+        "SELECT k, n, round(CASE WHEN k >= 2 AND minn >= 2 AND mins2 > 0 THEN " +
+        "((n - k)::DOUBLE * ln(ssw / (n - k)::DOUBLE) - slog) / " +
+        "(1.0 + (sinv - 1.0 / (n - k)::DOUBLE) / (3.0 * (k - 1)::DOUBLE)) END + 5e-10, 6) AS chi2, " +
+        "(k - 1)::BIGINT AS dof FROM g"),
+    "w13_changepoint" ->
+      // the daily census, both prefix windows, the identical score
+      // expression, argmax via row_number with the earliest-day tie
+      ("WITH d AS (SELECT event_type, " +
+        "date_diff('day', DATE '1970-01-01', ts::DATE)::DOUBLE AS day, " +
+        "count(*)::DOUBLE AS y FROM events " +
+        "WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2), " +
+        "w AS (SELECT event_type, day, y, " +
+        "count(*) OVER (PARTITION BY event_type ORDER BY day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl, " +
+        "sum(y) OVER (PARTITION BY event_type ORDER BY day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl, " +
+        "count(*) OVER (PARTITION BY event_type) AS n, " +
+        "sum(y) OVER (PARTITION BY event_type) AS s FROM d), " +
+        "sc AS (SELECT event_type, day, n, sl / nl AS ml, (s - sl) / (n - nl) AS mr, " +
+        "abs(sl / nl - (s - sl) / (n - nl)) * sqrt(nl::DOUBLE * (n - nl) / n) AS stat " +
+        "FROM w WHERE nl < n), " +
+        "b AS (SELECT *, row_number() OVER (PARTITION BY event_type " +
+        "ORDER BY stat DESC, day) AS rn FROM sc) " +
+        "SELECT event_type, CAST(n AS BIGINT) AS n_points, CAST(day AS BIGINT) AS split_x, " +
+        "round(ml + 5e-10, 6) AS mean_left, round(mr + 5e-10, 6) AS mean_right, " +
+        "round(stat + 5e-10, 6) AS stat FROM b WHERE rn = 1 ORDER BY event_type"),
     "t29_cochran_q" ->
       // the six exact longs and the single-division Q, replayed
       ("WITH b AS (SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS t1, " +

@@ -580,6 +580,52 @@ object Association {
           (col("r_xy") - col("r_xz") * col("r_yz")) / pden).as("r_partial"))
   }
 
+  /** Bartlett's test for equal variances across k groups — [[leveneTest]]'s
+    * parametric sibling (more powerful under normality, famously
+    * sensitive to heavy tails; run both, believe their agreement):
+    * χ² = [(N−k)·ln S_p² − Σ(n_i−1)·ln S_i²] / C with
+    * C = 1 + (Σ 1/(n_i−1) − 1/(N−k)) / (3(k−1)) and the pooled
+    * S_p² = Σ(n_i−1)S_i² / (N−k); χ² ~ χ²(k−1) under H₀.
+    *
+    * Scale shape: ONE map-side-combined per-group census of exact
+    * decimal power sums, then ONE aggregate over the ≤k census rows —
+    * the corpus is scanned once and every log/division happens over
+    * census-derived doubles an external engine replays. Returns one
+    * row (k, n, chi2, dof); chi2 NULL when any group has n < 2 or a
+    * zero variance (ln undefined), or k < 2. */
+  def bartlett(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+    val x = d6(col(valueCol))
+    val cells = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("ni"), sum(x).as("__sx"), sum(x * x).as("__sxx"))
+    val nd = col("ni").cast("double")
+    // singleton groups null their census cells (ANSI divide-by-zero
+    // guard); the __minN gate then nulls the whole statistic, which is
+    // the documented contract — never a partial answer
+    val s2 = when(col("ni") >= 2,
+      (col("__sxx").cast("double") -
+        col("__sx").cast("double") * col("__sx").cast("double") / nd) /
+        (nd - lit(1.0)))
+    val sums = cells
+      .select(col("ni"), s2.as("__s2"))
+      .agg(count(lit(1)).as("k"), sum("ni").as("n"),
+        min("ni").as("__minN"), min("__s2").as("__minS2"),
+        sum((col("ni") - 1).cast("double") * col("__s2")).as("__ssw"),
+        sum((col("ni") - 1).cast("double") * log(col("__s2"))).as("__slog"),
+        sum(when(col("ni") >= 2,
+          lit(1.0) / (col("ni") - 1).cast("double"))).as("__sinv"))
+    val nmk = (col("n") - col("k")).cast("double")
+    val kd = col("k").cast("double")
+    val sp2 = col("__ssw") / nmk
+    val c = lit(1.0) + (col("__sinv") - lit(1.0) / nmk) / (lit(3.0) * (kd - lit(1.0)))
+    sums.select(col("k"), col("n"),
+      when(col("k") >= 2 && col("__minN") >= 2 && col("__minS2") > 0,
+        (nmk * log(sp2) - col("__slog")) / c).as("chi2"),
+      (col("k") - 1).as("dof"))
+  }
+
   /** CUPED variance reduction (controlled experiments using pre-period
     * data; Deng, Xu, Kohavi & Walker, WSDM 2013): adjust the experiment
     * metric Y by the pre-period covariate X with the POOLED

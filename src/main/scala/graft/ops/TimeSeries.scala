@@ -370,6 +370,50 @@ object TimeSeries {
         col("var_s"), col("z"))
   }
 
+  /** Single change-point detection per series key (binary segmentation,
+    * depth 1): over the x-ordered census, every split boundary t scores
+    * |mean_left − mean_right| · √(n_L·n_R / n) — the two-sample mean
+    * shift normalized so noise doesn't favor edge splits — and the
+    * maximizer (ties → earliest x) is the change point. Paired with
+    * [[cusum]]: CUSUM flags THAT a shift happened online; this names
+    * WHERE, offline.
+    *
+    * Scale shape: the corpus folds to the (key, x) census first; prefix
+    * counts/sums are windows over CENSUS rows (regular many-keys
+    * shape), the score is row-local off exact integer-free doubles
+    * derived from exact sums, and the argmax is one more census
+    * window. Returns (key, n_points, split_x, mean_left, mean_right,
+    * stat); one row per key with ≥ 2 points. */
+  def changePoint(df: DataFrame, keyCol: String, xCol: String,
+                  yCol: String): DataFrame = {
+    val census = df
+      .filter(col(keyCol).isNotNull && col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(keyCol).as("__k"), col(xCol).cast("double").as("__x"))
+      .agg(sum(col(yCol).cast("double")).as("__y"))
+    val wOrd = Window.partitionBy("__k").orderBy("__x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("__k")
+    val scored = census
+      .withColumn("__nl", count(lit(1)).over(wOrd))
+      .withColumn("__sl", sum("__y").over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__s", sum("__y").over(wAll))
+      .filter(col("__nl") < col("__n")) // a boundary needs a non-empty right side
+      .withColumn("__ml", col("__sl") / col("__nl").cast("double"))
+      .withColumn("__mr",
+        (col("__s") - col("__sl")) / (col("__n") - col("__nl")).cast("double"))
+      .withColumn("__stat",
+        abs(col("__ml") - col("__mr")) *
+          sqrt(col("__nl").cast("double") * (col("__n") - col("__nl")).cast("double") /
+            col("__n").cast("double")))
+    val wBest = Window.partitionBy("__k").orderBy(col("__stat").desc, col("__x"))
+    scored.withColumn("__r", row_number().over(wBest))
+      .filter(col("__r") === 1)
+      .select(col("__k").as(keyCol), col("__n").as("n_points"),
+        col("__x").as("split_x"), col("__ml").as("mean_left"),
+        col("__mr").as("mean_right"), col("__stat").as("stat"))
+  }
+
   /** Inter-arrival gap census per series key over per-entity event
     * streams: gaps are taken WITHIN each (key, entity) stream — the
     * window partitions on (key, entity), which stays wide-parallel

@@ -431,6 +431,26 @@ class AssociationAuditSpec extends AnyFunSuite with Matchers {
     rc.isNullAt(rc.fieldIndex("t_stat")) shouldBe true
   }
 
+  test("bartlett: hand trace, equal variances near 0, degenerate group nulls") {
+    // a: var 1, b: var 4, both n=3 -> Sp2 = 2.5, C = 1.25
+    val rows = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 4.0), ("b", 6.0))
+    val r = Association.bartlett(rows.toDF("g", "v").repartition(2), "g", "v").head()
+    r.getAs[Long]("k") shouldBe 2L
+    r.getAs[Long]("n") shouldBe 6L
+    val expected = (4.0 * math.log(2.5) - (2.0 * math.log(1.0) + 2.0 * math.log(4.0))) / 1.25
+    r.getAs[Double]("chi2") shouldBe expected +- 1e-9
+    r.getAs[Long]("dof") shouldBe 1L
+    // identical spreads -> chi2 exactly 0
+    val eq = Seq(("a", 1.0), ("a", 3.0), ("b", 5.0), ("b", 7.0))
+    Association.bartlett(eq.toDF("g", "v"), "g", "v").head()
+      .getAs[Double]("chi2") shouldBe 0.0 +- 1e-12
+    // a singleton group (n=1) makes the statistic undefined
+    val deg = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0))
+    val rd = Association.bartlett(deg.toDF("g", "v"), "g", "v").head()
+    rd.isNullAt(rd.fieldIndex("chi2")) shouldBe true
+  }
+
   test("cochranQ: hand trace, k=2 equals McNemar's uncorrected chi2, degenerate null") {
     // C = (3,3,1), T = 7, sumR2 = 15 -> Q = 2*(3*19 - 49)/(21 - 15)
     val rows = Seq((1L, 1L, 0L), (1L, 1L, 1L), (0L, 1L, 0L), (1L, 0L, 0L))

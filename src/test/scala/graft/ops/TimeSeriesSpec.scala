@@ -225,6 +225,22 @@ class TimeSeriesSpec extends AnyFunSuite with Matchers {
     got.getAs[Double]("f_trend") shouldBe 0.0 +- 1e-12
   }
 
+  test("changePoint finds the planted step; symmetric ties pick the earliest boundary") {
+    // y = 1,1,1,5,5,5 -> split after x=3: |1-5|*sqrt(9/6)
+    val step = (1 to 6).map(i => ("k", i.toDouble, if (i <= 3) 1.0 else 5.0))
+    val r = TimeSeries.changePoint(step.toDF("k", "x", "y").repartition(3),
+      "k", "x", "y").head()
+    r.getAs[Long]("n_points") shouldBe 6L
+    r.getAs[Double]("split_x") shouldBe 3.0 +- 1e-12
+    r.getAs[Double]("mean_left") shouldBe 1.0 +- 1e-12
+    r.getAs[Double]("mean_right") shouldBe 5.0 +- 1e-12
+    r.getAs[Double]("stat") shouldBe (4.0 * math.sqrt(1.5)) +- 1e-12
+    // y = 0,10,0: boundaries t=1 and t=2 score identically -> earliest x
+    val tie = Seq(("k", 1.0, 0.0), ("k", 2.0, 10.0), ("k", 3.0, 0.0))
+    TimeSeries.changePoint(tie.toDF("k", "x", "y"), "k", "x", "y").head()
+      .getAs[Double]("split_x") shouldBe 1.0 +- 1e-12
+  }
+
   test("mannKendall: hand-computed S, tie-corrected variance, continuity-corrected Z") {
     // y = 1,3,2,4,5 -> S = 8; no ties: Var = 5*4*15/18; Z = 7/sqrt(Var)
     val up = (0 to 4).map(i => ("k", i.toDouble, Seq(1.0, 3.0, 2.0, 4.0, 5.0)(i)))
