@@ -1633,6 +1633,47 @@ object OpsQueries {
           round(col("cum_ratio") + lit(5e-10), 6).as("cum_ratio"))
         .orderBy("component")
     }),
+    "c9_curated_export" -> ((s, dir) => {
+      // THE END-TO-END TRAINING HANDOFF, every stage the verified
+      // operator: exact dedup (d1) -> quality gate (c1/x2's scorer) ->
+      // fresh token census -> token-budgeted JSONL export with a
+      // VersionedTable manifest (o15) -> re-read census with RECOMPUTED
+      // tokens. The oracle replays dedup, gate, budget, and shard
+      // assignment from the raw table in one SQL — a drift anywhere in
+      // the chain breaks the hash
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      def pth(n: String) = new org.apache.hadoop.fs.Path(wh, n).toString
+      val out = pth("graft_curated_jsonl"); val mt = pth("graft_curated_manifest")
+      val fs0 = new org.apache.hadoop.fs.Path(wh).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      fs0.delete(new org.apache.hadoop.fs.Path(out), true)
+      fs0.delete(new org.apache.hadoop.fs.Path(mt), true)
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .filter(col("text").isNotNull)
+      val p = col("__p")
+      val gated = Dedup.exact(docs, "doc_id", "text")
+        .withColumn("__p", TextAnalysis.profile(col("text")))
+        .filter(TextAnalysis.qualityScoreP(p) >= 0.5)
+        .withColumn("n_tok", TextAnalysis.tokenCountP(p).cast("long"))
+        .select("doc_id", "source", "text", "n_tok")
+      val rep = graft.sources.Sinks.exportJsonlSharded(
+        gated, out, "doc_id", "n_tok", manifestTable = mt)
+      def rereadCensus = s.read
+        .schema("doc_id LONG, source STRING, text STRING, n_tok LONG")
+        .json(out)
+        .withColumn("rt", size(TextAnalysis.tokens(col("text"))).cast("long"))
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum("rt").as("n_tokens"))
+      val manifest = graft.sources.VersionedTable.read(s, mt)
+        .select(col("shard"), col("n_docs"), col("n_tokens"))
+      val manifestOk = rereadCensus.exceptAll(manifest)
+        .unionAll(manifest.exceptAll(rereadCensus)).isEmpty
+      rereadCensus
+        .withColumn("one_file_per_shard", lit(rep.nFiles == rep.nShards))
+        .withColumn("manifest_match", lit(manifestOk))
+        .orderBy("shard")
+    }),
     "c8_mix_report" -> ((s, dir) => {
       // pretraining-mix planner, the c1/p13/p18 disciplines composed:
       // quality gate -> per-SOURCE token census -> temperature-smoothed
@@ -3688,10 +3729,10 @@ object OpsQueries {
     * exposes per-doc language scores (s_de..s_zh, max m), n_tok, and the
     * quality-heuristic inputs in CTE `f`. Mirrors TextAnalysis exactly —
     * both queries' parity rides on this one definition. */
-  private def enrichSql(src: String): String = {
+  private def enrichSql(src: String, pre: String = ""): String = {
     val langs = TextAnalysis.LangStopwords.toSeq.sortBy(_._1) // de en es fr it
     val scoreCols = langs.map { case (l, ws) => s"${langScoreSql(ws)} AS s_$l" }
-    s"WITH t AS (SELECT doc_id, text, ${toksOf("text")} AS tk FROM $src), " +
+    s"WITH ${pre}t AS (SELECT doc_id, text, ${toksOf("text")} AS tk FROM $src), " +
       "s AS (SELECT doc_id, text, tk, " + scoreCols.mkString(", ") + ", " +
       raw"length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g'))::DOUBLE / greatest(length(text), 1) AS s_zh, " +
       "len(tk) AS n_tok, " +
@@ -4249,6 +4290,23 @@ object OpsQueries {
         "round((sij - sa.si * sb.si / n) / (n - 1) + 5e-10, 6) + 0.0 AS cov " +
         "FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j, nn " +
         "ORDER BY i, j"),
+    "c9_curated_export" -> {
+      // dedup (d1's window pick) feeds the x2 enrich CTEs; the gate,
+      // derived budget, and running-sum shard assignment replay the
+      // whole chain from the raw table
+      val dd = "dd AS (SELECT doc_id, text FROM (SELECT doc_id, text, " +
+        "row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn " +
+        "FROM documents WHERE text IS NOT NULL) WHERE rn = 1), "
+      (enrichSql("dd", dd) +
+        s", k AS (SELECT doc_id, n_tok::BIGINT AS n_tok FROM f WHERE $QualityScoreSql >= 0.5), " +
+        "b AS (SELECT greatest(2000, CAST(sum(n_tok) AS BIGINT) // 64) AS budget FROM k), " +
+        "w AS (SELECT doc_id, n_tok, coalesce(CAST(sum(n_tok) OVER (ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS prev FROM k) " +
+        "SELECT CAST(prev // (SELECT budget FROM b) AS BIGINT) AS shard, " +
+        "count(*)::BIGINT AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
+        "true AS one_file_per_shard, true AS manifest_match " +
+        "FROM w GROUP BY 1 ORDER BY 1")
+    },
     "c8_mix_report" ->
       // the x2 enrich CTEs for the quality gate and token counts, then
       // the same sqrt-share and largest-remainder walk
