@@ -249,9 +249,11 @@ object Bench {
       * regressions vs the prior committed record + isolated reruns of
       * (heavy ∪ regressed). `prefix` is "" for the main sf0.1 pass,
       * "sf1_"/"sf10_" for the extra scales. */
-    def passJson(rows: Seq[QRes], dir: String, tag: String, prefix: String,
-                 priorKey: String): String = {
-      val prior = loadPrior(priorKey)
+    def passJson(rows: Seq[QRes], dir: String, tag: String, prefix: String): String = {
+      // the prior key IS the prefixed queries map — deriving it here
+      // removes the mismatched-pair foot-gun (sf10 timings vs sf0.1
+      // priors would manufacture bogus regressions)
+      val prior = loadPrior(prefix + "queries")
       val regs = regressions(rows, prior).sortBy(-_._3).take(isoMax)
       val heavy = rows.filter(_.sec > isoThreshold).sortBy(-_.sec).take(isoMax)
         .map(r => r.name -> r.sec)
@@ -270,7 +272,7 @@ object Bench {
     }
     val results = timedPass(sfDir, "bench")
     val total = liveTotal(results)
-    val mainJson = passJson(results, sfDir, "bench", "", "queries")
+    val mainJson = passJson(results, sfDir, "bench", "")
     // Extra-scale passes are OPT-IN: at 220+ queries a 3-scale sweep runs
     // ~1.6 h, past the driver's bench budget — round 11's official record
     // came back rc=124/parsed:null because these passes ran by default
@@ -291,7 +293,7 @@ object Bench {
     } else {
       val r1 = timedPass(sf1Dir, "bench-sf1")
       s""","sf1_total":${liveTotal(r1)},"sf1_failed":${nFailed(r1)},""" +
-        passJson(r1, sf1Dir, "bench-sf1", "sf1_", "sf1_queries") +
+        passJson(r1, sf1Dir, "bench-sf1", "sf1_") +
         s""","sf1_dir":"$sf1Dir""""
     }
     // 100x scale check, same per-rep drain + median discipline as every
@@ -304,7 +306,7 @@ object Bench {
     } else {
       val r10 = timedPass(sf10Dir, "bench-sf10")
       s""","sf10_total":${liveTotal(r10)},"sf10_failed":${nFailed(r10)},""" +
-        passJson(r10, sf10Dir, "bench-sf10", "sf10_", "sf10_queries") +
+        passJson(r10, sf10Dir, "bench-sf10", "sf10_") +
         s""","sf10_dir":"$sf10Dir""""
     }
     val skippedJson = if (skipped.isEmpty) "" else

@@ -37,6 +37,48 @@ object OpsQueries {
     Graph.canonicalEdges(raw, "src", "dst")
   }
 
+  /** The o15/c9 shared export handshake: wipe the target dirs, run
+    * [[graft.sources.Sinks.exportJsonlSharded]] on `df` (must carry
+    * doc_id/source/text/n_tok), re-read the JSONL with tokens
+    * RECOMPUTED from the round-tripped text, and return the per-shard
+    * census with the one-file-per-shard and manifest-match booleans.
+    * The re-read census is persisted and the ≤shards rows collected
+    * once (aggregates-only contract), so the JSONL is read ONCE — the
+    * earlier def-per-consumer shape re-read and re-tokenized the
+    * corpus three times per bench rep. */
+  private def jsonlExportCensus(s: SparkSession, df: DataFrame,
+                                outName: String, mtName: String): DataFrame = {
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    def pth(n: String) = new org.apache.hadoop.fs.Path(wh, n).toString
+    val out = pth(outName); val mt = pth(mtName)
+    val fs0 = new org.apache.hadoop.fs.Path(wh).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    fs0.delete(new org.apache.hadoop.fs.Path(out), true)
+    fs0.delete(new org.apache.hadoop.fs.Path(mt), true)
+    val rep = graft.sources.Sinks.exportJsonlSharded(
+      df, out, "doc_id", "n_tok", manifestTable = mt)
+    val reread = s.read
+      .schema("doc_id LONG, source STRING, text STRING, n_tok LONG")
+      .json(out)
+      .withColumn("rt", size(TextAnalysis.tokens(col("text"))).cast("long"))
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum("rt").as("n_tokens"))
+      .persist()
+    try {
+      val manifest = graft.sources.VersionedTable.read(s, mt)
+        .select(col("shard"), col("n_docs"), col("n_tokens"))
+      val manifestOk = reread.exceptAll(manifest)
+        .unionAll(manifest.exceptAll(reread)).isEmpty
+      val rows = reread.orderBy("shard").collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          rep.nFiles == rep.nShards, manifestOk))
+      import s.implicits._
+      rows.toDF("shard", "n_docs", "n_tokens",
+          "one_file_per_shard", "manifest_match")
+        .orderBy("shard")
+    } finally reread.unpersist()
+  }
+
   /** The c4/c6 shared upstream: exact-deduped, non-empty documents. */
   private def dedupedCorpus(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(docs(s, dir), "doc_id", "text")
@@ -1641,13 +1683,6 @@ object OpsQueries {
       // tokens. The oracle replays dedup, gate, budget, and shard
       // assignment from the raw table in one SQL — a drift anywhere in
       // the chain breaks the hash
-      val wh = s.conf.get("spark.sql.warehouse.dir")
-      def pth(n: String) = new org.apache.hadoop.fs.Path(wh, n).toString
-      val out = pth("graft_curated_jsonl"); val mt = pth("graft_curated_manifest")
-      val fs0 = new org.apache.hadoop.fs.Path(wh).getFileSystem(
-        s.sparkContext.hadoopConfiguration)
-      fs0.delete(new org.apache.hadoop.fs.Path(out), true)
-      fs0.delete(new org.apache.hadoop.fs.Path(mt), true)
       val docs = table(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("text"))
         .filter(col("text").isNotNull)
@@ -1657,22 +1692,7 @@ object OpsQueries {
         .filter(TextAnalysis.qualityScoreP(p) >= 0.5)
         .withColumn("n_tok", TextAnalysis.tokenCountP(p).cast("long"))
         .select("doc_id", "source", "text", "n_tok")
-      val rep = graft.sources.Sinks.exportJsonlSharded(
-        gated, out, "doc_id", "n_tok", manifestTable = mt)
-      def rereadCensus = s.read
-        .schema("doc_id LONG, source STRING, text STRING, n_tok LONG")
-        .json(out)
-        .withColumn("rt", size(TextAnalysis.tokens(col("text"))).cast("long"))
-        .groupBy(col("shard").cast("long").as("shard"))
-        .agg(count(lit(1)).as("n_docs"), sum("rt").as("n_tokens"))
-      val manifest = graft.sources.VersionedTable.read(s, mt)
-        .select(col("shard"), col("n_docs"), col("n_tokens"))
-      val manifestOk = rereadCensus.exceptAll(manifest)
-        .unionAll(manifest.exceptAll(rereadCensus)).isEmpty
-      rereadCensus
-        .withColumn("one_file_per_shard", lit(rep.nFiles == rep.nShards))
-        .withColumn("manifest_match", lit(manifestOk))
-        .orderBy("shard")
+      jsonlExportCensus(s, gated, "graft_curated_jsonl", "graft_curated_manifest")
     }),
     "c8_mix_report" -> ((s, dir) => {
       // pretraining-mix planner, the c1/p13/p18 disciplines composed:
@@ -2557,33 +2577,11 @@ object OpsQueries {
       // RECOMPUTED from the round-tripped text — a lost document, a
       // mangled escape, a drifted shard boundary, a stale manifest, or
       // a shard split across files each break a column
-      val wh = s.conf.get("spark.sql.warehouse.dir")
-      def pth(n: String) = new org.apache.hadoop.fs.Path(wh, n).toString
-      val out = pth("graft_export_jsonl"); val mt = pth("graft_export_manifest")
-      val fs0 = new org.apache.hadoop.fs.Path(wh).getFileSystem(
-        s.sparkContext.hadoopConfiguration)
-      fs0.delete(new org.apache.hadoop.fs.Path(out), true)
-      fs0.delete(new org.apache.hadoop.fs.Path(mt), true)
       val d = table(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("text"))
         .filter(col("text").isNotNull)
         .withColumn("n_tok", size(TextAnalysis.tokens(col("text"))).cast("long"))
-      val rep = graft.sources.Sinks.exportJsonlSharded(
-        d, out, "doc_id", "n_tok", manifestTable = mt)
-      def rereadCensus = s.read
-        .schema("doc_id LONG, source STRING, text STRING, n_tok LONG")
-        .json(out)
-        .withColumn("rt", size(TextAnalysis.tokens(col("text"))).cast("long"))
-        .groupBy(col("shard").cast("long").as("shard"))
-        .agg(count(lit(1)).as("n_docs"), sum("rt").as("n_tokens"))
-      val manifest = graft.sources.VersionedTable.read(s, mt)
-        .select(col("shard"), col("n_docs"), col("n_tokens"))
-      val manifestOk = rereadCensus.exceptAll(manifest)
-        .unionAll(manifest.exceptAll(rereadCensus)).isEmpty
-      rereadCensus
-        .withColumn("one_file_per_shard", lit(rep.nFiles == rep.nShards))
-        .withColumn("manifest_match", lit(manifestOk))
-        .orderBy("shard")
+      jsonlExportCensus(s, d, "graft_export_jsonl", "graft_export_manifest")
     }),
     "o13_zero_copy_clone" -> ((s, dir) => {
       // shallow clone: v1+v2 of the source, clone (manifest-only, no

@@ -324,7 +324,11 @@ object Graph {
         .join(deg.select(col("z").as("b"), col("deg").as("db")), Seq("b"))
         .select(least(col("da"), col("db")).as("mdeg"))
         .groupBy("mdeg").agg(count(lit(1)).as("ecnt"))
-      val maxDeg = degCensus.agg(max("deg")).head().getLong(0)
+      // empty edge set -> null max -> zero thresholds -> empty result
+      // frame with the right schema (never an NPE on a filtered-out
+      // subgraph)
+      val maxDegRow = degCensus.agg(max("deg")).head()
+      val maxDeg = if (maxDegRow.isNullAt(0)) 0L else maxDegRow.getLong(0)
       val ks = degCensus.select(col("deg").as("k")).filter(col("k") < maxDeg)
       val nk = ks.join(broadcast(degCensus), col("deg") > col("k"))
         .groupBy("k").agg(sum("cnt").as("n_nodes"))

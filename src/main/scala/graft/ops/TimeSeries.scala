@@ -299,8 +299,10 @@ object TimeSeries {
       .filter(col(keyCol).isNotNull && col(xCol).isNotNull && col(yCol).isNotNull)
       .groupBy(col(keyCol).as("__k"), col(xCol).cast("double").as("__x"))
       .agg(avg(col(yCol).cast("double")).as("__y"))
-    val maxN = census.groupBy("__k").agg(count(lit(1)).as("c"))
-      .agg(max("c")).head().getLong(0)
+    // null max (fully-filtered input) -> 0 -> empty result, not an NPE
+    val maxRow = census.groupBy("__k").agg(count(lit(1)).as("c"))
+      .agg(max("c")).head()
+    val maxN = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
     require(maxN <= maxPoints,
       s"theilSen is quadratic in census points per key: got $maxN (> maxPoints " +
         s"$maxPoints) — bucket the x axis first (e.g. daily → weekly)")
@@ -341,8 +343,11 @@ object TimeSeries {
       .filter(col(keyCol).isNotNull && col(xCol).isNotNull && col(yCol).isNotNull)
       .groupBy(col(keyCol).as("__k"), col(xCol).cast("double").as("__x"))
       .agg(avg(col(yCol).cast("double")).as("__y"))
-    val maxN = census.groupBy("__k").agg(count(lit(1)).as("c"))
-      .agg(max("c")).head().getLong(0)
+    // a fully-filtered input leaves a null max: treat as 0 so the empty
+    // census flows through to an empty result, not an NPE
+    val maxRow = census.groupBy("__k").agg(count(lit(1)).as("c"))
+      .agg(max("c")).head()
+    val maxN = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
     require(maxN <= maxPoints,
       s"mannKendall is quadratic in census points per key: got $maxN (> maxPoints " +
         s"$maxPoints) — bucket the x axis first (e.g. daily → weekly)")

@@ -312,6 +312,10 @@ class GraphSpec extends AnyFunSuite with Matchers {
     val k4 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
     Graph.richClub(Graph.canonicalEdges(k4.toDF("src", "dst"), "src", "dst"))
       .count() shouldBe 0L
+    // an empty edge set yields an empty report, not an NPE
+    val none = Seq.empty[(Long, Long)].toDF("src", "dst")
+    Graph.richClub(Graph.canonicalEdges(none, "src", "dst"))
+      .count() shouldBe 0L
   }
 
   test("clustering coefficient: K4 is 1 everywhere, path is 0, hub scores its wedge share") {

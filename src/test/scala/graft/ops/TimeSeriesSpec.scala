@@ -275,4 +275,11 @@ class TimeSeriesSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy TimeSeries.mannKendall(
       three.toDF("k", "x", "y"), "k", "x", "y", maxPoints = 2)
   }
+
+  test("mannKendall and theilSen return empty frames on fully-filtered input") {
+    val allNull = Seq(("k", Option.empty[Double], Option.empty[Double]))
+      .toDF("k", "x", "y")
+    TimeSeries.mannKendall(allNull, "k", "x", "y").count() shouldBe 0L
+    TimeSeries.theilSen(allNull, "k", "x", "y").count() shouldBe 0L
+  }
 }

@@ -62,7 +62,9 @@ def lint_oracle(name, sql, intcols):
                 f"uncast INT32 column '{m.group(1)}' on the left of '*' — "
                 "DuckDB multiplies INTEGERs in INTEGER (wraps at 2^31); "
                 f"write {m.group(1)}::BIGINT * ...")
-    for m in re.finditer(r"\*\s*(\w+)\b", sql):
+    # negative lookahead for '::': `7 * col::BIGINT` is safe ('::' binds
+    # tighter than '*', so the multiply runs in BIGINT) and must not FAIL
+    for m in re.finditer(r"\*\s*(\w+)\b(?!\s*::)", sql):
         if m.group(1) in intcols:
             errors.append(
                 f"uncast INT32 column '{m.group(1)}' on the right of '*' — "
@@ -180,8 +182,10 @@ def main(out_dir, sf_dir):
             load_views(con, sf_dir)
             try:
                 duck_df = con.execute(oracle[q]).fetchdf()
-            except Exception:
-                print(f"FAIL {q}: oracle SQL error: {e}")
+            except Exception as e2:
+                # the RETRY's error is the real diagnosis; the first
+                # exception may be a stale poisoned-connection cascade
+                print(f"FAIL {q}: oracle SQL error: {e2}")
                 failures += 1
                 continue
         msg = compare(q, spark_df, duck_df)

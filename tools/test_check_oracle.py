@@ -26,6 +26,10 @@ def run():
     good = {
         "cast_mul":
             "SELECT sum(l_linenumber::BIGINT * 2654435761) FROM lineitem",
+        # '::' binds tighter than '*', so a RIGHT-side cast is equally
+        # safe and must not false-positive (round-13 review finding)
+        "cast_mul_right":
+            "SELECT sum(7 * l_linenumber::BIGINT) FROM lineitem",
         "cast_sum_outside":
             "SELECT l_returnflag, sum(l_linenumber)::BIGINT AS s FROM lineitem GROUP BY 1",
         "cast_sum_inside":
