@@ -1245,6 +1245,21 @@ object OpsQueries {
           table(s, dir, "orders").select(col("o_orderpriority"), col("o_orderkey")),
           "o_orderpriority", "o_orderkey", n = 5)
         .orderBy("o_orderpriority", "priority", "o_orderkey")),
+    "p19_length_batching" -> ((s, dir) => {
+      // how much compute does length bucketing buy: fixed 32-doc
+      // batches pad to the batch max; arrival order vs length-sorted
+      // compared in one report, both global ranks via range partitions
+      // + driver prefix offsets (never a one-task window)
+      val d = table(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .withColumn("n_tok", size(TextAnalysis.tokens(col("text"))).cast("long"))
+        .select(col("doc_id"), col("n_tok"))
+      Sampling.paddingEfficiency(d, "doc_id", "n_tok", batchSize = 32)
+        .select(col("strategy"), col("n_docs"), col("n_batches"),
+          col("sum_tokens"), col("padded_tokens"),
+          round(col("pad_waste") + lit(5e-10), 6).as("pad_waste"))
+        .orderBy("strategy")
+    }),
     "q1_quality_suite" -> ((s, dir) => {
       // declarative write-audit-publish gate over orders: scalar checks
       // share ONE aggregate pass; uniqueness is a (count, distinct)
@@ -6720,6 +6735,26 @@ object OpsQueries {
         "< rate - floor(rate))) " +
         "SELECT source, epoch::BIGINT AS epoch, count(*)::BIGINT AS n_kept " +
         "FROM k GROUP BY 1, 2 ORDER BY 1, 2"),
+    "p19_length_batching" ->
+      // both global ranks as plain windows (DuckDB replays the total
+      // orders directly), batch stats, and the same waste division
+      (s"WITH t AS (SELECT doc_id, len($Toks)::BIGINT AS n_tok " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "a AS (SELECT (row_number() OVER (ORDER BY doc_id) - 1) // 32 AS b, n_tok FROM t), " +
+        "ab AS (SELECT b, count(*)::BIGINT AS bn, max(n_tok) AS bmax, " +
+        "CAST(sum(n_tok) AS BIGINT) AS bsum FROM a GROUP BY b), " +
+        "ar AS (SELECT 'arrival_order' AS strategy, CAST(sum(bn) AS BIGINT) AS n_docs, " +
+        "count(*)::BIGINT AS n_batches, CAST(sum(bsum) AS BIGINT) AS sum_tokens, " +
+        "CAST(sum(bmax * bn) AS BIGINT) AS padded_tokens FROM ab), " +
+        "l AS (SELECT (row_number() OVER (ORDER BY n_tok, doc_id) - 1) // 32 AS b, n_tok FROM t), " +
+        "lb AS (SELECT b, count(*)::BIGINT AS bn, max(n_tok) AS bmax, " +
+        "CAST(sum(n_tok) AS BIGINT) AS bsum FROM l GROUP BY b), " +
+        "lr AS (SELECT 'length_sorted' AS strategy, CAST(sum(bn) AS BIGINT) AS n_docs, " +
+        "count(*)::BIGINT AS n_batches, CAST(sum(bsum) AS BIGINT) AS sum_tokens, " +
+        "CAST(sum(bmax * bn) AS BIGINT) AS padded_tokens FROM lb) " +
+        "SELECT strategy, n_docs, n_batches, sum_tokens, padded_tokens, " +
+        "round(1 - sum_tokens::DOUBLE / padded_tokens + 5e-10, 6) AS pad_waste " +
+        "FROM (SELECT * FROM ar UNION ALL SELECT * FROM lr) ORDER BY strategy"),
     "p8_token_budget" ->
       // the NAIVE whole-group running-sum window (spec-pinned identical
       // to the bucketed fast path): keep while the per-source token sum

@@ -414,4 +414,33 @@ class SamplingSpec extends AnyFunSuite with Matchers {
     alloc.toSeq shouldBe Seq("a" -> 4L, "b" -> 3L, "c" -> 3L)
     alloc.map(_._2).sum shouldBe 10L
   }
+
+  test("paddingEfficiency: length sorting shrinks the padded mass, hand trace") {
+    // lens 1,10,1,10,1,10 in id order; batches of 2:
+    // arrival (1,10)x3 -> padded 60; sorted (1,1),(1,10),(10,10) -> 42
+    val docs = (1L to 6L).map(i => (i, if (i % 2 == 0) 10L else 1L))
+      .toDF("doc_id", "n_tok").repartition(3)
+    val got = Sampling.paddingEfficiency(docs, "doc_id", "n_tok", batchSize = 2)
+      .orderBy("strategy").collect()
+    val arrival = got(0); val sorted = got(1)
+    arrival.getString(0) shouldBe "arrival_order"
+    arrival.getAs[Long]("n_docs") shouldBe 6L
+    arrival.getAs[Long]("n_batches") shouldBe 3L
+    arrival.getAs[Long]("sum_tokens") shouldBe 33L
+    arrival.getAs[Long]("padded_tokens") shouldBe 60L
+    arrival.getAs[Double]("pad_waste") shouldBe (1.0 - 33.0 / 60.0) +- 1e-12
+    sorted.getAs[Long]("padded_tokens") shouldBe 42L
+    sorted.getAs[Double]("pad_waste") shouldBe (1.0 - 33.0 / 42.0) +- 1e-12
+    // a ragged last batch pads to its own max only
+    val seven = ((1L to 6L).map(i => (i, 4L)) :+ ((7L, 9L)))
+      .toDF("doc_id", "n_tok")
+    val s7 = Sampling.paddingEfficiency(seven, "doc_id", "n_tok", batchSize = 3)
+      .filter($"strategy" === "length_sorted").head()
+    s7.getAs[Long]("n_batches") shouldBe 3L
+    s7.getAs[Long]("padded_tokens") shouldBe (12L + 12L + 9L)
+    // empty input: zero rows report, no NPE
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "n_tok")
+    Sampling.paddingEfficiency(empty, "doc_id", "n_tok", batchSize = 2)
+      .collect().foreach { r => r.getAs[Long]("n_docs") shouldBe 0L }
+  }
 }
