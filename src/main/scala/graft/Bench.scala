@@ -180,12 +180,17 @@ object Bench {
     val regFloor = sys.env.getOrElse("SPARK_GRAFT_BENCH_REG_FLOOR", "0.2").toDouble
     val priorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV",
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+    // Snapshot the prior record's TEXT once, at process start: the run
+    // now overwrites bench_out.json with partial flushes mid-run, so a
+    // lazy read during the sf1/sf10 passes would compare against this
+    // run's own partial output instead of the committed prior round.
+    val priorTxt: String = try new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(priorPath)),
+      java.nio.charset.StandardCharsets.UTF_8) catch { case _: Exception => "" }
     def loadPrior(key: String): Map[String, Double] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(priorPath)),
-        java.nio.charset.StandardCharsets.UTF_8)
       // [{,] anchors the exact key: a bare "queries":{ search would land
       // inside "isolated_queries":{ first
-      val m = java.util.regex.Pattern.compile("[{,]\"" + key + "\":\\{([^}]*)\\}").matcher(txt)
+      val m = java.util.regex.Pattern.compile("[{,]\"" + key + "\":\\{([^}]*)\\}").matcher(priorTxt)
       if (!m.find()) Map.empty
       else "\"([A-Za-z0-9_]+)\":(-?[0-9][0-9.eE+-]*)".r.findAllMatchIn(m.group(1))
         .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
@@ -211,13 +216,29 @@ object Bench {
     val isoThreshold = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISO_SEC", "10").toDouble
     val isoMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISO_MAX", "10").toInt
     val isoOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0" && isoMax > 0
+    // The child JVM's heap is CAPPED, never inherited: round 13's record
+    // died rc=137 (kernel OOM-kill) because each isolation child cloned
+    // the parent's full -Xmx, so parent + child together exceeded the
+    // container's memory limit the moment a regression tripped the gate.
+    // A single-query child needs a fraction of the sweep heap; 8g covers
+    // the heaviest sf10 query with margin.
+    val isoHeap = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISO_HEAP", "8g")
     def isolatedRerun(targets: Seq[(String, Double)], dir: String, tag: String): Seq[(String, Double)] = {
       if (!isoOn) return Seq.empty
+      if (targets.nonEmpty) {
+        // trim the parent before forking: drop cached relations and give
+        // G1 a chance to uncommit heap, shrinking parent RSS so the
+        // capped child fits beside it under the container limit
+        spark.catalog.clearCache()
+        drain()
+      }
       targets.flatMap { case (name, sweepSec) =>
         val rt = java.lang.management.ManagementFactory.getRuntimeMXBean
         val javaBin = new java.io.File(new java.io.File(sys.props("java.home"), "bin"), "java").getPath
         val tmp = java.nio.file.Files.createTempFile("graft_iso_", ".json")
-        val cmd = (Seq(javaBin) ++ rt.getInputArguments.asScala.filterNot(_.startsWith("-agentlib"))
+        val inherited = rt.getInputArguments.asScala
+          .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-Xmx") || a.startsWith("-Xms"))
+        val cmd = (Seq(javaBin) ++ inherited ++ Seq(s"-Xmx$isoHeap")
           ++ Seq("-cp", sys.props("java.class.path"), "graft.Bench", name)).asJava
         val pb = new ProcessBuilder(cmd)
         pb.environment().put("SPARK_GRAFT_SF_DIR", dir)
@@ -245,11 +266,28 @@ object Bench {
         }
       }
     }
+    // The durable record path — defined BEFORE the passes so each pass
+    // can flush its sweep numbers the moment they exist. Round 13's
+    // lesson: the isolation reruns died (OOM-kill) AFTER a complete,
+    // correct sweep, and because nothing had been written yet the whole
+    // record was void. Now every pass writes a "partial":true record
+    // before isolation starts; the final write (no partial flag)
+    // atomically replaces it. A killed isolation pass costs only the
+    // isolated numbers, never the sweep.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    def writeOut(js: String): Unit =
+      try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+        (js + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: java.io.IOException =>
+        System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     /** The full per-scale JSON fragment: queries + telemetry maps +
       * regressions vs the prior committed record + isolated reruns of
       * (heavy ∪ regressed). `prefix` is "" for the main sf0.1 pass,
-      * "sf1_"/"sf10_" for the extra scales. */
-    def passJson(rows: Seq[QRes], dir: String, tag: String, prefix: String): String = {
+      * "sf1_"/"sf10_" for the extra scales. `mkPartial` wraps this
+      * pass's sweep fragment into a complete partial record, flushed to
+      * disk BEFORE the isolation children are spawned. */
+    def passJson(rows: Seq[QRes], dir: String, tag: String, prefix: String,
+                 mkPartial: String => String): String = {
       // the prior key IS the prefixed queries map — deriving it here
       // removes the mismatched-pair foot-gun (sf10 timings vs sf0.1
       // priors would manufacture bogus regressions)
@@ -260,19 +298,24 @@ object Bench {
       val targets = (heavy ++ regs.map(r => (r._1, r._3)).filterNot(t => heavy.exists(_._1 == t._1)))
       regs.foreach { case (n, p, s) =>
         System.err.println(f"[$tag-reg] $n%-22s prior $p%.2f s -> sweep $s%.2f s (>${regFactor}%.0fx) — isolating") }
-      val iso = isolatedRerun(targets, dir, tag)
-      val isoJson = if (iso.isEmpty) "" else s""","${prefix}isolated_queries":${toJson(iso)}"""
       val regJson = if (regs.isEmpty) "" else
         s""","${prefix}regressions":{""" + regs.map { case (n, p, s) =>
           s""""$n":{"prior":$p,"sweep":$s}""" }.mkString(",") + "}"
-      s""""${prefix}queries":${toJson(rows.map(r => r.name -> r.sec))}""" +
+      val sweepJson = s""""${prefix}queries":${toJson(rows.map(r => r.name -> r.sec))}""" +
         s""","${prefix}gc_ms":${toJsonL(rows.map(r => r.name -> r.gcMs))}""" +
         s""","${prefix}jit_ms":${toJsonL(rows.map(r => r.name -> r.jitMs))}""" +
-        isoJson + regJson
+        regJson
+      // sweep numbers hit disk before any child JVM exists
+      writeOut(mkPartial(sweepJson))
+      val iso = isolatedRerun(targets, dir, tag)
+      val isoJson = if (iso.isEmpty) "" else s""","${prefix}isolated_queries":${toJson(iso)}"""
+      sweepJson + isoJson
     }
     val results = timedPass(sfDir, "bench")
     val total = liveTotal(results)
-    val mainJson = passJson(results, sfDir, "bench", "")
+    def hdr = s"""{"metric":"total","value":$total,"unit":"sec","failed":${nFailed(results)},"""
+    val mainJson = passJson(results, sfDir, "bench", "",
+      frag => hdr + frag + s""","sf":"$sfDir","partial":true}""")
     // Extra-scale passes are OPT-IN: at 220+ queries a 3-scale sweep runs
     // ~1.6 h, past the driver's bench budget — round 11's official record
     // came back rc=124/parsed:null because these passes ran by default
@@ -292,8 +335,10 @@ object Bench {
       skipped ::= "sf1"; ""
     } else {
       val r1 = timedPass(sf1Dir, "bench-sf1")
-      s""","sf1_total":${liveTotal(r1)},"sf1_failed":${nFailed(r1)},""" +
-        passJson(r1, sf1Dir, "bench-sf1", "sf1_") +
+      val sf1Hdr = s""","sf1_total":${liveTotal(r1)},"sf1_failed":${nFailed(r1)},"""
+      sf1Hdr + passJson(r1, sf1Dir, "bench-sf1", "sf1_",
+        frag => hdr + mainJson + s""","sf":"$sfDir"""" + sf1Hdr + frag +
+          s""","sf1_dir":"$sf1Dir","partial":true}""") +
         s""","sf1_dir":"$sf1Dir""""
     }
     // 100x scale check, same per-rep drain + median discipline as every
@@ -305,20 +350,18 @@ object Bench {
       skipped ::= "sf10"; ""
     } else {
       val r10 = timedPass(sf10Dir, "bench-sf10")
-      s""","sf10_total":${liveTotal(r10)},"sf10_failed":${nFailed(r10)},""" +
-        passJson(r10, sf10Dir, "bench-sf10", "sf10_") +
+      val sf10Hdr = s""","sf10_total":${liveTotal(r10)},"sf10_failed":${nFailed(r10)},"""
+      sf10Hdr + passJson(r10, sf10Dir, "bench-sf10", "sf10_",
+        frag => hdr + mainJson + s""","sf":"$sfDir"""" + sf1 + sf10Hdr + frag +
+          s""","sf10_dir":"$sf10Dir","partial":true}""") +
         s""","sf10_dir":"$sf10Dir""""
     }
     val skippedJson = if (skipped.isEmpty) "" else
       s""","skipped_scales":"${skipped.sorted.mkString(",")}""""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","failed":${nFailed(results)},$mainJson,"sf":"$sfDir"$sf1$sf10$skippedJson}"""
-    // Persist the full JSON to a file — the durable record for
-    // round-over-round per-query comparison.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: java.io.IOException =>
-      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    // Persist the final JSON — replaces the last partial flush; the
+    // durable record for round-over-round per-query comparison.
+    writeOut(json)
     // stop() BEFORE the JSON println: the driver machine-parses the LAST
     // stdout line, and Spark's shutdown can emit stray stdout after our
     // print if it runs last. Under sbt the true last line used to be

@@ -857,7 +857,10 @@ object OpsQueries {
       // the A/B variance-reduction lever: adjust revenue by the
       // quantity covariate with the POOLED theta — one per-flag census
       // of exact decimal power sums, theta/xbar off the same census,
-      // all algebra row-local over census rows
+      // all algebra row-local over census rows. var_y/var_cuped round
+      // at 2 dp (t20 precedent: each is a difference of ~1e9-scale
+      // sums, float-order noise lives near 1e-6); the scale-free
+      // var_reduction ratio cancels that noise and holds 6 dp
       Association.cuped(
           table(s, dir, "lineitem")
             .select("l_returnflag", "l_extendedprice", "l_quantity"),
@@ -865,8 +868,8 @@ object OpsQueries {
         .select(col("l_returnflag"), col("n"),
           round(col("mean_y") + lit(5e-10), 6).as("mean_y"),
           round(col("mean_cuped") + lit(5e-10), 6).as("mean_cuped"),
-          round(col("var_y") + lit(5e-10), 6).as("var_y"),
-          round(col("var_cuped") + lit(5e-10), 6).as("var_cuped"),
+          round(col("var_y") + lit(5e-10), 2).as("var_y"),
+          round(col("var_cuped") + lit(5e-10), 2).as("var_cuped"),
           round(col("var_reduction") + lit(5e-10), 6).as("var_reduction"))
         .orderBy("l_returnflag")),
     "v13_brier_decomposition" -> ((s, dir) =>
@@ -4711,8 +4714,8 @@ object OpsQueries {
         "SELECT g AS l_returnflag, n, " +
         "round(sy::DOUBLE / n::DOUBLE + 5e-10, 6) AS mean_y, " +
         "round(sy::DOUBLE / n::DOUBLE - theta * (sx::DOUBLE / n::DOUBLE - xbar) + 5e-10, 6) AS mean_cuped, " +
-        s"round(CASE WHEN n >= 2 THEN $vy END + 5e-10, 6) AS var_y, " +
-        s"round(CASE WHEN n >= 2 THEN $vc END + 5e-10, 6) AS var_cuped, " +
+        s"round(CASE WHEN n >= 2 THEN $vy END + 5e-10, 2) AS var_y, " +
+        s"round(CASE WHEN n >= 2 THEN $vc END + 5e-10, 2) AS var_cuped, " +
         s"round(CASE WHEN n >= 2 AND $vy > 0 THEN 1.0 - ($vc) / ($vy) END + 5e-10, 6) AS var_reduction " +
         "FROM t ORDER BY l_returnflag")
     },

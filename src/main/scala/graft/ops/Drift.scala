@@ -36,8 +36,8 @@ object Drift {
     * plus the constant `psi` total column — ordered by bin. Scale
     * shape: one map-side-combined bin-count aggregate per side (the
     * shuffle carries ≤ k+1 rows per mapper), a full outer join of two
-    * (k+1)-row frames, and a window over that same tiny frame; nothing
-    * driver-side, nothing proportional to corpus size. */
+    * (k+1)-row frames, then a driver-side fold over those k+1 AGGREGATE
+    * rows (never raw data) — nothing proportional to corpus size. */
   /** Shared binning for the binned divergence measures: edge-count bin
     * assignment, per-side counts, and densification so every bin
     * appears even when both sides are empty there. */
@@ -73,17 +73,30 @@ object Drift {
     require(alpha > 0.0, s"alpha must be > 0 (finite log ratios), got $alpha")
     val nBins = edges.size + 1
     val dense = binnedDense(ref, cur, valueCol, edges, "psiDrift")
-    val w = Window.partitionBy(lit(1))
-    val loEdge = element_at(lit(Double.NegativeInfinity +: edges.toArray), (col("bin") + 1).cast("int"))
-    val hiEdge = element_at(lit(edges.toArray :+ Double.PositiveInfinity), (col("bin") + 1).cast("int"))
-    val pRef = (col("n_ref") + lit(alpha)) / (sum("n_ref").over(w) + lit(alpha * nBins))
-    val pCur = (col("n_cur") + lit(alpha)) / (sum("n_cur").over(w) + lit(alpha * nBins))
-    dense
-      .withColumn("lo", loEdge).withColumn("hi", hiEdge)
-      .withColumn("psi_term", (pCur - pRef) * log(pCur / pRef))
-      .withColumn("psi", sum("psi_term").over(w))
-      .select("bin", "lo", "hi", "n_ref", "n_cur", "psi_term", "psi")
-      .orderBy("bin")
+    // Report-sized literal attach (the brierDecomposition/D1
+    // aggregates-only contract): the bin frame is exactly k+1 AGGREGATE
+    // rows, so the totals and the psi sum fold driver-side off one
+    // collect. The previous Window.partitionBy(lit(1)) was both a
+    // single-task plan at any scale and the replanning hazard v13
+    // measured (per-row re-planning silently zeroing terms); nothing
+    // collected here is proportional to corpus size.
+    val lo = Double.NegativeInfinity +: edges
+    val hi = edges :+ Double.PositiveInfinity
+    val rows = dense.orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val totRef = rows.iterator.map(_._2).sum
+    val totCur = rows.iterator.map(_._3).sum
+    val out = rows.map { case (b, nr, nc) =>
+      val pRef = (nr + alpha) / (totRef + alpha * nBins)
+      val pCur = (nc + alpha) / (totCur + alpha * nBins)
+      (b, lo(b.toInt), hi(b.toInt), nr, nc,
+        (pCur - pRef) * math.log(pCur / pRef))
+    }
+    val psi = out.iterator.map(_._6).sum
+    val spark = ref.sparkSession
+    import spark.implicits._
+    out.toSeq.toDF("bin", "lo", "hi", "n_ref", "n_cur", "psi_term")
+      .withColumn("psi", lit(psi))
   }
 
   /** Jensen-Shannon divergence over the same binned, add-alpha-smoothed
@@ -92,23 +105,31 @@ object Drift {
     * side, JSD saturates, which is what an alerting threshold wants.
     * jsd_term = 0.5·p·ln(p/m) + 0.5·q·ln(q/m) with m = (p + q)/2,
     * operation order preserved for external replay. Same scale shape as
-    * PSI: two count aggregates, a ≤ nBins-row frame, tiny-frame window
-    * walks. */
+    * PSI: two count aggregates, a ≤ nBins-row frame, driver-side fold
+    * over aggregate rows only. */
   def jsdDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
                edges: Seq[Double], alpha: Double = 0.5): DataFrame = {
     require(alpha > 0.0, s"alpha must be > 0 (finite log ratios), got $alpha")
     val nBins = edges.size + 1
     val dense = binnedDense(ref, cur, valueCol, edges, "jsdDrift")
-    val w = Window.partitionBy(lit(1))
-    val pRef = (col("n_ref") + lit(alpha)) / (sum("n_ref").over(w) + lit(alpha * nBins))
-    val pCur = (col("n_cur") + lit(alpha)) / (sum("n_cur").over(w) + lit(alpha * nBins))
-    val pM = (pRef + pCur) / lit(2.0)
-    dense
-      .withColumn("jsd_term",
-        lit(0.5) * pRef * log(pRef / pM) + lit(0.5) * pCur * log(pCur / pM))
-      .withColumn("jsd", sum("jsd_term").over(w))
-      .select("bin", "n_ref", "n_cur", "jsd_term", "jsd")
-      .orderBy("bin")
+    // same driver-side fold over the k+1-row aggregate frame as
+    // [[psiDrift]] — no unpartitioned window
+    val rows = dense.orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val totRef = rows.iterator.map(_._2).sum
+    val totCur = rows.iterator.map(_._3).sum
+    val out = rows.map { case (b, nr, nc) =>
+      val pRef = (nr + alpha) / (totRef + alpha * nBins)
+      val pCur = (nc + alpha) / (totCur + alpha * nBins)
+      val pM = (pRef + pCur) / 2.0
+      (b, nr, nc,
+        0.5 * pRef * math.log(pRef / pM) + 0.5 * pCur * math.log(pCur / pM))
+    }
+    val jsd = out.iterator.map(_._4).sum
+    val spark = ref.sparkSession
+    import spark.implicits._
+    out.toSeq.toDF("bin", "n_ref", "n_cur", "jsd_term")
+      .withColumn("jsd", lit(jsd))
   }
 
   /** PSI read directly off two [[Histograms]] long-format states

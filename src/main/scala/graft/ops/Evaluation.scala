@@ -287,10 +287,10 @@ object Evaluation {
     * bin closed, so p = 1.0 lands in bin nBins−1), each bin reports its
     * count, mean confidence (sum_p / n — explicit sums, so an external
     * engine re-derives it bit-for-bit), empirical accuracy, and the
-    * signed gap; `ece` = Σ n_b/N · |acc_b − conf_b| rides every row via
-    * a window over the ≤ nBins-row bin frame (the documented
-    * tiny-frame window class — the corpus itself never re-shuffles).
-    * Rows with a null probability or label are excluded. */
+    * signed gap; `ece` = Σ n_b/N · |acc_b − conf_b| folds driver-side
+    * over the ≤ nBins-row AGGREGATE bin frame and attaches as a literal
+    * (the corpus itself never re-shuffles and never reaches the
+    * driver). Rows with a null probability or label are excluded. */
   def calibrationBins(df: DataFrame, probCol: String, labelCol: String,
                       nBins: Int = 10): DataFrame = {
     require(nBins >= 1, s"nBins must be >= 1, got $nBins")
@@ -300,15 +300,28 @@ object Evaluation {
       .filter(col("p").isNotNull && col(labelCol).isNotNull)
       .groupBy(least(floor(col("p") * nBins).cast("long"), lit(nBins - 1L)).as("bin"))
       .agg(count(lit(1)).as("n"), sum("p").as("sum_p"), sum("y").as("sum_y"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
-    bins
-      .withColumn("conf", col("sum_p") / col("n"))
-      .withColumn("acc", col("sum_y").cast(DoubleType) / col("n"))
-      .withColumn("ece",
-        sum(col("n") * abs(col("acc") - col("conf"))).over(w) /
-          sum(col("n")).over(w))
-      .select(col("bin"), col("n"), col("conf"), col("acc"),
-        (col("acc") - col("conf")).as("gap"), col("ece"))
+    // ECE folds driver-side over the ≤ nBins AGGREGATE rows (the
+    // brierDecomposition/D1 contract) — the Window.partitionBy(lit(1))
+    // it replaces was the v13-measured replanning hazard and a
+    // single-task plan; nothing collected is proportional to corpus
+    // size.
+    val rows = bins.orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val out = rows.map { case (b, n, sp, sy) =>
+      val conf = sp / n
+      val acc = sy.toDouble / n
+      (b, n, conf, acc, acc - conf)
+    }
+    val nTot = rows.iterator.map(_._2).sum
+    val ece =
+      if (nTot == 0L) 0.0
+      else out.iterator.map { case (_, n, conf, acc, _) =>
+        n * math.abs(acc - conf) }.sum / nTot
+    val spark = df.sparkSession
+    import spark.implicits._
+    out.toSeq.toDF("bin", "n", "conf", "acc", "gap")
+      .withColumn("ece", lit(ece))
+      .select("bin", "n", "conf", "acc", "gap", "ece")
   }
 
   /** Cohen's kappa between two raters (chance-corrected agreement over

@@ -407,8 +407,17 @@ object Quantiles {
     * the number of rows of the feature with a strictly smaller value —
     * everything rank-like (quantile normalization's row ranks, the
     * a26 tie-averaged Spearman ranks) derives from it. */
-  private[ops] def valueCumBefore(melted: DataFrame, nb: Int = 4096): DataFrame = {
-    val census = melted.groupBy(col("__f"), col("__x")).agg(count(lit(1)).as("__c"))
+  private[ops] def valueCumBefore(melted: DataFrame, nb: Int = 4096): DataFrame =
+    cumBeforeFromCensus(
+      melted.groupBy(col("__f"), col("__x")).agg(count(lit(1)).as("__c")), nb)
+
+  /** Same contract as [[valueCumBefore]] but over an ALREADY-BUILT
+    * (__f, __x, __c) census — for callers (the tableone rank tests)
+    * that hold per-value counts from their own aggregate and must not
+    * rescan the corpus. Package-wide so graft.tableone can route its
+    * rank census through the bucketed cumsum instead of an
+    * unpartitioned single-task window. */
+  private[graft] def cumBeforeFromCensus(census: DataFrame, nb: Int = 4096): DataFrame = {
     val bounds = census.groupBy("__f").agg(min("__x").as("__lo"), max("__x").as("__hi"))
     val withB = census.join(broadcast(bounds), Seq("__f"))
       .withColumn("__bk", when(col("__hi") > col("__lo"),

@@ -1,7 +1,6 @@
 package graft.tableone
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Nonparametric rank tests — the "nonnormal" companion to the
@@ -15,9 +14,11 @@ import org.apache.spark.sql.functions._
   * pure function of the (value → per-group count) census, so the corpus
   * reduces to one map-side-combined aggregate over DISTINCT values
   * before any window touches data — the [[graft.ops.Quantiles]] census
-  * discipline. The only window orders the distinct-value frame (its
-  * cardinality, not the row count, is the contract: bounded distinct
-  * values per variable; pre-bin truly continuous columns first).
+  * discipline. The cumulative strictly-smaller counts then come from
+  * the bucketed prefix-sum ([[graft.ops.Quantiles.cumBeforeFromCensus]]),
+  * so no window is ever unpartitioned: a continuous value column with
+  * tens of millions of distinct values ranks in 4096-way-parallel
+  * bucket tasks, not one global sort task.
   *
   * Numeric posture: average ranks are half-integers and per-census-row
   * rank-sum terms are integer multiples of 0.5, so every rank sum is
@@ -35,16 +36,23 @@ object RankTests {
       .agg(count(lit(1)).as("__c"))
     // global per-value census (second small aggregate over the census,
     // not the corpus), then the cumulative count of strictly-smaller
-    // values; the window sorts distinct values only
+    // values. Routed through the bucketed prefix-sum
+    // ([[graft.ops.Quantiles.cumBeforeFromCensus]], the a23
+    // construction): an unpartitioned ORDER BY window here serialized
+    // ALL distinct values into one task — fine at categorical NDV,
+    // a single-executor sort of tens of millions of rows once the
+    // value column is continuous at scale. The bucketed path keys its
+    // windows by (feature, bucket) — 4096-way parallel, and every
+    // count is exact so the half-integer average ranks are unchanged.
     val byValue = census.groupBy(col("__v")).agg(sum("__c").as("__cv"))
-    val win = Window.orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = byValue
-      .withColumn("__cb", coalesce(sum("__cv").over(win), lit(0L)))
-      // average rank of a tied block starting after __cb rows: exact
-      // half-integer (__cb + (cv + 1)/2)
-      .withColumn("__r", col("__cb") + (col("__cv") + lit(1)) / lit(2.0))
-    census.join(ranked.select(col("__v"), col("__cv"), col("__r")), Seq("__v"))
+    val ranked = graft.ops.Quantiles.cumBeforeFromCensus(
+        byValue.select(lit("v").as("__f"), col("__v").as("__x"),
+          col("__cv").as("__c")))
+      // average rank of a tied block starting after __before rows:
+      // exact half-integer (__before + (cv + 1)/2)
+      .select(col("__x").as("__v"), col("__c").as("__cv"),
+        (col("__before") + (col("__c") + lit(1)) / lit(2.0)).as("__r"))
+    census.join(ranked, Seq("__v"))
   }
 
   /** Per-census-row tie contribution. The tie term Σ(t³ − t) runs over

@@ -80,4 +80,50 @@ class RankTestsSpec extends AnyFunSuite with Matchers {
     one.getAs[Double]("u_lo") shouldBe many.getAs[Double]("u_lo")
     one.getAs[Double]("z") shouldBe many.getAs[Double]("z")
   }
+
+  test("high-NDV path: no unpartitioned window, exact vs direct ranking") {
+    // ~1600 distinct doubles with planted tie blocks — the continuous-
+    // column shape where the old ORDER-BY-only window serialized every
+    // distinct value into one task. Parity is pinned against a direct
+    // driver-side average-rank computation, and the plan is pinned to
+    // carry NO Window without a partition spec (the bucketed
+    // cumBeforeFromCensus path keys its windows by (feature, bucket)).
+    val data = (1 to 2000).map { i =>
+      val v = ((i * 2654435761L) % 1600).toDouble / 7.0
+      (if (i % 2 == 0) "a" else "b", v)
+    }
+    val df = data.toDF("g", "x").repartition(8)
+    val mw = RankTests.mannWhitney(df, "g", "x")
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // The single-feature census folds the constant __f partition key
+    // away, so the bucket-OFFSET prefix window legitimately optimizes
+    // to an unpartitioned one — but its input is the per-bucket
+    // census-of-censuses, ≤ 4096 rows BY CONSTRUCTION (ordered by
+    // __bk). What must never appear is an unpartitioned window ordered
+    // by the raw distinct VALUES (__x / __v): that one's cardinality
+    // grows with the data.
+    val valueOrdered = mw.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty &&
+        w.orderSpec.exists(_.child.references.exists(a =>
+          a.name == "__x" || a.name == "__v")) => w
+    }
+    valueOrdered shouldBe empty
+    // direct ranking: sort, assign average ranks over tie blocks,
+    // U_lo = R_lo - n_lo(n_lo+1)/2
+    val sorted = data.sortBy(_._2)
+    val ranks = scala.collection.mutable.Map.empty[Double, Double]
+    var i0 = 0
+    while (i0 < sorted.size) {
+      var j = i0
+      while (j < sorted.size && sorted(j)._2 == sorted(i0)._2) j += 1
+      ranks(sorted(i0)._2) = (i0 + 1 + j) / 2.0
+      i0 = j
+    }
+    val nLo = data.count(_._1 == "a")
+    val rLo = data.filter(_._1 == "a").map(d => ranks(d._2)).sum
+    val uLo = rLo - nLo * (nLo + 1) / 2.0
+    val r = mw.head()
+    r.getAs[Long]("n_lo") shouldBe nLo.toLong
+    r.getAs[Double]("u_lo") shouldBe uLo +- 1e-9
+  }
 }
