@@ -1225,6 +1225,27 @@ object OpsQueries {
           round(col("purity"), 4).as("purity"))
         .orderBy("centroid_id")
     }),
+    "c3b_cluster_profile" -> ((s, dir) => {
+      // hash-green slice of c3 (the m2b precedent): the identical
+      // clusterProfile census — size, cohesion, majority label via the
+      // (count, label) struct-max, purity, guaranteed empty-cluster
+      // rows — but against a FIXED deterministic codebook (embeddings
+      // with vec_id < 10, id order) instead of the fp-order-sensitive
+      // Lloyd output, so DuckDB replays assignment AND census exactly
+      // (the c2 cosine-argmax contract). c3 keeps the full fit
+      // rows-only; this pins everything in it except the iterations.
+      val e = table(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 10).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toSeq).toSeq
+      Clustering.clusterProfile(e, "vec_id", "embedding", cents,
+          labelCol = Some("label"))
+        .select(col("centroid_id"), col("n"),
+          round(col("mean_cosine") + lit(5e-10), 6).as("mean_cosine"),
+          col("top_label").cast("long").as("top_label"),
+          round(col("purity") + lit(5e-10), 6).as("purity"))
+        .orderBy("centroid_id")
+    }),
 
     // ---- deterministic sampling ----------------------------------------
     "p8_token_budget" -> ((s, dir) => {
@@ -2083,6 +2104,21 @@ object OpsQueries {
       val d = docs(s, dir).select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
       Packing.packByTokenBudget(d, "doc_id", "n_tok", budget = 512, partitions = 8)
+        .orderBy("doc_id")
+    }),
+    "p3b_sequence_pack_lehmer" -> ((s, dir) => {
+      // hash-green slice of p3 (the m2b precedent): the IDENTICAL
+      // greedy next-fit packer — explicit group id, per-group state
+      // reset, oversized-doc overflow, group<<32|idx pack ids — spread
+      // and ordered by a Lehmer key instead of xxhash64, so DuckDB
+      // replays the whole assignment (recursive CTE stepping each
+      // group's greedy scan) and hash-checks every pack id. p3 keeps
+      // the xxhash64 spread rows-only; this pins the packer's math.
+      val d = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+      Packing.packByTokenBudget(d, "doc_id", "n_tok", budget = 512,
+          partitions = 8,
+          spreadKey = Some(pmod(col("doc_id") * lit(48271L), lit(2147483647L))))
         .orderBy("doc_id")
     }),
 
@@ -6016,6 +6052,33 @@ object OpsQueries {
         "SELECT cid::BIGINT AS centroid_id, count(*)::BIGINT AS n, " +
         "ROUND(avg(cos), 6) AS mean_cos " +
         "FROM r WHERE rk = 1 GROUP BY cid ORDER BY centroid_id"),
+    "c3b_cluster_profile" ->
+      // the c2 cosine-argmax assignment against the vec_id<10 codebook,
+      // then the profile census: per-(cluster,label) counts, majority
+      // label by (count, label-string) struct max (ties -> LARGEST
+      // label string, Spark's max_by over the struct), purity, and a
+      // guaranteed row per centroid id 0..9
+      ("WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv " +
+        "FROM embeddings WHERE vec_id < 10), " +
+        "p AS (SELECT e.vec_id, e.label, c.cid, " +
+        "list_cosine_similarity(e.embedding::DOUBLE[], c.cv) AS cos " +
+        "FROM embeddings e CROSS JOIN c), " +
+        "r AS (SELECT vec_id, label, cid, cos, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk FROM p), " +
+        "a AS (SELECT cid, label, cos FROM r WHERE rk = 1), " +
+        "pl AS (SELECT cid, label, count(*)::BIGINT AS nl, sum(cos) AS sc " +
+        "FROM a GROUP BY 1, 2), " +
+        "tl AS (SELECT cid, label, row_number() OVER (PARTITION BY cid " +
+        "ORDER BY nl DESC, CAST(label AS VARCHAR) DESC) AS rk FROM pl), " +
+        "pc AS (SELECT cid, CAST(sum(nl) AS BIGINT) AS n, " +
+        "sum(sc) / sum(nl) AS mean_cosine, " +
+        "max(nl)::DOUBLE / sum(nl)::DOUBLE AS purity FROM pl GROUP BY cid) " +
+        "SELECT g.range::BIGINT AS centroid_id, coalesce(pc.n, 0)::BIGINT AS n, " +
+        "round(pc.mean_cosine + 5e-10, 6) AS mean_cosine, " +
+        "t0.label::BIGINT AS top_label, round(pc.purity + 5e-10, 6) AS purity " +
+        "FROM range(10) g LEFT JOIN pc ON pc.cid = g.range " +
+        "LEFT JOIN (SELECT cid, label FROM tl WHERE rk = 1) t0 ON t0.cid = g.range " +
+        "ORDER BY centroid_id"),
     "w6_ewma" -> {
       // identical weight literals (Scala double toString round-trips),
       // identical left-fold order for numerator and denominator, same
@@ -6769,6 +6832,24 @@ object OpsQueries {
         "ORDER BY pr, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev FROM t) " +
         "SELECT source, count(*)::BIGINT AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens " +
         "FROM w WHERE prev < 5000 GROUP BY source ORDER BY source"),
+    "p3b_sequence_pack_lehmer" ->
+      // full greedy replay: Lehmer spread key, 8 explicit groups, each
+      // group's next-fit scan stepped by a recursive CTE (the working
+      // table holds one row per group per iteration), oversized docs
+      // overflowing their own fresh pack exactly like the operator
+      (s"WITH RECURSIVE d AS (SELECT doc_id, len($Toks)::BIGINT AS n_tok, " +
+        "(doc_id * 48271) % 2147483647 AS k FROM documents), " +
+        "o AS (SELECT doc_id, n_tok, greatest(n_tok, 0) AS tok, k % 8 AS grp, " +
+        "row_number() OVER (PARTITION BY k % 8 ORDER BY k, doc_id) AS rn FROM d), " +
+        "s AS (SELECT grp, rn, doc_id, tok, CAST(0 AS BIGINT) AS pack, tok AS used " +
+        "FROM o WHERE rn = 1 " +
+        "UNION ALL " +
+        "SELECT o.grp, o.rn, o.doc_id, o.tok, " +
+        "CASE WHEN s.used + o.tok > 512 THEN s.pack + 1 ELSE s.pack END AS pack, " +
+        "CASE WHEN s.used + o.tok > 512 THEN o.tok ELSE s.used + o.tok END AS used " +
+        "FROM s JOIN o ON o.grp = s.grp AND o.rn = s.rn + 1) " +
+        "SELECT doc_id, tok AS n_tokens, " +
+        "CAST(grp * 4294967296 + pack AS BIGINT) AS pack_id FROM s ORDER BY doc_id"),
     "o3_text_formats" ->
       // same daily aggregate straight from the parquet, emitted once per
       // text format — identical rows pin both writers AND readers

@@ -10,56 +10,67 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *
   * Optimal bin packing is NP-hard and inherently sequential; the
   * distributed shape here is the standard approximation: spread documents
-  * deterministically across partitions (HASH-partition on xxhash64(id) —
-  * range partitioning would sample boundaries, so two runs over a corpus
-  * large enough that the sample is a subset could shift pack ids), then
-  * sort each partition by (hash, id) and run greedy next-fit packing
-  * independently inside it. Packing quality matches
-  * greedy-on-a-random-permutation (hash order IS a fixed random
-  * permutation), no stage is sequential in corpus size, and the
-  * assignment is reproducible for a fixed partition count at ANY scale —
-  * reruns and downstream joins see identical pack ids. `mapPartitions`
-  * is warranted (SURVEY §7.3 last-resort rule): a running
-  * budget-remaining accumulator across rows of a partition is genuinely
-  * per-partition-imperative.
+  * deterministically into `partitions` GROUPS (group id = pmod(spread
+  * key, nParts); the key defaults to xxhash64(id) — range partitioning
+  * would sample boundaries, so two runs over a corpus large enough that
+  * the sample is a subset could shift pack ids), then order each group by
+  * (key, id) and run greedy next-fit packing independently inside it.
+  * The group id is an EXPLICIT column, not the engine's physical
+  * partition id, so the assignment is a pure function of the data: any
+  * engine replaying (key, group, order) reproduces every pack id —
+  * physical placement only affects WHERE a group is packed, never what
+  * it's packed into. Packing quality matches greedy-on-a-random-
+  * permutation (hash order IS a fixed random permutation), no stage is
+  * sequential in corpus size, and the assignment is reproducible for a
+  * fixed partition count at ANY scale — reruns and downstream joins see
+  * identical pack ids. `mapPartitions` is warranted (SURVEY §7.3
+  * last-resort rule): a running budget-remaining accumulator across rows
+  * of a group is genuinely per-partition-imperative.
   *
   * Documents larger than the budget get a pack of their own (the trainer
   * decides whether to truncate or split); they never block other fills.
   *
-  * Output: (idCol, n_tokens, pack_id) — pack_id = partition << 32 | local
+  * Output: (idCol, n_tokens, pack_id) — pack_id = group << 32 | local
   * pack index, unique across the corpus.
   */
 object Packing {
 
+  /** `spreadKey` overrides the xxhash64(id) spread/order key — pass a
+    * SQL-derivable permutation (e.g. a Lehmer key) when an external
+    * engine must replay the exact assignment (the p3b oracle). */
   def packByTokenBudget(df: DataFrame, idCol: String, tokenCol: String,
-                        budget: Long, partitions: Int = 0): DataFrame = {
+                        budget: Long, partitions: Int = 0,
+                        spreadKey: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(budget > 0, s"token budget must be positive, got $budget")
     val spark = df.sparkSession
     val nParts =
       if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
     val keyed = df
       .select(col(idCol), col(tokenCol).cast(LongType).as("__tok"))
-      .withColumn("__k", xxhash64(col(idCol)))
-      .repartition(nParts, col("__k"))
-      .sortWithinPartitions(col("__k"), col(idCol))
-      .withColumn("__pid", spark_partition_id().cast(LongType))
+      .withColumn("__k", spreadKey.getOrElse(xxhash64(col(idCol))).cast(LongType))
+      .withColumn("__grp", pmod(col("__k"), lit(nParts.toLong)))
+      .repartition(nParts, col("__grp"))
+      .sortWithinPartitions(col("__grp"), col("__k"), col(idCol))
     val outSchema = StructType(Seq(
       df.schema(idCol),
       StructField("n_tokens", LongType, nullable = false),
       StructField("pack_id", LongType, nullable = false)))
     keyed.mapPartitions { it =>
+      // several groups can share a physical partition (hash placement);
+      // the greedy state resets on every group boundary, so pack ids
+      // never depend on which partition a group landed in
+      var grp = -1L
       var pack = 0L
       var used = 0L
-      var first = true
       it.map { r =>
         val tok = math.max(r.getAs[Long]("__tok"), 0L)
-        val pid = r.getAs[Long]("__pid")
-        if (first) { first = false; used = 0L }
+        val g = r.getAs[Long]("__grp")
+        if (g != grp) { grp = g; pack = 0L; used = 0L }
         else if (used + tok > budget) { pack += 1; used = 0L }
         used += tok
         // an oversized doc overfills its own fresh pack; the NEXT doc
         // always opens a new one because used already exceeds budget
-        Row(r.get(0), tok, (pid << 32) | pack)
+        Row(r.get(0), tok, (g << 32) | pack)
       }
     }(Encoders.row(outSchema))
   }

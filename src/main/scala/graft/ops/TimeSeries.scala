@@ -394,7 +394,12 @@ object TimeSeries {
     val census = df
       .filter(col(keyCol).isNotNull && col(xCol).isNotNull && col(yCol).isNotNull)
       .groupBy(col(keyCol).as("__k"), col(xCol).cast("double").as("__x"))
-      .agg(sum(col(yCol).cast("double")).as("__y"))
+      // avg, not sum: duplicate x values collapse to their MEAN, the
+      // same convention as the sibling census operators (theilSen,
+      // mannKendall) — a generic caller feeding raw (key, x, y) rows
+      // gets mean-shift scores over the series values, never summed
+      // duplicates
+      .agg(avg(col(yCol).cast("double")).as("__y"))
     val wOrd = Window.partitionBy("__k").orderBy("__x")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy("__k")

@@ -167,35 +167,14 @@ object Sinks {
                          tokensPerShard: Long = 0L,
                          minShardTokens: Long = 2000L,
                          targetShards: Int = 64): JsonlExportReport = {
-    val spark = df.sparkSession
-    val nParts = spark.sessionState.conf.numShufflePartitions
-    val parts = df
-      .withColumn("__tok", col(tokenCol).cast("long"))
-      .repartitionByRange(nParts, col(orderCol))
-      .sortWithinPartitions(orderCol)
-      .withColumn("__pid", spark_partition_id())
-      .persist()
-    try {
-      val subtotals = parts.groupBy("__pid").agg(sum("__tok").as("t"))
-        .collect().map(r => (r.getAs[Int]("__pid"), r.getAs[Long]("t")))
-        .sortBy(_._1)
-      val total = subtotals.map(_._2).sum
-      require(total > 0, s"exportJsonlSharded: no tokens in $tokenCol")
-      val budget =
+    require(tokensPerShard > 0 || targetShards > 0,
+      "either a fixed tokensPerShard or a positive targetShards")
+    withShards(df, orderCol, tokenCol, startOffsetTokens = 0L,
+      budgetOf = total =>
         if (tokensPerShard > 0) tokensPerShard
-        else math.max(minShardTokens, total / targetShards)
-      val off = subtotals.scanLeft(0L)(_ + _._2).init
-      val offMap = map(subtotals.indices.flatMap(i =>
-        Seq(lit(subtotals(i)._1), lit(off(i)))): _*)
-      val w = Window.partitionBy("__pid").orderBy(orderCol)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val sharded = parts
-        .withColumn("__prev",
-          coalesce(sum("__tok").over(w), lit(0L)) +
-            element_at(offMap, col("__pid")))
-        .withColumn("shard", expr(s"__prev div ${budget}L"))
-        .persist()
-      try {
+        else math.max(minShardTokens, total / targetShards)) {
+      (sharded, _, budget) =>
+        val spark = df.sparkSession
         sharded.drop("__tok", "__pid", "__prev")
           .repartition(col("shard"))
           .write.mode("overwrite").partitionBy("shard").json(path)
@@ -213,8 +192,104 @@ object Sinks {
           }.sum
         JsonlExportReport(budget, census.count(),
           dataFiles(new org.apache.hadoop.fs.Path(path)), version)
-      } finally sharded.unpersist()
+    }
+  }
+
+  /** Shared shard-assignment core for the batch export and the streaming
+    * micro-batch export: range-partition on `orderCol`, per-partition
+    * local token cumsum + ≤ #partitions driver prefix offsets (never a
+    * global single-partition window), then
+    * shard = (startOffsetTokens + global-prev) div budget. The frame
+    * handed to `use` carries (__tok, __pid, __prev, shard) and is
+    * persisted for its two consumers (writer + census); both persists
+    * release before return. `budgetOf` sees the input's total tokens so
+    * the batch export can derive its budget from the corpus. */
+  private def withShards[T](df: DataFrame, orderCol: String, tokenCol: String,
+                            startOffsetTokens: Long, budgetOf: Long => Long)
+                           (use: (DataFrame, Long, Long) => T): T = {
+    val spark = df.sparkSession
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val parts = df
+      .withColumn("__tok", col(tokenCol).cast("long"))
+      .repartitionByRange(nParts, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    try {
+      // null gate, same pass as the subtotals: a null/uncastable token
+      // count would otherwise unbox to a 0 subtotal and flow into
+      // shards with zero budget weight — the manifest n_tokens goes
+      // null and the budget silently undercounts. An EXPORT must fail
+      // loudly, not drop or zero-weight rows.
+      val subtotalRows = parts.groupBy("__pid")
+        .agg(sum("__tok").as("t"), count(lit(1)).as("n"),
+          count(col("__tok")).as("n_tok")).collect()
+      val nNull = subtotalRows.map(r =>
+        r.getAs[Long]("n") - r.getAs[Long]("n_tok")).sum
+      require(nNull == 0L,
+        s"jsonl export: $nNull rows have null/uncastable $tokenCol — " +
+          "filter or repair them upstream; an export must not carry zero-weight rows")
+      val subtotals = subtotalRows
+        .map(r => (r.getAs[Int]("__pid"), r.getAs[Long]("t"))).sortBy(_._1)
+      val total = subtotals.map(_._2).sum
+      require(total > 0, s"jsonl export: no tokens in $tokenCol")
+      val budget = budgetOf(total)
+      require(budget > 0, s"jsonl export: shard budget must be positive, got $budget")
+      val off = subtotals.scanLeft(0L)(_ + _._2).init
+      val offMap = map(subtotals.indices.flatMap(i =>
+        Seq(lit(subtotals(i)._1), lit(off(i)))): _*)
+      val w = Window.partitionBy("__pid").orderBy(orderCol)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val sharded = parts
+        .withColumn("__prev",
+          coalesce(sum("__tok").over(w), lit(0L)) +
+            element_at(offMap, col("__pid")) + lit(startOffsetTokens))
+        .withColumn("shard", expr(s"__prev div ${budget}L"))
+        .persist()
+      try use(sharded, total, budget) finally sharded.unpersist()
     } finally parts.unpersist()
+  }
+
+  /** One micro-batch of the STREAMING JSONL export — the o15 handoff's
+    * streaming twin (drive it from `foreachBatch`, or use
+    * [[graft.streaming.EventPipeline.jsonlExportSink]]). Shard ids
+    * CONTINUE across batches: the carried token offset is the committed
+    * manifest's total, so when micro-batches deliver the corpus in
+    * `orderCol` order the assignment is IDENTICAL to one batch
+    * [[exportJsonlSharded]] run over the whole corpus (spec-pinned
+    * parity). Each batch writes under `path`/batch=`batchId` (a shard
+    * straddling a batch boundary owns one file per batch it touches) and
+    * commits its per-shard census via
+    * [[FileSkipping.commitBatchWithStats]] — exactly-once: a replayed
+    * batch is detected against the manifest's batch watermark BEFORE any
+    * file write (the carried offset derives from committed state, so the
+    * gate must precede every side effect). The budget must be FIXED —
+    * deriving it per batch would shift shard boundaries with batch
+    * sizing. Returns the committed manifest version, None on replay. */
+  def exportJsonlBatch(batch: DataFrame, path: String, orderCol: String,
+                       tokenCol: String, manifestTable: String,
+                       tokensPerShard: Long, batchId: Long): Option[Long] = {
+    require(tokensPerShard > 0,
+      "streaming jsonl export needs a fixed tokensPerShard budget")
+    val spark = batch.sparkSession
+    if (VersionedTable.lastBatchId(spark, manifestTable).exists(_ >= batchId)) None
+    else {
+      val carried =
+        if (VersionedTable.latestVersion(spark, manifestTable) == 0L) 0L
+        else VersionedTable.read(spark, manifestTable)
+          .agg(coalesce(sum("n_tokens"), lit(0L))).head().getLong(0)
+      withShards(batch, orderCol, tokenCol, startOffsetTokens = carried,
+        budgetOf = _ => tokensPerShard) { (sharded, _, _) =>
+        sharded.drop("__tok", "__pid", "__prev")
+          .repartition(col("shard"))
+          .write.mode("overwrite").partitionBy("shard")
+          .json(s"$path/batch=$batchId")
+        val census = sharded.groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum("__tok").as("n_tokens"))
+        FileSkipping.commitBatchWithStats(census, manifestTable, batchId,
+          statsCols = Seq("shard"))
+      }
+    }
   }
 
   /** Overwrite-by-partition append pattern (the incremental-ingest shape):

@@ -129,14 +129,23 @@ object VersionedTable {
   def commitBatch(df: DataFrame, table: String, batchId: Long): Option[Long] = {
     val spark = df.sparkSession
     val prev = latestVersion(spark, table)
-    val lastBatch =
-      if (prev == 0L) None
-      else parseManifest(readManifest(fs(spark, new Path(table)),
-        manifestPath(table, prev)))._3
-    if (lastBatch.exists(_ >= batchId)) None
+    if (lastBatchId(spark, table).exists(_ >= batchId)) None
     else
       try Some(commitNext(df, table, "append", prev, Some(batchId)))
       catch { case _: ConcurrentCommitException => None }
+  }
+
+  /** The batchId the latest version recorded, if any — the replay
+    * watermark. Public so a foreachBatch sink with side effects BEFORE
+    * its commit (file writes whose layout derives from already-committed
+    * state, e.g. the streaming JSONL export's carried token offset) can
+    * detect a replayed batch before touching anything; [[commitBatch]]
+    * applies the same check internally for the commit itself. */
+  def lastBatchId(spark: SparkSession, table: String): Option[Long] = {
+    val prev = latestVersion(spark, table)
+    if (prev == 0L) None
+    else parseManifest(readManifest(fs(spark, new Path(table)),
+      manifestPath(table, prev)))._3
   }
 
   /** The atomic publish step: create-exclusive manifest write. One

@@ -460,6 +460,29 @@ object EventPipeline {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** STREAMING JSONL training-data export — the o15 batch handoff as a
+    * foreachBatch sink: each micro-batch appends shards via
+    * [[graft.sources.Sinks.exportJsonlBatch]] (carried token offset off
+    * the committed manifest + `commitBatchWithStats` → exactly-once;
+    * shard ids continue across batches, so when micro-batches deliver
+    * the corpus in `orderCol` order the cumulative export equals the
+    * one-shot batch [[graft.sources.Sinks.exportJsonlSharded]] —
+    * spec-pinned parity). The budget must be fixed: a per-batch derived
+    * budget would move shard boundaries with batch sizing. */
+  def jsonlExportSink(stream: DataFrame, path: String, orderCol: String,
+                      tokenCol: String, manifestTable: String,
+                      tokensPerShard: Long): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.Sinks.exportJsonlBatch(batch, path, orderCol,
+            tokenCol, manifestTable, tokensPerShard, batchId)
+          ()
+        }
+      }
+      .outputMode(OutputMode.Append())
+      .start()
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class FunnelState(vMs: Long, cMs: Long, pMs: Long, lastMs: Long = 0L)

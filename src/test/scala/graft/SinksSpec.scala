@@ -168,6 +168,20 @@ class SinksSpec extends AnyFunSuite with Matchers {
     reg.as[(Long, Long, Long)].collect().map(_._3).sum shouldBe 2000L
   }
 
+  test("jsonl export fails loudly on null/uncastable token counts") {
+    val path = tmp(); val manifest = tmp()
+    // one null n_tok: it must not flow into a shard with zero budget
+    // weight (manifest n_tokens would go null, budget would undercount)
+    val docs = (Seq((1L, "s", "a b", Some(2L)), (2L, "s", "c d", None)) ++
+      (3L to 10L).map(i => (i, "s", "e f", Some(2L))))
+      .toDF("doc_id", "source", "text", "n_tok")
+    val e = intercept[IllegalArgumentException] {
+      Sinks.exportJsonlSharded(docs, path, "doc_id", "n_tok",
+        manifestTable = manifest, tokensPerShard = 4L)
+    }
+    e.getMessage should include("null/uncastable")
+  }
+
   test("jsonl export derives the budget from the corpus when unset") {
     val path = tmp(); val manifest = tmp()
     val docs = (1L to 50L).map(i => (i, "s", "a b c", 3L))

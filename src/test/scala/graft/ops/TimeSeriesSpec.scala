@@ -239,6 +239,14 @@ class TimeSeriesSpec extends AnyFunSuite with Matchers {
     val tie = Seq(("k", 1.0, 0.0), ("k", 2.0, 10.0), ("k", 3.0, 0.0))
     TimeSeries.changePoint(tie.toDF("k", "x", "y"), "k", "x", "y").head()
       .getAs[Double]("split_x") shouldBe 1.0 +- 1e-12
+    // duplicate x values collapse to their MEAN (the theilSen /
+    // mannKendall census convention), never their sum: two y=1 rows at
+    // each left x must leave the step means exactly 1 -> 5
+    val dup = step ++ (1 to 3).map(i => ("k", i.toDouble, 1.0))
+    val d = TimeSeries.changePoint(dup.toDF("k", "x", "y"), "k", "x", "y").head()
+    d.getAs[Double]("mean_left") shouldBe 1.0 +- 1e-12
+    d.getAs[Double]("mean_right") shouldBe 5.0 +- 1e-12
+    d.getAs[Double]("split_x") shouldBe 3.0 +- 1e-12
   }
 
   test("mannKendall: hand-computed S, tie-corrected variance, continuity-corrected Z") {
