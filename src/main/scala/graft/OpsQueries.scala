@@ -1738,7 +1738,8 @@ object OpsQueries {
       // quality gate -> per-SOURCE token census -> temperature-smoothed
       // (T = 2, over token mass) shares -> exact 100k-token budget via
       // largest remainder. One scoring projection, one census shuffle,
-      // three windows over the <=|sources| census.
+      // then a driver-side fold over the <=|sources| AGGREGATE census
+      // (the p18/v11 discipline — no unpartitioned window)
       val p = col("__p")
       val kept = table(s, dir, "documents")
         .select(col("source"), col("text"))
@@ -1747,23 +1748,30 @@ object OpsQueries {
           TextAnalysis.qualityScoreP(p).as("q"),
           TextAnalysis.tokenCountP(p).cast("long").as("n_tok"))
         .filter(col("q") >= 0.5)
-      val tot = org.apache.spark.sql.expressions.Window.partitionBy()
-      val byFrac = org.apache.spark.sql.expressions.Window
-        .orderBy(col("__frac").desc, col("source"))
-      kept.groupBy("source")
+      val census = kept.groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
-        .withColumn("__m", sqrt(col("n_tokens").cast("double")))
-        .withColumn("__tm", sum("__m").over(tot))
-        .withColumn("share", col("__m") / col("__tm"))
-        .withColumn("__exact", lit(100000.0) * col("share"))
-        .withColumn("__base", floor(col("__exact")).cast("long"))
-        .withColumn("__frac", col("__exact") - col("__base").cast("double"))
-        .withColumn("__short", lit(100000L) - sum("__base").over(tot))
-        .withColumn("token_budget",
-          col("__base") + when(row_number().over(byFrac) <= col("__short"), 1L)
-            .otherwise(0L))
-        .select(col("source"), col("n_docs"), col("n_tokens"),
-          round(col("share") + lit(5e-10), 6).as("share"), col("token_budget"))
+        .collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_tokens")))
+        .sortBy(_._1)
+      val tm = census.iterator.map(c => math.sqrt(c._3.toDouble)).sum
+      val scored = census.map { case (src, nd, nt) =>
+        val share = math.sqrt(nt.toDouble) / tm
+        val exact = 100000.0 * share
+        val base = math.floor(exact).toLong
+        (src, nd, nt, share, base, exact - base)
+      }
+      val short = 100000L - scored.iterator.map(_._5).sum
+      val bonus = scored.sortBy { case (src, _, _, _, _, f) => (-f, src) }
+        .take(math.max(0L, short).toInt).map(_._1).toSet
+      import s.implicits._
+      scored.map { case (src, nd, nt, share, base, _) =>
+        // same HALF_UP-at-6dp the Spark-side round() applies elsewhere
+        val shareR = BigDecimal(share + 5e-10)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (src, nd, nt, shareR, base + (if (bonus(src)) 1L else 0L))
+      }.toSeq
+        .toDF("source", "n_docs", "n_tokens", "share", "token_budget")
         .orderBy("source")
     }),
     "v11_lift_table" -> ((s, dir) => {

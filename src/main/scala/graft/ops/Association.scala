@@ -31,7 +31,10 @@ object Association {
     val withMarg = cells
       .withColumn("__ca", sum("__c").over(Window.partitionBy(col("__a"))))
       .withColumn("__cb", sum("__c").over(Window.partitionBy(col("__b"))))
-      .withColumn("__n", sum("__c").over(Window.partitionBy()))
+      // grand total via a broadcast 1-row aggregate of the same cells
+      // census (exchange reuse plans it once), not an unpartitioned
+      // window; the marginal windows above stay keyed
+      .crossJoin(broadcast(cells.agg(sum("__c").as("__n"))))
     // expected count per OBSERVED cell; the chi-square contribution of
     // structurally-absent cells (observed 0) is their expected count,
     // so chi2 = sum over observed cells of (o-e)^2/e + (n - sum of
@@ -76,15 +79,17 @@ object Association {
       .filter(col(groupCol).isNotNull && col(successCol).isNotNull)
       .groupBy(col(groupCol).as("__g"))
       .agg(count(lit(1)).as("n"), sum(col(successCol).cast("long")).as("successes"))
-    val tot = Window.partitionBy()
     val n1 = col("n").cast("double")
     val n2 = (col("__N") - col("n")).cast("double")
     val p1 = col("successes").cast("double") / n1
     val p2 = (col("__X") - col("successes")).cast("double") / n2
     val phat = col("__X").cast("double") / col("__N")
+    // totals via a broadcast 1-row aggregate of the same census
+    // (exchange reuse plans the census once), not an unpartitioned
+    // window — the v13-measured constant-key-window hazard class
     census
-      .withColumn("__N", sum("n").over(tot))
-      .withColumn("__X", sum("successes").over(tot))
+      .crossJoin(broadcast(census.agg(
+        sum("n").as("__N"), sum("successes").as("__X"))))
       .select(col("__g").as(groupCol), col("n"), col("successes"),
         p1.as("p_group"),
         when(col("__N") > col("n"), p2).as("p_rest"),
@@ -708,14 +713,16 @@ object Association {
       .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
       .groupBy(col(groupCol).cast("string").as("__g"))
       .agg(count(lit(1)).as("__n"), sum(x).as("__sx"), sum(x * x).as("__sxx"))
-    val tot = Window.partitionBy()
     def side(tag: String, pick: org.apache.spark.sql.Column) = Seq(
       min(when(col("__g") === pick, col("__n"))).as(s"n_$tag"),
       min(when(col("__g") === pick, col("__sx"))).as(s"__sx_$tag"),
       min(when(col("__g") === pick, col("__sxx"))).as(s"__sxx_$tag"))
+    // group labels via a broadcast 1-row aggregate of the same census
+    // (exchange reuse plans the census once), not an unpartitioned
+    // window — the v13-measured constant-key-window hazard class
     val agged = census
-      .withColumn("__ga", min("__g").over(tot))
-      .withColumn("__gb", max("__g").over(tot))
+      .crossJoin(broadcast(census.agg(
+        min("__g").as("__ga"), max("__g").as("__gb"))))
       .groupBy(col("__ga").as("group_a"), col("__gb").as("group_b"))
       .agg(countDistinct("__g").as("n_groups"),
         side("a", col("__ga")) ++ side("b", col("__gb")): _*)

@@ -26,9 +26,11 @@ object Audit {
     val digits = df.filter(v.isNotNull && (v > 0))
       .select(substring(v.cast("string"), 1, 1).cast("int").as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("cnt"))
-    val nTot = Window.partitionBy()
-    digits
-      .withColumn("__n", sum("cnt").over(nTot))
+    // global total via a broadcast 1-row aggregate of the same census
+    // (exchange reuse plans the census once), not an unpartitioned
+    // window — the v13-measured constant-key-window hazard class
+    val nTot = broadcast(digits.agg(sum("cnt").as("__n")))
+    digits.crossJoin(nTot)
       .select(col("digit"), col("cnt"),
         (col("cnt").cast("double") / col("__n")).as("obs_freq"),
         log10(lit(1.0) + lit(1.0) / col("digit").cast("double")).as("exp_freq"))

@@ -312,10 +312,12 @@ object Drift {
       .select(col("cat"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
-    val tot = Window.partitionBy()
+    // row totals via a broadcast 1-row aggregate of the same census
+    // (exchange reuse plans the census once), not an unpartitioned
+    // window — the v13-measured constant-key-window hazard class
     val withTot = census
-      .withColumn("__NR", sum("n_ref").over(tot))
-      .withColumn("__NC", sum("n_cur").over(tot))
+      .crossJoin(broadcast(census.agg(
+        sum("n_ref").as("__NR"), sum("n_cur").as("__NC"))))
     val nAll = (col("__NR") + col("__NC")).cast("double")
     val tj = (col("n_ref") + col("n_cur")).cast("double")
     def cellTerm(o: Column, rowTot: Column): Column = {

@@ -164,10 +164,11 @@ object Evaluation {
     * [[graft.ops.Encoding.quantileBin]].
     *
     * Scale shape: one edge probe + ONE branch-free census aggregate
-    * over the corpus; the rate/lift/cumulative algebra runs in three
-    * windows over the ≤k-row census (report-sized license). Returns
-    * (bin, n, n_pos, rate, lift, cum_capture, cum_lift) ordered best
-    * bin first. */
+    * over the corpus; the rate/lift/cumulative algebra folds
+    * driver-side over the ≤k-row AGGREGATE census (exact longs until
+    * the final divisions — never raw rows, never an unpartitioned
+    * window). Returns (bin, n, n_pos, rate, lift, cum_capture,
+    * cum_lift) ordered best bin first. */
   def liftTable(df: DataFrame, scoreCol: String, labelCol: String,
                 k: Int = 10): DataFrame = {
     require(k >= 2 && k <= 256, s"k must be in [2, 256], got $k")
@@ -183,29 +184,32 @@ object Evaluation {
     val es = (1 until k).map(i => edgeRow.getAs[Double](s"__e$i"))
     val bin = es.map(e => when(col("__s") >= lit(e), 1L).otherwise(0L))
       .reduce(_ + _)
-    val tot = org.apache.spark.sql.expressions.Window.partitionBy()
-    val fromTop = org.apache.spark.sql.expressions.Window
-      .orderBy(col("bin").desc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val baseRate = col("__tp").cast(DoubleType) / col("__tn")
-    src.withColumn("bin", bin)
+    // the rate/lift/cumulative algebra folds driver-side over the ≤k-row
+    // AGGREGATE bin census (the calibrationBins/D1 contract) — all exact
+    // longs until the final divisions; the operator is already eager
+    // (the edge probe head() above), so this adds no laziness loss
+    val cells = src.withColumn("bin", bin)
       .groupBy("bin")
       .agg(count(lit(1)).as("n"),
         sum(when(col("__y") =!= 0L, 1L).otherwise(0L)).as("n_pos"))
-      .withColumn("__tn", sum("n").over(tot))
-      .withColumn("__tp", sum("n_pos").over(tot))
-      .withColumn("__cn", sum("n").over(fromTop))
-      .withColumn("__cp", sum("n_pos").over(fromTop))
-      .select(col("bin"), col("n"), col("n_pos"),
-        (col("n_pos").cast(DoubleType) / col("n")).as("rate"),
-        when(col("__tp") > 0,
-          (col("n_pos").cast(DoubleType) / col("n")) / baseRate).as("lift"),
-        when(col("__tp") > 0,
-          col("__cp").cast(DoubleType) / col("__tp")).as("cum_capture"),
-        when(col("__tp") > 0,
-          (col("__cp").cast(DoubleType) / col("__cn")) / baseRate).as("cum_lift"))
-      .orderBy(col("bin").desc)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(-_._1)
+    val tn = cells.iterator.map(_._2).sum
+    val tp = cells.iterator.map(_._3).sum
+    val baseRate = tp.toDouble / tn
+    var (cn, cp) = (0L, 0L)
+    val out = cells.map { case (b, n, nPos) =>
+      cn += n; cp += nPos
+      val rate = nPos.toDouble / n
+      (b, n, nPos, rate,
+        if (tp > 0) Some(rate / baseRate) else None,
+        if (tp > 0) Some(cp.toDouble / tp) else None,
+        if (tp > 0) Some((cp.toDouble / cn) / baseRate) else None)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    out.toSeq
+      .toDF("bin", "n", "n_pos", "rate", "lift", "cum_capture", "cum_lift")
   }
 
   /** Exact NDCG@k per group (ranking quality of a retrieval/reranking

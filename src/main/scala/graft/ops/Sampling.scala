@@ -654,8 +654,9 @@ object Sampling {
     *
     * Scale shape: ONE map-side-combinable census aggregate over the
     * corpus (count + decimal power sums per stratum — the a26
-    * exactness discipline), then three windows over the ≤|strata|-row
-    * census. Returns (stratum, n, sd, share, n_alloc), the feed for
+    * exactness discipline), then a driver-side fold over the
+    * ≤|strata|-row AGGREGATE census (never raw rows, no unpartitioned
+    * window). Returns (stratum, n, sd, share, n_alloc), the feed for
     * [[lehmerStratifiedTake]]'s per-stratum take counts. */
   def neymanAllocation(df: DataFrame, strataCol: String, valueCol: String,
                        budget: Long): DataFrame = {
@@ -670,24 +671,31 @@ object Sampling {
       sqrt((col("__sxx").cast("double") -
         col("__sx").cast("double") * col("__sx").cast("double") / nd) /
         (nd - 1.0))).otherwise(lit(0.0))
-    val tot = Window.partitionBy()
-    val byFrac = Window.orderBy(col("__frac").desc, col("stratum"))
-    census
-      .withColumn("sd", sd)
-      .withColumn("__m", nd * col("sd"))
-      .withColumn("__tm", sum("__m").over(tot))
-      .withColumn("__tn", sum("n").over(tot))
-      .withColumn("share",
-        when(col("__tm") > 0, col("__m") / col("__tm"))
-          .otherwise(nd / col("__tn")))
-      .withColumn("__exact", lit(budget.toDouble) * col("share"))
-      .withColumn("__base", floor(col("__exact")).cast("long"))
-      .withColumn("__frac", col("__exact") - col("__base").cast("double"))
-      .withColumn("__short", lit(budget) - sum("__base").over(tot))
-      .withColumn("n_alloc",
-        col("__base") + when(row_number().over(byFrac) <= col("__short"), 1L)
-          .otherwise(0L))
-      .select(col("stratum"), col("n"), col("sd"), col("share"), col("n_alloc"))
+    // the share/largest-remainder algebra folds driver-side over the
+    // ≤|strata|-row AGGREGATE census (the calibrationBins/D1 contract:
+    // aggregates only, never raw rows) in stratum order — no
+    // unpartitioned window, fully deterministic remainder ranking
+    val rows = census.withColumn("sd", sd)
+      .collect()
+      .map(r => (r.getAs[String]("stratum"), r.getAs[Long]("n"),
+        r.getAs[Double]("sd")))
+      .sortBy(_._1)
+    val tm = rows.iterator.map { case (_, n, s) => n.toDouble * s }.sum
+    val tn = rows.iterator.map(_._2).sum
+    val scored = rows.map { case (st, n, s) =>
+      val share = if (tm > 0) n.toDouble * s / tm else n.toDouble / tn
+      val exact = budget.toDouble * share
+      val base = math.floor(exact).toLong
+      (st, n, s, share, base, exact - base)
+    }
+    val short = budget - scored.iterator.map(_._5).sum
+    val bonus = scored.sortBy { case (st, _, _, _, _, frac) => (-frac, st) }
+      .take(math.max(0L, short).toInt).map(_._1).toSet
+    val spark = df.sparkSession
+    import spark.implicits._
+    scored.map { case (st, n, s, share, base, _) =>
+      (st, n, s, share, base + (if (bonus(st)) 1L else 0L))
+    }.toSeq.toDF("stratum", "n", "sd", "share", "n_alloc")
   }
 
   /** Padding-efficiency report for fixed-size training batches: every
