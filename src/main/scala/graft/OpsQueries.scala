@@ -3333,7 +3333,11 @@ object OpsQueries {
       // equality argument), which the oracle derives with a set-key
       // anti-join — no LSH replay needed.
       val ref = docs(s, dir)
-      val newc = ref.select((col("doc_id") + 1000000L).as("doc_id"),
+      // 1e12 shift: scale-proof id disjointness (the +1e6 fixture shift
+      // collided with real ids at the sf30 spot-bench — ids reach 1.5M
+      // there — and crossCorpusDedup's in-plan uniqueness guard caught
+      // it loudly rather than silently double-counting)
+      val newc = ref.select((col("doc_id") + 1000000000000L).as("doc_id"),
         when(col("doc_id") % 4 === 0, col("text"))
           .when(col("doc_id") % 4 === 1, expr("replace(text, ' ', '  ')"))
           .otherwise(concat(col("text"), lit(" zz"), col("doc_id"))).as("text"))
@@ -5596,7 +5600,7 @@ object OpsQueries {
       // survivors = new docs whose sorted distinct 3-shingle set key
       // matches no ref doc's (set equality <=> threshold-1.0 near-dup,
       // the d6 argument; byte-exact copies are a subset)
-      ("WITH newc AS (SELECT doc_id + 1000000 AS id, " +
+      ("WITH newc AS (SELECT doc_id + 1000000000000 AS id, " +
         "CASE WHEN doc_id % 4 = 0 THEN text " +
         "WHEN doc_id % 4 = 1 THEN replace(text, ' ', '  ') " +
         "ELSE text || ' zz' || doc_id::VARCHAR END AS text FROM documents), " +
