@@ -180,10 +180,10 @@ object Bench {
     val regFloor = sys.env.getOrElse("SPARK_GRAFT_BENCH_REG_FLOOR", "0.2").toDouble
     val priorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV",
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
-    // Snapshot the prior record's TEXT once, at process start: the run
-    // now overwrites bench_out.json with partial flushes mid-run, so a
-    // lazy read during the sf1/sf10 passes would compare against this
-    // run's own partial output instead of the committed prior round.
+    // Snapshot the prior record's TEXT once, at process start: the final
+    // write replaces bench_out.json mid-process, so a lazy read during
+    // the sf1/sf10 passes could otherwise compare against this run's own
+    // output instead of the committed prior round.
     val priorTxt: String = try new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(priorPath)),
       java.nio.charset.StandardCharsets.UTF_8) catch { case _: Exception => "" }
@@ -237,7 +237,8 @@ object Bench {
         val javaBin = new java.io.File(new java.io.File(sys.props("java.home"), "bin"), "java").getPath
         val tmp = java.nio.file.Files.createTempFile("graft_iso_", ".json")
         val inherited = rt.getInputArguments.asScala
-          .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-Xmx") || a.startsWith("-Xms"))
+          .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-Xmx") ||
+            a.startsWith("-Xms") || a == "-XX:+AlwaysPreTouch")
         val cmd = (Seq(javaBin) ++ inherited ++ Seq(s"-Xmx$isoHeap")
           ++ Seq("-cp", sys.props("java.class.path"), "graft.Bench", name)).asJava
         val pb = new ProcessBuilder(cmd)
@@ -275,11 +276,23 @@ object Bench {
     // atomically replaces it. A killed isolation pass costs only the
     // isolated numbers, never the sweep.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    def writeOut(js: String): Unit =
-      try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+    // Partials land in a SIDECAR (outFile + ".partial"), never over
+    // outFile itself: outFile is the git-tracked committed prior — a run
+    // killed mid-way must not replace the next run's regression baseline
+    // with its own (possibly squeeze-inflated) sweep numbers. Only the
+    // final write owns outFile; the sidecar is deleted on success.
+    val partialFile = outFile + ".partial"
+    def writeTo(path: String, js: String): Unit =
+      try java.nio.file.Files.write(java.nio.file.Paths.get(path),
         (js + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case e: java.io.IOException =>
-        System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+        System.err.println(s"[bench] could not write $path: ${e.getMessage}") }
+    def writePartial(js: String): Unit = writeTo(partialFile, js)
+    def writeOut(js: String): Unit = {
+      writeTo(outFile, js)
+      try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(partialFile))
+      catch { case _: Exception => () }
+    }
     /** The full per-scale JSON fragment: queries + telemetry maps +
       * regressions vs the prior committed record + isolated reruns of
       * (heavy ∪ regressed). `prefix` is "" for the main sf0.1 pass,
@@ -305,8 +318,8 @@ object Bench {
         s""","${prefix}gc_ms":${toJsonL(rows.map(r => r.name -> r.gcMs))}""" +
         s""","${prefix}jit_ms":${toJsonL(rows.map(r => r.name -> r.jitMs))}""" +
         regJson
-      // sweep numbers hit disk before any child JVM exists
-      writeOut(mkPartial(sweepJson))
+      // sweep numbers hit disk (sidecar) before any child JVM exists
+      writePartial(mkPartial(sweepJson))
       val iso = isolatedRerun(targets, dir, tag)
       val isoJson = if (iso.isEmpty) "" else s""","${prefix}isolated_queries":${toJson(iso)}"""
       sweepJson + isoJson

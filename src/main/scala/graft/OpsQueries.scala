@@ -1521,6 +1521,17 @@ object OpsQueries {
           round(col("acf") + lit(5e-10), 6).as("acf"))
         .orderBy("event_type", "lag")
     }),
+    "x30_k_anonymity" -> ((s, dir) =>
+      // the pre-export privacy gate: every row must share its
+      // (source, lang, length-bucket) quasi-identifier combination with
+      // >= 4 others or it re-identifies — one QI census (shuffle
+      // carries distinct combinations, never rows) + a 1-row fold
+      graft.ops.Quality.kAnonymity(
+          table(s, dir, "documents")
+            .select(col("source"), col("lang"),
+              expr("n_chars div 200").as("len_bucket")),
+          Seq("source", "lang", "len_bucket"), k = 5L)),
+
     "x20_benford" -> ((s, dir) =>
       // first-digit audit of prices-in-cents: the digit comes from the
       // decimal string, immune to the log10 power-of-ten knife edge
@@ -1755,21 +1766,16 @@ object OpsQueries {
           r.getAs[Long]("n_tokens")))
         .sortBy(_._1)
       val tm = census.iterator.map(c => math.sqrt(c._3.toDouble)).sum
-      val scored = census.map { case (src, nd, nt) =>
-        val share = math.sqrt(nt.toDouble) / tm
-        val exact = 100000.0 * share
-        val base = math.floor(exact).toLong
-        (src, nd, nt, share, base, exact - base)
-      }
-      val short = 100000L - scored.iterator.map(_._5).sum
-      val bonus = scored.sortBy { case (src, _, _, _, _, f) => (-f, src) }
-        .take(math.max(0L, short).toInt).map(_._1).toSet
+      val shares = census.map { case (src, _, nt) =>
+        src -> math.sqrt(nt.toDouble) / tm }
+      val alloc = Sampling.largestRemainder(shares.toSeq, 100000L)
+      val shareOf = shares.toMap
       import s.implicits._
-      scored.map { case (src, nd, nt, share, base, _) =>
+      census.map { case (src, nd, nt) =>
         // same HALF_UP-at-6dp the Spark-side round() applies elsewhere
-        val shareR = BigDecimal(share + 5e-10)
+        val shareR = BigDecimal(shareOf(src) + 5e-10)
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-        (src, nd, nt, shareR, base + (if (bonus(src)) 1L else 0L))
+        (src, nd, nt, shareR, alloc(src))
       }.toSeq
         .toDF("source", "n_docs", "n_tokens", "share", "token_budget")
         .orderBy("source")
@@ -2900,6 +2906,20 @@ object OpsQueries {
         .select(col("src"), col("rank"), col("dst"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy("src", "rank")),
+
+    "s18_label_disagreement" -> ((s, dir) =>
+      // mislabel screen: points whose s7 kNN neighbors mostly carry a
+      // DIFFERENT label, ranked for review — the label joins touch ids
+      // only (vectors never reshuffle), the census is <= corpus
+      // (src, label, n_label) triples, majority neighbor label via the
+      // c3b (count, label-string) struct-max convention
+      Similarity.labelDisagreement(table(s, dir, "embeddings"),
+          "vec_id", "embedding", "label", k = 3)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("n_neighbors"), col("n_disagree"),
+          round(col("disagreement") + lit(5e-10), 6).as("disagreement"),
+          col("top_neighbor_label").cast("long").as("top_neighbor_label"))
+        .orderBy("vec_id")),
 
     "e15_retention_cohorts" -> ((s, dir) => {
       // cohort retention grid — the shared retentionGrid read-out
@@ -5301,6 +5321,45 @@ object OpsQueries {
         "SELECT src, rn::BIGINT AS rank, dst, ROUND(cos, 6) AS cosine " +
         "FROM pr WHERE rn <= 3 ORDER BY src, rank")
     },
+    "s18_label_disagreement" -> {
+      // the s7 kNN replay with labels riding along: per-(src, n_label)
+      // counts, disagreement fraction, majority neighbor label by
+      // (count, label-string) DESC — the c3b struct-max convention
+      val bucket = bucketSqlGated("embedding::DOUBLE[]",
+        graft.ops.Similarity.randomPlanes(16, 64), "(SELECT p FROM np)")
+      ("WITH np AS (SELECT greatest(4, least(16, CAST(ceil(log2(count(*) / 64.0)) AS INT))) AS p FROM embeddings), " +
+        "b AS (SELECT vec_id AS id, CAST(label AS VARCHAR) AS lbl, " +
+        "embedding::DOUBLE[] AS v, " + bucket + " AS bucket " +
+        "FROM embeddings WHERE label IS NOT NULL), " +
+        "pr AS (SELECT a.id AS src, a.lbl AS label, c.id AS dst, c.lbl AS n_label, " +
+        "row_number() OVER (PARTITION BY a.id " +
+        "ORDER BY list_cosine_similarity(a.v, c.v) DESC, c.id) AS rn " +
+        "FROM b a JOIN b c ON a.bucket = c.bucket AND a.id <> c.id), " +
+        "t AS (SELECT src, label, n_label FROM pr WHERE rn <= 3), " +
+        "pl AS (SELECT src, label, n_label, count(*)::BIGINT AS c FROM t GROUP BY 1, 2, 3), " +
+        "tp AS (SELECT src, n_label, row_number() OVER (PARTITION BY src " +
+        "ORDER BY c DESC, n_label DESC) AS rk FROM pl), " +
+        "ag AS (SELECT src, label, CAST(sum(c) AS BIGINT) AS n_neighbors, " +
+        "CAST(coalesce(sum(CASE WHEN n_label <> label THEN c END), 0) AS BIGINT) AS n_disagree " +
+        "FROM pl GROUP BY 1, 2) " +
+        "SELECT ag.src AS vec_id, CAST(ag.label AS BIGINT) AS label, " +
+        "n_neighbors, n_disagree, " +
+        "round(n_disagree::DOUBLE / n_neighbors + 5e-10, 6) AS disagreement, " +
+        "CAST(tp.n_label AS BIGINT) AS top_neighbor_label " +
+        "FROM ag JOIN (SELECT src, n_label FROM tp WHERE rk = 1) tp ON tp.src = ag.src " +
+        "ORDER BY vec_id")
+    },
+    "x30_k_anonymity" ->
+      // the same QI census + 1-row fold, all exact longs
+      ("WITH q AS (SELECT source, lang, n_chars // 200 AS len_bucket FROM documents), " +
+        "c AS (SELECT source, lang, len_bucket, count(*)::BIGINT AS cnt " +
+        "FROM q GROUP BY 1, 2, 3) " +
+        "SELECT CAST(5 AS BIGINT) AS k_threshold, " +
+        "CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_rows, " +
+        "count(*)::BIGINT AS n_groups, " +
+        "CAST(coalesce(sum(CASE WHEN cnt < 5 THEN 1 END), 0) AS BIGINT) AS n_violating_groups, " +
+        "CAST(coalesce(sum(CASE WHEN cnt < 5 THEN cnt END), 0) AS BIGINT) AS n_rows_at_risk, " +
+        "CAST(min(cnt) AS BIGINT) AS min_group_size FROM c"),
     "e15_retention_cohorts" ->
       ("WITH ev AS (SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS d FROM events), " +
         "fs AS (SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY user_id), " +

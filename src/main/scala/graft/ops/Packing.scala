@@ -48,6 +48,14 @@ object Packing {
     val keyed = df
       .select(col(idCol), col(tokenCol).cast(LongType).as("__tok"))
       .withColumn("__k", spreadKey.getOrElse(xxhash64(col(idCol))).cast(LongType))
+      // in-plan null-key guard (the adjacentPairs contract pattern): a
+      // null spread key would hash-partition on NULL while its group id
+      // unboxes to 0, so two partitions could both emit "group 0" pack
+      // ids — fail loudly instead of corrupting pack_id uniqueness.
+      // The default xxhash64 key is never null; only a caller-supplied
+      // spreadKey can trip this.
+      .filter(assert_true(col("__k").isNotNull,
+        lit("packByTokenBudget: spread key must not be null")).isNull)
       .withColumn("__grp", pmod(col("__k"), lit(nParts.toLong)))
       .repartition(nParts, col("__grp"))
       .sortWithinPartitions(col("__grp"), col("__k"), col(idCol))

@@ -151,6 +151,36 @@ object Quality {
     perCol.reduce(_.unionByName(_))
   }
 
+  /** k-anonymity audit over quasi-identifier columns — the privacy gate
+    * a dataset passes BEFORE an export ships: every row must share its
+    * QI combination with at least k−1 others, or the combination
+    * re-identifies. NULL is its own QI value (an absent zip code is
+    * itself identifying). Returns ONE report row: (k_threshold, n_rows,
+    * n_groups, n_violating_groups, n_rows_at_risk, min_group_size) —
+    * `n_rows_at_risk` is the number of rows in under-k groups, the
+    * quantity a suppress-or-generalize pass must drive to zero.
+    *
+    * Scale shape: one map-side-combined QI census (the shuffle carries
+    * distinct QI combinations, never rows), then a 1-row fold over it —
+    * nothing driver-side, nothing proportional to corpus size. */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame = {
+    require(qiCols.nonEmpty, "kAnonymity needs at least one QI column")
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .agg(
+        coalesce(sum(col("__cnt")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        coalesce(sum(when(col("__cnt") < k, 1L).otherwise(0L)), lit(0L))
+          .as("n_violating_groups"),
+        coalesce(sum(when(col("__cnt") < k, col("__cnt")).otherwise(0L)),
+          lit(0L)).as("n_rows_at_risk"),
+        min(col("__cnt")).as("min_group_size"))
+      .select(lit(k).as("k_threshold"), col("n_rows"), col("n_groups"),
+        col("n_violating_groups"), col("n_rows_at_risk"),
+        col("min_group_size"))
+  }
+
   /** Sketched per-column profile in ONE shared scan: row count plus, per
     * column, null count, HLL-approximate NDV (`rsd` relative error) and
     * native-typed min/max — the 100-TB first pass that decides which

@@ -682,20 +682,34 @@ object Sampling {
       .sortBy(_._1)
     val tm = rows.iterator.map { case (_, n, s) => n.toDouble * s }.sum
     val tn = rows.iterator.map(_._2).sum
-    val scored = rows.map { case (st, n, s) =>
-      val share = if (tm > 0) n.toDouble * s / tm else n.toDouble / tn
-      val exact = budget.toDouble * share
-      val base = math.floor(exact).toLong
-      (st, n, s, share, base, exact - base)
+    val shares = rows.map { case (st, n, s) =>
+      st -> (if (tm > 0) n.toDouble * s / tm else n.toDouble / tn)
     }
-    val short = budget - scored.iterator.map(_._5).sum
-    val bonus = scored.sortBy { case (st, _, _, _, _, frac) => (-frac, st) }
-      .take(math.max(0L, short).toInt).map(_._1).toSet
+    val alloc = largestRemainder(shares, budget)
+    val shareOf = shares.toMap
     val spark = df.sparkSession
     import spark.implicits._
-    scored.map { case (st, n, s, share, base, _) =>
-      (st, n, s, share, base + (if (bonus(st)) 1L else 0L))
-    }.toSeq.toDF("stratum", "n", "sd", "share", "n_alloc")
+    rows.map { case (st, n, s) => (st, n, s, shareOf(st), alloc(st)) }
+      .toSeq.toDF("stratum", "n", "sd", "share", "n_alloc")
+  }
+
+  /** Exact largest-remainder apportionment of `budget` across `shares`
+    * (key → share; shares are expected to sum to ~1): floor each exact
+    * quota budget·share, then hand the integer shortfall out as +1s in
+    * (−fractional remainder, key) order — the deterministic tie-break
+    * every allocation operator here uses ([[neymanAllocation]], the c8
+    * mix planner). Σ allocations == budget EXACTLY, and every step is
+    * integer-or-replayable-double algebra an external engine re-derives. */
+  def largestRemainder(shares: Seq[(String, Double)], budget: Long): Map[String, Long] = {
+    val scored = shares.map { case (k, s) =>
+      val exact = budget.toDouble * s
+      val base = math.floor(exact).toLong
+      (k, base, exact - base)
+    }
+    val short = budget - scored.iterator.map(_._2).sum
+    val bonus = scored.sortBy { case (k, _, f) => (-f, k) }
+      .take(math.max(0L, short).toInt).map(_._1).toSet
+    scored.map { case (k, b, _) => k -> (b + (if (bonus(k)) 1L else 0L)) }.toMap
   }
 
   /** Padding-efficiency report for fixed-size training batches: every

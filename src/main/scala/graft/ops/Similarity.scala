@@ -427,6 +427,46 @@ object Similarity {
         col("col.id").as("dst"), col("col.score").as("cosine"))
   }
 
+  /** kNN label-disagreement — the standard mislabel screen over an
+    * embedded, labeled corpus: a point whose nearest neighbors mostly
+    * carry a DIFFERENT label is a labeling-error suspect (or sits on a
+    * genuine class boundary — the reviewer's call; this ranks the
+    * queue). For each point: its [[knnGraph]] neighbors' labels, the
+    * disagreeing fraction, and the majority neighbor label (ties by the
+    * (count, label-string) struct max — the clusterProfile convention).
+    *
+    * Scale shape: the bucket-local kNN graph (shuffle bounded at k rows
+    * per (partition, src)), two id equi-joins to attach labels (never
+    * the vectors), and a census-sized per-(src,label) aggregate.
+    * Returns (idCol, label, n_neighbors, n_disagree, disagreement,
+    * top_neighbor_label); rows with a null label are excluded (they
+    * can neither agree nor disagree). */
+  def labelDisagreement(df: DataFrame, idCol: String, vecCol: String,
+                        labelCol: String, k: Int = 3,
+                        minPlanes: Int = 4, maxPlanes: Int = 16,
+                        targetBucket: Int = 64, seed: Long = 42L): DataFrame = {
+    val pts = df.filter(col(labelCol).isNotNull)
+    val labels = pts.select(col(idCol).as("__lid"),
+      col(labelCol).cast("string").as("__lbl"))
+    val g = knnGraph(pts, idCol, vecCol, k, minPlanes, maxPlanes,
+      targetBucket, seed)
+    g.join(labels.select(col("__lid").as("src"), col("__lbl").as("label")), Seq("src"))
+      .join(labels.select(col("__lid").as("dst"), col("__lbl").as("n_label")), Seq("dst"))
+      .groupBy(col("src"), col("label"), col("n_label"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("src"), col("label"))
+      .agg(sum("__c").as("n_neighbors"),
+        sum(when(col("n_label") =!= col("label"), col("__c"))
+          .otherwise(lit(0L))).as("n_disagree"),
+        max_by(col("n_label"), struct(col("__c"), col("n_label")))
+          .as("top_neighbor_label"))
+      .select(col("src").as(idCol), col("label"), col("n_neighbors"),
+        col("n_disagree"),
+        (col("n_disagree").cast("double") / col("n_neighbors"))
+          .as("disagreement"),
+        col("top_neighbor_label"))
+  }
+
   /** Per-dimension feature STANDARDIZATION of an embedding column:
     * z = (v_d − mean_d) / std_d (sample std; a zero-variance dimension
     * maps to 0 rather than NaN) — the scaling step before any

@@ -170,9 +170,11 @@ object Sinks {
     require(tokensPerShard > 0 || targetShards > 0,
       "either a fixed tokensPerShard or a positive targetShards")
     withShards(df, orderCol, tokenCol, startOffsetTokens = 0L,
-      budgetOf = total =>
+      budgetOf = total => {
+        require(total > 0, s"exportJsonlSharded: no tokens in $tokenCol")
         if (tokensPerShard > 0) tokensPerShard
-        else math.max(minShardTokens, total / targetShards)) {
+        else math.max(minShardTokens, total / targetShards)
+      }) {
       (sharded, _, budget) =>
         val spark = df.sparkSession
         sharded.drop("__tok", "__pid", "__prev")
@@ -232,7 +234,10 @@ object Sinks {
       val subtotals = subtotalRows
         .map(r => (r.getAs[Int]("__pid"), r.getAs[Long]("t"))).sortBy(_._1)
       val total = subtotals.map(_._2).sum
-      require(total > 0, s"jsonl export: no tokens in $tokenCol")
+      // total == 0 is LEGAL here (zero-token docs still shard at a fixed
+      // budget — the streaming path must not poison-pill on an all-zero
+      // micro-batch); the batch export keeps its corpus-level total > 0
+      // sanity gate at its own call site
       val budget = budgetOf(total)
       require(budget > 0, s"jsonl export: shard budget must be positive, got $budget")
       val off = subtotals.scanLeft(0L)(_ + _._2).init
@@ -274,18 +279,28 @@ object Sinks {
     val spark = batch.sparkSession
     if (VersionedTable.lastBatchId(spark, manifestTable).exists(_ >= batchId)) None
     else {
+      // carried offset in O(latest batch), not O(stream age): every
+      // committed census row carries the running `tokens_end` total, so
+      // the offset is one max() over ONLY the newest version's newest
+      // directory (the last batch's census slice) — never a scan of the
+      // whole accumulated manifest
+      val prevV = VersionedTable.latestVersion(spark, manifestTable)
       val carried =
-        if (VersionedTable.latestVersion(spark, manifestTable) == 0L) 0L
-        else VersionedTable.read(spark, manifestTable)
-          .agg(coalesce(sum("n_tokens"), lit(0L))).head().getLong(0)
+        if (prevV == 0L) 0L
+        else {
+          val lastDir = VersionedTable.resolveDirs(spark, manifestTable, prevV).last
+          spark.read.parquet(s"$manifestTable/$lastDir")
+            .agg(coalesce(max("tokens_end"), lit(0L))).head().getLong(0)
+        }
       withShards(batch, orderCol, tokenCol, startOffsetTokens = carried,
-        budgetOf = _ => tokensPerShard) { (sharded, _, _) =>
+        budgetOf = _ => tokensPerShard) { (sharded, total, _) =>
         sharded.drop("__tok", "__pid", "__prev")
           .repartition(col("shard"))
           .write.mode("overwrite").partitionBy("shard")
           .json(s"$path/batch=$batchId")
         val census = sharded.groupBy("shard")
           .agg(count(lit(1)).as("n_docs"), sum("__tok").as("n_tokens"))
+          .withColumn("tokens_end", lit(carried + total))
         FileSkipping.commitBatchWithStats(census, manifestTable, batchId,
           statsCols = Seq("shard"))
       }

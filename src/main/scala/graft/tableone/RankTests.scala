@@ -28,31 +28,71 @@ import org.apache.spark.sql.functions._
   */
 object RankTests {
 
-  private def censusWithRanks(df: DataFrame, groupCol: String,
-                              valueCol: String): DataFrame = {
+  /** NDV gate between the two cumulative-count plans — the A5
+    * quartiles precedent (`TableOne.quartilesFrame`'s 65536): at or
+    * under the gate the distinct-value frame is report-sized and the
+    * single ordered window over it is both correct and ~3 stages
+    * cheaper; above it that window is a one-task sort of a frame that
+    * grows with the data, so the bucketed 4096-way prefix-sum takes
+    * over. Overridable for the forced-path parity spec. */
+  private[tableone] var ndvGate: Long = 65536L
+
+  /** Build the ranked census, hand it to `use` (which must MATERIALIZE
+    * its result — both public tests collect a one-row report), release
+    * the persist. The census is persisted because the gate needs its
+    * distinct-value count as an eager action, and the ranked plan must
+    * not recompute the corpus scan afterwards (the brierDecomposition
+    * persist-scope pattern; zero residual storage on return). */
+  private def withRankedCensus[T](df: DataFrame, groupCol: String,
+                                  valueCol: String)(use: DataFrame => T): T = {
     val census = df
       .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
       .groupBy(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
       .agg(count(lit(1)).as("__c"))
-    // global per-value census (second small aggregate over the census,
-    // not the corpus), then the cumulative count of strictly-smaller
-    // values. Routed through the bucketed prefix-sum
-    // ([[graft.ops.Quantiles.cumBeforeFromCensus]], the a23
-    // construction): an unpartitioned ORDER BY window here serialized
-    // ALL distinct values into one task — fine at categorical NDV,
-    // a single-executor sort of tens of millions of rows once the
-    // value column is continuous at scale. The bucketed path keys its
-    // windows by (feature, bucket) — 4096-way parallel, and every
-    // count is exact so the half-integer average ranks are unchanged.
-    val byValue = census.groupBy(col("__v")).agg(sum("__c").as("__cv"))
-    val ranked = graft.ops.Quantiles.cumBeforeFromCensus(
-        byValue.select(lit("v").as("__f"), col("__v").as("__x"),
-          col("__cv").as("__c")))
-      // average rank of a tied block starting after __before rows:
-      // exact half-integer (__before + (cv + 1)/2)
-      .select(col("__x").as("__v"), col("__c").as("__cv"),
-        (col("__before") + (col("__c") + lit(1)) / lit(2.0)).as("__r"))
-    census.join(ranked, Seq("__v"))
+      .persist()
+    try {
+      // global per-value census (second small aggregate over the
+      // persisted census, not the corpus), then the cumulative count of
+      // strictly-smaller values. NDV-gated: categorical/binned columns
+      // (the tableone norm) rank in one tiny ordered window; a
+      // continuous column whose distinct-value frame outgrows the gate
+      // routes through the bucketed prefix-sum
+      // ([[graft.ops.Quantiles.cumBeforeFromCensus]], the a23
+      // construction — windows keyed (feature, bucket), 4096-way
+      // parallel, never one global sort task). Both plans fold exact
+      // integer counts, so the half-integer average ranks are identical
+      // (spec-pinned path parity).
+      val byValue = census.groupBy(col("__v")).agg(sum("__c").as("__cv"))
+      val ndv = byValue.count()
+      val ranked =
+        if (ndv <= ndvGate) {
+          val win = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+          byValue
+            .withColumn("__cb", coalesce(sum("__cv").over(win), lit(0L)))
+            .select(col("__v"), col("__cv"),
+              (col("__cb") + (col("__cv") + lit(1)) / lit(2.0)).as("__r"))
+        } else {
+          graft.ops.Quantiles.cumBeforeFromCensus(
+              byValue.select(lit("v").as("__f"), col("__v").as("__x"),
+                col("__cv").as("__c")))
+            // average rank of a tied block starting after __before rows:
+            // exact half-integer (__before + (cv + 1)/2)
+            .select(col("__x").as("__v"), col("__c").as("__cv"),
+              (col("__before") + (col("__c") + lit(1)) / lit(2.0)).as("__r"))
+        }
+      use(census.join(ranked, Seq("__v")))
+    } finally census.unpersist()
+  }
+
+  /** Collect `frame`'s one-row report while the census persist is live,
+    * return it as a literal frame (the brierDecomposition contract:
+    * aggregates only ever reach the driver). */
+  private def materialized(frame: DataFrame): DataFrame = {
+    val spark = frame.sparkSession
+    val rows = frame.collect()
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), frame.schema)
   }
 
   /** Per-census-row tie contribution. The tie term Σ(t³ − t) runs over
@@ -81,7 +121,7 @@ object RankTests {
     require(groups.length == 2,
       s"mannWhitney needs exactly 2 groups in $groupCol, got ${groups.length}")
     val (gLo, gHi) = (groups(0), groups(1))
-    censusWithRanks(df, groupCol, valueCol)
+    withRankedCensus(df, groupCol, valueCol) { cr => materialized(cr
       .agg(
         // per-census-row: count of group-lo rows at this value × its
         // exact half-integer average rank
@@ -108,7 +148,8 @@ object RankTests {
           when(sig2 > 0, (col("__u1") - mu) / sqrt(sig2)).as("z")
         },
         (lit(1.0) - lit(2.0) * col("__u1") /
-          (col("__m").cast("double") * (col("__nn") - col("__m")))).as("rank_biserial"))
+          (col("__m").cast("double") * (col("__nn") - col("__m")))).as("rank_biserial")))
+    }
   }
 
   /** Kruskal-Wallis H across any number of groups, tie-corrected, with
@@ -118,7 +159,8 @@ object RankTests {
     * Returns one row: (n_groups, n, h, epsilon_sq); h is NULL when the
     * tie correction degenerates (every value identical). */
   def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
-    val perGroup = censusWithRanks(df, groupCol, valueCol)
+    withRankedCensus(df, groupCol, valueCol) { cr => materialized {
+    val perGroup = cr
       .groupBy(col("__g"))
       .agg(sum(col("__c").cast("double") * col("__r")).as("__rg"),
         sum(col("__c")).as("__ng"),
@@ -139,5 +181,6 @@ object RankTests {
       .select(col("n_groups"), col("n"), col("h"),
         ((col("h") - col("n_groups").cast("double") + lit(1.0)) /
           (col("n").cast("double") - col("n_groups").cast("double"))).as("epsilon_sq"))
+    } }
   }
 }

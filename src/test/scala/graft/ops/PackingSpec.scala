@@ -52,6 +52,37 @@ class PackingSpec extends AnyFunSuite with Matchers {
     out.map(_._1).sorted shouldBe Array(1L, 2L, 3L, 4L)
   }
 
+  test("a null spread key fails loudly instead of corrupting pack ids") {
+    // null __grp would unbox to 0 while hash-partitioning on NULL — two
+    // partitions could then both mint "group 0" pack ids; the in-plan
+    // guard rejects the row before that can happen
+    val d = Seq((Some(1L), 5L), (None, 6L), (Some(3L), 7L))
+      .toDF("doc_id", "n_tok")
+    val e = intercept[Throwable] {
+      Packing.packByTokenBudget(d, "doc_id", "n_tok", 100, partitions = 2,
+        spreadKey = Some(col("doc_id") * 7L)).collect()
+    }
+    e.getMessage should include("spread key")
+  }
+
+  test("an explicit spread key reproduces the xxhash64 path's invariants") {
+    val budget = 64L
+    val out = Packing.packByTokenBudget(docs(200), "doc_id", "n_tok", budget,
+        partitions = 4,
+        spreadKey = Some(pmod(col("doc_id") * 48271L, lit(2147483647L))))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("pack_id")))
+    out.map(_._1).sorted shouldBe (0L until 200L)
+    out.groupBy(_._3).foreach { case (pid, members) =>
+      assert(members.map(_._2).sum <= budget || members.length == 1,
+        s"pack $pid overfilled")
+    }
+    // group ids are the EXPLICIT pmod, never a physical partition id
+    out.foreach { case (id, _, pid) =>
+      (pid >> 32) shouldBe (id * 48271L % 2147483647L) % 4
+    }
+  }
+
   test("zero and negative token counts never wedge the packer") {
     val d = Seq((1L, 0L), (2L, -3L), (3L, 10L)).toDF("doc_id", "n_tok")
     val out = Packing.packByTokenBudget(d, "doc_id", "n_tok", 10, partitions = 1).collect()

@@ -199,4 +199,23 @@ class QualitySpec extends AnyFunSuite with Matchers {
     val c = Quality.correlationMatrix(const, Seq("a", "b")).head()
     c.isNullAt(3) shouldBe true
   }
+
+  test("kAnonymity: census counts, null QI values, exact budget identities") {
+    val df = Seq(
+      ("a", Some("en")), ("a", Some("en")), ("a", Some("en")),
+      ("a", Some("de")), ("b", Some("en")), ("b", Some("en")),
+      ("b", None), ("b", None)).toDF("src", "lang")
+    val r = Quality.kAnonymity(df, Seq("src", "lang"), k = 3L).head()
+    r.getAs[Long]("k_threshold") shouldBe 3L
+    r.getAs[Long]("n_rows") shouldBe 8L
+    // groups: (a,en)=3 ok, (a,de)=1, (b,en)=2, (b,null)=2 -> 3 violating
+    r.getAs[Long]("n_groups") shouldBe 4L
+    r.getAs[Long]("n_violating_groups") shouldBe 3L
+    r.getAs[Long]("n_rows_at_risk") shouldBe 5L
+    r.getAs[Long]("min_group_size") shouldBe 1L
+    // k = 1: nothing can violate
+    val ok = Quality.kAnonymity(df, Seq("src", "lang"), k = 1L).head()
+    ok.getAs[Long]("n_violating_groups") shouldBe 0L
+    ok.getAs[Long]("n_rows_at_risk") shouldBe 0L
+  }
 }

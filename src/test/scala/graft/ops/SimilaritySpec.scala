@@ -371,4 +371,32 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
     // the shortlist; they must never appear even at k > matches
     got.map(_.getAs[Long]("id")) should not contain 3L
   }
+
+  test("labelDisagreement flags the planted mislabel and skips null labels") {
+    // two tight clusters far apart; vec 5 sits IN cluster A but carries
+    // cluster B's label -> its neighbors all disagree; everyone else in
+    // A has at most the mislabeled neighbor disagreeing
+    def jitter(base: Array[Double], i: Int): Seq[Double] =
+      base.zipWithIndex.map { case (v, d) => v + 0.001 * ((i * 7 + d) % 5) }.toSeq
+    val a = Array(1.0, 0.0, 0.0, 0.0)
+    val b = Array(0.0, 1.0, 0.0, 0.0)
+    val rows =
+      (1 to 4).map(i => (i.toLong, jitter(a, i), Option("A"))) ++
+      Seq((5L, jitter(a, 5), Option("B"))) ++
+      (6 to 9).map(i => (i.toLong, jitter(b, i), Option("B"))) ++
+      Seq((10L, jitter(b, 10), None: Option[String]))
+    val df = rows.toDF("id", "vec", "label")
+    val out = Similarity.labelDisagreement(df, "id", "vec", "label",
+        k = 3, targetBucket = 16)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_disagree"), r.getAs[Long]("n_neighbors"),
+          r.getAs[String]("top_neighbor_label")))).toMap
+    // the null-label point neither appears nor serves as a neighbor
+    out.keySet should not contain 10L
+    val (d5, n5, t5) = out(5L)
+    d5 shouldBe n5 // every neighbor of the planted mislabel disagrees
+    t5 shouldBe "A"
+    // a correctly-labeled A point disagrees at most once (vec 5)
+    (1L to 4L).foreach { i => out(i)._1 should be <= 1L }
+  }
 }

@@ -813,6 +813,32 @@ class EventPipelineSpec extends AnyFunSuite with Matchers {
       "doc_id", "n_tok", manS, tokensPerShard = 20L, batchId = 0L) shouldBe None
     vt.versions(spark, manS).size shouldBe versionsBefore
   }
+
+  test("exportJsonlBatch: an all-zero-token micro-batch is not a poison pill") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_jz")
+    val (path, man) = (root.resolve("s").toString, root.resolve("m").toString)
+    // zero tokens is a legitimate micro-batch state (empty/cleaned-out
+    // texts); it must export (into the current shard) and advance the
+    // batch watermark, never throw forever on re-delivery
+    val z = (1L to 3L).map(i => ExpDoc(i, "", 0L))
+    graft.sources.Sinks.exportJsonlBatch(z.toDF(), path, "doc_id", "n_tok",
+      man, tokensPerShard = 10L, batchId = 0L) shouldBe defined
+    // the carried offset is still 0, so the next batch continues shard 0
+    val n = Seq(ExpDoc(4L, "w", 25L))
+    graft.sources.Sinks.exportJsonlBatch(n.toDF(), path, "doc_id", "n_tok",
+      man, tokensPerShard = 10L, batchId = 1L) shouldBe defined
+    val back = spark.read.json(path)
+      .select(col("doc_id").cast("long"), col("shard").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    back(1L) shouldBe 0L
+    back(4L) shouldBe 0L // prev = 0 tokens carried -> 0 div 10
+    // and a third batch sees the 25-token carry: prev 25 div 10 = shard 2
+    graft.sources.Sinks.exportJsonlBatch(Seq(ExpDoc(5L, "w", 1L)).toDF(),
+      path, "doc_id", "n_tok", man, tokensPerShard = 10L, batchId = 2L) shouldBe defined
+    spark.read.json(path).select(col("doc_id").cast("long"), col("shard").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap.apply(5L) shouldBe 2L
+  }
 }
 
 // top-level: Spark encoders cannot be generated for classes nested in a

@@ -93,21 +93,21 @@ class RankTestsSpec extends AnyFunSuite with Matchers {
       (if (i % 2 == 0) "a" else "b", v)
     }
     val df = data.toDF("g", "x").repartition(8)
-    val mw = RankTests.mannWhitney(df, "g", "x")
-    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
-    // The single-feature census folds the constant __f partition key
-    // away, so the bucket-OFFSET prefix window legitimately optimizes
-    // to an unpartitioned one — but its input is the per-bucket
-    // census-of-censuses, ≤ 4096 rows BY CONSTRUCTION (ordered by
-    // __bk). What must never appear is an unpartitioned window ordered
-    // by the raw distinct VALUES (__x / __v): that one's cardinality
-    // grows with the data.
-    val valueOrdered = mw.queryExecution.optimizedPlan.collect {
-      case w: LWindow if w.partitionSpec.isEmpty &&
-        w.orderSpec.exists(_.child.references.exists(a =>
-          a.name == "__x" || a.name == "__v")) => w
-    }
-    valueOrdered shouldBe empty
+    // FORCE the distributed bucketed-cumsum path (gate 0 — every NDV is
+    // "high"); results must equal both the direct driver ranking below
+    // and the gated tiny-window path, and the census persist must
+    // release (zero residual storage)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val gate0 = RankTests.ndvGate
+    val mw = try {
+      RankTests.ndvGate = 0L
+      RankTests.mannWhitney(df, "g", "x")
+    } finally RankTests.ndvGate = gate0
+    val gated = RankTests.mannWhitney(df, "g", "x")
+    (spark.sparkContext.getPersistentRDDs.keySet -- before) shouldBe empty
+    // path parity: the bucketed and tiny-window plans fold the same
+    // exact integer counts, so every column agrees bit-for-bit
+    mw.collect().map(_.toSeq) shouldBe gated.collect().map(_.toSeq)
     // direct ranking: sort, assign average ranks over tie blocks,
     // U_lo = R_lo - n_lo(n_lo+1)/2
     val sorted = data.sortBy(_._2)
