@@ -872,6 +872,22 @@ object OpsQueries {
           round(col("var_cuped") + lit(5e-10), 2).as("var_cuped"),
           round(col("var_reduction") + lit(5e-10), 6).as("var_reduction"))
         .orderBy("l_returnflag")),
+    "a33_ols" -> ((s, dir) =>
+      // closed-form two-predictor regression per return flag: revenue
+      // on (quantity, discount) — one exact-decimal power-sum census,
+      // Cramer's rule row-locally per census row. Coefficients round
+      // at 4 dp (b0 rides ~1e4-scale means — the a31 headroom rule);
+      // the scale-free r2 holds 6
+      Association.ols2(
+          table(s, dir, "lineitem")
+            .select("l_returnflag", "l_quantity", "l_discount", "l_extendedprice"),
+          "l_returnflag", "l_quantity", "l_discount", "l_extendedprice")
+        .select(col("l_returnflag"), col("n"),
+          round(col("b0") + lit(5e-10), 4).as("b0"),
+          round(col("b1") + lit(5e-10), 4).as("b1"),
+          round(col("b2") + lit(5e-10), 4).as("b2"),
+          round(col("r2") + lit(5e-10), 6).as("r2"))
+        .orderBy("l_returnflag")),
     "v13_brier_decomposition" -> ((s, dir) =>
       // WHY is the v8 Brier what it is: Murphy reliability/resolution/
       // uncertainty over the distinct-forecast census, with the exact
@@ -1531,6 +1547,16 @@ object OpsQueries {
             .select(col("source"), col("lang"),
               expr("n_chars div 200").as("len_bucket")),
           Seq("source", "lang", "len_bucket"), k = 5L)),
+    "x32_l_diversity" -> ((s, dir) =>
+      // the homogeneity-attack companion gate: each (source, len-bucket)
+      // QI group must span >= 3 distinct languages — one census over
+      // distinct (QI, sensitive) combinations + a 1-row fold, NULL
+      // sensitive carried through the sentinel as its own value
+      graft.ops.Quality.lDiversity(
+          table(s, dir, "documents")
+            .select(col("source"), col("lang"),
+              expr("n_chars div 200").as("len_bucket")),
+          Seq("source", "len_bucket"), "lang", l = 3L)),
 
     "x20_benford" -> ((s, dir) =>
       // first-digit audit of prices-in-cents: the digit comes from the
@@ -1966,6 +1992,18 @@ object OpsQueries {
       TextAnalysis.pmiCollocations(docs(s, dir), "text", minCount = 5L, topK = 20)
         .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
           round(col("pmi") + lit(5e-10), 6).as("pmi"))),
+    "x31_kneser_ney" -> ((s, dir) =>
+      // the count-based LM's smoothing census: absolute-discounted
+      // bigram probability backing off to the CONTINUATION unigram —
+      // one in-array bigram census, every KN ingredient a
+      // census-of-the-census aggregate, exact longs under one fixed
+      // division algebra; top-30 bigrams by count, ties lexicographic
+      TextAnalysis.kneserNeyBigrams(docs(s, dir), "text",
+          discount = 0.75, topK = 30)
+        .select(col("w1"), col("w2"), col("c_xy"), col("c_left"),
+          col("n_follow"), col("n_precede"),
+          round(col("p_cont") + lit(5e-10), 6).as("p_cont"),
+          round(col("p_kn") + lit(5e-10), 6).as("p_kn"))),
     "x28_langid_confusion" -> ((s, dir) =>
       // the language-ID operator EVALUATED against the corpus labels:
       // the (label, prediction) confusion census — one compiled
@@ -2919,6 +2957,18 @@ object OpsQueries {
           col("n_neighbors"), col("n_disagree"),
           round(col("disagreement") + lit(5e-10), 6).as("disagreement"),
           col("top_neighbor_label").cast("long").as("top_neighbor_label"))
+        .orderBy("vec_id")),
+    "s19_knn_margin" -> ((s, dir) =>
+      // mined-pair confidence filter: top-1 cosine against the mean of
+      // ranks 2..3 (the margin criterion) — the s7 kNN graph plus one
+      // census-sized aggregate; k = 3 keeps the "rest" mean at <= 2
+      // terms, so its summation order cannot differ across engines
+      Similarity.knnMargin(table(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 3)
+        .select(col("vec_id"), col("n_neighbors"),
+          round(col("cos_top1") + lit(5e-10), 6).as("cos_top1"),
+          round(col("mean_rest") + lit(5e-10), 6).as("mean_rest"),
+          round(col("margin") + lit(5e-10), 6).as("margin"))
         .orderBy("vec_id")),
 
     "e15_retention_cohorts" -> ((s, dir) => {
@@ -4787,6 +4837,40 @@ object OpsQueries {
         s"round(CASE WHEN n >= 2 AND $vy > 0 THEN 1.0 - ($vc) / ($vy) END + 5e-10, 6) AS var_reduction " +
         "FROM t ORDER BY l_returnflag")
     },
+    "a33_ols" -> {
+      // the a31 decimal power-sum census for (x1, x2, y), then the
+      // identical centered-sum/Cramer double algebra per census row
+      val c11 = "(s11::DOUBLE - s1::DOUBLE * s1::DOUBLE / n::DOUBLE)"
+      val c22 = "(s22::DOUBLE - s2::DOUBLE * s2::DOUBLE / n::DOUBLE)"
+      val c12 = "(s12::DOUBLE - s1::DOUBLE * s2::DOUBLE / n::DOUBLE)"
+      val c1y = "(s1y::DOUBLE - s1::DOUBLE * sy::DOUBLE / n::DOUBLE)"
+      val c2y = "(s2y::DOUBLE - s2::DOUBLE * sy::DOUBLE / n::DOUBLE)"
+      val cyy = "(syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE)"
+      val det = s"($c11 * $c22 - $c12 * $c12)"
+      ("WITH c AS (SELECT l_returnflag AS g, count(*)::BIGINT AS n, " +
+        "sum(CAST(l_quantity AS DECIMAL(18,6))) AS s1, " +
+        "sum(CAST(l_discount AS DECIMAL(18,6))) AS s2, " +
+        "sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS sy, " +
+        "sum(CAST(l_quantity AS DECIMAL(28,6)) * CAST(l_quantity AS DECIMAL(28,6))) AS s11, " +
+        "sum(CAST(l_discount AS DECIMAL(28,6)) * CAST(l_discount AS DECIMAL(28,6))) AS s22, " +
+        "sum(CAST(l_quantity AS DECIMAL(28,6)) * CAST(l_discount AS DECIMAL(28,6))) AS s12, " +
+        "sum(CAST(l_quantity AS DECIMAL(28,6)) * CAST(l_extendedprice AS DECIMAL(28,6))) AS s1y, " +
+        "sum(CAST(l_discount AS DECIMAL(28,6)) * CAST(l_extendedprice AS DECIMAL(28,6))) AS s2y, " +
+        "sum(CAST(l_extendedprice AS DECIMAL(28,6)) * CAST(l_extendedprice AS DECIMAL(28,6))) AS syy " +
+        "FROM lineitem WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL " +
+        "AND l_discount IS NOT NULL AND l_extendedprice IS NOT NULL GROUP BY 1), " +
+        s"b AS (SELECT *, CASE WHEN n >= 3 AND $det > 0 " +
+        s"THEN ($c1y * $c22 - $c2y * $c12) / $det END AS b1, " +
+        s"CASE WHEN n >= 3 AND $det > 0 " +
+        s"THEN ($c2y * $c11 - $c1y * $c12) / $det END AS b2 FROM c) " +
+        "SELECT g AS l_returnflag, n, " +
+        "round(sy::DOUBLE / n::DOUBLE - b1 * (s1::DOUBLE / n::DOUBLE) - " +
+        "b2 * (s2::DOUBLE / n::DOUBLE) + 5e-10, 4) AS b0, " +
+        "round(b1 + 5e-10, 4) AS b1, round(b2 + 5e-10, 4) AS b2, " +
+        s"round(CASE WHEN b1 IS NOT NULL AND $cyy > 0 " +
+        s"THEN (b1 * $c1y + b2 * $c2y) / $cyy END + 5e-10, 6) AS r2 " +
+        "FROM b ORDER BY l_returnflag")
+    },
     "v13_brier_decomposition" ->
       // the distinct-forecast census, base rate off its totals, the
       // three Murphy terms and their exact-identity recombination
@@ -4961,6 +5045,26 @@ object OpsQueries {
         "FROM bg JOIN uni cu1 ON cu1.w = bg.w1 JOIN uni cu2 ON cu2.w = bg.w2, tu, tb) " +
         "SELECT w1, w2, c_xy, c_x, c_y, round(pmi + 5e-10, 6) AS pmi " +
         "FROM sc ORDER BY pmi DESC, w1, w2 LIMIT 20"),
+    "x31_kneser_ney" ->
+      // the x26 positional bigram census, then every KN ingredient as a
+      // census-of-the-census aggregate and the identical left-assoc
+      // division algebra (p_cont reused unrounded inside p_kn)
+      (s"WITH tk AS (SELECT doc_id, unnest($Toks) AS w, " +
+        s"generate_subscripts($Toks, 1) AS i FROM documents), " +
+        "bi AS (SELECT l.w AS w1, r.w AS w2 FROM tk l JOIN tk r " +
+        "ON l.doc_id = r.doc_id AND r.i = l.i + 1), " +
+        "bg AS (SELECT w1, w2, count(*)::BIGINT AS c_xy FROM bi GROUP BY 1, 2), " +
+        "lf AS (SELECT w1, CAST(sum(c_xy) AS BIGINT) AS c_left, " +
+        "count(*)::BIGINT AS n_follow FROM bg GROUP BY 1), " +
+        "rt AS (SELECT w2, count(*)::BIGINT AS n_precede FROM bg GROUP BY 1), " +
+        "tt AS (SELECT count(*)::BIGINT AS nbt FROM bg) " +
+        "SELECT bg.w1, bg.w2, c_xy, c_left, n_follow, n_precede, " +
+        "round(n_precede::DOUBLE / nbt + 5e-10, 6) AS p_cont, " +
+        "round(greatest(c_xy::DOUBLE - 0.75, 0.0) / c_left + " +
+        "0.75::DOUBLE * n_follow::DOUBLE / c_left * (n_precede::DOUBLE / nbt) " +
+        "+ 5e-10, 6) AS p_kn " +
+        "FROM bg JOIN lf ON lf.w1 = bg.w1 JOIN rt ON rt.w2 = bg.w2, tt " +
+        "ORDER BY c_xy DESC, bg.w1, bg.w2 LIMIT 30"),
     "x28_langid_confusion" ->
       // the x2 enrich CTEs + the same argmax language pick, censused
       // against the stored label
@@ -5349,6 +5453,25 @@ object OpsQueries {
         "FROM ag JOIN (SELECT src, n_label FROM tp WHERE rk = 1) tp ON tp.src = ag.src " +
         "ORDER BY vec_id")
     },
+    "s19_knn_margin" -> {
+      // the s7 kNN replay, then the margin census: top-1 cosine minus
+      // the mean of ranks 2..3 (<= 2 terms — summation-order-proof)
+      val bucket = bucketSqlGated("embedding::DOUBLE[]",
+        graft.ops.Similarity.randomPlanes(16, 64), "(SELECT p FROM np)")
+      ("WITH np AS (SELECT greatest(4, least(16, CAST(ceil(log2(count(*) / 64.0)) AS INT))) AS p FROM embeddings), " +
+        "b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, " + bucket + " AS bucket FROM embeddings), " +
+        "pr AS (SELECT a.id AS src, list_cosine_similarity(a.v, c.v) AS cos, " +
+        "row_number() OVER (PARTITION BY a.id " +
+        "ORDER BY list_cosine_similarity(a.v, c.v) DESC, c.id) AS rn " +
+        "FROM b a JOIN b c ON a.bucket = c.bucket AND a.id <> c.id), " +
+        "t AS (SELECT src, rn, cos FROM pr WHERE rn <= 3) " +
+        "SELECT src AS vec_id, count(*)::BIGINT AS n_neighbors, " +
+        "round(max(CASE WHEN rn = 1 THEN cos END) + 5e-10, 6) AS cos_top1, " +
+        "round(avg(CASE WHEN rn >= 2 THEN cos END) + 5e-10, 6) AS mean_rest, " +
+        "round(max(CASE WHEN rn = 1 THEN cos END) - " +
+        "avg(CASE WHEN rn >= 2 THEN cos END) + 5e-10, 6) AS margin " +
+        "FROM t GROUP BY src ORDER BY vec_id")
+    },
     "x30_k_anonymity" ->
       // the same QI census + 1-row fold, all exact longs
       ("WITH q AS (SELECT source, lang, n_chars // 200 AS len_bucket FROM documents), " +
@@ -5360,6 +5483,19 @@ object OpsQueries {
         "CAST(coalesce(sum(CASE WHEN cnt < 5 THEN 1 END), 0) AS BIGINT) AS n_violating_groups, " +
         "CAST(coalesce(sum(CASE WHEN cnt < 5 THEN cnt END), 0) AS BIGINT) AS n_rows_at_risk, " +
         "CAST(min(cnt) AS BIGINT) AS min_group_size FROM c"),
+    "x32_l_diversity" ->
+      // the same (QI, sensitive) census + 1-row fold; NULL lang becomes
+      // the chr(0) sentinel exactly as the operator's coalesce does
+      ("WITH q AS (SELECT source, n_chars // 200 AS len_bucket, " +
+        "coalesce(CAST(lang AS VARCHAR), chr(0)) AS sv FROM documents), " +
+        "c AS (SELECT source, len_bucket, count(*)::BIGINT AS cnt, " +
+        "count(DISTINCT sv)::BIGINT AS l FROM q GROUP BY 1, 2) " +
+        "SELECT CAST(3 AS BIGINT) AS l_threshold, " +
+        "CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_rows, " +
+        "count(*)::BIGINT AS n_groups, " +
+        "CAST(coalesce(sum(CASE WHEN l < 3 THEN 1 END), 0) AS BIGINT) AS n_violating_groups, " +
+        "CAST(coalesce(sum(CASE WHEN l < 3 THEN cnt END), 0) AS BIGINT) AS n_rows_at_risk, " +
+        "CAST(min(l) AS BIGINT) AS min_l FROM c"),
     "e15_retention_cohorts" ->
       ("WITH ev AS (SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS d FROM events), " +
         "fs AS (SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY user_id), " +

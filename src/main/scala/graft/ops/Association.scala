@@ -691,6 +691,60 @@ object Association {
           .as("var_reduction"))
   }
 
+  /** Per-group two-predictor ordinary least squares, closed form — the
+    * regression census that answers "how does y move with x₁ holding x₂
+    * fixed" without an iterative solver: the 2×2 normal equations in
+    * centered sums, solved by Cramer's rule per census row.
+    * ŷ = b₀ + b₁x₁ + b₂x₂ with
+    * b₁ = (S₁ᵧS₂₂ − S₂ᵧS₁₂)/det, b₂ = (S₂ᵧS₁₁ − S₁ᵧS₁₂)/det,
+    * det = S₁₁S₂₂ − S₁₂², b₀ = ȳ − b₁x̄₁ − b₂x̄₂, and
+    * R² = (b₁S₁ᵧ + b₂S₂ᵧ)/Sᵧᵧ (the explained fraction).
+    *
+    * Scale shape: ONE map-side-combined per-group census of exact
+    * decimal power sums (the cuped discipline — inputs cast to
+    * decimal(18,6), so an external engine derives bit-identical doubles
+    * before the shared closed-form algebra); everything after the
+    * census is row-local arithmetic on group-count-sized data. Returns
+    * (group, n, b0, b1, b2, r2); coefficients NULL when n < 3 or the
+    * predictors are collinear (det ≤ 0), r2 additionally NULL when y is
+    * constant. Listwise-complete: any null among (group, x₁, x₂, y)
+    * drops the row. */
+  def ols2(df: DataFrame, groupCol: String, x1Col: String, x2Col: String,
+           yCol: String): DataFrame = {
+    def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+    val (x1, x2, y) = (d6(col(x1Col)), d6(col(x2Col)), d6(col(yCol)))
+    val cells = df
+      .filter(col(groupCol).isNotNull && col(x1Col).isNotNull &&
+        col(x2Col).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("n"),
+        sum(x1).as("__s1"), sum(x2).as("__s2"), sum(y).as("__sy"),
+        sum(x1 * x1).as("__s11"), sum(x2 * x2).as("__s22"),
+        sum(x1 * x2).as("__s12"), sum(x1 * y).as("__s1y"),
+        sum(x2 * y).as("__s2y"), sum(y * y).as("__syy"))
+    def dd(name: String) = col(name).cast("double")
+    val nd = dd("n")
+    // raw centered sums (the 1/n normalization cancels in the solve)
+    val c11 = dd("__s11") - dd("__s1") * dd("__s1") / nd
+    val c22 = dd("__s22") - dd("__s2") * dd("__s2") / nd
+    val c12 = dd("__s12") - dd("__s1") * dd("__s2") / nd
+    val c1y = dd("__s1y") - dd("__s1") * dd("__sy") / nd
+    val c2y = dd("__s2y") - dd("__s2") * dd("__sy") / nd
+    val cyy = dd("__syy") - dd("__sy") * dd("__sy") / nd
+    val det = c11 * c22 - c12 * c12
+    val fit = col("n") >= 3 && det > 0
+    val b1 = when(fit, (c1y * c22 - c2y * c12) / det)
+    val b2 = when(fit, (c2y * c11 - c1y * c12) / det)
+    cells
+      .withColumn("__b1", b1).withColumn("__b2", b2)
+      .select(col("__g").as(groupCol), col("n"),
+        (dd("__sy") / nd - col("__b1") * (dd("__s1") / nd) -
+          col("__b2") * (dd("__s2") / nd)).as("b0"),
+        col("__b1").as("b1"), col("__b2").as("b2"),
+        when(fit && cyy > 0,
+          (col("__b1") * c1y + col("__b2") * c2y) / cyy).as("r2"))
+  }
+
   /** Welch's unequal-variance t statistic with the Welch–Satterthwaite
     * degrees of freedom — the two-sample mean comparison that doesn't
     * assume equal variances (the pooled test in the tableone layer

@@ -181,6 +181,41 @@ object Quality {
         col("min_group_size"))
   }
 
+  /** l-diversity audit — [[kAnonymity]]'s companion gate: a QI group can
+    * be k-large yet still leak if every member shares the SAME sensitive
+    * value (the homogeneity attack k-anonymity cannot see). Each QI
+    * group must carry at least `l` DISTINCT values of `sensitiveCol`;
+    * NULL is its own sensitive value (knowing the attribute is absent is
+    * itself a disclosure), carried through a non-null sentinel so the
+    * distinct count sees it. Returns ONE report row: (l_threshold,
+    * n_rows, n_groups, n_violating_groups, n_rows_at_risk, min_l) —
+    * `n_rows_at_risk` counts rows in under-l groups, the quantity a
+    * suppress-or-generalize pass must drive to zero.
+    *
+    * Scale shape: one map-side-combined census over distinct
+    * (QI, sensitive) combinations (the shuffle carries combinations,
+    * never rows — `count_distinct` inside the same hash aggregate as the
+    * row count), then a 1-row fold. Nothing driver-side, nothing
+    * proportional to corpus size. */
+  def lDiversity(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+                 l: Long): DataFrame = {
+    require(qiCols.nonEmpty, "lDiversity needs at least one QI column")
+    require(l >= 1, s"l must be >= 1, got $l")
+    val sv = coalesce(col(sensitiveCol).cast(StringType), lit("\u0000"))
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"), count_distinct(sv).as("__l"))
+      .agg(
+        coalesce(sum(col("__cnt")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        coalesce(sum(when(col("__l") < l, 1L).otherwise(0L)), lit(0L))
+          .as("n_violating_groups"),
+        coalesce(sum(when(col("__l") < l, col("__cnt")).otherwise(0L)),
+          lit(0L)).as("n_rows_at_risk"),
+        min(col("__l")).as("min_l"))
+      .select(lit(l).as("l_threshold"), col("n_rows"), col("n_groups"),
+        col("n_violating_groups"), col("n_rows_at_risk"), col("min_l"))
+  }
+
   /** Sketched per-column profile in ONE shared scan: row count plus, per
     * column, null count, HLL-approximate NDV (`rsd` relative error) and
     * native-typed min/max — the 100-TB first pass that decides which

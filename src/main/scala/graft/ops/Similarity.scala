@@ -467,6 +467,35 @@ object Similarity {
         col("top_neighbor_label"))
   }
 
+  /** kNN margin score — the mined-pair confidence filter (the
+    * Artetxe–Schwenk margin criterion, re-read as a corpus screen): a
+    * point whose top-1 cosine towers over its OTHER neighbors has one
+    * near-twin (a near-duplicate or a true mined pair); a point whose
+    * top-1 barely beats the rest sits in a dense clique where the
+    * nearest neighbor carries no signal. margin = cos(top1) − mean
+    * cosine of ranks 2..k, so thresholds transfer across corpora the
+    * way a raw cosine cutoff does not (the hubness correction).
+    *
+    * Scale shape: exactly [[knnGraph]] (bucket-local candidates, TopK
+    * bound — shuffle carries ≤ k rows per (partition, src)) plus ONE
+    * census-sized aggregate over the ≤ k·n edge list. Returns (idCol,
+    * n_neighbors, cos_top1, mean_rest, margin); mean_rest and margin
+    * are NULL for a point with a single neighbor (no "rest" to
+    * compare against). */
+  def knnMargin(df: DataFrame, idCol: String, vecCol: String, k: Int = 3,
+                minPlanes: Int = 4, maxPlanes: Int = 16,
+                targetBucket: Int = 64, seed: Long = 42L): DataFrame = {
+    val g = knnGraph(df, idCol, vecCol, k, minPlanes, maxPlanes,
+      targetBucket, seed)
+    g.groupBy(col("src"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        max(when(col("rank") === 1, col("cosine"))).as("cos_top1"),
+        avg(when(col("rank") >= 2, col("cosine"))).as("mean_rest"))
+      .select(col("src").as(idCol), col("n_neighbors"), col("cos_top1"),
+        col("mean_rest"),
+        (col("cos_top1") - col("mean_rest")).as("margin"))
+  }
+
   /** Per-dimension feature STANDARDIZATION of an embedding column:
     * z = (v_d − mean_d) / std_d (sample std; a zero-variance dimension
     * maps to 0 rather than NaN) — the scaling step before any

@@ -74,6 +74,65 @@ object TextAnalysis {
         col("pmi"))
   }
 
+  /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995;
+    * Chen & Goodman 1999 — the smoothing every count-based n-gram LM
+    * ships with): absolute-discount the bigram count and back off to
+    * the CONTINUATION unigram — how many distinct left contexts a word
+    * follows, not how often it occurs — so "francisco" (frequent, but
+    * only ever after "san") stops stealing probability from genuinely
+    * promiscuous words:
+    *
+    *   P(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁·)
+    *              + (D · N₁₊(w₁·)/c(w₁·)) · N₁₊(·w₂)/N₁₊(··)
+    *
+    * This is the corpus-side census a data pipeline needs to score or
+    * sample text with a KN model — and its `p_cont` column is itself
+    * the standard "boilerplate token" screen (high frequency, few
+    * contexts → low continuation probability).
+    *
+    * Scale shape: bigrams assemble INSIDE the token array (the
+    * pmiCollocations transform — zero shuffle, no positional
+    * self-join), ONE map-side-combined bigram census, and every KN
+    * ingredient — left totals c(w₁·), follower fan-out N₁₊(w₁·),
+    * predecessor fan-in N₁₊(·w₂), total bigram types N₁₊(··) — is a
+    * census-of-the-census aggregate (keyed on a token, census-sized;
+    * the type total rides a 1-row broadcast). All counts are exact
+    * longs; the probabilities divide them in one fixed algebra an
+    * external engine replays bit-for-bit. Top `topK` bigrams by count,
+    * ties lexicographic. Returns (w1, w2, c_xy, c_left, n_follow,
+    * n_precede, p_cont, p_kn). */
+  def kneserNeyBigrams(df: DataFrame, textCol: String,
+                       discount: Double = 0.75, topK: Int = 30): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must be in (0,1), got $discount")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(tokens(col(textCol)).as("__t"))
+    val bi = toks.filter(size(col("__t")) >= 2)
+      .select(explode(transform(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        (w, i) => struct(w.as("w1"), element_at(col("__t"), i + 2).as("w2"))))
+        .as("__b"))
+      .select(col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+    val left = bi.groupBy("w1")
+      .agg(sum("c_xy").as("c_left"), count(lit(1)).as("n_follow"))
+    val right = bi.groupBy("w2").agg(count(lit(1)).as("n_precede"))
+    val types = bi.agg(count(lit(1)).as("__nbt"))
+    bi.join(left, Seq("w1")).join(right, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .withColumn("p_cont",
+        col("n_precede").cast("double") / col("__nbt"))
+      .withColumn("p_kn",
+        greatest(col("c_xy").cast("double") - lit(discount), lit(0.0)) /
+          col("c_left") +
+          lit(discount) * col("n_follow").cast("double") / col("c_left") *
+            col("p_cont"))
+      .orderBy(col("c_xy").desc, col("w1"), col("w2"))
+      .limit(topK)
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_left"),
+        col("n_follow"), col("n_precede"), col("p_cont"), col("p_kn"))
+  }
+
   /** Sentence segmentation + length/readability profile in ONE compiled
     * projection (zero shuffle): sentences split on terminal punctuation
     * runs followed by whitespace (`[.!?]+\s+` — the character classes

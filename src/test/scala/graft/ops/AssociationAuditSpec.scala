@@ -513,4 +513,39 @@ class AssociationAuditSpec extends AnyFunSuite with Matchers {
     r.getAs[Double]("var_cuped") shouldBe r.getAs[Double]("var_y") +- 1e-12
     r.getAs[Double]("var_reduction") shouldBe 0.0 +- 1e-12
   }
+
+  test("ols2: recovers exact planted coefficients and r2 = 1") {
+    // y = 2 + 3*x1 - 4*x2 exactly; x1, x2 not collinear
+    val pts = Seq((0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (2.0, 1.0), (1.0, 3.0), (4.0, 2.0))
+    val rows = pts.map { case (x1, x2) => ("g", x1, x2, 2.0 + 3.0 * x1 - 4.0 * x2) }
+    val r = Association.ols2(rows.toDF("g", "x1", "x2", "y").repartition(3),
+      "g", "x1", "x2", "y").head()
+    r.getAs[Long]("n") shouldBe 6L
+    r.getAs[Double]("b0") shouldBe 2.0 +- 1e-9
+    r.getAs[Double]("b1") shouldBe 3.0 +- 1e-9
+    r.getAs[Double]("b2") shouldBe -4.0 +- 1e-9
+    r.getAs[Double]("r2") shouldBe 1.0 +- 1e-12
+  }
+
+  test("ols2: collinear predictors yield null coefficients; noise r2 < 1; null rows drop") {
+    // x2 = 2*x1 -> det = 0
+    val col2 = (1 to 8).map(i => ("g", i.toDouble, 2.0 * i, i * 1.5 + 1))
+    val c = Association.ols2(col2.toDF("g", "x1", "x2", "y"), "g", "x1", "x2", "y").head()
+    c.isNullAt(2) shouldBe true
+    c.isNullAt(3) shouldBe true
+    c.isNullAt(5) shouldBe true
+    // independent noise on y keeps 0 < r2 < 1; a null row is dropped
+    val seed = new scala.util.Random(7)
+    val noisy = (1 to 50).map { i =>
+      val (x1, x2) = (i.toDouble, ((i * 13) % 17).toDouble)
+      ("g", Option(x1), x2, 5.0 + 0.5 * x1 - 2.0 * x2 + seed.nextGaussian())
+    } :+ (("g", None: Option[Double], 1.0, 99.0))
+    val n = Association.ols2(noisy.toDF("g", "x1", "x2", "y"), "g", "x1", "x2", "y").head()
+    n.getAs[Long]("n") shouldBe 50L
+    val r2 = n.getAs[Double]("r2")
+    r2 should be > 0.9
+    r2 should be < 1.0
+    n.getAs[Double]("b1") shouldBe 0.5 +- 0.1
+    n.getAs[Double]("b2") shouldBe -2.0 +- 0.1
+  }
 }

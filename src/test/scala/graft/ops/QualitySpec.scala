@@ -218,4 +218,31 @@ class QualitySpec extends AnyFunSuite with Matchers {
     ok.getAs[Long]("n_violating_groups") shouldBe 0L
     ok.getAs[Long]("n_rows_at_risk") shouldBe 0L
   }
+
+  test("lDiversity: distinct sensitive values per QI group, NULL is a value") {
+    val df = Seq(
+      // group a: 4 rows, sensitive {en, de, fr} -> l = 3
+      ("a", Some("en")), ("a", Some("de")), ("a", Some("fr")), ("a", Some("en")),
+      // group b: 3 rows, sensitive {en, NULL} -> l = 2 (NULL counts)
+      ("b", Some("en")), ("b", None), ("b", Some("en")),
+      // group c: 2 rows, all en -> l = 1 (homogeneous: the attack case)
+      ("c", Some("en")), ("c", Some("en"))).toDF("src", "lang")
+    val r = Quality.lDiversity(df, Seq("src"), "lang", l = 2L).head()
+    r.getAs[Long]("l_threshold") shouldBe 2L
+    r.getAs[Long]("n_rows") shouldBe 9L
+    r.getAs[Long]("n_groups") shouldBe 3L
+    r.getAs[Long]("n_violating_groups") shouldBe 1L
+    r.getAs[Long]("n_rows_at_risk") shouldBe 2L
+    r.getAs[Long]("min_l") shouldBe 1L
+    // l = 3: b (l=2) and c (l=1) both violate
+    val r3 = Quality.lDiversity(df, Seq("src"), "lang", l = 3L).head()
+    r3.getAs[Long]("n_violating_groups") shouldBe 2L
+    r3.getAs[Long]("n_rows_at_risk") shouldBe 5L
+    // a k-anonymous homogeneous group passes k but fails l: the reason
+    // the companion gate exists
+    val ka = Quality.kAnonymity(df.filter($"src" === "c"), Seq("src"), k = 2L).head()
+    ka.getAs[Long]("n_violating_groups") shouldBe 0L
+    val ld = Quality.lDiversity(df.filter($"src" === "c"), Seq("src"), "lang", l = 2L).head()
+    ld.getAs[Long]("n_violating_groups") shouldBe 1L
+  }
 }

@@ -399,4 +399,37 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
     // a correctly-labeled A point disagrees at most once (vec 5)
     (1L to 4L).foreach { i => out(i)._1 should be <= 1L }
   }
+
+  test("knnMargin: equals the knnGraph-derived margin; single-neighbor rows go null") {
+    def vec(seed: Long): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(64)((r.nextDouble() - 0.5).toFloat)
+    }
+    val rows = (0L until 40L).map(i =>
+      (i, if (i == 1) vec(0).updated(0, vec(0).head + 1e-5f) else vec(i)))
+    val df = rows.toDF("vec_id", "embedding")
+    val g = Similarity.knnGraph(df, "vec_id", "embedding", k = 3).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("rank"), r.getAs[Double]("cosine")))
+    val m = Similarity.knnMargin(df, "vec_id", "embedding", k = 3).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    m.keySet shouldBe g.map(_._1).toSet
+    g.groupBy(_._1).foreach { case (src, rs) =>
+      val row = m(src)
+      row.getAs[Long]("n_neighbors") shouldBe rs.length
+      val top1 = rs.find(_._2 == 1L).get._3
+      row.getAs[Double]("cos_top1") shouldBe top1 +- 1e-12
+      val rest = rs.filter(_._2 >= 2L).map(_._3)
+      if (rest.isEmpty) {
+        row.isNullAt(3) shouldBe true
+        row.isNullAt(4) shouldBe true
+      } else {
+        row.getAs[Double]("mean_rest") shouldBe (rest.sum / rest.size) +- 1e-12
+        row.getAs[Double]("margin") shouldBe (top1 - rest.sum / rest.size) +- 1e-12
+      }
+    }
+    // the planted near-twin: when vec 0 has a "rest" to compare against,
+    // its top-1 (cos ~ 1 to vec 1) must clear it
+    m.get(0L).filter(r => !r.isNullAt(4))
+      .foreach(_.getAs[Double]("margin") should be > 0.0)
+  }
 }

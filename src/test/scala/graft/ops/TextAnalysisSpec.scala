@@ -446,4 +446,38 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     got.getAs[Long]("n_novel") shouldBe 1L
     got.getAs[Double]("novelty_rate") shouldBe 1.0 +- 1e-12
   }
+
+  test("kneserNeyBigrams: hand-computed KN probabilities, continuation counts, doc boundaries") {
+    // bigram census: (san,francisco)x2, (san,jose), (new,york),
+    // (new,jersey), (york,city) -> 5 types; the single-token doc
+    // contributes nothing (no cross-doc bigrams)
+    val docs = Seq("san francisco", "san francisco", "san jose",
+      "new york", "new jersey", "york city", "york").toDF("text")
+    val out = TextAnalysis.kneserNeyBigrams(docs, "text", discount = 0.75, topK = 10)
+      .collect().map(r => (r.getAs[String]("w1"), r.getAs[String]("w2")) -> r).toMap
+    out.size shouldBe 5
+    val sf = out(("san", "francisco"))
+    sf.getAs[Long]("c_xy") shouldBe 2L
+    sf.getAs[Long]("c_left") shouldBe 3L
+    sf.getAs[Long]("n_follow") shouldBe 2L
+    sf.getAs[Long]("n_precede") shouldBe 1L
+    // francisco: frequent but ONE left context -> p_cont = 1/5
+    sf.getAs[Double]("p_cont") shouldBe 0.2 +- 1e-12
+    // max(2 - .75, 0)/3 + .75 * 2/3 * .2
+    sf.getAs[Double]("p_kn") shouldBe (1.25 / 3 + 0.1) +- 1e-12
+    val sj = out(("san", "jose"))
+    sj.getAs[Double]("p_kn") shouldBe (0.25 / 3 + 0.1) +- 1e-12
+    val ny = out(("new", "york"))
+    ny.getAs[Double]("p_kn") shouldBe (0.125 + 0.15) +- 1e-12
+    // full-vocab normalization: for each w1, discounted seen mass plus
+    // lambda * (total continuation mass = 1) must equal 1
+    Seq("san", "new", "york").foreach { w1 =>
+      val rows = out.collect { case ((a, _), r) if a == w1 => r }
+      val cl = rows.head.getAs[Long]("c_left").toDouble
+      val nf = rows.head.getAs[Long]("n_follow").toDouble
+      val seen = rows.map { r =>
+        math.max(r.getAs[Long]("c_xy") - 0.75, 0.0) / cl }.sum
+      (seen + 0.75 * nf / cl * 1.0) shouldBe 1.0 +- 1e-12
+    }
+  }
 }
