@@ -480,4 +480,12 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
       (seen + 0.75 * nf / cl * 1.0) shouldBe 1.0 +- 1e-12
     }
   }
+
+  test("pmiCollocations / kneserNeyBigrams release their census persists") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val docs = Seq("a b a b", "a b c", "b c d").toDF("text")
+    TextAnalysis.pmiCollocations(docs, "text", minCount = 1L, topK = 5).collect()
+    TextAnalysis.kneserNeyBigrams(docs, "text", topK = 5).collect()
+    spark.sparkContext.getPersistentRDDs.size shouldBe before
+  }
 }
