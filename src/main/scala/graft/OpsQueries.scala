@@ -1362,6 +1362,22 @@ object OpsQueries {
         .select(round(col("auc") + lit(5e-10), 6).as("auc"),
           col("n_pos"), col("n_neg"))
     }),
+    "v14_auc_delong" -> ((s, dir) => {
+      // is the v1 AUC real or noise: DeLong placement variances over
+      // the same score census (both class cumsums from ONE stitched
+      // window pass), normal CI; the five-number algebra runs on
+      // driver scalars off one census-sized moment aggregate
+      val e = table(s, dir, "embeddings")
+      Evaluation.aucDeLong(
+          e.select(element_at(col("embedding"), 1).as("score"),
+            (col("label") % 2).as("y")), "score", "y")
+        .select(col("n_pos"), col("n_neg"),
+          round(col("auc") + lit(5e-10), 6).as("auc"),
+          round(col("var_auc") + lit(5e-10), 6).as("var_auc"),
+          round(col("se_auc") + lit(5e-10), 6).as("se_auc"),
+          round(col("ci_lo") + lit(5e-10), 6).as("ci_lo"),
+          round(col("ci_hi") + lit(5e-10), 6).as("ci_hi"))
+    }),
     "v2_confusion" -> ((s, dir) => {
       // one-pass confusion counts + derived metrics for the thresholded
       // second component against the same class
@@ -3615,6 +3631,29 @@ object OpsQueries {
         .orderBy("o_orderpriority")
     }),
 
+    "d23_fs_weights" -> ((s, dir) => {
+      // probabilistic record-linkage scoring over blocked candidates:
+      // sorted-neighborhood pairs (segment x 1000-balance band, ordered
+      // by balance) scored with Fellegi-Sunter log2 likelihood ratios —
+      // u's from ONE melt census (exact pair probabilities), m's as
+      // parameters; a rare-value agreement (acct cents) outweighs a
+      // common one (segment), which is the method's whole point
+      val base = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          col("c_acctbal"),
+          (round(abs(col("c_acctbal")) * 100).cast("long") % 1000).as("cents3"))
+      val pairs = Dedup.sortedNeighborhoodPairs(base, "c_custkey",
+        struct(col("c_mktsegment"), floor(col("c_acctbal") / 1000.0)),
+        col("c_acctbal"), window = 3,
+        carryCols = Seq("c_nationkey", "c_mktsegment", "cents3"))
+      Dedup.fellegiSunterScores(base, pairs,
+          Seq(("c_nationkey", 0.95), ("c_mktsegment", 0.9), ("cents3", 0.7)))
+        .select(col("id_a"), col("id_b"),
+          col("agree_c_nationkey"), col("agree_c_mktsegment"),
+          col("agree_cents3"),
+          round(col("score") + lit(5e-10), 6).as("score"))
+        .orderBy("id_a", "id_b")
+    }),
     "d17_sorted_neighborhood" -> ((s, dir) => {
       // sorted-neighborhood blocking: docs sorted by length within each
       // (language, 256-char length band) block pair with their next 2
@@ -5960,6 +5999,41 @@ object OpsQueries {
         "ROUND(len(list_intersect(ta, tb))::DOUBLE / " +
         "greatest(len(list_distinct(list_concat(ta, tb))), 1), 6) AS jaccard " +
         "FROM p ORDER BY id_a, id_b"),
+    "d23_fs_weights" -> {
+      // the d17 lead-window pairing replay + per-field u from the exact
+      // pair-probability census; weights via native log2 of the same
+      // doubles (ulp noise absorbed by the 6-dp rounding)
+      def uSql(f: String) =
+        s"(SELECT sum(c * (c - 1))::DOUBLE / (sum(c)::DOUBLE * (sum(c)::DOUBLE - 1.0)) " +
+          s"FROM (SELECT count(*)::BIGINT AS c FROM t WHERE $f IS NOT NULL GROUP BY $f))"
+      def wSql(a: String, b: String, m: Double, u: String) =
+        s"CASE WHEN $a IS NULL OR $b IS NULL THEN 0.0 " +
+          s"WHEN $a = $b THEN log2($m / $u) ELSE log2((1.0 - $m) / (1.0 - $u)) END"
+      def agSql(a: String, b: String) =
+        s"CASE WHEN $a IS NULL OR $b IS NULL THEN NULL WHEN $a = $b THEN 1 ELSE 0 END"
+      ("WITH t AS (SELECT c_custkey AS id, c_nationkey AS f1, c_mktsegment AS f2, " +
+        "(round(abs(c_acctbal) * 100)::BIGINT % 1000) AS f3, " +
+        "c_mktsegment AS blk1, floor(c_acctbal / 1000.0) AS blk2, c_acctbal AS sk FROM customer), " +
+        "u AS (SELECT " + uSql("f1") + " AS u1, " + uSql("f2") + " AS u2, " +
+        uSql("f3") + " AS u3), " +
+        "w AS (SELECT id, f1, f2, f3, " +
+        "lead(id, 1) OVER wnd AS id1, lead(f1, 1) OVER wnd AS g1_1, " +
+        "lead(f2, 1) OVER wnd AS g2_1, lead(f3, 1) OVER wnd AS g3_1, " +
+        "lead(id, 2) OVER wnd AS id2, lead(f1, 2) OVER wnd AS g1_2, " +
+        "lead(f2, 2) OVER wnd AS g2_2, lead(f3, 2) OVER wnd AS g3_2 " +
+        "FROM t WINDOW wnd AS (PARTITION BY blk1, blk2 ORDER BY sk, id)), " +
+        "p AS (SELECT id AS id_a, id1 AS id_b, f1 AS a1, f2 AS a2, f3 AS a3, " +
+        "g1_1 AS b1, g2_1 AS b2, g3_1 AS b3 FROM w WHERE id1 IS NOT NULL " +
+        "UNION ALL SELECT id, id2, f1, f2, f3, g1_2, g2_2, g3_2 FROM w WHERE id2 IS NOT NULL) " +
+        "SELECT id_a, id_b, " +
+        agSql("a1", "b1") + " AS agree_c_nationkey, " +
+        agSql("a2", "b2") + " AS agree_c_mktsegment, " +
+        agSql("a3", "b3") + " AS agree_cents3, " +
+        "round(" + wSql("a1", "b1", 0.95, "u1") + " + " +
+        wSql("a2", "b2", 0.9, "u2") + " + " + wSql("a3", "b3", 0.7, "u3") +
+        " + 5e-10, 6) AS score " +
+        "FROM p CROSS JOIN u ORDER BY id_a, id_b")
+    },
     "d19_repeated_spans" ->
       // replay the positional anchor set: constant-bounded range + a
       // position-fits filter (DuckDB's range() cannot take a lateral
@@ -6510,6 +6584,31 @@ object OpsQueries {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS below FROM g) " +
         "SELECT round(sum((below * 2 + nn)::HUGEINT * np)::DOUBLE / (2e0 * p * n) + 5e-10, 6) AS auc, " +
         "p AS n_pos, n AS n_neg FROM c CROSS JOIN t GROUP BY p, n"),
+    "v14_auc_delong" ->
+      // the v1 census with BOTH strictly-below cumsums, the per-score
+      // placements, count-weighted placement moments, and the identical
+      // driver algebra (auc, S10/P + S01/N, normal CI)
+      ("WITH s AS (SELECT embedding[1]::DOUBLE AS v, (label % 2)::BIGINT AS y FROM embeddings " +
+        "WHERE embedding[1] IS NOT NULL AND label IS NOT NULL), " +
+        "g AS (SELECT v, sum(CASE WHEN y <> 0 THEN 1 ELSE 0 END)::BIGINT AS np, " +
+        "sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)::BIGINT AS nn FROM s GROUP BY v), " +
+        "t AS (SELECT sum(np)::BIGINT AS p, sum(nn)::BIGINT AS n FROM g), " +
+        "c AS (SELECT np, nn, " +
+        "coalesce(sum(nn) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS negb, " +
+        "coalesce(sum(np) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS posb FROM g), " +
+        "pl AS (SELECT np, nn, " +
+        "(negb::DOUBLE + 0.5 * nn::DOUBLE) / n::DOUBLE AS v10, " +
+        "((p - posb - np)::DOUBLE + 0.5 * np::DOUBLE) / p::DOUBLE AS v01 " +
+        "FROM c CROSS JOIN t), " +
+        "mo AS (SELECT sum(np::DOUBLE * v10) AS sw10, sum(np::DOUBLE * v10 * v10) AS sq10, " +
+        "sum(nn::DOUBLE * v01) AS sw01, sum(nn::DOUBLE * v01 * v01) AS sq01 FROM pl), " +
+        "fin AS (SELECT p, n, sw10 / p AS auc, " +
+        "((sq10 - sw10 * sw10 / p) / (p - 1.0)) / p + ((sq01 - sw01 * sw01 / n) / (n - 1.0)) / n AS va " +
+        "FROM mo CROSS JOIN t) " +
+        "SELECT p AS n_pos, n AS n_neg, round(auc + 5e-10, 6) AS auc, " +
+        "round(va + 5e-10, 6) AS var_auc, round(sqrt(va) + 5e-10, 6) AS se_auc, " +
+        "round(auc - 1.96 * sqrt(va) + 5e-10, 6) AS ci_lo, " +
+        "round(auc + 1.96 * sqrt(va) + 5e-10, 6) AS ci_hi FROM fin"),
     "v2_confusion" ->
       ("WITH s AS (SELECT (embedding[2] > 0e0) AS pred, ((label % 2) <> 0) AS y FROM embeddings " +
         "WHERE embedding[2] IS NOT NULL AND label IS NOT NULL), " +

@@ -98,6 +98,86 @@ object Evaluation {
     * one final 1-row aggregate. Returns ONE row
     * (pr_auc, baseline, n_pos, n_neg); baseline = P/(P+N) is the
     * no-skill precision the AUC should be read against. */
+  /** ROC-AUC with its DeLong (1988) sampling variance and normal CI —
+    * the answer to "is 0.71 vs 0.69 real or noise" that a point AUC
+    * cannot give. Per distinct score v, the POSITIVE placement
+    * V10(v) = (negBelow + nNeg(v)/2)/N (fraction of negatives a
+    * positive at v outranks) and the NEGATIVE placement
+    * V01(v) = (posAbove + nPos(v)/2)/P; then
+    * var(AUC) = S10/P + S01/N with S10/S01 the count-weighted sample
+    * variances of the placements, and CI = AUC ± 1.96·SE.
+    *
+    * Scale shape: the [[rocAuc]] construction exactly — one distinct-
+    * score census, range-partitioned within-partition cumsums stitched
+    * with driver prefix offsets (both class directions from the SAME
+    * window pass), one census-sized moment aggregate, and the final
+    * five-number algebra on driver scalars (the D1 contract: only
+    * aggregates reach the driver). Returns ONE row (n_pos, n_neg, auc,
+    * var_auc, se_auc, ci_lo, ci_hi); requires ≥ 2 of each class. */
+  def aucDeLong(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val counts = df
+      .select(col(scoreCol).cast(DoubleType).as("v"),
+        col(labelCol).cast("long").as("y"))
+      .filter(col("v").isNotNull && col("y").isNotNull)
+      .groupBy("v").agg(
+        sum(when(col("y") =!= 0L, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("y") === 0L, 1L).otherwise(0L)).as("n_neg"))
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val pre = counts.persist()
+    val parts = pre.repartitionByRange(nParts, col("v"))
+      .sortWithinPartitions("v")
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    try {
+      val subtotals = parts.groupBy("pid")
+        .agg(sum("n_pos").as("tp"), sum("n_neg").as("tn"))
+        .collect().map(r => (r.getAs[Int]("pid"),
+          r.getAs[Long]("tp"), r.getAs[Long]("tn"))).sortBy(_._1)
+      val nPos = subtotals.map(_._2).sum
+      val nNeg = subtotals.map(_._3).sum
+      require(nPos >= 2 && nNeg >= 2,
+        s"aucDeLong needs >= 2 of each class (pos=$nPos, neg=$nNeg)")
+      val offN = subtotals.scanLeft(0L)(_ + _._3).init
+      val offP = subtotals.scanLeft(0L)(_ + _._2).init
+      val offNMap = map(subtotals.indices.flatMap(i =>
+        Seq(lit(subtotals(i)._1), lit(offN(i)))): _*)
+      val offPMap = map(subtotals.indices.flatMap(i =>
+        Seq(lit(subtotals(i)._1), lit(offP(i)))): _*)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("pid").orderBy("v")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val v10 = (col("neg_below").cast(DoubleType) +
+        lit(0.5) * col("n_neg").cast(DoubleType)) / lit(nNeg.toDouble)
+      val v01 = ((lit(nPos) - col("pos_below") - col("n_pos")).cast(DoubleType) +
+        lit(0.5) * col("n_pos").cast(DoubleType)) / lit(nPos.toDouble)
+      val m = parts
+        .withColumn("neg_below",
+          sum("n_neg").over(w) + element_at(offNMap, col("pid")) - col("n_neg"))
+        .withColumn("pos_below",
+          sum("n_pos").over(w) + element_at(offPMap, col("pid")) - col("n_pos"))
+        .withColumn("__v10", v10).withColumn("__v01", v01)
+        .agg(
+          sum(col("n_pos").cast(DoubleType) * col("__v10")).as("sw10"),
+          sum(col("n_pos").cast(DoubleType) * col("__v10") * col("__v10")).as("sq10"),
+          sum(col("n_neg").cast(DoubleType) * col("__v01")).as("sw01"),
+          sum(col("n_neg").cast(DoubleType) * col("__v01") * col("__v01")).as("sq01"))
+        .head()
+      val (sw10, sq10, sw01, sq01) =
+        (m.getDouble(0), m.getDouble(1), m.getDouble(2), m.getDouble(3))
+      val (p, n) = (nPos.toDouble, nNeg.toDouble)
+      val auc = sw10 / p
+      val s10 = (sq10 - sw10 * sw10 / p) / (p - 1.0)
+      val s01 = (sq01 - sw01 * sw01 / n) / (n - 1.0)
+      val varAuc = s10 / p + s01 / n
+      val se = math.sqrt(varAuc)
+      import spark.implicits._
+      Seq((nPos, nNeg, auc, varAuc, se, auc - 1.96 * se, auc + 1.96 * se))
+        .toDF("n_pos", "n_neg", "auc", "var_auc", "se_auc", "ci_lo", "ci_hi")
+    } finally { parts.unpersist(); pre.unpersist() }
+  }
+
   def prAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     val spark = df.sparkSession
     val counts = df

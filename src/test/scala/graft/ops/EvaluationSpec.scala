@@ -310,4 +310,44 @@ class EvaluationSpec extends AnyFunSuite with Matchers {
       (r.getAs[Double]("reliability") - r.getAs[Double]("resolution") +
         r.getAs[Double]("uncertainty")) +- 1e-12
   }
+
+  test("aucDeLong: matches the brute-force placement computation, ties included") {
+    // 40 scored rows with heavy ties (score = i % 7), alternating-ish labels
+    val rows = (0 until 40).map(i => ((i % 7).toDouble, if ((i * 3) % 5 < 2) 1L else 0L))
+    val df = rows.toDF("score", "y").repartition(5)
+    val r = Evaluation.aucDeLong(df, "score", "y").head()
+    // brute force: placements per positive / negative
+    val pos = rows.filter(_._2 == 1L).map(_._1)
+    val neg = rows.filter(_._2 == 0L).map(_._1)
+    def cmp(a: Double, b: Double) = if (a > b) 1.0 else if (a == b) 0.5 else 0.0
+    val v10 = pos.map(p => neg.map(n => cmp(p, n)).sum / neg.size)
+    val v01 = neg.map(n => pos.map(p => cmp(p, n)).sum / pos.size)
+    val auc = v10.sum / pos.size
+    def sVar(xs: Seq[Double]) = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1)
+    }
+    val varAuc = sVar(v10) / pos.size + sVar(v01) / neg.size
+    r.getAs[Long]("n_pos") shouldBe pos.size.toLong
+    r.getAs[Long]("n_neg") shouldBe neg.size.toLong
+    r.getAs[Double]("auc") shouldBe auc +- 1e-12
+    r.getAs[Double]("var_auc") shouldBe varAuc +- 1e-12
+    r.getAs[Double]("se_auc") shouldBe math.sqrt(varAuc) +- 1e-12
+    r.getAs[Double]("ci_lo") shouldBe (auc - 1.96 * math.sqrt(varAuc)) +- 1e-12
+    r.getAs[Double]("ci_hi") shouldBe (auc + 1.96 * math.sqrt(varAuc)) +- 1e-12
+    // and the point AUC agrees with the v1 operator
+    val v1 = Evaluation.rocAuc(df, "score", "y").head().getAs[Double]("auc")
+    r.getAs[Double]("auc") shouldBe v1 +- 1e-12
+  }
+
+  test("aucDeLong: perfect separation has zero variance; one-class input refuses") {
+    val sep = ((1 to 10).map(i => (i.toDouble, 0L)) ++
+      (11 to 20).map(i => (i.toDouble, 1L))).toDF("score", "y")
+    val r = Evaluation.aucDeLong(sep, "score", "y").head()
+    r.getAs[Double]("auc") shouldBe 1.0 +- 1e-15
+    r.getAs[Double]("var_auc") shouldBe 0.0 +- 1e-15
+    an[Exception] should be thrownBy
+      Evaluation.aucDeLong((1 to 5).map(i => (i.toDouble, 1L)).toDF("score", "y"),
+        "score", "y").collect()
+  }
 }

@@ -246,4 +246,51 @@ class LinkageSpec extends AnyFunSuite with Matchers {
     Dedup.jaroWinklerPairs(spark.emptyDataset[String].toDF("name"), "name", 0.9)
       .count() shouldBe 0L
   }
+
+  test("fellegiSunterScores: hand-computed u, agree/disagree weights, null fields score 0") {
+    // city census {a,a,a,b,b,c}: agreeing unordered pairs 3*2 + 2*1 = 8
+    // of n(n-1) = 30 ordered pairs -> u = 8/30
+    val base = Seq((1L, Some("a")), (2L, Some("a")), (3L, Some("a")),
+      (4L, Some("b")), (5L, Some("b")), (6L, Some("c"))).toDF("id", "city")
+    val pairs = Seq(
+      (1L, 2L, Some("a"), Some("a")),   // agree
+      (1L, 4L, Some("a"), Some("b")),   // disagree
+      (1L, 6L, Some("a"), None: Option[String])) // null side
+      .toDF("id_a", "id_b", "city_a", "city_b")
+    val out = Dedup.fellegiSunterScores(base, pairs, Seq(("city", 0.9)))
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r).toMap
+    val u = 8.0 / 30.0
+    val wAgree = math.log(0.9 / u) / math.log(2.0)
+    val wDis = math.log(0.1 / (1.0 - u)) / math.log(2.0)
+    out((1L, 2L)).getAs[Int]("agree_city") shouldBe 1
+    out((1L, 2L)).getAs[Double]("score") shouldBe wAgree +- 1e-12
+    out((1L, 4L)).getAs[Int]("agree_city") shouldBe 0
+    out((1L, 4L)).getAs[Double]("score") shouldBe wDis +- 1e-12
+    out((1L, 6L)).isNullAt(4) shouldBe true
+    out((1L, 6L)).getAs[Double]("score") shouldBe 0.0 +- 1e-15
+    // rare agreement must outweigh common agreement (the FS point):
+    // a 6-distinct-value field agreeing beats a 2-value field agreeing
+    wAgree should be > (math.log(0.9 / 0.5) / math.log(2.0))
+  }
+
+  test("fellegiSunterScores: multi-field scores sum; degenerate u refuses") {
+    val base = Seq((1L, "x", 10L), (2L, "x", 10L), (3L, "y", 20L), (4L, "y", 30L))
+      .toDF("id", "s", "k")
+    val pairs = Seq((1L, 2L, "x", "x", 10L, 10L), (3L, 4L, "y", "y", 20L, 30L))
+      .toDF("id_a", "id_b", "s_a", "s_b", "k_a", "k_b")
+    val out = Dedup.fellegiSunterScores(base, pairs,
+        Seq(("s", 0.9), ("k", 0.8)))
+      .collect().map(r => r.getAs[Long]("id_a") -> r).toMap
+    // u_s: pairs 2*1 + 2*1 = 4 of 12 -> 1/3; u_k: {10,10,20,30} -> 2 of 12 -> 1/6
+    val (us, uk) = (4.0 / 12.0, 2.0 / 12.0)
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    out(1L).getAs[Double]("score") shouldBe (lg2(0.9 / us) + lg2(0.8 / uk)) +- 1e-12
+    out(3L).getAs[Double]("score") shouldBe (lg2(0.9 / us) + lg2(0.2 / (1 - uk))) +- 1e-12
+    // an all-distinct field has u = 0: no evidence calibration possible
+    val distinctBase = Seq((1L, "p"), (2L, "q")).toDF("id", "s")
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.fellegiSunterScores(distinctBase,
+        Seq((1L, 2L, "p", "q")).toDF("id_a", "id_b", "s_a", "s_b"),
+        Seq(("s", 0.9)))
+  }
 }
