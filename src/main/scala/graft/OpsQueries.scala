@@ -1541,6 +1541,23 @@ object OpsQueries {
           round(col("at_value") + lit(5e-10), 6).as("at_value"),
           col("n_ref"), col("n_cur"))
     }),
+    "q17_spc_rules" -> ((s, dir) => {
+      // Western Electric SPC rules over hourly event-count series: one
+      // exact-long moment census per type (the e11 discipline — z cuts
+      // cannot flake), one partitioned window pass for all four rolling
+      // rules, one report row per type
+      val hourly = table(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      TimeSeries.westernElectric(hourly, "event_type", "h", "n")
+        .select(col("event_type"), col("n_points"),
+          round(col("mean") + lit(5e-10), 6).as("mean"),
+          round(col("std") + lit(5e-10), 6).as("std"),
+          col("r1_n"), col("r2_n"), col("r3_n"), col("r4_n"),
+          date_format(col("first_alarm_ts"), "yyyy-MM-dd HH:mm:ss")
+            .as("first_alarm_ts"))
+        .orderBy("event_type")
+    }),
     "q7_acf" -> ((s, dir) => {
       // autocorrelation of hourly event-value series per type: one
       // shuffle keyed by event_type serves the mean window, all six lag
@@ -2758,6 +2775,32 @@ object OpsQueries {
         .orderBy("o_orderpriority")
     }),
 
+    "o16_bloom_pruned_read" -> ((s, dir) => {
+      // per-file Bloom index: point lookup on a key the layout is NOT
+      // clustered by (files range-partitioned on totalprice, so key
+      // min/max spans everything and only the bloom can prune); blooms
+      // build distributed in one scan (mergeable BloomFilterAggregate
+      // per file), sized from the row count so fpp holds at any scale.
+      // The require pins the prune property; rows are the oracle.
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val t = new org.apache.hadoop.fs.Path(wh, "graft_bloom_orders").toString
+      val fs0 = new org.apache.hadoop.fs.Path(t).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      fs0.delete(new org.apache.hadoop.fs.Path(t), true)
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .repartitionByRange(8, col("o_totalprice"))
+      graft.sources.FileSkipping.commitWithBloom(o, t, Seq("o_orderkey"))
+      val probe = table(s, dir, "orders")
+        .agg(min(col("o_orderkey"))).head().getLong(0)
+      val (pruned, rep) = graft.sources.FileSkipping.readEquals(
+        s, t, "o_orderkey", probe)
+      require(rep.filesKept < rep.filesTotal,
+        s"bloom pruning opened all ${rep.filesTotal} files — the index broke")
+      require(rep.filesKept >= 1, "bloom pruned the file holding the key")
+      pruned.select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .orderBy("o_orderkey")
+    }),
     "o9_stats_pruned_read" -> ((s, dir) => {
       // file-level min/max data skipping over a versioned table: commit
       // orders range-partitioned by o_orderkey (disjoint per-file key
@@ -6765,6 +6808,38 @@ object OpsQueries {
         "round(v + 5e-10, 6) AS at_value, tr AS n_ref, tc AS n_cur " +
         "FROM cdf CROSS JOIN t " +
         "ORDER BY abs(cr::DOUBLE / tr - cc::DOUBLE / tc) DESC, v LIMIT 1"),
+    "q17_spc_rules" ->
+      // hourly count census, exact-long moments, the identical rolling
+      // indicator windows (frames of <= 8 rows, partitioned per type)
+      ("WITH h AS (SELECT event_type AS k, date_trunc('hour', ts) AS t, " +
+        "count(*)::BIGINT AS x FROM events GROUP BY 1, 2), " +
+        "m AS (SELECT k, count(*)::BIGINT AS n, CAST(sum(x) AS BIGINT) AS sx, " +
+        "sum(x::HUGEINT * x::HUGEINT) AS sxx FROM h GROUP BY k), " +
+        "mm AS (SELECT k, n, sx::DOUBLE / n::DOUBLE AS mu, " +
+        "CASE WHEN n >= 2 THEN (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE) / (n::DOUBLE - 1.0) END AS var FROM m), " +
+        "ms AS (SELECT *, CASE WHEN var > 0 THEN sqrt(var) END AS sd FROM mm), " +
+        "z AS (SELECT h.k, h.t, h.x, ms.n, ms.mu, ms.sd, " +
+        "CASE WHEN sd IS NOT NULL THEN (x::DOUBLE - mu) / sd END AS zv " +
+        "FROM h JOIN ms USING (k)), " +
+        "f AS (SELECT *, abs(zv) > 3.0 AS r1, " +
+        "(sum(CASE WHEN zv > 2.0 THEN 1 ELSE 0 END) OVER w3 >= 2 OR " +
+        "sum(CASE WHEN zv < -2.0 THEN 1 ELSE 0 END) OVER w3 >= 2) AS r2, " +
+        "(sum(CASE WHEN zv > 1.0 THEN 1 ELSE 0 END) OVER w5 >= 4 OR " +
+        "sum(CASE WHEN zv < -1.0 THEN 1 ELSE 0 END) OVER w5 >= 4) AS r3, " +
+        "(sum(CASE WHEN x::DOUBLE > mu THEN 1 ELSE 0 END) OVER w8 = 8 OR " +
+        "sum(CASE WHEN x::DOUBLE < mu THEN 1 ELSE 0 END) OVER w8 = 8) AS r4 " +
+        "FROM z WINDOW " +
+        "w3 AS (PARTITION BY k ORDER BY t ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), " +
+        "w5 AS (PARTITION BY k ORDER BY t ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), " +
+        "w8 AS (PARTITION BY k ORDER BY t ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)) " +
+        "SELECT k AS event_type, n AS n_points, " +
+        "round(mu + 5e-10, 6) AS mean, round(sd + 5e-10, 6) AS std, " +
+        "CAST(coalesce(sum(CASE WHEN r1 THEN 1 END), 0) AS BIGINT) AS r1_n, " +
+        "CAST(coalesce(sum(CASE WHEN r2 THEN 1 END), 0) AS BIGINT) AS r2_n, " +
+        "CAST(coalesce(sum(CASE WHEN r3 THEN 1 END), 0) AS BIGINT) AS r3_n, " +
+        "CAST(coalesce(sum(CASE WHEN r4 THEN 1 END), 0) AS BIGINT) AS r4_n, " +
+        "strftime(min(CASE WHEN r1 OR r2 OR r3 OR r4 THEN t END), '%Y-%m-%d %H:%M:%S') AS first_alarm_ts " +
+        "FROM f GROUP BY k, n, mu, sd ORDER BY event_type"),
     "q7_acf" ->
       // hourly census, partition mean, six lag offsets, per-lag
       // conditional sums — unpivoted as a 6-way UNION ALL
@@ -7233,6 +7308,12 @@ object OpsQueries {
         "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) + 5e-10, 6) AS sum_price, " +
         "max(o_orderkey) AS max_key " +
         "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "o16_bloom_pruned_read" ->
+      // the bloom-pruned point lookup must equal the plain filter — the
+      // bloom decides which files to OPEN, the residual decides rows
+      ("SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders " +
+        "WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders) " +
+        "ORDER BY o_orderkey"),
     "o9_stats_pruned_read" ->
       // the pruned read must equal the plain full-scan filter — file
       // skipping decides which files to OPEN, never which rows qualify

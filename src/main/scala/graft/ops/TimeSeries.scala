@@ -489,4 +489,73 @@ object TimeSeries {
       .select(col("__k").as(keyCol), col("__r.lag").as("lag"),
         col("__r.n_pairs").as("n_pairs"), col("__r.acf").as("acf"))
   }
+
+  /** Western Electric control-chart rules per series key — the SPC
+    * screen that catches a drifting pipeline metric BEFORE it crosses
+    * any single-point threshold: per point z = (x − μ)/σ against the
+    * series' own center line, then
+    *   R1: |z| > 3 (a single extreme point),
+    *   R2: ≥2 of the last 3 points beyond 2σ on the same side,
+    *   R3: ≥4 of the last 5 beyond 1σ on the same side,
+    *   R4: 8 consecutive points strictly on one side of the center.
+    * A point is flagged for the rule its trailing window completes.
+    *
+    * `valueCol` must be INTEGRAL (counts — the e11 discipline): μ and
+    * σ² fold from exact-long power sums, so both the z values and the
+    * rule cuts derive identically in any engine and the flags cannot
+    * flake on a float knife edge. A zero-variance series has no z and
+    * trips only R4 (which compares against μ, not σ).
+    *
+    * Scale shape: ONE per-key moment census (map-side-combined exact
+    * sums, decimal products) joined back census-sized, then a single
+    * per-key ordered window pass evaluating all four rules as rolling
+    * indicator sums (frames of ≤8 rows; the partition is the series
+    * key, so no unpartitioned window at any scale). Returns one row
+    * per key: (key, n_points, mean, std, r1_n..r4_n, first_alarm_ts).
+    */
+  def westernElectric(df: DataFrame, keyCol: String, timeCol: String,
+                      valueCol: String): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val base = df.select(col(keyCol).as("__k"), col(timeCol).as("__t"),
+        col(valueCol).cast("long").as("__x"))
+      .filter(col("__k").isNotNull && col("__t").isNotNull && col("__x").isNotNull)
+    val moments = base.groupBy("__k")
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("__x")).as("__sx"),
+        sum(dec(col("__x")) * dec(col("__x"))).as("__sxx"))
+      .withColumn("__mu", col("__sx").cast("double") / col("n_points").cast("double"))
+      .withColumn("__var",
+        when(col("n_points") >= 2,
+          (col("__sxx").cast("double") -
+            col("__sx").cast("double") * col("__sx").cast("double") /
+              col("n_points").cast("double")) /
+            (col("n_points").cast("double") - 1.0)))
+      .withColumn("__sd", when(col("__var") > 0, sqrt(col("__var"))))
+    val w = base.join(moments, Seq("__k"))
+    val z = when(col("__sd").isNotNull,
+      (col("__x").cast("double") - col("__mu")) / col("__sd"))
+    def roll(len: Int) = Window.partitionBy("__k").orderBy(col("__t"))
+      .rowsBetween(-(len - 1), Window.currentRow)
+    def cnt(c: org.apache.spark.sql.Column, len: Int) =
+      sum(when(c, 1).otherwise(0)).over(roll(len))
+    val flagged = w.withColumn("__z", z)
+      .withColumn("__r1", abs(col("__z")) > 3.0)
+      .withColumn("__r2",
+        cnt(col("__z") > 2.0, 3) >= 2 || cnt(col("__z") < -2.0, 3) >= 2)
+      .withColumn("__r3",
+        cnt(col("__z") > 1.0, 5) >= 4 || cnt(col("__z") < -1.0, 5) >= 4)
+      .withColumn("__r4",
+        cnt(col("__x").cast("double") > col("__mu"), 8) === 8 ||
+          cnt(col("__x").cast("double") < col("__mu"), 8) === 8)
+    def nTrue(c: String) = coalesce(
+      sum(when(col(c), 1L).otherwise(0L)), lit(0L)).as(s"${c.stripPrefix("__")}_n")
+    flagged.groupBy(col("__k"), col("n_points"), col("__mu"), col("__sd"))
+      .agg(nTrue("__r1"), nTrue("__r2"), nTrue("__r3"), nTrue("__r4"),
+        min(when(col("__r1") || col("__r2") || col("__r3") || col("__r4"),
+          col("__t"))).as("first_alarm_ts"))
+      .select(col("__k").as(keyCol), col("n_points"),
+        col("__mu").as("mean"), col("__sd").as("std"),
+        col("r1_n"), col("r2_n"), col("r3_n"), col("r4_n"),
+        col("first_alarm_ts"))
+  }
 }

@@ -437,4 +437,157 @@ object FileSkipping {
       bytes.toString("UTF-8")
     } finally in.close()
   }
+
+  // ---- per-file Bloom index: equality-lookup pruning ------------------
+  //
+  // Min/max stats prune RANGE predicates, but on a column the layout is
+  // NOT clustered by, every file spans the whole key range and a point
+  // lookup opens all of them. A per-file Bloom filter answers "could
+  // this file contain key = v" regardless of layout — the secondary-
+  // index mechanism (Parquet's own bloom pages, Delta/Iceberg bloom
+  // stats) for needle-in-haystack reads at 100 TB.
+
+  private def bloomPath(table: String, dirRel: String): Path =
+    new Path(new Path(table, "_bloom"), dirRel.stripPrefix("data/") + ".json")
+
+  /** [[VersionedTable.commit]] + a per-file Bloom sidecar for the new
+    * directory (`_bloom/<dir>.json`, one line per (file, column)).
+    *
+    * The blooms build DISTRIBUTED in ONE scan of the new directory:
+    * a groupBy on `input_file_name()` with Spark's own mergeable
+    * [[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]]
+    * per column (map-side partial blooms OR-merge; the shuffle carries
+    * sketches, never rows), sized from the directory's row count at
+    * `fpp` — so the false-positive rate, and therefore the prune rate,
+    * holds at every scale instead of saturating when files grow.
+    * Same crash contract as [[commitWithStats]]: the sidecar write is
+    * idempotent and non-atomic with the commit; a crash leaves the new
+    * directory merely unprunable. Columns must be integral or string
+    * (the aggregate's input domain). */
+  def commitWithBloom(df: DataFrame, table: String, bloomCols: Seq[String],
+                      fpp: Double = 0.01, mode: String = "append"): Long = {
+    require(bloomCols.nonEmpty, "commitWithBloom needs at least one column")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val spark = df.sparkSession
+    val v = VersionedTable.commit(df, table, mode)
+    writeBloomIfAbsent(spark, table,
+      VersionedTable.resolveDirs(spark, table, v).last, bloomCols, fpp)
+    v
+  }
+
+  private def writeBloomIfAbsent(spark: SparkSession, table: String,
+                                 dirRel: String, bloomCols: Seq[String],
+                                 fpp: Double): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge
+    val bp = bloomPath(table, dirRel)
+    val f = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(bp)) return false
+    val dirAbs = new Path(table, dirRel)
+    val nFiles = f.listStatus(dirAbs).map(_.getPath)
+      .count(_.getName.endsWith(".parquet")).max(1)
+    val src = spark.read.parquet(dirAbs.toString)
+    // expected items per file from the directory's row count (a footer-
+    // metadata count) — the sizing that keeps fpp scale-independent
+    val perFile = (src.count() / nFiles).max(1024L)
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(perFile, fpp)
+    val aggs = bloomCols.map { c =>
+      ColumnBridge.column(new BloomFilterAggregate(
+          ColumnBridge.expression(col(c)),
+          Literal(perFile), Literal(numBits)).toAggregateExpression())
+        .as(s"__bf_$c")
+    }
+    val rows = src
+      .withColumn("__file", org.apache.spark.sql.functions.input_file_name())
+      .groupBy("__file")
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val lines = rows.flatMap { r =>
+      val name = r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)
+      bloomCols.zipWithIndex.flatMap { case (c, i) =>
+        // an all-null column yields a null (empty) bloom: no line, the
+        // file stays unprunable on that column (conservative)
+        Option(r.getAs[Array[Byte]](i + 1)).map { bytes =>
+          s"""{"file":"${jsonEscape(name)}","column":"${jsonEscape(c)}",""" +
+            s""""bloom":"${java.util.Base64.getEncoder.encodeToString(bytes)}"}"""
+        }
+      }
+    }.sorted
+    f.mkdirs(bp.getParent)
+    val out = try f.create(bp, /* overwrite = */ false) catch {
+      case _: java.io.IOException => return false
+    }
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+    true
+  }
+
+  /** Point-lookup pruned read: open only the files whose Bloom filter
+    * says `column = value` COULD match. Files or directories without a
+    * bloom entry are kept (conservative — crashed sidecar writes and
+    * pre-bloom data degrade to a full scan, never a wrong answer), and
+    * the equality predicate is always re-applied as a residual filter
+    * (a bloom hit is "maybe", at rate fpp). `value` must be an integral
+    * or string key, matching the aggregate's put domain. */
+  def readEquals(spark: SparkSession, table: String, column: String,
+                 value: Any, version: Option[Long] = None): (DataFrame, PruneReport) = {
+    val v = version.getOrElse(VersionedTable.latestVersion(spark, table))
+    val dirs = VersionedTable.resolveDirs(spark, table, v)
+    val f = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var total = 0; var noBloom = 0
+    val kept = Seq.newBuilder[String]
+    dirs.foreach { dirRel =>
+      val dirAbs = new Path(table, dirRel)
+      val files = f.listStatus(dirAbs).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      total += files.length
+      val bp = bloomPath(table, dirRel)
+      if (!f.exists(bp)) {
+        noBloom += 1
+        files.foreach(p => kept += p.toString)
+      } else {
+        val byFile = parseBloomLines(readFully(f, bp))
+          .filter(_._2 == column).map { case (file, _, bytes) => file -> bytes }.toMap
+        files.foreach { p =>
+          val keep = byFile.get(p.getName) match {
+            case None => true // no bloom for this file/column: conservative
+            case Some(bytes) => bloomMightContain(bytes, value)
+          }
+          if (keep) kept += p.toString
+        }
+      }
+    }
+    val keptFiles = kept.result()
+    val df =
+      if (keptFiles.nonEmpty)
+        spark.read.parquet(keptFiles: _*).filter(col(column) === lit(value))
+      else VersionedTable.read(spark, table, Some(v)).filter(lit(false))
+    (df, PruneReport(total, keptFiles.length, noBloom))
+  }
+
+  private def bloomMightContain(bytes: Array[Byte], value: Any): Boolean = {
+    val bf = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    value match {
+      case l: Long => bf.mightContainLong(l)
+      case i: Int => bf.mightContainLong(i.toLong)
+      case s: Short => bf.mightContainLong(s.toLong)
+      case b: Byte => bf.mightContainLong(b.toLong)
+      case s: String =>
+        bf.mightContainBinary(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case other => throw new IllegalArgumentException(
+        s"bloom lookup supports integral/string keys, got ${other.getClass}")
+    }
+  }
+
+  private[sources] def parseBloomLines(text: String): Seq[(String, String, Array[Byte])] =
+    text.split('\n').toSeq.filter(_.nonEmpty).map { line =>
+      def grab(key: String): String = {
+        val m = ("\"" + key + "\":\"([^\"]*)\"").r.findFirstMatchIn(line)
+        m.getOrElse(throw new IllegalStateException(s"bad bloom line: $line")).group(1)
+      }
+      (jsonUnescape(grab("file")), jsonUnescape(grab("column")),
+        java.util.Base64.getDecoder.decode(grab("bloom")))
+    }
 }

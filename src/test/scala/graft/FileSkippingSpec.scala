@@ -239,4 +239,62 @@ class FileSkippingSpec extends AnyFunSuite with Matchers {
     val d = stats.find(_.column == "d").get
     (d.min, d.max, d.nulls) shouldBe ((Some("0.5"), Some("2.25"), 1L))
   }
+
+  // ---- Bloom file index -----------------------------------------------
+
+  private def bloomCommit(t: String, lo: Int, hi: Int): Long =
+    // clustered by d, NOT by k: min/max on k spans everything, so any
+    // pruning on k is the bloom's doing alone
+    FileSkipping.commitWithBloom(
+      (lo to hi).map(i => (i.toLong, (i % 7).toDouble, f"s$i%04d")).toDF("k", "d", "s")
+        .repartitionByRange(4, col("d")),
+      t, Seq("k", "s"), fpp = 0.01)
+
+  test("bloom point lookup opens a file subset on an unclustered key; result exact") {
+    val t = tmp()
+    bloomCommit(t, 1, 4000)
+    val (df, rep) = FileSkipping.readEquals(spark, t, "k", 1234L)
+    rep.filesTotal shouldBe 4
+    rep.filesKept should be < rep.filesTotal
+    rep.dirsWithoutStats shouldBe 0
+    df.collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("s"))) shouldBe
+      Array((1234L, "s1234"))
+    // string key path
+    val (ds, srep) = FileSkipping.readEquals(spark, t, "s", "s0042")
+    srep.filesKept should be < srep.filesTotal
+    ds.collect().map(_.getAs[Long]("k")) shouldBe Array(42L)
+  }
+
+  test("bloom lookup of an absent key returns empty (files may false-positive, rows never)") {
+    val t = tmp()
+    bloomCommit(t, 1, 1000)
+    val (df, rep) = FileSkipping.readEquals(spark, t, "k", 999999L)
+    df.count() shouldBe 0L
+    // at fpp = 1% over 4 files, all four surviving would be ~1e-8
+    rep.filesKept should be < rep.filesTotal
+  }
+
+  test("a directory without a bloom sidecar degrades to keep-everything") {
+    val t = tmp()
+    VersionedTable.commit(
+      (1 to 100).map(i => (i.toLong, i.toDouble, s"s$i")).toDF("k", "d", "s")
+        .repartition(3), t)
+    val (df, rep) = FileSkipping.readEquals(spark, t, "k", 50L)
+    rep.dirsWithoutStats shouldBe 1
+    rep.filesKept shouldBe rep.filesTotal
+    df.collect().map(_.getAs[Long]("k")) shouldBe Array(50L)
+  }
+
+  test("bloom sidecar lines round-trip; append commits prune per directory") {
+    val t = tmp()
+    bloomCommit(t, 1, 500)
+    FileSkipping.commitWithBloom(
+      (501 to 1000).map(i => (i.toLong, (i % 7).toDouble, f"s$i%04d")).toDF("k", "d", "s")
+        .repartitionByRange(4, col("d")),
+      t, Seq("k", "s"))
+    val (df, rep) = FileSkipping.readEquals(spark, t, "k", 750L)
+    rep.filesTotal shouldBe 8
+    rep.filesKept should be < rep.filesTotal
+    df.collect().map(_.getAs[Long]("k")) shouldBe Array(750L)
+  }
 }

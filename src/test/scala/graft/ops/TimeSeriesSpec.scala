@@ -290,4 +290,48 @@ class TimeSeriesSpec extends AnyFunSuite with Matchers {
     TimeSeries.mannKendall(allNull, "k", "x", "y").count() shouldBe 0L
     TimeSeries.theilSen(allNull, "k", "x", "y").count() shouldBe 0L
   }
+
+  test("westernElectric: matches a brute-force rule evaluation; constant series is quiet") {
+    // deterministic pseudo-random counts with a planted spike and a
+    // planted 8-point high shelf
+    val xs = Seq(10L, 12L, 9L, 11L, 10L, 50L, 10L, 9L, 11L, 10L,
+      14L, 14L, 14L, 14L, 14L, 14L, 14L, 14L, 9L, 10L)
+    val rows = xs.zipWithIndex.map { case (x, i) =>
+      ("a", java.sql.Timestamp.valueOf(f"2026-01-01 ${i}%02d:00:00"), x) } ++
+      (0 until 10).map(i => ("c", java.sql.Timestamp.valueOf(f"2026-01-01 ${i}%02d:00:00"), 7L))
+    val out = TimeSeries.westernElectric(rows.toDF("k", "t", "x"), "k", "t", "x")
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    // brute force for series a
+    val n = xs.size
+    val mu = xs.sum.toDouble / n
+    val sd = math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / (n - 1))
+    val z = xs.map(x => (x - mu) / sd)
+    def winCnt(i: Int, len: Int, p: Double => Boolean) =
+      (math.max(0, i - len + 1) to i).count(j => p(z(j)))
+    def sideCnt(i: Int, len: Int, up: Boolean) =
+      (math.max(0, i - len + 1) to i).count(j =>
+        if (up) xs(j) > mu else xs(j) < mu)
+    val r1 = z.count(v => math.abs(v) > 3.0)
+    val r2 = (0 until n).count(i =>
+      winCnt(i, 3, _ > 2.0) >= 2 || winCnt(i, 3, _ < -2.0) >= 2)
+    val r3 = (0 until n).count(i =>
+      winCnt(i, 5, _ > 1.0) >= 4 || winCnt(i, 5, _ < -1.0) >= 4)
+    val r4 = (0 until n).count(i =>
+      sideCnt(i, 8, up = true) == 8 || sideCnt(i, 8, up = false) == 8)
+    val a = out("a")
+    a.getAs[Long]("n_points") shouldBe n.toLong
+    a.getAs[Double]("mean") shouldBe mu +- 1e-12
+    a.getAs[Double]("std") shouldBe sd +- 1e-12
+    a.getAs[Long]("r1_n") shouldBe r1.toLong
+    a.getAs[Long]("r2_n") shouldBe r2.toLong
+    a.getAs[Long]("r3_n") shouldBe r3.toLong
+    a.getAs[Long]("r4_n") shouldBe r4.toLong
+    r1 should be >= 1 // the planted spike must actually alarm
+    r4 should be >= 1 // the planted shelf must actually alarm
+    // constant series: no z (sd null), R4 needs STRICT sides -> silent
+    val c = out("c")
+    c.isNullAt(3) shouldBe true
+    Seq("r1_n", "r2_n", "r3_n", "r4_n").foreach(c.getAs[Long](_) shouldBe 0L)
+    c.isNullAt(8) shouldBe true
+  }
 }
