@@ -1285,6 +1285,23 @@ object OpsQueries {
           table(s, dir, "orders").select(col("o_orderpriority"), col("o_orderkey")),
           "o_orderpriority", "o_orderkey", n = 5)
         .orderBy("o_orderpriority", "priority", "o_orderkey")),
+    "p20_mixture_anneal" -> ((s, dir) =>
+      // the pretraining curriculum plan: epoch 0 samples languages
+      // uniformly, the last epoch at the target mix, linear in between;
+      // integer quotas by largest remainder against each epoch's
+      // 100k-doc budget, each quota reported against the corpus's
+      // actual supply (repeat_factor > 1 = data will repeat). One
+      // census + driver algebra; the schedule is a literal frame
+      Sampling.mixtureAnnealSchedule(
+          table(s, dir, "documents").select(col("lang")),
+          "lang",
+          Seq(("de", 0.15), ("en", 0.4), ("es", 0.15), ("fr", 0.1), ("zh", 0.2)),
+          epochs = 4, budgetPerEpoch = 100000L)
+        .select(col("epoch"), col("source"),
+          round(col("weight") + lit(5e-10), 6).as("weight"),
+          col("quota"), col("available"),
+          round(col("repeat_factor") + lit(5e-10), 6).as("repeat_factor"))
+        .orderBy("epoch", "source")),
     "p19_length_batching" -> ((s, dir) => {
       // how much compute does length bucketing buy: fixed 32-doc
       // batches pad to the batch max; arrival order vs length-sorted
@@ -7182,6 +7199,29 @@ object OpsQueries {
         "< rate - floor(rate))) " +
         "SELECT source, epoch::BIGINT AS epoch, count(*)::BIGINT AS n_kept " +
         "FROM k GROUP BY 1, 2 ORDER BY 1, 2"),
+    "p20_mixture_anneal" ->
+      // the identical interpolation/apportionment algebra: weight =
+      // (1-a)/k + a*t with a = epoch/3, floor + largest-remainder with
+      // (frac DESC, source) ties, supply from the lang census
+      ("WITH t(source, tw) AS (VALUES ('de', 0.15), ('en', 0.4), " +
+        "('es', 0.15), ('fr', 0.1), ('zh', 0.2)), " +
+        "av AS (SELECT lang AS source, count(*)::BIGINT AS available " +
+        "FROM documents WHERE lang IS NOT NULL GROUP BY 1), " +
+        "ep AS (SELECT unnest(range(0, 4))::BIGINT AS epoch), " +
+        "w AS (SELECT epoch, source, " +
+        "(1.0 - epoch::DOUBLE / 3.0) / 5 + epoch::DOUBLE / 3.0 * tw AS wt " +
+        "FROM ep CROSS JOIN t), " +
+        "q AS (SELECT *, floor(100000 * wt)::BIGINT AS base, " +
+        "100000 * wt - floor(100000 * wt) AS frac FROM w), " +
+        "s AS (SELECT *, 100000 - sum(base) OVER (PARTITION BY epoch) AS short, " +
+        "row_number() OVER (PARTITION BY epoch ORDER BY frac DESC, source) AS rk FROM q), " +
+        "f AS (SELECT epoch, source, wt, " +
+        "(base + CASE WHEN rk <= short THEN 1 ELSE 0 END)::BIGINT AS quota FROM s) " +
+        "SELECT f.epoch, f.source, round(wt + 5e-10, 6) AS weight, quota, " +
+        "coalesce(available, 0)::BIGINT AS available, " +
+        "round(CASE WHEN coalesce(available, 0) > 0 " +
+        "THEN quota::DOUBLE / available END + 5e-10, 6) AS repeat_factor " +
+        "FROM f LEFT JOIN av USING (source) ORDER BY epoch, source"),
     "p19_length_batching" ->
       // both global ranks as plain windows (DuckDB replays the total
       // orders directly), batch stats, and the same waste division

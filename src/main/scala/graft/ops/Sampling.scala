@@ -700,6 +700,68 @@ object Sampling {
     * every allocation operator here uses ([[neymanAllocation]], the c8
     * mix planner). Σ allocations == budget EXACTLY, and every step is
     * integer-or-replayable-double algebra an external engine re-derives. */
+  /** Mixture ANNEALING schedule — the curriculum every multi-source
+    * pretraining run plans: epoch 0 samples sources uniformly (maximum
+    * coverage while the model can't yet exploit quality), the last
+    * epoch samples at the target mixture, and epochs between
+    * interpolate linearly: w_e = (1−α)/k + α·target with
+    * α = e/(epochs−1). Each epoch's `budgetPerEpoch` is apportioned to
+    * integer quotas by [[largestRemainder]] (exact budget preservation,
+    * deterministic ties), and each quota is reported against the
+    * corpus's ACTUAL per-source supply — `repeat_factor` > 1 is the
+    * epochs-of-data warning that a source will be repeated.
+    *
+    * Scale shape: ONE source census (map-side-combined; the shuffle
+    * carries sources, not rows) collected as driver scalars (D1), then
+    * pure driver algebra over epochs × sources — the returned schedule
+    * is a literal frame. Returns (epoch, source, weight, quota,
+    * available, repeat_factor); repeat_factor NULL for a source absent
+    * from the corpus. */
+  def mixtureAnnealSchedule(df: DataFrame, sourceCol: String,
+                            targets: Seq[(String, Double)], epochs: Int,
+                            budgetPerEpoch: Long): DataFrame = {
+    require(epochs >= 2, s"epochs must be >= 2, got $epochs")
+    require(budgetPerEpoch > 0, s"budgetPerEpoch must be > 0, got $budgetPerEpoch")
+    require(targets.nonEmpty, "mixtureAnnealSchedule needs target weights")
+    targets.foreach { case (s, t) =>
+      require(t > 0, s"target weight for $s must be > 0, got $t") }
+    require(math.abs(targets.map(_._2).sum - 1.0) < 1e-9,
+      s"target weights must sum to 1, got ${targets.map(_._2).sum}")
+    val spark = df.sparkSession
+    val avail: Map[String, Long] = df
+      .filter(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol).cast("string").as("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val k = targets.size
+    val rows: Seq[org.apache.spark.sql.Row] = (0 until epochs).flatMap { e =>
+      val a = e.toDouble / (epochs - 1).toDouble
+      val weights = targets.map { case (s, t) => s -> ((1.0 - a) / k + a * t) }
+      val quotas = largestRemainder(weights, budgetPerEpoch)
+      weights.map { case (s, w) =>
+        val q = quotas(s)
+        val av = avail.getOrElse(s, 0L)
+        org.apache.spark.sql.Row(e.toLong, s, w, q, av,
+          if (av > 0) q.toDouble / av else null)
+      }
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("epoch",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("weight",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("quota",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("available",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("repeat_factor",
+          org.apache.spark.sql.types.DoubleType, nullable = true))))
+  }
+
   def largestRemainder(shares: Seq[(String, Double)], budget: Long): Map[String, Long] = {
     val scored = shares.map { case (k, s) =>
       val exact = budget.toDouble * s

@@ -443,4 +443,37 @@ class SamplingSpec extends AnyFunSuite with Matchers {
     Sampling.paddingEfficiency(empty, "doc_id", "n_tok", batchSize = 2)
       .collect().foreach { r => r.getAs[Long]("n_docs") shouldBe 0L }
   }
+
+  test("mixtureAnnealSchedule: uniform at epoch 0, target at the last, budget exact") {
+    val df = (Seq.fill(60)("en") ++ Seq.fill(30)("de") ++ Seq.fill(10)("fr"))
+      .toDF("lang")
+    val targets = Seq(("de", 0.2), ("en", 0.7), ("fr", 0.1))
+    val out = Sampling.mixtureAnnealSchedule(df, "lang", targets,
+        epochs = 3, budgetPerEpoch = 1000L)
+      .collect().map(r => (r.getAs[Long]("epoch"), r.getAs[String]("source")) -> r).toMap
+    out.size shouldBe 9
+    // epoch 0: uniform thirds; epoch 2: exact target
+    targets.foreach { case (src, t) =>
+      out((0L, src)).getAs[Double]("weight") shouldBe (1.0 / 3) +- 1e-12
+      out((2L, src)).getAs[Double]("weight") shouldBe t +- 1e-12
+    }
+    // mid epoch: the linear blend
+    out((1L, "en")).getAs[Double]("weight") shouldBe (0.5 / 3 + 0.5 * 0.7) +- 1e-12
+    // quotas apportion the budget EXACTLY per epoch
+    (0L to 2L).foreach { e =>
+      targets.map { case (src, _) => out((e, src)).getAs[Long]("quota") }.sum shouldBe 1000L
+    }
+    // supply join + repeat factor
+    out((2L, "en")).getAs[Long]("available") shouldBe 60L
+    out((2L, "en")).getAs[Double]("repeat_factor") shouldBe (700.0 / 60) +- 1e-12
+    // a target absent from the corpus: available 0, repeat null
+    val out2 = Sampling.mixtureAnnealSchedule(df, "lang",
+        Seq(("en", 0.5), ("zz", 0.5)), epochs = 2, budgetPerEpoch = 10L)
+      .collect().map(r => (r.getAs[Long]("epoch"), r.getAs[String]("source")) -> r).toMap
+    out2((1L, "zz")).getAs[Long]("available") shouldBe 0L
+    out2((1L, "zz")).isNullAt(5) shouldBe true
+    // bad weights refuse
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.mixtureAnnealSchedule(df, "lang", Seq(("en", 0.5)), 2, 10L)
+  }
 }
