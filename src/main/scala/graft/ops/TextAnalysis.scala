@@ -55,17 +55,19 @@ object TextAnalysis {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     val toks = df.filter(col(textCol).isNotNull)
       .select(tokens(col(textCol)).as("__t"))
-    val uni = toks.select(explode(col("__t")).as("w"))
+    val uni0 = toks.select(explode(col("__t")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-      .persist()
-    val bi = toks.filter(size(col("__t")) >= 2)
+    val bi0 = toks.filter(size(col("__t")) >= 2)
       .select(explode(transform(
         slice(col("__t"), lit(1), size(col("__t")) - 1),
         (w, i) => struct(w.as("w1"), element_at(col("__t"), i + 2).as("w2"))))
         .as("__b"))
       .select(col("__b.w1").as("w1"), col("__b.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
-      .persist()
+    // persist only after BOTH plans resolve — an analysis error during
+    // bi's construction must not leak uni's persist past the finally
+    val uni = uni0.persist()
+    val bi = bi0.persist()
     try {
       val totals = uni.agg(sum("c").as("__nu"))
         .crossJoin(bi.agg(sum("c_xy").as("__nb")))
