@@ -2995,6 +2995,23 @@ object OpsQueries {
         .orderBy(col("rank").desc, col("node")).limit(20)
     }),
 
+    "g13_harmonic_centrality" -> ((s, dir) => {
+      // landmark harmonic centrality over the g4 block-chain graph,
+      // seeds dense enough (id%29==0) that blocks carry 2+ landmarks
+      // and the 1/d sum actually sums; chain distance is |node - seed|
+      // within the 50-block, so the oracle replays in closed form
+      val edges = docs(s, dir).select(col("doc_id").as("i"))
+        .filter(col("i") % 50 =!= 49)
+        .select(col("i").as("src"), (col("i") + 1).as("dst"))
+      val canonical = Graph.canonicalEdges(edges, "src", "dst")
+      val seeds = canonical
+        .select(explode(array(col("a"), col("b"))).as("node")).distinct()
+        .filter(col("node") % 29 === 0)
+      Graph.harmonicCentrality(canonical, seeds, maxHops = 6)
+        .select(col("node"), col("n_seeds_reached"),
+          round(col("harmonic") + lit(5e-10), 6).as("harmonic"))
+        .orderBy("node")
+    }),
     "g4_shortest_paths" -> ((s, dir) => {
       // multi-source BFS over g3's block-chain graph (components = 50-id
       // blocks): seeds at id%97==0, hop cap 6. Chain distance is plain
@@ -5667,6 +5684,18 @@ object OpsQueries {
         "sum(g.n_tok)::BIGINT AS n_tokens, round(avg(g.n_blocked) + 5e-10, 6) AS mean_blocked " +
         "FROM gated g JOIN documents d ON d.doc_id = g.doc_id " +
         "GROUP BY d.lang ORDER BY d.lang"),
+    "g13_harmonic_centrality" ->
+      // closed-form chain distances within the 50-block, the same 1/d
+      // census; d = 0 (a seed to itself) excluded by definition
+      ("WITH n AS (SELECT doc_id AS i FROM documents WHERE doc_id % 50 <> 49), " +
+        "nodes AS (SELECT i AS id FROM n UNION SELECT i + 1 FROM n), " +
+        "seeds AS (SELECT id AS s FROM nodes WHERE id % 29 = 0), " +
+        "d AS (SELECT nodes.id, abs(nodes.id - seeds.s) AS dist FROM nodes " +
+        "JOIN seeds ON nodes.id // 50 = seeds.s // 50 " +
+        "WHERE abs(nodes.id - seeds.s) BETWEEN 1 AND 6) " +
+        "SELECT id AS node, count(*)::BIGINT AS n_seeds_reached, " +
+        "round(sum(1.0::DOUBLE / dist) + 5e-10, 6) AS harmonic " +
+        "FROM d GROUP BY id ORDER BY node"),
     "g4_shortest_paths" ->
       ("WITH n AS (SELECT doc_id AS i FROM documents WHERE doc_id % 50 <> 49), " +
         "nodes AS (SELECT i AS id FROM n UNION SELECT i + 1 FROM n), " +

@@ -138,6 +138,43 @@ object Graph {
     dist
   }
 
+  /** Landmark harmonic centrality (Boldi & Vigna 2014's exact-landmark
+    * special case): HC(v) = Σ_{s ∈ seeds, 0 < d(s,v) ≤ maxHops} 1/d(s,v)
+    * — "how close is v to everywhere", robust to disconnection where
+    * closeness centrality degenerates (unreachable pairs contribute 0,
+    * not ∞). Exact over a SAMPLED landmark set: the standard estimator
+    * at graph scales where all-pairs distances are off the table.
+    *
+    * Scale shape: the [[shortestPaths]] relaxation with the frontier
+    * keyed by (node, SEED) instead of node — each hop is one equi-join
+    * + a map-side-combined min, but state is |landmarks| × reachable
+    * nodes, the landmark method's documented cost (pick the sample to
+    * fit; HC quality degrades gracefully with fewer landmarks). The
+    * final census is one aggregate over that state. A seed's own
+    * d = 0 row is excluded by definition. Returns
+    * (node, n_seeds_reached, harmonic). */
+  def harmonicCentrality(canonical: DataFrame, seeds: DataFrame,
+                         maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 50, s"maxHops must be in [1, 50], got $maxHops")
+    val adj = canonical
+      .select(col("a").as("u"), col("b").as("v"), lit(1L).as("w"))
+      .unionByName(canonical.select(col("b").as("u"), col("a").as("v"), lit(1L).as("w")))
+    val nodes = canonical.select(explode(array(col("a"), col("b"))).as("n")).distinct()
+    val adjSelf = adj.unionByName(
+      nodes.select(col("n").as("u"), col("n").as("v"), lit(0L).as("w")))
+    var dist = seeds.select(col("node")).distinct()
+      .select(col("node"), col("node").as("seed"), lit(0L).as("dist"))
+    for (_ <- 1 to maxHops) {
+      dist = adjSelf.join(dist, adjSelf("u") === dist("node"))
+        .groupBy(adjSelf("v").as("node"), col("seed"))
+        .agg(min(col("dist") + col("w")).as("dist"))
+    }
+    dist.filter(col("dist") > 0)
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_seeds_reached"),
+        sum(lit(1.0) / col("dist")).as("harmonic"))
+  }
+
   /** PageRank with a FIXED iteration count over a directed edge list.
     *
     * Formulation: nodes = the set of SOURCE nodes; edges whose target is

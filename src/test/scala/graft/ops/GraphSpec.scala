@@ -335,4 +335,25 @@ class GraphSpec extends AnyFunSuite with Matchers {
     m(1L) shouldBe ((2L, 1L, 1.0))
     m(3L) shouldBe ((1L, 0L, 0.0))
   }
+
+  test("harmonicCentrality: hand-computed 1/d sums on a chain; d=0 and out-of-range excluded") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("src", "dst")
+    val canonical = Graph.canonicalEdges(edges, "src", "dst")
+    val seeds = Seq(1L, 5L).toDF("node")
+    val out = Graph.harmonicCentrality(canonical, seeds, maxHops = 3)
+      .collect().map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Long]("n_seeds_reached"), r.getAs[Double]("harmonic")))).toMap
+    // chain 1-2-3-4-5: node 2 <- {1@1, 5@3}; 3 <- {1@2, 5@2}; 4 <- {1@3, 5@1}
+    out(2L) shouldBe ((2L, 1.0 + 1.0 / 3))
+    out(3L)._1 shouldBe 2L
+    out(3L)._2 shouldBe 1.0 +- 1e-12
+    out(4L)._2 shouldBe (1.0 / 3 + 1.0) +- 1e-12
+    // the seeds themselves: only each other at d=4 > maxHops, own d=0 excluded
+    out.keySet should not contain 1L
+    out.keySet should not contain 5L
+    // the seedless component never appears
+    out.keySet should not contain 10L
+    out.keySet should not contain 11L
+  }
 }
