@@ -839,6 +839,48 @@ class EventPipelineSpec extends AnyFunSuite with Matchers {
     spark.read.json(path).select(col("doc_id").cast("long"), col("shard").cast("long"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap.apply(5L) shouldBe 2L
   }
+
+  test("westernElectric over maintained hourly state equals the batch path (q17 twin)") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.{DataFrame, Row}
+    import org.apache.spark.sql.functions.{col, count, date_trunc, lit}
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Event]
+    var state: Option[(Seq[Row], org.apache.spark.sql.types.StructType)] = None
+    def get(): Option[DataFrame] =
+      state.map { case (rows, sch) => spark.createDataFrame(rows.asJava, sch) }
+    def set(df: DataFrame): Unit = state = Some((df.collect().toSeq, df.schema))
+    val keyed = input.toDF().withColumn("h", date_trunc("hour", col("ts")))
+    val q = EventPipeline.maintainAggState(keyed, Seq("event_type", "h"),
+      Seq(count(lit(1)).as("n")), Map("n" -> "sum"))(get _, set _)
+    val fed = scala.collection.mutable.ArrayBuffer[Event]()
+    def feed(es: Event*): Unit = { fed ++= es; input.addData(es: _*); q.processAllAvailable() }
+    try {
+      // 19 alternating 1/2-count baseline hours, then a 12-event spike
+      // hour (one outlier among n = 10 caps |z| at (n-1)/sqrt(n) ~ 2.85,
+      // so a shorter baseline could never trip the 3-sigma rule); the
+      // spike hour is split across two micro-batches so the SPC read
+      // exercises merged state, not a single batch
+      var id = 0L
+      def ev(hhmm: String): Event = { id += 1; Event(id, ts(hhmm), id % 3, "click", 1.0) }
+      feed((0 to 18).flatMap(i =>
+        ev(f"$i%02d:15") +: (if (i % 2 == 0) Seq(ev(f"$i%02d:45")) else Nil)): _*)
+      feed((1 to 6).map(m => ev(f"19:$m%02d")): _*)
+      feed((7 to 12).map(m => ev(f"19:$m%02d")): _*)
+      def rules(hourly: DataFrame): Seq[Seq[Any]] =
+        graft.ops.TimeSeries.westernElectric(hourly, "event_type", "h", "n")
+          .orderBy("event_type").collect().map(_.toSeq).toSeq
+      val got = rules(get().get)
+      val direct = rules(fed.toSeq.toDF()
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n")))
+      got shouldBe direct
+      got.size shouldBe 1
+      // the planted spike must trip the 3-sigma rule on the maintained state
+      val r1n = got.head(4).asInstanceOf[Long]
+      r1n should be >= 1L
+    } finally q.stop()
+  }
 }
 
 // top-level: Spark encoders cannot be generated for classes nested in a
