@@ -148,7 +148,13 @@ object Dedup {
                           fields: Seq[(String, Double)]): DataFrame = {
     require(fields.nonEmpty, "fellegiSunterScores needs at least one field")
     fields.foreach { case (f, mP) =>
-      require(mP > 0 && mP < 1, s"m probability for $f must be in (0,1), got $mP") }
+      require(mP > 0 && mP < 1, s"m probability for $f must be in (0,1), got $mP")
+      // the melt below interpolates f into a stack() SQL string — a
+      // quote or backtick would break (or escape) the parse, so reject
+      // such names up front rather than hand the parser a mangled expr
+      require(!f.contains("`") && !f.contains("'"),
+        s"field name '$f' contains a quote/backtick — not representable in the melt expression")
+    }
     val stackExpr = s"stack(${fields.size}, " +
       fields.map { case (f, _) => s"'$f', cast(`$f` as string)" }.mkString(", ") +
       ") as (__f, __v)"

@@ -78,26 +78,6 @@ object Evaluation {
     } finally { parts.unpersist(); pre.unpersist() }
   }
 
-  /** Exact precision-recall AUC (trapezoidal) — the class-imbalance
-    * companion to [[rocAuc]]: with 0.1% positives, a model can hold
-    * ROC-AUC ≈ 0.99 while drowning every alert in false positives;
-    * the PR curve shows that directly. Operating points are the
-    * distinct score thresholds t (predict positive iff score ≥ t),
-    * anchored at the conventional (R=0, P=1) start; between
-    * consecutive thresholds the trapezoid (R−R_prev)·(P+P_prev)/2.
-    *
-    * Every point is a ratio of exact integers: at threshold v,
-    * TP = P − posBelow(v), FP = N − negBelow(v), and the PREVIOUS
-    * point is row-local too (TP − nPos(v), FP − nNeg(v)) because
-    * posBelow(successor) = posBelow(v) + nPos(v) — so the whole curve
-    * folds in one aggregate, no self-join of consecutive thresholds.
-    *
-    * Scale shape: the [[rocAuc]] construction with both class cumsums —
-    * one (score → nPos, nNeg) census, range-partitioned within-partition
-    * window cumsums stitched with ≤ #partitions driver prefix offsets,
-    * one final 1-row aggregate. Returns ONE row
-    * (pr_auc, baseline, n_pos, n_neg); baseline = P/(P+N) is the
-    * no-skill precision the AUC should be read against. */
   /** ROC-AUC with its DeLong (1988) sampling variance and normal CI —
     * the answer to "is 0.71 vs 0.69 real or noise" that a point AUC
     * cannot give. Per distinct score v, the POSITIVE placement
@@ -178,6 +158,26 @@ object Evaluation {
     } finally { parts.unpersist(); pre.unpersist() }
   }
 
+  /** Exact precision-recall AUC (trapezoidal) — the class-imbalance
+    * companion to [[rocAuc]]: with 0.1% positives, a model can hold
+    * ROC-AUC ≈ 0.99 while drowning every alert in false positives;
+    * the PR curve shows that directly. Operating points are the
+    * distinct score thresholds t (predict positive iff score ≥ t),
+    * anchored at the conventional (R=0, P=1) start; between
+    * consecutive thresholds the trapezoid (R−R_prev)·(P+P_prev)/2.
+    *
+    * Every point is a ratio of exact integers: at threshold v,
+    * TP = P − posBelow(v), FP = N − negBelow(v), and the PREVIOUS
+    * point is row-local too (TP − nPos(v), FP − nNeg(v)) because
+    * posBelow(successor) = posBelow(v) + nPos(v) — so the whole curve
+    * folds in one aggregate, no self-join of consecutive thresholds.
+    *
+    * Scale shape: the [[rocAuc]] construction with both class cumsums —
+    * one (score → nPos, nNeg) census, range-partitioned within-partition
+    * window cumsums stitched with ≤ #partitions driver prefix offsets,
+    * one final 1-row aggregate. Returns ONE row
+    * (pr_auc, baseline, n_pos, n_neg); baseline = P/(P+N) is the
+    * no-skill precision the AUC should be read against. */
   def prAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     val spark = df.sparkSession
     val counts = df

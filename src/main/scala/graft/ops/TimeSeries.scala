@@ -516,6 +516,16 @@ object TimeSeries {
   def westernElectric(df: DataFrame, keyCol: String, timeCol: String,
                       valueCol: String): DataFrame = {
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    // Enforce the doc's contract instead of silently casting: a double
+    // series truncated toward zero by cast("long") would yield
+    // plausible-looking but wrong means and z-cuts. The cast below is
+    // then widening-only.
+    val vt = df.select(col(valueCol)).schema.head.dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)(vt),
+      s"westernElectric valueCol '$valueCol' must be an integral type " +
+        s"(the e11 discipline), got $vt — pre-bin or round explicitly first")
     val base = df.select(col(keyCol).as("__k"), col(timeCol).as("__t"),
         col(valueCol).cast("long").as("__x"))
       .filter(col("__k").isNotNull && col("__t").isNotNull && col("__x").isNotNull)

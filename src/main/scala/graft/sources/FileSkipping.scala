@@ -499,11 +499,27 @@ object FileSkipping {
           Literal(perFile), Literal(numBits)).toAggregateExpression())
         .as(s"__bf_$c")
     }
-    val rows = src
-      .withColumn("__file", org.apache.spark.sql.functions.input_file_name())
-      .groupBy("__file")
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
+    // BloomFilterAggregate silently CAPS numBits at
+    // spark.sql.optimizer.runtime.bloomFilter.maxNumBits (default 64 Mi
+    // bits ≈ 7 M rows/file at fpp 0.01) — above that the realized fpp
+    // would quietly degrade and the prune rate with it. Raise the conf
+    // for the build when our sizing exceeds it (and restore after), so
+    // the sized filter is the built filter at every scale.
+    val maxBitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val prevMaxBits = spark.conf.get(maxBitsKey)
+    val raiseCap = numBits > prevMaxBits.toLong
+    if (raiseCap) {
+      spark.conf.set(maxBitsKey, numBits.toString)
+      System.err.println(s"[bloom] $table: raising $maxBitsKey " +
+        s"$prevMaxBits -> $numBits (${perFile} rows/file at fpp=$fpp)")
+    }
+    val rows = try {
+      src
+        .withColumn("__file", org.apache.spark.sql.functions.input_file_name())
+        .groupBy("__file")
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+    } finally if (raiseCap) spark.conf.set(maxBitsKey, prevMaxBits)
     val lines = rows.flatMap { r =>
       val name = r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)
       bloomCols.zipWithIndex.flatMap { case (c, i) =>
@@ -529,10 +545,36 @@ object FileSkipping {
     * pre-bloom data degrade to a full scan, never a wrong answer), and
     * the equality predicate is always re-applied as a residual filter
     * (a bloom hit is "maybe", at rate fpp). `value` must be an integral
-    * or string key, matching the aggregate's put domain. */
+    * or string key, matching the aggregate's put domain.
+    *
+    * The probe is HASHED BY THE COLUMN'S TYPE, not the value's runtime
+    * class: the bloom was built from the column's encoding (longs for
+    * integral columns, UTF-8 bytes for strings), so probing a string
+    * column with an Int (or vice versa) would hash the wrong encoding,
+    * read "definitely absent", and silently prune matching files — the
+    * one failure mode data-skipping must never have. The value is
+    * validated against the table schema and coerced within the integral
+    * family; a cross-family mismatch fails fast instead of pruning. */
   def readEquals(spark: SparkSession, table: String, column: String,
                  value: Any, version: Option[Long] = None): (DataFrame, PruneReport) = {
     val v = version.getOrElse(VersionedTable.latestVersion(spark, table))
+    val schema = VersionedTable.read(spark, table, Some(v)).schema
+    val field = schema.find(_.name == column).getOrElse(throw new IllegalArgumentException(
+      s"readEquals: column '$column' not in table schema (${schema.fieldNames.mkString(", ")})"))
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType, StringType}
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType)
+    val probe: Any = (field.dataType, value) match {
+      case (dt, b: Byte) if integral(dt) => b.toLong
+      case (dt, s: Short) if integral(dt) => s.toLong
+      case (dt, i: Int) if integral(dt) => i.toLong
+      case (dt, l: Long) if integral(dt) => l
+      case (StringType, s: String) => s
+      case (dt, other) => throw new IllegalArgumentException(
+        s"readEquals: a ${other.getClass.getSimpleName} value cannot probe the $dt column " +
+          s"'$column' — the bloom hashes by the column's type, and a mismatched probe would " +
+          "silently prune files that actually match")
+    }
     val dirs = VersionedTable.resolveDirs(spark, table, v)
     val f = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
     var total = 0; var noBloom = 0
@@ -552,7 +594,7 @@ object FileSkipping {
         files.foreach { p =>
           val keep = byFile.get(p.getName) match {
             case None => true // no bloom for this file/column: conservative
-            case Some(bytes) => bloomMightContain(bytes, value)
+            case Some(bytes) => bloomMightContain(bytes, probe)
           }
           if (keep) kept += p.toString
         }

@@ -285,6 +285,28 @@ class FileSkippingSpec extends AnyFunSuite with Matchers {
     df.collect().map(_.getAs[Long]("k")) shouldBe Array(50L)
   }
 
+  test("bloom probe is typed by the COLUMN: cross-family mismatch fails fast, " +
+      "integral widths coerce") {
+    val t = tmp()
+    bloomCommit(t, 1, 1000)
+    // an Int probe of the long column hashes identically after coercion —
+    // same files pruned, same row found
+    val (di, repI) = FileSkipping.readEquals(spark, t, "k", 123)
+    repI.filesKept should be < repI.filesTotal
+    di.collect().map(_.getAs[Long]("k")) shouldBe Array(123L)
+    // probing the STRING column with an Int would hash the long encoding
+    // against a UTF-8-built bloom and silently prune matching files —
+    // the call must refuse instead
+    an[IllegalArgumentException] should be thrownBy
+      FileSkipping.readEquals(spark, t, "s", 42)
+    // and the integral column refuses a string probe symmetrically
+    an[IllegalArgumentException] should be thrownBy
+      FileSkipping.readEquals(spark, t, "k", "123")
+    // unknown column names fail with the schema in the message
+    an[IllegalArgumentException] should be thrownBy
+      FileSkipping.readEquals(spark, t, "nope", 1L)
+  }
+
   test("bloom sidecar lines round-trip; append commits prune per directory") {
     val t = tmp()
     bloomCommit(t, 1, 500)

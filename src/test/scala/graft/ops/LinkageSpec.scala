@@ -293,4 +293,17 @@ class LinkageSpec extends AnyFunSuite with Matchers {
         Seq((1L, 2L, "p", "q")).toDF("id_a", "id_b", "s_a", "s_b"),
         Seq(("s", 0.9)))
   }
+
+  test("fellegiSunterScores: rejects field names a stack() melt cannot carry") {
+    // the melt interpolates field names into a SQL string — a quote or
+    // backtick would break (or escape) the parse, so the call refuses
+    // up front with a clear message instead of a parser error
+    val base = Seq((1L, "x"), (2L, "x")).toDF("id", "we`ird")
+    val pairs = Seq((1L, 2L, "x", "x")).toDF("id_a", "id_b", "we`ird_a", "we`ird_b")
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.fellegiSunterScores(base, pairs, Seq(("we`ird", 0.9)))
+    val base2 = Seq((1L, "x")).toDF("id", "o'brien")
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.fellegiSunterScores(base2, pairs, Seq(("o'brien", 0.9)))
+  }
 }

@@ -334,4 +334,16 @@ class TimeSeriesSpec extends AnyFunSuite with Matchers {
     Seq("r1_n", "r2_n", "r3_n", "r4_n").foreach(c.getAs[Long](_) shouldBe 0L)
     c.isNullAt(8) shouldBe true
   }
+
+  test("westernElectric: refuses a non-integral value column instead of truncating") {
+    // a double series silently cast("long") would truncate toward zero and
+    // produce plausible but wrong means/z-cuts — the doc's contract is
+    // now enforced, not just documented
+    val d = Seq(("a", java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), 1.5))
+      .toDF("k", "t", "x")
+    val e = intercept[IllegalArgumentException] {
+      TimeSeries.westernElectric(d, "k", "t", "x")
+    }
+    e.getMessage should include("integral")
+  }
 }
