@@ -1788,18 +1788,37 @@ object OpsQueries {
           // stringified row sort would scramble
           (round(col("cov") + lit(5e-10), 6) + lit(0.0)).as("cov"))
         .orderBy("i", "j")),
-    "s14_pca_variance" -> ((s, dir) => {
-      // eigen spectrum of the s13 covariance: driver Jacobi over the
-      // census (the c3 training class — iterative, spec-pinned; the
-      // corpus-side pass is what s13 hash-checks)
-      val m = Pca.fit(table(s, dir, "embeddings").select("embedding"),
-        "embedding", dim = 64, k = 8)
-      Pca.varianceFrame(s, m)
-        .select(col("component"),
-          round(col("eigenvalue") + lit(5e-10), 6).as("eigenvalue"),
-          round(col("var_ratio") + lit(5e-10), 6).as("var_ratio"),
-          round(col("cum_ratio") + lit(5e-10), 6).as("cum_ratio"))
-        .orderBy("component")
+    "s14b_pca_trace" -> ((s, dir) => {
+      // the eigen step made oracle-checkable (r14 verdict #3): the full
+      // Jacobi spectrum's SUM must equal the covariance TRACE — a
+      // similarity-invariant DuckDB replays from the raw embeddings as
+      // Σ_d var_samp(x_d) (the s13 diagonal, summed) — and the top-k
+      // eigenvectors must be orthonormal. The trace value itself is
+      // computed from the census (the hash-checked quantity); the two
+      // booleans carry the driver algebra's correctness: a broken
+      // Jacobi rotation breaks trace preservation, a broken sign-pin /
+      // sorting breaks orthonormality. The raw spectrum (fp-order
+      // sensitive, not SQL-replayable) stays pinned by PcaSpec's
+      // recovery tests.
+      val e = table(s, dir, "embeddings").select("embedding")
+      val m = Pca.fit(e, "embedding", dim = 64, k = 8)
+      // census trace summed in index order on the driver (deterministic
+      // fold, same rounding discipline as s13)
+      val diag = Pca.covFrame(e, "embedding", dim = 64)
+        .filter(col("i") === col("j")).orderBy("i")
+        .collect().map(_.getAs[Double]("cov"))
+      val trace = diag.sum
+      val eigSumOk = math.abs(m.totalVariance - trace) <=
+        1e-9 * math.max(1.0, math.abs(trace))
+      val comps = m.components
+      val maxResid = (for (a <- comps.indices; b <- a until comps.size) yield {
+        val dot = comps(a).zip(comps(b)).map { case (x, y) => x * y }.sum
+        math.abs(dot - (if (a == b) 1.0 else 0.0))
+      }).max
+      import s.implicits._
+      Seq((m.n, BigDecimal(trace + 5e-10).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          eigSumOk, maxResid <= 1e-9))
+        .toDF("n", "trace", "eig_sum_ok", "orthonormal_ok")
     }),
     "c9_curated_export" -> ((s, dir) => {
       // THE END-TO-END TRAINING HANDOFF, every stage the verified
@@ -3432,13 +3451,17 @@ object OpsQueries {
         .orderBy("id_a")
     }),
 
-    "u7_incremental_distinct" -> ((s, dir) => {
+    "u7b_incremental_distinct" -> ((s, dir) => {
       // incremental DISTINCT maintenance — the aggregate class u6's
       // sum/min/max combiners cannot express: per-segment HLL sketches
       // of the historical batch unioned with the delta batch's, exact
-      // recompute riding alongside. Rows-only (DuckDB has no
-      // Spark-compatible HLL); MergeSpec pins merged == whole-input
-      // sketch EXACTLY (register-wise max is associative).
+      // recompute riding alongside. DuckDB has no Spark-compatible HLL,
+      // but the MERGED estimate's accuracy contract is SQL-derivable
+      // (the a6b/m2b twin pattern): emit the exact census plus a
+      // boolean "merged estimate within 5·rsd of exact" (lgConfigK=12
+      // default → rsd ≈ 1.04/√4096 ≈ 1.6%); the oracle replays the
+      // census and a literal TRUE. MergeSpec separately pins merged ==
+      // whole-input sketch EXACTLY (register-wise max is associative).
       val o = table(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"))
         .join(table(s, dir, "customer")
           .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")), Seq("o_custkey"))
@@ -3448,9 +3471,13 @@ object OpsQueries {
           sk(o.filter(col("o_orderkey") % 7 =!= 0)),
           sk(o.filter(col("o_orderkey") % 7 === 0)),
           Seq("c_mktsegment"), Seq("sk"))
-        .select(col("c_mktsegment"), hll_sketch_estimate(col("sk")).as("approx_customers"))
+        .select(col("c_mktsegment"), hll_sketch_estimate(col("sk")).as("__approx"))
         .join(o.groupBy("c_mktsegment")
           .agg(count_distinct(col("o_custkey")).as("exact_customers")), Seq("c_mktsegment"))
+        .select(col("c_mktsegment"), col("exact_customers"),
+          (abs(col("__approx") - col("exact_customers")).cast("double") <=
+            lit(5 * 1.04 / math.sqrt(4096.0)) *
+              col("exact_customers").cast("double")).as("within_bounds"))
         .orderBy("c_mktsegment")
     }),
 
@@ -4540,6 +4567,18 @@ object OpsQueries {
         "round((sij - sa.si * sb.si / n) / (n - 1) + 5e-10, 6) + 0.0 AS cov " +
         "FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j, nn " +
         "ORDER BY i, j"),
+    "s14b_pca_trace" ->
+      // trace = Σ_d var_samp(x_d): the s13 diagonal, summed — the
+      // similarity invariant the Jacobi spectrum must preserve; the two
+      // booleans are literal TRUE (the accuracy/orthonormality contract
+      // the Spark side actually evaluates)
+      ("WITH tk AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, " +
+        "generate_subscripts(embedding, 1) AS i FROM embeddings " +
+        "WHERE embedding IS NOT NULL AND len(embedding) = 64), " +
+        "nn AS (SELECT count(DISTINCT vec_id)::BIGINT AS n FROM tk), " +
+        "v AS (SELECT i, sum(x) AS si, sum(x * x) AS sii FROM tk GROUP BY i) " +
+        "SELECT n, round(sum((sii - si * si / n) / (n - 1)) + 5e-10, 6) AS trace, " +
+        "true AS eig_sum_ok, true AS orthonormal_ok FROM v, nn GROUP BY n"),
     "c9_curated_export" -> {
       // dedup (d1's window pick) feeds the x2 enrich CTEs; the gate,
       // derived budget, and running-sum shard assignment replay the
@@ -6053,6 +6092,14 @@ object OpsQueries {
         "round(CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) + 5e-10, 6) AS max_price, " +
         "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) + 5e-10, 6) AS mean_price " +
         "FROM orders GROUP BY o_custkey ORDER BY o_custkey"),
+    "u7b_incremental_distinct" ->
+      // the exact distinct census by segment; within_bounds is the
+      // merged-sketch accuracy contract the Spark side evaluates — a
+      // literal TRUE here, so an out-of-bounds merged estimate (or a
+      // broken register-max merge) hash-mismatches
+      ("SELECT c.c_mktsegment, count(DISTINCT o.o_custkey)::BIGINT AS exact_customers, " +
+        "true AS within_bounds FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"),
     "u8_incremental_histogram" ->
       // full recompute over ALL orders (merge is exact by u6's argument)
       // + the same cum-walk/in-bin interpolation arithmetic: bin floor

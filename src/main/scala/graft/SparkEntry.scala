@@ -47,10 +47,28 @@ object SparkEntry {
       table(s, dir, "orders"),
       TableOneConfig(Some("o_orderpriority"), Seq("o_orderstatus", "o_totalprice"))))),
     // p-values: not DuckDB-expressible (t/F/chi-square CDFs) -> rows-only
-    // check; exact statistics are covered by the ScalaTest golden suite.
+    // check; exact statistics are covered by the ScalaTest golden suite
+    // AND by t5b below, which hash-checks the statistics themselves.
     "t5_tableone_pvalues" -> ((s, dir) => TableOne.summarize(
       table(s, dir, "lineitem"),
       TableOneConfig(Some("l_linestatus"), Seq("l_returnflag", "l_quantity"), pValues = true))),
+    // the statistic half of t5 made hash-green (r14 verdict #4): the
+    // pooled-t and chi-square STATISTICS are closed-form over the same
+    // moments/counts the hash-green t-queries already check, so DuckDB
+    // replays them exactly — through the REAL t5 plumbing (summarize
+    // with pValues=true), not a side computation. The p-values (CDF
+    // evaluations DuckDB lacks) stay golden-spec'd against scipy
+    // constants, matching the reference's test-selection rules
+    // (tableone_pyspark.py:459-510). 2 strata (F/O) -> pooled t on
+    // l_quantity; 3x2 contingency (dof 2, no Yates) -> chi-square on
+    // l_returnflag.
+    "t5b_tableone_statistics" -> ((s, dir) => TableOne.summarize(
+        table(s, dir, "lineitem"),
+        TableOneConfig(Some("l_linestatus"), Seq("l_returnflag", "l_quantity"), pValues = true))
+      .filter(col("test_name").isNotNull)
+      .select(col("Characteristics").as("variable"), col("test_name"),
+        round(col("test_value") + lit(5e-10), 6).as("test_value"))
+      .orderBy("variable")),
     "t6_tableone_beautify" -> ((s, dir) => roundDoubles(TableOne.summarize(
       table(s, dir, "customer"),
       TableOneConfig(Some("c_mktsegment"), Seq("c_acctbal"), beautify = true)))),
@@ -378,8 +396,15 @@ object SparkEntry {
         .agg(count_distinct(col("l_partkey")).as("parts"),
           count_distinct(col("l_suppkey")).as("supps"))
         .orderBy("l_returnflag")),
-    // HLL++ sketch differs from DuckDB's algorithm -> rows-only check;
-    // the spec asserts the estimate lands within the documented rsd.
+    // HLL++ sketch differs from DuckDB's algorithm, but its ACCURACY
+    // CONTRACT is SQL-derivable (the m2b/p3b/c3b twin pattern, r14
+    // verdict #3): emit the exact census plus a boolean "estimate
+    // within 4·rsd of exact" — the oracle replays the census and a
+    // literal TRUE, so a broken sketch (or a broken estimate path)
+    // flips the boolean and breaks the hash. The estimate itself is
+    // deterministic for fixed data (hash-based), so the bound cannot
+    // flake; ApproxDistinctSpec additionally pins the tighter
+    // per-group rsd behavior.
     // rsd stays at Spark's 0.05 default: 0.01 would cost 16x the sketch
     // bytes per group in every partial aggregate (~51 s at sf1 for a
     // query whose point is the CHEAP estimate; the exact column rides
@@ -391,12 +416,15 @@ object SparkEntry {
     // then carries its own HLL buffer (measured 16.7 s vs 5.5 s for the
     // EXACT a5 at 100x bench scale). Split, the sketch aggregates
     // map-side into 5 groups and the join is 5 rows x 5 rows.
-    "a6_approx_distinct" -> ((s, dir) => {
+    "a6b_approx_distinct" -> ((s, dir) => {
       val li = table(s, dir, "lineitem").select("l_returnflag", "l_partkey")
       li.groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey"), 0.05).as("parts_approx"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.05).as("__approx"))
         .join(li.groupBy("l_returnflag")
           .agg(count_distinct(col("l_partkey")).as("parts_exact")), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("parts_exact"),
+          (abs(col("__approx") - col("parts_exact")).cast("double") <=
+            lit(4 * 0.05) * col("parts_exact").cast("double")).as("within_bounds"))
         .orderBy("l_returnflag")
     }),
 
@@ -817,6 +845,34 @@ object SparkEntry {
     "a5_count_distinct" ->
       ("SELECT l_returnflag, count(DISTINCT l_partkey) AS parts, count(DISTINCT l_suppkey) AS supps " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "a6b_approx_distinct" ->
+      // the exact census is replayed; within_bounds is the accuracy
+      // contract the Spark side actually evaluates against its HLL++
+      // estimate — a literal TRUE here, so an out-of-bounds estimate
+      // hash-mismatches
+      ("SELECT l_returnflag, count(DISTINCT l_partkey) AS parts_exact, " +
+        "true AS within_bounds FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "t5b_tableone_statistics" ->
+      // pooled t from per-stratum (n, mean, var_samp) with strata in
+      // TableOne's sorted order (F then O — the sign convention), and
+      // Pearson chi-square from the 3x2 crosstab (dof 2 -> no Yates),
+      // the same closed forms StatTests evaluates over the collected
+      // moments
+      ("WITH m AS (SELECT l_linestatus AS s, count(l_quantity)::BIGINT AS n, " +
+        "avg(l_quantity) AS mean, var_samp(l_quantity) AS v " +
+        "FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1), " +
+        "tt AS (SELECT 't-test' AS test_name, " +
+        "(a.mean - b.mean) / sqrt((((a.n - 1) * a.v + (b.n - 1) * b.v) / (a.n + b.n - 2)) " +
+        "* (1.0 / a.n + 1.0 / b.n)) AS stat FROM m a, m b WHERE a.s = 'F' AND b.s = 'O'), " +
+        "ct AS (SELECT l_returnflag AS r, l_linestatus AS s, count(*)::DOUBLE AS c " +
+        "FROM lineitem GROUP BY 1, 2), " +
+        "tots AS (SELECT c, sum(c) OVER (PARTITION BY r) AS rs, " +
+        "sum(c) OVER (PARTITION BY s) AS cs, sum(c) OVER () AS g FROM ct), " +
+        "chi AS (SELECT 'Chi-Square' AS test_name, " +
+        "sum((c - rs * cs / g) ** 2 / (rs * cs / g)) AS stat FROM tots) " +
+        "SELECT 'l_quantity' AS variable, test_name, round(stat + 5e-10, 6) AS test_value FROM tt " +
+        "UNION ALL SELECT 'l_returnflag', test_name, round(stat + 5e-10, 6) FROM chi " +
+        "ORDER BY variable"),
     "j1_outer_join" ->
       ("SELECT c.c_mktsegment, count(o.o_custkey) AS n_orders, count(*) AS n_rows, " +
         "ROUND(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) + 5e-10, 6) AS revenue " +
