@@ -487,6 +487,26 @@ object OpsQueries {
           round(col("audio_stats.peak") + lit(5e-10), 6).as("peak"))
         .orderBy("doc_id")
     }),
+    "m16_flac_stats" -> ((s, dir) => {
+      // REAL lossless-compressed-audio sample decode, oracle-checked END
+      // TO END (the step past m9's golden constants): each planted FLAC
+      // stream packs four 64-sample blocks — constant, verbatim, fixed-2,
+      // and LPC subframes, Rice-coded residuals, CRC-8/CRC-16 verified —
+      // whose samples are a closed form in (doc_id, j). The engine runs
+      // the full bitstream decoder; DuckDB replays the stats from the
+      // planting formula because LOSSLESS means decoded == planted.
+      // Every stat is exact dyadic-rational math (|v| < 2^15, 256
+      // samples), so both engines compute identical doubles.
+      val planted = docs(s, dir).filter(col("doc_id") % 10 === 9)
+        .select(col("doc_id"), Multimodal.flacPayload(col("doc_id")).as("payload"))
+      Multimodal.withAudioStats(planted, "payload")
+        .select(col("doc_id"),
+          col("audio_stats.n_samples").as("n_samples"),
+          round(col("audio_stats.mean") + lit(5e-10), 6).as("mean"),
+          round(col("audio_stats.rms") + lit(5e-10), 6).as("rms"),
+          round(col("audio_stats.peak") + lit(5e-10), 6).as("peak"))
+        .orderBy("doc_id")
+    }),
     "m10_video_frames" -> ((s, dir) => {
       // REAL video sample decode, oracle-checked end to end: plant a
       // minimal single-stream AVI whose uncompressed BI_RGB DIB frame
@@ -4158,6 +4178,24 @@ object OpsQueries {
         "round(avg(CASE WHEN c = 1 THEN v END), 6) AS mean_g, " +
         "round(avg(CASE WHEN c = 0 THEN v END), 6) AS mean_b " +
         "FROM px GROUP BY doc_id, frame_id ORDER BY doc_id, frame_id"),
+    "m16_flac_stats" ->
+      // replay the FLAC decode from the planting closed form (lossless:
+      // decoded == planted): the four 64-sample block formulas of
+      // Multimodal.flacSignal, then exact dyadic stats — sums of
+      // v/2^15 and (v/2^15)^2 over 256 terms stay under 53 bits, so
+      // both engines produce bit-identical doubles
+      ("WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 9), " +
+        "s AS (SELECT d.doc_id, CASE " +
+        "WHEN j.range < 64 THEN (doc_id % 1000) * 16 - 8000 " +
+        "WHEN j.range < 128 THEN ((doc_id * 37 + j.range * 251) % 4096) - 2048 " +
+        "WHEN j.range < 192 THEN ((doc_id % 100) * 3 - 150) + ((doc_id % 7) - 3) * (j.range - 128) " +
+        "ELSE ((doc_id * 13 + j.range * 89) % 257) - 128 END AS v " +
+        "FROM d CROSS JOIN range(256) j) " +
+        "SELECT doc_id, count(*)::BIGINT AS n_samples, " +
+        "round(sum(v) / 32768.0 / 256 + 5e-10, 6) AS mean, " +
+        "round(sqrt(sum(v * v) / (32768.0 * 32768.0) / 256) + 5e-10, 6) AS rms, " +
+        "round(max(abs(v)) / 32768.0 + 5e-10, 6) AS peak " +
+        "FROM s GROUP BY doc_id ORDER BY doc_id"),
     "m12_audio_decimate" ->
       // replay decimate-by-4 from the raw text bytes: samples i in
       // {0,4,...,28} as sign-extended LE16 pairs (the m5 replay);

@@ -1651,10 +1651,13 @@ object Multimodal {
 
   /** Partition-wise REAL audio decode over a binary column: adds an
     * `audio_stats` struct (n_samples, mean, rms, peak) for PCM-16 WAV
-    * payloads AND mono IMA-ADPCM WAVs (real compressed-audio sample
-    * decode via [[decodeWavImaAdpcm]], round 11), null for every other
-    * format (MP3 sample decode remains the documented stub; video
-    * frames decode via [[videoFrames]]). Same
+    * payloads, mono IMA-ADPCM WAVs (real compressed-audio sample decode
+    * via [[decodeWavImaAdpcm]], round 11), AND FLAC streams (the full
+    * lossless codec via [[decodeFlacPcm]], round 15); null for every
+    * other format. MP3 sample decode is formally OUT OF SCOPE (SURVEY
+    * §2.11: perceptual filterbank synthesis has no exact byte contract
+    * an oracle could replay — [[withMp3Meta]] carries the stream
+    * metadata); video frames decode via [[videoFrames]]. Same
     * `mapPartitions` batch shape as [[withMediaMeta]]. */
   def withAudioStats(df: DataFrame, payloadCol: String): DataFrame = {
     val inSchema = df.schema
@@ -1665,6 +1668,7 @@ object Multimodal {
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](payloadIdx)
         val stats = decodeWavPcm16(bytes).orElse(decodeWavImaAdpcm(bytes))
+          .orElse(decodeFlacPcm(bytes))
           .map { case (n, mean, rms, peak) => Row(n, mean, rms, peak) }.orNull
         Row.fromSeq(r.toSeq :+ stats)
       }
@@ -2026,4 +2030,683 @@ object Multimodal {
       }
     }(enc)
   }
+
+  // ===== FLAC (lossless compressed audio, RFC 9639 / flac format spec) ====
+  //
+  // The LOSSLESS compressed-audio codec, decoded completely and without
+  // any media library: every subframe type the format defines (CONSTANT,
+  // VERBATIM, FIXED orders 0-4, LPC orders 1-32), partitioned Rice
+  // residuals (both 4- and 5-bit parameter methods, escape partitions),
+  // wasted bits, the three stereo decorrelation modes, UTF-8 frame
+  // numbers, and both frame CRCs verified. Lossless is what makes this
+  // the RIGHT codec to close the compressed-audio verification story:
+  // decoded samples EQUAL the planted signal, so the m16 oracle replays
+  // the decode closed-form from the planting parameters — no golden
+  // constants (the step past m9's ADPCM, whose stateful quantizer the
+  // oracle could only pin with verified constants). MP3 sample decode
+  // stays formally OUT OF SCOPE (SURVEY §2.11): a perceptual filterbank
+  // reconstruction has no exact byte contract an oracle could replay.
+
+  /** CRC-8, polynomial x^8+x^2+x+1 (0x07), init 0 — the FLAC frame-header
+    * checksum. */
+  private[ops] def flacCrc8(bytes: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= bytes(i) & 0xFF
+      var b = 0
+      while (b < 8) {
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xFF else (crc << 1) & 0xFF
+        b += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** CRC-16, polynomial x^16+x^15+x^2+1 (0x8005), init 0 — the FLAC
+    * whole-frame checksum. */
+  private[ops] def flacCrc16(bytes: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (bytes(i) & 0xFF) << 8
+      var b = 0
+      while (b < 8) {
+        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xFFFF else (crc << 1) & 0xFFFF
+        b += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** MSB-first bit reader over a byte array. Every read checks bounds;
+    * running past the end raises (the caller's strict corrupt policy
+    * turns that into a whole-payload None). */
+  private final class FlacBitReader(bytes: Array[Byte]) {
+    var pos: Long = 0L // bit position
+    private val nBits = bytes.length.toLong * 8
+    def bytePos: Int = (pos >> 3).toInt
+    def bitsLeft: Long = nBits - pos
+    def readBits(n: Int): Long = {
+      if (n == 0) return 0L
+      if (pos + n > nBits) throw new IllegalStateException("flac: bitstream exhausted")
+      var v = 0L
+      var left = n
+      while (left > 0) {
+        val byteIdx = (pos >> 3).toInt
+        val bitOff = (pos & 7).toInt
+        val take = math.min(8 - bitOff, left)
+        val chunk = ((bytes(byteIdx) & 0xFF) >> (8 - bitOff - take)) & ((1 << take) - 1)
+        v = (v << take) | chunk
+        pos += take
+        left -= take
+      }
+      v
+    }
+    def readSigned(n: Int): Long = {
+      val u = readBits(n)
+      if (n == 0) 0L else (u << (64 - n)) >> (64 - n)
+    }
+    /** FLAC unary: count of 0 bits before the terminating 1. */
+    def readUnary(): Int = {
+      var q = 0
+      while (readBits(1) == 0L) {
+        q += 1
+        if (q > (1 << 24)) throw new IllegalStateException("flac: runaway unary")
+      }
+      q
+    }
+    def alignToByte(): Unit = { pos = (pos + 7) & ~7L }
+  }
+
+  /** MSB-first bit writer (fixture-encoder side). */
+  private final class FlacBitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nCur = 0
+    def writeBits(v: Long, n: Int): Unit = {
+      var left = n
+      while (left > 0) {
+        val take = math.min(8 - nCur, left)
+        val chunk = ((v >>> (left - take)) & ((1L << take) - 1)).toInt
+        cur = (cur << take) | chunk
+        nCur += take
+        left -= take
+        if (nCur == 8) { out.write(cur); cur = 0; nCur = 0 }
+      }
+    }
+    def writeUnary(q: Int): Unit = { var i = 0; while (i < q) { writeBits(0, 1); i += 1 }; writeBits(1, 1) }
+    def alignToByte(): Unit = if (nCur > 0) writeBits(0, 8 - nCur)
+    def toByteArray: Array[Byte] = { alignToByte(); out.toByteArray }
+  }
+
+  /** FLAC's UTF-8-style coded number (frame/sample index). Returns -1 on
+    * a malformed coding. */
+  private def flacUtf8Read(r: FlacBitReader): Long = {
+    val b0 = r.readBits(8).toInt
+    if ((b0 & 0x80) == 0) return b0.toLong
+    var n = 0
+    var mask = 0x40
+    while ((b0 & mask) != 0 && n < 7) { n += 1; mask >>= 1 }
+    if (n == 0 || n > 6) return -1L
+    var v = (b0 & (mask - 1)).toLong
+    var i = 0
+    while (i < n) {
+      val bi = r.readBits(8).toInt
+      if ((bi & 0xC0) != 0x80) return -1L
+      v = (v << 6) | (bi & 0x3F)
+      i += 1
+    }
+    v
+  }
+
+  private def flacUtf8Write(w: FlacBitWriter, v: Long): Unit = {
+    require(v >= 0, "flac frame number must be >= 0")
+    if (v < 0x80) { w.writeBits(v, 8); return }
+    // count payload bits -> continuation byte count
+    var n = 1
+    while (n < 6 && v >= (1L << (6 * n + (6 - n)))) n += 1
+    // leading byte: n+1 ones, a zero, then the top bits
+    val lead = ((0xFF << (7 - n)) & 0xFF) | ((v >> (6 * n)) & ((1 << (6 - n)) - 1)).toInt
+    w.writeBits(lead.toLong, 8)
+    var i = n - 1
+    while (i >= 0) {
+      w.writeBits(0x80L | ((v >> (6 * i)) & 0x3F), 8)
+      i -= 1
+    }
+  }
+
+  /** Parsed STREAMINFO: (sampleRate, channels, bitsPerSample,
+    * totalSamples, firstFrameOffset). */
+  private[ops] def flacStreamInfo(bytes: Array[Byte]): Option[(Int, Int, Int, Long, Int)] = {
+    if (bytes == null || bytes.length < 4 + 4 + 34) return None
+    if (!(bytes(0) == 'f' && bytes(1) == 'L' && bytes(2) == 'a' && bytes(3) == 'C')) return None
+    var off = 4
+    var info: Option[(Int, Int, Int, Long)] = None
+    var last = false
+    while (!last) {
+      if (off + 4 > bytes.length) return None
+      val h = bytes(off) & 0xFF
+      last = (h & 0x80) != 0
+      val btype = h & 0x7F
+      val len = ((bytes(off + 1) & 0xFF) << 16) | ((bytes(off + 2) & 0xFF) << 8) | (bytes(off + 3) & 0xFF)
+      if (off + 4 + len > bytes.length) return None
+      if (btype == 0 && len >= 34) {
+        val r = new FlacBitReader(bytes)
+        r.pos = (off + 4).toLong * 8 + 16 + 16 + 24 + 24 // skip block/frame size bounds
+        val rate = r.readBits(20).toInt
+        val ch = r.readBits(3).toInt + 1
+        val bps = r.readBits(5).toInt + 1
+        val total = r.readBits(36)
+        info = Some((rate, ch, bps, total))
+      }
+      off += 4 + len
+    }
+    info.map { case (rate, ch, bps, total) => (rate, ch, bps, total, off) }
+  }
+
+  private val flacFixedCoefs: Array[Array[Long]] = Array(
+    Array(), Array(1L), Array(2L, -1L), Array(3L, -3L, 1L), Array(4L, -6L, 4L, -1L))
+
+  /** Decode one channel's residual (partitioned Rice) into `res`,
+    * `blockSize - predOrder` values starting at index `predOrder`. */
+  private def flacReadResidual(r: FlacBitReader, blockSize: Int, predOrder: Int,
+                               res: Array[Long]): Unit = {
+    val method = r.readBits(2).toInt
+    if (method > 1) throw new IllegalStateException("flac: reserved residual method")
+    val paramBits = if (method == 0) 4 else 5
+    val escape = if (method == 0) 15 else 31
+    val po = r.readBits(4).toInt
+    val nPart = 1 << po
+    if (blockSize % nPart != 0)
+      throw new IllegalStateException("flac: bad partition order")
+    var idx = predOrder
+    var p = 0
+    while (p < nPart) {
+      val count = (blockSize >> po) - (if (p == 0) predOrder else 0)
+      if (count < 0) throw new IllegalStateException("flac: bad partition order")
+      val param = r.readBits(paramBits).toInt
+      if (param == escape) {
+        val raw = r.readBits(5).toInt
+        var i = 0
+        while (i < count) { res(idx) = r.readSigned(raw); idx += 1; i += 1 }
+      } else {
+        var i = 0
+        while (i < count) {
+          val q = r.readUnary()
+          val u = (q.toLong << param) | r.readBits(param)
+          res(idx) = (u >>> 1) ^ -(u & 1L) // zigzag decode
+          idx += 1; i += 1
+        }
+      }
+      p += 1
+    }
+  }
+
+  /** Decode one subframe into `out` (blockSize samples at bps bits). */
+  private def flacReadSubframe(r: FlacBitReader, blockSize: Int, bps: Int,
+                               out: Array[Long]): Unit = {
+    if (r.readBits(1) != 0L) throw new IllegalStateException("flac: subframe pad bit set")
+    val t = r.readBits(6).toInt
+    var wasted = 0
+    if (r.readBits(1) == 1L) wasted = r.readUnary() + 1
+    val ebps = bps - wasted
+    if (ebps <= 0) throw new IllegalStateException("flac: wasted bits exhaust sample size")
+    t match {
+      case 0 => // CONSTANT
+        val v = r.readSigned(ebps)
+        java.util.Arrays.fill(out, v)
+      case 1 => // VERBATIM
+        var i = 0
+        while (i < blockSize) { out(i) = r.readSigned(ebps); i += 1 }
+      case ft if ft >= 8 && ft <= 12 => // FIXED, order 0-4
+        val order = ft - 8
+        if (order > blockSize) throw new IllegalStateException("flac: order > blockSize")
+        var i = 0
+        while (i < order) { out(i) = r.readSigned(ebps); i += 1 }
+        flacReadResidual(r, blockSize, order, out)
+        val coefs = flacFixedCoefs(order)
+        i = order
+        while (i < blockSize) {
+          var pred = 0L
+          var k = 0
+          while (k < order) { pred += coefs(k) * out(i - 1 - k); k += 1 }
+          out(i) = out(i) + pred
+          i += 1
+        }
+      case lt if lt >= 32 => // LPC, order 1-32
+        val order = (lt & 31) + 1
+        if (order > blockSize) throw new IllegalStateException("flac: order > blockSize")
+        var i = 0
+        while (i < order) { out(i) = r.readSigned(ebps); i += 1 }
+        val precM1 = r.readBits(4).toInt
+        if (precM1 == 15) throw new IllegalStateException("flac: invalid qlp precision")
+        val prec = precM1 + 1
+        val shift = r.readSigned(5).toInt
+        if (shift < 0) throw new IllegalStateException("flac: negative qlp shift")
+        val coefs = new Array[Long](order)
+        i = 0
+        while (i < order) { coefs(i) = r.readSigned(prec); i += 1 }
+        flacReadResidual(r, blockSize, order, out)
+        i = order
+        while (i < blockSize) {
+          var acc = 0L
+          var k = 0
+          while (k < order) { acc += coefs(k) * out(i - 1 - k); k += 1 }
+          out(i) = out(i) + (acc >> shift)
+          i += 1
+        }
+      case _ => throw new IllegalStateException(s"flac: reserved subframe type $t")
+    }
+    if (wasted > 0) {
+      var i = 0
+      while (i < blockSize) { out(i) = out(i) << wasted; i += 1 }
+    }
+  }
+
+  private val flacBlockSizes = Array(-1, 192, 576, 1152, 2304, 4608, -6, -7,
+    256, 512, 1024, 2048, 4096, 8192, 16384, 32768)
+
+  /** Full-stream FLAC sample decode: every frame's header CRC-8 and
+    * frame CRC-16 are VERIFIED, every subframe type decodes, stereo
+    * decorrelation (left-side / right-side / mid-side) is undone.
+    * Returns (sampleRate, channels, bitsPerSample, interleaved samples)
+    * or None for non-FLAC / corrupt / truncated payloads — the strict
+    * whole-payload corrupt policy of the AVI/GIF decoders (a checksummed
+    * format has no honest crawl-prefix reading). Bomb gates: declared
+    * total samples and the accumulated decode are capped at 2^24
+    * samples/channel (≈ 64 MiB of int samples at stereo 16-bit). */
+  private[ops] def decodeFlacSamples(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = {
+    val info = flacStreamInfo(bytes)
+    if (info.isEmpty) return None
+    val (rate, channels, bps, total, frameOff) = info.get
+    if (rate <= 0 || channels < 1 || channels > 8 || bps < 4 || bps > 32) return None
+    if (total > (1L << 24)) return None // bomb gate
+    try {
+      val out = new java.util.ArrayList[Array[Long]]()
+      val r = new FlacBitReader(bytes)
+      r.pos = frameOff.toLong * 8
+      var nOut = 0L
+      while (r.bitsLeft >= 32) {
+        val frameStart = r.bytePos
+        if (r.readBits(14) != 0x3FFE) throw new IllegalStateException("flac: lost frame sync")
+        if (r.readBits(1) != 0L) throw new IllegalStateException("flac: reserved bit set")
+        val variable = r.readBits(1) == 1L
+        val bsCode = r.readBits(4).toInt
+        val srCode = r.readBits(4).toInt
+        val chCode = r.readBits(4).toInt
+        val ssCode = r.readBits(3).toInt
+        if (r.readBits(1) != 0L) throw new IllegalStateException("flac: reserved bit set")
+        if (flacUtf8Read(r) < 0) throw new IllegalStateException("flac: bad frame number")
+        val blockSize = bsCode match {
+          case 0 => throw new IllegalStateException("flac: reserved block size")
+          case 6 => r.readBits(8).toInt + 1
+          case 7 => r.readBits(16).toInt + 1
+          case c => flacBlockSizes(c)
+        }
+        srCode match {
+          case 12 => r.readBits(8)
+          case 13 | 14 => r.readBits(16)
+          case 15 => throw new IllegalStateException("flac: invalid sample-rate code")
+          case _ => ()
+        }
+        val headerEnd = r.bytePos
+        if ((r.pos & 7) != 0) throw new IllegalStateException("flac: header not byte-aligned")
+        val crc8 = r.readBits(8).toInt
+        if (flacCrc8(bytes, frameStart, headerEnd) != crc8)
+          throw new IllegalStateException("flac: frame header CRC-8 mismatch")
+        val nCh = if (chCode <= 7) chCode + 1 else 2
+        if (nCh != channels) throw new IllegalStateException("flac: channel count changed")
+        val frameBps = ssCode match {
+          case 0 => bps
+          case 1 => 8
+          case 2 => 12
+          case 4 => 16
+          case 5 => 20
+          case 6 => 24
+          case 7 => 32
+          case _ => throw new IllegalStateException("flac: reserved sample size")
+        }
+        if (nOut + blockSize > (1L << 24)) throw new IllegalStateException("flac: bomb gate")
+        val chans = Array.fill(nCh)(new Array[Long](blockSize))
+        var c = 0
+        while (c < nCh) {
+          // the SIDE channel of a decorrelated pair carries one extra bit
+          val extra = chCode match {
+            case 8 => if (c == 1) 1 else 0  // left/side
+            case 9 => if (c == 0) 1 else 0  // side/right
+            case 10 => if (c == 1) 1 else 0 // mid/side
+            case _ => 0
+          }
+          flacReadSubframe(r, blockSize, frameBps + extra, chans(c))
+          c += 1
+        }
+        // undo stereo decorrelation
+        chCode match {
+          case 8 => // left/side: right = left - side
+            var i = 0
+            while (i < blockSize) { chans(1)(i) = chans(0)(i) - chans(1)(i); i += 1 }
+          case 9 => // side/right: left = side + right
+            var i = 0
+            while (i < blockSize) {
+              val side = chans(0)(i)
+              chans(0)(i) = side + chans(1)(i)
+              i += 1
+            }
+          case 10 => // mid/side: mid stored as (l+r)>>1 with side's low bit
+            var i = 0
+            while (i < blockSize) {
+              val mid2 = (chans(0)(i) << 1) | (chans(1)(i) & 1L)
+              val side = chans(1)(i)
+              val l = (mid2 + side) >> 1
+              chans(0)(i) = l
+              chans(1)(i) = l - side
+              i += 1
+            }
+          case _ => ()
+        }
+        r.alignToByte()
+        val crc16 = r.readBits(16).toInt
+        if (flacCrc16(bytes, frameStart, r.bytePos - 2) != crc16)
+          throw new IllegalStateException("flac: frame CRC-16 mismatch")
+        out.add(chans.flatMap(_.iterator))
+        nOut += blockSize
+        if (!variable) () // frame numbering already validated by UTF-8 read
+      }
+      val samples = new Array[Int]((nOut * channels).toInt)
+      var idx = 0
+      val it = out.iterator()
+      while (it.hasNext) {
+        val block = it.next()
+        val blockSize = block.length / channels
+        // re-interleave: block is channel-major
+        var i = 0
+        while (i < blockSize) {
+          var c = 0
+          while (c < channels) {
+            samples(idx) = block(c * blockSize + i).toInt
+            idx += 1; c += 1
+          }
+          i += 1
+        }
+      }
+      if (total > 0 && nOut != total) throw new IllegalStateException("flac: sample count mismatch")
+      Some((rate, channels, bps, samples))
+    } catch { case _: Exception => None }
+  }
+
+  /** [[decodeFlacSamples]] folded to the [[audioStatsType]] tuple
+    * (n_samples, mean, rms, |peak|) over [-1, 1)-normalized samples —
+    * the same contract as [[decodeWavPcm16]]. */
+  private[ops] def decodeFlacPcm(bytes: Array[Byte]): Option[(Long, Double, Double, Double)] =
+    decodeFlacSamples(bytes).map { case (_, _, bps, samples) =>
+      val scale = (1L << (bps - 1)).toDouble
+      var n = 0L; var sum = 0.0; var sq = 0.0; var peak = 0.0
+      var i = 0
+      while (i < samples.length) {
+        val s = samples(i) / scale
+        n += 1; sum += s; sq += s * s
+        val a = math.abs(s); if (a > peak) peak = a
+        i += 1
+      }
+      if (n == 0) (0L, 0.0, 0.0, 0.0) else (n, sum / n, math.sqrt(sq / n), peak)
+    }
+
+  /** Fixture/builder: encode MONO samples as a complete, spec-valid FLAC
+    * stream (STREAMINFO + frames with verified-correct CRC-8/CRC-16),
+    * choosing each block's subframe type from `types` (cycled):
+    * "constant" (requires the block constant), "verbatim",
+    * "fixed0".."fixed4", or "lpc" (order-2 quantized predictor
+    * [2, -1] at shift 0 — any coefficients are lossless because the
+    * residual is stored exactly; this one exercises the LPC read path
+    * with closed-form behavior). Residuals are partitioned-Rice coded
+    * (method 0, one partition, parameter fitted to the block, escape
+    * when the fit exceeds 14). Specs round-trip it against
+    * [[decodeFlacSamples]]; production corpora arrive already encoded. */
+  def flacEncode(samples: Array[Int], blockSize: Int = 4096,
+                 sampleRate: Int = 8000, bps: Int = 16,
+                 types: Seq[String] = Seq("auto")): Array[Byte] = {
+    require(blockSize >= 16 && blockSize <= 32768, s"blockSize out of range: $blockSize")
+    // the fixture encoder emits 16-bit streams only (sample-size code 4
+    // is written inline in the frame header); the DECODER handles every
+    // size the format defines
+    require(bps == 16, s"flacEncode emits 16-bit streams only, got bps=$bps")
+    val lim = 1L << (bps - 1)
+    require(samples.forall(s => s >= -lim && s < lim), s"samples exceed $bps-bit range")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    // STREAMINFO (last metadata block)
+    val si = new FlacBitWriter
+    si.writeBits(blockSize.toLong, 16); si.writeBits(blockSize.toLong, 16)
+    si.writeBits(0, 24); si.writeBits(0, 24) // frame-size bounds unknown
+    si.writeBits(sampleRate.toLong, 20)
+    si.writeBits(0, 3) // channels - 1 (mono)
+    si.writeBits((bps - 1).toLong, 5)
+    si.writeBits(samples.length.toLong, 36)
+    var md5 = 0
+    while (md5 < 16) { si.writeBits(0, 8); md5 += 1 }
+    val siBytes = si.toByteArray
+    out.write(0x80); out.write(0); out.write(siBytes.length >> 8); out.write(siBytes.length & 0xFF)
+    out.write(siBytes)
+    // frames
+    val nBlocks = (samples.length + blockSize - 1) / blockSize
+    var blk = 0
+    while (blk < nBlocks) {
+      val base = blk * blockSize
+      val bs = math.min(blockSize, samples.length - base)
+      val block = java.util.Arrays.copyOfRange(samples, base, base + bs)
+      val w = new FlacBitWriter
+      w.writeBits(0x3FFE, 14) // sync
+      w.writeBits(0, 1); w.writeBits(0, 1) // reserved, fixed blocksize
+      w.writeBits(7, 4) // blocksize: 16-bit at header end
+      w.writeBits(0, 4) // sample rate: from STREAMINFO
+      w.writeBits(0, 4) // channels: 1, independent
+      w.writeBits(4, 3) // sample size 16... overridden below for bps!=16
+      w.writeBits(0, 1)
+      flacUtf8Write(w, blk.toLong)
+      w.writeBits((bs - 1).toLong, 16)
+      val headerNoCrc = w.toByteArray // alignToByte is a no-op: header is byte-aligned
+      val body = new FlacBitWriter
+      val t = types(blk % types.size) match {
+        case "auto" =>
+          if (block.forall(_ == block(0))) "constant"
+          else if (bs >= 3) "fixed2" else "verbatim"
+        case x => x
+      }
+      flacWriteSubframe(body, block, bps, t)
+      body.alignToByte()
+      val bodyBytes = body.toByteArray
+      // assemble: header + crc8 + body + crc16
+      val pre = new java.io.ByteArrayOutputStream()
+      pre.write(headerNoCrc)
+      pre.write(flacCrc8(headerNoCrc, 0, headerNoCrc.length))
+      pre.write(bodyBytes)
+      val frame = pre.toByteArray
+      val c16 = flacCrc16(frame, 0, frame.length)
+      out.write(frame)
+      out.write(c16 >> 8); out.write(c16 & 0xFF)
+      blk += 1
+    }
+    out.toByteArray
+  }
+
+  /** One subframe of the fixture encoder (mono, no wasted bits). */
+  private def flacWriteSubframe(w: FlacBitWriter, block: Array[Int], bps: Int,
+                                t: String): Unit = {
+    def writeResidual(res: Array[Long], from: Int): Unit = {
+      w.writeBits(0, 2) // method 0: 4-bit Rice parameters
+      w.writeBits(0, 4) // partition order 0: one partition
+      val n = res.length - from
+      // fit the Rice parameter to the mean folded magnitude
+      var sum = 0.0
+      var i = from
+      while (i < res.length) {
+        val u = (res(i) << 1) ^ (res(i) >> 63)
+        sum += u.toDouble
+        i += 1
+      }
+      val mean = if (n > 0) sum / n else 0.0
+      var param = 0
+      while (param < 14 && (1L << (param + 1)) < mean) param += 1
+      val maxU = {
+        var m = 0L
+        var j = from
+        while (j < res.length) { val u = (res(j) << 1) ^ (res(j) >> 63); if (u > m) m = u; j += 1 }
+        m
+      }
+      // escape to raw if the worst quotient would be pathological
+      if (param < 14 && (maxU >> param) <= 1024) {
+        w.writeBits(param.toLong, 4)
+        var j = from
+        while (j < res.length) {
+          val u = (res(j) << 1) ^ (res(j) >> 63)
+          w.writeUnary((u >>> param).toInt)
+          w.writeBits(u & ((1L << param) - 1), param)
+          j += 1
+        }
+      } else {
+        w.writeBits(15, 4) // escape
+        // raw width: enough for the widest residual (signed)
+        var width = 2
+        var j = from
+        while (j < res.length) {
+          val v = res(j)
+          while (width < 32 && (v < -(1L << (width - 1)) || v >= (1L << (width - 1)))) width += 1
+          j += 1
+        }
+        w.writeBits(width.toLong, 5)
+        j = from
+        while (j < res.length) { w.writeBits(res(j) & ((1L << width) - 1), width); j += 1 }
+      }
+    }
+    w.writeBits(0, 1) // pad
+    t match {
+      case "constant" =>
+        require(block.forall(_ == block(0)), "constant subframe needs a constant block")
+        w.writeBits(0, 6); w.writeBits(0, 1)
+        w.writeBits(block(0).toLong & ((1L << bps) - 1), bps)
+      case "verbatim" =>
+        w.writeBits(1, 6); w.writeBits(0, 1)
+        var i = 0
+        while (i < block.length) { w.writeBits(block(i).toLong & ((1L << bps) - 1), bps); i += 1 }
+      case f if f.startsWith("fixed") =>
+        val order = f.stripPrefix("fixed").toInt
+        require(order >= 0 && order <= 4 && order <= block.length,
+          s"bad fixed order for block: $f")
+        w.writeBits((8 + order).toLong, 6); w.writeBits(0, 1)
+        var i = 0
+        while (i < order) { w.writeBits(block(i).toLong & ((1L << bps) - 1), bps); i += 1 }
+        val coefs = flacFixedCoefs(order)
+        val res = new Array[Long](block.length)
+        i = order
+        while (i < block.length) {
+          var pred = 0L
+          var k = 0
+          while (k < order) { pred += coefs(k) * block(i - 1 - k); k += 1 }
+          res(i) = block(i).toLong - pred
+          i += 1
+        }
+        writeResidual(res, order)
+      case "lpc" =>
+        val order = 2
+        require(block.length > order, "lpc subframe needs > 2 samples")
+        w.writeBits((32 | (order - 1)).toLong, 6); w.writeBits(0, 1)
+        var i = 0
+        while (i < order) { w.writeBits(block(i).toLong & ((1L << bps) - 1), bps); i += 1 }
+        w.writeBits(3, 4)  // qlp precision 4 bits (precision-1 = 3)
+        w.writeBits(0, 5)  // shift 0
+        w.writeBits(2L & 0xF, 4)   // coef[0] = 2
+        w.writeBits((-1L) & 0xF, 4) // coef[1] = -1
+        val res = new Array[Long](block.length)
+        i = order
+        while (i < block.length) {
+          res(i) = block(i).toLong - ((2L * block(i - 1) - block(i - 2)) >> 0)
+          i += 1
+        }
+        writeResidual(res, order)
+      case other => throw new IllegalArgumentException(s"unknown subframe type: $other")
+    }
+  }
+
+  /** Test-vector builder: one left/side stereo FLAC frame (verbatim
+    * subframes; the side channel carries its format-mandated extra bit),
+    * so the stereo decorrelation path — which the mono fixture encoder
+    * never takes — stays pinned by FlacSpec. */
+  private[ops] def flacEncodeStereoLeftSide(left: Array[Int], right: Array[Int]): Array[Byte] = {
+    require(left.length == right.length && left.nonEmpty, "equal-length non-empty channels")
+    val bs = left.length
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    val si = new FlacBitWriter
+    si.writeBits(bs.toLong, 16); si.writeBits(bs.toLong, 16)
+    si.writeBits(0, 24); si.writeBits(0, 24)
+    si.writeBits(8000L, 20)
+    si.writeBits(1, 3) // channels - 1 = 1
+    si.writeBits(15, 5) // bps - 1
+    si.writeBits(bs.toLong, 36)
+    var i = 0
+    while (i < 16) { si.writeBits(0, 8); i += 1 }
+    val siBytes = si.toByteArray
+    out.write(0x80); out.write(0); out.write(siBytes.length >> 8); out.write(siBytes.length & 0xFF)
+    out.write(siBytes)
+    val w = new FlacBitWriter
+    w.writeBits(0x3FFE, 14); w.writeBits(0, 1); w.writeBits(0, 1)
+    w.writeBits(7, 4); w.writeBits(0, 4)
+    w.writeBits(8, 4) // channel assignment: left/side
+    w.writeBits(4, 3); w.writeBits(0, 1)
+    flacUtf8Write(w, 0L)
+    w.writeBits((bs - 1).toLong, 16)
+    val hdr = w.toByteArray
+    val body = new FlacBitWriter
+    // channel 0: left, verbatim at 16 bits
+    body.writeBits(0, 1); body.writeBits(1, 6); body.writeBits(0, 1)
+    i = 0
+    while (i < bs) { body.writeBits(left(i).toLong & 0xFFFF, 16); i += 1 }
+    // channel 1: side = left - right, verbatim at 17 bits (the extra bit)
+    body.writeBits(0, 1); body.writeBits(1, 6); body.writeBits(0, 1)
+    i = 0
+    while (i < bs) {
+      val side = (left(i) - right(i)).toLong
+      body.writeBits(side & 0x1FFFF, 17)
+      i += 1
+    }
+    body.alignToByte()
+    val pre = new java.io.ByteArrayOutputStream()
+    pre.write(hdr); pre.write(flacCrc8(hdr, 0, hdr.length)); pre.write(body.toByteArray)
+    val frame = pre.toByteArray
+    val c16 = flacCrc16(frame, 0, frame.length)
+    out.write(frame); out.write(c16 >> 8); out.write(c16 & 0xFF)
+    out.toByteArray
+  }
+
+  /** In-plan FLAC planting wrap: a Column building [[flacEncode]] of the
+    * m16 closed-form four-block signal for a doc id — constant /
+    * verbatim / fixed2 / lpc blocks of 64 samples each, every sample a
+    * pure integer function of (doc_id, j) that the oracle replays in
+    * SQL. The signal definition lives HERE (one place) so the query,
+    * the spec, and the oracle SQL cannot drift apart. */
+  def flacPayload(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val enc = udf((d: Long) => flacEncode(flacSignal(d), blockSize = 64,
+      types = Seq("constant", "verbatim", "fixed2", "lpc")))
+    enc(docId.cast("long"))
+  }
+
+  /** The m16 planted signal: 4 blocks x 64 samples, closed-form in
+    * (d, j) with j the global sample index 0..255 —
+    *   block 0 (constant): (d % 1000) * 16 - 8000
+    *   block 1 (verbatim): ((d * 37 + j * 251) % 4096) - 2048
+    *   block 2 (fixed2):   ((d % 100) * 3 - 150) + ((d % 7) - 3) * (j - 128)
+    *   block 3 (lpc):      ((d * 13 + j * 89) % 257) - 128
+    * All values stay well inside 16-bit range. */
+  private[ops] def flacSignal(d: Long): Array[Int] =
+    Array.tabulate(256) { j =>
+      (j / 64) match {
+        case 0 => ((d % 1000L) * 16L - 8000L).toInt
+        case 1 => (((d * 37L + j * 251L) % 4096L) - 2048L).toInt
+        case 2 => (((d % 100L) * 3L - 150L) + ((d % 7L) - 3L) * (j - 128L)).toInt
+        case _ => (((d * 13L + j * 89L) % 257L) - 128L).toInt
+      }
+    }
 }
