@@ -3388,6 +3388,32 @@ object OpsQueries {
         .select(col("doc_id"), col("cluster_size"))
         .orderBy("doc_id")
     }),
+    "d13c_cluster_canonical_capped" -> ((s, dir) => {
+      // d13 WITH the Σ size² pair-stage cap ENGAGED (r14 verdict #6):
+      // maxBucketSize = 50 never bites at gate scale (planted cliques
+      // are 3 docs; the oracle is therefore d13's verbatim) but bites
+      // hard under the composed replication that grows every cluster —
+      // at sf10 clusters reach ~300 and at sf30 ~900, so the capped
+      // plan SKIPS the mega-buckets and its cost collapses from the
+      // measured exponent-1.85 Σ size² growth to the linear band/scan
+      // stages. The 3-scale bench record carries both variants so the
+      // cap's effect is measured, not asserted; DedupSpec pins the
+      // cap*(cap-1)/2 per-bucket pair bound.
+      val d = docs(s, dir)
+      val c1 = d.select((col("doc_id") + 1).as("doc_id"),
+        expr("replace(text, ' ', '  ')").as("__c1"))
+      val c2 = d.select((col("doc_id") + 2).as("doc_id"),
+        expr("replace(text, ' ', '   ')").as("__c2"))
+      val corpus = d.join(c1, Seq("doc_id"), "left").join(c2, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 3 && col("__c1").isNotNull, col("__c1"))
+            .when(col("doc_id") % 5 === 4 && col("__c2").isNotNull, col("__c2"))
+            .otherwise(col("text")).as("text"))
+      Dedup.canonicalPerCluster(corpus, "doc_id", "text",
+          prefer = length(col("text")), threshold = 1.0, maxBucketSize = 50)
+        .select(col("doc_id"), col("cluster_size"))
+        .orderBy("doc_id")
+    }),
 
     // ---- time-series regularization ------------------------------------
     "e19_new_vs_returning" -> ((s, dir) => {
@@ -3552,6 +3578,21 @@ object OpsQueries {
           .when(col("doc_id") % 4 === 1, expr("replace(text, ' ', '  ')"))
           .otherwise(concat(col("text"), lit(" zz"), col("doc_id"))).as("text"))
       Dedup.crossCorpusDedup(newc, ref, "doc_id", "text", threshold = 1.0)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+    "d15c_cross_corpus_capped" -> ((s, dir) => {
+      // d15 with the pair-stage cap engaged (the d13c rationale): 50
+      // never bites at gate scale -> d15's oracle verbatim; at the
+      // composed scales the boundary-crossing LSH stage skips the
+      // replicated mega-buckets and the exponent-1.84 growth collapses
+      // to the linear exact-hash anti-join + banding stages.
+      val ref = docs(s, dir)
+      val newc = ref.select((col("doc_id") + 1000000000000L).as("doc_id"),
+        when(col("doc_id") % 4 === 0, col("text"))
+          .when(col("doc_id") % 4 === 1, expr("replace(text, ' ', '  ')"))
+          .otherwise(concat(col("text"), lit(" zz"), col("doc_id"))).as("text"))
+      Dedup.crossCorpusDedup(newc, ref, "doc_id", "text", threshold = 1.0,
+          maxBucketSize = 50)
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
@@ -4063,8 +4104,15 @@ object OpsQueries {
     val base = oracleSqlBase
     // c6 is c4's pipeline under a different STORAGE decision
     // (materialize-once); the results — and therefore the oracle — are
-    // identical by contract
-    base + ("c6_curation_mat" -> base("c4_curation_v2"))
+    // identical by contract. d13c/d15c are d13/d15 with the pair-stage
+    // cap engaged — the cap (50) is far above every gate-scale cluster
+    // (planted cliques are 3 docs), so capped == uncapped there by the
+    // cap's own contract and the oracles are shared; the cap's skip
+    // semantics are pinned quantitatively in DedupSpec/ClusteringSpec.
+    base +
+      ("c6_curation_mat" -> base("c4_curation_v2")) +
+      ("d13c_cluster_canonical_capped" -> base("d13_cluster_canonical")) +
+      ("d15c_cross_corpus_capped" -> base("d15_cross_corpus_dedup"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

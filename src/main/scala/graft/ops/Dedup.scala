@@ -844,12 +844,18 @@ object Dedup {
     * (how many members the survivor absorbed, 1 for singletons).
     *
     * @param prefer numeric quality column expression evaluated on `df`'s
-    *               rows; higher wins */
+    *               rows; higher wins
+    * @param maxBucketSize passed through to [[minHashLshPairs]] — the
+    *               Σ size² pair-stage cap; an over-cap mass-duplicate
+    *               cluster then survives UNCLUSTERED (its members report
+    *               cluster_size 1), the documented recall trade */
   def canonicalPerCluster(df: DataFrame, idCol: String, textCol: String,
                           prefer: Column,
                           numHashes: Int = 64, bands: Int = 16,
-                          threshold: Double = 0.7): DataFrame = {
-    val pairs = minHashLshPairs(df, idCol, textCol, numHashes, bands, threshold)
+                          threshold: Double = 0.7,
+                          maxBucketSize: Int = 1000): DataFrame = {
+    val pairs = minHashLshPairs(df, idCol, textCol, numHashes, bands, threshold,
+      maxBucketSize = maxBucketSize)
     val comp = connectedComponents(pairs.select("id_a", "id_b"))
       .select(col("id").cast(df.schema(idCol).dataType).as(idCol), col("component"))
     val winners = df
@@ -877,7 +883,8 @@ object Dedup {
     * precedent. */
   def crossCorpusDedup(newDf: DataFrame, refDf: DataFrame, idCol: String,
                        textCol: String, numHashes: Int = 64, bands: Int = 16,
-                       threshold: Double = 0.7): DataFrame = {
+                       threshold: Double = 0.7,
+                       maxBucketSize: Int = 1000): DataFrame = {
     val refHashes = refDf
       .select(graft.ops.TextAnalysis.contentHash(col(textCol)).as("__ch")).distinct()
     val exactClean = newDf
@@ -890,7 +897,8 @@ object Dedup {
     // heaviest buckets.
     val tagged = exactClean.select(col(idCol), col(textCol)).withColumn("__side", lit(1))
       .unionByName(refDf.select(col(idCol), col(textCol)).withColumn("__side", lit(0)))
-    val pairs = minHashLshPairs(tagged, idCol, textCol, numHashes, bands, threshold)
+    val pairs = minHashLshPairs(tagged, idCol, textCol, numHashes, bands, threshold,
+      maxBucketSize = maxBucketSize)
     val sides = tagged.groupBy(col(idCol).as("__pid"))
       .agg(count(lit(1)).as("__c"), max(col("__side")).as("__s"))
       .select(col("__pid"),

@@ -121,6 +121,15 @@ class ClusteringSpec extends AnyFunSuite with Matchers {
     val keptCap = Clustering.semanticDedup(df, "id", "vec", cents,
       tau = 0.99, maxClusterSize = 3).collect().map(_.getLong(0)).sorted
     keptCap shouldBe Array(1L, 2L, 3L, 4L, 5L)
+
+    // the cap boundary is INCLUSIVE: at maxClusterSize = 4 the same
+    // 4-row cluster is in scope and dedups fully — so the comparison
+    // count per cluster is bounded by cap², never cap² + anything (the
+    // r14 verdict #6 bound pin, the cluster-side twin of the
+    // minHashLshPairs bucket-bound spec)
+    val keptAt = Clustering.semanticDedup(df, "id", "vec", cents,
+      tau = 0.99, maxClusterSize = 4).collect().map(_.getLong(0)).sorted
+    keptAt shouldBe Array(1L, 4L, 5L)
   }
 
   test("semanticDedup pair self-join reuses one exchange under shuffle joins") {

@@ -189,6 +189,35 @@ class DedupSpec extends AnyFunSuite with Matchers {
     assertNoResidualCache()
   }
 
+  test("minHashLshPairs cap BOUNDS candidate pairs per bucket at cap*(cap-1)/2") {
+    // the Σ size² contract under the cap, pinned quantitatively (r14
+    // verdict #6): with cap c, a bucket contributes AT MOST c(c-1)/2
+    // pairs — under-cap cliques emit in full, at-cap cliques emit
+    // exactly the bound, over-cap cliques emit ZERO. Three disjoint
+    // near-identical clusters of sizes 8, 10, 12 against cap 10: the
+    // total pair count is the closed form C(8,2) + C(10,2) + 0, and no
+    // emitted pair touches the over-cap cluster.
+    def cluster(tag: String, idBase: Long, n: Int): Seq[(Long, String)] =
+      (0 until n).map(i => (idBase + i,
+        s"$tag $base")) // same text within a cluster -> one clique per cluster
+    val df = (cluster("alpha", 0L, 8) ++ cluster("beta", 100L, 10) ++
+      cluster("gamma", 200L, 12)).toDF("id", "text")
+    val cap = 10
+    val pairs = Dedup.minHashLshPairs(df, "id", "text", maxBucketSize = cap)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs.length shouldBe (8 * 7 / 2 + 10 * 9 / 2)
+    // no pair may come from the over-cap cluster, and per-cluster counts
+    // respect the c(c-1)/2 bound exactly
+    def clusterOf(id: Long): Long = id / 100
+    pairs.foreach { case (a, b) =>
+      clusterOf(a) shouldBe clusterOf(b)
+      clusterOf(a) should not be 2L
+    }
+    pairs.count(p => clusterOf(p._1) == 0L) shouldBe 28
+    pairs.count(p => clusterOf(p._1) == 1L) shouldBe cap * (cap - 1) / 2
+    assertNoResidualCache()
+  }
+
   test("minHashLshPairs DEFAULT cap skips an over-1000 mass-duplicate bucket") {
     // 1050 verbatim copies put every band bucket at 1050 > the 1000
     // default: the n(n-1)/2 clique (550k pairs) is skipped without being
