@@ -397,18 +397,26 @@ object Bench {
       val targets = (heavy ++ regs.map(r => (r._1, r._3)).filterNot(t => heavy.exists(_._1 == t._1)))
       regs.foreach { case (n, p, s) =>
         System.err.println(f"[$tag-reg] $n%-22s prior $p%.2f s -> sweep $s%.2f s (>${regFactor}%.0fx) — isolating") }
-      val regJson = if (regs.isEmpty) "" else
+      def regJson(isoMap: Map[String, Double]): String = if (regs.isEmpty) "" else
         s""","${prefix}regressions":{""" + regs.map { case (n, p, s) =>
-          s""""$n":{"prior":$p,"sweep":$s}""" }.mkString(",") + "}"
-      val sweepJson = s""""${prefix}queries":${toJson(rows.map(r => r.name -> r.sec))}""" +
+          // each regression carries its own adjudication (r14 verdict
+          // #7 — "the gate log must stay trustworthy"): the fresh-JVM
+          // rerun's number and whether it clears the gate. A sweep hit
+          // whose isolated time is back under regFactor x prior is
+          // ENVIRONMENT (neighbor contention, page-cache squeeze, a
+          // concurrent foreground build — the r14 t6 class), not plan.
+          val adj = isoMap.get(n).map(i =>
+            s""","isolated":$i,"env_explained":${i < regFactor * p}""").getOrElse("")
+          s""""$n":{"prior":$p,"sweep":$s$adj}""" }.mkString(",") + "}"
+      val baseJson = s""""${prefix}queries":${toJson(rows.map(r => r.name -> r.sec))}""" +
         s""","${prefix}gc_ms":${toJsonL(rows.map(r => r.name -> r.gcMs))}""" +
-        s""","${prefix}jit_ms":${toJsonL(rows.map(r => r.name -> r.jitMs))}""" +
-        regJson
-      // sweep numbers hit disk (sidecar) before any child JVM exists
-      writePartial(mkPartial(sweepJson))
+        s""","${prefix}jit_ms":${toJsonL(rows.map(r => r.name -> r.jitMs))}"""
+      // sweep numbers hit disk (sidecar) before any child JVM exists;
+      // the partial carries the unadjudicated regressions
+      writePartial(mkPartial(baseJson + regJson(Map.empty)))
       val iso = isolatedRerun(targets, dir, tag)
       val isoJson = if (iso.isEmpty) "" else s""","${prefix}isolated_queries":${toJson(iso)}"""
-      sweepJson + isoJson
+      baseJson + regJson(iso.toMap) + isoJson
     }
     val results = timedPass(sfDir, "bench")
     val total = liveTotal(results)

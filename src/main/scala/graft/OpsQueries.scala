@@ -1595,6 +1595,24 @@ object OpsQueries {
             .as("first_alarm_ts"))
         .orderBy("event_type")
     }),
+    "q18_monitoring_panel" -> ((s, dir) => {
+      // the operations dashboard in ONE call over ONE hourly rollup
+      // (r14 verdict #8 stretch): Western Electric rule counts (q17),
+      // rolling-z anomaly count + max |z| (a10), and PSI of the
+      // hourly-count distribution first-half vs second-half (the q5
+      // read-off-state discipline) — every leg the already-verified
+      // operator, melted into the (event_type, check_name, value)
+      // report the pager reads. The same panel reads maintainAggState-
+      // maintained streaming state (parity spec in EventPipelineSpec).
+      val hourly = table(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      EventPipeline.monitoringPanel(hourly,
+          psiCut = to_timestamp(lit("2024-01-16 00:00:00")))
+        .select(col("event_type"), col("check_name"),
+          round(col("value") + lit(5e-10), 6).as("value"))
+        .orderBy("event_type", "check_name")
+    }),
     "q7_acf" -> ((s, dir) => {
       // autocorrelation of hourly event-value series per type: one
       // shuffle keyed by event_type serves the mean window, all six lag
@@ -7019,6 +7037,71 @@ object OpsQueries {
         "CAST(coalesce(sum(CASE WHEN r4 THEN 1 END), 0) AS BIGINT) AS r4_n, " +
         "strftime(min(CASE WHEN r1 OR r2 OR r3 OR r4 THEN t END), '%Y-%m-%d %H:%M:%S') AS first_alarm_ts " +
         "FROM f GROUP BY k, n, mu, sd ORDER BY event_type"),
+    "q18_monitoring_panel" ->
+      // all three legs replayed over the SAME hourly CTE: q17's WE rule
+      // windows, a10's self-excluding rolling z at threshold 0 folded
+      // to count/max, and q5's smoothed PSI over binColumn's exact bin
+      // expression (lo 0, hi 60, 12 bins -> alpha*nBins = 6e0)
+      ("WITH h AS (SELECT event_type AS k, date_trunc('hour', ts) AS t, " +
+        "count(*)::BIGINT AS x FROM events GROUP BY 1, 2), " +
+        // --- WE leg (the q17 oracle verbatim, folded to rule counts)
+        "m AS (SELECT k, count(*)::BIGINT AS n, CAST(sum(x) AS BIGINT) AS sx, " +
+        "sum(x::HUGEINT * x::HUGEINT) AS sxx FROM h GROUP BY k), " +
+        "mm AS (SELECT k, n, sx::DOUBLE / n::DOUBLE AS mu, " +
+        "CASE WHEN n >= 2 THEN (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE) / (n::DOUBLE - 1.0) END AS var FROM m), " +
+        "ms AS (SELECT *, CASE WHEN var > 0 THEN sqrt(var) END AS sd FROM mm), " +
+        "z AS (SELECT h.k, h.t, h.x, ms.mu, ms.sd, " +
+        "CASE WHEN sd IS NOT NULL THEN (x::DOUBLE - mu) / sd END AS zv " +
+        "FROM h JOIN ms USING (k)), " +
+        "f AS (SELECT *, abs(zv) > 3.0 AS r1, " +
+        "(sum(CASE WHEN zv > 2.0 THEN 1 ELSE 0 END) OVER w3 >= 2 OR " +
+        "sum(CASE WHEN zv < -2.0 THEN 1 ELSE 0 END) OVER w3 >= 2) AS r2, " +
+        "(sum(CASE WHEN zv > 1.0 THEN 1 ELSE 0 END) OVER w5 >= 4 OR " +
+        "sum(CASE WHEN zv < -1.0 THEN 1 ELSE 0 END) OVER w5 >= 4) AS r3, " +
+        "(sum(CASE WHEN x::DOUBLE > mu THEN 1 ELSE 0 END) OVER w8 = 8 OR " +
+        "sum(CASE WHEN x::DOUBLE < mu THEN 1 ELSE 0 END) OVER w8 = 8) AS r4 " +
+        "FROM z WINDOW " +
+        "w3 AS (PARTITION BY k ORDER BY t ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), " +
+        "w5 AS (PARTITION BY k ORDER BY t ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), " +
+        "w8 AS (PARTITION BY k ORDER BY t ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)), " +
+        "wer AS (SELECT k, " +
+        "coalesce(sum(CASE WHEN r1 THEN 1 END), 0)::DOUBLE AS r1n, " +
+        "coalesce(sum(CASE WHEN r2 THEN 1 END), 0)::DOUBLE AS r2n, " +
+        "coalesce(sum(CASE WHEN r3 THEN 1 END), 0)::DOUBLE AS r3n, " +
+        "coalesce(sum(CASE WHEN r4 THEN 1 END), 0)::DOUBLE AS r4n FROM f GROUP BY k), " +
+        // --- rolling-z leg (the a10 windows at threshold 0)
+        "zw AS (SELECT k, t, x, count(*) OVER win AS cnt, sum(x) OVER win AS s, " +
+        "sum(x*x) OVER win AS ssq FROM h WINDOW win AS (PARTITION BY k ORDER BY t " +
+        "ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)), " +
+        "zs AS (SELECT k, (x::DOUBLE - s::DOUBLE / cnt) / " +
+        "sqrt((ssq::DOUBLE - s::DOUBLE * s / cnt) / cnt) AS zr FROM zw " +
+        "WHERE cnt >= 12 AND (ssq::DOUBLE - s::DOUBLE * s / cnt) / cnt > 0), " +
+        "zr AS (SELECT k, coalesce(sum(CASE WHEN abs(zr) >= 3.0 THEN 1 END), 0)::DOUBLE AS zn, " +
+        "max(abs(zr)) AS zm FROM zs GROUP BY k), " +
+        // --- PSI leg (q5's smoothing over binColumn's bin expression)
+        "rb AS (SELECT k, least(greatest(floor((x::DOUBLE - 0e0) / 6e1 * 12), 0), 11)::INT AS bin, " +
+        "count(*)::BIGINT AS n FROM h WHERE t < TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1, 2), " +
+        "cb AS (SELECT k, least(greatest(floor((x::DOUBLE - 0e0) / 6e1 * 12), 0), 11)::INT AS bin, " +
+        "count(*)::BIGINT AS n FROM h WHERE t >= TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1, 2), " +
+        "kk AS (SELECT k FROM rb UNION SELECT k FROM cb), " +
+        "g AS (SELECT kk.k, b.range::INT AS bin FROM kk CROSS JOIN range(12) b), " +
+        "d AS (SELECT g.k, g.bin, coalesce(rb.n, 0)::BIGINT AS nr, coalesce(cb.n, 0)::BIGINT AS nc " +
+        "FROM g LEFT JOIN rb ON g.k = rb.k AND g.bin = rb.bin " +
+        "LEFT JOIN cb ON g.k = cb.k AND g.bin = cb.bin), " +
+        "tt AS (SELECT k, sum(nr)::BIGINT AS tr, sum(nc)::BIGINT AS tc FROM d GROUP BY 1), " +
+        "pp AS (SELECT d.k, (nr + 5e-1) / (tr + 6e0) AS pr, (nc + 5e-1) / (tc + 6e0) AS pc " +
+        "FROM d JOIN tt USING (k)), " +
+        "psi AS (SELECT k, sum((pc - pr) * ln(pc / pr)) AS v FROM pp GROUP BY k) " +
+        // --- assemble the long report
+        "SELECT event_type, check_name, round(value + 5e-10, 6) AS value FROM (" +
+        "SELECT k AS event_type, 'we_r1' AS check_name, r1n AS value FROM wer " +
+        "UNION ALL SELECT k, 'we_r2', r2n FROM wer " +
+        "UNION ALL SELECT k, 'we_r3', r3n FROM wer " +
+        "UNION ALL SELECT k, 'we_r4', r4n FROM wer " +
+        "UNION ALL SELECT wer.k, 'z_anomalies', coalesce(zr.zn, 0e0) FROM wer LEFT JOIN zr USING (k) " +
+        "UNION ALL SELECT wer.k, 'z_max_abs', zr.zm FROM wer LEFT JOIN zr USING (k) " +
+        "UNION ALL SELECT wer.k, 'psi_hourly_counts', psi.v FROM wer LEFT JOIN psi USING (k)) " +
+        "ORDER BY event_type, check_name"),
     "q7_acf" ->
       // hourly census, partition mean, six lag offsets, per-lag
       // conditional sums — unpivoted as a 6-way UNION ALL

@@ -184,6 +184,60 @@ object EventPipeline {
       .select(col("event_type"), col("h"), col("n"), col("z"))
   }
 
+  /** One-call monitoring panel over MAINTAINED hourly count state — the
+    * q15 drift-panel pattern applied to the operations dashboard (r14
+    * verdict #8): every production health read on one (event_type, h, n)
+    * rollup, which arrives either from a one-shot `groupBy` (the q18
+    * batch query) or from [[maintainAggState]]-maintained streaming
+    * state (parity spec-pinned in EventPipelineSpec). Legs, each the
+    * already-verified operator:
+    *
+    *   - `we_r1..we_r4`: [[graft.ops.TimeSeries.westernElectric]] rule
+    *     hit counts per series (the q17 read),
+    *   - `z_anomalies` / `z_max_abs`: [[rollingZAnomalies]] scored with
+    *     zThresh 0 (every hour with enough history), folded to the
+    *     count of |z| ≥ 3 hours and the max |z| (the a10 read as a
+    *     report; a never-scored series reports 0 / null),
+    *   - `psi_hourly_counts`: PSI of the hourly-count DISTRIBUTION,
+    *     pre-`psiCut` hours as reference vs post-cut as current, over
+    *     [[graft.ops.Histograms.binned]] fixed bins (the q5
+    *     read-off-state discipline — this leg rescans only the rollup).
+    *
+    * Output: (event_type, check_name, value) — |types| × 7 report rows.
+    * Scale shape: the WE and z legs are one partitioned window pass
+    * each over rollup-sized rows; the PSI leg two census aggregates;
+    * nothing touches raw events. */
+  def monitoringPanel(hourly: DataFrame, psiCut: Column,
+                      psiLo: Double = 0.0, psiHi: Double = 60.0,
+                      psiBins: Int = 12): DataFrame = {
+    val we = graft.ops.TimeSeries.westernElectric(hourly, "event_type", "h", "n")
+    val weLong = we.select(col("event_type"),
+        explode(map(
+          lit("we_r1"), col("r1_n").cast("double"),
+          lit("we_r2"), col("r2_n").cast("double"),
+          lit("we_r3"), col("r3_n").cast("double"),
+          lit("we_r4"), col("r4_n").cast("double"))).as(Seq("check_name", "value")))
+    // zThresh 0: every hour with >= minHistory prior hours is scored, so
+    // the panel's count/max read the full z series, not a pre-filtered one
+    val z = rollingZAnomalies(hourly, zThresh = 0.0)
+      .groupBy("event_type")
+      .agg(sum(when(abs(col("z")) >= 3.0, 1L).otherwise(0L)).as("__zn"),
+        max(abs(col("z"))).as("__zmax"))
+    val zLong = we.select(col("event_type")).join(z, Seq("event_type"), "left")
+      .select(col("event_type"),
+        explode(map(
+          lit("z_anomalies"), coalesce(col("__zn"), lit(0L)).cast("double"),
+          lit("z_max_abs"), col("__zmax"))).as(Seq("check_name", "value")))
+    val refH = graft.ops.Histograms.binned(
+      hourly.filter(col("h") < psiCut), Seq("event_type"), "n", psiLo, psiHi, psiBins)
+    val curH = graft.ops.Histograms.binned(
+      hourly.filter(col("h") >= psiCut), Seq("event_type"), "n", psiLo, psiHi, psiBins)
+    val psiLong = graft.ops.Drift.psiFromHistograms(refH, curH, Seq("event_type"), psiBins)
+      .select(col("event_type"), lit("psi_hourly_counts").as("check_name"),
+        col("psi").as("value"))
+    weLong.unionByName(zLong).unionByName(psiLong)
+  }
+
   /** Cohort retention grid over per-(user, day) activity — the e15
     * batch query's derivation, factored out so the SAME read-out runs
     * over a one-shot `distinct` or over [[maintainAggState]]-maintained

@@ -881,6 +881,56 @@ class EventPipelineSpec extends AnyFunSuite with Matchers {
       r1n should be >= 1L
     } finally q.stop()
   }
+
+  test("monitoringPanel over maintained hourly state equals the batch path (q18 twin)") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.{DataFrame, Row}
+    import org.apache.spark.sql.functions.{col, count, date_trunc, lit, to_timestamp}
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Event]
+    var state: Option[(Seq[Row], org.apache.spark.sql.types.StructType)] = None
+    def get(): Option[DataFrame] =
+      state.map { case (rows, sch) => spark.createDataFrame(rows.asJava, sch) }
+    def set(df: DataFrame): Unit = state = Some((df.collect().toSeq, df.schema))
+    val keyed = input.toDF().withColumn("h", date_trunc("hour", col("ts")))
+    val q = EventPipeline.maintainAggState(keyed, Seq("event_type", "h"),
+      Seq(count(lit(1)).as("n")), Map("n" -> "sum"))(get _, set _)
+    val fed = scala.collection.mutable.ArrayBuffer[Event]()
+    def feed(es: Event*): Unit = { fed ++= es; input.addData(es: _*); q.processAllAvailable() }
+    try {
+      // the q17 twin's fixture (19 baseline hours + a split-batch spike),
+      // plus a second event type so the panel's per-type legs and the
+      // PSI key grid exercise more than one series
+      var id = 0L
+      def ev(hhmm: String, t: String): Event = { id += 1; Event(id, ts(hhmm), id % 3, t, 1.0) }
+      feed((0 to 18).flatMap(i =>
+        ev(f"$i%02d:15", "click") +: (if (i % 2 == 0) Seq(ev(f"$i%02d:45", "click")) else Nil)): _*)
+      feed((0 to 18).map(i => ev(f"$i%02d:30", "view")): _*)
+      feed((1 to 6).map(m => ev(f"19:$m%02d", "click")): _*)
+      feed((7 to 12).map(m => ev(f"19:$m%02d", "click")): _*)
+      // PSI cut mid-series so ref/cur are both populated; tiny bins so
+      // the count distribution actually spreads across them
+      val cut = to_timestamp(lit("2024-01-01 10:00:00"))
+      def panel(hourly: DataFrame): Seq[Seq[Any]] =
+        EventPipeline.monitoringPanel(hourly, cut, psiLo = 0.0, psiHi = 15.0, psiBins = 5)
+          .orderBy("event_type", "check_name").collect().map(_.toSeq).toSeq
+      val got = panel(get().get)
+      val direct = panel(fed.toSeq.toDF()
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n")))
+      got shouldBe direct
+      // 2 types x 7 checks
+      got.size shouldBe 14
+      val byKey = got.map(r => (r(0), r(1)) -> r(2)).toMap
+      // the spike hour trips the WE 3-sigma rule on the maintained state
+      byKey(("click", "we_r1")).asInstanceOf[Double] should be >= 1.0
+      // the steady view series alarms nothing
+      byKey(("view", "we_r1")) shouldBe 0.0
+      byKey(("view", "z_anomalies")) shouldBe 0.0
+      // every check emits exactly once per type
+      got.map(r => (r(0), r(1))).distinct.size shouldBe 14
+    } finally q.stop()
+  }
 }
 
 // top-level: Spark encoders cannot be generated for classes nested in a
