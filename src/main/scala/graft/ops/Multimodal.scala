@@ -2316,16 +2316,24 @@ object Multimodal {
     * or None for non-FLAC / corrupt / truncated payloads — the strict
     * whole-payload corrupt policy of the AVI/GIF decoders (a checksummed
     * format has no honest crawl-prefix reading). Bomb gates: declared
-    * total samples and the accumulated decode are capped at 2^24
-    * samples/channel (≈ 64 MiB of int samples at stereo 16-bit). */
+    * and accumulated INTERLEAVED sample counts (samples × channels) are
+    * capped at 2^24 (= 64 MiB of int samples) — per-channel caps would
+    * let an 8-channel payload multiply the budget 8× — and frames
+    * decode straight into the final int array (per-frame scratch only,
+    * ≤ 4 MiB), so peak heap per payload stays at the 64 MiB budget the
+    * AVI/PNG decoders enforce. */
   private[ops] def decodeFlacSamples(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = {
     val info = flacStreamInfo(bytes)
     if (info.isEmpty) return None
     val (rate, channels, bps, total, frameOff) = info.get
     if (rate <= 0 || channels < 1 || channels > 8 || bps < 4 || bps > 32) return None
-    if (total > (1L << 24)) return None // bomb gate
+    if (total * channels > (1L << 24)) return None // bomb gate (interleaved)
     try {
-      val out = new java.util.ArrayList[Array[Long]]()
+      // decode destination: exact-sized when STREAMINFO declares the
+      // total, else grown by doubling under the same interleaved cap
+      var samples =
+        if (total > 0) new Array[Int]((total * channels).toInt)
+        else new Array[Int](1 << 16)
       val r = new FlacBitReader(bytes)
       r.pos = frameOff.toLong * 8
       var nOut = 0L
@@ -2369,7 +2377,8 @@ object Multimodal {
           case 7 => 32
           case _ => throw new IllegalStateException("flac: reserved sample size")
         }
-        if (nOut + blockSize > (1L << 24)) throw new IllegalStateException("flac: bomb gate")
+        if ((nOut + blockSize) * channels > (1L << 24))
+          throw new IllegalStateException("flac: bomb gate")
         val chans = Array.fill(nCh)(new Array[Long](blockSize))
         var c = 0
         while (c < nCh) {
@@ -2411,29 +2420,31 @@ object Multimodal {
         val crc16 = r.readBits(16).toInt
         if (flacCrc16(bytes, frameStart, r.bytePos - 2) != crc16)
           throw new IllegalStateException("flac: frame CRC-16 mismatch")
-        out.add(chans.flatMap(_.iterator))
-        nOut += blockSize
-        if (!variable) () // frame numbering already validated by UTF-8 read
-      }
-      val samples = new Array[Int]((nOut * channels).toInt)
-      var idx = 0
-      val it = out.iterator()
-      while (it.hasNext) {
-        val block = it.next()
-        val blockSize = block.length / channels
-        // re-interleave: block is channel-major
+        // interleave this frame straight into the destination — the
+        // channel-major scratch dies with the frame
+        val need = ((nOut + blockSize) * channels).toInt
+        if (need > samples.length) {
+          val grown = math.min(1L << 24,
+            math.max(samples.length.toLong * 2, need.toLong)).toInt
+          samples = java.util.Arrays.copyOf(samples, grown)
+        }
+        var idx = (nOut * channels).toInt
         var i = 0
         while (i < blockSize) {
           var c = 0
           while (c < channels) {
-            samples(idx) = block(c * blockSize + i).toInt
+            samples(idx) = chans(c)(i).toInt
             idx += 1; c += 1
           }
           i += 1
         }
+        nOut += blockSize
+        if (!variable) () // frame numbering already validated by UTF-8 read
       }
       if (total > 0 && nOut != total) throw new IllegalStateException("flac: sample count mismatch")
-      Some((rate, channels, bps, samples))
+      val n = (nOut * channels).toInt
+      Some((rate, channels, bps,
+        if (samples.length == n) samples else java.util.Arrays.copyOf(samples, n)))
     } catch { case _: Exception => None }
   }
 
@@ -2678,6 +2689,59 @@ object Multimodal {
     val frame = pre.toByteArray
     val c16 = flacCrc16(frame, 0, frame.length)
     out.write(frame); out.write(c16 >> 8); out.write(c16 & 0xFF)
+    out.toByteArray
+  }
+
+  /** Fixture encoder for the interleaved bomb-gate spec: `nFrames`
+    * frames of `channels` independent 16-bit CONSTANT subframes (value
+    * `v`), STREAMINFO declaring `declaredTotal` samples/channel (0 =
+    * unknown, the streamed-capture case). The production encoder is
+    * mono-only; the gate needs a wide stream — a few-KB payload whose
+    * per-channel count stays far under 2^24 while the interleaved
+    * count crosses it. */
+  private[ops] def flacEncodeConstantFrames(v: Int, channels: Int, blockSize: Int,
+      nFrames: Int, declaredTotal: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    val si = new FlacBitWriter
+    si.writeBits(blockSize.toLong & 0xFFFF, 16); si.writeBits(blockSize.toLong & 0xFFFF, 16)
+    si.writeBits(0, 24); si.writeBits(0, 24)
+    si.writeBits(8000L, 20)
+    si.writeBits((channels - 1).toLong, 3)
+    si.writeBits(15, 5) // bps - 1
+    si.writeBits(declaredTotal, 36)
+    var i = 0
+    while (i < 16) { si.writeBits(0, 8); i += 1 }
+    val siBytes = si.toByteArray
+    out.write(0x80); out.write(0); out.write(siBytes.length >> 8); out.write(siBytes.length & 0xFF)
+    out.write(siBytes)
+    var f = 0
+    while (f < nFrames) {
+      val w = new FlacBitWriter
+      w.writeBits(0x3FFE, 14); w.writeBits(0, 1); w.writeBits(0, 1)
+      w.writeBits(7, 4) // block size: 16-bit (bs-1) follows the header
+      w.writeBits(0, 4) // sample rate: from STREAMINFO
+      w.writeBits((channels - 1).toLong, 4)
+      w.writeBits(4, 3) // 16 bits/sample
+      w.writeBits(0, 1)
+      flacUtf8Write(w, f.toLong)
+      w.writeBits((blockSize - 1).toLong, 16)
+      val hdr = w.toByteArray
+      val body = new FlacBitWriter
+      var c = 0
+      while (c < channels) {
+        body.writeBits(0, 1); body.writeBits(0, 6); body.writeBits(0, 1) // constant
+        body.writeBits(v.toLong & 0xFFFF, 16)
+        c += 1
+      }
+      body.alignToByte()
+      val pre = new java.io.ByteArrayOutputStream()
+      pre.write(hdr); pre.write(flacCrc8(hdr, 0, hdr.length)); pre.write(body.toByteArray)
+      val frame = pre.toByteArray
+      val c16 = flacCrc16(frame, 0, frame.length)
+      out.write(frame); out.write(c16 >> 8); out.write(c16 & 0xFF)
+      f += 1
+    }
     out.toByteArray
   }
 

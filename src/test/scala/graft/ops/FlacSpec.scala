@@ -128,6 +128,40 @@ class FlacSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("bomb gate is interleaved: 8-channel streams are budgeted at samples x channels") {
+    // sanity: the wide-stream fixture itself is a valid FLAC the decoder
+    // accepts — so the rejections below are the gate, not a bad stream
+    val ok = Multimodal.decodeFlacSamples(
+      Multimodal.flacEncodeConstantFrames(7, channels = 8, blockSize = 4096,
+        nFrames = 2, declaredTotal = 8192))
+    ok should not be empty
+    val (_, ch, _, dec) = ok.get
+    ch shouldBe 8
+    dec.length shouldBe 8192 * 8
+    all(dec) shouldBe 7
+
+    // declared gate: total/channel far under 2^24, but x8 channels
+    // crosses the interleaved budget -> rejected at STREAMINFO
+    Multimodal.decodeFlacSamples(
+      Multimodal.flacEncodeConstantFrames(7, channels = 8, blockSize = 4096,
+        nFrames = 0, declaredTotal = (1L << 21) + 1)) shouldBe empty
+
+    // accumulation gate: unknown total (streamed capture), 33 frames of
+    // 65536 x 8ch = 2^24 + 2^19 interleaved from a ~2 KB payload. The
+    // per-channel count (2.2M) is far under 2^24 — a per-channel gate
+    // would decode ~1 GiB of block arrays; the interleaved gate rejects.
+    Multimodal.decodeFlacSamples(
+      Multimodal.flacEncodeConstantFrames(7, channels = 8, blockSize = 65536,
+        nFrames = 33, declaredTotal = 0L)) shouldBe empty
+
+    // same shape one frame short stays exactly at the 2^24 budget -> ok
+    val atCap = Multimodal.decodeFlacSamples(
+      Multimodal.flacEncodeConstantFrames(7, channels = 8, blockSize = 65536,
+        nFrames = 32, declaredTotal = 0L))
+    atCap should not be empty
+    atCap.get._4.length shouldBe (1 << 24)
+  }
+
   test("decoder handles a hand-built left-side stereo frame") {
     // build a 2-channel left/side frame by hand: the encoder is mono-only,
     // so this pins the decorrelation path the format defines
