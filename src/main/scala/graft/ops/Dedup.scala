@@ -611,6 +611,24 @@ object Dedup {
       }: _*)
   }
 
+  /** Default pair-stage bucket cap, sized from a per-bucket candidate-
+    * pair BUDGET rather than picked ad hoc: a bucket of n docs emits
+    * n(n-1)/2 pairs, so cap c bounds each bucket at c(c-1)/2 — with
+    * c = 50 that is 1,225 pairs/bucket, and the pair stage's total work
+    * is (#buckets x 1,225) worst-case: linear in the banded relation,
+    * never quadratic in a cluster. 50 is also the cap the 3-scale
+    * measurements ran (d13c/d15c): sf10->sf30 warm exponents 0.88-1.13
+    * capped vs 1.46-1.62 uncapped, i.e. the capped plan is the one that
+    * survives 100x. The previous default (1000, ~500k pairs/bucket)
+    * never engaged on the measured corpora — real mass-duplicate
+    * clusters sit well above it only after exact dedup is skipped — so
+    * the default path stayed super-linear; a default that never bites
+    * protects nothing. Recall trade unchanged in kind (over-cap buckets
+    * are skipped, documented below), now engaged at the scale where it
+    * matters. Callers needing the old behavior pass maxBucketSize
+    * explicitly; <= 0 still opts into the uncapped quadratic path. */
+  val DefaultMaxBucketSize: Int = 50
+
   /** Near-duplicate candidate pairs via MinHash-LSH banding.
     *
     * Signature is split into `bands` bands of `numHashes/bands` rows; two
@@ -620,7 +638,7 @@ object Dedup {
     * bands. The join is an equi-join on (band_index, band_hash) — a plain
     * shuffle join that AQE can handle skew for; no cartesian product.
     *
-    * `maxBucketSize` (default 1000; <= 0 disables) skips buckets holding
+    * `maxBucketSize` (default [[DefaultMaxBucketSize]]; <= 0 disables) skips buckets holding
     * more than that many documents before the pair join. A bucket of n
     * docs emits n(n-1)/2 candidates, so ONE boilerplate cluster of 10^5
     * near-identical pages yields 5*10^9 pairs — the standard production
@@ -635,7 +653,7 @@ object Dedup {
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 64, bands: Int = 16,
                       threshold: Double = 0.7, shingleN: Int = 3,
-                      maxBucketSize: Int = 1000): DataFrame = {
+                      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     // The signature relation is read 3x (band explode + both rejoin
@@ -853,7 +871,7 @@ object Dedup {
                           prefer: Column,
                           numHashes: Int = 64, bands: Int = 16,
                           threshold: Double = 0.7,
-                          maxBucketSize: Int = 1000): DataFrame = {
+                          maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val pairs = minHashLshPairs(df, idCol, textCol, numHashes, bands, threshold,
       maxBucketSize = maxBucketSize)
     val comp = connectedComponents(pairs.select("id_a", "id_b"))
@@ -884,7 +902,7 @@ object Dedup {
   def crossCorpusDedup(newDf: DataFrame, refDf: DataFrame, idCol: String,
                        textCol: String, numHashes: Int = 64, bands: Int = 16,
                        threshold: Double = 0.7,
-                       maxBucketSize: Int = 1000): DataFrame = {
+                       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val refHashes = refDf
       .select(graft.ops.TextAnalysis.contentHash(col(textCol)).as("__ch")).distinct()
     val exactClean = newDf

@@ -75,10 +75,17 @@ object Quantiles {
       .agg(max(col("__n"))).head()
     val maxN = if (maxGroup.isNullAt(0)) 0L else maxGroup.getLong(0)
     if (maxN <= maxBufferedPerGroup) {
-      val aggs = ps.map { case (name, p) =>
-        expr(s"percentile(`$valueCol`, $p)").as(name) }
+      // ONE percentile buffer per group, not one per requested p: N
+      // separate `percentile(col, p)` aggregates each accumulate and
+      // sort their OWN copy of the same group's values (4 quantiles =
+      // 4x the buffering and 4 sorts); the array form shares a single
+      // buffer and one sort across every p. Identical values — same
+      // aggregate, fanned back out to the named columns.
+      val pList = ps.map(_._2).mkString(",")
       nonNull.groupBy(col(groupCol).cast("string").as(groupCol))
-        .agg(aggs.head, aggs.tail: _*)
+        .agg(expr(s"percentile(`$valueCol`, array($pList))").as("__qs"))
+        .select(col(groupCol) +: ps.zipWithIndex.map { case ((name, _), i) =>
+          col("__qs").getItem(i).as(name) }: _*)
     } else groupedQuantilesExact(df, groupCol, valueCol, ps)
   }
 
@@ -449,12 +456,63 @@ object Quantiles {
         struct(lit(c).as("f"), col(c).cast("double").as("x"))): _*)).as("__c"))
       .select(col("__id"), col("__c.f").as("__f"), col("__c.x").as("__x"))
     val cumBefore = valueCumBefore(melted).select("__f", "__x", "__before")
-    val wTie = Window.partitionBy("__f", "__x").orderBy("__id")
-    val ranked = melted.join(cumBefore, Seq("__f", "__x"))
-      .withColumn("__rank", col("__before") + row_number().over(wTie))
-    val reference = ranked.groupBy(col("__rank"))
-      .agg(avg(col("__x")).as("__ref"))
-    ranked.join(reference, Seq("__rank"))
+    // Tie-break rank WITHOUT a (feature, value)-partitioned row window:
+    // that window's parallelism equals the features' NDV sum BY
+    // CONSTRUCTION (on lineitem ~61 partitions carrying every melted row
+    // — measured 54-65 s at the 100x bench scale, each hot value one
+    // multi-million-row single-task sort that no cluster size can split).
+    // Instead the stitched bucket rank (the stratifiedFolds / p17
+    // construction): order-aligned equal-width buckets of the numeric id
+    // (broadcast global bounds — one cheap agg over the unmelted frame),
+    // a tiny (feature, value, bucket) census whose per-(feature, value)
+    // prefix sum gives each bucket's starting offset inside its tie
+    // group, and the per-row row_number runs keyed (feature, value,
+    // bucket) — parallelism bounded by bucket width, not value
+    // frequency. Bucketing is a monotone map of `id`, so
+    //   offset(bucket) + row_number within bucket  ==  row_number within
+    // the whole (feature, value) tie group ordered by id — bit-identical
+    // to the window it replaces (spec-pinned partition-independence).
+    // Non-numeric ids cast to null bounds and collapse to ONE bucket =
+    // exactly the old plan, so the fallback is the old behavior.
+    val nb = 4096
+    val idBounds = complete.agg(
+      min(col(idCol).cast("double")).as("__ilo"),
+      max(col(idCol).cast("double")).as("__ihi"))
+    val bucketed = melted.crossJoin(broadcast(idBounds))
+      .withColumn("__tbk", when(col("__ihi") > col("__ilo"),
+          least(floor((col("__id").cast("double") - col("__ilo")) /
+            (col("__ihi") - col("__ilo")) * nb), lit(nb - 1).cast("long")))
+        .otherwise(lit(0L)).cast("int"))
+      .drop("__ilo", "__ihi")
+    val tieCensus = bucketed.groupBy("__f", "__x", "__tbk")
+      .agg(count(lit(1)).as("__tc"))
+    val wOff = Window.partitionBy("__f", "__x").orderBy("__tbk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tieOffsets = tieCensus
+      .withColumn("__toff", coalesce(sum("__tc").over(wOff), lit(0L)))
+      .select("__f", "__x", "__tbk", "__toff")
+    val wTie = Window.partitionBy("__f", "__x", "__tbk").orderBy("__id")
+    // shuffle_hash, not sort-merge, for the census attach: SMJ would
+    // SORT the full melted relation by (f, x, bucket) just to join, then
+    // the tie window sorts it AGAIN by (f, x, bucket, id) — the hash
+    // join builds only the census slice per partition (bounded by the
+    // census, not the corpus) and leaves the big side unsorted for the
+    // window's single sort.
+    val ranked = bucketed.join(cumBefore, Seq("__f", "__x"))
+      .join(tieOffsets.hint("shuffle_hash"), Seq("__f", "__x", "__tbk"))
+      .withColumn("__rank",
+        col("__before") + col("__toff") + row_number().over(wTie))
+    // Rank-mean reference as a WINDOW aggregate over the rank key, not a
+    // groupBy + self-join: the join formulation duplicated the entire
+    // scan -> census -> rank pipeline on both sides of a SortMergeJoin
+    // (the subtrees differ by the aggregate, so ReuseExchange cannot
+    // collapse them) and paid two extra rank exchanges. One avg window
+    // over millions of tiny rank groups is the regular per-key shape;
+    // every row of a rank group carries the group's avg — exactly what
+    // the inner equi-join produced (a reference row exists for every
+    // rank by construction).
+    ranked
+      .withColumn("__ref", avg(col("__x")).over(Window.partitionBy("__rank")))
       .select(col("__id").as(idCol), col("__f").as("feature"),
         col("__rank").as("rank"), col("__x").as("value"),
         col("__ref").as("normalized"))

@@ -169,8 +169,9 @@ class DedupSpec extends AnyFunSuite with Matchers {
 
   test("minHashLshPairs bucket cap skips a planted mega-cluster, keeps small pairs") {
     // 40 identical boilerplate docs (every band bucket size 40 — under
-    // the 1000 default, so the DEFAULT call still emits the full clique)
-    // + one near-dup pair of distinct docs (bucket size 2)
+    // the DefaultMaxBucketSize=50 default, so the DEFAULT call still
+    // emits the full clique) + one near-dup pair of distinct docs
+    // (bucket size 2)
     val boiler = (0L until 40L).map(i => (i, base))
     val other = "completely different subject matter about spark catalyst " +
       "optimizer rules and tungsten memory management internals at scale"
@@ -218,11 +219,13 @@ class DedupSpec extends AnyFunSuite with Matchers {
     assertNoResidualCache()
   }
 
-  test("minHashLshPairs DEFAULT cap skips an over-1000 mass-duplicate bucket") {
-    // 1050 verbatim copies put every band bucket at 1050 > the 1000
-    // default: the n(n-1)/2 clique (550k pairs) is skipped without being
-    // asked — the quadratic path is opt-in (maxBucketSize <= 0), no
-    // longer the silent default. The unrelated small pair still pairs.
+  test("minHashLshPairs DEFAULT cap skips an over-cap mass-duplicate bucket") {
+    // 1050 verbatim copies put every band bucket at 1050, far over the
+    // DefaultMaxBucketSize=50 default (sized from the 1,225 pairs/bucket
+    // budget — see Dedup.DefaultMaxBucketSize): the n(n-1)/2 clique
+    // (550k pairs) is skipped without being asked — the quadratic path
+    // is opt-in (maxBucketSize <= 0), no longer the silent default. The
+    // unrelated small pair still pairs.
     val boiler = (0L until 1050L).map(i => (i, base))
     val other = "completely different subject matter about spark catalyst " +
       "optimizer rules and tungsten memory management internals at scale"

@@ -65,4 +65,35 @@ class OutlierQnSpec extends AnyFunSuite with Matchers {
     out(10L) shouldBe 1L
     out(20L) shouldBe 2L
   }
+
+  test("quantileNormalize stitched tie rank == naive per-(feature,value) window rank, any partitioning") {
+    // Tie-heavy fixture with SPARSE, non-uniform ids: values repeat
+    // heavily (2 distinct values per feature over 60 rows) so the tie
+    // groups span MANY id buckets, and the ids are irregularly spaced so
+    // the equal-width buckets are unevenly filled — exactly the regime
+    // where the stitched construction (bucket census + prefix offsets +
+    // in-bucket row_number) must reproduce the naive
+    // Window.partitionBy(feature, value).orderBy(id) rank bit-for-bit.
+    val rows = (0 until 60).map { i =>
+      val id = i.toLong * i * 7 + (i % 3) // sparse, strictly increasing
+      (id, (i % 2).toDouble, (i % 3 min 1).toDouble)
+    }
+    val df = rows.toDF("id", "x", "y")
+    def ranksOf(parts: Int): Map[(Long, String), (Long, Double)] =
+      Quantiles.quantileNormalize(df.repartition(parts), "id", Seq("x", "y"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(4))).toMap
+    val got = ranksOf(7)
+    // partition-independence: 1 partition and 7 partitions agree exactly
+    ranksOf(1) shouldBe got
+    // naive reference ranks computed in-process: sort each feature's
+    // (value, id) pairs; rank = 1-based position
+    val naive = for {
+      (fName, fIdx) <- Seq(("x", 1), ("y", 2))
+      sorted = rows.map(t => (t._1, t.productElement(fIdx).asInstanceOf[Double]))
+        .sortBy { case (id, v) => (v, id) }
+      ((id, _), pos) <- sorted.zipWithIndex
+    } yield (id, fName) -> (pos + 1L)
+    naive.foreach { case (k, r) => got(k)._1 shouldBe r }
+  }
 }
