@@ -528,8 +528,18 @@ object Bench {
       s""""n_queries":${results.size},"sf":"$sfDir"""" +
       sf1Compact + sf10Compact + skippedJson + carriedJson +
       s""","detail":"$outFile"}"""
+    // The per-query map ALSO goes to stdout, on its own grep-able marker
+    // line ABOVE the final totals line: the driver's round-over-round
+    // per-query comparison needs the map, and the totals-only last line
+    // (which fixed the r13-r15 parsed:null truncations) left PERF's
+    // per_query structurally empty when the driver does not read the
+    // detail file. Tail-safe by construction — the totals line stays
+    // last and small, so even if a bounded tail capture cuts the ~8 KB
+    // queries line's head, the line the driver parses is untouched.
+    val queriesLine = s"""{"metric":"queries","sf":"$sfDir","queries":${toJson(results.map(r => r.name -> r.sec))}}"""
     spark.stop()
     System.err.println("[bench] full record written to " + outFile)
+    println("BENCH_QUERIES: " + queriesLine)
     println("BENCH_JSON: " + compact)
     println(compact)
   }

@@ -3407,16 +3407,20 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
     "d13c_cluster_canonical_capped" -> ((s, dir) => {
-      // d13 WITH the Σ size² pair-stage cap ENGAGED (r14 verdict #6):
-      // maxBucketSize = 50 never bites at gate scale (planted cliques
-      // are 3 docs; the oracle is therefore d13's verbatim) but bites
-      // hard under the composed replication that grows every cluster —
-      // at sf10 clusters reach ~300 and at sf30 ~900, so the capped
-      // plan SKIPS the mega-buckets and its cost collapses from the
-      // measured exponent-1.85 Σ size² growth to the linear band/scan
-      // stages. The 3-scale bench record carries both variants so the
-      // cap's effect is measured, not asserted; DedupSpec pins the
-      // cap*(cap-1)/2 per-bucket pair bound.
+      // d13's UNCAPPED contrast twin. History: until r15 the default
+      // pair-stage cap was 1000 (never engaged) and this twin carried
+      // the explicit 50-cap so the Σ size² collapse could be measured;
+      // r16 made 50 the DEFAULT, which turned this twin into a byte-
+      // identical duplicate of d13 — the uncapped regression canary was
+      // gone and ~56 s of the sf10 sweep measured the same plan twice
+      // (r16 verdict #3). The twin now passes maxBucketSize = 0 (the
+      // documented opt-in uncapped quadratic path), restoring the
+      // contrast: at gate scale no bucket exceeds 50, so the oracle is
+      // STILL d13's verbatim (hash-identical output); at sf10+ the
+      // replicated clusters reach ~300/~900 docs and this twin alone
+      // pays the exponent-1.85 Σ size² pair growth the capped default
+      // path skips. The name keeps its historical "_capped" suffix —
+      // renaming a declared query is a contract break.
       val d = docs(s, dir)
       val c1 = d.select((col("doc_id") + 1).as("doc_id"),
         expr("replace(text, ' ', '  ')").as("__c1"))
@@ -3428,7 +3432,7 @@ object OpsQueries {
             .when(col("doc_id") % 5 === 4 && col("__c2").isNotNull, col("__c2"))
             .otherwise(col("text")).as("text"))
       Dedup.canonicalPerCluster(corpus, "doc_id", "text",
-          prefer = length(col("text")), threshold = 1.0, maxBucketSize = 50)
+          prefer = length(col("text")), threshold = 1.0, maxBucketSize = 0)
         .select(col("doc_id"), col("cluster_size"))
         .orderBy("doc_id")
     }),
@@ -3599,18 +3603,21 @@ object OpsQueries {
         .select(col("doc_id")).orderBy("doc_id")
     }),
     "d15c_cross_corpus_capped" -> ((s, dir) => {
-      // d15 with the pair-stage cap engaged (the d13c rationale): 50
-      // never bites at gate scale -> d15's oracle verbatim; at the
-      // composed scales the boundary-crossing LSH stage skips the
-      // replicated mega-buckets and the exponent-1.84 growth collapses
-      // to the linear exact-hash anti-join + banding stages.
+      // d15's UNCAPPED contrast twin (the d13c rationale — see that
+      // query's comment for the r16 history): since the 50-cap became
+      // the DEFAULT, this twin opts INTO the quadratic path with
+      // maxBucketSize = 0 so the 3-scale record keeps measuring the
+      // capped-vs-uncapped contrast instead of the same plan twice.
+      // At gate scale no bucket exceeds 50 -> d15's oracle verbatim;
+      // at the composed scales this twin alone pays the exponent-1.84
+      // boundary-crossing pair growth the default path skips.
       val ref = docs(s, dir)
       val newc = ref.select((col("doc_id") + 1000000000000L).as("doc_id"),
         when(col("doc_id") % 4 === 0, col("text"))
           .when(col("doc_id") % 4 === 1, expr("replace(text, ' ', '  ')"))
           .otherwise(concat(col("text"), lit(" zz"), col("doc_id"))).as("text"))
       Dedup.crossCorpusDedup(newc, ref, "doc_id", "text", threshold = 1.0,
-          maxBucketSize = 50)
+          maxBucketSize = 0)
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
@@ -4123,7 +4130,8 @@ object OpsQueries {
     // c6 is c4's pipeline under a different STORAGE decision
     // (materialize-once); the results — and therefore the oracle — are
     // identical by contract. d13c/d15c are d13/d15 with the pair-stage
-    // cap engaged — the cap (50) is far above every gate-scale cluster
+    // cap DISABLED (maxBucketSize = 0, the uncapped contrast twins) —
+    // the default cap (50) is far above every gate-scale cluster
     // (planted cliques are 3 docs), so capped == uncapped there by the
     // cap's own contract and the oracles are shared; the cap's skip
     // semantics are pinned quantitatively in DedupSpec/ClusteringSpec.

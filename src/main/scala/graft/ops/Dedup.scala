@@ -838,8 +838,10 @@ object Dedup {
     * The transitively-correct variant of [[minHashDedup]]. */
   def minHashDedupClustered(df: DataFrame, idCol: String, textCol: String,
                             numHashes: Int = 64, bands: Int = 16,
-                            threshold: Double = 0.7): DataFrame = {
-    val pairs = minHashLshPairs(df, idCol, textCol, numHashes, bands, threshold)
+                            threshold: Double = 0.7,
+                            maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val pairs = minHashLshPairs(df, idCol, textCol, numHashes, bands, threshold,
+      maxBucketSize = maxBucketSize)
     val losers = connectedComponents(pairs.select("id_a", "id_b"))
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
@@ -938,8 +940,10 @@ object Dedup {
     * it is not the larger id of any qualifying pair). */
   def minHashDedup(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 64, bands: Int = 16,
-                   threshold: Double = 0.7): DataFrame = {
-    val losers = minHashLshPairs(df, idCol, textCol, numHashes, bands, threshold)
+                   threshold: Double = 0.7,
+                   maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val losers = minHashLshPairs(df, idCol, textCol, numHashes, bands, threshold,
+        maxBucketSize = maxBucketSize)
       .select(col("id_b").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }

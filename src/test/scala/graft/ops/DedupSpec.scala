@@ -514,6 +514,34 @@ class DedupSpec extends AnyFunSuite with Matchers {
     rows.head.getAs[Long]("cluster_size") shouldBe 2L
   }
 
+  test("canonicalPerCluster: a (50,1000] clique survives UNCLUSTERED under the " +
+      "default cap and collapses under the uncapped opt-in (the d13/d13c contract)") {
+    // 60 verbatim copies sit in the exact range the r16 default change
+    // (1000 -> 50) altered: every band bucket holds 60 > 50, so the
+    // DEFAULT path emits no pairs for the clique — each member survives
+    // as its own singleton (cluster_size 1), the documented recall
+    // trade. The uncapped twin (maxBucketSize = 0) pays the C(60,2)
+    // pair stage and collapses the clique to ONE survivor carrying the
+    // full mass. An under-cap pair is found by BOTH paths — the cap
+    // skips buckets, it never perturbs small ones.
+    val clique = (0L until 60L).map(i => (i, base))
+    val other = "completely different subject matter about catalyst " +
+      "optimizer rules and tungsten memory management internals at scale"
+    val docs = (clique ++ Seq(500L -> other, 501L -> (other + " "))).toDF("doc_id", "text")
+    val prefer = org.apache.spark.sql.functions.length(col("text"))
+    val capped = Dedup.canonicalPerCluster(docs, "doc_id", "text",
+        prefer = prefer, threshold = 1.0)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_size")).toMap
+    capped.size shouldBe 61 // all 60 clique members + the pair's survivor
+    (0L until 60L).foreach(i => capped(i) shouldBe 1L)
+    capped(501L) shouldBe 2L // trailing space makes 501 longer -> it wins
+    val uncapped = Dedup.canonicalPerCluster(docs, "doc_id", "text",
+        prefer = prefer, threshold = 1.0, maxBucketSize = 0)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_size")).toMap
+    uncapped shouldBe Map(0L -> 60L, 501L -> 2L)
+    assertNoResidualCache()
+  }
+
   // ---- cross-document repeated spans (sampled k-gram anchors) ----
 
   test("repeatedSpans: an aligned repeated span >= k+stride-1 is guaranteed an anchor hit") {
