@@ -468,21 +468,37 @@ object Quantiles {
     // prefix sum gives each bucket's starting offset inside its tie
     // group, and the per-row row_number runs keyed (feature, value,
     // bucket) — parallelism bounded by bucket width, not value
-    // frequency. Bucketing is a monotone map of `id`, so
+    // frequency. For a fully-castable id column, bucketing is a
+    // monotone map of `id`, so
     //   offset(bucket) + row_number within bucket  ==  row_number within
     // the whole (feature, value) tie group ordered by id — bit-identical
     // to the window it replaces (spec-pinned partition-independence).
-    // Non-numeric ids cast to null bounds and collapse to ONE bucket =
-    // exactly the old plan, so the fallback is the old behavior.
+    // A fully-UNcastable id column yields null bounds and collapses to
+    // ONE bucket = exactly the old plan. MIXED castability is the one
+    // case that deviates from pure orderBy(id) tie order: uncastable
+    // ids land in the never-null sentinel bucket -1 (sorting before
+    // every real bucket, id-ordered within it) and castable ids follow
+    // in numeric-bucket order. The sentinel — not a null __tbk — is
+    // what keeps the census attach an inner join that LOSES NO ROWS:
+    // a null bucket key would silently drop those rows and leave rank
+    // gaps (spec-pinned). try_cast, not cast: the session runs ANSI,
+    // where a plain cast of an uncastable id THROWS instead of nulling
+    // — both documented fallbacks only exist via try_cast.
     val nb = 4096
+    def idNum(c: org.apache.spark.sql.Column) = c.try_cast("double")
     val idBounds = complete.agg(
-      min(col(idCol).cast("double")).as("__ilo"),
-      max(col(idCol).cast("double")).as("__ihi"))
+      min(idNum(col(idCol))).as("__ilo"),
+      max(idNum(col(idCol))).as("__ihi"))
     val bucketed = melted.crossJoin(broadcast(idBounds))
-      .withColumn("__tbk", when(col("__ihi") > col("__ilo"),
-          least(floor((col("__id").cast("double") - col("__ilo")) /
-            (col("__ihi") - col("__ilo")) * nb), lit(nb - 1).cast("long")))
-        .otherwise(lit(0L)).cast("int"))
+      // the null test must be ITS OWN branch: least() skips null
+      // operands, so folding the null case into the least(...) arm
+      // would quietly merge uncastable ids into the top real bucket
+      .withColumn("__tbk",
+        when(idNum(col("__id")).isNull, lit(-1))
+          .when(col("__ihi") > col("__ilo"),
+            least(floor((idNum(col("__id")) - col("__ilo")) /
+              (col("__ihi") - col("__ilo")) * nb), lit(nb - 1).cast("long")))
+          .otherwise(lit(0L)).cast("int"))
       .drop("__ilo", "__ihi")
     val tieCensus = bucketed.groupBy("__f", "__x", "__tbk")
       .agg(count(lit(1)).as("__tc"))

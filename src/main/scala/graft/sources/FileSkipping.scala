@@ -502,24 +502,26 @@ object FileSkipping {
     // BloomFilterAggregate silently CAPS numBits at
     // spark.sql.optimizer.runtime.bloomFilter.maxNumBits (default 64 Mi
     // bits ≈ 7 M rows/file at fpp 0.01) — above that the realized fpp
-    // would quietly degrade and the prune rate with it. Raise the conf
-    // for the build when our sizing exceeds it (and restore after), so
-    // the sized filter is the built filter at every scale.
+    // would quietly degrade and the prune rate with it. When our sizing
+    // exceeds the cap, the build runs in a CLONED session (own SQLConf,
+    // shared SparkContext and cache): a set-then-restore on the caller's
+    // session would be visible to every query another thread plans in
+    // the window — a session-global race for a build-local need.
     val maxBitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val prevMaxBits = spark.conf.get(maxBitsKey)
-    val raiseCap = numBits > prevMaxBits.toLong
-    if (raiseCap) {
-      spark.conf.set(maxBitsKey, numBits.toString)
-      System.err.println(s"[bloom] $table: raising $maxBitsKey " +
-        s"$prevMaxBits -> $numBits (${perFile} rows/file at fpp=$fpp)")
-    }
-    val rows = try {
-      src
+    val raiseCap = numBits > spark.conf.get(maxBitsKey).toLong
+    val buildSession = if (raiseCap) {
+      val s2 = spark.newSession()
+      s2.conf.set(maxBitsKey, numBits.toString)
+      System.err.println(s"[bloom] $table: cloned build session with $maxBitsKey" +
+        s"=$numBits (${perFile} rows/file at fpp=$fpp)")
+      s2
+    } else spark
+    val rows =
+      buildSession.read.parquet(dirAbs.toString)
         .withColumn("__file", org.apache.spark.sql.functions.input_file_name())
         .groupBy("__file")
         .agg(aggs.head, aggs.tail: _*)
         .collect()
-    } finally if (raiseCap) spark.conf.set(maxBitsKey, prevMaxBits)
     val lines = rows.flatMap { r =>
       val name = r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)
       bloomCols.zipWithIndex.flatMap { case (c, i) =>

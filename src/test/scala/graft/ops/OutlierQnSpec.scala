@@ -96,4 +96,30 @@ class OutlierQnSpec extends AnyFunSuite with Matchers {
     } yield (id, fName) -> (pos + 1L)
     naive.foreach { case (k, r) => got(k)._1 shouldBe r }
   }
+
+  test("quantileNormalize with MIXED-castability string ids loses no rows " +
+      "and leaves no rank gaps") {
+    // Ids "7".."12" cast to double; "a","b" do not. The bucket key must
+    // be NEVER-null (sentinel bucket -1) or the census inner join would
+    // silently drop the uncastable rows and leave gaps in the surviving
+    // ranks. Pinned order for the mixed case: uncastable ids rank FIRST
+    // (bucket -1 sorts before every real bucket), id-ordered within.
+    val df = Seq(("a", 5.0, 1.0), ("b", 5.0, 2.0), ("7", 5.0, 3.0),
+      ("12", 5.0, 4.0), ("9", 2.0, 5.0), ("8", 2.0, 6.0))
+      .toDF("id", "x", "y")
+    val out = Quantiles.quantileNormalize(df.repartition(3), "id", Seq("x", "y"))
+      .collect()
+    out.length shouldBe 12 // 6 rows x 2 features — nothing dropped
+    val xRanks = out.filter(_.getString(1) == "x")
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    xRanks.values.toSeq.sorted shouldBe (1L to 6L) // gapless
+    // x ties: {9,8} at 2.0 rank 1-2 (numeric order 8<9), then at 5.0 the
+    // uncastable {a,b} rank 3-4 (bucket -1 first, id order), then 7<12
+    xRanks("8") shouldBe 1L
+    xRanks("9") shouldBe 2L
+    xRanks("a") shouldBe 3L
+    xRanks("b") shouldBe 4L
+    xRanks("7") shouldBe 5L
+    xRanks("12") shouldBe 6L
+  }
 }
