@@ -1138,14 +1138,37 @@ object Multimodal {
     * equi-join on (quarter index, quarter value) — any pair within
     * hamming 3 shares at least one exact quarter (pigeonhole over 4
     * quarters), so this is an equi-join with per-bucket fanout, never an
-    * all-pairs cross join. Output: (id_a, id_b, hamming), id_a < id_b. */
+    * all-pairs cross join. Output: (id_a, id_b, hamming), id_a < id_b.
+    *
+    * `maxBucketSize` (default 256; <= 0 disables) skips quarter buckets
+    * holding more than that many signatures before the pair join — the
+    * Σ size² cap the text LSH pair stage carries, with a HIGHER budget
+    * because the failure mode differs: a 16-bit quarter is a far weaker
+    * band than a 64-bit minhash-band bucket, so low-information
+    * payloads (dark images, silence, constant rasters) COLLIDE
+    * NATURALLY — measured census on the replicated 100x corpus: max
+    * bucket 19,184 and 96% of all 265M candidate pairs inside over-256
+    * buckets, pure noise bands whose members are overwhelmingly not
+    * within hamming 3 of each other. 256 sits above the natural
+    * collision floor of the measured corpora (max real bucket 194 at
+    * the 10x scale), so the cap only ever bites mega-buckets. The
+    * recall trade is the documented LSH one: a pair whose EVERY shared
+    * quarter is oversized is not emitted. */
   def aHashPairs(df: DataFrame, idCol: String, hashCol: String,
-                 maxHamming: Int = 3): DataFrame = {
+                 maxHamming: Int = 3, maxBucketSize: Int = 256): DataFrame = {
     require(maxHamming <= 3, "quarter-banding is sound only for maxHamming <= 3")
     val sigs = df.filter(col(hashCol).isNotNull)
       .select(col(idCol).as("id"), col(hashCol).as("h"))
-    val banded = sigs.select(col("id"), col("h"), posexplode(col("h")))
+    val bandedAll = sigs.select(col("id"), col("h"), posexplode(col("h")))
       .withColumnRenamed("pos", "quarter").withColumnRenamed("col", "qv")
+    // the same already-banded count-window gate as the LSH pair stage:
+    // linear in the bucket, shuffles on the key the join needs anyway
+    val banded =
+      if (maxBucketSize <= 0) bandedAll
+      else bandedAll
+        .withColumn("__bn", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("quarter", "qv")))
+        .filter(col("__bn") <= maxBucketSize).drop("__bn")
     val a = banded.select(col("quarter"), col("qv"),
       col("id").as("id_a"), col("h").as("h_a"))
     val b = banded.select(col("quarter"), col("qv"),

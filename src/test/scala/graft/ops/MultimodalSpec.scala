@@ -450,6 +450,31 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     pairs.head._3 should be <= 2
   }
 
+  test("aHashPairs bucket cap skips an over-cap quarter bucket, keeps small pairs") {
+    // 300 byte-identical images put all four quarter buckets at 300 —
+    // over the 256 default, so the DEFAULT call emits no clique pairs;
+    // the distant small pair still pairs. The uncapped opt-in
+    // (maxBucketSize = 0) restores the full C(300,2) clique, and an
+    // explicit cap ABOVE the bucket (500) equals the uncapped result —
+    // the cap never perturbs under-cap buckets.
+    val clique = (0L until 300L).map(i => (i, bmp8x8(p => if (p < 32) 30 else 240)))
+    val pairDocs = Seq(
+      (1000L, bmp8x8(p => if (p < 16) 200 else 20)),
+      (1001L, bmp8x8(p => if (p == 0) 210 else if (p < 16) 200 else 20)))
+    val df = (clique ++ pairDocs).toDF("id", "payload")
+    val hashed = Multimodal.withImageAHash(df, "payload")
+    def run(cap: Option[Int]) = cap.fold(
+        Multimodal.aHashPairs(hashed, "id", "ahash"))(c =>
+        Multimodal.aHashPairs(hashed, "id", "ahash", maxBucketSize = c))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    run(None) shouldBe Set((1000L, 1001L)) // the DEFAULT cap engages at 300
+    def runC(c: Int) = run(Some(c))
+    val unc = runC(0)
+    unc should contain ((1000L, 1001L))
+    unc.size shouldBe (300 * 299 / 2 + 1)
+    runC(500) shouldBe unc
+  }
+
   test("aHashPairs is partition-count independent") {
     val imgs = (0L until 24L).map(i =>
       (i, bmp8x8(p => if (p < 32) (i % 4).toInt * 3 else 200 + (i % 3).toInt)))
